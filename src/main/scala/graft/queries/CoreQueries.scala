@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Reference-surface queries (SURVEY.md §2) expressed over the driver test
+  * tables, each paired with an ANSI-SQL oracle for DuckDB.
+  *
+  * Numeric-parity discipline: every aggregated double goes through
+  * DECIMAL(18,2) (exact arithmetic, identical in Spark and DuckDB) and is
+  * cast back to double at the end — both engines then produce bit-identical
+  * values regardless of summation order (safe while sum*10^scale < 2^53).
+  * Temporal outputs are strings/dates, never raw timestamps, so writer
+  * timestamp-encoding differences can't cause oracle mismatches.
+  *
+  * Scale notes (100 TB): aggregations are partial (map-side combine) by
+  * construction of groupBy/agg; dimension joins broadcast the small side;
+  * window dedup shuffles once on its partition key. AQE handles skew.
+  */
+object CoreQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1/P2 analogue of TPC-H Q1: pricing summary with exact decimal sums.
+    * Mirrors the reference's only aggregate surface (COUNT over tables,
+    * /root/reference/README.md:123-125) widened to a full groupBy/agg. */
+  val q1Agg: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dec(sum(dec($"l_quantity"))).cast("double").as("sum_qty"),
+        dec(sum(dec($"l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A1: COUNT(*) readback — the reference's cross-engine invariant check
+    * (/root/reference/README.md:121-126). */
+  val qCount: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("n_lineitem"))
+    val o = Tables.load(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+    val c = Tables.load(s, dir, "customer").agg(count(lit(1)).as("n_customer"))
+    li.crossJoin(o).crossJoin(c)
+  }
+  val qCountSql: String =
+    """SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+      |       (SELECT COUNT(*) FROM orders)   AS n_orders,
+      |       (SELECT COUNT(*) FROM customer) AS n_customer""".stripMargin
+
+  /** P1–P5: star projection + derived columns + conjunctive numeric filter —
+    * the reference's ingest enrichment SQL (/root/reference/raw-bronze.py:207-217)
+    * re-expressed over lineitem. Derived partition-date string = P5. */
+  val qFilterProject: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_quantity" > 0 && $"l_extendedprice" > 0 &&
+        $"l_discount" >= lit(0.05))
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"),
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  val qFilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_discount >= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** W1/W2: ROW_NUMBER dedup, keep-latest-per-key — the reference's CDC dedup
+    * (/root/reference/bronze-silver.py:254-261) over orders
+    * (latest order per customer; o_orderkey DESC tiebreak for determinism). */
+  val qWindowDedup: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.load(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
+      .orderBy($"o_custkey")
+  }
+  val qWindowDedupSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) t
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** J1: MERGE INTO as anti-join + union (the COW upsert rewrite of
+    * /root/reference/bronze-silver.py:249-286). Target = even-partkey rows,
+    * source = even-suppkey rows, key = (l_orderkey, l_linenumber); matched
+    * rows are fully replaced by source (WHEN MATCHED → UPDATE all columns),
+    * unmatched source rows inserted. origin marks update-vs-keep lineage. */
+  val qMergeUpsert: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val cols = Seq($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+      $"l_quantity")
+    val target = li.filter($"l_partkey" % 2 === 0).select(cols: _*)
+    val source = li.filter($"l_suppkey" % 2 === 0).select(cols: _*)
+    val kept = target.join(source, Seq("l_orderkey", "l_linenumber"),
+      "left_anti").withColumn("origin", lit("kept"))
+    kept.unionByName(source.withColumn("origin", lit("merged")))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  val qMergeUpsertSql: String =
+    """WITH target AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+      |                FROM lineitem WHERE l_partkey % 2 = 0),
+      |     source AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+      |                FROM lineitem WHERE l_suppkey % 2 = 0)
+      |SELECT t.*, 'kept' AS origin FROM target t
+      |WHERE NOT EXISTS (SELECT 1 FROM source s
+      |                  WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber)
+      |UNION ALL
+      |SELECT s.*, 'merged' AS origin FROM source s
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** O1: ORDER BY ts DESC LIMIT 1 — latest-snapshot selection pattern
+    * (/root/reference/bronze-silver.py:133-138), key tiebreak for determinism. */
+  val qTopk: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      .limit(1)
+      .select($"o_orderkey", $"o_custkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
+  }
+  val qTopkSql: String =
+    """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin
+
+  /** Multi-way dimension join with broadcast (consumer readback widened):
+    * revenue per nation/region. nation+region are tiny → broadcast; the fact
+    * table never shuffles for the dim joins (scale-critical at 100 TB). */
+  val qJoinEnrich: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+    val nat = broadcast(Tables.load(s, dir, "nation"))
+    val reg = broadcast(Tables.load(s, dir, "region"))
+    val ord = Tables.load(s, dir, "orders")
+    ord.join(cust, $"o_custkey" === $"c_custkey")
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .join(reg, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total_price"))
+      .orderBy($"r_name", $"n_name")
+  }
+  val qJoinEnrichSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** TPC-H Q3 adapted (shipping priority): top-10 orders by revenue. */
+  val q3Shipping: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+  val q3ShippingSql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 adapted (local supplier volume): revenue per nation in ASIA,
+    * customer and supplier in the same nation. */
+  val q5LocalSupplier: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+    val sup = Tables.load(s, dir, "supplier")
+    val nat = broadcast(Tables.load(s, dir, "nation"))
+    val reg = broadcast(Tables.load(s, dir, "region").filter($"r_name" === "ASIA"))
+    val ord = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.load(s, dir, "lineitem")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(nat, $"s_nationkey" === $"n_nationkey")
+      .join(reg, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6 (forecast revenue change): pure scan+filter+sum — the query
+    * whose plan must show parquet predicate pushdown. */
+  val q6Forecast: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        dec($"l_discount").between(lit(0.05).cast(DecimalType(18, 2)),
+          lit(0.07).cast(DecimalType(18, 2))) &&
+        $"l_quantity" < 24)
+      .agg(sum(dec($"l_extendedprice") * dec($"l_discount"))
+        .cast("double").as("revenue"))
+  }
+  val q6ForecastSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 adapted (returned items): top-20 customers by lost revenue. */
+  val q10Returned: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+    val nat = broadcast(Tables.load(s, dir, "nation"))
+    val ord = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-07-01").cast("timestamp"))
+    val li = Tables.load(s, dir, "lineitem").filter($"l_returnflag" === "R")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+  val q10ReturnedSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** name -> (query, Some(oracleSql)) */
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q1_agg", q1Agg, Some(q1AggSql)),
+    ("q_count", qCount, Some(qCountSql)),
+    ("q_filter_project", qFilterProject, Some(qFilterProjectSql)),
+    ("q_window_dedup", qWindowDedup, Some(qWindowDedupSql)),
+    ("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
+    ("q_topk", qTopk, Some(qTopkSql)),
+    ("q_join_enrich", qJoinEnrich, Some(qJoinEnrichSql)),
+    ("q3_shipping", q3Shipping, Some(q3ShippingSql)),
+    ("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
+    ("q6_forecast", q6Forecast, Some(q6ForecastSql)),
+    ("q10_returned", q10Returned, Some(q10ReturnedSql)),
+  )
+}
