@@ -1,0 +1,113 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.table.GraftTable
+
+/** Queries exercising the graft table layer (snapshot log, incremental
+  * scans, time travel, COW merge — SURVEY.md §2 S5–S7, K1/K2, J1) against
+  * deterministic slices of the driver's orders table, so each has an exact
+  * DuckDB oracle over the same inputs.
+  *
+  * Each query builds a scratch table under java.io.tmpdir (fresh UUID per
+  * run — queries stay rerunnable and side-effect free w.r.t. the test data).
+  */
+object TableQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-q-$name-${UUID.randomUUID()}"
+
+  private def ordersSlice(s: SparkSession, dir: String, m: Int): DataFrame =
+    Tables.load(s, dir, "orders").filter(col("o_orderkey") % 3 === m)
+
+  private def project(df: DataFrame): DataFrame =
+    df.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("o_orderkey"))
+
+  /** S6: incremental append scan — three appends, read rows of the last two
+    * snapshots only. */
+  val qIncrementalScan: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("incr"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    val s1 = t.latestSnapshotId.get
+    t.append(ordersSlice(s, dir, 1))
+    t.append(ordersSlice(s, dir, 2))
+    val s3 = t.latestSnapshotId.get
+    project(t.readIncremental(s1, s3))
+  }
+  val qIncrementalScanSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Time travel: after three appends, read as of the first snapshot. */
+  val qTimeTravel: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("tt"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    val s1 = t.latestSnapshotId.get
+    t.append(ordersSlice(s, dir, 1))
+    project(t.readAsOf(s1))
+  }
+  val qTimeTravelSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** J1 on a real GraftTable: COW merge of an update batch (status flipped
+    * to 'X' — rows change partition, exercising moved-row rewrite) plus
+    * inserts, against a partitioned target. */
+  val qTableMerge: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("merge"))
+    val target = Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+    t.append(target, parts = Seq("o_orderstatus"))
+    val source = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+    t.merge(source, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey")
+    project(t.read())
+  }
+  val qTableMergeSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |     source AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+      |                       o_totalprice, o_orderdate, o_orderpriority
+      |                FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (SELECT t.* FROM target t
+      |      WHERE NOT EXISTS (SELECT 1 FROM source x WHERE x.o_orderkey = t.o_orderkey)
+      |      UNION ALL SELECT * FROM source)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** S7: snapshot history view — deterministic columns only. */
+  val qHistory: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("hist"))
+    t.append(ordersSlice(s, dir, 0))
+    t.append(ordersSlice(s, dir, 1))
+    t.overwrite(ordersSlice(s, dir, 2))
+    t.history.select(col("snapshot_id"), col("operation"),
+      col("is_current_ancestor")).orderBy(col("snapshot_id"))
+  }
+  // snapshot ids/operations are fully determined by the call sequence
+  val qHistorySql: String =
+    """SELECT * FROM (VALUES (0, 'create', true), (1, 'append', true),
+      |                      (2, 'append', true), (3, 'overwrite', true))
+      |  AS t(snapshot_id, operation, is_current_ancestor)
+      |ORDER BY snapshot_id""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
+    ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
+    ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
+    ("q_table_history", qHistory, Some(qHistorySql)),
+  )
+}

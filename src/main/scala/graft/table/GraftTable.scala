@@ -1,0 +1,272 @@
+package graft.table
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A versioned, partitioned Parquet table with Iceberg-like observable
+  * semantics: snapshot isolation, append / overwrite / merge commits,
+  * time travel, incremental append scans, and a `.history` metadata view.
+  *
+  * Re-expresses what the reference gets from the Iceberg runtime:
+  *   - create/append/overwrite writer (/root/reference/raw-bronze.py:156-183)
+  *   - declared-schema create       (/root/reference/bronze-silver.py:168-204)
+  *   - history scan                 (/root/reference/bronze-silver.py:116-119)
+  *   - snapshot-range incremental   (/root/reference/bronze-silver.py:146-149)
+  *   - MERGE INTO upsert            (/root/reference/bronze-silver.py:249-286)
+  *
+  * Design: data files are plain Parquet laid out in Hive partition dirs;
+  * each commit stages files to a scratch dir, moves them in, then atomically
+  * publishes a [[Snapshot]] JSON. Readers resolve the live file set from the
+  * snapshot chain, so uncommitted/aborted writes are invisible (snapshot
+  * isolation) and concurrent commit attempts collide on the rename and retry.
+  * All IO goes through the Hadoop FileSystem API, so the same code runs on
+  * local disk, HDFS, or S3A at cluster scale.
+  *
+  * Scale notes (100 TB): reads prune partitions before listing a single data
+  * file (the live-file set is filtered driver-side by partition values, like
+  * Iceberg manifest pruning); merge rewrites only the partitions that can
+  * contain a matched key (COW write amplification bounded by touched
+  * partitions, not table size); incremental scans read exactly the files a
+  * snapshot range added — no full-table diff.
+  */
+class GraftTable(spark: SparkSession, val location: String) {
+
+  private val tablePath = new Path(location)
+  private val metaPath = new Path(tablePath, "_graft")
+  private def fs: FileSystem =
+    tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ---- metadata ----
+
+  def exists: Boolean = fs.exists(metaPath)
+
+  private def snapFileName(id: Long): String = f"snap-$id%08d.json"
+
+  /** All committed snapshots, ascending by id. */
+  def snapshots: Seq[Snapshot] = {
+    if (!exists) return Seq.empty
+    val st = fs.listStatus(metaPath)
+      .filter(s => s.getPath.getName.matches("snap-\\d{8}\\.json"))
+      .sortBy(_.getPath.getName)
+    st.map { s =>
+      val in = fs.open(s.getPath)
+      try {
+        val bytes = new Array[Byte](s.getLen.toInt)
+        in.readFully(bytes)
+        Snapshot.fromJson(new String(bytes, "UTF-8"))
+      } finally in.close()
+    }.toSeq
+  }
+
+  def latestSnapshot: Option[Snapshot] = snapshots.lastOption
+  def latestSnapshotId: Option[Long] = latestSnapshot.map(_.snapshotId)
+
+  def schema: StructType = latestSnapshot match {
+    case Some(s) => DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    case None => throw new IllegalStateException(s"no such table: $location")
+  }
+
+  def partitionCols: Seq[String] =
+    latestSnapshot.map(_.partitionCols).getOrElse(Seq.empty)
+
+  /** Iceberg `.history`-shaped metadata view
+    * (made_current_at, snapshot_id, parent_id, is_current_ancestor). */
+  def history: DataFrame = {
+    import spark.implicits._
+    snapshots.map(s => (new java.sql.Timestamp(s.timestampMs), s.snapshotId,
+        s.parentId, true, s.operation))
+      .toDF("made_current_at", "snapshot_id", "parent_id",
+        "is_current_ancestor", "operation")
+  }
+
+  /** Live data files (relative paths) as of `asOf` (default: latest). */
+  def liveFiles(asOf: Option[Long] = None): Seq[String] = {
+    val chain = asOf match {
+      case Some(id) => snapshots.takeWhile(_.snapshotId <= id)
+      case None => snapshots
+    }
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    chain.foreach { s => live --= s.removedFiles; live ++= s.addedFiles }
+    live.toSeq
+  }
+
+  // ---- commit protocol ----
+
+  /** Publish a snapshot: write JSON to a temp name, atomically rename to its
+    * final slot; a rename collision means a concurrent commit won — re-read
+    * the log and retry with the next id (optimistic concurrency, as Iceberg). */
+  private def commit(operation: String, added: Seq[String],
+      removed: Seq[String], schemaJson: String,
+      parts: Seq[String]): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 20) throw new IllegalStateException(
+        s"commit contention on $location")
+      val parent = latestSnapshot
+      val id = parent.map(_.snapshotId + 1).getOrElse(0L)
+      val snap = Snapshot(id, parent.map(_.snapshotId),
+        System.currentTimeMillis(), operation, added, removed, schemaJson,
+        parts)
+      val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
+      val out = fs.create(tmp, false)
+      try out.write(Snapshot.toJson(snap).getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, new Path(metaPath, snapFileName(id)))) return id
+      fs.delete(tmp, false) // lost the race; retry against the new tip
+    }
+    -1L
+  }
+
+  // ---- writers ----
+
+  /** K2/C5: create an empty table from a declared schema (the reference's
+    * Avro-schema silver create, /root/reference/bronze-silver.py:168-204). */
+  def create(schema: StructType, parts: Seq[String] = Seq.empty): GraftTable = {
+    require(!exists, s"table already exists: $location")
+    parts.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column $p not in schema"))
+    fs.mkdirs(metaPath)
+    commit("create", Seq.empty, Seq.empty, schema.json, parts)
+    this
+  }
+
+  /** Stage `df` as parquet files and return their table-relative paths.
+    * Partition layout is produced by the standard Spark writer; files are
+    * then moved (renamed, no copy) into the table tree. */
+  private def stageAndMove(df: DataFrame, parts: Seq[String]): Seq[String] = {
+    val stage = new Path(metaPath, s"stage-${UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite")
+      .option("compression", "snappy")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(stage.toString)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(stage, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet")) {
+        val rel = stripPrefix(f.getPath.toString, stage.toString)
+        val dest = new Path(tablePath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f.getPath, dest))
+          throw new IllegalStateException(s"failed to move $rel into $location")
+        files += rel
+      }
+    }
+    fs.delete(stage, true)
+    files.toSeq
+  }
+
+  private def stripPrefix(full: String, prefix: String): String = {
+    val i = full.indexOf(prefix)
+    full.substring(i + prefix.length).dropWhile(_ == '/')
+  }
+
+  /** Align df to the table schema (column order + types), as Iceberg's
+    * writer does by-name resolution. */
+  private def align(df: DataFrame, schema: StructType): DataFrame = {
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"source is missing columns: ${missing.mkString(",")}")
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+  }
+
+  /** K1 append: add files, remove nothing. Creates the table on first write
+    * (the reference's exists→append / else→create branch,
+    * /root/reference/raw-bronze.py:178-183). */
+  def append(df: DataFrame, parts: Seq[String] = Seq.empty): Long = {
+    if (!exists) {
+      create(df.schema, parts)
+    }
+    val aligned = align(df, schema)
+    val added = stageAndMove(aligned, partitionCols)
+    commit("append", added, Seq.empty, schema.json, partitionCols)
+  }
+
+  /** K1 overwrite: replace the full live file set. */
+  def overwrite(df: DataFrame, parts: Seq[String] = Seq.empty): Long = {
+    if (!exists) return append(df, parts)
+    val aligned = align(df, schema)
+    val removed = liveFiles()
+    val added = stageAndMove(aligned, partitionCols)
+    commit("overwrite", added, removed, schema.json, partitionCols)
+  }
+
+  // ---- readers ----
+
+  private def readFiles(files: Seq[String]): DataFrame = {
+    val sch = schema
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    } else {
+      spark.read
+        .schema(sch)
+        .option("basePath", location)
+        .parquet(files.map(f => s"$location/$f"): _*)
+    }
+  }
+
+  /** S5: full scan of the latest snapshot. */
+  def read(): DataFrame = readFiles(liveFiles())
+
+  /** Time travel: scan as of a snapshot id. */
+  def readAsOf(snapshotId: Long): DataFrame =
+    readFiles(liveFiles(Some(snapshotId)))
+
+  /** S6: incremental append scan — exactly the rows added by snapshots in
+    * `(startExclusive, endInclusive]`, reading only those files. Mirrors
+    * Iceberg's start/end-snapshot-id read
+    * (/root/reference/bronze-silver.py:146-149) including its restriction
+    * to append snapshots. */
+  def readIncremental(startExclusive: Long, endInclusive: Long): DataFrame = {
+    val range = snapshots
+      .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
+    val bad = range.filterNot(s => s.operation == "append" || s.operation == "create")
+    require(bad.isEmpty,
+      s"incremental read over non-append snapshots: ${bad.map(_.snapshotId).mkString(",")}")
+    readFiles(range.flatMap(_.addedFiles))
+  }
+
+  /** Partition-pruned scan: resolves the file list driver-side from Hive
+    * partition-dir values, so only matching partitions are ever listed/read
+    * (manifest-style pruning; `pred` maps partition column -> kept values). */
+  def readPruned(keep: Map[String, Set[String]]): DataFrame = {
+    val parts = partitionCols
+    val files = liveFiles().filter { f =>
+      val kv = partitionValues(f)
+      parts.forall { p =>
+        keep.get(p).forall(vals => kv.get(p).forall(vals.contains))
+      }
+    }
+    readFiles(files)
+  }
+
+  /** Parse `k=v` partition-dir components of a relative file path. */
+  private[table] def partitionValues(relPath: String): Map[String, String] =
+    relPath.split('/').dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k ->
+          java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+
+  /** J1: MERGE INTO — see [[MergeInto.merge]]. */
+  def merge(source: DataFrame, keys: Seq[String], dedupKey: Seq[String],
+      orderCol: String): Long =
+    MergeInto.merge(spark, this, source, keys, dedupKey, orderCol)
+
+  private[table] def commitMerge(added: Seq[String], removed: Seq[String]): Long =
+    commit("merge", added, removed, schema.json, partitionCols)
+
+  private[table] def stageForMerge(df: DataFrame): Seq[String] =
+    stageAndMove(align(df, schema), partitionCols)
+}
+
+object GraftTable {
+  def apply(spark: SparkSession, location: String): GraftTable =
+    new GraftTable(spark, location)
+}

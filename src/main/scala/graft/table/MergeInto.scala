@@ -1,0 +1,96 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyed upsert with the exact observable semantics of the reference's
+  * Iceberg `MERGE INTO` (/root/reference/bronze-silver.py:249-286):
+  *
+  *   - the source is first deduped keep-latest per `dedupKey` via
+  *     ROW_NUMBER ... ORDER BY orderCol DESC (W1/W2,
+  *     /root/reference/bronze-silver.py:254-261); note the reference dedups
+  *     by a *different* (coarser) key than it merges on — SURVEY.md §2 N4 —
+  *     which we reproduce by taking dedupKey and merge keys separately;
+  *   - WHEN MATCHED → UPDATE SET all columns (full row replace);
+  *   - WHEN NOT MATCHED → INSERT;
+  *   - `Op` codes are NOT interpreted (no delete path), as in the reference
+  *     (SURVEY.md §2 N1).
+  *
+  * Implementation is a copy-on-write rewrite, as bronze's COW table props
+  * request (/root/reference/raw-bronze.py:159-163): matched rows are dropped
+  * from the target via LEFT ANTI join and the deduped source is unioned in.
+  *
+  * Scale design: only partitions that can contain an affected key are
+  * rewritten. Affected partitions = partitions of incoming source rows ∪
+  * partitions of existing target rows whose key matches the source (the
+  * second set catches updates that move a row across partitions). Everything
+  * else is carried forward by reference in the snapshot — write
+  * amplification is bounded by touched partitions, not table size. The
+  * matched-partition probe is a semi-join on the merge keys; at 1000-executor
+  * scale Spark broadcasts the (small) batch side so the probe is a
+  * shuffle-free map-side scan over the target.
+  */
+object MergeInto {
+
+  /** Dedup a CDC batch keep-latest: one row per `dedupKey`, latest by
+    * `orderCol` (ties broken arbitrarily but deterministically by the
+    * remaining sort, matching ROW_NUMBER semantics). */
+  def dedupLatest(source: DataFrame, dedupKey: Seq[String],
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(dedupKey.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    source.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  def merge(spark: SparkSession, target: GraftTable, source: DataFrame,
+      keys: Seq[String], dedupKey: Seq[String], orderCol: String): Long = {
+    val schema = target.schema
+    val cols = schema.fieldNames.toIndexedSeq
+    val deduped = dedupLatest(source, dedupKey, orderCol)
+      .select(cols.map(col): _*)
+      .cache()
+
+    val parts = target.partitionCols
+    if (parts.isEmpty) {
+      // Unpartitioned: full-table COW rewrite.
+      val kept = target.read().join(deduped, keys, "left_anti")
+      val merged = kept.unionByName(deduped)
+      val removed = target.liveFiles()
+      val added = target.stageForMerge(merged)
+      deduped.unpersist()
+      target.commitMerge(added, removed)
+    } else {
+      // Partition-pruned COW.
+      val srcParts = deduped.select(parts.map(col): _*).distinct()
+        .collect().map(r => parts.map(p => Option(r.getAs[Any](p))
+          .map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")))
+      val matchedParts = target.read()
+        .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(parts.map(col): _*).distinct()
+        .collect().map(r => parts.map(p => Option(r.getAs[Any](p))
+          .map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")))
+      val affected: Set[Seq[String]] = (srcParts ++ matchedParts).map(_.toSeq).toSet
+
+      val live = target.liveFiles()
+      val affectedFiles = live.filter { f =>
+        val kv = target.partitionValues(f)
+        affected.contains(parts.map(p => kv.getOrElse(p, "")))
+      }
+      val sch = target.schema
+      val affectedDf =
+        if (affectedFiles.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        else spark.read.schema(sch).option("basePath", target.location)
+          .parquet(affectedFiles.map(f => s"${target.location}/$f"): _*)
+
+      val kept = affectedDf.join(deduped, keys, "left_anti")
+      val merged = kept.unionByName(deduped)
+      val added = target.stageForMerge(merged)
+      deduped.unpersist()
+      target.commitMerge(added, affectedFiles)
+    }
+  }
+}

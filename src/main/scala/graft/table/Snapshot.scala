@@ -1,0 +1,34 @@
+package graft.table
+
+/** One committed table version — the graft analogue of an Iceberg snapshot
+  * (reference relies on Iceberg's snapshot ids + `.history` metadata table,
+  * /root/reference/bronze-silver.py:116-149).
+  *
+  * Stored as one JSON file per snapshot under `<table>/_graft/`, committed
+  * by atomic rename — commit ordering and single-winner semantics come from
+  * the filesystem, as in Iceberg's optimistic metadata swap. File lists are
+  * relative paths so a table directory is relocatable.
+  *
+  * Scale note: metadata is O(files) per snapshot, like an Iceberg manifest.
+  * At 100 TB the file lists would be split into manifest files; the commit
+  * protocol (write-new, atomic-rename, retry on collision) is unchanged.
+  */
+case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String, // create | append | overwrite | merge
+    addedFiles: Seq[String],
+    removedFiles: Seq[String],
+    schemaJson: String,
+    partitionCols: Seq[String])
+
+object Snapshot {
+  import org.json4s._
+  import org.json4s.jackson.Serialization
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  def toJson(s: Snapshot): String = Serialization.writePretty(s)
+  def fromJson(j: String): Snapshot = Serialization.read[Snapshot](j)
+}
