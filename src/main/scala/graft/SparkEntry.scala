@@ -13,7 +13,9 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    CoreQueries.all ++ TableQueries.all
+    CoreQueries.all ++ TableQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ VectorQueries.all ++ EventsQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.GraftSqlGlue
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the content-hashing hot path
+  * (fingerprinting, SimHash). Native expressions rather than Scala UDFs so
+  * they stay inside whole-stage codegen row processing (no SerDe per row)
+  * and are visible to the optimizer — the preference order the build
+  * follows: compose built-ins > native Expression > UDF.
+  */
+object HashExpressions {
+
+  /** FNV-1a 64-bit rolling content hash of a string — the document
+    * fingerprint primitive. Deterministic, allocation-free, codegen'd. */
+  case class RollingHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    // input: StringType (enforced by callers)
+    override def prettyName: String = "rolling_hash64"
+
+    override def nullSafeEval(input: Any): Any =
+      RollingHash64.hash(input.asInstanceOf[UTF8String].getBytes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.RollingHash64.hash($c.getBytes())")
+
+    override protected def withNewChildInternal(c: Expression): RollingHash64 =
+      copy(child = c)
+  }
+
+  object RollingHash64 {
+    /** FNV-1a 64-bit over UTF-8 bytes. */
+    def hash(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** 64-bit SimHash over a token array: each token is xxhash64'd; per bit,
+    * tokens vote +1/-1; the sign vector is the fingerprint. Near-duplicate
+    * docs differ in few bits (small Hamming distance). One pass, O(tokens). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    // input: ArrayType(StringType) (enforced by callers)
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      SimHash64.ofTokens(arr)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.SimHash64.ofTokens($c)")
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
+  object SimHash64 {
+    def ofTokens(tokens: ArrayData): Long = {
+      val counts = new Array[Int](64)
+      val n = tokens.numElements()
+      var i = 0
+      while (i < n) {
+        if (!tokens.isNullAt(i)) {
+          val t = tokens.getUTF8String(i)
+          val h = XXH64.hashUnsafeBytes(
+            t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+  }
+
+  /** k-token word shingles of a token array, space-joined: native, one
+    * O(tokens·k) pass per row.
+    *
+    * Why native: the compositional formulation (transform over sequence +
+    * slice + array_join) evaluates interpreted (higher-order functions have
+    * no codegen) and re-evaluates any non-attribute input per lambda
+    * iteration — and projection barriers collapse through Generate — giving
+    * O(tokens²) work per doc in exactly the hot dedup paths. Measured ~30×
+    * on sf0.1 documents. Semantics (short docs → one whole-doc shingle)
+    * match the SQL oracle mirror exactly. */
+  case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(input: Any): Any =
+      WordShingles.ofTokens(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.WordShingles.ofTokens($c, $k)")
+
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+  }
+
+  object WordShingles {
+    private val SPACE = UTF8String.fromString(" ")
+
+    def ofTokens(tokens: ArrayData, k: Int): ArrayData = {
+      val n = tokens.numElements()
+      def tok(i: Int): UTF8String =
+        if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+      if (n < k) {
+        val parts = new Array[UTF8String](math.max(2 * n - 1, 0))
+        var i = 0
+        while (i < n) {
+          parts(2 * i) = tok(i)
+          if (i < n - 1) parts(2 * i + 1) = SPACE
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](UTF8String.concat(parts.toIndexedSeq: _*)))
+      } else {
+        val out = new Array[Any](n - k + 1)
+        var i = 0
+        while (i <= n - k) {
+          val parts = new Array[UTF8String](2 * k - 1)
+          var j = 0
+          while (j < k) {
+            parts(2 * j) = tok(i + j)
+            if (j < k - 1) parts(2 * j + 1) = SPACE
+            j += 1
+          }
+          out(i) = UTF8String.concat(parts.toIndexedSeq: _*)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      }
+    }
+  }
+
+  // ---- Column-level entry points ----
+
+  def rolling_hash64(c: Column): Column =
+    GraftSqlGlue.column(RollingHash64(GraftSqlGlue.expression(c)))
+
+  def simhash64(tokens: Column): Column =
+    GraftSqlGlue.column(SimHash64(GraftSqlGlue.expression(tokens)))
+
+  def word_shingles(tokens: Column, k: Int): Column =
+    GraftSqlGlue.column(WordShingles(GraftSqlGlue.expression(tokens), k))
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: normalization,
+  * tokenization, shingling, fingerprinting, language-ID heuristic, quality
+  * metrics. All are composed from codegen'd built-ins (no UDFs) so they run
+  * inside whole-stage codegen at scan speed — at 100 TB the text pass is
+  * scan-bound and these add no shuffle.
+  *
+  * Every metric has an exact ANSI-SQL mirror (see TextQueries oracles):
+  * normalization collapses whitespace first, then all tokenization is a
+  * plain single-space split — this keeps Spark (Java regex) and any oracle
+  * engine (RE2-style regex) bit-identical by construction.
+  */
+object TextFunctions {
+
+  /** lowercase, collapse whitespace runs to single spaces, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** tokens of the normalized text (single-space split). */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** k-token shingles from a token array column; docs shorter than k tokens
+    * yield one shingle = the whole doc. Backed by the native WordShingles
+    * expression: one O(tokens·k) pass, codegen'd — the compositional HOF
+    * formulation (transform+slice+array_join) degrades to O(tokens²)
+    * interpreted work per doc (see HashExpressions.WordShingles). */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    HashExpressions.word_shingles(toks, k)
+
+  /** k-token shingles of raw text. */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(tokens(text), k)
+
+  /** MD5 content fingerprint of the normalized text — cross-engine stable
+    * (md5 is identical everywhere), the exact-dedup key. */
+  def fingerprint_md5(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit rolling-hash fingerprint (native expression, no md5 cost). */
+  def fingerprint64(text: Column): Column =
+    HashExpressions.rolling_hash64(normalize(text))
+
+  /** English stopword list used by the quality metrics (fixed, tiny). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "for", "on", "with", "as", "at", "by", "from")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, single digits, or single
+    * non-alphanumeric glyphs — a cheap proxy for tokenizer cost. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(normalize(text), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  /** count of punctuation/symbol chars in the normalized text. */
+  def punctCount(text: Column): Column =
+    length(normalize(text)) - length(regexp_replace(normalize(text), "[^a-z0-9 ]", ""))
+
+  /** Marker-word sets for the language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pas"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "en", "no"))
+
+  /** Language-ID heuristic: marker-token overlap, CJK codepoint check, else
+    * English. (Synthetic corpora resolve to 'en'; the operator shape — a
+    * branching classifier over token-set overlap — is what scales.) */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val byMarkers = langMarkers.foldLeft(when(lit(false), "")) {
+      case (acc, (lang, markers)) =>
+        acc.when(arrays_overlap(t, array(markers.map(lit): _*)), lang)
+    }
+    byMarkers
+      .when(normalize(text).rlike("[\\u4e00-\\u9fff]"), "zh")
+      .otherwise("en")
+  }
+
+  /** Composite quality score in [0,1]: length saturation, stopword presence,
+    * low punctuation. Mirrors exactly in SQL (same literal arithmetic, same
+    * evaluation order — IEEE doubles are engine-independent). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / nTok
+    val punctRatio = punctCount(text).cast("double") / length(normalize(text))
+    least(nTok / lit(100.0), lit(1.0)) * lit(0.5) +
+      stopRatio * lit(0.3) + (lit(1.0) - punctRatio) * lit(0.2)
+  }
+}

