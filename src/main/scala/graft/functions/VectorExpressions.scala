@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.GraftSqlGlue
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native vector expressions for the ANN hot path. */
+object VectorExpressions {
+
+  /** Rademacher-hyperplane LSH bucket of a float vector: bit p of the
+    * result is the sign of the projection onto pseudo-random hyperplane p,
+    * whose weight for dimension d is a fixed hash-derived ±1.
+    *
+    * Native because the compositional version (nPlanes × zip_with +
+    * aggregate) runs interpreted at ~planes×dims lambda invocations per
+    * row; this is one tight O(planes·dims) primitive loop, codegen'd —
+    * the map-side cost of corpus bucketing at 100 TB. */
+  case class HyperplaneBucketExpr(child: Expression, nPlanes: Int, seed: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_bucket"
+
+    override def nullSafeEval(input: Any): Any =
+      HyperplaneBucketExpr.bucket(input.asInstanceOf[ArrayData], nPlanes, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.HyperplaneBucketExpr.bucket($c, $nPlanes, $seed)")
+
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucketExpr =
+      copy(child = c)
+  }
+
+  object HyperplaneBucketExpr {
+    /** splitmix64 — a fixed, engine-independent integer mixer. */
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    def bucket(v: ArrayData, nPlanes: Int, seed: Int): Long = {
+      val n = v.numElements()
+      var out = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          val w = if ((mix(seed.toLong * 0x100000001L + p.toLong * 65537L + d) & 1L) == 0L) 1.0 else -1.0
+          acc += w * v.getFloat(d)
+          d += 1
+        }
+        if (acc >= 0) out |= (1L << p)
+        p += 1
+      }
+      out
+    }
+  }
+
+  def hyperplane_bucket(v: Column, nPlanes: Int, seed: Int = 7): Column =
+    GraftSqlGlue.column(HyperplaneBucketExpr(GraftSqlGlue.expression(v), nPlanes, seed))
+}

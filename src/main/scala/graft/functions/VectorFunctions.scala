@@ -52,22 +52,10 @@ object VectorFunctions {
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Sign bits of projections onto `nPlanes` fixed pseudo-random
-    * hyperplanes → an LSH bucket id for cosine similarity. Deterministic:
-    * plane p's weight for dimension d is a fixed hash-derived ±1 (a
-    * Rademacher hyperplane). Vectors with high cosine land in the same
-    * bucket with high probability; used to bucket ANN candidate search. */
-  def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int = 7): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      // deterministic ±1 weight per (plane, dim): parity of a mixed hash
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => {
-            val mix = hash(lit(seed), lit(p), d)
-            when(mix % 2 === 0, x.cast("double")).otherwise(-x.cast("double"))
-          }),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * (Rademacher) hyperplanes → an LSH bucket id for cosine similarity.
+    * Vectors with high cosine land in the same bucket with high
+    * probability; used to bucket ANN candidate search. Native expression —
+    * one tight O(planes·dims) loop per row (see VectorExpressions). */
+  def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int = 7): Column =
+    VectorExpressions.hyperplane_bucket(v, nPlanes, seed)
 }

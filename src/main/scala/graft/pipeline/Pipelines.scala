@@ -54,7 +54,10 @@ class BronzeToSilver(
     spark: SparkSession,
     bronzeDir: String,
     silverDir: String,
-    checkpointPath: String) {
+    checkpointPath: String,
+    /** engine extension (default off = exact reference semantics, N1):
+      * interpret Op='D' as a CDC delete in the silver merge. */
+    interpretDeletes: Boolean = false) {
 
   private val ckpt = new Checkpoint(spark, checkpointPath)
 
@@ -108,7 +111,8 @@ class BronzeToSilver(
     silver.merge(increment,
       keys = Seq("invoiceid", "itemid"),
       dedupKey = Seq("invoiceid"),
-      orderCol = "processed_time")
+      orderCol = "processed_time",
+      opCol = if (interpretDeletes) Some("Op") else None)
 
     ckpt.save("last_processed_snapshot", latest)
     silver.read().count()

@@ -104,10 +104,34 @@ object TableQueries {
       |  AS t(snapshot_id, operation, is_current_ancestor)
       |ORDER BY snapshot_id""".stripMargin
 
+  /** Maintenance lifecycle: compact + rollback + expire, then read back the
+    * (deterministic) final state and history. Exercises the Iceberg-style
+    * table actions end to end. */
+  val qMaintenance: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("maint"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    val s1 = t.latestSnapshotId.get
+    t.append(ordersSlice(s, dir, 1))
+    t.compact(filesPerPartition = 1)
+    t.rollback(s1) // back to slice 0 only
+    t.expireSnapshots(keepLast = 2)
+    val state = project(t.read())
+      .withColumn("n_snapshots", lit(t.snapshots.size))
+      .withColumn("last_op", lit(t.snapshots.last.operation))
+    state
+  }
+  val qMaintenanceSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  2 AS n_snapshots, 'rollback' AS last_op
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
     ("q_table_history", qHistory, Some(qHistorySql)),
+    ("q_table_maintenance", qMaintenance, Some(qMaintenanceSql)),
   )
 }

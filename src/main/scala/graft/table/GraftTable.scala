@@ -254,10 +254,95 @@ class GraftTable(spark: SparkSession, val location: String) {
       }
     }.toMap
 
-  /** J1: MERGE INTO — see [[MergeInto.merge]]. */
+  // ---- maintenance (Iceberg-style table operations) ----
+
+  /** Compaction: rewrite the live file set into at most
+    * `filesPerPartition` files per partition (small-file compaction — the
+    * Iceberg rewrite_data_files action). Data is unchanged; snapshot op is
+    * "compact" so incremental readers refuse to cross it, as Iceberg's
+    * incremental scan does for rewrites. */
+  def compact(filesPerPartition: Int = 1): Long = {
+    val removed = liveFiles()
+    val df = read().coalesce(math.max(filesPerPartition, 1))
+    val added = stageAndMove(align(df, schema), partitionCols)
+    commit("compact", added, removed, schema.json, partitionCols)
+  }
+
+  /** Rollback: make `snapshotId`'s state current again via a NEW snapshot
+    * (the Iceberg rollback_to_snapshot action). History is preserved —
+    * time travel to the rolled-back-over states still works. */
+  def rollback(snapshotId: Long): Long = {
+    val target = liveFiles(Some(snapshotId))
+    val current = liveFiles()
+    commit("rollback", target.diff(current), current.diff(target),
+      schema.json, partitionCols)
+  }
+
+  /** Snapshot expiration (the Iceberg expire_snapshots action): retain the
+    * last `keepLast` snapshots; the oldest retained snapshot is rewritten
+    * as a baseline holding its cumulative live file set, older metadata is
+    * deleted, and data files no longer reachable from any retained
+    * snapshot are physically removed. Returns deleted data files. */
+  def expireSnapshots(keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must retain at least one snapshot")
+    val all = snapshots
+    if (all.size <= keepLast) return Seq.empty
+    val retained = all.takeRight(keepLast)
+    val expired = all.dropRight(keepLast)
+    val oldest = retained.head
+
+    // baseline: the oldest retained snapshot absorbs the history below it
+    val baseline = oldest.copy(
+      parentId = None,
+      addedFiles = liveFiles(Some(oldest.snapshotId)),
+      removedFiles = Seq.empty)
+    val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(Snapshot.toJson(baseline).getBytes("UTF-8")) finally out.close()
+    val dest = new Path(metaPath, snapFileName(oldest.snapshotId))
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"expire failed rewriting baseline")
+
+    expired.foreach(s =>
+      fs.delete(new Path(metaPath, snapFileName(s.snapshotId)), false))
+
+    // physical cleanup: files referenced by no retained snapshot state
+    val reachable = (baseline.addedFiles ++
+      retained.tail.flatMap(_.addedFiles)).toSet
+    val candidates = (expired.flatMap(_.addedFiles) ++
+      expired.flatMap(_.removedFiles)).distinct
+    val orphans = candidates.filterNot(reachable.contains)
+    orphans.foreach(f => fs.delete(new Path(tablePath, f), false))
+    orphans
+  }
+
+  /** Orphan cleanup (the Iceberg remove_orphan_files action): delete data
+    * files under the table dir that no snapshot references (e.g. left by a
+    * crashed write between stage-move and commit). Returns deleted files. */
+  def removeOrphanFiles(): Seq[String] = {
+    val referenced = snapshots.flatMap(s => s.addedFiles).toSet
+    val it = fs.listFiles(tablePath, true)
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = stripPrefix(f.getPath.toString, tablePath.toString)
+      if (f.getPath.getName.endsWith(".parquet") &&
+          !rel.startsWith("_graft") && !referenced.contains(rel)) {
+        orphans += rel
+        fs.delete(f.getPath, false)
+      }
+    }
+    orphans.toSeq
+  }
+
+  /** J1: MERGE INTO — see [[MergeInto.merge]]. `opCol` opts into the
+    * CDC-delete extension (WHEN MATCHED AND op='D' THEN DELETE). */
   def merge(source: DataFrame, keys: Seq[String], dedupKey: Seq[String],
-      orderCol: String): Long =
-    MergeInto.merge(spark, this, source, keys, dedupKey, orderCol)
+      orderCol: String, opCol: Option[String] = None,
+      deleteOps: Seq[String] = Seq("D")): Long =
+    MergeInto.merge(spark, this, source, keys, dedupKey, orderCol, opCol,
+      deleteOps)
 
   private[table] def commitMerge(added: Seq[String], removed: Seq[String]): Long =
     commit("merge", added, removed, schema.json, partitionCols)

@@ -45,22 +45,40 @@ object MergeInto {
       .drop("__rn")
   }
 
+  /** @param opCol engine EXTENSION over the reference (which never
+    *   interprets CDC op codes — SURVEY.md §2 N1): when set, source rows
+    *   whose op ∈ `deleteOps` (after keep-latest dedup, so a later update
+    *   beats an earlier delete) remove the matching target keys instead of
+    *   upserting. Default None = exact reference semantics. */
   def merge(spark: SparkSession, target: GraftTable, source: DataFrame,
-      keys: Seq[String], dedupKey: Seq[String], orderCol: String): Long = {
+      keys: Seq[String], dedupKey: Seq[String], orderCol: String,
+      opCol: Option[String] = None,
+      deleteOps: Seq[String] = Seq("D")): Long = {
     val schema = target.schema
     val cols = schema.fieldNames.toIndexedSeq
-    val deduped = dedupLatest(source, dedupKey, orderCol)
-      .select(cols.map(col): _*)
+    val dedupedAll = dedupLatest(source, dedupKey, orderCol).cache()
+    // keys of every source row (updates, inserts AND deletes) drop out of
+    // the target via the anti-join; only non-delete rows are re-inserted.
+    val deduped = dedupedAll
+      .select((cols.map(col) ++ opCol.map(col)): _*)
       .cache()
+
+    // rows that survive as inserts/updates (delete rows only remove keys)
+    val inserts = opCol match {
+      case Some(oc) => deduped
+        .filter(col(oc).isNull || !col(oc).isin(deleteOps: _*))
+        .select(cols.map(col): _*)
+      case None => deduped.select(cols.map(col): _*)
+    }
 
     val parts = target.partitionCols
     if (parts.isEmpty) {
       // Unpartitioned: full-table COW rewrite.
       val kept = target.read().join(deduped, keys, "left_anti")
-      val merged = kept.unionByName(deduped)
+      val merged = kept.unionByName(inserts)
       val removed = target.liveFiles()
       val added = target.stageForMerge(merged)
-      deduped.unpersist()
+      deduped.unpersist(); dedupedAll.unpersist()
       target.commitMerge(added, removed)
     } else {
       // Partition-pruned COW.
@@ -87,9 +105,9 @@ object MergeInto {
           .parquet(affectedFiles.map(f => s"${target.location}/$f"): _*)
 
       val kept = affectedDf.join(deduped, keys, "left_anti")
-      val merged = kept.unionByName(deduped)
+      val merged = kept.unionByName(inserts)
       val added = target.stageForMerge(merged)
-      deduped.unpersist()
+      deduped.unpersist(); dedupedAll.unpersist()
       target.commitMerge(added, affectedFiles)
     }
   }

@@ -1,0 +1,80 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import graft.SparkSpec
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String) = GraftTable(spark, tmpDir(name) + "/t")
+
+  test("compact merges small files, preserves data, blocks incremental reads") {
+    val t = freshTable("mt-compact")
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val before = t.read().orderBy("id").collect().toSeq
+    assert(t.liveFiles().size >= 5)
+    val s5 = t.latestSnapshotId.get
+    t.compact(filesPerPartition = 1)
+    assert(t.liveFiles().size === 1)
+    assert(t.read().orderBy("id").collect().toSeq === before)
+    // incremental scans refuse to cross the compaction (like Iceberg)
+    intercept[IllegalArgumentException] {
+      t.readIncremental(s5 - 1, t.latestSnapshotId.get)
+    }
+  }
+
+  test("rollback restores an earlier state as a new snapshot") {
+    val t = freshTable("mt-rollback")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val s1 = t.latestSnapshotId.get
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    t.rollback(s1)
+    assert(t.read().select("id").as[Long].collect() === Array(1L))
+    // history preserved: the overwritten state is still reachable
+    assert(t.readAsOf(3L).select("id").as[Long].collect() === Array(9L))
+    assert(t.snapshots.last.operation === "rollback")
+  }
+
+  test("expireSnapshots truncates history and deletes unreachable files") {
+    val t = freshTable("mt-expire")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "v")) // file of snap 1 now dead
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val deadFile = t.snapshots(1).addedFiles.head
+    val deleted = t.expireSnapshots(keepLast = 2)
+    assert(deleted.contains(deadFile))
+    assert(t.snapshots.map(_.snapshotId) === Seq(2L, 3L))
+    // current state unchanged
+    assert(t.read().select("id").as[Long].collect().sorted === Array(2L, 3L))
+    // the dead file is physically gone
+    val fs = new Path(t.location).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(t.location, deadFile)))
+    // old snapshots are no longer time-travelable
+    assert(t.readAsOf(1L).count() === 0)
+  }
+
+  test("expire keeps everything when history is short; appends still work") {
+    val t = freshTable("mt-expire-short")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    assert(t.expireSnapshots(keepLast = 5) === Seq.empty)
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(t.read().count() === 2)
+  }
+
+  test("removeOrphanFiles deletes unreferenced parquet, keeps live data") {
+    val t = freshTable("mt-orphan")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // simulate a crashed writer: a stray parquet in the table dir
+    val fs = new Path(t.location).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stray = new Path(t.location, "part-stray-deadbeef.parquet")
+    val out = fs.create(stray, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val deleted = t.removeOrphanFiles()
+    assert(deleted === Seq("part-stray-deadbeef.parquet"))
+    assert(!fs.exists(stray))
+    assert(t.read().count() === 1)
+  }
+}
