@@ -127,7 +127,28 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The `format("graft")` source path (Delta-style FileIndex over the
+    * snapshot log): write two slices through the writer API, read the
+    * second incrementally via reader options. */
+  val qSourceFormat: Q = (s, dir) => {
+    val loc = scratch("src")
+    ordersSlice(s, dir, 0).write.format("graft")
+      .option("partitionCols", "o_orderstatus")
+      .mode("append").save(loc)
+    val t = GraftTable(s, loc)
+    val s1 = t.latestSnapshotId.get
+    ordersSlice(s, dir, 1).write.format("graft").mode("append").save(loc)
+    project(s.read.format("graft")
+      .option("startSnapshotId", s1.toString).load(loc))
+  }
+  val qSourceFormatSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, BindReferences, Expression}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.table.GraftTable
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * Delta-style source integration for graft tables: a custom [[FileIndex]]
+  * resolves the live file set from the snapshot log (with time-travel and
+  * incremental options) and hands it to Spark's vectorized Parquet reader
+  * through HadoopFsRelation, so predicate pushdown, column pruning,
+  * partition pruning, and whole-stage codegen all apply unchanged.
+  *
+  * Read options (mirroring Iceberg's read options,
+  * /root/reference/bronze-silver.py:146-149):
+  *   - `snapshotId`        time travel to a snapshot
+  *   - `startSnapshotId` / `endSnapshotId`  incremental append range
+  *     (start exclusive, end inclusive; end defaults to latest)
+  *
+  * Writes: SaveMode.Append / Overwrite commit through the snapshot log;
+  * `partitionCols` option ("a,b") sets the layout on first write.
+  */
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path"))
+    val table = GraftTable(spark, path)
+    require(table.exists, s"no graft table at $path")
+
+    val files: Seq[String] = parameters.get("startSnapshotId") match {
+      case Some(start) =>
+        val end = parameters.get("endSnapshotId").map(_.toLong)
+          .orElse(table.latestSnapshotId).getOrElse(0L)
+        table.incrementalFiles(start.toLong, end)
+      case None => parameters.get("snapshotId") match {
+        case Some(id) => table.liveFiles(Some(id.toLong))
+        case None => table.liveFiles()
+      }
+    }
+
+    val fullSchema = table.schema
+    val partCols = table.partitionCols
+    val partSchema = StructType(partCols.map(fullSchema(_)))
+    val dataSchema = StructType(
+      fullSchema.filterNot(f => partCols.contains(f.name)))
+
+    HadoopFsRelation(
+      location = new GraftFileIndex(spark, table, files, partSchema),
+      partitionSchema = partSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = parameters)(spark)
+  }
+
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path"))
+    val table = GraftTable(spark, path)
+    val parts = parameters.get("partitionCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    mode match {
+      case SaveMode.Append => table.append(data, parts)
+      case SaveMode.Overwrite => table.overwrite(data, parts)
+      case SaveMode.ErrorIfExists =>
+        if (table.exists) throw new IllegalStateException(
+          s"graft table already exists: $path")
+        table.append(data, parts)
+      case SaveMode.Ignore =>
+        if (!table.exists) table.append(data, parts)
+    }
+    createRelation(ctx, parameters)
+  }
+}
+
+/** FileIndex over a graft snapshot's concrete file list. Partition pruning
+  * happens HERE, driver-side against dir-encoded values — files of pruned
+  * partitions are never listed to the scan (manifest-style pruning; at
+  * 100 TB this is what keeps a partition-filtered query from touching the
+  * table's full metadata, let alone its data). */
+class GraftFileIndex(spark: SparkSession, table: GraftTable,
+    files: Seq[String], override val partitionSchema: StructType)
+    extends FileIndex {
+
+  private val tablePath = new Path(table.location)
+  private def fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def rootPaths: Seq[Path] = Seq(tablePath)
+
+  /** (partition values row, files) groups, resolved once. */
+  private lazy val groups: Seq[(InternalRow, Seq[FileStatus])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    files.groupBy(f => table.partitionValues(f)).toSeq.map { case (kv, fs_) =>
+      val values = InternalRow.fromSeq(partitionSchema.map { field =>
+        kv.get(field.name) match {
+          case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" =>
+            Cast(Literal(UTF8String.fromString(v), StringType),
+              field.dataType, Some("UTC")).eval(null)
+          case _ => null
+        }
+      })
+      (values, fs_.map(f => fs.getFileStatus(new Path(tablePath, f))))
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference}
+    val kept =
+      if (partitionFilters.isEmpty) groups
+      else {
+        val idx = partitionSchema.fieldNames.zipWithIndex.toMap
+        // bind by NAME: the filter's attributes carry the relation's
+        // exprIds, so positional BindReferences can't resolve them here
+        val predicate = partitionFilters.reduce(And).transform {
+          case a: AttributeReference if idx.contains(a.name) =>
+            BoundReference(idx(a.name),
+              partitionSchema(a.name).dataType,
+              partitionSchema(a.name).nullable)
+        }
+        groups.filter { case (row, _) => predicate.eval(row) == true }
+      }
+    kept.map { case (row, statuses) =>
+      PartitionDirectory(row, statuses.toArray)
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    files.map(f => new Path(tablePath, f).toString).toArray
+
+  override def refresh(): Unit = {}
+
+  override def sizeInBytes: Long =
+    groups.map(_._2.map(_.getLen).sum).sum
+}

@@ -221,13 +221,18 @@ class GraftTable(spark: SparkSession, val location: String) {
     * Iceberg's start/end-snapshot-id read
     * (/root/reference/bronze-silver.py:146-149) including its restriction
     * to append snapshots. */
-  def readIncremental(startExclusive: Long, endInclusive: Long): DataFrame = {
+  def readIncremental(startExclusive: Long, endInclusive: Long): DataFrame =
+    readFiles(incrementalFiles(startExclusive, endInclusive))
+
+  /** Files added by append snapshots in `(startExclusive, endInclusive]`;
+    * refuses ranges crossing rewrites, as Iceberg's incremental scan does. */
+  def incrementalFiles(startExclusive: Long, endInclusive: Long): Seq[String] = {
     val range = snapshots
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
     val bad = range.filterNot(s => s.operation == "append" || s.operation == "create")
     require(bad.isEmpty,
       s"incremental read over non-append snapshots: ${bad.map(_.snapshotId).mkString(",")}")
-    readFiles(range.flatMap(_.addedFiles))
+    range.flatMap(_.addedFiles)
   }
 
   /** Partition-pruned scan: resolves the file list driver-side from Hive
@@ -245,7 +250,7 @@ class GraftTable(spark: SparkSession, val location: String) {
   }
 
   /** Parse `k=v` partition-dir components of a relative file path. */
-  private[table] def partitionValues(relPath: String): Map[String, String] =
+  def partitionValues(relPath: String): Map[String, String] =
     relPath.split('/').dropRight(1).flatMap { seg =>
       seg.split("=", 2) match {
         case Array(k, v) => Some(k ->

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-registered native functions via SparkSessionExtensions. Needs its
+  * own session (extensions bind at build time). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // force a NEW session (sharing any existing context) so withExtensions
+    // applies even when another suite already built the shared session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("native expressions are callable from pure SQL") {
+    val row = spark.sql(
+      """SELECT rolling_hash64('hello world') AS rh,
+        |       simhash64(array('a','b','c')) AS sh,
+        |       word_shingles(array('a','b','c','d'), 3) AS ws,
+        |       hyperplane_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 8, 7) AS hb
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("rh") ===
+      functions.HashExpressions.RollingHash64.hash("hello world".getBytes("UTF-8")))
+    assert(row.getSeq[String](row.fieldIndex("ws")) === Seq("a b c", "b c d"))
+    assert(row.getAs[Long]("hb") >= 0L)
+  }
+
+  test("SQL and Scala APIs agree on the same input") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox").toDF("text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT rolling_hash64(text) AS h FROM ext_docs").as[Long].collect()(0)
+    val viaScala = df.select(
+      functions.HashExpressions.rolling_hash64($"text").as("h"))
+      .as[Long].collect()(0)
+    assert(viaSql === viaScala)
+  }
+}
