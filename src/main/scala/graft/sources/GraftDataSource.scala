@@ -75,15 +75,16 @@ class GraftDataSource extends RelationProvider
     val parts = parameters.get("partitionCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val evolve = parameters.get("mergeSchema").exists(_.toBoolean)
     mode match {
-      case SaveMode.Append => table.append(data, parts)
+      case SaveMode.Append => table.append(data, parts, mergeSchema = evolve)
       case SaveMode.Overwrite => table.overwrite(data, parts)
       case SaveMode.ErrorIfExists =>
         if (table.exists) throw new IllegalStateException(
           s"graft table already exists: $path")
-        table.append(data, parts)
+        table.append(data, parts, mergeSchema = evolve)
       case SaveMode.Ignore =>
-        if (!table.exists) table.append(data, parts)
+        if (!table.exists) table.append(data, parts, mergeSchema = evolve)
     }
     createRelation(ctx, parameters)
   }

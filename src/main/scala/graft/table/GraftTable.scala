@@ -167,23 +167,49 @@ class GraftTable(spark: SparkSession, val location: String) {
   }
 
   /** Align df to the table schema (column order + types), as Iceberg's
-    * writer does by-name resolution. */
-  private def align(df: DataFrame, schema: StructType): DataFrame = {
+    * writer does by-name resolution. With `fillMissing`, absent columns
+    * become typed nulls (schema-evolution writes). */
+  private def align(df: DataFrame, schema: StructType,
+      fillMissing: Boolean = false): DataFrame = {
     val missing = schema.fieldNames.filterNot(df.columns.contains)
-    require(missing.isEmpty, s"source is missing columns: ${missing.mkString(",")}")
-    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    require(fillMissing || missing.isEmpty,
+      s"source is missing columns: ${missing.mkString(",")}")
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** K1 append: add files, remove nothing. Creates the table on first write
     * (the reference's exists→append / else→create branch,
-    * /root/reference/raw-bronze.py:178-183). */
-  def append(df: DataFrame, parts: Seq[String] = Seq.empty): Long = {
+    * /root/reference/raw-bronze.py:178-183).
+    *
+    * @param mergeSchema Iceberg-style schema evolution: new columns in `df`
+    *   are added to the table schema as nullable (older files read them as
+    *   null); columns missing from `df` are null-filled. Off by default —
+    *   appends then require an exact column set. */
+  def append(df: DataFrame, parts: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false): Long = {
     if (!exists) {
       create(df.schema, parts)
     }
-    val aligned = align(df, schema)
+    val targetSchema =
+      if (!mergeSchema) {
+        val extras = df.columns.filterNot(schema.fieldNames.contains)
+        require(extras.isEmpty, // silent column drop would lose data
+          s"source has columns not in the table schema: ${extras.mkString(",")}" +
+            " — append with mergeSchema=true to evolve the schema")
+        schema
+      } else {
+        val cur = schema
+        val newCols = df.schema.fields
+          .filterNot(f => cur.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(cur.fields ++ newCols)
+      }
+    val aligned = align(df, targetSchema, fillMissing = mergeSchema)
     val added = stageAndMove(aligned, partitionCols)
-    commit("append", added, Seq.empty, schema.json, partitionCols)
+    commit("append", added, Seq.empty, targetSchema.json, partitionCols)
   }
 
   /** K1 overwrite: replace the full live file set. */

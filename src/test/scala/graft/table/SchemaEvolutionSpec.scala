@@ -1,0 +1,70 @@
+package graft.table
+
+import graft.SparkSpec
+
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeSchema append adds new nullable columns; old files read null") {
+    val t = GraftTable(spark, tmpDir("se-add") + "/t")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b", 7.5)).toDF("id", "v", "score"), mergeSchema = true)
+    val out = t.read().orderBy("id").collect()
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(t.schema("score").nullable)
+    assert(out(0).isNullAt(2)) // old row: evolved column is null
+    assert(out(1).getDouble(2) === 7.5)
+  }
+
+  test("mergeSchema append with missing columns null-fills") {
+    val t = GraftTable(spark, tmpDir("se-fill") + "/t")
+    t.append(Seq((1L, "a", 1.0)).toDF("id", "v", "score"))
+    t.append(Seq((2L, "b")).toDF("id", "v"), mergeSchema = true)
+    val out = t.read().orderBy("id").collect()
+    assert(out(1).isNullAt(2))
+    assert(t.read().count() === 2)
+  }
+
+  test("without mergeSchema, missing columns are rejected") {
+    val t = GraftTable(spark, tmpDir("se-strict") + "/t")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq(2L).toDF("id"))
+    }
+  }
+
+  test("without mergeSchema, EXTRA columns are rejected, not silently dropped") {
+    val t = GraftTable(spark, tmpDir("se-extra") + "/t")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      t.append(Seq((2L, "b", true)).toDF("id", "v", "flag"))
+    }
+    assert(ex.getMessage.contains("flag"))
+  }
+
+  test("writer option mergeSchema=true evolves through format(\"graft\")") {
+    val dir = tmpDir("se-writer") + "/t"
+    Seq((1L, "a")).toDF("id", "v")
+      .write.format("graft").mode("append").save(dir)
+    intercept[Exception] { // strict by default
+      Seq((2L, "b", 1.5)).toDF("id", "v", "score")
+        .write.format("graft").mode("append").save(dir)
+    }
+    Seq((2L, "b", 1.5)).toDF("id", "v", "score")
+      .write.format("graft").option("mergeSchema", "true")
+      .mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.columns.toSeq === Seq("id", "v", "score"))
+    assert(back.count() === 2)
+  }
+
+  test("time travel sees the schema-evolved data consistently") {
+    val t = GraftTable(spark, tmpDir("se-tt") + "/t")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val s1 = t.latestSnapshotId.get
+    t.append(Seq((2L, "b", 9L)).toDF("id", "v", "extra"), mergeSchema = true)
+    // latest read: 3 columns; as-of read uses the current (latest) schema
+    assert(t.read().columns.length === 3)
+    assert(t.readAsOf(s1).count() === 1)
+  }
+}
