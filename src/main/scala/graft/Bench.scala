@@ -18,13 +18,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_shipping", "q5_local_supplier", "q6_forecast",
-    "q10_returned", "q_filter_project", "q_window_dedup", "q_merge_upsert",
+    "q1_agg", "q3_shipping", "q4_semi", "q5_local_supplier", "q6_forecast",
+    "q10_returned", "q_rollup", "q_count_distinct",
+    "q_filter_project", "q_window_dedup", "q_merge_upsert",
     "q_join_enrich", "q_topk", "q_count",
     "q_events_daily", "q_events_sessions",
     "q_doc_stats", "q_token_count", "q_quality", "q_lang_id", "q_fingerprint",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
-    "q_dedup_embedding", "q_ann_topk", "q_ann_lsh", "q_embed_norm")
+    "q_dedup_embedding", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+    "q_embed_norm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

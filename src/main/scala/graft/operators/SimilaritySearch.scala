@@ -88,6 +88,52 @@ object SimilaritySearch {
       .dropDuplicates("query_id", "neighbor_id")
   }
 
+  /** IVF-style ANN: the corpus is partitioned into `nLists` inverted lists
+    * by nearest centroid; a query scores only the vectors in its `nProbe`
+    * nearest lists. Centroids are a deterministic sample of the corpus
+    * (every ⌈n/nLists⌉-th vector by id — a k-means-free IVF; swapping in
+    * trained centroids changes recall, not the plan shape).
+    *
+    * Scale shape: centroids broadcast (tiny); corpus assignment is one
+    * map-side pass; the probe join is an equi-join on list id — queries
+    * touch nProbe/nLists of the corpus instead of all of it. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(n / nLists, 1L)
+    val cents = corpus
+      .filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol)).limit(nLists)
+      .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cent_q"))
+
+    // nearest-centroid assignment via exact quantized cosine, then rank
+    def assign(df: DataFrame, out: String, keep: Int): DataFrame = {
+      val scored = df
+        .select(col(idCol).as(out), quantize(col(vecCol)).as(s"q_$out"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_cos", cosineQ(col(s"q_$out"), col("cent_q")))
+      val w = Window.partitionBy(out)
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(out), col(s"q_$out"), col("cent_id").as("list_id"))
+    }
+
+    val corpusLists = assign(corpus, "neighbor_id", keep = 1)
+    val queryProbes = assign(queries, "query_id", keep = nProbe)
+
+    val cand = corpusLists.join(queryProbes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosineQ(col("q_query_id"), col("q_neighbor_id")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** LSH-bucketed ANN: exact quantized cosine, but only over LSH candidate
     * pairs. Recall vs bruteForceTopK is pinned by SimilaritySpec on planted
     * clusters (LSH retrieves *near* neighbors; on structureless uniform

@@ -302,8 +302,72 @@ object CoreQueries {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q4 adapted (order priority with EXISTS): left-semi join —
+    * orders having at least one line shipped after the order date. */
+  val q4Semi: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-07-01").cast("timestamp"))
+    val li = Tables.load(s, dir, "lineitem")
+    ord.join(li, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+  val q4SemiSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** ROLLUP aggregation (subtotals + grand total); group keys coalesced to
+    * 'ALL' so no NULL-ordering ambiguity reaches the oracle compare. */
+  val qRollup: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+  val qRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** DISTINCT aggregates: exact distinct counts per group. */
+  val qCountDistinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+  val qCountDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** name -> (query, Some(oracleSql)) */
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q4_semi", q4Semi, Some(q4SemiSql)),
+    ("q_rollup", qRollup, Some(qRollupSql)),
+    ("q_count_distinct", qCountDistinct, Some(qCountDistinctSql)),
     ("q1_agg", q1Agg, Some(q1AggSql)),
     ("q_count", qCount, Some(qCountSql)),
     ("q_filter_project", qFilterProject, Some(qFilterProjectSql)),

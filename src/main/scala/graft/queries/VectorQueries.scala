@@ -52,6 +52,15 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-bucketed ANN (16 lists, 4 probes) — rows-only; recall pinned by
+    * SimilaritySpec on planted clusters. */
+  val qAnnIvf: Q = (s, dir) => {
+    val em = Tables.load(s, dir, "embeddings")
+    SimilaritySearch.ivfTopK(
+      em, em.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** exact quantized norms — cheap full-table oracle over the list ops. */
   val qEmbedNorm: Q = (s, dir) => {
     Tables.load(s, dir, "embeddings")
@@ -71,6 +80,7 @@ object VectorQueries {
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_ann_topk", qAnnTopk, Some(qAnnTopkSql)),
     ("q_ann_lsh", qAnnLsh, None),
+    ("q_ann_ivf", qAnnIvf, None),
     ("q_embed_norm", qEmbedNorm, Some(qEmbedNormSql)),
   )
 }

@@ -55,6 +55,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@5 = $mean")
   }
 
+  test("IVF top-k achieves >= 0.9 recall@5 vs brute force on clustered data") {
+    val queries = planted.filter($"vec_id" % 8 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(planted, queries, "vec_id",
+      "embedding", k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val approx = SimilaritySearch.ivfTopK(planted, queries, "vec_id",
+      "embedding", k = 5, nLists = 16, nProbe = 4).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"IVF mean recall@5 = $mean")
+  }
+
   test("LSH candidate set is a small fraction of all pairs on clustered data") {
     val queries = planted.filter($"vec_id" % 8 === 0)
     val nPairs = SimilaritySearch.lshCandidates(planted, queries, "vec_id",
