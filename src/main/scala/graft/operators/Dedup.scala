@@ -176,7 +176,9 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"),
         col(langCol).as("block_lang"),
-        (col(lenCol) / lenBucket).cast("long").as("block_len"))
+        // floor-div: double-division + CAST truncates in Spark but ROUNDS
+        // in DuckDB — x.5 bucket boundaries would diverge between engines
+        floor(col(lenCol) / lenBucket).as("block_len"))
       .select(col("id"), array_distinct(
         TextFunctions.shinglesFromTokens(col("__toks"), shingleK)).as("da"),
         col("block_lang"), col("block_len"))

@@ -38,7 +38,7 @@ object DedupQueries {
   val qDedupJaccardSql: String =
     s"""WITH prep AS (
        |  SELECT doc_id AS id, lang AS block_lang,
-       |    CAST(n_chars / 100 AS BIGINT) AS block_len,
+       |    n_chars // 100 AS block_len,
        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |         ELSE list_transform(range(0, len(t) - 2),
        |                i -> array_to_string(t[i+1:i+3], ' ')) END AS sh

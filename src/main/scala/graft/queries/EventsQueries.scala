@@ -101,7 +101,39 @@ object EventsQueries {
       |    FROM events))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Structured Streaming daily rollup, executed synchronously over the
+    * events table via a memory sink in complete mode — the streaming
+    * formulation must agree exactly with the batch oracle (same counts,
+    * same exact decimal sums), which is precisely the cross-engine
+    *"all consumers see the same data" contract of the reference. */
+  val qStreamDaily: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(s, dir, "events").schema
+    val name = "graft_stream_daily_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // the file stream source requires a directory: stream the sf dir with
+    // a glob pinning it to the events table only
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ets"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+  // identical to the batch daily rollup — that's the point
+  val qStreamDailySql: String = qEventsDailySql
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_daily", qStreamDaily, Some(qStreamDailySql)),
     ("q_events_daily", qEventsDaily, Some(qEventsDailySql)),
     ("q_events_json", qEventsJson, Some(qEventsJsonSql)),
     ("q_events_top_users", qEventsTopUsers, Some(qEventsTopUsersSql)),

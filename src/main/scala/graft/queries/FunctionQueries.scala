@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Scalar-function and relational-algebra surface queries: pivot,
+  * set operations, string functions, JSON extraction — each mirrored
+  * exactly in DuckDB SQL. */
+object FunctionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** PIVOT: quantity sums by returnflag × linestatus as columns. */
+  val qPivot: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec($"l_quantity")).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy($"l_returnflag")
+  }
+  val qPivotSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Set operations: customers with 1997 orders vs customers with
+    * finished ('F') orders — INTERSECT and EXCEPT, tagged and unioned. */
+  val qSetOps: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Tables.load(s, dir, "orders")
+    val in97 = ord.filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    val finished = ord.filter($"o_orderstatus" === "F").select($"o_custkey")
+    in97.intersect(finished).withColumn("tag", lit("both"))
+      .unionByName(in97.except(finished).withColumn("tag", lit("only_1997")))
+      .orderBy($"tag", $"o_custkey")
+  }
+  val qSetOpsSql: String =
+    """WITH in97 AS (SELECT o_custkey FROM orders
+      |              WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |     fin AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM in97 INTERSECT SELECT * FROM fin)
+      |UNION ALL
+      |SELECT o_custkey, 'only_1997' AS tag FROM (SELECT * FROM in97 EXCEPT SELECT * FROM fin)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  /** String-function sweep over part names. */
+  val qStringFuncs: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "part")
+      .select($"p_partkey",
+        upper($"p_name").as("uname"),
+        substring($"p_name", 1, 5).as("prefix"),
+        regexp_replace($"p_name", "a", "@").as("subst"),
+        length($"p_name").as("len"),
+        lpad($"p_brand", 12, "_").as("padded"),
+        concat_ws("|", $"p_brand", $"p_type").as("joined"),
+        reverse($"p_name").as("rname"),
+        instr($"p_name", "o").as("first_o"))
+      .orderBy($"p_partkey")
+  }
+  val qStringFuncsSql: String =
+    """SELECT p_partkey, upper(p_name) AS uname,
+      |  substring(p_name, 1, 5) AS prefix,
+      |  regexp_replace(p_name, 'a', '@', 'g') AS subst,
+      |  length(p_name) AS len,
+      |  lpad(p_brand, 12, '_') AS padded,
+      |  concat_ws('|', p_brand, p_type) AS joined,
+      |  reverse(p_name) AS rname,
+      |  strpos(p_name, 'o') AS first_o
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** JSON extraction via real JSON parsing on both sides. */
+  val qJsonExtract: Q = (s, dir) => {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, "events")
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .orderBy($"event_id")
+  }
+  val qJsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_pivot", qPivot, Some(qPivotSql)),
+    ("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    ("q_string_funcs", qStringFuncs, Some(qStringFuncsSql)),
+    ("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
+  )
+}
