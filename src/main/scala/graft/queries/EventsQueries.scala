@@ -132,7 +132,33 @@ object EventsQueries {
   // identical to the batch daily rollup — that's the point
   val qStreamDailySql: String = qEventsDailySql
 
+  /** Window frames + offsets per user: moving 3-event value sum (exact
+    * decimal), previous/next event type. Unique order key = (ts, event_id). */
+  val qEventsMoving: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("moving_sum",
+        sum(dec(col("value"))).over(byUser.rowsBetween(-2, 0))
+          .cast("double"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .select(col("event_id"), col("user_id"), col("moving_sum"),
+        col("prev_type"), col("next_type"))
+      .orderBy(col("event_id"))
+  }
+  val qEventsMovingSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+      |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_events_moving", qEventsMoving, Some(qEventsMovingSql)),
     ("q_stream_daily", qStreamDaily, Some(qStreamDailySql)),
     ("q_events_daily", qEventsDaily, Some(qEventsDailySql)),
     ("q_events_json", qEventsJson, Some(qEventsJsonSql)),
