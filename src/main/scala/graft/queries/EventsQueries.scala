@@ -136,8 +136,10 @@ object EventsQueries {
     * decimal), previous/next event type. Unique order key = (ts, event_id). */
   val qEventsMoving: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
+    // order at microsecond precision to match what DuckDB can see (it
+    // truncates nanos at read time)
     val byUser = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
     events(s, dir)
       .withColumn("moving_sum",
         sum(dec(col("value"))).over(byUser.rowsBetween(-2, 0))
@@ -157,7 +159,35 @@ object EventsQueries {
       |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** As-of join (composed, not a custom operator — the window formulation
+    * expresses the semantics exactly, per the build's preference order):
+    * for every event, the timestamp of that user's most recent signup at
+    * or before it. Raw-nanos longs keep it integer-exact cross-engine. */
+  val qAsofSignup: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    // microsecond precision: DuckDB truncates TIMESTAMP_NANOS to micros at
+    // READ time, so nano-exact values can never agree — floor to micros on
+    // both sides (exact integer division)
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, dir)
+      .withColumn("last_signup_us",
+        max(when(col("event_type") === "signup", expr("ts div 1000")))
+          .over(byUser))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("last_signup_us"))
+      .orderBy(col("event_id"))
+  }
+  val qAsofSignupSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  MAX(CASE WHEN event_type = 'signup' THEN epoch_ns(ts)//1000 END) OVER
+      |    (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_asof_signup", qAsofSignup, Some(qAsofSignupSql)),
     ("q_events_moving", qEventsMoving, Some(qEventsMovingSql)),
     ("q_stream_daily", qStreamDaily, Some(qStreamDailySql)),
     ("q_events_daily", qEventsDaily, Some(qEventsDailySql)),
