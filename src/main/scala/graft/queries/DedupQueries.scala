@@ -97,7 +97,21 @@ object DedupQueries {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin
 
+  /** Embedding near-dup over the FULL corpus with hyperplane-LSH blocking
+    * (no sample): candidate pairs only within an LSH bucket — the shape
+    * that replaces the all-pairs product at scale. Rows-only (bucketing is
+    * engine-native); the sampled exact variant above is the oracle anchor. */
+  val qDedupEmbeddingLsh: Q = (s, dir) => {
+    import graft.functions.VectorFunctions
+    Dedup.embeddingNearDups(
+      Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.3,
+      bucket = Some(VectorFunctions.hyperplaneBucket(col("embedding"), 8)))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_dedup_embedding_lsh", qDedupEmbeddingLsh, None),
     ("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     ("q_dedup_jaccard", qDedupJaccard, Some(qDedupJaccardSql)),
     ("q_dedup_minhash", qDedupMinhash, None),

@@ -105,7 +105,27 @@ object TextQueries {
     s"""SELECT doc_id, md5($normSql) AS fp_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus term statistics (the inverted-index / TF-IDF precursor):
+    * document frequency + collection frequency per token, top 50 by df.
+    * All integer counts — exact. */
+  val qTermStats: Q = (s, dir) => {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("token"))
+    toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cf"))
+      .orderBy(col("df").desc, col("cf").desc, col("token"))
+      .limit(50)
+  }
+  val qTermStatsSql: String =
+    s"""SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+       |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY df DESC, cf DESC, token LIMIT 50""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_term_stats", qTermStats, Some(qTermStatsSql)),
     ("q_doc_stats", qDocStats, Some(qDocStatsSql)),
     ("q_token_count", qTokenCount, Some(qTokenCountSql)),
     ("q_quality", qQuality, Some(qQualitySql)),
