@@ -89,7 +89,7 @@ object EventsQueries {
       .orderBy(col("user_id"))
   }
   val qEventsSessionsSql: String =
-    """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM (
       |  SELECT user_id,
       |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000

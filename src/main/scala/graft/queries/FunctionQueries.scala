@@ -62,11 +62,11 @@ object FunctionQueries {
         upper($"p_name").as("uname"),
         substring($"p_name", 1, 5).as("prefix"),
         regexp_replace($"p_name", "a", "@").as("subst"),
-        length($"p_name").as("len"),
+        length($"p_name").cast("long").as("len"),
         lpad($"p_brand", 12, "_").as("padded"),
         concat_ws("|", $"p_brand", $"p_type").as("joined"),
         reverse($"p_name").as("rname"),
-        instr($"p_name", "o").as("first_o"))
+        instr($"p_name", "o").cast("long").as("first_o"))
       .orderBy($"p_partkey")
   }
   val qStringFuncsSql: String =

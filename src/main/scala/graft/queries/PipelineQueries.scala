@@ -63,7 +63,11 @@ object PipelineQueries {
   }
 
   val qPipelineCdcSql: String =
-    """SELECT * FROM (VALUES
+    """SELECT CAST(invoiceid AS BIGINT) AS invoiceid,
+      |       CAST(itemid AS BIGINT) AS itemid, category,
+      |       CAST(price AS DOUBLE) AS price, quantity, order_date,
+      |       destinationstate, shippingtype, referral, cdc_ts
+      |FROM (VALUES
       |  (15587, 59, 'bit',          40.94, 5, '2022-07-16', 'PW', '3-Day',    'management', '2024-08-20 17:16:03.213831'),
       |  (24137, 34, 'degree',       53.51, 1, '2023-03-29', 'SC', '3-Day',    'book',       '2024-02-16 15:30:41.041474'),
       |  (40994, 67, 'market####',   92.02, 1, '2021-05-21', 'VI', '2-Day',    'others',     '2024-06-27 14:36:25.103244'),

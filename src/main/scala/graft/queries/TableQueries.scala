@@ -99,8 +99,10 @@ object TableQueries {
   }
   // snapshot ids/operations are fully determined by the call sequence
   val qHistorySql: String =
-    """SELECT * FROM (VALUES (0, 'create', true), (1, 'append', true),
-      |                      (2, 'append', true), (3, 'overwrite', true))
+    """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, operation,
+      |       is_current_ancestor
+      |FROM (VALUES (0, 'create', true), (1, 'append', true),
+      |             (2, 'append', true), (3, 'overwrite', true))
       |  AS t(snapshot_id, operation, is_current_ancestor)
       |ORDER BY snapshot_id""".stripMargin
 

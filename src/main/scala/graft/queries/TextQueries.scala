@@ -30,7 +30,8 @@ object TextQueries {
       .orderBy(col("lang"), col("source"))
   }
   val qDocStatsSql: String =
-    """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
@@ -38,8 +39,9 @@ object TextQueries {
   val qTokenCount: Q = (s, dir) => {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        bpeTokenCount(col("text")).as("n_bpe"))
+        // long, matching DuckDB len()'s BIGINT (schema-compare exactness)
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe"))
       .orderBy(col("doc_id"))
   }
   val qTokenCountSql: String =
@@ -52,9 +54,9 @@ object TextQueries {
   val qQuality: Q = (s, dir) => {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        stopwordCount(col("text")).as("n_stop"),
-        punctCount(col("text")).as("n_punct"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        stopwordCount(col("text")).cast("long").as("n_stop"),
+        punctCount(col("text")).cast("long").as("n_punct"),
         qualityScore(col("text")).as("score"))
       .orderBy(col("doc_id"))
   }

@@ -38,7 +38,7 @@ object VectorQueries {
       |           p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
       |      / (sqrt(CAST(qs.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS cos
       |  FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
-      |SELECT query_id, neighbor_id, rank, cos FROM (
+      |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
       |  SELECT *, row_number() OVER
       |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       |  FROM scored)

@@ -29,6 +29,22 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # strict schema check first (the driver checks schema, not just
+            # values): duckdb-visible types of result parquet vs oracle
+            got_types = dict(
+                (r[0], r[1]) for r in con.execute(
+                    f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+                ).fetchall())
+            want_types = dict(
+                (r[0], r[1]) for r in con.execute(
+                    f"DESCRIBE {sql}").fetchall())
+            if got_types != want_types:
+                diff = {k: (got_types.get(k), want_types.get(k))
+                        for k in set(got_types) | set(want_types)
+                        if got_types.get(k) != want_types.get(k)}
+                print(f"FAIL {name}: schema mismatch {diff}")
+                n_fail += 1
+                continue
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.execute(sql).df()
