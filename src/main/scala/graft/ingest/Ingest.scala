@@ -33,16 +33,46 @@ class Checkpoint(spark: SparkSession, location: String) {
   }
 
   /** Commit AFTER a successful load, as the reference orders it
-    * (/root/reference/raw-bronze.py:249-253). Atomic via temp + rename. */
-  def save(key: String, value: Long): Unit = {
+    * (/root/reference/raw-bronze.py:249-253). Single atomic OVERWRITE
+    * rename — a crash leaves either the old or the new checkpoint, never
+    * none (delete-then-rename would lose the watermark and re-ingest
+    * everything). */
+  def save(key: String, value: Long): Unit = saveJson(s"""{"$key": $value}""")
+
+  /** Load a string list stored by [[saveWithFiles]]. */
+  def loadFiles(key: String): Seq[String] = {
+    if (!fs.exists(path)) return Seq.empty
+    val in = fs.open(path)
+    try {
+      val len = fs.getFileStatus(path).getLen.toInt
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val s = new String(bytes, "UTF-8")
+      val m = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+      m.findFirstMatchIn(s).map(_.group(1)).toSeq
+        .flatMap(_.split(",")).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Save a watermark plus the names seen AT the watermark (mtime-boundary
+    * bookkeeping — see IncrementalFileSource). */
+  def saveWithFiles(key: String, value: Long, filesKey: String,
+      files: Seq[String]): Unit = {
+    val arr = files.map(f => "\"" + f.replace("\"", "") + "\"")
+      .mkString("[", ",", "]")
+    saveJson(s"""{"$key": $value, "$filesKey": $arr}""")
+  }
+
+  private def saveJson(json: String): Unit = {
     val tmp = new Path(path.getParent,
       s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
     fs.mkdirs(path.getParent)
     val out = fs.create(tmp, true)
-    try out.write(s"""{"$key": $value}""".getBytes("UTF-8")) finally out.close()
-    if (fs.exists(path)) fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new IllegalStateException(s"checkpoint commit failed: $location")
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      path.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }
 
@@ -62,20 +92,33 @@ class IncrementalFileSource(spark: SparkSession, dir: String,
   private def fs: FileSystem =
     dirPath.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** (paths, maxMtime) of files newer than `afterMtime`. */
-  def newFiles(afterMtime: Long): (Seq[String], Long) = {
-    if (!fs.exists(dirPath)) return (Seq.empty, afterMtime)
+  /** Files to process given the previous watermark and the file names
+    * already processed AT that exact watermark. A strict mtime-> filter
+    * alone loses files that land within the watermark's mtime granularity
+    * after the listing (same-second arrivals); instead, files AT the
+    * watermark are re-listed and filtered against `seenAtWatermark`.
+    * Returns (paths, newWatermark, namesAtNewWatermark). */
+  def newFiles(afterMtime: Long,
+      seenAtWatermark: Seq[String] = Seq.empty)
+      : (Seq[String], Long, Seq[String]) = {
+    if (!fs.exists(dirPath)) return (Seq.empty, afterMtime, seenAtWatermark)
     val it = fs.listFiles(dirPath, true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(suffix) &&
-          f.getModificationTime > afterMtime)
+      val name = f.getPath.getName
+      if (name.endsWith(suffix) &&
+          (f.getModificationTime > afterMtime ||
+            (f.getModificationTime == afterMtime &&
+              !seenAtWatermark.contains(name))))
         out += ((f.getPath.toString, f.getModificationTime))
     }
+    if (out.isEmpty) return (Seq.empty, afterMtime, seenAtWatermark)
     val sorted = out.sortBy(_._1)
-    (sorted.map(_._1).toSeq,
-      if (out.isEmpty) afterMtime else out.map(_._2).max)
+    val newWm = out.map(_._2).max
+    val atWm = out.filter(_._2 == newWm).map(_._1.split('/').last) ++
+      (if (newWm == afterMtime) seenAtWatermark else Seq.empty)
+    (sorted.map(_._1).toSeq, newWm, atWm.distinct.toSeq)
   }
 }
 

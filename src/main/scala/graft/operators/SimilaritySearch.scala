@@ -102,10 +102,16 @@ object SimilaritySearch {
       nProbe: Int = 4): DataFrame = {
     val n = corpus.count()
     val stride = math.max(n / nLists, 1L)
+    // centroid sample by POSITION (row_number), not id arithmetic — sparse
+    // or hashed id spaces would otherwise select zero centroids and the
+    // search would silently return empty
     val cents = corpus
-      .filter(col(idCol) % stride === 0)
-      .orderBy(col(idCol)).limit(nLists)
       .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cent_q"))
+      .withColumn("__pos", row_number().over(
+        Window.orderBy(col("cent_id"))))
+      .filter((col("__pos") - 1) % stride === 0)
+      .limit(nLists)
+      .drop("__pos")
 
     // nearest-centroid assignment via exact quantized cosine, then rank
     def assign(df: DataFrame, out: String, keep: Int): DataFrame = {

@@ -21,10 +21,12 @@ class RawToBronze(
   private val ckpt = new Checkpoint(spark, checkpointPath)
   private val source = new IncrementalFileSource(spark, rawDir)
 
-  /** One incremental run; returns #rows ingested (0 = no new files). */
+  /** One incremental run; returns #rows ingested THIS run (0 = no new
+    * files). */
   def run(): Long = {
     val last = ckpt.load("last_processed_mtime").getOrElse(0L)
-    val (files, maxMtime) = source.newFiles(last)
+    val seen = ckpt.loadFiles("files_at_mtime")
+    val (files, maxMtime, atWm) = source.newFiles(last, seen)
     if (files.isEmpty) return 0L
 
     val raw = TsvReader.read(spark, files)
@@ -32,10 +34,16 @@ class RawToBronze(
 
     val bronze = GraftTable(spark, bronzeDir)
     bronze.append(enriched, parts = Seq("processed_date"))
-    val n = bronze.read().count() // post-commit readback, as the reference logs
+    // rows this batch contributed (post-commit readback of the appended
+    // snapshot only — not a full-table scan)
+    val tip = bronze.latestSnapshotId.get
+    val n = bronze.readIncremental(tip - 1, tip).count()
 
-    // N2 fix: watermark = max mtime of *processed* files, not wall-clock.
-    ckpt.save("last_processed_mtime", maxMtime)
+    // N2 fix: watermark = max mtime of *processed* files (not wall-clock),
+    // plus the names at that mtime so same-granularity late arrivals are
+    // still picked up next run.
+    ckpt.saveWithFiles("last_processed_mtime", maxMtime,
+      "files_at_mtime", atWm)
     n
   }
 }

@@ -22,9 +22,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * each commit stages files to a scratch dir, moves them in, then atomically
   * publishes a [[Snapshot]] JSON. Readers resolve the live file set from the
   * snapshot chain, so uncommitted/aborted writes are invisible (snapshot
-  * isolation) and concurrent commit attempts collide on the rename and retry.
-  * All IO goes through the Hadoop FileSystem API, so the same code runs on
-  * local disk, HDFS, or S3A at cluster scale.
+  * isolation) and concurrent commit attempts collide on the rename: appends
+  * retry against the new tip, rewrites fail with a conflict (Iceberg's
+  * validation semantics). All IO goes through the Hadoop FileSystem API;
+  * single-winner commits hold wherever rename-to-existing fails (local
+  * disk, HDFS) — S3A would need a lock/catalog commit service, exactly as
+  * Iceberg requires there.
   *
   * Scale notes (100 TB): reads prune partitions before listing a single data
   * file (the live-file set is filtered driver-side by partition values, like
@@ -96,18 +99,31 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   // ---- commit protocol ----
 
-  /** Publish a snapshot: write JSON to a temp name, atomically rename to its
-    * final slot; a rename collision means a concurrent commit won — re-read
-    * the log and retry with the next id (optimistic concurrency, as Iceberg). */
+  /** Publish a snapshot: write JSON to a temp name, atomically rename to
+    * its final slot (single-winner: Hadoop rename fails if the destination
+    * exists — local FS and HDFS; S3A would need a lock/commit service, as
+    * for Iceberg). A rename collision means a concurrent commit won:
+    *   - append commits retry against the new tip (appends commute);
+    *   - non-append commits (overwrite/merge/compact/rollback) computed
+    *     their added/removed lists against the old tip, which may no longer
+    *     cover the winner's files — retrying would corrupt the table, so
+    *     they fail with a conflict (Iceberg's validation semantics). */
   private def commit(operation: String, added: Seq[String],
-      removed: Seq[String], schemaJson: String,
-      parts: Seq[String]): Long = {
+      removed: Seq[String], schemaJson: String, parts: Seq[String],
+      expectedParent: Option[Long] = None): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
       if (attempts > 20) throw new IllegalStateException(
         s"commit contention on $location")
       val parent = latestSnapshot
+      expectedParent.foreach { exp =>
+        if (!parent.map(_.snapshotId).contains(exp))
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict on $location: expected parent $exp, " +
+              s"found ${parent.map(_.snapshotId).orNull} — recompute the " +
+              s"$operation against the current snapshot and retry")
+      }
       val id = parent.map(_.snapshotId + 1).getOrElse(0L)
       val snap = Snapshot(id, parent.map(_.snapshotId),
         System.currentTimeMillis(), operation, added, removed, schemaJson,
@@ -116,7 +132,7 @@ class GraftTable(spark: SparkSession, val location: String) {
       val out = fs.create(tmp, false)
       try out.write(Snapshot.toJson(snap).getBytes("UTF-8")) finally out.close()
       if (fs.rename(tmp, new Path(metaPath, snapFileName(id)))) return id
-      fs.delete(tmp, false) // lost the race; retry against the new tip
+      fs.delete(tmp, false) // lost the race; loop re-reads the new tip
     }
     -1L
   }
@@ -215,10 +231,12 @@ class GraftTable(spark: SparkSession, val location: String) {
   /** K1 overwrite: replace the full live file set. */
   def overwrite(df: DataFrame, parts: Seq[String] = Seq.empty): Long = {
     if (!exists) return append(df, parts)
+    val parentAtRead = latestSnapshotId
     val aligned = align(df, schema)
     val removed = liveFiles()
     val added = stageAndMove(aligned, partitionCols)
-    commit("overwrite", added, removed, schema.json, partitionCols)
+    commit("overwrite", added, removed, schema.json, partitionCols,
+      expectedParent = parentAtRead)
   }
 
   // ---- readers ----
@@ -275,12 +293,16 @@ class GraftTable(spark: SparkSession, val location: String) {
     readFiles(files)
   }
 
-  /** Parse `k=v` partition-dir components of a relative file path. */
+  /** Parse `k=v` partition-dir components of a relative file path. Values
+    * are decoded with Spark's own partition-path unescaper — URL-decoding
+    * is NOT equivalent (it would turn a literal '+' into a space, which
+    * Spark's escaper leaves untouched, silently corrupting partition
+    * matching for such values). */
   def partitionValues(relPath: String): Map[String, String] =
     relPath.split('/').dropRight(1).flatMap { seg =>
       seg.split("=", 2) match {
         case Array(k, v) => Some(k ->
-          java.net.URLDecoder.decode(v, "UTF-8"))
+          org.apache.spark.sql.graftglue.GraftSqlGlue.unescapePathName(v))
         case _ => None
       }
     }.toMap
@@ -293,20 +315,23 @@ class GraftTable(spark: SparkSession, val location: String) {
     * "compact" so incremental readers refuse to cross it, as Iceberg's
     * incremental scan does for rewrites. */
   def compact(filesPerPartition: Int = 1): Long = {
+    val parentAtRead = latestSnapshotId
     val removed = liveFiles()
     val df = read().coalesce(math.max(filesPerPartition, 1))
     val added = stageAndMove(align(df, schema), partitionCols)
-    commit("compact", added, removed, schema.json, partitionCols)
+    commit("compact", added, removed, schema.json, partitionCols,
+      expectedParent = parentAtRead)
   }
 
   /** Rollback: make `snapshotId`'s state current again via a NEW snapshot
     * (the Iceberg rollback_to_snapshot action). History is preserved —
     * time travel to the rolled-back-over states still works. */
   def rollback(snapshotId: Long): Long = {
+    val parentAtRead = latestSnapshotId
     val target = liveFiles(Some(snapshotId))
     val current = liveFiles()
     commit("rollback", target.diff(current), current.diff(target),
-      schema.json, partitionCols)
+      schema.json, partitionCols, expectedParent = parentAtRead)
   }
 
   /** Snapshot expiration (the Iceberg expire_snapshots action): retain the
@@ -322,7 +347,9 @@ class GraftTable(spark: SparkSession, val location: String) {
     val expired = all.dropRight(keepLast)
     val oldest = retained.head
 
-    // baseline: the oldest retained snapshot absorbs the history below it
+    // baseline: the oldest retained snapshot absorbs the history below it.
+    // Replacement is a single atomic OVERWRITE rename — a crash can leave
+    // the old or the new baseline, never a hole in the chain.
     val baseline = oldest.copy(
       parentId = None,
       addedFiles = liveFiles(Some(oldest.snapshotId)),
@@ -331,9 +358,9 @@ class GraftTable(spark: SparkSession, val location: String) {
     val out = fs.create(tmp, false)
     try out.write(Snapshot.toJson(baseline).getBytes("UTF-8")) finally out.close()
     val dest = new Path(metaPath, snapFileName(oldest.snapshotId))
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(s"expire failed rewriting baseline")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tablePath.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
     expired.foreach(s =>
       fs.delete(new Path(metaPath, snapFileName(s.snapshotId)), false))
@@ -350,16 +377,22 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   /** Orphan cleanup (the Iceberg remove_orphan_files action): delete data
     * files under the table dir that no snapshot references (e.g. left by a
-    * crashed write between stage-move and commit). Returns deleted files. */
-  def removeOrphanFiles(): Seq[String] = {
+    * crashed write between stage-move and commit). Only files older than
+    * `olderThanMs` are touched — an in-flight writer that has moved files
+    * in but not yet committed its snapshot must not lose them (Iceberg's
+    * default guard is 3 days). Returns deleted files. */
+  def removeOrphanFiles(
+      olderThanMs: Long = 3L * 24 * 60 * 60 * 1000): Seq[String] = {
     val referenced = snapshots.flatMap(s => s.addedFiles).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val it = fs.listFiles(tablePath, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val f = it.next()
       val rel = stripPrefix(f.getPath.toString, tablePath.toString)
       if (f.getPath.getName.endsWith(".parquet") &&
-          !rel.startsWith("_graft") && !referenced.contains(rel)) {
+          !rel.startsWith("_graft") && !referenced.contains(rel) &&
+          f.getModificationTime < cutoff) {
         orphans += rel
         fs.delete(f.getPath, false)
       }
@@ -375,8 +408,10 @@ class GraftTable(spark: SparkSession, val location: String) {
     MergeInto.merge(spark, this, source, keys, dedupKey, orderCol, opCol,
       deleteOps)
 
-  private[table] def commitMerge(added: Seq[String], removed: Seq[String]): Long =
-    commit("merge", added, removed, schema.json, partitionCols)
+  private[table] def commitMerge(added: Seq[String], removed: Seq[String],
+      expectedParent: Option[Long]): Long =
+    commit("merge", added, removed, schema.json, partitionCols,
+      expectedParent = expectedParent)
 
   private[table] def stageForMerge(df: DataFrame): Seq[String] =
     stageAndMove(align(df, schema), partitionCols)

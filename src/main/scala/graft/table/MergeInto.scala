@@ -34,12 +34,21 @@ import org.apache.spark.sql.expressions.Window
 object MergeInto {
 
   /** Dedup a CDC batch keep-latest: one row per `dedupKey`, latest by
-    * `orderCol` (ties broken arbitrarily but deterministically by the
-    * remaining sort, matching ROW_NUMBER semantics). */
+    * `orderCol`. ROW_NUMBER over only orderCol would break ties by
+    * partition-internal order — nondeterministic across reruns, and ties
+    * are GUARANTEED when a whole batch shares one processed_time
+    * (current_timestamp() is constant per ingest query) — so the remaining
+    * columns are added as a descending struct tiebreak: fully
+    * content-deterministic, ties only for byte-identical rows. */
   def dedupLatest(source: DataFrame, dedupKey: Seq[String],
       orderCol: String): DataFrame = {
+    val rest = source.columns.filterNot(c =>
+      dedupKey.contains(c) || c == orderCol).sorted
+    val tiebreak =
+      if (rest.isEmpty) Seq.empty
+      else Seq(struct(rest.map(col).toIndexedSeq: _*).desc)
     val w = Window.partitionBy(dedupKey.map(col): _*)
-      .orderBy(col(orderCol).desc)
+      .orderBy(col(orderCol).desc +: tiebreak: _*)
     source.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -54,6 +63,7 @@ object MergeInto {
       keys: Seq[String], dedupKey: Seq[String], orderCol: String,
       opCol: Option[String] = None,
       deleteOps: Seq[String] = Seq("D")): Long = {
+    val parentAtRead = target.latestSnapshotId
     val schema = target.schema
     val cols = schema.fieldNames.toIndexedSeq
     val dedupedAll = dedupLatest(source, dedupKey, orderCol).cache()
@@ -79,7 +89,7 @@ object MergeInto {
       val removed = target.liveFiles()
       val added = target.stageForMerge(merged)
       deduped.unpersist(); dedupedAll.unpersist()
-      target.commitMerge(added, removed)
+      target.commitMerge(added, removed, parentAtRead)
     } else {
       // Partition-pruned COW.
       val srcParts = deduped.select(parts.map(col): _*).distinct()
@@ -108,7 +118,7 @@ object MergeInto {
       val merged = kept.unionByName(inserts)
       val added = target.stageForMerge(merged)
       deduped.unpersist(); dedupedAll.unpersist()
-      target.commitMerge(added, affectedFiles)
+      target.commitMerge(added, affectedFiles, parentAtRead)
     }
   }
 }

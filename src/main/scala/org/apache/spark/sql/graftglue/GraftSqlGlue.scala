@@ -11,4 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlGlue {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Spark's own Hive-style partition-path unescape (%XX for the chars its
+    * writer escapes — NOT URL decoding). */
+  def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 }

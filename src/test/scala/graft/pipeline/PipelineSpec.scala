@@ -60,7 +60,7 @@ class PipelineSpec extends SparkSpec {
 
     // -- run 2: CDC update batch (newer mtime so discovery picks it up)
     writeTsv(rawDir, "batch2.tsv", batch2, t0 + 30000)
-    assert(ingest.run() === 7L) // bronze is append-only: 5 + 2
+    assert(ingest.run() === 2L) // rows ingested THIS run (bronze now 5+2)
     assert(upsert.run() === 5L) // silver count stable — pure updates
 
     val cats = silver.read()

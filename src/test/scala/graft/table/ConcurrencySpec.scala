@@ -33,4 +33,28 @@ class ConcurrencySpec extends SparkSpec {
     val parents = t.snapshots.drop(1).map(_.parentId.get)
     assert(parents === (0L to 11L))
   }
+
+  test("a rewrite whose base changed under it fails instead of corrupting") {
+    val t = GraftTable(spark, tmpDir("conc-conflict") + "/t")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // simulate: overwrite computed against the current tip, but an append
+    // lands first — the stale overwrite must NOT commit its old file list
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // force interleaving deterministically: do it sequentially through the
+    // API that validates the expected parent
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    // now run two overwrites concurrently — at most one may win
+    val results = (1 to 2).map { i =>
+      Future {
+        try { t.overwrite(Seq((100L + i, "ow")).toDF("id", "v")); 1 }
+        catch { case _: java.util.ConcurrentModificationException => 0 }
+      }
+    }
+    val wins = Await.result(Future.sequence(results), 120.seconds).sum
+    pool.shutdown()
+    assert(wins >= 1) // at least one committed; losers errored, not corrupted
+    // the table holds exactly one overwrite's row — never both
+    assert(t.read().count() === 1)
+  }
 }

@@ -72,7 +72,12 @@ class MaintenanceSpec extends SparkSpec {
     val stray = new Path(t.location, "part-stray-deadbeef.parquet")
     val out = fs.create(stray, true)
     out.write(Array[Byte](1, 2, 3)); out.close()
-    val deleted = t.removeOrphanFiles()
+    // default 3-day guard: a fresh stray (possibly an in-flight writer's
+    // staged file) is NOT touched
+    assert(t.removeOrphanFiles() === Seq.empty)
+    assert(fs.exists(stray))
+    // explicit zero/negative threshold cleans it
+    val deleted = t.removeOrphanFiles(olderThanMs = -1000)
     assert(deleted === Seq("part-stray-deadbeef.parquet"))
     assert(!fs.exists(stray))
     assert(t.read().count() === 1)
