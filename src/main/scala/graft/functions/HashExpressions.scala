@@ -28,7 +28,7 @@ object HashExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.HashExpressions.RollingHash64.hash($c.getBytes())")
+        s"graft.functions.NativeOps.rollingHash64($c.getBytes())")
 
     override protected def withNewChildInternal(c: Expression): RollingHash64 =
       copy(child = c)
@@ -63,7 +63,7 @@ object HashExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.HashExpressions.SimHash64.ofTokens($c)")
+        s"graft.functions.NativeOps.simhash64($c)")
 
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
@@ -116,7 +116,7 @@ object HashExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.HashExpressions.WordShingles.ofTokens($c, $k)")
+        s"graft.functions.NativeOps.wordShingles($c, $k)")
 
     override protected def withNewChildInternal(c: Expression): WordShingles =
       copy(child = c)

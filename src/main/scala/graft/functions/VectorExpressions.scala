@@ -20,6 +20,8 @@ object VectorExpressions {
     * the map-side cost of corpus bucketing at 100 TB. */
   case class HyperplaneBucketExpr(child: Expression, nPlanes: Int, seed: Int)
       extends UnaryExpression {
+    require(nPlanes > 0 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64] (bits of one long), got $nPlanes")
     override def dataType: DataType = LongType
     override def prettyName: String = "hyperplane_bucket"
 
@@ -28,7 +30,7 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.VectorExpressions.HyperplaneBucketExpr.bucket($c, $nPlanes, $seed)")
+        s"graft.functions.NativeOps.hyperplaneBucket($c, $nPlanes, $seed)")
 
     override protected def withNewChildInternal(c: Expression): HyperplaneBucketExpr =
       copy(child = c)
@@ -51,7 +53,10 @@ object VectorExpressions {
         var acc = 0.0
         var d = 0
         while (d < n) {
-          val w = if ((mix(seed.toLong * 0x100000001L + p.toLong * 65537L + d) & 1L) == 0L) 1.0 else -1.0
+          // (p, d) packed disjointly (p < 64 → high bits), so no two
+          // plane/dim pairs share a mixer input
+          val w = if ((mix((p.toLong << 40) ^ d.toLong ^
+            (seed.toLong * 0x9e3779b97f4a7c15L)) & 1L) == 0L) 1.0 else -1.0
           acc += w * v.getFloat(d)
           d += 1
         }

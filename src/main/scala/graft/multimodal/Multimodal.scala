@@ -85,17 +85,23 @@ object Multimodal {
     }
   }
 
-  /** "Resize": metadata-level op — recompute target dims preserving aspect
-    * ratio (the real pixel op is the stubbed codec's job; the plan-level
-    * contract — a map over the meta struct, no shuffle — is what's real). */
-  def resizeMeta(decoded: DataFrame, maxSide: Int): DataFrame =
+  /** "Resize": metadata-level op — recompute target dims so the LARGER
+    * side fits maxSide, preserving aspect ratio; no-op if already within
+    * bounds. Null meta (tombstones) passes through as null — Spark's
+    * least()/greatest() skip nulls, so the null case must be explicit or a
+    * tombstone would come out claiming maxSide-px dimensions. (The real
+    * pixel op is the stubbed codec's job; the plan-level contract — a map
+    * over the meta struct, no shuffle — is what's real.) */
+  def resizeMeta(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val longSide = greatest(col("meta.width"), col("meta.height"))
+    val scale = least(lit(maxSide.toDouble) / longSide, lit(1.0))
     decoded.withColumn("resized",
-      struct(
-        col("meta.format").as("format"),
-        least(col("meta.width"), lit(maxSide)).as("width"),
-        (col("meta.height") *
-          (least(col("meta.width"), lit(maxSide)) / col("meta.width")))
-          .cast("int").as("height")))
+      when(col("meta").isNull, lit(null))
+        .otherwise(struct(
+          col("meta.format").as("format"),
+          floor(col("meta.width") * scale).cast("int").as("width"),
+          floor(col("meta.height") * scale).cast("int").as("height"))))
+  }
 
   /** Frame sampling for video-like media: every `stride`-th frame index up
     * to n_frames — an array column, exploded downstream as needed. */

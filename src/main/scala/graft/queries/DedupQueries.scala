@@ -15,8 +15,8 @@ object DedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-  private val toksSql = s"string_split($normSql, ' ')"
+  private val normSql = OracleSql.norm
+  private val toksSql = OracleSql.toks
 
   /** exact content dedup: one row per distinct normalized text. */
   val qDedupExact: Q = (s, dir) => {

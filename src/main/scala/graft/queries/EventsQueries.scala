@@ -124,10 +124,16 @@ object EventsQueries {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    // materialize the (small) result and drop the memory-sink view — it
+    // holds the aggregate in driver memory and would leak per invocation
+    val resultDf = s.table(name)
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("day"), col("event_type"))
+    val rows = resultDf.collect()
+    val outSchema = resultDf.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
   }
   // identical to the batch daily rollup — that's the point
   val qStreamDailySql: String = qEventsDailySql

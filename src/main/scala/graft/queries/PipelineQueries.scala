@@ -36,6 +36,7 @@ object PipelineQueries {
   /** run E1 (×2 batches) + E2 (×2 merges) in a scratch dir, return silver. */
   val qPipelineCdc: Q = (s, _) => {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-q-pipe-${UUID.randomUUID()}"
+    Scratch.deleteOnExit(base)
     val rawDir = s"$base/raw"
     Files.createDirectories(Paths.get(rawDir))
     val ingest = new RawToBronze(s, rawDir, s"$base/bronze", s"$base/cki.json")

@@ -1,0 +1,23 @@
+package graft.queries
+
+/** JVM-exit cleanup for query scratch directories: scratch tables are
+  * created per run with fresh UUIDs and must outlive the returned
+  * DataFrame's lazy reads, so they can only be removed at shutdown —
+  * without this, repeated bench/verify runs accumulate orphaned parquet in
+  * tmpdir indefinitely. */
+object Scratch {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    dirs.forEach { d =>
+      try deleteRecursively(new java.io.File(d)) catch { case _: Throwable => }
+    }
+  }))
+
+  def deleteOnExit(dir: String): Unit = dirs.add(dir)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

@@ -19,8 +19,12 @@ object TableQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-q-$name-${UUID.randomUUID()}"
+  private def scratch(name: String): String = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft-q-$name-${UUID.randomUUID()}"
+    Scratch.deleteOnExit(dir)
+    dir
+  }
 
   private def ordersSlice(s: SparkSession, dir: String, m: Int): DataFrame =
     Tables.load(s, dir, "orders").filter(col("o_orderkey") % 3 === m)

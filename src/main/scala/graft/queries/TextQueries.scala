@@ -14,9 +14,9 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  // DuckDB mirrors of the TextFunctions primitives
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-  private val toksSql = s"string_split($normSql, ' ')"
+  // DuckDB mirrors of the TextFunctions primitives (shared, see OracleSql)
+  private val normSql = OracleSql.norm
+  private val toksSql = OracleSql.toks
   private val stopsSql = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   /** doc corpus stats: count/char volume per (lang, source). */

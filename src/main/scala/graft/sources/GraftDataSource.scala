@@ -104,11 +104,30 @@ class GraftFileIndex(spark: SparkSession, table: GraftTable,
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
-  /** (partition values row, files) groups, resolved once. */
+  /** (partition values row, files) groups, resolved once. File statuses
+    * come from ONE listStatus per directory, not one getFileStatus RPC per
+    * file — at manifest scale (100k files) per-file calls would serialize
+    * 100k metadata round-trips into every query's planning. */
   private lazy val groups: Seq[(InternalRow, Seq[FileStatus])] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
+
+    val byDir = files.groupBy(f =>
+      f.lastIndexOf('/') match {
+        case -1 => ""
+        case i => f.substring(0, i)
+      })
+    val statusByRel: Map[String, FileStatus] = byDir.flatMap {
+      case (dir, fs_) =>
+        val dirPath = if (dir.isEmpty) tablePath else new Path(tablePath, dir)
+        val names = fs_.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+        fs.listStatus(dirPath).toSeq
+          .filter(st => names.contains(st.getPath.getName))
+          .map(st => (if (dir.isEmpty) st.getPath.getName
+                      else s"$dir/${st.getPath.getName}") -> st)
+    }
+
     files.groupBy(f => table.partitionValues(f)).toSeq.map { case (kv, fs_) =>
       val values = InternalRow.fromSeq(partitionSchema.map { field =>
         kv.get(field.name) match {
@@ -118,7 +137,7 @@ class GraftFileIndex(spark: SparkSession, table: GraftTable,
           case _ => null
         }
       })
-      (values, fs_.map(f => fs.getFileStatus(new Path(tablePath, f))))
+      (values, fs_.flatMap(statusByRel.get))
     }
   }
 

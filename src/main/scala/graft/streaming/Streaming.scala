@@ -61,8 +61,13 @@ object Streaming {
           sorted.foreach { e =>
             open match {
               case Some(s) if e.ts_us - s.last <= gapUs =>
-                open = Some(s.copy(last = e.ts_us, n = s.n + 1,
-                  total = s.total + e.value))
+                // cross-batch late event: merge, but never move the session
+                // boundary backwards (last = max), or an out-of-order event
+                // would produce end < start and wrong later splits
+                open = Some(s.copy(
+                  start = math.min(s.start, e.ts_us),
+                  last = math.max(s.last, e.ts_us),
+                  n = s.n + 1, total = s.total + e.value))
               case Some(s) =>
                 closed += SessionOut(userId, s.start, s.last, s.n, s.total)
                 open = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
@@ -78,10 +83,11 @@ object Streaming {
       }
   }
 
-  /** Flush helper for tests/final batches: emit still-open sessions from the
-    * batch view (streaming state can't be read directly; production would
-    * use a timeout to emit). */
-  def openSessions(events: Dataset[Event], gapUs: Long): Dataset[SessionOut] = {
+  /** Batch view of ALL sessions (closed and still-open) — the ground-truth
+    * formulation used to reconcile the streaming output (streaming state
+    * can't be read directly; production would use a timeout to emit final
+    * open sessions). */
+  def allSessions(events: Dataset[Event], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts_us")

@@ -95,7 +95,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
 
     // batch view: total sessions = closed + open = 3
-    val batch = Streaming.openSessions(events.toDF().as[Streaming.Event], gapUs)
+    val batch = Streaming.allSessions(events.toDF().as[Streaming.Event], gapUs)
     assert(batch.count() === 3)
     assert(batch.filter($"user_id" === 1L).count() === 2)
   }
