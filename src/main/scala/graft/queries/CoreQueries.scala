@@ -363,8 +363,50 @@ object CoreQueries {
       |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** LEFT ANTI join (NOT EXISTS): customers with no orders in a window. */
+  val qAntiJoin: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+    Tables.load(s, dir, "customer")
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy($"c_mktsegment")
+  }
+  val qAntiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_inactive
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** null-handling scalar functions: nullif / coalesce / conditional. */
+  val qNullFuncs: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey",
+        nullif($"o_orderstatus", lit("O")).as("status_or_null"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status_label"),
+        when($"o_totalprice" > 100000, lit("big"))
+          .when($"o_totalprice" > 10000, lit("mid"))
+          .otherwise(lit("small")).as("bucket"))
+      .orderBy($"o_orderkey")
+  }
+  val qNullFuncsSql: String =
+    """SELECT o_orderkey,
+      |  nullif(o_orderstatus, 'O') AS status_or_null,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+      |  CASE WHEN o_totalprice > 100000 THEN 'big'
+      |       WHEN o_totalprice > 10000 THEN 'mid'
+      |       ELSE 'small' END AS bucket
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** name -> (query, Some(oracleSql)) */
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_anti_join", qAntiJoin, Some(qAntiJoinSql)),
+    ("q_null_funcs", qNullFuncs, Some(qNullFuncsSql)),
     ("q4_semi", q4Semi, Some(q4SemiSql)),
     ("q_rollup", qRollup, Some(qRollupSql)),
     ("q_count_distinct", qCountDistinct, Some(qCountDistinctSql)),
