@@ -1,0 +1,107 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftglue.GraftSqlGlue
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native aggregates (TypedImperativeAggregate — the mutable-buffer sketch
+  * shape, same machinery as Spark's HLL/percentile sketches). */
+object AggExpressions {
+
+  /** One-pass MinHash signature aggregate: input rows are (already
+    * exploded) shingle hashes; the buffer holds the running minimum of
+    * `numHashes` universal-hash permutations h_i(x) = (a_i·x + b_i) mod p.
+    *
+    * Replaces `numHashes` separate min(pmod(...)) aggregate columns with a
+    * single buffer updated in one pass — one aggregate expression instead
+    * of 64, one buffer allocation per group, and partial/merge combine is
+    * an elementwise min (associative + commutative, so map-side partial
+    * aggregation applies as usual).
+    *
+    * Parameters (a_i, b_i) derive from the fixed seed so signatures are
+    * identical across runs and partitionings. Inputs are expected in
+    * [Int.MinValue, Int.MaxValue] (32-bit base hash widened to long), so
+    * a_i·x stays far from 63-bit overflow — same contract as
+    * Dedup.minhashSignature. */
+  case class MinHashSigAgg(
+      child: Expression,
+      numHashes: Int,
+      seed: Long = 42L,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+
+    private val P = 2305843009213693951L // 2^61 - 1
+    // deterministic permutation parameters (same scheme as minhashSignature)
+    @transient private lazy val params: Array[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numHashes)(
+        (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+    }
+
+    override def createAggregationBuffer(): Array[Long] =
+      Array.fill(numHashes)(Long.MaxValue)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        var i = 0
+        while (i < numHashes) {
+          val (a, b) = params(i)
+          val m = java.lang.Math.floorMod(h * a + b, P)
+          if (m < buf(i)) buf(i) = m
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) {
+        if (other(i) < buf(i)) buf(i) = other(i)
+        i += 1
+      }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * numHashes)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(numHashes)(bb.getLong)
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "minhash_sig"
+
+    override def withNewMutableAggBufferOffset(o: Int): MinHashSigAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MinHashSigAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): MinHashSigAgg = copy(child = cs.head)
+  }
+
+  /** Column entry point: aggregate a (long) shingle-hash column into the
+    * numHashes-element MinHash signature. */
+  def minhash_sig(hashCol: Column, numHashes: Int): Column =
+    GraftSqlGlue.column(
+      MinHashSigAgg(GraftSqlGlue.expression(hashCol), numHashes)
+        .toAggregateExpression())
+}

@@ -73,10 +73,6 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    val p = 2305843009213693951L // 2^61 - 1
-    val rnd = new scala.util.Random(42)
-    val params = Seq.fill(numHashes)(
-      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
 
     val shingled = docs
       .select(col(idCol).as("id"),
@@ -89,18 +85,17 @@ object Dedup {
       explode(col("sh")).as("s"))
       .select(col("id"), hash(col("s")).cast("long").as("h"))
 
-    // signature = 64 mins over integer permutations, single shuffle
-    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
-    }
-    val sig = exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    // signature via the native one-buffer MinHash aggregate (single pass,
+    // single aggregate expression, map-side partial combine)
+    val sig = exploded.groupBy(col("id"))
+      .agg(graft.functions.AggExpressions.minhash_sig(col("h"), numHashes)
+        .as("sig"))
 
     // band key = hash of the band's signature slice; slim (id, band, bh) rows
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map { bd =>
         struct(lit(bd).as("band"),
-          xxhash64(concat_ws(",",
-            (0 until rows).map(r => col(s"m${bd * rows + r}")): _*)).as("bh"))
+          xxhash64(lit(bd), slice(col("sig"), bd * rows + 1, rows)).as("bh"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
 
