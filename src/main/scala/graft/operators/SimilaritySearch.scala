@@ -90,28 +90,24 @@ object SimilaritySearch {
 
   /** IVF-style ANN: the corpus is partitioned into `nLists` inverted lists
     * by nearest centroid; a query scores only the vectors in its `nProbe`
-    * nearest lists. Centroids are a deterministic sample of the corpus
-    * (every ⌈n/nLists⌉-th vector by id — a k-means-free IVF; swapping in
-    * trained centroids changes recall, not the plan shape).
+    * nearest lists. Centroids are a deterministic uniform sample of the
+    * corpus — the `nLists` rows with the smallest xxhash64(id) — a
+    * k-means-free IVF; swapping in trained centroids changes recall, not
+    * the plan shape.
     *
-    * Scale shape: centroids broadcast (tiny); corpus assignment is one
-    * map-side pass; the probe join is an equi-join on list id — queries
-    * touch nProbe/nLists of the corpus instead of all of it. */
+    * Scale shape: the centroid pick is a distributed top-k
+    * (TakeOrderedAndProject: per-partition heads, merged on the driver —
+    * no global sort, no count() pre-pass); centroids broadcast (tiny);
+    * corpus assignment is one map-side pass; the probe join is an
+    * equi-join on list id — queries touch nProbe/nLists of the corpus
+    * instead of all of it. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(n / nLists, 1L)
-    // centroid sample by POSITION (row_number), not id arithmetic — sparse
-    // or hashed id spaces would otherwise select zero centroids and the
-    // search would silently return empty
     val cents = corpus
       .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cent_q"))
-      .withColumn("__pos", row_number().over(
-        Window.orderBy(col("cent_id"))))
-      .filter((col("__pos") - 1) % stride === 0)
+      .orderBy(xxhash64(col("cent_id")), col("cent_id"))
       .limit(nLists)
-      .drop("__pos")
 
     // nearest-centroid assignment via exact quantized cosine, then rank
     def assign(df: DataFrame, out: String, keep: Int): DataFrame = {
