@@ -22,12 +22,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * each commit stages files to a scratch dir, moves them in, then atomically
   * publishes a [[Snapshot]] JSON. Readers resolve the live file set from the
   * snapshot chain, so uncommitted/aborted writes are invisible (snapshot
-  * isolation) and concurrent commit attempts collide on the rename: appends
-  * retry against the new tip, rewrites fail with a conflict (Iceberg's
-  * validation semantics). All IO goes through the Hadoop FileSystem API;
-  * single-winner commits hold wherever rename-to-existing fails (local
-  * disk, HDFS) — S3A would need a lock/catalog commit service, exactly as
-  * Iceberg requires there.
+  * isolation) and concurrent commit attempts collide on the publish:
+  * appends retry against the new tip, rewrites fail with a conflict
+  * (Iceberg's validation semantics). All IO goes through the Hadoop
+  * FileSystem API; the snapshot publish is single-winner via an atomic
+  * create-exclusive primitive (POSIX link for file://, rename for HDFS
+  * where rename-to-existing fails) — S3A would need a lock/catalog commit
+  * service, exactly as Iceberg requires there.
   *
   * Scale notes (100 TB): reads prune partitions before listing a single data
   * file (the live-file set is filtered driver-side by partition values, like
@@ -99,18 +100,43 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   // ---- commit protocol ----
 
-  /** Publish a snapshot: write JSON to a temp name, atomically rename to
-    * its final slot (single-winner: Hadoop rename fails if the destination
-    * exists — local FS and HDFS; S3A would need a lock/commit service, as
-    * for Iceberg). A rename collision means a concurrent commit won:
+  /** Atomically publish `tmp` at `dest`, failing (false) if `dest` already
+    * exists. Hadoop's LocalFileSystem rename-onto-existing returns true and
+    * silently OVERWRITES the destination (verified against hadoop 3.4.2) —
+    * bare rename is not single-winner there, so for file:// we publish via
+    * POSIX link(2) (`Files.createLink`), which is atomic and fails EEXIST.
+    * Other schemes keep rename (HDFS rename-to-existing fails correctly;
+    * S3A would need a lock/catalog commit service, exactly as Iceberg
+    * requires there). */
+  private[table] def publishExclusive(tmp: Path, dest: Path): Boolean = {
+    val scheme = Option(fs.makeQualified(tmp).toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val d = java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else fs.rename(tmp, dest)
+  }
+
+  /** Publish a snapshot: write JSON to a temp name, atomically link/rename
+    * it into its final slot ([[publishExclusive]] — single-winner even on
+    * LocalFileSystem). A publish collision means a concurrent commit won:
     *   - append commits retry against the new tip (appends commute);
     *   - non-append commits (overwrite/merge/compact/rollback) computed
     *     their added/removed lists against the old tip, which may no longer
     *     cover the winner's files — retrying would corrupt the table, so
-    *     they fail with a conflict (Iceberg's validation semantics). */
+    *     they fail with a conflict (Iceberg's validation semantics).
+    * `schemaFor` is evaluated against the CURRENT tip on every attempt, so
+    * a retrying append re-merges its schema against whatever the winner
+    * committed instead of republishing a stale JSON. */
   private def commit(operation: String, added: Seq[String],
-      removed: Seq[String], schemaJson: String, parts: Seq[String],
-      expectedParent: Option[Long] = None): Long = {
+      removed: Seq[String], schemaFor: Option[Snapshot] => String,
+      parts: Seq[String], expectedParent: Option[Long] = None): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -126,12 +152,12 @@ class GraftTable(spark: SparkSession, val location: String) {
       }
       val id = parent.map(_.snapshotId + 1).getOrElse(0L)
       val snap = Snapshot(id, parent.map(_.snapshotId),
-        System.currentTimeMillis(), operation, added, removed, schemaJson,
-        parts)
+        System.currentTimeMillis(), operation, added, removed,
+        schemaFor(parent), parts)
       val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(Snapshot.toJson(snap).getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, new Path(metaPath, snapFileName(id)))) return id
+      if (publishExclusive(tmp, new Path(metaPath, snapFileName(id)))) return id
       fs.delete(tmp, false) // lost the race; loop re-reads the new tip
     }
     -1L
@@ -146,7 +172,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     parts.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
     fs.mkdirs(metaPath)
-    commit("create", Seq.empty, Seq.empty, schema.json, parts)
+    commit("create", Seq.empty, Seq.empty, _ => schema.json, parts)
     this
   }
 
@@ -225,7 +251,19 @@ class GraftTable(spark: SparkSession, val location: String) {
       }
     val aligned = align(df, targetSchema, fillMissing = mergeSchema)
     val added = stageAndMove(aligned, partitionCols)
-    commit("append", added, Seq.empty, targetSchema.json, partitionCols)
+    // schema is re-merged against the tip on every commit attempt: if a
+    // concurrent append(mergeSchema=true) added a column while we staged,
+    // republishing the precomputed targetSchema would silently drop it
+    // from all subsequent reads even though the winner's files carry it.
+    commit("append", added, Seq.empty, {
+      case Some(p) =>
+        val cur = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+        val extra = targetSchema.fields
+          .filterNot(f => cur.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(cur.fields ++ extra).json
+      case None => targetSchema.json
+    }, partitionCols)
   }
 
   /** K1 overwrite: replace the full live file set. */
@@ -235,7 +273,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     val aligned = align(df, schema)
     val removed = liveFiles()
     val added = stageAndMove(aligned, partitionCols)
-    commit("overwrite", added, removed, schema.json, partitionCols,
+    commit("overwrite", added, removed, _ => schema.json, partitionCols,
       expectedParent = parentAtRead)
   }
 
@@ -319,7 +357,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     val removed = liveFiles()
     val df = read().coalesce(math.max(filesPerPartition, 1))
     val added = stageAndMove(align(df, schema), partitionCols)
-    commit("compact", added, removed, schema.json, partitionCols,
+    commit("compact", added, removed, _ => schema.json, partitionCols,
       expectedParent = parentAtRead)
   }
 
@@ -331,7 +369,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     val target = liveFiles(Some(snapshotId))
     val current = liveFiles()
     commit("rollback", target.diff(current), current.diff(target),
-      schema.json, partitionCols, expectedParent = parentAtRead)
+      _ => schema.json, partitionCols, expectedParent = parentAtRead)
   }
 
   /** Snapshot expiration (the Iceberg expire_snapshots action): retain the
@@ -410,7 +448,7 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   private[table] def commitMerge(added: Seq[String], removed: Seq[String],
       expectedParent: Option[Long]): Long =
-    commit("merge", added, removed, schema.json, partitionCols,
+    commit("merge", added, removed, _ => schema.json, partitionCols,
       expectedParent = expectedParent)
 
   private[table] def stageForMerge(df: DataFrame): Seq[String] =

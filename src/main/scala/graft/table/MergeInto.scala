@@ -91,15 +91,21 @@ object MergeInto {
       deduped.unpersist(); dedupedAll.unpersist()
       target.commitMerge(added, removed, parentAtRead)
     } else {
-      // Partition-pruned COW.
-      val srcParts = deduped.select(parts.map(col): _*).distinct()
-        .collect().map(r => parts.map(p => Option(r.getAs[Any](p))
-          .map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")))
-      val matchedParts = target.read()
-        .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_semi")
-        .select(parts.map(col): _*).distinct()
-        .collect().map(r => parts.map(p => Option(r.getAs[Any](p))
-          .map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")))
+      // Partition-pruned COW. Partition values are rendered with Spark's
+      // own Cast-to-string (the conversion the partition-path writer uses),
+      // NOT JVM toString: java.sql.Timestamp.toString gives
+      // '2024-01-01 00:00:00.0' where the partition dir decodes to
+      // '2024-01-01 00:00:00' — toString would never match, matched target
+      // rows would not be rewritten, and the merge would silently duplicate
+      // keys for any non-string partition column.
+      val partStrs = parts.map(p => col(p).cast("string").as(p))
+      def partTuples(df: DataFrame): Array[Seq[String]] =
+        df.select(partStrs: _*).distinct()
+          .collect().map(r => parts.map(p => Option(r.getAs[String](p))
+            .getOrElse("__HIVE_DEFAULT_PARTITION__")))
+      val srcParts = partTuples(deduped)
+      val matchedParts = partTuples(target.read()
+        .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_semi"))
       val affected: Set[Seq[String]] = (srcParts ++ matchedParts).map(_.toSeq).toSet
 
       val live = target.liveFiles()

@@ -57,4 +57,49 @@ class ConcurrencySpec extends SparkSpec {
     // the table holds exactly one overwrite's row — never both
     assert(t.read().count() === 1)
   }
+
+  test("concurrent mergeSchema appends keep both evolved columns") {
+    // a retrying append must re-merge its schema against the winner's tip,
+    // not republish the schema it computed before the collision — else the
+    // winner's new column silently disappears from subsequent reads
+    val t = GraftTable(spark, tmpDir("conc-schema") + "/t")
+    t.create(Seq((0L, "")).toDF("id", "v").schema)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = Seq("x", "y").map { c =>
+      Future {
+        t.append(Seq((1L, "a", 1.0)).toDF("id", "v", c), mergeSchema = true)
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    pool.shutdown()
+    assert(t.schema.fieldNames.toSet === Set("id", "v", "x", "y"))
+    assert(t.read().count() === 2)
+  }
+
+  test("snapshot publish onto an occupied slot loses, never clobbers") {
+    // LocalFileSystem.rename onto an existing file returns true and silently
+    // OVERWRITES it — the exact primitive that would lose a racing commit.
+    // publishExclusive must refuse instead.
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("conc-publish")
+    val t = GraftTable(spark, dir + "/t")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+
+    val dest = new Path(dir + "/t/_graft", "snap-occupied.json")
+    val winner = fs.create(dest, false)
+    try winner.write("WINNER".getBytes("UTF-8")) finally winner.close()
+
+    val tmp = new Path(dir + "/t/_graft", ".tmp-loser.json")
+    val out = fs.create(tmp, false)
+    try out.write("LOSER".getBytes("UTF-8")) finally out.close()
+
+    assert(!t.publishExclusive(tmp, dest)) // loser told the truth
+    val in = fs.open(dest)
+    val buf = new Array[Byte](fs.getFileStatus(dest).getLen.toInt)
+    try in.readFully(buf) finally in.close()
+    assert(new String(buf, "UTF-8") === "WINNER") // winner's commit intact
+  }
 }

@@ -37,6 +37,21 @@ class MergeDeleteSpec extends SparkSpec {
     assert(t.read().select("v").as[String].collect() === Array("a2"))
   }
 
+  test("merge matches partitions for non-string partition columns") {
+    // java.sql.Timestamp.toString renders '... 00:00:00.0' while the
+    // partition dir decodes to '... 00:00:00'; if the affected-partition
+    // probe compared toString output, matched rows would never be rewritten
+    // and the upsert would silently duplicate the key.
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t = GraftTable(spark, tmpDir("md-tspart") + "/t")
+    t.append(Seq((1L, ts, "a"), (2L, ts, "b")).toDF("k", "pt", "v"),
+      parts = Seq("pt"))
+    val source = Seq((1L, ts, "a2", 1L)).toDF("k", "pt", "v", "seq")
+    t.merge(source, keys = Seq("k"), dedupKey = Seq("k"), orderCol = "seq")
+    val out = t.read().orderBy("k").select("k", "v").as[(Long, String)].collect()
+    assert(out === Array((1L, "a2"), (2L, "b"))) // upserted, not duplicated
+  }
+
   test("delete for an absent key is a no-op insert-wise") {
     val t = GraftTable(spark, tmpDir("md-absent") + "/t")
     t.append(Seq((1L, "a", "CA")).toDF("k", "v", "part"), parts = Seq("part"))
