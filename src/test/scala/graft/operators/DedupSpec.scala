@@ -44,8 +44,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash signature approximates true jaccard") {
-    val sig = docs.select(col("doc_id"),
-      Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     def simEst(a: Long, b: Long): Double =
       sig(a).zip(sig(b)).count { case (x, y) => x == y } / 64.0

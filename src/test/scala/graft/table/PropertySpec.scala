@@ -57,8 +57,8 @@ class PropertySpec extends SparkSpec {
       val a = sample(docGen, 3000 + round)
       val b = sample(docGen, 4000 + round)
       val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
-      val sig = df.select(col("doc_id"),
-        graft.operators.Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+      val sig = graft.operators.Dedup
+        .minhashSignatures(df, "doc_id", "text", 3, 64)
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       val est = sig(0L).zip(sig(1L)).count { case (x, y) => x == y } / 64.0
       val sh = df.select(col("doc_id"),
