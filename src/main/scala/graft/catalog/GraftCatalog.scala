@@ -1,0 +1,154 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.table.GraftTable
+
+/** Named-table catalog over a warehouse directory.
+  *
+  * The reference addresses every table through a catalog name
+  * (`dev.icebergdb.bronze_orders` via the Glue catalog,
+  * /root/reference/raw-bronze.py:104-109,200-202;
+  * `spark.catalog.tableExists` at raw-bronze.py:178; consumers query by
+  * bare name, /root/reference/query-engine/starocks/mask.sql). graft's
+  * equivalent: table `name` lives at `<warehouse>/<name>`, and
+  * [[register]] binds the name into Spark's session catalog as a
+  * `USING graft` datasource table — after that, plain
+  * `spark.sql("SELECT ... FROM name")` resolves the CURRENT snapshot
+  * through the graft data source on every (uncached) plan, with the same
+  * FileIndex pruning as the path API.
+  *
+  * The name→path mapping is the warehouse layout itself: a subdirectory
+  * with a `_graft` snapshot log IS a table, so the catalog re-attaches
+  * from any fresh session with one [[sync]] — the recovery property a
+  * Glue/Hive metastore provides, without needing a service here. (A
+  * production deployment would back [[register]] with a shared metastore;
+  * the table format and commit protocol are unchanged by that swap.)
+  *
+  * Writes routed through the catalog ([[append]]/[[overwrite]]/[[merge]])
+  * refresh Spark's relation cache and re-register on schema evolution, so
+  * SQL readers never see a stale schema or file list.
+  */
+class GraftCatalog(spark: SparkSession, val warehouse: String) {
+
+  /** filesystem location of table `name`. */
+  def path(name: String): String = s"$warehouse/${validated(name)}"
+
+  /** path-level handle (all GraftTable operations). */
+  def table(name: String): GraftTable = GraftTable(spark, path(name))
+
+  def exists(name: String): Boolean = table(name).exists
+
+  private def validated(name: String): String = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"invalid graft table name: $name")
+    name
+  }
+
+  /** Bind `name` into the session catalog (re-binding: an earlier binding
+    * may point at another warehouse). The binding is an EXTERNAL
+    * datasource table — dropping it never deletes data. */
+  def register(name: String): Unit = {
+    require(exists(name), s"no graft table named $name in $warehouse")
+    unregister(name)
+    spark.sql(s"CREATE TABLE `${validated(name)}` " +
+      s"USING graft OPTIONS (path '${path(name)}')")
+  }
+
+  private def unregister(name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `${validated(name)}`")
+
+  /** Register every graft table found under the warehouse; returns the
+    * names bound. One directory listing — session re-attachment. */
+  def sync(): Seq[String] = {
+    val names = listTables
+    names.foreach(register)
+    names
+  }
+
+  /** Tables present in the warehouse (registered or not). */
+  def listTables: Seq[String] = {
+    val wh = new Path(warehouse)
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(wh)) return Seq.empty
+    fs.listStatus(wh).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, "_graft")))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Create an empty table from a declared schema and bind its name. */
+  def create(name: String, schema: StructType,
+      parts: Seq[String] = Seq.empty): GraftTable = {
+    val t = table(name).create(schema, parts)
+    register(name)
+    t
+  }
+
+  /** Create (or first-write) from a DataFrame and bind the name. */
+  def createFrom(name: String, df: DataFrame,
+      parts: Seq[String] = Seq.empty): Long = {
+    val id = table(name).append(df, parts)
+    register(name)
+    id
+  }
+
+  def append(name: String, df: DataFrame, parts: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false): Long = {
+    val id = table(name).append(df, parts, mergeSchema)
+    refresh(name)
+    id
+  }
+
+  def overwrite(name: String, df: DataFrame,
+      parts: Seq[String] = Seq.empty): Long = {
+    val id = table(name).overwrite(df, parts)
+    refresh(name)
+    id
+  }
+
+  def merge(name: String, source: DataFrame, keys: Seq[String],
+      dedupKey: Seq[String], orderCol: String,
+      opCol: Option[String] = None,
+      deleteOps: Seq[String] = Seq("D")): Long = {
+    val id = table(name).merge(source, keys, dedupKey, orderCol, opCol,
+      deleteOps)
+    refresh(name)
+    id
+  }
+
+  /** Invalidate the cached relation so the next SQL read re-resolves the
+    * snapshot; if the table schema evolved past the one recorded at
+    * registration, re-register (the session catalog stores the schema a
+    * datasource table had at CREATE time). */
+  def refresh(name: String): Unit = {
+    if (spark.catalog.tableExists(validated(name))) {
+      // compare the schema STORED at registration (metadata only — once
+      // the table evolved, the stale binding cannot even be re-resolved,
+      // so this check must come before any refreshTable resolution)
+      val stored = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)).schema
+      if (stored != table(name).schema) {
+        unregister(name)
+        register(name)
+      } else spark.catalog.refreshTable(name)
+    }
+  }
+
+  /** Remove the name binding; with `purge`, also delete the table data. */
+  def drop(name: String, purge: Boolean = false): Unit = {
+    unregister(name)
+    if (purge) {
+      val p = new Path(path(name))
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(p, true)
+    }
+  }
+}
+
+object GraftCatalog {
+  def apply(spark: SparkSession, warehouse: String): GraftCatalog =
+    new GraftCatalog(spark, warehouse)
+}

@@ -6,7 +6,6 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{BronzeToSilver, RawToBronze}
-import graft.table.GraftTable
 
 /** The reference's end-to-end medallion scenario as a registry query: raw
   * TSV batches (the exact static I/U rows from
@@ -33,14 +32,19 @@ object PipelineQueries {
     "U\t2024-06-27 14:36:25.103244\t40994\t67\tmarket####\t92.02\t1\t2021-05-21\tVI\t2-Day\tothers",
     "U\t2024-02-01 19:52:59.444793\t83597\t37\tlanguage####\t97.07\t3\t2021-09-10\tSC\tStandard\tplay")
 
-  /** run E1 (×2 batches) + E2 (×2 merges) in a scratch dir, return silver. */
+  /** run E1 (×2 batches) + E2 (×2 merges) in a scratch warehouse; the
+    * medallion tables are addressed BY NAME through a GraftCatalog (the
+    * reference's dev.icebergdb.bronze/silver pattern) and the final state
+    * is read back by bare SQL name. */
   val qPipelineCdc: Q = (s, _) => {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-q-pipe-${UUID.randomUUID()}"
     Scratch.deleteOnExit(base)
     val rawDir = s"$base/raw"
     Files.createDirectories(Paths.get(rawDir))
-    val ingest = new RawToBronze(s, rawDir, s"$base/bronze", s"$base/cki.json")
-    val upsert = new BronzeToSilver(s, s"$base/bronze", s"$base/silver", s"$base/ckm.json")
+    val cat = graft.catalog.GraftCatalog(s, base)
+    val ingest = new RawToBronze(s, rawDir, cat.path("bronze"), s"$base/cki.json")
+    val upsert = new BronzeToSilver(s, cat.path("bronze"), cat.path("silver"),
+      s"$base/ckm.json")
     val t0 = System.currentTimeMillis() - 60000
 
     def writeBatch(name: String, rows: Seq[String], mtime: Long): Unit = {
@@ -53,7 +57,9 @@ object PipelineQueries {
     writeBatch("b2.tsv", batch2, t0 + 30000)
     ingest.run(); upsert.run()
 
-    GraftTable(s, s"$base/silver").read()
+    assert(cat.sync() == Seq("bronze", "silver"),
+      "catalog sync must discover the medallion tables")
+    s.table("silver")
       .select(col("invoiceid"), col("itemid"), col("category"), col("price"),
         col("quantity"),
         date_format(col("orderdate"), "yyyy-MM-dd").as("order_date"),

@@ -153,7 +153,41 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** C1–C3 by NAME: tables bound into the session catalog through a
+    * warehouse GraftCatalog, queried with PURE SQL over bare names — the
+    * reference's consumer pattern (`SELECT ... FROM dev.icebergdb.
+    * bronze_orders`, /root/reference/raw-bronze.py:200-202). Resolution
+    * goes through the graft data source per query (current snapshot, same
+    * FileIndex pruning as the path API). */
+  val qCatalogSql: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("wh"))
+    cat.createFrom("bronze_orders", Tables.load(s, dir, "orders"))
+    cat.createFrom("bronze_customer", Tables.load(s, dir, "customer"))
+    cat.createFrom("bronze_nation", Tables.load(s, dir, "nation"))
+    s.sql(
+      """SELECT n.n_name, o.o_orderpriority, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM bronze_orders o
+        |JOIN bronze_customer c ON o.o_custkey = c.c_custkey
+        |JOIN bronze_nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY n.n_name, o.o_orderpriority
+        |ORDER BY n.n_name, o.o_orderpriority""".stripMargin)
+  }
+  val qCatalogSqlSql: String =
+    """SELECT n.n_name, o.o_orderpriority, COUNT(*) AS order_cnt,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_orderstatus = 'F'
+      |GROUP BY n.n_name, o.o_orderpriority
+      |ORDER BY n.n_name, o.o_orderpriority""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_catalog_sql", qCatalogSql, Some(qCatalogSqlSql)),
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),

@@ -47,4 +47,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[Long].collect()(0)
     assert(viaSql === viaScala)
   }
+
+  test("SQL INSERT INTO a graft table is rejected (bypasses the snapshot log)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-insert").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_guarded", Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO ext_guarded VALUES (2, 'b')"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("snapshot log"))))
+    // nothing was committed AND no stray parquet landed in the table dir
+    assert(cat.table("ext_guarded").read().count() === 1)
+    cat.drop("ext_guarded")
+  }
 }
