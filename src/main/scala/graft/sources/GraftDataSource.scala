@@ -58,7 +58,8 @@ class GraftDataSource extends RelationProvider
       fullSchema.filterNot(f => partCols.contains(f.name)))
 
     HadoopFsRelation(
-      location = new GraftFileIndex(spark, table, files, partSchema),
+      location = new GraftFileIndex(spark, table, files, partSchema,
+        table.statsFor(files)),
       partitionSchema = partSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
@@ -94,9 +95,14 @@ class GraftDataSource extends RelationProvider
   * happens HERE, driver-side against dir-encoded values — files of pruned
   * partitions are never listed to the scan (manifest-style pruning; at
   * 100 TB this is what keeps a partition-filtered query from touching the
-  * table's full metadata, let alone its data). */
+  * table's full metadata, let alone its data). Data filters are
+  * additionally checked against the snapshot log's per-file column
+  * min/max ([[graft.table.FileStats]]), so files whose recorded range
+  * cannot satisfy a pushed predicate are skipped BEFORE the scan —
+  * Iceberg's manifest-stats skipping. */
 class GraftFileIndex(spark: SparkSession, table: GraftTable,
-    files: Seq[String], override val partitionSchema: StructType)
+    files: Seq[String], override val partitionSchema: StructType,
+    stats: Map[String, Map[String, graft.table.ColStat]] = Map.empty)
     extends FileIndex {
 
   private val tablePath = new Path(table.location)
@@ -104,11 +110,12 @@ class GraftFileIndex(spark: SparkSession, table: GraftTable,
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
-  /** (partition values row, files) groups, resolved once. File statuses
-    * come from ONE listStatus per directory, not one getFileStatus RPC per
-    * file — at manifest scale (100k files) per-file calls would serialize
-    * 100k metadata round-trips into every query's planning. */
-  private lazy val groups: Seq[(InternalRow, Seq[FileStatus])] = {
+  /** (partition values row, (relPath, status) files) groups, resolved
+    * once. File statuses come from ONE listStatus per directory, not one
+    * getFileStatus RPC per file — at manifest scale (100k files) per-file
+    * calls would serialize 100k metadata round-trips into every query's
+    * planning. */
+  private lazy val groups: Seq[(InternalRow, Seq[(String, FileStatus)])] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
@@ -137,7 +144,41 @@ class GraftFileIndex(spark: SparkSession, table: GraftTable,
           case _ => null
         }
       })
-      (values, fs_.flatMap(statusByRel.get))
+      (values, fs_.flatMap(f => statusByRel.get(f).map(st => (f, st))))
+    }
+  }
+
+  /** Can file `rel` contain rows satisfying every pushed data filter?
+    * Supports the conjunct shapes worth pruning on (attr-vs-literal
+    * comparisons and IN); anything else conservatively keeps the file. */
+  private def statsMayMatch(rel: String, dataFilters: Seq[Expression]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val fileStats = stats.getOrElse(rel, Map.empty)
+    if (fileStats.isEmpty) return true
+
+    def check(name: String, cmp: String, value: Any): Boolean =
+      fileStats.get(name) match {
+        case Some(cs) => table.schema.find(_.name == name) match {
+          case Some(f) => graft.table.FileStats.mayMatch(f.dataType, cs, cmp, value)
+          case None => true
+        }
+        case None => true
+      }
+
+    dataFilters.forall {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => check(a.name, "=", v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => check(a.name, "=", v)
+      case LessThan(a: AttributeReference, Literal(v, _)) => check(a.name, "<", v)
+      case LessThan(Literal(v, _), a: AttributeReference) => check(a.name, ">", v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => check(a.name, "<=", v)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => check(a.name, ">=", v)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => check(a.name, ">", v)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => check(a.name, "<", v)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => check(a.name, ">=", v)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => check(a.name, "<=", v)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(l => check(a.name, "=", l.asInstanceOf[Literal].value))
+      case _ => true
     }
   }
 
@@ -158,8 +199,10 @@ class GraftFileIndex(spark: SparkSession, table: GraftTable,
         }
         groups.filter { case (row, _) => predicate.eval(row) == true }
       }
-    kept.map { case (row, statuses) =>
-      PartitionDirectory(row, statuses.toArray)
+    kept.map { case (row, relStatuses) =>
+      PartitionDirectory(row,
+        relStatuses.filter(rs => statsMayMatch(rs._1, dataFilters))
+          .map(_._2).toArray)
     }
   }
 
@@ -169,5 +212,5 @@ class GraftFileIndex(spark: SparkSession, table: GraftTable,
   override def refresh(): Unit = {}
 
   override def sizeInBytes: Long =
-    groups.map(_._2.map(_.getLen).sum).sum
+    groups.map(_._2.map(_._2.getLen).sum).sum
 }

@@ -1,0 +1,67 @@
+package graft.table
+
+import org.apache.spark.sql.graftglue.GraftSqlGlue
+import org.apache.spark.sql.types._
+
+/** Range logic over the snapshot log's per-file column stats ([[ColStat]]).
+  *
+  * Values are rendered with Spark's Cast-to-string (UTC) at write time and
+  * parsed back with the same Cast here, then compared with Spark's own
+  * interpreted ordering for the column type — the exact discipline
+  * partition-path values use, so numerics, dates, timestamps and decimals
+  * all compare correctly (string-lexicographic comparison would not).
+  */
+object FileStats {
+
+  /** Column types stats are collected for. Binary/arrays/structs are
+    * excluded (not meaningfully range-comparable here). */
+  def isStatType(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case StringType | BooleanType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Strings longer than this are not recorded as bounds — a truncated
+    * max would no longer be an upper bound, so long strings simply opt
+    * the file out of pruning on that column. */
+  val MaxStringStatLength = 64
+
+  /** Can a file with `stat` bounds contain a value in [lo, hi]? A missing
+    * bound on either side means "unknown" → must answer true. */
+  def rangesOverlap(dt: DataType, stat: ColStat,
+      lo: Option[String], hi: Option[String]): Boolean = {
+    val ord = GraftSqlGlue.interpretedOrdering(dt)
+    def v(s: String): Any = GraftSqlGlue.castFromString(s, dt)
+    val disjointBelow = (stat.max, lo) match {
+      case (Some(mx), Some(l)) =>
+        val (a, b) = (v(mx), v(l)); a != null && b != null && ord.lt(a, b)
+      case _ => false
+    }
+    val disjointAbove = (stat.min, hi) match {
+      case (Some(mn), Some(h)) =>
+        val (a, b) = (v(mn), v(h)); a != null && b != null && ord.gt(a, b)
+      case _ => false
+    }
+    !disjointBelow && !disjointAbove
+  }
+
+  /** Point/directional predicates against a file's stat. `cmp` is one of
+    * "=", "<", "<=", ">", ">=" with the file's column on the LEFT. */
+  def mayMatch(dt: DataType, stat: ColStat, cmp: String, value: Any): Boolean = {
+    if (value == null) return true
+    val ord = GraftSqlGlue.interpretedOrdering(dt)
+    def bound(s: Option[String]): Option[Any] =
+      s.map(GraftSqlGlue.castFromString(_, dt)).filter(_ != null)
+    val mn = bound(stat.min)
+    val mx = bound(stat.max)
+    cmp match {
+      case "=" =>
+        mn.forall(m => ord.lteq(m, value)) && mx.forall(m => ord.gteq(m, value))
+      case "<" => mn.forall(m => ord.lt(m, value))
+      case "<=" => mn.forall(m => ord.lteq(m, value))
+      case ">" => mx.forall(m => ord.gt(m, value))
+      case ">=" => mx.forall(m => ord.gteq(m, value))
+      case _ => true
+    }
+  }
+}

@@ -136,7 +136,8 @@ class GraftTable(spark: SparkSession, val location: String) {
     * committed instead of republishing a stale JSON. */
   private def commit(operation: String, added: Seq[String],
       removed: Seq[String], schemaFor: Option[Snapshot] => String,
-      parts: Seq[String], expectedParent: Option[Long] = None): Long = {
+      parts: Seq[String], expectedParent: Option[Long] = None,
+      stats: Map[String, Map[String, ColStat]] = Map.empty): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -153,7 +154,8 @@ class GraftTable(spark: SparkSession, val location: String) {
       val id = parent.map(_.snapshotId + 1).getOrElse(0L)
       val snap = Snapshot(id, parent.map(_.snapshotId),
         System.currentTimeMillis(), operation, added, removed,
-        schemaFor(parent), parts)
+        schemaFor(parent), parts,
+        fileStats = if (stats.isEmpty) None else Some(stats))
       val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(Snapshot.toJson(snap).getBytes("UTF-8")) finally out.close()
@@ -206,6 +208,68 @@ class GraftTable(spark: SparkSession, val location: String) {
   private def stripPrefix(full: String, prefix: String): String = {
     val i = full.indexOf(prefix)
     full.substring(i + prefix.length).dropWhile(_ == '/')
+  }
+
+  /** Per-file column min/max for newly written files — the Iceberg
+    * manifest-stats equivalent, recorded in the committing snapshot and
+    * used by merge and the graft data source to skip files whose range
+    * cannot match (file-level pruning below partition granularity).
+    *
+    * One distributed aggregate over ONLY the new files (a batch, not the
+    * table). At production scale the same numbers come for free from the
+    * writer or the parquet footers; the snapshot-log contract is
+    * identical either way. Values render via Cast-to-string and parse
+    * back with the same Cast (see [[FileStats]]); timestamp stats are
+    * only collected in UTC sessions (rendering is timezone-dependent). */
+  private def collectStats(relFiles: Seq[String])
+      : Map[String, Map[String, ColStat]] = {
+    if (relFiles.isEmpty) return Map.empty
+    val parts = partitionCols
+    val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    val statFields = schema.fields
+      .filterNot(f => parts.contains(f.name))
+      .filter(f => FileStats.isStatType(f.dataType))
+      .filter(f => utc || f.dataType != org.apache.spark.sql.types.TimestampType)
+    if (statFields.isEmpty) return Map.empty
+    val nameToRel = relFiles
+      .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+
+    val df = spark.read
+      .schema(StructType(statFields.toIndexedSeq))
+      .parquet(relFiles.map(f => s"$location/$f"): _*)
+    val aggs = statFields.flatMap { f =>
+      Seq(min(col(f.name)).cast("string").as(s"mn_${f.name}"),
+        max(col(f.name)).cast("string").as(s"mx_${f.name}"))
+    }.toIndexedSeq
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+
+    rows.toSeq.flatMap { r =>
+      val fname = new Path(r.getString(0)).getName
+      nameToRel.get(fname).map { rel =>
+        rel -> statFields.flatMap { f =>
+          def ok(s: String): Boolean =
+            f.dataType != org.apache.spark.sql.types.StringType ||
+              s.length <= FileStats.MaxStringStatLength
+          val mn = Option(r.getAs[String](s"mn_${f.name}")).filter(ok)
+          val mx = Option(r.getAs[String](s"mx_${f.name}")).filter(ok)
+          if (mn.isEmpty && mx.isEmpty) None
+          else Some(f.name -> ColStat(mn, mx))
+        }.toMap
+      }
+    }.toMap.filter(_._2.nonEmpty)
+  }
+
+  /** Stats for `files`, resolved across the whole snapshot chain (stats
+    * travel with the snapshot that ADDED a file; rollback re-adds files
+    * without recomputing them). Missing entries mean "no info". */
+  def statsFor(files: Seq[String]): Map[String, Map[String, ColStat]] = {
+    val want = files.toSet
+    val out = scala.collection.mutable.Map.empty[String, Map[String, ColStat]]
+    snapshots.foreach(_.fileStats.foreach(_.foreach {
+      case (f, st) => if (want.contains(f)) out(f) = st
+    }))
+    out.toMap
   }
 
   /** Align df to the table schema (column order + types), as Iceberg's
@@ -263,7 +327,7 @@ class GraftTable(spark: SparkSession, val location: String) {
           .map(_.copy(nullable = true))
         StructType(cur.fields ++ extra).json
       case None => targetSchema.json
-    }, partitionCols)
+    }, partitionCols, stats = collectStats(added))
   }
 
   /** K1 overwrite: replace the full live file set. */
@@ -274,7 +338,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     val removed = liveFiles()
     val added = stageAndMove(aligned, partitionCols)
     commit("overwrite", added, removed, _ => schema.json, partitionCols,
-      expectedParent = parentAtRead)
+      expectedParent = parentAtRead, stats = collectStats(added))
   }
 
   // ---- readers ----
@@ -358,7 +422,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     val df = read().coalesce(math.max(filesPerPartition, 1))
     val added = stageAndMove(align(df, schema), partitionCols)
     commit("compact", added, removed, _ => schema.json, partitionCols,
-      expectedParent = parentAtRead)
+      expectedParent = parentAtRead, stats = collectStats(added))
   }
 
   /** Rollback: make `snapshotId`'s state current again via a NEW snapshot
@@ -385,13 +449,19 @@ class GraftTable(spark: SparkSession, val location: String) {
     val expired = all.dropRight(keepLast)
     val oldest = retained.head
 
-    // baseline: the oldest retained snapshot absorbs the history below it.
-    // Replacement is a single atomic OVERWRITE rename — a crash can leave
-    // the old or the new baseline, never a hole in the chain.
+    // baseline: the oldest retained snapshot absorbs the history below it
+    // (including the per-file stats of the files it now carries, which
+    // would otherwise be lost with the expired snapshots). Replacement is
+    // a single atomic OVERWRITE rename — a crash can leave the old or the
+    // new baseline, never a hole in the chain.
+    val baselineFiles = liveFiles(Some(oldest.snapshotId))
+    val baselineStats = statsFor(baselineFiles)
     val baseline = oldest.copy(
       parentId = None,
-      addedFiles = liveFiles(Some(oldest.snapshotId)),
-      removedFiles = Seq.empty)
+      addedFiles = baselineFiles,
+      removedFiles = Seq.empty,
+      fileStats =
+        if (baselineStats.isEmpty) None else Some(baselineStats))
     val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(Snapshot.toJson(baseline).getBytes("UTF-8")) finally out.close()
@@ -449,10 +519,13 @@ class GraftTable(spark: SparkSession, val location: String) {
   private[table] def commitMerge(added: Seq[String], removed: Seq[String],
       expectedParent: Option[Long]): Long =
     commit("merge", added, removed, _ => schema.json, partitionCols,
-      expectedParent = expectedParent)
+      expectedParent = expectedParent, stats = collectStats(added))
 
   private[table] def stageForMerge(df: DataFrame): Seq[String] =
     stageAndMove(align(df, schema), partitionCols)
+
+  private[table] def readFilesOf(files: Seq[String]): DataFrame =
+    readFiles(files)
 }
 
 object GraftTable {

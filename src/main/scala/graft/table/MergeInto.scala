@@ -54,6 +54,38 @@ object MergeInto {
       .drop("__rn")
   }
 
+  /** The batch's [min, max] per merge-key column (one tiny aggregate),
+    * rendered Cast-to-string like the snapshot log's file stats. */
+  private def sourceKeyRange(deduped: DataFrame, keys: Seq[String])
+      : Map[String, (Option[String], Option[String])] = {
+    val aggs = keys.flatMap(k => Seq(
+      min(col(k)).cast("string").as(s"mn_$k"),
+      max(col(k)).cast("string").as(s"mx_$k")))
+    val r = deduped.agg(aggs.head, aggs.tail: _*).collect()(0)
+    keys.map(k => k -> (Option(r.getAs[String](s"mn_$k")),
+      Option(r.getAs[String](s"mx_$k")))).toMap
+  }
+
+  /** File-level manifest pruning: a live file whose recorded key range
+    * cannot intersect the batch's key range can neither satisfy the
+    * matched-partition probe nor contain a row the merge must rewrite —
+    * it is carried forward untouched. This bounds COW write (AND read)
+    * amplification by FILES whose ranges overlap the batch, not by
+    * partitions, and the probe stops being a full-table scan. */
+  private def mayContainKeys(target: GraftTable, f: String,
+      stats: Map[String, Map[String, ColStat]], keys: Seq[String],
+      range: Map[String, (Option[String], Option[String])]): Boolean = {
+    val schema = target.schema
+    keys.forall { k =>
+      stats.get(f).flatMap(_.get(k)) match {
+        case Some(cs) =>
+          val (lo, hi) = range(k)
+          FileStats.rangesOverlap(schema(k).dataType, cs, lo, hi)
+        case None => true // no stats recorded → cannot prune
+      }
+    }
+  }
+
   /** @param opCol engine EXTENSION over the reference (which never
     *   interprets CDC op codes — SURVEY.md §2 N1): when set, source rows
     *   whose op ∈ `deleteOps` (after keep-latest dedup, so a later update
@@ -82,14 +114,21 @@ object MergeInto {
     }
 
     val parts = target.partitionCols
+    val live = target.liveFiles()
+    val stats = target.statsFor(live)
+    val keyRange = sourceKeyRange(deduped, keys)
+    def overlapping(files: Seq[String]): Seq[String] =
+      files.filter(f => mayContainKeys(target, f, stats, keys, keyRange))
+
     if (parts.isEmpty) {
-      // Unpartitioned: full-table COW rewrite.
-      val kept = target.read().join(deduped, keys, "left_anti")
+      // Unpartitioned COW, file-pruned: only files whose key range
+      // overlaps the batch are rewritten; the rest stay live untouched.
+      val touched = overlapping(live)
+      val kept = target.readFilesOf(touched).join(deduped, keys, "left_anti")
       val merged = kept.unionByName(inserts)
-      val removed = target.liveFiles()
       val added = target.stageForMerge(merged)
       deduped.unpersist(); dedupedAll.unpersist()
-      target.commitMerge(added, removed, parentAtRead)
+      target.commitMerge(added, touched, parentAtRead)
     } else {
       // Partition-pruned COW. Partition values are rendered with Spark's
       // own Cast-to-string (the conversion the partition-path writer uses),
@@ -104,15 +143,16 @@ object MergeInto {
           .collect().map(r => parts.map(p => Option(r.getAs[String](p))
             .getOrElse("__HIVE_DEFAULT_PARTITION__")))
       val srcParts = partTuples(deduped)
-      val matchedParts = partTuples(target.read()
+      // the probe reads only files whose key range can overlap the batch
+      // (file-level manifest pruning), not the full target
+      val matchedParts = partTuples(target.readFilesOf(overlapping(live))
         .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_semi"))
       val affected: Set[Seq[String]] = (srcParts ++ matchedParts).map(_.toSeq).toSet
 
-      val live = target.liveFiles()
-      val affectedFiles = live.filter { f =>
+      val affectedFiles = overlapping(live.filter { f =>
         val kv = target.partitionValues(f)
         affected.contains(parts.map(p => kv.getOrElse(p, "")))
-      }
+      })
       val sch = target.schema
       val affectedDf =
         if (affectedFiles.isEmpty)

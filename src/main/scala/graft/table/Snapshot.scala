@@ -13,6 +13,13 @@ package graft.table
   * At 100 TB the file lists would be split into manifest files; the commit
   * protocol (write-new, atomic-rename, retry on collision) is unchanged.
   */
+/** Per-file, per-column min/max, rendered with Spark's Cast-to-string (in
+  * UTC) and parsed back with the same Cast — the discipline partition-path
+  * values already use. A missing bound means "no information" (readers
+  * must keep the file); bounds are dropped for long strings rather than
+  * truncated, because a truncated max is no longer an upper bound. */
+case class ColStat(min: Option[String], max: Option[String])
+
 case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
@@ -21,7 +28,11 @@ case class Snapshot(
     addedFiles: Seq[String],
     removedFiles: Seq[String],
     schemaJson: String,
-    partitionCols: Seq[String])
+    partitionCols: Seq[String],
+    /** file → column → min/max for the files ADDED by this snapshot
+      * (Iceberg's manifest column stats; Option so pre-stats snapshot JSON
+      * still parses). */
+    fileStats: Option[Map[String, Map[String, ColStat]]] = None)
 
 object Snapshot {
   import org.json4s._

@@ -16,4 +16,18 @@ object GraftSqlGlue {
     * writer escapes — NOT URL decoding). */
   def unescapePathName(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  /** Parse a Cast-to-string-rendered value back to its Spark-internal form
+    * (UTC, matching how file stats and partition values are rendered). */
+  def castFromString(s: String, dt: types.DataType): Any =
+    catalyst.expressions.Cast(
+      catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        types.StringType),
+      dt, Some("UTC")).eval(null)
+
+  /** Spark's interpreted ordering for a data type (compares the INTERNAL
+    * representation castFromString returns). */
+  def interpretedOrdering(dt: types.DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
 }

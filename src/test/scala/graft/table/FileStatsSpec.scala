@@ -1,0 +1,178 @@
+package graft.table
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Per-file column min/max stats in the snapshot log (the Iceberg
+  * manifest-stats analogue) and the two consumers that prune with them:
+  * MergeInto (file-level COW/probe pruning below partition granularity)
+  * and GraftFileIndex (data-filter file skipping before the scan).
+  */
+class FileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String) = GraftTable(spark, tmpDir(name) + "/t")
+
+  /** numFiles actually read by the executed scan (unwraps AQE). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case other => other.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    scans(df.queryExecution.executedPlan)
+  }
+
+  test("append records per-file min/max in the snapshot log, round-trips typed") {
+    val t = freshTable("fs-record")
+    t.append(Seq((5L, "m", 2.5), (1L, "a", 0.5), (9L, "z", 9.5))
+      .toDF("id", "v", "x").coalesce(1))
+    val live = t.liveFiles()
+    assert(live.size === 1)
+    val stats = t.statsFor(live)
+    val cols = stats(live.head)
+    assert(cols("id") === ColStat(Some("1"), Some("9")))
+    assert(cols("v") === ColStat(Some("a"), Some("z")))
+    assert(cols("x").min.get.toDouble === 0.5)
+    assert(cols("x").max.get.toDouble === 9.5)
+  }
+
+  test("unpartitioned merge rewrites ONLY files whose key range overlaps the batch") {
+    val t = freshTable("fs-merge-prune")
+    // two files with disjoint id ranges
+    t.append((1L to 100L).map(i => (i, s"a$i", 1L)).toDF("id", "v", "ts")
+      .coalesce(1))
+    t.append((1000L to 1100L).map(i => (i, s"b$i", 1L)).toDF("id", "v", "ts")
+      .coalesce(1))
+    val before = t.liveFiles().toSet
+    assert(before.size === 2)
+    val loFile = before.find(f => t.statsFor(Seq(f))(f)("id").max.get.toLong <= 100L).get
+
+    // batch touches only the 1000..1100 range
+    t.merge(Seq((1000L, "updated", 2L), (2000L, "inserted", 2L))
+      .toDF("id", "v", "ts"), keys = Seq("id"), dedupKey = Seq("id"),
+      orderCol = "ts")
+
+    val snap = t.snapshots.last
+    assert(snap.operation === "merge")
+    // the low-range file was never rewritten: still live, not in removedFiles
+    assert(t.liveFiles().contains(loFile))
+    assert(!snap.removedFiles.contains(loFile))
+    assert(snap.removedFiles.size === 1)
+    // and the data is correct: 100 + 101 existing, 1 updated in place, 1 insert
+    val out = t.read()
+    assert(out.count() === 202)
+    assert(out.filter($"id" === 1000L).select("v").as[String].collect() ===
+      Array("updated"))
+  }
+
+  test("merge with fully disjoint batch keeps every existing file (insert-only fast path)") {
+    val t = freshTable("fs-merge-disjoint")
+    t.append((1L to 50L).map(i => (i, s"a$i", 1L)).toDF("id", "v", "ts")
+      .coalesce(1))
+    val before = t.liveFiles().toSet
+    t.merge(Seq((5000L, "new", 2L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "ts")
+    // no existing file's range overlaps id=5000 → nothing rewritten
+    assert(t.snapshots.last.removedFiles.isEmpty)
+    assert(before.subsetOf(t.liveFiles().toSet))
+    assert(t.read().count() === 51)
+  }
+
+  test("scan skips files whose recorded range cannot satisfy the pushed filter") {
+    val dir = tmpDir("fs-scan-skip") + "/t"
+    val t = GraftTable(spark, dir)
+    t.append((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t.append((1000L to 1100L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    t.append((5000L to 5100L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1))
+
+    val all = spark.read.format("graft").load(dir)
+    assert(all.inputFiles.length === 3)
+    // equality inside one file's range
+    assert(scannedFiles(all.filter($"id" === 1050L)) === 1)
+    // range predicate spanning two files
+    assert(scannedFiles(all.filter($"id" >= 1000L)) === 2)
+    // IN list hitting two files
+    assert(scannedFiles(all.filter($"id".isin(5L, 5050L))) === 2)
+    // string bounds prune too
+    assert(scannedFiles(all.filter($"v" === "c5000")) === 1)
+    // non-prunable filter keeps everything (correctness over pruning)
+    assert(scannedFiles(all.filter(length($"v") > 1)) === 3)
+    // results are still correct
+    assert(all.filter($"id" === 1050L).select("v").as[String].collect() ===
+      Array("b1050"))
+  }
+
+  test("files without recorded stats are conservatively kept") {
+    // simulate a pre-stats snapshot by stripping fileStats from the log
+    val dir = tmpDir("fs-nostats") + "/t"
+    val t = GraftTable(spark, dir)
+    t.append((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    val metaDir = new java.io.File(dir, "_graft")
+    metaDir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      val json = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val stripped = Snapshot.toJson(Snapshot.fromJson(json).copy(fileStats = None))
+      java.nio.file.Files.write(f.toPath, stripped.getBytes("UTF-8"))
+    }
+    val t2 = GraftTable(spark, dir)
+    assert(t2.statsFor(t2.liveFiles()).isEmpty)
+    val back = spark.read.format("graft").load(dir).filter($"id" === 99L)
+    assert(back.count() === 0) // no rows, but the file was scanned, not skipped
+    // merge still correct without stats
+    t2.merge(Seq((1L, "upd")).toDF("id", "v"), keys = Seq("id"),
+      dedupKey = Seq("id"), orderCol = "id")
+    assert(t2.read().filter($"id" === 1L).select("v").as[String].collect() ===
+      Array("upd"))
+  }
+
+  test("FileStats range logic: typed comparison, not lexicographic") {
+    // 9 < 10 numerically but "9" > "10" lexicographically — must prune typed
+    val stat = ColStat(Some("2"), Some("9"))
+    assert(!FileStats.mayMatch(LongType, stat, "=", 10L))
+    assert(FileStats.mayMatch(LongType, stat, "=", 9L))
+    assert(FileStats.mayMatch(LongType, stat, "<", 3L))
+    assert(!FileStats.mayMatch(LongType, stat, "<", 2L))
+    assert(!FileStats.mayMatch(LongType, stat, ">", 9L))
+    assert(FileStats.mayMatch(LongType, stat, ">=", 9L))
+    assert(FileStats.rangesOverlap(LongType, stat, Some("9"), Some("100")))
+    assert(!FileStats.rangesOverlap(LongType, stat, Some("10"), Some("100")))
+    // missing bounds are "unknown" → never prune
+    val open = ColStat(None, Some("5"))
+    assert(FileStats.mayMatch(LongType, open, "<", -100L))
+    assert(FileStats.rangesOverlap(LongType, open, None, None))
+    // dates compare as dates
+    val dstat = ColStat(Some("2024-01-05"), Some("2024-02-01"))
+    assert(!FileStats.mayMatch(DateType,
+      dstat, "=", GraftSqlGlueBridge.dateDays("2024-03-01")))
+    assert(FileStats.mayMatch(DateType,
+      dstat, "=", GraftSqlGlueBridge.dateDays("2024-01-10")))
+  }
+
+  test("stats survive expire (baseline absorbs them) and compact recomputes") {
+    val t = freshTable("fs-expire")
+    t.append((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t.append((100L to 110L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    t.append((200L to 210L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1))
+    t.expireSnapshots(keepLast = 2)
+    val t2 = GraftTable(spark, t.location)
+    val live = t2.liveFiles()
+    val stats = t2.statsFor(live)
+    assert(stats.size === live.size, s"stats lost on expire: ${stats.keys}")
+    t2.compact(filesPerPartition = 1)
+    val live2 = t2.liveFiles()
+    assert(live2.size === 1)
+    assert(t2.statsFor(live2)(live2.head)("id") === ColStat(Some("1"), Some("210")))
+  }
+}
+
+/** Test-side helper for building internal date values. */
+object GraftSqlGlueBridge {
+  def dateDays(s: String): Int =
+    java.time.LocalDate.parse(s).toEpochDay.toInt
+}
