@@ -28,28 +28,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$what must be an integer literal, got $other")
     }
 
+    // wrong arg counts fail at analysis time (ANALYSIS-grade error, not a
+    // runtime NoSuchElementException deep in planning); wrong arg TYPES are
+    // rejected by each expression's ExpectsInputTypes check
+    def arity(name: String, args: Seq[Expression], lo: Int,
+        hi: Int): Unit =
+      if (args.size < lo || args.size > hi) {
+        val want = if (lo == hi) s"$lo" else s"$lo to $hi"
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> want,
+            "actualNum" -> args.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+
     ext.injectFunction((
       FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
-      (args: Seq[Expression]) => RollingHash64(args.head)))
+      (args: Seq[Expression]) => {
+        arity("rolling_hash64", args, 1, 1)
+        RollingHash64(args.head)
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => {
+        arity("simhash64", args, 1, 1)
+        SimHash64(args.head)
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) =>
-        WordShingles(args.head, intArg(args(1), "shingle size k"))))
+      (args: Seq[Expression]) => {
+        arity("word_shingles", args, 2, 2)
+        WordShingles(args.head, intArg(args(1), "shingle size k"))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),
-      (args: Seq[Expression]) => HyperplaneBucketExpr(args.head,
-        intArg(args(1), "nPlanes"),
-        if (args.size > 2) intArg(args(2), "seed") else 7)))
+      (args: Seq[Expression]) => {
+        arity("hyperplane_bucket", args, 2, 3)
+        HyperplaneBucketExpr(args.head,
+          intArg(args(1), "nPlanes"),
+          if (args.size > 2) intArg(args(2), "seed") else 7)
+      }))
 
     // SQL `INSERT INTO <graft table>` would route through Spark's generic
     // HadoopFsRelation insert, writing parquet files straight into the

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.GraftSqlGlue
@@ -18,9 +18,10 @@ object HashExpressions {
 
   /** FNV-1a 64-bit rolling content hash of a string — the document
     * fingerprint primitive. Deterministic, allocation-free, codegen'd. */
-  case class RollingHash64(child: Expression) extends UnaryExpression {
+  case class RollingHash64(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
     override def dataType: DataType = LongType
-    // input: StringType (enforced by callers)
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] = Seq(StringType)
     override def prettyName: String = "rolling_hash64"
 
     override def nullSafeEval(input: Any): Any =
@@ -58,9 +59,10 @@ object HashExpressions {
     * reproduces the fingerprint bit-for-bit, so the whole near-dup operator
     * is oracle-checkable end to end (an engine-private hash like xxhash64
     * would make the output unverifiable outside Spark). */
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
     override def dataType: DataType = LongType
-    // input: ArrayType(StringType) (enforced by callers)
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] = Seq(ArrayType(StringType))
     override def prettyName: String = "simhash64"
 
     override def nullSafeEval(input: Any): Any = {
@@ -131,8 +133,10 @@ object HashExpressions {
     * O(tokens²) work per doc in exactly the hot dedup paths. Measured ~30×
     * on sf0.1 documents. Semantics (short docs → one whole-doc shingle)
     * match the SQL oracle mirror exactly. */
-  case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  case class WordShingles(child: Expression, k: Int) extends UnaryExpression
+      with ExpectsInputTypes {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] = Seq(ArrayType(StringType))
     override def prettyName: String = "word_shingles"
 
     override def nullSafeEval(input: Any): Any =

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.GraftSqlGlue
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native vector expressions for the ANN hot path. */
 object VectorExpressions {
@@ -19,10 +19,11 @@ object VectorExpressions {
     * row; this is one tight O(planes·dims) primitive loop, codegen'd —
     * the map-side cost of corpus bucketing at 100 TB. */
   case class HyperplaneBucketExpr(child: Expression, nPlanes: Int, seed: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
     require(nPlanes > 0 && nPlanes <= 64,
       s"nPlanes must be in [1, 64] (bits of one long), got $nPlanes")
     override def dataType: DataType = LongType
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] = Seq(ArrayType(FloatType))
     override def prettyName: String = "hyperplane_bucket"
 
     override def nullSafeEval(input: Any): Any =

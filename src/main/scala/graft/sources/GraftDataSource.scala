@@ -40,18 +40,22 @@ class GraftDataSource extends RelationProvider
     val table = GraftTable(spark, path)
     require(table.exists, s"no graft table at $path")
 
-    val files: Seq[String] = parameters.get("startSnapshotId") match {
-      case Some(start) =>
-        val end = parameters.get("endSnapshotId").map(_.toLong)
-          .orElse(table.latestSnapshotId).getOrElse(0L)
-        table.incrementalFiles(start.toLong, end)
-      case None => parameters.get("snapshotId") match {
-        case Some(id) => table.liveFiles(Some(id.toLong))
-        case None => table.liveFiles()
+    // (files, as-of snapshot for schema resolution): historical reads use
+    // the schema their snapshot was committed under, as Iceberg does —
+    // never the latest schema
+    val (files: Seq[String], asOf: Option[Long]) =
+      parameters.get("startSnapshotId") match {
+        case Some(start) =>
+          val end = parameters.get("endSnapshotId").map(_.toLong)
+            .orElse(table.latestSnapshotId).getOrElse(0L)
+          (table.incrementalFiles(start.toLong, end), Some(end))
+        case None => parameters.get("snapshotId") match {
+          case Some(id) => (table.liveFiles(Some(id.toLong)), Some(id.toLong))
+          case None => (table.liveFiles(), None)
+        }
       }
-    }
 
-    val fullSchema = table.schema
+    val fullSchema = table.schemaAt(asOf)
     val partCols = table.partitionCols
     val partSchema = StructType(partCols.map(fullSchema(_)))
     val dataSchema = StructType(

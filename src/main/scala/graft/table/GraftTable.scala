@@ -74,6 +74,21 @@ class GraftTable(spark: SparkSession, val location: String) {
     case None => throw new IllegalStateException(s"no such table: $location")
   }
 
+  /** Schema as of a snapshot id — the schema that snapshot was committed
+    * under (Iceberg semantics: historical reads use historical schemas,
+    * so a column added later does not appear, null-filled, in time-travel
+    * or incremental results). */
+  def schemaAt(asOf: Option[Long]): StructType = asOf match {
+    case None => schema
+    case Some(id) =>
+      snapshots.takeWhile(_.snapshotId <= id).lastOption match {
+        case Some(s) => DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+        // below expired history: the read is empty anyway (liveFiles is
+        // empty there) — latest schema keeps that contract intact
+        case None => schema
+      }
+  }
+
   def partitionCols: Seq[String] =
     latestSnapshot.map(_.partitionCols).getOrElse(Seq.empty)
 
@@ -343,8 +358,9 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   // ---- readers ----
 
-  private def readFiles(files: Seq[String]): DataFrame = {
-    val sch = schema
+  private def readFiles(files: Seq[String],
+      asOf: Option[Long] = None): DataFrame = {
+    val sch = schemaAt(asOf)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
     } else {
@@ -358,9 +374,9 @@ class GraftTable(spark: SparkSession, val location: String) {
   /** S5: full scan of the latest snapshot. */
   def read(): DataFrame = readFiles(liveFiles())
 
-  /** Time travel: scan as of a snapshot id. */
+  /** Time travel: scan as of a snapshot id, under that snapshot's schema. */
   def readAsOf(snapshotId: Long): DataFrame =
-    readFiles(liveFiles(Some(snapshotId)))
+    readFiles(liveFiles(Some(snapshotId)), asOf = Some(snapshotId))
 
   /** S6: incremental append scan — exactly the rows added by snapshots in
     * `(startExclusive, endInclusive]`, reading only those files. Mirrors
@@ -368,7 +384,8 @@ class GraftTable(spark: SparkSession, val location: String) {
     * (/root/reference/bronze-silver.py:146-149) including its restriction
     * to append snapshots. */
   def readIncremental(startExclusive: Long, endInclusive: Long): DataFrame =
-    readFiles(incrementalFiles(startExclusive, endInclusive))
+    readFiles(incrementalFiles(startExclusive, endInclusive),
+      asOf = Some(endInclusive))
 
   /** Files added by append snapshots in `(startExclusive, endInclusive]`;
     * refuses ranges crossing rewrites, as Iceberg's incremental scan does. */

@@ -17,6 +17,10 @@ object GraftSqlGlue {
   def unescapePathName(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
+  /** Public alias for the private[sql] AbstractDataType, so graft
+    * expressions can declare ExpectsInputTypes.inputTypes. */
+  type SqlAbstractDataType = types.AbstractDataType
+
   /** Parse a Cast-to-string-rendered value back to its Spark-internal form
     * (UTC, matching how file stats and partition values are rendered). */
   def castFromString(s: String, dt: types.DataType): Any =

@@ -48,6 +48,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql === viaScala)
   }
 
+  test("wrong arity or input type fails at analysis, not deep in planning") {
+    import org.apache.spark.sql.AnalysisException
+    // arity
+    intercept[AnalysisException](spark.sql("SELECT rolling_hash64()"))
+    intercept[AnalysisException](spark.sql("SELECT simhash64()"))
+    intercept[AnalysisException](
+      spark.sql("SELECT word_shingles(array('a','b'))"))
+    intercept[AnalysisException](
+      spark.sql("SELECT hyperplane_bucket(array(CAST(1.0 AS FLOAT)))"))
+    // input types (ExpectsInputTypes → clean AnalysisException, not a
+    // runtime ClassCastException or Janino compile error)
+    intercept[AnalysisException](spark.sql("SELECT rolling_hash64(123)").collect())
+    intercept[AnalysisException](
+      spark.sql("SELECT simhash64('not-an-array')").collect())
+    intercept[AnalysisException](
+      spark.sql("SELECT word_shingles(map('a','b'), 2)").collect())
+    intercept[AnalysisException](
+      spark.sql("SELECT hyperplane_bucket(array(1.0, 2.0), 8)").collect())
+  }
+
   test("SQL INSERT INTO a graft table is rejected (bypasses the snapshot log)") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-insert").toString

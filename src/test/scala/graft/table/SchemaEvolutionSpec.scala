@@ -58,13 +58,25 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
-  test("time travel sees the schema-evolved data consistently") {
+  test("historical reads use the schema their snapshot was committed under") {
     val t = GraftTable(spark, tmpDir("se-tt") + "/t")
     t.append(Seq((1L, "a")).toDF("id", "v"))
     val s1 = t.latestSnapshotId.get
     t.append(Seq((2L, "b", 9L)).toDF("id", "v", "extra"), mergeSchema = true)
-    // latest read: 3 columns; as-of read uses the current (latest) schema
+    // latest read: 3 columns; as-of read uses the AS-OF schema (Iceberg
+    // semantics — a column added later must not appear null-filled in
+    // time-travel results)
     assert(t.read().columns.length === 3)
+    assert(t.readAsOf(s1).columns.toSeq === Seq("id", "v"))
     assert(t.readAsOf(s1).count() === 1)
+    // same through the data source's snapshotId option
+    val asOf = spark.read.format("graft")
+      .option("snapshotId", s1.toString).load(t.location)
+    assert(asOf.columns.toSeq === Seq("id", "v"))
+    // incremental reads resolve the END snapshot's schema
+    val inc = t.readIncremental(s1, t.latestSnapshotId.get)
+    assert(inc.columns.toSeq === Seq("id", "v", "extra"))
+    assert(inc.count() === 1)
   }
+
 }
