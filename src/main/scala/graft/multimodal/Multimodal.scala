@@ -12,36 +12,26 @@ import org.apache.spark.sql.types._
   * be opened once per partition (exactly how a real image codec would be
   * held).
   *
-  * The Spark-side contract — schema, partitioning, batch shape, null
-  * passthrough — is real and tested. The codec itself is a STUB (this
-  * container has no image/audio libraries): `decodeStub` derives
-  * deterministic pseudo-metadata and features from the payload bytes, and
-  * is clearly marked below. Swapping in a real decoder changes only the
-  * function body, nothing in the plan.
+  * Metadata decode is REAL: [[MediaCodec]] parses JPEG SOF / PNG IHDR /
+  * GIF screen-descriptor / WAV fmt+data headers straight from the payload
+  * bytes (pure JVM, no codec dependency). Unrecognized or corrupt payloads
+  * decode as format "unknown" with null metadata — never an exception.
+  * Only FEATURE extraction (`featuresStub`, standing in for an embedding
+  * model forward pass) remains a declared stub: swapping in a model
+  * changes only that function body, nothing in the plan.
   */
 object Multimodal {
 
-  /** media metadata struct produced by "decode". */
+  /** media metadata struct produced by decode. Image fields are null for
+    * audio and vice versa; all null (but size_bytes) for "unknown". */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
     StructField("size_bytes", LongType)))
-
-  /** ======== STUB ========
-    * Deterministic fake decode: metadata and a fixed-length feature vector
-    * derived purely from the payload bytes (FNV-64 mixing), so tests are
-    * reproducible. A real implementation would call an image/audio codec
-    * here — per-partition, not per-row. */
-  def decodeStub(payload: Array[Byte]): (String, Int, Int, Int, Long) = {
-    val h = graft.functions.HashExpressions.RollingHash64.hash(payload)
-    val fmt = Seq("jpeg", "png", "webp")(math.floorMod(h, 3).toInt)
-    val width = 64 + math.floorMod(h >> 8, 1024).toInt
-    val height = 64 + math.floorMod(h >> 20, 1024).toInt
-    val frames = 1 + math.floorMod(h >> 32, 30).toInt
-    (fmt, width, height, frames, payload.length.toLong)
-  }
 
   /** ======== STUB ========
     * Deterministic fake feature extraction: `dim` floats mixed from the
@@ -77,8 +67,11 @@ object Multimodal {
         if (r.isNullAt(payloadIdx)) Row(id, null, null)
         else {
           val payload = r.getAs[Array[Byte]](payloadIdx)
-          val (fmt, w, h, nf, sz) = decodeStub(payload)
-          Row(id, Row(fmt, w, h, nf, sz),
+          val m = MediaCodec.decode(payload)
+          def box(o: Option[Int]): Any = o.map(Int.box).orNull
+          Row(id,
+            Row(m.format, box(m.width), box(m.height), box(m.nFrames),
+              box(m.sampleRate), box(m.channels), m.sizeBytes),
             featuresStub(payload, featureDim).toSeq)
         }
       }
@@ -87,16 +80,17 @@ object Multimodal {
 
   /** "Resize": metadata-level op — recompute target dims so the LARGER
     * side fits maxSide, preserving aspect ratio; no-op if already within
-    * bounds. Null meta (tombstones) passes through as null — Spark's
-    * least()/greatest() skip nulls, so the null case must be explicit or a
-    * tombstone would come out claiming maxSide-px dimensions. (The real
-    * pixel op is the stubbed codec's job; the plan-level contract — a map
-    * over the meta struct, no shuffle — is what's real.) */
+    * bounds. Null meta (tombstones) and non-image media (null dims: audio,
+    * unknown) pass through as null — Spark's least()/greatest() skip
+    * nulls, so the null cases must be explicit or a tombstone would come
+    * out claiming maxSide-px dimensions. (The real pixel op needs a full
+    * decoder; the plan-level contract — a map over the meta struct, no
+    * shuffle — is what's real.) */
   def resizeMeta(decoded: DataFrame, maxSide: Int): DataFrame = {
     val longSide = greatest(col("meta.width"), col("meta.height"))
     val scale = least(lit(maxSide.toDouble) / longSide, lit(1.0))
     decoded.withColumn("resized",
-      when(col("meta").isNull, lit(null))
+      when(col("meta").isNull || col("meta.width").isNull, lit(null))
         .otherwise(struct(
           col("meta.format").as("format"),
           floor(col("meta.width") * scale).cast("int").as("width"),
