@@ -112,9 +112,9 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
   def merge(name: String, source: DataFrame, keys: Seq[String],
       dedupKey: Seq[String], orderCol: String,
       opCol: Option[String] = None,
-      deleteOps: Seq[String] = Seq("D")): Long = {
+      deleteOps: Seq[String] = Seq("D"), mode: String = "cow"): Long = {
     val id = table(name).merge(source, keys, dedupKey, orderCol, opCol,
-      deleteOps)
+      deleteOps, mode)
     refresh(name)
     id
   }

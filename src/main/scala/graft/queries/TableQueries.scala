@@ -92,6 +92,39 @@ object TableQueries {
       |      UNION ALL SELECT * FROM source)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** J1 merge-on-read: TWO chained MOR merges (tombstone delete files, no
+    * rewrite — the reference silver's format-version-2 write mode,
+    * /root/reference/bronze-silver.py:184-194) against a partitioned
+    * target; the read merges both tombstone generations. The second batch
+    * overrides part of the first (keys divisible by 15), pinning tombstone
+    * sequence ordering end to end against the oracle. */
+  val qTableMergeMor: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("mormerge"))
+    val target = Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+    t.append(target, parts = Seq("o_orderstatus"))
+    val src1 = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+    t.merge(src1, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    val src2 = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("Y"))
+    t.merge(src2, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    project(t.read())
+  }
+  val qTableMergeMorSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN 'Y'
+      |       WHEN o_orderkey % 3 = 0 THEN 'X'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** S7: snapshot history view — deterministic columns only. */
   val qHistory: Q = (s, dir) => {
     val t = GraftTable(s, scratch("hist"))
@@ -192,6 +225,7 @@ object TableQueries {
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
+    ("q_table_merge_mor", qTableMergeMor, Some(qTableMergeMorSql)),
     ("q_table_history", qHistory, Some(qHistorySql)),
     ("q_table_maintenance", qMaintenance, Some(qMaintenanceSql)),
   )

@@ -55,6 +55,15 @@ class GraftDataSource extends RelationProvider
         }
       }
 
+    // a HadoopFsRelation is a bare file scan — it cannot apply MOR
+    // equality-delete tombstones, so refuse rather than resurrect
+    // deleted rows (compaction folds tombstones and re-enables this path)
+    require(!table.hasApplicableDeletes(files, asOf),
+      s"graft table at $path has merge-on-read delete files applying to " +
+        "this read; the format(\"graft\") scan cannot merge tombstones — " +
+        "read via GraftTable.read()/readAsOf(), or run compact() to fold " +
+        "them into data files first")
+
     val fullSchema = table.schemaAt(asOf)
     val partCols = table.partitionCols
     val partSchema = StructType(partCols.map(fullSchema(_)))

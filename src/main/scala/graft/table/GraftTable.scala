@@ -104,13 +104,55 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   /** Live data files (relative paths) as of `asOf` (default: latest). */
   def liveFiles(asOf: Option[Long] = None): Seq[String] = {
-    val chain = asOf match {
-      case Some(id) => snapshots.takeWhile(_.snapshotId <= id)
-      case None => snapshots
-    }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    chain.foreach { s => live --= s.removedFiles; live ++= s.addedFiles }
+    chainTo(asOf).foreach { s => live --= s.removedFiles; live ++= s.addedFiles }
     live.toSeq
+  }
+
+  private def chainTo(asOf: Option[Long]): Seq[Snapshot] = asOf match {
+    case Some(id) => snapshots.takeWhile(_.snapshotId <= id)
+    case None => snapshots
+  }
+
+  /** Live MOR delete files (with their apply-before sequence) as of
+    * `asOf`. Empty for pure-COW tables — the overwhelmingly common case,
+    * so readers pay nothing unless tombstones actually exist. */
+  def liveDeletes(asOf: Option[Long] = None): Seq[DeleteFile] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, DeleteFile]
+    chainTo(asOf).foreach { s =>
+      s.removedDeleteFiles.foreach(_.foreach(live.remove))
+      s.addedDeleteFiles.foreach(_.foreach(d => live(d.path) = d))
+    }
+    live.values.toSeq
+  }
+
+  /** Do any live tombstones (as of `asOf`) apply to any of `files`?
+    * Used by the graft data source to refuse scans it cannot answer
+    * correctly (a bare file scan cannot apply equality deletes). */
+  def hasApplicableDeletes(files: Seq[String],
+      asOf: Option[Long] = None): Boolean = {
+    val deletes = liveDeletes(asOf)
+    deletes.nonEmpty && {
+      val addSeq = fileAddSeqs(asOf)
+      val maxSeq = deletes.map(_.seq).max
+      files.exists(f => addSeq.getOrElse(f, Long.MaxValue) < maxSeq)
+    }
+  }
+
+  /** Add-sequence of every data file seen in the chain: the id of the
+    * snapshot that FIRST added it (`fileSeqs` override wins — the expire
+    * baseline records original sequences there). First-add, not last-add,
+    * so a rollback that re-adds files keeps tombstones applicable to
+    * them. */
+  private def fileAddSeqs(asOf: Option[Long]): Map[String, Long] = {
+    val seqs = scala.collection.mutable.Map.empty[String, Long]
+    chainTo(asOf).foreach { s =>
+      s.addedFiles.foreach { f =>
+        if (!seqs.contains(f))
+          seqs(f) = s.fileSeqs.flatMap(_.get(f)).getOrElse(s.snapshotId)
+      }
+    }
+    seqs.toMap
   }
 
   // ---- commit protocol ----
@@ -152,7 +194,12 @@ class GraftTable(spark: SparkSession, val location: String) {
   private def commit(operation: String, added: Seq[String],
       removed: Seq[String], schemaFor: Option[Snapshot] => String,
       parts: Seq[String], expectedParent: Option[Long] = None,
-      stats: Map[String, Map[String, ColStat]] = Map.empty): Long = {
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
+      // MOR delete-file changes; addDeletePaths get seq = the committed
+      // snapshot's id (they apply to strictly older data files)
+      addDeletePaths: Seq[String] = Seq.empty,
+      removeDeletes: Seq[String] = Seq.empty,
+      reAddDeletes: Seq[DeleteFile] = Seq.empty): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -167,10 +214,16 @@ class GraftTable(spark: SparkSession, val location: String) {
               s"$operation against the current snapshot and retry")
       }
       val id = parent.map(_.snapshotId + 1).getOrElse(0L)
+      val addedDeletes =
+        addDeletePaths.map(DeleteFile(_, id)) ++ reAddDeletes
       val snap = Snapshot(id, parent.map(_.snapshotId),
         System.currentTimeMillis(), operation, added, removed,
         schemaFor(parent), parts,
-        fileStats = if (stats.isEmpty) None else Some(stats))
+        fileStats = if (stats.isEmpty) None else Some(stats),
+        addedDeleteFiles =
+          if (addedDeletes.isEmpty) None else Some(addedDeletes),
+        removedDeleteFiles =
+          if (removeDeletes.isEmpty) None else Some(removeDeletes))
       val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(Snapshot.toJson(snap).getBytes("UTF-8")) finally out.close()
@@ -345,7 +398,8 @@ class GraftTable(spark: SparkSession, val location: String) {
     }, partitionCols, stats = collectStats(added))
   }
 
-  /** K1 overwrite: replace the full live file set. */
+  /** K1 overwrite: replace the full live file set (tombstones included —
+    * the new state has no history for them to apply to). */
   def overwrite(df: DataFrame, parts: Seq[String] = Seq.empty): Long = {
     if (!exists) return append(df, parts)
     val parentAtRead = latestSnapshotId
@@ -353,7 +407,8 @@ class GraftTable(spark: SparkSession, val location: String) {
     val removed = liveFiles()
     val added = stageAndMove(aligned, partitionCols)
     commit("overwrite", added, removed, _ => schema.json, partitionCols,
-      expectedParent = parentAtRead, stats = collectStats(added))
+      expectedParent = parentAtRead, stats = collectStats(added),
+      removeDeletes = liveDeletes().map(_.path))
   }
 
   // ---- readers ----
@@ -371,12 +426,35 @@ class GraftTable(spark: SparkSession, val location: String) {
     }
   }
 
+  /** MOR-aware scan: apply live equality-delete tombstones to `files`.
+    * Data files are grouped by which deletes apply (a delete at seq D
+    * covers files first-added strictly before D, so the applicable set is
+    * a suffix of the deletes sorted by seq — at most |deletes|+1 groups);
+    * each group anti-joins its tombstone keys, broadcast (delete batches
+    * are small BY CONSTRUCTION — merges choose MOR only for small
+    * batches; compaction folds tombstones away). Pure-COW tables take the
+    * plain scan path with zero overhead. */
+  private def morRead(files: Seq[String], asOf: Option[Long]): DataFrame = {
+    val deletes = liveDeletes(asOf).sortBy(_.seq)
+    if (deletes.isEmpty) return readFiles(files, asOf)
+    val addSeq = fileAddSeqs(asOf)
+    val groups = files.groupBy(f =>
+      deletes.filter(_.seq > addSeq.getOrElse(f, Long.MaxValue)))
+    if (groups.isEmpty) return readFiles(files, asOf)
+    groups.map { case (applicable, groupFiles) =>
+      applicable.foldLeft(readFiles(groupFiles, asOf)) { (df, d) =>
+        val keys = spark.read.parquet(s"$location/${d.path}")
+        df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+      }
+    }.reduce(_ unionByName _)
+  }
+
   /** S5: full scan of the latest snapshot. */
-  def read(): DataFrame = readFiles(liveFiles())
+  def read(): DataFrame = morRead(liveFiles(), None)
 
   /** Time travel: scan as of a snapshot id, under that snapshot's schema. */
   def readAsOf(snapshotId: Long): DataFrame =
-    readFiles(liveFiles(Some(snapshotId)), asOf = Some(snapshotId))
+    morRead(liveFiles(Some(snapshotId)), asOf = Some(snapshotId))
 
   /** S6: incremental append scan — exactly the rows added by snapshots in
     * `(startExclusive, endInclusive]`, reading only those files. Mirrors
@@ -409,7 +487,7 @@ class GraftTable(spark: SparkSession, val location: String) {
         keep.get(p).forall(vals => kv.get(p).forall(vals.contains))
       }
     }
-    readFiles(files)
+    morRead(files, None)
   }
 
   /** Parse `k=v` partition-dir components of a relative file path. Values
@@ -436,10 +514,15 @@ class GraftTable(spark: SparkSession, val location: String) {
   def compact(filesPerPartition: Int = 1): Long = {
     val parentAtRead = latestSnapshotId
     val removed = liveFiles()
+    // read() is MOR-aware, so compaction FOLDS tombstones into the
+    // rewritten data and retires the delete files — the Iceberg
+    // rewrite_data_files + rewrite_position_delete_files pair in one.
     val df = read().coalesce(math.max(filesPerPartition, 1))
     val added = stageAndMove(align(df, schema), partitionCols)
+    // tombstone files stay on disk for time travel; expire removes them
     commit("compact", added, removed, _ => schema.json, partitionCols,
-      expectedParent = parentAtRead, stats = collectStats(added))
+      expectedParent = parentAtRead, stats = collectStats(added),
+      removeDeletes = liveDeletes().map(_.path))
   }
 
   /** Rollback: make `snapshotId`'s state current again via a NEW snapshot
@@ -449,8 +532,17 @@ class GraftTable(spark: SparkSession, val location: String) {
     val parentAtRead = latestSnapshotId
     val target = liveFiles(Some(snapshotId))
     val current = liveFiles()
+    // restore the delete-file set too, with ORIGINAL sequences (reAdd) —
+    // otherwise rolled-back tombstones would stop applying (fresh seq) or
+    // deleted rows would resurrect (tombstone missing)
+    val targetDel = liveDeletes(Some(snapshotId))
+    val currentDel = liveDeletes()
+    val currentDelPaths = currentDel.map(_.path).toSet
+    val targetDelPaths = targetDel.map(_.path).toSet
     commit("rollback", target.diff(current), current.diff(target),
-      _ => schema.json, partitionCols, expectedParent = parentAtRead)
+      _ => schema.json, partitionCols, expectedParent = parentAtRead,
+      reAddDeletes = targetDel.filterNot(d => currentDelPaths.contains(d.path)),
+      removeDeletes = currentDel.map(_.path).filterNot(targetDelPaths.contains))
   }
 
   /** Snapshot expiration (the Iceberg expire_snapshots action): retain the
@@ -473,12 +565,23 @@ class GraftTable(spark: SparkSession, val location: String) {
     // new baseline, never a hole in the chain.
     val baselineFiles = liveFiles(Some(oldest.snapshotId))
     val baselineStats = statsFor(baselineFiles)
+    // carry live tombstones (original sequences) and record the original
+    // add-sequences of carried data files: both are needed so "delete at
+    // seq D applies below D" keeps holding after the adding snapshots
+    // are gone
+    val baselineDeletes = liveDeletes(Some(oldest.snapshotId))
+    val baselineSeqs = fileAddSeqs(Some(oldest.snapshotId))
+      .filter { case (f, _) => baselineFiles.contains(f) }
     val baseline = oldest.copy(
       parentId = None,
       addedFiles = baselineFiles,
       removedFiles = Seq.empty,
       fileStats =
-        if (baselineStats.isEmpty) None else Some(baselineStats))
+        if (baselineStats.isEmpty) None else Some(baselineStats),
+      addedDeleteFiles =
+        if (baselineDeletes.isEmpty) None else Some(baselineDeletes),
+      removedDeleteFiles = None,
+      fileSeqs = if (baselineSeqs.isEmpty) None else Some(baselineSeqs))
     val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(Snapshot.toJson(baseline).getBytes("UTF-8")) finally out.close()
@@ -491,10 +594,15 @@ class GraftTable(spark: SparkSession, val location: String) {
       fs.delete(new Path(metaPath, snapFileName(s.snapshotId)), false))
 
     // physical cleanup: files referenced by no retained snapshot state
+    // (delete files follow the same rule)
     val reachable = (baseline.addedFiles ++
-      retained.tail.flatMap(_.addedFiles)).toSet
+      retained.tail.flatMap(_.addedFiles) ++
+      baseline.addedDeleteFiles.toSeq.flatten.map(_.path) ++
+      retained.tail.flatMap(_.addedDeleteFiles.toSeq.flatten.map(_.path))).toSet
     val candidates = (expired.flatMap(_.addedFiles) ++
-      expired.flatMap(_.removedFiles)).distinct
+      expired.flatMap(_.removedFiles) ++
+      expired.flatMap(_.addedDeleteFiles.toSeq.flatten.map(_.path)) ++
+      expired.flatMap(_.removedDeleteFiles.toSeq.flatten)).distinct
     val orphans = candidates.filterNot(reachable.contains)
     orphans.foreach(f => fs.delete(new Path(tablePath, f), false))
     orphans
@@ -508,7 +616,8 @@ class GraftTable(spark: SparkSession, val location: String) {
     * default guard is 3 days). Returns deleted files. */
   def removeOrphanFiles(
       olderThanMs: Long = 3L * 24 * 60 * 60 * 1000): Seq[String] = {
-    val referenced = snapshots.flatMap(s => s.addedFiles).toSet
+    val referenced = snapshots.flatMap(s =>
+      s.addedFiles ++ s.addedDeleteFiles.toSeq.flatten.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val it = fs.listFiles(tablePath, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -526,23 +635,63 @@ class GraftTable(spark: SparkSession, val location: String) {
   }
 
   /** J1: MERGE INTO — see [[MergeInto.merge]]. `opCol` opts into the
-    * CDC-delete extension (WHEN MATCHED AND op='D' THEN DELETE). */
+    * CDC-delete extension (WHEN MATCHED AND op='D' THEN DELETE).
+    * `mode`: "cow" (default) rewrites overlapping files; "mor" writes
+    * key-tombstone delete files instead (merge-on-read, the reference's
+    * silver table format, /root/reference/bronze-silver.py:184-194);
+    * "auto" picks MOR when the rewrite would be large relative to the
+    * batch. */
   def merge(source: DataFrame, keys: Seq[String], dedupKey: Seq[String],
       orderCol: String, opCol: Option[String] = None,
-      deleteOps: Seq[String] = Seq("D")): Long =
+      deleteOps: Seq[String] = Seq("D"), mode: String = "cow"): Long =
     MergeInto.merge(spark, this, source, keys, dedupKey, orderCol, opCol,
-      deleteOps)
+      deleteOps, mode)
 
   private[table] def commitMerge(added: Seq[String], removed: Seq[String],
       expectedParent: Option[Long]): Long =
     commit("merge", added, removed, _ => schema.json, partitionCols,
       expectedParent = expectedParent, stats = collectStats(added))
 
+  /** MOR merge commit: new data files + one equality-delete file, nothing
+    * rewritten or removed. */
+  private[table] def commitMergeMor(added: Seq[String],
+      deletePaths: Seq[String], expectedParent: Option[Long]): Long =
+    commit("merge", added, Seq.empty, _ => schema.json, partitionCols,
+      expectedParent = expectedParent, stats = collectStats(added),
+      addDeletePaths = deletePaths)
+
   private[table] def stageForMerge(df: DataFrame): Seq[String] =
     stageAndMove(align(df, schema), partitionCols)
 
+  /** Stage a tombstone key batch as parquet under `_deletes/`. One file:
+    * MOR is chosen precisely when the batch is small. */
+  private[table] def stageDeletes(keys: DataFrame): Seq[String] = {
+    val stage = new Path(metaPath, s"stage-del-${UUID.randomUUID()}")
+    keys.coalesce(1).write.parquet(stage.toString)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(stage, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = s"_deletes/del-${UUID.randomUUID()}.parquet"
+        val dest = new Path(tablePath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f.getPath, dest))
+          throw new IllegalStateException(s"failed to move $rel into $location")
+        files += rel
+      }
+    }
+    fs.delete(stage, true)
+    files.toSeq
+  }
+
+  /** total on-disk bytes of `files` — driver-side, one getFileStatus per
+    * file of an already-pruned (small) list. */
+  private[table] def bytesOf(files: Seq[String]): Long =
+    files.map(f => fs.getFileStatus(new Path(tablePath, f)).getLen).sum
+
   private[table] def readFilesOf(files: Seq[String]): DataFrame =
-    readFiles(files)
+    morRead(files, None)
 }
 
 object GraftTable {

@@ -86,15 +86,30 @@ object MergeInto {
     }
   }
 
+  /** "auto" picks MOR when the COW rewrite would exceed this AND dwarf
+    * the batch — the regime where COW write amplification is the
+    * bottleneck (a hot-partition upsert stream into a large table). */
+  val MorAutoMinRewriteBytes: Long = 32L * 1024 * 1024
+  val MorAutoAmplification: Long = 8L
+  private val MorAutoRowBytesGuess: Long = 256L
+
   /** @param opCol engine EXTENSION over the reference (which never
     *   interprets CDC op codes — SURVEY.md §2 N1): when set, source rows
     *   whose op ∈ `deleteOps` (after keep-latest dedup, so a later update
     *   beats an earlier delete) remove the matching target keys instead of
-    *   upserting. Default None = exact reference semantics. */
+    *   upserting. Default None = exact reference semantics.
+    * @param mode "cow" rewrites matched files (bronze's table props,
+    *   /root/reference/raw-bronze.py:159-163); "mor" appends the batch and
+    *   a key-tombstone equality-delete file — O(batch) write regardless of
+    *   table size, merged at read (silver's format,
+    *   /root/reference/bronze-silver.py:184-194); "auto" measures the
+    *   would-be rewrite and picks. */
   def merge(spark: SparkSession, target: GraftTable, source: DataFrame,
       keys: Seq[String], dedupKey: Seq[String], orderCol: String,
       opCol: Option[String] = None,
-      deleteOps: Seq[String] = Seq("D")): Long = {
+      deleteOps: Seq[String] = Seq("D"), mode: String = "cow"): Long = {
+    require(Set("cow", "mor", "auto").contains(mode),
+      s"merge mode must be cow|mor|auto, got $mode")
     val parentAtRead = target.latestSnapshotId
     val schema = target.schema
     val cols = schema.fieldNames.toIndexedSeq
@@ -120,10 +135,32 @@ object MergeInto {
     def overlapping(files: Seq[String]): Seq[String] =
       files.filter(f => mayContainKeys(target, f, stats, keys, keyRange))
 
+    // MOR: append the batch + a key-tombstone delete file; nothing is
+    // read or rewritten (the tombstone's sequence makes it apply only to
+    // files older than this commit — the batch's own inserts are safe).
+    def morCommit(): Long = {
+      val sch = target.schema
+      val delKeys = deduped.select(
+        keys.map(k => col(k).cast(sch(k).dataType).as(k)): _*)
+      val delPaths = target.stageDeletes(delKeys)
+      val added = target.stageForMerge(inserts)
+      deduped.unpersist(); dedupedAll.unpersist()
+      target.commitMergeMor(added, delPaths, parentAtRead)
+    }
+    // would a COW rewrite of `files` be both large and >>batch?
+    def autoPrefersMor(files: Seq[String]): Boolean = mode == "auto" && {
+      val rewriteBytes = target.bytesOf(files)
+      rewriteBytes >= MorAutoMinRewriteBytes &&
+        rewriteBytes >=
+          MorAutoAmplification * MorAutoRowBytesGuess * deduped.count()
+    }
+    if (mode == "mor") return morCommit()
+
     if (parts.isEmpty) {
       // Unpartitioned COW, file-pruned: only files whose key range
       // overlaps the batch are rewritten; the rest stay live untouched.
       val touched = overlapping(live)
+      if (autoPrefersMor(touched)) return morCommit()
       val kept = target.readFilesOf(touched).join(deduped, keys, "left_anti")
       val merged = kept.unionByName(inserts)
       val added = target.stageForMerge(merged)
@@ -153,12 +190,10 @@ object MergeInto {
         val kv = target.partitionValues(f)
         affected.contains(parts.map(p => kv.getOrElse(p, "")))
       })
-      val sch = target.schema
-      val affectedDf =
-        if (affectedFiles.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-        else spark.read.schema(sch).option("basePath", target.location)
-          .parquet(affectedFiles.map(f => s"${target.location}/$f"): _*)
+      if (autoPrefersMor(affectedFiles)) return morCommit()
+      // MOR-aware read: rows tombstoned by earlier MOR merges must not
+      // resurrect into the rewritten files
+      val affectedDf = target.readFilesOf(affectedFiles)
 
       val kept = affectedDf.join(deduped, keys, "left_anti")
       val merged = kept.unionByName(inserts)

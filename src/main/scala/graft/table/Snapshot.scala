@@ -20,6 +20,15 @@ package graft.table
   * truncated, because a truncated max is no longer an upper bound. */
 case class ColStat(min: Option[String], max: Option[String])
 
+/** A merge-on-read equality-delete file (graft's analogue of an Iceberg
+  * v2 equality delete): `path` is a parquet file of key tuples under
+  * `_deletes/`, and its tombstones apply to data files whose add-sequence
+  * is STRICTLY BELOW `seq` — data files committed with or after the
+  * delete (e.g. the same merge's own inserts) are never affected. `seq`
+  * is recorded explicitly so it survives snapshot expiration (the
+  * baseline re-adds the delete file with its original sequence). */
+case class DeleteFile(path: String, seq: Long)
+
 case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
@@ -32,7 +41,15 @@ case class Snapshot(
     /** file → column → min/max for the files ADDED by this snapshot
       * (Iceberg's manifest column stats; Option so pre-stats snapshot JSON
       * still parses). */
-    fileStats: Option[Map[String, Map[String, ColStat]]] = None)
+    fileStats: Option[Map[String, Map[String, ColStat]]] = None,
+    /** MOR delete files added / removed by this snapshot. */
+    addedDeleteFiles: Option[Seq[DeleteFile]] = None,
+    removedDeleteFiles: Option[Seq[String]] = None,
+    /** add-sequence overrides for `addedFiles` (recorded by the expire
+      * baseline, which re-adds files whose original adding snapshots are
+      * gone — without this, carried files would appear newer than the
+      * tombstones that target them and deleted rows would resurrect). */
+    fileSeqs: Option[Map[String, Long]] = None)
 
 object Snapshot {
   import org.json4s._

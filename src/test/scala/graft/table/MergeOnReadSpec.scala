@@ -1,0 +1,187 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** MOR-lite merge: equality-delete tombstone files instead of COW
+  * rewrites (the reference's silver table is merge-on-read,
+  * /root/reference/bronze-silver.py:184-194). Pins the scale property
+  * (O(batch) write regardless of table size), the sequence semantics
+  * (tombstones never hit the merge's own inserts), read-path equivalence
+  * with COW, and survival through compact / rollback / expire.
+  */
+class MergeOnReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String) = GraftTable(spark, tmpDir(name) + "/t")
+
+  private def mkTable(name: String, n: Long = 1000L) = {
+    val t = freshTable(name)
+    t.append((1L to n).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ts")
+      .coalesce(1))
+    t
+  }
+
+  test("MOR merge writes O(batch) data: no rewrite, one tombstone file") {
+    val t = mkTable("mor-o1")
+    val dataBytesBefore = t.liveFiles().toSet
+    t.merge(Seq((5L, "updated", 2L), (2000L, "inserted", 2L))
+      .toDF("id", "v", "ts"), keys = Seq("id"), dedupKey = Seq("id"),
+      orderCol = "ts", mode = "mor")
+    val snap = t.snapshots.last
+    assert(snap.operation === "merge")
+    assert(snap.removedFiles.isEmpty) // NOTHING rewritten
+    assert(dataBytesBefore.subsetOf(t.liveFiles().toSet))
+    assert(snap.addedDeleteFiles.get.size === 1)
+    assert(snap.addedDeleteFiles.get.head.seq === snap.snapshotId)
+    // read merges tombstones: update applied, insert present, count right
+    assert(t.read().count() === 1001)
+    assert(t.read().filter($"id" === 5L).select("v").as[String].collect() ===
+      Array("updated"))
+    assert(t.read().filter($"id" === 2000L).count() === 1)
+  }
+
+  test("MOR result is row-identical to the same merge in COW mode") {
+    val batch = Seq((3L, "u3", 2L), (7L, "u7", 2L), (999L, "new", 2L))
+      .toDF("id", "v", "ts")
+    val cow = mkTable("mor-eq-cow", 50L)
+    val mor = mkTable("mor-eq-mor", 50L)
+    cow.merge(batch, Seq("id"), Seq("id"), "ts", mode = "cow")
+    mor.merge(batch, Seq("id"), Seq("id"), "ts", mode = "mor")
+    assert(mor.read().orderBy("id").collect() ===
+      cow.read().orderBy("id").collect())
+  }
+
+  test("chained MOR merges: later batch wins; earlier MOR inserts can be updated") {
+    val t = mkTable("mor-chain", 10L)
+    t.merge(Seq((5L, "first", 2L), (100L, "ins", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    // second MOR merge updates both a base row and the first merge's insert
+    t.merge(Seq((5L, "second", 3L), (100L, "ins2", 3L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    val out = t.read().filter($"id".isin(5L, 100L)).orderBy("id")
+      .select("v").as[String].collect()
+    assert(out === Array("second", "ins2"))
+    assert(t.read().count() === 11)
+  }
+
+  test("MOR merge with CDC delete ops removes keys without rewriting") {
+    val t = mkTable("mor-del", 20L)
+    val batch = Seq((1L, "gone", 2L, "D"), (2L, "upd", 2L, "U"))
+      .toDF("id", "v", "ts", "op")
+    t.merge(batch, Seq("id"), Seq("id"), "ts", opCol = Some("op"),
+      mode = "mor")
+    assert(t.snapshots.last.removedFiles.isEmpty)
+    assert(t.read().count() === 19) // one deleted
+    assert(t.read().filter($"id" === 1L).count() === 0)
+    assert(t.read().filter($"id" === 2L).select("v").as[String].collect() ===
+      Array("upd"))
+  }
+
+  test("compact folds tombstones into data files and re-enables the SQL scan") {
+    val t = mkTable("mor-compact", 30L)
+    t.merge(Seq((5L, "updated", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    assert(t.liveDeletes().nonEmpty)
+    // bare file scan must refuse while tombstones apply
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(t.location).count()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    val expected = t.read().orderBy("id").collect()
+    t.compact()
+    assert(t.liveDeletes().isEmpty)
+    assert(t.read().orderBy("id").collect() === expected)
+    // format("graft") works again and agrees
+    assert(spark.read.format("graft").load(t.location)
+      .orderBy("id").collect() === expected)
+  }
+
+  test("time travel around a MOR merge; tombstone files survive compact for it") {
+    val t = mkTable("mor-tt", 10L)
+    val s0 = t.latestSnapshotId.get
+    t.merge(Seq((3L, "upd", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    val s1 = t.latestSnapshotId.get
+    t.compact()
+    // pre-merge state: original value
+    assert(t.readAsOf(s0).filter($"id" === 3L).select("v").as[String]
+      .collect() === Array("v3"))
+    // at the MOR snapshot: tombstone applied (file still on disk)
+    assert(t.readAsOf(s1).filter($"id" === 3L).select("v").as[String]
+      .collect() === Array("upd"))
+    assert(t.readAsOf(s1).count() === 10)
+  }
+
+  test("rollback across MOR states restores tombstones with original sequences") {
+    val t = mkTable("mor-rb", 10L)
+    t.merge(Seq((3L, "upd", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    val sMor = t.latestSnapshotId.get
+    val atMor = t.read().orderBy("id").collect()
+    t.compact() // clears tombstones
+    t.rollback(sMor) // must re-apply them, at their ORIGINAL sequence
+    assert(t.liveDeletes().nonEmpty)
+    assert(t.liveDeletes().head.seq === sMor)
+    assert(t.read().orderBy("id").collect() === atMor)
+    // and rollback to the pre-merge state drops them again
+    t.rollback(sMor - 1)
+    assert(t.liveDeletes().isEmpty)
+    assert(t.read().filter($"id" === 3L).select("v").as[String].collect() ===
+      Array("v3"))
+  }
+
+  test("expire keeps tombstones applicable to baseline-carried files") {
+    val t = mkTable("mor-expire", 10L)
+    t.merge(Seq((3L, "upd", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    t.append(Seq((500L, "late", 3L)).toDF("id", "v", "ts"))
+    t.append(Seq((501L, "later", 3L)).toDF("id", "v", "ts"))
+    val expected = t.read().orderBy("id").collect()
+    // expire everything below the last two appends: the baseline re-adds
+    // the original data file AND the tombstone; without explicit
+    // sequences the carried file would look newer than the tombstone and
+    // id=3 would resurrect as a duplicate
+    t.expireSnapshots(keepLast = 2)
+    val t2 = GraftTable(spark, t.location)
+    assert(t2.liveDeletes().nonEmpty)
+    assert(t2.read().orderBy("id").collect() === expected)
+    assert(t2.read().filter($"id" === 3L).count() === 1)
+    assert(t2.read().filter($"id" === 3L).select("v").as[String].collect() ===
+      Array("upd"))
+  }
+
+  test("auto mode picks COW for small rewrites") {
+    val t = mkTable("mor-auto-small", 100L)
+    t.merge(Seq((5L, "upd", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "auto")
+    // tiny table: rewrite is cheaper than carrying tombstones
+    assert(t.liveDeletes().isEmpty)
+    assert(t.snapshots.last.removedFiles.nonEmpty)
+    assert(t.read().filter($"id" === 5L).select("v").as[String].collect() ===
+      Array("upd"))
+  }
+
+  test("MOR on a partitioned table: global tombstones, no partition probe") {
+    val t = freshTable("mor-part")
+    t.append(Seq((1L, "a", 1L, "p1"), (2L, "b", 1L, "p2"), (3L, "c", 1L, "p3"))
+      .toDF("id", "v", "ts", "part"), parts = Seq("part"))
+    t.merge(Seq((2L, "b2", 2L, "p2"), (9L, "new", 2L, "p9"))
+      .toDF("id", "v", "ts", "part"), Seq("id"), Seq("id"), "ts",
+      mode = "mor")
+    assert(t.snapshots.last.removedFiles.isEmpty)
+    val out = t.read().orderBy("id").select("id", "v", "part")
+      .as[(Long, String, String)].collect()
+    assert(out === Array((1L, "a", "p1"), (2L, "b2", "p2"), (3L, "c", "p3"),
+      (9L, "new", "p9")))
+  }
+
+  test("snapshot JSON round-trips delete files and sequence overrides") {
+    val s = Snapshot(7L, Some(6L), 123L, "merge", Seq("f1"), Seq.empty,
+      "{}", Seq("p"),
+      addedDeleteFiles = Some(Seq(DeleteFile("_deletes/d1.parquet", 7L))),
+      removedDeleteFiles = Some(Seq("_deletes/d0.parquet")),
+      fileSeqs = Some(Map("f1" -> 3L)))
+    assert(Snapshot.fromJson(Snapshot.toJson(s)) === s)
+  }
+}
