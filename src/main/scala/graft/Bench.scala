@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR at local[N] and prints ONE JSON line
   * {"metric":...,"value":total_sec,"unit":"sec","queries":{name:sec},"sf":...}.
   *
-  * Headline = the analytical + north-star operator queries. The table-layer
-  * lifecycle queries (which physically create scratch tables) are excluded:
-  * they measure DDL+IO of the scratch dir, not engine throughput; their
-  * correctness is covered by Verify and ScalaTest.
+  * Headline = the analytical + north-star operator queries, PLUS the
+  * table-lifecycle queries (append→merge→read against scratch graft
+  * tables: COW merge, MOR merge, incremental scan) — the merge path is
+  * the product, so its number must be able to regress. Lifecycle numbers
+  * include scratch-dir IO by construction; they are comparable
+  * round-over-round since the recipe is fixed.
   *
   * Timing: one JVM/session warm-up action, then two timed runs per query
   * keeping the min (steady-state number, JIT/codegen-cache warm — the
@@ -26,7 +28,9 @@ object Bench {
     "q_doc_stats", "q_token_count", "q_quality", "q_lang_id", "q_fingerprint",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
     "q_dedup_embedding", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_embed_norm")
+    "q_embed_norm",
+    // table lifecycle (scratch-table append + merge + read per run)
+    "q_table_merge", "q_table_merge_mor", "q_incremental_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
