@@ -90,15 +90,20 @@ class GraftDataSource extends RelationProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val evolve = parameters.get("mergeSchema").exists(_.toBoolean)
+    val sortBy = parameters.get("sortBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     mode match {
-      case SaveMode.Append => table.append(data, parts, mergeSchema = evolve)
+      case SaveMode.Append =>
+        table.append(data, parts, mergeSchema = evolve, sortBy = sortBy)
       case SaveMode.Overwrite => table.overwrite(data, parts)
       case SaveMode.ErrorIfExists =>
         if (table.exists) throw new IllegalStateException(
           s"graft table already exists: $path")
-        table.append(data, parts, mergeSchema = evolve)
+        table.append(data, parts, mergeSchema = evolve, sortBy = sortBy)
       case SaveMode.Ignore =>
-        if (!table.exists) table.append(data, parts, mergeSchema = evolve)
+        if (!table.exists)
+          table.append(data, parts, mergeSchema = evolve, sortBy = sortBy)
     }
     createRelation(ctx, parameters)
   }

@@ -26,6 +26,28 @@ object Streaming {
     graft.ingest.Enrich(raw)
   }
 
+  /** Exactly-once streaming sink into a graft table: each micro-batch is
+    * appended with an idempotent-writer stamp `(txnAppId, batchId)` that
+    * commits ATOMICALLY inside the snapshot (Delta's txnAppId/txnVersion
+    * pattern). Structured Streaming replays a failed micro-batch with the
+    * same batchId; the replay finds its stamp already in the chain and
+    * becomes a no-op — end-to-end exactly-once into the table, even when
+    * a crash lands between the table commit and the stream checkpoint.
+    * (Only the most recent batch is ever replayed, so snapshot expiration
+    * of old stamps cannot re-open the window.)
+    *
+    * Start with: graftSink(df, loc, "my-app").option("checkpointLocation",
+    * ...).start() */
+  def graftSink(stream: DataFrame, location: String, txnAppId: String,
+      parts: Seq[String] = Seq.empty)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.table.GraftTable(batch.sparkSession, location)
+          .append(batch.toDF(), parts, txn = Some((txnAppId, batchId)))
+        ()
+    }
+
   /** Event-time windowed rollup with a watermark: late events beyond
     * `lateness` are dropped, state is bounded — the 100 TB-safe shape for
     * continuous aggregation. */

@@ -50,19 +50,36 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   private def snapFileName(id: Long): String = f"snap-$id%08d.json"
 
-  /** All committed snapshots, ascending by id. */
+  /** All committed snapshots, ascending by id. The directory is listed
+    * fresh every call (that's the visibility point for concurrent
+    * commits), but the per-file JSON parse is cached on
+    * (path, mtime, length) — snapshot files are immutable once published
+    * (only expire's baseline rewrite changes one, and that changes
+    * mtime/length), and a single query plan resolves the chain several
+    * times (schema, live files, stats, deletes). At manifest scale this
+    * turns metadata resolution from O(chain) JSON parses per lookup into
+    * one list call. */
   def snapshots: Seq[Snapshot] = {
     if (!exists) return Seq.empty
     val st = fs.listStatus(metaPath)
       .filter(s => s.getPath.getName.matches("snap-\\d{8}\\.json"))
       .sortBy(_.getPath.getName)
     st.map { s =>
-      val in = fs.open(s.getPath)
-      try {
-        val bytes = new Array[Byte](s.getLen.toInt)
-        in.readFully(bytes)
-        Snapshot.fromJson(new String(bytes, "UTF-8"))
-      } finally in.close()
+      val key = (s.getPath.toString, s.getModificationTime, s.getLen)
+      val cached = GraftTable.snapCache.get(key)
+      if (cached != null) cached
+      else {
+        val in = fs.open(s.getPath)
+        val snap = try {
+          val bytes = new Array[Byte](s.getLen.toInt)
+          in.readFully(bytes)
+          Snapshot.fromJson(new String(bytes, "UTF-8"))
+        } finally in.close()
+        if (GraftTable.snapCache.size > GraftTable.SnapCacheMax)
+          GraftTable.snapCache.clear() // crude bound; entries re-fill on use
+        GraftTable.snapCache.put(key, snap)
+        snap
+      }
     }.toSeq
   }
 
@@ -199,7 +216,8 @@ class GraftTable(spark: SparkSession, val location: String) {
       // snapshot's id (they apply to strictly older data files)
       addDeletePaths: Seq[String] = Seq.empty,
       removeDeletes: Seq[String] = Seq.empty,
-      reAddDeletes: Seq[DeleteFile] = Seq.empty): Long = {
+      reAddDeletes: Seq[DeleteFile] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -223,7 +241,8 @@ class GraftTable(spark: SparkSession, val location: String) {
         addedDeleteFiles =
           if (addedDeletes.isEmpty) None else Some(addedDeletes),
         removedDeleteFiles =
-          if (removeDeletes.isEmpty) None else Some(removeDeletes))
+          if (removeDeletes.isEmpty) None else Some(removeDeletes),
+        txnAppId = txn.map(_._1), txnBatchId = txn.map(_._2))
       val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(Snapshot.toJson(snap).getBytes("UTF-8")) finally out.close()
@@ -362,10 +381,27 @@ class GraftTable(spark: SparkSession, val location: String) {
     *   are added to the table schema as nullable (older files read them as
     *   null); columns missing from `df` are null-filled. Off by default —
     *   appends then require an exact column set. */
+  /** @param sortBy cluster-on-write: range-repartition + sort the batch
+    *   on these columns before writing, so files carry DISJOINT value
+    *   ranges. This is what makes the snapshot log's min/max stats
+    *   selective — unclustered writes give every file ~the full value
+    *   range and stats prune nothing; clustered writes let a point/range
+    *   filter (or a merge key probe) skip all but the overlapping files.
+    *   The Iceberg write.sort-order analogue. File count follows AQE's
+    *   byte-size targeting unless `sortFiles` pins it. */
   def append(df: DataFrame, parts: Seq[String] = Seq.empty,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None,
+      sortBy: Seq[String] = Seq.empty,
+      sortFiles: Option[Int] = None): Long = {
     if (!exists) {
       create(df.schema, parts)
+    }
+    // idempotent writer: if this (appId, batchId) already committed, the
+    // append is a replay — return the existing snapshot without staging
+    txn.foreach { case (appId, batchId) =>
+      if (lastTxnBatch(appId).exists(_ >= batchId))
+        return latestSnapshotId.get
     }
     val targetSchema =
       if (!mergeSchema) {
@@ -381,7 +417,13 @@ class GraftTable(spark: SparkSession, val location: String) {
           .map(_.copy(nullable = true))
         StructType(cur.fields ++ newCols)
       }
-    val aligned = align(df, targetSchema, fillMissing = mergeSchema)
+    val aligned0 = align(df, targetSchema, fillMissing = mergeSchema)
+    val aligned =
+      if (sortBy.isEmpty) aligned0
+      else (sortFiles match {
+        case Some(n) => aligned0.repartitionByRange(n, sortBy.map(col): _*)
+        case None => aligned0.repartitionByRange(sortBy.map(col): _*)
+      }).sortWithinPartitions(sortBy.map(col): _*)
     val added = stageAndMove(aligned, partitionCols)
     // schema is re-merged against the tip on every commit attempt: if a
     // concurrent append(mergeSchema=true) added a column while we staged,
@@ -395,7 +437,15 @@ class GraftTable(spark: SparkSession, val location: String) {
           .map(_.copy(nullable = true))
         StructType(cur.fields ++ extra).json
       case None => targetSchema.json
-    }, partitionCols, stats = collectStats(added))
+    }, partitionCols, stats = collectStats(added), txn = txn)
+  }
+
+  /** Highest batch id committed by idempotent writer `appId` (the
+    * streaming sink's replay check). */
+  def lastTxnBatch(appId: String): Option[Long] = {
+    val ids = snapshots.filter(_.txnAppId.contains(appId))
+      .flatMap(_.txnBatchId)
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** K1 overwrite: replace the full live file set (tombstones included —
@@ -653,12 +703,17 @@ class GraftTable(spark: SparkSession, val location: String) {
       expectedParent = expectedParent, stats = collectStats(added))
 
   /** MOR merge commit: new data files + one equality-delete file, nothing
-    * rewritten or removed. */
+    * rewritten or removed — so unlike a COW merge it does NOT conflict
+    * with concurrent commits: on a publish collision it retries against
+    * the new tip like an append. This is sound because the tombstone's
+    * sequence is assigned at commit time: whatever interleaving wins, the
+    * result equals running the merges in commit order (last-committed
+    * wins per key — the same answer sequential merges give). Concurrent
+    * CDC upsert streams therefore never abort each other. */
   private[table] def commitMergeMor(added: Seq[String],
-      deletePaths: Seq[String], expectedParent: Option[Long]): Long =
+      deletePaths: Seq[String]): Long =
     commit("merge", added, Seq.empty, _ => schema.json, partitionCols,
-      expectedParent = expectedParent, stats = collectStats(added),
-      addDeletePaths = deletePaths)
+      stats = collectStats(added), addDeletePaths = deletePaths)
 
   private[table] def stageForMerge(df: DataFrame): Seq[String] =
     stageAndMove(align(df, schema), partitionCols)
@@ -697,4 +752,8 @@ class GraftTable(spark: SparkSession, val location: String) {
 object GraftTable {
   def apply(spark: SparkSession, location: String): GraftTable =
     new GraftTable(spark, location)
+
+  private val SnapCacheMax = 10000
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Snapshot]()
 }

@@ -138,6 +138,7 @@ object MergeInto {
     // MOR: append the batch + a key-tombstone delete file; nothing is
     // read or rewritten (the tombstone's sequence makes it apply only to
     // files older than this commit — the batch's own inserts are safe).
+    // Commits append-like: concurrent MOR merges retry, never conflict.
     def morCommit(): Long = {
       val sch = target.schema
       val delKeys = deduped.select(
@@ -145,7 +146,7 @@ object MergeInto {
       val delPaths = target.stageDeletes(delKeys)
       val added = target.stageForMerge(inserts)
       deduped.unpersist(); dedupedAll.unpersist()
-      target.commitMergeMor(added, delPaths, parentAtRead)
+      target.commitMergeMor(added, delPaths)
     }
     // would a COW rewrite of `files` be both large and >>batch?
     def autoPrefersMor(files: Seq[String]): Boolean = mode == "auto" && {

@@ -49,7 +49,13 @@ case class Snapshot(
       * baseline, which re-adds files whose original adding snapshots are
       * gone — without this, carried files would appear newer than the
       * tombstones that target them and deleted rows would resurrect). */
-    fileSeqs: Option[Map[String, Long]] = None)
+    fileSeqs: Option[Map[String, Long]] = None,
+    /** idempotent-writer transaction stamp (Delta's txnAppId/txnVersion
+      * pattern): a writer that replays a micro-batch checks the chain for
+      * its (appId, batchId) before committing — the stamp rides IN the
+      * data commit, so the dedup check and the data are atomic. */
+    txnAppId: Option[String] = None,
+    txnBatchId: Option[Long] = None)
 
 object Snapshot {
   import org.json4s._

@@ -35,6 +35,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graftSink streams into a graft table exactly-once") {
+    val base = tmpDir("stream-sink")
+    val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
+    val tableLoc = s"$base/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    Files.write(Paths.get(rawDir, "b1.csv"), "id,v\n1,a\n2,b\n".getBytes("UTF-8"))
+
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true").csv(rawDir)
+    val q = Streaming.graftSink(stream, tableLoc, txnAppId = "sink-test")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val t = graft.table.GraftTable(spark, tableLoc)
+      assert(t.read().count() === 2)
+      // micro-batch commits carry the idempotent-writer stamp
+      assert(t.lastTxnBatch("sink-test") === Some(0L))
+      Files.write(Paths.get(rawDir, "b2.csv"), "id,v\n3,c\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(t.read().count() === 3)
+      assert(t.lastTxnBatch("sink-test") === Some(1L))
+    } finally q.stop()
+
+    // simulate the crash-replay: re-delivering an already-committed batch
+    // (same appId + batchId) must be a NO-OP on the table
+    val t = graft.table.GraftTable(spark, tableLoc)
+    val before = t.latestSnapshotId.get
+    val replayed = t.append(Seq((9L, "dup")).toDF("id", "v"),
+      txn = Some(("sink-test", 1L)))
+    assert(replayed === before) // no new snapshot
+    assert(t.read().count() === 3) // no duplicate rows
+    // a NEW batch id commits normally
+    t.append(Seq((4L, "d")).toDF("id", "v"), txn = Some(("sink-test", 2L)))
+    assert(t.read().count() === 4)
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     val base = tmpDir("stream-window")
     val src = s"$base/src"

@@ -77,6 +77,35 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.read().count() === 2)
   }
 
+  test("concurrent MOR merges all commit (append-like retry, no conflicts)") {
+    // a MOR merge removes nothing, so a publish collision retries against
+    // the new tip instead of aborting — concurrent CDC upsert streams
+    // must never kill each other; the result equals commit order
+    val t = GraftTable(spark, tmpDir("conc-mor") + "/t")
+    t.append((1L to 20L).map(i => (i, "base", 0L)).toDF("id", "v", "ts")
+      .coalesce(1))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = (1 to 4).map { w =>
+      Future {
+        // each worker upserts its own key range — all must land
+        t.merge(Seq((w.toLong, s"writer$w", 1L), (100L + w, s"new$w", 1L))
+          .toDF("id", "v", "ts"), keys = Seq("id"), dedupKey = Seq("id"),
+          orderCol = "ts", mode = "mor")
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    pool.shutdown()
+    // every merge committed: chain is gapless, all updates+inserts visible
+    assert(t.snapshots.map(_.snapshotId) === (0L to 5L)) // create+append+4
+    assert(t.read().count() === 24)
+    (1 to 4).foreach { w =>
+      assert(t.read().filter($"id" === w.toLong).select("v").as[String]
+        .collect() === Array(s"writer$w"))
+      assert(t.read().filter($"id" === (100L + w)).count() === 1)
+    }
+  }
+
   test("snapshot publish onto an occupied slot loses, never clobbers") {
     // LocalFileSystem.rename onto an existing file returns true and silently
     // OVERWRITES it — the exact primitive that would lose a racing commit.

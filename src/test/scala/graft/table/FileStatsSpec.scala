@@ -154,6 +154,31 @@ class FileStatsSpec extends SparkSpec {
       dstat, "=", GraftSqlGlueBridge.dateDays("2024-01-10")))
   }
 
+  test("sort-on-write clustering makes stats selective: one append, pruned scans") {
+    val dir = tmpDir("fs-cluster") + "/t"
+    val t = GraftTable(spark, dir)
+    // ONE unsorted shuffled batch; clustering must come from sortBy, not
+    // from the caller pre-splitting ranges
+    val shuffled = (1L to 4000L).map(i => ((i * 2654435761L) % 4000L, s"v$i"))
+      .toDF("id", "v")
+    t.append(shuffled, sortBy = Seq("id"), sortFiles = Some(4))
+    val live = t.liveFiles()
+    assert(live.size > 1, "range repartition should produce multiple files")
+    // files carry disjoint id ranges
+    val stats = t.statsFor(live)
+    val ranges = live.map(f => (stats(f)("id").min.get.toLong,
+      stats(f)("id").max.get.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // a point filter scans exactly one file
+    val all = spark.read.format("graft").load(dir)
+    assert(scannedFiles(all.filter($"id" === 1234L)) === 1)
+    assert(all.filter($"id" === 1234L).count() === 1)
+  }
+
   test("stats survive expire (baseline absorbs them) and compact recomputes") {
     val t = freshTable("fs-expire")
     t.append((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
