@@ -39,6 +39,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class GraftTable(spark: SparkSession, val location: String) {
 
+  private[table] def sparkSession: SparkSession = spark
+
   private val tablePath = new Path(location)
   private val metaPath = new Path(tablePath, "_graft")
   private def fs: FileSystem =
