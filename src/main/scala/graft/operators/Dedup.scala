@@ -38,7 +38,18 @@ object Dedup {
   }
 
   /** Distinct k-shingle sets per doc: (id, sh). Shared prep for the
-    * MinHash paths — tokenized and shingled exactly once. */
+    * MinHash paths — tokenized and shingled exactly once.
+    *
+    * The result is LAZILY materialized (localCheckpoint) rather than left
+    * as lineage: downstream plans reference it from several places (the
+    * signature aggregate + both sides of the candidate-verification
+    * joins), and Catalyst's generate/constraint filter inference
+    * substitutes the full tokenize→shingle expression into every inferred
+    * predicate — measured 3-4 redundant per-row evaluations of the most
+    * expensive expression in the engine. Behind the materialization
+    * barrier each consumer reads the computed arrays (spill-backed, one
+    * corpus-sized pass) and the inferred filters degrade to cheap array
+    * ops. */
   private def shingledDocs(docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int): DataFrame =
     docs
@@ -46,6 +57,7 @@ object Dedup {
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("id"), array_distinct(
         TextFunctions.shinglesFromTokens(col("__toks"), shingleK)).as("sh"))
+      .localCheckpoint(false)
 
   /** Per-doc MinHash signatures (id, sig: array<bigint>) via the native
     * one-buffer aggregate: shingle hashes are EXPLODED to rows and the
@@ -165,6 +177,10 @@ object Dedup {
     // Pairs with empty intersection can't reach any threshold > 0, so
     // dropping them implicitly preserves the output exactly.
     require(threshold > 0, "jaccardPairs requires a positive threshold")
+    // localCheckpoint: same materialization-barrier rationale as
+    // shingledDocs — both self-join sides share one computed copy and the
+    // generate/constraint-inferred filters stop re-running the shingle
+    // pipeline per row inside the scan
     val prep = docs
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"),
@@ -176,6 +192,7 @@ object Dedup {
         TextFunctions.shinglesFromTokens(col("__toks"), shingleK)).as("da"),
         col("block_lang"), col("block_len"))
       .withColumn("n", size(col("da")))
+      .localCheckpoint(false)
 
     val ex = prep.select(col("block_lang"), col("block_len"), col("id"),
       col("n"), explode(col("da")).as("s"))
