@@ -140,8 +140,11 @@ object Dedup {
     * Returns (id_a, id_b, hamming). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // materialization barrier: both sides of the banded self-join share
+    // one computed copy of the per-doc simhash (see shingledDocs)
     val withSim = docs.select(col(idCol).as("id"),
       HashExpressions.simhash64(TextFunctions.tokens(col(textCol))).as("sim"))
+      .localCheckpoint(false)
 
     val banded = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map { b =>

@@ -104,26 +104,42 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16,
       nProbe: Int = 4): DataFrame = {
+    // materialized once (localCheckpoint): referenced by BOTH assignment
+    // passes below — without the barrier each recomputes the corpus top-k
     val cents = corpus
       .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cent_q"))
       .orderBy(xxhash64(col("cent_id")), col("cent_id"))
       .limit(nLists)
+      .localCheckpoint(false)
 
-    // nearest-centroid assignment via exact quantized cosine, then rank
-    def assign(df: DataFrame, out: String, keep: Int): DataFrame = {
-      val scored = df
-        .select(col(idCol).as(out), quantize(col(vecCol)).as(s"q_$out"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cent_cos", cosineQ(col(s"q_$out"), col("cent_q")))
-      val w = Window.partitionBy(out)
+    def scored(df: DataFrame, out: String): DataFrame = df
+      .select(col(idCol).as(out), quantize(col(vecCol)).as(s"q_$out"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_cos", cosineQ(col(s"q_$out"), col("cent_q")))
+
+    // corpus side keeps only its argmax list: a map-side-combining
+    // max_by aggregate, NOT a window — a window would shuffle
+    // corpus×nLists scored rows to rank them; the aggregate reduces to
+    // one row per doc before the (only) shuffle. Ordering mirrors the
+    // window's (cos desc, cent_id asc) via lexicographic (cos, -cent_id).
+    val corpusLists = scored(corpus, "neighbor_id")
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(
+        struct(col("cent_id"), col("q_neighbor_id")),
+        struct(col("cent_cos"), (-col("cent_id")).as("tb"))).as("best"))
+      .select(col("neighbor_id"), col("best.q_neighbor_id").as("q_neighbor_id"),
+        col("best.cent_id").as("list_id"))
+
+    // query side probes its nProbe nearest lists (queries are small; the
+    // window shuffles only queries×nLists rows)
+    val queryProbes = {
+      val w = Window.partitionBy("query_id")
         .orderBy(col("cent_cos").desc, col("cent_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(out), col(s"q_$out"), col("cent_id").as("list_id"))
+      scored(queries, "query_id")
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= nProbe)
+        .select(col("query_id"), col("q_query_id"), col("cent_id").as("list_id"))
     }
-
-    val corpusLists = assign(corpus, "neighbor_id", keep = 1)
-    val queryProbes = assign(queries, "query_id", keep = nProbe)
 
     val cand = corpusLists.join(queryProbes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
