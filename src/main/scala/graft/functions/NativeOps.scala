@@ -26,4 +26,24 @@ object NativeOps {
 
   def hyperplaneBucket(v: ArrayData, nPlanes: Int, seed: Int): Long =
     VectorExpressions.HyperplaneBucketExpr.bucket(v, nPlanes, seed)
+
+  /** Morton interleave: result bit (i·n + j) = bit i of element j. Null
+    * elements contribute zero bits (nulls cluster together). */
+  def interleaveBits(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    var out = 0L
+    var outBit = 0
+    var i = 0
+    while (i < bits && outBit < 63) {
+      var j = 0
+      while (j < n && outBit < 63) {
+        val v = if (arr.isNullAt(j)) 0L else arr.getLong(j)
+        out |= ((v >>> i) & 1L) << outBit
+        outBit += 1
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
 }
