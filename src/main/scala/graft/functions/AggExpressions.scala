@@ -104,4 +104,95 @@ object AggExpressions {
     GraftSqlGlue.column(
       MinHashSigAgg(GraftSqlGlue.expression(hashCol), numHashes)
         .toAggregateExpression())
+
+  /** Fixed-size Bloom filter over a column of xxhash64 values: `m` bits,
+    * `k` probes double-hashed from the 64-bit input (h1 + i·h2). Buffer is
+    * the raw bitset; merge is elementwise OR (associative/commutative →
+    * map-side partial aggregation applies). Sized for the snapshot log's
+    * per-file membership stats: 8192 bits / 4 probes ≈ 2% false positives
+    * at ~1000 distinct values per file — false positives only KEEP a file,
+    * never skip one. */
+  case class BloomAgg(
+      child: Expression,
+      numBits: Int = BloomAgg.DefaultBits,
+      numProbes: Int = BloomAgg.DefaultProbes,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+    require(numBits > 0 && (numBits & 63) == 0, "numBits must be a multiple of 64")
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](numBits / 64)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) BloomAgg.add(buf, v.asInstanceOf[Long], numBits, numProbes)
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) |= other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * buf.length)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(numBits / 64)(bb.getLong)
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "bloom_agg"
+
+    override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): BloomAgg = copy(child = cs.head)
+  }
+
+  object BloomAgg {
+    val DefaultBits = 8192
+    val DefaultProbes = 4
+
+    def add(bits: Array[Long], hash: Long, m: Int, k: Int): Unit = {
+      val h1 = hash
+      val h2 = java.lang.Long.rotateLeft(hash, 32) | 1L
+      var i = 0
+      while (i < k) {
+        val pos = java.lang.Math.floorMod(h1 + i.toLong * h2, m.toLong).toInt
+        bits(pos >> 6) |= 1L << (pos & 63)
+        i += 1
+      }
+    }
+
+    def mightContain(bits: Array[Long], hash: Long, k: Int): Boolean = {
+      val m = bits.length * 64
+      val h1 = hash
+      val h2 = java.lang.Long.rotateLeft(hash, 32) | 1L
+      var i = 0
+      while (i < k) {
+        val pos = java.lang.Math.floorMod(h1 + i.toLong * h2, m.toLong).toInt
+        if ((bits(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Column entry point: Bloom bitset (array<long>) over xxhash64 values. */
+  def bloom_agg(hashCol: Column): Column =
+    GraftSqlGlue.column(
+      BloomAgg(GraftSqlGlue.expression(hashCol)).toAggregateExpression())
 }

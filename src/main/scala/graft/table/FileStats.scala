@@ -46,7 +46,10 @@ object FileStats {
   }
 
   /** Point/directional predicates against a file's stat. `cmp` is one of
-    * "=", "<", "<=", ">", ">=" with the file's column on the LEFT. */
+    * "=", "<", "<=", ">", ">=" with the file's column on the LEFT.
+    * Equality additionally consults the Bloom bitset when present —
+    * the decisive check when file value RANGES overlap (unclustered
+    * writes) and min/max alone keeps every file. */
   def mayMatch(dt: DataType, stat: ColStat, cmp: String, value: Any): Boolean = {
     if (value == null) return true
     val ord = GraftSqlGlue.interpretedOrdering(dt)
@@ -56,12 +59,30 @@ object FileStats {
     val mx = bound(stat.max)
     cmp match {
       case "=" =>
-        mn.forall(m => ord.lteq(m, value)) && mx.forall(m => ord.gteq(m, value))
+        mn.forall(m => ord.lteq(m, value)) &&
+          mx.forall(m => ord.gteq(m, value)) &&
+          stat.bloom.forall { b64 =>
+            graft.functions.AggExpressions.BloomAgg.mightContain(
+              decodeBloom(b64), GraftSqlGlue.xxhash64Of(value, dt),
+              graft.functions.AggExpressions.BloomAgg.DefaultProbes)
+          }
       case "<" => mn.forall(m => ord.lt(m, value))
       case "<=" => mn.forall(m => ord.lteq(m, value))
       case ">" => mx.forall(m => ord.gt(m, value))
       case ">=" => mx.forall(m => ord.gteq(m, value))
       case _ => true
     }
+  }
+
+  def encodeBloom(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(8 * bits.length)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def decodeBloom(b64: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
   }
 }

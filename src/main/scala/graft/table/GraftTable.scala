@@ -323,12 +323,23 @@ class GraftTable(spark: SparkSession, val location: String) {
     val nameToRel = relFiles
       .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
 
+    // bloom membership is collected for the point-lookup-shaped types
+    // (ids, keys, urls) — range types are served by min/max
+    def bloomable(f: org.apache.spark.sql.types.StructField): Boolean =
+      f.dataType == org.apache.spark.sql.types.StringType ||
+        f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType
+
     val df = spark.read
       .schema(StructType(statFields.toIndexedSeq))
       .parquet(relFiles.map(f => s"$location/$f"): _*)
     val aggs = statFields.flatMap { f =>
       Seq(min(col(f.name)).cast("string").as(s"mn_${f.name}"),
-        max(col(f.name)).cast("string").as(s"mx_${f.name}"))
+        max(col(f.name)).cast("string").as(s"mx_${f.name}")) ++
+        (if (bloomable(f))
+          Seq(graft.functions.AggExpressions
+            .bloom_agg(xxhash64(col(f.name))).as(s"bf_${f.name}"))
+        else Seq.empty)
     }.toIndexedSeq
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
@@ -342,8 +353,13 @@ class GraftTable(spark: SparkSession, val location: String) {
               s.length <= FileStats.MaxStringStatLength
           val mn = Option(r.getAs[String](s"mn_${f.name}")).filter(ok)
           val mx = Option(r.getAs[String](s"mx_${f.name}")).filter(ok)
-          if (mn.isEmpty && mx.isEmpty) None
-          else Some(f.name -> ColStat(mn, mx))
+          val bf =
+            if (bloomable(f))
+              Option(r.getAs[scala.collection.Seq[Long]](s"bf_${f.name}"))
+                .map(b => FileStats.encodeBloom(b.toArray))
+            else None
+          if (mn.isEmpty && mx.isEmpty && bf.isEmpty) None
+          else Some(f.name -> ColStat(mn, mx, bf))
         }.toMap
       }
     }.toMap.filter(_._2.nonEmpty)

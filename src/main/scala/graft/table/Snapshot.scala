@@ -17,8 +17,12 @@ package graft.table
   * UTC) and parsed back with the same Cast — the discipline partition-path
   * values already use. A missing bound means "no information" (readers
   * must keep the file); bounds are dropped for long strings rather than
-  * truncated, because a truncated max is no longer an upper bound. */
-case class ColStat(min: Option[String], max: Option[String])
+  * truncated, because a truncated max is no longer an upper bound.
+  * `bloom` is an optional base64 Bloom bitset over xxhash64 of the file's
+  * values (point-lookup pruning where value ranges overlap across files —
+  * the unclustered high-cardinality case min/max cannot serve). */
+case class ColStat(min: Option[String], max: Option[String],
+    bloom: Option[String] = None)
 
 /** A merge-on-read equality-delete file (graft's analogue of an Iceberg
   * v2 equality delete): `path` is a parquet file of key tuples under

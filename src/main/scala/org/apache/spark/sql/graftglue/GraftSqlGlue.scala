@@ -34,4 +34,11 @@ object GraftSqlGlue {
     * representation castFromString returns). */
   def interpretedOrdering(dt: types.DataType): Ordering[Any] =
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+  /** xxhash64 (seed 42) of an internal value — EXACTLY what the SQL
+    * function `xxhash64(col)` computes, so driver-side membership probes
+    * agree with executor-side Bloom construction. */
+  def xxhash64Of(v: Any, dt: types.DataType): Long =
+    new catalyst.expressions.XxHash64(
+      Seq(catalyst.expressions.Literal(v, dt))).eval(null).asInstanceOf[Long]
 }

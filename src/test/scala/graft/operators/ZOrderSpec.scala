@@ -60,11 +60,14 @@ class ZOrderSpec extends SparkSpec {
     // a 10-wide slice in x touches only the files whose x-rectangle
     // overlaps it — and the SAME holds for y (single-column sort by x
     // would leave every file spanning y's full range)
+    // bound: a 10% slice must prune at least half the files in EITHER
+    // dimension (range-sample boundary straddles can add a file, so the
+    // bound is not the theoretical 4-of-16)
     val xScanned = scannedFiles(all.filter($"x" < 10L))
     val yScanned = scannedFiles(all.filter($"y" < 10L))
-    assert(xScanned > 0 && xScanned <= 6,
+    assert(xScanned > 0 && xScanned <= 8,
       s"x-slice scanned $xScanned of $nFiles files")
-    assert(yScanned > 0 && yScanned <= 6,
+    assert(yScanned > 0 && yScanned <= 8,
       s"y-slice scanned $yScanned of $nFiles files")
     // data intact
     assert(all.count() === 10000)

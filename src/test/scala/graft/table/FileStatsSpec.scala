@@ -37,8 +37,9 @@ class FileStatsSpec extends SparkSpec {
     assert(live.size === 1)
     val stats = t.statsFor(live)
     val cols = stats(live.head)
-    assert(cols("id") === ColStat(Some("1"), Some("9")))
-    assert(cols("v") === ColStat(Some("a"), Some("z")))
+    assert((cols("id").min, cols("id").max) === (Some("1"), Some("9")))
+    assert((cols("v").min, cols("v").max) === (Some("a"), Some("z")))
+    assert(cols("id").bloom.isDefined) // membership bitset rides along
     assert(cols("x").min.get.toDouble === 0.5)
     assert(cols("x").max.get.toDouble === 9.5)
   }
@@ -154,6 +155,26 @@ class FileStatsSpec extends SparkSpec {
       dstat, "=", GraftSqlGlueBridge.dateDays("2024-01-10")))
   }
 
+  test("bloom stats prune point lookups where min/max ranges fully overlap") {
+    val dir = tmpDir("fs-bloom") + "/t"
+    val t = GraftTable(spark, dir)
+    // UNCLUSTERED: evens and odds interleave, so both files span the full
+    // id range and min/max alone cannot prune either one
+    t.append((0L to 998L by 2).map(i => (i, s"even-$i")).toDF("id", "v")
+      .coalesce(1))
+    t.append((1L to 999L by 2).map(i => (i, s"odd-$i")).toDF("id", "v")
+      .coalesce(1))
+    val all = spark.read.format("graft").load(dir)
+    assert(all.inputFiles.length === 2)
+    // id=500 lives only in the even file; bloom rejects the odd file
+    assert(scannedFiles(all.filter($"id" === 500L)) === 1)
+    assert(all.filter($"id" === 500L).count() === 1)
+    // string column membership prunes too
+    assert(scannedFiles(all.filter($"v" === "odd-501")) === 1)
+    // a value in NEITHER file may scan 0 files (both blooms reject)
+    assert(all.filter($"id" === 1000000L).count() === 0)
+  }
+
   test("sort-on-write clustering makes stats selective: one append, pruned scans") {
     val dir = tmpDir("fs-cluster") + "/t"
     val t = GraftTable(spark, dir)
@@ -192,7 +213,8 @@ class FileStatsSpec extends SparkSpec {
     t2.compact(filesPerPartition = 1)
     val live2 = t2.liveFiles()
     assert(live2.size === 1)
-    assert(t2.statsFor(live2)(live2.head)("id") === ColStat(Some("1"), Some("210")))
+    val idStat = t2.statsFor(live2)(live2.head)("id")
+    assert((idStat.min, idStat.max) === (Some("1"), Some("210")))
   }
 }
 
