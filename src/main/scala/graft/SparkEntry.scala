@@ -15,7 +15,8 @@ object SparkEntry {
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     CoreQueries.all ++ TableQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ VectorQueries.all ++ EventsQueries.all ++
-      MultimodalQueries.all ++ PipelineQueries.all ++ FunctionQueries.all
+      MultimodalQueries.all ++ PipelineQueries.all ++
+      FunctionQueries.all ++ SamplingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

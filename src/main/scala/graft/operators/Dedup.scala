@@ -219,6 +219,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-duplicate pairs → duplicate GROUPS
+    * (cluster id = smallest member id), the step that turns pairwise
+    * near-dup output into per-document keep/drop decisions.
+    *
+    * Iterated min-label propagation: every node's label becomes the min
+    * of its own and its neighbors' labels; fixpoint in O(cluster
+    * diameter) rounds — near-dup clusters are dense, so diameter is tiny
+    * regardless of corpus size. Each round is one equi-join + one
+    * map-side-combining min aggregate (no all-pairs anything), and the
+    * label frame is materialized per round (localCheckpoint) so lineage
+    * stays flat across iterations — the standard large-graph CC recipe
+    * on Spark. Only nodes that appear in `pairs` are labeled; singleton
+    * docs need no cluster decision. */
+  def clusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(false)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val viaNbr = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("node"), col("lbl"))
+      val next = viaNbr.union(labels)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+      // labels only ever decrease → convergence check is a cheap join on
+      // the two materialized frames
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels = next
+    }
+    require(changed == 0,
+      s"clusters did not converge in $maxRounds rounds (pathological graph?)")
+    labels.select(col("node").as("id"), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding near-duplicates via exact quantized cosine over candidate
     * pairs. `bucketCol` optionally pre-blocks (e.g. LSH bucket); without it
     * this is all-pairs and should only run on samples/blocks. */

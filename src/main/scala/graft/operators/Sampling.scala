@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * A row's split must be a pure function of its IDENTITY — not of
+  * partitioning, sampling seeds, or corpus size — so that (a) the same
+  * document lands in the same split on every run and every engine, (b)
+  * growing the corpus never moves existing rows between splits (no
+  * train/test contamination across dataset versions), and (c) the
+  * assignment is auditable in SQL. `randomSplit` satisfies none of these.
+  *
+  * Bucket = first 8 hex digits of MD5(id) mod 10_000 — MD5 for the same
+  * engine-portability reason as SimHash64's token hash: any engine
+  * reproduces the exact assignment, so the split is oracle-checkable.
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** The [0, 10000) hash bucket for an id column. */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Add a `split` column assigning each row to a named split by
+    * cumulative fraction of its hash bucket, e.g.
+    * `hashSplit(df, "doc_id", Seq("train" -> 0.9, "val" -> 0.05,
+    * "test" -> 0.05))`. Fractions must sum to 1. */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive fractions")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val bounds = cum.map(c => math.round(c * Buckets))
+    val b = hashBucket(col(idCol))
+    val expr = splits.zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), bound), rest) => when(b < bound, name).otherwise(rest)
+      }
+    df.withColumn("split", expr)
+  }
+}

@@ -190,6 +190,46 @@ object DedupQueries {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin
 
+  /** Connected components over the Jaccard near-dup pairs → duplicate
+    * GROUPS (cluster id = min member id). The engine runs iterated
+    * min-label propagation; the oracle computes the transitive closure
+    * with a recursive CTE — the same fixpoint by a different method, so
+    * a hash match pins the iteration's convergence, not just one round. */
+  val qDedupClusters: Q = (s, dir) => {
+    val pairs = Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+      "doc_id", "text", langCol = "lang", lenCol = "n_chars",
+      shingleK = 3, threshold = 0.5)
+    Dedup.clusters(pairs).orderBy(col("id"))
+  }
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE prep AS (
+       |  SELECT doc_id AS id, lang AS block_lang,
+       |    n_chars // 100 AS block_len,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(0, len(t) - 2),
+       |                i -> array_to_string(t[i+1:i+3], ' ')) END AS sh
+       |  FROM (SELECT *, $toksSql AS t FROM documents)),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    list_distinct(a.sh) AS da, list_distinct(b.sh) AS db
+       |  FROM prep a JOIN prep b
+       |    ON a.block_lang = b.block_lang AND a.block_len = b.block_len
+       |   AND a.id < b.id),
+       |p AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_intersect(da, db)) AS DOUBLE)
+       |        / CAST(len(da) + len(db) - len(list_intersect(da, db)) AS DOUBLE)
+       |        AS j
+       |    FROM cand)
+       |  WHERE j >= 0.5),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |r AS (SELECT DISTINCT src, src AS dst FROM e
+       |      UNION SELECT e.src, r.dst FROM e JOIN r ON r.src = e.dst)
+       |SELECT src AS id, MIN(dst) AS cluster_id FROM r
+       |GROUP BY src ORDER BY id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_dedup_embedding_lsh", qDedupEmbeddingLsh, Some(qDedupEmbeddingLshSql)),
     ("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
@@ -197,5 +237,6 @@ object DedupQueries {
     ("q_dedup_minhash", qDedupMinhash, Some(qDedupMinhashSql)),
     ("q_dedup_simhash", qDedupSimhash, Some(qDedupSimhashSql)),
     ("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),
+    ("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
   )
 }

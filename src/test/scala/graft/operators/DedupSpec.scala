@@ -107,6 +107,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("clusters: connected components over pair lists, transitively closed") {
+    // 1-2-3 form a chain (1-2, 2-3; 1-3 NOT given) + 7-8 + isolated pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, // chain closed: 3 joins 1
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("clusters converge on a long path (diameter > 1 round)") {
+    // path 0-1-2-...-9: min label must propagate the whole way
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 10)
+    assert(out.values.toSet === Set(0L))
+  }
+
+  test("hashSplit: deterministic, id-stable under corpus growth, fractions honored") {
+    import graft.operators.Sampling
+    val small = (0L until 1000L).toDF("id")
+    val grown = (0L until 5000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val a = Sampling.hashSplit(small, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(grown, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growing the corpus never moves an existing row's split
+    assert(a.forall { case (id, s) => b(id) == s })
+    // fractions approximately honored (hash uniformity)
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.75 && trainFrac < 0.85, s"train frac $trainFrac")
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(small, "id", Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
   test("rolling_hash64 expression: deterministic, content-sensitive, codegen-safe") {
     val fps = docs.select(TextFunctions.fingerprint64(col("text")).as("fp"))
       .as[Long].collect()
