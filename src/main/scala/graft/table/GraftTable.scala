@@ -121,6 +121,36 @@ class GraftTable(spark: SparkSession, val location: String) {
         "is_current_ancestor", "operation")
   }
 
+  /** Iceberg `.snapshots`-shaped metadata view: one row per snapshot with
+    * its operation and add/remove summary. */
+  def metaSnapshots: DataFrame = {
+    import spark.implicits._
+    snapshots.map(s => (s.snapshotId, s.parentId,
+        new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.addedFiles.size.toLong, s.removedFiles.size.toLong,
+        s.addedDeleteFiles.map(_.size.toLong).getOrElse(0L)))
+      .toDF("snapshot_id", "parent_id", "committed_at", "operation",
+        "added_files", "removed_files", "added_delete_files")
+  }
+
+  /** Iceberg `.files`-shaped metadata view over the LIVE file set:
+    * partition values, size, add-sequence, and per-column bounds from the
+    * snapshot log — the scan-planning facts, queryable as data. */
+  def metaFiles: DataFrame = {
+    import spark.implicits._
+    val live = liveFiles()
+    val stats = statsFor(live)
+    val seqs = fileAddSeqs(None)
+    live.map { f =>
+      val st = fs.getFileStatus(new Path(tablePath, f))
+      val cs = stats.getOrElse(f, Map.empty)
+      (f, partitionValues(f), st.getLen, seqs.getOrElse(f, -1L),
+        cs.map { case (c, s) => (c, s.min.orNull) },
+        cs.map { case (c, s) => (c, s.max.orNull) })
+    }.toDF("file_path", "partition", "size_bytes", "add_sequence",
+      "lower_bounds", "upper_bounds")
+  }
+
   /** Live data files (relative paths) as of `asOf` (default: latest). */
   def liveFiles(asOf: Option[Long] = None): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -166,6 +166,28 @@ class GraftTableSpec extends SparkSpec {
     assert(pruned.inputFiles.length < t.read().inputFiles.length)
   }
 
+  test("metadata views: .snapshots summary and .files scan-planning facts") {
+    val t = freshTable("gt-meta")
+    t.append(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "part"),
+      parts = Seq("part"))
+    t.merge(Seq((2L, "b2", "p2")).toDF("id", "v", "part"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id")
+    val snaps = t.metaSnapshots.orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getAs[String]("operation")).toSeq ===
+      Seq("create", "append", "merge"))
+    assert(snaps(1).getAs[Long]("added_files") === 2L)
+    val files = t.metaFiles.collect()
+    assert(files.length === t.liveFiles().size)
+    files.foreach { r =>
+      assert(r.getAs[Long]("size_bytes") > 0L)
+      assert(r.getAs[Long]("add_sequence") >= 1L)
+      val part = r.getAs[Map[String, String]]("partition")
+      assert(Set("p1", "p2").contains(part("part")))
+      val lower = r.getAs[Map[String, String]]("lower_bounds")
+      assert(lower.contains("id")) // snapshot-log column bounds surfaced
+    }
+  }
+
   test("empty table read returns empty frame with declared schema") {
     val t = freshTable("gt-empty")
     val schema = StructType(Seq(

@@ -49,6 +49,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stats pruning is conservative: a file containing v is NEVER skipped") {
+    // random multi-file tables + random point/range lookups: every row
+    // that exists must be found (false positives only cost IO; a false
+    // NEGATIVE would silently lose data)
+    for (round <- 1 to 3) {
+      val ids = sample(Gen.listOfN(60,
+        Gen.choose(-100000L, 100000L)), 5000 + round).distinct
+      val strs = sample(Gen.listOfN(60,
+        Gen.alphaNumStr.map(_.take(12))), 6000 + round)
+      val rows = ids.zipAll(strs.take(ids.size), 0L, "pad")
+      val dir = tmpDir(s"prop-stats-$round") + "/t"
+      val t = GraftTable(spark, dir)
+      // three unclustered appends → overlapping ranges, blooms active
+      rows.grouped(math.max(rows.size / 3, 1)).foreach { g =>
+        t.append(g.toDF("id", "v").coalesce(1))
+      }
+      val all = spark.read.format("graft").load(dir)
+      // every present id is found via equality (bloom + min/max in play)
+      val probes = sample(Gen.pick(10, ids), 7000 + round).toSeq
+      probes.foreach { id =>
+        assert(all.filter(col("id") === id).count() >= 1L,
+          s"row id=$id lost by pruning (round $round)")
+      }
+      // range scans agree with the unpruned ground truth
+      val lo = sample(Gen.choose(-100000L, 100000L), 8000 + round)
+      val expect = rows.count(_._1 >= lo).toLong
+      assert(all.filter(col("id") >= lo).count() === expect)
+      // string equality probes
+      rows.take(5).foreach { case (_, v) =>
+        assert(all.filter(col("v") === v).count() ===
+          rows.count(_._2 == v).toLong)
+      }
+    }
+  }
+
   test("minhash similarity estimate tracks true jaccard") {
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa", "lambda", "mu")
