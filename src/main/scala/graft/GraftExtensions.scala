@@ -77,6 +77,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (args.size > 2) intArg(args(2), "seed") else 7)
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(
+        classOf[graft.operators.ZOrder.InterleaveBits].getName,
+        "interleave_bits"),
+      (args: Seq[Expression]) => {
+        arity("interleave_bits", args, 2, 2)
+        graft.operators.ZOrder.InterleaveBits(args.head,
+          intArg(args(1), "bits per column"))
+      }))
+
     // SQL `INSERT INTO <graft table>` would route through Spark's generic
     // HadoopFsRelation insert, writing parquet files straight into the
     // table directory WITHOUT a snapshot commit — rows invisible to

@@ -36,7 +36,78 @@ object SamplingQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Flagship corpus-curation composite — the end-to-end LLM-data
+    * pipeline in one query: language-ID gate + quality-score gate →
+    * exact-dedup keep-min → deterministic train/val/test split → split
+    * manifest. Every stage reuses an independently-oracled operator, and
+    * the composite is oracled end to end (the DuckDB mirror rebuilds the
+    * whole pipeline). */
+  val qCuration: Q = (s, dir) => {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        langId(col("text")).as("pred_lang"),
+        qualityScore(col("text")).as("score"),
+        fingerprint_md5(col("text")).as("fp"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val kept = scored.filter(col("pred_lang") === "en" && col("score") >= 0.5)
+    val deduped = kept
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    Sampling.hashSplit(deduped, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+  }
+  val qCurationSql: String = {
+    import graft.functions.TextFunctions.langMarkers
+    val normSql = OracleSql.norm
+    val toksSql = OracleSql.toks
+    val stopsSql = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString("(", ",", ")")
+    val markerCases = langMarkers.map { case (lang, ms) =>
+      val arr = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"WHEN len(list_intersect($toksSql, $arr)) > 0 THEN '$lang'"
+    }.mkString("\n      ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, md5($normSql) AS fp, len($toksSql) AS n_tokens,
+       |    CASE
+       |      $markerCases
+       |      WHEN regexp_matches($normSql, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |      ELSE 'en' END AS pred_lang,
+       |    least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + (CAST(len(list_filter($toksSql, t -> t IN $stopsSql)) AS DOUBLE)
+       |         / CAST(len($toksSql) AS DOUBLE)) * 0.3
+       |      + (1.0 - CAST(len($normSql)
+       |           - len(regexp_replace($normSql, '[^a-z0-9 ]', '', 'g'))
+       |           AS DOUBLE) / len($normSql)) * 0.2 AS score
+       |  FROM documents),
+       |kept AS (
+       |  SELECT * FROM scored WHERE pred_lang = 'en' AND score >= 0.5),
+       |deduped AS (
+       |  SELECT * FROM (SELECT *, row_number()
+       |      OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
+       |  WHERE rn = 1),
+       |sp AS (
+       |  SELECT *, CASE WHEN bucket < 9000 THEN 'train'
+       |                 WHEN bucket < 9500 THEN 'val'
+       |                 ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      % 10000 AS bucket FROM deduped))
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_hash_split", qHashSplit, Some(qHashSplitSql)),
+    ("q_curation", qCuration, Some(qCurationSql)),
   )
 }

@@ -28,8 +28,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT rolling_hash64('hello world') AS rh,
         |       simhash64(array('a','b','c')) AS sh,
         |       word_shingles(array('a','b','c','d'), 3) AS ws,
-        |       hyperplane_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 8, 7) AS hb
+        |       hyperplane_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 8, 7) AS hb,
+        |       interleave_bits(array(3L, 0L), 2) AS zb
         |""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("zb") === 0x5L)
     assert(row.getAs[Long]("rh") ===
       functions.HashExpressions.RollingHash64.hash("hello world".getBytes("UTF-8")))
     assert(row.getSeq[String](row.fieldIndex("ws")) === Seq("a b c", "b c d"))
