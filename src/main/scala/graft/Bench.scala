@@ -65,7 +65,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // breakdown: core30_sec is the round-1-comparable analytical set;
+    // lifecycle_sec covers the scratch-table append+merge+read queries
+    // added in round 2 (they include scratch-dir DDL/IO by construction)
+    val lifecycle = Set("q_table_merge", "q_table_merge_mor",
+      "q_incremental_scan")
+    val coreSec = results.filterNot(r => lifecycle(r._1))
+      .map(_._2).filter(_ >= 0).sum
+    val lifeSec = results.filter(r => lifecycle(r._1))
+      .map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core30_sec":$coreSec,"lifecycle_sec":$lifeSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -608,14 +608,26 @@ class GraftTable(spark: SparkSession, val location: String) {
     * `filesPerPartition` files per partition (small-file compaction — the
     * Iceberg rewrite_data_files action). Data is unchanged; snapshot op is
     * "compact" so incremental readers refuse to cross it, as Iceberg's
-    * incremental scan does for rewrites. */
-  def compact(filesPerPartition: Int = 1): Long = {
+    * incremental scan does for rewrites.
+    *
+    * @param sortBy optional RE-CLUSTERING during the rewrite (the
+    *   OPTIMIZE ... ZORDER/sort shape): accumulated unclustered appends
+    *   are range-partitioned + sorted so the rewritten files get tight,
+    *   disjoint stat bounds again. Pass a single z-value via
+    *   [[graft.operators.ZOrder]] column names for multi-dimension. */
+  def compact(filesPerPartition: Int = 1,
+      sortBy: Seq[String] = Seq.empty): Long = {
     val parentAtRead = latestSnapshotId
     val removed = liveFiles()
     // read() is MOR-aware, so compaction FOLDS tombstones into the
     // rewritten data and retires the delete files — the Iceberg
     // rewrite_data_files + rewrite_position_delete_files pair in one.
-    val df = read().coalesce(math.max(filesPerPartition, 1))
+    val df0 = read()
+    val df =
+      if (sortBy.nonEmpty)
+        df0.repartitionByRange(math.max(filesPerPartition, 1),
+          sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
+      else df0.coalesce(math.max(filesPerPartition, 1))
     val added = stageAndMove(align(df, schema), partitionCols)
     // tombstone files stay on disk for time travel; expire removes them
     commit("compact", added, removed, _ => schema.json, partitionCols,

@@ -55,6 +55,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.readAsOf(1L).count() === 0)
   }
 
+  test("compact(sortBy) re-clusters: fragmented appends regain pruned scans") {
+    val dir = tmpDir("mt-recluster") + "/t"
+    val t = GraftTable(spark, dir)
+    // unclustered fragments: every file spans the full id range
+    (0 until 4).foreach { k =>
+      t.append((k.toLong until 4000L by 4).map(i => (i, s"v$i"))
+        .toDF("id", "v").coalesce(1))
+    }
+    t.compact(filesPerPartition = 4, sortBy = Seq("id"))
+    val live = t.liveFiles()
+    assert(live.size === 4)
+    // rewritten files have DISJOINT id bounds again
+    val stats = t.statsFor(live)
+    val ranges = live.map(f => (stats(f)("id").min.get.toLong,
+      stats(f)("id").max.get.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2)
+      case _ =>
+    }
+    assert(t.read().count() === 4000)
+  }
+
   test("expire keeps everything when history is short; appends still work") {
     val t = freshTable("mt-expire-short")
     t.append(Seq((1L, "a")).toDF("id", "v"))
