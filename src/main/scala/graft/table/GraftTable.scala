@@ -244,6 +244,7 @@ class GraftTable(spark: SparkSession, val location: String) {
       removed: Seq[String], schemaFor: Option[Snapshot] => String,
       parts: Seq[String], expectedParent: Option[Long] = None,
       stats: Map[String, Map[String, ColStat]] = Map.empty,
+      rows: Map[String, Long] = Map.empty,
       // MOR delete-file changes; addDeletePaths get seq = the committed
       // snapshot's id (they apply to strictly older data files)
       addDeletePaths: Seq[String] = Seq.empty,
@@ -274,6 +275,7 @@ class GraftTable(spark: SparkSession, val location: String) {
           if (addedDeletes.isEmpty) None else Some(addedDeletes),
         removedDeleteFiles =
           if (removeDeletes.isEmpty) None else Some(removeDeletes),
+        fileRows = if (rows.isEmpty) None else Some(rows),
         txnAppId = txn.map(_._1), txnBatchId = txn.map(_._2))
       val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
@@ -341,15 +343,14 @@ class GraftTable(spark: SparkSession, val location: String) {
     * back with the same Cast (see [[FileStats]]); timestamp stats are
     * only collected in UTC sessions (rendering is timezone-dependent). */
   private def collectStats(relFiles: Seq[String])
-      : Map[String, Map[String, ColStat]] = {
-    if (relFiles.isEmpty) return Map.empty
+      : (Map[String, Map[String, ColStat]], Map[String, Long]) = {
+    if (relFiles.isEmpty) return (Map.empty, Map.empty)
     val parts = partitionCols
     val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
     val statFields = schema.fields
       .filterNot(f => parts.contains(f.name))
       .filter(f => FileStats.isStatType(f.dataType))
       .filter(f => utc || f.dataType != org.apache.spark.sql.types.TimestampType)
-    if (statFields.isEmpty) return Map.empty
     val nameToRel = relFiles
       .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
 
@@ -370,14 +371,14 @@ class GraftTable(spark: SparkSession, val location: String) {
           Seq(graft.functions.AggExpressions
             .bloom_agg(xxhash64(col(f.name))).as(s"bf_${f.name}"))
         else Seq.empty)
-    }.toIndexedSeq
+    }.toIndexedSeq :+ count(lit(1)).as("__rows")
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
 
-    rows.toSeq.flatMap { r =>
+    val perFile = rows.toSeq.flatMap { r =>
       val fname = new Path(r.getString(0)).getName
       nameToRel.get(fname).map { rel =>
-        rel -> statFields.flatMap { f =>
+        val colStats = statFields.flatMap { f =>
           def ok(s: String): Boolean =
             f.dataType != org.apache.spark.sql.types.StringType ||
               s.length <= FileStats.MaxStringStatLength
@@ -391,8 +392,22 @@ class GraftTable(spark: SparkSession, val location: String) {
           if (mn.isEmpty && mx.isEmpty && bf.isEmpty) None
           else Some(f.name -> ColStat(mn, mx, bf))
         }.toMap
+        (rel, colStats, r.getAs[Long]("__rows"))
       }
-    }.toMap.filter(_._2.nonEmpty)
+    }
+    (perFile.map(p => p._1 -> p._2).toMap.filter(_._2.nonEmpty),
+      perFile.map(p => p._1 -> p._3).toMap)
+  }
+
+  /** Row counts for `files`, resolved across the snapshot chain (same
+    * travel rules as [[statsFor]]). Missing entries mean "unknown". */
+  def rowsFor(files: Seq[String]): Map[String, Long] = {
+    val want = files.toSet
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    snapshots.foreach(_.fileRows.foreach(_.foreach {
+      case (f, n) => if (want.contains(f)) out(f) = n
+    }))
+    out.toMap
   }
 
   /** Stats for `files`, resolved across the whole snapshot chain (stats
@@ -477,6 +492,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     // concurrent append(mergeSchema=true) added a column while we staged,
     // republishing the precomputed targetSchema would silently drop it
     // from all subsequent reads even though the winner's files carry it.
+    val sr = collectStats(added)
     commit("append", added, Seq.empty, {
       case Some(p) =>
         val cur = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
@@ -485,7 +501,7 @@ class GraftTable(spark: SparkSession, val location: String) {
           .map(_.copy(nullable = true))
         StructType(cur.fields ++ extra).json
       case None => targetSchema.json
-    }, partitionCols, stats = collectStats(added), txn = txn)
+    }, partitionCols, stats = sr._1, rows = sr._2, txn = txn)
   }
 
   /** Highest batch id committed by idempotent writer `appId` (the
@@ -504,8 +520,9 @@ class GraftTable(spark: SparkSession, val location: String) {
     val aligned = align(df, schema)
     val removed = liveFiles()
     val added = stageAndMove(aligned, partitionCols)
+    val sr = collectStats(added)
     commit("overwrite", added, removed, _ => schema.json, partitionCols,
-      expectedParent = parentAtRead, stats = collectStats(added),
+      expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
       removeDeletes = liveDeletes().map(_.path))
   }
 
@@ -629,9 +646,10 @@ class GraftTable(spark: SparkSession, val location: String) {
           sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
       else df0.coalesce(math.max(filesPerPartition, 1))
     val added = stageAndMove(align(df, schema), partitionCols)
+    val sr = collectStats(added)
     // tombstone files stay on disk for time travel; expire removes them
     commit("compact", added, removed, _ => schema.json, partitionCols,
-      expectedParent = parentAtRead, stats = collectStats(added),
+      expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
       removeDeletes = liveDeletes().map(_.path))
   }
 
@@ -758,9 +776,11 @@ class GraftTable(spark: SparkSession, val location: String) {
       deleteOps, mode)
 
   private[table] def commitMerge(added: Seq[String], removed: Seq[String],
-      expectedParent: Option[Long]): Long =
+      expectedParent: Option[Long]): Long = {
+    val sr = collectStats(added)
     commit("merge", added, removed, _ => schema.json, partitionCols,
-      expectedParent = expectedParent, stats = collectStats(added))
+      expectedParent = expectedParent, stats = sr._1, rows = sr._2)
+  }
 
   /** MOR merge commit: new data files + one equality-delete file, nothing
     * rewritten or removed — so unlike a COW merge it does NOT conflict
@@ -771,9 +791,11 @@ class GraftTable(spark: SparkSession, val location: String) {
     * wins per key — the same answer sequential merges give). Concurrent
     * CDC upsert streams therefore never abort each other. */
   private[table] def commitMergeMor(added: Seq[String],
-      deletePaths: Seq[String]): Long =
+      deletePaths: Seq[String]): Long = {
+    val sr = collectStats(added)
     commit("merge", added, Seq.empty, _ => schema.json, partitionCols,
-      stats = collectStats(added), addDeletePaths = deletePaths)
+      stats = sr._1, rows = sr._2, addDeletePaths = deletePaths)
+  }
 
   private[table] def stageForMerge(df: DataFrame): Seq[String] =
     stageAndMove(align(df, schema), partitionCols)

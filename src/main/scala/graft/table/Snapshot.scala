@@ -49,6 +49,9 @@ case class Snapshot(
     /** MOR delete files added / removed by this snapshot. */
     addedDeleteFiles: Option[Seq[DeleteFile]] = None,
     removedDeleteFiles: Option[Seq[String]] = None,
+    /** row count per ADDED file (manifest record counts — drives the
+      * metadata views and the auto COW/MOR decision). */
+    fileRows: Option[Map[String, Long]] = None,
     /** add-sequence overrides for `addedFiles` (recorded by the expire
       * baseline, which re-adds files whose original adding snapshots are
       * gone — without this, carried files would appear newer than the
