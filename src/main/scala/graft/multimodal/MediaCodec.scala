@@ -140,7 +140,12 @@ object MediaCodec {
       } else if (id == "data") {
         dataSize = math.min(size, (b.length - i - 8).toLong)
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+      // chunks are 2-byte aligned; advance in Long arithmetic — a corrupt
+      // 32-bit size (e.g. 0xFFFFFFF7) truncated via toInt would make the
+      // step zero/negative and wedge the walk forever. Overshoot clamps to
+      // b.length, which terminates the loop.
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length.toLong) b.length else next.toInt
     }
     if (sampleRate <= 0 || channels <= 0 || bitsPerSample <= 0) return None
     val blockAlign = channels * (bitsPerSample / 8)

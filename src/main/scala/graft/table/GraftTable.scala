@@ -256,6 +256,18 @@ class GraftTable(spark: SparkSession, val location: String) {
       attempts += 1
       if (attempts > 20) throw new IllegalStateException(
         s"commit contention on $location")
+      // Idempotent-writer re-check against the FRESHLY READ chain on every
+      // attempt: two concurrent replays of the same (appId, batchId) — the
+      // zombie-driver race this Delta-style txn stamp exists to close — can
+      // both pass a one-shot pre-staging check; only a check inside the
+      // publish-retry loop (after the losing attempt re-reads the tip the
+      // winner published) guarantees the batch commits at most once. The
+      // loser's staged files are left unreferenced and swept by
+      // removeOrphanFiles, same as a crashed write.
+      txn.foreach { case (appId, batchId) =>
+        if (lastTxnBatch(appId).exists(_ >= batchId))
+          return latestSnapshotId.get
+      }
       val parent = latestSnapshot
       expectedParent.foreach { exp =>
         if (!parent.map(_.snapshotId).contains(exp))
@@ -513,9 +525,16 @@ class GraftTable(spark: SparkSession, val location: String) {
   }
 
   /** K1 overwrite: replace the full live file set (tombstones included —
-    * the new state has no history for them to apply to). */
-  def overwrite(df: DataFrame, parts: Seq[String] = Seq.empty): Long = {
-    if (!exists) return append(df, parts)
+    * the new state has no history for them to apply to). `txn` makes the
+    * overwrite idempotent like [[append]]'s stamp (a replayed full-state
+    * batch — e.g. TableFeed's rewrite recovery — commits at most once). */
+  def overwrite(df: DataFrame, parts: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
+    if (!exists) return append(df, parts, txn = txn)
+    txn.foreach { case (appId, batchId) =>
+      if (lastTxnBatch(appId).exists(_ >= batchId))
+        return latestSnapshotId.get
+    }
     val parentAtRead = latestSnapshotId
     val aligned = align(df, schema)
     val removed = liveFiles()
@@ -523,7 +542,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     val sr = collectStats(added)
     commit("overwrite", added, removed, _ => schema.json, partitionCols,
       expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
-      removeDeletes = liveDeletes().map(_.path))
+      removeDeletes = liveDeletes().map(_.path), txn = txn)
   }
 
   // ---- readers ----
@@ -700,12 +719,18 @@ class GraftTable(spark: SparkSession, val location: String) {
     val baselineDeletes = liveDeletes(Some(oldest.snapshotId))
     val baselineSeqs = fileAddSeqs(Some(oldest.snapshotId))
       .filter { case (f, _) => baselineFiles.contains(f) }
+    // row counts recorded by expired snapshots must travel with the carried
+    // files too, or metaFiles/auto-merge sizing silently degrades after
+    // expiration — same rule as fileStats/fileSeqs
+    val baselineRows = rowsFor(baselineFiles)
     val baseline = oldest.copy(
       parentId = None,
       addedFiles = baselineFiles,
       removedFiles = Seq.empty,
       fileStats =
         if (baselineStats.isEmpty) None else Some(baselineStats),
+      fileRows =
+        if (baselineRows.isEmpty) None else Some(baselineRows),
       addedDeleteFiles =
         if (baselineDeletes.isEmpty) None else Some(baselineDeletes),
       removedDeleteFiles = None,

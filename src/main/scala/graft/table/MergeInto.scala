@@ -55,15 +55,24 @@ object MergeInto {
   }
 
   /** The batch's [min, max] per merge-key column (one tiny aggregate),
-    * rendered Cast-to-string like the snapshot log's file stats. */
+    * rendered Cast-to-string UNDER UTC like the snapshot log's file stats.
+    * A session-zone cast here would shift a timestamp key's bounds against
+    * the UTC-recorded stats FileStats.rangesOverlap parses, wrongly pruning
+    * files that contain matched rows — so the typed extrema are collected
+    * and rendered driver-side with the same UTC Cast collectStats uses. */
   private def sourceKeyRange(deduped: DataFrame, keys: Seq[String])
       : Map[String, (Option[String], Option[String])] = {
     val aggs = keys.flatMap(k => Seq(
-      min(col(k)).cast("string").as(s"mn_$k"),
-      max(col(k)).cast("string").as(s"mx_$k")))
+      min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
     val r = deduped.agg(aggs.head, aggs.tail: _*).collect()(0)
-    keys.map(k => k -> (Option(r.getAs[String](s"mn_$k")),
-      Option(r.getAs[String](s"mx_$k")))).toMap
+    val sch = deduped.schema
+    def render(field: String, k: String): Option[String] = {
+      val dt = sch(k).dataType
+      Option(r.getAs[Any](field))
+        .map(v => org.apache.spark.sql.graftglue.GraftSqlGlue
+          .castToStringUtc(v, dt))
+    }
+    keys.map(k => k -> (render(s"mn_$k", k), render(s"mx_$k", k))).toMap
   }
 
   /** File-level manifest pruning: a live file whose recorded key range

@@ -59,13 +59,29 @@ object TableFeed {
   }
 
   /** One pump round: deliver the next unconsumed range to `sink` as
-    * `(increment, batchId)` where batchId = the range's end snapshot id
-    * (monotonic — usable directly as an idempotent txn batch id).
+    * `(increment, batchId, isFullState)` where batchId = the range's end
+    * snapshot id (monotonic — usable directly as an idempotent txn batch
+    * id) and isFullState marks deliveries that are the WHOLE table state
+    * (the first round, and rewrite recovery) rather than an increment —
+    * such batches must REPLACE downstream state, not append to it.
     * Returns the delivered range `(fromExclusive, toInclusive)`, or None
     * when the source has nothing new. Call in a loop / on a schedule for
-    * continuous feeding. */
-  def pump(table: GraftTable, checkpointFile: String)
-      (sink: (DataFrame, Long) => Unit): Option[(Long, Long)] = {
+    * continuous feeding.
+    *
+    * @param onRewrite what to do when a non-append snapshot
+    *   (merge/overwrite/compact/rollback) lands inside the pending range,
+    *   where the increment is undefined (incremental scans refuse
+    *   rewrites, as Iceberg's do). "fail" (default) rethrows — note the
+    *   pending range is already persisted, so every later pump replays the
+    *   same refusal until the source is repaired or the checkpoint reset;
+    *   "fullState" recovers by re-delivering the full state as of the
+    *   range end with isFullState=true — the feed self-heals and stays
+    *   exactly-once for sinks that honor the replace contract. */
+  def pump(table: GraftTable, checkpointFile: String,
+      onRewrite: String = "fail")
+      (sink: (DataFrame, Long, Boolean) => Unit): Option[(Long, Long)] = {
+    require(Set("fail", "fullState").contains(onRewrite),
+      s"onRewrite must be fail|fullState, got $onRewrite")
     val tip = table.latestSnapshotId.getOrElse(return None)
     val range = readCkpt(table, checkpointFile) match {
       case Some(c) if c.pending > c.committed =>
@@ -76,20 +92,31 @@ object TableFeed {
     }
     range.map { r =>
       writeCkpt(table, checkpointFile, r) // WAL: pending recorded first
-      val df =
-        if (r.committed < 0) table.readAsOf(r.pending)
-        else table.readIncremental(r.committed, r.pending)
-      sink(df, r.pending)
+      val (df, full) =
+        if (r.committed < 0) (table.readAsOf(r.pending), true)
+        else try {
+          (table.readIncremental(r.committed, r.pending), false)
+        } catch {
+          case _: IllegalArgumentException if onRewrite == "fullState" =>
+            (table.readAsOf(r.pending), true)
+        }
+      sink(df, r.pending, full)
       writeCkpt(table, checkpointFile, Ckpt(r.pending, r.pending))
       (r.committed, r.pending)
     }
   }
 
   /** Exactly-once table mirroring: pump `src` into `dst`, committing each
-    * range with an idempotent txn stamp so crash replays are no-ops. */
+    * range with an idempotent txn stamp so crash replays are no-ops.
+    * Full-state deliveries (first round, rewrite recovery) OVERWRITE the
+    * mirror — so a merge/compact landing in the source re-syncs the mirror
+    * instead of wedging the feed, still exactly-once (the overwrite
+    * carries the same txn stamp). */
   def mirror(src: GraftTable, dst: GraftTable, checkpointFile: String,
-      txnAppId: String, parts: Seq[String] = Seq.empty): Option[(Long, Long)] =
-    pump(src, checkpointFile) { (df, batchId) =>
-      dst.append(df, parts, txn = Some((txnAppId, batchId)))
+      txnAppId: String, parts: Seq[String] = Seq.empty,
+      onRewrite: String = "fullState"): Option[(Long, Long)] =
+    pump(src, checkpointFile, onRewrite) { (df, batchId, full) =>
+      if (full) dst.overwrite(df, parts, txn = Some((txnAppId, batchId)))
+      else dst.append(df, parts, txn = Some((txnAppId, batchId)))
     }
 }

@@ -30,6 +30,21 @@ object GraftSqlGlue {
         types.StringType),
       dt, Some("UTC")).eval(null)
 
+  /** Render an EXTERNAL (Row-level) value with Spark's Cast-to-string under
+    * UTC — the write-side twin of [[castFromString]]. Driver-side renderings
+    * (e.g. merge batch key bounds) must match the UTC discipline file stats
+    * are recorded under, REGARDLESS of the session timezone: a
+    * session-zone cast of a timestamp key would shift the batch range
+    * against UTC-recorded file stats and wrongly prune files. */
+  def castToStringUtc(v: Any, dt: types.DataType): String = {
+    if (v == null) return null
+    val internal = catalyst.CatalystTypeConverters.convertToCatalyst(v)
+    val out = catalyst.expressions.Cast(
+      catalyst.expressions.Literal(internal, dt), types.StringType,
+      Some("UTC")).eval(null)
+    if (out == null) null else out.toString
+  }
+
   /** Spark's interpreted ordering for a data type (compares the INTERNAL
     * representation castFromString returns). */
   def interpretedOrdering(dt: types.DataType): Ordering[Any] =

@@ -106,6 +106,27 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("concurrent replays of one txn batch commit at most once") {
+    // the zombie-driver race: several replays of the SAME (appId, batchId)
+    // pass the pre-staging check together (barrier), stage, and race the
+    // publish — the in-retry-loop re-check must let exactly one commit
+    val t = GraftTable(spark, tmpDir("conc-txn") + "/t")
+    t.create(Seq((0L, "")).toDF("id", "v").schema)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val futures = (1 to 4).map { _ =>
+      Future {
+        barrier.await()
+        t.append(Seq((1L, "x")).toDF("id", "v"), txn = Some(("zombie", 7L)))
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    pool.shutdown()
+    assert(t.read().count() === 1) // the batch landed exactly once
+    assert(t.snapshots.count(_.txnAppId.contains("zombie")) === 1)
+  }
+
   test("snapshot publish onto an occupied slot loses, never clobbers") {
     // LocalFileSystem.rename onto an existing file returns true and silently
     // OVERWRITES it — the exact primitive that would lose a racing commit.

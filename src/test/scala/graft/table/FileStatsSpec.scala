@@ -216,6 +216,29 @@ class FileStatsSpec extends SparkSpec {
     val idStat = t2.statsFor(live2)(live2.head)("id")
     assert((idStat.min, idStat.max) === (Some("1"), Some("210")))
   }
+  test("merge under a non-UTC session does not mis-prune timestamp-keyed files") {
+    // File stats are recorded under UTC; the merge batch's key bounds must
+    // render under UTC too — a session-zone rendering would shift them by
+    // the zone offset, wrongly prune the files that hold matched rows, and
+    // silently duplicate keys.
+    val t = freshTable("fs-tz-merge")
+    import java.sql.Timestamp
+    val rows = (0 until 48).map { h =>
+      (new Timestamp(1704067200000L + h * 1800_000L), h.toLong) // 2024-01-01
+    }
+    t.append(rows.toDF("ts", "n"), sortBy = Seq("ts"), sortFiles = Some(4))
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      t.merge(Seq((rows(5)._1, 999L)).toDF("ts", "n"),
+        keys = Seq("ts"), dedupKey = Seq("ts"), orderCol = "n")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+    val out = t.read()
+    assert(out.count() === 48) // no key duplicated by a mis-pruned rewrite
+    assert(out.groupBy("ts").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
+    assert(out.filter($"n" === 999L).count() === 1) // the update landed
+  }
 }
 
 /** Test-side helper for building internal date values. */

@@ -55,6 +55,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.readAsOf(1L).count() === 0)
   }
 
+  test("expire baseline carries fileRows for absorbed files") {
+    val t = freshTable("mt-expire-rows")
+    t.append(Seq((1L, "a"), (2L, "a")).toDF("id", "v"))
+    t.append(Seq((3L, "b")).toDF("id", "v"))
+    t.append(Seq((4L, "c")).toDF("id", "v"))
+    val before = t.rowsFor(t.liveFiles())
+    t.expireSnapshots(keepLast = 2) // baseline absorbs the first append
+    val after = t.rowsFor(t.liveFiles())
+    // row counts recorded by expired snapshots survive in the baseline —
+    // metaFiles and auto-merge sizing keep working after expiration
+    assert(after === before)
+    assert(t.liveFiles().forall(after.contains))
+    assert(after.values.sum === 4L)
+  }
+
   test("compact(sortBy) re-clusters: fragmented appends regain pruned scans") {
     val dir = tmpDir("mt-recluster") + "/t"
     val t = GraftTable(spark, dir)

@@ -46,7 +46,7 @@ class TableFeedSpec extends SparkSpec {
     // sink commits to dst (txn-stamped) then CRASHES before pump can mark
     // the range committed
     intercept[RuntimeException] {
-      TableFeed.pump(src, ckpt) { (df: DataFrame, batchId: Long) =>
+      TableFeed.pump(src, ckpt) { (df: DataFrame, batchId: Long, _: Boolean) =>
         dst.append(df, txn = Some(("m2", batchId)))
         throw new RuntimeException("crash after dst commit")
       }
@@ -70,7 +70,7 @@ class TableFeedSpec extends SparkSpec {
     src.append(Seq((1L, "a")).toDF("id", "v"))
     // crash before the sink does anything
     intercept[RuntimeException] {
-      TableFeed.pump(src, ckpt) { (_, _) => throw new RuntimeException("boom") }
+      TableFeed.pump(src, ckpt) { (_, _, _) => throw new RuntimeException("boom") }
     }
     assert(!dst.exists) // nothing delivered
     // replay delivers the full range
@@ -78,19 +78,51 @@ class TableFeedSpec extends SparkSpec {
     assert(dst.read().count() === 1)
   }
 
-  test("feed over a source with pre-feed merges works; mid-feed rewrite refuses") {
+  test("feed over a source with pre-feed merges works; mid-feed rewrite recovers") {
     val (src, dst, ckpt) = fresh("feed-merge")
     src.append(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
     src.merge(Seq((1L, "a2", 2L)).toDF("id", "v", "ts"),
       Seq("id"), Seq("id"), "ts") // merge BEFORE the feed starts: fine
     TableFeed.mirror(src, dst, ckpt, "m4")
     assert(dst.read().select("v").as[String].collect() === Array("a2"))
-    // a rewrite INSIDE the feed window is refused, checkpoint not advanced
+    // a rewrite INSIDE the feed window: onRewrite=fail refuses and does
+    // NOT advance the checkpoint...
     src.merge(Seq((1L, "a3", 3L)).toDF("id", "v", "ts"),
       Seq("id"), Seq("id"), "ts")
     intercept[IllegalArgumentException] {
-      TableFeed.mirror(src, dst, ckpt, "m4")
+      TableFeed.mirror(src, dst, ckpt, "m4", onRewrite = "fail")
     }
+    assert(dst.read().select("v").as[String].collect() === Array("a2"))
+    // ...and the default (fullState) then self-heals on the SAME persisted
+    // pending range: full state re-delivered, mirror overwritten, in sync
+    val r = TableFeed.mirror(src, dst, ckpt, "m4")
+    assert(r.isDefined)
+    assert(dst.read().select("v").as[String].collect() === Array("a3"))
+    // feed is unwedged: subsequent appends flow incrementally again
+    src.append(Seq((2L, "b", 4L)).toDF("id", "v", "ts"))
+    TableFeed.mirror(src, dst, ckpt, "m4")
+    assert(dst.read().orderBy("id").select("v").as[String].collect() ===
+      Array("a3", "b"))
+  }
+
+  test("fullState replay after crash mid-recovery does not double-commit") {
+    val (src, dst, ckpt) = fresh("feed-recover-crash")
+    src.append(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    TableFeed.mirror(src, dst, ckpt, "m5")
+    src.merge(Seq((1L, "a2", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts")
+    // recovery overwrite lands in dst, then the pump crashes before the
+    // checkpoint advances — the replay must dedup via the txn stamp
+    intercept[RuntimeException] {
+      TableFeed.pump(src, ckpt, onRewrite = "fullState") { (df, batchId, full) =>
+        assert(full)
+        dst.overwrite(df, txn = Some(("m5", batchId)))
+        throw new RuntimeException("crash after overwrite")
+      }
+    }
+    val snaps = dst.latestSnapshotId.get
+    TableFeed.mirror(src, dst, ckpt, "m5")
+    assert(dst.latestSnapshotId.get === snaps) // replay was a no-op
     assert(dst.read().select("v").as[String].collect() === Array("a2"))
   }
 }
