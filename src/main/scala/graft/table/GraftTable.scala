@@ -88,6 +88,78 @@ class GraftTable(spark: SparkSession, val location: String) {
   def latestSnapshot: Option[Snapshot] = snapshots.lastOption
   def latestSnapshotId: Option[Long] = latestSnapshot.map(_.snapshotId)
 
+  // ---- manifests (chunked per-commit file metadata) ----
+
+  private def readManifest(rel: String): Manifest = {
+    val p = new Path(tablePath, rel)
+    val st = fs.getFileStatus(p)
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    val cached = GraftTable.manifestCache.get(key)
+    if (cached != null) cached
+    else {
+      GraftTable.manifestParses.incrementAndGet()
+      val in = fs.open(p)
+      val m = try {
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(bytes)
+        Manifest.fromJson(new String(bytes, "UTF-8"))
+      } finally in.close()
+      if (GraftTable.manifestCache.size > GraftTable.SnapCacheMax)
+        GraftTable.manifestCache.clear()
+      GraftTable.manifestCache.put(key, m)
+      m
+    }
+  }
+
+  /** A snapshot's per-file change set: its manifest's entries when
+    * chunked; synthesized from the legacy inline fields otherwise (old
+    * snapshot JSON keeps resolving unchanged). */
+  def entriesOf(s: Snapshot): Seq[ManifestEntry] = s.manifest match {
+    case Some(ref) => readManifest(ref.path).entries
+    case None =>
+      s.removedFiles.map(f => ManifestEntry(f, "remove")) ++
+        s.addedFiles.map(f => ManifestEntry(f, "add",
+          stats = s.fileStats.flatMap(_.get(f)),
+          rows = s.fileRows.flatMap(_.get(f)),
+          seq = s.fileSeqs.flatMap(_.get(f))))
+  }
+
+  def addedFilesOf(s: Snapshot): Seq[String] =
+    entriesOf(s).filter(_.status == "add").map(_.path)
+  def removedFilesOf(s: Snapshot): Seq[String] =
+    entriesOf(s).filter(_.status == "remove").map(_.path)
+
+  /** Cap on per-column distinct partition values a manifest summary
+    * records; a wider manifest drops the summary and is always read. */
+  private val MaxPartSummaryValues = 64
+
+  /** Write a commit's manifest file and build its slim ref (entry counts +
+    * partition-value summary for manifest skipping). The manifest is
+    * content-addressed by UUID and immutable; an aborted commit leaves at
+    * worst an unreferenced manifest, swept with the expired metadata. */
+  private def writeManifest(entries: Seq[ManifestEntry],
+      parts: Seq[String]): ManifestRef = {
+    val rel = s"_graft/manifest-${UUID.randomUUID()}.json"
+    val p = new Path(tablePath, rel)
+    val out = fs.create(p, false)
+    try out.write(Manifest.toJson(Manifest(entries)).getBytes("UTF-8"))
+    finally out.close()
+    val summary: Option[Map[String, Seq[String]]] =
+      if (parts.isEmpty) None
+      else {
+        val maps = entries.map(e => partitionValues(e.path))
+        if (maps.exists(m => !parts.forall(m.contains))) None
+        else {
+          val per = parts.map(pc =>
+            pc -> maps.map(_(pc)).distinct.sorted.toSeq).toMap
+          if (per.values.exists(_.size > MaxPartSummaryValues)) None
+          else Some(per)
+        }
+      }
+    ManifestRef(rel, entries.count(_.status == "add"),
+      entries.count(_.status == "remove"), summary)
+  }
+
   def schema: StructType = latestSnapshot match {
     case Some(s) => DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     case None => throw new IllegalStateException(s"no such table: $location")
@@ -122,12 +194,14 @@ class GraftTable(spark: SparkSession, val location: String) {
   }
 
   /** Iceberg `.snapshots`-shaped metadata view: one row per snapshot with
-    * its operation and add/remove summary. */
+    * its operation and add/remove summary. Counts come from the slim
+    * manifest ref — this view never parses a manifest. */
   def metaSnapshots: DataFrame = {
     import spark.implicits._
     snapshots.map(s => (s.snapshotId, s.parentId,
         new java.sql.Timestamp(s.timestampMs), s.operation,
-        s.addedFiles.size.toLong, s.removedFiles.size.toLong,
+        s.manifest.map(_.addedCount).getOrElse(s.addedFiles.size).toLong,
+        s.manifest.map(_.removedCount).getOrElse(s.removedFiles.size).toLong,
         s.addedDeleteFiles.map(_.size.toLong).getOrElse(0L)))
       .toDF("snapshot_id", "parent_id", "committed_at", "operation",
         "added_files", "removed_files", "added_delete_files")
@@ -154,7 +228,46 @@ class GraftTable(spark: SparkSession, val location: String) {
   /** Live data files (relative paths) as of `asOf` (default: latest). */
   def liveFiles(asOf: Option[Long] = None): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    chainTo(asOf).foreach { s => live --= s.removedFiles; live ++= s.addedFiles }
+    chainTo(asOf).foreach { s =>
+      val es = entriesOf(s)
+      es.foreach(e => if (e.status == "remove") live -= e.path)
+      es.foreach(e => if (e.status == "add") live += e.path)
+    }
+    live.toSeq
+  }
+
+  /** Partition-filtered live-file resolution with MANIFEST SKIPPING: a
+    * snapshot whose manifest summary proves no entry (add or remove) lies
+    * in a kept partition contributes nothing to the filtered set, so its
+    * manifest is never parsed — planning cost is O(matching manifests),
+    * not O(every file ever committed): the Iceberg manifest-list
+    * partition-summary behavior. Skipping is safe for removes because a
+    * remove of a pruned-out file removes nothing from this set. */
+  def liveFilesWhere(keep: Map[String, Set[String]],
+      asOf: Option[Long] = None): Seq[String] = {
+    val parts = partitionCols
+    def fileMatches(f: String): Boolean = {
+      val kv = partitionValues(f)
+      parts.forall(p =>
+        keep.get(p).forall(vals => kv.get(p).forall(vals.contains)))
+    }
+    def mayMatch(s: Snapshot): Boolean = s.manifest match {
+      case Some(ref) => ref.partitionValues match {
+        case Some(pv) => keep.forall { case (c, vals) =>
+          pv.get(c).forall(_.exists(vals.contains)) }
+        case None => true // summary too wide → must read
+      }
+      case None => true // legacy inline snapshot
+    }
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    chainTo(asOf).foreach { s =>
+      if (mayMatch(s)) {
+        val es = entriesOf(s)
+        es.foreach(e => if (e.status == "remove") live -= e.path)
+        es.foreach(e =>
+          if (e.status == "add" && fileMatches(e.path)) live += e.path)
+      }
+    }
     live.toSeq
   }
 
@@ -196,9 +309,9 @@ class GraftTable(spark: SparkSession, val location: String) {
   private def fileAddSeqs(asOf: Option[Long]): Map[String, Long] = {
     val seqs = scala.collection.mutable.Map.empty[String, Long]
     chainTo(asOf).foreach { s =>
-      s.addedFiles.foreach { f =>
-        if (!seqs.contains(f))
-          seqs(f) = s.fileSeqs.flatMap(_.get(f)).getOrElse(s.snapshotId)
+      entriesOf(s).foreach { e =>
+        if (e.status == "add" && !seqs.contains(e.path))
+          seqs(e.path) = e.seq.getOrElse(s.snapshotId)
       }
     }
     seqs.toMap
@@ -240,7 +353,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     * `schemaFor` is evaluated against the CURRENT tip on every attempt, so
     * a retrying append re-merges its schema against whatever the winner
     * committed instead of republishing a stale JSON. */
-  private def commit(operation: String, added: Seq[String],
+  private[table] def commit(operation: String, added: Seq[String],
       removed: Seq[String], schemaFor: Option[Snapshot] => String,
       parts: Seq[String], expectedParent: Option[Long] = None,
       stats: Map[String, Map[String, ColStat]] = Map.empty,
@@ -251,6 +364,15 @@ class GraftTable(spark: SparkSession, val location: String) {
       removeDeletes: Seq[String] = Seq.empty,
       reAddDeletes: Seq[DeleteFile] = Seq.empty,
       txn: Option[(String, Long)] = None): Long = {
+    // the per-file payload is written ONCE as a manifest before the
+    // publish loop (its content does not depend on the snapshot id);
+    // retries republish only the slim snapshot record
+    val entries =
+      removed.map(f => ManifestEntry(f, "remove")) ++
+        added.map(f => ManifestEntry(f, "add",
+          stats = stats.get(f).filter(_.nonEmpty), rows = rows.get(f)))
+    val manifestRef =
+      if (entries.isEmpty) None else Some(writeManifest(entries, parts))
     var attempts = 0
     while (true) {
       attempts += 1
@@ -280,15 +402,14 @@ class GraftTable(spark: SparkSession, val location: String) {
       val addedDeletes =
         addDeletePaths.map(DeleteFile(_, id)) ++ reAddDeletes
       val snap = Snapshot(id, parent.map(_.snapshotId),
-        System.currentTimeMillis(), operation, added, removed,
+        System.currentTimeMillis(), operation, Seq.empty, Seq.empty,
         schemaFor(parent), parts,
-        fileStats = if (stats.isEmpty) None else Some(stats),
         addedDeleteFiles =
           if (addedDeletes.isEmpty) None else Some(addedDeletes),
         removedDeleteFiles =
           if (removeDeletes.isEmpty) None else Some(removeDeletes),
-        fileRows = if (rows.isEmpty) None else Some(rows),
-        txnAppId = txn.map(_._1), txnBatchId = txn.map(_._2))
+        txnAppId = txn.map(_._1), txnBatchId = txn.map(_._2),
+        manifest = manifestRef)
       val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(Snapshot.toJson(snap).getBytes("UTF-8")) finally out.close()
@@ -416,9 +537,10 @@ class GraftTable(spark: SparkSession, val location: String) {
   def rowsFor(files: Seq[String]): Map[String, Long] = {
     val want = files.toSet
     val out = scala.collection.mutable.Map.empty[String, Long]
-    snapshots.foreach(_.fileRows.foreach(_.foreach {
-      case (f, n) => if (want.contains(f)) out(f) = n
-    }))
+    snapshots.foreach(s => entriesOf(s).foreach { e =>
+      if (e.status == "add" && want.contains(e.path))
+        e.rows.foreach(out(e.path) = _)
+    })
     out.toMap
   }
 
@@ -428,9 +550,10 @@ class GraftTable(spark: SparkSession, val location: String) {
   def statsFor(files: Seq[String]): Map[String, Map[String, ColStat]] = {
     val want = files.toSet
     val out = scala.collection.mutable.Map.empty[String, Map[String, ColStat]]
-    snapshots.foreach(_.fileStats.foreach(_.foreach {
-      case (f, st) => if (want.contains(f)) out(f) = st
-    }))
+    snapshots.foreach(s => entriesOf(s).foreach { e =>
+      if (e.status == "add" && want.contains(e.path))
+        e.stats.filter(_.nonEmpty).foreach(out(e.path) = _)
+    })
     out.toMap
   }
 
@@ -607,22 +730,15 @@ class GraftTable(spark: SparkSession, val location: String) {
     val bad = range.filterNot(s => s.operation == "append" || s.operation == "create")
     require(bad.isEmpty,
       s"incremental read over non-append snapshots: ${bad.map(_.snapshotId).mkString(",")}")
-    range.flatMap(_.addedFiles)
+    range.flatMap(addedFilesOf)
   }
 
-  /** Partition-pruned scan: resolves the file list driver-side from Hive
-    * partition-dir values, so only matching partitions are ever listed/read
-    * (manifest-style pruning; `pred` maps partition column -> kept values). */
-  def readPruned(keep: Map[String, Set[String]]): DataFrame = {
-    val parts = partitionCols
-    val files = liveFiles().filter { f =>
-      val kv = partitionValues(f)
-      parts.forall { p =>
-        keep.get(p).forall(vals => kv.get(p).forall(vals.contains))
-      }
-    }
-    morRead(files, None)
-  }
+  /** Partition-pruned scan: resolves the file list driver-side with
+    * manifest skipping ([[liveFilesWhere]]), so only matching partitions
+    * are ever listed/read AND only matching manifests are ever parsed
+    * (`keep` maps partition column -> kept values). */
+  def readPruned(keep: Map[String, Set[String]]): DataFrame =
+    morRead(liveFilesWhere(keep), None)
 
   /** Parse `k=v` partition-dir components of a relative file path. Values
     * are decoded with Spark's own partition-path unescaper — URL-decoding
@@ -705,36 +821,42 @@ class GraftTable(spark: SparkSession, val location: String) {
     val expired = all.dropRight(keepLast)
     val oldest = retained.head
 
-    // baseline: the oldest retained snapshot absorbs the history below it
-    // (including the per-file stats of the files it now carries, which
-    // would otherwise be lost with the expired snapshots). Replacement is
-    // a single atomic OVERWRITE rename — a crash can leave the old or the
+    // baseline: the oldest retained snapshot absorbs the history below it.
+    // Its per-file payload (carried files + their stats, row counts and
+    // ORIGINAL add-sequences — all would otherwise be lost with the
+    // expired snapshots) goes into a fresh manifest; live tombstones are
+    // carried with original sequences so "delete at seq D applies below D"
+    // keeps holding after the adding snapshots are gone. Replacement is a
+    // single atomic OVERWRITE rename — a crash can leave the old or the
     // new baseline, never a hole in the chain.
     val baselineFiles = liveFiles(Some(oldest.snapshotId))
     val baselineStats = statsFor(baselineFiles)
-    // carry live tombstones (original sequences) and record the original
-    // add-sequences of carried data files: both are needed so "delete at
-    // seq D applies below D" keeps holding after the adding snapshots
-    // are gone
     val baselineDeletes = liveDeletes(Some(oldest.snapshotId))
     val baselineSeqs = fileAddSeqs(Some(oldest.snapshotId))
-      .filter { case (f, _) => baselineFiles.contains(f) }
-    // row counts recorded by expired snapshots must travel with the carried
-    // files too, or metaFiles/auto-merge sizing silently degrades after
-    // expiration — same rule as fileStats/fileSeqs
     val baselineRows = rowsFor(baselineFiles)
+    // cleanup candidates are computed BEFORE the expired manifests go away
+    val candidates = (expired.flatMap(s => entriesOf(s).map(_.path)) ++
+      expired.flatMap(_.addedDeleteFiles.toSeq.flatten.map(_.path)) ++
+      expired.flatMap(_.removedDeleteFiles.toSeq.flatten)).distinct
+    val retainedTailAdds = retained.tail.flatMap(addedFilesOf)
+
+    val baselineEntries = baselineFiles.map(f => ManifestEntry(f, "add",
+      stats = baselineStats.get(f).filter(_.nonEmpty),
+      rows = baselineRows.get(f), seq = baselineSeqs.get(f)))
+    val baselineManifest =
+      if (baselineEntries.isEmpty) None
+      else Some(writeManifest(baselineEntries, oldest.partitionCols))
     val baseline = oldest.copy(
       parentId = None,
-      addedFiles = baselineFiles,
+      addedFiles = Seq.empty,
       removedFiles = Seq.empty,
-      fileStats =
-        if (baselineStats.isEmpty) None else Some(baselineStats),
-      fileRows =
-        if (baselineRows.isEmpty) None else Some(baselineRows),
+      fileStats = None,
+      fileRows = None,
+      fileSeqs = None,
       addedDeleteFiles =
         if (baselineDeletes.isEmpty) None else Some(baselineDeletes),
       removedDeleteFiles = None,
-      fileSeqs = if (baselineSeqs.isEmpty) None else Some(baselineSeqs))
+      manifest = baselineManifest)
     val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(Snapshot.toJson(baseline).getBytes("UTF-8")) finally out.close()
@@ -743,19 +865,20 @@ class GraftTable(spark: SparkSession, val location: String) {
       tablePath.toUri, spark.sessionState.newHadoopConf())
     fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
-    expired.foreach(s =>
-      fs.delete(new Path(metaPath, snapFileName(s.snapshotId)), false))
+    // expired snapshot records, their manifests, and the oldest's
+    // superseded pre-baseline manifest are all unreachable now
+    expired.foreach { s =>
+      fs.delete(new Path(metaPath, snapFileName(s.snapshotId)), false)
+      s.manifest.foreach(m => fs.delete(new Path(tablePath, m.path), false))
+    }
+    oldest.manifest.foreach(m =>
+      fs.delete(new Path(tablePath, m.path), false))
 
     // physical cleanup: files referenced by no retained snapshot state
     // (delete files follow the same rule)
-    val reachable = (baseline.addedFiles ++
-      retained.tail.flatMap(_.addedFiles) ++
-      baseline.addedDeleteFiles.toSeq.flatten.map(_.path) ++
+    val reachable = (baselineFiles ++ retainedTailAdds ++
+      baselineDeletes.map(_.path) ++
       retained.tail.flatMap(_.addedDeleteFiles.toSeq.flatten.map(_.path))).toSet
-    val candidates = (expired.flatMap(_.addedFiles) ++
-      expired.flatMap(_.removedFiles) ++
-      expired.flatMap(_.addedDeleteFiles.toSeq.flatten.map(_.path)) ++
-      expired.flatMap(_.removedDeleteFiles.toSeq.flatten)).distinct
     val orphans = candidates.filterNot(reachable.contains)
     orphans.foreach(f => fs.delete(new Path(tablePath, f), false))
     orphans
@@ -770,7 +893,7 @@ class GraftTable(spark: SparkSession, val location: String) {
   def removeOrphanFiles(
       olderThanMs: Long = 3L * 24 * 60 * 60 * 1000): Seq[String] = {
     val referenced = snapshots.flatMap(s =>
-      s.addedFiles ++ s.addedDeleteFiles.toSeq.flatten.map(_.path)).toSet
+      addedFilesOf(s) ++ s.addedDeleteFiles.toSeq.flatten.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val it = fs.listFiles(tablePath, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -863,4 +986,14 @@ object GraftTable {
   private val SnapCacheMax = 10000
   private val snapCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Snapshot]()
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Manifest]()
+
+  /** Manifest-file parses (cache misses) — the observable evidence that a
+    * partition-filtered plan read ONLY the manifests it needed. */
+  val manifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop the metadata parse caches (test hook: makes parse counters
+    * measure a cold resolution). */
+  def clearMetaCaches(): Unit = { snapCache.clear(); manifestCache.clear() }
 }

@@ -9,9 +9,16 @@ package graft.table
   * the filesystem, as in Iceberg's optimistic metadata swap. File lists are
   * relative paths so a table directory is relocatable.
   *
-  * Scale note: metadata is O(files) per snapshot, like an Iceberg manifest.
-  * At 100 TB the file lists would be split into manifest files; the commit
-  * protocol (write-new, atomic-rename, retry on collision) is unchanged.
+  * Scale design: the snapshot record itself is O(1) — the per-file payload
+  * (paths, column min/max, Bloom bitsets, row counts, sequence overrides)
+  * lives in a per-commit MANIFEST file ([[Manifest]]) referenced by a slim
+  * [[ManifestRef]] that carries only entry counts and a partition-value
+  * summary. Planning reads the manifests a query needs (a
+  * partition-filtered read skips manifests whose summary cannot match —
+  * Iceberg's manifest-list partition-summary skipping); the snapshot chain
+  * itself stays cheap to list and parse at any file count. Legacy
+  * snapshots with inline file lists still resolve (the reader falls back
+  * to the inline fields when `manifest` is absent).
   */
 /** Per-file, per-column min/max, rendered with Spark's Cast-to-string (in
   * UTC) and parsed back with the same Cast — the discipline partition-path
@@ -32,6 +39,37 @@ case class ColStat(min: Option[String], max: Option[String],
   * is recorded explicitly so it survives snapshot expiration (the
   * baseline re-adds the delete file with its original sequence). */
 case class DeleteFile(path: String, seq: Long)
+
+/** One data-file change recorded by a commit's manifest: `status` is
+  * "add" or "remove"; stats/rows travel with "add" entries (the Iceberg
+  * manifest data-file record); `seq` is the add-sequence override the
+  * expire baseline records for carried files. */
+case class ManifestEntry(path: String, status: String,
+    stats: Option[Map[String, ColStat]] = None,
+    rows: Option[Long] = None,
+    seq: Option[Long] = None)
+
+/** A commit's full per-file payload, stored as its own file under
+  * `_graft/` — the Iceberg manifest analogue. Parsed only when a query
+  * actually needs this commit's file details. */
+case class Manifest(entries: Seq[ManifestEntry])
+
+object Manifest {
+  import org.json4s._
+  import org.json4s.jackson.Serialization
+  private implicit val fmts: Formats = DefaultFormats
+  def toJson(m: Manifest): String = Serialization.write(m)
+  def fromJson(j: String): Manifest = Serialization.read[Manifest](j)
+}
+
+/** Slim pointer to a commit's [[Manifest]], embedded in the snapshot
+  * record (the manifest-list entry): counts for the metadata views and a
+  * partition-value summary for manifest SKIPPING — a partition-filtered
+  * plan never parses a manifest whose summary proves no entry (add or
+  * remove) can match. `partitionValues` is None when the summary was too
+  * wide to record (the manifest must then always be read). */
+case class ManifestRef(path: String, addedCount: Int, removedCount: Int,
+    partitionValues: Option[Map[String, Seq[String]]] = None)
 
 case class Snapshot(
     snapshotId: Long,
@@ -62,7 +100,13 @@ case class Snapshot(
       * its (appId, batchId) before committing — the stamp rides IN the
       * data commit, so the dedup check and the data are atomic. */
     txnAppId: Option[String] = None,
-    txnBatchId: Option[Long] = None)
+    txnBatchId: Option[Long] = None,
+    /** the commit's per-file payload, chunked out of this record (None on
+      * legacy snapshots, which carry the inline fields above instead; None
+      * also on file-less commits like create). When present, the inline
+      * addedFiles/removedFiles/fileStats/fileRows/fileSeqs are empty and
+      * the manifest is authoritative. */
+    manifest: Option[ManifestRef] = None)
 
 object Snapshot {
   import org.json4s._

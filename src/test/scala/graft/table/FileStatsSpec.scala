@@ -62,10 +62,10 @@ class FileStatsSpec extends SparkSpec {
 
     val snap = t.snapshots.last
     assert(snap.operation === "merge")
-    // the low-range file was never rewritten: still live, not in removedFiles
+    // the low-range file was never rewritten: still live, not removed
     assert(t.liveFiles().contains(loFile))
-    assert(!snap.removedFiles.contains(loFile))
-    assert(snap.removedFiles.size === 1)
+    assert(!t.removedFilesOf(snap).contains(loFile))
+    assert(t.removedFilesOf(snap).size === 1)
     // and the data is correct: 100 + 101 existing, 1 updated in place, 1 insert
     val out = t.read()
     assert(out.count() === 202)
@@ -81,7 +81,7 @@ class FileStatsSpec extends SparkSpec {
     t.merge(Seq((5000L, "new", 2L)).toDF("id", "v", "ts"),
       keys = Seq("id"), dedupKey = Seq("id"), orderCol = "ts")
     // no existing file's range overlaps id=5000 → nothing rewritten
-    assert(t.snapshots.last.removedFiles.isEmpty)
+    assert(t.removedFilesOf(t.snapshots.last).isEmpty)
     assert(before.subsetOf(t.liveFiles().toSet))
     assert(t.read().count() === 51)
   }
@@ -116,11 +116,17 @@ class FileStatsSpec extends SparkSpec {
     val t = GraftTable(spark, dir)
     t.append((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
     val metaDir = new java.io.File(dir, "_graft")
-    metaDir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+    // legacy-ize the snapshots: inline file list, no manifest, no stats —
+    // also exercises the pre-manifest inline fallback end to end
+    metaDir.listFiles().filter(_.getName.startsWith("snap-")).foreach { f =>
       val json = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val stripped = Snapshot.toJson(Snapshot.fromJson(json).copy(fileStats = None))
+      val snap = Snapshot.fromJson(json)
+      val stripped = Snapshot.toJson(snap.copy(
+        manifest = None, addedFiles = t.addedFilesOf(snap),
+        removedFiles = t.removedFilesOf(snap), fileStats = None))
       java.nio.file.Files.write(f.toPath, stripped.getBytes("UTF-8"))
     }
+    GraftTable.clearMetaCaches()
     val t2 = GraftTable(spark, dir)
     assert(t2.statsFor(t2.liveFiles()).isEmpty)
     val back = spark.read.format("graft").load(dir).filter($"id" === 99L)

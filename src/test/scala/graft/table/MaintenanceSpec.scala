@@ -41,7 +41,7 @@ class MaintenanceSpec extends SparkSpec {
     t.append(Seq((1L, "a")).toDF("id", "v"))
     t.overwrite(Seq((2L, "b")).toDF("id", "v")) // file of snap 1 now dead
     t.append(Seq((3L, "c")).toDF("id", "v"))
-    val deadFile = t.snapshots(1).addedFiles.head
+    val deadFile = t.addedFilesOf(t.snapshots(1)).head
     val deleted = t.expireSnapshots(keepLast = 2)
     assert(deleted.contains(deadFile))
     assert(t.snapshots.map(_.snapshotId) === Seq(2L, 3L))

@@ -30,7 +30,7 @@ class MergeOnReadSpec extends SparkSpec {
       orderCol = "ts", mode = "mor")
     val snap = t.snapshots.last
     assert(snap.operation === "merge")
-    assert(snap.removedFiles.isEmpty) // NOTHING rewritten
+    assert(t.removedFilesOf(snap).isEmpty) // NOTHING rewritten
     assert(dataBytesBefore.subsetOf(t.liveFiles().toSet))
     assert(snap.addedDeleteFiles.get.size === 1)
     assert(snap.addedDeleteFiles.get.head.seq === snap.snapshotId)
@@ -71,7 +71,7 @@ class MergeOnReadSpec extends SparkSpec {
       .toDF("id", "v", "ts", "op")
     t.merge(batch, Seq("id"), Seq("id"), "ts", opCol = Some("op"),
       mode = "mor")
-    assert(t.snapshots.last.removedFiles.isEmpty)
+    assert(t.removedFilesOf(t.snapshots.last).isEmpty)
     assert(t.read().count() === 19) // one deleted
     assert(t.read().filter($"id" === 1L).count() === 0)
     assert(t.read().filter($"id" === 2L).select("v").as[String].collect() ===
@@ -157,7 +157,7 @@ class MergeOnReadSpec extends SparkSpec {
       Seq("id"), Seq("id"), "ts", mode = "auto")
     // tiny table: rewrite is cheaper than carrying tombstones
     assert(t.liveDeletes().isEmpty)
-    assert(t.snapshots.last.removedFiles.nonEmpty)
+    assert(t.removedFilesOf(t.snapshots.last).nonEmpty)
     assert(t.read().filter($"id" === 5L).select("v").as[String].collect() ===
       Array("upd"))
   }
@@ -169,7 +169,7 @@ class MergeOnReadSpec extends SparkSpec {
     t.merge(Seq((2L, "b2", 2L, "p2"), (9L, "new", 2L, "p9"))
       .toDF("id", "v", "ts", "part"), Seq("id"), Seq("id"), "ts",
       mode = "mor")
-    assert(t.snapshots.last.removedFiles.isEmpty)
+    assert(t.removedFilesOf(t.snapshots.last).isEmpty)
     val out = t.read().orderBy("id").select("id", "v", "part")
       .as[(Long, String, String)].collect()
     assert(out === Array((1L, "a", "p1"), (2L, "b2", "p2"), (3L, "c", "p3"),
