@@ -183,6 +183,17 @@ class GraftTable(spark: SparkSession, val location: String) {
   def partitionCols: Seq[String] =
     latestSnapshot.map(_.partitionCols).getOrElse(Seq.empty)
 
+  /** Table properties (set at create, carried forward by every commit). */
+  def properties: Map[String, String] =
+    latestSnapshot.flatMap(_.properties).getOrElse(Map.empty)
+
+  /** Columns declared for Bloom-bitset collection on write
+    * (`graft.bloom.columns`) — the one stat needing a value-level scan. */
+  private def bloomColumns: Set[String] =
+    properties.get("graft.bloom.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   /** Iceberg `.history`-shaped metadata view
     * (made_current_at, snapshot_id, parent_id, is_current_ancestor). */
   def history: DataFrame = {
@@ -363,7 +374,8 @@ class GraftTable(spark: SparkSession, val location: String) {
       addDeletePaths: Seq[String] = Seq.empty,
       removeDeletes: Seq[String] = Seq.empty,
       reAddDeletes: Seq[DeleteFile] = Seq.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      props: Option[Map[String, String]] = None): Long = {
     // the per-file payload is written ONCE as a manifest before the
     // publish loop (its content does not depend on the snapshot id);
     // retries republish only the slim snapshot record
@@ -409,6 +421,7 @@ class GraftTable(spark: SparkSession, val location: String) {
         removedDeleteFiles =
           if (removeDeletes.isEmpty) None else Some(removeDeletes),
         txnAppId = txn.map(_._1), txnBatchId = txn.map(_._2),
+        properties = props.orElse(parent.flatMap(_.properties)),
         manifest = manifestRef)
       val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
@@ -423,12 +436,14 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   /** K2/C5: create an empty table from a declared schema (the reference's
     * Avro-schema silver create, /root/reference/bronze-silver.py:168-204). */
-  def create(schema: StructType, parts: Seq[String] = Seq.empty): GraftTable = {
+  def create(schema: StructType, parts: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): GraftTable = {
     require(!exists, s"table already exists: $location")
     parts.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
     fs.mkdirs(metaPath)
-    commit("create", Seq.empty, Seq.empty, _ => schema.json, parts)
+    commit("create", Seq.empty, Seq.empty, _ => schema.json, parts,
+      props = if (properties.isEmpty) None else Some(properties))
     this
   }
 
@@ -437,10 +452,21 @@ class GraftTable(spark: SparkSession, val location: String) {
     * then moved (renamed, no copy) into the table tree. */
   private def stageAndMove(df: DataFrame, parts: Seq[String]): Seq[String] = {
     val stage = new Path(metaPath, s"stage-${UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
-      .option("compression", "snappy")
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .parquet(stage.toString)
+    // pin MICROS timestamps for the staged write: INT96 (the legacy
+    // default some sessions carry) records no usable footer statistics,
+    // which would silently disable timestamp stats and their pruning
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsBefore = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.write.mode("overwrite")
+        .option("compression", "snappy")
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .parquet(stage.toString)
+    } finally tsBefore match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(stage, true)
     while (it.hasNext) {
@@ -464,72 +490,81 @@ class GraftTable(spark: SparkSession, val location: String) {
     full.substring(i + prefix.length).dropWhile(_ == '/')
   }
 
-  /** Per-file column min/max for newly written files — the Iceberg
-    * manifest-stats equivalent, recorded in the committing snapshot and
-    * used by merge and the graft data source to skip files whose range
-    * cannot match (file-level pruning below partition granularity).
+  /** Per-file column min/max + row counts for newly written files — the
+    * Iceberg manifest-stats equivalent, recorded in the committing
+    * manifest and used by merge and the graft data source to skip files
+    * whose range cannot match (file-level pruning below partition
+    * granularity).
     *
-    * One distributed aggregate over ONLY the new files (a batch, not the
-    * table). At production scale the same numbers come for free from the
-    * writer or the parquet footers; the snapshot-log contract is
-    * identical either way. Values render via Cast-to-string and parse
-    * back with the same Cast (see [[FileStats]]); timestamp stats are
-    * only collected in UTC sessions (rendering is timezone-dependent). */
+    * Bounds and row counts come from PARQUET FOOTERS ([[FooterStats]]) —
+    * the writer already recorded them, so a commit costs one footer read
+    * per new file, NOT a second scan of the data it just wrote. Bloom
+    * membership bitsets are the one stat that needs a value-level pass;
+    * they are collected only for columns declared in the
+    * `graft.bloom.columns` table property, as one distributed aggregate
+    * over only the new files. */
   private def collectStats(relFiles: Seq[String])
       : (Map[String, Map[String, ColStat]], Map[String, Long]) = {
     if (relFiles.isEmpty) return (Map.empty, Map.empty)
     val parts = partitionCols
-    val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
     val statFields = schema.fields
       .filterNot(f => parts.contains(f.name))
       .filter(f => FileStats.isStatType(f.dataType))
-      .filter(f => utc || f.dataType != org.apache.spark.sql.types.TimestampType)
-    val nameToRel = relFiles
-      .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+      .toSeq
 
-    // bloom membership is collected for the point-lookup-shaped types
-    // (ids, keys, urls) — range types are served by min/max
-    def bloomable(f: org.apache.spark.sql.types.StructField): Boolean =
-      f.dataType == org.apache.spark.sql.types.StringType ||
-        f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType
+    // footer pass: driver-side, metadata-only; parallel across files
+    // because a commit can carry hundreds and each read is a small
+    // independent IO
+    val conf = spark.sessionState.newHadoopConf()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, relFiles.size)))
+    val footer: Map[String, (Map[String, ColStat], Long)] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = relFiles.map { rel =>
+          new java.util.concurrent.Callable[(String, (Map[String, ColStat], Long))] {
+            def call() = rel -> FooterStats.read(conf,
+              new Path(tablePath, rel), statFields)
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
 
-    val df = spark.read
-      .schema(StructType(statFields.toIndexedSeq))
-      .parquet(relFiles.map(f => s"$location/$f"): _*)
-    val aggs = statFields.flatMap { f =>
-      Seq(min(col(f.name)).cast("string").as(s"mn_${f.name}"),
-        max(col(f.name)).cast("string").as(s"mx_${f.name}")) ++
-        (if (bloomable(f))
-          Seq(graft.functions.AggExpressions
-            .bloom_agg(xxhash64(col(f.name))).as(s"bf_${f.name}"))
-        else Seq.empty)
-    }.toIndexedSeq :+ count(lit(1)).as("__rows")
-    val rows = df.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-
-    val perFile = rows.toSeq.flatMap { r =>
-      val fname = new Path(r.getString(0)).getName
-      nameToRel.get(fname).map { rel =>
-        val colStats = statFields.flatMap { f =>
-          def ok(s: String): Boolean =
-            f.dataType != org.apache.spark.sql.types.StringType ||
-              s.length <= FileStats.MaxStringStatLength
-          val mn = Option(r.getAs[String](s"mn_${f.name}")).filter(ok)
-          val mx = Option(r.getAs[String](s"mx_${f.name}")).filter(ok)
-          val bf =
-            if (bloomable(f))
-              Option(r.getAs[scala.collection.Seq[Long]](s"bf_${f.name}"))
-                .map(b => FileStats.encodeBloom(b.toArray))
-            else None
-          if (mn.isEmpty && mx.isEmpty && bf.isEmpty) None
-          else Some(f.name -> ColStat(mn, mx, bf))
-        }.toMap
-        (rel, colStats, r.getAs[Long]("__rows"))
+    val bloomFields = statFields.filter(f => bloomColumns.contains(f.name))
+    val blooms: Map[String, Map[String, String]] =
+      if (bloomFields.isEmpty) Map.empty
+      else {
+        GraftTable.statsDataScans.incrementAndGet()
+        val nameToRel = relFiles
+          .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+        val df = spark.read
+          .schema(StructType(bloomFields.toIndexedSeq))
+          .parquet(relFiles.map(f => s"$location/$f"): _*)
+        val aggs = bloomFields.map(f => graft.functions.AggExpressions
+          .bloom_agg(xxhash64(col(f.name))).as(s"bf_${f.name}")).toIndexedSeq
+        df.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*).collect().toSeq
+          .flatMap { r =>
+            val fname = new Path(r.getString(0)).getName
+            nameToRel.get(fname).map { rel =>
+              rel -> bloomFields.flatMap { f =>
+                Option(r.getAs[scala.collection.Seq[Long]](s"bf_${f.name}"))
+                  .map(b => f.name -> FileStats.encodeBloom(b.toArray))
+              }.toMap
+            }
+          }.toMap
       }
-    }
-    (perFile.map(p => p._1 -> p._2).toMap.filter(_._2.nonEmpty),
-      perFile.map(p => p._1 -> p._3).toMap)
+
+    val stats = relFiles.flatMap { rel =>
+      val bounds = footer.get(rel).map(_._1).getOrElse(Map.empty)
+      val bf = blooms.getOrElse(rel, Map.empty)
+      val merged = (bounds.keySet ++ bf.keySet).map { c =>
+        val b = bounds.getOrElse(c, ColStat(None, None))
+        c -> b.copy(bloom = bf.get(c))
+      }.toMap
+      if (merged.isEmpty) None else Some(rel -> merged)
+    }.toMap
+    (stats, footer.map { case (rel, (_, n)) => rel -> n })
   }
 
   /** Row counts for `files`, resolved across the snapshot chain (same
@@ -992,6 +1027,11 @@ object GraftTable {
   /** Manifest-file parses (cache misses) — the observable evidence that a
     * partition-filtered plan read ONLY the manifests it needed. */
   val manifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Value-level scans launched by stats collection — stays at zero for
+    * commits on tables without declared Bloom columns (bounds and row
+    * counts come from parquet footers, never a second data scan). */
+  val statsDataScans = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Drop the metadata parse caches (test hook: makes parse counters
     * measure a cold resolution). */

@@ -101,6 +101,12 @@ case class Snapshot(
       * data commit, so the dedup check and the data are atomic. */
     txnAppId: Option[String] = None,
     txnBatchId: Option[Long] = None,
+    /** table properties (Iceberg table-properties analogue), set at create
+      * and carried forward by every commit. Known keys:
+      * `graft.bloom.columns` — comma-separated columns to collect Bloom
+      * membership bitsets for on write (the one stat that needs a
+      * value-level scan; everything else comes from parquet footers). */
+    properties: Option[Map[String, String]] = None,
     /** the commit's per-file payload, chunked out of this record (None on
       * legacy snapshots, which carry the inline fields above instead; None
       * also on file-less commits like create). When present, the inline

@@ -31,17 +31,46 @@ class FileStatsSpec extends SparkSpec {
 
   test("append records per-file min/max in the snapshot log, round-trips typed") {
     val t = freshTable("fs-record")
-    t.append(Seq((5L, "m", 2.5), (1L, "a", 0.5), (9L, "z", 9.5))
-      .toDF("id", "v", "x").coalesce(1))
+    val df = Seq((5L, "m", 2.5), (1L, "a", 0.5), (9L, "z", 9.5))
+      .toDF("id", "v", "x")
+    t.create(df.schema, properties = Map("graft.bloom.columns" -> "id"))
+    t.append(df.coalesce(1))
     val live = t.liveFiles()
     assert(live.size === 1)
     val stats = t.statsFor(live)
     val cols = stats(live.head)
     assert((cols("id").min, cols("id").max) === (Some("1"), Some("9")))
     assert((cols("v").min, cols("v").max) === (Some("a"), Some("z")))
-    assert(cols("id").bloom.isDefined) // membership bitset rides along
+    assert(cols("id").bloom.isDefined) // declared column gets a bitset
+    assert(cols("v").bloom.isEmpty) // undeclared column does not
     assert(cols("x").min.get.toDouble === 0.5)
     assert(cols("x").max.get.toDouble === 9.5)
+  }
+
+  test("stats come from footers: no data scan unless Bloom columns are declared") {
+    val t = freshTable("fs-footer")
+    val scansBefore = GraftTable.statsDataScans.get()
+    val rows = (1L to 500L).map(i =>
+      (i, s"v$i", new java.sql.Timestamp(1704067200000L + i * 1000L)))
+    t.append(rows.toDF("id", "v", "ts")
+      .withColumn("amt", col("id").cast("decimal(10,2)")).coalesce(1))
+    // bounds + row counts recorded, yet zero value-level stats scans ran
+    assert(GraftTable.statsDataScans.get() === scansBefore)
+    val f = t.liveFiles().head
+    val cols = t.statsFor(Seq(f))(f)
+    assert((cols("id").min, cols("id").max) === (Some("1"), Some("500")))
+    assert((cols("v").min, cols("v").max) === (Some("v1"), Some("v99")))
+    assert(cols("ts").min.get.startsWith("2024-01-01 00:00:01"))
+    assert(cols("ts").max.get.startsWith("2024-01-01 00:08:20"))
+    assert(cols("amt").min === Some("1.00"))
+    assert(cols("amt").max === Some("500.00"))
+    assert(t.rowsFor(Seq(f))(f) === 500L)
+    // a Bloom-declared table pays exactly one declared value pass
+    val tb = freshTable("fs-footer-bloom")
+    val df = Seq((1L, "a")).toDF("id", "v")
+    tb.create(df.schema, properties = Map("graft.bloom.columns" -> "id"))
+    tb.append(df)
+    assert(GraftTable.statsDataScans.get() === scansBefore + 1)
   }
 
   test("unpartitioned merge rewrites ONLY files whose key range overlaps the batch") {
@@ -164,6 +193,8 @@ class FileStatsSpec extends SparkSpec {
   test("bloom stats prune point lookups where min/max ranges fully overlap") {
     val dir = tmpDir("fs-bloom") + "/t"
     val t = GraftTable(spark, dir)
+    t.create(Seq((0L, "")).toDF("id", "v").schema,
+      properties = Map("graft.bloom.columns" -> "id,v"))
     // UNCLUSTERED: evens and odds interleave, so both files span the full
     // id range and min/max alone cannot prune either one
     t.append((0L to 998L by 2).map(i => (i, s"even-$i")).toDF("id", "v")

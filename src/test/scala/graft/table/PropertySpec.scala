@@ -61,6 +61,8 @@ class PropertySpec extends SparkSpec {
       val rows = ids.zipAll(strs.take(ids.size), 0L, "pad")
       val dir = tmpDir(s"prop-stats-$round") + "/t"
       val t = GraftTable(spark, dir)
+      t.create(Seq((0L, "")).toDF("id", "v").schema,
+        properties = Map("graft.bloom.columns" -> "id,v"))
       // three unclustered appends → overlapping ranges, blooms active
       rows.grouped(math.max(rows.size / 3, 1)).foreach { g =>
         t.append(g.toDF("id", "v").coalesce(1))
