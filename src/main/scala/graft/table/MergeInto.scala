@@ -75,21 +75,53 @@ object MergeInto {
     keys.map(k => k -> (render(s"mn_$k", k), render(s"mx_$k", k))).toMap
   }
 
+  /** For SMALL batches, the distinct merge-key values per column
+    * (Spark-internal form), collected driver-side for per-value file
+    * probes. A plain `limit(cap+1)` short-circuits the scan — no distinct
+    * shuffle ever runs — and a batch bigger than the cap returns None
+    * (range-only pruning). */
+  val MaxKeyProbeValues = 1024
+  private def smallBatchKeyValues(deduped: DataFrame, keys: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : Option[Map[String, Seq[Any]]] = {
+    // cast to the TABLE's key types: file stats are typed by the table
+    // schema, and a source batch may carry narrower types (Int vs Long)
+    val rows = deduped
+      .select(keys.map(k => col(k).cast(schema(k).dataType).as(k)): _*)
+      .limit(MaxKeyProbeValues + 1).collect()
+    if (rows.length > MaxKeyProbeValues) None
+    else Some(keys.zipWithIndex.map { case (k, i) =>
+      k -> rows.map(r => org.apache.spark.sql.graftglue.GraftSqlGlue
+        .toCatalyst(r.get(i))).distinct.toSeq
+    }.toMap)
+  }
+
   /** File-level manifest pruning: a live file whose recorded key range
     * cannot intersect the batch's key range can neither satisfy the
     * matched-partition probe nor contain a row the merge must rewrite —
     * it is carried forward untouched. This bounds COW write (AND read)
     * amplification by FILES whose ranges overlap the batch, not by
-    * partitions, and the probe stops being a full-table scan. */
+    * partitions, and the probe stops being a full-table scan.
+    *
+    * When the batch's distinct key values are few ([[smallBatchKeyValues]]),
+    * each is additionally point-probed against the file's stats —
+    * min/max for value gaps and the Bloom bitset when the column is
+    * declared in `graft.bloom.columns` — so a sparse update batch skips
+    * range-OVERLAPPING but key-DISJOINT files too (the unclustered
+    * hot-table upsert case, where every file spans the full key range
+    * and min/max alone prunes nothing). */
   private def mayContainKeys(target: GraftTable, f: String,
       stats: Map[String, Map[String, ColStat]], keys: Seq[String],
-      range: Map[String, (Option[String], Option[String])]): Boolean = {
+      range: Map[String, (Option[String], Option[String])],
+      keyValues: Option[Map[String, Seq[Any]]]): Boolean = {
     val schema = target.schema
     keys.forall { k =>
       stats.get(f).flatMap(_.get(k)) match {
         case Some(cs) =>
           val (lo, hi) = range(k)
-          FileStats.rangesOverlap(schema(k).dataType, cs, lo, hi)
+          FileStats.rangesOverlap(schema(k).dataType, cs, lo, hi) &&
+            keyValues.forall(_(k).exists(v =>
+              FileStats.mayMatch(schema(k).dataType, cs, "=", v)))
         case None => true // no stats recorded → cannot prune
       }
     }
@@ -141,8 +173,10 @@ object MergeInto {
     val live = target.liveFiles()
     val stats = target.statsFor(live)
     val keyRange = sourceKeyRange(deduped, keys)
+    val keyValues = smallBatchKeyValues(deduped, keys, schema)
     def overlapping(files: Seq[String]): Seq[String] =
-      files.filter(f => mayContainKeys(target, f, stats, keys, keyRange))
+      files.filter(f =>
+        mayContainKeys(target, f, stats, keys, keyRange, keyValues))
 
     // MOR: append the batch + a key-tombstone delete file; nothing is
     // read or rewritten (the tombstone's sequence makes it apply only to

@@ -45,6 +45,11 @@ object GraftSqlGlue {
     if (out == null) null else out.toString
   }
 
+  /** External (Row-level) value → Spark-internal form, for driver-side
+    * probes that must agree with executor-side hashing/ordering. */
+  def toCatalyst(v: Any): Any =
+    catalyst.CatalystTypeConverters.convertToCatalyst(v)
+
   /** Spark's interpreted ordering for a data type (compares the INTERNAL
     * representation castFromString returns). */
   def interpretedOrdering(dt: types.DataType): Ordering[Any] =

@@ -115,6 +115,49 @@ class FileStatsSpec extends SparkSpec {
     assert(t.read().count() === 51)
   }
 
+  test("merge prunes range-overlapping but Bloom-disjoint files") {
+    val t = freshTable("fs-merge-bloom")
+    val schema = Seq((0L, "", 0L)).toDF("id", "v", "ts").schema
+    t.create(schema, properties = Map("graft.bloom.columns" -> "id"))
+    // UNCLUSTERED: both files span the full id range — min/max alone
+    // cannot prune either; only the Bloom bitset can tell them apart
+    t.append((0L to 998L by 2).map(i => (i, s"even-$i", 1L))
+      .toDF("id", "v", "ts").coalesce(1))
+    t.append((1L to 999L by 2).map(i => (i, s"odd-$i", 1L))
+      .toDF("id", "v", "ts").coalesce(1))
+    val files = t.liveFiles().toSet
+    assert(files.size === 2)
+    // batch touches only even keys → the odd file must not be rewritten
+    t.merge(Seq((500L, "upd", 2L), (600L, "upd2", 2L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "ts")
+    val removed = t.removedFilesOf(t.snapshots.last).toSet
+    assert(removed.size === 1, s"expected 1 rewritten file, got $removed")
+    assert(t.read().count() === 1000)
+    assert(t.read().filter($"id" === 500L).select("v").as[String].collect() ===
+      Array("upd"))
+    assert(t.read().filter($"id" === 501L).select("v").as[String].collect() ===
+      Array("odd-501")) // untouched file intact
+  }
+
+  test("merge point-probes prune value gaps inside overlapping ranges") {
+    val t = freshTable("fs-merge-gap")
+    // two files whose RANGES overlap the batch range [150, 1050] but
+    // whose values cannot match the batch's two point keys
+    t.append((100L to 200L).map(i => (i, s"a$i", 1L)).toDF("id", "v", "ts")
+      .coalesce(1))
+    t.append((1000L to 1100L).map(i => (i, s"b$i", 1L)).toDF("id", "v", "ts")
+      .coalesce(1))
+    // batch keys {99, 201}: their RANGE [99,201] overlaps file A's
+    // [100,200], so range pruning alone would rewrite A — but neither
+    // point value can actually be in the file, and the per-value probe
+    // sees that from min/max alone
+    t.merge(Seq((99L, "new1", 2L), (201L, "new2", 2L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "ts")
+    assert(t.removedFilesOf(t.snapshots.last).isEmpty,
+      "insert-only batch in a value gap must rewrite nothing")
+    assert(t.read().count() === 204)
+  }
+
   test("scan skips files whose recorded range cannot satisfy the pushed filter") {
     val dir = tmpDir("fs-scan-skip") + "/t"
     val t = GraftTable(spark, dir)
