@@ -88,42 +88,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(args(1), "bits per column"))
       }))
 
-    // SQL `INSERT INTO <graft table>` would route through Spark's generic
-    // HadoopFsRelation insert, writing parquet files straight into the
-    // table directory WITHOUT a snapshot commit — rows invisible to
-    // readers (the live set comes from the snapshot log) until the orphan
-    // collector deletes them. Fail loudly at analysis instead.
-    ext.injectPostHocResolutionRule { _ =>
-      new org.apache.spark.sql.catalyst.rules.Rule[
-          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-        import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
-        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
-
-        private def fail(): Nothing = throw new UnsupportedOperationException(
-          "INSERT INTO a graft table bypasses the snapshot log (the rows " +
-            "would be invisible to readers and orphan-collected); write " +
-            "with df.write.format(\"graft\") or GraftTable.append/merge")
-
-        private def isGraft(p: LogicalPlan): Boolean = p.exists {
-          case lr: LogicalRelation => lr.relation match {
-            case h: HadoopFsRelation =>
-              h.location.isInstanceOf[graft.sources.GraftFileIndex]
-            case _ => false
-          }
-          case _ => false
-        }
-
-        override def apply(plan: LogicalPlan): LogicalPlan = {
-          plan.foreach {
-            case i: InsertIntoStatement if isGraft(i.table) => fail()
-            case c: InsertIntoHadoopFsRelationCommand
-                if c.catalogTable.exists(
-                  _.provider.exists(_.equalsIgnoreCase("graft"))) => fail()
-            case _ =>
-          }
-          plan
-        }
-      }
-    }
+    // SQL writes: INSERT INTO/OVERWRITE and MERGE INTO against graft
+    // tables are converted to snapshot-log commands (Spark's generic
+    // HadoopFsRelation insert would write parquet into the table dir
+    // WITHOUT a commit — rows invisible to readers and orphan-collected;
+    // v1 relations have no MERGE support at all). Unsupported write
+    // shapes fail loudly inside the rule instead of corrupting.
+    ext.injectPostHocResolutionRule(new graft.sql.GraftSqlRule(_))
   }
 }

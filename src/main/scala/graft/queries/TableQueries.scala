@@ -219,8 +219,57 @@ object TableQueries {
       |GROUP BY n.n_name, o.o_orderpriority
       |ORDER BY n.n_name, o.o_orderpriority""".stripMargin
 
+  /** The reference's ACTUAL statement surface, end to end in SQL text
+    * against catalog names only: CREATE (via catalog), MERGE INTO with the
+    * exact UPDATE SET * / INSERT * shape (/root/reference/
+    * bronze-silver.py:249-286, executed through spark.sql at :210), then
+    * INSERT INTO — all committing through the snapshot log, read back by
+    * bare name. Requires the GraftExtensions session (Verify/Bench carry
+    * them). */
+  val qSqlMerge: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("sqlm"))
+    cat.createFrom("silver_orders",
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0))
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_base_v")
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .createOrReplaceTempView("orders_cdc_batch")
+    s.sql(
+      """MERGE INTO silver_orders t USING orders_cdc_batch s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      """INSERT INTO silver_orders
+        |SELECT o_orderkey, o_custkey, 'I' AS o_orderstatus,
+        |       o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders_base_v
+        |WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 0
+        |  AND o_orderkey % 7 = 0""".stripMargin)
+    project(s.sql("SELECT * FROM silver_orders"))
+  }
+  val qSqlMergeSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |     source AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+      |                       o_totalprice, o_orderdate, o_orderpriority
+      |                FROM orders WHERE o_orderkey % 3 = 0),
+      |     ins AS (SELECT o_orderkey, o_custkey, 'I' AS o_orderstatus,
+      |                    o_totalprice, o_orderdate, o_orderpriority
+      |             FROM orders
+      |             WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 0
+      |               AND o_orderkey % 7 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (SELECT t.* FROM target t
+      |      WHERE NOT EXISTS (SELECT 1 FROM source x WHERE x.o_orderkey = t.o_orderkey)
+      |      UNION ALL SELECT * FROM source
+      |      UNION ALL SELECT * FROM ins)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_catalog_sql", qCatalogSql, Some(qCatalogSqlSql)),
+    ("q_sql_merge", qSqlMerge, Some(qSqlMergeSql)),
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),

@@ -118,7 +118,7 @@ class GraftDataSource extends RelationProvider
   * min/max ([[graft.table.FileStats]]), so files whose recorded range
   * cannot satisfy a pushed predicate are skipped BEFORE the scan —
   * Iceberg's manifest-stats skipping. */
-class GraftFileIndex(spark: SparkSession, table: GraftTable,
+class GraftFileIndex(spark: SparkSession, val table: GraftTable,
     files: Seq[String], override val partitionSchema: StructType,
     stats: Map[String, Map[String, graft.table.ColStat]] = Map.empty)
     extends FileIndex {

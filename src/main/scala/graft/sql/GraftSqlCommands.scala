@@ -1,0 +1,188 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
+import org.apache.spark.sql.graftglue.GraftSqlGlue
+import org.apache.spark.sql.types.StringType
+
+import graft.sources.GraftFileIndex
+import graft.table.GraftTable
+
+/** SQL `INSERT INTO <graft table>`, routed through the snapshot log.
+  * Spark's generic path (InsertIntoHadoopFsRelationCommand) would write
+  * parquet straight into the table directory with NO snapshot commit —
+  * rows invisible to readers and swept by the orphan collector — so
+  * [[GraftSqlRule]] swaps that command for this one, which appends (or
+  * overwrites) through [[GraftTable]] with full commit semantics. The
+  * inbound query already carries PreprocessTableInsertion's casts and
+  * column alignment; `outputColumnNames` restores table column names. */
+case class GraftInsertCommand(location: String, query: LogicalPlan,
+    outputColumnNames: Seq[String], overwrite: Boolean,
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = GraftTable(spark, location)
+    val df = GraftSqlGlue.ofRows(spark, query).toDF(outputColumnNames: _*)
+    if (overwrite) table.overwrite(df) else table.append(df)
+    refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
+    Seq.empty
+  }
+}
+
+/** SQL `MERGE INTO <graft table>` — the statement the reference executes
+  * for its bronze→silver upsert (/root/reference/bronze-silver.py:249-286):
+  *
+  *   MERGE INTO t USING s ON t.k = s.k [AND ...]
+  *   [WHEN MATCHED AND s.op IN (...) THEN DELETE]   -- CDC extension
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  *
+  * Executes through [[GraftTable.merge]] (COW/MOR/auto per the
+  * `graft.merge.mode` table property). The source is expected unique per
+  * key, as ANSI MERGE requires; duplicate keys resolve deterministically
+  * keep-one rather than erroring. With the DELETE branch, an unmatched
+  * delete-op row is dropped (CDC semantics), not inserted. */
+case class GraftMergeCommand(location: String, source: LogicalPlan,
+    keys: Seq[String], opCol: Option[String], deleteOps: Seq[String],
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = GraftTable(spark, location)
+    val src = GraftSqlGlue.ofRows(spark, source)
+    val mode = table.properties.getOrElse("graft.merge.mode", "cow")
+    table.merge(src, keys = keys, dedupKey = keys, orderCol = keys.head,
+      opCol = opCol, deleteOps = deleteOps, mode = mode)
+    refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
+    Seq.empty
+  }
+}
+
+/** Post-hoc resolution rule converting SQL writes against graft tables
+  * into snapshot-log commands (and refusing shapes that would bypass the
+  * log). Injected by [[graft.GraftExtensions]]. */
+class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$what is not supported on graft tables; supported SQL writes are " +
+        "INSERT INTO/OVERWRITE <name> SELECT ..., and MERGE INTO <name> t " +
+        "USING <src> s ON t.k = s.k [WHEN MATCHED AND s.op IN (...) THEN " +
+        "DELETE] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN " +
+        "INSERT *")
+
+  /** Unwrap a MERGE target down to its graft relation, if any. */
+  private def graftTarget(p: LogicalPlan)
+      : Option[(GraftFileIndex, Option[TableIdentifier])] = p match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftFileIndex =>
+          Some((g, lr.catalogTable.map(_.identifier)))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** ON t.k = s.k AND ... → merge key names (target attr and source attr
+    * must carry the same name — graft merges join by name). */
+  private def mergeKeys(m: MergeIntoTable): Seq[String] = {
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    conjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if (tOut.contains(a) && sOut.contains(b)) ||
+            (tOut.contains(b) && sOut.contains(a)) =>
+        if (!a.name.equalsIgnoreCase(b.name))
+          unsupported(s"MERGE ON ${a.name} = ${b.name} (differing key names)")
+        a.name
+      case other => unsupported(s"MERGE ON condition `${other.sql}`")
+    }
+  }
+
+  /** A full-row assignment set (the analyzed form of UPDATE SET * /
+    * INSERT *): every value is a bare source attribute with the same name
+    * as its target column. */
+  private def isFullRow(assignments: Seq[Assignment]): Boolean =
+    assignments.forall {
+      case Assignment(k: AttributeReference, v: AttributeReference) =>
+        k.name.equalsIgnoreCase(v.name)
+      case _ => false
+    }
+
+  /** WHEN MATCHED AND <cond> THEN DELETE → (opCol, deleteOps). */
+  private def deleteSpec(m: MergeIntoTable,
+      cond: Expression): (String, Seq[String]) = {
+    val sOut = m.sourceTable.outputSet
+    cond match {
+      case EqualTo(a: AttributeReference, Literal(v, StringType))
+          if sOut.contains(a) => (a.name, Seq(v.toString))
+      case EqualTo(Literal(v, StringType), a: AttributeReference)
+          if sOut.contains(a) => (a.name, Seq(v.toString))
+      case In(a: AttributeReference, vs)
+          if sOut.contains(a) && vs.forall {
+            case Literal(_, StringType) => true; case _ => false } =>
+        (a.name, vs.map(_.asInstanceOf[Literal].value.toString))
+      case other => unsupported(s"MERGE delete condition `${other.sql}`")
+    }
+  }
+
+  private def toMergeCommand(m: MergeIntoTable,
+      g: GraftFileIndex, ident: Option[TableIdentifier]): LogicalPlan = {
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE")
+    val keys = mergeKeys(m)
+
+    // matched: optional leading DELETE (must precede the update — SQL
+    // evaluates WHEN clauses in order, so a delete after an unconditional
+    // update would be dead), then exactly one full-row update
+    val (opCol, deleteOps, updates) = m.matchedActions match {
+      case Seq(DeleteAction(Some(cond)), rest @ _*) =>
+        val (oc, ops) = deleteSpec(m, cond)
+        (Some(oc), ops, rest)
+      case other => (None, Seq.empty[String], other)
+    }
+    updates match {
+      case Seq(UpdateStarAction(None)) => ()
+      case Seq(UpdateAction(None, assigns, _)) if isFullRow(assigns) => ()
+      case _ => unsupported("this WHEN MATCHED shape (need UPDATE SET *)")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => ()
+      case Seq(InsertAction(None, assigns)) if isFullRow(assigns) => ()
+      case _ => unsupported("this WHEN NOT MATCHED shape (need INSERT *)")
+    }
+    GraftMergeCommand(g.table.location, m.sourceTable, keys, opCol,
+      deleteOps, ident)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // DataSourceAnalysis (a built-in post-hoc rule that runs before this
+    // one) has already converted INSERT over our relation into the
+    // HadoopFsRelation command — swap it for the snapshot-log commit
+    case c: InsertIntoHadoopFsRelationCommand
+        if c.fileIndex.exists(_.isInstanceOf[GraftFileIndex]) =>
+      val g = c.fileIndex.get.asInstanceOf[GraftFileIndex]
+      if (c.staticPartitions.nonEmpty)
+        unsupported("partition-spec INSERT (partitioning is table-level)")
+      GraftInsertCommand(g.table.location, c.query, c.outputColumnNames,
+        c.mode == SaveMode.Overwrite, c.catalogTable.map(_.identifier))
+
+    case m: MergeIntoTable if m.childrenResolved &&
+        graftTarget(m.targetTable).isDefined =>
+      val (g, ident) = graftTarget(m.targetTable).get
+      toMergeCommand(m, g, ident)
+  }
+}

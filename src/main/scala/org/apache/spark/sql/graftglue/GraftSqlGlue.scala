@@ -12,6 +12,13 @@ object GraftSqlGlue {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over an analyzed logical plan (the private[sql]
+    * Dataset.ofRows) — lets graft's SQL commands execute the plan a
+    * statement carried (INSERT's query, MERGE's source). */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Spark's own Hive-style partition-path unescape (%XX for the chars its
     * writer escapes — NOT URL decoding). */
   def unescapePathName(s: String): String =

@@ -70,20 +70,80 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT hyperplane_bucket(array(1.0, 2.0), 8)").collect())
   }
 
-  test("SQL INSERT INTO a graft table is rejected (bypasses the snapshot log)") {
+  test("SQL INSERT INTO / INSERT OVERWRITE commit through the snapshot log") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-insert").toString
     val cat = graft.catalog.GraftCatalog(spark, wh)
-    cat.createFrom("ext_guarded", Seq((1L, "a")).toDF("id", "v"))
-    val e = intercept[Exception](
-      spark.sql("INSERT INTO ext_guarded VALUES (2, 'b')"))
+    cat.createFrom("ext_ins", Seq((1L, "a")).toDF("id", "v"))
+    spark.sql("INSERT INTO ext_ins VALUES (2, 'b'), (3, 'c')")
+    val t = cat.table("ext_ins")
+    assert(t.snapshots.last.operation === "append") // a real commit
+    assert(spark.sql("SELECT id FROM ext_ins ORDER BY id")
+      .as[Long].collect() === Array(1L, 2L, 3L)) // SQL readers see it
+    spark.sql("INSERT OVERWRITE ext_ins VALUES (9, 'z')")
+    assert(t.snapshots.last.operation === "overwrite")
+    assert(spark.sql("SELECT id, v FROM ext_ins").as[(Long, String)]
+      .collect() === Array((9L, "z")))
+    // positional semantics with a column-order-shuffling SELECT
+    spark.sql("INSERT INTO ext_ins SELECT 10, 'y'")
+    assert(spark.sql("SELECT count(*) FROM ext_ins").as[Long].collect()(0) === 2L)
+    cat.drop("ext_ins")
+  }
+
+  test("SQL MERGE INTO upserts through the snapshot log (reference shape)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-merge").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_m", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Seq((2L, "b2"), (5L, "e")).toDF("id", "v")
+      .createOrReplaceTempView("ext_m_src")
+    spark.sql(
+      """MERGE INTO ext_m t USING ext_m_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(cat.table("ext_m").snapshots.last.operation === "merge")
+    assert(spark.sql("SELECT id, v FROM ext_m ORDER BY id")
+      .as[(Long, String)].collect() === Array((1L, "a"), (2L, "b2"), (5L, "e")))
+    cat.drop("ext_m")
+  }
+
+  test("SQL MERGE with a leading CDC delete branch") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-merge-cdc").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_cdc",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    Seq((2L, "x", "D"), (3L, "c2", "U"), (7L, "g", "I"))
+      .toDF("id", "v", "op").createOrReplaceTempView("ext_cdc_src")
+    spark.sql(
+      """MERGE INTO ext_cdc t USING ext_cdc_src s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM ext_cdc ORDER BY id")
+      .as[(Long, String)].collect() ===
+        Array((1L, "a"), (3L, "c2"), (7L, "g")))
+    cat.drop("ext_cdc")
+  }
+
+  test("unsupported SQL write shapes fail loudly, committing nothing") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_u", Seq((1L, "a")).toDF("id", "v"))
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("ext_u_src")
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(e).exists(_.getMessage != null) &&
-      causes(e).exists(c => Option(c.getMessage).exists(
-        _.contains("snapshot log"))))
-    // nothing was committed AND no stray parquet landed in the table dir
-    assert(cat.table("ext_guarded").read().count() === 1)
-    cat.drop("ext_guarded")
+    val snapBefore = cat.table("ext_u").latestSnapshotId.get
+    // partial-column UPDATE is not full-row replace
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO ext_u t USING ext_u_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = 'zzz'
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(causes(e).exists(c => Option(c.getMessage).exists(
+      _.contains("not supported on graft tables"))))
+    assert(cat.table("ext_u").latestSnapshotId.get === snapBefore)
+    assert(cat.table("ext_u").read().count() === 1) // untouched
+    cat.drop("ext_u")
   }
 }
