@@ -267,9 +267,32 @@ object TableQueries {
       |      UNION ALL SELECT * FROM ins)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Hidden partitioning (Iceberg partition transforms): the table is
+    * partitioned by `days(o_orderdate)` — no hand-rolled derived column
+    * (the reference adds `processed_date` manually just to partition by
+    * it, /root/reference/raw-bronze.py:205-212) — and the date-range
+    * read prunes whole day directories through the transform
+    * (PartitionTransformSpec pins the scanned-file counts). */
+  val qHiddenPartition: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("hidden"))
+    t.append(Tables.load(s, dir, "orders").filter(col("o_orderkey") % 4 === 0),
+      parts = Seq("days(o_orderdate)"))
+    project(s.read.format("graft").load(t.location)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01")))
+  }
+  val qHiddenPartitionSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 4 = 0
+      |  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_catalog_sql", qCatalogSql, Some(qCatalogSqlSql)),
     ("q_sql_merge", qSqlMerge, Some(qSqlMergeSql)),
+    ("q_hidden_partition", qHiddenPartition, Some(qHiddenPartitionSql)),
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),

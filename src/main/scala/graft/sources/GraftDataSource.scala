@@ -65,7 +65,12 @@ class GraftDataSource extends RelationProvider
         "them into data files first")
 
     val fullSchema = table.schemaAt(asOf)
-    val partCols = table.partitionCols
+    // hidden partitioning: every logical column lives in the data files
+    // and the derived dir columns must NOT leak into the schema — the
+    // relation is unpartitioned to Spark, and the FileIndex prunes dirs
+    // through the transforms from the pushed data filters instead
+    val partCols =
+      if (table.hasHiddenPartitions) Seq.empty[String] else table.partitionCols
     val partSchema = StructType(partCols.map(fullSchema(_)))
     val dataSchema = StructType(
       fullSchema.filterNot(f => partCols.contains(f.name)))
@@ -86,8 +91,10 @@ class GraftDataSource extends RelationProvider
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path"))
     val table = GraftTable(spark, path)
+    // transform-aware split: "days(ts),bucket(16, id)" keeps the comma
+    // inside bucket(...) intact
     val parts = parameters.get("partitionCols")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(graft.table.PartitionTransforms.splitSpecs)
       .getOrElse(Seq.empty)
     val evolve = parameters.get("mergeSchema").exists(_.toBoolean)
     val sortBy = parameters.get("sortBy")
@@ -166,23 +173,12 @@ class GraftFileIndex(spark: SparkSession, val table: GraftTable,
     }
   }
 
-  /** Can file `rel` contain rows satisfying every pushed data filter?
-    * Supports the conjunct shapes worth pruning on (attr-vs-literal
-    * comparisons and IN); anything else conservatively keeps the file. */
-  private def statsMayMatch(rel: String, dataFilters: Seq[Expression]): Boolean = {
+  /** Evaluate the prunable conjunct shapes (attr-vs-literal comparisons
+    * and IN) against a per-file `check(attr, cmp, value)` probe; anything
+    * else conservatively keeps the file. */
+  private def filtersMayMatch(dataFilters: Seq[Expression],
+      check: (String, String, Any) => Boolean): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
-    val fileStats = stats.getOrElse(rel, Map.empty)
-    if (fileStats.isEmpty) return true
-
-    def check(name: String, cmp: String, value: Any): Boolean =
-      fileStats.get(name) match {
-        case Some(cs) => table.schema.find(_.name == name) match {
-          case Some(f) => graft.table.FileStats.mayMatch(f.dataType, cs, cmp, value)
-          case None => true
-        }
-        case None => true
-      }
-
     dataFilters.forall {
       case EqualTo(a: AttributeReference, Literal(v, _)) => check(a.name, "=", v)
       case EqualTo(Literal(v, _), a: AttributeReference) => check(a.name, "=", v)
@@ -198,6 +194,42 @@ class GraftFileIndex(spark: SparkSession, val table: GraftTable,
         vs.exists(l => check(a.name, "=", l.asInstanceOf[Literal].value))
       case _ => true
     }
+  }
+
+  /** Can file `rel` contain rows satisfying every pushed data filter,
+    * judged by its recorded column stats? */
+  private def statsMayMatch(rel: String, dataFilters: Seq[Expression]): Boolean = {
+    val fileStats = stats.getOrElse(rel, Map.empty)
+    if (fileStats.isEmpty) return true
+    filtersMayMatch(dataFilters, (name, cmp, value) =>
+      fileStats.get(name) match {
+        case Some(cs) => table.schema.find(_.name == name) match {
+          case Some(f) => graft.table.FileStats.mayMatch(f.dataType, cs, cmp, value)
+          case None => true
+        }
+        case None => true
+      })
+  }
+
+  private lazy val hiddenFields =
+    table.partitionFields.filterNot(_.isIdentity)
+
+  /** Hidden-partitioning dir pruning: map each pushed predicate on a
+    * transform SOURCE column through the transform and compare with the
+    * file's dir value — days/truncate prune ranges, bucket prunes
+    * equality ([[graft.table.PartitionTransforms.mayMatch]]). */
+  private def transformsMayMatch(rel: String,
+      dataFilters: Seq[Expression]): Boolean = {
+    if (hiddenFields.isEmpty) return true
+    val kv = table.partitionValues(rel)
+    filtersMayMatch(dataFilters, (name, cmp, value) =>
+      hiddenFields.filter(_.source == name).forall { f =>
+        (kv.get(f.physName), table.schema.find(_.name == name)) match {
+          case (Some(dir), Some(sf)) => graft.table.PartitionTransforms
+            .mayMatch(f, dir, sf.dataType, cmp, value)
+          case _ => true
+        }
+      })
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -219,7 +251,8 @@ class GraftFileIndex(spark: SparkSession, val table: GraftTable,
       }
     kept.map { case (row, relStatuses) =>
       PartitionDirectory(row,
-        relStatuses.filter(rs => statsMayMatch(rs._1, dataFilters))
+        relStatuses.filter(rs => statsMayMatch(rs._1, dataFilters) &&
+            transformsMayMatch(rs._1, dataFilters))
           .map(_._2).toArray)
     }
   }

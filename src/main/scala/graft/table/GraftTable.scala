@@ -144,13 +144,14 @@ class GraftTable(spark: SparkSession, val location: String) {
     val out = fs.create(p, false)
     try out.write(Manifest.toJson(Manifest(entries)).getBytes("UTF-8"))
     finally out.close()
+    val physNames = parts.map(PartitionTransforms.parse(_).physName)
     val summary: Option[Map[String, Seq[String]]] =
-      if (parts.isEmpty) None
+      if (physNames.isEmpty) None
       else {
         val maps = entries.map(e => partitionValues(e.path))
-        if (maps.exists(m => !parts.forall(m.contains))) None
+        if (maps.exists(m => !physNames.forall(m.contains))) None
         else {
-          val per = parts.map(pc =>
+          val per = physNames.map(pc =>
             pc -> maps.map(_(pc)).distinct.sorted.toSeq).toMap
           if (per.values.exists(_.size > MaxPartSummaryValues)) None
           else Some(per)
@@ -182,6 +183,15 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   def partitionCols: Seq[String] =
     latestSnapshot.map(_.partitionCols).getOrElse(Seq.empty)
+
+  /** Parsed partition spec ([[PartitionTransforms]]): identity columns
+    * and/or hidden-partitioning transforms (days/bucket/truncate). */
+  def partitionFields: Seq[PartitionField] =
+    partitionCols.map(PartitionTransforms.parse)
+
+  /** True when partitioning uses transforms: source columns stay in the
+    * data files and the derived values exist only in the dir layout. */
+  def hasHiddenPartitions: Boolean = partitionFields.exists(!_.isIdentity)
 
   /** Table properties (set at create, carried forward by every commit). */
   def properties: Map[String, String] =
@@ -256,7 +266,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     * remove of a pruned-out file removes nothing from this set. */
   def liveFilesWhere(keep: Map[String, Set[String]],
       asOf: Option[Long] = None): Seq[String] = {
-    val parts = partitionCols
+    val parts = partitionFields.map(_.physName) // dir-level column names
     def fileMatches(f: String): Boolean = {
       val kv = partitionValues(f)
       parts.forall(p =>
@@ -439,8 +449,12 @@ class GraftTable(spark: SparkSession, val location: String) {
   def create(schema: StructType, parts: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty): GraftTable = {
     require(!exists, s"table already exists: $location")
-    parts.foreach(p => require(schema.fieldNames.contains(p),
-      s"partition column $p not in schema"))
+    val fields = parts.map(PartitionTransforms.parse)
+    fields.foreach(f => require(schema.fieldNames.contains(f.source),
+      s"partition source column ${f.source} not in schema"))
+    require(fields.forall(_.isIdentity) || fields.forall(!_.isIdentity),
+      "mixing identity and transform partition fields is not supported — " +
+        "wrap identity columns in truncate/bucket or keep the spec uniform")
     fs.mkdirs(metaPath)
     commit("create", Seq.empty, Seq.empty, _ => schema.json, parts,
       props = if (properties.isEmpty) None else Some(properties))
@@ -459,9 +473,18 @@ class GraftTable(spark: SparkSession, val location: String) {
     val tsBefore = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     try {
-      val writer = df.write.mode("overwrite")
+      // hidden partitioning: derive the transform columns for the writer's
+      // dir layout; the source columns stay in the data files
+      val fields = parts.map(PartitionTransforms.parse)
+      val (toWrite, physNames) =
+        if (!fields.exists(!_.isIdentity)) (df, parts)
+        else (fields.filterNot(_.isIdentity).foldLeft(df)((acc, f) =>
+          acc.withColumn(f.physName, PartitionTransforms.columnFor(
+            f, col(f.source), df.schema(f.source).dataType))),
+          fields.map(_.physName))
+      val writer = toWrite.write.mode("overwrite")
         .option("compression", "snappy")
-      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      (if (physNames.nonEmpty) writer.partitionBy(physNames: _*) else writer)
         .parquet(stage.toString)
     } finally tsBefore match {
       case Some(v) => spark.conf.set(tsKey, v)
@@ -506,9 +529,11 @@ class GraftTable(spark: SparkSession, val location: String) {
   private def collectStats(relFiles: Seq[String])
       : (Map[String, Map[String, ColStat]], Map[String, Long]) = {
     if (relFiles.isEmpty) return (Map.empty, Map.empty)
-    val parts = partitionCols
+    // only IDENTITY partition sources leave the data files; transform
+    // sources stay in them and their stats drive file pruning
+    val absent = partitionFields.filter(_.isIdentity).map(_.source)
     val statFields = schema.fields
-      .filterNot(f => parts.contains(f.name))
+      .filterNot(f => absent.contains(f.name))
       .filter(f => FileStats.isStatType(f.dataType))
       .toSeq
 
@@ -710,6 +735,13 @@ class GraftTable(spark: SparkSession, val location: String) {
     val sch = schemaAt(asOf)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    } else if (hasHiddenPartitions) {
+      // the data files carry every logical column; reading the leaf files
+      // WITHOUT basePath suppresses partition discovery, so the derived
+      // dir columns never leak into the result schema
+      spark.read
+        .schema(sch)
+        .parquet(files.map(f => s"$location/$f"): _*)
     } else {
       spark.read
         .schema(sch)

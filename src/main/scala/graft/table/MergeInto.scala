@@ -169,7 +169,7 @@ object MergeInto {
       case None => deduped.select(cols.map(col): _*)
     }
 
-    val parts = target.partitionCols
+    val fields = target.partitionFields
     val live = target.liveFiles()
     val stats = target.statsFor(live)
     val keyRange = sourceKeyRange(deduped, keys)
@@ -200,7 +200,7 @@ object MergeInto {
     }
     if (mode == "mor") return morCommit()
 
-    if (parts.isEmpty) {
+    if (fields.isEmpty) {
       // Unpartitioned COW, file-pruned: only files whose key range
       // overlaps the batch are rewritten; the rest stay live untouched.
       val touched = overlapping(live)
@@ -217,12 +217,20 @@ object MergeInto {
       // '2024-01-01 00:00:00.0' where the partition dir decodes to
       // '2024-01-01 00:00:00' — toString would never match, matched target
       // rows would not be rewritten, and the merge would silently duplicate
-      // keys for any non-string partition column.
-      val partStrs = parts.map(p => col(p).cast("string").as(p))
+      // keys for any non-string partition column. Hidden-partitioning
+      // transforms are applied first, so tuples compare at the DIR level.
+      // source columns are cast to the TABLE's types first — a bucket
+      // transform hashes the typed value, and a narrower-typed source
+      // (Int vs Long) would hash into the wrong bucket
+      val partStrs = fields.map(f => PartitionTransforms
+        .columnFor(f, col(f.source).cast(schema(f.source).dataType),
+          schema(f.source).dataType)
+        .cast("string").as(f.physName))
       def partTuples(df: DataFrame): Array[Seq[String]] =
         df.select(partStrs: _*).distinct()
-          .collect().map(r => parts.map(p => Option(r.getAs[String](p))
-            .getOrElse("__HIVE_DEFAULT_PARTITION__")))
+          .collect().map(r => fields.map(f =>
+            Option(r.getAs[String](f.physName))
+              .getOrElse("__HIVE_DEFAULT_PARTITION__")))
       val srcParts = partTuples(deduped)
       // the probe reads only files whose key range can overlap the batch
       // (file-level manifest pruning), not the full target
@@ -232,7 +240,7 @@ object MergeInto {
 
       val affectedFiles = overlapping(live.filter { f =>
         val kv = target.partitionValues(f)
-        affected.contains(parts.map(p => kv.getOrElse(p, "")))
+        affected.contains(fields.map(f2 => kv.getOrElse(f2.physName, "")))
       })
       if (autoPrefersMor(affectedFiles)) return morCommit()
       // MOR-aware read: rows tombstoned by earlier MOR merges must not

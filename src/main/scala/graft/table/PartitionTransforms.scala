@@ -1,0 +1,144 @@
+package graft.table
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.GraftSqlGlue
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hidden-partitioning transforms (the Iceberg partition-spec shape):
+  * a partition column spec is either a bare column name (identity — the
+  * classic Hive layout, column moves into the directory) or a TRANSFORM
+  * of a source column:
+  *
+  *   days(ts)          → dir column `ts_day` = UTC date of ts
+  *   bucket(16, id)    → dir column `id_bucket` = pmod(xxhash64(id), 16)
+  *   truncate(4, name) → dir column `name_trunc` = prefix/floor of width 4
+  *
+  * The SOURCE column stays in the data files; the derived value exists
+  * only in the directory layout — queries keep filtering on the source
+  * column and the scan prunes directories through the transform, so the
+  * manual derived-column dance the reference hand-rolls
+  * (/root/reference/raw-bronze.py:205-212: a `processed_date` column
+  * added just to partition by it) becomes automatic.
+  *
+  * Write-side expressions and driver-side value transforms are built
+  * from the SAME primitives (UTC Cast, xxhash64, SQL substring), so a
+  * directory value and a transformed predicate literal always agree. */
+sealed trait PartTransform
+object PartTransform {
+  case object Identity extends PartTransform
+  case object Days extends PartTransform
+  case class Bucket(n: Int) extends PartTransform
+  case class Truncate(w: Int) extends PartTransform
+}
+
+case class PartitionField(source: String, transform: PartTransform) {
+  import PartTransform._
+  def physName: String = transform match {
+    case Identity => source
+    case Days => s"${source}_day"
+    case Bucket(_) => s"${source}_bucket"
+    case Truncate(_) => s"${source}_trunc"
+  }
+  def isIdentity: Boolean = transform == Identity
+}
+
+object PartitionTransforms {
+  import PartTransform._
+
+  private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+
+  def parse(spec: String): PartitionField = spec.trim match {
+    case DaysRe(c) => PartitionField(c, Days)
+    case BucketRe(n, c) => PartitionField(c, Bucket(n.toInt))
+    case TruncRe(w, c) => PartitionField(c, Truncate(w.toInt))
+    case c => PartitionField(c, Identity)
+  }
+
+  /** Split a comma-separated partition spec list, ignoring commas inside
+    * transform parens — "days(ts),bucket(16, id)" → two specs. */
+  def splitSpecs(s: String): Seq[String] =
+    s.split(""",(?![^(]*\))""").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The derived column's type in the directory layout. */
+  def physType(f: PartitionField, srcType: DataType): DataType =
+    f.transform match {
+      case Identity => srcType
+      case Days => DateType
+      case Bucket(_) => IntegerType
+      case Truncate(_) => srcType
+    }
+
+  /** Write-side derived partition column (UTC-deterministic). */
+  def columnFor(f: PartitionField, src: Column, srcType: DataType): Column =
+    f.transform match {
+      case Identity => src
+      case Days =>
+        // explicit-UTC cast, NOT to_date (which follows the session zone
+        // and would disagree with the driver-side pruning transform)
+        GraftSqlGlue.column(org.apache.spark.sql.catalyst.expressions.Cast(
+          GraftSqlGlue.expression(src), DateType, Some("UTC")))
+      case Bucket(n) => pmod(xxhash64(src), lit(n.toLong)).cast("int")
+      case Truncate(w) => srcType match {
+        case StringType => substring(src, 1, w)
+        case LongType | IntegerType | ShortType | ByteType =>
+          (src - pmod(src, lit(w))).cast(srcType.catalogString)
+        case other => throw new IllegalArgumentException(
+          s"truncate($w, ${f.source}) unsupported for type $other")
+      }
+    }
+
+  /** Driver-side transform of a Spark-INTERNAL source value — must agree
+    * exactly with [[columnFor]]'s executor-side result. */
+  def applyToValue(f: PartitionField, srcType: DataType, v: Any): Any =
+    f.transform match {
+      case Identity => v
+      case Days => srcType match {
+        case TimestampType => // micros → UTC days
+          Math.floorDiv(v.asInstanceOf[Long], 86400000000L).toInt
+        case DateType => v
+        case other => throw new IllegalArgumentException(
+          s"days(${f.source}) unsupported for type $other")
+      }
+      case Bucket(n) =>
+        Math.floorMod(GraftSqlGlue.xxhash64Of(v, srcType), n.toLong).toInt
+      case Truncate(w) => srcType match {
+        case StringType => v.asInstanceOf[UTF8String].substringSQL(1, w)
+        case LongType =>
+          val x = v.asInstanceOf[Long]; x - Math.floorMod(x, w.toLong)
+        case IntegerType =>
+          val x = v.asInstanceOf[Int]; x - Math.floorMod(x, w)
+        case other => throw new IllegalArgumentException(
+          s"truncate($w, ${f.source}) unsupported for type $other")
+      }
+    }
+
+  /** Can a file whose directory carries `dirValue` for this field contain
+    * a row satisfying `<source> <cmp> <v>`? days/truncate are monotone
+    * non-decreasing, so range predicates map through the transform;
+    * bucket prunes equality only. `v` is Spark-internal. */
+  def mayMatch(f: PartitionField, dirValue: String, srcType: DataType,
+      cmp: String, v: Any): Boolean = {
+    if (v == null) return true
+    val pt = physType(f, srcType)
+    val p = GraftSqlGlue.castFromString(dirValue, pt)
+    if (p == null) return true
+    val tv =
+      try applyToValue(f, srcType, v)
+      catch { case _: IllegalArgumentException => return true }
+    val ord = GraftSqlGlue.interpretedOrdering(pt)
+    f.transform match {
+      case Bucket(_) =>
+        cmp match { case "=" => ord.equiv(p, tv); case _ => true }
+      case _ => cmp match {
+        case "=" => ord.equiv(p, tv)
+        case "<" | "<=" => ord.lteq(p, tv) // x<v ⟹ T(x) ≤ T(v)
+        case ">" | ">=" => ord.gteq(p, tv)
+        case _ => true
+      }
+    }
+  }
+}

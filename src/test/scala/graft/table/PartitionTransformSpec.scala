@@ -1,0 +1,124 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hidden partitioning (Iceberg partition transforms): days/bucket/
+  * truncate specs stored in the snapshot, applied at write, pruned at
+  * read through the transform — no derived column ever appears in the
+  * table schema or query results. */
+class PartitionTransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String) = GraftTable(spark, tmpDir(name) + "/t")
+
+  /** numFiles actually read by the executed scan (unwraps AQE). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case other => other.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    scans(df.queryExecution.executedPlan)
+  }
+
+  private def tsRows(days: Int, perDay: Int) = for {
+    d <- 0 until days; i <- 0 until perDay
+  } yield (d.toLong * perDay + i,
+    new java.sql.Timestamp(1704067200000L + d * 86400000L + i * 1000L),
+    s"v$d-$i")
+
+  test("days(ts): writes land in date dirs; source column stays in files") {
+    val t = freshTable("pt-days")
+    t.append(tsRows(4, 10).toDF("id", "ts", "v"), parts = Seq("days(ts)"))
+    // dir layout is by derived UTC date
+    val kv = t.liveFiles().map(t.partitionValues)
+    assert(kv.forall(_.contains("ts_day")))
+    assert(kv.map(_("ts_day")).distinct.sorted ===
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    // no leaked columns: schema and read output are the logical columns
+    assert(t.schema.fieldNames.toSeq === Seq("id", "ts", "v"))
+    assert(t.read().columns.toSeq === Seq("id", "ts", "v"))
+    // and ts itself survives in the data (identity partitioning would
+    // have moved it into the dir)
+    assert(t.read().filter($"id" === 0L).select("ts")
+      .as[java.sql.Timestamp].collect()(0).getTime === 1704067200000L)
+    assert(t.read().count() === 40)
+  }
+
+  test("days(ts): a date predicate on the SOURCE column prunes dirs") {
+    val t = freshTable("pt-days-prune")
+    t.append(tsRows(4, 10).toDF("id", "ts", "v"), parts = Seq("days(ts)"))
+    assert(t.liveFiles().size >= 4)
+    val all = spark.read.format("graft").load(t.location)
+    val perDay = t.liveFiles().size / 4
+    // equality day: only that day's files are scanned
+    val oneDay = all.filter($"ts" >= lit("2024-01-02 00:00:00") &&
+      $"ts" < lit("2024-01-03 00:00:00"))
+    assert(oneDay.count() === 10)
+    assert(scannedFiles(oneDay) <= 2L * perDay) // day 2 (+boundary day 3)
+    // range: later days pruned
+    val firstTwo = all.filter($"ts" < lit("2024-01-03 00:00:00"))
+    assert(firstTwo.count() === 20)
+    assert(scannedFiles(firstTwo) <= 2L * perDay)
+    // correctness against the unpruned ground truth
+    assert(oneDay.select("id").as[Long].collect().sorted ===
+      (10L until 20L).toArray)
+  }
+
+  test("bucket(n, id): equality prunes to one bucket") {
+    val t = freshTable("pt-bucket")
+    t.append((1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"),
+      parts = Seq("bucket(8, id)"))
+    val buckets = t.liveFiles().map(t.partitionValues(_)("id_bucket")).distinct
+    assert(buckets.size > 1, "expected multiple bucket dirs")
+    val all = spark.read.format("graft").load(t.location)
+    val one = all.filter($"id" === 137L)
+    assert(one.select("v").as[String].collect() === Array("v137"))
+    val totalFiles = t.liveFiles().size
+    assert(scannedFiles(one) < totalFiles,
+      "bucket equality should scan a strict subset of files")
+    // range predicates cannot prune buckets but stay correct
+    assert(all.filter($"id" <= 10L).count() === 10)
+  }
+
+  test("truncate(w, col): prefix ranges prune; merge works on transform tables") {
+    val t = freshTable("pt-trunc")
+    val rows = ('a' to 'h').flatMap(c =>
+      (1 to 5).map(i => (s"$c$i-key", s"$c", i.toLong)))
+    t.append(rows.toDF("name", "grp", "ts"), parts = Seq("truncate(1, name)"))
+    val all = spark.read.format("graft").load(t.location)
+    val cOnly = all.filter($"name" >= "c" && $"name" < "d")
+    assert(cOnly.count() === 5)
+    assert(scannedFiles(cOnly) < t.liveFiles().size)
+
+    // COW merge on a hidden-partitioned table: update one key, insert one
+    t.merge(Seq(("c3-key", "c", 9L), ("z9-key", "z", 9L))
+      .toDF("name", "grp", "ts"),
+      keys = Seq("name"), dedupKey = Seq("name"), orderCol = "ts")
+    val out = t.read()
+    assert(out.count() === 41)
+    assert(out.filter($"name" === "c3-key").select("ts").as[Long]
+      .collect() === Array(9L))
+    assert(out.filter($"name" === "z9-key").count() === 1)
+    // untouched prefixes were not rewritten
+    val removed = t.removedFilesOf(t.snapshots.last)
+    assert(removed.forall(f =>
+      t.partitionValues(f).get("name_trunc").contains("c")))
+  }
+
+  test("mixed identity+transform specs are rejected; sources validated") {
+    val t = freshTable("pt-mixed")
+    val sch = Seq((1L, "a")).toDF("id", "v").schema
+    intercept[IllegalArgumentException] {
+      t.create(sch, parts = Seq("v", "bucket(4, id)"))
+    }
+    intercept[IllegalArgumentException] {
+      t.create(sch, parts = Seq("days(nope)"))
+    }
+  }
+}
