@@ -340,28 +340,12 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   // ---- commit protocol ----
 
-  /** Atomically publish `tmp` at `dest`, failing (false) if `dest` already
-    * exists. Hadoop's LocalFileSystem rename-onto-existing returns true and
-    * silently OVERWRITES the destination (verified against hadoop 3.4.2) —
-    * bare rename is not single-winner there, so for file:// we publish via
-    * POSIX link(2) (`Files.createLink`), which is atomic and fails EEXIST.
-    * Other schemes keep rename (HDFS rename-to-existing fails correctly;
-    * S3A would need a lock/catalog commit service, exactly as Iceberg
-    * requires there). */
-  private[table] def publishExclusive(tmp: Path, dest: Path): Boolean = {
-    val scheme = Option(fs.makeQualified(tmp).toUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
-      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
-      val d = java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath)
-      try {
-        java.nio.file.Files.createLink(d, t)
-        fs.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else fs.rename(tmp, dest)
-  }
+  /** Atomically publish `tmp` at `dest`, failing (false) if `dest`
+    * already exists — delegated to the pluggable [[CommitLock]]
+    * ([[LinkCommitLock]] by default: POSIX link for file://, rename for
+    * HDFS; [[LockServiceCommitLock]] documents the S3A-shaped story). */
+  private[table] def publishExclusive(tmp: Path, dest: Path): Boolean =
+    GraftTable.commitLock.publish(fs, tmp, dest)
 
   /** Publish a snapshot: write JSON to a temp name, atomically link/rename
     * it into its final slot ([[publishExclusive]] — single-winner even on
@@ -1068,4 +1052,8 @@ object GraftTable {
   /** Drop the metadata parse caches (test hook: makes parse counters
     * measure a cold resolution). */
   def clearMetaCaches(): Unit = { snapCache.clear(); manifestCache.clear() }
+
+  /** The publish primitive all commits go through — swap for stores
+    * without an atomic rename-or-fail (see [[CommitLock]]). */
+  @volatile var commitLock: CommitLock = LinkCommitLock
 }

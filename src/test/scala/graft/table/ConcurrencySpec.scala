@@ -127,6 +127,61 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.snapshots.count(_.txnAppId.contains("zombie")) === 1)
   }
 
+  test("lock-service commit path: concurrent appends all commit, no clobber") {
+    // the S3A-shaped CommitLock (no atomic rename-or-fail; a lock service
+    // serializes contenders) must give the same guarantees as the POSIX
+    // link path: every append survives, the chain is gapless
+    val before = GraftTable.commitLock
+    GraftTable.commitLock = new LockServiceCommitLock()
+    try {
+      val t = GraftTable(spark, tmpDir("conc-lock") + "/t")
+      t.create(Seq((0L, "")).toDF("id", "who").schema)
+      val pool = Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futures = (1 to 4).map { w =>
+        Future {
+          (1 to 3).foreach { i =>
+            t.append(Seq((w * 100L + i, s"writer$w")).toDF("id", "who"))
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+      pool.shutdown()
+      assert(t.read().count() === 12)
+      assert(t.snapshots.map(_.snapshotId) === (0L to 12L))
+      // and an occupied slot still refuses
+      import org.apache.hadoop.fs.Path
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new Path(t.location).getFileSystem(conf)
+      val tmp = new Path(t.location + "/_graft", ".tmp-loser.json")
+      val out = fs.create(tmp, false)
+      try out.write("LOSER".getBytes("UTF-8")) finally out.close()
+      assert(!t.publishExclusive(tmp,
+        new Path(t.location + "/_graft", "snap-00000001.json")))
+    } finally GraftTable.commitLock = before
+  }
+
+  test("two sessions, one warehouse: B sees A's commits after refresh") {
+    val wh = tmpDir("conc-2s")
+    val sparkB = spark.newSession()
+    val catA = graft.catalog.GraftCatalog(spark, wh)
+    val catB = graft.catalog.GraftCatalog(sparkB, wh)
+    catA.createFrom("conc_shared", Seq((1L, "a")).toDF("id", "v"))
+    // B re-attaches from the warehouse layout alone
+    assert(catB.sync().contains("conc_shared"))
+    assert(sparkB.sql("SELECT id FROM conc_shared").count() === 1)
+    // A appends AND evolves the schema; B refreshes → new snapshot, new
+    // schema, no stale-schema window
+    catA.append("conc_shared",
+      Seq((2L, "b", 9.5)).toDF("id", "v", "score"), mergeSchema = true)
+    catB.refresh("conc_shared")
+    val out = sparkB.sql(
+      "SELECT id, v, score FROM conc_shared ORDER BY id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).isNullAt(2)) // old row null-fills the evolved column
+    assert(out(1).getDouble(2) === 9.5)
+  }
+
   test("snapshot publish onto an occupied slot loses, never clobbers") {
     // LocalFileSystem.rename onto an existing file returns true and silently
     // OVERWRITES it — the exact primitive that would lose a racing commit.
