@@ -195,4 +195,120 @@ object AggExpressions {
   def bloom_agg(hashCol: Column): Column =
     GraftSqlGlue.column(
       BloomAgg(GraftSqlGlue.expression(hashCol)).toAggregateExpression())
+
+  /** Bounded-heap top-k aggregate: keeps the k (id, score) pairs with the
+    * highest score (ties broken by smaller id — fully deterministic) in a
+    * k-element heap. Partial aggregation applies: every map task reduces
+    * its rows to AT MOST k pairs before the shuffle, so a top-k over a
+    * scored corpus moves O(k × partitions) rows instead of the whole
+    * scored set — the shape that beats a row_number window (which must
+    * shuffle every scored row to rank it) at any scale, and the reason
+    * ANN brute-force scoring stays one scan + a tiny exchange. */
+  case class TopKAgg(
+      idChild: Expression,
+      scoreChild: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[
+        scala.collection.mutable.PriorityQueue[(Double, Long)]] {
+    require(k > 0, "k must be positive")
+
+    // heap head = WORST kept pair (lowest score, then largest id), so a
+    // better candidate evicts the head in O(log k)
+    private def heapOrd: Ordering[(Double, Long)] =
+      new Ordering[(Double, Long)] {
+        override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(y._1, x._1) // lower score = max
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2) // larger id = max
+        }
+      }
+
+    override def createAggregationBuffer()
+        : scala.collection.mutable.PriorityQueue[(Double, Long)] =
+      new scala.collection.mutable.PriorityQueue[(Double, Long)]()(heapOrd)
+
+    private def add(
+        buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+        pair: (Double, Long)): Unit = {
+      if (buf.size < k) buf.enqueue(pair)
+      else if (heapOrd.compare(pair, buf.head) < 0) { // pair beats worst
+        buf.dequeue(); buf.enqueue(pair)
+      }
+    }
+
+    override def update(
+        buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+        input: InternalRow)
+        : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+      val id = idChild.eval(input)
+      val score = scoreChild.eval(input)
+      if (id != null && score != null)
+        add(buf, (score.asInstanceOf[Double], id.asInstanceOf[Long]))
+      buf
+    }
+
+    override def merge(
+        buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+        other: scala.collection.mutable.PriorityQueue[(Double, Long)])
+        : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+      other.foreach(add(buf, _))
+      buf
+    }
+
+    /** array<struct<neighbor_id, cos>> sorted best-first. */
+    override def eval(
+        buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any = {
+      val sorted = buf.dequeueAll.reverse // dequeue yields worst-first
+      new GenericArrayData(sorted.map { case (s, id) =>
+        InternalRow(id, s)
+      }.toArray[Any])
+    }
+
+    override def serialize(
+        buf: scala.collection.mutable.PriorityQueue[(Double, Long)])
+        : Array[Byte] = {
+      val items = buf.toArray
+      val bb = ByteBuffer.allocate(4 + 16 * items.length)
+      bb.putInt(items.length)
+      items.foreach { case (s, id) => bb.putDouble(s); bb.putLong(id) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte])
+        : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("neighbor_id", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(idChild, scoreChild)
+    override def prettyName: String = "topk_by"
+
+    override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): TopKAgg =
+      copy(idChild = cs(0), scoreChild = cs(1))
+  }
+
+  /** Column entry point: top-k (neighbor_id, cos) pairs per group by
+    * descending score, ascending id. */
+  def topk_by(idCol: Column, scoreCol: Column, k: Int): Column =
+    GraftSqlGlue.column(
+      TopKAgg(GraftSqlGlue.expression(idCol),
+        GraftSqlGlue.expression(scoreCol), k).toAggregateExpression())
 }

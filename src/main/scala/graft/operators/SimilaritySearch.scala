@@ -25,7 +25,15 @@ object SimilaritySearch {
 
   /** Exact top-k neighbors for each query row, by quantized cosine
     * (deterministic cross-engine), ties broken by neighbor id.
-    * Output: (query_id, neighbor_id, rank, cos). */
+    * Output: (query_id, neighbor_id, rank, cos).
+    *
+    * Ranking uses the bounded-heap [[graft.functions.AggExpressions.TopKAgg]]
+    * aggregate, NOT a row_number window: partial aggregation reduces every
+    * map task to at most k pairs per query before the exchange, so the
+    * shuffle moves O(k × partitions × queries) rows — a window would
+    * shuffle the ENTIRE scored corpus (corpus × queries rows) just to
+    * rank it, the difference between megabytes and the full dataset at
+    * 100 TB. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -35,11 +43,12 @@ object SimilaritySearch {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineQ(col("q_q"), col("q_c")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    scored.groupBy("query_id")
+      .agg(graft.functions.AggExpressions
+        .topk_by(col("neighbor_id"), col("cos"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.cos"))
   }
 
   /** Candidate pairs from multi-table hyperplane LSH with single-bit

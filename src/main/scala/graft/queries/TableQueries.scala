@@ -275,8 +275,11 @@ object TableQueries {
     * (PartitionTransformSpec pins the scanned-file counts). */
   val qHiddenPartition: Q = (s, dir) => {
     val t = GraftTable(s, scratch("hidden"))
+    // months, not days: orders spans ~7 years, and day-granularity would
+    // burst into thousands of tiny-file dirs (the classic transform
+    // mis-granularity) — months keeps ~84 dirs and the range still prunes
     t.append(Tables.load(s, dir, "orders").filter(col("o_orderkey") % 4 === 0),
-      parts = Seq("days(o_orderdate)"))
+      parts = Seq("months(o_orderdate)"))
     project(s.read.format("graft").load(t.location)
       .filter(col("o_orderdate") >= lit("1995-01-01") &&
         col("o_orderdate") < lit("1996-01-01")))

@@ -12,8 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * of a source column:
   *
   *   days(ts)          → dir column `ts_day` = UTC date of ts
+  *   months(ts)        → dir column `ts_month` = "yyyy-MM" of ts (UTC)
   *   bucket(16, id)    → dir column `id_bucket` = pmod(xxhash64(id), 16)
   *   truncate(4, name) → dir column `name_trunc` = prefix/floor of width 4
+  *
+  * Choose granularity so the partition COUNT stays bounded: days() over a
+  * multi-year range explodes into thousands of directories of tiny files
+  * (the classic Iceberg mis-partitioning); months()/bucket() keep the dir
+  * count proportional to what the workload actually prunes by.
   *
   * The SOURCE column stays in the data files; the derived value exists
   * only in the directory layout — queries keep filtering on the source
@@ -29,6 +35,7 @@ sealed trait PartTransform
 object PartTransform {
   case object Identity extends PartTransform
   case object Days extends PartTransform
+  case object Months extends PartTransform
   case class Bucket(n: Int) extends PartTransform
   case class Truncate(w: Int) extends PartTransform
 }
@@ -38,6 +45,7 @@ case class PartitionField(source: String, transform: PartTransform) {
   def physName: String = transform match {
     case Identity => source
     case Days => s"${source}_day"
+    case Months => s"${source}_month"
     case Bucket(_) => s"${source}_bucket"
     case Truncate(_) => s"${source}_trunc"
   }
@@ -48,11 +56,13 @@ object PartitionTransforms {
   import PartTransform._
 
   private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val MonthsRe = """months\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
 
   def parse(spec: String): PartitionField = spec.trim match {
     case DaysRe(c) => PartitionField(c, Days)
+    case MonthsRe(c) => PartitionField(c, Months)
     case BucketRe(n, c) => PartitionField(c, Bucket(n.toInt))
     case TruncRe(w, c) => PartitionField(c, Truncate(w.toInt))
     case c => PartitionField(c, Identity)
@@ -68,6 +78,7 @@ object PartitionTransforms {
     f.transform match {
       case Identity => srcType
       case Days => DateType
+      case Months => StringType // "yyyy-MM": zero-padded, so ordering is monotone
       case Bucket(_) => IntegerType
       case Truncate(_) => srcType
     }
@@ -81,6 +92,13 @@ object PartitionTransforms {
         // and would disagree with the driver-side pruning transform)
         GraftSqlGlue.column(org.apache.spark.sql.catalyst.expressions.Cast(
           GraftSqlGlue.expression(src), DateType, Some("UTC")))
+      case Months =>
+        // year()/month() of a DATE are zone-free; the UTC cast happens
+        // first, mirroring Days — lpad keeps the string monotone
+        val d = GraftSqlGlue.column(org.apache.spark.sql.catalyst.expressions
+          .Cast(GraftSqlGlue.expression(src), DateType, Some("UTC")))
+        concat(lpad(year(d).cast("string"), 4, "0"), lit("-"),
+          lpad(month(d).cast("string"), 2, "0"))
       case Bucket(n) => pmod(xxhash64(src), lit(n.toLong)).cast("int")
       case Truncate(w) => srcType match {
         case StringType => substring(src, 1, w)
@@ -103,6 +121,16 @@ object PartitionTransforms {
         case other => throw new IllegalArgumentException(
           s"days(${f.source}) unsupported for type $other")
       }
+      case Months =>
+        val days = srcType match {
+          case TimestampType =>
+            Math.floorDiv(v.asInstanceOf[Long], 86400000000L).toLong
+          case DateType => v.asInstanceOf[Int].toLong
+          case other => throw new IllegalArgumentException(
+            s"months(${f.source}) unsupported for type $other")
+        }
+        val ld = java.time.LocalDate.ofEpochDay(days)
+        UTF8String.fromString(f"${ld.getYear}%04d-${ld.getMonthValue}%02d")
       case Bucket(n) =>
         Math.floorMod(GraftSqlGlue.xxhash64Of(v, srcType), n.toLong).toInt
       case Truncate(w) => srcType match {
@@ -117,9 +145,9 @@ object PartitionTransforms {
     }
 
   /** Can a file whose directory carries `dirValue` for this field contain
-    * a row satisfying `<source> <cmp> <v>`? days/truncate are monotone
-    * non-decreasing, so range predicates map through the transform;
-    * bucket prunes equality only. `v` is Spark-internal. */
+    * a row satisfying `<source> <cmp> <v>`? days/months/truncate are
+    * monotone non-decreasing, so range predicates map through the
+    * transform; bucket prunes equality only. `v` is Spark-internal. */
   def mayMatch(f: PartitionField, dirValue: String, srcType: DataType,
       cmp: String, v: Any): Boolean = {
     if (v == null) return true

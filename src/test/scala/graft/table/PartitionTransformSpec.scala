@@ -70,6 +70,24 @@ class PartitionTransformSpec extends SparkSpec {
       (10L until 20L).toArray)
   }
 
+  test("months(ts): multi-month range prunes; dirs stay coarse") {
+    val t = freshTable("pt-months")
+    // 90 days spanning 2024-01..2024-03
+    val rows = (0 until 90).map(d => (d.toLong,
+      new java.sql.Timestamp(1704067200000L + d.toLong * 86400000L), s"v$d"))
+    t.append(rows.toDF("id", "ts", "v"), parts = Seq("months(ts)"))
+    val kv = t.liveFiles().map(t.partitionValues)
+    assert(kv.map(_("ts_month")).distinct.sorted ===
+      Seq("2024-01", "2024-02", "2024-03"))
+    val all = spark.read.format("graft").load(t.location)
+    val feb = all.filter($"ts" >= lit("2024-02-01 00:00:00") &&
+      $"ts" < lit("2024-03-01 00:00:00"))
+    assert(feb.count() === 29) // 2024 is a leap year
+    val perMonth = t.liveFiles().size / 3
+    assert(scannedFiles(feb) <= 2L * perMonth)
+    assert(all.filter($"ts" < lit("2024-02-01 00:00:00")).count() === 31)
+  }
+
   test("bucket(n, id): equality prunes to one bucket") {
     val t = freshTable("pt-bucket")
     t.append((1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"),
