@@ -102,6 +102,7 @@ class IncrementalFileSource(spark: SparkSession, dir: String,
       seenAtWatermark: Seq[String] = Seq.empty)
       : (Seq[String], Long, Seq[String]) = {
     if (!fs.exists(dirPath)) return (Seq.empty, afterMtime, seenAtWatermark)
+    val seen = seenAtWatermark.toSet // O(1) membership over the listing
     val it = fs.listFiles(dirPath, true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
@@ -110,7 +111,7 @@ class IncrementalFileSource(spark: SparkSession, dir: String,
       if (name.endsWith(suffix) &&
           (f.getModificationTime > afterMtime ||
             (f.getModificationTime == afterMtime &&
-              !seenAtWatermark.contains(name))))
+              !seen.contains(name))))
         out += ((f.getPath.toString, f.getModificationTime))
     }
     if (out.isEmpty) return (Seq.empty, afterMtime, seenAtWatermark)

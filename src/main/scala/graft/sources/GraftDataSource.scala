@@ -77,7 +77,7 @@ class GraftDataSource extends RelationProvider
 
     HadoopFsRelation(
       location = new GraftFileIndex(spark, table, files, partSchema,
-        table.statsFor(files)),
+        table.statsFor(files, asOf), table.bytesFor(files, asOf)),
       partitionSchema = partSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
@@ -127,7 +127,8 @@ class GraftDataSource extends RelationProvider
   * Iceberg's manifest-stats skipping. */
 class GraftFileIndex(spark: SparkSession, val table: GraftTable,
     files: Seq[String], override val partitionSchema: StructType,
-    stats: Map[String, Map[String, graft.table.ColStat]] = Map.empty)
+    stats: Map[String, Map[String, graft.table.ColStat]] = Map.empty,
+    sizes: Map[String, Long] = Map.empty)
     extends FileIndex {
 
   private val tablePath = new Path(table.location)
@@ -136,21 +137,25 @@ class GraftFileIndex(spark: SparkSession, val table: GraftTable,
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
   /** (partition values row, (relPath, status) files) groups, resolved
-    * once. File statuses come from ONE listStatus per directory, not one
-    * getFileStatus RPC per file — at manifest scale (100k files) per-file
-    * calls would serialize 100k metadata round-trips into every query's
-    * planning. */
+    * once. File statuses are SYNTHESIZED from the manifest-recorded sizes
+    * — planning a scan then touches no filesystem metadata at all (pure
+    * manifest planning, the Iceberg property). Files a pre-size manifest
+    * left without a length fall back to ONE listStatus per directory, not
+    * one getFileStatus RPC per file — at manifest scale (100k files)
+    * per-file calls would serialize 100k metadata round-trips into every
+    * query's planning. */
   private lazy val groups: Seq[(InternalRow, Seq[(String, FileStatus)])] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
 
-    val byDir = files.groupBy(f =>
+    val unsized = files.filterNot(sizes.contains)
+    val byDir = unsized.groupBy(f =>
       f.lastIndexOf('/') match {
         case -1 => ""
         case i => f.substring(0, i)
       })
-    val statusByRel: Map[String, FileStatus] = byDir.flatMap {
+    val listed: Map[String, FileStatus] = byDir.flatMap {
       case (dir, fs_) =>
         val dirPath = if (dir.isEmpty) tablePath else new Path(tablePath, dir)
         val names = fs_.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
@@ -159,6 +164,14 @@ class GraftFileIndex(spark: SparkSession, val table: GraftTable,
           .map(st => (if (dir.isEmpty) st.getPath.getName
                       else s"$dir/${st.getPath.getName}") -> st)
     }
+    val wanted = files.toSet
+    val statusByRel: Map[String, FileStatus] = listed ++
+      sizes.collect { case (rel, len) if wanted.contains(rel) =>
+        // mtime 0 is fine: nothing in the scan path reads it (splits use
+        // path+length; the vectorized reader opens by path)
+        rel -> new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+          new Path(tablePath, rel))
+      }
 
     files.groupBy(f => table.partitionValues(f)).toSeq.map { case (kv, fs_) =>
       val values = InternalRow.fromSeq(partitionSchema.map { field =>

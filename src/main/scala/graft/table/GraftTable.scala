@@ -236,10 +236,12 @@ class GraftTable(spark: SparkSession, val location: String) {
     val live = liveFiles()
     val stats = statsFor(live)
     val seqs = fileAddSeqs(None)
+    val sizes = bytesFor(live)
     live.map { f =>
-      val st = fs.getFileStatus(new Path(tablePath, f))
+      val len = sizes.getOrElse(f,
+        fs.getFileStatus(new Path(tablePath, f)).getLen)
       val cs = stats.getOrElse(f, Map.empty)
-      (f, partitionValues(f), st.getLen, seqs.getOrElse(f, -1L),
+      (f, partitionValues(f), len, seqs.getOrElse(f, -1L),
         cs.map { case (c, s) => (c, s.min.orNull) },
         cs.map { case (c, s) => (c, s.max.orNull) })
     }.toDF("file_path", "partition", "size_bytes", "add_sequence",
@@ -249,7 +251,7 @@ class GraftTable(spark: SparkSession, val location: String) {
   /** Live data files (relative paths) as of `asOf` (default: latest). */
   def liveFiles(asOf: Option[Long] = None): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    chainTo(asOf).foreach { s =>
+    replayChain(asOf).foreach { s =>
       val es = entriesOf(s)
       es.foreach(e => if (e.status == "remove") live -= e.path)
       es.foreach(e => if (e.status == "add") live += e.path)
@@ -281,7 +283,7 @@ class GraftTable(spark: SparkSession, val location: String) {
       case None => true // legacy inline snapshot
     }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    chainTo(asOf).foreach { s =>
+    replayChain(asOf).foreach { s =>
       if (mayMatch(s)) {
         val es = entriesOf(s)
         es.foreach(e => if (e.status == "remove") live -= e.path)
@@ -297,12 +299,23 @@ class GraftTable(spark: SparkSession, val location: String) {
     case None => snapshots
   }
 
+  /** The chain suffix state replay actually needs: from the LAST
+    * base-state snapshot (create / expire baseline / rewrite-manifests —
+    * its manifest carries the full live state) at or before `asOf`.
+    * This is what keeps metadata resolution O(manifests since the last
+    * rewrite) on long-lived tables instead of O(all history). */
+  private def replayChain(asOf: Option[Long]): Seq[Snapshot] = {
+    val chain = chainTo(asOf)
+    val start = chain.lastIndexWhere(_.base.contains(true))
+    if (start <= 0) chain else chain.drop(start)
+  }
+
   /** Live MOR delete files (with their apply-before sequence) as of
     * `asOf`. Empty for pure-COW tables — the overwhelmingly common case,
     * so readers pay nothing unless tombstones actually exist. */
   def liveDeletes(asOf: Option[Long] = None): Seq[DeleteFile] = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, DeleteFile]
-    chainTo(asOf).foreach { s =>
+    replayChain(asOf).foreach { s =>
       s.removedDeleteFiles.foreach(_.foreach(live.remove))
       s.addedDeleteFiles.foreach(_.foreach(d => live(d.path) = d))
     }
@@ -329,7 +342,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     * them. */
   private def fileAddSeqs(asOf: Option[Long]): Map[String, Long] = {
     val seqs = scala.collection.mutable.Map.empty[String, Long]
-    chainTo(asOf).foreach { s =>
+    replayChain(asOf).foreach { s =>
       entriesOf(s).foreach { e =>
         if (e.status == "add" && !seqs.contains(e.path))
           seqs(e.path) = e.seq.getOrElse(s.snapshotId)
@@ -369,14 +382,18 @@ class GraftTable(spark: SparkSession, val location: String) {
       removeDeletes: Seq[String] = Seq.empty,
       reAddDeletes: Seq[DeleteFile] = Seq.empty,
       txn: Option[(String, Long)] = None,
-      props: Option[Map[String, String]] = None): Long = {
+      props: Option[Map[String, String]] = None,
+      bytes: Map[String, Long] = Map.empty,
+      seqs: Map[String, Long] = Map.empty,
+      base: Boolean = false): Long = {
     // the per-file payload is written ONCE as a manifest before the
     // publish loop (its content does not depend on the snapshot id);
     // retries republish only the slim snapshot record
     val entries =
       removed.map(f => ManifestEntry(f, "remove")) ++
         added.map(f => ManifestEntry(f, "add",
-          stats = stats.get(f).filter(_.nonEmpty), rows = rows.get(f)))
+          stats = stats.get(f).filter(_.nonEmpty), rows = rows.get(f),
+          seq = seqs.get(f), bytes = bytes.get(f)))
     val manifestRef =
       if (entries.isEmpty) None else Some(writeManifest(entries, parts))
     var attempts = 0
@@ -416,6 +433,7 @@ class GraftTable(spark: SparkSession, val location: String) {
           if (removeDeletes.isEmpty) None else Some(removeDeletes),
         txnAppId = txn.map(_._1), txnBatchId = txn.map(_._2),
         properties = props.orElse(parent.flatMap(_.properties)),
+        base = if (base || parent.isEmpty) Some(true) else None,
         manifest = manifestRef)
       val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
@@ -445,10 +463,12 @@ class GraftTable(spark: SparkSession, val location: String) {
     this
   }
 
-  /** Stage `df` as parquet files and return their table-relative paths.
-    * Partition layout is produced by the standard Spark writer; files are
-    * then moved (renamed, no copy) into the table tree. */
-  private def stageAndMove(df: DataFrame, parts: Seq[String]): Seq[String] = {
+  /** Stage `df` as parquet files and return their table-relative paths
+    * with on-disk sizes (captured during the move walk — zero extra
+    * RPCs). Partition layout is produced by the standard Spark writer;
+    * files are then moved (renamed, no copy) into the table tree. */
+  private def stageAndMove(df: DataFrame,
+      parts: Seq[String]): Seq[(String, Long)] = {
     val stage = new Path(metaPath, s"stage-${UUID.randomUUID()}")
     // pin MICROS timestamps for the staged write: INT96 (the legacy
     // default some sessions carry) records no usable footer statistics,
@@ -474,7 +494,7 @@ class GraftTable(spark: SparkSession, val location: String) {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
     }
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(stage, true)
     while (it.hasNext) {
       val f = it.next()
@@ -485,7 +505,7 @@ class GraftTable(spark: SparkSession, val location: String) {
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f.getPath, dest))
           throw new IllegalStateException(s"failed to move $rel into $location")
-        files += rel
+        files += ((rel, f.getLen))
       }
     }
     fs.delete(stage, true)
@@ -578,12 +598,27 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   /** Row counts for `files`, resolved across the snapshot chain (same
     * travel rules as [[statsFor]]). Missing entries mean "unknown". */
-  def rowsFor(files: Seq[String]): Map[String, Long] = {
+  def rowsFor(files: Seq[String], asOf: Option[Long] = None)
+      : Map[String, Long] = {
     val want = files.toSet
     val out = scala.collection.mutable.Map.empty[String, Long]
-    snapshots.foreach(s => entriesOf(s).foreach { e =>
+    replayChain(asOf).foreach(s => entriesOf(s).foreach { e =>
       if (e.status == "add" && want.contains(e.path))
         e.rows.foreach(out(e.path) = _)
+    })
+    out.toMap
+  }
+
+  /** On-disk sizes for `files` from the manifest entries — planning and
+    * the COW/MOR sizing decision read these, not one getFileStatus RPC
+    * per file. Missing entries mean "unknown" (pre-size manifests). */
+  def bytesFor(files: Seq[String], asOf: Option[Long] = None)
+      : Map[String, Long] = {
+    val want = files.toSet
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    replayChain(asOf).foreach(s => entriesOf(s).foreach { e =>
+      if (e.status == "add" && want.contains(e.path))
+        e.bytes.foreach(out(e.path) = _)
     })
     out.toMap
   }
@@ -591,10 +626,11 @@ class GraftTable(spark: SparkSession, val location: String) {
   /** Stats for `files`, resolved across the whole snapshot chain (stats
     * travel with the snapshot that ADDED a file; rollback re-adds files
     * without recomputing them). Missing entries mean "no info". */
-  def statsFor(files: Seq[String]): Map[String, Map[String, ColStat]] = {
+  def statsFor(files: Seq[String], asOf: Option[Long] = None)
+      : Map[String, Map[String, ColStat]] = {
     val want = files.toSet
     val out = scala.collection.mutable.Map.empty[String, Map[String, ColStat]]
-    snapshots.foreach(s => entriesOf(s).foreach { e =>
+    replayChain(asOf).foreach(s => entriesOf(s).foreach { e =>
       if (e.status == "add" && want.contains(e.path))
         e.stats.filter(_.nonEmpty).foreach(out(e.path) = _)
     })
@@ -666,7 +702,8 @@ class GraftTable(spark: SparkSession, val location: String) {
         case Some(n) => aligned0.repartitionByRange(n, sortBy.map(col): _*)
         case None => aligned0.repartitionByRange(sortBy.map(col): _*)
       }).sortWithinPartitions(sortBy.map(col): _*)
-    val added = stageAndMove(aligned, partitionCols)
+    val staged = stageAndMove(aligned, partitionCols)
+    val added = staged.map(_._1)
     // schema is re-merged against the tip on every commit attempt: if a
     // concurrent append(mergeSchema=true) added a column while we staged,
     // republishing the precomputed targetSchema would silently drop it
@@ -680,7 +717,8 @@ class GraftTable(spark: SparkSession, val location: String) {
           .map(_.copy(nullable = true))
         StructType(cur.fields ++ extra).json
       case None => targetSchema.json
-    }, partitionCols, stats = sr._1, rows = sr._2, txn = txn)
+    }, partitionCols, stats = sr._1, rows = sr._2, txn = txn,
+      bytes = staged.toMap)
   }
 
   /** Highest batch id committed by idempotent writer `appId` (the
@@ -705,11 +743,13 @@ class GraftTable(spark: SparkSession, val location: String) {
     val parentAtRead = latestSnapshotId
     val aligned = align(df, schema)
     val removed = liveFiles()
-    val added = stageAndMove(aligned, partitionCols)
+    val staged = stageAndMove(aligned, partitionCols)
+    val added = staged.map(_._1)
     val sr = collectStats(added)
     commit("overwrite", added, removed, _ => schema.json, partitionCols,
       expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
-      removeDeletes = liveDeletes().map(_.path), txn = txn)
+      removeDeletes = liveDeletes().map(_.path), txn = txn,
+      bytes = staged.toMap)
   }
 
   // ---- readers ----
@@ -831,12 +871,33 @@ class GraftTable(spark: SparkSession, val location: String) {
         df0.repartitionByRange(math.max(filesPerPartition, 1),
           sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
       else df0.coalesce(math.max(filesPerPartition, 1))
-    val added = stageAndMove(align(df, schema), partitionCols)
+    val staged = stageAndMove(align(df, schema), partitionCols)
+    val added = staged.map(_._1)
     val sr = collectStats(added)
     // tombstone files stay on disk for time travel; expire removes them
     commit("compact", added, removed, _ => schema.json, partitionCols,
       expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
-      removeDeletes = liveDeletes().map(_.path))
+      removeDeletes = liveDeletes().map(_.path), bytes = staged.toMap)
+  }
+
+  /** Manifest compaction (the Iceberg rewrite_manifests action): commit a
+    * BASE-STATE snapshot whose single fresh manifest carries the entire
+    * live state — files with their stats, row counts, sizes, and ORIGINAL
+    * add-sequences, plus live tombstones with original sequences. Data
+    * files are untouched and history is preserved (older reads replay
+    * from their own earlier base), but every resolution at or after this
+    * snapshot parses only the manifests committed SINCE it — the cure for
+    * long-lived tables whose chain has accumulated thousands of small
+    * per-commit manifests. Incremental scans refuse to cross it, like any
+    * rewrite. */
+  def rewriteManifests(): Long = {
+    val parentAtRead = latestSnapshotId
+    val files = liveFiles()
+    commit("rewrite-manifests", files, Seq.empty, _ => schema.json,
+      partitionCols, expectedParent = parentAtRead,
+      stats = statsFor(files), rows = rowsFor(files),
+      bytes = bytesFor(files), seqs = fileAddSeqs(None),
+      reAddDeletes = liveDeletes(), base = true)
   }
 
   /** Rollback: make `snapshotId`'s state current again via a NEW snapshot
@@ -853,10 +914,17 @@ class GraftTable(spark: SparkSession, val location: String) {
     val currentDel = liveDeletes()
     val currentDelPaths = currentDel.map(_.path).toSet
     val targetDelPaths = targetDel.map(_.path).toSet
-    commit("rollback", target.diff(current), current.diff(target),
+    // re-added files carry their ORIGINAL add-sequences explicitly — with
+    // base-state replay their first adds may lie behind a later base, and
+    // a fresh sequence would detach them from their tombstones
+    val reAdded = target.diff(current)
+    val seqsAtTarget = fileAddSeqs(Some(snapshotId))
+    commit("rollback", reAdded, current.diff(target),
       _ => schema.json, partitionCols, expectedParent = parentAtRead,
       reAddDeletes = targetDel.filterNot(d => currentDelPaths.contains(d.path)),
-      removeDeletes = currentDel.map(_.path).filterNot(targetDelPaths.contains))
+      removeDeletes = currentDel.map(_.path).filterNot(targetDelPaths.contains),
+      seqs = reAdded.flatMap(f => seqsAtTarget.get(f).map(f -> _)).toMap,
+      bytes = bytesFor(reAdded, Some(snapshotId)))
   }
 
   /** Snapshot expiration (the Iceberg expire_snapshots action): retain the
@@ -891,9 +959,11 @@ class GraftTable(spark: SparkSession, val location: String) {
       expired.flatMap(_.removedDeleteFiles.toSeq.flatten)).distinct
     val retainedTailAdds = retained.tail.flatMap(addedFilesOf)
 
+    val baselineBytes = bytesFor(baselineFiles, Some(oldest.snapshotId))
     val baselineEntries = baselineFiles.map(f => ManifestEntry(f, "add",
       stats = baselineStats.get(f).filter(_.nonEmpty),
-      rows = baselineRows.get(f), seq = baselineSeqs.get(f)))
+      rows = baselineRows.get(f), seq = baselineSeqs.get(f),
+      bytes = baselineBytes.get(f)))
     val baselineManifest =
       if (baselineEntries.isEmpty) None
       else Some(writeManifest(baselineEntries, oldest.partitionCols))
@@ -907,6 +977,7 @@ class GraftTable(spark: SparkSession, val location: String) {
       addedDeleteFiles =
         if (baselineDeletes.isEmpty) None else Some(baselineDeletes),
       removedDeleteFiles = None,
+      base = Some(true),
       manifest = baselineManifest)
     val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
@@ -974,11 +1045,13 @@ class GraftTable(spark: SparkSession, val location: String) {
     MergeInto.merge(spark, this, source, keys, dedupKey, orderCol, opCol,
       deleteOps, mode)
 
-  private[table] def commitMerge(added: Seq[String], removed: Seq[String],
-      expectedParent: Option[Long]): Long = {
+  private[table] def commitMerge(staged: Seq[(String, Long)],
+      removed: Seq[String], expectedParent: Option[Long]): Long = {
+    val added = staged.map(_._1)
     val sr = collectStats(added)
     commit("merge", added, removed, _ => schema.json, partitionCols,
-      expectedParent = expectedParent, stats = sr._1, rows = sr._2)
+      expectedParent = expectedParent, stats = sr._1, rows = sr._2,
+      bytes = staged.toMap)
   }
 
   /** MOR merge commit: new data files + one equality-delete file, nothing
@@ -989,14 +1062,16 @@ class GraftTable(spark: SparkSession, val location: String) {
     * result equals running the merges in commit order (last-committed
     * wins per key — the same answer sequential merges give). Concurrent
     * CDC upsert streams therefore never abort each other. */
-  private[table] def commitMergeMor(added: Seq[String],
+  private[table] def commitMergeMor(staged: Seq[(String, Long)],
       deletePaths: Seq[String]): Long = {
+    val added = staged.map(_._1)
     val sr = collectStats(added)
     commit("merge", added, Seq.empty, _ => schema.json, partitionCols,
-      stats = sr._1, rows = sr._2, addDeletePaths = deletePaths)
+      stats = sr._1, rows = sr._2, addDeletePaths = deletePaths,
+      bytes = staged.toMap)
   }
 
-  private[table] def stageForMerge(df: DataFrame): Seq[String] =
+  private[table] def stageForMerge(df: DataFrame): Seq[(String, Long)] =
     stageAndMove(align(df, schema), partitionCols)
 
   /** Stage a tombstone key batch as parquet under `_deletes/`. One file:
@@ -1021,10 +1096,13 @@ class GraftTable(spark: SparkSession, val location: String) {
     files.toSeq
   }
 
-  /** total on-disk bytes of `files` — driver-side, one getFileStatus per
-    * file of an already-pruned (small) list. */
-  private[table] def bytesOf(files: Seq[String]): Long =
-    files.map(f => fs.getFileStatus(new Path(tablePath, f)).getLen).sum
+  /** total on-disk bytes of `files` — manifest-recorded sizes, with a
+    * getFileStatus fallback only for pre-size manifests. */
+  private[table] def bytesOf(files: Seq[String]): Long = {
+    val known = bytesFor(files)
+    files.map(f => known.getOrElse(f,
+      fs.getFileStatus(new Path(tablePath, f)).getLen)).sum
+  }
 
   private[table] def readFilesOf(files: Seq[String]): DataFrame =
     morRead(files, None)

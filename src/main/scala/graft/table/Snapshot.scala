@@ -47,7 +47,11 @@ case class DeleteFile(path: String, seq: Long)
 case class ManifestEntry(path: String, status: String,
     stats: Option[Map[String, ColStat]] = None,
     rows: Option[Long] = None,
-    seq: Option[Long] = None)
+    seq: Option[Long] = None,
+    /** on-disk size, captured at commit — planning (split sizing, COW/MOR
+      * auto decision, metadata views) reads it from here instead of one
+      * getFileStatus RPC per file. */
+    bytes: Option[Long] = None)
 
 /** A commit's full per-file payload, stored as its own file under
   * `_graft/` — the Iceberg manifest analogue. Parsed only when a query
@@ -107,6 +111,12 @@ case class Snapshot(
       * membership bitsets for on write (the one stat that needs a
       * value-level scan; everything else comes from parquet footers). */
     properties: Option[Map[String, String]] = None,
+    /** base-state marker: this snapshot's manifest carries the FULL live
+      * state (create, expire baseline, rewrite-manifests), so metadata
+      * resolution replays the chain FROM the last base at or before the
+      * read point — O(manifests since the last rewrite), not O(history).
+      * The Iceberg manifest-list compaction effect. */
+    base: Option[Boolean] = None,
     /** the commit's per-file payload, chunked out of this record (None on
       * legacy snapshots, which carry the inline fields above instead; None
       * also on file-less commits like create). When present, the inline

@@ -104,6 +104,66 @@ class ManifestSpec extends SparkSpec {
     assert(parsedB < total, s"parsed $parsedB of $total — nothing skipped")
   }
 
+  test("rewriteManifests: resolution replays O(manifests since rewrite)") {
+    val t = freshTable("mf-rewrite-manifests")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    t.create(schema, parts = Seq("p"))
+    (0 until 60).foreach { c =>
+      val files = (0 until 5).map(i => s"p=p${c % 6}/part-$c-$i.parquet")
+      t.commit("append", files, Seq.empty, _ => schema.json, Seq("p"),
+        stats = files.map(f =>
+          f -> Map("id" -> ColStat(Some("0"), Some("9")))).toMap,
+        rows = files.map(_ -> 10L).toMap,
+        bytes = files.map(_ -> 1000L).toMap)
+    }
+    val preRewriteTip = t.latestSnapshotId.get
+    assert(coldParses { t.liveFiles() } === 60)
+    t.rewriteManifests()
+    // ONE manifest now answers current-state resolution
+    assert(coldParses { t.liveFiles() } === 1)
+    assert(t.liveFiles().size === 300)
+    // stats/rows/sizes/seqs all travel into the base manifest
+    val f0 = t.liveFiles().head
+    assert(t.statsFor(Seq(f0))(f0)("id").max === Some("9"))
+    assert(t.rowsFor(Seq(f0))(f0) === 10L)
+    assert(t.bytesFor(Seq(f0))(f0) === 1000L)
+    // subsequent commits add their own manifests on top of the base
+    (0 until 2).foreach { c =>
+      val files = Seq(s"p=p9/part-post-$c.parquet")
+      t.commit("append", files, Seq.empty, _ => schema.json, Seq("p"),
+        rows = files.map(_ -> 1L).toMap)
+    }
+    assert(coldParses { t.liveFiles() } === 3) // base + 2
+    assert(t.liveFiles().size === 302)
+    // history preserved: time travel BELOW the rewrite replays the old
+    // chain (and parses its manifests)
+    val preParses = coldParses {
+      assert(t.liveFiles(Some(preRewriteTip)).size === 300)
+    }
+    assert(preParses === 60)
+    // incremental scans refuse to cross the rewrite, like any rewrite op
+    intercept[IllegalArgumentException] {
+      t.incrementalFiles(preRewriteTip, t.latestSnapshotId.get)
+    }
+  }
+
+  test("rewriteManifests keeps MOR tombstones applying to old files") {
+    val t = freshTable("mf-rw-mor")
+    t.append(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ts"))
+    t.merge(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "ts", mode = "mor")
+    t.rewriteManifests()
+    // the base carries data files with ORIGINAL sequences and tombstones
+    // with ORIGINAL sequences — the update must not resurrect
+    val out = t.read().orderBy("id").select("id", "v")
+      .as[(Long, String)].collect()
+    assert(out === Array((1L, "a"), (2L, "b2"), (3L, "c")))
+    // and compaction afterwards still folds tombstones away
+    t.compact(filesPerPartition = 1)
+    assert(t.read().count() === 3)
+  }
+
   test("expire folds absorbed history into a baseline manifest") {
     val t = freshTable("mf-expire")
     t.append(Seq((1L, "a")).toDF("id", "v"))
