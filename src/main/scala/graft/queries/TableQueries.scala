@@ -292,10 +292,42 @@ object TableQueries {
       |  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Structured Streaming FROM a graft table (snapshot ids as offsets):
+    * batch 0 delivers the full state at stream start, later micro-batches
+    * exactly the appended snapshots — the streamed contents must equal
+    * the batch union of every slice. */
+  val qStreamTable: Q = (s, dir) => {
+    val loc = scratch("streamtbl")
+    val t = GraftTable(s, loc)
+    t.append(ordersSlice(s, dir, 0))
+    t.append(ordersSlice(s, dir, 1))
+    val name = "graft_stream_tbl_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft").load(loc)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$loc-ckpt").start()
+    try {
+      q.processAllAvailable() // slices 0+1 as the initial full state
+      t.append(ordersSlice(s, dir, 2)) // arrives as an increment
+      q.processAllAvailable()
+    } finally q.stop()
+    val resultDf = project(s.table(name))
+    val rows = resultDf.collect()
+    val outSchema = resultDf.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+  val qStreamTableSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_catalog_sql", qCatalogSql, Some(qCatalogSqlSql)),
     ("q_sql_merge", qSqlMerge, Some(qSqlMergeSql)),
     ("q_hidden_partition", qHiddenPartition, Some(qHiddenPartitionSql)),
+    ("q_stream_table", qStreamTable, Some(qStreamTableSql)),
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),

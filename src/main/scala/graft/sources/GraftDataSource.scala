@@ -28,9 +28,34 @@ import graft.table.GraftTable
   * `partitionCols` option ("a,b") sets the layout on first write.
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming source: spark.readStream.format("graft").load(path) ----
+
+  private def tableFor(spark: SparkSession,
+      parameters: Map[String, String]): GraftTable = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path"))
+    val table = GraftTable(spark, path)
+    require(table.exists, s"no graft table at $path")
+    table
+  }
+
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), tableFor(ctx.sparkSession, parameters).schema)
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new graft.streaming.GraftStreamSource(ctx.sparkSession,
+      tableFor(ctx.sparkSession, parameters).location,
+      parameters.get("skipRewrites").exists(_.toBoolean))
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -810,18 +810,32 @@ class GraftTable(spark: SparkSession, val location: String) {
     * (/root/reference/bronze-silver.py:146-149) including its restriction
     * to append snapshots. */
   def readIncremental(startExclusive: Long, endInclusive: Long): DataFrame =
-    readFiles(incrementalFiles(startExclusive, endInclusive),
+    readIncremental(startExclusive, endInclusive, skipRewrites = false)
+
+  /** @param skipRewrites deliver only append/create snapshots' files and
+    *   SKIP rewrites in the range instead of refusing (Iceberg's
+    *   streaming skip-overwrite semantics — rows arriving via a rewrite,
+    *   e.g. a merge's inserts, are not delivered). */
+  def readIncremental(startExclusive: Long, endInclusive: Long,
+      skipRewrites: Boolean): DataFrame =
+    readFiles(incrementalFiles(startExclusive, endInclusive, skipRewrites),
       asOf = Some(endInclusive))
 
   /** Files added by append snapshots in `(startExclusive, endInclusive]`;
-    * refuses ranges crossing rewrites, as Iceberg's incremental scan does. */
-  def incrementalFiles(startExclusive: Long, endInclusive: Long): Seq[String] = {
+    * refuses ranges crossing rewrites, as Iceberg's incremental scan does
+    * (or skips them, see [[readIncremental]]). */
+  def incrementalFiles(startExclusive: Long, endInclusive: Long,
+      skipRewrites: Boolean = false): Seq[String] = {
     val range = snapshots
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
-    val bad = range.filterNot(s => s.operation == "append" || s.operation == "create")
-    require(bad.isEmpty,
-      s"incremental read over non-append snapshots: ${bad.map(_.snapshotId).mkString(",")}")
-    range.flatMap(addedFilesOf)
+    val appends =
+      range.filter(s => s.operation == "append" || s.operation == "create")
+    if (!skipRewrites) {
+      val bad = range.diff(appends)
+      require(bad.isEmpty,
+        s"incremental read over non-append snapshots: ${bad.map(_.snapshotId).mkString(",")}")
+    }
+    appends.flatMap(addedFilesOf)
   }
 
   /** Partition-pruned scan: resolves the file list driver-side with

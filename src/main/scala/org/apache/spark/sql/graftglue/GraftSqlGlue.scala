@@ -52,6 +52,16 @@ object GraftSqlGlue {
     if (out == null) null else out.toString
   }
 
+  /** Re-tag a batch DataFrame as STREAMING (isStreaming = true), the way
+    * v1 streaming sources hand micro-batch data to the stream execution
+    * (the Delta-source pattern over the private[sql]
+    * internalCreateDataFrame). */
+  def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** External (Row-level) value → Spark-internal form, for driver-side
     * probes that must agree with executor-side hashing/ordering. */
   def toCatalyst(v: Any): Any =

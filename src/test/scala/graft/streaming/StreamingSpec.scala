@@ -136,4 +136,76 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() === 3)
     assert(batch.filter($"user_id" === 1L).count() === 2)
   }
+
+  test("graft streaming source: full state, then appends, exactly once") {
+    import graft.table.GraftTable
+    val base = tmpDir("stream-src")
+    val t = GraftTable(spark, s"$base/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    val q = spark.readStream.format("graft").load(t.location)
+      .writeStream.format("memory").queryName("graft_src_basic")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // batch 0 = full current state
+      assert(spark.sql("SELECT id FROM graft_src_basic").as[Long]
+        .collect().sorted === Array(1L, 2L))
+      // later appends flow incrementally, no re-delivery
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      t.append(Seq((4L, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM graft_src_basic").as[Long]
+        .collect().sorted === Array(1L, 2L, 3L, 4L))
+      // no new snapshot → no new rows
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft_src_basic")
+        .as[Long].collect()(0) === 4L)
+    } finally q.stop()
+    spark.catalog.dropTempView("graft_src_basic")
+  }
+
+  test("graft streaming source: rewrites fail the stream unless skipped") {
+    import graft.table.GraftTable
+    val base = tmpDir("stream-src-rw")
+    val t = GraftTable(spark, s"$base/t")
+    t.append(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+
+    // default: a merge inside the uncommitted range kills the stream
+    val qFail = spark.readStream.format("graft").load(t.location)
+      .writeStream.format("memory").queryName("graft_src_fail")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt-fail").start()
+    try {
+      qFail.processAllAvailable()
+      t.merge(Seq((1L, "a2", 2L)).toDF("id", "v", "ts"),
+        keys = Seq("id"), dedupKey = Seq("id"), orderCol = "ts")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qFail.processAllAvailable()
+        throw qFail.exception.getOrElse(
+          fail("stream should have failed crossing a rewrite"))
+      }
+    } finally qFail.stop()
+    spark.catalog.dropTempView("graft_src_fail")
+
+    // skipRewrites: stream starts AFTER the merge (full state includes
+    // it), skips later rewrites, keeps delivering appends
+    val qSkip = spark.readStream.format("graft")
+      .option("skipRewrites", "true").load(t.location)
+      .writeStream.format("memory").queryName("graft_src_skip")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt-skip").start()
+    try {
+      qSkip.processAllAvailable()
+      assert(spark.sql("SELECT v FROM graft_src_skip").as[String]
+        .collect() === Array("a2")) // merged state delivered as batch 0
+      t.compact(filesPerPartition = 1) // rewrite: skipped, not fatal
+      t.append(Seq((5L, "e", 3L)).toDF("id", "v", "ts"))
+      qSkip.processAllAvailable()
+      assert(spark.sql("SELECT v FROM graft_src_skip ORDER BY id")
+        .as[String].collect() === Array("a2", "e"))
+    } finally qSkip.stop()
+    spark.catalog.dropTempView("graft_src_skip")
+  }
 }
