@@ -323,9 +323,33 @@ object TableQueries {
       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Row-level SQL (Iceberg's DML surface on the engine's tables):
+    * UPDATE with expression assignments, then DELETE, both file-bounded
+    * COW rewrites driven purely by SQL text against a catalog name. */
+  val qSqlRowLevel: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("sqlrl"))
+    cat.createFrom("rl_orders",
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 5 === 0))
+    s.sql(
+      """UPDATE rl_orders SET o_orderstatus = concat(o_orderstatus, '_U')
+        |WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql("DELETE FROM rl_orders WHERE o_orderkey % 7 = 0")
+    project(s.sql("SELECT * FROM rl_orders"))
+  }
+  val qSqlRowLevelSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '_U'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_catalog_sql", qCatalogSql, Some(qCatalogSqlSql)),
     ("q_sql_merge", qSqlMerge, Some(qSqlMergeSql)),
+    ("q_sql_rowlevel", qSqlRowLevel, Some(qSqlRowLevelSql)),
     ("q_hidden_partition", qHiddenPartition, Some(qHiddenPartitionSql)),
     ("q_stream_table", qStreamTable, Some(qStreamTableSql)),
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),

@@ -63,6 +63,41 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
   }
 }
 
+/** Opaque expression holder: keeps a name-based (deliberately
+  * unresolved) expression OUT of the command's visible expression set —
+  * CheckAnalysis would otherwise reject the plan for carrying unresolved
+  * attributes that only re-resolve against the command's fresh table
+  * scan at run time. */
+case class ExprBox(e: Expression)
+
+/** SQL `DELETE FROM <graft table> WHERE ...` — copy-on-write rewrite of
+  * only the files containing matching rows ([[GraftTable.delete]]). The
+  * condition is stored with name-based attributes and re-resolved against
+  * the table's fresh scan at run time. */
+case class GraftDeleteCommand(location: String, condition: ExprBox,
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable(spark, location).delete(GraftSqlGlue.column(condition.e))
+    refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
+    Seq.empty
+  }
+}
+
+/** SQL `UPDATE <graft table> SET ... [WHERE ...]` — file-bounded COW
+  * rewrite applying the assignments to matching rows
+  * ([[GraftTable.update]]). */
+case class GraftUpdateCommand(location: String,
+    set: Seq[(String, ExprBox)], condition: Option[ExprBox],
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable(spark, location).update(
+      set.map { case (k, v) => k -> GraftSqlGlue.column(v.e) }.toMap,
+      condition.map(b => GraftSqlGlue.column(b.e)))
+    refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
+    Seq.empty
+  }
+}
+
 /** Post-hoc resolution rule converting SQL writes against graft tables
   * into snapshot-log commands (and refusing shapes that would bypass the
   * log). Injected by [[graft.GraftExtensions]]. */
@@ -184,5 +219,31 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         graftTarget(m.targetTable).isDefined =>
       val (g, ident) = graftTarget(m.targetTable).get
       toMergeCommand(m, g, ident)
+
+    case d: DeleteFromTable if d.table.resolved &&
+        graftTarget(d.table).isDefined =>
+      val (g, ident) = graftTarget(d.table).get
+      GraftDeleteCommand(g.table.location, ExprBox(nameBased(d.condition)),
+        ident)
+
+    case u: UpdateTable if u.table.resolved &&
+        graftTarget(u.table).isDefined =>
+      val (g, ident) = graftTarget(u.table).get
+      val set = u.assignments.map {
+        case Assignment(k: AttributeReference, v) =>
+          k.name -> ExprBox(nameBased(v))
+        case other => unsupported(s"UPDATE assignment `${other.sql}`")
+      }
+      GraftUpdateCommand(g.table.location, set,
+        u.condition.map(c => ExprBox(nameBased(c))), ident)
+  }
+
+  /** Replace resolved attribute references with name-based ones so the
+    * expression re-resolves against the command's fresh table scan (the
+    * original exprIds die with this plan). */
+  private def nameBased(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+        Seq(a.name))
   }
 }

@@ -3,7 +3,7 @@ package graft.table
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -1044,6 +1044,65 @@ class GraftTable(spark: SparkSession, val location: String) {
       }
     }
     orphans.toSeq
+  }
+
+  /** Relative paths of live files that CONTAIN rows where `cond` is TRUE
+    * — one probe scan with predicate pushdown; the rewrite is then
+    * bounded by these files, not the table. The probe reads bare files
+    * (tombstoned rows may over-match: they only add a file that the
+    * MOR-aware rewrite cleans anyway). */
+  private def filesMatching(live: Seq[String], cond: Column): Seq[String] = {
+    if (live.isEmpty) return Seq.empty
+    val nameToRel = live.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    readFiles(live).filter(cond <=> lit(true))
+      .select(input_file_name().as("__f")).distinct().collect()
+      .flatMap(r => nameToRel.get(new Path(r.getString(0)).getName)).toSeq
+  }
+
+  /** SQL DELETE FROM semantics: copy-on-write rewrite of ONLY the files
+    * containing matching rows. Rows where the predicate evaluates to NULL
+    * are KEPT (SQL deletes where the condition is TRUE). */
+  def delete(cond: Column): Long = {
+    val parentAtRead = latestSnapshotId
+    val matched = filesMatching(liveFiles(), cond)
+    if (matched.isEmpty) return parentAtRead.getOrElse(
+      throw new IllegalStateException(s"no such table: $location"))
+    val kept = readFilesOf(matched).filter(!(cond <=> lit(true)))
+    val staged = stageAndMove(align(kept, schema), partitionCols)
+    val sr = collectStats(staged.map(_._1))
+    commit("delete", staged.map(_._1), matched, _ => schema.json,
+      partitionCols, expectedParent = parentAtRead,
+      stats = sr._1, rows = sr._2, bytes = staged.toMap)
+  }
+
+  /** SQL UPDATE semantics: rewrite only the files containing matching
+    * rows, applying `set` to rows where `cond` is TRUE (all rows when
+    * None); other rows in those files are carried unchanged. */
+  def update(set: Map[String, Column], cond: Option[Column]): Long = {
+    val parentAtRead = latestSnapshotId
+    val sch = schema
+    set.keys.foreach(k => require(sch.fieldNames.contains(k),
+      s"UPDATE SET column $k not in schema"))
+    val live = liveFiles()
+    val matched = cond match {
+      case Some(c) => filesMatching(live, c)
+      case None => live
+    }
+    if (matched.isEmpty) return parentAtRead.getOrElse(
+      throw new IllegalStateException(s"no such table: $location"))
+    val hit = cond.map(_ <=> lit(true)).getOrElse(lit(true))
+    val updated = readFilesOf(matched).select(sch.fieldNames.map { c =>
+      set.get(c) match {
+        case Some(v) => when(hit, v.cast(sch(c).dataType))
+          .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+    val staged = stageAndMove(align(updated, sch), partitionCols)
+    val sr = collectStats(staged.map(_._1))
+    commit("update", staged.map(_._1), matched, _ => sch.json,
+      partitionCols, expectedParent = parentAtRead,
+      stats = sr._1, rows = sr._2, bytes = staged.toMap)
   }
 
   /** J1: MERGE INTO — see [[MergeInto.merge]]. `opCol` opts into the

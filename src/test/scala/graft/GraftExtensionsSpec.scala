@@ -126,6 +126,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_cdc")
   }
 
+  test("SQL DELETE FROM rewrites only matching files; NULL predicate keeps rows") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-del").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.table("ext_del")
+    // two files with disjoint id ranges + one NULL v row
+    t.append((1L to 50L).map(i => (i, if (i == 5) null else s"a$i"))
+      .toDF("id", "v").coalesce(1))
+    t.append((100L to 150L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    cat.register("ext_del")
+    val loFile = t.liveFiles().find(f =>
+      t.statsFor(Seq(f))(f)("id").max.get.toLong <= 50L).get
+    spark.sql("DELETE FROM ext_del WHERE id >= 100 AND v <> 'b120'")
+    assert(t.snapshots.last.operation === "delete")
+    // the low file was never rewritten
+    assert(t.liveFiles().contains(loFile))
+    // NULL-condition rows are kept (id=5 has v NULL → v <> 'b120' is NULL)
+    assert(spark.sql("SELECT count(*) FROM ext_del").as[Long].collect()(0)
+      === 51L) // 50 low rows + b120
+    assert(spark.sql("SELECT id FROM ext_del WHERE id >= 100").as[Long]
+      .collect() === Array(120L))
+    cat.drop("ext_del")
+  }
+
+  test("SQL UPDATE applies assignments to matching rows only") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-upd").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_upd",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "v", "n"))
+    spark.sql("UPDATE ext_upd SET v = concat(v, '!'), n = n * 2 WHERE id >= 2")
+    assert(cat.table("ext_upd").snapshots.last.operation === "update")
+    assert(spark.sql("SELECT id, v, n FROM ext_upd ORDER BY id")
+      .as[(Long, String, Long)].collect() ===
+        Array((1L, "a", 10L), (2L, "b!", 40L), (3L, "c!", 60L)))
+    // unconditional UPDATE hits every row
+    spark.sql("UPDATE ext_upd SET n = 0")
+    assert(spark.sql("SELECT sum(n) FROM ext_upd").as[Long].collect()(0) === 0L)
+    cat.drop("ext_upd")
+  }
+
   test("unsupported SQL write shapes fail loudly, committing nothing") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString
