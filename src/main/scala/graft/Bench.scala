@@ -34,7 +34,7 @@ object Bench {
     "q_embed_norm",
     // table lifecycle (scratch-table append + merge + read per run)
     "q_table_merge", "q_table_merge_mor", "q_incremental_scan",
-    "q_sql_merge", "q_hidden_partition")
+    "q_sql_merge", "q_hidden_partition", "q_sql_rowlevel", "q_stream_table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,7 +83,8 @@ object Bench {
     // lifecycle_sec covers the scratch-table append+merge+read queries
     // added in round 2 (they include scratch-dir DDL/IO by construction)
     val lifecycle = Set("q_table_merge", "q_table_merge_mor",
-      "q_incremental_scan", "q_sql_merge", "q_hidden_partition")
+      "q_incremental_scan", "q_sql_merge", "q_hidden_partition",
+      "q_sql_rowlevel", "q_stream_table")
     val coreSec = results.filterNot(r => lifecycle(r._1))
       .map(_._2).filter(_ >= 0).sum
     val lifeSec = results.filter(r => lifecycle(r._1))

@@ -872,6 +872,18 @@ class GraftTable(spark: SparkSession, val location: String) {
     *   are range-partitioned + sorted so the rewritten files get tight,
     *   disjoint stat bounds again. Pass a single z-value via
     *   [[graft.operators.ZOrder]] column names for multi-dimension. */
+  /** Byte-targeted compaction: pick the output file count from the LIVE
+    * set's manifest-recorded total size (Iceberg's
+    * target-file-size-bytes), then [[compact]]. No filesystem metadata
+    * RPCs — the sizes ride in the manifests. */
+  def compactToSize(targetFileBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Seq.empty): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val n = math.max(1L, (bytesOf(liveFiles()) + targetFileBytes - 1)
+      / targetFileBytes).toInt
+    compact(filesPerPartition = n, sortBy = sortBy)
+  }
+
   def compact(filesPerPartition: Int = 1,
       sortBy: Seq[String] = Seq.empty): Long = {
     val parentAtRead = latestSnapshotId

@@ -92,6 +92,19 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.read().count() === 4000)
   }
 
+  test("compactToSize sizes output from manifest-recorded bytes") {
+    val t = freshTable("mt-compact-size")
+    (1 to 6).foreach(i =>
+      t.append((1L to 2000L).map(j => (j, s"v$i-$j")).toDF("id", "v")
+        .coalesce(1)))
+    val total = t.liveFiles().map(f => t.bytesFor(Seq(f))(f)).sum
+    assert(total > 0) // sizes recorded in the manifests
+    // target = half the total → exactly 2 output files
+    t.compactToSize(targetFileBytes = (total + 1) / 2)
+    assert(t.liveFiles().size === 2)
+    assert(t.read().count() === 12000)
+  }
+
   test("expire keeps everything when history is short; appends still work") {
     val t = freshTable("mt-expire-short")
     t.append(Seq((1L, "a")).toDF("id", "v"))
