@@ -95,5 +95,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // v1 relations have no MERGE support at all). Unsupported write
     // shapes fail loudly inside the rule instead of corrupting.
     ext.injectPostHocResolutionRule(new graft.sql.GraftSqlRule(_))
+
+    // SELECT ... FROM t VERSION AS OF n / TIMESTAMP AS OF '...' — v1
+    // relations have no time-travel support, so resolve the snapshot
+    // ourselves through the graft source's snapshotId option. Injected
+    // into the HINTS batch, which runs BEFORE the Resolution batch —
+    // the builtin ResolveRelations would otherwise reject time travel
+    // on a v1 relation before any extension resolution rule fires.
+    ext.injectHintResolutionRule(new graft.sql.GraftTimeTravelRule(_))
   }
 }

@@ -346,10 +346,27 @@ object TableQueries {
       |WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** SQL time travel over a catalog name (`VERSION AS OF` — the Iceberg/
+    * Delta syntax; resolves through the snapshot log, historical schema
+    * included). */
+  val qSqlTimeTravel: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("sqltt"))
+    cat.createFrom("tt_orders", ordersSlice(s, dir, 0))
+    val v1 = cat.table("tt_orders").latestSnapshotId.get
+    cat.append("tt_orders", ordersSlice(s, dir, 1))
+    project(s.sql(s"SELECT * FROM tt_orders VERSION AS OF $v1"))
+  }
+  val qSqlTimeTravelSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_catalog_sql", qCatalogSql, Some(qCatalogSqlSql)),
     ("q_sql_merge", qSqlMerge, Some(qSqlMergeSql)),
     ("q_sql_rowlevel", qSqlRowLevel, Some(qSqlRowLevelSql)),
+    ("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     ("q_hidden_partition", qHiddenPartition, Some(qHiddenPartitionSql)),
     ("q_stream_table", qStreamTable, Some(qStreamTableSql)),
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),

@@ -1,0 +1,68 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.TimestampType
+
+import graft.table.GraftTable
+
+/** SQL time travel for graft catalog tables — the Iceberg/Delta syntax:
+  *
+  *   SELECT ... FROM t VERSION AS OF 3
+  *   SELECT ... FROM t TIMESTAMP AS OF '2026-08-12 10:00:00'
+  *
+  * VERSION AS OF takes a snapshot id; TIMESTAMP AS OF resolves to the
+  * last snapshot committed at or before the (UTC) timestamp. The
+  * relation is rebuilt through the graft source with the `snapshotId`
+  * option, so the scan runs under that snapshot's file set AND schema
+  * (historical schema semantics, like the Scala `readAsOf`). */
+class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** (path, graft?) for a catalog-registered graft table name. */
+  private def graftPath(u: UnresolvedRelation): Option[String] = {
+    val parts = u.multipartIdentifier
+    if (parts.size > 2) return None
+    val ident =
+      if (parts.size == 2) TableIdentifier(parts(1), Some(parts(0)))
+      else TableIdentifier(parts.head)
+    val catalog = spark.sessionState.catalog
+    if (!catalog.tableExists(ident)) return None
+    val meta = catalog.getTableMetadata(ident)
+    if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) return None
+    meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri.map(_.toString))
+  }
+
+  private def snapshotFor(table: GraftTable, tsExpr: Option[Expression],
+      version: Option[String]): Long = version match {
+    case Some(v) => v.toLong
+    case None =>
+      val e = tsExpr.getOrElse(throw new IllegalArgumentException(
+        "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
+      require(e.foldable, s"TIMESTAMP AS OF must be a literal, got ${e.sql}")
+      val micros = Cast(e, TimestampType, Some("UTC")).eval(null)
+      require(micros != null, s"cannot read ${e.sql} as a timestamp")
+      val cutoffMs = Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+      val at = table.snapshots.takeWhile(_.timestampMs <= cutoffMs)
+      require(at.nonEmpty,
+        s"no snapshot of ${table.location} at or before ${e.sql}")
+      at.last.snapshotId
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case RelationTimeTravel(u: UnresolvedRelation, tsExpr, version)
+        if graftPath(u).isDefined =>
+      val path = graftPath(u).get
+      val table = GraftTable(spark, path)
+      val snapId = snapshotFor(table, tsExpr, version)
+      val rel = new graft.sources.GraftDataSource().createRelation(
+        spark.sqlContext,
+        Map("path" -> path, "snapshotId" -> snapId.toString))
+      LogicalRelation(rel, isStreaming = false)
+  }
+}

@@ -168,6 +168,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_upd")
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve snapshots") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-tt").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_tt", Seq((1L, "a")).toDF("id", "v"))
+    val t = cat.table("ext_tt")
+    val v1 = t.latestSnapshotId.get
+    Thread.sleep(5) // distinct commit timestamps at ms granularity
+    t.append(Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    cat.refresh("ext_tt")
+
+    assert(spark.sql("SELECT count(*) FROM ext_tt").as[Long].collect()(0) === 3L)
+    assert(spark.sql(s"SELECT id FROM ext_tt VERSION AS OF $v1")
+      .as[Long].collect() === Array(1L))
+    // timestamp of snapshot v1 (UTC render) → that snapshot's state
+    val tsStr = java.time.Instant
+      .ofEpochMilli(t.snapshots.find(_.snapshotId == v1).get.timestampMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(s"SELECT id FROM ext_tt TIMESTAMP AS OF '$tsStr'")
+      .as[Long].collect() === Array(1L))
+    // a timestamp before the table existed errors clearly
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM ext_tt TIMESTAMP AS OF '1990-01-01 00:00:00'").collect())
+    def causes(t2: Throwable): Seq[Throwable] =
+      if (t2 == null) Seq.empty else t2 +: causes(t2.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(
+      _.contains("no snapshot"))))
+    cat.drop("ext_tt")
+  }
+
   test("unsupported SQL write shapes fail loudly, committing nothing") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString
