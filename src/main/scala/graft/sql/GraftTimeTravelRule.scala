@@ -54,6 +54,34 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       at.last.snapshotId
   }
 
+  /** `t.history` / `t.snapshots` / `t.files`: the Iceberg metadata-table
+    * naming — resolves to the matching metadata view of catalog table
+    * `t`, unless the two-part name is a REAL catalog table (a genuine
+    * `db.table` always wins). */
+  private def metadataTable(u: UnresolvedRelation): Option[LogicalPlan] = {
+    val parts = u.multipartIdentifier
+    if (parts.size != 2) return None
+    val meta = parts(1).toLowerCase(java.util.Locale.ROOT)
+    if (!Set("history", "snapshots", "files").contains(meta)) return None
+    val catalog = spark.sessionState.catalog
+    // a real db.table of this name shadows the metadata view
+    if (catalog.tableExists(TableIdentifier(parts(1), Some(parts(0)))))
+      return None
+    val baseIdent = TableIdentifier(parts.head)
+    if (!catalog.tableExists(baseIdent)) return None
+    val m = catalog.getTableMetadata(baseIdent)
+    if (!m.provider.exists(_.equalsIgnoreCase("graft"))) return None
+    val path = m.storage.properties.get("path")
+      .orElse(m.storage.locationUri.map(_.toString)).getOrElse(return None)
+    val t = GraftTable(spark, path)
+    val df = meta match {
+      case "history" => t.history
+      case "snapshots" => t.metaSnapshots
+      case "files" => t.metaFiles
+    }
+    Some(df.queryExecution.analyzed)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case RelationTimeTravel(u: UnresolvedRelation, tsExpr, version)
         if graftPath(u).isDefined =>
@@ -64,5 +92,8 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
         spark.sqlContext,
         Map("path" -> path, "snapshotId" -> snapId.toString))
       LogicalRelation(rel, isStreaming = false)
+
+    case u: UnresolvedRelation if metadataTable(u).isDefined =>
+      metadataTable(u).get
   }
 }

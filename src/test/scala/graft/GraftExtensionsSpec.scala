@@ -200,6 +200,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_tt")
   }
 
+  test("SQL metadata tables: t.history / t.snapshots / t.files") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-meta").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_meta", Seq((1L, "a")).toDF("id", "v"))
+    cat.append("ext_meta", Seq((2L, "b")).toDF("id", "v"))
+    assert(spark.sql("SELECT operation FROM ext_meta.history ORDER BY snapshot_id")
+      .as[String].collect() === Array("create", "append", "append"))
+    assert(spark.sql(
+      "SELECT sum(added_files) FROM ext_meta.snapshots").as[Long]
+      .collect()(0) === 2L)
+    val files = spark.sql(
+      "SELECT file_path, size_bytes FROM ext_meta.files").collect()
+    assert(files.length === 2)
+    assert(files.forall(_.getLong(1) > 0L))
+    cat.drop("ext_meta")
+  }
+
   test("unsupported SQL write shapes fail loudly, committing nothing") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString
