@@ -218,6 +218,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_meta")
   }
 
+  test("CTAS: CREATE TABLE ... USING graft AS SELECT commits through the log") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-ctas").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("ext_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE ext_ctas USING graft
+         |OPTIONS (path '$wh/ext_ctas')
+         |AS SELECT id, upper(v) AS v FROM ext_ctas_src""".stripMargin)
+    val t = graft.table.GraftTable(spark, s"$wh/ext_ctas")
+    assert(t.exists)
+    assert(t.snapshots.map(_.operation) === Seq("create", "append"))
+    assert(spark.sql("SELECT v FROM ext_ctas ORDER BY id").as[String]
+      .collect() === Array("X", "Y"))
+    spark.sql("DROP TABLE ext_ctas") // external data survives the drop
+    assert(graft.table.GraftTable(spark, s"$wh/ext_ctas").read().count() === 2)
+  }
+
   test("unsupported SQL write shapes fail loudly, committing nothing") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString
