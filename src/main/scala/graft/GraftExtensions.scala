@@ -103,5 +103,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the builtin ResolveRelations would otherwise reject time travel
     // on a v1 relation before any extension resolution rule fires.
     ext.injectHintResolutionRule(new graft.sql.GraftTimeTravelRule(_))
+
+    // ALTER TABLE DROP COLUMN[S] / RENAME COLUMN are v2-only statements
+    // the Resolution batch would reject on v1 tables — intercept them in
+    // the HINTS batch (drop → evolve commit; rename → loud refusal).
+    ext.injectHintResolutionRule(new graft.sql.GraftAlterRule(_))
   }
 }

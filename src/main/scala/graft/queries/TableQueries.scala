@@ -362,8 +362,34 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** SQL schema evolution (`ALTER TABLE ADD COLUMNS` / `DROP COLUMN`):
+    * zero-file "evolve" commits through the snapshot log — pre-evolve
+    * rows null-fill the added column, post-evolve inserts carry it, and
+    * the dropped column leaves the read schema while its bytes stay in
+    * the old files (time travel still sees them). */
+  val qSqlEvolve: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("sqlevo"))
+    cat.createFrom("evo_orders", project(ordersSlice(s, dir, 0)))
+    s.sql("ALTER TABLE evo_orders ADD COLUMNS (note STRING)")
+    project(ordersSlice(s, dir, 1)).withColumn("note", lit("n1"))
+      .createOrReplaceTempView("evo_src")
+    s.sql("INSERT INTO evo_orders SELECT * FROM evo_src")
+    s.sql("ALTER TABLE evo_orders DROP COLUMN o_custkey")
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, order_date,
+        |  coalesce(note, '-') AS note
+        |FROM evo_orders ORDER BY o_orderkey""".stripMargin)
+  }
+  val qSqlEvolveSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  CASE WHEN o_orderkey % 3 = 1 THEN 'n1' ELSE '-' END AS note
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_catalog_sql", qCatalogSql, Some(qCatalogSqlSql)),
+    ("q_sql_evolve", qSqlEvolve, Some(qSqlEvolveSql)),
     ("q_sql_merge", qSqlMerge, Some(qSqlMergeSql)),
     ("q_sql_rowlevel", qSqlRowLevel, Some(qSqlRowLevelSql)),
     ("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),

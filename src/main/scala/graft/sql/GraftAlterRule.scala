@@ -1,0 +1,57 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, LogicalPlan, RenameColumn}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** SQL `ALTER TABLE ... DROP COLUMN[S]` / `RENAME COLUMN` on graft
+  * catalog tables. Both statements are v2-only in Spark — the builtin
+  * Resolution batch rejects them for v1 session-catalog tables before
+  * any post-hoc rule could fire — so this rule runs in the HINTS batch
+  * (like [[GraftTimeTravelRule]]) and converts/refuses them first:
+  *
+  *   - DROP COLUMN[S] → [[GraftDropColumnsCommand]], a zero-file
+  *     "evolve" commit (files keep the bytes; reads project them away);
+  *   - RENAME COLUMN → refused loudly: graft maps columns by NAME, so a
+  *     rename would silently null the column in every existing file.
+  */
+class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** (catalog ident, table path) when `p` names a graft catalog table. */
+  private def graftIdent(p: LogicalPlan)
+      : Option[(TableIdentifier, String)] = p match {
+    case u: UnresolvedTable =>
+      val parts = u.multipartIdentifier
+      if (parts.size > 2) return None
+      val ident =
+        if (parts.size == 2) TableIdentifier(parts(1), Some(parts(0)))
+        else TableIdentifier(parts.head)
+      val cat = spark.sessionState.catalog
+      if (!cat.tableExists(ident)) return None
+      val m = cat.getTableMetadata(ident)
+      if (!m.provider.exists(_.equalsIgnoreCase("graft"))) return None
+      m.storage.properties.get("path")
+        .orElse(m.storage.locationUri.map(_.toString)).map(ident -> _)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case DropColumns(t, cols, ifExists) if graftIdent(t).isDefined =>
+      val (ident, loc) = graftIdent(t).get
+      val names = cols.map { f =>
+        if (f.name.size != 1) throw new UnsupportedOperationException(
+          s"DROP nested field ${f.name.mkString(".")} is not supported " +
+            "on graft tables")
+        f.name.head
+      }
+      GraftDropColumnsCommand(loc, names, ifExists, Some(ident))
+
+    case r: RenameColumn if graftIdent(r.table).isDefined =>
+      throw new UnsupportedOperationException(
+        "RENAME COLUMN is not supported on graft tables: the format maps " +
+          "columns by name, so a rename would silently null the column " +
+          "in existing files — ADD a new column and backfill instead")
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Equal
 import org.apache.spark.sql.catalyst.plans.QueryPlan
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.command.{AlterTableAddColumnsCommand, AlterTableSetPropertiesCommand, AlterTableUnsetPropertiesCommand, LeafRunnableCommand}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
 import org.apache.spark.sql.graftglue.GraftSqlGlue
 import org.apache.spark.sql.types.StringType
@@ -93,6 +93,62 @@ case class GraftUpdateCommand(location: String,
     GraftTable(spark, location).update(
       set.map { case (k, v) => k -> GraftSqlGlue.column(v.e) }.toMap,
       condition.map(b => GraftSqlGlue.column(b.e)))
+    refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
+    Seq.empty
+  }
+}
+
+/** Shared helper: after a schema-changing commit, re-point the session
+  * catalog's stored table schema at the table's new schema (a v1
+  * datasource binding pins the schema recorded at registration — a
+  * stale one fails relation re-resolution). */
+private[sql] object CatalogSync {
+  def schema(spark: SparkSession, ident: TableIdentifier,
+      location: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ident)
+    cat.alterTable(meta.copy(schema = GraftTable(spark, location).schema))
+    cat.refreshTable(ident)
+  }
+}
+
+/** SQL `ALTER TABLE <graft table> ADD COLUMNS (...)` — a zero-file
+  * "evolve" commit through the snapshot log ([[GraftTable.addColumns]]);
+  * Spark's v1 command would reject the graft provider outright. */
+case class GraftAddColumnsCommand(location: String,
+    cols: Seq[org.apache.spark.sql.types.StructField],
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable(spark, location).addColumns(cols)
+    refreshIdent.foreach(CatalogSync.schema(spark, _, location))
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <graft table> DROP COLUMN[S] ...` — zero-file
+  * "evolve" commit ([[GraftTable.dropColumns]]); v1 session-catalog
+  * tables have no DROP COLUMN at all (v2-only), so this is intercepted
+  * before resolution refuses it. */
+case class GraftDropColumnsCommand(location: String, names: Seq[String],
+    ifExists: Boolean,
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable(spark, location).dropColumns(names, ifExists)
+    refreshIdent.foreach(CatalogSync.schema(spark, _, location))
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <graft table> SET/UNSET TBLPROPERTIES` — properties
+  * live in the snapshot log (they gate engine behavior: merge mode,
+  * Bloom columns), not in the session catalog, so the statement commits
+  * a "set-properties" snapshot. */
+case class GraftSetPropertiesCommand(location: String,
+    set: Map[String, String], unset: Seq[String],
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable(spark, location)
+    if (set.nonEmpty) t.setProperties(set) else t.unsetProperties(unset)
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq.empty
   }
@@ -203,6 +259,16 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       deleteOps, ident)
   }
 
+  /** Table path when `ident` is a catalog-registered graft table. */
+  private def graftLoc(ident: TableIdentifier): Option[String] = {
+    val cat = spark.sessionState.catalog
+    if (!cat.tableExists(ident)) return None
+    val m = cat.getTableMetadata(ident)
+    if (!m.provider.exists(_.equalsIgnoreCase("graft"))) return None
+    m.storage.properties.get("path")
+      .orElse(m.storage.locationUri.map(_.toString))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // DataSourceAnalysis (a built-in post-hoc rule that runs before this
     // one) has already converted INSERT over our relation into the
@@ -236,6 +302,22 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       GraftUpdateCommand(g.table.location, set,
         u.condition.map(c => ExprBox(nameBased(c))), ident)
+
+    // ALTER TABLE ADD COLUMNS resolves to the v1 command (whose run()
+    // would reject the graft provider) — swap for the evolve commit
+    case a: AlterTableAddColumnsCommand if graftLoc(a.table).isDefined =>
+      GraftAddColumnsCommand(graftLoc(a.table).get, a.colsToAdd,
+        Some(a.table))
+
+    case s: AlterTableSetPropertiesCommand
+        if !s.isView && graftLoc(s.tableName).isDefined =>
+      GraftSetPropertiesCommand(graftLoc(s.tableName).get, s.properties,
+        Seq.empty, Some(s.tableName))
+
+    case u: AlterTableUnsetPropertiesCommand
+        if !u.isView && graftLoc(u.tableName).isDefined =>
+      GraftSetPropertiesCommand(graftLoc(u.tableName).get, Map.empty,
+        u.propKeys, Some(u.tableName))
   }
 
   /** Replace resolved attribute references with name-based ones so the

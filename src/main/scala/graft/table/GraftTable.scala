@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A versioned, partitioned Parquet table with Iceberg-like observable
   * semantics: snapshot isolation, append / overwrite / merge commits,
@@ -461,6 +461,89 @@ class GraftTable(spark: SparkSession, val location: String) {
     commit("create", Seq.empty, Seq.empty, _ => schema.json, parts,
       props = if (properties.isEmpty) None else Some(properties))
     this
+  }
+
+  /** Iceberg-style explicit schema evolution (the SQL
+    * `ALTER TABLE ... ADD COLUMNS` path): append nullable columns to the
+    * schema via a zero-file "evolve" commit — no data rewritten, old
+    * files null-fill on read, time travel keeps the historical schema.
+    * New columns MUST be nullable (existing rows cannot satisfy NOT
+    * NULL). Re-adding a name that any historical schema carried is
+    * refused: graft maps columns by NAME (Iceberg hides re-adds behind
+    * field-ids), so old file bytes would silently resurrect under the
+    * re-added column. The schema merge re-evaluates against the fresh
+    * tip on every publish attempt, so evolve commutes with concurrent
+    * appends. */
+  def addColumns(cols: Seq[StructField]): Long = {
+    require(exists, s"no such table: $location")
+    require(cols.nonEmpty, "no columns to add")
+    cols.foreach(c => require(c.nullable,
+      s"new column ${c.name} must be nullable — existing rows null-fill"))
+    val historical = snapshots.flatMap(s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType].fieldNames)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    commit("evolve", Seq.empty, Seq.empty, parent => {
+      val cur =
+        DataType.fromJson(parent.get.schemaJson).asInstanceOf[StructType]
+      cols.foreach { c =>
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(c.name)),
+          s"column already exists: ${c.name}")
+        require(
+          !historical.contains(c.name.toLowerCase(java.util.Locale.ROOT)),
+          s"column ${c.name} existed in an earlier schema of $location " +
+            "and was dropped; re-adding it by name would resurrect old " +
+            "file data — use a new name (graft is name-mapped, not " +
+            "field-id-mapped)")
+      }
+      StructType(cur.fields ++ cols).json
+    }, partitionCols)
+  }
+
+  /** Drop columns via a zero-file "evolve" commit. Data files keep the
+    * bytes; the column leaves the schema, so reads project it away and
+    * time travel still sees it under its historical schema. Refused for
+    * partition source columns and while merge-on-read delete files are
+    * live (tombstones anti-join by their key columns — `compact()` to
+    * apply them first). */
+  def dropColumns(names: Seq[String], ifExists: Boolean = false): Long = {
+    require(exists, s"no such table: $location")
+    require(names.nonEmpty, "no columns to drop")
+    val sources = partitionFields.map(_.source.toLowerCase).toSet
+    names.foreach(n => require(!sources.contains(n.toLowerCase),
+      s"cannot drop partition source column $n"))
+    require(liveDeletes().isEmpty,
+      s"cannot drop columns while merge-on-read delete files are live " +
+        s"on $location — compact() to apply tombstones first")
+    commit("evolve", Seq.empty, Seq.empty, parent => {
+      val cur =
+        DataType.fromJson(parent.get.schemaJson).asInstanceOf[StructType]
+      val missing = names.filterNot(n =>
+        cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+      if (!ifExists) require(missing.isEmpty,
+        s"no such column(s): ${missing.mkString(", ")}")
+      val keep = cur.fields.filterNot(f =>
+        names.exists(_.equalsIgnoreCase(f.name)))
+      require(keep.nonEmpty, "cannot drop every column")
+      StructType(keep).json
+    }, partitionCols)
+  }
+
+  /** Commit updated table properties through the snapshot log (the SQL
+    * `ALTER TABLE ... SET TBLPROPERTIES` path) — carried forward by
+    * every later commit, same as create-time properties. */
+  def setProperties(kvs: Map[String, String]): Long = {
+    require(exists, s"no such table: $location")
+    commit("set-properties", Seq.empty, Seq.empty,
+      parent => parent.get.schemaJson, partitionCols,
+      props = Some(properties ++ kvs))
+  }
+
+  /** Remove table properties via a "set-properties" commit. */
+  def unsetProperties(keys: Seq[String]): Long = {
+    require(exists, s"no such table: $location")
+    commit("set-properties", Seq.empty, Seq.empty,
+      parent => parent.get.schemaJson, partitionCols,
+      props = Some(properties -- keys))
   }
 
   /** Stage `df` as parquet files and return their table-relative paths

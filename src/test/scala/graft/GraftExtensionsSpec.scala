@@ -236,6 +236,80 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(graft.table.GraftTable(spark, s"$wh/ext_ctas").read().count() === 2)
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves through the log; old rows null-fill") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-alter").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_alt", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val t = cat.table("ext_alt")
+    val preEvolve = t.latestSnapshotId.get
+
+    spark.sql("ALTER TABLE ext_alt ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert(t.latestSnapshot.get.operation === "evolve")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "score", "tag"))
+    // catalog binding re-resolved: SQL sees the new columns, null-filled
+    val rows = spark.sql(
+      "SELECT id, score, tag FROM ext_alt ORDER BY id").collect()
+    assert(rows.map(_.isNullAt(1)).forall(identity))
+    // new column writable through SQL INSERT
+    spark.sql("INSERT INTO ext_alt VALUES (3, 'c', 0.5, 'x')")
+    assert(spark.sql(
+      "SELECT tag FROM ext_alt WHERE id = 3").collect()(0).getString(0) === "x")
+    // time travel sees the historical schema (no evolved columns)
+    assert(spark.sql(
+      s"SELECT * FROM ext_alt VERSION AS OF $preEvolve").columns.toSeq ===
+      Seq("id", "v"))
+    cat.drop("ext_alt")
+  }
+
+  test("ALTER TABLE DROP COLUMN projects the column away; history keeps it") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-drop").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_drop",
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "n"))
+    val t = cat.table("ext_drop")
+    val preDrop = t.latestSnapshotId.get
+
+    spark.sql("ALTER TABLE ext_drop DROP COLUMN n")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(spark.sql("SELECT * FROM ext_drop").columns.toSeq ===
+      Seq("id", "v"))
+    // the bytes survive under the historical schema
+    assert(spark.sql(
+      s"SELECT n FROM ext_drop VERSION AS OF $preDrop ORDER BY id")
+      .as[Int].collect() === Array(10, 20))
+    // re-adding a dropped name is refused: name-mapped format would
+    // resurrect the old file data under the re-added column
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE ext_drop ADD COLUMNS (n INT)"))
+    assert(e.getMessage.contains("resurrect"))
+    // RENAME COLUMN is refused loudly (would silently null old files)
+    val r = intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE ext_drop RENAME COLUMN v TO w"))
+    assert(r.getMessage.contains("RENAME COLUMN"))
+    cat.drop("ext_drop")
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES commit through the log") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-props").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_props", Seq((1L, "a")).toDF("id", "v"))
+    val t = cat.table("ext_props")
+    spark.sql("ALTER TABLE ext_props SET TBLPROPERTIES " +
+      "('graft.merge.mode' = 'mor', 'graft.note' = 'pipeline')")
+    assert(t.latestSnapshot.get.operation === "set-properties")
+    assert(t.properties === Map(
+      "graft.merge.mode" -> "mor", "graft.note" -> "pipeline"))
+    // carried forward by later commits
+    spark.sql("INSERT INTO ext_props VALUES (2, 'b')")
+    assert(t.properties("graft.merge.mode") === "mor")
+    spark.sql("ALTER TABLE ext_props UNSET TBLPROPERTIES ('graft.note')")
+    assert(t.properties === Map("graft.merge.mode" -> "mor"))
+    cat.drop("ext_props")
+  }
+
   test("unsupported SQL write shapes fail loudly, committing nothing") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString
