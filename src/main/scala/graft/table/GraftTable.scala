@@ -546,6 +546,37 @@ class GraftTable(spark: SparkSession, val location: String) {
       props = Some(properties -- keys))
   }
 
+  /** Iceberg-style partition spec evolution: later writes lay out files
+    * under `parts`; existing files stay in their old layout, and every
+    * pruning site treats a file missing the current spec's dir
+    * components conservatively (kept — pruned only by its column stats).
+    * Restricted to TRANSFORM (days/months/bucket/truncate) or empty
+    * specs on both sides — and across the whole snapshot chain — because
+    * identity partitioning removes the source column's bytes from the
+    * data files (Spark writer semantics), so identity-written files
+    * cannot be read under any other spec. Re-parameterized transforms
+    * are safe: the parameter is part of the dir name (`c_bucket8` vs
+    * `c_bucket16`), so a new spec never misreads old dirs. */
+  def updatePartitionSpec(parts: Seq[String]): Long = {
+    require(exists, s"no such table: $location")
+    val fields = parts.map(PartitionTransforms.parse)
+    fields.foreach(f => require(schema.fieldNames.contains(f.source),
+      s"partition source column ${f.source} not in schema"))
+    require(fields.forall(!_.isIdentity),
+      "partition spec evolution supports transform fields (days/months/" +
+        "bucket/truncate) or an empty spec only: identity-partitioned " +
+        "files do not carry the partition column's bytes, so they could " +
+        "not be read under the evolved spec")
+    val identityInChain = snapshots.exists(s =>
+      s.partitionCols.exists(p => PartitionTransforms.parse(p).isIdentity))
+    require(!identityInChain,
+      s"cannot evolve the partition spec of $location: its history " +
+        "contains identity-partitioned snapshots (those files do not " +
+        "carry the partition column's bytes)")
+    commit("set-spec", Seq.empty, Seq.empty,
+      parent => parent.get.schemaJson, parts)
+  }
+
   /** Stage `df` as parquet files and return their table-relative paths
     * with on-disk sizes (captured during the move walk — zero extra
     * RPCs). Partition layout is produced by the standard Spark writer;
@@ -842,7 +873,12 @@ class GraftTable(spark: SparkSession, val location: String) {
     val sch = schemaAt(asOf)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
-    } else if (hasHiddenPartitions) {
+    } else if (hasHiddenPartitions || partitionFields.isEmpty) {
+      // hidden partitions: dir columns must never leak into the schema.
+      // Empty spec: no partition values are needed from dirs at all, and
+      // skipping basePath also keeps a spec-evolved table readable (its
+      // old transform-layout dirs + new flat files would otherwise trip
+      // partition discovery's conflicting-structure check).
       // the data files carry every logical column; reading the leaf files
       // WITHOUT basePath suppresses partition discovery, so the derived
       // dir columns never leak into the result schema
@@ -911,8 +947,13 @@ class GraftTable(spark: SparkSession, val location: String) {
       skipRewrites: Boolean = false): Seq[String] = {
     val range = snapshots
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
-    val appends =
-      range.filter(s => s.operation == "append" || s.operation == "create")
+    // zero-file metadata commits (schema/property/spec changes) add and
+    // remove nothing — they are safe to cross, not rewrites
+    val appends = range.filter(s => s.operation match {
+      case "append" | "create" | "evolve" | "set-properties" |
+           "set-spec" => true
+      case _ => false
+    })
     if (!skipRewrites) {
       val bad = range.diff(appends)
       require(bad.isEmpty,

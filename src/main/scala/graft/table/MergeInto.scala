@@ -240,7 +240,12 @@ object MergeInto {
 
       val affectedFiles = overlapping(live.filter { f =>
         val kv = target.partitionValues(f)
-        affected.contains(fields.map(f2 => kv.getOrElse(f2.physName, "")))
+        // a file written before a partition-spec evolution has no dirs
+        // for the current spec — it cannot be partition-pruned (only the
+        // key-range probe applies); pruning it would silently skip
+        // matched rows and duplicate keys
+        !fields.forall(f2 => kv.contains(f2.physName)) ||
+          affected.contains(fields.map(f2 => kv(f2.physName)))
       })
       if (autoPrefersMor(affectedFiles)) return morCommit()
       // MOR-aware read: rows tombstoned by earlier MOR merges must not

@@ -42,12 +42,18 @@ object PartTransform {
 
 case class PartitionField(source: String, transform: PartTransform) {
   import PartTransform._
+  /** Directory column name. Parameterized transforms embed the parameter
+    * (`c_bucket8`, not `c_bucket`): under partition spec evolution a
+    * re-parameterized transform (bucket(8)→bucket(16)) must NOT read old
+    * dirs as its own — hash%16 compared against a hash%8 dir value would
+    * prune files that DO contain matches. Distinct names make old dirs
+    * invisible to the new spec's pruning (conservatively kept). */
   def physName: String = transform match {
     case Identity => source
     case Days => s"${source}_day"
     case Months => s"${source}_month"
-    case Bucket(_) => s"${source}_bucket"
-    case Truncate(_) => s"${source}_trunc"
+    case Bucket(n) => s"${source}_bucket$n"
+    case Truncate(w) => s"${source}_trunc$w"
   }
   def isIdentity: Boolean = transform == Identity
 }

@@ -92,7 +92,7 @@ class PartitionTransformSpec extends SparkSpec {
     val t = freshTable("pt-bucket")
     t.append((1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"),
       parts = Seq("bucket(8, id)"))
-    val buckets = t.liveFiles().map(t.partitionValues(_)("id_bucket")).distinct
+    val buckets = t.liveFiles().map(t.partitionValues(_)("id_bucket8")).distinct
     assert(buckets.size > 1, "expected multiple bucket dirs")
     val all = spark.read.format("graft").load(t.location)
     val one = all.filter($"id" === 137L)
@@ -126,7 +126,7 @@ class PartitionTransformSpec extends SparkSpec {
     // untouched prefixes were not rewritten
     val removed = t.removedFilesOf(t.snapshots.last)
     assert(removed.forall(f =>
-      t.partitionValues(f).get("name_trunc").contains("c")))
+      t.partitionValues(f).get("name_trunc1").contains("c")))
   }
 
   test("mixed identity+transform specs are rejected; sources validated") {
@@ -138,5 +138,59 @@ class PartitionTransformSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t.create(sch, parts = Seq("days(nope)"))
     }
+  }
+
+  test("partition spec evolution: old layout conservative, new layout prunes") {
+    val t = freshTable("pt-evolve")
+    // January under months(ts)
+    t.append(tsRows(31, 4).toDF("id", "ts", "v"), parts = Seq("months(ts)"))
+    val preEvolve = t.latestSnapshotId.get
+    assert(t.liveFiles().forall(f =>
+      t.partitionValues(f).contains("ts_month")))
+
+    t.updatePartitionSpec(Seq("days(ts)"))
+    assert(t.snapshots.last.operation === "set-spec")
+    assert(t.partitionCols === Seq("days(ts)"))
+
+    // new writes land in day dirs (old files untouched in month dirs)
+    val extra = (0 until 3).map(i => (10000L + i,
+      new java.sql.Timestamp(1704067200000L + 40L * 86400000L + i * 1000L),
+      s"n$i"))
+    t.append(extra.toDF("id", "ts", "v"))
+    val newFiles = t.addedFilesOf(t.snapshots.last)
+    assert(newFiles.forall(f =>
+      t.partitionValues(f)("ts_day") === "2024-02-10"))
+
+    // mixed-layout reads stay correct
+    val all = spark.read.format("graft").load(t.location)
+    assert(all.count() === 31 * 4 + 3)
+    // predicate on the new-spec day scans only the new day's files plus
+    // nothing from old dirs the stats can exclude — strictly fewer than
+    // all files; old-layout rows stay visible to their own predicates
+    val newDay = all.filter($"ts" >= lit("2024-02-10 00:00:00"))
+    assert(newDay.count() === 3)
+    assert(scannedFiles(newDay) < t.liveFiles().size)
+    assert(all.filter($"ts" < lit("2024-01-05 00:00:00")).count() === 4 * 4)
+
+    // merge across the evolution boundary: updates must find rows in
+    // OLD-layout files (conservative partition match), inserts land new
+    t.merge(Seq((0L,
+      new java.sql.Timestamp(1704067200000L), "updated")).toDF("id", "ts", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id")
+    assert(t.read().filter($"id" === 0L).select("v").as[String]
+      .collect() === Array("updated"))
+    assert(t.read().count() === 31 * 4 + 3)
+
+    // incremental reads cross the zero-file set-spec snapshot
+    assert(t.readIncremental(preEvolve, t.latestSnapshotId.get,
+      skipRewrites = true).count() >= 3)
+
+    // identity history refuses evolution
+    val idT = freshTable("pt-evolve-id")
+    idT.append(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"),
+      parts = Seq("grp"))
+    val e = intercept[IllegalArgumentException](
+      idT.updatePartitionSpec(Seq("bucket(4, id)")))
+    assert(e.getMessage.contains("identity"))
   }
 }
