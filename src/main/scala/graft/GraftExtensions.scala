@@ -108,5 +108,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the Resolution batch would reject on v1 tables — intercept them in
     // the HINTS batch (drop → evolve commit; rename → loud refusal).
     ext.injectHintResolutionRule(new graft.sql.GraftAlterRule(_))
+
+    // CALL graft.<maintenance procedure>(...) — Spark parses CALL but
+    // only v2 ProcedureCatalogs resolve it; convert in the HINTS batch.
+    ext.injectHintResolutionRule(new graft.sql.GraftProcedureRule(_))
   }
 }

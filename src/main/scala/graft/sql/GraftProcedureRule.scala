@@ -1,0 +1,134 @@
+package graft.sql
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Call, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.LongType
+
+import graft.table.{GraftTable, PartitionTransforms}
+
+/** SQL maintenance procedures — the Iceberg `CALL` surface
+  * (spark.sql("CALL catalog.system.expire_snapshots(...)")) for graft
+  * catalog tables:
+  *
+  *   CALL graft.expire_snapshots('t', keep_last => 3)
+  *   CALL graft.compact('t' [, files_per_partition => n]
+  *                          [, target_file_bytes => b] [, sort_by => 'c1,c2'])
+  *   CALL graft.rewrite_manifests('t')
+  *   CALL graft.rollback('t', snapshot_id => 4)
+  *   CALL graft.remove_orphan_files('t' [, older_than_ms => 0])
+  *   CALL graft.set_partition_spec('t', spec => 'days(ts)')
+  *
+  * (`graft.system.<proc>` also accepted.) Spark 4 parses CALL into
+  * `Call(UnresolvedProcedure, args)` but only v2 ProcedureCatalogs can
+  * resolve it — the graft catalog is a v1 session catalog, so this rule
+  * converts the call in the HINTS batch. Each returns one row with the
+  * result (new snapshot id, or removed-file count for expire/orphans). */
+case class GraftCallCommand(proc: String, location: String,
+    args: Map[String, String],
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable(spark, location)
+    def longArg(k: String): Option[Long] = args.get(k).map(_.toLong)
+    def specArg(k: String): Seq[String] =
+      args.get(k).map(PartitionTransforms.splitSpecs).getOrElse(Seq.empty)
+    val result: Long = proc match {
+      case "expire_snapshots" =>
+        t.expireSnapshots(longArg("keep_last").getOrElse(1L).toInt)
+          .size.toLong
+      case "compact" => longArg("target_file_bytes") match {
+        case Some(b) => t.compactToSize(b, specArg("sort_by"))
+        case None => t.compact(
+          longArg("files_per_partition").getOrElse(1L).toInt,
+          specArg("sort_by"))
+      }
+      case "rewrite_manifests" => t.rewriteManifests()
+      case "rollback" => t.rollback(longArg("snapshot_id").getOrElse(
+        throw new IllegalArgumentException(
+          "rollback needs a snapshot_id argument")))
+      case "remove_orphan_files" =>
+        t.removeOrphanFiles(longArg("older_than_ms")
+          .getOrElse(3L * 24 * 60 * 60 * 1000)).size.toLong
+      case "set_partition_spec" => t.updatePartitionSpec(specArg("spec"))
+      case other => throw new UnsupportedOperationException(
+        s"unknown graft procedure: $other — supported: " +
+          "expire_snapshots, compact, rewrite_manifests, rollback, " +
+          "remove_orphan_files, set_partition_spec")
+    }
+    refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
+    Seq(Row(result))
+  }
+}
+
+class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** positional argument names per procedure (after the leading table). */
+  private val positional: Map[String, Seq[String]] = Map(
+    "expire_snapshots" -> Seq("keep_last"),
+    "compact" -> Seq("files_per_partition"),
+    "rewrite_manifests" -> Seq.empty,
+    "rollback" -> Seq("snapshot_id"),
+    "remove_orphan_files" -> Seq("older_than_ms"),
+    "set_partition_spec" -> Seq("spec"))
+
+  private def procName(parts: Seq[String]): Option[String] =
+    parts.map(_.toLowerCase(Locale.ROOT)) match {
+      case Seq("graft", p) => Some(p)
+      case Seq("graft", "system", p) => Some(p)
+      case _ => None
+    }
+
+  private def litString(e: Expression, what: String): String = {
+    require(e.foldable, s"CALL argument $what must be a literal, got ${e.sql}")
+    val v = e.eval(null)
+    require(v != null, s"CALL argument $what must not be NULL")
+    v.toString
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Call(UnresolvedProcedure(parts), callArgs, _)
+        if procName(parts).isDefined =>
+      val proc = procName(parts).get
+      val posNames = positional.getOrElse(proc,
+        throw new UnsupportedOperationException(
+          s"unknown graft procedure: $proc — supported: " +
+            positional.keys.toSeq.sorted.mkString(", ")))
+      // first positional arg is the catalog table name; the rest map to
+      // the procedure's positional names or arrive named (k => v)
+      var posIdx = -1
+      val kvs = callArgs.map {
+        case NamedArgumentExpression(k, v) =>
+          k.toLowerCase(Locale.ROOT) -> litString(v, k)
+        case e =>
+          posIdx += 1
+          if (posIdx == 0) "table" -> litString(e, "table")
+          else {
+            require(posIdx <= posNames.size, s"too many arguments for " +
+              s"graft.$proc (positional: table, ${posNames.mkString(", ")})")
+            posNames(posIdx - 1) -> litString(e, posNames(posIdx - 1))
+          }
+      }.toMap
+      val name = kvs.getOrElse("table", throw new IllegalArgumentException(
+        s"graft.$proc needs a table name as its first argument"))
+      val ident = TableIdentifier(name)
+      val cat = spark.sessionState.catalog
+      require(cat.tableExists(ident), s"no such table: $name")
+      val meta = cat.getTableMetadata(ident)
+      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+        s"$name is not a graft table")
+      val loc = meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(_.toString))
+        .getOrElse(throw new IllegalStateException(s"no path for $name"))
+      GraftCallCommand(proc, loc, kvs - "table", Some(ident))
+  }
+}

@@ -310,6 +310,53 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_props")
   }
 
+  test("CALL graft.<procedure>: the Iceberg maintenance surface in SQL") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-call").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.table("ext_call")
+    t.append((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(2))
+    t.append((101L to 200L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(2))
+    cat.register("ext_call")
+    val preCompact = t.latestSnapshotId.get
+
+    // compact with re-clustering; returns the new snapshot id
+    val compacted = spark.sql(
+      "CALL graft.compact('ext_call', sort_by => 'id')")
+      .as[Long].collect()(0)
+    assert(t.latestSnapshotId.get === compacted)
+    assert(t.snapshots.last.operation === "compact")
+    assert(spark.sql("SELECT count(*) FROM ext_call").as[Long]
+      .collect()(0) === 200L)
+
+    // rollback to the pre-compact snapshot (positional arg)
+    spark.sql(s"CALL graft.rollback('ext_call', $preCompact)")
+    assert(spark.sql("SELECT count(*) FROM ext_call").as[Long]
+      .collect()(0) === 200L)
+
+    // rewrite_manifests folds the chain into a base snapshot
+    spark.sql("CALL graft.system.rewrite_manifests('ext_call')")
+    assert(t.snapshots.last.operation === "rewrite-manifests")
+
+    // expire keeps the last snapshot only (deleting unreferenced files
+    // itself); the orphan sweep then collects a crashed-write leftover
+    spark.sql("CALL graft.expire_snapshots('ext_call', keep_last => 1)")
+    val stray = new java.io.File(s"$wh/ext_call/part-crashed.parquet")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    val swept = spark.sql(
+      "CALL graft.remove_orphan_files('ext_call', older_than_ms => 0)")
+      .as[Long].collect()(0)
+    assert(swept >= 1L)
+    assert(!stray.exists)
+    assert(spark.sql("SELECT count(*) FROM ext_call").as[Long]
+      .collect()(0) === 200L)
+
+    // unknown procedure fails loudly with the supported list
+    val e = intercept[Exception](spark.sql("CALL graft.vacuum('ext_call')"))
+    assert(e.getMessage.contains("supported"))
+    cat.drop("ext_call")
+  }
+
   test("unsupported SQL write shapes fail loudly, committing nothing") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString
