@@ -154,6 +154,26 @@ case class GraftSetPropertiesCommand(location: String,
   }
 }
 
+/** SQL `SHOW TBLPROPERTIES <graft table>` — serves the SNAPSHOT LOG's
+  * properties (the ones that gate engine behavior), not the session
+  * catalog's registration-time copy. Preserves the builtin command's
+  * output shape, including single-key lookup. */
+case class GraftShowPropertiesCommand(location: String,
+    propertyKey: Option[String],
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = GraftTable(spark, location).properties
+    propertyKey match {
+      case Some(k) =>
+        val v = props.getOrElse(k,
+          s"Table $location does not have property: $k")
+        if (output.size == 2) Seq(Row(k, v)) else Seq(Row(v))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
 /** Post-hoc resolution rule converting SQL writes against graft tables
   * into snapshot-log commands (and refusing shapes that would bypass the
   * log). Injected by [[graft.GraftExtensions]]. */
@@ -318,6 +338,24 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if !u.isView && graftLoc(u.tableName).isDefined =>
       GraftSetPropertiesCommand(graftLoc(u.tableName).get, Map.empty,
         u.propKeys, Some(u.tableName))
+
+    // SHOW TBLPROPERTIES stays a v2 plan (ResolvedTable over V1Table)
+    // even for session-catalog tables — swap it for the snapshot-log read
+    case sp: ShowTableProperties =>
+      sp.table match {
+        case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+          val ti =
+            if (r.identifier.namespace.isEmpty)
+              TableIdentifier(r.identifier.name)
+            else TableIdentifier(r.identifier.name,
+              Some(r.identifier.namespace.last))
+          graftLoc(ti) match {
+            case Some(loc) =>
+              GraftShowPropertiesCommand(loc, sp.propertyKey, sp.output)
+            case None => sp
+          }
+        case _ => sp
+      }
   }
 
   /** Replace resolved attribute references with name-based ones so the

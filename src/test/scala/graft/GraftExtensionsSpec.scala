@@ -307,6 +307,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(t.properties("graft.merge.mode") === "mor")
     spark.sql("ALTER TABLE ext_props UNSET TBLPROPERTIES ('graft.note')")
     assert(t.properties === Map("graft.merge.mode" -> "mor"))
+    // SHOW TBLPROPERTIES serves the snapshot log's properties
+    assert(spark.sql("SHOW TBLPROPERTIES ext_props").collect()
+      .map(r => (r.getString(0), r.getString(1))) ===
+      Array(("graft.merge.mode", "mor")))
+    assert(spark.sql("SHOW TBLPROPERTIES ext_props ('graft.merge.mode')")
+      .select("value").collect()(0).getString(0) === "mor")
     cat.drop("ext_props")
   }
 

@@ -185,6 +185,14 @@ class PartitionTransformSpec extends SparkSpec {
     assert(t.readIncremental(preEvolve, t.latestSnapshotId.get,
       skipRewrites = true).count() >= 3)
 
+    // compaction migrates the WHOLE live set to the current spec — the
+    // conservative no-pruning window for old-layout files is bounded by
+    // the compaction cadence
+    t.compact()
+    assert(t.liveFiles().forall(f =>
+      t.partitionValues(f).contains("ts_day")))
+    assert(t.read().count() === 31 * 4 + 3)
+
     // identity history refuses evolution
     val idT = freshTable("pt-evolve-id")
     idT.append(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"),
