@@ -40,7 +40,11 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def snapshotFor(table: GraftTable, tsExpr: Option[Expression],
       version: Option[String]): Long = version match {
-    case Some(v) => v.toLong
+    case Some(v) if v.forall(_.isDigit) => v.toLong
+    case Some(v) => table.refs.getOrElse(v,
+      throw new IllegalArgumentException(
+        s"no tag '$v' on ${table.location} — " +
+          s"known tags: ${table.refs.keys.toSeq.sorted.mkString(", ")}"))
     case None =>
       val e = tsExpr.getOrElse(throw new IllegalArgumentException(
         "time travel needs VERSION AS OF or TIMESTAMP AS OF"))

@@ -546,6 +546,34 @@ class GraftTable(spark: SparkSession, val location: String) {
       props = Some(properties -- keys))
   }
 
+  /** Tag a snapshot with a stable name (the Iceberg tag-ref shape).
+    * Stored as a versioned table property (`graft.ref.<name>` — one
+    * zero-file commit, atomic, time-travelable itself), resolved by
+    * [[readTag]] and SQL `VERSION AS OF '<name>'`;
+    * [[expireSnapshots]] retains every tagged snapshot. */
+  def tag(name: String, snapshotId: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"invalid tag name: $name (must start with a letter)")
+    val id = snapshotId.getOrElse(latestSnapshotId.getOrElse(
+      throw new IllegalStateException(s"no such table: $location")))
+    require(snapshots.exists(_.snapshotId == id),
+      s"no snapshot $id in $location")
+    setProperties(Map(s"graft.ref.$name" -> id.toString))
+  }
+
+  def dropTag(name: String): Long =
+    unsetProperties(Seq(s"graft.ref.$name"))
+
+  /** Named snapshot refs (tag → snapshot id). */
+  def refs: Map[String, Long] = properties.collect {
+    case (k, v) if k.startsWith("graft.ref.") =>
+      k.stripPrefix("graft.ref.") -> v.toLong
+  }
+
+  def readTag(name: String): DataFrame =
+    readAsOf(refs.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $location")))
+
   /** Iceberg-style partition spec evolution: later writes lay out files
     * under `parts`; existing files stay in their old layout, and every
     * pruning site treats a file missing the current spec's dir
@@ -580,9 +608,19 @@ class GraftTable(spark: SparkSession, val location: String) {
   /** Stage `df` as parquet files and return their table-relative paths
     * with on-disk sizes (captured during the move walk — zero extra
     * RPCs). Partition layout is produced by the standard Spark writer;
-    * files are then moved (renamed, no copy) into the table tree. */
+    * files are then moved (renamed, no copy) into the table tree.
+    *
+    * With table property `graft.write.distribution = hash` (Iceberg's
+    * write.distribution-mode), the batch is repartitioned by the
+    * partition expressions first, so each partition value is written by
+    * exactly ONE task — without it, every task writes a file into every
+    * partition dir it touches, and a 1000-executor append into a
+    * 100-partition table bursts into up to 100k small files. Skipped
+    * when the caller explicitly range-clustered the batch (`clustered`):
+    * sort-on-write already pins the layout, and a hash shuffle on top
+    * would destroy the disjoint value ranges it bought. */
   private def stageAndMove(df: DataFrame,
-      parts: Seq[String]): Seq[(String, Long)] = {
+      parts: Seq[String], clustered: Boolean = false): Seq[(String, Long)] = {
     val stage = new Path(metaPath, s"stage-${UUID.randomUUID()}")
     // pin MICROS timestamps for the staged write: INT96 (the legacy
     // default some sessions carry) records no usable footer statistics,
@@ -600,7 +638,12 @@ class GraftTable(spark: SparkSession, val location: String) {
           acc.withColumn(f.physName, PartitionTransforms.columnFor(
             f, col(f.source), df.schema(f.source).dataType))),
           fields.map(_.physName))
-      val writer = toWrite.write.mode("overwrite")
+      val distributed =
+        if (!clustered && physNames.nonEmpty &&
+            properties.getOrElse("graft.write.distribution", "none") == "hash")
+          toWrite.repartition(physNames.map(col): _*)
+        else toWrite
+      val writer = distributed.write.mode("overwrite")
         .option("compression", "snappy")
       (if (physNames.nonEmpty) writer.partitionBy(physNames: _*) else writer)
         .parquet(stage.toString)
@@ -816,7 +859,8 @@ class GraftTable(spark: SparkSession, val location: String) {
         case Some(n) => aligned0.repartitionByRange(n, sortBy.map(col): _*)
         case None => aligned0.repartitionByRange(sortBy.map(col): _*)
       }).sortWithinPartitions(sortBy.map(col): _*)
-    val staged = stageAndMove(aligned, partitionCols)
+    val staged = stageAndMove(aligned, partitionCols,
+      clustered = sortBy.nonEmpty)
     val added = staged.map(_._1)
     // schema is re-merged against the tip on every commit attempt: if a
     // concurrent append(mergeSchema=true) added a column while we staged,
@@ -1021,7 +1065,10 @@ class GraftTable(spark: SparkSession, val location: String) {
         df0.repartitionByRange(math.max(filesPerPartition, 1),
           sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
       else df0.coalesce(math.max(filesPerPartition, 1))
-    val staged = stageAndMove(align(df, schema), partitionCols)
+    // compaction pins its own layout (coalesce / range-cluster) — hash
+    // write distribution must not reshuffle it
+    val staged = stageAndMove(align(df, schema), partitionCols,
+      clustered = true)
     val added = staged.map(_._1)
     val sr = collectStats(added)
     // tombstone files stay on disk for time travel; expire removes them
@@ -1085,9 +1132,18 @@ class GraftTable(spark: SparkSession, val location: String) {
   def expireSnapshots(keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must retain at least one snapshot")
     val all = snapshots
-    if (all.size <= keepLast) return Seq.empty
-    val retained = all.takeRight(keepLast)
-    val expired = all.dropRight(keepLast)
+    // tagged snapshots are pinned (Iceberg ref-retention): expiring one
+    // would silently empty every read through its tag
+    val tagged = refs.values.toSeq
+    val keep =
+      if (tagged.isEmpty) keepLast
+      else {
+        val idx = all.indexWhere(_.snapshotId == tagged.min)
+        if (idx < 0) keepLast else math.max(keepLast, all.size - idx)
+      }
+    if (all.size <= keep) return Seq.empty
+    val retained = all.takeRight(keep)
+    val expired = all.dropRight(keep)
     val oldest = retained.head
 
     // baseline: the oldest retained snapshot absorbs the history below it.

@@ -363,6 +363,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_call")
   }
 
+  test("snapshot tags: VERSION AS OF '<name>' resolves; expire pins tags") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-tag").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_tag", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val t = cat.table("ext_tag")
+    val v1 = t.latestSnapshotId.get
+    t.tag("baseline_v1")
+    spark.sql("INSERT INTO ext_tag VALUES (3, 'c')")
+    spark.sql("INSERT INTO ext_tag VALUES (4, 'd')")
+
+    assert(t.refs === Map("baseline_v1" -> v1))
+    assert(t.readTag("baseline_v1").count() === 2)
+    // SQL tag resolution (string VERSION AS OF)
+    assert(spark.sql(
+      "SELECT id FROM ext_tag VERSION AS OF 'baseline_v1' ORDER BY id")
+      .as[Long].collect() === Array(1L, 2L))
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM ext_tag VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("known tags"))
+
+    // expire would normally keep only the tip — the tag pins its
+    // snapshot and everything after it
+    t.expireSnapshots(keepLast = 1)
+    assert(t.snapshots.head.snapshotId <= v1)
+    assert(t.readTag("baseline_v1").count() === 2)
+    assert(spark.sql("SELECT count(*) FROM ext_tag").as[Long]
+      .collect()(0) === 4L)
+    // dropping the tag releases the pin
+    t.dropTag("baseline_v1")
+    t.expireSnapshots(keepLast = 1)
+    assert(spark.sql("SELECT count(*) FROM ext_tag").as[Long]
+      .collect()(0) === 4L)
+    cat.drop("ext_tag")
+  }
+
   test("unsupported SQL write shapes fail loudly, committing nothing") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString

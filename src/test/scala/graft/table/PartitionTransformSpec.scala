@@ -140,6 +140,30 @@ class PartitionTransformSpec extends SparkSpec {
     }
   }
 
+  test("graft.write.distribution=hash: one task per partition value") {
+    val rows = tsRows(3, 40) // 3 days, 120 rows
+    val sch = rows.toDF("id", "ts", "v").schema
+
+    // without distribution: 8 input partitions × 3 day dirs → many files
+    val plain = freshTable("pt-dist-none")
+    plain.create(sch, parts = Seq("days(ts)"))
+    plain.append(rows.toDF("id", "ts", "v").repartition(8))
+    assert(plain.liveFiles().size > 3,
+      s"expected task×dir file burst, got ${plain.liveFiles().size}")
+
+    // with hash distribution: exactly one file per day dir
+    val dist = freshTable("pt-dist-hash")
+    dist.create(sch, parts = Seq("days(ts)"),
+      properties = Map("graft.write.distribution" -> "hash"))
+    dist.append(rows.toDF("id", "ts", "v").repartition(8))
+    assert(dist.liveFiles().size === 3)
+    assert(dist.read().count() === 120)
+    // explicit sort-on-write clustering overrides distribution
+    dist.append(tsRows(3, 10).map(r => (r._1 + 1000, r._2, r._3))
+      .toDF("id", "ts", "v"), sortBy = Seq("id"), sortFiles = Some(2))
+    assert(dist.read().count() === 150)
+  }
+
   test("partition spec evolution: old layout conservative, new layout prunes") {
     val t = freshTable("pt-evolve")
     // January under months(ts)
