@@ -126,8 +126,86 @@ object TextQueries {
        |GROUP BY token
        |ORDER BY df DESC, cf DESC, token LIMIT 50""".stripMargin
 
+  /** BM25 keyword relevance over the corpus (k1=1.2, b=0.75) — the
+    * retrieval-scoring step of a training-data curation pipeline, built
+    * on the q_term_stats inverted-index precursor. Engine-exactness by
+    * construction: a RATIONAL idf ((N - df + 0.5)/(df + 0.5), the BM25
+    * idf argument without the log — monotone, so ranking-equivalent)
+    * keeps every operation an exactly-rounded IEEE +,-,*,/; per-term
+    * contributions are summed in a FIXED literal order (float addition
+    * is not associative, and a grouped SUM's order is nondeterministic
+    * across engines and runs — each conditional sum below aggregates at
+    * most ONE row per doc, so it is order-free). At 100 TB: one explode
+    * + two shuffles (doc-term group, per-doc pivot), term filter pushed
+    * below the explode's shuffle, corpus stats broadcast as 1-row
+    * aggregates. */
+  val qBm25: Q = (s, dir) => {
+    val terms = Seq("data", "join", "spark")
+    val docs = Tables.load(s, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = col("tf") + lit(1.2) * (lit(0.25) +
+      lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+    val contrib = tf.join(dft, "token").join(dl, "doc_id")
+      .crossJoin(corpus)
+      .withColumn("c", (idf * (col("tf") * lit(2.2))) / denom)
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(when(col("token") === "data", col("c"))).as("c_data"),
+        sum(when(col("token") === "join", col("c"))).as("c_join"),
+        sum(when(col("token") === "spark", col("c"))).as("c_spark"))
+      .select(col("doc_id"),
+        coalesce(col("c_data"), lit(0.0)).as("s_data"),
+        coalesce(col("c_join"), lit(0.0)).as("s_join"),
+        coalesce(col("c_spark"), lit(0.0)).as("s_spark"),
+        (coalesce(col("c_data"), lit(0.0)) +
+          coalesce(col("c_join"), lit(0.0)) +
+          coalesce(col("c_spark"), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+  val qBm25Sql: String =
+    s"""WITH dl AS (SELECT doc_id, len($toksSql) AS dl FROM documents),
+       |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+       |  WHERE token IN ('data', 'join', 'spark')
+       |  GROUP BY doc_id, token),
+       |dft AS (SELECT token,
+       |  CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY token),
+       |contrib AS (SELECT tf.doc_id, tf.token,
+       |  (((n - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+       |    / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl))) AS c
+       |  FROM tf JOIN dft USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN corpus),
+       |scored AS (SELECT doc_id,
+       |  SUM(c) FILTER (token = 'data') AS c_data,
+       |  SUM(c) FILTER (token = 'join') AS c_join,
+       |  SUM(c) FILTER (token = 'spark') AS c_spark
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT doc_id,
+       |  COALESCE(c_data, 0.0) AS s_data,
+       |  COALESCE(c_join, 0.0) AS s_join,
+       |  COALESCE(c_spark, 0.0) AS s_spark,
+       |  COALESCE(c_data, 0.0) + COALESCE(c_join, 0.0)
+       |    + COALESCE(c_spark, 0.0) AS score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_term_stats", qTermStats, Some(qTermStatsSql)),
+    ("q_bm25", qBm25, Some(qBm25Sql)),
     ("q_doc_stats", qDocStats, Some(qDocStatsSql)),
     ("q_token_count", qTokenCount, Some(qTokenCountSql)),
     ("q_quality", qQuality, Some(qQualitySql)),
