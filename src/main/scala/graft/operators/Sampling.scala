@@ -44,4 +44,28 @@ object Sampling {
       }
     df.withColumn("split", expr)
   }
+
+  /** Stratified deterministic sampling: keep a per-stratum fraction of
+    * rows (the training-mix rebalancing step — e.g. language quotas).
+    * A row survives iff `hashBucket(id) < round(fraction(stratum) *
+    * Buckets)`, so selection is a pure function of row identity like
+    * [[hashSplit]]: re-sampling a grown corpus keeps every previously
+    * selected row (monotone dataset versioning — raising a fraction
+    * only ADDS rows), and any engine reproduces the exact membership.
+    * Strata not in `fractions` fall back to `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values.toSeq :+ defaultFraction)
+      .forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be within [0, 1]")
+    val b = hashBucket(col(idCol))
+    val bound = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(math.round(defaultFraction * Buckets)): Column) {
+        case ((g, f), rest) =>
+          when(col(stratumCol) === g, lit(math.round(f * Buckets)))
+            .otherwise(rest)
+      }
+    df.filter(b < bound)
+  }
 }

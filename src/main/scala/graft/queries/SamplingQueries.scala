@@ -36,6 +36,35 @@ object SamplingQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Stratified sampling: per-language keep fractions (the training-mix
+    * rebalancing step) — en 50%, de 20%, everything else 10%, selected
+    * by identity hash so the oracle pins exact membership, not just
+    * counts. */
+  val qStratified: Q = (s, dir) => {
+    Sampling.stratifiedSample(Tables.load(s, dir, "documents"),
+      "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.2),
+      defaultFraction = 0.1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+  val qStratifiedSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |      % 10000 AS bucket
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM b
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 5000
+      |                    WHEN lang = 'de' THEN 2000
+      |                    ELSE 1000 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Flagship corpus-curation composite — the end-to-end LLM-data
     * pipeline in one query: language-ID gate + quality-score gate →
     * exact-dedup keep-min → deterministic train/val/test split → split
@@ -108,6 +137,7 @@ object SamplingQueries {
 
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_hash_split", qHashSplit, Some(qHashSplitSql)),
+    ("q_stratified", qStratified, Some(qStratifiedSql)),
     ("q_curation", qCuration, Some(qCurationSql)),
   )
 }

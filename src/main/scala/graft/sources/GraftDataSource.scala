@@ -74,8 +74,14 @@ class GraftDataSource extends RelationProvider
           val end = parameters.get("endSnapshotId").map(_.toLong)
             .orElse(table.latestSnapshotId).getOrElse(0L)
           (table.incrementalFiles(start.toLong, end), Some(end))
-        case None => parameters.get("snapshotId") match {
-          case Some(id) => (table.liveFiles(Some(id.toLong)), Some(id.toLong))
+        case None => parameters.get("snapshotId")
+          .map(_.toLong)
+          // option("tag", name): read the snapshot a named ref pins
+          .orElse(parameters.get("tag").map(t => table.refs.getOrElse(t,
+            throw new IllegalArgumentException(
+              s"no tag '$t' on $path — known tags: " +
+                table.refs.keys.toSeq.sorted.mkString(", "))))) match {
+          case Some(id) => (table.liveFiles(Some(id)), Some(id))
           case None => (table.liveFiles(), None)
         }
       }

@@ -376,6 +376,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
     assert(t.refs === Map("baseline_v1" -> v1))
     assert(t.readTag("baseline_v1").count() === 2)
+    // DataFrame-API tag read
+    assert(spark.read.format("graft").option("tag", "baseline_v1")
+      .load(t.location).count() === 2)
     // SQL tag resolution (string VERSION AS OF)
     assert(spark.sql(
       "SELECT id FROM ext_tag VERSION AS OF 'baseline_v1' ORDER BY id")
