@@ -795,13 +795,19 @@ class GraftTable(spark: SparkSession, val location: String) {
   }
 
   /** Align df to the table schema (column order + types), as Iceberg's
-    * writer does by-name resolution. With `fillMissing`, absent columns
-    * become typed nulls (schema-evolution writes). */
+    * writer does by-name resolution. Missing NULLABLE columns always
+    * null-fill (Iceberg's optional-column write semantics — essential
+    * once a concurrent evolve can add a column between a writer's plan
+    * and its commit retry; a misnamed source column is still caught by
+    * append's no-extra-columns check). Missing non-nullable columns are
+    * only fillable via explicit `fillMissing`. */
   private def align(df: DataFrame, schema: StructType,
       fillMissing: Boolean = false): DataFrame = {
-    val missing = schema.fieldNames.filterNot(df.columns.contains)
-    require(fillMissing || missing.isEmpty,
-      s"source is missing columns: ${missing.mkString(",")}")
+    val hardMissing = schema.fields
+      .filterNot(f => df.columns.contains(f.name)).filterNot(_.nullable)
+    require(fillMissing || hardMissing.isEmpty,
+      s"source is missing non-nullable columns: " +
+        hardMissing.map(_.name).mkString(","))
     df.select(schema.fields.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)

@@ -207,4 +207,38 @@ class ConcurrencySpec extends SparkSpec {
     try in.readFully(buf) finally in.close()
     assert(new String(buf, "UTF-8") === "WINNER") // winner's commit intact
   }
+
+  test("schema evolve racing appends: both commit, schema and rows survive") {
+    val t = GraftTable(spark, tmpDir("conc-evolve") + "/t")
+    t.create(Seq((0L, "")).toDF("id", "v").schema)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // evolve commits race plain appends: both sides re-evaluate their
+    // schema against the fresh tip inside the publish-retry loop, so no
+    // interleaving may lose the added column OR an appended batch
+    val appends = (1 to 3).map { w =>
+      Future {
+        (1 to 2).foreach { i =>
+          t.append(Seq((w * 10L + i, s"w$w")).toDF("id", "v"))
+        }
+      }
+    }
+    val evolves = Seq(
+      Future { t.addColumns(Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))) },
+      Future { t.setProperties(Map("graft.note" -> "raced")) })
+    Await.result(Future.sequence(appends ++ evolves), 120.seconds)
+    pool.shutdown()
+
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(t.properties("graft.note") === "raced")
+    assert(t.read().count() === 6) // every append survived the races
+    // appends staged before the evolve won still read null-filled
+    assert(t.read().filter(org.apache.spark.sql.functions.col("score")
+      .isNull).count() === 6)
+    // chain is gapless
+    val ids = t.snapshots.map(_.snapshotId)
+    assert(ids === (0L to ids.max))
+  }
 }

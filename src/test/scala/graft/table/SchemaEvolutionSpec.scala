@@ -25,11 +25,22 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(t.read().count() === 2)
   }
 
-  test("without mergeSchema, missing columns are rejected") {
+  test("missing NULLABLE columns null-fill; non-nullable are rejected") {
+    import org.apache.spark.sql.types._
+    // Iceberg optional-column write semantics: a batch may omit nullable
+    // columns (a concurrent evolve can add one between a writer's plan
+    // and its commit retry — strictness here would break those appends)
     val t = GraftTable(spark, tmpDir("se-strict") + "/t")
     t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq(2L).toDF("id"))
+    assert(t.read().filter(org.apache.spark.sql.functions.col("v").isNull)
+      .count() === 1)
+    // a non-nullable column can never be omitted
+    val t2 = GraftTable(spark, tmpDir("se-strict2") + "/t")
+    t2.create(StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("v", StringType))))
     intercept[IllegalArgumentException] {
-      t.append(Seq(2L).toDF("id"))
+      t2.append(Seq("x").toDF("v"))
     }
   }
 
