@@ -65,6 +65,61 @@ object SamplingQueries {
       |                    ELSE 1000 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Benchmark decontamination: 8-gram overlap between the test split
+    * and the train split — the standard n-gram collision check for
+    * test-set contamination. Per test doc: distinct 8-grams and how
+    * many also occur anywhere in train. At 100 TB no doc-pair product
+    * ever forms: both sides reduce to DISTINCT gram sets and meet in
+    * one equi-join on the gram (train side pre-deduped, so the join
+    * cannot multiply rows). */
+  val qDecontaminate: Q = (s, dir) => {
+    import graft.functions.HashExpressions.word_shingles
+    import graft.functions.TextFunctions.tokens
+    val split = Sampling.hashSplit(Tables.load(s, dir, "documents"),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val grams = split.select(col("doc_id"), col("split"),
+      explode(array_distinct(word_shingles(tokens(col("text")), 8)))
+        .as("gram"))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("gram")).distinct()
+    val testGrams = grams.filter(col("split") === "test")
+      .select(col("doc_id"), col("gram"))
+    val perDoc = testGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val overlap = testGrams.join(trainGrams, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    perDoc.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+  val qDecontaminateSql: String = {
+    val toksSql = OracleSql.toks
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      % 10000 AS bucket
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 9000 THEN 'train'
+       |         WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split,
+       |    unnest(list_distinct(
+       |      CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+       |           ELSE list_transform(range(0, len(t) - 7),
+       |                  i -> array_to_string(t[i+1:i+8], ' ')) END)) AS gram
+       |  FROM (SELECT *, $toksSql AS t FROM sp)),
+       |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+       |te AS (SELECT doc_id, gram FROM g WHERE split = 'test'),
+       |per AS (SELECT doc_id, COUNT(*) AS n_grams FROM te GROUP BY doc_id),
+       |ov AS (SELECT te.doc_id, COUNT(*) AS n_overlap
+       |       FROM te JOIN tr USING (gram) GROUP BY te.doc_id)
+       |SELECT per.doc_id, per.n_grams,
+       |  COALESCE(ov.n_overlap, 0) AS n_overlap
+       |FROM per LEFT JOIN ov ON per.doc_id = ov.doc_id
+       |ORDER BY per.doc_id""".stripMargin
+  }
+
   /** Flagship corpus-curation composite — the end-to-end LLM-data
     * pipeline in one query: language-ID gate + quality-score gate →
     * exact-dedup keep-min → deterministic train/val/test split → split
@@ -138,6 +193,7 @@ object SamplingQueries {
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_hash_split", qHashSplit, Some(qHashSplitSql)),
     ("q_stratified", qStratified, Some(qStratifiedSql)),
+    ("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     ("q_curation", qCuration, Some(qCurationSql)),
   )
 }

@@ -203,9 +203,48 @@ object TextQueries {
        |    + COALESCE(c_spark, 0.0) AS score
        |FROM scored ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Gopher-style repetition/diversity quality signals: distinct-token
+    * ratio and most-common-token share per document (the "repetitious
+    * text" filters of web-corpus curation). Integer counts + mirrored
+    * IEEE division — engine-exact. One explode + two exact-count
+    * shuffles; at 100 TB the per-(doc,token) group is the only wide
+    * stage and it combines map-side. */
+  val qDiversity: Q = (s, dir) => {
+    val per = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    per.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("max_cnt"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"),
+        (col("max_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_share"))
+      .orderBy(col("doc_id"))
+  }
+  val qDiversitySql: String =
+    s"""WITH per AS (
+       |  SELECT doc_id, token, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+       |  GROUP BY doc_id, token),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_distinct, MAX(c) AS max_cnt
+       |  FROM per GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct, max_cnt,
+       |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS distinct_ratio,
+       |  CAST(max_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_share
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_term_stats", qTermStats, Some(qTermStatsSql)),
     ("q_bm25", qBm25, Some(qBm25Sql)),
+    ("q_diversity", qDiversity, Some(qDiversitySql)),
     ("q_doc_stats", qDocStats, Some(qDocStatsSql)),
     ("q_token_count", qTokenCount, Some(qTokenCountSql)),
     ("q_quality", qQuality, Some(qQualitySql)),
