@@ -116,7 +116,18 @@ object TableFeed {
       txnAppId: String, parts: Seq[String] = Seq.empty,
       onRewrite: String = "fullState"): Option[(Long, Long)] =
     pump(src, checkpointFile, onRewrite) { (df, batchId, full) =>
+      // propagate source schema evolution into the mirror: incremental
+      // appends merge new columns; a full-state overwrite pre-evolves
+      // the mirror explicitly (overwrite aligns to the existing schema
+      // and would silently drop an evolved column otherwise)
+      if (full && dst.exists) {
+        val extra = df.schema.fields
+          .filterNot(f => dst.schema.fieldNames.contains(f.name))
+        if (extra.nonEmpty)
+          dst.addColumns(extra.map(_.copy(nullable = true)).toSeq)
+      }
       if (full) dst.overwrite(df, parts, txn = Some((txnAppId, batchId)))
-      else dst.append(df, parts, txn = Some((txnAppId, batchId)))
+      else dst.append(df, parts, mergeSchema = true,
+        txn = Some((txnAppId, batchId)))
     }
 }

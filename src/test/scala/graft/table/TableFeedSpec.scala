@@ -37,6 +37,24 @@ class TableFeedSpec extends SparkSpec {
       Array(1L, 2L, 3L))
   }
 
+  test("zero-file metadata commits (evolve/properties) do not poison a feed") {
+    val (src, dst, ckpt) = fresh("feed-evolve")
+    src.append(Seq((1L, "a")).toDF("id", "v"))
+    assert(TableFeed.mirror(src, dst, ckpt, "m1").isDefined)
+    // schema evolve + property change land mid-feed: they add/remove no
+    // files, so the next round must deliver the following append
+    // normally — NOT trip the rewrite-recovery path
+    src.addColumns(Seq(org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.DoubleType)))
+    src.setProperties(Map("graft.note" -> "mid-feed"))
+    src.append(Seq((2L, "b", 0.5)).toDF("id", "v", "score"))
+    val r = TableFeed.mirror(src, dst, ckpt, "m1")
+    assert(r.isDefined)
+    assert(dst.snapshots.last.operation === "append") // increment, not
+    // a fullState overwrite (the rewrite-recovery path would overwrite)
+    assert(dst.read().count() === 2)
+  }
+
   test("crash between dst commit and checkpoint advance does not duplicate") {
     val (src, dst, ckpt) = fresh("feed-crash")
     src.append(Seq((1L, "a")).toDF("id", "v"))
