@@ -41,6 +41,22 @@ class GraftStreamSource(spark: SparkSession, location: String,
   override def getOffset: Option[Offset] =
     table.latestSnapshotId.map(LongOffset(_))
 
+  /** A Source must return batches under its DECLARED (stream-start)
+    * schema forever — but a mid-stream evolve makes incremental reads
+    * resolve under the evolved schema. Project back: columns added
+    * after stream start are not delivered (restart the stream to pick
+    * them up, Spark's own semantics for evolving file sources), and a
+    * column dropped mid-stream null-fills instead of killing the
+    * stream. */
+  private def conform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (df.schema == schema) df
+    else df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = toId(end)
     val batch = start match {
@@ -52,7 +68,7 @@ class GraftStreamSource(spark: SparkSession, location: String,
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else table.readIncremental(startId, endId, skipRewrites)
     }
-    GraftSqlGlue.streamingDataFrame(spark, batch)
+    GraftSqlGlue.streamingDataFrame(spark, conform(batch))
   }
 
   override def stop(): Unit = {}

@@ -166,6 +166,47 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("graft_src_basic")
   }
 
+  test("graft streaming source: mid-stream evolve keeps the declared schema") {
+    import graft.table.GraftTable
+    val base = tmpDir("stream-src-evolve")
+    val t = GraftTable(spark, s"$base/t")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+
+    val q = spark.readStream.format("graft").load(t.location)
+      .writeStream.format("memory").queryName("graft_src_evolve")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // a zero-file evolve + an append carrying the new column: the
+      // stream keeps delivering under its DECLARED (stream-start)
+      // schema — the new column is not delivered until restart, and the
+      // evolve snapshot is not treated as a rewrite
+      t.addColumns(Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+      t.append(Seq((2L, "b", 0.5)).toDF("id", "v", "score"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      val out = spark.table("graft_src_evolve")
+      assert(out.columns.toSeq === Seq("id", "v"))
+      assert(out.select("id").as[Long].collect().sorted === Array(1L, 2L))
+    } finally q.stop()
+    spark.catalog.dropTempView("graft_src_evolve")
+
+    // a RESTARTED stream picks the evolved schema up (fresh full state)
+    val q2 = spark.readStream.format("graft").load(t.location)
+      .writeStream.format("memory").queryName("graft_src_evolve2")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    try {
+      q2.processAllAvailable()
+      val out2 = spark.table("graft_src_evolve2")
+      assert(out2.columns.toSeq === Seq("id", "v", "score"))
+      assert(out2.count() === 2)
+    } finally q2.stop()
+    spark.catalog.dropTempView("graft_src_evolve2")
+  }
+
   test("graft streaming source: rewrites fail the stream unless skipped") {
     import graft.table.GraftTable
     val base = tmpDir("stream-src-rw")
