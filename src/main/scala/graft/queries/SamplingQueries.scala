@@ -82,8 +82,10 @@ object SamplingQueries {
         .as("gram"))
     val trainGrams = grams.filter(col("split") === "train")
       .select(col("gram")).distinct()
+    // barrier: the test side feeds BOTH the per-doc count and the
+    // overlap join — unmaterialized, the shingle pipeline runs twice
     val testGrams = grams.filter(col("split") === "test")
-      .select(col("doc_id"), col("gram"))
+      .select(col("doc_id"), col("gram")).localCheckpoint()
     val perDoc = testGrams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     val overlap = testGrams.join(trainGrams, "gram")

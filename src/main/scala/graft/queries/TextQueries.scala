@@ -147,11 +147,14 @@ object TextQueries {
     val corpus = dl.agg(count(lit(1)).cast("double").as("n"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
         .as("avgdl"))
+    // barrier: tf feeds BOTH the df aggregate and the scoring join — an
+    // unmaterialized plan would tokenize the corpus twice
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
     val dft = tf.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
