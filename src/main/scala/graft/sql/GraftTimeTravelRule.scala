@@ -66,7 +66,8 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val parts = u.multipartIdentifier
     if (parts.size != 2) return None
     val meta = parts(1).toLowerCase(java.util.Locale.ROOT)
-    if (!Set("history", "snapshots", "files").contains(meta)) return None
+    if (!Set("history", "snapshots", "files", "partitions").contains(meta))
+      return None
     val catalog = spark.sessionState.catalog
     // a real db.table of this name shadows the metadata view
     if (catalog.tableExists(TableIdentifier(parts(1), Some(parts(0)))))
@@ -82,6 +83,7 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case "history" => t.history
       case "snapshots" => t.metaSnapshots
       case "files" => t.metaFiles
+      case "partitions" => t.metaPartitions
     }
     Some(df.queryExecution.analyzed)
   }

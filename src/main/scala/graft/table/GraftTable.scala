@@ -248,6 +248,23 @@ class GraftTable(spark: SparkSession, val location: String) {
       "lower_bounds", "upper_bounds")
   }
 
+  /** Iceberg `.partitions`-shaped metadata view: per-partition file/
+    * row/byte rollup over the LIVE set, straight from manifest metadata
+    * (no data file is ever opened) — the small-file and skew audit an
+    * operator runs before choosing compaction targets. */
+  def metaPartitions: DataFrame = {
+    import spark.implicits._
+    val live = liveFiles()
+    val rows = rowsFor(live)
+    val sizes = bytesFor(live)
+    live.groupBy(partitionValues)
+      .map { case (kv, fs_) =>
+        (kv, fs_.size.toLong,
+          fs_.flatMap(rows.get).sum, fs_.flatMap(sizes.get).sum)
+      }.toSeq
+      .toDF("partition", "file_count", "row_count", "total_bytes")
+  }
+
   /** Live data files (relative paths) as of `asOf` (default: latest). */
   def liveFiles(asOf: Option[Long] = None): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -885,6 +902,78 @@ class GraftTable(spark: SparkSession, val location: String) {
       bytes = staged.toMap)
   }
 
+  // ---- write-audit-publish (Iceberg's WAP pattern, branch-free) ----
+
+  /** Stage a batch's files into the table tree WITHOUT committing:
+    * invisible to every reader (no snapshot references them), swept by
+    * [[removeOrphanFiles]] if abandoned past its age gate. Audit the
+    * staged rows via [[readPending]], then [[publishPending]] — a
+    * normal append commit, idempotent under replay — or
+    * [[discardPending]]. The token is a persisted marker, so audit and
+    * publish can happen from a different session (or after a driver
+    * restart). Stats are collected at stage time; publish is pure
+    * metadata. */
+  def stagePending(df: DataFrame): String = {
+    require(exists, s"no such table: $location")
+    val extras = df.columns.filterNot(schema.fieldNames.contains)
+    require(extras.isEmpty,
+      s"source has columns not in the table schema: ${extras.mkString(",")}")
+    val staged = stageAndMove(align(df, schema), partitionCols)
+    val added = staged.map(_._1)
+    val sr = collectStats(added)
+    val bytes = staged.toMap
+    val entries = added.map(f => ManifestEntry(f, "add",
+      stats = sr._1.get(f).filter(_.nonEmpty), rows = sr._2.get(f),
+      bytes = bytes.get(f)))
+    val ref = writeManifest(entries, partitionCols)
+    val token = UUID.randomUUID().toString
+    val p = new Path(metaPath, s"pending-$token.json")
+    val out = fs.create(p, false)
+    try out.write(ref.path.getBytes("UTF-8")) finally out.close()
+    token
+  }
+
+  private def pendingEntries(token: String): (String, Seq[ManifestEntry]) = {
+    val p = new Path(metaPath, s"pending-$token.json")
+    require(fs.exists(p), s"no pending write $token on $location")
+    val in = fs.open(p)
+    val rel = try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes); new String(bytes, "UTF-8")
+    } finally in.close()
+    (rel, readManifest(rel).entries)
+  }
+
+  /** The staged (uncommitted) rows of a pending write — the audit
+    * step. */
+  def readPending(token: String): DataFrame =
+    readFiles(pendingEntries(token)._2.map(_.path))
+
+  /** Commit a pending write as an append. Idempotent: the commit
+    * carries a txn stamp keyed by the token, so a crash-replayed
+    * publish commits at most once. */
+  def publishPending(token: String): Long = {
+    val (rel, entries) = pendingEntries(token)
+    val files = entries.map(_.path)
+    val id = commit("append", files, Seq.empty,
+      parent => parent.get.schemaJson, partitionCols,
+      stats = entries.flatMap(e => e.stats.map(e.path -> _)).toMap,
+      rows = entries.flatMap(e => e.rows.map(e.path -> _)).toMap,
+      bytes = entries.flatMap(e => e.bytes.map(e.path -> _)).toMap,
+      txn = Some((s"graft-wap-$token", 0L)))
+    fs.delete(new Path(metaPath, s"pending-$token.json"), false)
+    fs.delete(new Path(tablePath, rel), false) // commit wrote its own
+    id
+  }
+
+  /** Drop a pending write: delete its staged files and marker. */
+  def discardPending(token: String): Unit = {
+    val (rel, entries) = pendingEntries(token)
+    entries.foreach(e => fs.delete(new Path(tablePath, e.path), false))
+    fs.delete(new Path(tablePath, rel), false)
+    fs.delete(new Path(metaPath, s"pending-$token.json"), false)
+  }
+
   /** Highest batch id committed by idempotent writer `appId` (the
     * streaming sink's replay check). */
   def lastTxnBatch(appId: String): Option[Long] = {
@@ -1226,8 +1315,18 @@ class GraftTable(spark: SparkSession, val location: String) {
     * default guard is 3 days). Returns deleted files. */
   def removeOrphanFiles(
       olderThanMs: Long = 3L * 24 * 60 * 60 * 1000): Seq[String] = {
-    val referenced = snapshots.flatMap(s =>
-      addedFilesOf(s) ++ s.addedDeleteFiles.toSeq.flatten.map(_.path)).toSet
+    // pending (write-audit-publish) writes are referenced by their
+    // marker, not by a snapshot — they are awaiting audit, not orphaned
+    val pending = fs.globStatus(new Path(metaPath, "pending-*.json"))
+      .toSeq.flatMap { st =>
+        val name = st.getPath.getName
+          .stripPrefix("pending-").stripSuffix(".json")
+        try pendingEntries(name)._2.map(_.path)
+        catch { case _: Exception => Seq.empty }
+      }
+    val referenced = (snapshots.flatMap(s =>
+      addedFilesOf(s) ++ s.addedDeleteFiles.toSeq.flatten.map(_.path)) ++
+      pending).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val it = fs.listFiles(tablePath, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -215,6 +215,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT file_path, size_bytes FROM ext_meta.files").collect()
     assert(files.length === 2)
     assert(files.forall(_.getLong(1) > 0L))
+    // .partitions: per-partition rollup from manifests only
+    val parts = spark.sql(
+      "SELECT file_count, row_count, total_bytes FROM ext_meta.partitions")
+      .as[(Long, Long, Long)].collect()
+    assert(parts === Array((2L, 2L, files.map(_.getLong(1)).sum)))
     cat.drop("ext_meta")
   }
 

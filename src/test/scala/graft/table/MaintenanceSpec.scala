@@ -132,4 +132,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(!fs.exists(stray))
     assert(t.read().count() === 1)
   }
+
+  test("write-audit-publish: staged writes are invisible until published") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable("mt-wap")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+
+    val token = t.stagePending(Seq((2L, "b"), (3L, "BAD")).toDF("id", "v"))
+    // invisible to every reader; auditable through the token
+    assert(t.read().count() === 1)
+    assert(t.readPending(token).count() === 2)
+    // the orphan sweep must not eat files awaiting audit, even with no
+    // age gate
+    assert(t.removeOrphanFiles(olderThanMs = 0) === Seq.empty)
+
+    // audit fails → discard; files and marker are gone
+    t.discardPending(token)
+    assert(t.read().count() === 1)
+    intercept[IllegalArgumentException](t.readPending(token))
+
+    // audit passes → publish; a normal append commit, stats included
+    val token2 = t.stagePending(Seq((2L, "b")).toDF("id", "v"))
+    val id = t.publishPending(token2)
+    assert(t.latestSnapshotId.get === id)
+    assert(t.snapshots.last.operation === "append")
+    assert(t.read().orderBy("id").select("v").as[String].collect() ===
+      Array("a", "b"))
+    assert(t.statsFor(t.addedFilesOf(t.snapshots.last)).nonEmpty)
+    // replayed publish is a no-op (token-keyed txn stamp)
+    val t2 = GraftTable(spark, t.location)
+    val token3 = t2.stagePending(Seq((9L, "z")).toDF("id", "v"))
+    assert(t2.publishPending(token3) > id)
+    assert(t2.read().filter(col("id") === 9L).count() === 1)
+  }
 }
