@@ -27,7 +27,7 @@ object Bench {
     "q10_returned", "q_rollup", "q_count_distinct",
     "q_filter_project", "q_window_dedup", "q_merge_upsert",
     "q_join_enrich", "q_topk", "q_count",
-    "q_events_daily", "q_events_sessions",
+    "q_events_daily", "q_events_sessions", "q_funnel",
     "q_doc_stats", "q_token_count", "q_quality", "q_lang_id", "q_fingerprint",
     "q_bm25", "q_diversity", "q_decontaminate",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",

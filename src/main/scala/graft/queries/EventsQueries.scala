@@ -192,8 +192,44 @@ object EventsQueries {
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Ordered funnel: view → click-after-view → purchase-after-click per
+    * user, each stage anchored at the min timestamp after the previous
+    * stage (strict event-order semantics, not mere presence). Exact
+    * timestamp mins + non-null counts — engine-exact. Scale shape:
+    * three keyed aggregates + two broadcast-able user-level joins; no
+    * window over the raw event stream. */
+  val qFunnel: Q = (s, dir) => {
+    val events = Tables.load(s, dir, "events")
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("v_ts")).as("n_view"),
+        count(col("c_ts")).as("n_click"),
+        count(col("p_ts")).as("n_purchase"))
+  }
+  val qFunnelSql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+      |SELECT COUNT(v_ts) AS n_view, COUNT(c_ts) AS n_click,
+      |  COUNT(p_ts) AS n_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_asof_signup", qAsofSignup, Some(qAsofSignupSql)),
+    ("q_funnel", qFunnel, Some(qFunnelSql)),
     ("q_events_moving", qEventsMoving, Some(qEventsMovingSql)),
     ("q_stream_daily", qStreamDaily, Some(qStreamDailySql)),
     ("q_events_daily", qEventsDaily, Some(qEventsDailySql)),
