@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, LogicalPlan, RenameColumn}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterColumns, DropColumns, LogicalPlan, RenameColumn}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** SQL `ALTER TABLE ... DROP COLUMN[S]` / `RENAME COLUMN` on graft
@@ -53,5 +53,25 @@ class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "RENAME COLUMN is not supported on graft tables: the format maps " +
           "columns by name, so a rename would silently null the column " +
           "in existing files — ADD a new column and backfill instead")
+
+    // ALTER COLUMN c TYPE <wider> → widenColumn (type promotion); any
+    // other ALTER COLUMN shape (nullability, comment, position,
+    // defaults) is refused explicitly
+    case a: AlterColumns if graftIdent(a.table).isDefined =>
+      val (ident, loc) = graftIdent(a.table).get
+      val widens = a.specs.map { sp =>
+        if (sp.newDataType.isEmpty || sp.newNullability.nonEmpty ||
+            sp.newComment.nonEmpty || sp.newPosition.nonEmpty ||
+            sp.newDefaultExpression.nonEmpty || sp.dropDefault)
+          throw new UnsupportedOperationException(
+            "only ALTER COLUMN <c> TYPE <wider type> (type promotion) " +
+              "is supported on graft tables")
+        if (sp.column.name.size != 1)
+          throw new UnsupportedOperationException(
+            s"ALTER nested field ${sp.column.name.mkString(".")} is not " +
+              "supported on graft tables")
+        (sp.column.name.head, sp.newDataType.get)
+      }
+      GraftWidenColumnCommand(loc, widens, Some(ident))
   }
 }

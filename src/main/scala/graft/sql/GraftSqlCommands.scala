@@ -139,6 +139,20 @@ case class GraftDropColumnsCommand(location: String, names: Seq[String],
   }
 }
 
+/** SQL `ALTER TABLE <graft table> ALTER COLUMN c TYPE <wider>` —
+  * Iceberg type promotion via [[GraftTable.widenColumn]] (zero-file
+  * evolve commit; Spark's parquet reader upcasts old files natively). */
+case class GraftWidenColumnCommand(location: String,
+    widens: Seq[(String, org.apache.spark.sql.types.DataType)],
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable(spark, location)
+    widens.foreach { case (c, dt) => t.widenColumn(c, dt) }
+    refreshIdent.foreach(CatalogSync.schema(spark, _, location))
+    Seq.empty
+  }
+}
+
 /** SQL `ALTER TABLE <graft table> SET/UNSET TBLPROPERTIES` — properties
   * live in the snapshot log (they gate engine behavior: merge mode,
   * Bloom columns), not in the session catalog, so the statement commits

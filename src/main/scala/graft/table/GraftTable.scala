@@ -545,6 +545,50 @@ class GraftTable(spark: SparkSession, val location: String) {
     }, partitionCols)
   }
 
+  /** Widen a column's type in place (Iceberg type promotion) via a
+    * zero-file "evolve" commit — Spark 4's parquet reader upcasts the
+    * old files natively. Restricted to INTEGER widenings
+    * (byte/short/int → short/int/long) and DECIMAL precision increases:
+    * exactly the shapes whose recorded min/max stat strings re-parse
+    * EXACTLY under the new type, so file pruning stays correct on old
+    * files. float→double is refused (a float's shortest-repr stat
+    * string does not round-trip through double — range pruning could
+    * wrongly skip files). Refused while any live file carries a Bloom
+    * bitset for the column (value hashes are type-dependent;
+    * `compact()` rebuilds stats under the new type first). */
+  def widenColumn(name: String, newType: DataType): Long = {
+    require(exists, s"no such table: $location")
+    val cur = schema
+    val field = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    val ok = (field.dataType, newType) match {
+      case (a, b) if intRank.contains(a) && intRank.contains(b) =>
+        intRank(a) < intRank(b)
+      case (a: DecimalType, b: DecimalType) =>
+        a.scale == b.scale && a.precision < b.precision
+      case _ => false
+    }
+    require(ok, s"cannot widen ${field.dataType.simpleString} to " +
+      s"${newType.simpleString}: supported widenings are byte/short/int " +
+      "to a wider integer and decimal(p,s) to decimal(p+,s)")
+    val live = liveFiles()
+    val bloomed = statsFor(live).exists(_._2.get(field.name)
+      .exists(_.bloom.isDefined))
+    require(!bloomed,
+      s"cannot widen $name while live files carry Bloom bitsets for it " +
+        "(value hashes are type-dependent) — compact() first")
+    commit("evolve", Seq.empty, Seq.empty, parent => {
+      val p = DataType.fromJson(parent.get.schemaJson)
+        .asInstanceOf[StructType]
+      StructType(p.fields.map(f =>
+        if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType)
+        else f)).json
+    }, partitionCols)
+  }
+
   /** Commit updated table properties through the snapshot log (the SQL
     * `ALTER TABLE ... SET TBLPROPERTIES` path) — carried forward by
     * every later commit, same as create-time properties. */

@@ -296,6 +296,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_drop")
   }
 
+  test("ALTER COLUMN TYPE widens integers; unsafe widenings refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("ext-widen").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.table("ext_widen")
+    t.create(StructType(Seq(StructField("id", IntegerType),
+      StructField("score", FloatType), StructField("v", StringType))))
+    t.append(Seq((1, 1.5f, "a"), (2, 2.5f, "b")).toDF("id", "score", "v"))
+    cat.register("ext_widen")
+
+    spark.sql("ALTER TABLE ext_widen ALTER COLUMN id TYPE BIGINT")
+    assert(t.schema("id").dataType === LongType)
+    assert(t.snapshots.last.operation === "evolve")
+    // old INT32 files read as BIGINT; new long rows append normally
+    spark.sql("INSERT INTO ext_widen VALUES (3000000000, 3.5, 'c')")
+    assert(spark.sql("SELECT id FROM ext_widen ORDER BY id").as[Long]
+      .collect() === Array(1L, 2L, 3000000000L))
+    // stats pruning still works against old files' recorded int stats
+    assert(spark.sql("SELECT v FROM ext_widen WHERE id = 2").as[String]
+      .collect() === Array("b"))
+
+    // float→double is an unsafe stat round-trip — refused
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE ext_widen ALTER COLUMN score TYPE DOUBLE"))
+    assert(e.getMessage.contains("widen"))
+    // narrowing refused
+    intercept[Exception](spark.sql(
+      "ALTER TABLE ext_widen ALTER COLUMN id TYPE INT"))
+    // non-type ALTER COLUMN shapes refused loudly
+    val c = intercept[UnsupportedOperationException](spark.sql(
+      "ALTER TABLE ext_widen ALTER COLUMN v COMMENT 'x'"))
+    assert(c.getMessage.contains("type promotion"))
+    cat.drop("ext_widen")
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES commit through the log") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-props").toString
