@@ -37,16 +37,21 @@ class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  // each case resolves the catalog metadata ONCE (a guard + .get would
+  // double the tableExists/getTableMetadata lookups — RPCs on a real
+  // metastore, and analyzer rules can run several times per query)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case DropColumns(t, cols, ifExists) if graftIdent(t).isDefined =>
-      val (ident, loc) = graftIdent(t).get
-      val names = cols.map { f =>
-        if (f.name.size != 1) throw new UnsupportedOperationException(
-          s"DROP nested field ${f.name.mkString(".")} is not supported " +
-            "on graft tables")
-        f.name.head
-      }
-      GraftDropColumnsCommand(loc, names, ifExists, Some(ident))
+    case d @ DropColumns(t, cols, ifExists) => graftIdent(t) match {
+      case None => d
+      case Some((ident, loc)) =>
+        val names = cols.map { f =>
+          if (f.name.size != 1) throw new UnsupportedOperationException(
+            s"DROP nested field ${f.name.mkString(".")} is not supported " +
+              "on graft tables")
+          f.name.head
+        }
+        GraftDropColumnsCommand(loc, names, ifExists, Some(ident))
+    }
 
     case r: RenameColumn if graftIdent(r.table).isDefined =>
       throw new UnsupportedOperationException(
@@ -57,21 +62,23 @@ class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // ALTER COLUMN c TYPE <wider> → widenColumn (type promotion); any
     // other ALTER COLUMN shape (nullability, comment, position,
     // defaults) is refused explicitly
-    case a: AlterColumns if graftIdent(a.table).isDefined =>
-      val (ident, loc) = graftIdent(a.table).get
-      val widens = a.specs.map { sp =>
-        if (sp.newDataType.isEmpty || sp.newNullability.nonEmpty ||
-            sp.newComment.nonEmpty || sp.newPosition.nonEmpty ||
-            sp.newDefaultExpression.nonEmpty || sp.dropDefault)
-          throw new UnsupportedOperationException(
-            "only ALTER COLUMN <c> TYPE <wider type> (type promotion) " +
-              "is supported on graft tables")
-        if (sp.column.name.size != 1)
-          throw new UnsupportedOperationException(
-            s"ALTER nested field ${sp.column.name.mkString(".")} is not " +
-              "supported on graft tables")
-        (sp.column.name.head, sp.newDataType.get)
-      }
-      GraftWidenColumnCommand(loc, widens, Some(ident))
+    case a: AlterColumns => graftIdent(a.table) match {
+      case None => a
+      case Some((ident, loc)) =>
+        val widens = a.specs.map { sp =>
+          if (sp.newDataType.isEmpty || sp.newNullability.nonEmpty ||
+              sp.newComment.nonEmpty || sp.newPosition.nonEmpty ||
+              sp.newDefaultExpression.nonEmpty || sp.dropDefault)
+            throw new UnsupportedOperationException(
+              "only ALTER COLUMN <c> TYPE <wider type> (type promotion) " +
+                "is supported on graft tables")
+          if (sp.column.name.size != 1)
+            throw new UnsupportedOperationException(
+              s"ALTER nested field ${sp.column.name.mkString(".")} is " +
+                "not supported on graft tables")
+          (sp.column.name.head, sp.newDataType.get)
+        }
+        GraftWidenColumnCommand(loc, widens, Some(ident))
+    }
   }
 }

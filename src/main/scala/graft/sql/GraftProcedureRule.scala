@@ -42,10 +42,13 @@ case class GraftCallCommand(proc: String, location: String,
     def longArg(k: String): Option[Long] = args.get(k).map(_.toLong)
     def specArg(k: String): Seq[String] =
       args.get(k).map(PartitionTransforms.splitSpecs).getOrElse(Seq.empty)
+    def required(k: String): Long = longArg(k).getOrElse(
+      throw new IllegalArgumentException(s"graft.$proc needs $k"))
     val result: Long = proc match {
       case "expire_snapshots" =>
-        t.expireSnapshots(longArg("keep_last").getOrElse(1L).toInt)
-          .size.toLong
+        // destructive — no default: a typo'd argument name must not
+        // silently expire everything down to one snapshot
+        t.expireSnapshots(required("keep_last").toInt).size.toLong
       case "compact" => longArg("target_file_bytes") match {
         case Some(b) => t.compactToSize(b, specArg("sort_by"))
         case None => t.compact(
@@ -53,13 +56,15 @@ case class GraftCallCommand(proc: String, location: String,
           specArg("sort_by"))
       }
       case "rewrite_manifests" => t.rewriteManifests()
-      case "rollback" => t.rollback(longArg("snapshot_id").getOrElse(
-        throw new IllegalArgumentException(
-          "rollback needs a snapshot_id argument")))
+      case "rollback" => t.rollback(required("snapshot_id"))
       case "remove_orphan_files" =>
         t.removeOrphanFiles(longArg("older_than_ms")
           .getOrElse(3L * 24 * 60 * 60 * 1000)).size.toLong
-      case "set_partition_spec" => t.updatePartitionSpec(specArg("spec"))
+      case "set_partition_spec" =>
+        // require the spec key: a typo'd name must not silently
+        // UNPARTITION the table (empty spec is legal via spec => '')
+        require(args.contains("spec"), s"graft.$proc needs spec")
+        t.updatePartitionSpec(specArg("spec"))
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other — supported: " +
           "expire_snapshots, compact, rewrite_manifests, rollback, " +
@@ -80,6 +85,17 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "rollback" -> Seq("snapshot_id"),
     "remove_orphan_files" -> Seq("older_than_ms"),
     "set_partition_spec" -> Seq("spec"))
+
+  /** every argument name a procedure accepts (validated: an unknown —
+    * typically typo'd — name must error, never silently fall back to a
+    * default, because several defaults are destructive). */
+  private val accepted: Map[String, Set[String]] = Map(
+    "expire_snapshots" -> Set("keep_last"),
+    "compact" -> Set("files_per_partition", "target_file_bytes", "sort_by"),
+    "rewrite_manifests" -> Set.empty,
+    "rollback" -> Set("snapshot_id"),
+    "remove_orphan_files" -> Set("older_than_ms"),
+    "set_partition_spec" -> Set("spec"))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -118,9 +134,20 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
             posNames(posIdx - 1) -> litString(e, posNames(posIdx - 1))
           }
       }.toMap
+      val allowed = accepted(proc)
+      val unknown = kvs.keys.filterNot(k => k == "table" || allowed(k))
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"unknown argument(s) for graft.$proc: ${unknown.mkString(", ")}" +
+          s" — accepted: ${allowed.toSeq.sorted.mkString(", ")}")
       val name = kvs.getOrElse("table", throw new IllegalArgumentException(
         s"graft.$proc needs a table name as its first argument"))
-      val ident = TableIdentifier(name)
+      // accept db-qualified names, matching the ALTER rule's resolution
+      val ident = name.split('.') match {
+        case Array(t) => TableIdentifier(t)
+        case Array(db, t) => TableIdentifier(t, Some(db))
+        case _ => throw new IllegalArgumentException(
+          s"invalid table name: $name")
+      }
       val cat = spark.sessionState.catalog
       require(cat.tableExists(ident), s"no such table: $name")
       val meta = cat.getTableMetadata(ident)

@@ -162,6 +162,16 @@ case class GraftSetPropertiesCommand(location: String,
     refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftTable(spark, location)
+    // graft.ref.* carries snapshot ids ([[GraftTable.refs]]) — refuse
+    // garbage here rather than letting a raw property set plant a
+    // never-resolvable tag
+    set.foreach { case (k, v) =>
+      if (k.startsWith("graft.ref."))
+        require(v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) &&
+          t.snapshots.exists(_.snapshotId == v.toLong),
+          s"$k must name an existing snapshot id, got '$v' — use " +
+            "tag()/CALL or a valid id")
+    }
     if (set.nonEmpty) t.setProperties(set) else t.unsetProperties(unset)
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq.empty
@@ -354,15 +364,20 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         u.propKeys, Some(u.tableName))
 
     // SHOW TBLPROPERTIES stays a v2 plan (ResolvedTable over V1Table)
-    // even for session-catalog tables — swap it for the snapshot-log read
+    // even for session-catalog tables — swap it for the snapshot-log
+    // read. Guarded to the SESSION catalog with a plain namespace: a
+    // same-named table in another v2 catalog (or a nested namespace)
+    // must keep its own properties, not be shadowed by ours.
     case sp: ShowTableProperties =>
       sp.table match {
-        case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+        case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable
+            if r.catalog.name == "spark_catalog" &&
+              r.identifier.namespace.length <= 1 =>
           val ti =
             if (r.identifier.namespace.isEmpty)
               TableIdentifier(r.identifier.name)
             else TableIdentifier(r.identifier.name,
-              Some(r.identifier.namespace.last))
+              Some(r.identifier.namespace.head))
           graftLoc(ti) match {
             case Some(loc) =>
               GraftShowPropertiesCommand(loc, sp.propertyKey, sp.output)

@@ -40,7 +40,11 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def snapshotFor(table: GraftTable, tsExpr: Option[Expression],
       version: Option[String]): Long = version match {
-    case Some(v) if v.forall(_.isDigit) => v.toLong
+    // bounded digit strings are snapshot ids (tag names must start with
+    // a letter); everything else — including '' and overflow-length
+    // digit runs — resolves as a tag so the error names the real fix
+    case Some(v) if v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) =>
+      v.toLong
     case Some(v) => table.refs.getOrElse(v,
       throw new IllegalArgumentException(
         s"no tag '$v' on ${table.location} — " +

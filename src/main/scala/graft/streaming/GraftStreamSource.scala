@@ -50,10 +50,19 @@ class GraftStreamSource(spark: SparkSession, location: String,
     * stream. */
   private def conform(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    if (df.schema == schema) df
-    else df.select(schema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
-      else lit(null).cast(f.dataType).as(f.name)
+    if (df.schema == schema) return df
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) {
+        // a TYPE change (widenColumn) cannot be conformed: casting the
+        // widened values back down would overflow (ANSI) or silently
+        // wrap — fail with the actual remedy instead
+        val actual = df.schema(f.name).dataType
+        if (actual != f.dataType) throw new UnsupportedOperationException(
+          s"column ${f.name} changed type mid-stream " +
+            s"(${f.dataType.simpleString} -> ${actual.simpleString}); " +
+            "restart the stream to adopt the evolved schema")
+        col(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
   }
 

@@ -625,9 +625,12 @@ class GraftTable(spark: SparkSession, val location: String) {
   def dropTag(name: String): Long =
     unsetProperties(Seq(s"graft.ref.$name"))
 
-  /** Named snapshot refs (tag → snapshot id). */
+  /** Named snapshot refs (tag → snapshot id). Non-numeric `graft.ref.*`
+    * values (settable through raw SET TBLPROPERTIES) are ignored rather
+    * than poisoning every tag read and expire with a parse error. */
   def refs: Map[String, Long] = properties.collect {
-    case (k, v) if k.startsWith("graft.ref.") =>
+    case (k, v) if k.startsWith("graft.ref.") &&
+        v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) =>
       k.stripPrefix("graft.ref.") -> v.toLong
   }
 
@@ -1038,6 +1041,12 @@ class GraftTable(spark: SparkSession, val location: String) {
         return latestSnapshotId.get
     }
     val parentAtRead = latestSnapshotId
+    // extras are refused like append's check: with align null-filling
+    // missing nullable columns, a TYPO'D column name would otherwise
+    // silently null-wipe the real column across the whole table
+    val extras = df.columns.filterNot(schema.fieldNames.contains)
+    require(extras.isEmpty,
+      s"source has columns not in the table schema: ${extras.mkString(",")}")
     val aligned = align(df, schema)
     val removed = liveFiles()
     val staged = stageAndMove(aligned, partitionCols)
@@ -1272,14 +1281,17 @@ class GraftTable(spark: SparkSession, val location: String) {
     require(keepLast >= 1, "must retain at least one snapshot")
     val all = snapshots
     // tagged snapshots are pinned (Iceberg ref-retention): expiring one
-    // would silently empty every read through its tag
-    val tagged = refs.values.toSeq
+    // would silently empty every read through its tag. Retention is
+    // SUFFIX-shaped by design — the chain replays linearly from one
+    // baseline, so everything at or after the oldest live tag is kept
+    // (drop stale tags to release their history). Tags pointing outside
+    // the chain (already absorbed, or garbage) pin nothing.
+    val chainIds = all.map(_.snapshotId).toSet
+    val tagged = refs.values.filter(chainIds.contains)
     val keep =
       if (tagged.isEmpty) keepLast
-      else {
-        val idx = all.indexWhere(_.snapshotId == tagged.min)
-        if (idx < 0) keepLast else math.max(keepLast, all.size - idx)
-      }
+      else math.max(keepLast,
+        all.size - all.indexWhere(_.snapshotId == tagged.min))
     if (all.size <= keep) return Seq.empty
     val retained = all.takeRight(keep)
     val expired = all.dropRight(keep)

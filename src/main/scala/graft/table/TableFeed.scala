@@ -123,8 +123,16 @@ object TableFeed {
       if (full && dst.exists) {
         val extra = df.schema.fields
           .filterNot(f => dst.schema.fieldNames.contains(f.name))
-        if (extra.nonEmpty)
+        if (extra.nonEmpty) try {
           dst.addColumns(extra.map(_.copy(nullable = true)).toSeq)
+        } catch { case e: IllegalArgumentException =>
+          // the pending range is already checkpointed, so this failure
+          // would replay forever — name the manual remedy
+          throw new IllegalStateException(
+            s"mirror ${dst.location} cannot adopt the source's evolved " +
+              s"schema (${e.getMessage}); drop and re-create the mirror " +
+              "(or reset its feed checkpoint) to resync", e)
+        }
       }
       if (full) dst.overwrite(df, parts, txn = Some((txnAppId, batchId)))
       else dst.append(df, parts, mergeSchema = true,
