@@ -401,6 +401,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // unknown procedure fails loudly with the supported list
     val e = intercept[Exception](spark.sql("CALL graft.vacuum('ext_call')"))
     assert(e.getMessage.contains("supported"))
+    // a TYPO'D argument name errors instead of silently falling back to
+    // a destructive default (keep_last=1 would have expired everything)
+    val snapsBefore = t.snapshots.size
+    val typo = intercept[Exception](spark.sql(
+      "CALL graft.expire_snapshots('ext_call', keeplast => 5)"))
+    assert(typo.getMessage.contains("unknown argument"))
+    assert(t.snapshots.size === snapsBefore) // nothing was expired
+    // destructive args are required, never defaulted
+    val req = intercept[Exception](spark.sql(
+      "CALL graft.expire_snapshots('ext_call')"))
+    assert(req.getMessage.contains("keep_last"))
     cat.drop("ext_call")
   }
 
@@ -440,6 +451,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     t.expireSnapshots(keepLast = 1)
     assert(spark.sql("SELECT count(*) FROM ext_tag").as[Long]
       .collect()(0) === 4L)
+    // a garbage graft.ref.* value is refused by SQL SET TBLPROPERTIES,
+    // and even a hand-planted one never poisons refs resolution
+    val bad = intercept[Exception](spark.sql(
+      "ALTER TABLE ext_tag SET TBLPROPERTIES ('graft.ref.x' = 'oops')"))
+    assert(bad.getMessage.contains("snapshot id"))
+    t.setProperties(Map("graft.ref.y" -> "not-a-number")) // raw API
+    assert(t.refs === Map.empty) // ignored, nothing throws
+    t.expireSnapshots(keepLast = 1) // still operational
     cat.drop("ext_tag")
   }
 

@@ -42,6 +42,15 @@ class SchemaEvolutionSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t2.append(Seq("x").toDF("v"))
     }
+    // overwrite refuses EXTRA columns: with null-fill active, a typo'd
+    // name would otherwise silently null-wipe the real column table-wide
+    val t3 = GraftTable(spark, tmpDir("se-strict3") + "/t")
+    t3.append(Seq((1L, "a")).toDF("id", "value"))
+    val ex = intercept[IllegalArgumentException] {
+      t3.overwrite(Seq((2L, "b")).toDF("id", "valu"))
+    }
+    assert(ex.getMessage.contains("valu"))
+    assert(t3.read().count() === 1) // nothing committed
   }
 
   test("without mergeSchema, EXTRA columns are rejected, not silently dropped") {
