@@ -277,9 +277,14 @@ object TableQueries {
     val t = GraftTable(s, scratch("hidden"))
     // months, not days: orders spans ~7 years, and day-granularity would
     // burst into thousands of tiny-file dirs (the classic transform
-    // mis-granularity) — months keeps ~84 dirs and the range still prunes
-    t.append(Tables.load(s, dir, "orders").filter(col("o_orderkey") % 4 === 0),
-      parts = Seq("months(o_orderdate)"))
+    // mis-granularity) — months keeps ~84 dirs and the range still prunes.
+    // Hash write distribution: one file per month dir instead of
+    // tasks-per-dir (the 100 TB append shape; also fewer footers to stat)
+    val src = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 4 === 0)
+    t.create(src.schema, parts = Seq("months(o_orderdate)"),
+      properties = Map("graft.write.distribution" -> "hash"))
+    t.append(src)
     project(s.read.format("graft").load(t.location)
       .filter(col("o_orderdate") >= lit("1995-01-01") &&
         col("o_orderdate") < lit("1996-01-01")))
