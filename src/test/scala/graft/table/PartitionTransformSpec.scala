@@ -209,6 +209,19 @@ class PartitionTransformSpec extends SparkSpec {
     assert(t.readIncremental(preEvolve, t.latestSnapshotId.get,
       skipRewrites = true).count() >= 3)
 
+    // manifest/file pruning through liveFilesWhere stays conservative
+    // across the boundary: a keep-filter on the NEW spec's phys column
+    // keeps every old-layout file (no ts_day dir to judge by) while
+    // pruning new-layout files to the kept day
+    val keptFiles = t.liveFilesWhere(Map("ts_day" -> Set("2024-02-10")))
+    val oldLayout = t.liveFiles().filter(f =>
+      t.partitionValues(f).contains("ts_month"))
+    assert(oldLayout.nonEmpty && oldLayout.forall(keptFiles.contains))
+    assert(t.liveFiles().filter(f =>
+      t.partitionValues(f).get("ts_day").exists(_ != "2024-02-10"))
+      .forall(!keptFiles.contains(_)))
+
+
     // compaction migrates the WHOLE live set to the current spec — the
     // conservative no-pruning window for old-layout files is bounded by
     // the compaction cadence
