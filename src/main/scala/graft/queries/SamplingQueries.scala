@@ -122,6 +122,43 @@ object SamplingQueries {
        |ORDER BY per.doc_id""".stripMargin
   }
 
+  /** Sequence packing (the tokenize→concatenate→chunk layout of GPT
+    * pretraining): documents land in 4 deterministic hash shards, each
+    * shard's token stream is cut into 2048-token packs, and the result
+    * reports per-pack document counts and token sums. Integer cumsums —
+    * engine-exact; no global sort (each shard packs independently). */
+  val qPack: Q = (s, dir) => {
+    import graft.functions.TextFunctions.tokenCount
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Packing
+      .packAssignments(docs, "doc_id", "n_tokens", 2048L, 4)
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"), col("pack"))
+  }
+  val qPackSql: String = {
+    val toksSql = OracleSql.toks
+    s"""WITH d AS (
+       |  SELECT doc_id, len($toksSql) AS n_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      % 10000 % 4 AS BIGINT) AS shard
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+       |      - n_tokens AS off
+       |  FROM d)
+       |SELECT shard, CAST(off // 2048 AS BIGINT) AS pack,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc
+       |FROM o GROUP BY shard, pack ORDER BY shard, pack""".stripMargin
+  }
+
   /** Flagship corpus-curation composite — the end-to-end LLM-data
     * pipeline in one query: language-ID gate + quality-score gate →
     * exact-dedup keep-min → deterministic train/val/test split → split
@@ -196,6 +233,7 @@ object SamplingQueries {
     ("q_hash_split", qHashSplit, Some(qHashSplitSql)),
     ("q_stratified", qStratified, Some(qStratifiedSql)),
     ("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
+    ("q_pack", qPack, Some(qPackSql)),
     ("q_curation", qCuration, Some(qCurationSql)),
   )
 }
