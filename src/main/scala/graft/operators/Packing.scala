@@ -22,16 +22,23 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Per-document pack assignment: adds `shard`, `offset` (exclusive
-    * cumulative tokens within the shard) and `pack` (offset / budget). */
+    * cumulative tokens within the shard) and `pack` (offset / budget).
+    * `idCol` MUST be unique — it is both the shard hash input and the
+    * within-shard order, so duplicate ids would make offsets
+    * order-dependent. The frame is pinned to ROWS (the default RANGE
+    * frame sums all ORDER BY peers at once) and pack uses exact integer
+    * division (a long/long `/` goes through double, which rounds past
+    * 2^53 cumulative tokens). */
   def packAssignments(df: DataFrame, idCol: String, tokensCol: String,
       tokenBudget: Long, shards: Int): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
     require(shards > 0, "shards must be positive")
     val shard: Column = Sampling.hashBucket(col(idCol)) % shards
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shard)
       .withColumn("offset",
         sum(col(tokensCol)).over(w) - col(tokensCol))
-      .withColumn("pack", floor(col("offset") / tokenBudget))
+      .withColumn("pack", expr(s"offset div $tokenBudget"))
   }
 }

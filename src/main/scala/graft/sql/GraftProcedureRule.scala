@@ -77,25 +77,19 @@ case class GraftCallCommand(proc: String, location: String,
 
 class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  /** positional argument names per procedure (after the leading table). */
-  private val positional: Map[String, Seq[String]] = Map(
-    "expire_snapshots" -> Seq("keep_last"),
-    "compact" -> Seq("files_per_partition"),
-    "rewrite_manifests" -> Seq.empty,
-    "rollback" -> Seq("snapshot_id"),
-    "remove_orphan_files" -> Seq("older_than_ms"),
-    "set_partition_spec" -> Seq("spec"))
-
-  /** every argument name a procedure accepts (validated: an unknown —
-    * typically typo'd — name must error, never silently fall back to a
-    * default, because several defaults are destructive). */
-  private val accepted: Map[String, Set[String]] = Map(
-    "expire_snapshots" -> Set("keep_last"),
-    "compact" -> Set("files_per_partition", "target_file_bytes", "sort_by"),
-    "rewrite_manifests" -> Set.empty,
-    "rollback" -> Set("snapshot_id"),
-    "remove_orphan_files" -> Set("older_than_ms"),
-    "set_partition_spec" -> Set("spec"))
+  /** ONE registration point per procedure: positional argument names
+    * (after the leading table) plus named-only extras. Argument names
+    * are validated against this — an unknown (typically typo'd) name
+    * must error, never silently fall back to a default, because several
+    * defaults are destructive. */
+  private val signatures: Map[String, (Seq[String], Set[String])] = Map(
+    "expire_snapshots" -> (Seq("keep_last"), Set.empty),
+    "compact" -> (Seq("files_per_partition"),
+      Set("target_file_bytes", "sort_by")),
+    "rewrite_manifests" -> (Seq.empty, Set.empty),
+    "rollback" -> (Seq("snapshot_id"), Set.empty),
+    "remove_orphan_files" -> (Seq("older_than_ms"), Set.empty),
+    "set_partition_spec" -> (Seq("spec"), Set.empty))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -115,10 +109,10 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case Call(UnresolvedProcedure(parts), callArgs, _)
         if procName(parts).isDefined =>
       val proc = procName(parts).get
-      val posNames = positional.getOrElse(proc,
+      val (posNames, extraNamed) = signatures.getOrElse(proc,
         throw new UnsupportedOperationException(
           s"unknown graft procedure: $proc — supported: " +
-            positional.keys.toSeq.sorted.mkString(", ")))
+            signatures.keys.toSeq.sorted.mkString(", ")))
       // first positional arg is the catalog table name; the rest map to
       // the procedure's positional names or arrive named (k => v)
       var posIdx = -1
@@ -134,7 +128,7 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
             posNames(posIdx - 1) -> litString(e, posNames(posIdx - 1))
           }
       }.toMap
-      val allowed = accepted(proc)
+      val allowed = posNames.toSet ++ extraNamed
       val unknown = kvs.keys.filterNot(k => k == "table" || allowed(k))
       if (unknown.nonEmpty) throw new IllegalArgumentException(
         s"unknown argument(s) for graft.$proc: ${unknown.mkString(", ")}" +

@@ -165,12 +165,14 @@ case class GraftSetPropertiesCommand(location: String,
     // graft.ref.* carries snapshot ids ([[GraftTable.refs]]) — refuse
     // garbage here rather than letting a raw property set plant a
     // never-resolvable tag
-    set.foreach { case (k, v) =>
-      if (k.startsWith("graft.ref."))
-        require(v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) &&
-          t.snapshots.exists(_.snapshotId == v.toLong),
-          s"$k must name an existing snapshot id, got '$v' — use " +
-            "tag()/CALL or a valid id")
+    if (set.keys.exists(_.startsWith("graft.ref."))) {
+      val ids = t.snapshots.map(_.snapshotId).toSet
+      set.foreach { case (k, v) =>
+        if (k.startsWith("graft.ref."))
+          require(GraftTable.isSnapshotIdString(v) && ids(v.toLong),
+            s"$k must name an existing snapshot id, got '$v' — use " +
+              "tag()/CALL or a valid id")
+      }
     }
     if (set.nonEmpty) t.setProperties(set) else t.unsetProperties(unset)
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)

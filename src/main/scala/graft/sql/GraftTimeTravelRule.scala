@@ -40,11 +40,10 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def snapshotFor(table: GraftTable, tsExpr: Option[Expression],
       version: Option[String]): Long = version match {
-    // bounded digit strings are snapshot ids (tag names must start with
-    // a letter); everything else — including '' and overflow-length
-    // digit runs — resolves as a tag so the error names the real fix
-    case Some(v) if v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) =>
-      v.toLong
+    // snapshot ids vs tag names: one shared classifier — everything
+    // else, including '' and overflow-length digit runs, resolves as a
+    // tag so the error names the real fix
+    case Some(v) if GraftTable.isSnapshotIdString(v) => v.toLong
     case Some(v) => table.refs.getOrElse(v,
       throw new IllegalArgumentException(
         s"no tag '$v' on ${table.location} — " +
@@ -92,18 +91,21 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Some(df.queryExecution.analyzed)
   }
 
+  // each case resolves catalog metadata ONCE (a guard + .get doubles
+  // the lookups — and metadataTable builds a whole metadata DataFrame)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case RelationTimeTravel(u: UnresolvedRelation, tsExpr, version)
-        if graftPath(u).isDefined =>
-      val path = graftPath(u).get
-      val table = GraftTable(spark, path)
-      val snapId = snapshotFor(table, tsExpr, version)
-      val rel = new graft.sources.GraftDataSource().createRelation(
-        spark.sqlContext,
-        Map("path" -> path, "snapshotId" -> snapId.toString))
-      LogicalRelation(rel, isStreaming = false)
+    case rt @ RelationTimeTravel(u: UnresolvedRelation, tsExpr, version) =>
+      graftPath(u) match {
+        case None => rt
+        case Some(path) =>
+          val table = GraftTable(spark, path)
+          val snapId = snapshotFor(table, tsExpr, version)
+          val rel = new graft.sources.GraftDataSource().createRelation(
+            spark.sqlContext,
+            Map("path" -> path, "snapshotId" -> snapId.toString))
+          LogicalRelation(rel, isStreaming = false)
+      }
 
-    case u: UnresolvedRelation if metadataTable(u).isDefined =>
-      metadataTable(u).get
+    case u: UnresolvedRelation => metadataTable(u).getOrElse(u)
   }
 }

@@ -53,15 +53,20 @@ class GraftStreamSource(spark: SparkSession, location: String,
     if (df.schema == schema) return df
     df.select(schema.fields.map { f =>
       if (df.columns.contains(f.name)) {
-        // a TYPE change (widenColumn) cannot be conformed: casting the
-        // widened values back down would overflow (ANSI) or silently
-        // wrap — fail with the actual remedy instead
         val actual = df.schema(f.name).dataType
-        if (actual != f.dataType) throw new UnsupportedOperationException(
+        if (actual == f.dataType) col(f.name)
+        // SAFE upcasts conform (a restarted post-widen stream replays
+        // its checkpointed pre-widen batch, which reads under the OLD
+        // narrower schema — refusing the upcast would loop forever);
+        // only a NARROWING change throws, since casting widened values
+        // down would overflow (ANSI) or silently wrap
+        else if (org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(actual, f.dataType))
+          col(f.name).cast(f.dataType)
+        else throw new UnsupportedOperationException(
           s"column ${f.name} changed type mid-stream " +
             s"(${f.dataType.simpleString} -> ${actual.simpleString}); " +
             "restart the stream to adopt the evolved schema")
-        col(f.name)
       } else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
   }

@@ -630,7 +630,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     * than poisoning every tag read and expire with a parse error. */
   def refs: Map[String, Long] = properties.collect {
     case (k, v) if k.startsWith("graft.ref.") &&
-        v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) =>
+        GraftTable.isSnapshotIdString(v) =>
       k.stripPrefix("graft.ref.") -> v.toLong
   }
 
@@ -1556,6 +1556,13 @@ object GraftTable {
   /** Drop the metadata parse caches (test hook: makes parse counters
     * measure a cold resolution). */
   def clearMetaCaches(): Unit = { snapCache.clear(); manifestCache.clear() }
+
+  /** Is `v` a parseable snapshot id (bounded digit run — tag names must
+    * start with a letter)? The ONE definition shared by [[GraftTable.refs]],
+    * SQL `VERSION AS OF` dispatch, and ref-property validation, so a
+    * string can never be classified differently across the three. */
+  def isSnapshotIdString(v: String): Boolean =
+    v.nonEmpty && v.length <= 18 && v.forall(_.isDigit)
 
   /** The publish primitive all commits go through — swap for stores
     * without an atomic rename-or-fail (see [[CommitLock]]). */
