@@ -24,6 +24,7 @@ import graft.table.{GraftTable, PartitionTransforms}
   *   CALL graft.rollback('t', snapshot_id => 4)
   *   CALL graft.remove_orphan_files('t' [, older_than_ms => 0])
   *   CALL graft.set_partition_spec('t', spec => 'days(ts)')
+  *   CALL graft.tag('t', 'v1' [, snapshot_id]) / graft.drop_tag('t', 'v1')
   *
   * (`graft.system.<proc>` also accepted.) Spark 4 parses CALL into
   * `Call(UnresolvedProcedure, args)` but only v2 ProcedureCatalogs can
@@ -65,10 +66,16 @@ case class GraftCallCommand(proc: String, location: String,
         // UNPARTITION the table (empty spec is legal via spec => '')
         require(args.contains("spec"), s"graft.$proc needs spec")
         t.updatePartitionSpec(specArg("spec"))
+      case "tag" =>
+        t.tag(args.getOrElse("name", throw new IllegalArgumentException(
+          s"graft.$proc needs name")), longArg("snapshot_id"))
+      case "drop_tag" =>
+        t.dropTag(args.getOrElse("name",
+          throw new IllegalArgumentException(s"graft.$proc needs name")))
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other — supported: " +
           "expire_snapshots, compact, rewrite_manifests, rollback, " +
-          "remove_orphan_files, set_partition_spec")
+          "remove_orphan_files, set_partition_spec, tag, drop_tag")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -89,7 +96,9 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "rewrite_manifests" -> (Seq.empty, Set.empty),
     "rollback" -> (Seq("snapshot_id"), Set.empty),
     "remove_orphan_files" -> (Seq("older_than_ms"), Set.empty),
-    "set_partition_spec" -> (Seq("spec"), Set.empty))
+    "set_partition_spec" -> (Seq("spec"), Set.empty),
+    "tag" -> (Seq("name", "snapshot_id"), Set.empty),
+    "drop_tag" -> (Seq("name"), Set.empty))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {

@@ -428,6 +428,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
     assert(t.refs === Map("baseline_v1" -> v1))
     assert(t.readTag("baseline_v1").count() === 2)
+    // tags are CALL-driveable too
+    spark.sql(s"CALL graft.tag('ext_tag', 'v1_sql', $v1)")
+    assert(t.refs("v1_sql") === v1)
+    spark.sql("CALL graft.drop_tag('ext_tag', 'v1_sql')")
+    assert(!t.refs.contains("v1_sql"))
     // DataFrame-API tag read
     assert(spark.read.format("graft").option("tag", "baseline_v1")
       .load(t.location).count() === 2)
