@@ -203,7 +203,11 @@ object AggExpressions {
     * scored corpus moves O(k × partitions) rows instead of the whole
     * scored set — the shape that beats a row_number window (which must
     * shuffle every scored row to rank it) at any scale, and the reason
-    * ANN brute-force scoring stays one scan + a tiny exchange. */
+    * ANN brute-force scoring stays one scan + a tiny exchange.
+    *
+    * Ids may be any integral or string column (validated at ANALYSIS time
+    * via checkInputDataTypes — no runtime ClassCastException); scores any
+    * numeric. The output `neighbor_id` keeps the id column's type. */
   case class TopKAgg(
       idChild: Expression,
       scoreChild: Expression,
@@ -211,26 +215,58 @@ object AggExpressions {
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[
-        scala.collection.mutable.PriorityQueue[(Double, Long)]] {
+        scala.collection.mutable.PriorityQueue[(Double, Any)]] {
     require(k > 0, "k must be positive")
+
+    import org.apache.spark.sql.types._
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      val idOk = idChild.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _ => false
+      }
+      if (!idOk) TypeCheckFailure("topk_by id must be an integral or " +
+        s"string column, got ${idChild.dataType.simpleString}")
+      else if (!scoreChild.dataType.isInstanceOf[NumericType])
+        TypeCheckFailure("topk_by score must be numeric, got " +
+          scoreChild.dataType.simpleString)
+      else TypeCheckSuccess
+    }
+
+    // id tie-break uses Spark's interpreted ordering for the id's own type
+    // (internal values: boxed integrals / UTF8String)
+    @transient private lazy val idOrd: Ordering[Any] =
+      GraftSqlGlue.interpretedOrdering(idChild.dataType)
+
+    private def toScore(v: Any): Double = v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case s: Short => s.toDouble
+      case b: Byte => b.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    }
 
     // heap head = WORST kept pair (lowest score, then largest id), so a
     // better candidate evicts the head in O(log k)
-    private def heapOrd: Ordering[(Double, Long)] =
-      new Ordering[(Double, Long)] {
-        override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+    private def heapOrd: Ordering[(Double, Any)] =
+      new Ordering[(Double, Any)] {
+        override def compare(x: (Double, Any), y: (Double, Any)): Int = {
           val c = java.lang.Double.compare(y._1, x._1) // lower score = max
-          if (c != 0) c else java.lang.Long.compare(x._2, y._2) // larger id = max
+          if (c != 0) c else idOrd.compare(x._2, y._2) // larger id = max
         }
       }
 
     override def createAggregationBuffer()
-        : scala.collection.mutable.PriorityQueue[(Double, Long)] =
-      new scala.collection.mutable.PriorityQueue[(Double, Long)]()(heapOrd)
+        : scala.collection.mutable.PriorityQueue[(Double, Any)] =
+      new scala.collection.mutable.PriorityQueue[(Double, Any)]()(heapOrd)
 
     private def add(
-        buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
-        pair: (Double, Long)): Unit = {
+        buf: scala.collection.mutable.PriorityQueue[(Double, Any)],
+        pair: (Double, Any)): Unit = {
       if (buf.size < k) buf.enqueue(pair)
       else if (heapOrd.compare(pair, buf.head) < 0) { // pair beats worst
         buf.dequeue(); buf.enqueue(pair)
@@ -238,57 +274,92 @@ object AggExpressions {
     }
 
     override def update(
-        buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+        buf: scala.collection.mutable.PriorityQueue[(Double, Any)],
         input: InternalRow)
-        : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+        : scala.collection.mutable.PriorityQueue[(Double, Any)] = {
       val id = idChild.eval(input)
       val score = scoreChild.eval(input)
       if (id != null && score != null)
-        add(buf, (score.asInstanceOf[Double], id.asInstanceOf[Long]))
+        add(buf, (toScore(score), id match {
+          // UTF8String buffers may be reused by the scan — copy to own it
+          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case other => other
+        }))
       buf
     }
 
     override def merge(
-        buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
-        other: scala.collection.mutable.PriorityQueue[(Double, Long)])
-        : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+        buf: scala.collection.mutable.PriorityQueue[(Double, Any)],
+        other: scala.collection.mutable.PriorityQueue[(Double, Any)])
+        : scala.collection.mutable.PriorityQueue[(Double, Any)] = {
       other.foreach(add(buf, _))
       buf
     }
 
     /** array<struct<neighbor_id, cos>> sorted best-first. */
     override def eval(
-        buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any = {
-      val sorted = buf.dequeueAll.reverse // dequeue yields worst-first
+        buf: scala.collection.mutable.PriorityQueue[(Double, Any)]): Any = {
+      val sorted = buf.clone().dequeueAll.reverse // dequeue yields worst-first
       new GenericArrayData(sorted.map { case (s, id) =>
         InternalRow(id, s)
       }.toArray[Any])
     }
 
     override def serialize(
-        buf: scala.collection.mutable.PriorityQueue[(Double, Long)])
+        buf: scala.collection.mutable.PriorityQueue[(Double, Any)])
         : Array[Byte] = {
       val items = buf.toArray
-      val bb = ByteBuffer.allocate(4 + 16 * items.length)
+      val idBytes: Array[Array[Byte]] = idChild.dataType match {
+        case StringType => items.map(
+          _._2.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+        case _ => items.map { it =>
+          val l = it._2 match {
+            case b: Byte => b.toLong
+            case s: Short => s.toLong
+            case i: Int => i.toLong
+            case l: Long => l
+          }
+          ByteBuffer.allocate(8).putLong(l).array()
+        }
+      }
+      val bb = ByteBuffer.allocate(
+        4 + items.map(_ => 12).sum + idBytes.map(_.length).sum)
       bb.putInt(items.length)
-      items.foreach { case (s, id) => bb.putDouble(s); bb.putLong(id) }
+      items.zip(idBytes).foreach { case ((s, _), ib) =>
+        bb.putDouble(s); bb.putInt(ib.length); bb.put(ib)
+      }
       bb.array()
     }
 
     override def deserialize(bytes: Array[Byte])
-        : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+        : scala.collection.mutable.PriorityQueue[(Double, Any)] = {
       val bb = ByteBuffer.wrap(bytes)
       val n = bb.getInt
       val buf = createAggregationBuffer()
       var i = 0
-      while (i < n) { buf.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+      while (i < n) {
+        val s = bb.getDouble
+        val len = bb.getInt
+        val ib = new Array[Byte](len)
+        bb.get(ib)
+        val id: Any = idChild.dataType match {
+          case StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(ib)
+          case ByteType => ByteBuffer.wrap(ib).getLong.toByte
+          case ShortType => ByteBuffer.wrap(ib).getLong.toShort
+          case IntegerType => ByteBuffer.wrap(ib).getLong.toInt
+          case _ => ByteBuffer.wrap(ib).getLong
+        }
+        buf.enqueue((s, id))
+        i += 1
+      }
       buf
     }
 
     override def dataType: DataType = ArrayType(
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("neighbor_id", LongType,
-          nullable = false),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          idChild.dataType, nullable = false),
         org.apache.spark.sql.types.StructField("cos",
           org.apache.spark.sql.types.DoubleType, nullable = false))),
       containsNull = false)

@@ -686,35 +686,36 @@ class GraftTable(spark: SparkSession, val location: String) {
   private def stageAndMove(df: DataFrame,
       parts: Seq[String], clustered: Boolean = false): Seq[(String, Long)] = {
     val stage = new Path(metaPath, s"stage-${UUID.randomUUID()}")
+    // hidden partitioning: derive the transform columns for the writer's
+    // dir layout; the source columns stay in the data files
+    val fields = parts.map(PartitionTransforms.parse)
+    val (toWrite, physNames) =
+      if (!fields.exists(!_.isIdentity)) (df, parts)
+      else (fields.filterNot(_.isIdentity).foldLeft(df)((acc, f) =>
+        acc.withColumn(f.physName, PartitionTransforms.columnFor(
+          f, col(f.source), df.schema(f.source).dataType))),
+        fields.map(_.physName))
+    val distributed =
+      if (!clustered && physNames.nonEmpty &&
+          properties.getOrElse("graft.write.distribution", "none") == "hash")
+        toWrite.repartition(physNames.map(col): _*)
+      else toWrite
     // pin MICROS timestamps for the staged write: INT96 (the legacy
     // default some sessions carry) records no usable footer statistics,
-    // which would silently disable timestamp stats and their pruning
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val tsBefore = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try {
-      // hidden partitioning: derive the transform columns for the writer's
-      // dir layout; the source columns stay in the data files
-      val fields = parts.map(PartitionTransforms.parse)
-      val (toWrite, physNames) =
-        if (!fields.exists(!_.isIdentity)) (df, parts)
-        else (fields.filterNot(_.isIdentity).foldLeft(df)((acc, f) =>
-          acc.withColumn(f.physName, PartitionTransforms.columnFor(
-            f, col(f.source), df.schema(f.source).dataType))),
-          fields.map(_.physName))
-      val distributed =
-        if (!clustered && physNames.nonEmpty &&
-            properties.getOrElse("graft.write.distribution", "none") == "hash")
-          toWrite.repartition(physNames.map(col): _*)
-        else toWrite
-      val writer = distributed.write.mode("overwrite")
-        .option("compression", "snappy")
-      (if (physNames.nonEmpty) writer.partitionBy(physNames: _*) else writer)
-        .parquet(stage.toString)
-    } finally tsBefore match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
-    }
+    // which would silently disable timestamp stats and their pruning.
+    // The pin lives on a CLONED session (shared context/cache, private
+    // conf) so concurrent commits in the caller's session can never
+    // interleave with a set/restore of shared conf.
+    val writeSpark = org.apache.spark.sql.graftglue.GraftSqlGlue
+      .cloneSession(spark)
+    writeSpark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    val bound = org.apache.spark.sql.graftglue.GraftSqlGlue
+      .ofRows(writeSpark, distributed.queryExecution.logical)
+    val writer = bound.write.mode("overwrite")
+      .option("compression", "snappy")
+    (if (physNames.nonEmpty) writer.partitionBy(physNames: _*) else writer)
+      .parquet(stage.toString)
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(stage, true)
     while (it.hasNext) {
@@ -736,6 +737,22 @@ class GraftTable(spark: SparkSession, val location: String) {
   private def stripPrefix(full: String, prefix: String): String = {
     val i = full.indexOf(prefix)
     full.substring(i + prefix.length).dropWhile(_ == '/')
+  }
+
+  /** Table-relative path of a scan-reported absolute path (the
+    * `input_file_name()` form: a URI string, possibly percent-encoded).
+    * BASENAMES ARE NOT UNIQUE across partition dirs — Spark's dynamic
+    * partition writer gives one task's files in different partition dirs
+    * identical `part-NNNNN-<jobUUID>` names — so anything attributing a
+    * scan row to a table file must key by this full relative path. */
+  private def relOfScanPath(full: String): String = {
+    val decoded =
+      try new java.net.URI(full).getPath
+      catch { case _: java.net.URISyntaxException => full }
+    val anchor = tablePath.toUri.getPath
+    val i = decoded.indexOf(anchor)
+    val p = if (i >= 0) decoded.substring(i + anchor.length) else decoded
+    p.dropWhile(_ == '/')
   }
 
   /** Per-file column min/max + row counts for newly written files — the
@@ -785,8 +802,12 @@ class GraftTable(spark: SparkSession, val location: String) {
       if (bloomFields.isEmpty) Map.empty
       else {
         GraftTable.statsDataScans.incrementAndGet()
-        val nameToRel = relFiles
-          .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+        // files resolved by full table-relative path ([[relOfScanPath]]):
+        // a staged write is exactly where cross-partition basename
+        // collisions happen (one task, several partition dirs), and a
+        // misattributed Bloom bitset would let the merge point probe
+        // prune a file that DOES contain a key — silent key duplication
+        val relSet = relFiles.toSet
         val df = spark.read
           .schema(StructType(bloomFields.toIndexedSeq))
           .parquet(relFiles.map(f => s"$location/$f"): _*)
@@ -795,13 +816,12 @@ class GraftTable(spark: SparkSession, val location: String) {
         df.groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*).collect().toSeq
           .flatMap { r =>
-            val fname = new Path(r.getString(0)).getName
-            nameToRel.get(fname).map { rel =>
-              rel -> bloomFields.flatMap { f =>
-                Option(r.getAs[scala.collection.Seq[Long]](s"bf_${f.name}"))
-                  .map(b => f.name -> FileStats.encodeBloom(b.toArray))
-              }.toMap
-            }
+            val rel = relOfScanPath(r.getString(0))
+            if (!relSet.contains(rel)) None
+            else Some(rel -> bloomFields.flatMap { f =>
+              Option(r.getAs[scala.collection.Seq[Long]](s"bf_${f.name}"))
+                .map(b => f.name -> FileStats.encodeBloom(b.toArray))
+            }.toMap)
           }.toMap
       }
 
@@ -1406,10 +1426,14 @@ class GraftTable(spark: SparkSession, val location: String) {
     * MOR-aware rewrite cleans anyway). */
   private def filesMatching(live: Seq[String], cond: Column): Seq[String] = {
     if (live.isEmpty) return Seq.empty
-    val nameToRel = live.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    // keyed by full table-relative path, NOT basename: identical part-NNNNN
+    // basenames across partition dirs would collapse in a basename map and
+    // the rewrite would target the wrong file (silent row loss)
+    val liveSet = live.toSet
     readFiles(live).filter(cond <=> lit(true))
       .select(input_file_name().as("__f")).distinct().collect()
-      .flatMap(r => nameToRel.get(new Path(r.getString(0)).getName)).toSeq
+      .map(r => relOfScanPath(r.getString(0)))
+      .filter(liveSet.contains).toSeq
   }
 
   /** SQL DELETE FROM semantics: copy-on-write rewrite of ONLY the files

@@ -24,6 +24,14 @@ object GraftSqlGlue {
   def unescapePathName(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
+  /** Clone a session: shared SparkContext and shared state (cache manager
+    * included), COPIED SQLConf and temp-view registry. A write job that
+    * must pin a session conf (e.g. parquet timestamp encoding) runs under
+    * the clone instead of mutating the caller's session — concurrent
+    * commits in one session never observe a set/restore interleaving. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Public alias for the private[sql] AbstractDataType, so graft
     * expressions can declare ExpectsInputTypes.inputTypes. */
   type SqlAbstractDataType = types.AbstractDataType
