@@ -393,9 +393,11 @@ class GraftTable(spark: SparkSession, val location: String) {
       parts: Seq[String], expectedParent: Option[Long] = None,
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       rows: Map[String, Long] = Map.empty,
-      // MOR delete-file changes; addDeletePaths get seq = the committed
-      // snapshot's id (they apply to strictly older data files)
-      addDeletePaths: Seq[String] = Seq.empty,
+      // MOR delete-file changes ((path, bytes) pairs); added deletes get
+      // seq = the committed snapshot's id (they apply to strictly older
+      // data files) and carry the commit's equality-key columns
+      addDeletePaths: Seq[(String, Long)] = Seq.empty,
+      addDeleteCols: Option[Seq[String]] = None,
       removeDeletes: Seq[String] = Seq.empty,
       reAddDeletes: Seq[DeleteFile] = Seq.empty,
       txn: Option[(String, Long)] = None,
@@ -411,8 +413,8 @@ class GraftTable(spark: SparkSession, val location: String) {
         added.map(f => ManifestEntry(f, "add",
           stats = stats.get(f).filter(_.nonEmpty), rows = rows.get(f),
           seq = seqs.get(f), bytes = bytes.get(f)))
-    val manifestRef =
-      if (entries.isEmpty) None else Some(writeManifest(entries, parts))
+    val manifestRef = graft.util.Phase.timed("table.commit.manifest")(
+      if (entries.isEmpty) None else Some(writeManifest(entries, parts)))
     var attempts = 0
     while (true) {
       attempts += 1
@@ -440,7 +442,8 @@ class GraftTable(spark: SparkSession, val location: String) {
       }
       val id = parent.map(_.snapshotId + 1).getOrElse(0L)
       val addedDeletes =
-        addDeletePaths.map(DeleteFile(_, id)) ++ reAddDeletes
+        addDeletePaths.map { case (p, b) =>
+          DeleteFile(p, id, Some(b), addDeleteCols) } ++ reAddDeletes
       val snap = Snapshot(id, parent.map(_.snapshotId),
         System.currentTimeMillis(), operation, Seq.empty, Seq.empty,
         schemaFor(parent), parts,
@@ -706,31 +709,35 @@ class GraftTable(spark: SparkSession, val location: String) {
     // The pin lives on a CLONED session (shared context/cache, private
     // conf) so concurrent commits in the caller's session can never
     // interleave with a set/restore of shared conf.
-    val writeSpark = org.apache.spark.sql.graftglue.GraftSqlGlue
-      .cloneSession(spark)
+    val writeSpark = graft.util.Phase.timed("table.stage.cloneSession")(
+      org.apache.spark.sql.graftglue.GraftSqlGlue.cloneSession(spark))
     writeSpark.conf.set("spark.sql.parquet.outputTimestampType",
       "TIMESTAMP_MICROS")
     val bound = org.apache.spark.sql.graftglue.GraftSqlGlue
       .ofRows(writeSpark, distributed.queryExecution.logical)
     val writer = bound.write.mode("overwrite")
       .option("compression", "snappy")
-    (if (physNames.nonEmpty) writer.partitionBy(physNames: _*) else writer)
-      .parquet(stage.toString)
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    val it = fs.listFiles(stage, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (name.endsWith(".parquet")) {
-        val rel = stripPrefix(f.getPath.toString, stage.toString)
-        val dest = new Path(tablePath, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(f.getPath, dest))
-          throw new IllegalStateException(s"failed to move $rel into $location")
-        files += ((rel, f.getLen))
-      }
+    graft.util.Phase.timed("table.stage.write") {
+      (if (physNames.nonEmpty) writer.partitionBy(physNames: _*) else writer)
+        .parquet(stage.toString)
     }
-    fs.delete(stage, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    graft.util.Phase.timed("table.stage.move") {
+      val it = fs.listFiles(stage, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (name.endsWith(".parquet")) {
+          val rel = stripPrefix(f.getPath.toString, stage.toString)
+          val dest = new Path(tablePath, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(f.getPath, dest))
+            throw new IllegalStateException(s"failed to move $rel into $location")
+          files += ((rel, f.getLen))
+        }
+      }
+      fs.delete(stage, true)
+    }
     files.toSeq
   }
 
@@ -786,7 +793,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(16, relFiles.size)))
     val footer: Map[String, (Map[String, ColStat], Long)] =
-      try {
+      try graft.util.Phase.timed("table.stats.footer") {
         import scala.jdk.CollectionConverters._
         val tasks = relFiles.map { rel =>
           new java.util.concurrent.Callable[(String, (Map[String, ColStat], Long))] {
@@ -800,7 +807,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     val bloomFields = statFields.filter(f => bloomColumns.contains(f.name))
     val blooms: Map[String, Map[String, String]] =
       if (bloomFields.isEmpty) Map.empty
-      else {
+      else graft.util.Phase.timed("table.stats.bloom") {
         GraftTable.statsDataScans.incrementAndGet()
         // files resolved by full table-relative path ([[relOfScanPath]]):
         // a staged write is exactly where cross-partition basename
@@ -1109,10 +1116,14 @@ class GraftTable(spark: SparkSession, val location: String) {
     * Data files are grouped by which deletes apply (a delete at seq D
     * covers files first-added strictly before D, so the applicable set is
     * a suffix of the deletes sorted by seq — at most |deletes|+1 groups);
-    * each group anti-joins its tombstone keys, broadcast (delete batches
-    * are small BY CONSTRUCTION — merges choose MOR only for small
-    * batches; compaction folds tombstones away). Pure-COW tables take the
-    * plain scan path with zero overhead. */
+    * each group runs ONE anti-join against the union of its applicable
+    * tombstone files (not one join per delete file — the plan is
+    * O(groups), and [[foldDeletes]] bounds the group count). The
+    * tombstone side is broadcast only while its manifest-recorded bytes
+    * fit the session's autoBroadcastJoinThreshold; a larger tombstone set
+    * (a forced-MOR bulk delete) falls back to a shuffle anti-join instead
+    * of shipping an arbitrarily large key set to every executor.
+    * Pure-COW tables take the plain scan path with zero overhead. */
   private def morRead(files: Seq[String], asOf: Option[Long]): DataFrame = {
     val deletes = liveDeletes(asOf).sortBy(_.seq)
     if (deletes.isEmpty) return readFiles(files, asOf)
@@ -1120,10 +1131,34 @@ class GraftTable(spark: SparkSession, val location: String) {
     val groups = files.groupBy(f =>
       deletes.filter(_.seq > addSeq.getOrElse(f, Long.MaxValue)))
     if (groups.isEmpty) return readFiles(files, asOf)
+    val broadcastMax =
+      try spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        .stripSuffix("b").stripSuffix("B").toLowerCase match {
+          case s if s.endsWith("k") => s.dropRight(1).toLong * 1024
+          case s if s.endsWith("m") => s.dropRight(1).toLong * 1024 * 1024
+          case s if s.endsWith("g") =>
+            s.dropRight(1).toLong * 1024 * 1024 * 1024
+          case s => s.toLong
+        }
+      catch { case _: NumberFormatException => 10L * 1024 * 1024 }
+    def delBytes(d: DeleteFile): Long = d.bytes.getOrElse(
+      fs.getFileStatus(new Path(tablePath, d.path)).getLen)
+    // legacy tombstones (no recorded key columns) resolve them from the
+    // file's own footer — bounded work, foldDeletes caps live tombstones
+    def delCols(d: DeleteFile): Seq[String] = d.cols.getOrElse(
+      spark.read.parquet(s"$location/${d.path}").columns.toSeq)
     groups.map { case (applicable, groupFiles) =>
-      applicable.foldLeft(readFiles(groupFiles, asOf)) { (df, d) =>
-        val keys = spark.read.parquet(s"$location/${d.path}")
-        df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+      val df = readFiles(groupFiles, asOf)
+      // one anti-join per distinct equality-key column set (merges on the
+      // same keys — the overwhelmingly common case — collapse to one)
+      applicable.groupBy(delCols).foldLeft(df) {
+        case (acc, (cols, dels)) =>
+          val keys = spark.read.parquet(
+            dels.map(d => s"$location/${d.path}"): _*).select(
+            cols.map(col): _*)
+          val small = broadcastMax > 0 &&
+            dels.map(delBytes).sum <= broadcastMax
+          acc.join(if (small) broadcast(keys) else keys, cols, "left_anti")
       }
     }.reduce(_ unionByName _)
   }
@@ -1513,23 +1548,74 @@ class GraftTable(spark: SparkSession, val location: String) {
     * wins per key — the same answer sequential merges give). Concurrent
     * CDC upsert streams therefore never abort each other. */
   private[table] def commitMergeMor(staged: Seq[(String, Long)],
-      deletePaths: Seq[String]): Long = {
+      deleteStaged: Seq[(String, Long)], keyCols: Seq[String]): Long = {
     val added = staged.map(_._1)
     val sr = collectStats(added)
-    commit("merge", added, Seq.empty, _ => schema.json, partitionCols,
-      stats = sr._1, rows = sr._2, addDeletePaths = deletePaths,
+    val id = commit("merge", added, Seq.empty, _ => schema.json,
+      partitionCols, stats = sr._1, rows = sr._2,
+      addDeletePaths = deleteStaged, addDeleteCols = Some(keyCols),
       bytes = staged.toMap)
+    // auto-fold: a long-running MOR stream must not degrade until an
+    // operator remembers to compact — once live tombstone files exceed
+    // the threshold, fold them into the (bounded set of) affected data
+    // files. Amortized: one partial rewrite per N merges, and morRead's
+    // plan stays O(threshold) by construction. A concurrent-commit
+    // conflict just skips the fold — the merge itself is committed, and
+    // the next merge past the threshold retries it.
+    val maxLive = properties.getOrElse("graft.merge.mor.max-delete-files",
+      GraftTable.MorMaxLiveDeleteFiles.toString).toInt
+    if (liveDeletes().size > maxLive) {
+      try return foldDeletes()
+      catch { case _: java.util.ConcurrentModificationException => }
+    }
+    id
+  }
+
+  /** Fold live MOR tombstones into the data: rewrite ONLY the data files
+    * that have applicable deletes (group-wise anti-joins, same plan as
+    * the read) and retire every live delete file. Untouched files carry
+    * forward by reference, so the cost is bounded by TOMBSTONED bytes,
+    * not table size — Iceberg's rewrite_position_delete_files analogue.
+    * Time travel to pre-fold snapshots still sees the tombstones. */
+  def foldDeletes(): Long = {
+    val parentAtRead = latestSnapshotId
+    val deletes = liveDeletes()
+    if (deletes.isEmpty)
+      return parentAtRead.getOrElse(
+        throw new IllegalStateException(s"table does not exist: $location"))
+    val addSeq = fileAddSeqs(None)
+    val affected = liveFiles().filter(f =>
+      deletes.exists(_.seq > addSeq.getOrElse(f, Long.MaxValue)))
+    val staged =
+      if (affected.isEmpty) Seq.empty
+      else stageAndMove(align(morRead(affected, None), schema),
+        partitionCols)
+    val added = staged.map(_._1)
+    val sr = collectStats(added)
+    commit("fold", added, affected, _ => schema.json, partitionCols,
+      expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
+      removeDeletes = deletes.map(_.path), bytes = staged.toMap)
   }
 
   private[table] def stageForMerge(df: DataFrame): Seq[(String, Long)] =
     stageAndMove(align(df, schema), partitionCols)
 
-  /** Stage a tombstone key batch as parquet under `_deletes/`. One file:
-    * MOR is chosen precisely when the batch is small. */
-  private[table] def stageDeletes(keys: DataFrame): Seq[String] = {
+  /** Stage a tombstone key batch as parquet under `_deletes/`, returning
+    * (path, bytes) pairs. Small batches (the common CDC case) write ONE
+    * file from one task; a large forced-MOR batch is split across tasks
+    * at ~[[GraftTable.MorDeleteFileRows]] rows per file, so the stage
+    * write parallelizes instead of single-tasking an arbitrarily large
+    * key set through coalesce(1). */
+  private[table] def stageDeletes(keys: DataFrame,
+      approxRows: Long): Seq[(String, Long)] = {
     val stage = new Path(metaPath, s"stage-del-${UUID.randomUUID()}")
-    keys.coalesce(1).write.parquet(stage.toString)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val nFiles = math.max(1L,
+      (approxRows + GraftTable.MorDeleteFileRows - 1)
+        / GraftTable.MorDeleteFileRows).toInt
+    val shaped =
+      if (nFiles == 1) keys.coalesce(1) else keys.repartition(nFiles)
+    shaped.write.parquet(stage.toString)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(stage, true)
     while (it.hasNext) {
       val f = it.next()
@@ -1539,7 +1625,7 @@ class GraftTable(spark: SparkSession, val location: String) {
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f.getPath, dest))
           throw new IllegalStateException(s"failed to move $rel into $location")
-        files += rel
+        files += ((rel, f.getLen))
       }
     }
     fs.delete(stage, true)
@@ -1561,6 +1647,16 @@ class GraftTable(spark: SparkSession, val location: String) {
 object GraftTable {
   def apply(spark: SparkSession, location: String): GraftTable =
     new GraftTable(spark, location)
+
+  /** Auto-fold trigger: max live tombstone FILES before a MOR merge
+    * commit folds them into the affected data files (property
+    * `graft.merge.mor.max-delete-files` overrides). Bounds morRead's
+    * plan at O(threshold) joins regardless of merge count. */
+  val MorMaxLiveDeleteFiles: Int = 10
+
+  /** Rows per staged tombstone file: batches under this write ONE file
+    * from one task; larger forced-MOR batches split across tasks. */
+  val MorDeleteFileRows: Long = 4L * 1000 * 1000
 
   private val SnapCacheMax = 10000
   private val snapCache =

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.util.Phase
+
 /** Keyed upsert with the exact observable semantics of the reference's
   * Iceberg `MERGE INTO` (/root/reference/bronze-silver.py:249-286):
   *
@@ -134,6 +136,15 @@ object MergeInto {
   val MorAutoAmplification: Long = 8L
   private val MorAutoRowBytesGuess: Long = 256L
 
+  /** Explicit `mode = "mor"` demotes to COW above this many batch rows
+    * (override: table property `graft.merge.mor.max-batch-rows`). The MOR
+    * contract is "tombstones are a small fraction of the data"; past this
+    * size every subsequent read would drag a near-table-sized anti-join,
+    * so paying the rewrite ONCE is strictly cheaper. The auto mode's
+    * heuristic implies the same bound; this guard closes the explicit
+    * override path (reachable from SQL via `graft.merge.mode`). */
+  val MorMaxBatchRows: Long = 10L * 1000 * 1000
+
   /** @param opCol engine EXTENSION over the reference (which never
     *   interprets CDC op codes — SURVEY.md §2 N1): when set, source rows
     *   whose op ∈ `deleteOps` (after keep-latest dedup, so a later update
@@ -170,10 +181,16 @@ object MergeInto {
     }
 
     val fields = target.partitionFields
-    val live = target.liveFiles()
-    val stats = target.statsFor(live)
-    val keyRange = sourceKeyRange(deduped, keys)
-    val keyValues = smallBatchKeyValues(deduped, keys, schema)
+    // lazy: the key-range/point-probe pruning inputs cost a distributed
+    // aggregate + a capped collect over the batch — COW planning needs
+    // them, a pure-MOR commit (append + tombstone, nothing read) does NOT,
+    // so mode="mor" must never pay for them
+    lazy val live = target.liveFiles()
+    lazy val stats = Phase.timed("merge.statsFor")(target.statsFor(live))
+    lazy val keyRange = Phase.timed("merge.keyRange")(
+      sourceKeyRange(deduped, keys))
+    lazy val keyValues = Phase.timed("merge.keyValues")(
+      smallBatchKeyValues(deduped, keys, schema))
     def overlapping(files: Seq[String]): Seq[String] =
       files.filter(f =>
         mayContainKeys(target, f, stats, keys, keyRange, keyValues))
@@ -182,14 +199,17 @@ object MergeInto {
     // read or rewritten (the tombstone's sequence makes it apply only to
     // files older than this commit — the batch's own inserts are safe).
     // Commits append-like: concurrent MOR merges retry, never conflict.
-    def morCommit(): Long = {
+    def morCommit(batchRows: Long): Long = {
       val sch = target.schema
       val delKeys = deduped.select(
         keys.map(k => col(k).cast(sch(k).dataType).as(k)): _*)
-      val delPaths = target.stageDeletes(delKeys)
-      val added = target.stageForMerge(inserts)
+      val delPaths = Phase.timed("merge.stageDeletes")(
+        target.stageDeletes(delKeys, batchRows))
+      val added = Phase.timed("merge.stageInserts")(
+        target.stageForMerge(inserts))
       deduped.unpersist(); dedupedAll.unpersist()
-      target.commitMergeMor(added, delPaths)
+      Phase.timed("merge.commitMor")(
+        target.commitMergeMor(added, delPaths, keys))
     }
     // would a COW rewrite of `files` be both large and >>batch?
     def autoPrefersMor(files: Seq[String]): Boolean = mode == "auto" && {
@@ -198,18 +218,30 @@ object MergeInto {
         rewriteBytes >=
           MorAutoAmplification * MorAutoRowBytesGuess * deduped.count()
     }
-    if (mode == "mor") return morCommit()
+    if (mode == "mor") {
+      // size guard: an oversized explicit-MOR batch demotes to COW — a
+      // tombstone set this large taxes EVERY subsequent read more than
+      // the one-time rewrite costs (and the batch count is a cached-frame
+      // count, not a new scan)
+      val maxRows = target.properties
+        .get("graft.merge.mor.max-batch-rows").map(_.toLong)
+        .getOrElse(MorMaxBatchRows)
+      val batchRows = deduped.count()
+      if (batchRows <= maxRows) return morCommit(batchRows)
+    }
 
     if (fields.isEmpty) {
       // Unpartitioned COW, file-pruned: only files whose key range
       // overlaps the batch are rewritten; the rest stay live untouched.
       val touched = overlapping(live)
-      if (autoPrefersMor(touched)) return morCommit()
+      if (autoPrefersMor(touched)) return morCommit(deduped.count())
       val kept = target.readFilesOf(touched).join(deduped, keys, "left_anti")
       val merged = kept.unionByName(inserts)
-      val added = target.stageForMerge(merged)
+      val added = Phase.timed("merge.stageRewrite")(
+        target.stageForMerge(merged))
       deduped.unpersist(); dedupedAll.unpersist()
-      target.commitMerge(added, touched, parentAtRead)
+      Phase.timed("merge.commitCow")(
+        target.commitMerge(added, touched, parentAtRead))
     } else {
       // Partition-pruned COW. Partition values are rendered with Spark's
       // own Cast-to-string (the conversion the partition-path writer uses),
@@ -231,11 +263,12 @@ object MergeInto {
           .collect().map(r => fields.map(f =>
             Option(r.getAs[String](f.physName))
               .getOrElse("__HIVE_DEFAULT_PARTITION__")))
-      val srcParts = partTuples(deduped)
+      val srcParts = Phase.timed("merge.probeSrcParts")(partTuples(deduped))
       // the probe reads only files whose key range can overlap the batch
       // (file-level manifest pruning), not the full target
-      val matchedParts = partTuples(target.readFilesOf(overlapping(live))
-        .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_semi"))
+      val matchedParts = Phase.timed("merge.probeMatched")(
+        partTuples(target.readFilesOf(overlapping(live))
+          .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_semi")))
       val affected: Set[Seq[String]] = (srcParts ++ matchedParts).map(_.toSeq).toSet
 
       val affectedFiles = overlapping(live.filter { f =>
@@ -247,16 +280,18 @@ object MergeInto {
         !fields.forall(f2 => kv.contains(f2.physName)) ||
           affected.contains(fields.map(f2 => kv(f2.physName)))
       })
-      if (autoPrefersMor(affectedFiles)) return morCommit()
+      if (autoPrefersMor(affectedFiles)) return morCommit(deduped.count())
       // MOR-aware read: rows tombstoned by earlier MOR merges must not
       // resurrect into the rewritten files
       val affectedDf = target.readFilesOf(affectedFiles)
 
       val kept = affectedDf.join(deduped, keys, "left_anti")
       val merged = kept.unionByName(inserts)
-      val added = target.stageForMerge(merged)
+      val added = Phase.timed("merge.stageRewrite")(
+        target.stageForMerge(merged))
       deduped.unpersist(); dedupedAll.unpersist()
-      target.commitMerge(added, affectedFiles, parentAtRead)
+      Phase.timed("merge.commitCow")(
+        target.commitMerge(added, affectedFiles, parentAtRead))
     }
   }
 }

@@ -38,7 +38,16 @@ case class ColStat(min: Option[String], max: Option[String],
   * delete (e.g. the same merge's own inserts) are never affected. `seq`
   * is recorded explicitly so it survives snapshot expiration (the
   * baseline re-adds the delete file with its original sequence). */
-case class DeleteFile(path: String, seq: Long)
+case class DeleteFile(path: String, seq: Long,
+    /** on-disk size, recorded at commit — the MOR read plans its
+      * broadcast-vs-shuffle anti-join from this without a getFileStatus
+      * RPC per tombstone (None on legacy snapshots → size looked up). */
+    bytes: Option[Long] = None,
+    /** the equality-delete key columns, recorded at commit — tombstones
+      * from merges on the SAME keys are unioned into one anti-join at
+      * read; differently-keyed tombstones must stay separate joins (None
+      * on legacy snapshots → columns read from the file's footer). */
+    cols: Option[Seq[String]] = None)
 
 /** One data-file change recorded by a commit's manifest: `status` is
   * "add" or "remove"; stats/rows travel with "add" entries (the Iceberg

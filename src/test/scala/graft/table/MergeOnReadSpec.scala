@@ -176,6 +176,109 @@ class MergeOnReadSpec extends SparkSpec {
       (9L, "new", "p9")))
   }
 
+  test("oversized explicit MOR demotes to COW (size guard)") {
+    val t = freshTable("mor-demote")
+    t.create(Seq((1L, "a", 1L)).toDF("id", "v", "ts").schema,
+      properties = Map("graft.merge.mor.max-batch-rows" -> "5"))
+    t.append((1L to 100L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ts")
+      .coalesce(1))
+    // 10-row batch > the 5-row cap: must COW (rewrite, NO tombstones)
+    t.merge((1L to 10L).map(i => (i, "upd", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    assert(t.liveDeletes().isEmpty)
+    assert(t.removedFilesOf(t.snapshots.last).nonEmpty)
+    assert(t.read().filter($"v" === "upd").count() === 10)
+    // under the cap stays genuine MOR
+    t.merge(Seq((1L, "again", 3L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    assert(t.liveDeletes().size === 1)
+  }
+
+  test("large tombstone set reads via shuffle anti-join, not broadcast") {
+    val t = mkTable("mor-bigdel", 500L)
+    t.merge((1L to 250L).map(i => (i, "upd", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    assert(t.liveDeletes().head.bytes.exists(_ > 1))
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // tombstone bytes exceed the (tiny) threshold → no broadcast hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val big = t.read()
+      big.collect()
+      assert(!big.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      // a comfortable threshold broadcasts again
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val small = t.read()
+      small.collect()
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("tombstone staging splits a huge batch across multiple files") {
+    val t = mkTable("mor-multidel", 10L)
+    val keys = (1L to 1000L).toDF("id")
+    // approxRows over the per-file cap → parallel multi-file staging
+    val staged = t.stageDeletes(keys, GraftTable.MorDeleteFileRows * 3)
+    assert(staged.size === 3)
+    assert(staged.forall(_._2 > 0))
+    // under the cap → exactly one file (the common small-CDC-batch case)
+    assert(t.stageDeletes(keys, 1000L).size === 1)
+  }
+
+  test("auto-fold bounds live tombstones and morRead plan size") {
+    val t = freshTable("mor-fold")
+    t.create(Seq((1L, "a", 1L)).toDF("id", "v", "ts").schema,
+      properties = Map("graft.merge.mor.max-delete-files" -> "2"))
+    t.append((1L to 100L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ts")
+      .coalesce(1))
+    val preFold = (1 to 2).map { i =>
+      t.merge(Seq((i.toLong, s"m$i", i + 1L)).toDF("id", "v", "ts"),
+        Seq("id"), Seq("id"), "ts", mode = "mor")
+      t.latestSnapshotId.get
+    }
+    assert(t.liveDeletes().size === 2)
+    // third merge crosses the threshold → fold commit retires tombstones
+    t.merge(Seq((3L, "m3", 9L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    assert(t.snapshots.last.operation === "fold")
+    assert(t.liveDeletes().isEmpty)
+    // plan has no anti-joins left at all
+    assert(!t.read().queryExecution.optimizedPlan.toString
+      .contains("LeftAnti"))
+    val out = t.read().filter($"id".isin(1L, 2L, 3L)).orderBy("id")
+      .select("v").as[String].collect()
+    assert(out === Array("m1", "m2", "m3"))
+    assert(t.read().count() === 100)
+    // time travel to a pre-fold MOR state still applies its tombstones
+    assert(t.readAsOf(preFold.head).filter($"id" === 1L)
+      .select("v").as[String].collect() === Array("m1"))
+    // and ≥4 same-key merges keep the live set bounded by the threshold
+    (4 to 7).foreach { i =>
+      t.merge(Seq((i.toLong, s"m$i", i + 10L)).toDF("id", "v", "ts"),
+        Seq("id"), Seq("id"), "ts", mode = "mor")
+      assert(t.liveDeletes().size <= 2)
+    }
+  }
+
+  test("chained same-key tombstones collapse to one anti-join per group") {
+    val t = mkTable("mor-onejoin", 50L)
+    (1 to 3).foreach { i =>
+      t.merge(Seq((i.toLong, s"u$i", i + 1L)).toDF("id", "v", "ts"),
+        Seq("id"), Seq("id"), "ts", mode = "mor")
+    }
+    // 3 tombstone files on the SAME key columns, and the base-file group
+    // applies all of them — but the plan must carry ONE anti-join for that
+    // group (plus one per later-insert group), not one per delete file
+    val plan = t.read().queryExecution.optimizedPlan.toString
+    val antiJoins = "LeftAnti".r.findAllIn(plan).size
+    assert(antiJoins <= 3) // 4 groups, newest has no applicable deletes
+    assert(t.read().count() === 50)
+    assert(t.read().filter($"id" === 1L).select("v").as[String].collect()
+      === Array("u1"))
+  }
+
   test("snapshot JSON round-trips delete files and sequence overrides") {
     val s = Snapshot(7L, Some(6L), 123L, "merge", Seq("f1"), Seq.empty,
       "{}", Seq("p"),
