@@ -1,0 +1,426 @@
+package graft.iceberg
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import graft.table.GraftTable
+
+/** Iceberg-compatible metadata export: writes a genuine Iceberg **v2**
+  * metadata tree (`metadata/v<N>.metadata.json` + `version-hint.text` +
+  * Avro manifest list + Avro manifest — the filesystem-tables layout of
+  * the Iceberg spec) describing the CURRENT snapshot of a graft table,
+  * so an external Iceberg-aware engine reads the table's data files
+  * directly from table metadata — the reference's defining multi-engine
+  * contract (four engines over one table,
+  * /root/reference/README.md:127-197; its DuckDB demo hand-walks the
+  * metadata JSON rather than using an extension,
+  * query-engine/duckdbdemo/read_iceberg_duckdb.py:22-44,61).
+  *
+  * What is written (all per the public Iceberg table spec):
+  *   - `metadata/v<N>.metadata.json` — format-version 2, schema with
+  *     field ids, one snapshot whose `manifest-list` points at
+  *   - `metadata/snap-<id>-1-<uuid>.avro` — the manifest list (field ids
+  *     500-519), pointing at
+  *   - `metadata/<uuid>-m0.avro` — one data manifest whose entries carry
+  *     `file_path`, `record_count`, `file_size_in_bytes` for every live
+  *     data file (ids 100-140; entry ids 0-4).
+  *   - `metadata/version-hint.text` — the version pointer.
+  *
+  * Layout notes, honestly stated: identity-partitioned tables export a
+  * real identity partition spec with per-file partition tuples in the
+  * manifest (their column bytes live in the dir layout, not the data
+  * files — readers reconstruct them from the tuples, as Iceberg
+  * prescribes). Hidden-transform layouts export UNPARTITIONED: their
+  * source columns are in the data files, so results are identical and
+  * external engines only lose dir pruning. Column bounds are omitted
+  * (legal per spec — they are optional), so stats pruning is off too.
+  * MOR tables must fold tombstones first
+  * ([[GraftTable.foldDeletes]]) — equality-delete manifests are refused
+  * rather than silently dropped, because exporting only the data files
+  * of a MOR table would resurrect deleted rows in external engines.
+  *
+  * Scale: the export is pure metadata — one JSON + two Avro files whose
+  * size is O(live files); no data is read or moved. Each call writes the
+  * next metadata version (v1, v2, ...), so periodic export after commits
+  * gives external engines a refreshing snapshot pointer.
+  */
+object IcebergExport {
+
+  /** Iceberg type string for a Spark type (flat scalar schemas — the
+    * engine's table surface; nested types would need element/key ids). */
+  private def icebergType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    // Spark TimestampType is UTC-adjusted instant => Iceberg timestamptz
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"iceberg export does not support nested/complex type $other")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** The Iceberg schema JSON (struct with field ids 1..n). */
+  private def schemaJson(schema: StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id": ${i + 1}, "name": ${jsonStr(f.name)}, "required": false, "type": ${jsonStr(icebergType(f.dataType))}}"""
+    }
+    s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}"""
+  }
+
+  /** Avro schema for the v2 manifest-list entry (spec field ids 500+). */
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    """{
+      |"type": "record", "name": "manifest_file", "fields": [
+      | {"name": "manifest_path", "type": "string", "field-id": 500},
+      | {"name": "manifest_length", "type": "long", "field-id": 501},
+      | {"name": "partition_spec_id", "type": "int", "field-id": 502},
+      | {"name": "content", "type": "int", "field-id": 517},
+      | {"name": "sequence_number", "type": "long", "field-id": 515},
+      | {"name": "min_sequence_number", "type": "long", "field-id": 516},
+      | {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+      | {"name": "added_data_files_count", "type": "int", "field-id": 504},
+      | {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+      | {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+      | {"name": "added_rows_count", "type": "long", "field-id": 512},
+      | {"name": "existing_rows_count", "type": "long", "field-id": 513},
+      | {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+      | {"name": "partitions", "type": ["null", {"type": "array", "items": {
+      |   "type": "record", "name": "r508", "fields": [
+      |     {"name": "contains_null", "type": "boolean", "field-id": 509},
+      |     {"name": "contains_nan", "type": ["null", "boolean"], "default": null, "field-id": 518},
+      |     {"name": "lower_bound", "type": ["null", "bytes"], "default": null, "field-id": 510},
+      |     {"name": "upper_bound", "type": ["null", "bytes"], "default": null, "field-id": 511}
+      |   ]}, "element-id": 508}], "default": null, "field-id": 507},
+      | {"name": "key_metadata", "type": ["null", "bytes"], "default": null, "field-id": 519}
+      |]}""".stripMargin)
+
+  /** Avro type string for an identity-partition value (the r102 struct
+    * field). Kept to types whose partition-dir strings parse back
+    * unambiguously; date/timestamp identity partitioning is better
+    * served by the hidden transforms anyway. */
+  private def partitionAvroType(dt: DataType): String = dt match {
+    case StringType => "string"
+    case LongType => "long"
+    case IntegerType | ShortType | ByteType => "int"
+    case BooleanType => "boolean"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case other => throw new IllegalArgumentException(
+      s"iceberg export does not support identity partitioning on $other " +
+        "(use a hidden transform, or an unpartitioned layout)")
+  }
+
+  /** Avro schema for a v2 manifest entry (spec entry ids 0-4, data_file
+    * ids 100-140; optional stats maps omitted — nullable per spec). The
+    * r102 partition struct carries one field per identity-partition
+    * column (ids 1000+), empty when the export is unpartitioned. */
+  private def manifestEntrySchema(
+      partFields: Seq[(String, DataType)]): Schema = {
+    val pf = partFields.zipWithIndex.map { case ((n, dt), i) =>
+      s"""{"name": ${jsonStr(n)}, "type": ["null", "${partitionAvroType(dt)}"], "default": null, "field-id": ${1000 + i}}"""
+    }.mkString(", ")
+    new Schema.Parser().parse(
+      s"""{
+        |"type": "record", "name": "manifest_entry", "fields": [
+        | {"name": "status", "type": "int", "field-id": 0},
+        | {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+        | {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
+        | {"name": "file_sequence_number", "type": ["null", "long"], "default": null, "field-id": 4},
+        | {"name": "data_file", "field-id": 2, "type": {
+        |   "type": "record", "name": "r2", "fields": [
+        |     {"name": "content", "type": "int", "field-id": 134},
+        |     {"name": "file_path", "type": "string", "field-id": 100},
+        |     {"name": "file_format", "type": "string", "field-id": 101},
+        |     {"name": "partition", "type": {"type": "record", "name": "r102", "fields": [$pf]}, "field-id": 102},
+        |     {"name": "record_count", "type": "long", "field-id": 103},
+        |     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        |     {"name": "split_offsets", "type": ["null", {"type": "array", "items": "long", "element-id": 133}], "default": null, "field-id": 132},
+        |     {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}
+        |   ]}}
+        |]}""".stripMargin)
+  }
+
+  /** Parse a partition-dir value string back to the typed Avro value. */
+  private def partitionValue(s: String, dt: DataType): Any =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType => s
+      case LongType => s.toLong
+      case IntegerType | ShortType | ByteType => s.toInt
+      case BooleanType => s.toBoolean
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+
+  private def writeAvro(file: File, schema: Schema,
+      records: Seq[GenericRecord], meta: Map[String, String]): Long = {
+    val datumWriter = new GenericDatumWriter[GenericRecord](schema)
+    val w = new DataFileWriter[GenericRecord](datumWriter)
+    meta.foreach { case (k, v) =>
+      w.setMeta(k, v.getBytes(StandardCharsets.UTF_8)) }
+    w.create(schema, file)
+    try records.foreach(w.append) finally w.close()
+    file.length()
+  }
+
+  /** Export the current snapshot of `table` as Iceberg v2 metadata under
+    * `<table.location>/metadata/`. Returns the metadata.json path. */
+  def export(spark: SparkSession, table: GraftTable): String = {
+    require(table.liveDeletes().isEmpty,
+      "cannot export a table with live MOR tombstones as Iceberg data " +
+        "manifests — run foldDeletes() or compact() first")
+    val snap = table.latestSnapshot.getOrElse(
+      throw new IllegalStateException(
+        s"table does not exist: ${table.location}"))
+    val schema = table.schema
+    val live = table.liveFiles()
+    val rows = table.rowsFor(live)
+    val bytes = table.bytesFor(live)
+    val fs = new Path(table.location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(table.location, "metadata")
+    fs.mkdirs(metaDir)
+    val tableUri = fs.makeQualified(new Path(table.location)).toUri.toString
+      .stripSuffix("/")
+
+    def fileLen(p: Path): Long = fs.getFileStatus(p).getLen
+
+    // identity partition columns: their bytes live in the DIR layout, not
+    // the data files, so they must export as a real Iceberg identity spec
+    // with per-file partition tuples (readers reconstruct the column).
+    // Hidden-transform sources stay in the data files → exported
+    // unpartitioned, which only costs external engines the dir pruning.
+    val idFields = table.partitionFields.filter(_.isIdentity)
+      .map(f => f.source -> schema(f.source).dataType)
+    val entrySchema = manifestEntrySchema(idFields)
+
+    // ---- data manifest ----
+    val entries = live.map { rel =>
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snap.snapshotId)
+      e.put("sequence_number", 1L)
+      e.put("file_sequence_number", 1L)
+      val df = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      df.put("content", 0) // DATA
+      df.put("file_path", s"$tableUri/$rel")
+      df.put("file_format", "PARQUET")
+      val part = new GenericData.Record(df.getSchema
+        .getField("partition").schema())
+      if (idFields.nonEmpty) {
+        val kv = table.partitionValues(rel)
+        idFields.foreach { case (n, dt) =>
+          val v = kv.getOrElse(n, throw new IllegalStateException(
+            s"file $rel has no partition dir for identity column $n"))
+          part.put(n, partitionValue(v, dt))
+        }
+      }
+      df.put("partition", part)
+      df.put("record_count", rows.getOrElse(rel,
+        fileLen(new Path(table.location, rel)))) // rows unknown → safe>0
+      df.put("file_size_in_bytes", bytes.getOrElse(rel,
+        fileLen(new Path(table.location, rel))))
+      e.put("data_file", df)
+      e
+    }
+    val specFieldsJson = idFields.zipWithIndex.map { case ((n, _), i) =>
+      s"""{"name": ${jsonStr(n)}, "transform": "identity", "source-id": ${schema.fieldIndex(n) + 1}, "field-id": ${1000 + i}}"""
+    }.mkString("[", ", ", "]")
+    val manifestName = s"${UUID.randomUUID()}-m0.avro"
+    val manifestLocal = new File(localPath(fs, metaDir), manifestName)
+    val sJson = schemaJson(schema)
+    val manifestLen = writeAvro(manifestLocal, entrySchema, entries,
+      Map("schema" -> sJson, "schema-id" -> "0",
+        "partition-spec" -> specFieldsJson, "partition-spec-id" -> "0",
+        "format-version" -> "2", "content" -> "data"))
+
+    // ---- manifest list ----
+    val totalRows = live.map(f => rows.getOrElse(f, 0L)).sum
+    val ml = new GenericData.Record(manifestListSchema)
+    ml.put("manifest_path", s"$tableUri/metadata/$manifestName")
+    ml.put("manifest_length", manifestLen)
+    ml.put("partition_spec_id", 0)
+    ml.put("content", 0)
+    ml.put("sequence_number", 1L)
+    ml.put("min_sequence_number", 1L)
+    ml.put("added_snapshot_id", snap.snapshotId)
+    ml.put("added_data_files_count", live.size)
+    ml.put("existing_data_files_count", 0)
+    ml.put("deleted_data_files_count", 0)
+    ml.put("added_rows_count", totalRows)
+    ml.put("existing_rows_count", 0L)
+    ml.put("deleted_rows_count", 0L)
+    val listName = s"snap-${snap.snapshotId}-1-${UUID.randomUUID()}.avro"
+    writeAvro(new File(localPath(fs, metaDir), listName),
+      manifestListSchema, Seq(ml), Map("format-version" -> "2"))
+
+    // ---- metadata.json + version hint ----
+    val version = currentVersion(fs, metaDir) + 1
+    val now = snap.timestampMs
+    val metaJson =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "${UUID.nameUUIDFromBytes(
+               tableUri.getBytes(StandardCharsets.UTF_8))}",
+         |  "location": ${jsonStr(tableUri)},
+         |  "last-sequence-number": 1,
+         |  "last-updated-ms": $now,
+         |  "last-column-id": ${schema.fields.length},
+         |  "current-schema-id": 0,
+         |  "schemas": [$sJson],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": $specFieldsJson}],
+         |  "last-partition-id": ${999 + idFields.size},
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "properties": {},
+         |  "current-snapshot-id": ${snap.snapshotId},
+         |  "refs": {"main": {"snapshot-id": ${snap.snapshotId}, "type": "branch"}},
+         |  "snapshots": [{
+         |    "sequence-number": 1,
+         |    "snapshot-id": ${snap.snapshotId},
+         |    "timestamp-ms": $now,
+         |    "summary": {"operation": "append"},
+         |    "manifest-list": ${jsonStr(s"$tableUri/metadata/$listName")},
+         |    "schema-id": 0
+         |  }],
+         |  "snapshot-log": [{"timestamp-ms": $now, "snapshot-id": ${snap.snapshotId}}],
+         |  "metadata-log": []
+         |}""".stripMargin
+    val metaFile = new Path(metaDir, s"v$version.metadata.json")
+    val out = fs.create(metaFile, true)
+    try out.write(metaJson.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    metaFile.toString
+  }
+
+  private def localPath(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): File = new File(fs.makeQualified(dir).toUri.getPath)
+
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: Path): Int = {
+    val hint = new Path(metaDir, "version-hint.text")
+    if (!fs.exists(hint)) 0
+    else {
+      val in = fs.open(hint)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Read a table back THROUGH its exported Iceberg metadata — resolve
+    * `version-hint.text` → `v<N>.metadata.json` → current snapshot →
+    * manifest list (Avro) → manifest(s) (Avro) → data file paths, then
+    * scan those parquet files. This is an independent walk of the
+    * Iceberg metadata tree (the reader an external engine would run);
+    * it shares no code or state with the graft snapshot log. */
+  def scan(spark: SparkSession, tableLocation: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fs = new Path(tableLocation)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(tableLocation, "metadata")
+    val version = currentVersion(fs, metaDir)
+    require(version > 0, s"no iceberg export at $tableLocation")
+    val in = fs.open(new Path(metaDir, s"v$version.metadata.json"))
+    val metaJson =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    val meta = JsonMethods.parse(metaJson)
+    implicit val fmts: Formats = DefaultFormats
+    val currentId = (meta \ "current-snapshot-id").extract[Long]
+    val listPath = (meta \ "snapshots").children.collectFirst {
+      case s if (s \ "snapshot-id").extract[Long] == currentId =>
+        (s \ "manifest-list").extract[String]
+    }.getOrElse(throw new IllegalStateException("current snapshot missing"))
+
+    def readAvro(uri: String): Seq[GenericRecord] = {
+      val f = new File(new java.net.URI(uri).getPath)
+      val r = new DataFileReader[GenericRecord](f,
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    // table schema (for column order + partition column types) and the
+    // identity partition spec (for which columns to reconstruct)
+    val schemaFields = (meta \ "schemas").children.collectFirst {
+      case s if (s \ "schema-id").extract[Int] == 0 =>
+        (s \ "fields").children.map(f =>
+          (f \ "name").extract[String] -> (f \ "type").extract[String])
+    }.getOrElse(Seq.empty)
+    val specCols = (meta \ "partition-specs").children.headOption.toSeq
+      .flatMap(s => (s \ "fields").children)
+      .filter(f => (f \ "transform").extract[String] == "identity")
+      .map(f => (f \ "name").extract[String])
+    def sparkType(t: String): DataType = t match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case d if d.startsWith("decimal") =>
+        val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, s)
+      case other => throw new IllegalArgumentException(other)
+    }
+
+    // (file, identity-partition tuple) for every live entry
+    val filesWithPart: Seq[(String, Seq[Any])] =
+      readAvro(listPath).flatMap { mf =>
+        readAvro(mf.get("manifest_path").toString).collect {
+          case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val part = df.get("partition").asInstanceOf[GenericRecord]
+            val tuple = specCols.map(c => part.get(c) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case v => v
+            })
+            df.get("file_path").toString -> tuple
+        }
+      }
+    val typeOf = schemaFields.toMap
+    // one scan per partition tuple (bounded by partition count), each
+    // reconstructing the identity columns the data files do not carry
+    filesWithPart.groupBy(_._2).map { case (tuple, grp) =>
+      val base = spark.read.parquet(grp.map(f =>
+        new java.net.URI(f._1).getPath): _*)
+      val withPart = specCols.zip(tuple).foldLeft(base) {
+        case (acc, (c, v)) =>
+          acc.withColumn(c, lit(v).cast(sparkType(typeOf(c))))
+      }
+      withPart.select(schemaFields.map(f => col(f._1)): _*)
+    }.reduce(_ unionByName _)
+  }
+}

@@ -125,6 +125,29 @@ object TableQueries {
       |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Iceberg-compatible metadata export + readback THROUGH that metadata
+    * (the reference's multi-engine contract: external engines read the
+    * same table from its metadata tree, /root/reference/README.md:127-197).
+    * The graft table is written, exported as an Iceberg v2 metadata tree
+    * (metadata.json + Avro manifest list + Avro manifest), and the result
+    * rows are produced by [[graft.iceberg.IcebergExport.scan]] — an
+    * independent walk of version-hint → metadata.json → manifest list →
+    * manifests → data files that never touches the graft snapshot log.
+    * IcebergExportSpec additionally pins the DuckDB hand-walk readback
+    * (tools/read_iceberg_duckdb.py) byte-equal to the Spark read. */
+  val qIcebergExport: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("iceexp"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    t.append(ordersSlice(s, dir, 1))
+    graft.iceberg.IcebergExport.export(s, t)
+    project(graft.iceberg.IcebergExport.scan(s, t.location))
+  }
+  val qIcebergExportSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** S7: snapshot history view — deterministic columns only. */
   val qHistory: Q = (s, dir) => {
     val t = GraftTable(s, scratch("hist"))
@@ -405,6 +428,7 @@ object TableQueries {
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
     ("q_table_merge_mor", qTableMergeMor, Some(qTableMergeMorSql)),
+    ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),
     ("q_table_history", qHistory, Some(qHistorySql)),
     ("q_table_maintenance", qMaintenance, Some(qMaintenanceSql)),
   )

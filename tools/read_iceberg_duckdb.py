@@ -1,0 +1,222 @@
+#!/usr/bin/env python3
+"""External-engine readback of a graft table's Iceberg metadata export.
+
+Mirrors the reference's DuckDB demo, which hand-walks the Iceberg
+metadata tree rather than using an engine plugin
+(/root/reference/query-engine/duckdbdemo/read_iceberg_duckdb.py:22-44,61):
+
+  version-hint.text -> v<N>.metadata.json -> current snapshot ->
+  manifest list (Avro) -> manifest(s) (Avro) -> data file paths ->
+  DuckDB read_parquet([files])
+
+The Avro object-container decoder below is written from the public Avro
+1.11 spec (magic 'Obj\\x01', metadata map with embedded writer schema,
+sync-delimited blocks of binary-encoded records; zigzag varints) and
+shares no code with the Scala writer — this is an independent
+implementation reading the exported metadata, which is the point of the
+check. Codecs: null and deflate.
+
+Usage: read_iceberg_duckdb.py <table_location> [SQL]
+  Default SQL: SELECT COUNT(*) AS n FROM t
+  The exported files are registered as DuckDB view `t`.
+Prints the query result as CSV to stdout.
+"""
+import json
+import os
+import struct
+import sys
+import zlib
+
+
+class Decoder:
+    def __init__(self, buf):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n):
+        b = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+    def read_long(self):
+        shift, acc = 0, 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def read_bytes(self):
+        return self.read(self.read_long())
+
+    def read_value(self, schema):
+        if isinstance(schema, list):  # union: long index picks the branch
+            return self.read_value(schema[self.read_long()])
+        if isinstance(schema, dict):
+            t = schema["type"]
+            if t == "record":
+                return {f["name"]: self.read_value(f["type"])
+                        for f in schema["fields"]}
+            if t == "array":
+                out = []
+                while True:
+                    n = self.read_long()
+                    if n == 0:
+                        break
+                    if n < 0:  # block with byte size prefix
+                        self.read_long()
+                        n = -n
+                    out.extend(self.read_value(schema["items"])
+                               for _ in range(n))
+                return out
+            if t == "map":
+                out = {}
+                while True:
+                    n = self.read_long()
+                    if n == 0:
+                        break
+                    if n < 0:
+                        self.read_long()
+                        n = -n
+                    for _ in range(n):
+                        k = self.read_bytes().decode()
+                        out[k] = self.read_value(schema["values"])
+                return out
+            return self.read_value(t)  # {"type": "string"} wrapper
+        if schema == "null":
+            return None
+        if schema == "boolean":
+            return self.read(1) == b"\x01"
+        if schema in ("int", "long"):
+            return self.read_long()
+        if schema == "float":
+            return struct.unpack("<f", self.read(4))[0]
+        if schema == "double":
+            return struct.unpack("<d", self.read(8))[0]
+        if schema == "bytes":
+            return self.read_bytes()
+        if schema == "string":
+            return self.read_bytes().decode()
+        raise ValueError(f"unsupported avro type {schema}")
+
+
+def read_avro(path):
+    """Decode an Avro object-container file -> list of dict records."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data[:4] == b"Obj\x01", f"not an avro OCF: {path}"
+    d = Decoder(data)
+    d.pos = 4
+    meta = {}
+    while True:
+        n = d.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            d.read_long()
+            n = -n
+        for _ in range(n):
+            k = d.read_bytes().decode()
+            meta[k] = d.read_bytes()
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = d.read(16)
+    records = []
+    while d.pos < len(data):
+        count = d.read_long()
+        size = d.read_long()
+        block = d.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        bd = Decoder(block)
+        records.extend(bd.read_value(schema) for _ in range(count))
+        assert d.read(16) == sync, "sync marker mismatch"
+    return records
+
+
+DUCK_TYPES = {"boolean": "BOOLEAN", "int": "INTEGER", "long": "BIGINT",
+              "float": "FLOAT", "double": "DOUBLE", "string": "VARCHAR",
+              "date": "DATE", "timestamptz": "TIMESTAMPTZ",
+              "timestamp": "TIMESTAMP"}
+
+
+def iceberg_scan_plan(location):
+    """-> (schema [(name, iceberg_type)], identity part cols,
+           [(file, {part_col: value})])"""
+    meta_dir = os.path.join(location, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        meta = json.load(fh)
+    current = meta["current-snapshot-id"]
+    [snap] = [s for s in meta["snapshots"]
+              if s["snapshot-id"] == current]
+    [schema] = [s for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]]
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    [spec] = [s for s in meta["partition-specs"]
+              if s["spec-id"] == meta["default-spec-id"]]
+    part_cols = [f["name"] for f in spec["fields"]
+                 if f["transform"] == "identity"]
+    list_path = snap["manifest-list"].replace("file:", "")
+    files = []
+    for mf in read_avro(list_path):
+        manifest = mf["manifest_path"].replace("file:", "")
+        for entry in read_avro(manifest):
+            if entry["status"] != 2:  # 2 = DELETED
+                df = entry["data_file"]
+                files.append((df["file_path"].replace("file:", ""),
+                              df.get("partition") or {}))
+    return fields, part_cols, files
+
+
+def main():
+    location = sys.argv[1]
+    sql = sys.argv[2] if len(sys.argv) > 2 else "SELECT COUNT(*) AS n FROM t"
+    fields, part_cols, files = iceberg_scan_plan(location)
+    if not files:
+        print("")
+        return
+    types = dict(fields)
+    col_list = ", ".join(f'"{n}"' for n, _ in fields)
+
+    def sql_lit(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {DUCK_TYPES[typ]})"
+        s = str(v).replace("'", "''")
+        return f"CAST('{s}' AS {DUCK_TYPES[typ]})"
+
+    # identity-partition columns live in the manifest partition tuples,
+    # not the data files: one branch per tuple reconstructs them
+    groups = {}
+    for path, part in files:
+        key = tuple(part.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(path)
+    branches = []
+    for key, paths in groups.items():
+        flist = ", ".join("'" + f.replace("'", "''") + "'" for f in paths)
+        consts = "".join(
+            f", {sql_lit(v, types[c])} AS \"{c}\""
+            for c, v in zip(part_cols, key))
+        branches.append(
+            f"SELECT * {consts} FROM read_parquet([{flist}])"
+            if part_cols else f"SELECT * FROM read_parquet([{flist}])")
+    union = " UNION ALL ".join(f"SELECT {col_list} FROM ({b})"
+                               for b in branches)
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS {union}")
+    rows = con.execute(sql).fetchall()
+    cols = [d[0] for d in con.description]
+    print(",".join(cols))
+    for r in rows:
+        print(",".join("" if v is None else str(v) for v in r))
+
+
+if __name__ == "__main__":
+    main()
