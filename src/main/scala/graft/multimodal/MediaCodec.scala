@@ -156,6 +156,155 @@ object MediaCodec {
       b.length.toLong))
   }
 
+  // ---- pixel / sample decoding (REAL, pure JDK) ----
+  // javax.imageio ships with the JDK (PNG/GIF lossless, JPEG/BMP too) and
+  // java.util.zip provides the PNG inflate — so decoded-pixel features
+  // need no external codec library. JPEG decode is LOSSY by nature, so
+  // exact-value oracles use PNG (bit-exact per spec) and WAV PCM.
+
+  /** Decoded raster: `argb(y * width + x)` as packed 0xAARRGGBB. */
+  case class PixelImage(width: Int, height: Int, argb: Array[Int])
+
+  /** Decode payload pixels via the JDK's ImageIO. None for payloads with
+    * no decodable raster (header-only fixtures, corrupt scan data, audio
+    * or unknown formats) — callers treat that as "no features", never an
+    * error. */
+  def decodePixels(payload: Array[Byte]): Option[PixelImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        Some(PixelImage(w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Interleaved PCM s16 frames of a WAV payload (all channels). */
+  case class PcmAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** Decode WAV PCM s16 samples (the fmt+data chunks parseWav already
+    * walks; this additionally materializes the sample words). */
+  def decodeSamples(payload: Array[Byte]): Option[PcmAudio] =
+    try {
+      if (!isWav(payload)) return None
+      var i = 12
+      var sampleRate, channels, bitsPerSample = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (i + 8 <= payload.length && (sampleRate < 0 || dataOff < 0)) {
+        val id = new String(payload, i, 4, "US-ASCII")
+        val size = le32(payload, i + 4).toLong & 0xffffffffL
+        if (id == "fmt " && i + 8 + 16 <= payload.length) {
+          channels = le16(payload, i + 10)
+          sampleRate = le32(payload, i + 12)
+          bitsPerSample = le16(payload, i + 22)
+        } else if (id == "data") {
+          dataOff = i + 8
+          dataLen = math.min(size, (payload.length - i - 8).toLong).toInt
+        }
+        val next = i.toLong + 8L + size + (size & 1L)
+        i = if (next > payload.length.toLong) payload.length else next.toInt
+      }
+      if (sampleRate <= 0 || channels <= 0 || bitsPerSample != 16 ||
+          dataOff < 0) return None
+      val n = dataLen / 2
+      val out = new Array[Short](n)
+      var j = 0
+      while (j < n) {
+        out(j) = (u8(payload, dataOff + 2 * j) |
+          (payload(dataOff + 2 * j + 1).toInt << 8)).toShort
+        j += 1
+      }
+      Some(PcmAudio(sampleRate, channels, out))
+    } catch { case _: Exception => None }
+
+  // ---- decoded-pixel features (integer-exact, oracle-mirrorable) ----
+
+  /** Integer luma (ITU-R 601 rational, integer division — exact). */
+  def luma(argb: Int): Int = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** RGB histogram: `bins` buckets per channel (bucket = value / (256 /
+    * bins)), R buckets then G then B — 3 × bins exact counts. */
+  def rgbHistogram(img: PixelImage, bins: Int = 4): Array[Long] = {
+    val out = new Array[Long](3 * bins)
+    val div = 256 / bins
+    var i = 0
+    while (i < img.argb.length) {
+      val v = img.argb(i)
+      out(((v >> 16) & 0xff) / div) += 1
+      out(bins + (((v >> 8) & 0xff) / div)) += 1
+      out(2 * bins + ((v & 0xff) / div)) += 1
+      i += 1
+    }
+    out
+  }
+
+  /** 64-bit average hash: 8×8 block-mean luma grid (integer division at
+    * both levels), bit y*8+x set iff the block's mean luma exceeds the
+    * grid mean. Returned as 16 lowercase hex chars (byte y = bits of row
+    * y) — a string, so bit 63 needs no sign gymnastics in oracles. */
+  def averageHashHex(img: PixelImage): String = {
+    val block = new Array[Long](64)
+    val count = new Array[Long](64)
+    var y = 0
+    while (y < img.height) {
+      val by = math.min(7, y * 8 / img.height)
+      var x = 0
+      while (x < img.width) {
+        val bx = math.min(7, x * 8 / img.width)
+        block(by * 8 + bx) += luma(img.argb(y * img.width + x))
+        count(by * 8 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < 64) { if (count(i) > 0) block(i) /= count(i); i += 1 }
+    val mean = block.sum / 64
+    val sb = new StringBuilder(16)
+    var b = 0
+    while (b < 8) {
+      var byte = 0
+      var x = 0
+      while (x < 8) {
+        if (block(b * 8 + x) > mean) byte |= (1 << x)
+        x += 1
+      }
+      sb.append(f"$byte%02x")
+      b += 1
+    }
+    sb.toString
+  }
+
+  /** Audio features over channel-0 frames, all integer-exact:
+    * (peak |sample|, sign-flip count between consecutive frames,
+    * channel-0 energy Σ s²). */
+  def audioFeatures(a: PcmAudio): (Long, Long, Long) = {
+    val n = a.samples.length / a.channels
+    var peak = 0L
+    var crossings = 0L
+    var energy = 0L
+    var prev = 0
+    var j = 0
+    while (j < n) {
+      val s = a.samples(j * a.channels).toInt
+      peak = math.max(peak, math.abs(s.toLong))
+      energy += s.toLong * s
+      if (j > 0 && ((s < 0) != (prev < 0))) crossings += 1
+      prev = s
+      j += 1
+    }
+    (peak, crossings, energy)
+  }
+
   // ---- synthetic header-valid payloads ----
   // Used by fixtures and the oracled decode query: the payload is a REAL
   // container header (this codec and any other header parser recover the
@@ -228,6 +377,91 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** A fully VALID truecolor PNG (real zlib stream, real CRC32s) whose
+    * raster is a two-tone vertical split: columns < width/2 are colorA,
+    * the rest colorB (packed 0xRRGGBB). Any PNG decoder recovers the
+    * exact pixels (PNG is lossless), so decoded-pixel features are
+    * oracle-mirrorable from (width, height, colorA, colorB) alone. */
+  def syntheticPngReal(width: Int, height: Int,
+      colorA: Int, colorB: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(len >>> 24); out.write((len >> 16) & 0xff)
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      val crc = new java.util.zip.CRC32
+      val typB = typ.getBytes("US-ASCII")
+      crc.update(typB)
+      crc.update(data)
+      out.write(typB, 0, 4)
+      out.write(data, 0, data.length)
+      val c = crc.getValue
+      out.write((c >>> 24).toInt & 0xff); out.write((c >> 16).toInt & 0xff)
+      out.write((c >> 8).toInt & 0xff); out.write(c.toInt & 0xff)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >> 16).toByte
+    ihdr(2) = (width >> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >> 16).toByte
+    ihdr(6) = (height >> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor RGB
+    chunk("IHDR", ihdr)
+    // raw scanlines: filter byte 0 + RGB triples
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + width * 3)
+      raw(base) = 0 // filter: None
+      var x = 0
+      while (x < width) {
+        val c = if (x < width / 2) colorA else colorB
+        raw(base + 1 + 3 * x) = ((c >> 16) & 0xff).toByte
+        raw(base + 1 + 3 * x + 1) = ((c >> 8) & 0xff).toByte
+        raw(base + 1 + 3 * x + 2) = (c & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished())
+      zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** A WAV whose channel frames carry a ±amp square wave with
+    * `halfPeriod` frames per half-cycle (all channels identical):
+    * frame j = +amp when (j / halfPeriod) is even, else -amp. Peak,
+    * crossing count and energy follow from the arithmetic exactly. */
+  def syntheticWavWave(sampleRate: Int, channels: Int, nFrames: Int,
+      amp: Int, halfPeriod: Int): Array[Byte] = {
+    val dataBytes = nFrames * channels * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataBytes)
+    def ascii(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    ascii("RIFF"); w32(36 + dataBytes); ascii("WAVE")
+    ascii("fmt "); w32(16)
+    w16(1); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * 2); w16(channels * 2); w16(16)
+    ascii("data"); w32(dataBytes)
+    var j = 0
+    while (j < nFrames) {
+      val s = if ((j / halfPeriod) % 2 == 0) amp else -amp
+      var c = 0
+      while (c < channels) { w16(s & 0xffff); c += 1 }
+      j += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic synthetic payload for doc `id` — the arithmetic an
     * external oracle mirrors (format by id%3; dims/rates below). */
   def syntheticForDoc(id: Long): Array[Byte] = (id % 3) match {
@@ -242,4 +476,29 @@ object MediaCodec {
   def docRate(id: Long): Int = 8000 + ((id % 8) * 1000).toInt
   def docChannels(id: Long): Int = 1 + (id % 2).toInt
   def docSamples(id: Long): Int = 100 + (id % 400).toInt
+
+  /** Deterministic PIXEL-LEVEL payload for doc `id` (the features-query
+    * fixture): even ids → a real two-tone PNG, odd ids → a square-wave
+    * WAV. Dims are multiples of 8 with the tone split on the 8×8 grid
+    * boundary, so the average-hash blocks are uniform and the whole
+    * feature set follows from this arithmetic exactly. */
+  def syntheticFeatureDoc(id: Long): Array[Byte] =
+    if (id % 2 == 0)
+      syntheticPngReal(featWidth(id), featHeight(id),
+        featColorA(id), featColorB(id))
+    else
+      syntheticWavWave(docRate(id), docChannels(id), featFrames(id),
+        featAmp(id), featHalfPeriod(id))
+
+  def featWidth(id: Long): Int = 8 * (8 + ((id * 7) % 57)).toInt // 64..512
+  def featHeight(id: Long): Int = 8 * (8 + ((id * 13) % 57)).toInt
+  def featColorA(id: Long): Int =
+    (((id * 17) % 256) << 16).toInt | (((id * 29) % 256) << 8).toInt |
+      ((id * 31) % 256).toInt
+  def featColorB(id: Long): Int =
+    (((id * 37) % 256) << 16).toInt | (((id * 41) % 256) << 8).toInt |
+      ((id * 43) % 256).toInt
+  def featAmp(id: Long): Int = 500 + (id % 3000).toInt
+  def featHalfPeriod(id: Long): Int = 1 + (id % 20).toInt
+  def featFrames(id: Long): Int = 200 + (id % 300).toInt
 }

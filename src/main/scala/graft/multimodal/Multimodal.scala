@@ -16,9 +16,16 @@ import org.apache.spark.sql.types._
   * GIF screen-descriptor / WAV fmt+data headers straight from the payload
   * bytes (pure JVM, no codec dependency). Unrecognized or corrupt payloads
   * decode as format "unknown" with null metadata — never an exception.
-  * Only FEATURE extraction (`featuresStub`, standing in for an embedding
-  * model forward pass) remains a declared stub: swapping in a model
-  * changes only that function body, nothing in the plan.
+  *
+  * FEATURE extraction is real too: pixels decode through the JDK's
+  * ImageIO ([[MediaCodec.decodePixels]]) and WAV PCM through
+  * [[MediaCodec.decodeSamples]]; [[realFeatures]] derives a fixed-dim
+  * vector (color histogram + aspect + mean luma for rasters; RMS /
+  * crossing-rate / peak for audio). A payload with no decodable
+  * raster/samples (header-only fixtures, corrupt scan data) yields NULL
+  * features — honest "undecodable", not a fake vector. Swapping in a
+  * learned embedding model changes only this function body, nothing in
+  * the plan shape.
   */
 object Multimodal {
 
@@ -33,15 +40,44 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("size_bytes", LongType)))
 
-  /** ======== STUB ========
-    * Deterministic fake feature extraction: `dim` floats mixed from the
-    * payload — stands in for an embedding model forward pass. */
-  def featuresStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val base = graft.functions.HashExpressions.RollingHash64.hash(payload)
-    Array.tabulate(dim) { i =>
-      val m = base * (2 * i + 1) + 0x9e3779b97f4a7c15L
-      // map to [-1, 1) deterministically
-      (m >> 11).toFloat / (1L << 52).toFloat
+  /** Real content features from decoded pixels/samples, fixed `dim`
+    * (padded with zeros; dim ≥ 16 carries the full set):
+    *   - raster media: 12 normalized RGB histogram bins, aspect ratio,
+    *     mean block luma / 255, flag 1.0;
+    *   - audio media: RMS/32768, crossings-per-frame, peak/32768,
+    *     log10(frames), flag 2.0;
+    *   - no decodable content: None (the column goes NULL).
+    * Deterministic: integer pixel/sample arithmetic feeds each float
+    * exactly once — no accumulation-order variance. */
+  def realFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val out = new Array[Float](dim)
+    MediaCodec.decodePixels(payload) match {
+      case Some(img) =>
+        val hist = MediaCodec.rgbHistogram(img, bins = 4)
+        val total = img.argb.length.toFloat
+        var i = 0
+        while (i < 12 && i < dim) { out(i) = hist(i) / total; i += 1 }
+        if (dim > 12) out(12) = img.width.toFloat / img.height
+        if (dim > 13) {
+          var sum = 0L
+          img.argb.foreach(v => sum += MediaCodec.luma(v))
+          out(13) = (sum / img.argb.length).toFloat / 255f
+        }
+        if (dim > 14) out(14) = 1.0f
+        Some(out)
+      case None =>
+        MediaCodec.decodeSamples(payload) match {
+          case Some(a) if a.samples.nonEmpty =>
+            val (peak, crossings, energy) = MediaCodec.audioFeatures(a)
+            val n = a.samples.length / a.channels
+            out(0) = math.sqrt(energy.toDouble / n).toFloat / 32768f
+            if (dim > 1) out(1) = crossings.toFloat / n
+            if (dim > 2) out(2) = peak.toFloat / 32768f
+            if (dim > 3) out(3) = math.log10(n.toDouble).toFloat
+            if (dim > 4) out(4) = 2.0f
+            Some(out)
+          case _ => None
+        }
     }
   }
 
@@ -72,7 +108,7 @@ object Multimodal {
           Row(id,
             Row(m.format, box(m.width), box(m.height), box(m.nFrames),
               box(m.sampleRate), box(m.channels), m.sizeBytes),
-            featuresStub(payload, featureDim).toSeq)
+            realFeatures(payload, featureDim).map(_.toSeq).orNull)
         }
       }
     }
