@@ -20,12 +20,20 @@ import graft.table.GraftTable
   * through the graft data source on every (uncached) plan, with the same
   * FileIndex pruning as the path API.
   *
-  * The name→path mapping is the warehouse layout itself: a subdirectory
-  * with a `_graft` snapshot log IS a table, so the catalog re-attaches
-  * from any fresh session with one [[sync]] — the recovery property a
-  * Glue/Hive metastore provides, without needing a service here. (A
-  * production deployment would back [[register]] with a shared metastore;
-  * the table format and commit protocol are unchanged by that swap.)
+  * The name→path mapping is DURABLE: `_catalog.json` in the warehouse
+  * root records every binding (including [[attach]]ed tables living
+  * outside the warehouse), updated by atomic tmp-write + rename on
+  * create/attach/drop. Constructing a GraftCatalog over a warehouse
+  * AUTO-REGISTERS everything the file records — a fresh session sees
+  * all tables with zero per-session `register` calls, the recovery
+  * property the reference gets from the Glue metastore
+  * (/root/reference/raw-bronze.py:104-109). Warehouses predating the
+  * file still re-attach via [[sync]]'s directory listing (a `_graft`
+  * subdirectory IS a table), and sync backfills the file. Concurrent
+  * same-warehouse catalog mutations are last-writer-wins on the JSON —
+  * the table DATA commit protocol is unaffected; a production
+  * deployment swaps this file for a shared metastore, changing nothing
+  * in the table format.
   *
   * Writes routed through the catalog ([[append]]/[[overwrite]]/[[merge]])
   * refresh Spark's relation cache and re-register on schema evolution, so
@@ -33,8 +41,19 @@ import graft.table.GraftTable
   */
 class GraftCatalog(spark: SparkSession, val warehouse: String) {
 
-  /** filesystem location of table `name`. */
-  def path(name: String): String = s"$warehouse/${validated(name)}"
+  // auto-reattach: bind every durable catalog entry into this session
+  catalogFile.load().foreach { case (name, loc) =>
+    if (GraftTable(spark, loc).exists) registerPath(name, loc)
+  }
+
+  private def catalogFile = new CatalogFile(spark, warehouse)
+
+  /** filesystem location of table `name` — the durable binding if one
+    * exists (attached tables live outside the warehouse), else the
+    * warehouse-layout default `<warehouse>/<name>`. */
+  def path(name: String): String =
+    catalogFile.load().getOrElse(validated(name),
+      s"$warehouse/${validated(name)}")
 
   /** path-level handle (all GraftTable operations). */
   def table(name: String): GraftTable = GraftTable(spark, path(name))
@@ -48,35 +67,56 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   /** Bind `name` into the session catalog (re-binding: an earlier binding
-    * may point at another warehouse). The binding is an EXTERNAL
-    * datasource table — dropping it never deletes data. */
+    * may point at another warehouse) AND into the durable `_catalog.json`.
+    * The session binding is an EXTERNAL datasource table — dropping it
+    * never deletes data. */
   def register(name: String): Unit = {
     require(exists(name), s"no graft table named $name in $warehouse")
+    val loc = path(name)
+    registerPath(name, loc)
+    catalogFile.put(validated(name), loc)
+  }
+
+  private def registerPath(name: String, loc: String): Unit = {
     unregister(name)
     spark.sql(s"CREATE TABLE `${validated(name)}` " +
-      s"USING graft OPTIONS (path '${path(name)}')")
+      s"USING graft OPTIONS (path '$loc')")
+  }
+
+  /** Durably bind an EXISTING graft table at an arbitrary location under
+    * `name` — the external-table attach. Fresh sessions over this
+    * warehouse see it without any registration. */
+  def attach(name: String, location: String): Unit = {
+    require(GraftTable(spark, location).exists,
+      s"no graft table at $location")
+    registerPath(validated(name), location)
+    catalogFile.put(validated(name), location)
   }
 
   private def unregister(name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `${validated(name)}`")
 
-  /** Register every graft table found under the warehouse; returns the
-    * names bound. One directory listing — session re-attachment. */
+  /** Register every table recorded in `_catalog.json` OR present as a
+    * warehouse subdirectory (pre-catalog-file layouts); backfills the
+    * file so the next session auto-attaches. Returns the names bound. */
   def sync(): Seq[String] = {
     val names = listTables
     names.foreach(register)
     names
   }
 
-  /** Tables present in the warehouse (registered or not). */
+  /** Tables known to this warehouse: durable catalog entries plus any
+    * warehouse subdirectory with a snapshot log (registered or not). */
   def listTables: Seq[String] = {
     val wh = new Path(warehouse)
     val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(wh)) return Seq.empty
-    fs.listStatus(wh).toSeq
-      .filter(st => st.isDirectory &&
-        fs.exists(new Path(st.getPath, "_graft")))
-      .map(_.getPath.getName).sorted
+    val listed =
+      if (!fs.exists(wh)) Seq.empty
+      else fs.listStatus(wh).toSeq
+        .filter(st => st.isDirectory &&
+          fs.exists(new Path(st.getPath, "_graft")))
+        .map(_.getPath.getName)
+    (catalogFile.load().keys.toSeq ++ listed).distinct.sorted
   }
 
   /** Create an empty table from a declared schema and bind its name. */
@@ -137,14 +177,58 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** Remove the name binding; with `purge`, also delete the table data. */
+  /** Remove the name binding (session + durable); with `purge`, also
+    * delete the table data. */
   def drop(name: String, purge: Boolean = false): Unit = {
+    val loc = path(name)
     unregister(name)
+    catalogFile.remove(validated(name))
     if (purge) {
-      val p = new Path(path(name))
+      val p = new Path(loc)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(p, true)
     }
+  }
+}
+
+/** The durable name→location map: `_catalog.json` in the warehouse root,
+  * written via tmp + atomic rename so readers never see a torn file. */
+private[catalog] class CatalogFile(spark: SparkSession, warehouse: String) {
+  import org.json4s._
+  import org.json4s.jackson.{JsonMethods, Serialization}
+  private implicit val fmts: Formats = DefaultFormats
+
+  private val file = new Path(warehouse, "_catalog.json")
+  private def fs = file.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def load(): Map[String, String] =
+    if (!fs.exists(file)) Map.empty
+    else {
+      val in = fs.open(file)
+      try JsonMethods.parse(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+        .\("tables").extract[Map[String, String]]
+      finally in.close()
+    }
+
+  def put(name: String, location: String): Unit =
+    save(load() + (name -> location))
+
+  def remove(name: String): Unit = save(load() - name)
+
+  private def save(tables: Map[String, String]): Unit = {
+    fs.mkdirs(new Path(warehouse))
+    val tmp = new Path(warehouse,
+      s"._catalog-${java.util.UUID.randomUUID()}.json.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(Serialization.writePretty(Map("tables" -> tables))
+      .getBytes("UTF-8"))
+    finally out.close()
+    // overwriting rename: the JSON is a whole-state snapshot, so
+    // last-writer-wins is the documented concurrency contract here
+    fs.delete(file, false)
+    if (!fs.rename(tmp, file))
+      throw new IllegalStateException(s"failed to publish $file")
   }
 }
 

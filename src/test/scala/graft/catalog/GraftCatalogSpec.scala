@@ -67,6 +67,49 @@ class GraftCatalogSpec extends SparkSpec {
     cat.drop("cat_m")
   }
 
+  test("durable catalog: a fresh session auto-sees tables, zero register calls") {
+    val wh = tmpDir("cat-durable")
+    // "session A": create two tables; bindings go to _catalog.json
+    val catA = GraftCatalog(spark, wh)
+    catA.createFrom("dur_orders", Seq((1L, "o1"), (2L, "o2")).toDF("id", "v"))
+    catA.createFrom("dur_items", Seq((1L, 10L)).toDF("id", "qty"))
+    assert(new java.io.File(s"$wh/_catalog.json").exists())
+    // session death: every in-memory binding is gone
+    spark.sql("DROP TABLE IF EXISTS dur_orders")
+    spark.sql("DROP TABLE IF EXISTS dur_items")
+    assert(!spark.catalog.tableExists("dur_orders"))
+    // "session B": constructing the catalog over the warehouse is ALL it
+    // does — no register(), no sync(); the durable file re-attaches
+    val catB = GraftCatalog(spark, wh)
+    assert(catB.listTables === Seq("dur_items", "dur_orders"))
+    assert(spark.sql(
+      "SELECT o.v, i.qty FROM dur_orders o JOIN dur_items i ON o.id = i.id")
+      .collect().map(r => (r.getString(0), r.getLong(1))) === Array(("o1", 10L)))
+    catB.drop("dur_orders", purge = true)
+    catB.drop("dur_items") // binding dropped, data kept
+    val catC = GraftCatalog(spark, wh)
+    // purged: fully gone. Unpurged: the warehouse DIRECTORY is still a
+    // table (layout is truth for resident tables), so discovery lists it
+    // — but it is no longer auto-registered from the durable file
+    assert(catC.listTables === Seq("dur_items"))
+    assert(!spark.catalog.tableExists("dur_orders"))
+  }
+
+  test("attach binds an external-location table durably") {
+    val wh = tmpDir("cat-attach-wh")
+    val ext = tmpDir("cat-attach-ext") + "/elsewhere"
+    graft.table.GraftTable(spark, ext)
+      .append(Seq((7L, "far")).toDF("id", "v"))
+    val cat = GraftCatalog(spark, wh)
+    cat.attach("dur_ext", ext)
+    spark.sql("DROP TABLE IF EXISTS dur_ext") // session death
+    val catB = GraftCatalog(spark, wh) // fresh session auto-attaches
+    assert(catB.path("dur_ext") === ext)
+    assert(spark.sql("SELECT v FROM dur_ext").as[String].collect()
+      === Array("far"))
+    catB.drop("dur_ext")
+  }
+
   test("drop(purge) deletes data; names are validated") {
     val wh = tmpDir("cat-purge")
     val cat = GraftCatalog(spark, wh)
