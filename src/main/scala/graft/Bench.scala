@@ -77,6 +77,44 @@ object Bench {
       val ok = runs.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
+    // ---- 10× scale tier: the heavy operators against a corpus an order
+    // of magnitude past the correctness gate's, pinning the linearity the
+    // designs claim (generated once from the sf dir, reused across runs;
+    // single timed run each — the point is the CURVE, not the millisecond)
+    val scaleQueries = Seq("q_dedup_minhash", "q_ann_ivf", "q_table_merge",
+      "q_table_merge_mor", "q_hidden_partition")
+    val scaleResults: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_SCALE_TIER").contains("off")) Seq.empty
+      else try {
+        val scaleDir = graft.tools.ScaleUp.ensure(spark, sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-scale10x"))
+        scaleQueries.filter(queries.contains).map { name =>
+          // min-of-2: the base numbers are warm min-of-3, so a single
+          // cold run would overstate the scaling ratio with FS-cache
+          // and codegen noise
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            try { queries(name)(spark, scaleDir).queryExecution.toRdd.count()
+              (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] scale $name failed: ${e.getMessage}")
+              -1.0 }
+            finally spark.sharedState.cacheManager.clearCache()
+          }
+          val runs = Seq.fill(2)(once()).filter(_ >= 0)
+          name -> (if (runs.isEmpty) -1.0 else runs.min)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale tier skipped: ${e.getMessage}")
+        Seq.empty
+      }
+    val scaleJson = scaleResults.map { case (k, v) =>
+      val base = results.toMap.getOrElse(k, -1.0)
+      val ratio = if (base > 0 && v >= 0) v / base else -1.0
+      "\"" + k + "\":{\"sec\":" + v + ",\"vs_base\":" +
+        f"$ratio%.2f" + "}"
+    }.mkString("{", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -90,7 +128,7 @@ object Bench {
       .map(_._2).filter(_ >= 0).sum
     val lifeSec = results.filter(r => lifecycle(r._1))
       .map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core30_sec":$coreSec,"lifecycle_sec":$lifeSec,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core30_sec":$coreSec,"lifecycle_sec":$lifeSec,"queries":$qs,"scale10x":$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,4 +91,63 @@ object TextFunctions {
     least(nTok / lit(100.0), lit(1.0)) * lit(0.5) +
       stopRatio * lit(0.3) + (lit(1.0) - punctRatio) * lit(0.2)
   }
+
+  // ---- PII detection / redaction ----
+  // Patterns kept to the regex subset Java and RE2 (DuckDB) interpret
+  // identically: character classes, bounded repetition, \b — no
+  // lookaround/backrefs, so the oracle mirrors byte-for-byte. Map-only at
+  // any scale (regex over each row; codegen'd string expressions).
+
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "[IP]"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "[PHONE]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"))
+
+  /** match count for one PII category (name from [[piiPatterns]]). */
+  def piiCount(text: Column, category: String): Column = {
+    val p = piiPatterns.find(_._1 == category)
+      .getOrElse(throw new IllegalArgumentException(category))._2
+    size(regexp_extract_all(text, lit(p), lit(0)))
+  }
+
+  /** Replace every PII match with its category tag, all categories, in
+    * [[piiPatterns]] order (SSN after phone: the narrower 3-2-4 shape is
+    * not shadowed because the patterns are disjoint). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, p, tag)) =>
+      regexp_replace(acc, p, tag)
+    }
+
+  // ---- heuristic corpus filter rules (C4/Gopher-style) ----
+  // Each rule is a boolean column; `keep` is their conjunction. All
+  // map-only, mirrored in SQL with the same arithmetic.
+
+  /** token count within [minWords, maxWords]. */
+  def ruleWordCount(text: Column, minWords: Int = 30,
+      maxWords: Int = 100000): Column = {
+    val n = tokenCount(text)
+    n.geq(minWords) && n.leq(maxWords)
+  }
+
+  /** mean token length within [3, 10] — gibberish / char-soup guard. */
+  def ruleMeanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    val mean = length(concat_ws("", toks)).cast("double") / size(toks)
+    mean.geq(3.0) && mean.leq(10.0)
+  }
+
+  /** at least `minDistinct` distinct stopwords present — the Gopher
+    * "has common English function words" signal. */
+  def ruleStopwords(text: Column, minDistinct: Int = 2): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      array(stopwords.map(lit): _*))).geq(minDistinct)
+
+  /** symbol-to-token ratio below `maxRatio` (ellipsis/hash spam guard).
+    * (The Gopher top-token-dominance signal lives in `q_diversity`'s
+    * explode→groupBy formulation — per-row array counting would be
+    * O(distinct × len) per doc, the wrong shape for long documents.) */
+  def ruleSymbolRatio(text: Column, maxRatio: Double = 0.1): Column =
+    (punctCount(text).cast("double") / tokenCount(text)).leq(maxRatio)
 }

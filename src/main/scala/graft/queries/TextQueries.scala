@@ -18,6 +18,7 @@ object TextQueries {
   private val normSql = OracleSql.norm
   private val toksSql = OracleSql.toks
   private val stopsSql = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+  private val stopsArrSql = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   /** doc corpus stats: count/char volume per (lang, source). */
   val qDocStats: Q = (s, dir) => {
@@ -244,7 +245,98 @@ object TextQueries {
        |  CAST(max_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_share
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** PII detection + redaction (training-data scrubbing): deterministic
+    * PII is planted per doc (email for id%3=0, IP + phone for id%3=1,
+    * none for id%3=2), detected by category, and redacted; the oracle
+    * mirrors the planting arithmetic AND the same RE2/Java-common
+    * regexes, comparing counts plus an md5 of the redacted text — so a
+    * hash match proves detection AND redaction byte-for-byte. Map-only
+    * at any scale (codegen'd regex over each row). */
+  val qPiiRedact: Q = (s, dir) => {
+    import graft.functions.TextFunctions._
+    val planted = Tables.load(s, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7 call 555-123-4567")))
+          .otherwise(lit(""))))
+    planted.select(col("doc_id"),
+      piiCount(col("text"), "email").cast("long").as("n_email"),
+      piiCount(col("text"), "ipv4").cast("long").as("n_ip"),
+      piiCount(col("text"), "phone").cast("long").as("n_phone"),
+      piiCount(col("text"), "ssn").cast("long").as("n_ssn"),
+      md5(redactPii(col("text"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val qPiiRedactSql: String = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    s"""WITH planted AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0
+       |           THEN ' contact user' || doc_id || '@example.com now'
+       |         WHEN doc_id % 3 = 1
+       |           THEN ' from 10.0.' || (doc_id % 256) || '.7 call 555-123-4567'
+       |         ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$email')) AS n_email,
+       |  len(regexp_extract_all(text, '$ipv4')) AS n_ip,
+       |  len(regexp_extract_all(text, '$phone')) AS n_phone,
+       |  len(regexp_extract_all(text, '$ssn')) AS n_ssn,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    text, '$email', '[EMAIL]', 'g'), '$ipv4', '[IP]', 'g'),
+       |    '$phone', '[PHONE]', 'g'), '$ssn', '[SSN]', 'g')) AS redacted_md5
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
+  /** C4/Gopher-style heuristic filter rules: per-doc booleans (word-count
+    * window, mean word length, distinct-stopword floor, symbol ratio) and
+    * the conjunction `keep` — the corpus-curation gate, map-only. */
+  val qFilterRules: Q = (s, dir) => {
+    import graft.functions.TextFunctions._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        ruleWordCount(col("text")).as("r_words"),
+        ruleMeanWordLength(col("text")).as("r_wordlen"),
+        ruleStopwords(col("text")).as("r_stop"),
+        ruleSymbolRatio(col("text")).as("r_symbol"))
+      .withColumn("keep",
+        col("r_words") && col("r_wordlen") && col("r_stop") && col("r_symbol"))
+      .orderBy(col("doc_id"))
+  }
+  val qFilterRulesSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, $normSql AS norm, $toksSql AS toks FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tok,
+       |    len(replace(norm, ' ', '')) AS n_chars,
+       |    len(list_distinct(list_intersect(toks, $stopsArrSql))) AS n_stopd,
+       |    len(norm) - len(regexp_replace(norm, '[^a-z0-9 ]', '', 'g'))
+       |      AS n_punct
+       |  FROM m)
+       |SELECT doc_id,
+       |  n_tok >= 30 AND n_tok <= 100000 AS r_words,
+       |  CAST(n_chars AS DOUBLE) / n_tok >= 3.0
+       |    AND CAST(n_chars AS DOUBLE) / n_tok <= 10.0 AS r_wordlen,
+       |  n_stopd >= 2 AS r_stop,
+       |  CAST(n_punct AS DOUBLE) / n_tok <= 0.1 AS r_symbol,
+       |  (n_tok >= 30 AND n_tok <= 100000)
+       |    AND (CAST(n_chars AS DOUBLE) / n_tok >= 3.0
+       |         AND CAST(n_chars AS DOUBLE) / n_tok <= 10.0)
+       |    AND n_stopd >= 2
+       |    AND CAST(n_punct AS DOUBLE) / n_tok <= 0.1 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
+    ("q_filter_rules", qFilterRules, Some(qFilterRulesSql)),
     ("q_term_stats", qTermStats, Some(qTermStatsSql)),
     ("q_bm25", qBm25, Some(qBm25Sql)),
     ("q_diversity", qDiversity, Some(qDiversitySql)),

@@ -62,4 +62,38 @@ class TextFunctionsSpec extends SparkSpec {
     val fb = one("hello world", TextFunctions.fingerprint64($"text"))
     assert(fa === fb)
   }
+
+  test("PII detection counts per category; redaction replaces all matches") {
+    val t = "mail a@b.com and c.d+x@e.org, ip 192.168.0.1, " +
+      "call 555-123-4567, ssn 123-45-6789 done"
+    assert(one(t, TextFunctions.piiCount($"text", "email")) === 2)
+    assert(one(t, TextFunctions.piiCount($"text", "ipv4")) === 1)
+    assert(one(t, TextFunctions.piiCount($"text", "phone")) === 1)
+    assert(one(t, TextFunctions.piiCount($"text", "ssn")) === 1)
+    val red = one(t, TextFunctions.redactPii($"text"))
+    assert(red === "mail [EMAIL] and [EMAIL], ip [IP], " +
+      "call [PHONE], ssn [SSN] done")
+    // clean text passes through untouched, zero counts
+    assert(one("no pii here", TextFunctions.redactPii($"text")) ===
+      "no pii here")
+    assert(one("no pii here", TextFunctions.piiCount($"text", "email")) === 0)
+    // phone and SSN shapes do not shadow each other
+    assert(one("555-123-4567", TextFunctions.piiCount($"text", "ssn")) === 0)
+    assert(one("123-45-6789", TextFunctions.piiCount($"text", "phone")) === 0)
+  }
+
+  test("filter rules: each rule discriminates its own failure mode") {
+    val good = ("word " * 15 + "the a of " + "sentence " * 15).trim
+    assert(one(good, TextFunctions.ruleWordCount($"text")) === true)
+    assert(one(good, TextFunctions.ruleMeanWordLength($"text")) === true)
+    assert(one(good, TextFunctions.ruleStopwords($"text")) === true)
+    assert(one(good, TextFunctions.ruleSymbolRatio($"text")) === true)
+    assert(one("too short", TextFunctions.ruleWordCount($"text")) === false)
+    assert(one(("x " * 40).trim,
+      TextFunctions.ruleMeanWordLength($"text")) === false) // mean len 1
+    assert(one(("word " * 40).trim,
+      TextFunctions.ruleStopwords($"text")) === false) // no stopwords
+    assert(one(("#!? " * 40).trim,
+      TextFunctions.ruleSymbolRatio($"text")) === false)
+  }
 }
