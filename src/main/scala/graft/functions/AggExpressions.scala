@@ -382,4 +382,83 @@ object AggExpressions {
     GraftSqlGlue.column(
       TopKAgg(GraftSqlGlue.expression(idCol),
         GraftSqlGlue.expression(scoreCol), k).toAggregateExpression())
+
+  /** Element-wise sum of fixed-length long-array columns — the centroid
+    * accumulator for k-means. One buffer per group holding the running
+    * per-dimension sums; merge is element-wise add (associative +
+    * commutative → map-side partial aggregation applies), so a centroid
+    * update over N vectors shuffles k × dim longs per map task instead of
+    * the N × dim rows a posexplode/groupBy(pos) formulation would move.
+    * Integer adds keep the aggregate order-free, which is what makes the
+    * clustering oracle-checkable: no float summation order to disagree on.
+    */
+  case class VectorSumAgg(
+      child: Expression,
+      dim: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+    require(dim > 0, "dim must be positive")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckSuccess
+        case other => TypeCheckFailure(
+          s"vector_sum expects array<bigint>, got ${other.simpleString}")
+      }
+    }
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](dim)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(arr.numElements() == dim,
+          s"vector_sum: expected $dim elements, got ${arr.numElements()}")
+        var i = 0
+        while (i < dim) { buf(i) += arr.getLong(i); i += 1 }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < dim) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * dim)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(dim)(bb.getLong)
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "vector_sum"
+
+    override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): VectorSumAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): VectorSumAgg = copy(child = cs.head)
+  }
+
+  /** Column entry point: element-wise sum of `dim`-length array<long>. */
+  def vector_sum(vecCol: Column, dim: Int): Column =
+    GraftSqlGlue.column(
+      VectorSumAgg(GraftSqlGlue.expression(vecCol), dim)
+        .toAggregateExpression())
 }

@@ -334,7 +334,79 @@ object TextQueries {
        |    AND CAST(n_punct AS DOUBLE) / n_tok <= 0.1 AS keep
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021
+    * table A1): top-bigram / top-trigram char coverage, duplicate-5-gram
+    * char coverage, plus the line-level signals (0 on this single-line
+    * corpus; pinned on multi-line docs by TextExpressionsSpec), and the
+    * keep conjunction at the paper's thresholds. One native-expression
+    * pass per row — map-only at any corpus size (no explode/groupBy
+    * shuffle). Every frac is exact-int numerator / exact-int denominator
+    * with one double division, so the oracle reproduces it bit-exactly. */
+  val qRepetition: Q = (s, dir) => {
+    import graft.functions.TextExpressions._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        ngram_repetition(tokens(col("text")), 2).as("g2"),
+        ngram_repetition(tokens(col("text")), 3).as("g3"),
+        ngram_repetition(tokens(col("text")), 5).as("g5"),
+        line_repetition(col("text")).as("ln"))
+      .select(col("doc_id"),
+        col("g2.top_char_frac").as("top2_frac"),
+        col("g3.top_char_frac").as("top3_frac"),
+        col("g5.dup_char_frac").as("dup5_frac"),
+        col("ln.dup_line_frac").as("dup_line_frac"),
+        col("ln.dup_line_char_frac").as("dup_line_char_frac"))
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+          col("dup5_frac") <= 0.15 && col("dup_line_frac") <= 0.30)
+      .orderBy(col("doc_id"))
+  }
+  val qRepetitionSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, $toksSql AS t, len($normSql) AS total FROM documents),
+       |grams AS (
+       |  SELECT doc_id, n, total,
+       |    CASE WHEN len(t) < n THEN [] ELSE list_transform(
+       |      range(0, len(t) - n + 1),
+       |      i -> array_to_string(t[i+1:i+n], ' ')) END AS gs
+       |  FROM m, (SELECT unnest([2, 3, 5]) AS n)),
+       |cnts AS (
+       |  SELECT doc_id, n, total, g AS gram, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, n, total, unnest(gs) AS g FROM grams)
+       |  GROUP BY ALL),
+       |ranked AS (
+       |  SELECT doc_id, n, total, cnt, len(gram) AS glen,
+       |    row_number() OVER (PARTITION BY doc_id, n
+       |      ORDER BY cnt DESC, len(gram) DESC) AS rn
+       |  FROM cnts),
+       |tops AS (
+       |  SELECT doc_id, n, CASE WHEN total = 0 THEN 0.0
+       |    ELSE CAST(cnt * glen AS DOUBLE) / CAST(total AS DOUBLE) END
+       |    AS top_frac
+       |  FROM ranked WHERE rn = 1),
+       |dups AS (
+       |  SELECT doc_id, n,
+       |    CASE WHEN any_value(total) = 0 THEN 0.0 ELSE
+       |      CAST(COALESCE(SUM(cnt * len(gram)) FILTER (WHERE cnt > 1), 0)
+       |           AS DOUBLE) / CAST(any_value(total) AS DOUBLE) END AS dup_frac
+       |  FROM cnts GROUP BY doc_id, n)
+       |SELECT m.doc_id,
+       |  COALESCE(p2.top_frac, 0.0) AS top2_frac,
+       |  COALESCE(p3.top_frac, 0.0) AS top3_frac,
+       |  COALESCE(p5.dup_frac, 0.0) AS dup5_frac,
+       |  CAST(0.0 AS DOUBLE) AS dup_line_frac,
+       |  CAST(0.0 AS DOUBLE) AS dup_line_char_frac,
+       |  COALESCE(p2.top_frac, 0.0) <= 0.20
+       |    AND COALESCE(p3.top_frac, 0.0) <= 0.18
+       |    AND COALESCE(p5.dup_frac, 0.0) <= 0.15 AND TRUE AS keep
+       |FROM m
+       |LEFT JOIN tops p2 ON m.doc_id = p2.doc_id AND p2.n = 2
+       |LEFT JOIN tops p3 ON m.doc_id = p3.doc_id AND p3.n = 3
+       |LEFT JOIN dups p5 ON m.doc_id = p5.doc_id AND p5.n = 5
+       |ORDER BY m.doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_repetition", qRepetition, Some(qRepetitionSql)),
     ("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     ("q_filter_rules", qFilterRules, Some(qFilterRulesSql)),
     ("q_term_stats", qTermStats, Some(qTermStatsSql)),

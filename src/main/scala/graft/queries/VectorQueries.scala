@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.SimilaritySearch
+import graft.operators.{Clustering, SimilaritySearch}
 
 /** Similarity-search queries over the embeddings table — all with full
   * DuckDB oracles.
@@ -142,10 +142,103 @@ object VectorQueries {
       |    x -> x*x)) AS BIGINT) AS norm_sq
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Deterministic k-means (k=8, one update round) over the full corpus —
+    * the SemDeDup/IVF clustering stage. The oracle mirrors EVERY step in
+    * integer arithmetic (quantize → k-smallest-id init → exact-int64
+    * distance numerators with one final double division → argmin with
+    * lowest-index ties → integer sum/count centroid update → final
+    * assignment), so a hash match pins the whole Lloyd's round, not just
+    * the output shape. */
+  val qKmeans: Q = (s, dir) => {
+    Clustering.kmeans(Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 1)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+  val qKmeansSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(generate_series(1,
+      |  (SELECT max(len(qv)) FROM q))) AS pos),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
+      |         qv AS s, CAST(1 AS BIGINT) AS n
+      |  FROM q ORDER BY vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT vec_id, qv, j AS cluster FROM (
+      |    SELECT q.vec_id, q.qv, c.j,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.s),
+      |          p -> (c.n*p[1]-p[2])*(c.n*p[1]-p[2]))) AS BIGINT) AS DOUBLE)
+      |          / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)), c.j) AS rn
+      |    FROM q, c0 c) WHERE rn = 1),
+      |sums1 AS (
+      |  SELECT cluster, dims.pos, CAST(SUM(qv[dims.pos]) AS BIGINT) AS sv
+      |  FROM a1, dims GROUP BY cluster, dims.pos),
+      |u1 AS (
+      |  SELECT s.cluster AS j, list(s.sv ORDER BY s.pos) AS s,
+      |         any_value(c.n) AS n
+      |  FROM sums1 s
+      |  JOIN (SELECT cluster, COUNT(*) AS n FROM a1 GROUP BY cluster) c
+      |    ON s.cluster = c.cluster
+      |  GROUP BY s.cluster),
+      |c1 AS (
+      |  SELECT c0.j, COALESCE(u1.s, c0.s) AS s, COALESCE(u1.n, c0.n) AS n
+      |  FROM c0 LEFT JOIN u1 ON c0.j = u1.j)
+      |SELECT vec_id, cluster FROM (
+      |  SELECT q.vec_id, c.j AS cluster,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.s),
+      |        p -> (c.n*p[1]-p[2])*(c.n*p[1]-p[2]))) AS BIGINT) AS DOUBLE)
+      |        / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)), c.j) AS rn
+      |  FROM q, c1 c) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup over the planted-duplicate corpus: k-means-cluster, then
+    * exact quantized cosine ≥ 0.999 within clusters only. Identical
+    * planted vectors have identical centroid distances, so they land in
+    * the same cluster by determinism — recall 1 BY CONSTRUCTION, and the
+    * survivors equal the all-pairs ground truth the oracle computes
+    * (random pairs never reach 0.999). The all-pairs product shrinks to
+    * Σ|cluster|² with no LSH family — the SemDeDup scale shape. */
+  val qSemdedup: Q = (s, dir) => {
+    val em = Tables.load(s, dir, "embeddings")
+    val doubled = em.select(col("vec_id"), col("embedding"))
+      .unionByName(em.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding")))
+    Clustering.semanticNearDups(doubled, "vec_id", "embedding",
+      threshold = 0.999, k = 8, iters = 1)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  val qSemdedupSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM base),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+      |  FROM q)
+      |SELECT id_a, id_b, cos FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+      |           p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_ann_topk", qAnnTopk, Some(qAnnTopkSql)),
     ("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     ("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     ("q_embed_norm", qEmbedNorm, Some(qEmbedNormSql)),
+    ("q_kmeans", qKmeans, Some(qKmeansSql)),
+    ("q_semdedup", qSemdedup, Some(qSemdedupSql)),
   )
 }
