@@ -262,6 +262,48 @@ object Dedup {
     labels.select(col("node").as("id"), col("lbl").as("cluster_id"))
   }
 
+  /** Cross-document repeated-span detection (the "exact substring
+    * dedup" signal of Lee et al. 2022, at w-token granularity): for each
+    * document, how much of it consists of w-token spans that also occur
+    * in ANOTHER document. Returns one row per input doc:
+    * (id, n_spans, n_shared, shared_frac) where n_spans counts the doc's
+    * DISTINCT spans, n_shared those of them occurring in ≥ 2 docs.
+    * Docs shorter than w tokens have 0 spans (and frac 0.0).
+    *
+    * Scale shape: spans are keyed by a 16-hex-char md5 prefix (8-byte
+    * entropy, engine-portable like SimHash64's token hash) so the
+    * shuffles carry short fixed keys, never the span text; the pipeline
+    * is per-doc-distinct → groupBy(span) count → join back → groupBy(doc)
+    * — no doc-pair product at any corpus size. A 64-bit collision merges
+    * two spans for every engine identically, so the result stays
+    * oracle-exact even in the astronomically-unlikely collision case. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    import graft.functions.HashExpressions.word_shingles
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col(textCol))
+    val spans = docs
+      .select(col(idCol).as("id"),
+        explode(when(size(toks) < w, array().cast("array<string>"))
+          .otherwise(word_shingles(toks, w))).as("span"))
+      .select(col("id"), substring(md5(col("span")), 1, 16).as("h"))
+      .distinct()
+    val counts = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+    val perDoc = spans.join(counts, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        when(col("n_spans") === 0L, lit(0.0))
+          .otherwise(col("n_shared").cast("double") /
+            col("n_spans").cast("double")))
+  }
+
   /** Embedding near-duplicates via exact quantized cosine over candidate
     * pairs. `bucketCol` optionally pre-blocks (e.g. LSH bucket); without it
     * this is all-pairs and should only run on samples/blocks. */

@@ -45,6 +45,38 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Weighted source mixing: down-sample each source so the kept corpus
+    * approaches the target weight ratios, scaled to the most constrained
+    * source (no repetition — a row is kept at most once). Given integer
+    * weights w_s, capacity C = min_s ⌊n_s·Buckets/w_s⌋ (the largest
+    * common scale at which every source can fill its quota), and source s
+    * keeps rows with hashBucket(id) < ⌊w_s·C/n_s⌋ — all integer
+    * arithmetic, so the exact membership is reproducible in any engine.
+    * Sources without a weight are dropped. Like [[hashSplit]], membership
+    * is a pure function of row identity given the per-source totals.
+    *
+    * The only non-row-local input is one count per source (a bounded
+    * aggregate pull); the filter itself is map-only — the shape that
+    * rebalances a 100 TB corpus in a single pass. */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    val names = weights.map(_._1)
+    require(names.distinct.size == names.size, "duplicate source in weights")
+    val counts = df.filter(col(sourceCol).isin(names: _*))
+      .groupBy(sourceCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = names.filterNot(counts.contains)
+    require(missing.isEmpty, s"weighted sources absent from data: $missing")
+    val cap = weights.map { case (s, wt) => counts(s) * Buckets / wt }.min
+    val bound = weights.foldRight(lit(0L): Column) {
+      case ((s, wt), rest) =>
+        when(col(sourceCol) === s, lit(wt * cap / counts(s))).otherwise(rest)
+    }
+    df.filter(hashBucket(col(idCol)) < bound)
+  }
+
   /** Stratified deterministic sampling: keep a per-stratum fraction of
     * rows (the training-mix rebalancing step — e.g. language quotas).
     * A row survives iff `hashBucket(id) < round(fraction(stratum) *

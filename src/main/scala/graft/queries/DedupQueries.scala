@@ -230,7 +230,40 @@ object DedupQueries {
        |SELECT src AS id, MIN(dst) AS cluster_id FROM r
        |GROUP BY src ORDER BY id""".stripMargin
 
+  /** Cross-doc repeated 8-token spans (exact-substring-dedup signal, Lee
+    * et al. 2022): per doc, the fraction of its distinct spans that occur
+    * in at least one other document. The oracle mirrors the span md5-16
+    * keying exactly, so the hash match pins the full pipeline including
+    * the portable span-key choice. */
+  val qSpanDedup: Q = (s, dir) => {
+    Dedup.repeatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text",
+      w = 8).withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))
+  }
+  val qSpanDedupSql: String =
+    s"""WITH m AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    substr(md5(g), 1, 16) AS h
+       |  FROM (SELECT doc_id, unnest(
+       |    CASE WHEN len(t) < 8 THEN [] ELSE list_transform(
+       |      range(0, len(t) - 7),
+       |      i -> array_to_string(t[i+1:i+8], ' ')) END) AS g FROM m)),
+       |c AS (SELECT h, COUNT(*) AS nd FROM g GROUP BY h),
+       |p AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans,
+       |    COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS n_shared
+       |  FROM g JOIN c USING (h) GROUP BY doc_id)
+       |SELECT m.doc_id,
+       |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+       |    ELSE CAST(p.n_shared AS DOUBLE) / CAST(p.n_spans AS DOUBLE) END
+       |    AS shared_frac
+       |FROM (SELECT DISTINCT doc_id FROM m) m
+       |LEFT JOIN p USING (doc_id) ORDER BY m.doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_span_dedup", qSpanDedup, Some(qSpanDedupSql)),
     ("q_dedup_embedding_lsh", qDedupEmbeddingLsh, Some(qDedupEmbeddingLshSql)),
     ("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     ("q_dedup_jaccard", qDedupJaccard, Some(qDedupJaccardSql)),

@@ -229,7 +229,38 @@ object SamplingQueries {
        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  /** Weighted source mixing: rebalance the 20-source corpus to 4:2:2:1:1
+    * over five kept sources (everything else dropped). The engine
+    * computes per-source keep bounds from integer capacity arithmetic;
+    * the oracle recomputes the same bounds in SQL from the same counts,
+    * so the exact kept membership must match row for row. */
+  val qSourceMix: Q = (s, dir) => {
+    import graft.operators.Sampling
+    Sampling.mixSources(Tables.load(s, dir, "documents"), "doc_id", "source",
+      Seq("src0" -> 4L, "src1" -> 2L, "src2" -> 2L, "src3" -> 1L,
+        "src4" -> 1L))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  val qSourceMixSql: String =
+    """WITH w(source, wt) AS (
+      |  VALUES ('src0', 4), ('src1', 2), ('src2', 2), ('src3', 1),
+      |         ('src4', 1)),
+      |cnt AS (
+      |  SELECT source, COUNT(*) AS n FROM documents
+      |  WHERE source IN (SELECT source FROM w) GROUP BY source),
+      |cap AS (SELECT MIN(n * 10000 // wt) AS c FROM cnt JOIN w USING (source)),
+      |b AS (
+      |  SELECT source, (wt * (SELECT c FROM cap)) // n AS bound
+      |  FROM cnt JOIN w USING (source))
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN b USING (source)
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |  % 10000 < bound
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_source_mix", qSourceMix, Some(qSourceMixSql)),
     ("q_hash_split", qHashSplit, Some(qHashSplitSql)),
     ("q_stratified", qStratified, Some(qStratifiedSql)),
     ("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),

@@ -17,6 +17,19 @@ class DedupSpec extends SparkSpec {
     (5L, "THE  Quick   brown fox jumps over the lazy dog near the river bank today")) // 0 modulo case/space
     .toDF("doc_id", "text")
 
+  test("repeatedSpans scores cross-doc 8-token span sharing") {
+    val withShort = docs.unionByName(
+      Seq((6L, "too short for any span")).toDF("doc_id", "text"))
+    val r = Dedup.repeatedSpans(withShort, "doc_id", "text", w = 8)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(0L)._3 === 1.0)            // exact dup of 2 and 5: all shared
+    assert(r(1L)._1 === 7L)             // 14 tokens -> 7 distinct spans
+    assert(r(1L)._2 === 6L)             // all but the last-word span shared
+    assert(r(3L)._3 === 0.0)            // no span shared with doc 4
+    assert(r(6L) === ((0L, 0L, 0.0)))   // short doc: no spans at all
+  }
+
   test("exact dedup groups identical normalized content") {
     val d = Dedup.exact(docs, "doc_id", "text").collect()
     // 0, 2, 5 collapse (5 differs only in case/whitespace)
