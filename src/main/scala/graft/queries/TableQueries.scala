@@ -66,6 +66,79 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** CDC changelog over a table lifecycle: append → COW merge → MOR merge,
+    * then `changes()` across the whole range. The oracle reconstructs the
+    * exact net change set per commit: appends are inserts; the COW merge
+    * nets to delete+insert for matched keys and insert for new keys (rows
+    * the rewrite copied untouched cancel — the assertion that pins the
+    * EXCEPT ALL diff); the MOR merge emits its batch as inserts and the
+    * parent-visible rows matching its tombstone keys as deletes. Commit
+    * ids map to a dense 1..3 `commit_ord` driver-side (snapshot ids are
+    * not stable across runs). */
+  val qTableChanges: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("changes"))
+    val target = Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+    t.append(target, parts = Seq("o_orderstatus"))
+    val src1 = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+    t.merge(src1, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey")
+    val src2 = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("Y"))
+    t.merge(src2, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    // dense order over DATA-BEARING commits only (a zero-file create or
+    // metadata commit must not shift the mapping)
+    val ids = t.snapshots.filter(sn => t.addedFilesOf(sn).nonEmpty ||
+        t.removedFilesOf(sn).nonEmpty ||
+        sn.addedDeleteFiles.exists(_.nonEmpty))
+      .map(_.snapshotId).sorted
+    val ord = ids.zipWithIndex.foldRight(lit(0): org.apache.spark.sql.Column) {
+      case ((id, i), rest) =>
+        when(col("_commit_snapshot_id") === id, lit(i + 1)).otherwise(rest)
+    }
+    t.changes(t.snapshots.head.snapshotId - 1, ids.last)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("_change_type").as("change_type"), ord.as("commit_ord"))
+      .orderBy(col("commit_ord"), col("o_orderkey"), col("change_type"))
+  }
+  val qTableChangesSql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0),
+      |src1 AS (
+      |  SELECT o_orderkey, 'X' AS o_orderstatus FROM orders
+      |  WHERE o_orderkey % 3 = 0),
+      |src2 AS (
+      |  SELECT o_orderkey, 'Y' AS o_orderstatus FROM orders
+      |  WHERE o_orderkey % 5 = 0),
+      |state2 AS ( -- table state after the COW merge
+      |  SELECT t.o_orderkey,
+      |    CASE WHEN t.o_orderkey % 3 = 0 THEN 'X' ELSE t.o_orderstatus END
+      |      AS o_orderstatus
+      |  FROM target t
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus FROM src1
+      |  WHERE o_orderkey % 2 <> 0),
+      |chg AS (
+      |  SELECT o_orderkey, o_orderstatus, 'insert' AS change_type,
+      |         1 AS commit_ord
+      |  FROM target
+      |  UNION ALL -- COW merge: matched rows delete their old version
+      |  SELECT t.o_orderkey, t.o_orderstatus, 'delete', 2
+      |  FROM target t JOIN src1 USING (o_orderkey)
+      |  UNION ALL -- ... and every source row lands as an insert
+      |  SELECT o_orderkey, o_orderstatus, 'insert', 2 FROM src1
+      |  UNION ALL -- MOR merge: parent rows under tombstone keys delete
+      |  SELECT s.o_orderkey, s.o_orderstatus, 'delete', 3
+      |  FROM state2 s JOIN src2 USING (o_orderkey)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, 'insert', 3 FROM src2)
+      |SELECT o_orderkey, o_orderstatus, change_type,
+      |  CAST(commit_ord AS INTEGER) AS commit_ord
+      |FROM chg ORDER BY commit_ord, o_orderkey, change_type""".stripMargin
+
   /** J1 on a real GraftTable: COW merge of an update batch (status flipped
     * to 'X' — rows change partition, exercising moved-row rewrite) plus
     * inserts, against a partitioned target. */
@@ -426,6 +499,7 @@ object TableQueries {
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
+    ("q_table_changes", qTableChanges, Some(qTableChangesSql)),
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
     ("q_table_merge_mor", qTableMergeMor, Some(qTableMergeMorSql)),
     ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),

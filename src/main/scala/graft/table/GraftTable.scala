@@ -1209,6 +1209,92 @@ class GraftTable(spark: SparkSession, val location: String) {
     appends.flatMap(addedFilesOf)
   }
 
+  /** CDC changelog read (the Delta change-data-feed / Iceberg
+    * changelog-view shape): the net row-level changes committed by each
+    * snapshot in `(startExclusive, endInclusive]`, as the end snapshot's
+    * data columns plus `_change_type` ('insert' | 'delete') and
+    * `_commit_snapshot_id`. An update surfaces as delete + insert in the
+    * same commit.
+    *
+    * Per snapshot:
+    *   - pure appends: added files are inserts (no diff read);
+    *   - COW rewrites (merge/overwrite/rollback/row-level SQL): inserts =
+    *     added-file rows EXCEPT ALL removed-file rows, deletes = the
+    *     reverse — rows a rewrite copied untouched cancel out, so only
+    *     genuine changes surface;
+    *   - MOR merges: added data files are inserts; each tombstone's
+    *     deletes are the PARENT state's rows semi-joined on its keys
+    *     (tombstones only cover files added before them, which is exactly
+    *     the parent-visible state);
+    *   - compact / rewrite-manifests / fold are data-equivalent by
+    *     construction and skipped without reads (their diff is provably
+    *     empty); zero-file metadata commits contribute nothing.
+    *
+    * Scale shape: only the files a snapshot TOUCHED are read (the
+    * MOR-tombstone pre-image additionally scans the parent state once per
+    * distinct key set, filtered by a semi-join); the COW diff is a hash
+    * EXCEPT ALL over the touched files only — never a table-history
+    * product. Results under evolved schemas conform to the end schema
+    * (missing columns null-fill, dropped columns vanish) so one changelog
+    * frame spans evolve commits. */
+  def changes(startExclusive: Long, endInclusive: Long): DataFrame = {
+    val endSch = schemaAt(Some(endInclusive))
+    def conform(df: DataFrame): DataFrame =
+      df.select(endSch.fields.map(f =>
+        (if (df.columns.contains(f.name)) df(f.name)
+         else lit(null)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    def tag(df: DataFrame, kind: String, sid: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_snapshot_id", lit(sid))
+    val dataEquivalent = Set("compact", "rewrite-manifests", "fold")
+    val range = snapshots
+      .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
+      .filterNot(s => dataEquivalent(s.operation))
+    val parts = range.flatMap { s =>
+      val added = addedFilesOf(s)
+      val removed = removedFilesOf(s)
+      val tombs = s.addedDeleteFiles.getOrElse(Seq.empty)
+      val addedDf =
+        if (added.isEmpty) None
+        else Some(conform(readFiles(added, Some(s.snapshotId))))
+      val removedDf =
+        if (removed.isEmpty) None
+        else Some(conform(readFiles(removed, s.parentId)))
+      val inserts = addedDf.map { a =>
+        tag(removedDf.fold(a)(a.exceptAll), "insert", s.snapshotId)
+      }
+      val cowDeletes = removedDf.map { r =>
+        tag(addedDf.fold(r)(r.exceptAll), "delete", s.snapshotId)
+      }
+      // same-key tombstones of one commit share one pre-image semi-join
+      val morDeletes = tombs.groupBy(d => d.cols.getOrElse(
+        spark.read.parquet(s"$location/${d.path}").columns.toSeq))
+        .map { case (cols, dels) =>
+          val keys = spark.read
+            .parquet(dels.map(d => s"$location/${d.path}"): _*)
+            .select(cols.map(col): _*)
+          val parent = s.parentId.getOrElse(
+            throw new IllegalStateException("tombstones on a root snapshot"))
+          tag(conform(readAsOf(parent)).join(broadcastIfSmall(keys, dels),
+            cols, "left_semi"), "delete", s.snapshotId)
+        }
+      inserts ++ cowDeletes ++ morDeletes
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      tag(conform(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], endSch)), "", 0L).limit(0)
+    }
+  }
+
+  /** Broadcast tombstone keys under the session broadcast threshold, by
+    * manifest-recorded bytes (same policy as [[morRead]]). */
+  private def broadcastIfSmall(keys: DataFrame,
+      dels: Seq[DeleteFile]): DataFrame = {
+    val bytes = dels.map(d => d.bytes.getOrElse(
+      fs.getFileStatus(new Path(tablePath, d.path)).getLen)).sum
+    if (bytes <= 10L * 1024 * 1024) broadcast(keys) else keys
+  }
+
   /** Partition-pruned scan: resolves the file list driver-side with
     * manifest skipping ([[liveFilesWhere]]), so only matching partitions
     * are ever listed/read AND only matching manifests are ever parsed

@@ -1,0 +1,93 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** CDC changelog reads ([[GraftTable.changes]]): net-change semantics per
+  * commit kind, data-equivalent commits contributing nothing, schema
+  * evolution conformance, and the empty range. The full pipeline against
+  * an independent SQL reconstruction is pinned by the q_table_changes
+  * oracle; this spec pins the engine-only corners. */
+class ChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(name: String) = {
+    val t = GraftTable(spark, tmpDir(name) + "/t")
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t
+  }
+
+  private def collectChanges(t: GraftTable, from: Long, to: Long) =
+    t.changes(from, to)
+      .select("id", "v", "_change_type", "_commit_snapshot_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("append emits pure inserts; compact emits nothing") {
+    val t = mk("chg-append")
+    val s1 = t.latestSnapshotId.get
+    t.append(Seq((101L, "x")).toDF("id", "v"))
+    val s2 = t.latestSnapshotId.get
+    t.compact()
+    val s3 = t.latestSnapshotId.get
+    assert(collectChanges(t, s1, s2).toSet ===
+      Set((101L, "x", "insert", s2)))
+    assert(collectChanges(t, s2, s3).isEmpty) // compact is data-equivalent
+    // the range crossing the compact still reports only the append
+    assert(collectChanges(t, s1, s3).toSet ===
+      Set((101L, "x", "insert", s2)))
+  }
+
+  test("COW rewrite nets out copied rows: delete emits only removed rows") {
+    val t = mk("chg-del")
+    val s1 = t.latestSnapshotId.get
+    // SQL-DELETE path: rewrites the whole file minus 2 rows
+    t.delete(col("id") <= 2L)
+    val s2 = t.latestSnapshotId.get
+    val chg = collectChanges(t, s1, s2)
+    assert(chg.toSet === Set(
+      (1L, "v1", "delete", s2), (2L, "v2", "delete", s2)))
+  }
+
+  test("MOR merge emits batch inserts plus parent-state key deletes") {
+    val t = mk("chg-mor")
+    val s1 = t.latestSnapshotId.get
+    t.merge(Seq((5L, "u5"), (200L, "new")).toDF("id", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id", mode = "mor")
+    val s2 = t.latestSnapshotId.get
+    val chg = collectChanges(t, s1, s2)
+    // key 200 is tombstoned too but existed nowhere -> no delete for it
+    assert(chg.toSet === Set(
+      (5L, "v5", "delete", s2), (5L, "u5", "insert", s2),
+      (200L, "new", "insert", s2)))
+  }
+
+  test("changelog spans schema evolution, null-filling the new column") {
+    val t = mk("chg-evolve")
+    val s1 = t.latestSnapshotId.get
+    t.append(Seq((101L, "pre")).toDF("id", "v"))
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType))))
+    t.append(Seq((102L, "post", "w102")).toDF("id", "v", "w"))
+    val end = t.latestSnapshotId.get
+    val rows = t.changes(s1, end)
+      .select("id", "v", "w", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getString(3))).toSet
+    assert(rows === Set(
+      (101L, "pre", None, "insert"),        // pre-evolve commit, w nulled
+      (102L, "post", Some("w102"), "insert")))
+  }
+
+  test("empty or change-free range returns an empty, well-typed frame") {
+    val t = mk("chg-empty")
+    val s1 = t.latestSnapshotId.get
+    t.setProperties(Map("graft.test" -> "1")) // metadata-only commit
+    val s2 = t.latestSnapshotId.get
+    val df = t.changes(s1, s2)
+    assert(df.columns.toSeq ===
+      Seq("id", "v", "_change_type", "_commit_snapshot_id"))
+    assert(df.count() === 0)
+  }
+}
