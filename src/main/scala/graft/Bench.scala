@@ -30,12 +30,14 @@ object Bench {
     "q_events_daily", "q_events_sessions", "q_funnel",
     "q_doc_stats", "q_token_count", "q_quality", "q_lang_id", "q_fingerprint",
     "q_bm25", "q_diversity", "q_decontaminate", "q_pack",
+    "q_repetition", "q_span_dedup", "q_source_mix",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
     "q_dedup_embedding", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_embed_norm",
+    "q_embed_norm", "q_kmeans", "q_semdedup",
     // table lifecycle (scratch-table append + merge + read per run)
     "q_table_merge", "q_table_merge_mor", "q_incremental_scan",
-    "q_sql_merge", "q_hidden_partition", "q_sql_rowlevel", "q_stream_table")
+    "q_sql_merge", "q_hidden_partition", "q_sql_rowlevel", "q_stream_table",
+    "q_table_changes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,7 +125,7 @@ object Bench {
     // added in round 2 (they include scratch-dir DDL/IO by construction)
     val lifecycle = Set("q_table_merge", "q_table_merge_mor",
       "q_incremental_scan", "q_sql_merge", "q_hidden_partition",
-      "q_sql_rowlevel", "q_stream_table")
+      "q_sql_rowlevel", "q_stream_table", "q_table_changes")
     val coreSec = results.filterNot(r => lifecycle(r._1))
       .map(_._2).filter(_ >= 0).sum
     val lifeSec = results.filter(r => lifecycle(r._1))

@@ -150,4 +150,23 @@ object TextFunctions {
     * O(distinct × len) per doc, the wrong shape for long documents.) */
   def ruleSymbolRatio(text: Column, maxRatio: Double = 0.1): Column =
     (punctCount(text).cast("double") / tokenCount(text)).leq(maxRatio)
+
+  // ---- C4-style cleaning (Raffel et al. 2020 §2.2) — web-scrape text
+  // carries URLs, leftover markup, and non-sentence boilerplate lines;
+  // all three scrubs are map-only regex/array built-ins (codegen'd, the
+  // engine-portable regex subset the PII patterns already use).
+
+  /** remove every http(s) URL. */
+  def stripUrls(text: Column): Column =
+    regexp_replace(text, "https?://\\S+", "")
+
+  /** remove every <...> markup tag. */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", "")
+
+  /** C4's line gate: keep only lines ending in terminal punctuation
+    * (. ! ? or a closing quote), dropping navigation/boilerplate lines. */
+  def keepTerminalLines(text: Column): Column =
+    array_join(filter(split(text, "\n"),
+      l => l.rlike("[.!?\"]\\s*$")), "\n")
 }

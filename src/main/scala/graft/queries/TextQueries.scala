@@ -405,7 +405,87 @@ object TextQueries {
        |LEFT JOIN dups p5 ON m.doc_id = p5.doc_id AND p5.n = 5
        |ORDER BY m.doc_id""".stripMargin
 
+  /** Inverted-index build: per term, document frequency, total term
+    * frequency, and the full POSTING LIST (sorted doc ids) — the retrieval
+    * data structure BM25 serving would load. Posting lists are the one
+    * index shape worth materializing from Spark (one groupBy; map-side
+    * partial aggregation collapses per-doc duplicates before the
+    * shuffle); sort_array makes the list order engine-independent. */
+  val qInvertedIndex: Q = (s, dir) => {
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        // CSV-serialized sorted posting list: keeps the compare surface
+        // scalar (the drivers hash cell values, not nested lists)
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+      .orderBy(col("term"))
+  }
+  val qInvertedIndexSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term)
+       |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       |  string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+       |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
+  /** C4-style cleaning over deterministically-dirtied docs: plant a URL,
+    * markup tags, or a terminal-punctuation-less boilerplate line per doc
+    * (mod-4 cycle, like q_pii_redact's planting), then scrub with
+    * stripUrls → stripHtml → keepTerminalLines and oracle the cleaned md5
+    * plus per-category hit counts. All map-only. */
+  val qC4Clean: Q = (s, dir) => {
+    import graft.functions.TextFunctions._
+    val planted = Tables.load(s, dir, "documents")
+      .withColumn("text", concat(col("text"), lit("."),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" see http://ex"), col("doc_id").cast("string"),
+            lit("/x now.")))
+          .when(col("doc_id") % 4 === 1, lit(" <div class=\"x\">mark</div> ok."))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("\nmenu home about\nEnds well, doc "),
+              col("doc_id").cast("string"), lit(".")))
+          .otherwise(lit(""))))
+    planted.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("https?://\\S+"), lit(0)))
+        .cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines"),
+      md5(keepTerminalLines(stripHtml(stripUrls(col("text")))))
+        .as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val qC4CleanSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text || '.' ||
+      |    CASE WHEN doc_id % 4 = 0
+      |           THEN ' see http://ex' || doc_id || '/x now.'
+      |         WHEN doc_id % 4 = 1 THEN ' <div class="x">mark</div> ok.'
+      |         WHEN doc_id % 4 = 2
+      |           THEN chr(10) || 'menu home about' || chr(10) ||
+      |                'Ends well, doc ' || doc_id || '.'
+      |         ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT)
+      |    AS n_urls,
+      |  CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |  md5(array_to_string(
+      |    list_filter(string_split(
+      |      regexp_replace(regexp_replace(text, 'https?://\S+', '', 'g'),
+      |        '<[^>]*>', '', 'g'), chr(10)),
+      |      l -> regexp_matches(l, '[.!?"]\s*$')), chr(10))) AS cleaned_md5
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_c4_clean", qC4Clean, Some(qC4CleanSql)),
+    ("q_inverted_index", qInvertedIndex, Some(qInvertedIndexSql)),
     ("q_repetition", qRepetition, Some(qRepetitionSql)),
     ("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     ("q_filter_rules", qFilterRules, Some(qFilterRulesSql)),

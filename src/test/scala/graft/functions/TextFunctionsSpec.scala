@@ -82,6 +82,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("123-45-6789", TextFunctions.piiCount($"text", "phone")) === 0)
   }
 
+  test("C4 cleaning: urls and tags scrubbed, non-terminal lines dropped") {
+    assert(one("go to https://x.io/a?b=1 and http://y.z now",
+      TextFunctions.stripUrls($"text")) === "go to  and  now")
+    assert(one("a <b>bold</b> <div class=\"x\">tag</div> end",
+      TextFunctions.stripHtml($"text")) === "a bold tag end")
+    assert(one("Keeps this line.\nmenu home about\nAnd this one!\nbye",
+      TextFunctions.keepTerminalLines($"text")) ===
+      "Keeps this line.\nAnd this one!")
+    // closing-quote terminal counts; trailing spaces tolerated
+    assert(one("He said \"stop.\"  \nnot this",
+      TextFunctions.keepTerminalLines($"text")) === "He said \"stop.\"  ")
+  }
+
   test("filter rules: each rule discriminates its own failure mode") {
     val good = ("word " * 15 + "the a of " + "sentence " * 15).trim
     assert(one(good, TextFunctions.ruleWordCount($"text")) === true)
