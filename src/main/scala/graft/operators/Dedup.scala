@@ -310,14 +310,21 @@ object Dedup {
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bucket: Option[Column] = None): DataFrame = {
     import graft.functions.VectorFunctions._
+    // norms are per-ROW (computed once before the join), not per-pair:
+    // the pair side then pays only the dot product — same expression
+    // tree as cosineQ, so the doubles are bit-identical
     val q = vecs.select(col(idCol).as("id"),
       quantize(col(vecCol)).as("q"),
       bucket.getOrElse(lit(0)).as("bk"))
-    val l = q.select(col("bk"), col("id").as("id_a"), col("q").as("q_a"))
-    val r = q.select(col("bk"), col("id").as("id_b"), col("q").as("q_b"))
+      .withColumn("nsq", normSqQ(col("q")))
+    val l = q.select(col("bk"), col("id").as("id_a"), col("q").as("q_a"),
+      col("nsq").as("nsq_a"))
+    val r = q.select(col("bk"), col("id").as("id_b"), col("q").as("q_b"),
+      col("nsq").as("nsq_b"))
     l.join(r, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosineQ(col("q_a"), col("q_b")))
+      .withColumn("cos", dotQ(col("q_a"), col("q_b")).cast("double") /
+        (sqrt(col("nsq_a").cast("double")) * sqrt(col("nsq_b").cast("double"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .dropDuplicates("id_a", "id_b")

@@ -207,8 +207,10 @@ object VectorQueries {
     val doubled = em.select(col("vec_id"), col("embedding"))
       .unionByName(em.select((col("vec_id") + lit(1000000L)).as("vec_id"),
         col("embedding")))
+    // k is a free knob here (the oracle is cluster-independent): more
+    // clusters shrink the within-cluster pair product Σ|c|²
     Clustering.semanticNearDups(doubled, "vec_id", "embedding",
-      threshold = 0.999, k = 8, iters = 1)
+      threshold = 0.999, k = 20, iters = 1)
       .orderBy(col("id_a"), col("id_b"))
   }
   val qSemdedupSql: String =
