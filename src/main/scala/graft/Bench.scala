@@ -74,8 +74,14 @@ object Bench {
       }
       val runs = Seq.fill(3)(once())
       // level the field for the next query: cached frames from this one
-      // (merge batch caches, checkpoint shadows) must not perturb it
+      // (merge batch caches, checkpoint shadows) must not perturb it.
+      // localCheckpoint blocks are NOT covered by clearCache — they free
+      // only when the ContextCleaner sees their RDDs unreferenced, so
+      // nudge a GC or ~150 runs of leftovers pile onto the heap and
+      // late-session queries (the scale tier) measure memory pressure,
+      // not plan cost (observed: 3-5× inflation on the 10× minhash)
       spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val ok = runs.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
@@ -101,7 +107,7 @@ object Bench {
             catch { case e: Throwable =>
               System.err.println(s"[bench] scale $name failed: ${e.getMessage}")
               -1.0 }
-            finally spark.sharedState.cacheManager.clearCache()
+            finally { spark.sharedState.cacheManager.clearCache(); System.gc() }
           }
           val runs = Seq.fill(2)(once()).filter(_ >= 0)
           name -> (if (runs.isEmpty) -1.0 else runs.min)
