@@ -169,4 +169,25 @@ object TextFunctions {
   def keepTerminalLines(text: Column): Column =
     array_join(filter(split(text, "\n"),
       l => l.rlike("[.!?\"]\\s*$")), "\n")
+
+  /** FastText-style hashed linear document scorer: every token hashes
+    * into one of 1001 weight slots via the engine-portable md5-prefix
+    * hash, slots carry signed integer weights in [-500, 500], and the
+    * document score is the MEAN token weight — the exact serving shape
+    * of a hashed bag-of-words linear classifier (the quality-classifier
+    * stage of most curation pipelines). The weights here derive from the
+    * hash itself (a fixed pseudo-random model standing in for a trained
+    * vector — swap `tokenWeight` for a broadcast lookup to serve real
+    * weights; the plumbing is identical and the score stays
+    * engine-exact: integer sums, one final double division). */
+  def tokenWeight(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % 1001 - 500
+
+  def hashedLinearScore(text: Column): Column = {
+    val toks = tokens(text)
+    val total = aggregate(transform(toks, t => tokenWeight(t)), lit(0L),
+      (acc, w) => acc + w)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(total.cast("double") / size(toks).cast("double"))
+  }
 }

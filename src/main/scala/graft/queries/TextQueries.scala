@@ -483,7 +483,32 @@ object TextQueries {
       |      l -> regexp_matches(l, '[.!?"]\s*$')), chr(10))) AS cleaned_md5
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  /** Hashed-linear classifier scoring (fastText serving shape): mean
+    * signed token weight from a 1001-slot hashed weight vector, and the
+    * keep decision at score > 0. Map-only; integer sums with one final
+    * division keep the score engine-exact. */
+  val qQualityClassifier: Q = (s, dir) => {
+    import graft.functions.TextFunctions._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), hashedLinearScore(col("text")).as("score"))
+      .withColumn("keep", col("score") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+  val qQualityClassifierSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+       |    CAST(list_sum(list_transform(t,
+       |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1001 - 500))
+       |      AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS score,
+       |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+       |    CAST(list_sum(list_transform(t,
+       |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1001 - 500))
+       |      AS DOUBLE) / CAST(len(t) AS DOUBLE) END > 0.0 AS keep
+       |FROM (SELECT doc_id, $toksSql AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_quality_classifier", qQualityClassifier, Some(qQualityClassifierSql)),
     ("q_c4_clean", qC4Clean, Some(qC4CleanSql)),
     ("q_inverted_index", qInvertedIndex, Some(qInvertedIndexSql)),
     ("q_repetition", qRepetition, Some(qRepetitionSql)),

@@ -48,6 +48,19 @@ object Streaming {
         ()
     }
 
+  /** Streaming exact dedup: keep only the FIRST occurrence of each
+    * content fingerprint across the stream's lifetime — the streaming
+    * face of Dedup.exactRows for a continuously-ingesting corpus. State
+    * is one fingerprint per distinct content, backed by the checkpoint
+    * (exactly-once with graftSink); for an unbounded stream, watermark a
+    * timestamp column first so state ages out (Spark's
+    * dropDuplicates-with-watermark contract). */
+  def dedupStream(stream: DataFrame, textCol: String): DataFrame =
+    stream.withColumn("fp",
+      graft.functions.TextFunctions.fingerprint_md5(
+        org.apache.spark.sql.functions.col(textCol)))
+      .dropDuplicates("fp")
+
   /** Event-time windowed rollup with a watermark: late events beyond
     * `lateness` are dropped, state is bounded — the 100 TB-safe shape for
     * continuous aggregation. */

@@ -72,6 +72,37 @@ class StreamingSpec extends SparkSpec {
     assert(t.read().count() === 4)
   }
 
+  test("streaming dedup keeps first occurrence across micro-batches") {
+    val base = tmpDir("stream-dedup")
+    val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
+    val tableLoc = s"$base/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // b1 carries an in-batch duplicate (ids 1/2 same normalized content)
+    Files.write(Paths.get(rawDir, "b1.csv"),
+      "id|text\n1|hello world\n2|HELLO   world\n3|other doc\n"
+        .getBytes("UTF-8"))
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true").option("sep", "|").csv(rawDir)
+    val q = Streaming.graftSink(
+      Streaming.dedupStream(stream, "text"), tableLoc,
+      txnAppId = "dedup-test")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val t = graft.table.GraftTable(spark, tableLoc)
+      assert(t.read().count() === 2) // in-batch dup collapsed
+      // b2: one cross-batch duplicate (vs b1) + one genuinely new doc
+      Files.write(Paths.get(rawDir, "b2.csv"),
+        "id|text\n4|hello WORLD\n5|brand new\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = t.read().select("id").as[Long].collect().sorted
+      assert(rows.length === 3, s"got ${rows.mkString(",")}")
+      assert(rows.contains(5L) && !rows.contains(4L),
+        "cross-batch duplicate must be dropped by checkpointed state")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     val base = tmpDir("stream-window")
     val src = s"$base/src"
