@@ -461,4 +461,176 @@ object AggExpressions {
     GraftSqlGlue.column(
       VectorSumAgg(GraftSqlGlue.expression(vecCol), dim)
         .toAggregateExpression())
+
+  /** Misra-Gries heavy hitters: at most `k` counters track the stream's
+    * frequent items in O(k) memory per group — the corpus-scale answer to
+    * "top tokens / top domains" where an exact groupBy would shuffle the
+    * full distinct set. Guarantees (not approximations of them): any item
+    * with true frequency > n/(k+1) IS in the summary, and each reported
+    * count is a lower bound within n/(k+1) of truth. Counters are
+    * mergeable (combine, then subtract the (k+1)-th largest — the
+    * Agarwal et al. mergeable-summaries construction), so map-side
+    * partial aggregation applies and the shuffle carries ≤ k entries per
+    * task. Counts (not the retention guarantee) depend on merge order, so
+    * the operator is spec-pinned rather than SQL-oracled.
+    *
+    * Output: array<struct<item string, count long>> sorted by count desc,
+    * item asc. */
+  case class HeavyHittersAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[
+        java.util.HashMap[String, Long]] {
+    require(k > 0, "k must be positive")
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(
+          s"heavy_hitters expects a string column, got ${other.simpleString}")
+      }
+    }
+
+    override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+      new java.util.HashMap[String, Long]()
+
+    /** classic MG step: known item +1; room for a new counter; else decay
+      * every counter by 1 (dropping zeros). */
+    private def offer(buf: java.util.HashMap[String, Long], item: String,
+        weight: Long): Unit = {
+      val cur = buf.get(item)
+      if (cur != 0L || buf.containsKey(item)) buf.put(item, cur + weight)
+      else if (buf.size < k) buf.put(item, weight)
+      else {
+        // decrement all by the min(weight, smallest counter) — the
+        // weighted MG step (weight 1 for plain updates)
+        var dec = weight
+        while (dec > 0 && buf.size >= k) {
+          val it = buf.values().iterator()
+          var minC = Long.MaxValue
+          while (it.hasNext) minC = math.min(minC, it.next())
+          val step = math.min(dec, minC)
+          val entries = buf.entrySet().iterator()
+          while (entries.hasNext) {
+            val e = entries.next()
+            val nv = e.getValue - step
+            if (nv <= 0L) entries.remove() else e.setValue(nv)
+          }
+          dec -= step
+        }
+        if (dec > 0) buf.put(item, dec)
+      }
+    }
+
+    override def update(buf: java.util.HashMap[String, Long],
+        input: InternalRow): java.util.HashMap[String, Long] = {
+      val v = child.eval(input)
+      if (v != null)
+        offer(buf, v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString, 1L)
+      buf
+    }
+
+    /** mergeable-summaries combine: add counters, then reduce back to k
+      * by subtracting the (k+1)-th largest count from everything. */
+    override def merge(buf: java.util.HashMap[String, Long],
+        other: java.util.HashMap[String, Long])
+        : java.util.HashMap[String, Long] = {
+      val oit = other.entrySet().iterator()
+      while (oit.hasNext) {
+        val e = oit.next()
+        val cur = buf.get(e.getKey) // missing unboxes to 0L
+        buf.put(e.getKey, cur + e.getValue)
+      }
+      if (buf.size > k) {
+        val counts = new Array[Long](buf.size)
+        var i = 0
+        val it = buf.values().iterator()
+        while (it.hasNext) { counts(i) = it.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val cut = counts(buf.size - k - 1) // (k+1)-th largest
+        val entries = buf.entrySet().iterator()
+        while (entries.hasNext) {
+          val e = entries.next()
+          val nv = e.getValue - cut
+          if (nv <= 0L) entries.remove() else e.setValue(nv)
+        }
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.HashMap[String, Long]): Any = {
+      val items = new Array[(String, Long)](buf.size)
+      var i = 0
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); items(i) = (e.getKey, e.getValue); i += 1
+      }
+      scala.util.Sorting.stableSort(items,
+        (a: (String, Long), b: (String, Long)) =>
+          a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      new GenericArrayData(items.map { case (s, c) =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(s), c)
+      }.toArray[Any])
+    }
+
+    override def serialize(buf: java.util.HashMap[String, Long])
+        : Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val b = e.getKey.getBytes("UTF-8")
+        out.writeInt(b.length); out.write(b); out.writeLong(e.getValue)
+      }
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte])
+        : java.util.HashMap[String, Long] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        buf.put(new String(b, "UTF-8"), in.readLong())
+        i += 1
+      }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("count", LongType,
+          nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "heavy_hitters"
+
+    override def withNewMutableAggBufferOffset(o: Int): HeavyHittersAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HeavyHittersAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): HeavyHittersAgg = copy(child = cs.head)
+  }
+
+  /** Column entry point: Misra-Gries k-counter heavy-hitters summary. */
+  def heavy_hitters(itemCol: Column, k: Int): Column =
+    GraftSqlGlue.column(
+      HeavyHittersAgg(GraftSqlGlue.expression(itemCol), k)
+        .toAggregateExpression())
 }
