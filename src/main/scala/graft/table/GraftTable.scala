@@ -1251,6 +1251,27 @@ class GraftTable(spark: SparkSession, val location: String) {
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
       .filterNot(s => dataEquivalent(s.operation))
     val parts = range.flatMap { s =>
+      // base snapshots carry FULL state, not a change set: a create/CTAS
+      // root, or an expire baseline absorbing expired history (whose
+      // carried tombstones were applied long ago and whose parent is
+      // gone). Emit the NET state as inserts — Delta CDF's
+      // initial-snapshot semantics — and nothing else.
+      if (s.base.contains(true)) {
+        val st = conform(readAsOf(s.snapshotId))
+        if (addedFilesOf(s).isEmpty) None
+        else Some(tag(st, "insert", s.snapshotId))
+      } else changesOf(s, conform, tag)
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      tag(conform(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], endSch)), "", 0L).limit(0)
+    }
+  }
+
+  /** Per-snapshot change branches for [[changes]] (non-base commits). */
+  private def changesOf(s: Snapshot,
+      conform: DataFrame => DataFrame,
+      tag: (DataFrame, String, Long) => DataFrame): Seq[DataFrame] = {
       val added = addedFilesOf(s)
       val removed = removedFilesOf(s)
       val tombs = s.addedDeleteFiles.getOrElse(Seq.empty)
@@ -1278,12 +1299,7 @@ class GraftTable(spark: SparkSession, val location: String) {
           tag(conform(readAsOf(parent)).join(broadcastIfSmall(keys, dels),
             cols, "left_semi"), "delete", s.snapshotId)
         }
-      inserts ++ cowDeletes ++ morDeletes
-    }
-    parts.reduceOption(_ unionByName _).getOrElse {
-      tag(conform(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], endSch)), "", 0L).limit(0)
-    }
+      (inserts ++ cowDeletes ++ morDeletes).toSeq
   }
 
   /** Broadcast tombstone keys under the session broadcast threshold, by

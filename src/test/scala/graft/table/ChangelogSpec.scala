@@ -80,6 +80,31 @@ class ChangelogSpec extends SparkSpec {
       (102L, "post", Some("w102"), "insert")))
   }
 
+  test("expire baseline reads as initial-snapshot inserts, tombstones safe") {
+    val t = mk("chg-expire")
+    t.merge(Seq((7L, "u7"), (300L, "n300")).toDF("id", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id", mode = "mor")
+    t.append(Seq((400L, "x")).toDF("id", "v"))
+    val lastId = t.latestSnapshotId.get
+    // expire everything below the MOR merge: the baseline absorbs the
+    // append + merge history AND carries the live tombstone file
+    t.expireSnapshots(keepLast = 2)
+    val baseId = t.snapshots.head.snapshotId
+    assert(t.snapshots.head.base.contains(true))
+    val chg = collectChanges(t, baseId - 1, lastId)
+    // baseline: NET absorbed state as inserts (101 rows: 100 originals
+    // with id 7 updated, plus the merge's insert) — carried tombstones
+    // must not surface as deletes and must not throw on the missing parent
+    val baseRows = chg.filter(_._4 == baseId)
+    assert(baseRows.forall(_._3 == "insert"))
+    assert(baseRows.length === 101)
+    assert(baseRows.count(r => r._1 == 7L && r._2 == "u7") === 1)
+    assert(!baseRows.exists(r => r._1 == 7L && r._2 == "v7"))
+    // the retained append after the baseline stays a normal change set
+    assert(chg.filter(_._4 == lastId).toSet ===
+      Set((400L, "x", "insert", lastId)))
+  }
+
   test("empty or change-free range returns an empty, well-typed frame") {
     val t = mk("chg-empty")
     val s1 = t.latestSnapshotId.get
