@@ -58,4 +58,41 @@ object VectorFunctions {
     * one tight O(planes·dims) loop per row (see VectorExpressions). */
   def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int = 7): Column =
     VectorExpressions.hyperplane_bucket(v, nPlanes, seed)
+
+  /** Johnson-Lindenstrauss random projection of a QUANTIZED (long) vector
+    * down to `dOut` dimensions with a fixed Rademacher (±1) matrix —
+    * the embedding shrink step before indexing/clustering when the source
+    * dimension is wasteful. Entry (i, j) of the matrix derives from
+    * md5("<seed>:<i>:<j>") (engine-portable like SimHash's token hash),
+    * so any engine reproduces the projection EXACTLY: output stays
+    * integer (sums of ±input values, no scaling inside), and distances
+    * are preserved in expectation per J-L. Map-only, O(dIn·dOut) per row.
+    */
+  def randomProjectQ(qv: Column, dOut: Int, seed: Int = 11): Column = {
+    val outputs = (0 until dOut).map { j =>
+      // slice the fixed sign row to the vector's length — zip_with pads
+      // the SHORTER side with nulls, which would null the whole sum
+      val signs = slice(typedlit(RandomProjection.signs(j, seed).toSeq),
+        lit(1), size(qv))
+      aggregate(zip_with(qv, signs, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+    }
+    array(outputs: _*)
+  }
+
+  object RandomProjection {
+    val MaxDims = 4096
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Long]]
+    /** ±1 per input dim i for output dim j — first md5 hex char parity. */
+    def signs(j: Int, seed: Int): Array[Long] =
+      cache.getOrElseUpdate((j, seed), {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(MaxDims) { i =>
+          md.reset()
+          val d = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+          if (((d(0) >> 4) & 0x1) == 0) 1L else -1L
+        }
+      })
+  }
 }

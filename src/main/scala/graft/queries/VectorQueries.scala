@@ -235,7 +235,37 @@ object VectorQueries {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin
 
+  /** Johnson-Lindenstrauss random projection 64 → 8 dims with the fixed
+    * md5-derived Rademacher matrix — integer arithmetic end to end, so
+    * the oracle recomputes the identical projection (matrix entries from
+    * the same md5 parity rule). Map-only; output as 8 scalar columns so
+    * the compare surface stays flat. */
+  val qRandomProjection: Q = (s, dir) => {
+    val proj = VectorFunctions.randomProjectQ(
+      VectorFunctions.quantize(col("embedding")), dOut = 8)
+    Tables.load(s, dir, "embeddings")
+      .select(Seq(col("vec_id")) ++
+        (0 until 8).map(j => element_at(proj, j + 1).as(s"p$j")): _*)
+      .orderBy(col("vec_id"))
+  }
+  val qRandomProjectionSql: String = {
+    val even = "('0','2','4','6','8','a','c','e')"
+    val ps = (0 until 8).map(j =>
+      s"""  CAST(list_sum(list_transform(range(1, len(qv) + 1),
+         |    i -> qv[i] * (CASE WHEN substr(md5('11:$j:' || (i - 1)), 1, 1)
+         |      IN $even THEN 1 ELSE -1 END))) AS BIGINT) AS p$j""".stripMargin)
+      .mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |$ps
+       |FROM q ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_random_projection", qRandomProjection, Some(qRandomProjectionSql)),
     ("q_ann_topk", qAnnTopk, Some(qAnnTopkSql)),
     ("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     ("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),

@@ -88,4 +88,18 @@ class SimilaritySpec extends SparkSpec {
       .as[Double].collect()(0)
     assert(cos === 1.0)
   }
+
+  test("random projection: deterministic, null-free, J-L separates dups") {
+    import graft.functions.VectorFunctions._
+    val proj = randomProjectQ(quantize($"embedding"), dOut = 8)
+    val a = em.select($"vec_id", proj.as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = em.repartition(5).select($"vec_id", proj.as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b, "projection must not depend on partitioning")
+    assert(a.values.forall(v => v.length == 8 && v.forall(_ != null)))
+    // identical inputs project identically; distinct vectors stay apart
+    // (random 64-dim vectors almost never collide in 8 dims)
+    assert(a.values.toSeq.distinct.size > a.size / 2)
+  }
 }
