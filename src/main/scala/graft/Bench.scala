@@ -31,6 +31,7 @@ object Bench {
     "q_doc_stats", "q_token_count", "q_quality", "q_lang_id", "q_fingerprint",
     "q_bm25", "q_diversity", "q_decontaminate", "q_pack",
     "q_repetition", "q_span_dedup", "q_source_mix", "q_quality_classifier",
+    "q_lm_score", "q_inverted_index",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
     "q_dedup_embedding", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
     "q_embed_norm", "q_kmeans", "q_semdedup",

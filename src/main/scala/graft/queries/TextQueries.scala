@@ -507,7 +507,56 @@ object TextQueries {
        |FROM (SELECT doc_id, $toksSql AS t FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained bigram LM scoring — the language-model quality
+    * filter's serving shape (score docs by how typical their word
+    * transitions are for the corpus). Doc score = mean over transitions
+    * of P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1}·), with each ratio
+    * quantized onto an integer 1e-6 grid (exact integer `div`) so the
+    * per-doc sum is ORDER-FREE and the oracle reproduces it exactly.
+    * Scale shape: transitions come straight off the token array (one
+    * Generate, no token self-join); bigram/unigram tables are two
+    * partial-agg groupBys; scoring is two equi-joins + one per-doc
+    * aggregation. */
+  val qLmScore: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    // transitions straight from the token array (one Generate — never a
+    // token-stream self-join, which would shuffle the corpus twice)
+    val t = tokens(col("text"))
+    val trans = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = trans.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // per-transition ratio quantized to an integer 1e-6 grid (exact SQL
+    // `div`) so the per-doc sum is order-free — a double ratio sum would
+    // depend on aggregation order and break the oracle
+    trans.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .withColumn("q_ratio", expr("(c2 * 1000000L) div c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("q_ratio")).as("q_sum"))
+      .select(col("doc_id"), col("n_trans"),
+        (col("q_sum").cast("double") / lit(1e6) /
+          col("n_trans").cast("double")).as("avg_prob"))
+      .orderBy(col("doc_id"))
+  }
+  val qLmScoreSql: String =
+    s"""WITH m AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |idx AS (SELECT doc_id, t,
+       |  unnest(range(1, len(t))) AS i FROM m),
+       |trans AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+       |uni AS (SELECT w1, COUNT(*) AS c1 FROM trans GROUP BY w1),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM trans GROUP BY w1, w2)
+       |SELECT doc_id, COUNT(*) AS n_trans,
+       |  CAST(SUM((c2 * 1000000) // c1) AS DOUBLE) / 1e6
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_prob
+       |FROM trans JOIN bi USING (w1, w2) JOIN uni USING (w1)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_lm_score", qLmScore, Some(qLmScoreSql)),
     ("q_quality_classifier", qQualityClassifier, Some(qQualityClassifierSql)),
     ("q_c4_clean", qC4Clean, Some(qC4CleanSql)),
     ("q_inverted_index", qInvertedIndex, Some(qInvertedIndexSql)),
