@@ -47,9 +47,17 @@ case class GraftCallCommand(proc: String, location: String,
       throw new IllegalArgumentException(s"graft.$proc needs $k"))
     val result: Long = proc match {
       case "expire_snapshots" =>
-        // destructive — no default: a typo'd argument name must not
-        // silently expire everything down to one snapshot
-        t.expireSnapshots(required("keep_last").toInt).size.toLong
+        // destructive — no defaults: a typo'd argument name must not
+        // silently expire everything down to one snapshot. Either form:
+        // keep_last => N, or older_than_ms => T [, retain_last => N]
+        (longArg("keep_last"), longArg("older_than_ms")) match {
+          case (Some(n), None) => t.expireSnapshots(n.toInt).size.toLong
+          case (None, Some(ts)) => t.expireOlderThan(ts,
+            longArg("retain_last").getOrElse(1L).toInt).size.toLong
+          case _ => throw new IllegalArgumentException(
+            "graft.expire_snapshots needs exactly one of keep_last / " +
+              "older_than_ms")
+        }
       case "compact" => longArg("target_file_bytes") match {
         case Some(b) => t.compactToSize(b, specArg("sort_by"))
         case None => t.compact(
@@ -90,7 +98,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * must error, never silently fall back to a default, because several
     * defaults are destructive. */
   private val signatures: Map[String, (Seq[String], Set[String])] = Map(
-    "expire_snapshots" -> (Seq("keep_last"), Set.empty),
+    "expire_snapshots" -> (Seq("keep_last"),
+      Set("older_than_ms", "retain_last")),
     "compact" -> (Seq("files_per_partition"),
       Set("target_file_bytes", "sort_by")),
     "rewrite_manifests" -> (Seq.empty, Set.empty),

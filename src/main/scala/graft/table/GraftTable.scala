@@ -1434,6 +1434,17 @@ class GraftTable(spark: SparkSession, val location: String) {
     * as a baseline holding its cumulative live file set, older metadata is
     * deleted, and data files no longer reachable from any retained
     * snapshot are physically removed. Returns deleted data files. */
+  /** Age-based retention (Iceberg's `expire_snapshots(older_than)`
+    * form): expire snapshots committed strictly before `cutoffMs`,
+    * always retaining at least `retainLast` (default 1) regardless of
+    * age. Reduces to [[expireSnapshots]] with the computed suffix
+    * length, so tag pinning and baseline semantics are identical. */
+  def expireOlderThan(cutoffMs: Long, retainLast: Int = 1): Seq[String] = {
+    require(retainLast >= 1, "must retain at least one snapshot")
+    val newer = snapshots.count(_.timestampMs >= cutoffMs)
+    expireSnapshots(math.max(retainLast, newer))
+  }
+
   def expireSnapshots(keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must retain at least one snapshot")
     val all = snapshots

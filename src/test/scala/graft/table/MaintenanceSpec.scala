@@ -55,6 +55,47 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.readAsOf(1L).count() === 0)
   }
 
+  test("expireOlderThan keeps age-qualified suffix; retain_last floors it") {
+    val t = freshTable("mt-expire-age")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(5) // commits must straddle the millisecond cutoff
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    Thread.sleep(5)
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    // cutoff at the SECOND append's commit time: the create snapshot and
+    // the first append are older and expire; the last two appends stay
+    val appends = t.snapshots.filter(_.operation == "append")
+    val keepIds = appends.tail.map(_.snapshotId)
+    t.expireOlderThan(appends(1).timestampMs)
+    assert(t.snapshots.map(_.snapshotId) === keepIds)
+    assert(t.read().select("id").as[Long].collect().sorted ===
+      Array(1L, 2L, 3L))
+    // a far-future cutoff would expire everything — retainLast floors it
+    t.expireOlderThan(Long.MaxValue, retainLast = 2)
+    assert(t.snapshots.map(_.snapshotId) === keepIds)
+  }
+
+  test("CALL expire_snapshots accepts older_than_ms, rejects ambiguity") {
+    val wh = tmpDir("mt-expire-call-wh")
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.table("mt_expire_call")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(5)
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    cat.register("mt_expire_call")
+    val cutoff = t.snapshots.filter(_.operation == "append")
+      .last.timestampMs
+    spark.sql(
+      s"CALL graft.expire_snapshots('mt_expire_call', older_than_ms => $cutoff)")
+    assert(t.snapshots.size === 1)
+    assert(t.read().count() === 2)
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.expire_snapshots('mt_expire_call', " +
+        "keep_last => 1, older_than_ms => 5)")
+    }
+    assert(e.getMessage.contains("exactly one"))
+  }
+
   test("expire baseline carries fileRows for absorbed files") {
     val t = freshTable("mt-expire-rows")
     t.append(Seq((1L, "a"), (2L, "a")).toDF("id", "v"))
