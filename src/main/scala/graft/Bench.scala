@@ -54,6 +54,9 @@ object Bench {
       .config("spark.ui.retainedJobs", "200")
       .config("spark.ui.retainedStages", "200")
       .config("spark.sql.ui.retainedExecutions", "20")
+      // shuffle/spill on tmpfs when available — same rationale as
+      // Scratch.baseDir (disk weather must not show up as query time)
+      .config("spark.local.dir", s"${graft.queries.Scratch.baseDir}/graft-spark-local")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -96,7 +99,8 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SCALE_TIER").contains("off")) Seq.empty
       else try {
         val scaleDir = graft.tools.ScaleUp.ensure(spark, sfDir,
-          sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-scale10x"))
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+            s"${graft.queries.Scratch.baseDir}/graft-scale10x"))
         scaleQueries.filter(queries.contains).map { name =>
           // min-of-2: the base numbers are warm min-of-3, so a single
           // cold run would overstate the scaling ratio with FS-cache

@@ -15,6 +15,8 @@ object Verify {
       // micros (not int96) so DuckDB/pyarrow read our outputs losslessly
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        s"${graft.queries.Scratch.baseDir}/graft-spark-local")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,7 +37,7 @@ object PipelineQueries {
     * reference's dev.icebergdb.bronze/silver pattern) and the final state
     * is read back by bare SQL name. */
   val qPipelineCdc: Q = (s, _) => {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-q-pipe-${UUID.randomUUID()}"
+    val base = s"${Scratch.baseDir}/graft-q-pipe-${UUID.randomUUID()}"
     Scratch.deleteOnExit(base)
     val rawDir = s"$base/raw"
     Files.createDirectories(Paths.get(rawDir))

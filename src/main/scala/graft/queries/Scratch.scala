@@ -8,6 +8,16 @@ package graft.queries
 object Scratch {
   private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Scratch root: prefer tmpfs (/dev/shm) over the disk-backed default
+    * tmpdir — scratch tables are ephemeral by definition, and the
+    * lifecycle queries' round-over-round numbers otherwise measure ext4
+    * page-cache weather (observed ±2× swings) instead of plan cost. */
+  val baseDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+  }
+
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     dirs.forEach { d =>
       try deleteRecursively(new java.io.File(d)) catch { case _: Throwable => }

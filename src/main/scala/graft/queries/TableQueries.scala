@@ -20,8 +20,7 @@ object TableQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def scratch(name: String): String = {
-    val dir =
-      s"${System.getProperty("java.io.tmpdir")}/graft-q-$name-${UUID.randomUUID()}"
+    val dir = s"${Scratch.baseDir}/graft-q-$name-${UUID.randomUUID()}"
     Scratch.deleteOnExit(dir)
     dir
   }
