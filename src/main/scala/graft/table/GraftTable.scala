@@ -1231,10 +1231,12 @@ class GraftTable(spark: SparkSession, val location: String) {
     *     empty); zero-file metadata commits contribute nothing.
     *
     * Scale shape: only the files a snapshot TOUCHED are read (the
-    * MOR-tombstone pre-image additionally scans the parent state once per
-    * distinct key set, filtered by a semi-join); the COW diff is a hash
-    * EXCEPT ALL over the touched files only — never a table-history
-    * product. Results under evolved schemas conform to the end schema
+    * MOR-tombstone pre-image reads only the parent files whose min/max +
+    * Bloom stats may contain a tombstone key — [[morPreImageFiles]] —
+    * once per distinct key set, filtered by a semi-join); the COW diff is
+    * a hash EXCEPT ALL over the touched files only — never a
+    * table-history product. Rollback commits alone pay an exact two-state
+    * diff (see [[changesOf]]). Results under evolved schemas conform to the end schema
     * (missing columns null-fill, dropped columns vanish) so one changelog
     * frame spans evolve commits. */
   def changes(startExclusive: Long, endInclusive: Long): DataFrame = {
@@ -1272,22 +1274,48 @@ class GraftTable(spark: SparkSession, val location: String) {
   private def changesOf(s: Snapshot,
       conform: DataFrame => DataFrame,
       tag: (DataFrame, String, Long) => DataFrame): Seq[DataFrame] = {
+      // Rollback is the one commit whose net change the per-branch
+      // decomposition below cannot express: it may REMOVE tombstones
+      // (rows resurrect inside files live in BOTH states — neither an
+      // added- nor a removed-file branch sees them) and RE-ADD tombstones
+      // whose deletes were already emitted by their original commits.
+      // Rollbacks are rare administrative commits, so pay the exact
+      // two-state MOR-aware diff once rather than corrupt the stream.
+      if (s.operation == "rollback") {
+        val parent = s.parentId.getOrElse(
+          throw new IllegalStateException("rollback as root snapshot"))
+        val now = conform(readAsOf(s.snapshotId))
+        val before = conform(readAsOf(parent))
+        return Seq(tag(now.exceptAll(before), "insert", s.snapshotId),
+          tag(before.exceptAll(now), "delete", s.snapshotId))
+      }
       val added = addedFilesOf(s)
       val removed = removedFilesOf(s)
       val tombs = s.addedDeleteFiles.getOrElse(Seq.empty)
+      // both sides of the COW diff are read MOR-AWARE at their snapshot:
+      // the pre-image (removed files AT THE PARENT) must exclude rows an
+      // earlier MOR merge already tombstoned, or a later COW rewrite of
+      // the same file re-emits those rows as spurious second deletes
+      // (the added side is read at this snapshot for symmetry — fresh
+      // files carry the commit's own sequence, so no older tombstone can
+      // apply and the plan degenerates to the plain scan).
       val addedDf =
         if (added.isEmpty) None
-        else Some(conform(readFiles(added, Some(s.snapshotId))))
+        else Some(conform(morRead(added, Some(s.snapshotId))))
       val removedDf =
         if (removed.isEmpty) None
-        else Some(conform(readFiles(removed, s.parentId)))
+        else Some(conform(morRead(removed, s.parentId)))
       val inserts = addedDf.map { a =>
         tag(removedDf.fold(a)(a.exceptAll), "insert", s.snapshotId)
       }
       val cowDeletes = removedDf.map { r =>
         tag(addedDf.fold(r)(r.exceptAll), "delete", s.snapshotId)
       }
-      // same-key tombstones of one commit share one pre-image semi-join
+      // same-key tombstones of one commit share one pre-image semi-join;
+      // the pre-image scan is PRUNED by the parent files' min/max + Bloom
+      // stats against the tombstone keys — a changelog range spanning many
+      // MOR commits on a clustered table reads O(files containing the
+      // keys) per commit, not O(table state) per commit
       val morDeletes = tombs.groupBy(d => d.cols.getOrElse(
         spark.read.parquet(s"$location/${d.path}").columns.toSeq))
         .map { case (cols, dels) =>
@@ -1296,10 +1324,35 @@ class GraftTable(spark: SparkSession, val location: String) {
             .select(cols.map(col): _*)
           val parent = s.parentId.getOrElse(
             throw new IllegalStateException("tombstones on a root snapshot"))
-          tag(conform(readAsOf(parent)).join(broadcastIfSmall(keys, dels),
-            cols, "left_semi"), "delete", s.snapshotId)
+          val pre = morPreImageFiles(parent, cols, keys)
+          tag(conform(morRead(pre, Some(parent)))
+            .join(broadcastIfSmall(keys, dels), cols, "left_semi"),
+            "delete", s.snapshotId)
         }
       (inserts ++ cowDeletes ++ morDeletes).toSeq
+  }
+
+  /** The parent-state files a tombstone's key set may touch: live files
+    * at `parent` whose recorded min/max ranges overlap the keys' range,
+    * point-probed per key (min/max gaps + Bloom bitsets) when the key set
+    * is small — the same manifest pruning the COW merge planner uses
+    * ([[MergeInto.mayContainKeys]]). Files without recorded stats are
+    * always kept (pruning must never drop a file it cannot clear). Costs
+    * two tiny driver jobs over the tombstone key files — O(batch), repaid
+    * by not scanning the full parent state per changelog commit. */
+  private[table] def morPreImageFiles(parent: Long, cols: Seq[String],
+      keys: DataFrame): Seq[String] = {
+    val live = liveFiles(Some(parent))
+    val parentSchema = schemaAt(Some(parent))
+    // a key column evolved away since the tombstone committed → nothing
+    // to compare stats against; keep every file (correct, just unpruned)
+    if (cols.exists(c => !parentSchema.fieldNames.contains(c) ||
+        !schema.fieldNames.contains(c))) return live
+    val stats = statsFor(live, Some(parent))
+    val keyRange = MergeInto.sourceKeyRange(keys, cols)
+    val keyValues = MergeInto.smallBatchKeyValues(keys, cols, parentSchema)
+    live.filter(f =>
+      MergeInto.mayContainKeys(this, f, stats, cols, keyRange, keyValues))
   }
 
   /** Broadcast tombstone keys under the session broadcast threshold, by

@@ -62,7 +62,7 @@ object MergeInto {
     * the UTC-recorded stats FileStats.rangesOverlap parses, wrongly pruning
     * files that contain matched rows — so the typed extrema are collected
     * and rendered driver-side with the same UTC Cast collectStats uses. */
-  private def sourceKeyRange(deduped: DataFrame, keys: Seq[String])
+  private[table] def sourceKeyRange(deduped: DataFrame, keys: Seq[String])
       : Map[String, (Option[String], Option[String])] = {
     val aggs = keys.flatMap(k => Seq(
       min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
@@ -83,7 +83,7 @@ object MergeInto {
     * shuffle ever runs — and a batch bigger than the cap returns None
     * (range-only pruning). */
   val MaxKeyProbeValues = 1024
-  private def smallBatchKeyValues(deduped: DataFrame, keys: Seq[String],
+  private[table] def smallBatchKeyValues(deduped: DataFrame, keys: Seq[String],
       schema: org.apache.spark.sql.types.StructType)
       : Option[Map[String, Seq[Any]]] = {
     // cast to the TABLE's key types: file stats are typed by the table
@@ -112,7 +112,7 @@ object MergeInto {
     * range-OVERLAPPING but key-DISJOINT files too (the unclustered
     * hot-table upsert case, where every file spans the full key range
     * and min/max alone prunes nothing). */
-  private def mayContainKeys(target: GraftTable, f: String,
+  private[table] def mayContainKeys(target: GraftTable, f: String,
       stats: Map[String, Map[String, ColStat]], keys: Seq[String],
       range: Map[String, (Option[String], Option[String])],
       keyValues: Option[Map[String, Seq[Any]]]): Boolean = {

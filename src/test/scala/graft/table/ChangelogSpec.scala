@@ -105,6 +105,71 @@ class ChangelogSpec extends SparkSpec {
       Set((400L, "x", "insert", lastId)))
   }
 
+  test("MOR-then-COW on the same file emits the tombstoned key's delete " +
+      "exactly once") {
+    val t = mk("chg-mor-cow")
+    val s1 = t.latestSnapshotId.get
+    // MOR merge tombstones key 5 inside the original file
+    t.merge(Seq((5L, "u5")).toDF("id", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id", mode = "mor")
+    val s2 = t.latestSnapshotId.get
+    // COW delete rewrites that same file: its MOR-aware rewrite already
+    // excludes (5,"v5"), so the raw pre-image would re-emit it as a
+    // spurious second delete — the MOR-aware pre-image must not
+    t.delete(col("id") <= 2L)
+    val s3 = t.latestSnapshotId.get
+    val chg = collectChanges(t, s1, s3)
+    assert(chg.count(r => r._1 == 5L && r._2 == "v5" && r._3 == "delete")
+      === 1)
+    assert(chg.filter(_._4 == s3).toSet === Set(
+      (1L, "v1", "delete", s3), (2L, "v2", "delete", s3)))
+    assert(chg.filter(_._4 == s2).toSet === Set(
+      (5L, "v5", "delete", s2), (5L, "u5", "insert", s2)))
+  }
+
+  test("MOR pre-image scan is pruned to stat-overlapping files") {
+    val t = GraftTable(spark, tmpDir("chg-prune") + "/t")
+    // 10 clustered appends -> 10 live files with disjoint id ranges
+    for (b <- 0 until 10)
+      t.append((b * 100L + 1 to b * 100L + 100)
+        .map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val s1 = t.latestSnapshotId.get
+    // tombstone keys confined to the 3rd file's range
+    t.merge(Seq((205L, "u205"), (210L, "u210")).toDF("id", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id", mode = "mor")
+    val s2 = t.latestSnapshotId.get
+    val keys = Seq(205L, 210L).toDF("id")
+    val pre = t.morPreImageFiles(s1, Seq("id"), keys)
+    val live = t.liveFiles(Some(s1))
+    assert(live.length === 10)
+    assert(pre.length === 1, s"pre-image should prune to 1 file, got $pre")
+    // ...and the pruned changelog is still exactly right
+    assert(collectChanges(t, s1, s2).toSet === Set(
+      (205L, "v205", "delete", s2), (205L, "u205", "insert", s2),
+      (210L, "v210", "delete", s2), (210L, "u210", "insert", s2)))
+  }
+
+  test("rollback over a MOR merge emits the exact two-state diff: " +
+      "resurrections as inserts, no re-emitted tombstone deletes") {
+    val t = mk("chg-rollback")
+    val s1 = t.latestSnapshotId.get
+    t.merge(Seq((5L, "u5"), (200L, "new")).toDF("id", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id", mode = "mor")
+    val s2 = t.latestSnapshotId.get
+    t.rollback(s1)
+    val s3 = t.latestSnapshotId.get
+    val chg = collectChanges(t, s2, s3)
+    // rolling the merge back: its insert rows vanish, the tombstoned row
+    // resurrects — and the re-added state must NOT re-emit s2's deletes
+    assert(chg.toSet === Set(
+      (5L, "u5", "delete", s3), (200L, "new", "delete", s3),
+      (5L, "v5", "insert", s3)))
+    // whole-range view: each change attributed to exactly one commit
+    val all = collectChanges(t, s1, s3)
+    assert(all.count(r => r._1 == 5L && r._2 == "v5" && r._3 == "delete")
+      === 1)
+  }
+
   test("empty or change-free range returns an empty, well-typed frame") {
     val t = mk("chg-empty")
     val s1 = t.latestSnapshotId.get
