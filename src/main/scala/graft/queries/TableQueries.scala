@@ -74,9 +74,24 @@ object TableQueries {
     * parent-visible rows matching its tombstone keys as deletes. Commit
     * ids map to a dense 1..3 `commit_ord` driver-side (snapshot ids are
     * not stable across runs). */
-  val qTableChanges: Q = (s, dir) => {
-    val t = GraftTable(s, scratch("changes"))
+  val qTableChanges: Q = (s, dir) => tableChangesLifecycle(s, dir,
+    scratch("changes"), materialize = false)
+
+  /** Same lifecycle + changelog read, but every commit ALSO materializes
+    * its change set at write time (`graft.cdc.materialize=true`) and the
+    * read consumes the materialized files — pinned bit-for-bit against the
+    * identical reconstruction oracle ([[qTableChangesSql]]). */
+  val qTableChangesMaterialized: Q = (s, dir) => tableChangesLifecycle(s, dir,
+    scratch("changes_mat"), materialize = true)
+
+  private def tableChangesLifecycle(s: org.apache.spark.sql.SparkSession,
+      dir: String, loc: String, materialize: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val t = GraftTable(s, loc)
     val target = Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+    if (materialize)
+      t.create(target.schema, parts = Seq("o_orderstatus"),
+        properties = Map("graft.cdc.materialize" -> "true"))
     t.append(target, parts = Seq("o_orderstatus"))
     val src1 = Tables.load(s, dir, "orders")
       .filter(col("o_orderkey") % 3 === 0)
@@ -499,6 +514,8 @@ object TableQueries {
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     ("q_table_changes", qTableChanges, Some(qTableChangesSql)),
+    ("q_table_changes_materialized", qTableChangesMaterialized,
+      Some(qTableChangesSql)),
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
     ("q_table_merge_mor", qTableMergeMor, Some(qTableMergeMorSql)),
     ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),

@@ -458,7 +458,10 @@ class GraftTable(spark: SparkSession, val location: String) {
       val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(Snapshot.toJson(snap).getBytes("UTF-8")) finally out.close()
-      if (publishExclusive(tmp, new Path(metaPath, snapFileName(id)))) return id
+      if (publishExclusive(tmp, new Path(metaPath, snapFileName(id)))) {
+        maybeMaterializeChanges(snap)
+        return id
+      }
       fs.delete(tmp, false) // lost the race; loop re-reads the new tip
     }
     -1L
@@ -1241,10 +1244,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     * frame spans evolve commits. */
   def changes(startExclusive: Long, endInclusive: Long): DataFrame = {
     val endSch = schemaAt(Some(endInclusive))
-    def conform(df: DataFrame): DataFrame =
-      df.select(endSch.fields.map(f =>
-        (if (df.columns.contains(f.name)) df(f.name)
-         else lit(null)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val conform = conformTo(endSch) _
     def tag(df: DataFrame, kind: String, sid: Long): DataFrame =
       df.withColumn("_change_type", lit(kind))
         .withColumn("_commit_snapshot_id", lit(sid))
@@ -1262,7 +1262,8 @@ class GraftTable(spark: SparkSession, val location: String) {
         val st = conform(readAsOf(s.snapshotId))
         if (addedFilesOf(s).isEmpty) None
         else Some(tag(st, "insert", s.snapshotId))
-      } else changesOf(s, conform, tag)
+      } else materializedChanges(s, conform, tag)
+        .map(Seq(_)).getOrElse(changesOf(s, conform, tag))
     }
     parts.reduceOption(_ unionByName _).getOrElse {
       tag(conform(spark.createDataFrame(
@@ -1330,6 +1331,63 @@ class GraftTable(spark: SparkSession, val location: String) {
             "delete", s.snapshotId)
         }
       (inserts ++ cowDeletes ++ morDeletes).toSeq
+  }
+
+  /** Conform `df` to a changelog end-schema: end-schema columns only, in
+    * order, null-filling columns the frame predates and casting evolved
+    * types — so one changelog frame spans evolve commits. */
+  private def conformTo(endSch: StructType)(df: DataFrame): DataFrame =
+    df.select(endSch.fields.map(f =>
+      (if (df.columns.contains(f.name)) df(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+  /** Write-time CDC materialization (the Delta change-data-feed shape),
+    * opt-in via table property `graft.cdc.materialize=true`: after a
+    * data-changing commit publishes, its net row changes are computed once
+    * (the same [[changesOf]] branches the read path uses — bit-for-bit the
+    * reconstruction result) and staged as parquet under `_changes/<id>`,
+    * published by atomic rename. Repeated changelog consumers then read
+    * O(changed bytes) per commit instead of re-paying the diff; commits
+    * without a materialized file (crash between publish and materialize,
+    * pre-property history) transparently fall back to reconstruction.
+    * The file stores the commit's schema columns + `_change_type`;
+    * `_commit_snapshot_id` is re-attached at read (constant per file). */
+  private def maybeMaterializeChanges(snap: Snapshot): Unit = {
+    if (!snap.properties.exists(
+      _.get("graft.cdc.materialize").contains("true"))) return
+    if (snap.base.contains(true)) return
+    val noChange = Set("create", "evolve", "set-properties", "set-spec",
+      "compact", "rewrite-manifests", "fold")
+    if (noChange(snap.operation)) return
+    val sch = schemaAt(Some(snap.snapshotId))
+    def tag(df: DataFrame, kind: String, sid: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+    val parts = changesOf(snap, conformTo(sch), (df, k, _) => tag(df, k, 0L))
+    if (parts.isEmpty) return
+    val out = parts.reduce(_ unionByName _)
+    val tmp = new Path(tablePath, s"_changes/.tmp-${UUID.randomUUID()}")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val dst = changesPath(snap.snapshotId)
+    fs.mkdirs(dst.getParent)
+    // a concurrent materializer of the same commit produced identical
+    // content — losing the rename race just discards the duplicate
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+  }
+
+  private def changesPath(snapshotId: Long): Path =
+    new Path(tablePath, s"_changes/$snapshotId")
+
+  /** Read a commit's materialized change file, when present. */
+  private def materializedChanges(s: Snapshot,
+      conform: DataFrame => DataFrame,
+      tag: (DataFrame, String, Long) => DataFrame): Option[DataFrame] = {
+    val dir = changesPath(s.snapshotId)
+    if (!fs.exists(dir)) return None
+    val raw = spark.read.parquet(dir.toString)
+    Some(Seq("insert", "delete").map(k =>
+      tag(conform(raw.filter(col("_change_type") === k)
+        .drop("_change_type")), k, s.snapshotId))
+      .reduce(_ unionByName _))
   }
 
   /** The parent-state files a tombstone's key set may touch: live files
@@ -1570,6 +1628,8 @@ class GraftTable(spark: SparkSession, val location: String) {
     expired.foreach { s =>
       fs.delete(new Path(metaPath, snapFileName(s.snapshotId)), false)
       s.manifest.foreach(m => fs.delete(new Path(tablePath, m.path), false))
+      // expired commits' materialized CDC files are unreachable too
+      fs.delete(changesPath(s.snapshotId), true)
     }
     oldest.manifest.foreach(m =>
       fs.delete(new Path(tablePath, m.path), false))
@@ -1601,9 +1661,13 @@ class GraftTable(spark: SparkSession, val location: String) {
         try pendingEntries(name)._2.map(_.path)
         catch { case _: Exception => Seq.empty }
       }
-    val referenced = (snapshots.flatMap(s =>
+    val chain = snapshots
+    val referenced = (chain.flatMap(s =>
       addedFilesOf(s) ++ s.addedDeleteFiles.toSeq.flatten.map(_.path)) ++
       pending).toSet
+    // materialized CDC dirs are referenced by their snapshot's existence
+    // (no manifest entry); abandoned .tmp- staging dirs age out normally
+    val liveChangeDirs = chain.map(s => s"_changes/${s.snapshotId}/").toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val it = fs.listFiles(tablePath, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1611,7 +1675,9 @@ class GraftTable(spark: SparkSession, val location: String) {
       val f = it.next()
       val rel = stripPrefix(f.getPath.toString, tablePath.toString)
       if (f.getPath.getName.endsWith(".parquet") &&
-          !rel.startsWith("_graft") && !referenced.contains(rel) &&
+          !rel.startsWith("_graft") &&
+          !liveChangeDirs.exists(rel.startsWith) &&
+          !referenced.contains(rel) &&
           f.getModificationTime < cutoff) {
         orphans += rel
         fs.delete(f.getPath, false)

@@ -170,6 +170,47 @@ class ChangelogSpec extends SparkSpec {
       === 1)
   }
 
+  test("materialized CDC matches reconstruction bit-for-bit and reads " +
+      "without touching pre-image data files") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def lifecycle(t: GraftTable): Unit = {
+      t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+      t.merge(Seq((5L, "u5"), (200L, "new")).toDF("id", "v"),
+        keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id", mode = "mor")
+      t.delete(col("id") <= 2L)
+    }
+    val matLoc = tmpDir("chg-mat") + "/t"
+    val mat = GraftTable(spark, matLoc)
+      .create(sch, properties = Map("graft.cdc.materialize" -> "true"))
+    lifecycle(mat)
+    val twinLoc = tmpDir("chg-mat-twin") + "/t"
+    val twin = GraftTable(spark, twinLoc)
+    lifecycle(twin)
+    // every data commit produced a _changes file
+    val dataSnaps = mat.snapshots.filterNot(_.operation == "create")
+    assert(dataSnaps.nonEmpty)
+    dataSnaps.foreach(s => assert(
+      new java.io.File(s"$matLoc/_changes/${s.snapshotId}").isDirectory,
+      s"commit ${s.snapshotId} (${s.operation}) not materialized"))
+    def all(t: GraftTable) = collectChanges(t,
+      t.snapshots.head.snapshotId - 1, t.latestSnapshotId.get)
+      .map(r => (r._1, r._2, r._3)) // snapshot ids differ across tables
+    assert(all(mat).sorted.toSeq === all(twin).sorted.toSeq)
+    // no-reconstruction pin: physically delete the COW delete's pre-image
+    // file — reconstruction NEEDS it (the twin now fails), the
+    // materialized read never touches it
+    def nukePreImage(t: GraftTable, loc: String): Unit =
+      t.snapshots.filter(_.operation == "delete")
+        .flatMap(t.removedFilesOf).foreach { rel =>
+          assert(new java.io.File(s"$loc/$rel").delete(), s"missing $rel")
+        }
+    nukePreImage(mat, matLoc); nukePreImage(twin, twinLoc)
+    assert(intercept[Exception] { all(twin) } != null)
+    assert(all(mat).count(_._3 == "delete") === 3) // ids 1,2 + key 5
+  }
+
   test("empty or change-free range returns an empty, well-typed frame") {
     val t = mk("chg-empty")
     val s1 = t.latestSnapshotId.get
