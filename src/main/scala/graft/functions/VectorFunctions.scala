@@ -68,7 +68,15 @@ object VectorFunctions {
     * integer (sums of ±input values, no scaling inside), and distances
     * are preserved in expectation per J-L. Map-only, O(dIn·dOut) per row.
     */
-  def randomProjectQ(qv: Column, dOut: Int, seed: Int = 11): Column = {
+  def randomProjectQ(qv0: Column, dOut: Int, seed: Int = 11): Column = {
+    // fail loudly past the fixed matrix width: slice would cap the sign
+    // row at MaxDims, zip_with would null-pad the shorter side, and the
+    // whole projection would silently come out null
+    val qv = when(size(qv0) > lit(RandomProjection.MaxDims),
+      raise_error(concat(
+        lit(s"randomProjectQ: input vector exceeds " +
+          s"${RandomProjection.MaxDims} dims: "),
+        size(qv0).cast("string")))).otherwise(qv0)
     val outputs = (0 until dOut).map { j =>
       // slice the fixed sign row to the vector's length — zip_with pads
       // the SHORTER side with nulls, which would null the whole sum

@@ -11,12 +11,18 @@ object Scratch {
   /** Scratch root: prefer tmpfs (/dev/shm) over the disk-backed default
     * tmpdir — scratch tables are ephemeral by definition, and the
     * lifecycle queries' round-over-round numbers otherwise measure ext4
-    * page-cache weather (observed ±2× swings) instead of plan cost. */
-  val baseDir: String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm"
-    else System.getProperty("java.io.tmpdir")
-  }
+    * page-cache weather (observed ±2× swings) instead of plan cost.
+    * `SPARK_GRAFT_SCRATCH_DIR` overrides; tmpfs is only taken with
+    * generous free headroom, because "spill" to tmpfs consumes RAM — on a
+    * tight host the working set must degrade to disk, not OOM. */
+  val baseDir: String = sys.env.get("SPARK_GRAFT_SCRATCH_DIR")
+    .filter(_.nonEmpty).getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      val minFree = 16L * 1024 * 1024 * 1024
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minFree)
+        "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    }
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     dirs.forEach { d =>

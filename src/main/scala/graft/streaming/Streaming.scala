@@ -49,17 +49,32 @@ object Streaming {
     }
 
   /** Streaming exact dedup: keep only the FIRST occurrence of each
-    * content fingerprint across the stream's lifetime — the streaming
-    * face of Dedup.exactRows for a continuously-ingesting corpus. State
-    * is one fingerprint per distinct content, backed by the checkpoint
-    * (exactly-once with graftSink); for an unbounded stream, watermark a
-    * timestamp column first so state ages out (Spark's
-    * dropDuplicates-with-watermark contract). */
-  def dedupStream(stream: DataFrame, textCol: String): DataFrame =
-    stream.withColumn("fp",
+    * content fingerprint — the streaming face of Dedup.exactRows for a
+    * continuously-ingesting corpus, backed by the checkpoint
+    * (exactly-once with graftSink).
+    *
+    * Without `eventTimeCol`, state is one fingerprint per distinct
+    * content for the stream's LIFETIME — that is the exact-dedup
+    * contract, and it grows with distinct documents (a watermark alone
+    * would NOT evict dropDuplicates state keyed only on the fingerprint).
+    * For an unbounded stream, pass `eventTimeCol`: the stream is
+    * watermarked by `lateness` and deduped via
+    * dropDuplicatesWithinWatermark, so Spark drops a fingerprint's state
+    * once the watermark passes it — bounded state, with dedup guaranteed
+    * only for duplicates arriving within the watermark window. */
+  def dedupStream(stream: DataFrame, textCol: String,
+      eventTimeCol: Option[String] = None,
+      lateness: String = "1 hour"): DataFrame = {
+    val withFp = stream.withColumn("fp",
       graft.functions.TextFunctions.fingerprint_md5(
         org.apache.spark.sql.functions.col(textCol)))
-      .dropDuplicates("fp")
+    val deduped = eventTimeCol match {
+      case Some(ts) => withFp.withWatermark(ts, lateness)
+        .dropDuplicatesWithinWatermark("fp")
+      case None => withFp.dropDuplicates("fp")
+    }
+    deduped.drop("fp") // internal key, not part of the caller's schema
+  }
 
   /** Event-time windowed rollup with a watermark: late events beyond
     * `lateness` are dropped, state is bounded — the 100 TB-safe shape for

@@ -27,8 +27,12 @@ object PlanAudit {
       .foreach { case (name, fn) =>
         try {
           val plan = fn(spark, dir).queryExecution.executedPlan.toString()
+          // word-boundary match: a raw substring count would fold every
+          // BroadcastExchange into Exchange and ObjectHashAggregate into
+          // HashAggregate, misattributing regressions in the census diff
           val census = interesting.map(k =>
-            k -> plan.sliding(k.length).count(_ == k))
+            k -> ("(?<![A-Za-z])" + k + "(?![a-z])").r
+              .findAllMatchIn(plan).size)
             .filter(_._2 > 0)
             .map { case (k, c) => s"$k=$c" }.mkString(" ")
           println(s"[plan] $name :: $census")
