@@ -262,7 +262,48 @@ object DedupQueries {
        |FROM (SELECT DISTINCT doc_id FROM m) m
        |LEFT JOIN p USING (doc_id) ORDER BY m.doc_id""".stripMargin
 
+  private def scratch(name: String): String = {
+    val dir = s"${Scratch.baseDir}/graft-q-$name-" +
+      java.util.UUID.randomUUID()
+    Scratch.deleteOnExit(dir)
+    dir
+  }
+
+  /** Streaming exact dedup ≡ batch exact dedup: the corpus is chunked
+    * into 4 files and streamed one file per micro-batch through
+    * [[graft.streaming.Streaming.dedupStream]] into a graft sink, so the
+    * first-occurrence state genuinely crosses micro-batch (and
+    * checkpoint-commit) boundaries. The surviving rows' fingerprints —
+    * one per distinct normalized content, with NO distinct applied on
+    * read — must equal the batch dedup's distinct-fingerprint set; a
+    * duplicate that slips through state surfaces as an extra row and
+    * fails rows_match. (Which doc_id survives depends on arrival order,
+    * so ids are not compared — the KEPT-CONTENT SET is the contract,
+    * exactly as q_stream_daily pins the streamed rollup to the batch
+    * oracle.) */
+  val qDedupStream: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val srcDir = scratch("dedup-stream-src")
+    docs.repartition(4).write.parquet(srcDir)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val tableLoc = scratch("dedup-stream-t")
+    val q = graft.streaming.Streaming.graftSink(
+      graft.streaming.Streaming.dedupStream(stream, "text"), tableLoc,
+      txnAppId = "q_dedup_stream")
+      .option("checkpointLocation", scratch("dedup-stream-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    graft.table.GraftTable(s, tableLoc).read()
+      .select(graft.functions.TextFunctions
+        .fingerprint_md5(col("text")).as("fingerprint"))
+      .orderBy(col("fingerprint"))
+  }
+  val qDedupStreamSql: String =
+    s"""SELECT DISTINCT md5($normSql) AS fingerprint
+       |FROM documents ORDER BY fingerprint""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_dedup_stream", qDedupStream, Some(qDedupStreamSql)),
     ("q_span_dedup", qSpanDedup, Some(qSpanDedupSql)),
     ("q_dedup_embedding_lsh", qDedupEmbeddingLsh, Some(qDedupEmbeddingLshSql)),
     ("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),

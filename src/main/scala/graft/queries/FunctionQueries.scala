@@ -93,10 +93,52 @@ object FunctionQueries {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Misra-Gries heavy hitters, oracled by its GUARANTEE rather than its
+    * merge-order-dependent raw counts: over a deterministically skewed
+    * item column (half the mass on 5 heavy items, the rest spread over
+    * ~250 light ones, so decrements genuinely fire at k=15), every item
+    * with true count > n/(k+1) must be retained with an estimate in
+    * [true − n/(k+1), true]. Both engines compute the EXACT counts and
+    * the threshold; the sketch's obligations reduce to two booleans that
+    * are constant-true iff the guarantee holds — any violation
+    * hash-mismatches against the oracle's literal TRUEs. */
+  val qHeavyHitters: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val k = 15
+    val ev = Tables.load(s, dir, "events")
+      .select(when(col("user_id") % 2 === 0, col("event_type"))
+        .otherwise(concat(col("event_type"), lit("_"),
+          (col("user_id") % 50).cast("string"))).as("item"))
+    val thresh = ev.count() / (k + 1) // bounded: one scalar
+    val hh = ev.agg(graft.functions.AggExpressions
+        .heavy_hitters(col("item"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("est"))
+    ev.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("exact_cnt") > lit(thresh))
+      .join(hh, Seq("item"), "left")
+      .select(col("item"), col("exact_cnt"),
+        col("est").isNotNull.as("retained"),
+        (col("est").isNotNull && col("est") <= col("exact_cnt") &&
+          col("exact_cnt") - col("est") <= lit(thresh)).as("within_bound"))
+      .orderBy(col("item"))
+  }
+  val qHeavyHittersSql: String =
+    """WITH it AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN event_type
+      |    ELSE event_type || '_' || CAST(user_id % 50 AS VARCHAR) END AS item
+      |  FROM events),
+      |tot AS (SELECT count(*) // 16 AS thresh FROM it),
+      |ex AS (SELECT item, count(*) AS exact_cnt FROM it GROUP BY 1)
+      |SELECT item, exact_cnt, TRUE AS retained, TRUE AS within_bound
+      |FROM ex CROSS JOIN tot WHERE exact_cnt > thresh
+      |ORDER BY item""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_pivot", qPivot, Some(qPivotSql)),
     ("q_set_ops", qSetOps, Some(qSetOpsSql)),
     ("q_string_funcs", qStringFuncs, Some(qStringFuncsSql)),
     ("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
+    ("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
   )
 }
