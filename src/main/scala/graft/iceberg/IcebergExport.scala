@@ -41,11 +41,17 @@ import graft.table.GraftTable
   * real identity partition spec with per-file partition tuples in the
   * manifest (their column bytes live in the dir layout, not the data
   * files — readers reconstruct them from the tuples, as Iceberg
-  * prescribes). Hidden-transform layouts export UNPARTITIONED: their
-  * source columns are in the data files, so results are identical and
-  * external engines only lose dir pruning. Column bounds are omitted
-  * (legal per spec — they are optional), so stats pruning is off too.
-  * MOR tables must fold tombstones first
+  * prescribes). day/month/truncate hidden transforms export as REAL
+  * Iceberg transform specs with per-file partition tuples (day = epoch
+  * days, month = months since 1970-01, truncate = the floored value),
+  * so external planners prune directories exactly as the reference's
+  * consumers do on its partitioned silver table. bucket() layouts export
+  * UNPARTITIONED: graft buckets with xxhash64, not Iceberg's murmur3 —
+  * a bucket[n] spec would prune files that contain matches. Per-file
+  * column `lower_bounds`/`upper_bounds` (field ids 125/128, Appendix-D
+  * single-value binary) are emitted from the snapshot log's footer
+  * stats, so stats pruning works in external engines. MOR tables must
+  * fold tombstones first
   * ([[GraftTable.foldDeletes]]) — equality-delete manifests are refused
   * rather than silently dropped, because exporting only the data files
   * of a MOR table would resurrect deleted rows in external engines.
@@ -131,14 +137,23 @@ object IcebergExport {
   }
 
   /** Avro schema for a v2 manifest entry (spec entry ids 0-4, data_file
-    * ids 100-140; optional stats maps omitted — nullable per spec). The
-    * r102 partition struct carries one field per identity-partition
-    * column (ids 1000+), empty when the export is unpartitioned. */
+    * ids 100-140). The r102 partition struct carries one field per
+    * exported partition-spec field (ids 1000+), empty when the export is
+    * unpartitioned. `lower_bounds`/`upper_bounds` are the spec's
+    * map<int, binary> stats (ids 125-130, Avro array-of-record map
+    * encoding) keyed by schema field id — the pruning metadata external
+    * engines' scan planners read. */
   private def manifestEntrySchema(
-      partFields: Seq[(String, DataType)]): Schema = {
-    val pf = partFields.zipWithIndex.map { case ((n, dt), i) =>
-      s"""{"name": ${jsonStr(n)}, "type": ["null", "${partitionAvroType(dt)}"], "default": null, "field-id": ${1000 + i}}"""
+      partFields: Seq[(String, String)]): Schema = {
+    val pf = partFields.zipWithIndex.map { case ((n, avroType), i) =>
+      s"""{"name": ${jsonStr(n)}, "type": ["null", "$avroType"], "default": null, "field-id": ${1000 + i}}"""
     }.mkString(", ")
+    def boundsMap(name: String, fid: Int, kid: Int, vid: Int): String =
+      s"""{"name": "$name", "type": ["null", {"type": "array", "logicalType": "map",
+         |   "items": {"type": "record", "name": "k${kid}_v$vid", "fields": [
+         |     {"name": "key", "type": "int", "field-id": $kid},
+         |     {"name": "value", "type": "bytes", "field-id": $vid}
+         |   ]}}], "default": null, "field-id": $fid}""".stripMargin
     new Schema.Parser().parse(
       s"""{
         |"type": "record", "name": "manifest_entry", "fields": [
@@ -154,10 +169,72 @@ object IcebergExport {
         |     {"name": "partition", "type": {"type": "record", "name": "r102", "fields": [$pf]}, "field-id": 102},
         |     {"name": "record_count", "type": "long", "field-id": 103},
         |     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        |     ${boundsMap("lower_bounds", 125, 126, 127)},
+        |     ${boundsMap("upper_bounds", 128, 129, 130)},
         |     {"name": "split_offsets", "type": ["null", {"type": "array", "items": "long", "element-id": 133}], "default": null, "field-id": 132},
         |     {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}
         |   ]}}
         |]}""".stripMargin)
+  }
+
+  /** Iceberg single-value binary serialization (Appendix D of the table
+    * spec) for a bound value given in Spark-INTERNAL form: little-endian
+    * fixed width for numerics/temporals, UTF-8 for strings, minimal
+    * big-endian two's-complement for decimal unscaled values. Returns
+    * None for types the spec stores differently than we can guarantee
+    * (the bound is then simply omitted — bounds are optional per spec). */
+  private def boundBytes(v: Any, dt: DataType): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): ByteBuffer =
+      ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    Option(v).flatMap { v =>
+      dt match {
+        case IntegerType | DateType =>
+          Some(le(4).putInt(v.asInstanceOf[Int]).array())
+        case ShortType => Some(le(4).putInt(v.asInstanceOf[Short].toInt).array())
+        case ByteType => Some(le(4).putInt(v.asInstanceOf[Byte].toInt).array())
+        case LongType | TimestampType | TimestampNTZType =>
+          Some(le(8).putLong(v.asInstanceOf[Long]).array())
+        case FloatType => Some(le(4).putFloat(v.asInstanceOf[Float]).array())
+        case DoubleType => Some(le(8).putDouble(v.asInstanceOf[Double]).array())
+        case BooleanType =>
+          Some(Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
+        case StringType => Some(v.toString.getBytes(StandardCharsets.UTF_8))
+        case _: DecimalType => Some(v.asInstanceOf[org.apache.spark.sql.types
+          .Decimal].toJavaBigDecimal.unscaledValue.toByteArray)
+        case _ => None
+      }
+    }
+  }
+
+  /** Iceberg transform name for an exportable hidden-partition field.
+    * graft's bucket() hashes with xxhash64, NOT Iceberg's murmur3 bucket
+    * — exporting it as `bucket[n]` would make external engines prune
+    * files that DO contain matches, so bucket fields are refused here and
+    * the caller exports the layout unpartitioned (honest: correct
+    * results, no dir pruning). */
+  private def icebergTransform(t: graft.table.PartTransform): Option[String] =
+    t match {
+      case graft.table.PartTransform.Identity => Some("identity")
+      case graft.table.PartTransform.Days => Some("day")
+      case graft.table.PartTransform.Months => Some("month")
+      case graft.table.PartTransform.Truncate(w) => Some(s"truncate[$w]")
+      case graft.table.PartTransform.Bucket(_) => None
+    }
+
+  /** An exported transform field's Iceberg partition VALUE from its
+    * directory string: day → epoch days (int), month → months from
+    * 1970-01 (int), truncate → the truncated source value. */
+  private def transformValue(t: graft.table.PartTransform, dir: String,
+      srcType: DataType): Any = t match {
+    case graft.table.PartTransform.Days =>
+      java.time.LocalDate.parse(dir).toEpochDay.toInt
+    case graft.table.PartTransform.Months =>
+      val Array(y, m) = dir.split("-").map(_.toInt)
+      (y - 1970) * 12 + (m - 1)
+    case graft.table.PartTransform.Truncate(_) => partitionValue(dir, srcType)
+    case graft.table.PartTransform.Identity => partitionValue(dir, srcType)
+    case other => throw new IllegalArgumentException(other.toString)
   }
 
   /** Parse a partition-dir value string back to the typed Avro value. */
@@ -206,14 +283,27 @@ object IcebergExport {
 
     def fileLen(p: Path): Long = fs.getFileStatus(p).getLen
 
-    // identity partition columns: their bytes live in the DIR layout, not
-    // the data files, so they must export as a real Iceberg identity spec
-    // with per-file partition tuples (readers reconstruct the column).
-    // Hidden-transform sources stay in the data files → exported
-    // unpartitioned, which only costs external engines the dir pruning.
-    val idFields = table.partitionFields.filter(_.isIdentity)
-      .map(f => f.source -> schema(f.source).dataType)
-    val entrySchema = manifestEntrySchema(idFields)
+    // Partition spec: identity columns (their bytes live in the DIR
+    // layout, so tuples are REQUIRED to reconstruct them) and the
+    // faithfully-representable hidden transforms (day/month/truncate —
+    // source columns stay in the data files, tuples restore dir pruning
+    // for external planners). bucket() is xxhash64-based, not Iceberg
+    // murmur3, so a bucket layout exports unpartitioned rather than lie.
+    val specFields: Seq[graft.table.PartitionField] =
+      if (table.partitionFields.forall(f =>
+        icebergTransform(f.transform).isDefined)) table.partitionFields
+      else Seq.empty
+    val avroPartFields = specFields.map { f =>
+      val srcType = schema(f.source).dataType
+      f.physName -> (f.transform match {
+        case graft.table.PartTransform.Days |
+             graft.table.PartTransform.Months => "int"
+        case _ => partitionAvroType(srcType)
+      })
+    }
+    val entrySchema = manifestEntrySchema(avroPartFields)
+    val stats = table.statsFor(live)
+    val glue = org.apache.spark.sql.graftglue.GraftSqlGlue
 
     // ---- data manifest ----
     val entries = live.map { rel =>
@@ -229,12 +319,13 @@ object IcebergExport {
       df.put("file_format", "PARQUET")
       val part = new GenericData.Record(df.getSchema
         .getField("partition").schema())
-      if (idFields.nonEmpty) {
+      if (specFields.nonEmpty) {
         val kv = table.partitionValues(rel)
-        idFields.foreach { case (n, dt) =>
-          val v = kv.getOrElse(n, throw new IllegalStateException(
-            s"file $rel has no partition dir for identity column $n"))
-          part.put(n, partitionValue(v, dt))
+        specFields.foreach { f =>
+          val v = kv.getOrElse(f.physName, throw new IllegalStateException(
+            s"file $rel has no partition dir for spec field ${f.physName}"))
+          part.put(f.physName, if (v == "__HIVE_DEFAULT_PARTITION__") null
+            else transformValue(f.transform, v, schema(f.source).dataType))
         }
       }
       df.put("partition", part)
@@ -242,11 +333,35 @@ object IcebergExport {
         fileLen(new Path(table.location, rel)))) // rows unknown → safe>0
       df.put("file_size_in_bytes", bytes.getOrElse(rel,
         fileLen(new Path(table.location, rel))))
+      // per-file column bounds from the snapshot log's footer stats —
+      // the min/max pruning metadata external scan planners read
+      val fileStats = stats.getOrElse(rel, Map.empty)
+      def boundsRecords(fieldName: String,
+          pick: graft.table.ColStat => Option[String])
+          : Option[java.util.List[GenericRecord]] = {
+        val itemSchema = entrySchema.getField("data_file").schema()
+          .getField(fieldName).schema().getTypes.get(1).getElementType
+        val recs = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+          fileStats.get(f.name).flatMap(pick).flatMap { s =>
+            boundBytes(glue.castFromString(s, f.dataType), f.dataType)
+          }.map { bs =>
+            val r = new GenericData.Record(itemSchema)
+            r.put("key", i + 1)
+            r.put("value", java.nio.ByteBuffer.wrap(bs))
+            r: GenericRecord
+          }
+        }
+        if (recs.isEmpty) None else Some(recs.toSeq.asJava)
+      }
+      boundsRecords("lower_bounds", _.min)
+        .foreach(df.put("lower_bounds", _))
+      boundsRecords("upper_bounds", _.max)
+        .foreach(df.put("upper_bounds", _))
       e.put("data_file", df)
       e
     }
-    val specFieldsJson = idFields.zipWithIndex.map { case ((n, _), i) =>
-      s"""{"name": ${jsonStr(n)}, "transform": "identity", "source-id": ${schema.fieldIndex(n) + 1}, "field-id": ${1000 + i}}"""
+    val specFieldsJson = specFields.zipWithIndex.map { case (f, i) =>
+      s"""{"name": ${jsonStr(f.physName)}, "transform": "${icebergTransform(f.transform).get}", "source-id": ${schema.fieldIndex(f.source) + 1}, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
     val manifestName = s"${UUID.randomUUID()}-m0.avro"
     val manifestLocal = new File(localPath(fs, metaDir), manifestName)
@@ -292,7 +407,7 @@ object IcebergExport {
          |  "schemas": [$sJson],
          |  "default-spec-id": 0,
          |  "partition-specs": [{"spec-id": 0, "fields": $specFieldsJson}],
-         |  "last-partition-id": ${999 + idFields.size},
+         |  "last-partition-id": ${999 + specFields.size},
          |  "default-sort-order-id": 0,
          |  "sort-orders": [{"order-id": 0, "fields": []}],
          |  "properties": {},

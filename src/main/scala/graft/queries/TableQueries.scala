@@ -235,6 +235,24 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The reference's exact consumer topology — external engines over ONE
+    * months()-partitioned silver table (bronze-silver.py:199-201,
+    * README.md:127-197) — through the export loop: hidden month
+    * transform, real Iceberg month spec with per-file partition tuples
+    * and column bounds, read back through the metadata tree only. */
+  val qIcebergPartitioned: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icepartexp"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("months(o_orderdate)"),
+      sortBy = Seq("o_orderkey"))
+    graft.iceberg.IcebergExport.export(s, t)
+    project(graft.iceberg.IcebergExport.scan(s, t.location))
+  }
+  val qIcebergPartitionedSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** S7: snapshot history view — deterministic columns only. */
   val qHistory: Q = (s, dir) => {
     val t = GraftTable(s, scratch("hist"))
@@ -519,6 +537,8 @@ object TableQueries {
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
     ("q_table_merge_mor", qTableMergeMor, Some(qTableMergeMorSql)),
     ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),
+    ("q_iceberg_partitioned", qIcebergPartitioned,
+      Some(qIcebergPartitionedSql)),
     ("q_table_history", qHistory, Some(qHistorySql)),
     ("q_table_maintenance", qMaintenance, Some(qMaintenanceSql)),
   )

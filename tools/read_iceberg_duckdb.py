@@ -145,9 +145,32 @@ DUCK_TYPES = {"boolean": "BOOLEAN", "int": "INTEGER", "long": "BIGINT",
               "timestamp": "TIMESTAMP"}
 
 
+def decode_bound(raw, typ):
+    """Iceberg Appendix-D single-value binary -> python value."""
+    if raw is None:
+        return None
+    if typ in ("int", "date"):
+        return struct.unpack("<i", raw)[0]
+    if typ in ("long", "timestamptz", "timestamp"):
+        return struct.unpack("<q", raw)[0]
+    if typ == "float":
+        return struct.unpack("<f", raw)[0]
+    if typ == "double":
+        return struct.unpack("<d", raw)[0]
+    if typ == "boolean":
+        return raw == b"\x01"
+    if typ == "string":
+        return raw.decode()
+    if typ.startswith("decimal"):
+        return int.from_bytes(raw, "big", signed=True)
+    return None
+
+
 def iceberg_scan_plan(location):
-    """-> (schema [(name, iceberg_type)], identity part cols,
-           [(file, {part_col: value})])"""
+    """-> (schema [(name, iceberg_type)], identity part cols, spec fields,
+           [(file, {part_col: value}, lower_bounds, upper_bounds)])
+       bounds are {col_name: decoded_value} from the manifest's
+       map<field_id, binary> stats (ids 125/128)."""
     meta_dir = os.path.join(location, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
         version = int(fh.read().strip())
@@ -159,10 +182,20 @@ def iceberg_scan_plan(location):
     [schema] = [s for s in meta["schemas"]
                 if s["schema-id"] == meta["current-schema-id"]]
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    by_id = {f["id"]: (f["name"], f["type"]) for f in schema["fields"]}
     [spec] = [s for s in meta["partition-specs"]
               if s["spec-id"] == meta["default-spec-id"]]
     part_cols = [f["name"] for f in spec["fields"]
                  if f["transform"] == "identity"]
+
+    def bounds(df, key):
+        out = {}
+        for kv in (df.get(key) or []):
+            name, typ = by_id.get(kv["key"], (None, None))
+            if name is not None:
+                out[name] = decode_bound(kv["value"], typ)
+        return out
+
     list_path = snap["manifest-list"].replace("file:", "")
     files = []
     for mf in read_avro(list_path):
@@ -171,14 +204,26 @@ def iceberg_scan_plan(location):
             if entry["status"] != 2:  # 2 = DELETED
                 df = entry["data_file"]
                 files.append((df["file_path"].replace("file:", ""),
-                              df.get("partition") or {}))
-    return fields, part_cols, files
+                              df.get("partition") or {},
+                              bounds(df, "lower_bounds"),
+                              bounds(df, "upper_bounds")))
+    return fields, part_cols, spec["fields"], files
 
 
 def main():
     location = sys.argv[1]
     sql = sys.argv[2] if len(sys.argv) > 2 else "SELECT COUNT(*) AS n FROM t"
-    fields, part_cols, files = iceberg_scan_plan(location)
+    fields, part_cols, spec_fields, files = iceberg_scan_plan(location)
+    if sql == "--plan":
+        # machine-readable scan plan: what an external planner would see
+        # (partition tuples for dir pruning, column bounds for stats
+        # pruning) — decoded entirely by THIS reader, no Iceberg library
+        print(json.dumps({
+            "spec": spec_fields,
+            "files": [{"path": p, "partition": part,
+                       "lower_bounds": lo, "upper_bounds": hi}
+                      for p, part, lo, hi in files]}, indent=1))
+        return
     if not files:
         print("")
         return
@@ -194,7 +239,7 @@ def main():
     # identity-partition columns live in the manifest partition tuples,
     # not the data files: one branch per tuple reconstructs them
     groups = {}
-    for path, part in files:
+    for path, part, _lo, _hi in files:
         key = tuple(part.get(c) for c in part_cols)
         groups.setdefault(key, []).append(path)
     branches = []
