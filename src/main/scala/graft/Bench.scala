@@ -13,12 +13,32 @@ import org.apache.spark.sql.SparkSession
   * include scratch-dir IO by construction; they are comparable
   * round-over-round since the recipe is fixed.
   *
-  * Timing: one JVM/session warm-up action, then three timed runs per
-  * query keeping the min (steady-state number, JIT/codegen-cache warm —
-  * the figure that projects to a long-running cluster). The session's
-  * cache manager is cleared between queries so one query's cached/
-  * checkpointed frames cannot bleed into another's timing (the r2
-  * q_ann_topk noise source).
+  * Artifact integrity (the round-4 lesson — a contended recording is
+  * worse than none, because the gate can't tell regression from
+  * weather):
+  *   - the 10× scale corpus is generated (or located) BEFORE the first
+  *     timed run — scale-gen jobs never share the session with timing;
+  *   - every query (base AND scale tier) is timed over THREE runs; the
+  *     artifact records min + median, and "value"/"queries" keep the min
+  *     (steady-state figure — JIT/codegen warm, the number that projects
+  *     to a long-running cluster);
+  *   - any run deviating more than 2× from its query's median marks the
+  *     query in "unstable" with all its raw runs in "unstable_runs" —
+  *     a dirty sample is visible IN the artifact, not discovered later;
+  *   - lifecycle queries carry an in-artifact Phase ledger (driver-side
+  *     per-phase seconds, summed over the three timed runs) plus their
+  *     raw runs, so the headline number is cross-checkable against its
+  *     own phase breakdown without a re-run.
+  *
+  * Timing: one JVM/session warm-up action, then per query one UNTIMED
+  * warm-up run followed by three timed runs keeping min + median. The
+  * session's cache manager is cleared
+  * and a GC is nudged between queries so one query's cached/
+  * checkpointed frames cannot bleed into another's timing
+  * (localCheckpoint blocks free only when the ContextCleaner sees their
+  * RDDs unreferenced; without the GC ~150 runs of leftovers pile onto
+  * the heap and late-session queries measure memory pressure, not plan
+  * cost — observed 3-5× inflation on the 10× minhash in round 4).
   */
 object Bench {
 
@@ -31,14 +51,35 @@ object Bench {
     "q_doc_stats", "q_token_count", "q_quality", "q_lang_id", "q_fingerprint",
     "q_bm25", "q_diversity", "q_decontaminate", "q_pack",
     "q_repetition", "q_span_dedup", "q_source_mix", "q_quality_classifier",
-    "q_lm_score", "q_inverted_index",
+    "q_lm_score", "q_inverted_index", "q_heavy_hitters",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
     "q_dedup_embedding", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
     "q_embed_norm", "q_kmeans", "q_semdedup",
     // table lifecycle (scratch-table append + merge + read per run)
     "q_table_merge", "q_table_merge_mor", "q_incremental_scan",
     "q_sql_merge", "q_hidden_partition", "q_sql_rowlevel", "q_stream_table",
-    "q_table_changes")
+    "q_table_changes", "q_table_changes_materialized")
+
+  val lifecycle: Set[String] = Set("q_table_merge", "q_table_merge_mor",
+    "q_incremental_scan", "q_sql_merge", "q_hidden_partition",
+    "q_sql_rowlevel", "q_stream_table", "q_table_changes",
+    "q_table_changes_materialized")
+
+  /** 10× tier: every operator family whose 100 TB story rests on a
+    * scaling claim — dedup/ANN bucketing, merges, partition pruning,
+    * clustering, span dedup, LM scoring, changelog reconstruction. */
+  val scaleQueries: Seq[String] = Seq("q_dedup_minhash", "q_ann_ivf",
+    "q_table_merge", "q_table_merge_mor", "q_hidden_partition",
+    "q_semdedup", "q_span_dedup", "q_lm_score", "q_table_changes")
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def fmt(d: Double): String = f"$d%.3f"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,7 +90,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // bound status-store growth across the ~35-query session so late
+      // bound status-store growth across the ~50-query session so late
       // queries aren't taxed by state accumulated from earlier ones
       .config("spark.ui.retainedJobs", "200")
       .config("spark.ui.retainedStages", "200")
@@ -61,87 +102,102 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ---- scale corpus FIRST, before anything is timed ----
+    val scaleDirOpt: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_SCALE_TIER").contains("off")) None
+      else try {
+        Some(graft.tools.ScaleUp.ensure(spark, sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+            s"${graft.queries.Scratch.baseDir}/graft-scale10x")))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale tier skipped: ${e.getMessage}")
+        None
+      }
+    spark.sharedState.cacheManager.clearCache()
+    System.gc()
+
     // session warm-up: JVM, codegen, parquet footer cache
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    graft.util.Phase.enable()
     val queries = SparkEntry.queries
-    val results = headline.filter(queries.contains).map { name =>
+    val unstable = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    val ledgers = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Seq[(String, Double, Long)])]
+
+    def timeQuery(name: String, dir: String, runsN: Int): (Double, Double) = {
       val fn = queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        try { fn(spark, dir).queryExecution.toRdd.count() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val runs = Seq.fill(3)(once())
-      // level the field for the next query: cached frames from this one
-      // (merge batch caches, checkpoint shadows) must not perturb it.
-      // localCheckpoint blocks are NOT covered by clearCache — they free
-      // only when the ContextCleaner sees their RDDs unreferenced, so
-      // nudge a GC or ~150 runs of leftovers pile onto the heap and
-      // late-session queries (the scale tier) measure memory pressure,
-      // not plan cost (observed: 3-5× inflation on the 10× minhash)
+      // one UNTIMED warm-up run per query: the first execution carries
+      // JIT/codegen/file-cache warm-up that would otherwise trip the
+      // 2×-median instability flag on every sub-second query and bake
+      // one cold sample into the median
+      once()
+      if (lifecycle(name)) graft.util.Phase.reset()
+      val runs = Seq.fill(runsN)(once()).filter(_ >= 0)
+      if (lifecycle(name) && runs.nonEmpty)
+        ledgers(name) = (runs, graft.util.Phase.snapshot().take(10))
+      // level the field for the next query (see scaladoc)
       spark.sharedState.cacheManager.clearCache()
       System.gc()
-      val ok = runs.filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
-    }
-    // ---- 10× scale tier: the heavy operators against a corpus an order
-    // of magnitude past the correctness gate's, pinning the linearity the
-    // designs claim (generated once from the sf dir, reused across runs;
-    // single timed run each — the point is the CURVE, not the millisecond)
-    val scaleQueries = Seq("q_dedup_minhash", "q_ann_ivf", "q_table_merge",
-      "q_table_merge_mor", "q_hidden_partition")
-    val scaleResults: Seq[(String, Double)] =
-      if (sys.env.get("SPARK_GRAFT_SCALE_TIER").contains("off")) Seq.empty
-      else try {
-        val scaleDir = graft.tools.ScaleUp.ensure(spark, sfDir,
-          sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-            s"${graft.queries.Scratch.baseDir}/graft-scale10x"))
-        scaleQueries.filter(queries.contains).map { name =>
-          // min-of-2: the base numbers are warm min-of-3, so a single
-          // cold run would overstate the scaling ratio with FS-cache
-          // and codegen noise
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            try { queries(name)(spark, scaleDir).queryExecution.toRdd.count()
-              (System.nanoTime() - t0) / 1e9 }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] scale $name failed: ${e.getMessage}")
-              -1.0 }
-            finally { spark.sharedState.cacheManager.clearCache(); System.gc() }
-          }
-          val runs = Seq.fill(2)(once()).filter(_ >= 0)
-          name -> (if (runs.isEmpty) -1.0 else runs.min)
-        }
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] scale tier skipped: ${e.getMessage}")
-        Seq.empty
+      if (runs.isEmpty) return (-1.0, -1.0)
+      val med = median(runs)
+      if (runs.exists(r => r > 2 * med || (med > 0.2 && r < med / 2))) {
+        unstable += (name -> runs)
+        System.err.println(s"[bench] UNSTABLE $name runs=" +
+          runs.map(fmt).mkString(","))
       }
-    val scaleJson = scaleResults.map { case (k, v) =>
-      val base = results.toMap.getOrElse(k, -1.0)
-      val ratio = if (base > 0 && v >= 0) v / base else -1.0
-      "\"" + k + "\":{\"sec\":" + v + ",\"vs_base\":" +
-        f"$ratio%.2f" + "}"
+      (runs.min, med)
+    }
+
+    val results = headline.filter(queries.contains)
+      .map(n => n -> timeQuery(n, sfDir, 3))
+
+    // ---- 10× scale tier (corpus pre-generated above; same 3-run
+    // min+median discipline as the base pass) ----
+    val scaleResults: Seq[(String, (Double, Double))] = scaleDirOpt.toSeq
+      .flatMap { scaleDir =>
+        scaleQueries.filter(queries.contains)
+          .map(n => n -> timeQuery(n, scaleDir, 3))
+      }
+
+    val baseMin = results.toMap
+    val scaleJson = scaleResults.map { case (k, (mn, md)) =>
+      val base = baseMin.getOrElse(k, (-1.0, -1.0))._1
+      val ratio = if (base > 0 && mn >= 0) mn / base else -1.0
+      "\"" + k + "\":{\"sec\":" + fmt(mn) + ",\"median_sec\":" + fmt(md) +
+        ",\"vs_base\":" + f"$ratio%.2f" + "}"
     }.mkString("{", ",", "}")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // breakdown: core30_sec is the round-1-comparable analytical set;
-    // lifecycle_sec covers the scratch-table append+merge+read queries
-    // added in round 2 (they include scratch-dir DDL/IO by construction)
-    val lifecycle = Set("q_table_merge", "q_table_merge_mor",
-      "q_incremental_scan", "q_sql_merge", "q_hidden_partition",
-      "q_sql_rowlevel", "q_stream_table", "q_table_changes")
+    val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + fmt(md) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val coreSec = results.filterNot(r => lifecycle(r._1))
-      .map(_._2).filter(_ >= 0).sum
+      .map(_._2._1).filter(_ >= 0).sum
     val lifeSec = results.filter(r => lifecycle(r._1))
-      .map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core30_sec":$coreSec,"lifecycle_sec":$lifeSec,"queries":$qs,"scale10x":$scaleJson,"sf":"$sfDir"}""")
+      .map(_._2._1).filter(_ >= 0).sum
+    val unstableJson = unstable.map(u => "\"" + u._1 + "\"")
+      .mkString("[", ",", "]")
+    val unstableRunsJson = unstable.map { case (n, runs) =>
+      "\"" + n + "\":" + runs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val ledgerJson = ledgers.map { case (n, (runs, phases)) =>
+      "\"" + n + "\":{\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
+        ",\"phases\":{" + phases.map { case (p, s, c) =>
+          "\"" + p + "\":{\"sec\":" + fmt(s) + ",\"n\":" + c + "}"
+        }.mkString(",") + "}}"
+    }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core30_sec":${fmt(coreSec)},"lifecycle_sec":${fmt(lifeSec)},"queries":$qs,"queries_median":$qsMed,"unstable":$unstableJson,"unstable_runs":$unstableRunsJson,"ledger":$ledgerJson,"scale10x":$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
