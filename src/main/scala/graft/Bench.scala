@@ -133,7 +133,18 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // localCheckpoint blocks (shingle/centroid frames) register as
+        // persistent RDDs that clearCache does NOT free and the
+        // ContextCleaner frees only after a GC notices the dead refs —
+        // across ~200 runs the leftovers saturate storage memory and
+        // late-session heavy queries measure eviction churn, not plan
+        // cost (observed: scale-tier minhash 119 s in-session vs 3.8 s
+        // fresh-session, SAME binary). Unpersist them explicitly, after
+        // the clock stops.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        sec
       }
       // one UNTIMED warm-up run per query: the first execution carries
       // JIT/codegen/file-cache warm-up that would otherwise trip the

@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** 100× spot-check of the dedup/ANN scale story (VERDICT r4 item 7): the
+  * 10× tier is continuously benched; this tool runs MinHash-LSH and IVF
+  * once at 1× / 10× / 100× of sf0.1 and reports the SHAPE numbers the
+  * 100 TB claim rests on — band-bucket occupancy and candidate-pair
+  * counts vs corpus size for minhash, list occupancy and probed
+  * candidates for IVF. Linear designs ⇒ ~linear candidate growth and
+  * ~flat per-bucket occupancy as the corpus grows (each 10× copy is a
+  * self-contained sub-corpus by the ScaleUp suffix construction, so
+  * near-dup structure never bleeds across copies — the behavior of a
+  * real 10× corpus).
+  *
+  * The 100× corpus is DISK-backed (default /tmp, override
+  * SPARK_GRAFT_SCALE100_DIR): at this size the point is shape, not
+  * tmpfs-clean latency. Usage:
+  *   sbt "runMain graft.tools.Scale100 [sfDir]"
+  * Prints one JSON line per tier.
+  */
+object Scale100 {
+
+  /** documents+embeddings only: ScaleUp.generate would also replicate
+    * orders/lineitem (60M rows at 100×) that this check never reads. */
+  private def ensureDocsEmb(spark: SparkSession, srcDir: String,
+      outDir: String, suffix: String): String = {
+    val done = new Path(outDir, "_SCALE_READY")
+    val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(done)) return outDir
+    def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    val docs = read("documents")
+    val docSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until ScaleUp.Copies).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1$suffix$i")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = read("embeddings")
+    val vecSpan = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until ScaleUp.Copies).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * vecSpan)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    fs.create(done, true).close()
+    outDir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val diskBase = sys.env.getOrElse("SPARK_GRAFT_SCALE100_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-scale100x")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 10× reuses the bench corpus location; 100× stacks another 10× of
+    // documents+embeddings on top (suffix y keeps copies self-contained)
+    val dir10 = ScaleUp.ensure(spark, sfDir,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+        s"${graft.queries.Scratch.baseDir}/graft-scale10x"))
+    val dir100 = ensureDocsEmb(spark, dir10, diskBase, "y")
+
+    Seq(("1x", sfDir), ("10x", dir10), ("100x", dir100)).foreach {
+      case (tier, dir) =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val nDocs = docs.count()
+
+        // ---- minhash shape ----
+        val bands = 16; val numHashes = 64; val rows = numHashes / bands
+        val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+        val banded = sig.select(col("id"),
+          explode(array((0 until bands).map { bd =>
+            struct(lit(bd).as("band"),
+              xxhash64(lit(bd), slice(col("sig"), bd * rows + 1, rows))
+                .as("bh"))
+          }: _*)).as("bk"))
+          .select(col("id"), col("bk.band"), col("bk.bh"))
+        val occ = banded.groupBy("band", "bh").count()
+          .agg(count(lit(1)).as("buckets"), max("count").as("maxOcc"),
+            avg("count").as("meanOcc"))
+          .head()
+        val candCount = banded.as("l")
+          .join(banded.as("r"), col("l.band") === col("r.band") &&
+            col("l.bh") === col("r.bh") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b").count()
+        val t0 = System.nanoTime()
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text").count()
+        val minhashSec = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+
+        // ---- IVF shape ----
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val nVec = emb.count()
+        // lists scale with corpus so per-list size stays bounded — the
+        // parameter-scaling rule a real deployment uses (nLists ~ sqrt(N))
+        val nLists = math.max(16, math.sqrt(nVec.toDouble).toInt)
+        val queries = emb.orderBy("vec_id").limit(50)
+        val t1 = System.nanoTime()
+        val ivfRows = SimilaritySearch.ivfTopK(emb, queries, "vec_id",
+          "vec", k = 10, nLists = nLists, nProbe = math.max(4, nLists / 16))
+          .count()
+        val ivfSec = (System.nanoTime() - t1) / 1e9
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+
+        println(s"""{"tier":"$tier","docs":$nDocs,"minhash":{""" +
+          s""""buckets":${occ.getLong(0)},"maxOcc":${occ.getLong(1)},""" +
+          f""""meanOcc":${occ.getDouble(2)}%.2f,"candidates":$candCount,""" +
+          f""""pairs":$pairs,"sec":$minhashSec%.1f},""" +
+          s""""ivf":{"vectors":$nVec,"nLists":$nLists,"rows":$ivfRows,""" +
+          f""""sec":$ivfSec%.1f}}""")
+    }
+    spark.stop()
+  }
+}

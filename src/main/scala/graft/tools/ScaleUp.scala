@@ -32,6 +32,10 @@ object ScaleUp {
   val Copies = 10
 
   def ensure(spark: SparkSession, srcDir: String, outDir: String): String = {
+    // events carries nanos timestamps; generation must not depend on a
+    // query having set this session conf first (it now runs BEFORE the
+    // timed pass, so nothing else has)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val done = new Path(outDir, "_SCALE_READY")
     val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(done)) return outDir
