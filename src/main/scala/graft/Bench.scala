@@ -142,8 +142,10 @@ object Bench {
         // cost (observed: scale-tier minhash 119 s in-session vs 3.8 s
         // fresh-session, SAME binary). Unpersist them explicitly, after
         // the clock stops.
+        // blocking: an async unpersist can still be draining when the
+        // next run's checkpoint writes land, re-creating the churn
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         sec
       }
       // one UNTIMED warm-up run per query: the first execution carries
