@@ -112,7 +112,8 @@ object Scale100 {
         val queries = emb.orderBy("vec_id").limit(50)
         val t1 = System.nanoTime()
         val ivfRows = SimilaritySearch.ivfTopK(emb, queries, "vec_id",
-          "vec", k = 10, nLists = nLists, nProbe = math.max(4, nLists / 16))
+          "embedding", k = 10, nLists = nLists,
+          nProbe = math.max(4, nLists / 16))
           .count()
         val ivfSec = (System.nanoTime() - t1) / 1e9
         spark.sharedState.cacheManager.clearCache(); System.gc()
