@@ -70,4 +70,45 @@ object VectorExpressions {
 
   def hyperplane_bucket(v: Column, nPlanes: Int, seed: Int = 7): Column =
     GraftSqlGlue.column(HyperplaneBucketExpr(GraftSqlGlue.expression(v), nPlanes, seed))
+
+  /** Nearest-centroid argmin over broadcast integer centroid state
+    * (exact member sums + counts), for the k-means/SemDeDup assignment
+    * pass. Native because the compositional form (k × aggregate∘zip_with
+    * distance expressions per row) runs interpreted — at k=400 the
+    * lambda dispatch dominates the whole pass; this is one tight
+    * O(k·dim) primitive loop per row, codegen'd. Semantics are
+    * bit-identical ([[NativeOps.nearestCentroid]]). */
+  case class NearestCentroidExpr(child: Expression,
+      sums: IndexedSeq[IndexedSeq[Long]], counts: IndexedSeq[Long])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(sums.nonEmpty && sums.length == counts.length,
+      "need one (sum, count) per centroid")
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] =
+      Seq(ArrayType(LongType))
+    override def prettyName: String = "nearest_centroid"
+
+    @transient private lazy val sumArr: Array[Array[Long]] =
+      sums.map(_.toArray).toArray
+    @transient private lazy val cntArr: Array[Long] = counts.toArray
+
+    override def nullSafeEval(input: Any): Any =
+      NativeOps.nearestCentroid(input.asInstanceOf[ArrayData], sumArr, cntArr)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val s = ctx.addReferenceObj("centSums", sumArr, "long[][]")
+      val n = ctx.addReferenceObj("centCounts", cntArr, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeOps.nearestCentroid($c, $s, $n)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): NearestCentroidExpr =
+      copy(child = c)
+  }
+
+  def nearest_centroid(qv: Column, sums: IndexedSeq[IndexedSeq[Long]],
+      counts: IndexedSeq[Long]): Column =
+    GraftSqlGlue.column(NearestCentroidExpr(GraftSqlGlue.expression(qv),
+      sums, counts))
 }

@@ -43,23 +43,19 @@ object Clustering {
   /** Integer centroid state: exact member sum per dimension + member count. */
   final case class Centroid(index: Int, sum: Array[Long], n: Long)
 
-  /** Squared-distance-to-centroid ranking column (double, engine-exact):
-    * Σ_i (n·x_i − s_i)² / n² over a quantized vector column. */
-  private def distTo(qv: Column, c: Centroid): Column = {
-    val num = aggregate(
-      zip_with(qv, typedlit(c.sum.toSeq), (x, s) => {
-        val d = lit(c.n) * x - s
-        d * d
-      }),
-      lit(0L), (acc, x) => acc + x)
-    num.cast("double") / lit(c.n.toDouble * c.n.toDouble)
-  }
-
-  /** 0-based nearest-centroid index (ties → lowest index). */
-  def assignment(qv: Column, centroids: Seq[Centroid]): Column = {
-    val dists = array(centroids.map(distTo(qv, _)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** 0-based nearest-centroid index (ties → lowest index), ranking by
+    * dist_j = Σ_i (n_j·x_i − s_ji)² / n_j² (double, engine-exact). The
+    * native expression evaluates all k distances in one tight O(k·dim)
+    * primitive loop per row — the compositional form (k interpreted
+    * aggregate∘zip_with columns + array_position(array_min)) spends its
+    * time in lambda dispatch once k scales with the corpus
+    * ([[graft.functions.VectorExpressions.NearestCentroidExpr]];
+    * semantics pinned bit-identical by ClusteringSpec and the
+    * q_kmeans/q_semdedup oracles). */
+  def assignment(qv: Column, centroids: Seq[Centroid]): Column =
+    graft.functions.VectorExpressions.nearest_centroid(qv,
+      centroids.map(_.sum.toIndexedSeq).toIndexedSeq,
+      centroids.map(_.n).toIndexedSeq)
 
   /** Lloyd's k-means: `iters` assignment+update rounds from the k-smallest-id
     * init, then a final assignment pass against the updated centroids.
