@@ -103,6 +103,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked dedup evicts state but still drops in-window dups, " +
+      "and fp stays out of the output schema") {
+    val base = tmpDir("stream-dedup-wm")
+    val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ets", StringType),
+      StructField("text", StringType)))
+    // duplicate (ids 1/2) within the watermark window; id 3 distinct
+    Files.write(Paths.get(rawDir, "b1.csv"),
+      ("id|ets|text\n1|2024-01-01 00:00:10|same doc\n" +
+        "2|2024-01-01 00:00:20|SAME   doc\n" +
+        "3|2024-01-01 00:00:30|other doc\n").getBytes("UTF-8"))
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true").option("sep", "|").csv(rawDir)
+      .withColumn("ets", col("ets").cast("timestamp"))
+    val out = Streaming.dedupStream(stream, "text",
+      eventTimeCol = Some("ets"), lateness = "10 minutes")
+    assert(!out.columns.contains("fp"), "internal fp column must not leak")
+    val q = out.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("wm_dedup").select("id").as[Long]
+        .collect().sorted
+      assert(ids.length === 2, s"got ${ids.mkString(",")}")
+      assert(ids.contains(3L) && !(ids.contains(1L) && ids.contains(2L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     val base = tmpDir("stream-window")
     val src = s"$base/src"
