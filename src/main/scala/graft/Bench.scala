@@ -173,6 +173,37 @@ object Bench {
     val results = headline.filter(queries.contains)
       .map(n => n -> timeQuery(n, sfDir, 3))
 
+    // ---- repeated-consumer CDC read cost ----
+    // q_table_changes{,_materialized} time build+read in one number (they
+    // must — the oracle needs a self-contained lifecycle), which buries
+    // the read path under scratch-table IO and counts materialization's
+    // commit-time writes against it. The claim write-time CDC exists for
+    // is REPEATED readers, so measure that directly: build one lifecycle
+    // table per mode (untimed), then time the changelog read alone.
+    val cdcRead: Seq[(String, (Double, Double))] =
+      Seq(false, true).map { mat =>
+        val label = if (mat) "materialized" else "reconstruct"
+        val loc = s"${graft.queries.Scratch.baseDir}/graft-bench-cdc-$label-" +
+          java.util.UUID.randomUUID()
+        graft.queries.Scratch.deleteOnExit(loc)
+        val t = graft.queries.TableQueries
+          .buildChangesLifecycle(spark, sfDir, loc, materialize = mat)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.queries.TableQueries.readChangesFrame(t)
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up
+        val runs = Seq.fill(3)(once())
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        label -> (runs.min, median(runs))
+      }
+    val cdcJson = cdcRead.map { case (k, (mn, md)) =>
+      "\"" + k + "_sec\":" + fmt(mn) + ",\"" + k + "_median\":" + fmt(md)
+    }.mkString("{", ",", "}")
+
     // ---- 10× scale tier (corpus pre-generated above; same 3-run
     // min+median discipline as the base pass) ----
     val scaleResults: Seq[(String, (Double, Double))] = scaleDirOpt.toSeq
@@ -210,7 +241,7 @@ object Bench {
         }.mkString(",") + "}}"
     }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core30_sec":${fmt(coreSec)},"lifecycle_sec":${fmt(lifeSec)},"queries":$qs,"queries_median":$qsMed,"unstable":$unstableJson,"unstable_runs":$unstableRunsJson,"ledger":$ledgerJson,"scale10x":$scaleJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core30_sec":${fmt(coreSec)},"lifecycle_sec":${fmt(lifeSec)},"queries":$qs,"queries_median":$qsMed,"unstable":$unstableJson,"unstable_runs":$unstableRunsJson,"ledger":$ledgerJson,"cdc_read":$cdcJson,"scale10x":$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
