@@ -60,6 +60,65 @@ object NativeOps {
     best
   }
 
+  /** Integer-exact Rademacher bit signature of a QUANTIZED (long) vector:
+    * bit j is set iff Σ_i qv_i · sign_j(i) ≥ 0, with the ±1 signs drawn
+    * from the same md5-parity rule as the J-L projection
+    * ([[VectorFunctions.RandomProjection.signs]]) — integer accumulation,
+    * so any engine reproduces the signature bit-for-bit. Fails loudly on
+    * vectors wider than the fixed sign matrix instead of truncating. */
+  def rademacherSig(qv: ArrayData, signs: Array[Array[Long]]): Long = {
+    val dim = qv.numElements()
+    var out = 0L
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j)
+      if (dim > row.length)
+        throw new IllegalArgumentException(
+          s"rademacherSig: input vector exceeds ${row.length} dims: $dim")
+      var acc = 0L
+      var i = 0
+      while (i < dim) { acc += qv.getLong(i) * row(i); i += 1 }
+      if (acc >= 0L) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** [[nearestCentroid]] with a Hamming-distance prefilter on Rademacher
+    * signatures (ANN-assisted assignment — the 100 TB remedy for the n·k
+    * exact pass once k scales with the corpus): only centroids whose
+    * signature is within `probeDist` bits of the row's compete on exact
+    * distance, dropping the per-row cost from k·dim multiplies to k
+    * popcounts + |candidates|·dim multiplies. A row with NO candidate in
+    * range falls back to the full exact argmin — deterministic, and never
+    * left unassigned. Tie-breaks mirror [[nearestCentroid]] (strict `<`
+    * keeps the lowest qualifying index). */
+  def nearestCentroidAnn(qv: ArrayData, sig: Long, sums: Array[Array[Long]],
+      counts: Array[Long], sigs: Array[Long], probeDist: Int): Int = {
+    val dim = qv.numElements()
+    var best = -1
+    var bestDist = Double.MaxValue
+    var j = 0
+    while (j < sums.length) {
+      if (java.lang.Long.bitCount(sig ^ sigs(j)) <= probeDist) {
+        val s = sums(j)
+        val n = counts(j)
+        var num = 0L
+        var i = 0
+        val d = if (dim < s.length) dim else s.length
+        while (i < d) {
+          val diff = n * qv.getLong(i) - s(i)
+          num += diff * diff
+          i += 1
+        }
+        val dist = num.toDouble / (n.toDouble * n.toDouble)
+        if (dist < bestDist) { bestDist = dist; best = j }
+      }
+      j += 1
+    }
+    if (best < 0) nearestCentroid(qv, sums, counts) else best
+  }
+
   /** Morton interleave: result bit (i·n + j) = bit i of element j. Null
     * elements contribute zero bits (nulls cluster together). */
   def interleaveBits(arr: ArrayData, bits: Int): Long = {

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.GraftSqlGlue
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
 /** Native vector expressions for the ANN hot path. */
 object VectorExpressions {
@@ -111,4 +111,87 @@ object VectorExpressions {
       counts: IndexedSeq[Long]): Column =
     GraftSqlGlue.column(NearestCentroidExpr(GraftSqlGlue.expression(qv),
       sums, counts))
+
+  /** Integer-exact Rademacher signature of a QUANTIZED vector — bit j =
+    * (Σ_i qv_i·sign_j(i) ≥ 0) with the md5-parity signs of the J-L
+    * projection, so the signature (unlike the float
+    * [[HyperplaneBucketExpr]]) is reproducible bit-for-bit by any engine
+    * that can evaluate md5. The Hamming-bucket key of ANN-assisted
+    * centroid assignment. */
+  case class RademacherSigExpr(child: Expression, nBits: Int, seed: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(nBits > 0 && nBits <= 64,
+      s"nBits must be in [1, 64] (bits of one long), got $nBits")
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] =
+      Seq(ArrayType(LongType))
+    override def prettyName: String = "rademacher_sig"
+
+    @transient private lazy val signs: Array[Array[Long]] =
+      Array.tabulate(nBits)(j => VectorFunctions.RandomProjection.signs(j, seed))
+
+    override def nullSafeEval(input: Any): Any =
+      NativeOps.rademacherSig(input.asInstanceOf[ArrayData], signs)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val s = ctx.addReferenceObj("radSigns", signs, "long[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeOps.rademacherSig($c, $s)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): RademacherSigExpr =
+      copy(child = c)
+  }
+
+  def rademacher_sig(qv: Column, nBits: Int, seed: Int = 11): Column =
+    GraftSqlGlue.column(RademacherSigExpr(GraftSqlGlue.expression(qv),
+      nBits, seed))
+
+  /** [[NearestCentroidExpr]] with a Hamming prefilter on Rademacher
+    * signatures (left = quantized vector, right = its signature): exact
+    * distances are evaluated only against centroids within `probeDist`
+    * signature bits; a row with no centroid in range falls back to the
+    * full exact argmin. Semantics pinned by ClusteringSpec and the
+    * q_kmeans_ann oracle. */
+  case class NearestCentroidAnnExpr(left: Expression, right: Expression,
+      sums: IndexedSeq[IndexedSeq[Long]], counts: IndexedSeq[Long],
+      sigs: IndexedSeq[Long], probeDist: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    require(sums.nonEmpty && sums.length == counts.length &&
+      sums.length == sigs.length,
+      "need one (sum, count, sig) per centroid")
+    require(probeDist >= 0, s"probeDist must be non-negative, got $probeDist")
+    override def dataType: DataType = IntegerType
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] =
+      Seq(ArrayType(LongType), LongType)
+    override def prettyName: String = "nearest_centroid_ann"
+
+    @transient private lazy val sumArr: Array[Array[Long]] =
+      sums.map(_.toArray).toArray
+    @transient private lazy val cntArr: Array[Long] = counts.toArray
+    @transient private lazy val sigArr: Array[Long] = sigs.toArray
+
+    override def nullSafeEval(qv: Any, sig: Any): Any =
+      NativeOps.nearestCentroidAnn(qv.asInstanceOf[ArrayData],
+        sig.asInstanceOf[Long], sumArr, cntArr, sigArr, probeDist)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val s = ctx.addReferenceObj("centSums", sumArr, "long[][]")
+      val n = ctx.addReferenceObj("centCounts", cntArr, "long[]")
+      val g = ctx.addReferenceObj("centSigs", sigArr, "long[]")
+      defineCodeGen(ctx, ev, (qv, sig) =>
+        s"graft.functions.NativeOps.nearestCentroidAnn($qv, $sig, $s, $n, $g, $probeDist)")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): NearestCentroidAnnExpr = copy(left = l, right = r)
+  }
+
+  def nearest_centroid_ann(qv: Column, sig: Column,
+      sums: IndexedSeq[IndexedSeq[Long]], counts: IndexedSeq[Long],
+      sigs: IndexedSeq[Long], probeDist: Int): Column =
+    GraftSqlGlue.column(NearestCentroidAnnExpr(GraftSqlGlue.expression(qv),
+      GraftSqlGlue.expression(sig), sums, counts, sigs, probeDist))
 }

@@ -57,17 +57,62 @@ object Clustering {
       centroids.map(_.sum.toIndexedSeq).toIndexedSeq,
       centroids.map(_.n).toIndexedSeq)
 
+  /** Driver-side Rademacher signature of a centroid's integer sum — the
+    * centroid direction is sum/n, and sign(dot(sum/n, r)) = sign(dot(sum,
+    * r)) for n > 0, so the signature computes on the exact sum with no
+    * division. Same md5-parity signs as the row-side expression. */
+  private def sigOfSum(sum: Array[Long], nBits: Int, seed: Int): Long = {
+    var out = 0L
+    var j = 0
+    while (j < nBits) {
+      val row = VectorFunctions.RandomProjection.signs(j, seed)
+      var acc = 0L
+      var i = 0
+      while (i < sum.length) { acc += sum(i) * row(i); i += 1 }
+      if (acc >= 0L) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** Lloyd's k-means: `iters` assignment+update rounds from the k-smallest-id
     * init, then a final assignment pass against the updated centroids.
     * Returns (id, cluster) — id keeps `idCol`'s values, cluster ∈ [0, k).
-    * Clusters that lose every member keep their previous centroid. */
+    * Clusters that lose every member keep their previous centroid.
+    *
+    * `annPlanes > 0` switches the assignment pass to ANN-assisted: rows and
+    * centroids carry an `annPlanes`-bit integer-exact Rademacher signature,
+    * and exact distances are evaluated only against centroids within
+    * `annProbe` Hamming bits (no candidate → full exact fallback, so every
+    * row is still assigned deterministically). At corpus-scaled k (SemDeDup
+    * uses k ≈ n/250) this drops the assignment pass from k·dim multiplies
+    * per row to k popcounts + a few candidate distances — the documented
+    * 100 TB remedy for the n·k exact pass. The algorithm stays
+    * deterministic end-to-end, so the q_kmeans_ann oracle mirrors it in
+    * SQL exactly (signature, prefilter, fallback and all). */
   def kmeans(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, scale: Int = 1000): DataFrame = {
+      iters: Int, scale: Int = 1000, annPlanes: Int = 0, annProbe: Int = 2,
+      annSeed: Int = 11): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
-    val q = vecs
-      .select(col(idCol).as("id"),
-        VectorFunctions.quantize(col(vecCol), scale).as("qv"))
-      .localCheckpoint(false)
+    val useAnn = annPlanes > 0
+    val base = vecs.select(col(idCol).as("id"),
+      VectorFunctions.quantize(col(vecCol), scale).as("qv"))
+    // the signature rides inside the one materialized frame — computed
+    // once, reused by every assignment pass
+    val q = (if (useAnn) base.withColumn("sig",
+        graft.functions.VectorExpressions.rademacher_sig(
+          col("qv"), annPlanes, annSeed))
+      else base).localCheckpoint(false)
+
+    def assign(cs: Seq[Centroid]): Column =
+      if (useAnn)
+        graft.functions.VectorExpressions.nearest_centroid_ann(
+          col("qv"), col("sig"),
+          cs.map(_.sum.toIndexedSeq).toIndexedSeq,
+          cs.map(_.n).toIndexedSeq,
+          cs.map(c => sigOfSum(c.sum, annPlanes, annSeed)).toIndexedSeq,
+          annProbe)
+      else assignment(col("qv"), cs)
 
     val init = q.orderBy("id").limit(k).collect()
     require(init.length == k, s"need at least $k vectors, got ${init.length}")
@@ -89,7 +134,7 @@ object Clustering {
     guard(centroids)
 
     for (_ <- 0 until iters) {
-      val assigned = q.withColumn("cluster", assignment(col("qv"), centroids))
+      val assigned = q.withColumn("cluster", assign(centroids))
       // k rows of (cluster, sum-vector, count) — a bounded metadata pull
       val updated = assigned.groupBy("cluster")
         .agg(AggExpressions.vector_sum(col("qv"), dim).as("s"),
@@ -102,7 +147,7 @@ object Clustering {
       centroids = centroids.map(c => updated.getOrElse(c.index, c))
     }
 
-    q.select(col("id"), assignment(col("qv"), centroids).as("cluster"))
+    q.select(col("id"), assign(centroids).as("cluster"))
   }
 
   /** SemDeDup: k-means-cluster the corpus, then exact quantized-cosine
@@ -110,8 +155,10 @@ object Clustering {
     * Σ|cluster|² without an LSH family, and the cluster granularity is
     * tunable to executor memory. Returns (id_a, id_b, cos). */
   def semanticNearDups(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, k: Int, iters: Int = 1): DataFrame = {
-    val asg = kmeans(vecs, idCol, vecCol, k, iters)
+      threshold: Double, k: Int, iters: Int = 1, annPlanes: Int = 0,
+      annProbe: Int = 2): DataFrame = {
+    val asg = kmeans(vecs, idCol, vecCol, k, iters,
+      annPlanes = annPlanes, annProbe = annProbe)
       .withColumnRenamed("id", idCol)
     val clustered = vecs.join(asg, idCol)
     Dedup.embeddingNearDups(clustered, idCol, vecCol, threshold,
