@@ -45,10 +45,14 @@ object NativeOps {
     while (j < sums.length) {
       val s = sums(j)
       val n = counts(j)
+      // a ragged corpus must fail, not silently truncate the distance
+      // loop to the shorter width (matches rademacherSig's contract)
+      if (dim != s.length)
+        throw new IllegalArgumentException(
+          s"nearestCentroid: vector dim $dim != centroid dim ${s.length}")
       var num = 0L
       var i = 0
-      val d = if (dim < s.length) dim else s.length
-      while (i < d) {
+      while (i < dim) {
         val diff = n * qv.getLong(i) - s(i)
         num += diff * diff
         i += 1
@@ -103,10 +107,14 @@ object NativeOps {
       if (java.lang.Long.bitCount(sig ^ sigs(j)) <= probeDist) {
         val s = sums(j)
         val n = counts(j)
+        // fail loudly on ragged input — a truncated exact distance would
+        // also disagree with the full-width rademacherSig signature
+        if (dim != s.length)
+          throw new IllegalArgumentException(
+            s"nearestCentroidAnn: vector dim $dim != centroid dim ${s.length}")
         var num = 0L
         var i = 0
-        val d = if (dim < s.length) dim else s.length
-        while (i < d) {
+        while (i < dim) {
           val diff = n * qv.getLong(i) - s(i)
           num += diff * diff
           i += 1

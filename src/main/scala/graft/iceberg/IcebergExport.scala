@@ -289,9 +289,22 @@ object IcebergExport {
     // source columns stay in the data files, tuples restore dir pruning
     // for external planners). bucket() is xxhash64-based, not Iceberg
     // murmur3, so a bucket layout exports unpartitioned rather than lie.
-    val specFields: Seq[graft.table.PartitionField] =
+    val exportableSpec: Seq[graft.table.PartitionField] =
       if (table.partitionFields.forall(f =>
         icebergTransform(f.transform).isDefined)) table.partitionFields
+      else Seq.empty
+    // Spec evolution fallback: a live file written under an EARLIER spec
+    // (empty→days, trunc4→trunc8, …) has no dir for the current spec's
+    // physName. Emitting a null tuple would make external planners
+    // mis-prune it, so the whole export falls back to unpartitioned —
+    // the same conservative stance the internal pruning sites take for
+    // spec-evolved files. Source columns stay in the data, so results
+    // are unchanged; only dir pruning is lost.
+    val specFields: Seq[graft.table.PartitionField] =
+      if (exportableSpec.nonEmpty && live.forall { rel =>
+        val kv = table.partitionValues(rel)
+        exportableSpec.forall(f => kv.contains(f.physName))
+      }) exportableSpec
       else Seq.empty
     val avroPartFields = specFields.map { f =>
       val srcType = schema(f.source).dataType

@@ -459,7 +459,16 @@ class GraftTable(spark: SparkSession, val location: String) {
       val out = fs.create(tmp, false)
       try out.write(Snapshot.toJson(snap).getBytes("UTF-8")) finally out.close()
       if (publishExclusive(tmp, new Path(metaPath, snapFileName(id)))) {
-        maybeMaterializeChanges(snap)
+        // the snapshot is durably published at this point — a failed CDC
+        // materialization must not make the commit look failed (a retrying
+        // writer would double-append); readers fall back to reconstruction
+        // when the _changes file is absent
+        try maybeMaterializeChanges(snap) catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"graft: CDC materialization for snapshot $id failed " +
+              s"(readers will reconstruct): $e")
+        }
         return id
       }
       fs.delete(tmp, false) // lost the race; loop re-reads the new tip
@@ -1382,7 +1391,11 @@ class GraftTable(spark: SparkSession, val location: String) {
       conform: DataFrame => DataFrame,
       tag: (DataFrame, String, Long) => DataFrame): Option[DataFrame] = {
     val dir = changesPath(s.snapshotId)
-    if (!fs.exists(dir)) return None
+    // trust the dir only once its _SUCCESS marker is visible: rename is
+    // copy+delete on object stores, so existence alone can expose a
+    // partially-copied directory (silently truncated change set); the
+    // marker is written inside the staged dir and arrives with the data
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) return None
     val raw = spark.read.parquet(dir.toString)
     Some(Seq("insert", "delete").map(k =>
       tag(conform(raw.filter(col("_change_type") === k)

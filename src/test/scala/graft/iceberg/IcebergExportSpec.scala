@@ -134,6 +134,38 @@ class IcebergExportSpec extends SparkSpec {
       t.read().orderBy("id").select("id", "v", "d").collect())
   }
 
+  test("spec-evolved table (files predating the current spec) exports " +
+      "unpartitioned instead of failing or emitting null tuples") {
+    val loc = tmpDir("ice-evolve") + "/t"
+    val t = GraftTable(spark, loc)
+    // first file lands under the EMPTY spec — it has no d_month dir
+    t.append((1L to 10L).map(i =>
+      (i, s"v$i", java.sql.Date.valueOf("2024-01-10")))
+      .toDF("id", "v", "d").coalesce(1))
+    t.updatePartitionSpec(Seq("months(d)"))
+    t.append((11L to 20L).map(i =>
+      (i, s"v$i", java.sql.Date.valueOf("2024-02-10")))
+      .toDF("id", "v", "d").coalesce(1))
+    // pre-fix this threw IllegalStateException on the old-layout file;
+    // a null tuple would make external planners mis-prune it — the
+    // correct conservative export is unpartitioned
+    IcebergExport.export(spark, t)
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "--plan").!!
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val plan = JsonMethods.parse(out)
+    assert((plan \ "spec").children.isEmpty) // unpartitioned spec
+    val sql = "SELECT COUNT(*) AS n, SUM(id) AS s FROM t"
+    val dOut = Seq("python3", "tools/read_iceberg_duckdb.py", path, sql).!!
+    assert(dOut.trim.split("\n")(1) === "20,210")
+    assert(IcebergExport.scan(spark, t.location).orderBy("id")
+      .select("id", "v", "d").collect() ===
+      t.read().orderBy("id").select("id", "v", "d").collect())
+  }
+
   test("external engine (DuckDB hand-walk) reads the export identically") {
     val t = mkTable("ice-duck", 500L)
     IcebergExport.export(spark, t)

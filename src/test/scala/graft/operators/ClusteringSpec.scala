@@ -73,6 +73,23 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("centroid kernels fail loudly on ragged vector dims") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.NativeOps
+    val qv = ArrayData.toArrayData(Array(1L, 2L, 3L)) // dim 3
+    val sums = Array(Array(1L, 2L))                   // centroid dim 2
+    val counts = Array(1L)
+    val e1 = intercept[IllegalArgumentException] {
+      NativeOps.nearestCentroid(qv, sums, counts)
+    }
+    assert(e1.getMessage.contains("dim"))
+    val e2 = intercept[IllegalArgumentException] {
+      NativeOps.nearestCentroidAnn(qv, 0L, sums, counts,
+        Array(0L), probeDist = 64)
+    }
+    assert(e2.getMessage.contains("dim"))
+  }
+
   test("headroom guard rejects magnitudes that would overflow int64") {
     val big = (0L until 4L)
       .map(id => (id, Array.fill(64)(3e8f)))

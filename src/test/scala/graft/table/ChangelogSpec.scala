@@ -211,6 +211,32 @@ class ChangelogSpec extends SparkSpec {
     assert(all(mat).count(_._3 == "delete") === 3) // ids 1,2 + key 5
   }
 
+  test("materialized dir without _SUCCESS is distrusted — reads fall " +
+      "back to reconstruction, not a truncated change set") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val loc = tmpDir("chg-succ") + "/t"
+    val t = GraftTable(spark, loc)
+      .create(sch, properties = Map("graft.cdc.materialize" -> "true"))
+    t.append((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.delete(col("id") <= 3L)
+    val dataSnaps = t.snapshots.filterNot(_.operation == "create")
+    // every materialized dir carries the marker the reader keys on
+    dataSnaps.foreach { s =>
+      assert(new java.io.File(s"$loc/_changes/${s.snapshotId}/_SUCCESS")
+        .isFile, s"commit ${s.snapshotId} missing _SUCCESS")
+    }
+    val lo = t.snapshots.head.snapshotId - 1
+    val hi = t.latestSnapshotId.get
+    val before = t.changes(lo, hi).collect().map(_.toString).sorted.toSeq
+    // simulate a half-copied object-store rename: data present, marker not
+    val del = dataSnaps.last.snapshotId
+    assert(new java.io.File(s"$loc/_changes/$del/_SUCCESS").delete())
+    val after = t.changes(lo, hi).collect().map(_.toString).sorted.toSeq
+    assert(after === before) // reconstruction fallback, same answer
+  }
+
   test("empty or change-free range returns an empty, well-typed frame") {
     val t = mk("chg-empty")
     val s1 = t.latestSnapshotId.get
