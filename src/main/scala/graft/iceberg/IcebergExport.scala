@@ -50,11 +50,22 @@ import graft.table.GraftTable
   * a bucket[n] spec would prune files that contain matches. Per-file
   * column `lower_bounds`/`upper_bounds` (field ids 125/128, Appendix-D
   * single-value binary) are emitted from the snapshot log's footer
-  * stats, so stats pruning works in external engines. MOR tables must
-  * fold tombstones first
-  * ([[GraftTable.foldDeletes]]) — equality-delete manifests are refused
-  * rather than silently dropped, because exporting only the data files
-  * of a MOR table would resurrect deleted rows in external engines.
+  * stats, so stats pruning works in external engines.
+  *
+  * LIVE MOR state exports faithfully: tombstones become a v2
+  * equality-delete manifest (manifest-list `content=1`, data_file
+  * `content=2` with `equality_ids`), every data entry carries its real
+  * data sequence number (the graft add-sequence), and each delete entry
+  * its commit sequence — so an external v2 reader applies a delete to
+  * exactly the data files whose sequence is strictly lower, the same
+  * strict ordering [[GraftTable.morRead]] uses internally. This is the
+  * reference's exact live-silver topology (its silver table is
+  * merge-on-read, bronze-silver.py:184-194, read live by four engines,
+  * README.md:127-197) — no foldDeletes/compact required before export.
+  * Delete files are written under a dedicated UNPARTITIONED spec
+  * (spec-id 1) when the table itself is partitioned, which per spec
+  * scopes them globally — correct for graft tombstones, whose keys are
+  * not partition-bounded.
   *
   * Scale: the export is pure metadata — one JSON + two Avro files whose
   * size is O(live files); no data is read or moved. Each call writes the
@@ -144,7 +155,8 @@ object IcebergExport {
     * encoding) keyed by schema field id — the pruning metadata external
     * engines' scan planners read. */
   private def manifestEntrySchema(
-      partFields: Seq[(String, String)]): Schema = {
+      partFields: Seq[(String, String)],
+      equalityIds: Boolean = false): Schema = {
     val pf = partFields.zipWithIndex.map { case ((n, avroType), i) =>
       s"""{"name": ${jsonStr(n)}, "type": ["null", "$avroType"], "default": null, "field-id": ${1000 + i}}"""
     }.mkString(", ")
@@ -154,6 +166,12 @@ object IcebergExport {
          |     {"name": "key", "type": "int", "field-id": $kid},
          |     {"name": "value", "type": "bytes", "field-id": $vid}
          |   ]}}], "default": null, "field-id": $fid}""".stripMargin
+    // equality_ids (field 135): the schema field ids a v2 equality-delete
+    // file deletes by — present only in delete manifests
+    val eq = if (equalityIds)
+      """,
+        |     {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int", "element-id": 136}], "default": null, "field-id": 135}""".stripMargin
+    else ""
     new Schema.Parser().parse(
       s"""{
         |"type": "record", "name": "manifest_entry", "fields": [
@@ -172,7 +190,7 @@ object IcebergExport {
         |     ${boundsMap("lower_bounds", 125, 126, 127)},
         |     ${boundsMap("upper_bounds", 128, 129, 130)},
         |     {"name": "split_offsets", "type": ["null", {"type": "array", "items": "long", "element-id": 133}], "default": null, "field-id": 132},
-        |     {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}
+        |     {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}$eq
         |   ]}}
         |]}""".stripMargin)
   }
@@ -264,9 +282,6 @@ object IcebergExport {
   /** Export the current snapshot of `table` as Iceberg v2 metadata under
     * `<table.location>/metadata/`. Returns the metadata.json path. */
   def export(spark: SparkSession, table: GraftTable): String = {
-    require(table.liveDeletes().isEmpty,
-      "cannot export a table with live MOR tombstones as Iceberg data " +
-        "manifests — run foldDeletes() or compact() first")
     val snap = table.latestSnapshot.getOrElse(
       throw new IllegalStateException(
         s"table does not exist: ${table.location}"))
@@ -318,13 +333,27 @@ object IcebergExport {
     val stats = table.statsFor(live)
     val glue = org.apache.spark.sql.graftglue.GraftSqlGlue
 
+    // live MOR tombstones export as an equality-delete manifest; every
+    // data entry then needs its REAL data sequence (the graft
+    // add-sequence) so external readers scope each delete to the files
+    // committed strictly before it — graft seq semantics are identical
+    // to the v2 spec's strict < rule, so the values map 1:1. Sequence
+    // numbers are exported unconditionally (they are simply 1:1 table
+    // history facts); deletes just make them load-bearing.
+    val deletes = table.liveDeletes().sortBy(_.seq)
+    val addSeqs = table.fileAddSeqs(None)
+    // raw graft seqs, unclamped: v2 sequence numbers legally start at 0,
+    // and any shift would have to move data and delete seqs in lockstep
+    // to preserve the strict < applicability ordering
+    def dataSeq(rel: String): Long = addSeqs.getOrElse(rel, snap.snapshotId)
+
     // ---- data manifest ----
     val entries = live.map { rel =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snap.snapshotId)
-      e.put("sequence_number", 1L)
-      e.put("file_sequence_number", 1L)
+      e.put("sequence_number", dataSeq(rel))
+      e.put("file_sequence_number", dataSeq(rel))
       val df = new GenericData.Record(
         entrySchema.getField("data_file").schema())
       df.put("content", 0) // DATA
@@ -384,15 +413,69 @@ object IcebergExport {
         "partition-spec" -> specFieldsJson, "partition-spec-id" -> "0",
         "format-version" -> "2", "content" -> "data"))
 
+    // ---- equality-delete manifest (live MOR tombstones) ----
+    // Delete files carry only their key columns; they are written under
+    // an UNPARTITIONED spec (spec-id 1 when the data spec has fields),
+    // which per spec applies them globally — matching graft tombstones,
+    // whose keys are not partition-bounded. equality_ids map the key
+    // column names to schema field ids (ordinal + 1, as schemaJson).
+    val deleteSpecId = if (specFields.isEmpty) 0 else 1
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val deleteManifest: Option[(String, Long, Long, Long, Long)] =
+      if (deletes.isEmpty) None
+      else {
+        val delSchema = manifestEntrySchema(Seq.empty, equalityIds = true)
+        var rowsTotal = 0L
+        val delEntries = deletes.map { d =>
+          val cols = d.cols.getOrElse(
+            spark.read.parquet(s"${table.location}/${d.path}")
+              .columns.toSeq)
+          val p = new Path(table.location, d.path)
+          val nRows = graft.table.FooterStats.read(hadoopConf, p,
+            Seq.empty)._2
+          rowsTotal += nRows
+          val e = new GenericData.Record(delSchema)
+          e.put("status", 1) // ADDED
+          e.put("snapshot_id", snap.snapshotId)
+          e.put("sequence_number", d.seq)
+          e.put("file_sequence_number", d.seq)
+          val df = new GenericData.Record(
+            delSchema.getField("data_file").schema())
+          df.put("content", 2) // EQUALITY_DELETES
+          df.put("file_path", s"$tableUri/${d.path}")
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(
+            df.getSchema.getField("partition").schema()))
+          df.put("record_count", nRows)
+          df.put("file_size_in_bytes", d.bytes.getOrElse(fileLen(p)))
+          df.put("equality_ids", cols.map(c =>
+            Int.box(schema.fieldIndex(c) + 1)).asJava)
+          e.put("data_file", df)
+          e
+        }
+        val name = s"${UUID.randomUUID()}-m1.avro"
+        val len = writeAvro(new File(localPath(fs, metaDir), name),
+          delSchema, delEntries,
+          Map("schema" -> sJson, "schema-id" -> "0",
+            "partition-spec" -> "[]",
+            "partition-spec-id" -> deleteSpecId.toString,
+            "format-version" -> "2", "content" -> "deletes"))
+        Some((name, len, deletes.map(_.seq).min, deletes.map(_.seq).max,
+          rowsTotal))
+      }
+
     // ---- manifest list ----
     val totalRows = live.map(f => rows.getOrElse(f, 0L)).sum
+    val dataSeqs = live.map(dataSeq)
     val ml = new GenericData.Record(manifestListSchema)
     ml.put("manifest_path", s"$tableUri/metadata/$manifestName")
     ml.put("manifest_length", manifestLen)
     ml.put("partition_spec_id", 0)
     ml.put("content", 0)
-    ml.put("sequence_number", 1L)
-    ml.put("min_sequence_number", 1L)
+    ml.put("sequence_number",
+      if (dataSeqs.isEmpty) 1L else dataSeqs.max)
+    ml.put("min_sequence_number",
+      if (dataSeqs.isEmpty) 1L else dataSeqs.min)
     ml.put("added_snapshot_id", snap.snapshotId)
     ml.put("added_data_files_count", live.size)
     ml.put("existing_data_files_count", 0)
@@ -400,26 +483,48 @@ object IcebergExport {
     ml.put("added_rows_count", totalRows)
     ml.put("existing_rows_count", 0L)
     ml.put("deleted_rows_count", 0L)
+    val mlRecords = Seq(ml) ++ deleteManifest.map {
+      case (name, len, minSeq, maxSeq, delRows) =>
+        val dml = new GenericData.Record(manifestListSchema)
+        dml.put("manifest_path", s"$tableUri/metadata/$name")
+        dml.put("manifest_length", len)
+        dml.put("partition_spec_id", deleteSpecId)
+        dml.put("content", 1) // DELETES
+        dml.put("sequence_number", maxSeq)
+        dml.put("min_sequence_number", minSeq)
+        dml.put("added_snapshot_id", snap.snapshotId)
+        dml.put("added_data_files_count", deletes.size)
+        dml.put("existing_data_files_count", 0)
+        dml.put("deleted_data_files_count", 0)
+        dml.put("added_rows_count", delRows)
+        dml.put("existing_rows_count", 0L)
+        dml.put("deleted_rows_count", 0L)
+        dml
+    }
     val listName = s"snap-${snap.snapshotId}-1-${UUID.randomUUID()}.avro"
     writeAvro(new File(localPath(fs, metaDir), listName),
-      manifestListSchema, Seq(ml), Map("format-version" -> "2"))
+      manifestListSchema, mlRecords, Map("format-version" -> "2"))
 
     // ---- metadata.json + version hint ----
     val version = currentVersion(fs, metaDir) + 1
     val now = snap.timestampMs
+    val lastSeq = (1L +: dataSeqs ++: deletes.map(_.seq)).max
+    val specsJson = s"""[{"spec-id": 0, "fields": $specFieldsJson}""" +
+      (if (deletes.nonEmpty && specFields.nonEmpty)
+        """, {"spec-id": 1, "fields": []}]""" else "]")
     val metaJson =
       s"""{
          |  "format-version": 2,
          |  "table-uuid": "${UUID.nameUUIDFromBytes(
                tableUri.getBytes(StandardCharsets.UTF_8))}",
          |  "location": ${jsonStr(tableUri)},
-         |  "last-sequence-number": 1,
+         |  "last-sequence-number": $lastSeq,
          |  "last-updated-ms": $now,
          |  "last-column-id": ${schema.fields.length},
          |  "current-schema-id": 0,
          |  "schemas": [$sJson],
          |  "default-spec-id": 0,
-         |  "partition-specs": [{"spec-id": 0, "fields": $specFieldsJson}],
+         |  "partition-specs": $specsJson,
          |  "last-partition-id": ${999 + specFields.size},
          |  "default-sort-order-id": 0,
          |  "sort-orders": [{"order-id": 0, "fields": []}],
@@ -427,7 +532,7 @@ object IcebergExport {
          |  "current-snapshot-id": ${snap.snapshotId},
          |  "refs": {"main": {"snapshot-id": ${snap.snapshotId}, "type": "branch"}},
          |  "snapshots": [{
-         |    "sequence-number": 1,
+         |    "sequence-number": $lastSeq,
          |    "snapshot-id": ${snap.snapshotId},
          |    "timestamp-ms": $now,
          |    "summary": {"operation": "append"},
@@ -524,31 +629,74 @@ object IcebergExport {
       case other => throw new IllegalArgumentException(other)
     }
 
-    // (file, identity-partition tuple) for every live entry
-    val filesWithPart: Seq[(String, Seq[Any])] =
-      readAvro(listPath).flatMap { mf =>
-        readAvro(mf.get("manifest_path").toString).collect {
-          case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            val part = df.get("partition").asInstanceOf[GenericRecord]
-            val tuple = specCols.map(c => part.get(c) match {
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case v => v
-            })
-            df.get("file_path").toString -> tuple
+    val mfs = readAvro(listPath)
+    def mfContent(mf: GenericRecord): Int =
+      mf.get("content").asInstanceOf[Int]
+    def entriesOf(mf: GenericRecord): Seq[GenericRecord] =
+      readAvro(mf.get("manifest_path").toString)
+        .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
+    def seqOf(e: GenericRecord): Long =
+      Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+        .getOrElse(1L)
+
+    // (file, identity-partition tuple, data sequence) per live data entry
+    val filesWithPart: Seq[(String, Seq[Any], Long)] =
+      mfs.filter(mfContent(_) == 0).flatMap { mf =>
+        entriesOf(mf).map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val part = df.get("partition").asInstanceOf[GenericRecord]
+          val tuple = specCols.map(c => part.get(c) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case v => v
+          })
+          (df.get("file_path").toString, tuple, seqOf(e))
         }
       }
+    // v2 equality deletes: (path, commit sequence, key column names via
+    // the schema field ids in equality_ids)
+    val fieldNameById: Map[Int, String] =
+      (meta \ "schemas").children.collectFirst {
+        case s if (s \ "schema-id").extract[Int] == 0 =>
+          (s \ "fields").children.map(f =>
+            (f \ "id").extract[Int] -> (f \ "name").extract[String]).toMap
+      }.getOrElse(Map.empty)
+    val eqDeletes: Seq[(String, Long, Seq[String])] =
+      mfs.filter(mfContent(_) == 1).flatMap { mf =>
+        entriesOf(mf).map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          require(df.get("content").asInstanceOf[Int] == 2,
+            "this reader applies equality deletes only (content=2)")
+          val ids = df.get("equality_ids")
+            .asInstanceOf[java.util.List[Integer]].asScala.toSeq
+          (df.get("file_path").toString, seqOf(e),
+            ids.map(i => fieldNameById(i.toInt)))
+        }
+      }.sortBy(_._2)
+
     val typeOf = schemaFields.toMap
-    // one scan per partition tuple (bounded by partition count), each
-    // reconstructing the identity columns the data files do not carry
-    filesWithPart.groupBy(_._2).map { case (tuple, grp) =>
+    // one scan per (partition tuple × applicable-delete suffix) — a
+    // delete applies to data files whose sequence is strictly lower, so
+    // the applicable set per file is a suffix of the seq-sorted deletes
+    // (at most |deletes|+1 groups per tuple). Each group reconstructs
+    // identity columns, then anti-joins each equality-key delete set —
+    // an independent re-derivation of the v2 read rules, sharing nothing
+    // with the graft MOR reader.
+    filesWithPart.groupBy { case (_, tuple, seq) =>
+      (tuple, eqDeletes.filter(_._2 > seq))
+    }.map { case ((tuple, dels), grp) =>
       val base = spark.read.parquet(grp.map(f =>
         new java.net.URI(f._1).getPath): _*)
       val withPart = specCols.zip(tuple).foldLeft(base) {
         case (acc, (c, v)) =>
           acc.withColumn(c, lit(v).cast(sparkType(typeOf(c))))
       }
-      withPart.select(schemaFields.map(f => col(f._1)): _*)
+      val undeleted = dels.groupBy(_._3).foldLeft(withPart) {
+        case (acc, (cols, ds)) =>
+          val keys = spark.read.parquet(ds.map(d =>
+            new java.net.URI(d._1).getPath): _*).select(cols.map(col): _*)
+          acc.join(keys, cols, "left_anti")
+      }
+      undeleted.select(schemaFields.map(f => col(f._1)): _*)
     }.reduce(_ unionByName _)
   }
 }

@@ -248,6 +248,37 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The reference's LIVE silver topology: a merge-on-read table with
+    * UNFOLDED tombstones (two generations, overriding on %15 keys)
+    * exported as Iceberg v2 equality-delete manifests (manifest-list
+    * content=1, data_file content=2 + equality_ids, real per-file data
+    * sequence numbers) and read back exclusively through the metadata
+    * tree — [[graft.iceberg.IcebergExport.scan]] applies the delete
+    * manifests by the v2 strict sequence rule, never consulting the
+    * graft snapshot log. The reference's silver IS merge-on-read
+    * (bronze-silver.py:184-194) and its four consumers read it live
+    * (README.md:127-197); this query runs that exact contract with no
+    * foldDeletes/compact beforehand. */
+  val qIcebergMorExport: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icemorexp"))
+    t.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0), parts = Seq("o_orderstatus"))
+    val src1 = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+    t.merge(src1, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    val src2 = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("Y"))
+    t.merge(src2, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    require(t.liveDeletes().nonEmpty, "export must see live tombstones")
+    graft.iceberg.IcebergExport.export(s, t)
+    project(graft.iceberg.IcebergExport.scan(s, t.location))
+  }
+  val qIcebergMorExportSql: String = qTableMergeMorSql
+
   /** The reference's exact consumer topology — external engines over ONE
     * months()-partitioned silver table (bronze-silver.py:199-201,
     * README.md:127-197) — through the export loop: hidden month
@@ -550,6 +581,8 @@ object TableQueries {
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
     ("q_table_merge_mor", qTableMergeMor, Some(qTableMergeMorSql)),
     ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),
+    ("q_iceberg_mor_export", qIcebergMorExport,
+      Some(qIcebergMorExportSql)),
     ("q_iceberg_partitioned", qIcebergPartitioned,
       Some(qIcebergPartitionedSql)),
     ("q_table_history", qHistory, Some(qHistorySql)),

@@ -356,8 +356,9 @@ class GraftTable(spark: SparkSession, val location: String) {
     * snapshot that FIRST added it (`fileSeqs` override wins — the expire
     * baseline records original sequences there). First-add, not last-add,
     * so a rollback that re-adds files keeps tombstones applicable to
-    * them. */
-  private def fileAddSeqs(asOf: Option[Long]): Map[String, Long] = {
+    * them. Public: the Iceberg exporter emits these as the per-file data
+    * sequence numbers that scope equality-delete applicability. */
+  def fileAddSeqs(asOf: Option[Long]): Map[String, Long] = {
     val seqs = scala.collection.mutable.Map.empty[String, Long]
     replayChain(asOf).foreach { s =>
       entriesOf(s).foreach { e =>

@@ -60,20 +60,65 @@ class IcebergExportSpec extends SparkSpec {
       Array((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p1")))
   }
 
-  test("MOR tombstones refuse export until folded") {
+  test("live MOR tombstones export as v2 equality-delete manifests; " +
+      "in-engine scan and DuckDB hand-walk both apply them unfolded") {
     val t = mkTable("ice-mor", 20L)
     t.merge(Seq((5L, "upd", 999L)).toDF("id", "v", "ts"),
       Seq("id"), Seq("id"), "ts", mode = "mor")
-    val e = intercept[IllegalArgumentException] {
-      IcebergExport.export(spark, t)
-    }
-    assert(e.getMessage.contains("tombstones"))
-    t.foldDeletes()
+    t.merge(Seq((7L, "upd2", 999L), (21L, "ins", 1L))
+      .toDF("id", "v", "ts"), Seq("id"), Seq("id"), "ts", mode = "mor")
+    assert(t.liveDeletes().size === 2) // NOT folded — the point
     IcebergExport.export(spark, t)
     val back = IcebergExport.scan(spark, t.location)
-    assert(back.count() === 20)
-    assert(back.filter($"id" === 5L).select("v").as[String].collect() ===
-      Array("upd"))
+    assert(back.orderBy("id").collect() ===
+      t.read().orderBy("id").collect())
+    assert(back.count() === 21)
+    // external engine: the DuckDB hand-walk applies the delete manifest
+    // with the same strict sequence ordering
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT id, v FROM t ORDER BY id").!!
+    val expect = t.read().orderBy("id").select("id", "v")
+      .as[(Long, String)].collect().map { case (i, v) => s"$i,$v" }.toSeq
+    assert(out.trim.split("\n").drop(1).toSeq === expect)
+    // the exported plan names both tombstone files, key-scoped to `id`
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val plan = JsonMethods.parse(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path, "--plan").!!)
+    val dels = (plan \ "deletes").children
+    assert(dels.size === 2)
+    assert(dels.forall(d =>
+      (d \ "equality_cols").extract[Seq[String]] === Seq("id")))
+  }
+
+  test("partitioned MOR export keeps the identity data spec; deletes " +
+      "ride an unpartitioned spec and readback matches morRead") {
+    val t = GraftTable(spark, tmpDir("ice-morpart") + "/t")
+    t.append(Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p1"),
+      (4L, "d", "p2")).toDF("id", "v", "part"), parts = Seq("part"))
+    t.merge(Seq((2L, "B", "p2"), (5L, "e", "p1")).toDF("id", "v", "part"),
+      Seq("id"), Seq("id"), "id", mode = "mor")
+    assert(t.liveDeletes().nonEmpty)
+    IcebergExport.export(spark, t)
+    val back = IcebergExport.scan(spark, t.location)
+    assert(back.orderBy("id").select("id", "v", "part").collect() ===
+      t.read().orderBy("id").select("id", "v", "part").collect())
+    val path = new java.net.URI("file://" + t.location).getPath
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val plan = JsonMethods.parse(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path, "--plan").!!)
+    assert((plan \ "spec").children.nonEmpty)   // data spec preserved
+    assert((plan \ "deletes").children.nonEmpty)
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT id, v, part FROM t ORDER BY id").!!
+    val expect = t.read().orderBy("id").select("id", "v", "part")
+      .as[(Long, String, String)].collect()
+      .map { case (i, v, p) => s"$i,$v,$p" }.toSeq
+    assert(out.trim.split("\n").drop(1).toSeq === expect)
   }
 
   test("month transform spec, partition tuples, and column bounds are " +

@@ -168,9 +168,13 @@ def decode_bound(raw, typ):
 
 def iceberg_scan_plan(location):
     """-> (schema [(name, iceberg_type)], identity part cols, spec fields,
-           [(file, {part_col: value}, lower_bounds, upper_bounds)])
+           [(file, {part_col: value}, lower_bounds, upper_bounds, seq)],
+           [(delete_file, seq, [equality col names])])
        bounds are {col_name: decoded_value} from the manifest's
-       map<field_id, binary> stats (ids 125/128)."""
+       map<field_id, binary> stats (ids 125/128). The last element lists
+       v2 EQUALITY-delete files (manifest-list content=1, data_file
+       content=2): a delete applies to data files whose data sequence
+       number is strictly lower than the delete's."""
     meta_dir = os.path.join(location, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
         version = int(fh.read().strip())
@@ -197,32 +201,50 @@ def iceberg_scan_plan(location):
         return out
 
     list_path = snap["manifest-list"].replace("file:", "")
-    files = []
+    files, deletes = [], []
     for mf in read_avro(list_path):
         manifest = mf["manifest_path"].replace("file:", "")
         for entry in read_avro(manifest):
-            if entry["status"] != 2:  # 2 = DELETED
-                df = entry["data_file"]
+            if entry["status"] == 2:  # 2 = DELETED
+                continue
+            df = entry["data_file"]
+            seq = entry.get("sequence_number")
+            seq = 1 if seq is None else seq
+            if mf.get("content") == 1:  # delete manifest
+                assert df["content"] == 2, \
+                    "only equality deletes are supported by this reader"
+                cols = [by_id[i][0] for i in df["equality_ids"]]
+                deletes.append((df["file_path"].replace("file:", ""),
+                                seq, cols))
+            else:
                 files.append((df["file_path"].replace("file:", ""),
                               df.get("partition") or {},
                               bounds(df, "lower_bounds"),
-                              bounds(df, "upper_bounds")))
-    return fields, part_cols, spec["fields"], files
+                              bounds(df, "upper_bounds"),
+                              seq))
+    deletes.sort(key=lambda d: d[1])
+    return fields, part_cols, spec["fields"], files, deletes
 
 
 def main():
     location = sys.argv[1]
     sql = sys.argv[2] if len(sys.argv) > 2 else "SELECT COUNT(*) AS n FROM t"
-    fields, part_cols, spec_fields, files = iceberg_scan_plan(location)
+    fields, part_cols, spec_fields, files, deletes = \
+        iceberg_scan_plan(location)
     if sql == "--plan":
         # machine-readable scan plan: what an external planner would see
         # (partition tuples for dir pruning, column bounds for stats
-        # pruning) — decoded entirely by THIS reader, no Iceberg library
+        # pruning, equality-delete files with their scoping sequences) —
+        # decoded entirely by THIS reader, no Iceberg library
         print(json.dumps({
             "spec": spec_fields,
             "files": [{"path": p, "partition": part,
-                       "lower_bounds": lo, "upper_bounds": hi}
-                      for p, part, lo, hi in files]}, indent=1))
+                       "lower_bounds": lo, "upper_bounds": hi,
+                       "sequence_number": seq}
+                      for p, part, lo, hi, seq in files],
+            "deletes": [{"path": p, "sequence_number": seq,
+                         "equality_cols": cols}
+                        for p, seq, cols in deletes]}, indent=1))
         return
     if not files:
         print("")
@@ -237,25 +259,46 @@ def main():
         return f"CAST('{s}' AS {DUCK_TYPES[typ]})"
 
     # identity-partition columns live in the manifest partition tuples,
-    # not the data files: one branch per tuple reconstructs them
+    # not the data files: one branch per (tuple, data sequence)
+    # reconstructs them; __gseq carries the file's data sequence so the
+    # equality-delete predicate below can scope strictly-older rows
     groups = {}
-    for path, part, _lo, _hi in files:
-        key = tuple(part.get(c) for c in part_cols)
+    for path, part, _lo, _hi, seq in files:
+        key = (tuple(part.get(c) for c in part_cols), seq)
         groups.setdefault(key, []).append(path)
     branches = []
-    for key, paths in groups.items():
+    for (key, seq), paths in groups.items():
         flist = ", ".join("'" + f.replace("'", "''") + "'" for f in paths)
         consts = "".join(
             f", {sql_lit(v, types[c])} AS \"{c}\""
             for c, v in zip(part_cols, key))
         branches.append(
-            f"SELECT * {consts} FROM read_parquet([{flist}])"
-            if part_cols else f"SELECT * FROM read_parquet([{flist}])")
-    union = " UNION ALL ".join(f"SELECT {col_list} FROM ({b})"
+            f"SELECT * {consts}, {seq} AS __gseq "
+            f"FROM read_parquet([{flist}])")
+    union = " UNION ALL ".join(f"SELECT {col_list}, __gseq FROM ({b})"
                                for b in branches)
     import duckdb
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW t AS {union}")
+    con.execute(f"CREATE VIEW t_base AS {union}")
+    # one delete relation per equality-column set (files keep their own
+    # sequences); a base row survives when no applicable delete matches:
+    # NOT EXISTS with del.__dseq > row.__gseq — the v2 strict ordering
+    eq_groups = {}
+    for path, seq, cols in deletes:
+        eq_groups.setdefault(tuple(cols), []).append((path, seq))
+    conds = []
+    for gi, (cols, dfiles) in enumerate(eq_groups.items()):
+        dsel = " UNION ALL ".join(
+            "SELECT " + ", ".join(f'"{c}"' for c in cols) +
+            f", {seq} AS __dseq FROM read_parquet(['" +
+            p.replace("'", "''") + "'])"
+            for p, seq in dfiles)
+        con.execute(f"CREATE VIEW d_{gi} AS {dsel}")
+        match = " AND ".join(f'd_{gi}."{c}" = b."{c}"' for c in cols)
+        conds.append(f"NOT EXISTS (SELECT 1 FROM d_{gi} "
+                     f"WHERE {match} AND d_{gi}.__dseq > b.__gseq)")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    con.execute(f"CREATE VIEW t AS SELECT {col_list} FROM t_base b{where}")
     rows = con.execute(sql).fetchall()
     cols = [d[0] for d in con.description]
     print(",".join(cols))
