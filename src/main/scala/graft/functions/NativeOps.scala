@@ -127,6 +127,56 @@ object NativeOps {
     if (best < 0) nearestCentroid(qv, sums, counts) else best
   }
 
+  /** Nearest-centroid by QUANTIZED COSINE (argmax, exact [[VectorFunctions
+    * .cosineQ]] arithmetic: int64 dot / sqrt·sqrt of int64 norms as
+    * doubles) with the same Hamming prefilter as [[nearestCentroidAnn]] —
+    * the IVF list-assignment kernel. Centroids are raw quantized vectors
+    * (no member counts) with their norm factors precomputed; ties break
+    * to the LOWEST index (strict `>`), which the caller arranges to be
+    * the lowest centroid id. `probeDist >= nBits` degrades gracefully to
+    * a full exact argmax — still one map-side O(k·dim) loop per row with
+    * no corpus shuffle, which is the structural win over the
+    * crossJoin+max_by plan it replaces. Returns the winning centroid
+    * INDEX; a row with no candidate in range falls back to the full
+    * exact pass, so every row is assigned deterministically. */
+  def nearestCosineCentroid(qv: ArrayData, sig: Long,
+      cents: Array[Array[Long]], centNorms: Array[Double],
+      sigs: Array[Long], probeDist: Int): Int = {
+    val dim = qv.numElements()
+    var nq = 0L
+    var i = 0
+    while (i < dim) { val x = qv.getLong(i); nq += x * x; i += 1 }
+    val qNorm = math.sqrt(nq.toDouble)
+    def pass(filtered: Boolean): Int = {
+      var best = -1
+      var bestCos = Double.NegativeInfinity
+      var j = 0
+      while (j < cents.length) {
+        if (!filtered ||
+          java.lang.Long.bitCount(sig ^ sigs(j)) <= probeDist) {
+          val c = cents(j)
+          if (dim != c.length)
+            throw new IllegalArgumentException(
+              s"nearestCosineCentroid: vector dim $dim != centroid dim ${c.length}")
+          var dot = 0L
+          var d = 0
+          while (d < dim) { dot += qv.getLong(d) * c(d); d += 1 }
+          val cos = dot.toDouble / (qNorm * centNorms(j))
+          if (cos > bestCos) { bestCos = cos; best = j }
+        }
+        j += 1
+      }
+      best
+    }
+    val hit = pass(filtered = true)
+    if (hit >= 0) hit
+    else {
+      val full = pass(filtered = false)
+      // all-NaN cosines (a zero vector) pin to list 0 rather than crash
+      if (full < 0) 0 else full
+    }
+  }
+
   /** Morton interleave: result bit (i·n + j) = bit i of element j. Null
     * elements contribute zero bits (nulls cluster together). */
   def interleaveBits(arr: ArrayData, bits: Int): Long = {

@@ -194,4 +194,54 @@ object VectorExpressions {
       sigs: IndexedSeq[Long], probeDist: Int): Column =
     GraftSqlGlue.column(NearestCentroidAnnExpr(GraftSqlGlue.expression(qv),
       GraftSqlGlue.expression(sig), sums, counts, sigs, probeDist))
+
+  /** IVF list assignment: argmax quantized COSINE over broadcast raw
+    * centroid vectors with the [[NearestCentroidAnnExpr]] Hamming
+    * prefilter (left = quantized vector, right = its Rademacher
+    * signature). One codegen'd map-side loop per row — replaces the
+    * corpus × nLists crossJoin + max_by aggregate plan, removing the
+    * corpus-wide shuffle from the IVF build entirely. Ties break to the
+    * lowest centroid index; rows with no signature candidate fall back
+    * to the full exact argmax ([[NativeOps.nearestCosineCentroid]]). */
+  case class NearestCosineCentroidExpr(left: Expression, right: Expression,
+      cents: IndexedSeq[IndexedSeq[Long]], sigs: IndexedSeq[Long],
+      probeDist: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    require(cents.nonEmpty && cents.length == sigs.length,
+      "need one (vector, sig) per centroid")
+    require(probeDist >= 0, s"probeDist must be non-negative, got $probeDist")
+    override def dataType: DataType = IntegerType
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] =
+      Seq(ArrayType(LongType), LongType)
+    override def prettyName: String = "nearest_cosine_centroid"
+
+    @transient private lazy val centArr: Array[Array[Long]] =
+      cents.map(_.toArray).toArray
+    @transient private lazy val normArr: Array[Double] =
+      centArr.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    @transient private lazy val sigArr: Array[Long] = sigs.toArray
+
+    override def nullSafeEval(qv: Any, sig: Any): Any =
+      NativeOps.nearestCosineCentroid(qv.asInstanceOf[ArrayData],
+        sig.asInstanceOf[Long], centArr, normArr, sigArr, probeDist)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val c = ctx.addReferenceObj("ivfCents", centArr, "long[][]")
+      val n = ctx.addReferenceObj("ivfNorms", normArr, "double[]")
+      val g = ctx.addReferenceObj("ivfSigs", sigArr, "long[]")
+      defineCodeGen(ctx, ev, (qv, sig) =>
+        s"graft.functions.NativeOps.nearestCosineCentroid($qv, $sig, $c, $n, $g, $probeDist)")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): NearestCosineCentroidExpr = copy(left = l, right = r)
+  }
+
+  def nearest_cosine_centroid(qv: Column, sig: Column,
+      cents: IndexedSeq[IndexedSeq[Long]], sigs: IndexedSeq[Long],
+      probeDist: Int): Column =
+    GraftSqlGlue.column(NearestCosineCentroidExpr(
+      GraftSqlGlue.expression(qv), GraftSqlGlue.expression(sig),
+      cents, sigs, probeDist))
 }

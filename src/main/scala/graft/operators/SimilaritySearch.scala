@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -105,50 +105,96 @@ object SimilaritySearch {
     * the plan shape.
     *
     * Scale shape: the centroid pick is a distributed top-k
-    * (TakeOrderedAndProject: per-partition heads, merged on the driver —
-    * no global sort, no count() pre-pass); centroids broadcast (tiny);
-    * corpus assignment is one map-side pass; the probe join is an
-    * equi-join on list id — queries touch nProbe/nLists of the corpus
-    * instead of all of it. */
+    * (TakeOrderedAndProject: per-partition heads, merged on the driver)
+    * collected once (nLists rows — a bounded metadata-scale pull, the
+    * k-means-init pattern). Corpus assignment is ONE codegen'd map pass —
+    * [[graft.functions.VectorExpressions.NearestCosineCentroidExpr]]
+    * carries the centroid vectors in the expression and emits the list
+    * id with NO corpus shuffle and no row explosion — the
+    * crossJoin(corpus × nLists) + max_by plan this replaces materialized
+    * N·nLists joined rows, evaluated each cosine as an INTERPRETED
+    * higher-order aggregate, and paid a corpus-wide aggregate exchange.
+    * The probe join is an equi-join on list id — queries touch
+    * nProbe/nLists of the corpus instead of all of it.
+    *
+    * `annProbeDist >= 0` additionally Hamming-prefilters the centroids
+    * by `annBits`-bit Rademacher signatures (exact cosines only against
+    * centroids within `annProbeDist` bits; full-argmax fallback when
+    * none qualify) — the sub-k·dim assignment for CLUSTERED corpora,
+    * where a vector's signature reliably lands near its centroid's
+    * (SimilaritySpec pins prefiltered recall on planted clusters).
+    * The default (-1) keeps exact argmax assignment: on unstructured
+    * embeddings signature proximity to uniformly-sampled centroids is
+    * noise, and a single flipped bit between near-duplicates can send
+    * them to different lists — the planted-retrieval oracle would decay.
+    * Queries always probe their `nProbe` exact-nearest lists PLUS the
+    * kernel-assigned list, so prefiltered assignment stays probe-
+    * consistent for near-duplicates of corpus rows. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nLists: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    // materialized once (localCheckpoint): referenced by BOTH assignment
-    // passes below — without the barrier each recomputes the corpus top-k
-    val cents = corpus
-      .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cent_q"))
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      annBits: Int = 32, annProbeDist: Int = -1,
+      annSeed: Int = 11): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // nLists rows pulled to the driver once: centroid vectors ride into
+    // the assignment expression (and back out as the tiny probe-side
+    // broadcast) instead of forcing a localCheckpoint barrier
+    val centRows: Array[(Long, Array[Long])] = corpus
+      .select(col(idCol).cast("long").as("cent_id"),
+        quantize(col(vecCol)).as("cent_q"))
       .orderBy(xxhash64(col("cent_id")), col("cent_id"))
       .limit(nLists)
-      .localCheckpoint(false)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1) // index order = cent_id order → index ties = id ties
+    require(centRows.nonEmpty, "ivfTopK: empty corpus")
+    val cents = centRows.map(_._2.toIndexedSeq).toIndexedSeq
+    // exact mode (annProbeDist < 0): zero signatures on both sides make
+    // every centroid a candidate AND skip the O(annBits·dim) per-row
+    // signature pass — at nLists=16 that pass would cost more than the
+    // assignment itself
+    val prefilter = annProbeDist >= 0
+    val centSigs =
+      if (prefilter) centRows.map(c => sigOf(c._2, annBits, annSeed))
+        .toIndexedSeq
+      else centRows.map(_ => 0L).toIndexedSeq
 
-    def scored(df: DataFrame, out: String): DataFrame = df
-      .select(col(idCol).as(out), quantize(col(vecCol)).as(s"q_$out"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cent_cos", cosineQ(col(s"q_$out"), col("cent_q")))
+    def assignList(qv: Column): Column =
+      graft.functions.VectorExpressions.nearest_cosine_centroid(
+        qv,
+        if (prefilter) graft.functions.VectorExpressions.rademacher_sig(
+          qv, annBits, annSeed)
+        else lit(0L),
+        cents, centSigs, if (prefilter) annProbeDist else annBits)
 
-    // corpus side keeps only its argmax list: a map-side-combining
-    // max_by aggregate, NOT a window — a window would shuffle
-    // corpus×nLists scored rows to rank them; the aggregate reduces to
-    // one row per doc before the (only) shuffle. Ordering mirrors the
-    // window's (cos desc, cent_id asc) via lexicographic (cos, -cent_id).
-    val corpusLists = scored(corpus, "neighbor_id")
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(
-        struct(col("cent_id"), col("q_neighbor_id")),
-        struct(col("cent_cos"), (-col("cent_id")).as("tb"))).as("best"))
-      .select(col("neighbor_id"), col("best.q_neighbor_id").as("q_neighbor_id"),
-        col("best.cent_id").as("list_id"))
+    // corpus side: one map-only pass, zero shuffles
+    val corpusLists = corpus
+      .select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("q_neighbor_id"))
+      .withColumn("list_id", assignList(col("q_neighbor_id")))
 
-    // query side probes its nProbe nearest lists (queries are small; the
-    // window shuffles only queries×nLists rows)
-    val queryProbes = {
+    // query side probes its nProbe exact-nearest lists (queries are
+    // small; the window shuffles only queries×nLists rows) plus its own
+    // kernel-assigned list (recall guard, see Scaladoc)
+    val centsDf = centRows.zipWithIndex
+      .map { case ((_, v), i) => (i, v.toSeq) }.toSeq
+      .toDF("list_id", "cent_q")
+    val q0 = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("q_query_id"))
+    val exactProbes = {
       val w = Window.partitionBy("query_id")
-        .orderBy(col("cent_cos").desc, col("cent_id"))
-      scored(queries, "query_id")
+        .orderBy(col("cent_cos").desc, col("list_id"))
+      q0.crossJoin(broadcast(centsDf))
+        .withColumn("cent_cos", cosineQ(col("q_query_id"), col("cent_q")))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= nProbe)
-        .select(col("query_id"), col("q_query_id"), col("cent_id").as("list_id"))
+        .select(col("query_id"), col("q_query_id"), col("list_id"))
     }
+    val annProbes = q0
+      .withColumn("list_id", assignList(col("q_query_id")))
+      .select(col("query_id"), col("q_query_id"), col("list_id"))
+    val queryProbes = exactProbes.unionByName(annProbes)
+      .dropDuplicates("query_id", "list_id")
 
     val cand = corpusLists.join(queryProbes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -159,6 +205,25 @@ object SimilaritySearch {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Driver-side integer-exact Rademacher signature of a quantized
+    * vector — bit-identical to [[graft.functions.VectorExpressions
+    * .RademacherSigExpr]] (same md5-parity sign rows). */
+  private def sigOf(v: Array[Long], nBits: Int, seed: Int): Long = {
+    var out = 0L
+    var j = 0
+    while (j < nBits) {
+      val row = graft.functions.VectorFunctions.RandomProjection.signs(j, seed)
+      require(v.length <= row.length,
+        s"ivfTopK: vector exceeds ${row.length} dims: ${v.length}")
+      var acc = 0L
+      var i = 0
+      while (i < v.length) { acc += v(i) * row(i); i += 1 }
+      if (acc >= 0L) out |= (1L << j)
+      j += 1
+    }
+    out
   }
 
   /** LSH-bucketed ANN: exact quantized cosine, but only over LSH candidate

@@ -72,6 +72,25 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"IVF mean recall@5 = $mean")
   }
 
+  test("IVF Hamming-prefiltered assignment keeps recall@5 >= 0.9 on " +
+      "clustered data (the sub-k*dim build path)") {
+    val queries = planted.filter($"vec_id" % 8 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(planted, queries, "vec_id",
+      "embedding", k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val approx = SimilaritySearch.ivfTopK(planted, queries, "vec_id",
+      "embedding", k = 5, nLists = 16, nProbe = 4,
+      annBits = 32, annProbeDist = 8).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"prefiltered IVF mean recall@5 = $mean")
+  }
+
   test("LSH candidate set is a small fraction of all pairs on clustered data") {
     val queries = planted.filter($"vec_id" % 8 === 0)
     val nPairs = SimilaritySearch.lshCandidates(planted, queries, "vec_id",
