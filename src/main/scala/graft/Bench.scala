@@ -119,6 +119,12 @@ object Bench {
     // session warm-up: JVM, codegen, parquet footer cache
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // absolute contention sentinel (start) — a fixed CPU-bound job with
+    // its expected idle time committed in the repo; uniform slowdowns
+    // the 2×-median flag cannot see show up as sentinel ratio > 1.5
+    val loadavgStart = graft.util.BenchSentinel.loadavg
+    val sentinelStart = graft.util.BenchSentinel.measure(spark, cpus.toInt)
+
     graft.util.Phase.enable()
     val queries = SparkEntry.queries
     val unstable = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
@@ -241,7 +247,24 @@ object Bench {
         }.mkString(",") + "}}"
     }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core30_sec":${fmt(coreSec)},"lifecycle_sec":${fmt(lifeSec)},"queries":$qs,"queries_median":$qsMed,"unstable":$unstableJson,"unstable_runs":$unstableRunsJson,"ledger":$ledgerJson,"cdc_read":$cdcJson,"scale10x":$scaleJson,"sf":"$sfDir"}""")
+    // sentinel (end): contention arriving mid-session is caught here
+    val loadavgEnd = graft.util.BenchSentinel.loadavg
+    val sentinelEnd = graft.util.BenchSentinel.measure(spark, cpus.toInt)
+    val sentExp = graft.util.BenchSentinel.expected
+    val sentRatio = math.max(sentinelStart, sentinelEnd) / sentExp
+    val contended = sentRatio > graft.util.BenchSentinel.ContendedRatio
+    if (contended) System.err.println(
+      f"[bench] CONTENDED: sentinel ${math.max(sentinelStart, sentinelEnd)}%.3f s" +
+        f" vs expected $sentExp%.3f s (ratio $sentRatio%.2f) — numbers in" +
+        " this artifact ran on a busy machine; re-run idle to adjudicate")
+    val sentinelJson = "{\"start_sec\":" + fmt(sentinelStart) +
+      ",\"end_sec\":" + fmt(sentinelEnd) +
+      ",\"expected_sec\":" + fmt(sentExp) +
+      ",\"ratio\":" + f"$sentRatio%.2f" +
+      ",\"loadavg_start\":\"" + loadavgStart +
+      "\",\"loadavg_end\":\"" + loadavgEnd + "\"}"
+
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,"sentinel":$sentinelJson,"core30_sec":${fmt(coreSec)},"lifecycle_sec":${fmt(lifeSec)},"queries":$qs,"queries_median":$qsMed,"unstable":$unstableJson,"unstable_runs":$unstableRunsJson,"ledger":$ledgerJson,"cdc_read":$cdcJson,"scale10x":$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

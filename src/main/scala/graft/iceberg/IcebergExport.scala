@@ -96,10 +96,19 @@ object IcebergExport {
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  /** The Iceberg schema JSON (struct with field ids 1..n). */
+  /** A schema field's Iceberg id: the graft field id when the table was
+    * born with them (it MUST be used then — the parquet footers carry
+    * these ids, and id-aware external readers match file columns against
+    * the metadata ids; an ordinal would diverge after any drop/rename),
+    * ordinal + 1 for legacy name-mapped tables (whose files carry no
+    * ids, so external readers fall back to names). */
+  private def fieldId(schema: StructType, i: Int): Long =
+    graft.table.FieldIds.idOf(schema.fields(i)).getOrElse(i + 1L)
+
+  /** The Iceberg schema JSON (struct with the table's field ids). */
   private def schemaJson(schema: StructType): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id": ${i + 1}, "name": ${jsonStr(f.name)}, "required": false, "type": ${jsonStr(icebergType(f.dataType))}}"""
+      s"""{"id": ${fieldId(schema, i)}, "name": ${jsonStr(f.name)}, "required": false, "type": ${jsonStr(icebergType(f.dataType))}}"""
     }
     s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}"""
   }
@@ -388,7 +397,7 @@ object IcebergExport {
             boundBytes(glue.castFromString(s, f.dataType), f.dataType)
           }.map { bs =>
             val r = new GenericData.Record(itemSchema)
-            r.put("key", i + 1)
+            r.put("key", fieldId(schema, i).toInt)
             r.put("value", java.nio.ByteBuffer.wrap(bs))
             r: GenericRecord
           }
@@ -403,7 +412,7 @@ object IcebergExport {
       e
     }
     val specFieldsJson = specFields.zipWithIndex.map { case (f, i) =>
-      s"""{"name": ${jsonStr(f.physName)}, "transform": "${icebergTransform(f.transform).get}", "source-id": ${schema.fieldIndex(f.source) + 1}, "field-id": ${1000 + i}}"""
+      s"""{"name": ${jsonStr(f.physName)}, "transform": "${icebergTransform(f.transform).get}", "source-id": ${fieldId(schema, schema.fieldIndex(f.source))}, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
     val manifestName = s"${UUID.randomUUID()}-m0.avro"
     val manifestLocal = new File(localPath(fs, metaDir), manifestName)
@@ -449,7 +458,7 @@ object IcebergExport {
           df.put("record_count", nRows)
           df.put("file_size_in_bytes", d.bytes.getOrElse(fileLen(p)))
           df.put("equality_ids", cols.map(c =>
-            Int.box(schema.fieldIndex(c) + 1)).asJava)
+            Int.box(fieldId(schema, schema.fieldIndex(c)).toInt)).asJava)
           e.put("data_file", df)
           e
         }
@@ -520,7 +529,7 @@ object IcebergExport {
          |  "location": ${jsonStr(tableUri)},
          |  "last-sequence-number": $lastSeq,
          |  "last-updated-ms": $now,
-         |  "last-column-id": ${schema.fields.length},
+         |  "last-column-id": ${schema.fields.indices.map(fieldId(schema, _)).max},
          |  "current-schema-id": 0,
          |  "schemas": [$sJson],
          |  "default-spec-id": 0,

@@ -14,8 +14,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   *   - DROP COLUMN[S] → [[GraftDropColumnsCommand]], a zero-file
   *     "evolve" commit (files keep the bytes; reads project them away);
-  *   - RENAME COLUMN → refused loudly: graft maps columns by NAME, so a
-  *     rename would silently null the column in every existing file.
+  *   - RENAME COLUMN → [[GraftRenameColumnCommand]], a zero-file
+  *     "evolve" commit on tables born with field ids (reads resolve
+  *     files by parquet field id, so old files keep their column);
+  *     legacy name-mapped tables still refuse loudly inside
+  *     [[graft.table.GraftTable.renameColumn]].
   */
 class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -53,11 +56,15 @@ class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftDropColumnsCommand(loc, names, ifExists, Some(ident))
     }
 
-    case r: RenameColumn if graftIdent(r.table).isDefined =>
-      throw new UnsupportedOperationException(
-        "RENAME COLUMN is not supported on graft tables: the format maps " +
-          "columns by name, so a rename would silently null the column " +
-          "in existing files — ADD a new column and backfill instead")
+    case r: RenameColumn => graftIdent(r.table) match {
+      case None => r
+      case Some((ident, loc)) =>
+        if (r.column.name.size != 1) throw new UnsupportedOperationException(
+          s"RENAME nested field ${r.column.name.mkString(".")} is not " +
+            "supported on graft tables")
+        GraftRenameColumnCommand(loc, r.column.name.head, r.newName,
+          Some(ident))
+    }
 
     // ALTER COLUMN c TYPE <wider> → widenColumn (type promotion); any
     // other ALTER COLUMN shape (nullability, comment, position,

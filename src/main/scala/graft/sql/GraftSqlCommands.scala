@@ -139,6 +139,20 @@ case class GraftDropColumnsCommand(location: String, names: Seq[String],
   }
 }
 
+/** SQL `ALTER TABLE <graft table> RENAME COLUMN old TO new` — a
+  * zero-file evolve commit via [[GraftTable.renameColumn]]; legal only
+  * on tables born with field ids (reads resolve files by parquet field
+  * id, so files written under the old name keep their column). */
+case class GraftRenameColumnCommand(location: String, oldName: String,
+    newName: String,
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable(spark, location).renameColumn(oldName, newName)
+    refreshIdent.foreach(CatalogSync.schema(spark, _, location))
+    Seq.empty
+  }
+}
+
 /** SQL `ALTER TABLE <graft table> ALTER COLUMN c TYPE <wider>` —
   * Iceberg type promotion via [[GraftTable.widenColumn]] (zero-file
   * evolve commit; Spark's parquet reader upcasts old files natively). */

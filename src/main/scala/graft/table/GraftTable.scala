@@ -491,7 +491,10 @@ class GraftTable(spark: SparkSession, val location: String) {
       "mixing identity and transform partition fields is not supported — " +
         "wrap identity columns in truncate/bucket or keep the spec uniform")
     fs.mkdirs(metaPath)
-    commit("create", Seq.empty, Seq.empty, _ => schema.json, parts,
+    // stable field ids from birth: writes stamp them into parquet
+    // footers, reads resolve by id, RENAME becomes a metadata commit
+    val withIds = FieldIds.assign(schema)
+    commit("create", Seq.empty, Seq.empty, _ => withIds.json, parts,
       props = if (properties.isEmpty) None else Some(properties))
     this
   }
@@ -528,9 +531,24 @@ class GraftTable(spark: SparkSession, val location: String) {
             "file data — use a new name (graft is name-mapped, not " +
             "field-id-mapped)")
       }
-      StructType(cur.fields ++ cols).json
+      extendWithIds(cur, cols).json
     }, partitionCols)
   }
+
+  /** Append `extra` to `cur` with fresh field ids above anything the
+    * log EVER used — a dropped column's id is never reused (its bytes
+    * live on in old files; reuse would resurrect them under the new
+    * column via id-resolution). Legacy un-id'd schemas extend plain. */
+  private def extendWithIds(cur: StructType,
+      extra: Seq[StructField]): StructType =
+    if (!FieldIds.hasIds(cur) || extra.isEmpty)
+      StructType(cur.fields ++ extra)
+    else {
+      val used = math.max(FieldIds.maxId(Seq(cur)),
+        FieldIds.maxId(snapshots.map(s =>
+          DataType.fromJson(s.schemaJson).asInstanceOf[StructType])))
+      StructType(cur.fields ++ FieldIds.extend(extra, used))
+    }
 
   /** Drop columns via a zero-file "evolve" commit. Data files keep the
     * bytes; the column leaves the schema, so reads project it away and
@@ -559,6 +577,65 @@ class GraftTable(spark: SparkSession, val location: String) {
       require(keep.nonEmpty, "cannot drop every column")
       StructType(keep).json
     }, partitionCols)
+  }
+
+  /** RENAME COLUMN via a zero-file "evolve" commit — legal only on
+    * tables born with field ids ([[FieldIds]]): every file's columns
+    * resolve by parquet field id at read ([[readFiles]] flips
+    * `spark.sql.parquet.fieldId.read.enabled` for id-carrying schemas),
+    * so files written under the old name keep their column — no silent
+    * null-fill, no rewrite; stats/Bloom pruning follows through the
+    * id-based key remap in [[statsFor]], and time travel sees the old
+    * name under historical schemas (same field id underneath). Refused
+    * for legacy name-mapped tables (retrofitting ids to existing files
+    * would need a rewrite to be safe), for partition source columns
+    * (partition metadata keys by name), and while live MOR tombstones
+    * key on the column. A bloom-columns table property naming the
+    * column is remapped in the same commit. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(exists, s"no such table: $location")
+    val cur = schema
+    require(cur.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"no such column: $oldName")
+    require(FieldIds.hasIds(cur),
+      s"RENAME COLUMN requires a table created with field ids — " +
+        s"$location is name-mapped, so a rename would silently null the " +
+        "column in existing files; ADD a new column and backfill instead")
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column already exists: $newName")
+    val historical = snapshots.flatMap(s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType].fieldNames)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    require(!historical.contains(newName.toLowerCase(java.util.Locale.ROOT)),
+      s"column $newName existed in an earlier schema of $location — " +
+        "renaming onto a historical name invites ambiguity in stats and " +
+        "tooling; use a fresh name")
+    require(!partitionFields.exists(_.source.equalsIgnoreCase(oldName)),
+      s"cannot rename partition source column $oldName")
+    // d.cols = None (legacy tombstone, keys unknown) must also refuse
+    require(!liveDeletes().exists(_.cols.forall(_.exists(
+      _.equalsIgnoreCase(oldName)))),
+      s"cannot rename $oldName while live merge-on-read tombstones may " +
+        "key on it — compact() to fold them first")
+    val newProps = properties.get("graft.bloom.columns")
+      .filter(_.split(",").map(_.trim).exists(_.equalsIgnoreCase(oldName)))
+      .map { v =>
+        properties.updated("graft.bloom.columns",
+          v.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(c => if (c.equalsIgnoreCase(oldName)) newName else c)
+            .mkString(","))
+      }
+    commit("evolve", Seq.empty, Seq.empty, parent => {
+      val p = DataType.fromJson(parent.get.schemaJson)
+        .asInstanceOf[StructType]
+      require(p.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+        s"column $oldName was dropped concurrently")
+      require(!p.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"column $newName was added concurrently")
+      StructType(p.fields.map(f =>
+        if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName)
+        else f)).json
+    }, partitionCols, props = newProps)
   }
 
   /** Widen a column's type in place (Iceberg type promotion) via a
@@ -886,14 +963,37 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   /** Stats for `files`, resolved across the whole snapshot chain (stats
     * travel with the snapshot that ADDED a file; rollback re-adds files
-    * without recomputing them). Missing entries mean "no info". */
+    * without recomputing them). Missing entries mean "no info".
+    *
+    * Keys are remapped to the `asOf` schema's names through field ids:
+    * stats are recorded under the column names current WHEN THE FILE WAS
+    * WRITTEN, so after a RENAME the pruning sites (which look up by
+    * today's name) would otherwise miss them — losing, not corrupting,
+    * pruning. The remap is built per adding-snapshot and is empty (zero
+    * cost) for never-renamed tables. A stat whose write-time name maps
+    * to no current id keeps its key: conservative, never mis-prunes. */
   def statsFor(files: Seq[String], asOf: Option[Long] = None)
       : Map[String, Map[String, ColStat]] = {
     val want = files.toSet
     val out = scala.collection.mutable.Map.empty[String, Map[String, ColStat]]
+    val curById = FieldIds.byId(schemaAt(asOf))
+    val renameCache =
+      scala.collection.mutable.Map.empty[Long, Map[String, String]]
+    def renamesOf(s: Snapshot): Map[String, String] =
+      renameCache.getOrElseUpdate(s.snapshotId, {
+        if (curById.isEmpty) Map.empty
+        else DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+          .fields.flatMap(f => FieldIds.idOf(f).flatMap(curById.get)
+            .filter(_ != f.name).map(f.name -> _)).toMap
+      })
     replayChain(asOf).foreach(s => entriesOf(s).foreach { e =>
       if (e.status == "add" && want.contains(e.path))
-        e.stats.filter(_.nonEmpty).foreach(out(e.path) = _)
+        e.stats.filter(_.nonEmpty).foreach { st =>
+          val rn = renamesOf(s)
+          out(e.path) =
+            if (rn.isEmpty) st
+            else st.map { case (k, v) => rn.getOrElse(k, k) -> v }
+        }
     })
     out.toMap
   }
@@ -912,9 +1012,14 @@ class GraftTable(spark: SparkSession, val location: String) {
     require(fillMissing || hardMissing.isEmpty,
       s"source is missing non-nullable columns: " +
         hardMissing.map(_.name).mkString(","))
+    // .as(name, metadata): the table schema's field-id metadata rides on
+    // the write frame, so the parquet writer stamps parquet.field.id
+    // into every footer (spark.sql.parquet.fieldId.write.enabled, on by
+    // default) — what makes RENAME a pure metadata operation later
     df.select(schema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (df.columns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name, f.metadata)
+      else lit(null).cast(f.dataType).as(f.name, f.metadata)
     }.toIndexedSeq: _*)
   }
 
@@ -960,7 +1065,9 @@ class GraftTable(spark: SparkSession, val location: String) {
         val newCols = df.schema.fields
           .filterNot(f => cur.fieldNames.contains(f.name))
           .map(_.copy(nullable = true))
-        StructType(cur.fields ++ newCols)
+        // ids assigned BEFORE staging so the new columns' parquet
+        // footers carry them from their first file
+        extendWithIds(cur, newCols)
       }
     val aligned0 = align(df, targetSchema, fillMissing = mergeSchema)
     val aligned =
@@ -983,6 +1090,17 @@ class GraftTable(spark: SparkSession, val location: String) {
         val extra = targetSchema.fields
           .filterNot(f => cur.fieldNames.contains(f.name))
           .map(_.copy(nullable = true))
+        // the staged files already carry these field ids in their
+        // footers; a concurrent evolve claiming one of them for a
+        // DIFFERENT column would make id-resolution read the wrong
+        // bytes — fail loud, the append can be retried cleanly
+        extra.flatMap(f => FieldIds.idOf(f).map(f.name -> _)).foreach {
+          case (n, id) =>
+            val clash = FieldIds.byId(cur).get(id).filterNot(_ == n)
+            require(clash.isEmpty, s"field id $id staged for new column " +
+              s"$n was claimed concurrently by column ${clash.orNull} — " +
+              "retry the append")
+        }
         StructType(cur.fields ++ extra).json
       case None => targetSchema.json
     }, partitionCols, stats = sr._1, rows = sr._2, txn = txn,
@@ -1103,6 +1221,14 @@ class GraftTable(spark: SparkSession, val location: String) {
   private def readFiles(files: Seq[String],
       asOf: Option[Long] = None): DataFrame = {
     val sch = schemaAt(asOf)
+    // id-based column resolution (SPARK-38094): active only when the
+    // requested schema carries parquet.field.id metadata — i.e. tables
+    // created with field ids — so files written under a pre-rename name
+    // still resolve their columns; name-mapped legacy tables and plain
+    // parquet reads in the same session are untouched (their schemas
+    // carry no ids, and the conf is inert without them)
+    if (FieldIds.hasIds(sch))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
     } else if (hasHiddenPartitions || partitionFields.isEmpty) {
@@ -1345,11 +1471,22 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   /** Conform `df` to a changelog end-schema: end-schema columns only, in
     * order, null-filling columns the frame predates and casting evolved
-    * types — so one changelog frame spans evolve commits. */
-  private def conformTo(endSch: StructType)(df: DataFrame): DataFrame =
-    df.select(endSch.fields.map(f =>
-      (if (df.columns.contains(f.name)) df(f.name)
-       else lit(null)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    * types — so one changelog frame spans evolve commits. Columns are
+    * matched by FIELD ID first (a renamed column is the same column
+    * under an older name — name matching would null it), by name for
+    * legacy un-id'd schemas. */
+  private def conformTo(endSch: StructType)(df: DataFrame): DataFrame = {
+    val srcById = df.schema.fields.flatMap(f =>
+      FieldIds.idOf(f).map(_ -> f.name)).toMap
+    df.select(endSch.fields.map { f =>
+      val src = FieldIds.idOf(f).flatMap(srcById.get)
+        .orElse(Some(f.name).filter(df.columns.contains))
+      (src match {
+        case Some(c) => df(c)
+        case None => lit(null)
+      }).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
 
   /** Write-time CDC materialization (the Delta change-data-feed shape),
     * opt-in via table property `graft.cdc.materialize=true`: after a

@@ -289,11 +289,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql("ALTER TABLE ext_drop ADD COLUMNS (n INT)"))
     assert(e.getMessage.contains("resurrect"))
-    // RENAME COLUMN is refused loudly (would silently null old files)
-    val r = intercept[UnsupportedOperationException](
-      spark.sql("ALTER TABLE ext_drop RENAME COLUMN v TO w"))
-    assert(r.getMessage.contains("RENAME COLUMN"))
     cat.drop("ext_drop")
+  }
+
+  test("ALTER TABLE RENAME COLUMN: pure metadata, old files keep their " +
+      "data via field ids, time travel shows the old name") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-ren").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_ren",
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "n"))
+    val t = cat.table("ext_ren")
+    val preRename = t.latestSnapshotId.get
+
+    spark.sql("ALTER TABLE ext_ren RENAME COLUMN v TO label")
+    assert(t.latestSnapshot.get.operation === "evolve")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "label", "n"))
+    // pre-rename file data intact under the new name — id resolution,
+    // not name matching (name matching would null-fill here)
+    assert(spark.sql("SELECT label FROM ext_ren ORDER BY id")
+      .as[String].collect() === Array("a", "b"))
+    // writes under the new name mix with old files transparently
+    spark.sql("INSERT INTO ext_ren VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT label FROM ext_ren ORDER BY id")
+      .as[String].collect() === Array("a", "b", "c"))
+    // time travel across the rename keeps the historical name + data
+    val tt = spark.sql(
+      s"SELECT * FROM ext_ren VERSION AS OF $preRename ORDER BY id")
+    assert(tt.columns.toSeq === Seq("id", "v", "n"))
+    assert(tt.select("v").as[String].collect() === Array("a", "b"))
+    cat.drop("ext_ren")
   }
 
   test("ALTER COLUMN TYPE widens integers; unsafe widenings refused") {
