@@ -264,7 +264,9 @@ object Bench {
       ",\"loadavg_start\":\"" + loadavgStart +
       "\",\"loadavg_end\":\"" + loadavgEnd + "\"}"
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,"sentinel":$sentinelJson,"core30_sec":${fmt(coreSec)},"lifecycle_sec":${fmt(lifeSec)},"queries":$qs,"queries_median":$qsMed,"unstable":$unstableJson,"unstable_runs":$unstableRunsJson,"ledger":$ledgerJson,"cdc_read":$cdcJson,"scale10x":$scaleJson,"sf":"$sfDir"}""")
+    // sentinel/contended go LAST: the driver's artifact capture keeps the
+    // tail of this line, and the contamination flag must survive capture
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core30_sec":${fmt(coreSec)},"lifecycle_sec":${fmt(lifeSec)},"queries":$qs,"queries_median":$qsMed,"unstable":$unstableJson,"unstable_runs":$unstableRunsJson,"ledger":$ledgerJson,"cdc_read":$cdcJson,"scale10x":$scaleJson,"sf":"$sfDir","contended":$contended,"sentinel":$sentinelJson}""")
     spark.stop()
   }
 }

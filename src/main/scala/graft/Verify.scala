@@ -24,13 +24,26 @@ object Verify {
     // dev-only subset filter (SPARK_GRAFT_ONLY=q_a,q_b); driver sets nothing
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // fail LOUD: a broken query must shrink nothing — write a
+        // tombstone row whose schema can never match any oracle, so the
+        // driver's compare records a red entry instead of an absence
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = String.valueOf(e.getMessage)
+        try {
+          import spark.implicits._
+          Seq(("ERROR: " + String.valueOf(e.getMessage).take(4000)))
+            .toDF("__graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case t: Throwable =>
+          System.err.println(s"[verify] $name tombstone write failed: ${t.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +61,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable error ledger next to the dumps (driver may ignore
+    // it, but the tombstone parquet above already forces a red compare)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -1,24 +1,41 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 import graft.Tables
 
-/** Event-stream (batch view) queries over the events table. The parquet ts
-  * column is TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we
-  * read it as raw nanos via the nanosAsLong legacy conf and convert with
-  * exact integer division — DuckDB mirrors via epoch_ns()//1000. Streaming
-  * semantics (watermarks, windows, stateful sessionization) over the same
-  * table live in graft.streaming and are pinned by StreamingSpec.
+/** Event-stream (batch view) queries over the events table. The fixture's
+  * parquet ts column has shipped as TIMESTAMP(NANOS) (readable only as raw
+  * int64 nanos via the nanosAsLong legacy conf) and as plain micros
+  * TIMESTAMP / TIMESTAMP_NTZ, so the loader normalizes whatever dtype it
+  * finds into one `ts_us` long column (microseconds since epoch) that all
+  * queries key on — DuckDB mirrors via epoch_ns(ts)//1000, which accepts
+  * both encodings. Streaming semantics (watermarks, windows, stateful
+  * sessionization) over the same table live in graft.streaming and are
+  * pinned by StreamingSpec.
   */
 object EventsQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Normalize the ts column to epoch-microseconds, whatever dtype the
+    * fixture shipped: raw int64 nanos → exact integer division; (NTZ)
+    * timestamps → unix_micros under the UTC session timezone. Fails loud
+    * on anything else rather than silently mis-bucketing time. */
+  private[queries] def tsMicros(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampType => unix_micros(col("ts"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported dtype $other; expected int64 nanos or a timestamp type")
+    }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.load(s, dir, "events")
+    val df = Tables.load(s, dir, "events")
+    df.withColumn("ts_us", tsMicros(df))
   }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
@@ -27,7 +44,7 @@ object EventsQueries {
   val qEventsDaily: Q = (s, dir) => {
     events(s, dir)
       .withColumn("day",
-        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("total_value"))
@@ -78,7 +95,6 @@ object EventsQueries {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts_us")
     events(s, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
@@ -113,10 +129,10 @@ object EventsQueries {
       java.util.UUID.randomUUID().toString.replace("-", "")
     // the file stream source requires a directory: stream the sf dir with
     // a glob pinning it to the events table only
-    val stream = s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val stream = raw.withColumn("ets", timestamp_micros(tsMicros(raw)))
     val agg = stream
       .groupBy(window(col("ets"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -145,7 +161,7 @@ object EventsQueries {
     // order at microsecond precision to match what DuckDB can see (it
     // truncates nanos at read time)
     val byUser = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
     events(s, dir)
       .withColumn("moving_sum",
         sum(dec(col("value"))).over(byUser.rowsBetween(-2, 0))
@@ -175,11 +191,11 @@ object EventsQueries {
     // READ time, so nano-exact values can never agree — floor to micros on
     // both sides (exact integer division)
     val byUser = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     events(s, dir)
       .withColumn("last_signup_us",
-        max(when(col("event_type") === "signup", expr("ts div 1000")))
+        max(when(col("event_type") === "signup", col("ts_us")))
           .over(byUser))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("last_signup_us"))

@@ -1065,9 +1065,29 @@ class GraftTable(spark: SparkSession, val location: String) {
         val newCols = df.schema.fields
           .filterNot(f => cur.fieldNames.contains(f.name))
           .map(_.copy(nullable = true))
-        // ids assigned BEFORE staging so the new columns' parquet
-        // footers carry them from their first file
-        extendWithIds(cur, newCols)
+        if (newCols.isEmpty) cur
+        else {
+          // RESERVE the new columns' field ids via a metadata-only evolve
+          // commit BEFORE staging any file: the single-winner snapshot
+          // publish serializes allocation, so two concurrent mergeSchema
+          // appends can never stage different columns under the same id
+          // (ids are in the staged parquet footers — a post-hoc clash
+          // would make id-resolution read the wrong bytes). schemaFor
+          // re-merges against the fresh tip on every publish retry, so
+          // the loser re-derives its ids above the winner's. If the data
+          // write later fails, the columns stay — nullable and empty,
+          // exactly as ADD COLUMNS followed by a failed append.
+          commit("evolve", Seq.empty, Seq.empty, {
+            case Some(p) =>
+              val tip =
+                DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+              val missing = newCols
+                .filterNot(f => tip.fieldNames.contains(f.name))
+              extendWithIds(tip, missing).json
+            case None => extendWithIds(cur, newCols).json
+          }, partitionCols)
+          schema // the tip now carries every new column with its id
+        }
       }
     val aligned0 = align(df, targetSchema, fillMissing = mergeSchema)
     val aligned =
