@@ -18,6 +18,18 @@ object NativeOps {
   def rollingHash64(bytes: Array[Byte]): Long =
     HashExpressions.RollingHash64.hash(bytes)
 
+  def icebergBucketLong(v: Long, n: Int): Int =
+    IcebergBucketHash.bucketLong(v, n)
+
+  def icebergBucketUtf8(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): Int = IcebergBucketHash.bucketUtf8(s, n)
+
+  def icebergBucketBytes(b: Array[Byte], n: Int): Int =
+    IcebergBucketHash.bucketBytes(b, n)
+
+  def icebergBucketDecimal(d: org.apache.spark.sql.types.Decimal,
+      n: Int): Int = IcebergBucketHash.bucketDecimal(d, n)
+
   def simhash64(tokens: ArrayData): Long =
     HashExpressions.SimHash64.ofTokens(tokens)
 

@@ -41,13 +41,13 @@ import graft.table.GraftTable
   * real identity partition spec with per-file partition tuples in the
   * manifest (their column bytes live in the dir layout, not the data
   * files — readers reconstruct them from the tuples, as Iceberg
-  * prescribes). day/month/truncate hidden transforms export as REAL
-  * Iceberg transform specs with per-file partition tuples (day = epoch
-  * days, month = months since 1970-01, truncate = the floored value),
-  * so external planners prune directories exactly as the reference's
-  * consumers do on its partitioned silver table. bucket() layouts export
-  * UNPARTITIONED: graft buckets with xxhash64, not Iceberg's murmur3 —
-  * a bucket[n] spec would prune files that contain matches. Per-file
+  * prescribes). day/month/truncate/bucket hidden transforms export as
+  * REAL Iceberg transform specs with per-file partition tuples (day =
+  * epoch days, month = months since 1970-01, truncate = the floored
+  * value, bucket = the ordinal — graft buckets with the Appendix-B
+  * murmur3 hash, so an external engine recomputing `bucket[n]` over a
+  * predicate literal prunes truthfully), so external planners prune
+  * directories exactly as the reference's consumers do. Per-file
   * column `lower_bounds`/`upper_bounds` (field ids 125/128, Appendix-D
   * single-value binary) are emitted from the snapshot log's footer
   * stats, so stats pruning works in external engines.
@@ -235,23 +235,25 @@ object IcebergExport {
   }
 
   /** Iceberg transform name for an exportable hidden-partition field.
-    * graft's bucket() hashes with xxhash64, NOT Iceberg's murmur3 bucket
-    * — exporting it as `bucket[n]` would make external engines prune
-    * files that DO contain matches, so bucket fields are refused here and
-    * the caller exports the layout unpartitioned (honest: correct
-    * results, no dir pruning). */
+    * bucket() is exportable since graft switched its bucket hash to the
+    * Iceberg Appendix-B function ([[graft.functions.IcebergBucketHash]]:
+    * murmur3_x86_32 of the spec's byte encoding, & MaxInt, % n) — an
+    * external engine recomputing `bucket[n]` over a predicate literal
+    * lands on exactly the dir value graft wrote, so bucket pruning is
+    * truthful end to end. */
   private def icebergTransform(t: graft.table.PartTransform): Option[String] =
     t match {
       case graft.table.PartTransform.Identity => Some("identity")
       case graft.table.PartTransform.Days => Some("day")
       case graft.table.PartTransform.Months => Some("month")
       case graft.table.PartTransform.Truncate(w) => Some(s"truncate[$w]")
-      case graft.table.PartTransform.Bucket(_) => None
+      case graft.table.PartTransform.Bucket(n) => Some(s"bucket[$n]")
     }
 
   /** An exported transform field's Iceberg partition VALUE from its
     * directory string: day → epoch days (int), month → months from
-    * 1970-01 (int), truncate → the truncated source value. */
+    * 1970-01 (int), bucket → the bucket ordinal (int), truncate → the
+    * truncated source value. */
   private def transformValue(t: graft.table.PartTransform, dir: String,
       srcType: DataType): Any = t match {
     case graft.table.PartTransform.Days =>
@@ -259,9 +261,9 @@ object IcebergExport {
     case graft.table.PartTransform.Months =>
       val Array(y, m) = dir.split("-").map(_.toInt)
       (y - 1970) * 12 + (m - 1)
+    case graft.table.PartTransform.Bucket(_) => dir.toInt
     case graft.table.PartTransform.Truncate(_) => partitionValue(dir, srcType)
     case graft.table.PartTransform.Identity => partitionValue(dir, srcType)
-    case other => throw new IllegalArgumentException(other.toString)
   }
 
   /** Parse a partition-dir value string back to the typed Avro value. */
@@ -309,10 +311,11 @@ object IcebergExport {
 
     // Partition spec: identity columns (their bytes live in the DIR
     // layout, so tuples are REQUIRED to reconstruct them) and the
-    // faithfully-representable hidden transforms (day/month/truncate —
-    // source columns stay in the data files, tuples restore dir pruning
-    // for external planners). bucket() is xxhash64-based, not Iceberg
-    // murmur3, so a bucket layout exports unpartitioned rather than lie.
+    // hidden transforms, all faithfully representable (day/month/
+    // truncate/bucket — source columns stay in the data files, tuples
+    // restore dir pruning for external planners; bucket hashes with the
+    // Iceberg Appendix-B murmur3 function, so the exported spec is
+    // truthful).
     val exportableSpec: Seq[graft.table.PartitionField] =
       if (table.partitionFields.forall(f =>
         icebergTransform(f.transform).isDefined)) table.partitionFields
@@ -334,7 +337,8 @@ object IcebergExport {
       val srcType = schema(f.source).dataType
       f.physName -> (f.transform match {
         case graft.table.PartTransform.Days |
-             graft.table.PartTransform.Months => "int"
+             graft.table.PartTransform.Months |
+             graft.table.PartTransform.Bucket(_) => "int"
         case _ => partitionAvroType(srcType)
       })
     }

@@ -13,7 +13,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   days(ts)          → dir column `ts_day` = UTC date of ts
   *   months(ts)        → dir column `ts_month` = "yyyy-MM" of ts (UTC)
-  *   bucket(16, id)    → dir column `id_bucket` = pmod(xxhash64(id), 16)
+  *   bucket(16, id)    → dir column `id_bucket16m` = Iceberg Appendix-B
+  *                       bucket: (murmur3_x86_32(id) & MaxInt) % 16
   *   truncate(4, name) → dir column `name_trunc` = prefix/floor of width 4
   *
   * Choose granularity so the partition COUNT stays bounded: days() over a
@@ -43,16 +44,20 @@ object PartTransform {
 case class PartitionField(source: String, transform: PartTransform) {
   import PartTransform._
   /** Directory column name. Parameterized transforms embed the parameter
-    * (`c_bucket8`, not `c_bucket`): under partition spec evolution a
+    * (`c_bucket8m`, not `c_bucket`): under partition spec evolution a
     * re-parameterized transform (bucket(8)→bucket(16)) must NOT read old
     * dirs as its own — hash%16 compared against a hash%8 dir value would
     * prune files that DO contain matches. Distinct names make old dirs
-    * invisible to the new spec's pruning (conservatively kept). */
+    * invisible to the new spec's pruning (conservatively kept). The `m`
+    * suffix versions the HASH FUNCTION the same way: buckets switched
+    * from xxhash64 to Iceberg murmur3 (so bucket layouts export a
+    * truthful `bucket[n]` spec), and any dir written under the old hash
+    * must likewise be invisible to the new pruning. */
   def physName: String = transform match {
     case Identity => source
     case Days => s"${source}_day"
     case Months => s"${source}_month"
-    case Bucket(n) => s"${source}_bucket$n"
+    case Bucket(n) => s"${source}_bucket${n}m"
     case Truncate(w) => s"${source}_trunc$w"
   }
   def isIdentity: Boolean = transform == Identity
@@ -105,7 +110,8 @@ object PartitionTransforms {
           .Cast(GraftSqlGlue.expression(src), DateType, Some("UTC")))
         concat(lpad(year(d).cast("string"), 4, "0"), lit("-"),
           lpad(month(d).cast("string"), 2, "0"))
-      case Bucket(n) => pmod(xxhash64(src), lit(n.toLong)).cast("int")
+      case Bucket(n) => GraftSqlGlue.column(
+        graft.functions.IcebergBucketExpr(GraftSqlGlue.expression(src), n))
       case Truncate(w) => srcType match {
         case StringType => substring(src, 1, w)
         case LongType | IntegerType | ShortType | ByteType =>
@@ -138,7 +144,7 @@ object PartitionTransforms {
         val ld = java.time.LocalDate.ofEpochDay(days)
         UTF8String.fromString(f"${ld.getYear}%04d-${ld.getMonthValue}%02d")
       case Bucket(n) =>
-        Math.floorMod(GraftSqlGlue.xxhash64Of(v, srcType), n.toLong).toInt
+        graft.functions.IcebergBucketHash.bucketValue(v, srcType, n)
       case Truncate(w) => srcType match {
         case StringType => v.asInstanceOf[UTF8String].substringSQL(1, w)
         case LongType =>

@@ -211,6 +211,46 @@ class IcebergExportSpec extends SparkSpec {
       t.read().orderBy("id").select("id", "v", "d").collect())
   }
 
+  test("bucket transform exports a truthful bucket[n] spec the external " +
+      "planner prunes by") {
+    val t = GraftTable(spark, tmpDir("ice-bucket") + "/t")
+    t.append((1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"),
+      parts = Seq("bucket(8, id)"))
+    IcebergExport.export(spark, t)
+    val path = new java.net.URI("file://" + t.location).getPath
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val plan = JsonMethods.parse(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path, "--plan").!!)
+    // the spec is a REAL bucket[8] on the source column — no more
+    // unpartitioned fallback
+    val specs = (plan \ "spec").children.map(f =>
+      ((f \ "name").extract[String], (f \ "transform").extract[String]))
+    assert(specs === List(("id_bucket8m", "bucket[8]")))
+    val files = (plan \ "files").children.map(f =>
+      ((f \ "path").extract[String],
+        (f \ "partition" \ "id_bucket8m").extract[Int]))
+    assert(files.map(_._2).toSet.size > 1, "expected multiple buckets")
+    // external-planner pruning: recompute the Appendix-B bucket for a
+    // probe key and scan ONLY the matching files — the key must be
+    // there, and nowhere else (the truthfulness the old xxhash layout
+    // could not offer)
+    Seq(7L, 137L, 400L).foreach { probe =>
+      val b = graft.functions.IcebergBucketHash.bucketLong(probe, 8)
+      val (selected, rest) = files.partition(_._2 == b)
+      assert(selected.nonEmpty && rest.nonEmpty)
+      assert(spark.read.parquet(selected.map(_._1): _*)
+        .filter($"id" === probe).count() === 1L)
+      assert(spark.read.parquet(rest.map(_._1): _*)
+        .filter($"id" === probe).count() === 0L)
+    }
+    // and the DuckDB hand-walk reads the whole table back identically
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n, SUM(id) AS s FROM t").!!
+    assert(out.trim.split("\n").last === "400,80200")
+  }
+
   test("external engine (DuckDB hand-walk) reads the export identically") {
     val t = mkTable("ice-duck", 500L)
     IcebergExport.export(spark, t)

@@ -92,7 +92,7 @@ class PartitionTransformSpec extends SparkSpec {
     val t = freshTable("pt-bucket")
     t.append((1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"),
       parts = Seq("bucket(8, id)"))
-    val buckets = t.liveFiles().map(t.partitionValues(_)("id_bucket8")).distinct
+    val buckets = t.liveFiles().map(t.partitionValues(_)("id_bucket8m")).distinct
     assert(buckets.size > 1, "expected multiple bucket dirs")
     val all = spark.read.format("graft").load(t.location)
     val one = all.filter($"id" === 137L)
