@@ -186,6 +186,71 @@ object HashExpressions {
     }
   }
 
+  /** Per-document DISTINCT w-token span hashes: slides a w-token window
+    * over the token array, hashes each space-joined span to the first 8
+    * bytes of its MD5 (big-endian long — the same key space as
+    * substr(md5(span),1,16), so cross-engine collision semantics are
+    * identical to the SQL-oracle mirror), and returns the doc's distinct
+    * hash set as array<long>. Docs shorter than w tokens → empty array.
+    *
+    * Why native: this moves the span-dedup `distinct()` from a cluster
+    * shuffle (one row per span OCCURRENCE crossing the wire, then a
+    * hash-exchange to dedup) to a per-row hash set built map-side — the
+    * downstream explode emits one row per distinct span, pre-deduped, and
+    * the only shuffles left carry 8-byte keys. The hash itself replaces a
+    * separate md5()+substring projection over exploded rows. */
+  case class DistinctSpanHashes(child: Expression, w: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] = Seq(ArrayType(StringType))
+    override def prettyName: String = "distinct_span_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      DistinctSpanHashes.ofTokens(input.asInstanceOf[ArrayData], w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeOps.distinctSpanHashes($c, $w)")
+
+    override protected def withNewChildInternal(c: Expression): DistinctSpanHashes =
+      copy(child = c)
+  }
+
+  object DistinctSpanHashes {
+    private val SPACE = UTF8String.fromString(" ")
+
+    def ofTokens(tokens: ArrayData, w: Int): ArrayData = {
+      val n = tokens.numElements()
+      if (n < w)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any])
+      def tok(i: Int): UTF8String =
+        if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+      // insertion-ordered so the explode order (and thus any downstream
+      // row order before sorts) is deterministic across JVMs
+      val seen = new java.util.LinkedHashSet[java.lang.Long](
+        math.min(n - w + 1, 1 << 16))
+      val parts = new Array[UTF8String](2 * w - 1)
+      var i = 0
+      while (i <= n - w) {
+        var j = 0
+        while (j < w) {
+          parts(2 * j) = tok(i + j)
+          if (j < w - 1) parts(2 * j + 1) = SPACE
+          j += 1
+        }
+        val span = UTF8String.concat(parts.toIndexedSeq: _*)
+        seen.add(SimHash64.tokenHash(span.getBytes))
+        i += 1
+      }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   // ---- Column-level entry points ----
 
   def rolling_hash64(c: Column): Column =
@@ -196,4 +261,7 @@ object HashExpressions {
 
   def word_shingles(tokens: Column, k: Int): Column =
     GraftSqlGlue.column(WordShingles(GraftSqlGlue.expression(tokens), k))
+
+  def distinct_span_hashes(tokens: Column, w: Int): Column =
+    GraftSqlGlue.column(DistinctSpanHashes(GraftSqlGlue.expression(tokens), w))
 }

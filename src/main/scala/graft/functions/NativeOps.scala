@@ -36,6 +36,9 @@ object NativeOps {
   def wordShingles(tokens: ArrayData, k: Int): ArrayData =
     HashExpressions.WordShingles.ofTokens(tokens, k)
 
+  def distinctSpanHashes(tokens: ArrayData, w: Int): ArrayData =
+    HashExpressions.DistinctSpanHashes.ofTokens(tokens, w)
+
   def hyperplaneBucket(v: ArrayData, nPlanes: Int, seed: Int): Long =
     VectorExpressions.HyperplaneBucketExpr.bucket(v, nPlanes, seed)
 

@@ -270,24 +270,26 @@ object Dedup {
     * DISTINCT spans, n_shared those of them occurring in ≥ 2 docs.
     * Docs shorter than w tokens have 0 spans (and frac 0.0).
     *
-    * Scale shape: spans are keyed by a 16-hex-char md5 prefix (8-byte
-    * entropy, engine-portable like SimHash64's token hash) so the
-    * shuffles carry short fixed keys, never the span text; the pipeline
-    * is per-doc-distinct → groupBy(span) count → join back → groupBy(doc)
-    * — no doc-pair product at any corpus size. A 64-bit collision merges
-    * two spans for every engine identically, so the result stays
-    * oracle-exact even in the astronomically-unlikely collision case. */
+    * Scale shape: spans are keyed by the first 8 bytes of their md5 (the
+    * same 64-bit key space as a 16-hex-char prefix — engine-portable like
+    * SimHash64's token hash) so the shuffles carry fixed 8-byte keys,
+    * never the span text. The per-doc DISTINCT is computed MAP-SIDE by a
+    * native hash-set expression (`DistinctSpanHashes`) before anything
+    * crosses the wire — the old explode→distinct() shuffled one row per
+    * span OCCURRENCE; now the explode emits pre-deduped spans and the
+    * pipeline is map-side-distinct → groupBy(span) count → join back →
+    * groupBy(doc) — no doc-pair product at any corpus size. A 64-bit
+    * collision merges two spans for every engine identically, so the
+    * result stays oracle-exact even in the astronomically-unlikely
+    * collision case. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 8): DataFrame = {
-    import graft.functions.HashExpressions.word_shingles
+    import graft.functions.HashExpressions.distinct_span_hashes
     import graft.functions.TextFunctions.tokens
     val toks = tokens(col(textCol))
     val spans = docs
       .select(col(idCol).as("id"),
-        explode(when(size(toks) < w, array().cast("array<string>"))
-          .otherwise(word_shingles(toks, w))).as("span"))
-      .select(col("id"), substring(md5(col("span")), 1, 16).as("h"))
-      .distinct()
+        explode(distinct_span_hashes(toks, w)).as("h"))
     val counts = spans.groupBy("h").agg(count(lit(1)).as("nd"))
     val perDoc = spans.join(counts, "h")
       .groupBy("id")
