@@ -65,6 +65,31 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Write-audit-publish via a named branch (the Iceberg branch-ref
+    * pattern): the second batch is committed onto branch `audit`, audited
+    * there (invisible to main — asserted in-flight), then fast-forwarded;
+    * the result is main AFTER the publish. The oracle is both batches —
+    * correct only if the fast-forward actually landed the branch commit. */
+  val qBranchWap: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("branch"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    val mainRows = t.read().count()
+    t.createBranch("audit")
+    val b = t.branch("audit")
+    b.append(ordersSlice(s, dir, 1))
+    // audit step: staged rows visible on the branch, invisible on main
+    require(t.read().count() == mainRows,
+      "branch commit leaked into main before fastForward")
+    require(b.read().count() > mainRows, "branch commit not readable")
+    t.fastForward("audit")
+    project(t.read())
+  }
+  val qBranchWapSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** CDC changelog over a table lifecycle: append → COW merge → MOR merge,
     * then `changes()` across the whole range. The oracle reconstructs the
     * exact net change set per commit: appends are inserts; the COW merge
@@ -575,6 +600,7 @@ object TableQueries {
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
+    ("q_branch_wap", qBranchWap, Some(qBranchWapSql)),
     ("q_table_changes", qTableChanges, Some(qTableChangesSql)),
     ("q_table_changes_materialized", qTableChangesMaterialized,
       Some(qTableChangesSql)),

@@ -23,6 +23,8 @@ import graft.table.GraftTable
   *   - `snapshotId`        time travel to a snapshot
   *   - `startSnapshotId` / `endSnapshotId`  incremental append range
   *     (start exclusive, end inclusive; end defaults to latest)
+  *   - `tag` / `branch`    read a named ref (tag: pinned snapshot;
+  *     branch: the branch chain's tip)
   *
   * Writes: SaveMode.Append / Overwrite commit through the snapshot log;
   * `partitionCols` option ("a,b") sets the layout on first write.
@@ -62,8 +64,12 @@ class GraftDataSource extends RelationProvider
     val spark = ctx.sparkSession
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path"))
-    val table = GraftTable(spark, path)
-    require(table.exists, s"no graft table at $path")
+    val mainTable = GraftTable(spark, path)
+    require(mainTable.exists, s"no graft table at $path")
+    // option("branch", name): resolve the whole read (files, schema,
+    // stats) against the branch's chain instead of main's
+    val table = parameters.get("branch")
+      .map(mainTable.branch).getOrElse(mainTable)
 
     // (files, as-of snapshot for schema resolution): historical reads use
     // the schema their snapshot was committed under, as Iceberg does —

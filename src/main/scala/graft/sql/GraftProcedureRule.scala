@@ -25,6 +25,8 @@ import graft.table.{GraftTable, PartitionTransforms}
   *   CALL graft.remove_orphan_files('t' [, older_than_ms => 0])
   *   CALL graft.set_partition_spec('t', spec => 'days(ts)')
   *   CALL graft.tag('t', 'v1' [, snapshot_id]) / graft.drop_tag('t', 'v1')
+  *   CALL graft.branch('t', 'audit' [, snapshot_id]) / graft.drop_branch(...)
+  *   CALL graft.fast_forward('t', 'audit')
   *
   * (`graft.system.<proc>` also accepted.) Spark 4 parses CALL into
   * `Call(UnresolvedProcedure, args)` but only v2 ProcedureCatalogs can
@@ -80,10 +82,22 @@ case class GraftCallCommand(proc: String, location: String,
       case "drop_tag" =>
         t.dropTag(args.getOrElse("name",
           throw new IllegalArgumentException(s"graft.$proc needs name")))
+      case "branch" =>
+        t.createBranch(args.getOrElse("name",
+          throw new IllegalArgumentException(s"graft.$proc needs name")),
+          longArg("snapshot_id"))
+      case "drop_branch" =>
+        t.dropBranch(args.getOrElse("name",
+          throw new IllegalArgumentException(s"graft.$proc needs name")))
+        0L
+      case "fast_forward" =>
+        t.fastForward(args.getOrElse("name",
+          throw new IllegalArgumentException(s"graft.$proc needs name")))
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other — supported: " +
           "expire_snapshots, compact, rewrite_manifests, rollback, " +
-          "remove_orphan_files, set_partition_spec, tag, drop_tag")
+          "remove_orphan_files, set_partition_spec, tag, drop_tag, " +
+          "branch, drop_branch, fast_forward")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -107,7 +121,10 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "remove_orphan_files" -> (Seq("older_than_ms"), Set.empty),
     "set_partition_spec" -> (Seq("spec"), Set.empty),
     "tag" -> (Seq("name", "snapshot_id"), Set.empty),
-    "drop_tag" -> (Seq("name"), Set.empty))
+    "drop_tag" -> (Seq("name"), Set.empty),
+    "branch" -> (Seq("name", "snapshot_id"), Set.empty),
+    "drop_branch" -> (Seq("name"), Set.empty),
+    "fast_forward" -> (Seq("name"), Set.empty))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {

@@ -38,6 +38,21 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .orElse(meta.storage.locationUri.map(_.toString))
   }
 
+  /** Read options selecting the travel target: a snapshot id, or a
+    * branch ref (branch names resolve to a branch-chain read, not a main
+    * snapshot id — their tips live in branch slots). */
+  private def travelOptions(table: GraftTable, tsExpr: Option[Expression],
+      version: Option[String]): Map[String, String] = version match {
+    // snapshot ids vs ref names: one shared classifier — everything
+    // else, including '' and overflow-length digit runs, resolves as a
+    // ref so the error names the real fix
+    case Some(v) if !GraftTable.isSnapshotIdString(v) &&
+        !table.refs.contains(v) && table.branches.contains(v) =>
+      Map("branch" -> v)
+    case other =>
+      Map("snapshotId" -> snapshotFor(table, tsExpr, other).toString)
+  }
+
   private def snapshotFor(table: GraftTable, tsExpr: Option[Expression],
       version: Option[String]): Long = version match {
     // snapshot ids vs tag names: one shared classifier — everything
@@ -46,8 +61,9 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case Some(v) if GraftTable.isSnapshotIdString(v) => v.toLong
     case Some(v) => table.refs.getOrElse(v,
       throw new IllegalArgumentException(
-        s"no tag '$v' on ${table.location} — " +
-          s"known tags: ${table.refs.keys.toSeq.sorted.mkString(", ")}"))
+        s"no tag or branch '$v' on ${table.location} — known tags: " +
+          s"${table.refs.keys.toSeq.sorted.mkString(", ")}; branches: " +
+          s"${table.branches.keys.toSeq.sorted.mkString(", ")}"))
     case None =>
       val e = tsExpr.getOrElse(throw new IllegalArgumentException(
         "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
@@ -99,10 +115,9 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => rt
         case Some(path) =>
           val table = GraftTable(spark, path)
-          val snapId = snapshotFor(table, tsExpr, version)
           val rel = new graft.sources.GraftDataSource().createRelation(
             spark.sqlContext,
-            Map("path" -> path, "snapshotId" -> snapId.toString))
+            Map("path" -> path) ++ travelOptions(table, tsExpr, version))
           LogicalRelation(rel, isStreaming = false)
       }
 

@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * partitions, not table size); incremental scans read exactly the files a
   * snapshot range added — no full-table diff.
   */
-class GraftTable(spark: SparkSession, val location: String) {
+class GraftTable(spark: SparkSession, val location: String,
+    val branchName: Option[String] = None) {
 
   private[table] def sparkSession: SparkSession = spark
 
@@ -50,7 +51,13 @@ class GraftTable(spark: SparkSession, val location: String) {
 
   def exists: Boolean = fs.exists(metaPath)
 
-  private def snapFileName(id: Long): String = f"snap-$id%08d.json"
+  /** This instance's snapshot slot name: branch commits publish
+    * `snap-NNNNNNNN-<branch>.json`, invisible to the main chain's
+    * `snap-\d{8}.json` listing by construction. */
+  private def snapFileName(id: Long): String = branchName match {
+    case Some(b) => f"snap-$id%08d-$b.json"
+    case None => f"snap-$id%08d.json"
+  }
 
   /** All committed snapshots, ascending by id. The directory is listed
     * fresh every call (that's the visibility point for concurrent
@@ -61,10 +68,23 @@ class GraftTable(spark: SparkSession, val location: String) {
     * times (schema, live files, stats, deletes). At manifest scale this
     * turns metadata resolution from O(chain) JSON parses per lookup into
     * one list call. */
-  def snapshots: Seq[Snapshot] = {
+  def snapshots: Seq[Snapshot] = branchName match {
+    case None => snapshotsMatching("snap-\\d{8}\\.json")
+    case Some(b) =>
+      // a branch's chain = the main chain up to its fork point, then its
+      // own suffixed commits — so every read/commit path (liveFiles,
+      // schema, incremental, MOR, txn replay) works on a branch instance
+      // through this one override
+      val base = branchBase(b)
+      snapshotsMatching("snap-\\d{8}\\.json")
+        .takeWhile(_.snapshotId <= base) ++
+        snapshotsMatching(s"snap-\\d{8}-${java.util.regex.Pattern.quote(b)}\\.json")
+  }
+
+  private def snapshotsMatching(regex: String): Seq[Snapshot] = {
     if (!exists) return Seq.empty
     val st = fs.listStatus(metaPath)
-      .filter(s => s.getPath.getName.matches("snap-\\d{8}\\.json"))
+      .filter(s => s.getPath.getName.matches(regex))
       .sortBy(_.getPath.getName)
     st.map { s =>
       val key = (s.getPath.toString, s.getModificationTime, s.getLen)
@@ -483,6 +503,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     * Avro-schema silver create, /root/reference/bronze-silver.py:168-204). */
   def create(schema: StructType, parts: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty): GraftTable = {
+    require(branchName.isEmpty, "create must run on the main table")
     require(!exists, s"table already exists: $location")
     val fields = parts.map(PartitionTransforms.parse)
     fields.foreach(f => require(schema.fieldNames.contains(f.source),
@@ -730,6 +751,151 @@ class GraftTable(spark: SparkSession, val location: String) {
   def readTag(name: String): DataFrame =
     readAsOf(refs.getOrElse(name,
       throw new IllegalArgumentException(s"no tag '$name' on $location")))
+
+  // ---- named branches (Iceberg branch refs: write-audit-publish) ----
+  //
+  // A branch is a named line of commits forked from a main snapshot:
+  // commits on it publish `snap-NNNNNNNN-<branch>.json` slots (invisible
+  // to main's listing), its chain replays main up to the fork point then
+  // its own commits, and `fastForward` publishes the branch's commits
+  // into the main slots one atomic create-exclusive at a time — possible
+  // only while main's tip is still the fork point, so the publish either
+  // lands the branch history verbatim or fails with a conflict. The
+  // marker file (`_graft/branch-<name>.json`, create-exclusive) records
+  // the fork point and makes branch creation single-winner.
+
+  private def branchMarkerPath(name: String): Path =
+    new Path(metaPath, s"branch-$name.json")
+
+  /** Fork point recorded for branch `name` (throws if no such branch). */
+  private[table] def branchBase(name: String): Long = {
+    val p = branchMarkerPath(name)
+    require(fs.exists(p), s"no branch '$name' on $location")
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8").trim.toLong
+    } finally in.close()
+  }
+
+  /** Create branch `name` at `at` (default: current main tip). The
+    * marker create is exclusive — two racing creates get one branch. */
+  def createBranch(name: String, at: Option[Long] = None): Long = {
+    require(branchName.isEmpty, "createBranch must run on the main table")
+    require(name.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"invalid branch name: $name (must start with a letter)")
+    require(!refs.contains(name),
+      s"a tag named '$name' already exists on $location — branches and " +
+        "tags share the VERSION AS OF namespace")
+    val base = at.getOrElse(latestSnapshotId.getOrElse(
+      throw new IllegalStateException(s"no such table: $location")))
+    require(snapshots.exists(_.snapshotId == base),
+      s"no snapshot $base in $location")
+    val p = branchMarkerPath(name)
+    val out = try fs.create(p, false) catch {
+      case _: java.io.IOException => throw new IllegalStateException(
+        s"branch '$name' already exists on $location")
+    }
+    try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+    base
+  }
+
+  /** Live branches (name → fork-point snapshot id). */
+  def branches: Map[String, Long] = {
+    if (!exists) return Map.empty
+    fs.listStatus(metaPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("branch-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("branch-").stripSuffix(".json"))
+      .map(n => n -> branchBase(n)).toMap
+  }
+
+  /** A writer/reader view of branch `name`: same table location, but the
+    * snapshot chain is main-up-to-fork + the branch's own commits, and
+    * new commits publish into branch slots. The full read/write API
+    * (append, merge, delete, evolve, incremental, MOR) works unchanged;
+    * table-maintenance ops (expire, orphan sweep) are main-only. */
+  def branch(name: String): GraftTable = {
+    require(branchName.isEmpty, s"already on branch ${branchName.get}")
+    branchBase(name) // existence check
+    new GraftTable(spark, location, Some(name))
+  }
+
+  def readBranch(name: String): DataFrame = branch(name).read()
+
+  /** Branch commits awaiting publish (ascending). */
+  private def branchOnlySnapshots(name: String): Seq[Snapshot] =
+    snapshotsMatching(
+      s"snap-\\d{8}-${java.util.regex.Pattern.quote(name)}\\.json")
+
+  /** Abandon branch `name`: delete its commits, their manifests (unless a
+    * crash-interrupted fastForward already published them to main), and
+    * the marker. Staged data files become unreferenced and age out via
+    * [[removeOrphanFiles]] — exactly like a discarded pending write. */
+  def dropBranch(name: String): Unit = {
+    require(branchName.isEmpty, "dropBranch must run on the main table")
+    val bs = branchOnlySnapshots(name)
+    val mainManifests = snapshots.flatMap(_.manifest).map(_.path).toSet
+    bs.foreach { s =>
+      s.manifest.map(_.path).filterNot(mainManifests.contains)
+        .foreach(m => fs.delete(new Path(tablePath, m), false))
+      fs.delete(new Path(metaPath, f"snap-${s.snapshotId}%08d-$name.json"),
+        false)
+    }
+    fs.delete(branchMarkerPath(name), false)
+  }
+
+  /** Publish branch `name`'s commits onto main — the Iceberg
+    * fast-forward. Requires main's tip to still be the branch's fork
+    * point (else the branch diverged: ConcurrentModificationException).
+    * Each branch snapshot is published into its main slot by the same
+    * create-exclusive primitive commits use, in chain order, so a racing
+    * main commit loses or wins a slot atomically — never a torn chain: a
+    * crash mid-publish leaves a valid main prefix of the branch, and
+    * re-running fastForward resumes idempotently (a slot already holding
+    * the identical snapshot is skipped). Returns the new main tip. */
+  def fastForward(name: String): Long = {
+    require(branchName.isEmpty, "fastForward must run on the main table")
+    val bs = branchOnlySnapshots(name)
+    val base = branchBase(name)
+    if (bs.isEmpty) { // nothing staged: just drop the ref
+      fs.delete(branchMarkerPath(name), false)
+      return latestSnapshotId.getOrElse(base)
+    }
+    bs.foreach { s =>
+      val destName = f"snap-${s.snapshotId}%08d.json"
+      val dest = new Path(metaPath, destName)
+      def sameAlready: Boolean = fs.exists(dest) && {
+        val in = fs.open(dest)
+        val existing = try {
+          val bytes = new Array[Byte](fs.getFileStatus(dest).getLen.toInt)
+          in.readFully(bytes)
+          Snapshot.fromJson(new String(bytes, "UTF-8"))
+        } finally in.close()
+        existing == s // resumed fastForward republishing its own prefix
+      }
+      if (!sameAlready) {
+        val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
+        val out = fs.create(tmp, false)
+        try out.write(Snapshot.toJson(s).getBytes("UTF-8"))
+        finally out.close()
+        if (!publishExclusive(tmp, dest)) {
+          fs.delete(tmp, false)
+          if (!sameAlready) throw new java.util.ConcurrentModificationException(
+            s"fastForward conflict on $location: main advanced past " +
+              s"fork point $base of branch '$name' — rebase the branch " +
+              "(dropBranch + re-create from the new tip) and retry")
+        }
+      }
+    }
+    // fully absorbed: branch slots and marker go away; manifests are now
+    // referenced by the main chain, so only the slot files are deleted
+    bs.foreach(s => fs.delete(
+      new Path(metaPath, f"snap-${s.snapshotId}%08d-$name.json"), false))
+    fs.delete(branchMarkerPath(name), false)
+    bs.last.snapshotId
+  }
 
   /** Iceberg-style partition spec evolution: later writes lay out files
     * under `parts`; existing files stay in their old layout, and every
@@ -1520,6 +1686,11 @@ class GraftTable(spark: SparkSession, val location: String) {
     * The file stores the commit's schema columns + `_change_type`;
     * `_commit_snapshot_id` is re-attached at read (constant per file). */
   private def maybeMaterializeChanges(snap: Snapshot): Unit = {
+    // `_changes/<id>` is keyed by MAIN-chain ids: a branch commit's id
+    // will collide with a main commit's after unrelated main activity, so
+    // branch commits never materialize — branch changelog reads (and main
+    // reads after a fastForward) reconstruct, the standard fallback
+    if (branchName.isDefined) return
     if (!snap.properties.exists(
       _.get("graft.cdc.materialize").contains("true"))) return
     if (snap.base.contains(true)) return
@@ -1548,6 +1719,11 @@ class GraftTable(spark: SparkSession, val location: String) {
   private def materializedChanges(s: Snapshot,
       conform: DataFrame => DataFrame,
       tag: (DataFrame, String, Long) => DataFrame): Option[DataFrame] = {
+    // on a branch, a main commit's materialized file can share this
+    // snapshot id — but only for ids PAST the fork point (the shared
+    // prefix below it is the same commit on both chains, so its
+    // materialization is equally valid here)
+    if (branchName.exists(b => s.snapshotId > branchBase(b))) return None
     val dir = changesPath(s.snapshotId)
     // trust the dir only once its _SUCCESS marker is visible: rename is
     // copy+delete on object stores, so existence alone can expose a
@@ -1728,6 +1904,7 @@ class GraftTable(spark: SparkSession, val location: String) {
   }
 
   def expireSnapshots(keepLast: Int): Seq[String] = {
+    require(branchName.isEmpty, "expireSnapshots must run on the main table")
     require(keepLast >= 1, "must retain at least one snapshot")
     val all = snapshots
     // tagged snapshots are pinned (Iceberg ref-retention): expiring one
@@ -1735,9 +1912,11 @@ class GraftTable(spark: SparkSession, val location: String) {
     // SUFFIX-shaped by design — the chain replays linearly from one
     // baseline, so everything at or after the oldest live tag is kept
     // (drop stale tags to release their history). Tags pointing outside
-    // the chain (already absorbed, or garbage) pin nothing.
+    // the chain (already absorbed, or garbage) pin nothing. Branch fork
+    // points pin identically: a branch replays main up to its fork, so
+    // expiring the fork out from under it would empty the branch's reads.
     val chainIds = all.map(_.snapshotId).toSet
-    val tagged = refs.values.filter(chainIds.contains)
+    val tagged = (refs.values ++ branches.values).filter(chainIds.contains)
     val keep =
       if (tagged.isEmpty) keepLast
       else math.max(keepLast,
@@ -1823,6 +2002,7 @@ class GraftTable(spark: SparkSession, val location: String) {
     * default guard is 3 days). Returns deleted files. */
   def removeOrphanFiles(
       olderThanMs: Long = 3L * 24 * 60 * 60 * 1000): Seq[String] = {
+    require(branchName.isEmpty, "removeOrphanFiles must run on the main table")
     // pending (write-audit-publish) writes are referenced by their
     // marker, not by a snapshot — they are awaiting audit, not orphaned
     val pending = fs.globStatus(new Path(metaPath, "pending-*.json"))
@@ -1832,10 +2012,15 @@ class GraftTable(spark: SparkSession, val location: String) {
         try pendingEntries(name)._2.map(_.path)
         catch { case _: Exception => Seq.empty }
       }
+    // unpublished branch commits reference real staged files — awaiting
+    // fastForward, not orphaned
+    val branchReferenced = branches.keys.toSeq.flatMap(b =>
+      branchOnlySnapshots(b).flatMap(s =>
+        addedFilesOf(s) ++ s.addedDeleteFiles.toSeq.flatten.map(_.path)))
     val chain = snapshots
     val referenced = (chain.flatMap(s =>
       addedFilesOf(s) ++ s.addedDeleteFiles.toSeq.flatten.map(_.path)) ++
-      pending).toSet
+      pending ++ branchReferenced).toSet
     // materialized CDC dirs are referenced by their snapshot's existence
     // (no manifest entry); abandoned .tmp- staging dirs age out normally
     val liveChangeDirs = chain.map(s => s"_changes/${s.snapshotId}/").toSet
