@@ -11,7 +11,7 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types._
 
 import graft.table.GraftTable
@@ -52,13 +52,16 @@ import graft.table.GraftTable
   * single-value binary) are emitted from the snapshot log's footer
   * stats, so stats pruning works in external engines.
   *
-  * LIVE MOR state exports faithfully: tombstones become a v2
-  * equality-delete manifest (manifest-list `content=1`, data_file
-  * `content=2` with `equality_ids`), every data entry carries its real
-  * data sequence number (the graft add-sequence), and each delete entry
-  * its commit sequence — so an external v2 reader applies a delete to
-  * exactly the data files whose sequence is strictly lower, the same
-  * strict ordering [[GraftTable.morRead]] uses internally. This is the
+  * LIVE MOR state exports faithfully in BOTH v2 delete encodings:
+  * equality tombstones become `content=2` entries with `equality_ids`,
+  * and position tombstones become `content=1` entries whose files are
+  * converted to the spec's shape (full data-file URIs, reserved field
+  * ids 2147483546/2147483545) under metadata/. Every data entry carries
+  * its real data sequence number (the graft add-sequence) and each
+  * delete entry its commit sequence — so an external v2 reader applies
+  * an equality delete to exactly the data files whose sequence is
+  * strictly lower (position: at-or-below), the same ordering
+  * [[GraftTable.morRead]] uses internally. This is the
   * reference's exact live-silver topology (its silver table is
   * merge-on-read, bronze-silver.py:184-194, read live by four engines,
   * README.md:127-197) — no foldDeletes/compact required before export.
@@ -434,19 +437,41 @@ object IcebergExport {
     // column names to schema field ids (ordinal + 1, as schemaJson).
     val deleteSpecId = if (specFields.isEmpty) 0 else 1
     val hadoopConf = spark.sessionState.newHadoopConf()
+    // POSITION tombstones need a conversion pass: graft stores
+    // table-relative target paths, the v2 spec wants the manifest's full
+    // data-file URIs plus the reserved field ids (2147483546 file_path,
+    // 2147483545 pos). Converted files land under metadata/ next to the
+    // manifests that reference them; the graft-side tombstone stays the
+    // engine's source of truth.
+    def convertPositionFile(d: graft.table.DeleteFile): (String, Long) = {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      import org.apache.spark.sql.types.{Metadata => SqlMetadata}
+      val name = s"pos-del-${UUID.randomUUID()}.parquet"
+      def idMeta(id: Long) = SqlMetadata.fromJson(
+        s"""{"parquet.field.id": $id}""")
+      val conv = spark.read.parquet(s"${table.location}/${d.path}")
+        .select(
+          concat(lit(s"$tableUri/"), col("file_path"))
+            .as("file_path", idMeta(2147483546L)),
+          col("pos").as("pos", idMeta(2147483545L)))
+      val tmp = new Path(metaDir, s".tmp-pos-${UUID.randomUUID()}")
+      conv.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .find(_.getPath.getName.endsWith(".parquet")).getOrElse(
+          throw new IllegalStateException(
+            s"position-delete conversion wrote no parquet under $tmp"))
+      val dest = new Path(metaDir, name)
+      if (!fs.rename(part.getPath, dest))
+        throw new IllegalStateException(s"failed to publish $dest")
+      fs.delete(tmp, true)
+      (s"metadata/$name", fileLen(dest))
+    }
     val deleteManifest: Option[(String, Long, Long, Long, Long)] =
       if (deletes.isEmpty) None
       else {
         val delSchema = manifestEntrySchema(Seq.empty, equalityIds = true)
         var rowsTotal = 0L
         val delEntries = deletes.map { d =>
-          val cols = d.cols.getOrElse(
-            spark.read.parquet(s"${table.location}/${d.path}")
-              .columns.toSeq)
-          val p = new Path(table.location, d.path)
-          val nRows = graft.table.FooterStats.read(hadoopConf, p,
-            Seq.empty)._2
-          rowsTotal += nRows
           val e = new GenericData.Record(delSchema)
           e.put("status", 1) // ADDED
           e.put("snapshot_id", snap.snapshotId)
@@ -454,15 +479,33 @@ object IcebergExport {
           e.put("file_sequence_number", d.seq)
           val df = new GenericData.Record(
             delSchema.getField("data_file").schema())
-          df.put("content", 2) // EQUALITY_DELETES
-          df.put("file_path", s"$tableUri/${d.path}")
+          if (d.isPosition) {
+            val (rel, len) = convertPositionFile(d)
+            val nRows = graft.table.FooterStats.read(hadoopConf,
+              new Path(table.location, rel), Seq.empty)._2
+            rowsTotal += nRows
+            df.put("content", 1) // POSITION_DELETES
+            df.put("file_path", s"$tableUri/$rel")
+            df.put("record_count", nRows)
+            df.put("file_size_in_bytes", len)
+          } else {
+            val cols = d.cols.getOrElse(
+              spark.read.parquet(s"${table.location}/${d.path}")
+                .columns.toSeq)
+            val p = new Path(table.location, d.path)
+            val nRows = graft.table.FooterStats.read(hadoopConf, p,
+              Seq.empty)._2
+            rowsTotal += nRows
+            df.put("content", 2) // EQUALITY_DELETES
+            df.put("file_path", s"$tableUri/${d.path}")
+            df.put("record_count", nRows)
+            df.put("file_size_in_bytes", d.bytes.getOrElse(fileLen(p)))
+            df.put("equality_ids", cols.map(c =>
+              Int.box(fieldId(schema, schema.fieldIndex(c)).toInt)).asJava)
+          }
           df.put("file_format", "PARQUET")
           df.put("partition", new GenericData.Record(
             df.getSchema.getField("partition").schema()))
-          df.put("record_count", nRows)
-          df.put("file_size_in_bytes", d.bytes.getOrElse(fileLen(p)))
-          df.put("equality_ids", cols.map(c =>
-            Int.box(fieldId(schema, schema.fieldIndex(c)).toInt)).asJava)
           e.put("data_file", df)
           e
         }
@@ -673,18 +716,23 @@ object IcebergExport {
           (s \ "fields").children.map(f =>
             (f \ "id").extract[Int] -> (f \ "name").extract[String]).toMap
       }.getOrElse(Map.empty)
-    val eqDeletes: Seq[(String, Long, Seq[String])] =
-      mfs.filter(mfContent(_) == 1).flatMap { mf =>
-        entriesOf(mf).map { e =>
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          require(df.get("content").asInstanceOf[Int] == 2,
-            "this reader applies equality deletes only (content=2)")
-          val ids = df.get("equality_ids")
-            .asInstanceOf[java.util.List[Integer]].asScala.toSeq
-          (df.get("file_path").toString, seqOf(e),
-            ids.map(i => fieldNameById(i.toInt)))
-        }
+    val deleteEntries: Seq[(GenericRecord, Long)] =
+      mfs.filter(mfContent(_) == 1).flatMap(mf => entriesOf(mf).map(e =>
+        (e.get("data_file").asInstanceOf[GenericRecord], seqOf(e))))
+    val eqDeletes: Seq[(String, Long, Seq[String])] = deleteEntries
+      .filter(_._1.get("content").asInstanceOf[Int] == 2)
+      .map { case (df, seq) =>
+        val ids = df.get("equality_ids")
+          .asInstanceOf[java.util.List[Integer]].asScala.toSeq
+        (df.get("file_path").toString, seq,
+          ids.map(i => fieldNameById(i.toInt)))
       }.sortBy(_._2)
+    // v2 position deletes (content=1): rows of (file_path, pos); apply
+    // to data files at sequence <= the delete's
+    val posDeletes: Seq[(String, Long)] = deleteEntries
+      .filter(_._1.get("content").asInstanceOf[Int] == 1)
+      .map { case (df, seq) => (df.get("file_path").toString, seq) }
+      .sortBy(_._2)
 
     val typeOf = schemaFields.toMap
     // one scan per (partition tuple × applicable-delete suffix) — a
@@ -694,11 +742,22 @@ object IcebergExport {
     // identity columns, then anti-joins each equality-key delete set —
     // an independent re-derivation of the v2 read rules, sharing nothing
     // with the graft MOR reader.
+    val UriCol = "__ice_scan_uri__"
+    val PosCol = "__ice_scan_pos__"
+    // manifest URI -> the URI the Spark scan will report for that file
+    def scanUri(manifestUri: String): String =
+      fs.makeQualified(new Path(
+        new java.net.URI(manifestUri).getPath)).toString
     filesWithPart.groupBy { case (_, tuple, seq) =>
-      (tuple, eqDeletes.filter(_._2 > seq))
-    }.map { case ((tuple, dels), grp) =>
-      val base = spark.read.parquet(grp.map(f =>
+      (tuple, eqDeletes.filter(_._2 > seq), posDeletes.filter(_._2 >= seq))
+    }.map { case ((tuple, dels, posDels), grp) =>
+      val base0 = spark.read.parquet(grp.map(f =>
         new java.net.URI(f._1).getPath): _*)
+      val base =
+        if (posDels.isEmpty) base0
+        else base0.select(col("*"),
+          col("_metadata.file_path").as(UriCol),
+          col("_metadata.row_index").as(PosCol))
       val withPart = specCols.zip(tuple).foldLeft(base) {
         case (acc, (c, v)) =>
           acc.withColumn(c, lit(v).cast(sparkType(typeOf(c))))
@@ -709,7 +768,21 @@ object IcebergExport {
             new java.net.URI(d._1).getPath): _*).select(cols.map(col): _*)
           acc.join(keys, cols, "left_anti")
       }
-      undeleted.select(schemaFields.map(f => col(f._1)): _*)
+      val afterPos =
+        if (posDels.isEmpty) undeleted
+        else {
+          val lookup = spark.createDataFrame(
+            grp.map(f => (f._1, scanUri(f._1))))
+            .toDF("__ice_manifest_uri__", UriCol)
+          val posKeys = spark.read.parquet(posDels.map(d =>
+            new java.net.URI(d._1).getPath): _*)
+            .join(broadcast(lookup),
+              col("file_path") === col("__ice_manifest_uri__"))
+            .select(col(UriCol), col("pos").as(PosCol))
+          undeleted.join(broadcast(posKeys),
+            Seq(UriCol, PosCol), "left_anti")
+        }
+      afterPos.select(schemaFields.map(f => col(f._1)): _*)
     }.reduce(_ unionByName _)
   }
 }

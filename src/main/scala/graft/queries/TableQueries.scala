@@ -304,6 +304,48 @@ object TableQueries {
   }
   val qIcebergMorExportSql: String = qTableMergeMorSql
 
+  /** MOR point delete via POSITION tombstones (the Iceberg v2 second
+    * delete encoding): (file_path, pos) rows instead of a COW rewrite;
+    * the read applies them file-locally. The oracle is the surviving
+    * rows — correct only if exactly the targeted positions vanish. */
+  val qDeletePositions: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("posdel"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    t.deletePositions(col("o_orderkey") % 9 === 0)
+    require(t.liveDeletes().exists(_.isPosition),
+      "position delete must stay unfolded for the MOR read")
+    project(t.read())
+  }
+  val qDeletePositionsSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** MOR point update via POSITION tombstones (the Iceberg
+    * write.update.mode=merge-on-read analogue): matched rows are
+    * position-tombstoned and their updated versions appended in one
+    * commit — nothing rewritten. Oracle = the post-update table state:
+    * correct only if exactly the targeted rows changed, nothing
+    * duplicated, nothing resurrected. */
+  val qUpdatePositions: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("posupd"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    t.updatePositions(
+      Map("o_totalprice" -> (col("o_totalprice") * 2)),
+      Some(col("o_orderkey") % 9 === 0))
+    require(t.liveDeletes().exists(_.isPosition),
+      "position-update tombstone must stay unfolded for the MOR read")
+    project(t.read())
+  }
+  val qUpdatePositionsSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** The reference's exact consumer topology — external engines over ONE
     * months()-partitioned silver table (bronze-silver.py:199-201,
     * README.md:127-197) — through the export loop: hidden month
@@ -601,6 +643,8 @@ object TableQueries {
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     ("q_branch_wap", qBranchWap, Some(qBranchWapSql)),
+    ("q_delete_positions", qDeletePositions, Some(qDeletePositionsSql)),
+    ("q_update_positions", qUpdatePositions, Some(qUpdatePositionsSql)),
     ("q_table_changes", qTableChanges, Some(qTableChangesSql)),
     ("q_table_changes_materialized", qTableChangesMaterialized,
       Some(qTableChangesSql)),

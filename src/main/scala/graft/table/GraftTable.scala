@@ -419,6 +419,7 @@ class GraftTable(spark: SparkSession, val location: String,
       // data files) and carry the commit's equality-key columns
       addDeletePaths: Seq[(String, Long)] = Seq.empty,
       addDeleteCols: Option[Seq[String]] = None,
+      addDeleteContent: Option[String] = None,
       removeDeletes: Seq[String] = Seq.empty,
       reAddDeletes: Seq[DeleteFile] = Seq.empty,
       txn: Option[(String, Long)] = None,
@@ -464,7 +465,8 @@ class GraftTable(spark: SparkSession, val location: String,
       val id = parent.map(_.snapshotId + 1).getOrElse(0L)
       val addedDeletes =
         addDeletePaths.map { case (p, b) =>
-          DeleteFile(p, id, Some(b), addDeleteCols) } ++ reAddDeletes
+          DeleteFile(p, id, Some(b), addDeleteCols,
+            addDeleteContent) } ++ reAddDeletes
       val snap = Snapshot(id, parent.map(_.snapshotId),
         System.currentTimeMillis(), operation, Seq.empty, Seq.empty,
         schemaFor(parent), parts,
@@ -1448,14 +1450,26 @@ class GraftTable(spark: SparkSession, val location: String,
     * fit the session's autoBroadcastJoinThreshold; a larger tombstone set
     * (a forced-MOR bulk delete) falls back to a shuffle anti-join instead
     * of shipping an arbitrarily large key set to every executor.
-    * Pure-COW tables take the plain scan path with zero overhead. */
-  private def morRead(files: Seq[String], asOf: Option[Long]): DataFrame = {
+    * Pure-COW tables take the plain scan path with zero overhead.
+    *
+    * `keepPos` retains the scan-position bridge columns
+    * ([[GraftTable.UriCol]]/[[GraftTable.PosCol]]) in the result — the
+    * changelog's position-delete pre-image needs them. */
+  private def morRead(files: Seq[String], asOf: Option[Long],
+      keepPos: Boolean = false): DataFrame = {
+    def withMeta(df: DataFrame): DataFrame = df.select(col("*"),
+      col("_metadata.file_path").as(GraftTable.UriCol),
+      col("_metadata.row_index").as(GraftTable.PosCol))
+    def plain(): DataFrame = {
+      val r = readFiles(files, asOf)
+      if (keepPos && files.nonEmpty) withMeta(r) else r
+    }
     val deletes = liveDeletes(asOf).sortBy(_.seq)
-    if (deletes.isEmpty) return readFiles(files, asOf)
+    if (deletes.isEmpty) return plain()
     val addSeq = fileAddSeqs(asOf)
     val groups = files.groupBy(f =>
       deletes.filter(_.seq > addSeq.getOrElse(f, Long.MaxValue)))
-    if (groups.isEmpty) return readFiles(files, asOf)
+    if (groups.isEmpty) return plain()
     val broadcastMax =
       try spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         .stripSuffix("b").stripSuffix("B").toLowerCase match {
@@ -1472,11 +1486,21 @@ class GraftTable(spark: SparkSession, val location: String,
     // file's own footer — bounded work, foldDeletes caps live tombstones
     def delCols(d: DeleteFile): Seq[String] = d.cols.getOrElse(
       spark.read.parquet(s"$location/${d.path}").columns.toSeq)
+    val UriCol = GraftTable.UriCol
+    val PosCol = GraftTable.PosCol
     groups.map { case (applicable, groupFiles) =>
-      val df = readFiles(groupFiles, asOf)
+      val (posDels, eqDels) = applicable.partition(_.isPosition)
+      // position deletes match on (scan URI, row ordinal): the scan
+      // carries both as parquet metadata columns — surfaced only when a
+      // position tombstone actually applies (or the caller asked), so
+      // the common equality-only plan is untouched
+      val needMeta = keepPos || posDels.nonEmpty
+      val df =
+        if (!needMeta) readFiles(groupFiles, asOf)
+        else withMeta(readFiles(groupFiles, asOf))
       // one anti-join per distinct equality-key column set (merges on the
       // same keys — the overwhelmingly common case — collapse to one)
-      applicable.groupBy(delCols).foldLeft(df) {
+      val afterEq = eqDels.groupBy(delCols).foldLeft(df) {
         case (acc, (cols, dels)) =>
           val keys = spark.read.parquet(
             dels.map(d => s"$location/${d.path}"): _*).select(
@@ -1485,6 +1509,27 @@ class GraftTable(spark: SparkSession, val location: String,
             dels.map(delBytes).sum <= broadcastMax
           acc.join(if (small) broadcast(keys) else keys, cols, "left_anti")
       }
+      val out =
+        if (posDels.isEmpty) afterEq
+        else {
+          // tombstone rows name table-relative paths; bridge to scan URIs
+          // via a driver-built lookup over THIS group's files (positions
+          // for files outside the group drop out in the inner join — they
+          // cannot match here anyway). One anti-join for ALL position
+          // tombstones of the group: (file, pos) pairs are disjoint facts.
+          val keys = spark.read.parquet(
+            posDels.map(d => s"$location/${d.path}"): _*)
+            .select(col("file_path"), col("pos"))
+          val lookup = spark.createDataFrame(
+            groupFiles.map(f => (f, scanUriOf(f)))).toDF("file_path", UriCol)
+          val posKeys = keys.join(broadcast(lookup), Seq("file_path"))
+            .select(col(UriCol), col("pos").as(PosCol))
+          val small = broadcastMax > 0 &&
+            posDels.map(delBytes).sum <= broadcastMax
+          afterEq.join(if (small) broadcast(posKeys) else posKeys,
+            Seq(UriCol, PosCol), "left_anti")
+        }
+      if (needMeta && !keepPos) out.drop(UriCol, PosCol) else out
     }.reduce(_ unionByName _)
   }
 
@@ -1634,12 +1679,13 @@ class GraftTable(spark: SparkSession, val location: String,
       val cowDeletes = removedDf.map { r =>
         tag(addedDf.fold(r)(r.exceptAll), "delete", s.snapshotId)
       }
+      val (posTombs, keyTombs) = tombs.partition(_.isPosition)
       // same-key tombstones of one commit share one pre-image semi-join;
       // the pre-image scan is PRUNED by the parent files' min/max + Bloom
       // stats against the tombstone keys — a changelog range spanning many
       // MOR commits on a clustered table reads O(files containing the
       // keys) per commit, not O(table state) per commit
-      val morDeletes = tombs.groupBy(d => d.cols.getOrElse(
+      val morDeletes = keyTombs.groupBy(d => d.cols.getOrElse(
         spark.read.parquet(s"$location/${d.path}").columns.toSeq))
         .map { case (cols, dels) =>
           val keys = spark.read
@@ -1652,7 +1698,36 @@ class GraftTable(spark: SparkSession, val location: String,
             .join(broadcastIfSmall(keys, dels), cols, "left_semi"),
             "delete", s.snapshotId)
         }
-      (inserts ++ cowDeletes ++ morDeletes).toSeq
+      // position tombstones name their target files outright — the
+      // pre-image is exactly those files (no stats probe needed): rows
+      // visible at the parent whose (file, pos) the tombstone lists
+      val posDeletes =
+        if (posTombs.isEmpty) Seq.empty
+        else {
+          val parent = s.parentId.getOrElse(
+            throw new IllegalStateException("tombstones on a root snapshot"))
+          val keys = spark.read
+            .parquet(posTombs.map(d => s"$location/${d.path}"): _*)
+            .select(col("file_path"), col("pos"))
+          val parentLive = liveFiles(Some(parent)).toSet
+          val files = keys.select("file_path").distinct().collect()
+            .map(_.getString(0)).toSeq.filter(parentLive.contains)
+          if (files.isEmpty) Seq.empty
+          else {
+            val lookup = spark.createDataFrame(
+              files.map(f => (f, scanUriOf(f))))
+              .toDF("file_path", GraftTable.UriCol)
+            val posKeys = keys.join(broadcast(lookup), Seq("file_path"))
+              .select(col(GraftTable.UriCol), col("pos").as(GraftTable.PosCol))
+            val pre = morRead(files, Some(parent), keepPos = true)
+            Seq(tag(conform(pre
+              .join(broadcastIfSmall(posKeys, posTombs),
+                Seq(GraftTable.UriCol, GraftTable.PosCol), "left_semi")
+              .drop(GraftTable.UriCol, GraftTable.PosCol)),
+              "delete", s.snapshotId))
+          }
+        }
+      (inserts ++ cowDeletes ++ morDeletes ++ posDeletes).toSeq
   }
 
   /** Conform `df` to a changelog end-schema: end-schema columns only, in
@@ -2032,6 +2107,10 @@ class GraftTable(spark: SparkSession, val location: String,
       val rel = stripPrefix(f.getPath.toString, tablePath.toString)
       if (f.getPath.getName.endsWith(".parquet") &&
           !rel.startsWith("_graft") &&
+          // metadata/ is the Iceberg export tree: its converted
+          // position-delete parquet is referenced by Avro manifests the
+          // snapshot log cannot see
+          !rel.startsWith("metadata/") &&
           !liveChangeDirs.exists(rel.startsWith) &&
           !referenced.contains(rel) &&
           f.getModificationTime < cutoff) {
@@ -2061,8 +2140,14 @@ class GraftTable(spark: SparkSession, val location: String,
 
   /** SQL DELETE FROM semantics: copy-on-write rewrite of ONLY the files
     * containing matching rows. Rows where the predicate evaluates to NULL
-    * are KEPT (SQL deletes where the condition is TRUE). */
-  def delete(cond: Column): Long = {
+    * are KEPT (SQL deletes where the condition is TRUE). Table property
+    * `graft.delete.mode=mor` (the Iceberg write.delete.mode=merge-on-read
+    * analogue) routes to [[deletePositions]] instead — O(matched rows)
+    * written, nothing rewritten. */
+  def delete(cond: Column): Long =
+    if (properties.get("graft.delete.mode").contains("mor"))
+      deletePositions(cond)
+    else {
     val parentAtRead = latestSnapshotId
     val matched = filesMatching(liveFiles(), cond)
     if (matched.isEmpty) return parentAtRead.getOrElse(
@@ -2075,10 +2160,149 @@ class GraftTable(spark: SparkSession, val location: String,
       stats = sr._1, rows = sr._2, bytes = staged.toMap)
   }
 
+  /** The scan-time URI of a table-relative file — the exact string
+    * `_metadata.file_path` renders (FileStatus path of the qualified
+    * Path). Position-delete translation depends on this prediction, so
+    * [[deletePositions]] VERIFIES it against observed scan paths on
+    * every write and fails loudly on any mismatch. */
+  private[table] def scanUriOf(rel: String): String =
+    fs.makeQualified(new Path(tablePath, rel)).toString
+
+  /** MOR point delete via POSITION deletes (the Iceberg v2 second delete
+    * encoding): rows where `cond` is TRUE are tombstoned as
+    * (file_path, pos) pairs — `pos` the parquet row ordinal
+    * (`_metadata.row_index`) in the table-relative `file_path` — and the
+    * read applies them file-locally. Nothing is rewritten: the commit
+    * writes O(matched rows), not O(matched files), which is the cheaper
+    * encoding for point deletes at scale (a COW delete of 100 rows
+    * spread over 100 large files rewrites all of them; this writes one
+    * tiny tombstone file). Stats-pruned like the COW path: only files
+    * whose min/max/Bloom can contain a match are scanned. Concurrent
+    * commits do not conflict (nothing removed — an append-shaped
+    * commit); positions are immutable facts about the named files, so
+    * late application stays correct, and like equality deletes the
+    * tombstone applies only to files added strictly before its sequence.
+    * Auto-folds past the live-tombstone threshold like MOR merges. */
+  def deletePositions(cond: Column): Long = {
+    val live = liveFiles()
+    val matched = filesMatching(live, cond)
+    if (matched.isEmpty) return latestSnapshotId.getOrElse(
+      throw new IllegalStateException(s"no such table: $location"))
+    // predicted scan URIs (driver-side) are the join bridge between
+    // table-relative paths and `_metadata.file_path`; verified below
+    val relByUri = matched.map(f => scanUriOf(f) -> f).toMap
+    val hits = readFiles(matched)
+      .filter(cond <=> lit(true))
+      .select(col("_metadata.file_path").as("__uri"),
+        col("_metadata.row_index").as("pos"))
+    val lookup = spark.createDataFrame(relByUri.toSeq)
+      .toDF("__uri", "file_path")
+    val joined = hits.join(broadcast(lookup), Seq("__uri"), "left")
+      .select(col("__uri"), col("file_path"), col("pos"))
+      .cache()
+    try {
+      val unmatched = joined.filter(col("file_path").isNull)
+        .select("__uri").distinct().collect().map(_.getString(0))
+      require(unmatched.isEmpty,
+        "position-delete path translation failed: scan reported file " +
+          s"URIs not predicted by scanUriOf — ${unmatched.take(3).mkString(", ")}")
+      val positions = joined.select("file_path", "pos")
+      val nRows = positions.count()
+      if (nRows == 0) return latestSnapshotId.get
+      val staged = stageDeletes(positions.orderBy("file_path", "pos"), nRows)
+      val id = commit("delete", Seq.empty, Seq.empty, _ => schema.json,
+        partitionCols, addDeletePaths = staged,
+        addDeleteContent = Some("position"))
+      val maxLive = properties.getOrElse("graft.merge.mor.max-delete-files",
+        GraftTable.MorMaxLiveDeleteFiles.toString).toInt
+      if (liveDeletes().size > maxLive) {
+        try return foldDeletes()
+        catch { case _: java.util.ConcurrentModificationException => }
+      }
+      id
+    } finally joined.unpersist()
+  }
+
+  /** MOR point update via POSITION deletes (the Iceberg
+    * write.update.mode=merge-on-read analogue): rows where `cond` is
+    * TRUE are tombstoned as (file_path, pos) pairs and their updated
+    * versions appended as new data files — ONE atomic commit, nothing
+    * rewritten. Write cost is O(matched rows), not O(matched files): a
+    * 100-row update spread over 100 large files writes ~100 rows + one
+    * tiny tombstone file where COW rewrites every touched file. The
+    * tombstone's sequence equals the commit's, and position deletes
+    * apply only to files added strictly earlier — so the same-commit
+    * updated rows are untouched by construction. The matched-row scan is
+    * MOR-aware ([[morRead]] keepPos): rows already dead under live
+    * tombstones can never be resurrected as "updated". Unlike
+    * [[deletePositions]] (append-shaped, conflict-free), an update is a
+    * read-modify-write: it pins `expectedParent`, so a concurrent commit
+    * aborts it (same isolation as the COW path) — otherwise two
+    * concurrent updates of one row would each tombstone the original and
+    * BOTH append their version, duplicating the row. */
+  def updatePositions(set: Map[String, Column],
+      cond: Option[Column]): Long = {
+    val parentAtRead = latestSnapshotId
+    val sch = schema
+    set.keys.foreach(k => require(sch.fieldNames.contains(k),
+      s"UPDATE SET column $k not in schema"))
+    val live = liveFiles()
+    val matched = cond match {
+      case Some(c) => filesMatching(live, c)
+      case None => live
+    }
+    if (matched.isEmpty) return parentAtRead.getOrElse(
+      throw new IllegalStateException(s"no such table: $location"))
+    val relByUri = matched.map(f => scanUriOf(f) -> f).toMap
+    val hit = cond.map(_ <=> lit(true)).getOrElse(lit(true))
+    val rows = morRead(matched, None, keepPos = true).filter(hit).cache()
+    try {
+      val lookup = spark.createDataFrame(relByUri.toSeq)
+        .toDF(GraftTable.UriCol, "file_path")
+      val joined = rows.select(col(GraftTable.UriCol),
+          col(GraftTable.PosCol).as("pos"))
+        .join(broadcast(lookup), Seq(GraftTable.UriCol), "left")
+      val unmatched = joined.filter(col("file_path").isNull)
+        .select(GraftTable.UriCol).distinct().collect().map(_.getString(0))
+      require(unmatched.isEmpty,
+        "position-delete path translation failed: scan reported file " +
+          s"URIs not predicted by scanUriOf — ${unmatched.take(3).mkString(", ")}")
+      val positions = joined.select("file_path", "pos")
+      val nRows = positions.count()
+      if (nRows == 0) return parentAtRead.get
+      val updated = rows.select(sch.fieldNames.map { c =>
+        set.get(c) match {
+          case Some(v) => v.cast(sch(c).dataType).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+      val staged = stageAndMove(align(updated, sch), partitionCols)
+      val delStaged =
+        stageDeletes(positions.orderBy("file_path", "pos"), nRows)
+      val sr = collectStats(staged.map(_._1))
+      val id = commit("update", staged.map(_._1), Seq.empty, _ => sch.json,
+        partitionCols, expectedParent = parentAtRead,
+        stats = sr._1, rows = sr._2, addDeletePaths = delStaged,
+        addDeleteContent = Some("position"), bytes = staged.toMap)
+      val maxLive = properties.getOrElse("graft.merge.mor.max-delete-files",
+        GraftTable.MorMaxLiveDeleteFiles.toString).toInt
+      if (liveDeletes().size > maxLive) {
+        try return foldDeletes()
+        catch { case _: java.util.ConcurrentModificationException => }
+      }
+      id
+    } finally rows.unpersist()
+  }
+
   /** SQL UPDATE semantics: rewrite only the files containing matching
     * rows, applying `set` to rows where `cond` is TRUE (all rows when
-    * None); other rows in those files are carried unchanged. */
-  def update(set: Map[String, Column], cond: Option[Column]): Long = {
+    * None); other rows in those files are carried unchanged. Table
+    * property `graft.update.mode=mor` routes to [[updatePositions]]
+    * instead — O(matched rows) written, nothing rewritten. */
+  def update(set: Map[String, Column], cond: Option[Column]): Long =
+    if (properties.get("graft.update.mode").contains("mor"))
+      updatePositions(set, cond)
+    else {
     val parentAtRead = latestSnapshotId
     val sch = schema
     set.keys.foreach(k => require(sch.fieldNames.contains(k),
@@ -2245,6 +2469,12 @@ object GraftTable {
   /** Rows per staged tombstone file: batches under this write ONE file
     * from one task; larger forced-MOR batches split across tasks. */
   val MorDeleteFileRows: Long = 4L * 1000 * 1000
+
+  /** Internal bridge columns for position-delete application: the scan's
+    * `_metadata.file_path` / `_metadata.row_index`, renamed so they can
+    * never collide with user schemas that shadow `_metadata`. */
+  private[table] val UriCol = "__graft_scan_uri__"
+  private[table] val PosCol = "__graft_scan_pos__"
 
   private val SnapCacheMax = 10000
   private val snapCache =

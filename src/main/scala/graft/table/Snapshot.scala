@@ -47,7 +47,15 @@ case class DeleteFile(path: String, seq: Long,
       * from merges on the SAME keys are unioned into one anti-join at
       * read; differently-keyed tombstones must stay separate joins (None
       * on legacy snapshots → columns read from the file's footer). */
-    cols: Option[Seq[String]] = None)
+    cols: Option[Seq[String]] = None,
+    /** delete encoding: None/"equality" = key tuples (the merge path);
+      * "position" = (file_path, pos) rows targeting exact row ordinals
+      * in named data files (graft's analogue of an Iceberg v2 position
+      * delete — the cheaper encoding for point deletes: the read applies
+      * it file-locally instead of key-joining the whole group). */
+    content: Option[String] = None) {
+  def isPosition: Boolean = content.contains("position")
+}
 
 /** One data-file change recorded by a commit's manifest: `status` is
   * "add" or "remove"; stats/rows travel with "add" entries (the Iceberg

@@ -93,6 +93,40 @@ class IcebergExportSpec extends SparkSpec {
       (d \ "equality_cols").extract[Seq[String]] === Seq("id")))
   }
 
+  test("position deletes export as content=1 files; in-engine scan and " +
+      "DuckDB hand-walk both apply them") {
+    val t = mkTable("ice-posdel", 30L)
+    t.deletePositions($"id" === 4L || $"id" === 17L)
+    // mix in an equality tombstone: one delete manifest, both encodings
+    t.merge(Seq((9L, "upd", 999L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    assert(t.liveDeletes().count(_.isPosition) === 1)
+    assert(t.liveDeletes().count(!_.isPosition) === 1)
+    IcebergExport.export(spark, t)
+    // in-engine hand-walk equals the graft MOR read
+    val back = IcebergExport.scan(spark, t.location)
+    assert(back.orderBy("id").collect() ===
+      t.read().orderBy("id").collect())
+    assert(back.count() === 28) // 30 - 2 position-deleted (merge replaces)
+    assert(back.filter(col("id").isin(4L, 17L)).count() === 0)
+    // external engine readback (DuckDB + file_row_number anti-join)
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT id, v FROM t ORDER BY id").!!
+    val expect = t.read().orderBy("id").select("id", "v")
+      .as[(Long, String)].collect().map { case (i, v) => s"$i,$v" }.toSeq
+    assert(out.trim.split("\n").drop(1).toSeq === expect)
+    // the plan names both delete encodings
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val plan = JsonMethods.parse(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path, "--plan").!!)
+    val contents = (plan \ "deletes").children
+      .map(d => (d \ "content").extract[String]).sorted
+    assert(contents === List("equality", "position"))
+  }
+
   test("partitioned MOR export keeps the identity data spec; deletes " +
       "ride an unpartitioned spec and readback matches morRead") {
     val t = GraftTable(spark, tmpDir("ice-morpart") + "/t")

@@ -282,9 +282,170 @@ class MergeOnReadSpec extends SparkSpec {
   test("snapshot JSON round-trips delete files and sequence overrides") {
     val s = Snapshot(7L, Some(6L), 123L, "merge", Seq("f1"), Seq.empty,
       "{}", Seq("p"),
-      addedDeleteFiles = Some(Seq(DeleteFile("_deletes/d1.parquet", 7L))),
+      addedDeleteFiles = Some(Seq(DeleteFile("_deletes/d1.parquet", 7L),
+        DeleteFile("_deletes/d2.parquet", 7L, content = Some("position")))),
       removedDeleteFiles = Some(Seq("_deletes/d0.parquet")),
       fileSeqs = Some(Map("f1" -> 3L)))
     assert(Snapshot.fromJson(Snapshot.toJson(s)) === s)
+  }
+
+  // ---- position deletes (the v2 second delete encoding) ----
+
+  test("deletePositions: point delete writes a tombstone, rewrites nothing") {
+    val t = mkTable("pos-basic", 1000L)
+    val filesBefore = t.liveFiles().toSet
+    t.deletePositions($"id" === 5L || $"id" === 700L)
+    val snap = t.snapshots.last
+    assert(snap.operation === "delete")
+    assert(t.removedFilesOf(snap).isEmpty) // nothing rewritten
+    assert(t.liveFiles().toSet === filesBefore)
+    val d = snap.addedDeleteFiles.get
+    assert(d.size === 1 && d.head.isPosition)
+    assert(t.read().count() === 998)
+    assert(t.read().filter($"id" === 5L || $"id" === 700L).count() === 0)
+    // the other rows are intact
+    assert(t.read().filter($"id" === 6L).select("v").as[String].collect()
+      === Array("v6"))
+  }
+
+  test("position deletes are row-identical to the same COW delete") {
+    val cond = col("id") % 7 === 0
+    val cow = mkTable("pos-eq-cow", 200L)
+    val pos = mkTable("pos-eq-pos", 200L)
+    cow.delete(cond)
+    pos.deletePositions(cond)
+    assert(cow.read().orderBy("id").collect()
+      === pos.read().orderBy("id").collect())
+  }
+
+  test("graft.delete.mode=mor routes SQL-style delete() to positions") {
+    val t = mkTable("pos-mode", 100L)
+    t.setProperties(Map("graft.delete.mode" -> "mor"))
+    t.delete($"id" <= 10L)
+    assert(t.snapshots.last.addedDeleteFiles.get.head.isPosition)
+    assert(t.read().count() === 90)
+  }
+
+  test("position tombstones never hit files added at or after their seq") {
+    val t = mkTable("pos-seq", 100L)
+    t.deletePositions($"id" === 1L)
+    // rows re-inserted AFTER the position delete live in new files at a
+    // later sequence — a stale (file,pos) can never resurrect-delete them
+    t.append(Seq((1L, "reborn", 9L)).toDF("id", "v", "ts"))
+    assert(t.read().filter($"id" === 1L).select("v").as[String].collect()
+      === Array("reborn"))
+    assert(t.read().count() === 100)
+  }
+
+  test("position + equality tombstones compose on the same files") {
+    val t = mkTable("pos-mixed", 100L)
+    t.merge(Seq((7L, "u7", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor") // equality tombstone
+    t.deletePositions($"id" === 9L) // position tombstone
+    assert(t.read().count() === 99)
+    assert(t.read().filter($"id" === 7L).select("v").as[String].collect()
+      === Array("u7"))
+    assert(t.read().filter($"id" === 9L).count() === 0)
+    // fold clears both kinds; the folded table scans bare again
+    t.foldDeletes()
+    assert(t.liveDeletes().isEmpty)
+    assert(t.read().count() === 99)
+    assert(t.read().filter($"id" === 9L).count() === 0)
+  }
+
+  test("time travel and changelog across a position delete") {
+    val t = mkTable("pos-cdc", 50L)
+    val before = t.latestSnapshotId.get
+    t.deletePositions($"id" === 3L || $"id" === 4L)
+    val after = t.latestSnapshotId.get
+    assert(t.readAsOf(before).count() === 50)
+    assert(t.readAsOf(after).count() === 48)
+    val ch = t.changes(before, after)
+    val deleted = ch.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted
+    assert(deleted === Array(3L, 4L))
+    assert(ch.filter(col("_change_type") === "insert").count() === 0)
+  }
+
+  test("deletePositions with no matching rows is a no-op commit-wise") {
+    val t = mkTable("pos-nomatch", 20L)
+    val tip = t.latestSnapshotId.get
+    assert(t.deletePositions($"id" === 9999L) === tip)
+    assert(t.snapshots.size === 2) // create + append only
+  }
+
+  // ---- position-delete UPDATE (write.update.mode=merge-on-read) ----
+
+  test("updatePositions: one commit tombstones old rows + appends new, " +
+      "rewrites nothing") {
+    val t = mkTable("posupd-basic", 1000L)
+    val filesBefore = t.liveFiles().toSet
+    t.updatePositions(Map("v" -> lit("touched")),
+      Some($"id" === 5L || $"id" === 700L))
+    val snap = t.snapshots.last
+    assert(snap.operation === "update")
+    assert(t.removedFilesOf(snap).isEmpty) // nothing rewritten
+    assert(filesBefore.subsetOf(t.liveFiles().toSet))
+    val d = snap.addedDeleteFiles.get
+    assert(d.size === 1 && d.head.isPosition)
+    assert(t.read().count() === 1000) // row count unchanged
+    assert(t.read().filter($"v" === "touched")
+      .select("id").as[Long].collect().sorted === Array(5L, 700L))
+    assert(t.read().filter($"id" === 6L).select("v").as[String].collect()
+      === Array("v6"))
+  }
+
+  test("updatePositions is row-identical to the same COW update") {
+    val set = Map("v" -> concat(lit("u-"), col("v")))
+    val cond = Some(col("id") % 7 === 0)
+    val cow = mkTable("posupd-cow", 200L)
+    val pos = mkTable("posupd-pos", 200L)
+    cow.update(set, cond)
+    pos.updatePositions(set, cond)
+    assert(cow.read().orderBy("id").collect()
+      === pos.read().orderBy("id").collect())
+  }
+
+  test("graft.update.mode=mor routes update() to positions") {
+    val t = mkTable("posupd-mode", 100L)
+    t.setProperties(Map("graft.update.mode" -> "mor"))
+    t.update(Map("ts" -> lit(9L)), Some($"id" <= 10L))
+    assert(t.snapshots.last.addedDeleteFiles.get.head.isPosition)
+    assert(t.read().filter($"ts" === 9L).count() === 10)
+    assert(t.read().count() === 100)
+  }
+
+  test("updatePositions cannot resurrect rows dead under live tombstones") {
+    val t = mkTable("posupd-dead", 100L)
+    t.merge(Seq((7L, "gone", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", opCol = Some("v"),
+      deleteOps = Seq("gone"), mode = "mor") // equality-tombstones id=7
+    assert(t.read().filter($"id" === 7L).count() === 0)
+    // a broad update whose predicate would match the dead row's bytes
+    t.updatePositions(Map("v" -> lit("upd")), Some($"id" <= 10L))
+    assert(t.read().filter($"id" === 7L).count() === 0) // still dead
+    assert(t.read().filter($"v" === "upd").count() === 9) // 1..10 minus 7
+    assert(t.read().count() === 99)
+  }
+
+  test("updatePositions chains: second update sees the first's result") {
+    val t = mkTable("posupd-chain", 50L)
+    t.updatePositions(Map("ts" -> lit(2L)), Some($"id" === 10L))
+    t.updatePositions(Map("ts" -> (col("ts") + 5L)),
+      Some($"id" === 10L))
+    assert(t.read().filter($"id" === 10L).select("ts").as[Long].collect()
+      === Array(7L)) // 2 + 5, not 1 + 5 and no duplicate row
+    assert(t.read().count() === 50)
+    t.foldDeletes()
+    assert(t.read().filter($"id" === 10L).select("ts").as[Long].collect()
+      === Array(7L))
+  }
+
+  test("updatePositions with no matching rows is a no-op commit-wise") {
+    val t = mkTable("posupd-nomatch", 20L)
+    val tip = t.latestSnapshotId.get
+    assert(t.updatePositions(Map("v" -> lit("x")),
+      Some($"id" === 9999L)) === tip)
+    assert(t.snapshots.size === 2)
   }
 }

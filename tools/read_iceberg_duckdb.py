@@ -169,12 +169,14 @@ def decode_bound(raw, typ):
 def iceberg_scan_plan(location):
     """-> (schema [(name, iceberg_type)], identity part cols, spec fields,
            [(file, {part_col: value}, lower_bounds, upper_bounds, seq)],
-           [(delete_file, seq, [equality col names])])
+           [(delete_file, seq, [equality col names] | None)])
        bounds are {col_name: decoded_value} from the manifest's
        map<field_id, binary> stats (ids 125/128). The last element lists
-       v2 EQUALITY-delete files (manifest-list content=1, data_file
-       content=2): a delete applies to data files whose data sequence
-       number is strictly lower than the delete's."""
+       v2 delete files (manifest-list content=1): EQUALITY deletes
+       (data_file content=2, cols = their equality column names) apply to
+       data files whose data sequence number is strictly lower;
+       POSITION deletes (data_file content=1, cols=None, rows of
+       (file_path, pos)) apply at data sequence <= the delete's."""
     meta_dir = os.path.join(location, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
         version = int(fh.read().strip())
@@ -211,9 +213,10 @@ def iceberg_scan_plan(location):
             seq = entry.get("sequence_number")
             seq = 1 if seq is None else seq
             if mf.get("content") == 1:  # delete manifest
-                assert df["content"] == 2, \
-                    "only equality deletes are supported by this reader"
-                cols = [by_id[i][0] for i in df["equality_ids"]]
+                assert df["content"] in (1, 2), \
+                    f"unknown delete content {df['content']}"
+                cols = ([by_id[i][0] for i in df["equality_ids"]]
+                        if df["content"] == 2 else None)
                 deletes.append((df["file_path"].replace("file:", ""),
                                 seq, cols))
             else:
@@ -243,6 +246,8 @@ def main():
                        "sequence_number": seq}
                       for p, part, lo, hi, seq in files],
             "deletes": [{"path": p, "sequence_number": seq,
+                         "content": "equality" if cols is not None
+                         else "position",
                          "equality_cols": cols}
                         for p, seq, cols in deletes]}, indent=1))
         return
@@ -262,6 +267,16 @@ def main():
     # not the data files: one branch per (tuple, data sequence)
     # reconstructs them; __gseq carries the file's data sequence so the
     # equality-delete predicate below can scope strictly-older rows
+    pos_deletes = [(p, seq) for p, seq, cols in deletes if cols is None]
+    eq_deletes = [(p, seq, cols) for p, seq, cols in deletes
+                  if cols is not None]
+    # position deletes match on (data file path, row ordinal): the scan
+    # must then carry both as virtual columns
+    meta_cols = (", filename=true, file_row_number=true"
+                 if pos_deletes else "")
+    meta_sel = (', filename AS "__gfile", file_row_number AS "__gpos"'
+                if pos_deletes else "")
+    meta_names = ', "__gfile", "__gpos"' if pos_deletes else ""
     groups = {}
     for path, part, _lo, _hi, seq in files:
         key = (tuple(part.get(c) for c in part_cols), seq)
@@ -273,10 +288,11 @@ def main():
             f", {sql_lit(v, types[c])} AS \"{c}\""
             for c, v in zip(part_cols, key))
         branches.append(
-            f"SELECT * {consts}, {seq} AS __gseq "
-            f"FROM read_parquet([{flist}])")
-    union = " UNION ALL ".join(f"SELECT {col_list}, __gseq FROM ({b})"
-                               for b in branches)
+            f"SELECT * {consts}, {seq} AS __gseq{meta_sel} "
+            f"FROM read_parquet([{flist}]{meta_cols})")
+    union = " UNION ALL ".join(
+        f"SELECT {col_list}, __gseq{meta_names} FROM ({b})"
+        for b in branches)
     import duckdb
     con = duckdb.connect()
     con.execute(f"CREATE VIEW t_base AS {union}")
@@ -284,9 +300,23 @@ def main():
     # sequences); a base row survives when no applicable delete matches:
     # NOT EXISTS with del.__dseq > row.__gseq — the v2 strict ordering
     eq_groups = {}
-    for path, seq, cols in deletes:
+    for path, seq, cols in eq_deletes:
         eq_groups.setdefault(tuple(cols), []).append((path, seq))
     conds = []
+    if pos_deletes:
+        # v2 position semantics: applies at data sequence <= delete's;
+        # file_path values are full URIs — normalized like every other
+        # manifest path in this reader
+        psel = " UNION ALL ".join(
+            "SELECT replace(file_path, 'file:', '') AS file_path, pos, "
+            f"{seq} AS __dseq FROM read_parquet(['" +
+            p.replace("'", "''") + "'])"
+            for p, seq in pos_deletes)
+        con.execute(f"CREATE VIEW pos_d AS {psel}")
+        conds.append("NOT EXISTS (SELECT 1 FROM pos_d "
+                     "WHERE pos_d.file_path = b.\"__gfile\" "
+                     "AND pos_d.pos = b.\"__gpos\" "
+                     "AND pos_d.__dseq >= b.__gseq)")
     for gi, (cols, dfiles) in enumerate(eq_groups.items()):
         dsel = " UNION ALL ".join(
             "SELECT " + ", ".join(f'"{c}"' for c in cols) +
