@@ -21,6 +21,7 @@ import graft.table.{GraftTable, PartitionTransforms}
   *   CALL graft.compact('t' [, files_per_partition => n]
   *                          [, target_file_bytes => b] [, sort_by => 'c1,c2'])
   *   CALL graft.rewrite_manifests('t')
+  *   CALL graft.retrofit_field_ids('t' [, target_file_bytes => b])
   *   CALL graft.rollback('t', snapshot_id => 4)
   *   CALL graft.remove_orphan_files('t' [, older_than_ms => 0])
   *   CALL graft.set_partition_spec('t', spec => 'days(ts)')
@@ -67,6 +68,10 @@ case class GraftCallCommand(proc: String, location: String,
           specArg("sort_by"))
       }
       case "rewrite_manifests" => t.rewriteManifests()
+      case "retrofit_field_ids" => longArg("target_file_bytes") match {
+        case Some(b) => t.retrofitFieldIds(b)
+        case None => t.retrofitFieldIds()
+      }
       case "rollback" => t.rollback(required("snapshot_id"))
       case "remove_orphan_files" =>
         t.removeOrphanFiles(longArg("older_than_ms")
@@ -95,9 +100,10 @@ case class GraftCallCommand(proc: String, location: String,
           throw new IllegalArgumentException(s"graft.$proc needs name")))
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other — supported: " +
-          "expire_snapshots, compact, rewrite_manifests, rollback, " +
-          "remove_orphan_files, set_partition_spec, tag, drop_tag, " +
-          "branch, drop_branch, fast_forward")
+          "expire_snapshots, compact, rewrite_manifests, " +
+          "retrofit_field_ids, rollback, remove_orphan_files, " +
+          "set_partition_spec, tag, drop_tag, branch, drop_branch, " +
+          "fast_forward")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -117,6 +123,7 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "compact" -> (Seq("files_per_partition"),
       Set("target_file_bytes", "sort_by")),
     "rewrite_manifests" -> (Seq.empty, Set.empty),
+    "retrofit_field_ids" -> (Seq.empty, Set("target_file_bytes")),
     "rollback" -> (Seq("snapshot_id"), Set.empty),
     "remove_orphan_files" -> (Seq("older_than_ms"), Set.empty),
     "set_partition_spec" -> (Seq("spec"), Set.empty),

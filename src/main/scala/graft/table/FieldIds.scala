@@ -19,8 +19,9 @@ import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
   *
   * Tables created before this feature have no ids (schemas are frozen
   * in their snapshot JSON); they keep name-mapped semantics and RENAME
-  * stays refused for them — retrofitting ids to already-written files
-  * would require a rewrite to be safe. */
+  * stays refused for them until [[GraftTable.retrofitFieldIds]] rewrites
+  * their live files with id-stamped footers (retrofitting ids without a
+  * rewrite would be unsafe — id-based resolution has no name fallback). */
 object FieldIds {
 
   val GraftKey = "graft.field.id"

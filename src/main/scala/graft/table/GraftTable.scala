@@ -623,7 +623,8 @@ class GraftTable(spark: SparkSession, val location: String,
     require(FieldIds.hasIds(cur),
       s"RENAME COLUMN requires a table created with field ids — " +
         s"$location is name-mapped, so a rename would silently null the " +
-        "column in existing files; ADD a new column and backfill instead")
+        "column in existing files; CALL graft.retrofit_field_ids to " +
+        "rewrite it with ids first (or ADD a new column and backfill)")
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(newName)),
       s"column already exists: $newName")
     val historical = snapshots.flatMap(s =>
@@ -1615,7 +1616,8 @@ class GraftTable(spark: SparkSession, val location: String,
     def tag(df: DataFrame, kind: String, sid: Long): DataFrame =
       df.withColumn("_change_type", lit(kind))
         .withColumn("_commit_snapshot_id", lit(sid))
-    val dataEquivalent = Set("compact", "rewrite-manifests", "fold")
+    val dataEquivalent =
+      Set("compact", "rewrite-manifests", "fold", "retrofit")
     val range = snapshots
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
       .filterNot(s => dataEquivalent(s.operation))
@@ -1770,7 +1772,7 @@ class GraftTable(spark: SparkSession, val location: String,
       _.get("graft.cdc.materialize").contains("true"))) return
     if (snap.base.contains(true)) return
     val noChange = Set("create", "evolve", "set-properties", "set-spec",
-      "compact", "rewrite-manifests", "fold")
+      "compact", "rewrite-manifests", "fold", "retrofit")
     if (noChange(snap.operation)) return
     val sch = schemaAt(Some(snap.snapshotId))
     def tag(df: DataFrame, kind: String, sid: Long): DataFrame =
@@ -1911,6 +1913,43 @@ class GraftTable(spark: SparkSession, val location: String,
     val sr = collectStats(added)
     // tombstone files stay on disk for time travel; expire removes them
     commit("compact", added, removed, _ => schema.json, partitionCols,
+      expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
+      removeDeletes = liveDeletes().map(_.path), bytes = staged.toMap)
+  }
+
+  /** Retrofit stable field ids onto a LEGACY name-mapped table (one whose
+    * create predates [[FieldIds]]), unlocking RENAME COLUMN. Safe only as
+    * a rewrite: existing footers carry no parquet field ids, and Spark's
+    * id-based resolution (SPARK-38094) does not fall back to names — an
+    * id-carrying schema over id-less files would null or refuse, so the
+    * schema may flip to ids ONLY in the same commit that replaces every
+    * live file with id-stamped rewrites. This is that commit: a
+    * compact-shaped rewrite (MOR-folding, like [[compact]]) whose new
+    * schema carries ids 1..n in field order. Time travel is unaffected —
+    * pre-retrofit snapshots keep their id-less schemas and resolve their
+    * own (id-less) files by name, exactly as before. Data-equivalent for
+    * the changelog (no CDC rows), a rewrite barrier for incremental
+    * scans (like compact). No-op on tables already carrying ids. */
+  def retrofitFieldIds(
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(exists, s"no such table: $location")
+    require(branchName.isEmpty, "retrofit must run on the main table")
+    val parentAtRead = latestSnapshotId
+    val cur = schema
+    if (FieldIds.hasIds(cur)) return parentAtRead.get
+    val withIds = FieldIds.assign(cur)
+    val removed = liveFiles()
+    val staged =
+      if (removed.isEmpty) Seq.empty
+      else {
+        val n = math.max(1L, (bytesOf(removed) + targetFileBytes - 1)
+          / targetFileBytes).toInt
+        stageAndMove(align(read().coalesce(n), withIds), partitionCols,
+          clustered = true)
+      }
+    val added = staged.map(_._1)
+    val sr = collectStats(added)
+    commit("retrofit", added, removed, _ => withIds.json, partitionCols,
       expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
       removeDeletes = liveDeletes().map(_.path), bytes = staged.toMap)
   }

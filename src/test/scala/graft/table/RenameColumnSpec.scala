@@ -181,4 +181,76 @@ class RenameColumnSpec extends SparkSpec {
     assert(ch.filter(col("w").isNull).count() === 0)
     assert(ch.count() === 3)
   }
+
+  // ---- legacy retrofit: rewrite-on-demand unlocks RENAME ----
+
+  /** A table whose create predates field ids: plain-schema create commit
+    * plus an append staged WITHOUT id metadata (the legacy write path). */
+  private def mkLegacy(name: String): GraftTable = {
+    val loc = tmpDir(name) + "/t"
+    new java.io.File(loc, "_graft").mkdirs()
+    val t = GraftTable(spark, loc)
+    val plain = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    t.commit("create", Seq.empty, Seq.empty, _ => plain.json, Seq.empty)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1))
+    assert(!FieldIds.hasIds(t.schema))
+    t
+  }
+
+  test("retrofitFieldIds rewrites a legacy table with ids and unlocks " +
+      "RENAME; time travel keeps name-mapped history") {
+    val t = mkLegacy("retro-basic")
+    val preRetrofit = t.latestSnapshotId.get
+    val filesBefore = t.liveFiles().toSet
+    intercept[IllegalArgumentException](t.renameColumn("v", "w"))
+    t.retrofitFieldIds()
+    // a full rewrite: every legacy file replaced, schema now carries ids
+    assert(t.liveFiles().toSet.intersect(filesBefore).isEmpty)
+    assert(FieldIds.hasIds(t.schema))
+    assert(t.snapshots.last.operation === "retrofit")
+    assert(t.read().orderBy("id").as[(Long, String)].collect()
+      === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    // RENAME now works, and pre-retrofit time travel still resolves by
+    // name over the original id-less files
+    t.renameColumn("v", "w")
+    assert(t.read().orderBy("id").select("w").as[String].collect()
+      === Array("a", "b", "c"))
+    assert(t.readAsOf(preRetrofit).orderBy("id").select("v").as[String]
+      .collect() === Array("a", "b", "c"))
+    // appends after the retrofit+rename land under the new name
+    t.append(Seq((4L, "d")).toDF("id", "w"))
+    assert(t.read().count() === 4)
+  }
+
+  test("retrofit is a no-op on id-born tables and data-equivalent for " +
+      "the changelog") {
+    val born = fresh("retro-noop")
+    born.append(Seq((1L, "a")).toDF("id", "v"))
+    val tip = born.latestSnapshotId.get
+    assert(born.retrofitFieldIds() === tip) // no new commit
+    assert(born.snapshots.size === 2)
+
+    val t = mkLegacy("retro-cdc")
+    val lo = t.snapshots.head.snapshotId - 1
+    t.retrofitFieldIds()
+    // the rewrite emits no CDC rows: 3 inserts total, no deletes
+    val ch = t.changes(lo, t.latestSnapshotId.get)
+    assert(ch.filter(col("_change_type") === "delete").count() === 0)
+    assert(ch.count() === 3)
+  }
+
+  test("retrofit folds live MOR tombstones into the rewrite") {
+    val t = mkLegacy("retro-mor")
+    t.merge(Seq((2L, "updated")).toDF("id", "v"), Seq("id"), Seq("id"),
+      "id", mode = "mor")
+    assert(t.liveDeletes().nonEmpty)
+    t.retrofitFieldIds()
+    assert(t.liveDeletes().isEmpty)
+    assert(FieldIds.hasIds(t.schema))
+    assert(t.read().filter(col("id") === 2L).select("v").as[String]
+      .collect() === Array("updated"))
+    assert(t.read().count() === 3)
+  }
 }
