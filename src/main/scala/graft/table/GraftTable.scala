@@ -420,6 +420,15 @@ class GraftTable(spark: SparkSession, val location: String,
       addDeletePaths: Seq[(String, Long)] = Seq.empty,
       addDeleteCols: Option[Seq[String]] = None,
       addDeleteContent: Option[String] = None,
+      // files this commit's content REFERENCES without adding/removing
+      // (position-tombstone targets): re-validated live at the tip on
+      // every publish attempt — Iceberg's validateDataFilesExist. A
+      // concurrent rewrite (compact/fold/COW) that retired one makes the
+      // commit conflict instead of publishing tombstones that name dead
+      // files (which would silently drop the deletes: positions are
+      // physical facts about exact files, unlike equality keys, which
+      // re-apply to rewritten files through their newer sequence).
+      requireLiveFiles: Seq[String] = Seq.empty,
       removeDeletes: Seq[String] = Seq.empty,
       reAddDeletes: Seq[DeleteFile] = Seq.empty,
       txn: Option[(String, Long)] = None,
@@ -461,6 +470,16 @@ class GraftTable(spark: SparkSession, val location: String,
             s"commit conflict on $location: expected parent $exp, " +
               s"found ${parent.map(_.snapshotId).orNull} — recompute the " +
               s"$operation against the current snapshot and retry")
+      }
+      if (requireLiveFiles.nonEmpty) {
+        val live = liveFiles(parent.map(_.snapshotId)).toSet
+        val gone = requireLiveFiles.filterNot(live.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict on $location: $operation references " +
+              s"file(s) a concurrent rewrite retired — " +
+              s"${gone.take(3).mkString(", ")}; recompute against the " +
+              "current snapshot and retry")
       }
       val id = parent.map(_.snapshotId + 1).getOrElse(0L)
       val addedDeletes =
@@ -2217,11 +2236,16 @@ class GraftTable(spark: SparkSession, val location: String,
     * spread over 100 large files rewrites all of them; this writes one
     * tiny tombstone file). Stats-pruned like the COW path: only files
     * whose min/max/Bloom can contain a match are scanned. Concurrent
-    * commits do not conflict (nothing removed — an append-shaped
+    * appends/merges do not conflict (nothing removed — an append-shaped
     * commit); positions are immutable facts about the named files, so
     * late application stays correct, and like equality deletes the
     * tombstone applies only to files added strictly before its sequence.
-    * Auto-folds past the live-tombstone threshold like MOR merges. */
+    * But a concurrent REWRITE (compact/fold/COW) that retires a named
+    * file would strand the tombstone on dead files — silently dropping
+    * the delete — so the commit re-validates its named files live at
+    * the tip on every publish attempt and conflicts if one vanished
+    * (Iceberg's validateDataFilesExist). Auto-folds past the
+    * live-tombstone threshold like MOR merges. */
   def deletePositions(cond: Column): Long = {
     val live = liveFiles()
     val matched = filesMatching(live, cond)
@@ -2248,10 +2272,12 @@ class GraftTable(spark: SparkSession, val location: String,
       val positions = joined.select("file_path", "pos")
       val nRows = positions.count()
       if (nRows == 0) return latestSnapshotId.get
+      val hitFiles = positions.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq
       val staged = stageDeletes(positions.orderBy("file_path", "pos"), nRows)
       val id = commit("delete", Seq.empty, Seq.empty, _ => schema.json,
         partitionCols, addDeletePaths = staged,
-        addDeleteContent = Some("position"))
+        addDeleteContent = Some("position"), requireLiveFiles = hitFiles)
       val maxLive = properties.getOrElse("graft.merge.mor.max-delete-files",
         GraftTable.MorMaxLiveDeleteFiles.toString).toInt
       if (liveDeletes().size > maxLive) {

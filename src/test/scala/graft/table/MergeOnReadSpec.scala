@@ -374,6 +374,28 @@ class MergeOnReadSpec extends SparkSpec {
     assert(t.snapshots.size === 2) // create + append only
   }
 
+  test("position-delete commit conflicts when a concurrent rewrite " +
+      "retired a named file (validateDataFilesExist)") {
+    val t = mkTable("pos-race", 100L)
+    // the file a racing deletePositions would have scanned and named
+    val victim = t.liveFiles().head
+    t.compact() // the "concurrent" rewrite retires it before the publish
+    intercept[java.util.ConcurrentModificationException](
+      t.commit("delete", Seq.empty, Seq.empty, _ => t.schema.json,
+        Seq.empty, addDeletePaths = Seq(("_deletes/never-lands.parquet", 1L)),
+        addDeleteContent = Some("position"),
+        requireLiveFiles = Seq(victim)))
+    // nothing published: the table still reads clean post-compact
+    assert(t.liveDeletes().isEmpty)
+    assert(t.read().count() === 100)
+    // equality tombstones stay append-shaped across the same rewrite:
+    // keys re-apply to the rewritten files through their newer sequence
+    t.merge(Seq((5L, "u5", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), Seq("id"), "ts", mode = "mor")
+    assert(t.read().filter($"id" === 5L).select("v").as[String].collect()
+      === Array("u5"))
+  }
+
   // ---- position-delete UPDATE (write.update.mode=merge-on-read) ----
 
   test("updatePositions: one commit tombstones old rows + appends new, " +
