@@ -19,9 +19,11 @@ import graft.table.{GraftTable, PartitionTransforms}
   *
   *   CALL graft.expire_snapshots('t', keep_last => 3)
   *   CALL graft.compact('t' [, files_per_partition => n]
-  *                          [, target_file_bytes => b] [, sort_by => 'c1,c2'])
+  *                          [, target_file_bytes => b] [, sort_by => 'c1,c2']
+  *                          [, where => 'pred'])
   *   CALL graft.rewrite_manifests('t')
   *   CALL graft.retrofit_field_ids('t' [, target_file_bytes => b])
+  *   CALL graft.prune_dangling_deletes('t')
   *   CALL graft.rollback('t', snapshot_id => 4)
   *   CALL graft.remove_orphan_files('t' [, older_than_ms => 0])
   *   CALL graft.set_partition_spec('t', spec => 'days(ts)')
@@ -61,17 +63,21 @@ case class GraftCallCommand(proc: String, location: String,
             "graft.expire_snapshots needs exactly one of keep_last / " +
               "older_than_ms")
         }
-      case "compact" => longArg("target_file_bytes") match {
-        case Some(b) => t.compactToSize(b, specArg("sort_by"))
-        case None => t.compact(
-          longArg("files_per_partition").getOrElse(1L).toInt,
-          specArg("sort_by"))
-      }
+      case "compact" =>
+        val where = args.get("where")
+          .map(org.apache.spark.sql.functions.expr)
+        longArg("target_file_bytes") match {
+          case Some(b) => t.compactToSize(b, specArg("sort_by"), where)
+          case None => t.compact(
+            longArg("files_per_partition").getOrElse(1L).toInt,
+            specArg("sort_by"), where)
+        }
       case "rewrite_manifests" => t.rewriteManifests()
       case "retrofit_field_ids" => longArg("target_file_bytes") match {
         case Some(b) => t.retrofitFieldIds(b)
         case None => t.retrofitFieldIds()
       }
+      case "prune_dangling_deletes" => t.pruneDanglingDeletes()
       case "rollback" => t.rollback(required("snapshot_id"))
       case "remove_orphan_files" =>
         t.removeOrphanFiles(longArg("older_than_ms")
@@ -101,9 +107,9 @@ case class GraftCallCommand(proc: String, location: String,
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other — supported: " +
           "expire_snapshots, compact, rewrite_manifests, " +
-          "retrofit_field_ids, rollback, remove_orphan_files, " +
-          "set_partition_spec, tag, drop_tag, branch, drop_branch, " +
-          "fast_forward")
+          "retrofit_field_ids, prune_dangling_deletes, rollback, " +
+          "remove_orphan_files, set_partition_spec, tag, drop_tag, " +
+          "branch, drop_branch, fast_forward")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -121,9 +127,10 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "expire_snapshots" -> (Seq("keep_last"),
       Set("older_than_ms", "retain_last")),
     "compact" -> (Seq("files_per_partition"),
-      Set("target_file_bytes", "sort_by")),
+      Set("target_file_bytes", "sort_by", "where")),
     "rewrite_manifests" -> (Seq.empty, Set.empty),
     "retrofit_field_ids" -> (Seq.empty, Set("target_file_bytes")),
+    "prune_dangling_deletes" -> (Seq.empty, Set.empty),
     "rollback" -> (Seq("snapshot_id"), Set.empty),
     "remove_orphan_files" -> (Seq("older_than_ms"), Set.empty),
     "set_partition_spec" -> (Seq("spec"), Set.empty),

@@ -1587,8 +1587,10 @@ class GraftTable(spark: SparkSession, val location: String,
     // zero-file metadata commits (schema/property/spec changes) add and
     // remove nothing — they are safe to cross, not rewrites
     val appends = range.filter(s => s.operation match {
+      // prune-deletes retires inert tombstone refs, adds and removes no
+      // data files — safe to cross, like the other metadata commits
       case "append" | "create" | "evolve" | "set-properties" |
-           "set-spec" => true
+           "set-spec" | "prune-deletes" => true
       case _ => false
     })
     if (!skipRewrites) {
@@ -1636,7 +1638,8 @@ class GraftTable(spark: SparkSession, val location: String,
       df.withColumn("_change_type", lit(kind))
         .withColumn("_commit_snapshot_id", lit(sid))
     val dataEquivalent =
-      Set("compact", "rewrite-manifests", "fold", "retrofit")
+      Set("compact", "rewrite-manifests", "fold", "retrofit",
+        "prune-deletes")
     val range = snapshots
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
       .filterNot(s => dataEquivalent(s.operation))
@@ -1791,7 +1794,8 @@ class GraftTable(spark: SparkSession, val location: String,
       _.get("graft.cdc.materialize").contains("true"))) return
     if (snap.base.contains(true)) return
     val noChange = Set("create", "evolve", "set-properties", "set-spec",
-      "compact", "rewrite-manifests", "fold", "retrofit")
+      "compact", "rewrite-manifests", "fold", "retrofit",
+      "prune-deletes")
     if (noChange(snap.operation)) return
     val sch = schemaAt(Some(snap.snapshotId))
     def tag(df: DataFrame, kind: String, sid: Long): DataFrame =
@@ -1904,21 +1908,46 @@ class GraftTable(spark: SparkSession, val location: String,
     * target-file-size-bytes), then [[compact]]. No filesystem metadata
     * RPCs — the sizes ride in the manifests. */
   def compactToSize(targetFileBytes: Long = 128L * 1024 * 1024,
-      sortBy: Seq[String] = Seq.empty): Long = {
+      sortBy: Seq[String] = Seq.empty,
+      where: Option[Column] = None): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val n = math.max(1L, (bytesOf(liveFiles()) + targetFileBytes - 1)
+    val scoped = where match {
+      case Some(c) => filesMatching(liveFiles(), c)
+      case None => liveFiles()
+    }
+    val n = math.max(1L, (bytesOf(scoped) + targetFileBytes - 1)
       / targetFileBytes).toInt
-    compact(filesPerPartition = n, sortBy = sortBy)
+    compact(filesPerPartition = n, sortBy = sortBy, where = where)
   }
 
+  /** @param where optional SCOPE predicate (the Iceberg
+    *   rewrite_data_files `where` filter): only live files actually
+    *   containing matching rows (a stats-pruned scan verifies — see
+    *   [[filesMatching]]) are rewritten; the rest of the table is
+    *   untouched.
+    *   At scale this is the only usable shape — a 100 TB table compacts
+    *   one partition's small-file debt without rewriting 100 TB.
+    *   Tombstones applicable to in-scope files fold into the rewrite
+    *   (rewritten files' NEW add-sequence is above every live tombstone,
+    *   so nothing re-applies or double-deletes); tombstone FILES are
+    *   retired only on a full compact, since out-of-scope data may
+    *   still need them. */
   def compact(filesPerPartition: Int = 1,
-      sortBy: Seq[String] = Seq.empty): Long = {
+      sortBy: Seq[String] = Seq.empty,
+      where: Option[Column] = None): Long = {
     val parentAtRead = latestSnapshotId
-    val removed = liveFiles()
-    // read() is MOR-aware, so compaction FOLDS tombstones into the
-    // rewritten data and retires the delete files — the Iceberg
-    // rewrite_data_files + rewrite_position_delete_files pair in one.
-    val df0 = read()
+    val all = liveFiles()
+    val removed = where match {
+      case Some(c) => filesMatching(all, c)
+      case None => all
+    }
+    if (removed.isEmpty) return parentAtRead.getOrElse(
+      throw new IllegalStateException(s"no such table: $location"))
+    val full = removed.size == all.size
+    // the scoped read is MOR-aware, so compaction FOLDS tombstones into
+    // the rewritten data — the Iceberg rewrite_data_files +
+    // rewrite_position_delete_files pair in one.
+    val df0 = if (full) read() else readFilesOf(removed)
     val df =
       if (sortBy.nonEmpty)
         df0.repartitionByRange(math.max(filesPerPartition, 1),
@@ -1933,7 +1962,46 @@ class GraftTable(spark: SparkSession, val location: String,
     // tombstone files stay on disk for time travel; expire removes them
     commit("compact", added, removed, _ => schema.json, partitionCols,
       expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
-      removeDeletes = liveDeletes().map(_.path), bytes = staged.toMap)
+      removeDeletes = if (full) liveDeletes().map(_.path) else Seq.empty,
+      bytes = staged.toMap)
+  }
+
+  /** Retire tombstone FILES that no longer apply to ANY live data file —
+    * dangling deletes, the cleanup half of Iceberg's
+    * rewrite_position_delete_files. Scoped compacts strand tombstones by
+    * design (rewritten files' new add-sequence is above every tombstone,
+    * but out-of-scope files may still need them); once the last
+    * applicable file is rewritten the tombstone is inert, yet still
+    * counts against the auto-fold threshold and the morRead group count.
+    * This is a ZERO-FILE metadata commit: a tombstone is dangling when
+    * no live file is strictly older than its sequence (equality), or —
+    * for position tombstones — none of its NAMED files is both live and
+    * older. Tombstone parquet stays on disk for time travel; expire
+    * collects it. */
+  def pruneDanglingDeletes(): Long = {
+    val parentAtRead = latestSnapshotId
+    val deletes = liveDeletes()
+    if (deletes.isEmpty) return parentAtRead.getOrElse(
+      throw new IllegalStateException(s"no such table: $location"))
+    val addSeq = fileAddSeqs(None)
+    val live = liveFiles()
+    def applies(d: DeleteFile): Boolean = {
+      val candidates = live.filter(f =>
+        d.seq > addSeq.getOrElse(f, Long.MaxValue))
+      if (candidates.isEmpty) false
+      else if (!d.isPosition) true // keys may hit any older file
+      else {
+        val named = spark.read.parquet(s"$location/${d.path}")
+          .select("file_path").distinct().collect()
+          .map(_.getString(0)).toSet
+        candidates.exists(named.contains)
+      }
+    }
+    val dangling = deletes.filterNot(applies)
+    if (dangling.isEmpty) return parentAtRead.get
+    commit("prune-deletes", Seq.empty, Seq.empty, _ => schema.json,
+      partitionCols, expectedParent = parentAtRead,
+      removeDeletes = dangling.map(_.path))
   }
 
   /** Retrofit stable field ids onto a LEGACY name-mapped table (one whose

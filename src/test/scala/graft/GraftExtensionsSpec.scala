@@ -406,6 +406,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM ext_call").as[Long]
       .collect()(0) === 200L)
 
+    // scoped compact: a where predicate rewrites only matching files
+    val preScoped = t.liveFiles().toSet
+    spark.sql("CALL graft.compact('ext_call', where => 'id <= 100')")
+    assert(t.snapshots.last.operation === "compact")
+    // the second append's files (101..200) are untouched
+    assert(t.liveFiles().toSet.intersect(preScoped).size === 2)
+    assert(spark.sql("SELECT count(*) FROM ext_call").as[Long]
+      .collect()(0) === 200L)
+
     // rewrite_manifests folds the chain into a base snapshot
     spark.sql("CALL graft.system.rewrite_manifests('ext_call')")
     assert(t.snapshots.last.operation === "rewrite-manifests")

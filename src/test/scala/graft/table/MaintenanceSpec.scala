@@ -133,6 +133,92 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.read().count() === 4000)
   }
 
+  test("compact(where) rewrites only in-scope files; out-of-scope " +
+      "partitions and their tombstones are untouched") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable("mt-compact-where")
+    // two partitions, fragmented into 3 small files each
+    (1 to 3).foreach { k =>
+      t.append(Seq((k.toLong, "a", s"a$k"), (k + 10L, "b", s"b$k"))
+        .toDF("id", "part", "v"), parts = Seq("part"))
+    }
+    // MOR tombstones against BOTH partitions
+    t.merge(Seq((1L, "a", "a1-upd"), (11L, "b", "b1-upd"))
+      .toDF("id", "part", "v"), Seq("id"), Seq("id"), "id", mode = "mor")
+    val before = t.read().orderBy("id").collect().toSeq
+    val bFiles = t.liveFiles().filter(_.contains("part=b")).toSet
+    t.compact(where = Some(col("part") === "a"))
+    // partition b's files survive byte-identical; a's are merged
+    assert(t.liveFiles().filter(_.contains("part=b")).toSet === bFiles)
+    assert(t.liveFiles().count(_.contains("part=a")) === 1)
+    // tombstone files stay live (partition b still needs them) and the
+    // read is unchanged — a's fold baked in, no double-apply
+    assert(t.liveDeletes().nonEmpty)
+    assert(t.read().orderBy("id").collect().toSeq === before)
+    // a full compact afterwards retires the tombstones
+    t.compact()
+    assert(t.liveDeletes().isEmpty)
+    assert(t.read().orderBy("id").collect().toSeq === before)
+  }
+
+  test("compact(where) scope is stats-pruned and no-ops on no match") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable("mt-compact-scope")
+    // disjoint id ranges per file so min/max stats prune precisely
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.append((101L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1))
+    t.append((201L to 300L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1))
+    val files = t.liveFiles().toSet
+    val tip = t.latestSnapshotId.get
+    // predicate outside every file's bounds: nothing rewritten, no commit
+    assert(t.compact(where = Some(col("id") > 1000L)) === tip)
+    assert(t.liveFiles().toSet === files)
+    // predicate hitting one file's bounds rewrites exactly that file
+    t.compact(where = Some(col("id") <= 50L))
+    val after = t.liveFiles().toSet
+    assert(after.intersect(files).size === 2) // two files untouched
+    assert(t.read().count() === 300)
+  }
+
+  test("pruneDanglingDeletes retires inert tombstones, keeps applicable " +
+      "ones; incremental reads cross the metadata commit") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable("mt-prune-dangling")
+    (1 to 2).foreach { k =>
+      t.append(Seq((k.toLong, "a", s"a$k"), (k + 10L, "b", s"b$k"))
+        .toDF("id", "part", "v"), parts = Seq("part"))
+    }
+    // a position tombstone naming only partition-a files, and an
+    // equality tombstone (applies to anything older by key)
+    t.deletePositions(col("id") === 1L)
+    t.merge(Seq((11L, "b", "b1-upd")).toDF("id", "part", "v"),
+      Seq("id"), Seq("id"), "id", mode = "mor")
+    assert(t.liveDeletes().size === 2)
+    val before = t.read().orderBy("id").collect().toSeq
+    // nothing dangles yet: both tombstones still apply
+    val tip = t.latestSnapshotId.get
+    assert(t.pruneDanglingDeletes() === tip)
+    // scoped compact of partition a strands the position tombstone
+    // (its named files are rewritten) but folds its effect in
+    t.compact(where = Some(col("part") === "a"))
+    assert(t.liveDeletes().size === 2) // scoped compact keeps both
+    val pruned = t.pruneDanglingDeletes()
+    assert(t.snapshots.last.operation === "prune-deletes")
+    // the position tombstone is gone, the equality one (older b files
+    // still live) survives
+    val left = t.liveDeletes()
+    assert(left.size === 1 && !left.head.isPosition)
+    assert(t.read().orderBy("id").collect().toSeq === before)
+    // incremental reads CROSS prune-deletes like any metadata commit:
+    // a range starting before it and ending after the append refuses
+    // only on real rewrites (the compact), not on the prune
+    t.append(Seq((99L, "a", "late")).toDF("id", "part", "v"))
+    val inc = t.readIncremental(pruned - 1, t.latestSnapshotId.get)
+    assert(inc.select("id").as[Long].collect() === Array(99L))
+  }
+
   test("compactToSize sizes output from manifest-recorded bytes") {
     val t = freshTable("mt-compact-size")
     (1 to 6).foreach(i =>
