@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Token-window chunking for LLM training-data preparation: split each
+  * document into fixed-size token windows (optionally overlapping — the
+  * context-window prep shape), and exact-dedup at chunk granularity with
+  * global keep-first-occurrence semantics (the C4/RefinedWeb paragraph-
+  * dedup approach, on deterministic token boundaries since the corpus
+  * carries no structural separators).
+  *
+  * Scale shape: chunking is MAP-ONLY (one Generate per doc, no shuffle);
+  * chunk dedup is explode → one hash shuffle on the chunk fingerprint →
+  * join back on the same key → one per-doc rollup — all linear in corpus
+  * size, no doc-pair product anywhere. */
+object Chunking {
+
+  import graft.functions.TextFunctions.tokens
+
+  private def tokCol(textCol: String): Column = tokens(col(textCol))
+
+  /** Explode `docs` into token windows of `chunkSize`, starting every
+    * `stride` tokens (stride < chunkSize ⇒ overlapping windows; stride ==
+    * chunkSize ⇒ a partition of the doc). The last window of a doc may be
+    * short (`n_tokens` < chunkSize). Output: (doc_id, chunk_idx,
+    * chunk_text, n_tokens), one row per window, empty docs dropped. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    docs
+      .select(col(idCol).as("doc_id"), tokCol(textCol).as("t"))
+      // normalize("") splits to [""] — treat as empty, not a 1-token doc
+      .filter(size(col("t")) > 0 && col("t").getItem(0) =!= "")
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / stride).cast("int"))).as("i"))
+      .select(col("doc_id"),
+        col("i").cast("long").as("chunk_idx"),
+        array_join(slice(col("t"), col("i") * stride + 1, lit(chunkSize)),
+          " ").as("chunk_text"),
+        least(lit(chunkSize), size(col("t")) - col("i") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Exact chunk-level dedup, keep-first: partition every doc into
+    * non-overlapping `chunkSize`-token chunks, keep each distinct chunk
+    * text only at its globally FIRST occurrence (ordered by (doc_id,
+    * chunk_idx)), drop every later repeat, and reassemble the surviving
+    * chunks per doc. Output: (doc_id, n_chunks, n_kept, clean_text) — a
+    * doc whose every chunk appeared earlier elsewhere survives with
+    * n_kept = 0 and empty clean_text (the caller filters).
+    *
+    * The winner per fingerprint is `min(struct(doc_id, chunk_idx))` — a
+    * total order (doc ids unique), so the result is deterministic and
+    * engine-portable; the md5 fingerprint only routes the shuffle, the
+    * keep decision compares the ORDER key, so a collision cannot flip
+    * which occurrence survives — it could only merge two distinct texts
+    * (astronomically unlikely, and identically in any engine). */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    val chunks = chunk(docs, idCol, textCol, chunkSize, chunkSize)
+      .withColumn("h", md5(col("chunk_text")))
+    val winners = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+    val kept = chunks.join(winners, "h")
+      .filter(col("w.doc_id") === col("doc_id") &&
+        col("w.chunk_idx") === col("chunk_idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"),
+            col("chunk_text")))),
+          x => x.getField("chunk_text")), " ").as("clean_text"))
+    val totals = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

@@ -302,7 +302,67 @@ object DedupQueries {
     s"""SELECT DISTINCT md5($normSql) AS fingerprint
        |FROM documents ORDER BY fingerprint""".stripMargin
 
+  /** Token-window chunking with overlap (LLM context-window prep):
+    * 32-token windows starting every 24 tokens. Map-only — one Generate,
+    * no shuffle; the oracle re-derives every window boundary. */
+  val qChunk: Q = (s, dir) => {
+    graft.operators.Chunking.chunk(Tables.load(s, dir, "documents"),
+      "doc_id", "text", chunkSize = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+  val qChunkSql: String =
+    s"""WITH m AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (SELECT doc_id, t,
+       |        unnest(range((len(t)-1)//24 + 1)) AS chunk_idx
+       |      FROM m WHERE len(t) > 0 AND t[1] <> '')
+       |SELECT doc_id, chunk_idx,
+       |  array_to_string(t[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+       |    AS chunk_text,
+       |  least(32, len(t) - chunk_idx*24) AS n_tokens
+       |FROM g ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Chunk-level exact dedup, keep-first-occurrence (the C4/RefinedWeb
+    * paragraph-dedup shape on deterministic 16-token boundaries). Planted
+    * full-document copies (doc_id % 7, re-idded) must come back with
+    * n_kept = 0 — every chunk already appeared at the original. */
+  val qChunkDedup: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val planted = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    graft.operators.Chunking.chunkDedup(docs.unionByName(planted),
+      "doc_id", "text", chunkSize = 16)
+      .orderBy(col("doc_id"))
+  }
+  val qChunkDedupSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       |m AS (SELECT doc_id, $toksSql AS t FROM base),
+       |g AS (SELECT doc_id, t,
+       |        unnest(range((len(t)-1)//16 + 1)) AS chunk_idx
+       |      FROM m WHERE len(t) > 0 AND t[1] <> ''),
+       |c AS (SELECT doc_id, chunk_idx,
+       |        array_to_string(t[chunk_idx*16+1 : chunk_idx*16+16], ' ')
+       |          AS chunk_text
+       |      FROM g),
+       |w AS (SELECT *, row_number() OVER (
+       |        PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+       |      FROM c),
+       |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |        string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+       |          AS clean_text
+       |      FROM w WHERE rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_chunks,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  COALESCE(k.clean_text, '') AS clean_text
+       |FROM tot LEFT JOIN k USING (doc_id)
+       |ORDER BY tot.doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_chunk", qChunk, Some(qChunkSql)),
+    ("q_chunk_dedup", qChunkDedup, Some(qChunkDedupSql)),
     ("q_dedup_stream", qDedupStream, Some(qDedupStreamSql)),
     ("q_span_dedup", qSpanDedup, Some(qSpanDedupSql)),
     ("q_dedup_embedding_lsh", qDedupEmbeddingLsh, Some(qDedupEmbeddingLshSql)),

@@ -170,4 +170,43 @@ class DedupSpec extends SparkSpec {
         .getBytes("UTF-8"))
     assert(fps(0) === direct)
   }
+
+  test("chunk: overlapping token windows with exact boundaries") {
+    // 10 tokens, size 4, stride 3 -> starts at 0,3,6,9
+    val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val r = Chunking.chunk(d, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    assert(r === Array(
+      (0L, "a b c d", 4L), (1L, "d e f g", 4L),
+      (2L, "g h i j", 4L), (3L, "j", 1L)))
+    // empty and whitespace-only docs vanish; short docs yield one chunk
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "x y")).toDF("doc_id", "text")
+    val e = Chunking.chunk(edge, "doc_id", "text", 4, 4)
+      .select("doc_id", "chunk_text", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    assert(e === Array((3L, "x y", 2L)))
+  }
+
+  test("chunkDedup keeps first occurrence globally, reassembles in order") {
+    val d = Seq(
+      (1L, "a b c d w x y z"),   // chunks: "a b c d", "w x y z"
+      (2L, "a b c d p q r s"),   // first chunk repeats doc 1
+      (3L, "w x y z a b c d"))   // both chunks repeat earlier docs
+      .toDF("doc_id", "text")
+    val r = Chunking.chunkDedup(d, "doc_id", "text", chunkSize = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(r === Array(
+      (1L, 2L, 2L, "a b c d w x y z"),
+      (2L, 2L, 1L, "p q r s"),
+      (3L, 2L, 0L, "")))
+    // keep-first is ordered WITHIN a doc too: a chunk repeated inside
+    // one doc survives only at its first index
+    val self = Seq((9L, "m n o p m n o p")).toDF("doc_id", "text")
+    val s9 = Chunking.chunkDedup(self, "doc_id", "text", 4)
+      .as[(Long, Long, Long, String)].collect()
+    assert(s9 === Array((9L, 2L, 1L, "m n o p")))
+  }
 }
