@@ -346,6 +346,57 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Incrementally-maintained rollup (materialized-view maintenance):
+    * dst tracks GROUP BY o_orderstatus sums/counts of a source table
+    * through append + MOR-merge update/insert + COW delete, applying
+    * CHANGELOG DELTAS only — never re-aggregating the source. The oracle
+    * is the full recompute over the equivalent final state: correct only
+    * if every delta (insert, update pre/post, delete) netted exactly.
+    * Prices go through DECIMAL(18,2) so sums are order-insensitive
+    * across engines (the q1_agg idiom). */
+  val qRollupIncremental: Q = (s, dir) => {
+    import graft.pipeline.IncrementalRollup
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+    val src = GraftTable(s, scratch("rollsrc"))
+    src.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", dec(col("o_totalprice"))),
+      parts = Seq("o_orderstatus"))
+    val dst = GraftTable(s, scratch("rolldst"))
+    IncrementalRollup.maintain(src, dst, Seq("o_orderstatus"),
+      Seq("o_totalprice"), "roll")
+    src.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", dec(col("o_totalprice"))))
+    src.merge(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", dec(col("o_totalprice") * 2)),
+      keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    src.delete(col("o_orderkey") % 7 === 0)
+    IncrementalRollup.maintain(src, dst, Seq("o_orderstatus"),
+      Seq("o_totalprice"), "roll")
+    dst.read().select(col("o_orderstatus"),
+      col("o_totalprice_sum").cast("double").as("total_sum"), col("n"))
+      .orderBy("o_orderstatus")
+  }
+  val qRollupIncrementalSql: String =
+    """WITH priced AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p0
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 5 = 0
+      |      THEN CAST(p0 * 2 AS DECIMAL(18,2)) ELSE p0 END AS p
+      |  FROM priced
+      |  WHERE (o_orderkey % 3 IN (0, 1) OR o_orderkey % 5 = 0)
+      |    AND o_orderkey % 7 <> 0)
+      |SELECT o_orderstatus,
+      |  CAST(SUM(p) AS DOUBLE) AS total_sum,
+      |  COUNT(*) AS n
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The reference's exact consumer topology — external engines over ONE
     * months()-partitioned silver table (bronze-silver.py:199-201,
     * README.md:127-197) — through the export loop: hidden month
@@ -645,6 +696,8 @@ object TableQueries {
     ("q_branch_wap", qBranchWap, Some(qBranchWapSql)),
     ("q_delete_positions", qDeletePositions, Some(qDeletePositionsSql)),
     ("q_update_positions", qUpdatePositions, Some(qUpdatePositionsSql)),
+    ("q_rollup_incremental", qRollupIncremental,
+      Some(qRollupIncrementalSql)),
     ("q_table_changes", qTableChanges, Some(qTableChangesSql)),
     ("q_table_changes_materialized", qTableChangesMaterialized,
       Some(qTableChangesSql)),

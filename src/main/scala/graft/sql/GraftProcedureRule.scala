@@ -24,6 +24,8 @@ import graft.table.{GraftTable, PartitionTransforms}
   *   CALL graft.rewrite_manifests('t')
   *   CALL graft.retrofit_field_ids('t' [, target_file_bytes => b])
   *   CALL graft.prune_dangling_deletes('t')
+  *   CALL graft.maintain_rollup('src', dst => 't-or-path',
+  *                              keys => 'k1,k2', sums => 'v1', app_id => 'x')
   *   CALL graft.rollback('t', snapshot_id => 4)
   *   CALL graft.remove_orphan_files('t' [, older_than_ms => 0])
   *   CALL graft.set_partition_spec('t', spec => 'days(ts)')
@@ -42,6 +44,30 @@ case class GraftCallCommand(proc: String, location: String,
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("result", LongType, nullable = false)())
+
+  /** A registered graft catalog table's location, or — for names that
+    * are paths (contain '/') — the path itself. Used for secondary table
+    * arguments resolved at RUN time (the primary table resolves at plan
+    * time in [[GraftProcedureRule]]). */
+  private def resolveLoc(spark: SparkSession, name: String): String = {
+    val cat = spark.sessionState.catalog
+    val ident = name.split('.') match {
+      case Array(tn) => Some(TableIdentifier(tn))
+      case Array(db, tn) => Some(TableIdentifier(tn, Some(db)))
+      case _ => None
+    }
+    ident.filter(cat.tableExists).flatMap { id =>
+      val m = cat.getTableMetadata(id)
+      if (m.provider.exists(_.equalsIgnoreCase("graft")))
+        m.storage.properties.get("path")
+          .orElse(m.storage.locationUri.map(_.toString))
+      else None
+    }.getOrElse {
+      require(name.contains("/"),
+        s"must be a registered graft table or a path: $name")
+      name
+    }
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftTable(spark, location)
@@ -78,6 +104,17 @@ case class GraftCallCommand(proc: String, location: String,
         case None => t.retrofitFieldIds()
       }
       case "prune_dangling_deletes" => t.pruneDanglingDeletes()
+      case "maintain_rollup" =>
+        // first arg = the SOURCE (always exists); dst may be created by
+        // the first round, so it resolves by registered name OR path
+        def req(k: String): String = args.getOrElse(k,
+          throw new IllegalArgumentException(s"graft.$proc needs $k"))
+        def list(k: String): Seq[String] =
+          req(k).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val dst = GraftTable(spark, resolveLoc(spark, req("dst")))
+        graft.pipeline.IncrementalRollup.maintain(
+          t, dst, list("keys"), list("sums"), req("app_id"))
+          .map(_._2).getOrElse(-1L)
       case "rollback" => t.rollback(required("snapshot_id"))
       case "remove_orphan_files" =>
         t.removeOrphanFiles(longArg("older_than_ms")
@@ -107,9 +144,9 @@ case class GraftCallCommand(proc: String, location: String,
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other — supported: " +
           "expire_snapshots, compact, rewrite_manifests, " +
-          "retrofit_field_ids, prune_dangling_deletes, rollback, " +
-          "remove_orphan_files, set_partition_spec, tag, drop_tag, " +
-          "branch, drop_branch, fast_forward")
+          "retrofit_field_ids, prune_dangling_deletes, maintain_rollup, " +
+          "rollback, remove_orphan_files, set_partition_spec, tag, " +
+          "drop_tag, branch, drop_branch, fast_forward")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -131,6 +168,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "rewrite_manifests" -> (Seq.empty, Set.empty),
     "retrofit_field_ids" -> (Seq.empty, Set("target_file_bytes")),
     "prune_dangling_deletes" -> (Seq.empty, Set.empty),
+    "maintain_rollup" -> (Seq.empty,
+      Set("dst", "keys", "sums", "app_id")),
     "rollback" -> (Seq("snapshot_id"), Set.empty),
     "remove_orphan_files" -> (Seq("older_than_ms"), Set.empty),
     "set_partition_spec" -> (Seq("spec"), Set.empty),

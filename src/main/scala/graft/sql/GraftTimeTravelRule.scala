@@ -77,7 +77,8 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       at.last.snapshotId
   }
 
-  /** `t.history` / `t.snapshots` / `t.files`: the Iceberg metadata-table
+  /** `t.history` / `t.snapshots` / `t.files` / `t.partitions` /
+    * `t.delete_files`: the Iceberg metadata-table
     * naming — resolves to the matching metadata view of catalog table
     * `t`, unless the two-part name is a REAL catalog table (a genuine
     * `db.table` always wins). */
@@ -85,7 +86,8 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val parts = u.multipartIdentifier
     if (parts.size != 2) return None
     val meta = parts(1).toLowerCase(java.util.Locale.ROOT)
-    if (!Set("history", "snapshots", "files", "partitions").contains(meta))
+    if (!Set("history", "snapshots", "files", "partitions",
+        "delete_files").contains(meta))
       return None
     val catalog = spark.sessionState.catalog
     // a real db.table of this name shadows the metadata view
@@ -103,6 +105,7 @@ class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case "snapshots" => t.metaSnapshots
       case "files" => t.metaFiles
       case "partitions" => t.metaPartitions
+      case "delete_files" => t.metaDeletes
     }
     Some(df.queryExecution.analyzed)
   }

@@ -268,6 +268,20 @@ class GraftTable(spark: SparkSession, val location: String,
       "lower_bounds", "upper_bounds")
   }
 
+  /** Iceberg `.delete_files`-shaped metadata view: the LIVE tombstone
+    * set — path, applying sequence, encoding (equality|position),
+    * equality key columns, recorded bytes. The audit an operator runs
+    * before sizing a fold/compaction (morRead plan cost is a function of
+    * exactly this list). */
+  def metaDeletes: DataFrame = {
+    import spark.implicits._
+    liveDeletes().map { d =>
+      (d.path, d.seq,
+        if (d.isPosition) "position" else "equality",
+        d.cols.getOrElse(Seq.empty), d.bytes.getOrElse(-1L))
+    }.toDF("file_path", "sequence", "content", "equality_cols", "bytes")
+  }
+
   /** Iceberg `.partitions`-shaped metadata view: per-partition file/
     * row/byte rollup over the LIVE set, straight from manifest metadata
     * (no data file is ever opened) — the small-file and skew audit an
@@ -2471,17 +2485,23 @@ class GraftTable(spark: SparkSession, val location: String,
     * batch. */
   def merge(source: DataFrame, keys: Seq[String], dedupKey: Seq[String],
       orderCol: String, opCol: Option[String] = None,
-      deleteOps: Seq[String] = Seq("D"), mode: String = "cow"): Long =
+      deleteOps: Seq[String] = Seq("D"), mode: String = "cow",
+      // idempotent-writer stamp, same contract as append(txn=...): a
+      // (appId, batchId) already at-or-below the last committed batch
+      // for appId makes the merge a no-op — exactly-once incremental
+      // consumers (TableFeed, IncrementalRollup) replay crashes safely
+      txn: Option[(String, Long)] = None): Long =
     MergeInto.merge(spark, this, source, keys, dedupKey, orderCol, opCol,
-      deleteOps, mode)
+      deleteOps, mode, txn)
 
   private[table] def commitMerge(staged: Seq[(String, Long)],
-      removed: Seq[String], expectedParent: Option[Long]): Long = {
+      removed: Seq[String], expectedParent: Option[Long],
+      txn: Option[(String, Long)] = None): Long = {
     val added = staged.map(_._1)
     val sr = collectStats(added)
     commit("merge", added, removed, _ => schema.json, partitionCols,
       expectedParent = expectedParent, stats = sr._1, rows = sr._2,
-      bytes = staged.toMap)
+      txn = txn, bytes = staged.toMap)
   }
 
   /** MOR merge commit: new data files + one equality-delete file, nothing
@@ -2493,13 +2513,14 @@ class GraftTable(spark: SparkSession, val location: String,
     * wins per key — the same answer sequential merges give). Concurrent
     * CDC upsert streams therefore never abort each other. */
   private[table] def commitMergeMor(staged: Seq[(String, Long)],
-      deleteStaged: Seq[(String, Long)], keyCols: Seq[String]): Long = {
+      deleteStaged: Seq[(String, Long)], keyCols: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     val added = staged.map(_._1)
     val sr = collectStats(added)
     val id = commit("merge", added, Seq.empty, _ => schema.json,
       partitionCols, stats = sr._1, rows = sr._2,
       addDeletePaths = deleteStaged, addDeleteCols = Some(keyCols),
-      bytes = staged.toMap)
+      txn = txn, bytes = staged.toMap)
     // auto-fold: a long-running MOR stream must not degrade until an
     // operator remembers to compact — once live tombstone files exceed
     // the threshold, fold them into the (bounded set of) affected data

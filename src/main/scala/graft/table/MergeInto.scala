@@ -159,7 +159,8 @@ object MergeInto {
   def merge(spark: SparkSession, target: GraftTable, source: DataFrame,
       keys: Seq[String], dedupKey: Seq[String], orderCol: String,
       opCol: Option[String] = None,
-      deleteOps: Seq[String] = Seq("D"), mode: String = "cow"): Long = {
+      deleteOps: Seq[String] = Seq("D"), mode: String = "cow",
+      txn: Option[(String, Long)] = None): Long = {
     require(Set("cow", "mor", "auto").contains(mode),
       s"merge mode must be cow|mor|auto, got $mode")
     val parentAtRead = target.latestSnapshotId
@@ -209,7 +210,7 @@ object MergeInto {
         target.stageForMerge(inserts))
       deduped.unpersist(); dedupedAll.unpersist()
       Phase.timed("merge.commitMor")(
-        target.commitMergeMor(added, delPaths, keys))
+        target.commitMergeMor(added, delPaths, keys, txn))
     }
     // would a COW rewrite of `files` be both large and >>batch?
     def autoPrefersMor(files: Seq[String]): Boolean = mode == "auto" && {
@@ -241,7 +242,7 @@ object MergeInto {
         target.stageForMerge(merged))
       deduped.unpersist(); dedupedAll.unpersist()
       Phase.timed("merge.commitCow")(
-        target.commitMerge(added, touched, parentAtRead))
+        target.commitMerge(added, touched, parentAtRead, txn))
     } else {
       // Partition-pruned COW. Partition values are rendered with Spark's
       // own Cast-to-string (the conversion the partition-path writer uses),
@@ -291,7 +292,7 @@ object MergeInto {
         target.stageForMerge(merged))
       deduped.unpersist(); dedupedAll.unpersist()
       Phase.timed("merge.commitCow")(
-        target.commitMerge(added, affectedFiles, parentAtRead))
+        target.commitMerge(added, affectedFiles, parentAtRead, txn))
     }
   }
 }

@@ -220,7 +220,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT file_count, row_count, total_bytes FROM ext_meta.partitions")
       .as[(Long, Long, Long)].collect()
     assert(parts === Array((2L, 2L, files.map(_.getLong(1)).sum)))
+    // .delete_files: live tombstones with their encoding
+    assert(spark.sql("SELECT * FROM ext_meta.delete_files").count() === 0)
+    cat.table("ext_meta").merge(Seq((1L, "a2")).toDF("id", "v"),
+      Seq("id"), Seq("id"), "id", mode = "mor")
+    val dels = spark.sql(
+      "SELECT content, equality_cols, sequence FROM ext_meta.delete_files")
+      .as[(String, Seq[String], Long)].collect()
+    assert(dels.length === 1)
+    assert(dels(0)._1 === "equality" && dels(0)._2 === Seq("id"))
     cat.drop("ext_meta")
+  }
+
+  test("CALL graft.maintain_rollup keeps a rollup table current") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-roll").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_roll_src",
+      Seq(("a", 1L, 10L), ("b", 2L, 5L)).toDF("g", "id", "v"))
+    cat.register("ext_roll_src")
+    val dstPath = s"$wh/ext_roll_dst"
+    val applied = spark.sql(
+      s"""CALL graft.maintain_rollup('ext_roll_src', dst => '$dstPath',
+         |keys => 'g', sums => 'v', app_id => 'r')""".stripMargin)
+      .as[Long].collect()(0)
+    assert(applied > 0L)
+    cat.append("ext_roll_src", Seq(("a", 3L, 7L)).toDF("g", "id", "v"))
+    spark.sql(
+      s"""CALL graft.maintain_rollup('ext_roll_src', dst => '$dstPath',
+         |keys => 'g', sums => 'v', app_id => 'r')""".stripMargin)
+    val dst = graft.table.GraftTable(spark, dstPath)
+    assert(dst.read().orderBy("g").as[(String, Long, Long)].collect()
+      === Array(("a", 17L, 2L), ("b", 5L, 1L)))
+    // up to date: -1 (nothing applied), and the dst is unchanged
+    assert(spark.sql(
+      s"""CALL graft.maintain_rollup('ext_roll_src', dst => '$dstPath',
+         |keys => 'g', sums => 'v', app_id => 'r')""".stripMargin)
+      .as[Long].collect()(0) === -1L)
+    cat.drop("ext_roll_src")
   }
 
   test("CTAS: CREATE TABLE ... USING graft AS SELECT commits through the log") {
