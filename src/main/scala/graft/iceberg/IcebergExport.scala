@@ -293,16 +293,23 @@ object IcebergExport {
     file.length()
   }
 
-  /** Export the current snapshot of `table` as Iceberg v2 metadata under
-    * `<table.location>/metadata/`. Returns the metadata.json path. */
-  def export(spark: SparkSession, table: GraftTable): String = {
+  /** Export `table` as Iceberg v2 metadata under
+    * `<table.location>/metadata/`: the current snapshot plus up to
+    * `history - 1` immediately-preceding snapshots that share the
+    * current schema, each with its own manifest list — so external
+    * engines TIME-TRAVEL the export ([[scan]]'s `at`,
+    * `read_iceberg_duckdb.py --at`). Tag refs resolving to an exported
+    * snapshot ride along in `refs`; pre-evolve snapshots stop the
+    * history walk (one Iceberg schema-id per exported schema is the
+    * honest cut — an older schema would need its own, and external
+    * readers would resolve columns against the wrong ids).
+    * Returns the metadata.json path. */
+  def export(spark: SparkSession, table: GraftTable,
+      history: Int = 1): String = {
     val snap = table.latestSnapshot.getOrElse(
       throw new IllegalStateException(
         s"table does not exist: ${table.location}"))
     val schema = table.schema
-    val live = table.liveFiles()
-    val rows = table.rowsFor(live)
-    val bytes = table.bytesFor(live)
     val fs = new Path(table.location)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = new Path(table.location, "metadata")
@@ -311,6 +318,20 @@ object IcebergExport {
       .stripSuffix("/")
 
     def fileLen(p: Path): Long = fs.getFileStatus(p).getLen
+
+    // exported snapshots: the newest `history` entries of the chain
+    // sharing the current schema (PARSED StructType equality — the JSON
+    // strings vary in metadata key order across commits, the structures
+    // don't)
+    val curSchema = DataType.fromJson(snap.schemaJson)
+    val exported: Seq[graft.table.Snapshot] = table.snapshots.reverse
+      .takeWhile(s => DataType.fromJson(s.schemaJson) == curSchema)
+      .take(math.max(1, history)).reverse
+    val liveBySnap: Map[Long, Seq[String]] = exported.map(s =>
+      s.snapshotId -> table.liveFiles(Some(s.snapshotId))).toMap
+    val allFiles: Seq[String] = liveBySnap.values.flatten.toSeq.distinct
+    val rows = table.rowsFor(allFiles)
+    val bytes = table.bytesFor(allFiles)
 
     // Partition spec: identity columns (their bytes live in the DIR
     // layout, so tuples are REQUIRED to reconstruct them) and the
@@ -329,9 +350,10 @@ object IcebergExport {
     // mis-prune it, so the whole export falls back to unpartitioned —
     // the same conservative stance the internal pruning sites take for
     // spec-evolved files. Source columns stay in the data, so results
-    // are unchanged; only dir pruning is lost.
+    // are unchanged; only dir pruning is lost. The check spans EVERY
+    // exported snapshot's files — one spec covers the whole export.
     val specFields: Seq[graft.table.PartitionField] =
-      if (exportableSpec.nonEmpty && live.forall { rel =>
+      if (exportableSpec.nonEmpty && allFiles.forall { rel =>
         val kv = table.partitionValues(rel)
         exportableSpec.forall(f => kv.contains(f.physName))
       }) exportableSpec
@@ -346,90 +368,12 @@ object IcebergExport {
       })
     }
     val entrySchema = manifestEntrySchema(avroPartFields)
-    val stats = table.statsFor(live)
+    val stats = table.statsFor(allFiles)
     val glue = org.apache.spark.sql.graftglue.GraftSqlGlue
-
-    // live MOR tombstones export as an equality-delete manifest; every
-    // data entry then needs its REAL data sequence (the graft
-    // add-sequence) so external readers scope each delete to the files
-    // committed strictly before it — graft seq semantics are identical
-    // to the v2 spec's strict < rule, so the values map 1:1. Sequence
-    // numbers are exported unconditionally (they are simply 1:1 table
-    // history facts); deletes just make them load-bearing.
-    val deletes = table.liveDeletes().sortBy(_.seq)
-    val addSeqs = table.fileAddSeqs(None)
-    // raw graft seqs, unclamped: v2 sequence numbers legally start at 0,
-    // and any shift would have to move data and delete seqs in lockstep
-    // to preserve the strict < applicability ordering
-    def dataSeq(rel: String): Long = addSeqs.getOrElse(rel, snap.snapshotId)
-
-    // ---- data manifest ----
-    val entries = live.map { rel =>
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snap.snapshotId)
-      e.put("sequence_number", dataSeq(rel))
-      e.put("file_sequence_number", dataSeq(rel))
-      val df = new GenericData.Record(
-        entrySchema.getField("data_file").schema())
-      df.put("content", 0) // DATA
-      df.put("file_path", s"$tableUri/$rel")
-      df.put("file_format", "PARQUET")
-      val part = new GenericData.Record(df.getSchema
-        .getField("partition").schema())
-      if (specFields.nonEmpty) {
-        val kv = table.partitionValues(rel)
-        specFields.foreach { f =>
-          val v = kv.getOrElse(f.physName, throw new IllegalStateException(
-            s"file $rel has no partition dir for spec field ${f.physName}"))
-          part.put(f.physName, if (v == "__HIVE_DEFAULT_PARTITION__") null
-            else transformValue(f.transform, v, schema(f.source).dataType))
-        }
-      }
-      df.put("partition", part)
-      df.put("record_count", rows.getOrElse(rel,
-        fileLen(new Path(table.location, rel)))) // rows unknown → safe>0
-      df.put("file_size_in_bytes", bytes.getOrElse(rel,
-        fileLen(new Path(table.location, rel))))
-      // per-file column bounds from the snapshot log's footer stats —
-      // the min/max pruning metadata external scan planners read
-      val fileStats = stats.getOrElse(rel, Map.empty)
-      def boundsRecords(fieldName: String,
-          pick: graft.table.ColStat => Option[String])
-          : Option[java.util.List[GenericRecord]] = {
-        val itemSchema = entrySchema.getField("data_file").schema()
-          .getField(fieldName).schema().getTypes.get(1).getElementType
-        val recs = schema.fields.zipWithIndex.flatMap { case (f, i) =>
-          fileStats.get(f.name).flatMap(pick).flatMap { s =>
-            boundBytes(glue.castFromString(s, f.dataType), f.dataType)
-          }.map { bs =>
-            val r = new GenericData.Record(itemSchema)
-            r.put("key", fieldId(schema, i).toInt)
-            r.put("value", java.nio.ByteBuffer.wrap(bs))
-            r: GenericRecord
-          }
-        }
-        if (recs.isEmpty) None else Some(recs.toSeq.asJava)
-      }
-      boundsRecords("lower_bounds", _.min)
-        .foreach(df.put("lower_bounds", _))
-      boundsRecords("upper_bounds", _.max)
-        .foreach(df.put("upper_bounds", _))
-      e.put("data_file", df)
-      e
-    }
+    val sJson = schemaJson(schema)
     val specFieldsJson = specFields.zipWithIndex.map { case (f, i) =>
       s"""{"name": ${jsonStr(f.physName)}, "transform": "${icebergTransform(f.transform).get}", "source-id": ${fieldId(schema, schema.fieldIndex(f.source))}, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
-    val manifestName = s"${UUID.randomUUID()}-m0.avro"
-    val manifestLocal = new File(localPath(fs, metaDir), manifestName)
-    val sJson = schemaJson(schema)
-    val manifestLen = writeAvro(manifestLocal, entrySchema, entries,
-      Map("schema" -> sJson, "schema-id" -> "0",
-        "partition-spec" -> specFieldsJson, "partition-spec-id" -> "0",
-        "format-version" -> "2", "content" -> "data"))
-
-    // ---- equality-delete manifest (live MOR tombstones) ----
     // Delete files carry only their key columns; they are written under
     // an UNPARTITIONED spec (spec-id 1 when the data spec has fields),
     // which per spec applies them globally — matching graft tombstones,
@@ -466,108 +410,214 @@ object IcebergExport {
       fs.delete(tmp, true)
       (s"metadata/$name", fileLen(dest))
     }
-    val deleteManifest: Option[(String, Long, Long, Long, Long)] =
-      if (deletes.isEmpty) None
-      else {
-        val delSchema = manifestEntrySchema(Seq.empty, equalityIds = true)
-        var rowsTotal = 0L
-        val delEntries = deletes.map { d =>
-          val e = new GenericData.Record(delSchema)
-          e.put("status", 1) // ADDED
-          e.put("snapshot_id", snap.snapshotId)
-          e.put("sequence_number", d.seq)
-          e.put("file_sequence_number", d.seq)
-          val df = new GenericData.Record(
-            delSchema.getField("data_file").schema())
-          if (d.isPosition) {
-            val (rel, len) = convertPositionFile(d)
-            val nRows = graft.table.FooterStats.read(hadoopConf,
-              new Path(table.location, rel), Seq.empty)._2
-            rowsTotal += nRows
-            df.put("content", 1) // POSITION_DELETES
-            df.put("file_path", s"$tableUri/$rel")
-            df.put("record_count", nRows)
-            df.put("file_size_in_bytes", len)
-          } else {
-            val cols = d.cols.getOrElse(
-              spark.read.parquet(s"${table.location}/${d.path}")
-                .columns.toSeq)
-            val p = new Path(table.location, d.path)
-            val nRows = graft.table.FooterStats.read(hadoopConf, p,
-              Seq.empty)._2
-            rowsTotal += nRows
-            df.put("content", 2) // EQUALITY_DELETES
-            df.put("file_path", s"$tableUri/${d.path}")
-            df.put("record_count", nRows)
-            df.put("file_size_in_bytes", d.bytes.getOrElse(fileLen(p)))
-            df.put("equality_ids", cols.map(c =>
-              Int.box(fieldId(schema, schema.fieldIndex(c)).toInt)).asJava)
-          }
-          df.put("file_format", "PARQUET")
-          df.put("partition", new GenericData.Record(
-            df.getSchema.getField("partition").schema()))
-          e.put("data_file", df)
-          e
-        }
-        val name = s"${UUID.randomUUID()}-m1.avro"
-        val len = writeAvro(new File(localPath(fs, metaDir), name),
-          delSchema, delEntries,
-          Map("schema" -> sJson, "schema-id" -> "0",
-            "partition-spec" -> "[]",
-            "partition-spec-id" -> deleteSpecId.toString,
-            "format-version" -> "2", "content" -> "deletes"))
-        Some((name, len, deletes.map(_.seq).min, deletes.map(_.seq).max,
-          rowsTotal))
-      }
 
-    // ---- manifest list ----
-    val totalRows = live.map(f => rows.getOrElse(f, 0L)).sum
-    val dataSeqs = live.map(dataSeq)
-    val ml = new GenericData.Record(manifestListSchema)
-    ml.put("manifest_path", s"$tableUri/metadata/$manifestName")
-    ml.put("manifest_length", manifestLen)
-    ml.put("partition_spec_id", 0)
-    ml.put("content", 0)
-    ml.put("sequence_number",
-      if (dataSeqs.isEmpty) 1L else dataSeqs.max)
-    ml.put("min_sequence_number",
-      if (dataSeqs.isEmpty) 1L else dataSeqs.min)
-    ml.put("added_snapshot_id", snap.snapshotId)
-    ml.put("added_data_files_count", live.size)
-    ml.put("existing_data_files_count", 0)
-    ml.put("deleted_data_files_count", 0)
-    ml.put("added_rows_count", totalRows)
-    ml.put("existing_rows_count", 0L)
-    ml.put("deleted_rows_count", 0L)
-    val mlRecords = Seq(ml) ++ deleteManifest.map {
-      case (name, len, minSeq, maxSeq, delRows) =>
-        val dml = new GenericData.Record(manifestListSchema)
-        dml.put("manifest_path", s"$tableUri/metadata/$name")
-        dml.put("manifest_length", len)
-        dml.put("partition_spec_id", deleteSpecId)
-        dml.put("content", 1) // DELETES
-        dml.put("sequence_number", maxSeq)
-        dml.put("min_sequence_number", minSeq)
-        dml.put("added_snapshot_id", snap.snapshotId)
-        dml.put("added_data_files_count", deletes.size)
-        dml.put("existing_data_files_count", 0)
-        dml.put("deleted_data_files_count", 0)
-        dml.put("added_rows_count", delRows)
-        dml.put("existing_rows_count", 0L)
-        dml.put("deleted_rows_count", 0L)
-        dml
+    /** One snapshot's manifests + manifest list; returns the snapshot's
+      * metadata.json entry and its last sequence number. Sequence
+      * numbers are the REAL graft add/commit sequences (identical strict
+      * ordering to the v2 spec), so every exported snapshot applies its
+      * deletes to exactly the data files the engine would. */
+    def exportSnapshot(s: graft.table.Snapshot): (String, Long) = {
+      val sid = s.snapshotId
+      val live = liveBySnap(sid)
+      val deletes = table.liveDeletes(Some(sid)).sortBy(_.seq)
+      val addSeqs = table.fileAddSeqs(Some(sid))
+      def dataSeq(rel: String): Long = addSeqs.getOrElse(rel, sid)
+
+      // ---- data manifest ----
+      val entries = live.map { rel =>
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", sid)
+        e.put("sequence_number", dataSeq(rel))
+        e.put("file_sequence_number", dataSeq(rel))
+        val df = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        df.put("content", 0) // DATA
+        df.put("file_path", s"$tableUri/$rel")
+        df.put("file_format", "PARQUET")
+        val part = new GenericData.Record(df.getSchema
+          .getField("partition").schema())
+        if (specFields.nonEmpty) {
+          val kv = table.partitionValues(rel)
+          specFields.foreach { f =>
+            val v = kv.getOrElse(f.physName, throw new IllegalStateException(
+              s"file $rel has no partition dir for spec field ${f.physName}"))
+            part.put(f.physName, if (v == "__HIVE_DEFAULT_PARTITION__") null
+              else transformValue(f.transform, v, schema(f.source).dataType))
+          }
+        }
+        df.put("partition", part)
+        df.put("record_count", rows.getOrElse(rel,
+          fileLen(new Path(table.location, rel)))) // rows unknown → safe>0
+        df.put("file_size_in_bytes", bytes.getOrElse(rel,
+          fileLen(new Path(table.location, rel))))
+        // per-file column bounds from the snapshot log's footer stats —
+        // the min/max pruning metadata external scan planners read
+        val fileStats = stats.getOrElse(rel, Map.empty)
+        def boundsRecords(fieldName: String,
+            pick: graft.table.ColStat => Option[String])
+            : Option[java.util.List[GenericRecord]] = {
+          val itemSchema = entrySchema.getField("data_file").schema()
+            .getField(fieldName).schema().getTypes.get(1).getElementType
+          val recs = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+            fileStats.get(f.name).flatMap(pick).flatMap { s =>
+              boundBytes(glue.castFromString(s, f.dataType), f.dataType)
+            }.map { bs =>
+              val r = new GenericData.Record(itemSchema)
+              r.put("key", fieldId(schema, i).toInt)
+              r.put("value", java.nio.ByteBuffer.wrap(bs))
+              r: GenericRecord
+            }
+          }
+          if (recs.isEmpty) None else Some(recs.toSeq.asJava)
+        }
+        boundsRecords("lower_bounds", _.min)
+          .foreach(df.put("lower_bounds", _))
+        boundsRecords("upper_bounds", _.max)
+          .foreach(df.put("upper_bounds", _))
+        e.put("data_file", df)
+        e
+      }
+      val manifestName = s"${UUID.randomUUID()}-m0.avro"
+      val manifestLocal = new File(localPath(fs, metaDir), manifestName)
+      val manifestLen = writeAvro(manifestLocal, entrySchema, entries,
+        Map("schema" -> sJson, "schema-id" -> "0",
+          "partition-spec" -> specFieldsJson, "partition-spec-id" -> "0",
+          "format-version" -> "2", "content" -> "data"))
+
+      // ---- delete manifest (live MOR tombstones, both encodings) ----
+      val deleteManifest: Option[(String, Long, Long, Long, Long)] =
+        if (deletes.isEmpty) None
+        else {
+          val delSchema = manifestEntrySchema(Seq.empty, equalityIds = true)
+          var rowsTotal = 0L
+          val delEntries = deletes.map { d =>
+            val e = new GenericData.Record(delSchema)
+            e.put("status", 1) // ADDED
+            e.put("snapshot_id", sid)
+            e.put("sequence_number", d.seq)
+            e.put("file_sequence_number", d.seq)
+            val df = new GenericData.Record(
+              delSchema.getField("data_file").schema())
+            if (d.isPosition) {
+              val (rel, len) = convertPositionFile(d)
+              val nRows = graft.table.FooterStats.read(hadoopConf,
+                new Path(table.location, rel), Seq.empty)._2
+              rowsTotal += nRows
+              df.put("content", 1) // POSITION_DELETES
+              df.put("file_path", s"$tableUri/$rel")
+              df.put("record_count", nRows)
+              df.put("file_size_in_bytes", len)
+            } else {
+              val cols = d.cols.getOrElse(
+                spark.read.parquet(s"${table.location}/${d.path}")
+                  .columns.toSeq)
+              val p = new Path(table.location, d.path)
+              val nRows = graft.table.FooterStats.read(hadoopConf, p,
+                Seq.empty)._2
+              rowsTotal += nRows
+              df.put("content", 2) // EQUALITY_DELETES
+              df.put("file_path", s"$tableUri/${d.path}")
+              df.put("record_count", nRows)
+              df.put("file_size_in_bytes", d.bytes.getOrElse(fileLen(p)))
+              df.put("equality_ids", cols.map(c =>
+                Int.box(fieldId(schema, schema.fieldIndex(c)).toInt)).asJava)
+            }
+            df.put("file_format", "PARQUET")
+            df.put("partition", new GenericData.Record(
+              df.getSchema.getField("partition").schema()))
+            e.put("data_file", df)
+            e
+          }
+          val name = s"${UUID.randomUUID()}-m1.avro"
+          val len = writeAvro(new File(localPath(fs, metaDir), name),
+            delSchema, delEntries,
+            Map("schema" -> sJson, "schema-id" -> "0",
+              "partition-spec" -> "[]",
+              "partition-spec-id" -> deleteSpecId.toString,
+              "format-version" -> "2", "content" -> "deletes"))
+          Some((name, len, deletes.map(_.seq).min, deletes.map(_.seq).max,
+            rowsTotal))
+        }
+
+      // ---- manifest list ----
+      val totalRows = live.map(f => rows.getOrElse(f, 0L)).sum
+      val dataSeqs = live.map(dataSeq)
+      val ml = new GenericData.Record(manifestListSchema)
+      ml.put("manifest_path", s"$tableUri/metadata/$manifestName")
+      ml.put("manifest_length", manifestLen)
+      ml.put("partition_spec_id", 0)
+      ml.put("content", 0)
+      ml.put("sequence_number",
+        if (dataSeqs.isEmpty) 1L else dataSeqs.max)
+      ml.put("min_sequence_number",
+        if (dataSeqs.isEmpty) 1L else dataSeqs.min)
+      ml.put("added_snapshot_id", sid)
+      ml.put("added_data_files_count", live.size)
+      ml.put("existing_data_files_count", 0)
+      ml.put("deleted_data_files_count", 0)
+      ml.put("added_rows_count", totalRows)
+      ml.put("existing_rows_count", 0L)
+      ml.put("deleted_rows_count", 0L)
+      val mlRecords = Seq(ml) ++ deleteManifest.map {
+        case (name, len, minSeq, maxSeq, delRows) =>
+          val dml = new GenericData.Record(manifestListSchema)
+          dml.put("manifest_path", s"$tableUri/metadata/$name")
+          dml.put("manifest_length", len)
+          dml.put("partition_spec_id", deleteSpecId)
+          dml.put("content", 1) // DELETES
+          dml.put("sequence_number", maxSeq)
+          dml.put("min_sequence_number", minSeq)
+          dml.put("added_snapshot_id", sid)
+          dml.put("added_data_files_count", deletes.size)
+          dml.put("existing_data_files_count", 0)
+          dml.put("deleted_data_files_count", 0)
+          dml.put("added_rows_count", delRows)
+          dml.put("existing_rows_count", 0L)
+          dml.put("deleted_rows_count", 0L)
+          dml
+      }
+      val listName = s"snap-$sid-1-${UUID.randomUUID()}.avro"
+      writeAvro(new File(localPath(fs, metaDir), listName),
+        manifestListSchema, mlRecords, Map("format-version" -> "2"))
+
+      val lastSeq = (1L +: dataSeqs ++: deletes.map(_.seq)).max
+      val entryJson =
+        s"""{
+           |    "sequence-number": $lastSeq,
+           |    "snapshot-id": $sid,
+           |    "timestamp-ms": ${s.timestampMs},
+           |    "summary": {"operation": "append"},
+           |    "manifest-list": ${jsonStr(s"$tableUri/metadata/$listName")},
+           |    "schema-id": 0
+           |  }""".stripMargin
+      (entryJson, lastSeq)
     }
-    val listName = s"snap-${snap.snapshotId}-1-${UUID.randomUUID()}.avro"
-    writeAvro(new File(localPath(fs, metaDir), listName),
-      manifestListSchema, mlRecords, Map("format-version" -> "2"))
+
+    val perSnap = exported.map(s => s -> exportSnapshot(s))
 
     // ---- metadata.json + version hint ----
     val version = currentVersion(fs, metaDir) + 1
     val now = snap.timestampMs
-    val lastSeq = (1L +: dataSeqs ++: deletes.map(_.seq)).max
+    val lastSeq = perSnap.map(_._2._2).max
     val specsJson = s"""[{"spec-id": 0, "fields": $specFieldsJson}""" +
-      (if (deletes.nonEmpty && specFields.nonEmpty)
+      (if (perSnap.exists(p => table.liveDeletes(
+          Some(p._1.snapshotId)).nonEmpty) && specFields.nonEmpty)
         """, {"spec-id": 1, "fields": []}]""" else "]")
+    val snapshotsJson = perSnap.map(_._2._1).mkString("[", ", ", "]")
+    val snapshotLogJson = perSnap.map { case (s, _) =>
+      s"""{"timestamp-ms": ${s.timestampMs}, "snapshot-id": ${s.snapshotId}}"""
+    }.mkString("[", ", ", "]")
+    // refs: main + every tag resolving to an exported snapshot (tags on
+    // unexported snapshots are omitted — a ref must point at a readable
+    // snapshot entry)
+    val exportedIds = exported.map(_.snapshotId).toSet
+    val refsJson = (Seq(
+      s""""main": {"snapshot-id": ${snap.snapshotId}, "type": "branch"}""") ++
+      table.refs.toSeq.sortBy(_._1).collect {
+        case (n, id) if exportedIds.contains(id) && n != "main" =>
+          s"""${jsonStr(n)}: {"snapshot-id": $id, "type": "tag"}"""
+      }).mkString("{", ", ", "}")
     val metaJson =
       s"""{
          |  "format-version": 2,
@@ -586,16 +636,9 @@ object IcebergExport {
          |  "sort-orders": [{"order-id": 0, "fields": []}],
          |  "properties": {},
          |  "current-snapshot-id": ${snap.snapshotId},
-         |  "refs": {"main": {"snapshot-id": ${snap.snapshotId}, "type": "branch"}},
-         |  "snapshots": [{
-         |    "sequence-number": $lastSeq,
-         |    "snapshot-id": ${snap.snapshotId},
-         |    "timestamp-ms": $now,
-         |    "summary": {"operation": "append"},
-         |    "manifest-list": ${jsonStr(s"$tableUri/metadata/$listName")},
-         |    "schema-id": 0
-         |  }],
-         |  "snapshot-log": [{"timestamp-ms": $now, "snapshot-id": ${snap.snapshotId}}],
+         |  "refs": $refsJson,
+         |  "snapshots": $snapshotsJson,
+         |  "snapshot-log": $snapshotLogJson,
          |  "metadata-log": []
          |}""".stripMargin
     val metaFile = new Path(metaDir, s"v$version.metadata.json")
@@ -629,7 +672,11 @@ object IcebergExport {
     * scan those parquet files. This is an independent walk of the
     * Iceberg metadata tree (the reader an external engine would run);
     * it shares no code or state with the graft snapshot log. */
-  def scan(spark: SparkSession, tableLocation: String): DataFrame = {
+  /** @param at optional time travel over the exported history: a ref
+    *   name from metadata.json's `refs` (tag or "main") or a snapshot id
+    *   rendered as digits — the external-engine `VERSION AS OF` walk. */
+  def scan(spark: SparkSession, tableLocation: String,
+      at: Option[String] = None): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val fs = new Path(tableLocation)
@@ -645,10 +692,22 @@ object IcebergExport {
     val meta = JsonMethods.parse(metaJson)
     implicit val fmts: Formats = DefaultFormats
     val currentId = (meta \ "current-snapshot-id").extract[Long]
+    val targetId = at match {
+      case None => currentId
+      case Some(a) =>
+        (meta \ "refs" \ a) match {
+          case JNothing =>
+            require(a.forall(_.isDigit),
+              s"no ref '$a' in the exported metadata")
+            a.toLong
+          case ref => (ref \ "snapshot-id").extract[Long]
+        }
+    }
     val listPath = (meta \ "snapshots").children.collectFirst {
-      case s if (s \ "snapshot-id").extract[Long] == currentId =>
+      case s if (s \ "snapshot-id").extract[Long] == targetId =>
         (s \ "manifest-list").extract[String]
-    }.getOrElse(throw new IllegalStateException("current snapshot missing"))
+    }.getOrElse(throw new IllegalStateException(
+      s"snapshot $targetId not in the exported history"))
 
     def readAvro(uri: String): Seq[GenericRecord] = {
       val f = new File(new java.net.URI(uri).getPath)

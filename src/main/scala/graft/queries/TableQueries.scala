@@ -273,6 +273,27 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Exported-history time travel: the export carries the newest N
+    * snapshots (each with its own manifest list) plus tag refs, and the
+    * hand-walk reader resolves `--at 'tag'` exactly like an external
+    * engine's VERSION AS OF. The query reads the PRE-append state back
+    * through the exported metadata tree by tag name — correct only if
+    * the historical manifest list reconstructs the old file set. */
+  val qIcebergHistory: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icehist"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    t.tag("before")
+    t.append(ordersSlice(s, dir, 1))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    project(graft.iceberg.IcebergExport.scan(s, t.location,
+      Some("before")))
+  }
+  val qIcebergHistorySql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** The reference's LIVE silver topology: a merge-on-read table with
     * UNFOLDED tombstones (two generations, overriding on %15 keys)
     * exported as Iceberg v2 equality-delete manifests (manifest-list
@@ -704,6 +725,7 @@ object TableQueries {
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
     ("q_table_merge_mor", qTableMergeMor, Some(qTableMergeMorSql)),
     ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),
+    ("q_iceberg_history", qIcebergHistory, Some(qIcebergHistorySql)),
     ("q_iceberg_mor_export", qIcebergMorExport,
       Some(qIcebergMorExportSql)),
     ("q_iceberg_partitioned", qIcebergPartitioned,

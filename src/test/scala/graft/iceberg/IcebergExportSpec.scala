@@ -40,6 +40,48 @@ class IcebergExportSpec extends SparkSpec {
       t.read().orderBy("id").collect())
   }
 
+  test("history export: external engines time-travel the export by " +
+      "snapshot id and tag ref") {
+    val t = mkTable("ice-hist", 10L) // snapshot 1 (0 = create)
+    t.append(Seq((100L, "mid", 1L)).toDF("id", "v", "ts")) // snapshot 2
+    t.tag("v-mid")
+    t.deletePositions($"id" === 100L) // snapshot 3: back to 10 rows
+    IcebergExport.export(spark, t, history = 3)
+    val s1 = t.snapshots.reverse(2).snapshotId
+    val s2 = t.snapshots.reverse(1).snapshotId
+    // in-engine hand-walk: every exported snapshot equals readAsOf
+    assert(IcebergExport.scan(spark, t.location).count() === 10)
+    assert(IcebergExport.scan(spark, t.location, Some(s1.toString))
+      .orderBy("id").collect() ===
+      t.readAsOf(s1).orderBy("id").collect())
+    assert(IcebergExport.scan(spark, t.location, Some("v-mid"))
+      .count() === 11)
+    intercept[IllegalArgumentException](
+      IcebergExport.scan(spark, t.location, Some("no-such-ref")))
+    // external engine: DuckDB hand-walk with --at (id and tag)
+    val path = new java.net.URI("file://" + t.location).getPath
+    val atOld = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t", "--at", s2.toString).!!
+    assert(atOld.trim.split("\n").last === "11")
+    val atTag = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t", "--at", "v-mid").!!
+    assert(atTag.trim.split("\n").last === "11")
+    val atTip = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t").!!
+    assert(atTip.trim.split("\n").last === "10")
+    // refs carry the tag; snapshot-log lists the exported history
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val metaDir = Paths.get(path, "metadata")
+    val v = Files.readString(metaDir.resolve("version-hint.text")).trim
+    val meta = JsonMethods.parse(
+      Files.readString(metaDir.resolve(s"v$v.metadata.json")))
+    assert((meta \ "refs" \ "v-mid" \ "snapshot-id").extract[Long]
+      === t.refs("v-mid"))
+    assert((meta \ "snapshots").children.size === 3)
+  }
+
   test("re-export after a commit bumps the version and sees new rows") {
     val t = mkTable("ice-v2", 10L)
     IcebergExport.export(spark, t)

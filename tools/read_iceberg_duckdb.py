@@ -16,9 +16,11 @@ shares no code with the Scala writer — this is an independent
 implementation reading the exported metadata, which is the point of the
 check. Codecs: null and deflate.
 
-Usage: read_iceberg_duckdb.py <table_location> [SQL]
+Usage: read_iceberg_duckdb.py <table_location> [SQL] [--at <ref-or-id>]
   Default SQL: SELECT COUNT(*) AS n FROM t
   The exported files are registered as DuckDB view `t`.
+  --at: time travel over the exported history — a refs name
+  (tag/"main") or a snapshot id; default = current-snapshot-id.
 Prints the query result as CSV to stdout.
 """
 import json
@@ -166,7 +168,7 @@ def decode_bound(raw, typ):
     return None
 
 
-def iceberg_scan_plan(location):
+def iceberg_scan_plan(location, at=None):
     """-> (schema [(name, iceberg_type)], identity part cols, spec fields,
            [(file, {part_col: value}, lower_bounds, upper_bounds, seq)],
            [(delete_file, seq, [equality col names] | None)])
@@ -183,6 +185,10 @@ def iceberg_scan_plan(location):
     with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
         meta = json.load(fh)
     current = meta["current-snapshot-id"]
+    if at is not None:
+        # time travel: a ref name (tag/branch) or a snapshot id
+        refs = meta.get("refs", {})
+        current = (refs[at]["snapshot-id"] if at in refs else int(at))
     [snap] = [s for s in meta["snapshots"]
               if s["snapshot-id"] == current]
     [schema] = [s for s in meta["schemas"]
@@ -230,10 +236,16 @@ def iceberg_scan_plan(location):
 
 
 def main():
-    location = sys.argv[1]
-    sql = sys.argv[2] if len(sys.argv) > 2 else "SELECT COUNT(*) AS n FROM t"
+    args = list(sys.argv[1:])
+    at = None
+    if "--at" in args:
+        i = args.index("--at")
+        at = args[i + 1]
+        del args[i:i + 2]
+    location = args[0]
+    sql = args[1] if len(args) > 1 else "SELECT COUNT(*) AS n FROM t"
     fields, part_cols, spec_fields, files, deletes = \
-        iceberg_scan_plan(location)
+        iceberg_scan_plan(location, at)
     if sql == "--plan":
         # machine-readable scan plan: what an external planner would see
         # (partition tuples for dir pruning, column bounds for stats
