@@ -73,7 +73,8 @@ object Bench {
     * clustering, span dedup, LM scoring, changelog reconstruction. */
   val scaleQueries: Seq[String] = Seq("q_dedup_minhash", "q_ann_ivf",
     "q_table_merge", "q_table_merge_mor", "q_hidden_partition",
-    "q_semdedup", "q_span_dedup", "q_lm_score", "q_table_changes")
+    "q_semdedup", "q_span_dedup", "q_lm_score", "q_table_changes",
+    "q_chunk_dedup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
