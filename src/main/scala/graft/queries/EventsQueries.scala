@@ -154,6 +154,66 @@ object EventsQueries {
   // identical to the batch daily rollup — that's the point
   val qStreamDailySql: String = qEventsDailySql
 
+  /** STATEFUL streaming sessionization (flatMapGroupsWithState with
+    * explicit cross-batch state — graft.streaming.Streaming.sessionize)
+    * run synchronously over the events table. Append mode emits the
+    * CLOSED sessions: every session except each user's final open one;
+    * the oracle reconstructs exactly that set in SQL. Output columns
+    * are integers only (boundaries + counts) — closure math is exact,
+    * no float-order sensitivity. */
+  val qStreamSessions: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(s, dir, "events").schema
+    val name = "graft_stream_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    import s.implicits._
+    val ev = raw.select(col("user_id"), tsMicros(raw).as("ts_us"),
+      col("value").cast("double").as("value"))
+      .as[graft.streaming.Streaming.Event]
+    val q = graft.streaming.Streaming
+      .sessionize(ev, 30L * 60 * 1000000)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val resultDf = s.table(name)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+    val rows = resultDf.collect()
+    val outSchema = resultDf.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+  val qStreamSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000 AS ts_us
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM (SELECT user_id, ts_us,
+      |          lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+      |            AS prev
+      |        FROM e)),
+      |sx AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, sid, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |    COUNT(*) AS n_events
+      |  FROM sx GROUP BY user_id, sid)
+      |SELECT user_id, start_us, end_us, n_events
+      |FROM g
+      |WHERE sid < (SELECT MAX(g2.sid) FROM g g2 WHERE g2.user_id = g.user_id)
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** Window frames + offsets per user: moving 3-event value sum (exact
     * decimal), previous/next event type. Unique order key = (ts, event_id). */
   val qEventsMoving: Q = (s, dir) => {
@@ -248,6 +308,7 @@ object EventsQueries {
     ("q_funnel", qFunnel, Some(qFunnelSql)),
     ("q_events_moving", qEventsMoving, Some(qEventsMovingSql)),
     ("q_stream_daily", qStreamDaily, Some(qStreamDailySql)),
+    ("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     ("q_events_daily", qEventsDaily, Some(qEventsDailySql)),
     ("q_events_json", qEventsJson, Some(qEventsJsonSql)),
     ("q_events_top_users", qEventsTopUsers, Some(qEventsTopUsersSql)),
