@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness (driver contract): runs the headline query set on
-  * SPARK_GRAFT_SF_DIR at local[N] and prints ONE JSON line
-  * {"metric":...,"value":total_sec,"unit":"sec","queries":{name:sec},"sf":...}.
+  * SPARK_GRAFT_SF_DIR at local[N] and prints the full per-query JSON
+  * line FOLLOWED BY one compact summary line (see below).
   *
   * Headline = the analytical + north-star operator queries, PLUS the
   * table-lifecycle queries (append→merge→read against scratch graft
@@ -29,6 +29,25 @@ import org.apache.spark.sql.SparkSession
   *     per-phase seconds, summed over the three timed runs) plus their
   *     raw runs, so the headline number is cross-checkable against its
   *     own phase breakdown without a re-run.
+  *
+  * Idle-window discipline (r7 verdict "do this" #2 — three r7 attempts
+  * were all weather): before each measurement pass the contention
+  * SENTINEL runs alone; while its ratio exceeds [[graft.util.
+  * BenchSentinel.ContendedRatio]] the pass is NOT started — the harness
+  * sleeps and re-probes, up to SPARK_GRAFT_IDLE_TRIES times. If a pass
+  * still finishes contended (contention arrived mid-run) and attempts
+  * remain (SPARK_GRAFT_BENCH_ATTEMPTS, default 2), the WHOLE pass is
+  * re-run and the best-sentinel pass is the one reported; every probe
+  * ratio and every attempt's ratio is recorded in the artifact, so "N
+  * spaced attempts never found idle" is in-artifact evidence.
+  *
+  * Artifact format (r7 verdict "do this" #1 — the full line exceeded
+  * the driver's tail capture two rounds running, so the perf gate saw
+  * parsed:null): the full line prints FIRST, then ONE compact summary
+  * line guaranteed well under ~1.5 kB prints LAST — the tail capture
+  * keeps the end of output, so the summary (totals, contended flag,
+  * sentinel ratio, 10× ratios, ten slowest medians) always survives
+  * capture even when the full line does not.
   *
   * Timing: one JVM/session warm-up action, then per query one UNTIMED
   * warm-up run followed by three timed runs keeping min + median. The
@@ -85,6 +104,19 @@ object Bench {
 
   private def fmt(d: Double): String = f"$d%.3f"
 
+  /** Everything one measurement pass produced — JSON fragments plus the
+    * numbers the final summary line needs. */
+  private case class Pass(
+      attempt: Int,
+      qs: String, qsMed: String,
+      total: Double, coreSec: Double, lifeSec: Double,
+      unstableNames: Seq[String], unstableJson: String,
+      unstableRunsJson: String, ledgerJson: String,
+      cdcJson: String, scaleJson: String,
+      scaleRatios: Seq[(String, Double)],
+      topMedians: Seq[(String, Double)],
+      sentinelJson: String, sentRatio: Double, contended: Boolean)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,154 +155,218 @@ object Bench {
     // session warm-up: JVM, codegen, parquet footer cache
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    // absolute contention sentinel (start) — a fixed CPU-bound job with
-    // its expected idle time committed in the repo; uniform slowdowns
-    // the 2×-median flag cannot see show up as sentinel ratio > 1.5
-    val loadavgStart = graft.util.BenchSentinel.loadavg
-    val sentinelStart = graft.util.BenchSentinel.measure(spark, cpus.toInt)
-
     graft.util.Phase.enable()
     val queries = SparkEntry.queries
-    val unstable = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
-    val ledgers = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Seq[(String, Double, Long)])]
 
-    def timeQuery(name: String, dir: String, runsN: Int): (Double, Double) = {
-      val fn = queries(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, dir).queryExecution.toRdd.count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // localCheckpoint blocks (shingle/centroid frames) register as
-        // persistent RDDs that clearCache does NOT free and the
-        // ContextCleaner frees only after a GC notices the dead refs —
-        // across ~200 runs the leftovers saturate storage memory and
-        // late-session heavy queries measure eviction churn, not plan
-        // cost (observed: scale-tier minhash 119 s in-session vs 3.8 s
-        // fresh-session, SAME binary). Unpersist them explicitly, after
-        // the clock stops.
-        // blocking: an async unpersist can still be draining when the
-        // next run's checkpoint writes land, re-creating the churn
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        sec
+    // ---- idle-window gate: probe the sentinel alone; don't start a
+    // pass on a machine the probe already proves busy ----
+    val idleTries = sys.env.getOrElse("SPARK_GRAFT_IDLE_TRIES", "4").toInt
+    val idleSleepSec = sys.env.getOrElse("SPARK_GRAFT_IDLE_SLEEP_SEC", "40").toInt
+    val gateProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def awaitIdle(): Unit = {
+      var t = 0
+      while (t < idleTries) {
+        val r = graft.util.BenchSentinel.measure(spark, cpus.toInt) /
+          graft.util.BenchSentinel.expected
+        gateProbes += r
+        if (r <= graft.util.BenchSentinel.ContendedRatio) return
+        t += 1
+        System.err.println(f"[bench] gate: sentinel ratio $r%.2f — busy;" +
+          s" sleeping ${idleSleepSec}s (probe $t/$idleTries)")
+        if (t < idleTries) Thread.sleep(idleSleepSec * 1000L)
       }
-      // one UNTIMED warm-up run per query: the first execution carries
-      // JIT/codegen/file-cache warm-up that would otherwise trip the
-      // 2×-median instability flag on every sub-second query and bake
-      // one cold sample into the median
-      once()
-      if (lifecycle(name)) graft.util.Phase.reset()
-      val runs = Seq.fill(runsN)(once()).filter(_ >= 0)
-      if (lifecycle(name) && runs.nonEmpty)
-        ledgers(name) = (runs, graft.util.Phase.snapshot().take(10))
-      // level the field for the next query (see scaladoc)
-      spark.sharedState.cacheManager.clearCache()
-      System.gc()
-      if (runs.isEmpty) return (-1.0, -1.0)
-      val med = median(runs)
-      if (runs.exists(r => r > 2 * med || (med > 0.2 && r < med / 2))) {
-        unstable += (name -> runs)
-        System.err.println(s"[bench] UNSTABLE $name runs=" +
-          runs.map(fmt).mkString(","))
-      }
-      (runs.min, med)
+      System.err.println(s"[bench] gate: no idle window after $idleTries" +
+        " probes — proceeding anyway (evidence recorded in gate_ratios)")
     }
 
-    val results = headline.filter(queries.contains)
-      .map(n => n -> timeQuery(n, sfDir, 3))
+    def runPass(attempt: Int): Pass = {
+      val unstable = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+      val ledgers = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Seq[(String, Double, Long)])]
 
-    // ---- repeated-consumer CDC read cost ----
-    // q_table_changes{,_materialized} time build+read in one number (they
-    // must — the oracle needs a self-contained lifecycle), which buries
-    // the read path under scratch-table IO and counts materialization's
-    // commit-time writes against it. The claim write-time CDC exists for
-    // is REPEATED readers, so measure that directly: build one lifecycle
-    // table per mode (untimed), then time the changelog read alone.
-    val cdcRead: Seq[(String, (Double, Double))] =
-      Seq(false, true).map { mat =>
-        val label = if (mat) "materialized" else "reconstruct"
-        val loc = s"${graft.queries.Scratch.baseDir}/graft-bench-cdc-$label-" +
-          java.util.UUID.randomUUID()
-        graft.queries.Scratch.deleteOnExit(loc)
-        val t = graft.queries.TableQueries
-          .buildChangesLifecycle(spark, sfDir, loc, materialize = mat)
+      val loadavgStart = graft.util.BenchSentinel.loadavg
+      val sentinelStart = graft.util.BenchSentinel.measure(spark, cpus.toInt)
+
+      def timeQuery(name: String, dir: String, runsN: Int): (Double, Double) = {
+        val fn = queries(name)
         def once(): Double = {
           val t0 = System.nanoTime()
-          graft.queries.TableQueries.readChangesFrame(t)
-            .queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, dir).queryExecution.toRdd.count() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            return -1.0
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          // localCheckpoint blocks (shingle/centroid frames) register as
+          // persistent RDDs that clearCache does NOT free and the
+          // ContextCleaner frees only after a GC notices the dead refs —
+          // across ~200 runs the leftovers saturate storage memory and
+          // late-session heavy queries measure eviction churn, not plan
+          // cost (observed: scale-tier minhash 119 s in-session vs 3.8 s
+          // fresh-session, SAME binary). Unpersist them explicitly, after
+          // the clock stops.
+          // blocking: an async unpersist can still be draining when the
+          // next run's checkpoint writes land, re-creating the churn
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          sec
         }
-        once() // warm-up
-        val runs = Seq.fill(3)(once())
+        // one UNTIMED warm-up run per query: the first execution carries
+        // JIT/codegen/file-cache warm-up that would otherwise trip the
+        // 2×-median instability flag on every sub-second query and bake
+        // one cold sample into the median
+        once()
+        if (lifecycle(name)) graft.util.Phase.reset()
+        val runs = Seq.fill(runsN)(once()).filter(_ >= 0)
+        if (lifecycle(name) && runs.nonEmpty)
+          ledgers(name) = (runs, graft.util.Phase.snapshot().take(10))
+        // level the field for the next query (see scaladoc)
         spark.sharedState.cacheManager.clearCache()
         System.gc()
-        label -> (runs.min, median(runs))
-      }
-    val cdcJson = cdcRead.map { case (k, (mn, md)) =>
-      "\"" + k + "_sec\":" + fmt(mn) + ",\"" + k + "_median\":" + fmt(md)
-    }.mkString("{", ",", "}")
-
-    // ---- 10× scale tier (corpus pre-generated above; same 3-run
-    // min+median discipline as the base pass) ----
-    val scaleResults: Seq[(String, (Double, Double))] = scaleDirOpt.toSeq
-      .flatMap { scaleDir =>
-        scaleQueries.filter(queries.contains)
-          .map(n => n -> timeQuery(n, scaleDir, 3))
+        if (runs.isEmpty) return (-1.0, -1.0)
+        val med = median(runs)
+        if (runs.exists(r => r > 2 * med || (med > 0.2 && r < med / 2))) {
+          unstable += (name -> runs)
+          System.err.println(s"[bench] UNSTABLE $name runs=" +
+            runs.map(fmt).mkString(","))
+        }
+        (runs.min, med)
       }
 
-    val baseMin = results.toMap
-    val scaleJson = scaleResults.map { case (k, (mn, md)) =>
-      val base = baseMin.getOrElse(k, (-1.0, -1.0))._1
-      val ratio = if (base > 0 && mn >= 0) mn / base else -1.0
-      "\"" + k + "\":{\"sec\":" + fmt(mn) + ",\"median_sec\":" + fmt(md) +
-        ",\"vs_base\":" + f"$ratio%.2f" + "}"
-    }.mkString("{", ",", "}")
+      val results = headline.filter(queries.contains)
+        .map(n => n -> timeQuery(n, sfDir, 3))
 
-    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + fmt(mn) }
+      // ---- repeated-consumer CDC read cost ----
+      // q_table_changes{,_materialized} time build+read in one number (they
+      // must — the oracle needs a self-contained lifecycle), which buries
+      // the read path under scratch-table IO and counts materialization's
+      // commit-time writes against it. The claim write-time CDC exists for
+      // is REPEATED readers, so measure that directly: build one lifecycle
+      // table per mode (untimed), then time the changelog read alone.
+      val cdcRead: Seq[(String, (Double, Double))] =
+        Seq(false, true).map { mat =>
+          val label = if (mat) "materialized" else "reconstruct"
+          val loc = s"${graft.queries.Scratch.baseDir}/graft-bench-cdc-$label-" +
+            java.util.UUID.randomUUID()
+          graft.queries.Scratch.deleteOnExit(loc)
+          val t = graft.queries.TableQueries
+            .buildChangesLifecycle(spark, sfDir, loc, materialize = mat)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            graft.queries.TableQueries.readChangesFrame(t)
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once() // warm-up
+          val runs = Seq.fill(3)(once())
+          spark.sharedState.cacheManager.clearCache()
+          System.gc()
+          label -> (runs.min, median(runs))
+        }
+      val cdcJson = cdcRead.map { case (k, (mn, md)) =>
+        "\"" + k + "_sec\":" + fmt(mn) + ",\"" + k + "_median\":" + fmt(md)
+      }.mkString("{", ",", "}")
+
+      // ---- 10× scale tier (corpus pre-generated above; same 3-run
+      // min+median discipline as the base pass) ----
+      val scaleResults: Seq[(String, (Double, Double))] = scaleDirOpt.toSeq
+        .flatMap { scaleDir =>
+          scaleQueries.filter(queries.contains)
+            .map(n => n -> timeQuery(n, scaleDir, 3))
+        }
+
+      val baseMin = results.toMap
+      val scaleRatios = scaleResults.map { case (k, (mn, _)) =>
+        val base = baseMin.getOrElse(k, (-1.0, -1.0))._1
+        k -> (if (base > 0 && mn >= 0) mn / base else -1.0)
+      }
+      val scaleJson = scaleResults.map { case (k, (mn, md)) =>
+        val ratio = scaleRatios.toMap.getOrElse(k, -1.0)
+        "\"" + k + "\":{\"sec\":" + fmt(mn) + ",\"median_sec\":" + fmt(md) +
+          ",\"vs_base\":" + f"$ratio%.2f" + "}"
+      }.mkString("{", ",", "}")
+
+      val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + fmt(mn) }
+        .mkString("{", ",", "}")
+      val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + fmt(md) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2._1).filter(_ >= 0).sum
+      val coreSec = results.filterNot(r => lifecycle(r._1))
+        .map(_._2._1).filter(_ >= 0).sum
+      val lifeSec = results.filter(r => lifecycle(r._1))
+        .map(_._2._1).filter(_ >= 0).sum
+      val unstableJson = unstable.map(u => "\"" + u._1 + "\"")
+        .mkString("[", ",", "]")
+      val unstableRunsJson = unstable.map { case (n, runs) =>
+        "\"" + n + "\":" + runs.map(fmt).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val ledgerJson = ledgers.map { case (n, (runs, phases)) =>
+        "\"" + n + "\":{\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
+          ",\"phases\":{" + phases.map { case (p, s, c) =>
+            "\"" + p + "\":{\"sec\":" + fmt(s) + ",\"n\":" + c + "}"
+          }.mkString(",") + "}}"
+      }.mkString("{", ",", "}")
+
+      // sentinel (end): contention arriving mid-session is caught here
+      val loadavgEnd = graft.util.BenchSentinel.loadavg
+      val sentinelEnd = graft.util.BenchSentinel.measure(spark, cpus.toInt)
+      val sentExp = graft.util.BenchSentinel.expected
+      val sentRatio = math.max(sentinelStart, sentinelEnd) / sentExp
+      val contended = sentRatio > graft.util.BenchSentinel.ContendedRatio
+      if (contended) System.err.println(
+        f"[bench] CONTENDED: sentinel ${math.max(sentinelStart, sentinelEnd)}%.3f s" +
+          f" vs expected $sentExp%.3f s (ratio $sentRatio%.2f) — numbers in" +
+          " this pass ran on a busy machine")
+      val sentinelJson = "{\"start_sec\":" + fmt(sentinelStart) +
+        ",\"end_sec\":" + fmt(sentinelEnd) +
+        ",\"expected_sec\":" + fmt(sentExp) +
+        ",\"ratio\":" + f"$sentRatio%.2f" +
+        ",\"loadavg_start\":\"" + loadavgStart +
+        "\",\"loadavg_end\":\"" + loadavgEnd + "\"}"
+
+      val topMedians = results.map { case (k, (_, md)) => k -> md }
+        .filter(_._2 >= 0).sortBy(-_._2).take(10)
+
+      Pass(attempt, qs, qsMed, total, coreSec, lifeSec,
+        unstable.map(_._1).toSeq, unstableJson, unstableRunsJson,
+        ledgerJson, cdcJson, scaleJson, scaleRatios, topMedians,
+        sentinelJson, sentRatio, contended)
+    }
+
+    // ---- bounded retry: gate, run, and only if the pass came out
+    // contended (and attempts remain) gate + run again; report the
+    // best-sentinel pass with every attempt's ratio in-artifact ----
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
+    val attemptRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var best: Pass = null
+    var i = 0
+    var cleanFound = false
+    while (i < maxAttempts && !cleanFound) {
+      awaitIdle()
+      val p = runPass(i + 1)
+      attemptRatios += p.sentRatio
+      if (best == null || p.sentRatio < best.sentRatio) best = p
+      cleanFound = !p.contended
+      i += 1
+    }
+
+    val gateJson = gateProbes.map(r => f"$r%.2f").mkString("[", ",", "]")
+    val attemptsJson = attemptRatios.map(r => f"$r%.2f").mkString("[", ",", "]")
+
+    // full artifact line (everything): prints FIRST so the compact
+    // summary below is what a bounded tail capture retains
+    println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel":${best.sentinelJson}}""")
+
+    // compact summary LAST (r7 verdict #1): totals + contamination flag +
+    // 10× ratios + ten slowest medians, bounded well under 1.5 kB
+    val scaleRatioJson = best.scaleRatios
+      .map { case (k, r) => "\"" + k.stripPrefix("q_") + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + fmt(md) }
+    val topJson = best.topMedians
+      .map { case (k, md) => "\"" + k + "\":" + fmt(md) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val coreSec = results.filterNot(r => lifecycle(r._1))
-      .map(_._2._1).filter(_ >= 0).sum
-    val lifeSec = results.filter(r => lifecycle(r._1))
-      .map(_._2._1).filter(_ >= 0).sum
-    val unstableJson = unstable.map(u => "\"" + u._1 + "\"")
-      .mkString("[", ",", "]")
-    val unstableRunsJson = unstable.map { case (n, runs) =>
-      "\"" + n + "\":" + runs.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val ledgerJson = ledgers.map { case (n, (runs, phases)) =>
-      "\"" + n + "\":{\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
-        ",\"phases\":{" + phases.map { case (p, s, c) =>
-          "\"" + p + "\":{\"sec\":" + fmt(s) + ",\"n\":" + c + "}"
-        }.mkString(",") + "}}"
-    }.mkString("{", ",", "}")
-
-    // sentinel (end): contention arriving mid-session is caught here
-    val loadavgEnd = graft.util.BenchSentinel.loadavg
-    val sentinelEnd = graft.util.BenchSentinel.measure(spark, cpus.toInt)
-    val sentExp = graft.util.BenchSentinel.expected
-    val sentRatio = math.max(sentinelStart, sentinelEnd) / sentExp
-    val contended = sentRatio > graft.util.BenchSentinel.ContendedRatio
-    if (contended) System.err.println(
-      f"[bench] CONTENDED: sentinel ${math.max(sentinelStart, sentinelEnd)}%.3f s" +
-        f" vs expected $sentExp%.3f s (ratio $sentRatio%.2f) — numbers in" +
-        " this artifact ran on a busy machine; re-run idle to adjudicate")
-    val sentinelJson = "{\"start_sec\":" + fmt(sentinelStart) +
-      ",\"end_sec\":" + fmt(sentinelEnd) +
-      ",\"expected_sec\":" + fmt(sentExp) +
-      ",\"ratio\":" + f"$sentRatio%.2f" +
-      ",\"loadavg_start\":\"" + loadavgStart +
-      "\",\"loadavg_end\":\"" + loadavgEnd + "\"}"
-
-    // sentinel/contended go LAST: the driver's artifact capture keeps the
-    // tail of this line, and the contamination flag must survive capture
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core30_sec":${fmt(coreSec)},"lifecycle_sec":${fmt(lifeSec)},"queries":$qs,"queries_median":$qsMed,"unstable":$unstableJson,"unstable_runs":$unstableRunsJson,"ledger":$ledgerJson,"cdc_read":$cdcJson,"scale10x":$scaleJson,"sf":"$sfDir","contended":$contended,"sentinel":$sentinelJson}""")
+    val unstableShort = best.unstableNames.take(8)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"scale10x_ratio":$scaleRatioJson,"top10_median":$topJson,"unstable":$unstableShort}""")
     spark.stop()
   }
 }

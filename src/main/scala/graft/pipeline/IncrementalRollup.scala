@@ -8,16 +8,32 @@ import graft.table.GraftTable
 /** Incrementally-maintained aggregate tables (materialized-view
   * maintenance): keep `dst` equal to
   *
-  *   SELECT keys, SUM(c) AS c_sum ... , COUNT(*) AS n FROM src GROUP BY keys
+  *   SELECT keys, SUM(c) AS c_sum ..., MIN(m) AS m_min ...,
+  *          MAX(x) AS x_max ..., COUNT(*) AS n
+  *   FROM src GROUP BY keys
   *
   * by applying the source CHANGELOG's net deltas instead of
   * re-aggregating the source. At 100 TB this is the only viable shape
   * for derived tables: a day's maintenance costs O(changed rows) +
   * a rewrite bounded by the affected keys' files, where the recompute
   * costs a full source scan. SUM/COUNT are retraction-safe (deletes
-  * subtract); AVG derives downstream as c_sum / n. MIN/MAX are NOT
-  * offered — a retracted extremum is unrecoverable without re-scanning
-  * its group, which is exactly the cost this operator exists to avoid.
+  * subtract); AVG derives downstream as c_sum / n.
+  *
+  * MIN/MAX are NOT delta-safe — a retracted extremum is unrecoverable
+  * from deltas alone — so they use the standard bounded fallback: the
+  * changelog names exactly the groups that saw a retraction, and ONLY
+  * those groups are re-aggregated from `src`, through a stats-pruned
+  * scan ([[GraftTable.readForKeys]]) that skips src files whose key
+  * ranges/Blooms cannot contain the affected keys. Groups touched only
+  * by inserts fold the delta's own extremes in (`least`/`greatest`) —
+  * no source read at all. Cost stays O(affected groups' files), never a
+  * full src scan.
+  *
+  * The `dst` read is likewise pruned: the delta's key set bounds which
+  * dst files can hold current values for affected groups, so each
+  * maintenance round reads O(affected keys' files) of dst — not all of
+  * dst (the r7 finding: a runtime semi-join prunes rows, not files; the
+  * probe must reach the driver-side manifest planner to skip IO).
   *
   * Exactly-once with NO external checkpoint: each maintenance merge is
   * stamped with the idempotent-writer txn `(appId, srcTipSnapshot)`, so
@@ -30,16 +46,21 @@ import graft.table.GraftTable
   * type (append, COW/MOR merge, delete, update) contributes its exact
   * net row changes; rewrites (compact/fold) are data-equivalent and
   * contribute nothing. Source history must be retained at least as long
-  * as the maintenance interval (expire keeps `from` reachable).
+  * as the maintenance interval (expire keeps `from` reachable). The
+  * MIN/MAX re-aggregation reads src AS OF `tip`, so commits landing
+  * concurrently with maintenance cannot leak ahead of the stamped range.
   */
 object IncrementalRollup {
 
   /** One maintenance round. Creates `dst` (unpartitioned, schema =
-    * keys ++ sums ++ n) on first use. Returns the applied source range
-    * `(fromExclusive, tipInclusive)`, or None when up to date. */
+    * keys ++ sums ++ mins ++ maxes ++ n) on first use. Returns the
+    * applied source range `(fromExclusive, tipInclusive)`, or None when
+    * up to date. */
   def maintain(src: GraftTable, dst: GraftTable, keys: Seq[String],
       sumCols: Seq[String], appId: String,
-      mode: String = "cow"): Option[(Long, Long)] = {
+      mode: String = "cow",
+      minCols: Seq[String] = Seq.empty,
+      maxCols: Seq[String] = Seq.empty): Option[(Long, Long)] = {
     require(keys.nonEmpty, "at least one group key")
     val tip = src.latestSnapshotId.getOrElse(return None)
     val from = if (dst.exists) dst.lastTxnBatch(appId).getOrElse(-1L)
@@ -47,35 +68,95 @@ object IncrementalRollup {
     if (tip <= from) return None
 
     val srcSchema = src.schema
-    sumCols.foreach(c => require(srcSchema.fieldNames.contains(c),
-      s"sum column $c not in source schema"))
+    (sumCols ++ minCols ++ maxCols).foreach(c =>
+      require(srcSchema.fieldNames.contains(c),
+        s"aggregate column $c not in source schema"))
+    val extremes = minCols.nonEmpty || maxCols.nonEmpty
     val ch = src.changes(from, tip)
     // net per-key delta: inserts add, deletes subtract (an update is a
-    // delete+insert pair in the changelog, so it contributes the net)
-    val sgn = when(col("_change_type") === "delete", lit(-1L))
-      .otherwise(lit(1L))
+    // delete+insert pair in the changelog, so it contributes the net).
+    // For MIN/MAX only INSERTED values are candidates; `__retracted`
+    // flags the groups whose extremes need the bounded re-aggregation.
+    val isDel = col("_change_type") === "delete"
+    val sgn = when(isDel, lit(-1L)).otherwise(lit(1L))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(sum(sgn).as("__delta_n")) ++
+        sumCols.map(c => sum(col(c) * sgn).as(s"__delta_${c}_sum")) ++
+        minCols.map(c =>
+          min(when(!isDel, col(c))).as(s"__delta_${c}_min")) ++
+        maxCols.map(c =>
+          max(when(!isDel, col(c))).as(s"__delta_${c}_max")) ++
+        Seq(max(when(isDel, lit(1)).otherwise(lit(0))).as("__retracted"))
+    // checkpoint: the delta is aggregate-sized (one row per CHANGED
+    // group) and feeds three consumers — the dst file-prune probe, the
+    // combine join, and the merge's own key probes — each of which
+    // would otherwise re-run the whole changelog reconstruction
     val delta = ch.groupBy(keys.map(col): _*)
-      .agg(sum(sgn).as("__delta_n"),
-        sumCols.map(c =>
-          sum(col(c) * sgn).as(s"__delta_${c}_sum")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
 
     if (!dst.exists) {
       val aggFields = keys.map(k => srcSchema(k)) ++
         sumCols.map(c => StructField(s"${c}_sum",
-          delta.schema(s"__delta_${c}_sum").dataType)) :+
+          delta.schema(s"__delta_${c}_sum").dataType)) ++
+        minCols.map(c => StructField(s"${c}_min", srcSchema(c).dataType)) ++
+        maxCols.map(c => StructField(s"${c}_max", srcSchema(c).dataType)) :+
         StructField("n", LongType)
       dst.create(StructType(aggFields.toArray))
+    } else {
+      // the maintained spec is part of dst's identity: a maintain call
+      // with a different aggregate list would silently read absent
+      // columns — fail loud instead
+      val expect = sumCols.map(_ + "_sum") ++ minCols.map(_ + "_min") ++
+        maxCols.map(_ + "_max")
+      val have = dst.schema.fieldNames.toSet
+      val missing = expect.filterNot(have)
+      require(missing.isEmpty,
+        s"dst ${dst.location} lacks maintained columns: ${missing.mkString(",")}")
     }
 
-    // current values for AFFECTED keys only: the semi-join probe prunes
-    // dst's files by key stats, so the read is O(affected keys' files)
-    val cur = dst.read()
-      .join(delta.select(keys.map(col): _*), keys, "left_semi")
-    val combined = cur.join(delta, keys, "full_outer")
+    // current values for AFFECTED keys only: the probe's key set reaches
+    // the driver-side manifest planner (readForKeys) so dst FILES whose
+    // stats exclude every affected key are skipped, then the semi-join
+    // keeps exactly the affected rows from the files that survived
+    val probe = delta.select(keys.map(col): _*)
+    val cur = dst.readForKeys(probe, keys)
+      .join(probe, keys, "left_semi")
+
+    // bounded MIN/MAX recovery: re-aggregate ONLY retraction-affected
+    // groups, from src AS OF tip, through the same stats-pruned scan
+    val reagg: Option[org.apache.spark.sql.DataFrame] =
+      if (!extremes) None
+      else {
+        val retr = delta.filter(col("__retracted") === 1)
+          .select(keys.map(col): _*)
+        val reAggs = minCols.map(c => min(col(c)).as(s"__re_${c}_min")) ++
+          maxCols.map(c => max(col(c)).as(s"__re_${c}_max"))
+        Some(src.readForKeys(retr, keys, asOf = Some(tip))
+          .join(retr, keys, "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(reAggs.head, reAggs.tail: _*))
+      }
+
+    val joined0 = cur.join(delta, keys, "full_outer")
+    val joined = reagg.fold(joined0)(r => joined0.join(r, keys, "left_outer"))
+    // __retracted is NULL for groups absent from the delta (cur-only
+    // rows of a full-outer join never happen here — cur is semi-joined
+    // to the delta — but the guard keeps the expression total)
+    val retracted = col("__retracted") === 1
+    val combined = joined
       .select(keys.map(col) ++
         sumCols.map(c =>
           (coalesce(col(s"${c}_sum"), lit(0)) +
-            coalesce(col(s"__delta_${c}_sum"), lit(0))).as(s"${c}_sum")) :+
+            coalesce(col(s"__delta_${c}_sum"), lit(0))).as(s"${c}_sum")) ++
+        minCols.map(c =>
+          when(retracted, col(s"__re_${c}_min"))
+            .otherwise(least(col(s"${c}_min"), col(s"__delta_${c}_min")))
+            .as(s"${c}_min")) ++
+        maxCols.map(c =>
+          when(retracted, col(s"__re_${c}_max"))
+            .otherwise(greatest(col(s"${c}_max"), col(s"__delta_${c}_max")))
+            .as(s"${c}_max")) :+
         (coalesce(col("n"), lit(0L)) +
           coalesce(col("__delta_n"), lit(0L))).as("n"): _*)
       // a group whose count reaches zero LEFT the aggregate — a CDC

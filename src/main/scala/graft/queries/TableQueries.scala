@@ -418,6 +418,63 @@ object TableQueries {
       |  COUNT(*) AS n
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MIN/MAX through the incremental rollup: deltas alone cannot recover
+    * a retracted extremum, so maintenance re-aggregates ONLY the
+    * retraction-affected groups from src (stats-pruned scan at the
+    * stamped tip). The lifecycle retracts extremes two ways — the MOR
+    * merge doubles %5 keys' prices (update = delete+insert, the doubled
+    * value usually the new max) and the COW delete removes %7 keys
+    * outright — so the oracle (full recompute over the final state) is
+    * correct only if the bounded re-aggregation path nets exactly. */
+  val qRollupMinmax: Q = (s, dir) => {
+    import graft.pipeline.IncrementalRollup
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+    val src = GraftTable(s, scratch("rollmmsrc"))
+    src.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", dec(col("o_totalprice"))),
+      parts = Seq("o_orderstatus"))
+    val dst = GraftTable(s, scratch("rollmmdst"))
+    def round(): Unit = IncrementalRollup.maintain(src, dst,
+      Seq("o_orderstatus"), Seq("o_totalprice"), "rollmm",
+      minCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"))
+    round()
+    src.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", dec(col("o_totalprice"))))
+    src.merge(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", dec(col("o_totalprice") * 2)),
+      keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    src.delete(col("o_orderkey") % 7 === 0)
+    round()
+    dst.read().select(col("o_orderstatus"),
+      col("o_totalprice_sum").cast("double").as("total_sum"),
+      col("o_totalprice_min").cast("double").as("total_min"),
+      col("o_totalprice_max").cast("double").as("total_max"),
+      col("n"))
+      .orderBy("o_orderstatus")
+  }
+  val qRollupMinmaxSql: String =
+    """WITH priced AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p0
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 5 = 0
+      |      THEN CAST(p0 * 2 AS DECIMAL(18,2)) ELSE p0 END AS p
+      |  FROM priced
+      |  WHERE (o_orderkey % 3 IN (0, 1) OR o_orderkey % 5 = 0)
+      |    AND o_orderkey % 7 <> 0)
+      |SELECT o_orderstatus,
+      |  CAST(SUM(p) AS DOUBLE) AS total_sum,
+      |  CAST(MIN(p) AS DOUBLE) AS total_min,
+      |  CAST(MAX(p) AS DOUBLE) AS total_max,
+      |  COUNT(*) AS n
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The reference's exact consumer topology — external engines over ONE
     * months()-partitioned silver table (bronze-silver.py:199-201,
     * README.md:127-197) — through the export loop: hidden month
@@ -719,6 +776,7 @@ object TableQueries {
     ("q_update_positions", qUpdatePositions, Some(qUpdatePositionsSql)),
     ("q_rollup_incremental", qRollupIncremental,
       Some(qRollupIncrementalSql)),
+    ("q_rollup_minmax", qRollupMinmax, Some(qRollupMinmaxSql)),
     ("q_table_changes", qTableChanges, Some(qTableChangesSql)),
     ("q_table_changes_materialized", qTableChangesMaterialized,
       Some(qTableChangesSql)),

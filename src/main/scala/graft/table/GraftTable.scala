@@ -1890,6 +1890,23 @@ class GraftTable(spark: SparkSession, val location: String,
   def readPruned(keep: Map[String, Set[String]]): DataFrame =
     morRead(liveFilesWhere(keep), None)
 
+  /** Stats-pruned scan for a keyed probe: read only the live files whose
+    * recorded column stats (min/max ranges, point-probed per key value +
+    * Bloom bitsets when the probe's distinct key set is small) may
+    * contain rows matching `probe`'s key tuples — the same manifest
+    * pruning the COW merge planner uses ([[MergeInto.mayContainKeys]]).
+    * This is FILE-level skipping resolved driver-side; the caller still
+    * applies the exact row filter (e.g. a semi-join on `probe`), which
+    * now scans O(matching files), not the whole table. Costs two tiny
+    * driver jobs over `probe` (key range + distinct values under cap) —
+    * checkpoint `probe` first if it is derived from an expensive frame.
+    * Files without recorded stats are always kept (never mis-prunes). */
+  def readForKeys(probe: DataFrame, cols: Seq[String],
+      asOf: Option[Long] = None): DataFrame = {
+    val tip = asOf.orElse(latestSnapshotId).getOrElse(return read())
+    morRead(morPreImageFiles(tip, cols, probe), asOf)
+  }
+
   /** Parse `k=v` partition-dir components of a relative file path. Values
     * are decoded with Spark's own partition-path unescaper — URL-decoding
     * is NOT equivalent (it would turn a literal '+' into a space, which

@@ -82,4 +82,71 @@ class IncrementalRollupSpec extends SparkSpec {
     IncrementalRollup.maintain(src, d1, Seq("g"), Seq("v"), "one")
     assert(dstRows(d1) === dstRows(d2))
   }
+
+  private def recomputeMM(src: GraftTable) =
+    src.read().groupBy("g")
+      .agg(sum(col("v")).as("v_sum"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"), count(lit(1)).as("n"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+
+  private def mmRows(dst: GraftTable) =
+    dst.read().orderBy("g").as[(String, Long, Long, Long, Long)]
+      .collect().toSeq
+
+  private def maintainMM(src: GraftTable, dst: GraftTable): Unit =
+    IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v"), "mm",
+      minCols = Seq("v"), maxCols = Seq("v"))
+
+  test("MIN/MAX: insert-only rounds fold delta extremes; a retracted " +
+      "extremum is recovered by re-aggregating only affected groups") {
+    val src = fresh("roll-mm-src")
+    val dst = fresh("roll-mm-dst")
+    src.append(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L),
+      ("b", 4L, 40L)).toDF("g", "id", "v"))
+    maintainMM(src, dst)
+    assert(mmRows(dst) === Seq(("a", 30L, 10L, 20L, 2L),
+      ("b", 70L, 30L, 40L, 2L)))
+
+    // insert-only: new max folds in via greatest(), no retraction
+    src.append(Seq(("a", 5L, 99L)).toDF("g", "id", "v"))
+    maintainMM(src, dst)
+    assert(mmRows(dst) === recomputeMM(src))
+    assert(mmRows(dst).head === (("a", 129L, 10L, 99L, 3L)))
+
+    // the KEY case: delete the group's max — delta alone cannot recover
+    // the next-best extremum; the bounded re-aggregation must
+    src.delete(col("id") === 5L)
+    maintainMM(src, dst)
+    assert(mmRows(dst) === recomputeMM(src))
+    assert(mmRows(dst).head === (("a", 30L, 10L, 20L, 2L)))
+
+    // an update (= delete+insert in the changelog) that LOWERS b's max
+    // row: both the retraction and the new value must net correctly
+    src.merge(Seq(("b", 4L, 5L)).toDF("g", "id", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id",
+      mode = "mor")
+    maintainMM(src, dst)
+    assert(mmRows(dst) === recomputeMM(src))
+    assert(mmRows(dst)(1) === (("b", 35L, 5L, 30L, 2L)))
+
+    // a group retracted to zero rows leaves the aggregate entirely
+    src.delete(col("g") === "b")
+    maintainMM(src, dst)
+    assert(mmRows(dst) === Seq(("a", 30L, 10L, 20L, 2L)))
+    assert(mmRows(dst) === recomputeMM(src))
+  }
+
+  test("maintain with a different aggregate spec than dst was built " +
+      "with fails loud") {
+    val src = fresh("roll-spec-src")
+    val dst = fresh("roll-spec-dst")
+    src.append(Seq(("a", 1L, 10L)).toDF("g", "id", "v"))
+    IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v"), "x")
+    src.append(Seq(("a", 2L, 20L)).toDF("g", "id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v"), "x",
+        minCols = Seq("v"))
+    }
+    assert(e.getMessage.contains("v_min"))
+  }
 }

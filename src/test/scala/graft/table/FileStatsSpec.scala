@@ -280,6 +280,32 @@ class FileStatsSpec extends SparkSpec {
     assert(all.filter($"id" === 1234L).count() === 1)
   }
 
+  test("readForKeys skips files whose stats exclude the probe's keys " +
+      "(file-level, not row-level, pruning)") {
+    val t = freshTable("fs-readforkeys")
+    val data = (1L to 4000L).map(i => ((i * 2654435761L) % 4000L, s"v$i"))
+      .toDF("id", "v")
+    t.append(data, sortBy = Seq("id"), sortFiles = Some(4))
+    assert(t.liveFiles().size === 4)
+    val probe = Seq(7L, 9L).toDF("id") // both land in the lowest range
+    val pruned = t.readForKeys(probe, Seq("id"))
+    // the pruned scan READS one file — proven by its own scan metric,
+    // and by returning only that file's rows (≈1000, not 4000)
+    assert(scannedFiles(pruned) === 1)
+    assert(pruned.count() < 2000)
+    // correctness: semi-join over the pruned read equals the full filter
+    assert(pruned.join(probe, Seq("id"), "left_semi").count() ===
+      t.read().filter($"id".isin(7L, 9L)).count())
+    // a sparse probe spanning the full range still point-probes: only
+    // the two files that may CONTAIN the values are read, not every
+    // range-overlapping file — and the exact rows all survive
+    val wide = Seq(1L, 3999L).toDF("id")
+    val wideRead = t.readForKeys(wide, Seq("id"))
+    assert(scannedFiles(wideRead) === 2)
+    assert(wideRead.join(wide, Seq("id"), "left_semi").count() ===
+      t.read().filter($"id".isin(1L, 3999L)).count())
+  }
+
   test("stats survive expire (baseline absorbs them) and compact recomputes") {
     val t = freshTable("fs-expire")
     t.append((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
