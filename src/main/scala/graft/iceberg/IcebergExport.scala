@@ -299,7 +299,10 @@ object IcebergExport {
     * current schema, each with its own manifest list — so external
     * engines TIME-TRAVEL the export ([[scan]]'s `at`,
     * `read_iceberg_duckdb.py --at`). Tag refs resolving to an exported
-    * snapshot ride along in `refs`; pre-evolve snapshots stop the
+    * snapshot ride along in `refs`, and so do BRANCH refs: each live
+    * branch's tip is exported as its own snapshot entry (replayed on the
+    * branch chain), so external engines read write-audit-publish staging
+    * PRE-fast-forward under the branch name; pre-evolve snapshots stop the
     * history walk (one Iceberg schema-id per exported schema is the
     * honest cut — an older schema would need its own, and external
     * readers would resolve columns against the wrong ids).
@@ -327,11 +330,45 @@ object IcebergExport {
     val exported: Seq[graft.table.Snapshot] = table.snapshots.reverse
       .takeWhile(s => DataType.fromJson(s.schemaJson) == curSchema)
       .take(math.max(1, history)).reverse
-    val liveBySnap: Map[Long, Seq[String]] = exported.map(s =>
-      s.snapshotId -> table.liveFiles(Some(s.snapshotId))).toMap
+    // Branch refs ride along (Iceberg's refs model puts branches next to
+    // tags — the write-audit-publish staging the reference's external-
+    // engine premise needs): each live branch whose TIP snapshot shares
+    // the current schema is exported like a history entry, visible
+    // pre-fast-forward under its ref name. A branch that DIVERGED from
+    // main (its tip id collides with a published main snapshot — the
+    // fastForward-conflict state) is skipped: its id can no longer name
+    // one snapshot unambiguously, and it is unpublishable until rebased
+    // anyway. A branch with no own commits resolves to its fork point.
+    val mainIds = exported.map(_.snapshotId).toSet
+    val branchViews: Seq[(String, GraftTable, Long)] =
+      table.branches.toSeq.sortBy(_._1).map { case (b, base) =>
+        val bt = table.branch(b)
+        (b, bt, bt.latestSnapshotId.getOrElse(base))
+      }
+    val branchSnaps: Seq[(graft.table.Snapshot, GraftTable)] =
+      branchViews.flatMap { case (_, bt, tip) =>
+        bt.snapshots.filter(s => s.snapshotId == tip &&
+            !mainIds.contains(s.snapshotId) &&
+            !table.snapshots.exists(_.snapshotId == s.snapshotId) &&
+            DataType.fromJson(s.schemaJson) == curSchema)
+          .map(s => (s, bt))
+      }.distinctBy(_._1.snapshotId)
+    // every exported snapshot paired with the VIEW that can replay it
+    // (main snapshots replay on the main chain, branch tips on theirs)
+    val exportedAll: Seq[(graft.table.Snapshot, GraftTable)] =
+      exported.map(s => (s, table)) ++ branchSnaps
+    val liveBySnap: Map[Long, Seq[String]] = exportedAll.map {
+      case (s, vt) => s.snapshotId -> vt.liveFiles(Some(s.snapshotId))
+    }.toMap
     val allFiles: Seq[String] = liveBySnap.values.flatten.toSeq.distinct
-    val rows = table.rowsFor(allFiles)
-    val bytes = table.bytesFor(allFiles)
+    val mainAllFiles = exported.flatMap(s => liveBySnap(s.snapshotId)).distinct
+    def unionOver[T](f: (GraftTable, Seq[String]) => Map[String, T])
+        : Map[String, T] =
+      f(table, mainAllFiles) ++ branchSnaps.flatMap { case (s, bt) =>
+        f(bt, liveBySnap(s.snapshotId))
+      }
+    val rows = unionOver((t, fl) => t.rowsFor(fl))
+    val bytes = unionOver((t, fl) => t.bytesFor(fl))
 
     // Partition spec: identity columns (their bytes live in the DIR
     // layout, so tuples are REQUIRED to reconstruct them) and the
@@ -368,7 +405,7 @@ object IcebergExport {
       })
     }
     val entrySchema = manifestEntrySchema(avroPartFields)
-    val stats = table.statsFor(allFiles)
+    val stats = unionOver((t, fl) => t.statsFor(fl))
     val glue = org.apache.spark.sql.graftglue.GraftSqlGlue
     val sJson = schemaJson(schema)
     val specFieldsJson = specFields.zipWithIndex.map { case (f, i) =>
@@ -416,11 +453,12 @@ object IcebergExport {
       * numbers are the REAL graft add/commit sequences (identical strict
       * ordering to the v2 spec), so every exported snapshot applies its
       * deletes to exactly the data files the engine would. */
-    def exportSnapshot(s: graft.table.Snapshot): (String, Long) = {
+    def exportSnapshot(s: graft.table.Snapshot, vt: GraftTable)
+        : (String, Long) = {
       val sid = s.snapshotId
       val live = liveBySnap(sid)
-      val deletes = table.liveDeletes(Some(sid)).sortBy(_.seq)
-      val addSeqs = table.fileAddSeqs(Some(sid))
+      val deletes = vt.liveDeletes(Some(sid)).sortBy(_.seq)
+      val addSeqs = vt.fileAddSeqs(Some(sid))
       def dataSeq(rel: String): Long = addSeqs.getOrElse(rel, sid)
 
       // ---- data manifest ----
@@ -594,30 +632,38 @@ object IcebergExport {
       (entryJson, lastSeq)
     }
 
-    val perSnap = exported.map(s => s -> exportSnapshot(s))
+    val perSnap = exportedAll.map { case (s, vt) =>
+      s -> exportSnapshot(s, vt) }
 
     // ---- metadata.json + version hint ----
     val version = currentVersion(fs, metaDir) + 1
     val now = snap.timestampMs
     val lastSeq = perSnap.map(_._2._2).max
     val specsJson = s"""[{"spec-id": 0, "fields": $specFieldsJson}""" +
-      (if (perSnap.exists(p => table.liveDeletes(
-          Some(p._1.snapshotId)).nonEmpty) && specFields.nonEmpty)
+      (if (exportedAll.exists { case (s, vt) =>
+          vt.liveDeletes(Some(s.snapshotId)).nonEmpty } && specFields.nonEmpty)
         """, {"spec-id": 1, "fields": []}]""" else "]")
     val snapshotsJson = perSnap.map(_._2._1).mkString("[", ", ", "]")
-    val snapshotLogJson = perSnap.map { case (s, _) =>
+    // snapshot-log is MAIN lineage only (the Iceberg main-branch history
+    // list); branch tips are reachable through their refs, not the log
+    val snapshotLogJson = exported.map { s =>
       s"""{"timestamp-ms": ${s.timestampMs}, "snapshot-id": ${s.snapshotId}}"""
     }.mkString("[", ", ", "]")
     // refs: main + every tag resolving to an exported snapshot (tags on
     // unexported snapshots are omitted — a ref must point at a readable
-    // snapshot entry)
-    val exportedIds = exported.map(_.snapshotId).toSet
+    // snapshot entry) + every live branch whose tip made the export
+    // (own-commit tip, or the fork point for an empty branch)
+    val allExportedIds = exportedAll.map(_._1.snapshotId).toSet
+    val branchRefs = branchViews.collect {
+      case (b, _, tip) if allExportedIds.contains(tip) =>
+        s"""${jsonStr(b)}: {"snapshot-id": $tip, "type": "branch"}"""
+    }
     val refsJson = (Seq(
       s""""main": {"snapshot-id": ${snap.snapshotId}, "type": "branch"}""") ++
       table.refs.toSeq.sortBy(_._1).collect {
-        case (n, id) if exportedIds.contains(id) && n != "main" =>
+        case (n, id) if allExportedIds.contains(id) && n != "main" =>
           s"""${jsonStr(n)}: {"snapshot-id": $id, "type": "tag"}"""
-      }).mkString("{", ", ", "}")
+      } ++ branchRefs).mkString("{", ", ", "}")
     val metaJson =
       s"""{
          |  "format-version": 2,

@@ -90,6 +90,31 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Branch refs THROUGH the Iceberg export (the WAP staging external
+    * engines must see pre-publish): batch 1 is committed onto branch
+    * `audit` and NOT fast-forwarded; the export emits the branch tip as
+    * its own snapshot entry plus a `refs["audit"]` branch ref, and the
+    * result is the external metadata-tree walk AT that ref. The oracle is
+    * both batches — correct only if the staged branch state round-trips
+    * through the export; main's export stays at batch 0 (asserted
+    * in-flight). */
+  val qIcebergBranch: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icebranch"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    val mainRows = t.read().count()
+    t.createBranch("audit")
+    t.branch("audit").append(ordersSlice(s, dir, 1))
+    graft.iceberg.IcebergExport.export(s, t)
+    require(graft.iceberg.IcebergExport.scan(s, t.location).count()
+      == mainRows, "main export leaked staged branch rows")
+    project(graft.iceberg.IcebergExport.scan(s, t.location, Some("audit")))
+  }
+  val qIcebergBranchSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** CDC changelog over a table lifecycle: append → COW merge → MOR merge,
     * then `changes()` across the whole range. The oracle reconstructs the
     * exact net change set per commit: appends are inserts; the COW merge
@@ -772,6 +797,7 @@ object TableQueries {
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     ("q_branch_wap", qBranchWap, Some(qBranchWapSql)),
+    ("q_iceberg_branch", qIcebergBranch, Some(qIcebergBranchSql)),
     ("q_delete_positions", qDeletePositions, Some(qDeletePositionsSql)),
     ("q_update_positions", qUpdatePositions, Some(qUpdatePositionsSql)),
     ("q_rollup_incremental", qRollupIncremental,

@@ -82,6 +82,58 @@ class IcebergExportSpec extends SparkSpec {
     assert((meta \ "snapshots").children.size === 3)
   }
 
+  test("branch refs export: a staged WAP branch is readable externally " +
+      "pre-fast-forward; main stays clean; publish retires the ref") {
+    val t = mkTable("ice-branch", 100L)
+    t.createBranch("audit")
+    val b = t.branch("audit")
+    b.append((101L to 120L).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "v", "ts"))
+    IcebergExport.export(spark, t)
+    // main ref: staged rows invisible
+    assert(IcebergExport.scan(spark, t.location).count() === 100)
+    // branch ref: the staged state, resolved by name like any ref
+    val audit = IcebergExport.scan(spark, t.location, Some("audit"))
+    assert(audit.count() === 120)
+    assert(audit.orderBy("id").collect() ===
+      b.read().orderBy("id").collect())
+    // metadata: branch rides in refs with type "branch"
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val path = new java.net.URI("file://" + t.location).getPath
+    val metaDir = Paths.get(path, "metadata")
+    def meta() = JsonMethods.parse(Files.readString(metaDir.resolve(
+      s"v${Files.readString(metaDir.resolve("version-hint.text")).trim}" +
+        ".metadata.json")))
+    assert((meta() \ "refs" \ "audit" \ "type").extract[String] === "branch")
+    assert((meta() \ "refs" \ "audit" \ "snapshot-id").extract[Long] ===
+      b.latestSnapshotId.get)
+    // snapshot-log stays main lineage; the branch tip is in snapshots
+    assert((meta() \ "snapshot-log").children.size === 1)
+    assert((meta() \ "snapshots").children.size === 2)
+    // external engine: DuckDB hand-walk resolves the branch ref
+    val atBranch = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t", "--at", "audit").!!
+    assert(atBranch.trim.split("\n").last === "120")
+    val atMain = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t").!!
+    assert(atMain.trim.split("\n").last === "100")
+    // publish + re-export: the ref is gone, main carries the rows
+    t.fastForward("audit")
+    IcebergExport.export(spark, t)
+    assert((meta() \ "refs" \ "audit") === JNothing)
+    assert(IcebergExport.scan(spark, t.location).count() === 120)
+  }
+
+  test("a branch with no own commits exports a ref at its fork point") {
+    val t = mkTable("ice-branch-empty", 10L)
+    t.createBranch("staging")
+    IcebergExport.export(spark, t)
+    val audit = IcebergExport.scan(spark, t.location, Some("staging"))
+    assert(audit.count() === 10)
+  }
+
   test("re-export after a commit bumps the version and sees new rows") {
     val t = mkTable("ice-v2", 10L)
     IcebergExport.export(spark, t)
