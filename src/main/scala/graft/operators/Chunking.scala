@@ -53,6 +53,34 @@ object Chunking {
     * doc whose every chunk appeared earlier elsewhere survives with
     * n_kept = 0 and empty clean_text (the caller filters).
     *
+    * Non-overlapping convenience form: see the stride overload below for
+    * the full pinned semantics. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame =
+    chunkDedup(docs, idCol, textCol, chunkSize, chunkSize)
+
+  /** Overlapping-window chunk dedup (stride ≤ chunkSize). PINNED
+    * SEMANTICS — the dedup DECISION and the DROP region are different
+    * granularities, which is what makes overlap sound:
+    *
+    *   - the duplicate test keys on the FULL `chunkSize`-token window
+    *     text (more context ⇒ fewer false dup hits than stride-sized
+    *     pieces would give);
+    *   - a dropped window removes only its OWNED region — the `stride`
+    *     tokens starting at its offset (the last window's owned region
+    *     runs to doc end, still ≤ stride tokens, since a later start
+    *     would have spawned another window). Every token is owned by
+    *     exactly ONE window, so overlapping windows can never
+    *     double-drop shared tokens: duplicated content is removed
+    *     exactly where a duplicate window STARTS, and tokens past its
+    *     first stride survive through their own (kept) owner windows —
+    *     the Lee et al. 2022 exact-substring marking style, at stride
+    *     granularity.
+    *
+    * With stride == chunkSize the owned region IS the window, reducing
+    * exactly to the non-overlapping dedup above. n_chunks/n_kept count
+    * WINDOWS (dedup decisions), not tokens.
+    *
     * The winner per fingerprint is `min(struct(doc_id, chunk_idx))` — a
     * total order (doc ids unique), so the result is deterministic and
     * engine-portable; the md5 fingerprint only routes the shuffle, the
@@ -60,8 +88,22 @@ object Chunking {
     * which occurrence survives — it could only merge two distinct texts
     * (astronomically unlikely, and identically in any engine). */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int): DataFrame = {
-    val chunks = chunk(docs, idCol, textCol, chunkSize, chunkSize)
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), tokCol(textCol).as("t"))
+      .filter(size(col("t")) > 0 && col("t").getItem(0) =!= "")
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / stride).cast("int"))).as("i"))
+      .select(col("doc_id"),
+        col("i").cast("long").as("chunk_idx"),
+        array_join(slice(col("t"), col("i") * stride + 1, lit(chunkSize)),
+          " ").as("chunk_text"),
+        array_join(slice(col("t"), col("i") * stride + 1, lit(stride)),
+          " ").as("owned_text"))
       .withColumn("h", md5(col("chunk_text")))
     val winners = chunks.groupBy("h")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
@@ -72,8 +114,8 @@ object Chunking {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("chunk_idx"),
-            col("chunk_text")))),
-          x => x.getField("chunk_text")), " ").as("clean_text"))
+            col("owned_text")))),
+          x => x.getField("owned_text")), " ").as("clean_text"))
     val totals = chunks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"))
     totals.join(kept, Seq("doc_id"), "left")

@@ -270,35 +270,48 @@ object Dedup {
     * DISTINCT spans, n_shared those of them occurring in ≥ 2 docs.
     * Docs shorter than w tokens have 0 spans (and frac 0.0).
     *
-    * Scale shape: spans are keyed by the first 8 bytes of their md5 (the
-    * same 64-bit key space as a 16-hex-char prefix — engine-portable like
-    * SimHash64's token hash) so the shuffles carry fixed 8-byte keys,
-    * never the span text. The per-doc DISTINCT is computed MAP-SIDE by a
-    * native hash-set expression (`DistinctSpanHashes`) before anything
-    * crosses the wire — the old explode→distinct() shuffled one row per
-    * span OCCURRENCE; now the explode emits pre-deduped spans and the
-    * pipeline is map-side-distinct → groupBy(span) count → join back →
-    * groupBy(doc) — no doc-pair product at any corpus size. A 64-bit
-    * collision merges two spans for every engine identically, so the
-    * result stays oracle-exact even in the astronomically-unlikely
-    * collision case. */
+    * Scale shape: spans are keyed by a 64-bit token hash (engine-portable
+    * — the oracle mirrors it as a 16-hex md5 prefix) so shuffles carry
+    * fixed 8-byte keys, never the span text. The per-doc DISTINCT is
+    * computed MAP-SIDE by a native hash-set expression
+    * (`DistinctSpanHashes`) before anything crosses the wire, and the
+    * span stream crosses the wire ONCE: one groupBy(h) computes the
+    * shared-span set (h in ≥ 2 docs — a small fraction of all spans in
+    * real corpora), which is then BROADCAST as a semi-join build side so
+    * marking each doc's shared spans is map-side; the per-doc rollup
+    * partial-aggregates before its doc-keyed exchange, and n_spans never
+    * explodes at all (it is `size(hs)` summed per doc). The old shape
+    * shuffled the full span stream twice more (join-back on h, then the
+    * doc rollup on unaggregated span rows) — the r7 10× ratio 2.9 curve.
+    * Falls back to a shuffle semi-join when the shared set exceeds
+    * `broadcastSharedMax` (boilerplate-heavy corpora), which is the old
+    * cost, never worse. A 64-bit collision merges two spans for every
+    * engine identically, so the result stays oracle-exact even in the
+    * astronomically-unlikely collision case. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 8): DataFrame = {
+      w: Int = 8, broadcastSharedMax: Long = 4L * 1000 * 1000): DataFrame = {
     import graft.functions.HashExpressions.distinct_span_hashes
     import graft.functions.TextFunctions.tokens
     val toks = tokens(col(textCol))
-    val spans = docs
-      .select(col(idCol).as("id"),
-        explode(distinct_span_hashes(toks, w)).as("h"))
-    val counts = spans.groupBy("h").agg(count(lit(1)).as("nd"))
-    val perDoc = spans.join(counts, "h")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
-    docs.select(col(idCol).as("id")).distinct()
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+    val base = docs.select(col(idCol).as("id"),
+      distinct_span_hashes(toks, w).as("hs"))
+    val spans = base.select(col("id"), explode(col("hs")).as("h"))
+    // the ONE span-keyed shuffle; checkpointed so the size probe and the
+    // membership join reuse the aggregation instead of re-running it
+    val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("h").localCheckpoint()
+    val sharedSide =
+      if (shared.count() <= broadcastSharedMax) broadcast(shared)
+      else shared
+    val nShared = spans.join(sharedSide, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    // map-only per-doc span count (null hs = null/short text → 0 spans);
+    // the sum covers duplicate input ids identically to the old explode
+    val nSpans = base.groupBy("id")
+      .agg(sum(when(col("hs").isNull, lit(0))
+        .otherwise(size(col("hs")))).as("n_spans"))
+    nSpans.join(nShared, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("shared_frac",
         when(col("n_spans") === 0L, lit(0.0))

@@ -360,9 +360,54 @@ object DedupQueries {
        |FROM tot LEFT JOIN k USING (doc_id)
        |ORDER BY tot.doc_id""".stripMargin
 
+  /** Overlapping-window chunk dedup (stride 16 < chunkSize 32): the dup
+    * decision keys on full 32-token windows, a dropped window removes
+    * only its owned 16-token stride block, so overlap never double-drops
+    * (semantics pinned at [[graft.operators.Chunking.chunkDedup]]).
+    * Planted full-doc copies (doc_id % 11, re-idded) must come back with
+    * n_kept = 0; partially-overlapping docs keep every token whose owner
+    * window is unique. */
+  val qChunkOverlap: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val planted = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    graft.operators.Chunking.chunkDedup(docs.unionByName(planted),
+      "doc_id", "text", chunkSize = 32, stride = 16)
+      .orderBy(col("doc_id"))
+  }
+  val qChunkOverlapSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+       |m AS (SELECT doc_id, $toksSql AS t FROM base),
+       |g AS (SELECT doc_id, t,
+       |        unnest(range((len(t)-1)//16 + 1)) AS chunk_idx
+       |      FROM m WHERE len(t) > 0 AND t[1] <> ''),
+       |c AS (SELECT doc_id, chunk_idx,
+       |        array_to_string(t[chunk_idx*16+1 : chunk_idx*16+32], ' ')
+       |          AS chunk_text,
+       |        array_to_string(t[chunk_idx*16+1 : chunk_idx*16+16], ' ')
+       |          AS owned_text
+       |      FROM g),
+       |w AS (SELECT *, row_number() OVER (
+       |        PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+       |      FROM c),
+       |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |        string_agg(owned_text, ' ' ORDER BY chunk_idx)
+       |          AS clean_text
+       |      FROM w WHERE rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_chunks,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  COALESCE(k.clean_text, '') AS clean_text
+       |FROM tot LEFT JOIN k USING (doc_id)
+       |ORDER BY tot.doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q_chunk", qChunk, Some(qChunkSql)),
     ("q_chunk_dedup", qChunkDedup, Some(qChunkDedupSql)),
+    ("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     ("q_dedup_stream", qDedupStream, Some(qDedupStreamSql)),
     ("q_span_dedup", qSpanDedup, Some(qSpanDedupSql)),
     ("q_dedup_embedding_lsh", qDedupEmbeddingLsh, Some(qDedupEmbeddingLshSql)),

@@ -4,7 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Chunking, Dedup, SimilaritySearch}
+import graft.table.GraftTable
 
 /** 100× spot-check of the dedup/ANN scale story (VERDICT r4 item 7): the
   * 10× tier is continuously benched; this tool runs MinHash-LSH and IVF
@@ -118,12 +119,93 @@ object Scale100 {
         val ivfSec = (System.nanoTime() - t1) / 1e9
         spark.sharedState.cacheManager.clearCache(); System.gc()
 
+        // ---- chunk dedup shape (r7 item 6) ----
+        // The scale claim: one fingerprint shuffle, group sizes set by
+        // DUPLICATION STRUCTURE (flat as the corpus grows — ScaleUp
+        // copies are self-contained), total join-back rows linear.
+        val chunks = Chunking.chunk(docs, "doc_id", "text", 64, 64)
+          .withColumn("h", md5(col("chunk_text")))
+        val chunkOcc = chunks.groupBy("h").count()
+          .agg(count(lit(1)).as("groups"), max("count").as("maxOcc"),
+            avg("count").as("meanOcc")).head()
+        val t2 = System.nanoTime()
+        val cd = Chunking.chunkDedup(docs, "doc_id", "text", 64)
+          .agg(sum("n_chunks").as("nc"), sum("n_kept").as("nk")).head()
+        val chunkSec = (System.nanoTime() - t2) / 1e9
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+
+        // ---- span dedup curve (r7 item 5: broadcast shared-set shape) ----
+        val t3 = System.nanoTime()
+        Dedup.repeatedSpans(docs, "doc_id", "text", 8)
+          .queryExecution.toRdd.count()
+        val spanSec = (System.nanoTime() - t3) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+
         println(s"""{"tier":"$tier","docs":$nDocs,"minhash":{""" +
           s""""buckets":${occ.getLong(0)},"maxOcc":${occ.getLong(1)},""" +
           f""""meanOcc":${occ.getDouble(2)}%.2f,"candidates":$candCount,""" +
           f""""pairs":$pairs,"sec":$minhashSec%.1f},""" +
           s""""ivf":{"vectors":$nVec,"nLists":$nLists,"rows":$ivfRows,""" +
-          f""""sec":$ivfSec%.1f}}""")
+          f""""sec":$ivfSec%.1f},""" +
+          s""""chunk_dedup":{"groups":${chunkOcc.getLong(0)},""" +
+          s""""maxOcc":${chunkOcc.getLong(1)},""" +
+          f""""meanOcc":${chunkOcc.getDouble(2)}%.2f,""" +
+          s""""chunks":${cd.getLong(0)},"kept":${cd.getLong(1)},""" +
+          f""""sec":$chunkSec%.1f},""" +
+          f""""span_dedup":{"sec":$spanSec%.1f}}""")
+    }
+
+    // ---- rollup maintenance cost vs DELTA size (r7 item 6) ----
+    // The claim: a maintenance round costs O(changed rows) + a dst
+    // rewrite bounded by affected keys' files — NOT O(src). Measured by
+    // holding src fixed per tier and timing maintenance after a small
+    // (~0.1% of keys) and a large (~10%) update batch; across 1×→10×
+    // the small-delta cost should track DELTA, not src size. src is
+    // sort-on-write clustered by key so file stats stay selective (the
+    // deployment posture for a keyed 100 TB table).
+    Seq(("1x", sfDir), ("10x", dir10)).foreach { case (tier, dir) =>
+      val ordersPath = new Path(s"$dir/orders.parquet")
+      val fs2 = ordersPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs2.exists(ordersPath)) {
+        val orders = spark.read.parquet(ordersPath.toString)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+        val scratch = s"${graft.queries.Scratch.baseDir}/graft-s100-roll-" +
+          java.util.UUID.randomUUID()
+        graft.queries.Scratch.deleteOnExit(scratch)
+        val src = GraftTable(spark, s"$scratch/src")
+        src.append(orders, sortBy = Seq("o_orderkey"),
+          sortFiles = Some(32))
+        val dst = GraftTable(spark, s"$scratch/dst")
+        def maintainSec(): Double = {
+          val t0 = System.nanoTime()
+          graft.pipeline.IncrementalRollup.maintain(src, dst,
+            Seq("o_orderstatus"), Seq("o_totalprice"), "s100",
+            minCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val fullSec = maintainSec() // initial build: the full-scan cost
+        def applyAndTime(mod: Long): (Long, Double) = {
+          val batch = orders.filter(col("o_orderkey") % mod === 0)
+            .withColumn("o_totalprice",
+              (col("o_totalprice") * 2).cast("decimal(18,2)"))
+          val n = batch.count()
+          src.merge(batch, keys = Seq("o_orderkey"),
+            dedupKey = Seq("o_orderkey"), orderCol = "o_orderkey",
+            mode = "mor")
+          (n, maintainSec())
+        }
+        val (smallN, smallSec) = applyAndTime(997)
+        val (largeN, largeSec) = applyAndTime(11)
+        val srcRows = orders.count()
+        println(s"""{"tier":"$tier","rollup":{"src_rows":$srcRows,""" +
+          f""""full_sec":$fullSec%.1f,"small_delta_rows":$smallN,""" +
+          f""""small_sec":$smallSec%.1f,"large_delta_rows":$largeN,""" +
+          f""""large_sec":$largeSec%.1f}}""")
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+      }
     }
     spark.stop()
   }

@@ -209,4 +209,43 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect()
     assert(s9 === Array((9L, 2L, 1L, "m n o p")))
   }
+
+  test("overlapping chunkDedup: dup test on full windows, drop at owned-" +
+      "stride granularity, no double-drop of shared overlap") {
+    // chunkSize=4, stride=2: windows start every 2 tokens, each OWNS its
+    // first 2 tokens (the last window owns to doc end).
+    // Doc 1: a b c d e f — windows (abcd)(cdef)(ef); all kept.
+    // Doc 2 starts with doc 1's first WINDOW (a b c d) then diverges:
+    // only that window is a dup, so only its owned "a b" drops; "c d"
+    // survives through its own owner window (cdpq — unique).
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d p q r s"))
+      .toDF("doc_id", "text")
+    val r = Chunking.chunkDedup(d, "doc_id", "text", chunkSize = 4,
+        stride = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(r === Array(
+      (1L, 3L, 3L, "a b c d e f"),
+      (2L, 4L, 3L, "c d p q r s")))
+
+    // stride == chunkSize reduces exactly to the non-overlapping dedup
+    val base = Seq((1L, "a b c d w x y z"), (2L, "a b c d p q r s"))
+      .toDF("doc_id", "text")
+    val nonOv = Chunking.chunkDedup(base, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    val strided = Chunking.chunkDedup(base, "doc_id", "text", 4, 4)
+      .orderBy("doc_id").collect()
+    assert(nonOv === strided)
+
+    // an identical FULL doc dedups to nothing: every window is a dup,
+    // every owned region drops — exactly full-coverage, never more
+    val copy = Seq((1L, "a b c d e f"), (5L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val c = Chunking.chunkDedup(copy, "doc_id", "text", 4, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(c === Array(
+      (1L, 3L, 3L, "a b c d e f"),
+      (5L, 3L, 0L, "")))
+  }
 }
