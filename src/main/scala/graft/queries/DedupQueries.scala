@@ -404,7 +404,48 @@ object DedupQueries {
        |FROM tot LEFT JOIN k USING (doc_id)
        |ORDER BY tot.doc_id""".stripMargin
 
+  /** Cross-source span-overlap audit: for each source pair, how many
+    * distinct 8-token spans they share — the dataset-composition /
+    * cross-contamination matrix a pipeline inspects before mixing
+    * sources. Scale shape: per-doc distinct span hashes map-side
+    * (`DistinctSpanHashes`, 8-byte keys), ONE span-keyed groupBy
+    * collapsing each span to its source SET (collect_set dedups the
+    * per-source repeats in the same pass), then the pair explode runs
+    * over sets of at most |sources| elements — aggregate-sized, never a
+    * doc product. The oracle counts shared span TEXTS; counts agree with
+    * the 64-bit hash side short of a collision (the q_span_dedup
+    * argument). */
+  val qSourceOverlap: Q = (s, dir) => {
+    import graft.functions.HashExpressions.distinct_span_hashes
+    import graft.functions.TextFunctions.tokens
+    val spans = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        explode(distinct_span_hashes(tokens(col("text")), 8)).as("h"))
+    spans.groupBy("h")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_spans"))
+      .orderBy("source_a", "source_b")
+  }
+  val qSourceOverlapSql: String =
+    s"""WITH m AS (SELECT source, $toksSql AS t FROM documents),
+       |g AS (SELECT DISTINCT source, s AS h
+       |      FROM (SELECT source, unnest(
+       |        CASE WHEN len(t) < 8 THEN [] ELSE list_transform(
+       |          range(0, len(t) - 7),
+       |          i -> array_to_string(t[i+1:i+8], ' ')) END) AS s
+       |      FROM m))
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  COUNT(*) AS shared_spans
+       |FROM g a JOIN g b USING (h)
+       |WHERE a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_source_overlap", qSourceOverlap, Some(qSourceOverlapSql)),
     ("q_chunk", qChunk, Some(qChunkSql)),
     ("q_chunk_dedup", qChunkDedup, Some(qChunkDedupSql)),
     ("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),

@@ -303,7 +303,42 @@ object EventsQueries {
       |FROM v LEFT JOIN c ON v.user_id = c.user_id
       |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
+  /** Retention cohort matrix: users cohorted by FIRST-event day, then
+    * (cohort_day, day_offset) → distinct active users — the product-
+    * analytics staple. Scale shape: the first-event aggregation hashes by
+    * user_id and the activity join keys on the SAME column, so the
+    * cohort side's exchange is reused (co-partitioned join, no second
+    * shuffle of the big side); count(distinct user) partial-aggregates
+    * map-side. No broadcast hint — at 100 TB the user dim is not
+    * assumed small; AQE may still choose one at toy SF. */
+  val qRetentionCohorts: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+    val firsts = ev.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(firsts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+  val qRetentionCohortsSql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+      |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  date_diff('day', f.cohort_day, e.day) AS day_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_retention_cohorts", qRetentionCohorts, Some(qRetentionCohortsSql)),
     ("q_asof_signup", qAsofSignup, Some(qAsofSignupSql)),
     ("q_funnel", qFunnel, Some(qFunnelSql)),
     ("q_events_moving", qEventsMoving, Some(qEventsMovingSql)),

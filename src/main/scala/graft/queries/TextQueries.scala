@@ -555,7 +555,80 @@ object TextQueries {
        |FROM trans JOIN bi USING (w1, w2) JOIN uni USING (w1)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Top-K corpus vocabulary + per-doc out-of-vocabulary rate — the
+    * tokenizer-coverage check a training pipeline runs before committing
+    * to a vocab. Scale shape: ONE token-keyed groupBy builds the
+    * frequency table (map-side partial), the top-K cut is a
+    * deterministic total order (count DESC, token ASC — ties at the
+    * boundary cannot flip the set), the K-row vocab BROADCASTS to mark
+    * tokens map-side, and the per-doc rollup partial-aggregates before
+    * its doc-keyed exchange. */
+  val qVocabOov: Q = (s, dir) => {
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(16)
+      .select(col("tok"), lit(1).as("iv"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tok").cast("double"))
+          .as("oov_frac"))
+      .orderBy("doc_id")
+  }
+  val qVocabOovSql: String =
+    s"""WITH m AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM m
+       |        WHERE len(t) > 0 AND t[1] <> ''),
+       |v AS (SELECT tok FROM (
+       |        SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok)
+       |      ORDER BY n DESC, tok ASC LIMIT 16),
+       |d AS (SELECT t.doc_id, COUNT(*) AS n_tok,
+       |        CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_oov
+       |      FROM tok t LEFT JOIN v ON t.tok = v.tok
+       |      GROUP BY t.doc_id)
+       |SELECT doc_id, n_tok, n_oov,
+       |  CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_frac
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Exact corpus length quantiles per language (p25/p50/p75/p90 of
+    * n_chars) — the length-distribution audit behind truncation/packing
+    * decisions. Exact interpolated percentiles (Spark `percentile` ≡
+    * DuckDB `quantile_cont`), rounded to 4 decimals so both engines'
+    * double representations agree; at 100 TB the same query would swap
+    * in percentile_approx/t-digest, which an exact oracle cannot pin —
+    * the exact form is the contract, the approx form the deployment
+    * knob. One group-keyed exchange; the sort within each group is
+    * bounded by group size. */
+  val qLengthQuantiles: Q = (s, dir) => {
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))")
+          .as("qs"))
+      .select(col("lang"), col("n_docs"),
+        round(col("qs")(0), 4).as("p25"),
+        round(col("qs")(1), 4).as("p50"),
+        round(col("qs")(2), 4).as("p75"),
+        round(col("qs")(3), 4).as("p90"))
+      .orderBy("lang")
+  }
+  val qLengthQuantilesSql: String =
+    """SELECT lang, n_docs,
+      |  round(qs[1], 4) AS p25, round(qs[2], 4) AS p50,
+      |  round(qs[3], 4) AS p75, round(qs[4], 4) AS p90
+      |FROM (SELECT lang, COUNT(*) AS n_docs,
+      |        quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS qs
+      |      FROM documents GROUP BY lang)
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_vocab_oov", qVocabOov, Some(qVocabOovSql)),
+    ("q_length_quantiles", qLengthQuantiles, Some(qLengthQuantilesSql)),
     ("q_lm_score", qLmScore, Some(qLmScoreSql)),
     ("q_quality_classifier", qQualityClassifier, Some(qQualityClassifierSql)),
     ("q_c4_clean", qC4Clean, Some(qC4CleanSql)),
