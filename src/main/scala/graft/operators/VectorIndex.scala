@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{cosineQ, quantize}
+import graft.table.GraftTable
+
+/** Persisted IVF vector index over a graft VECTOR TABLE — the ANN story
+  * tied to the table story. [[SimilaritySearch.ivfTopK]] is the
+  * one-shot form (assigns the whole corpus per query batch); at 100 TB
+  * the assignment IS the expensive pass, so a real deployment builds it
+  * once, PERSISTS it, and maintains it incrementally as vectors arrive:
+  *
+  *   - `centroids`: a graft table of (list_id, ref_id, cent_q) — the
+  *     deterministic hash-ordered id sample [[SimilaritySearch.ivfTopK]]
+  *     uses, FROZEN at build time (re-deriving from a grown corpus would
+  *     silently re-shape every list; an index rebuild is an explicit op);
+  *   - `assignments`: (vec id, list_id, qv) PARTITIONED BY list_id —
+  *     search probes read only their lists' partitions via the
+  *     manifest-pruned scan ([[GraftTable.readPruned]]), never the
+  *     whole index;
+  *   - `refresh`: reads ONLY the source rows appended since the last
+  *     indexed snapshot (`readIncremental`), assigns them map-side
+  *     against the frozen centroids (zero shuffles), and appends with
+  *     the idempotent-writer txn stamp `(appId, srcTip)` — the same
+  *     exactly-once discipline as [[graft.pipeline.IncrementalRollup]]:
+  *     the high-water mark lives in the index itself, and crash-replays
+  *     are no-ops. The source is required append-only between
+  *     refreshes (`readIncremental` fails loud on rewrites — an updated
+  *     or deleted vector needs an index rebuild, which is honest: IVF
+  *     lists cannot net out retractions).
+  *
+  * Search cost: probes resolve driver-side to a bounded list-id set
+  * (O(queries × nProbe) ids), those partitions' files are the only ones
+  * listed or read, candidates get the exact integer-quantized cosine,
+  * and the per-query top-k is a bounded window. Same planted-near-dup
+  * oracle as the one-shot IVF. */
+object VectorIndex {
+
+  case class Index(centroids: GraftTable, assignments: GraftTable)
+
+  def at(spark: SparkSession, dir: String): Index =
+    Index(GraftTable(spark, s"$dir/centroids"),
+      GraftTable(spark, s"$dir/assignments"))
+
+  /** Frozen centroid vectors in list-id order (index == list_id). */
+  private def centArray(idx: Index): IndexedSeq[IndexedSeq[Long]] =
+    idx.centroids.read().select(col("list_id"), col("cent_q"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+
+  /** Map-side exact nearest-centroid assignment (no signature
+    * prefilter — the frozen centroid count is small). */
+  private def assignList(cents: IndexedSeq[IndexedSeq[Long]],
+      qv: Column): Column =
+    graft.functions.VectorExpressions.nearest_cosine_centroid(
+      qv, lit(0L), cents, cents.map(_ => 0L), 64)
+
+  /** Build the index from `src`'s CURRENT snapshot: freeze nLists
+    * deterministic centroids (hash-ordered id sample — the ivfTopK
+    * choice, engine-portable) and assign every current vector. The
+    * assignment append carries txn (appId, tip), so refresh picks up
+    * exactly after the built state. */
+  def build(src: GraftTable, idCol: String, vecCol: String,
+      nLists: Int, dir: String, appId: String): Index = {
+    require(nLists > 0, "nLists must be positive")
+    val spark = src.sparkSession
+    val tip = src.latestSnapshotId.getOrElse(
+      throw new IllegalStateException(s"no such table: ${src.location}"))
+    val idx = at(spark, dir)
+    require(!idx.assignments.exists,
+      s"index already built at $dir — drop it or refresh()")
+    val snap = src.readAsOf(tip)
+      .select(col(idCol).cast("long").as("vec_id"),
+        quantize(col(vecCol)).as("qv"))
+    val centRows = snap
+      .select(col("vec_id").as("ref_id"), col("qv").as("cent_q"))
+      .orderBy(xxhash64(col("ref_id")), col("ref_id"))
+      .limit(nLists)
+      .orderBy(col("ref_id"))
+      .withColumn("list_id",
+        (row_number().over(Window.orderBy(col("ref_id"))) - 1).cast("int"))
+      .select("list_id", "ref_id", "cent_q")
+    idx.centroids.append(centRows.coalesce(1))
+    val cents = centArray(idx)
+    idx.assignments.append(
+      snap.withColumn("list_id", assignList(cents, col("qv")))
+        .select("vec_id", "list_id", "qv"),
+      parts = Seq("list_id"), txn = Some((appId, tip)))
+    idx
+  }
+
+  /** Incremental maintenance: assign ONLY the vectors appended to `src`
+    * since the last indexed snapshot. Returns the applied range, None
+    * when up to date. Fails loud if the range crosses a rewrite (the
+    * append-only contract — rebuild instead). */
+  def refresh(src: GraftTable, idCol: String, vecCol: String,
+      idx: Index, appId: String): Option[(Long, Long)] = {
+    val tip = src.latestSnapshotId.getOrElse(return None)
+    val from = idx.assignments.lastTxnBatch(appId).getOrElse(
+      throw new IllegalStateException(
+        s"index at ${idx.assignments.location} has no build stamp for " +
+          s"app '$appId' — build() first"))
+    if (tip <= from) return None
+    val cents = centArray(idx)
+    val fresh = src.readIncremental(from, tip)
+      .select(col(idCol).cast("long").as("vec_id"),
+        quantize(col(vecCol)).as("qv"))
+    idx.assignments.append(
+      fresh.withColumn("list_id", assignList(cents, col("qv")))
+        .select("vec_id", "list_id", "qv"),
+      parts = Seq("list_id"), txn = Some((appId, tip)))
+    Some((from, tip))
+  }
+
+  /** Probe-pruned top-k search: each query's nProbe exact-nearest lists
+    * resolve driver-side; ONLY those list partitions of the assignments
+    * table are listed and read. Output matches
+    * [[SimilaritySearch.ivfTopK]]'s (query_id, neighbor_id, rank, cos). */
+  def search(idx: Index, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = centArray(idx)
+    val centsDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("list_id", "cent_q")
+    val q0 = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("q_query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cent_cos").desc, col("list_id"))
+    val probes = q0.crossJoin(broadcast(centsDf))
+      .withColumn("cent_cos", cosineQ(col("q_query_id"), col("cent_q")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("q_query_id"), col("list_id"))
+      // the probe set feeds (a) the partition-pruned index read and
+      // (b) the candidate join — checkpoint so the window runs once
+      .localCheckpoint()
+    // bounded driver pull: O(queries × nProbe) list ids
+    val probedLists = probes.select("list_id").distinct()
+      .as[Int].collect().map(_.toString).toSet
+    val cand = idx.assignments
+      .readPruned(Map("list_id" -> probedLists))
+      .select(col("vec_id").as("neighbor_id"), col("list_id"),
+        col("qv").as("q_neighbor_id"))
+      .join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosineQ(col("q_query_id"), col("q_neighbor_id")))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{Clustering, SimilaritySearch}
+import graft.operators.{Clustering, SimilaritySearch, VectorIndex}
+import graft.table.GraftTable
 
 /** Similarity-search queries over the embeddings table — all with full
   * DuckDB oracles.
@@ -125,6 +126,37 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
   val qAnnIvfSql: String = plantedTop1Sql
+
+  /** PERSISTED IVF index with incremental maintenance: the corpus lands
+    * in a graft table in two batches — the index is BUILT on batch 1
+    * (vec_id ≥ 50: centroids frozen, assignments written partitioned by
+    * list_id), batch 2 (vec_id < 50 — exactly the planted queries'
+    * source vectors) arrives later and is indexed by `refresh` through
+    * an incremental snapshot-range read (only the new rows are ever
+    * assigned). The search probes partition-pruned index reads. The
+    * oracle is the brute-force top-1 over the FULL corpus — correct
+    * only if the incrementally-indexed rows are genuinely searchable
+    * (every planted query's true neighbor arrived via refresh). */
+  val qAnnIvfIndex: Q = (s, dir) => {
+    val em = Tables.load(s, dir, "embeddings")
+    val loc = scratchDir("ivfindex")
+    val src = GraftTable(s, s"$loc/src")
+    src.append(em.filter(col("vec_id") >= 50))
+    val idx = VectorIndex.build(src, "vec_id", "embedding",
+      nLists = 16, s"$loc/idx", appId = "ann")
+    src.append(em.filter(col("vec_id") < 50))
+    VectorIndex.refresh(src, "vec_id", "embedding", idx, appId = "ann")
+    VectorIndex.search(idx, plantedQueries(em), "vec_id", "embedding",
+      k = 1).orderBy(col("query_id"), col("rank"))
+  }
+  val qAnnIvfIndexSql: String = plantedTop1Sql
+
+  private def scratchDir(name: String): String = {
+    val dir = s"${Scratch.baseDir}/graft-q-$name-" +
+      java.util.UUID.randomUUID()
+    Scratch.deleteOnExit(dir)
+    dir
+  }
 
   /** exact quantized norms — cheap full-table oracle over the list ops. */
   val qEmbedNorm: Q = (s, dir) => {
@@ -275,6 +307,7 @@ object VectorQueries {
     ("q_ann_topk", qAnnTopk, Some(qAnnTopkSql)),
     ("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     ("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
+    ("q_ann_ivf_index", qAnnIvfIndex, Some(qAnnIvfIndexSql)),
     ("q_embed_norm", qEmbedNorm, Some(qEmbedNormSql)),
     ("q_kmeans", qKmeans, Some(qKmeansSql)),
     ("q_semdedup", qSemdedup, Some(qSemdedupSql)),

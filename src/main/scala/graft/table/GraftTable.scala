@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
 class GraftTable(spark: SparkSession, val location: String,
     val branchName: Option[String] = None) {
 
-  private[table] def sparkSession: SparkSession = spark
+  private[graft] def sparkSession: SparkSession = spark
 
   private val tablePath = new Path(location)
   private val metaPath = new Path(tablePath, "_graft")
@@ -1219,8 +1219,21 @@ class GraftTable(spark: SparkSession, val location: String,
     // into every footer (spark.sql.parquet.fieldId.write.enabled, on by
     // default) — what makes RENAME a pure metadata operation later
     df.select(schema.fields.map { f =>
-      if (df.columns.contains(f.name))
-        col(f.name).cast(f.dataType).as(f.name, f.metadata)
+      if (df.columns.contains(f.name)) {
+        // sameType ignores nullability: parquet hands arrays/maps back
+        // with NULLABLE containers, and casting those to a declared
+        // containsNull=false element type is an invalid cast — every
+        // rewrite (compact/merge/delete) of such a table would fail
+        // analysis. Same-type columns alias without a cast (also
+        // cheaper); genuine type changes cast to the container-widened
+        // target for the same reason.
+        val cur = df.schema(f.name).dataType
+        val same = GraftTable.widenContainers(cur) ==
+          GraftTable.widenContainers(f.dataType)
+        if (same) col(f.name).as(f.name, f.metadata)
+        else col(f.name).cast(GraftTable.widenContainers(f.dataType))
+          .as(f.name, f.metadata)
+      }
       else lit(null).cast(f.dataType).as(f.name, f.metadata)
     }.toIndexedSeq: _*)
   }
@@ -2630,6 +2643,21 @@ class GraftTable(spark: SparkSession, val location: String,
 object GraftTable {
   def apply(spark: SparkSession, location: String): GraftTable =
     new GraftTable(spark, location)
+
+  /** The same type with every array/map/struct container marked
+    * nullable — the widest nullability shape, always a legal cast
+    * target from any same-typed value (see [[GraftTable.align]]). */
+  private[table] def widenContainers(dt: DataType): DataType = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(widenContainers(et),
+        containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(widenContainers(k),
+        widenContainers(v), valueContainsNull = true)
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = widenContainers(f.dataType), nullable = true)))
+    case other => other
+  }
 
   /** Auto-fold trigger: max live tombstone FILES before a MOR merge
     * commit folds them into the affected data files (property

@@ -22,6 +22,28 @@ class GraftTableSpec extends SparkSpec {
     assert(t.schema.fieldNames.toSeq === Seq("id", "v", "part"))
   }
 
+  test("rewrites of tables declaring non-null array containers survive " +
+      "(parquet reads elements back nullable; align must not cast to " +
+      "the stricter container)") {
+    val t = freshTable("gt-arraynn")
+    // Seq[Float] encodes as array<float> containsNull=false — the exact
+    // schema a vector corpus lands with
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(5.0f, 6.0f))).toDF("id", "v")
+    assert(!df.schema("v").dataType
+      .asInstanceOf[ArrayType].containsNull)
+    t.append(df)
+    t.delete(col("id") === 1L) // COW rewrite reads files back nullable
+    assert(t.read().count() === 2)
+    t.compact()
+    assert(t.read().orderBy("id").select("v")
+      .as[Seq[Float]].collect() === Array(Seq(3.0f, 4.0f), Seq(5.0f, 6.0f)))
+    t.merge(Seq((2L, Seq(9.0f))).toDF("id", "v"), keys = Seq("id"),
+      dedupKey = Seq("id"), orderCol = "id")
+    assert(t.read().filter($"id" === 2L).select("v")
+      .as[Seq[Float]].head() === Seq(9.0f))
+  }
+
   test("snapshot isolation: appends create ordered snapshots; history view") {
     val t = freshTable("gt-snap")
     val mk = (i: Long) => Seq((i, s"row$i")).toDF("id", "v")
