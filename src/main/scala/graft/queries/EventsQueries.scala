@@ -154,6 +154,45 @@ object EventsQueries {
   // identical to the batch daily rollup — that's the point
   val qStreamDailySql: String = qEventsDailySql
 
+  /** Stream-static join enrichment: the event stream joins a STATIC
+    * dimension (customer segment) mid-stream, then aggregates — the
+    * standard streaming-enrichment shape (Spark broadcasts or re-plans
+    * the static side per micro-batch; at scale the dim is broadcast
+    * when small or the stream pre-partitioned on the key). The oracle
+    * is the batch join+rollup — the streamed result must equal it
+    * exactly. */
+  val qStreamEnrich: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(s, dir, "events").schema
+    val name = "graft_stream_enrich_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = raw.join(dim, raw("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val resultDf = s.table(name)
+      .select(col("c_mktsegment"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+    val rows = resultDf.collect()
+    val outSchema = resultDf.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+  val qStreamEnrichSql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** STATEFUL streaming sessionization (flatMapGroupsWithState with
     * explicit cross-batch state — graft.streaming.Streaming.sessionize)
     * run synchronously over the events table. Append mode emits the
@@ -343,6 +382,7 @@ object EventsQueries {
     ("q_funnel", qFunnel, Some(qFunnelSql)),
     ("q_events_moving", qEventsMoving, Some(qEventsMovingSql)),
     ("q_stream_daily", qStreamDaily, Some(qStreamDailySql)),
+    ("q_stream_enrich", qStreamEnrich, Some(qStreamEnrichSql)),
     ("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     ("q_events_daily", qEventsDaily, Some(qEventsDailySql)),
     ("q_events_json", qEventsJson, Some(qEventsJsonSql)),
