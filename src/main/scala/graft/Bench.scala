@@ -63,6 +63,8 @@ object Bench {
 
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q4_semi", "q5_local_supplier", "q6_forecast",
+    "q7_volume", "q8_market_share", "q14_promo",
+    "q_running_total", "q_rank_in_group",
     "q10_returned", "q_rollup", "q_count_distinct",
     "q_filter_project", "q_window_dedup", "q_merge_upsert",
     "q_join_enrich", "q_topk", "q_count",

@@ -404,7 +404,168 @@ object CoreQueries {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** name -> (query, Some(oracleSql)) */
+  /** TPC-H Q7 (volume shipping): bidirectional two-nation trade volume
+    * by ship year. Both nation dims and the supplier dim broadcast; the
+    * only big-side shuffles are lineitem↔orders↔customer on their keys.
+    * The nation-pair filter reaches the joins before the aggregate. */
+  val q7Volume: Q = (s, dir) => {
+    import s.implicits._
+    val n1 = broadcast(Tables.load(s, dir, "nation")
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(Tables.load(s, dir, "nation")
+      .select($"n_nationkey".as("c_nkey"), $"n_name".as("cust_nation")))
+    Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(n1, $"s_nationkey" === $"s_nkey")
+      .join(n2, $"c_nationkey" === $"c_nkey")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+  val q7VolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 (national market share): NATION_3's share of ASIA-customer
+    * ECONOMY-part revenue per order year. The share divides two decimal
+    * sums as doubles — the same expression both engines evaluate. */
+  val q8MarketShare: Q = (s, dir) => {
+    import s.implicits._
+    val vol = dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))
+    Tables.load(s, dir, "lineitem")
+      .join(broadcast(Tables.load(s, dir, "part")
+        .filter($"p_type" === "ECONOMY")), $"l_partkey" === $"p_partkey")
+      .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.load(s, dir, "nation")
+        .select($"n_nationkey".as("c_nkey"), $"n_regionkey")),
+        $"c_nationkey" === $"c_nkey")
+      .join(broadcast(Tables.load(s, dir, "region")
+        .filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.load(s, dir, "nation")
+        .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"s_nkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        (sum(when($"supp_nation" === "NATION_3", vol)
+          .otherwise(dec(lit(0)))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+  val q8MarketShareSql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): PROMO-part revenue share of a ship
+    * year, as a single-row percentage. */
+  val q14Promo: Q = (s, dir) => {
+    import s.implicits._
+    val vol = dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.load(s, dir, "part")),
+        $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) *
+        sum(when($"p_type" === "PROMO", vol).otherwise(dec(lit(0))))
+          .cast("double") /
+        sum(vol).cast("double")).as("promo_revenue"))
+  }
+  val q14PromoSql: String =
+    """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |  AS promo_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
+
+  /** Running total per customer (cumulative window sum over decimal,
+    * unique (date, key) order so RANGE ≡ ROWS in every engine). The
+    * window partitions by customer — each partition's state is local,
+    * nothing global sorts. */
+  val qRunningTotal: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables.load(s, dir, "orders")
+      .filter($"o_custkey" < 100)
+      .withColumn("cum_spend",
+        sum(dec($"o_totalprice")).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"cum_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  val qRunningTotalSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |    AS DOUBLE) AS cum_spend
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Top-3 orders per priority (rank-in-group window; per-group state
+    * only, deterministic orderkey tie-break). */
+  val qRankInGroup: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.load(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+  val qRankInGroupSql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q7_volume", q7Volume, Some(q7VolumeSql)),
+    ("q8_market_share", q8MarketShare, Some(q8MarketShareSql)),
+    ("q14_promo", q14Promo, Some(q14PromoSql)),
+    ("q_running_total", qRunningTotal, Some(qRunningTotalSql)),
+    ("q_rank_in_group", qRankInGroup, Some(qRankInGroupSql)),
     ("q_anti_join", qAntiJoin, Some(qAntiJoinSql)),
     ("q_null_funcs", qNullFuncs, Some(qNullFuncsSql)),
     ("q4_semi", q4Semi, Some(q4SemiSql)),
