@@ -44,8 +44,15 @@ object MergeInto {
     * content-deterministic, ties only for byte-identical rows. */
   def dedupLatest(source: DataFrame, dedupKey: Seq[String],
       orderCol: String): DataFrame = {
+    // the tie-break struct may only carry ORDERABLE columns — a map (or
+    // a struct containing one) fails analysis in a sort order; dropping
+    // it from the tie-break keeps the dedup total (order key + remaining
+    // orderable columns) wherever it was before, and merely
+    // batch-order-dependent for rows identical in every orderable column
     val rest = source.columns.filterNot(c =>
       dedupKey.contains(c) || c == orderCol).sorted
+      .filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(source.schema(c).dataType))
     val tiebreak =
       if (rest.isEmpty) Seq.empty
       else Seq(struct(rest.map(col).toIndexedSeq: _*).desc)

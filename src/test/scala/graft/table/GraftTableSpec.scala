@@ -44,6 +44,27 @@ class GraftTableSpec extends SparkSpec {
       .as[Seq[Float]].head() === Seq(9.0f))
   }
 
+  test("nested struct/map columns survive the rewrite lifecycle " +
+      "(stats skip non-stat types, align widens nested containers)") {
+    val t = freshTable("gt-nested")
+    // tuple → non-null struct fields; Map → valueContainsNull=false:
+    // the strictest nullability shapes Scala encoders produce
+    val df = Seq(
+      (1L, ("a", 1), Map("k" -> 1.0)),
+      (2L, ("b", 2), Map("k" -> 2.0)),
+      (3L, ("c", 3), Map("k" -> 3.0)))
+      .toDF("id", "s", "m")
+    t.append(df)
+    t.delete(col("id") === 2L)
+    t.compact()
+    t.merge(Seq((3L, ("z", 9), Map("k" -> 9.0))).toDF("id", "s", "m"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id")
+    val back = t.read().orderBy("id")
+      .select($"id", $"s._1", $"s._2", $"m"("k"))
+      .as[(Long, String, Int, Double)].collect()
+    assert(back === Array((1L, "a", 1, 1.0), (3L, "z", 9, 9.0)))
+  }
+
   test("snapshot isolation: appends create ordered snapshots; history view") {
     val t = freshTable("gt-snap")
     val mk = (i: Long) => Seq((i, s"row$i")).toDF("id", "v")
