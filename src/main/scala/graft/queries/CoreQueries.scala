@@ -560,7 +560,65 @@ object CoreQueries {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
 
+  /** TPC-H Q17 (small-quantity-order revenue): correlated-aggregate
+    * shape — per-part average quantity re-joined against the fact. The
+    * per-part aggregate and the probe join share the l_partkey hash, so
+    * the aggregate side's exchange is reused; the brand dim broadcasts.
+    * l_quantity carries integral doubles, so AVG is an exact integer
+    * sum over an exact count — deterministic in every engine. */
+  val q17SmallQty: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val avgQ = li.groupBy($"l_partkey".as("pk"))
+      .agg((lit(0.2) * avg($"l_quantity")).as("threshold"))
+    li.join(broadcast(Tables.load(s, dir, "part")
+        .filter($"p_brand" === "Brand#9")), $"l_partkey" === $"p_partkey")
+      .join(avgQ, $"l_partkey" === $"pk")
+      .filter($"l_quantity" < $"threshold")
+      .agg((sum(dec($"l_extendedprice")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+  val q17SmallQtySql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#9'
+      |JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS threshold
+      |      FROM lineitem GROUP BY 1) a ON l_partkey = a.pk
+      |WHERE l_quantity < threshold""".stripMargin
+
+  /** TPC-H Q18 (large-volume orders): HAVING-filtered fact aggregate
+    * joined back to its dimensions, top-100. The orderkey aggregate and
+    * the orders join share the key hash. */
+  val q18LargeOrders: Q = (s, dir) => {
+    import s.implicits._
+    val big = Tables.load(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 300.0)
+    Tables.load(s, dir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+  val q18LargeOrdersSql: String =
+    """SELECT c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300.0) b
+      |  ON o_orderkey = b.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
+    ("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersSql)),
     ("q7_volume", q7Volume, Some(q7VolumeSql)),
     ("q8_market_share", q8MarketShare, Some(q8MarketShareSql)),
     ("q14_promo", q14Promo, Some(q14PromoSql)),
