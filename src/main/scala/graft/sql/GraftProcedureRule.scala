@@ -25,7 +25,8 @@ import graft.table.{GraftTable, PartitionTransforms}
   *   CALL graft.retrofit_field_ids('t' [, target_file_bytes => b])
   *   CALL graft.prune_dangling_deletes('t')
   *   CALL graft.maintain_rollup('src', dst => 't-or-path',
-  *                              keys => 'k1,k2', sums => 'v1', app_id => 'x')
+  *                              keys => 'k1,k2', sums => 'v1', app_id => 'x'
+  *                              [, mins => 'v1'] [, maxes => 'v1'])
   *   CALL graft.rollback('t', snapshot_id => 4)
   *   CALL graft.remove_orphan_files('t' [, older_than_ms => 0])
   *   CALL graft.set_partition_spec('t', spec => 'days(ts)')
@@ -111,9 +112,12 @@ case class GraftCallCommand(proc: String, location: String,
           throw new IllegalArgumentException(s"graft.$proc needs $k"))
         def list(k: String): Seq[String] =
           req(k).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        def optList(k: String): Seq[String] = args.get(k).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val dst = GraftTable(spark, resolveLoc(spark, req("dst")))
         graft.pipeline.IncrementalRollup.maintain(
-          t, dst, list("keys"), list("sums"), req("app_id"))
+          t, dst, list("keys"), list("sums"), req("app_id"),
+          minCols = optList("mins"), maxCols = optList("maxes"))
           .map(_._2).getOrElse(-1L)
       case "rollback" => t.rollback(required("snapshot_id"))
       case "remove_orphan_files" =>
@@ -169,7 +173,7 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "retrofit_field_ids" -> (Seq.empty, Set("target_file_bytes")),
     "prune_dangling_deletes" -> (Seq.empty, Set.empty),
     "maintain_rollup" -> (Seq.empty,
-      Set("dst", "keys", "sums", "app_id")),
+      Set("dst", "keys", "sums", "app_id", "mins", "maxes")),
     "rollback" -> (Seq("snapshot_id"), Set.empty),
     "remove_orphan_files" -> (Seq("older_than_ms"), Set.empty),
     "set_partition_spec" -> (Seq("spec"), Set.empty),

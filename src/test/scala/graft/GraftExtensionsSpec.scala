@@ -260,6 +260,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_roll_src")
   }
 
+  test("CALL graft.maintain_rollup with mins/maxes recovers retracted " +
+      "extremes") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-rollmm").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_rollmm_src",
+      Seq(("a", 1L, 10L), ("a", 2L, 99L)).toDF("g", "id", "v"))
+    cat.register("ext_rollmm_src")
+    val dstPath = s"$wh/ext_rollmm_dst"
+    def round(): Unit = spark.sql(
+      s"""CALL graft.maintain_rollup('ext_rollmm_src', dst => '$dstPath',
+         |keys => 'g', sums => 'v', app_id => 'r',
+         |mins => 'v', maxes => 'v')""".stripMargin)
+    round()
+    val dst = graft.table.GraftTable(spark, dstPath)
+    assert(dst.read().as[(String, Long, Long, Long, Long)].collect()
+      === Array(("a", 109L, 10L, 99L, 2L)))
+    // retract the max through SQL DELETE on the source, re-maintain
+    spark.sql("DELETE FROM ext_rollmm_src WHERE id = 2")
+    round()
+    assert(dst.read().as[(String, Long, Long, Long, Long)].collect()
+      === Array(("a", 10L, 10L, 10L, 1L)))
+    cat.drop("ext_rollmm_src")
+  }
+
   test("CTAS: CREATE TABLE ... USING graft AS SELECT commits through the log") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-ctas").toString
