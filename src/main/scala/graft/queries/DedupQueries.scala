@@ -230,6 +230,66 @@ object DedupQueries {
        |SELECT src AS id, MIN(dst) AS cluster_id FROM r
        |GROUP BY src ORDER BY id""".stripMargin
 
+  /** The COMPLETE dedup policy end-to-end: detect (blocked Jaccard
+    * pairs) → cluster (connected components) → select ONE representative
+    * per cluster (longest doc, doc_id tie-break — a deterministic,
+    * engine-mirrorable "best quality" stand-in). Singletons form their
+    * own cluster and keep themselves. Output: every doc with its cluster
+    * and the keep decision — what a production pipeline materializes
+    * before dropping rejects. Scale shape: the pair/cluster stages are
+    * the existing bounded operators; selection adds one cluster-keyed
+    * window (per-cluster state only). */
+  val qDedupKeepBest: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      langCol = "lang", lenCol = "n_chars", shingleK = 3, threshold = 0.5)
+    val cl = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+  val qDedupKeepBestSql: String =
+    s"""WITH RECURSIVE prep AS (
+       |  SELECT doc_id AS id, lang AS block_lang,
+       |    n_chars // 100 AS block_len,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(0, len(t) - 2),
+       |                i -> array_to_string(t[i+1:i+3], ' ')) END AS sh
+       |  FROM (SELECT *, $toksSql AS t FROM documents)),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    list_distinct(a.sh) AS da, list_distinct(b.sh) AS db
+       |  FROM prep a JOIN prep b
+       |    ON a.block_lang = b.block_lang AND a.block_len = b.block_len
+       |   AND a.id < b.id),
+       |p AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_intersect(da, db)) AS DOUBLE)
+       |        / CAST(len(da) + len(db) - len(list_intersect(da, db)) AS DOUBLE)
+       |        AS j
+       |    FROM cand)
+       |  WHERE j >= 0.5),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |r AS (SELECT DISTINCT src, src AS dst FROM e
+       |      UNION SELECT e.src, r.dst FROM e JOIN r ON r.src = e.dst),
+       |cl AS (SELECT src AS id, MIN(dst) AS cluster_id FROM r GROUP BY src),
+       |sel AS (
+       |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+       |    d.n_chars
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)
+       |SELECT doc_id, cluster_id, n_chars,
+       |  (row_number() OVER (PARTITION BY cluster_id
+       |     ORDER BY n_chars DESC, doc_id) = 1) AS keep
+       |FROM sel ORDER BY doc_id""".stripMargin
+
   /** Cross-doc repeated 8-token spans (exact-substring-dedup signal, Lee
     * et al. 2022): per doc, the fraction of its distinct spans that occur
     * in at least one other document. The oracle mirrors the span md5-16
@@ -458,5 +518,6 @@ object DedupQueries {
     ("q_dedup_simhash", qDedupSimhash, Some(qDedupSimhashSql)),
     ("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),
     ("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
+    ("q_dedup_keep_best", qDedupKeepBest, Some(qDedupKeepBestSql)),
   )
 }
