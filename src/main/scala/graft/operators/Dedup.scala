@@ -28,6 +28,42 @@ object Dedup {
     docs.groupBy(TextFunctions.fingerprint_md5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Production ingestion dedup against the HISTORICAL corpus table:
+    * append only the batch rows whose content fingerprint is not already
+    * in `corpus` (keep-first by id within the batch). The membership
+    * probe never scans the corpus — [[graft.table.GraftTable.readForKeys]]
+    * routes the batch's fingerprints through driver-side manifest
+    * pruning, and the table is created with
+    * `graft.bloom.columns=fingerprint` so per-file Bloom bitsets prune
+    * even files whose min/max range spans the full hash space (they all
+    * do — fingerprints are uniform). At 100 TB the probe cost is
+    * O(batch) + the few files with Bloom hits, not a corpus scan; the
+    * anti-join then runs against only those files' rows. Returns the
+    * number of rows appended. */
+  def dedupAppend(corpus: graft.table.GraftTable, batch: DataFrame,
+      idCol: String, textCol: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("fingerprint").orderBy(col(idCol))
+    // checkpoint: the batch feeds the probe's two driver jobs, the
+    // anti-join, and the append — without it the window re-runs per use
+    val firsts = batch
+      .withColumn("fingerprint", TextFunctions.fingerprint_md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    if (!corpus.exists)
+      corpus.create(firsts.schema,
+        properties = Map("graft.bloom.columns" -> "fingerprint"))
+    val existing = corpus
+      .readForKeys(firsts.select(col("fingerprint")), Seq("fingerprint"))
+      .select("fingerprint").distinct()
+    val fresh = firsts.join(existing, Seq("fingerprint"), "left_anti")
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) corpus.append(fresh)
+    n
+  }
+
   /** Exact dedup keeping whole rows: first row per fingerprint by id. */
   def exactRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))

@@ -230,6 +230,44 @@ object DedupQueries {
        |SELECT src AS id, MIN(dst) AS cluster_id FROM r
        |GROUP BY src ORDER BY id""".stripMargin
 
+  /** Ingestion-time dedup against the HISTORICAL corpus table (the
+    * production arrival loop): batch 1 seeds the corpus; batch 2 mixes
+    * re-arrivals (same text under new ids — must be dropped by the
+    * Bloom-pruned membership probe against the corpus TABLE, not a
+    * within-batch check) with genuinely novel docs (must land). The
+    * oracle replays keep-first over the full arrival order (batch, id).
+    */
+  val qIngestDedup: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val t = graft.table.GraftTable(s, scratch("ingdedup"))
+    Dedup.dedupAppend(t, docs, "doc_id", "text")
+    val rearrive = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val novel = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+      .withColumn("text", concat(col("text"), lit(" graftnovel")))
+    val appended = Dedup.dedupAppend(t,
+      rearrive.unionByName(novel), "doc_id", "text")
+    require(appended > 0, "novel docs must land")
+    t.read().select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+  val qIngestDedupSql: String =
+    s"""WITH arrivals AS (
+       |  SELECT doc_id, text, 1 AS b FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, 2 FROM documents
+       |  WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' graftnovel', 2 FROM documents
+       |  WHERE doc_id % 7 = 0),
+       |f AS (SELECT doc_id, b, md5($normSql) AS fingerprint
+       |      FROM arrivals),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY fingerprint ORDER BY b, doc_id) AS rn FROM f)
+       |SELECT doc_id, fingerprint FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** The COMPLETE dedup policy end-to-end: detect (blocked Jaccard
     * pairs) → cluster (connected components) → select ONE representative
     * per cluster (longest doc, doc_id tie-break — a deterministic,
@@ -519,5 +557,6 @@ object DedupQueries {
     ("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),
     ("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     ("q_dedup_keep_best", qDedupKeepBest, Some(qDedupKeepBestSql)),
+    ("q_ingest_dedup", qIngestDedup, Some(qIngestDedupSql)),
   )
 }

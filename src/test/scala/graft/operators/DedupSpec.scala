@@ -210,6 +210,42 @@ class DedupSpec extends SparkSpec {
     assert(s9 === Array((9L, 2L, 1L, "m n o p")))
   }
 
+  test("dedupAppend: re-arrivals drop against the corpus TABLE, novel " +
+      "docs land, and the membership probe is Bloom-file-pruned") {
+    import graft.table.GraftTable
+    val t = GraftTable(spark, tmpDir("dedup-append") + "/t")
+    def mk(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, s"content number $i")).toDF("doc_id", "text")
+    assert(Dedup.dedupAppend(t, mk(0, 100).coalesce(1),
+      "doc_id", "text") === 100)
+    assert(Dedup.dedupAppend(t, mk(100, 200).coalesce(1),
+      "doc_id", "text") === 100)
+    assert(Dedup.dedupAppend(t, mk(200, 300).coalesce(1),
+      "doc_id", "text") === 100)
+    assert(t.liveFiles().size >= 3)
+    // a mixed batch: one re-arrival (content 5 under a new id), one novel
+    val batch = Seq((9999L, "content number 5"), (10000L, "brand new text"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupAppend(t, batch, "doc_id", "text") === 1)
+    assert(t.read().count() === 301)
+    assert(t.read().filter($"doc_id" === 9999L).count() === 0)
+    assert(t.read().filter($"doc_id" === 10000L).count() === 1)
+    // within-batch keep-first: the same novel text twice keeps min id
+    val twin = Seq((20001L, "twin text"), (20000L, "twin text"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupAppend(t, twin, "doc_id", "text") === 1)
+    assert(t.read().filter($"doc_id" === 20000L).count() === 1)
+    // Bloom file pruning: fingerprints are uniform so min/max ranges all
+    // span the hash space — only the Bloom bitset can prune; a 1-key
+    // probe must read fewer rows than the whole corpus
+    import graft.functions.TextFunctions.fingerprint_md5
+    val probe = Seq("content number 5").toDF("text")
+      .select(fingerprint_md5($"text").as("fingerprint"))
+    val pruned = t.readForKeys(probe, Seq("fingerprint")).count()
+    assert(pruned < t.read().count(),
+      s"probe read $pruned rows — no file was pruned")
+  }
+
   test("overlapping chunkDedup: dup test on full windows, drop at owned-" +
       "stride granularity, no double-drop of shared overlap") {
     // chunkSize=4, stride=2: windows start every 2 tokens, each OWNS its
