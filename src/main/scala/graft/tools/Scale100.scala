@@ -157,6 +157,50 @@ object Scale100 {
           f""""span_dedup":{"sec":$spanSec%.1f}}""")
     }
 
+    // ---- ingest-dedup probe + index-refresh cost vs CORPUS size ----
+    // Two flat-cost claims measured: (a) dedupAppend's membership probe
+    // is Bloom-file-pruned, so a fixed-size arrival batch costs the
+    // same against a 10× corpus; (b) VectorIndex.refresh assigns only
+    // the appended vectors, so refresh cost tracks the APPEND, not the
+    // index size.
+    Seq(("1x", sfDir), ("10x", dir10)).foreach { case (tier, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val scratch = s"${graft.queries.Scratch.baseDir}/graft-s100-ing-" +
+        java.util.UUID.randomUUID()
+      graft.queries.Scratch.deleteOnExit(scratch)
+      val corpus = GraftTable(spark, s"$scratch/corpus")
+      Dedup.dedupAppend(corpus, docs, "doc_id", "text")
+      // fixed 200-doc arrival batch: half re-arrivals, half novel
+      val batch = docs.filter(col("doc_id") % 50 === 0).limit(100)
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+        .unionByName(docs.filter(col("doc_id") % 50 === 1).limit(100)
+          .withColumn("doc_id", col("doc_id") + 6000000L)
+          .withColumn("text", concat(col("text"), lit(" s100novel"))))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val appended = Dedup.dedupAppend(corpus, batch, "doc_id", "text")
+      val ingSec = (System.nanoTime() - t0) / 1e9
+
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val src = GraftTable(spark, s"$scratch/vsrc")
+      val base = emb.filter(col("vec_id") % 100 =!= 0)
+      src.append(base)
+      val idx = graft.operators.VectorIndex.build(src, "vec_id",
+        "embedding", nLists = math.max(16,
+          math.sqrt(base.count().toDouble).toInt), s"$scratch/vidx", "s100")
+      src.append(emb.filter(col("vec_id") % 100 === 0)) // ~1% arrival
+      val t1 = System.nanoTime()
+      graft.operators.VectorIndex.refresh(src, "vec_id", "embedding",
+        idx, "s100")
+      val refreshSec = (System.nanoTime() - t1) / 1e9
+      println(s"""{"tier":"$tier","ingest_dedup":{"corpus":${docs.count()},""" +
+        f""""batch":200,"appended":$appended,"sec":$ingSec%.1f},""" +
+        s""""index_refresh":{"indexed":${base.count()},""" +
+        f""""appended":${emb.count() - base.count()},"sec":$refreshSec%.1f}}""")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+    }
+
     // ---- rollup maintenance cost vs DELTA size (r7 item 6) ----
     // The claim: a maintenance round costs O(changed rows) + a dst
     // rewrite bounded by affected keys' files — NOT O(src). Measured by

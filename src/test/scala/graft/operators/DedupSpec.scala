@@ -28,6 +28,12 @@ class DedupSpec extends SparkSpec {
     assert(r(1L)._2 === 6L)             // all but the last-word span shared
     assert(r(3L)._3 === 0.0)            // no span shared with doc 4
     assert(r(6L) === ((0L, 0L, 0.0)))   // short doc: no spans at all
+    // the shuffle-semi-join fallback (shared set over the broadcast cap)
+    // computes the identical result
+    val fb = Dedup.repeatedSpans(withShort, "doc_id", "text", w = 8,
+      broadcastSharedMax = 0L).orderBy("id").collect()
+    assert(fb === Dedup.repeatedSpans(withShort, "doc_id", "text", w = 8)
+      .orderBy("id").collect())
   }
 
   test("exact dedup groups identical normalized content") {
