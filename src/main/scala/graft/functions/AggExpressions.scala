@@ -105,6 +105,124 @@ object AggExpressions {
       MinHashSigAgg(GraftSqlGlue.expression(hashCol), numHashes)
         .toAggregateExpression())
 
+  /** Bottom-k (KMV) distinct-count sketch over a column of 64-bit hashes
+    * (Beyer et al. 2007, the DataSketches-theta family): the buffer holds
+    * the k smallest DISTINCT hash values in UNSIGNED order. Merge is
+    * union + re-trim — associative and commutative, so map-side partial
+    * aggregation applies and a 100 TB COUNT(DISTINCT) becomes O(k)
+    * mergeable state per group instead of a full distinct shuffle.
+    *
+    * Estimator: with fewer than k tracked hashes the count is EXACT (the
+    * sketch saw every distinct value); at capacity, the classic unbiased
+    * estimate (k-1) · 2^64 / h_k under the uniform-hash assumption.
+    * Feed it [[HashExpressions.Md5Hash64]] values and the WHOLE sketch —
+    * state and estimate — is engine-reproducible: the hash mirrors
+    * `('0x'||substr(md5(s),1,16))::UBIGINT`, unsigned order is UBIGINT
+    * order, the h_k → double conversion is correctly rounded
+    * (`Double.parseDouble` of the unsigned decimal string, matching an
+    * external engine's UBIGINT→DOUBLE cast), and the estimate is one
+    * IEEE division + multiplication in a fixed order.
+    *
+    * Output: struct(est double, n_tracked long) — n_tracked =
+    * min(distinct seen, k). */
+  case class KmvDistinctAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    require(k >= 2, s"kmv_distinct needs k >= 2, got $k")
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long](KmvDistinctAgg.UnsignedOrder)
+
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        if (buf.size < k) buf.add(h)
+        else if (java.lang.Long.compareUnsigned(h, buf.last()) < 0) {
+          if (buf.add(h)) buf.pollLast()
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: java.util.TreeSet[java.lang.Long],
+        other: java.util.TreeSet[java.lang.Long])
+        : java.util.TreeSet[java.lang.Long] = {
+      buf.addAll(other)
+      while (buf.size > k) buf.pollLast()
+      buf
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val n = buf.size
+      val est =
+        if (n < k) n.toDouble
+        else {
+          val hk = buf.last().longValue()
+          val hkD = java.lang.Double.parseDouble(
+            java.lang.Long.toUnsignedString(hk))
+          (k - 1).toDouble * (KmvDistinctAgg.Two64 / hkD)
+        }
+      InternalRow(est, n.toLong)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long])
+        : Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * buf.size)
+      buf.forEach(h => bb.putLong(h))
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte])
+        : java.util.TreeSet[java.lang.Long] = {
+      val buf = createAggregationBuffer()
+      val bb = ByteBuffer.wrap(bytes)
+      while (bb.hasRemaining) buf.add(bb.getLong)
+      buf
+    }
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("est",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tracked", LongType,
+          nullable = false)))
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "kmv_distinct"
+
+    override def withNewMutableAggBufferOffset(o: Int): KmvDistinctAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvDistinctAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): KmvDistinctAgg = copy(child = cs.head)
+  }
+
+  object KmvDistinctAgg {
+    /** 2^64, exactly representable in double. */
+    val Two64: Double = 1.8446744073709552E19
+
+    /** Serializable unsigned comparator (a lambda field would make the
+      * whole expression unserializable for executor shipping). */
+    object UnsignedOrder extends java.util.Comparator[java.lang.Long]
+        with Serializable {
+      override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+        java.lang.Long.compareUnsigned(a, b)
+    }
+  }
+
+  /** Column entry point: KMV distinct sketch over a 64-bit hash column
+    * (pair with [[HashExpressions.md5_hash64]] for engine portability). */
+  def kmv_distinct(hashCol: Column, k: Int): Column =
+    GraftSqlGlue.column(
+      KmvDistinctAgg(GraftSqlGlue.expression(hashCol), k)
+        .toAggregateExpression())
+
   /** Fixed-size Bloom filter over a column of xxhash64 values: `m` bits,
     * `k` probes double-hashed from the 64-bit input (h1 + i·h2). Buffer is
     * the raw bitset; merge is elementwise OR (associative/commutative →

@@ -78,6 +78,28 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** 64-bit md5-prefix point hash of a string — the same engine-portable
+    * hash [[SimHash64]] uses per token, exposed as a scalar: mirrors
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT` in DuckDB-style SQL, so
+    * any sketch built on it is reproducible outside Spark bit-for-bit. */
+  case class Md5Hash64(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] =
+      Seq(StringType)
+    override def prettyName: String = "md5_hash64"
+
+    override def nullSafeEval(input: Any): Any =
+      SimHash64.tokenHash(input.asInstanceOf[UTF8String].getBytes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeOps.md5Hash64($c)")
+
+    override protected def withNewChildInternal(c: Expression): Md5Hash64 =
+      copy(child = c)
+  }
+
   object SimHash64 {
     // one digest per thread: MessageDigest is stateful and not thread-safe,
     // and allocating per row would dominate the per-token work
@@ -252,6 +274,9 @@ object HashExpressions {
   }
 
   // ---- Column-level entry points ----
+
+  def md5_hash64(c: Column): Column =
+    GraftSqlGlue.column(Md5Hash64(GraftSqlGlue.expression(c)))
 
   def rolling_hash64(c: Column): Column =
     GraftSqlGlue.column(RollingHash64(GraftSqlGlue.expression(c)))

@@ -30,6 +30,9 @@ object NativeOps {
   def icebergBucketDecimal(d: org.apache.spark.sql.types.Decimal,
       n: Int): Int = IcebergBucketHash.bucketDecimal(d, n)
 
+  def md5Hash64(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    HashExpressions.SimHash64.tokenHash(s.getBytes)
+
   def simhash64(tokens: ArrayData): Long =
     HashExpressions.SimHash64.ofTokens(tokens)
 

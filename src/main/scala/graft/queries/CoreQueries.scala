@@ -616,7 +616,66 @@ object CoreQueries {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** KMV (bottom-k) distinct-count sketch per group — approximate
+    * COUNT(DISTINCT) with O(k) mergeable state instead of a full
+    * distinct shuffle (the 100 TB shape), yet ORACLE-EXACT: the hash is
+    * the md5-prefix UBIGINT any engine reproduces, the sketch state is
+    * the k unsigned-smallest distinct hashes, and the estimate is one
+    * correctly-rounded conversion + one IEEE division — DuckDB rebuilds
+    * the identical sketch in SQL and must produce the identical doubles.
+    */
+  val qDistinctSketch: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.HashExpressions.md5_hash64
+    import graft.functions.AggExpressions.kmv_distinct
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        kmv_distinct(md5_hash64($"l_orderkey".cast("string")), 512)
+          .as("sk_o"),
+        kmv_distinct(md5_hash64($"l_partkey".cast("string")), 512)
+          .as("sk_p"))
+      .select($"l_returnflag",
+        round($"sk_o.est", 4).as("orderkeys_est"),
+        $"sk_o.n_tracked".as("o_tracked"),
+        round($"sk_p.est", 4).as("partkeys_est"),
+        $"sk_p.n_tracked".as("p_tracked"))
+      .orderBy($"l_returnflag")
+  }
+  val qDistinctSketchSql: String =
+    """WITH ho AS (SELECT DISTINCT l_returnflag AS g,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 16))::UBIGINT AS hv
+      |  FROM lineitem),
+      |ro AS (SELECT g, hv,
+      |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS nd FROM ho),
+      |eo AS (SELECT g,
+      |    CASE WHEN MAX(nd) < 512 THEN CAST(MAX(nd) AS DOUBLE)
+      |         ELSE 511.0 * (18446744073709551616.0 /
+      |            CAST(MAX(CASE WHEN rn = 512 THEN hv END) AS DOUBLE)) END
+      |      AS est,
+      |    LEAST(MAX(nd), 512) AS n_tracked
+      |  FROM ro GROUP BY g),
+      |hp AS (SELECT DISTINCT l_returnflag AS g,
+      |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 16))::UBIGINT AS hv
+      |  FROM lineitem),
+      |rp AS (SELECT g, hv,
+      |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS nd FROM hp),
+      |ep AS (SELECT g,
+      |    CASE WHEN MAX(nd) < 512 THEN CAST(MAX(nd) AS DOUBLE)
+      |         ELSE 511.0 * (18446744073709551616.0 /
+      |            CAST(MAX(CASE WHEN rn = 512 THEN hv END) AS DOUBLE)) END
+      |      AS est,
+      |    LEAST(MAX(nd), 512) AS n_tracked
+      |  FROM rp GROUP BY g)
+      |SELECT eo.g AS l_returnflag,
+      |  round(eo.est, 4) AS orderkeys_est, eo.n_tracked AS o_tracked,
+      |  round(ep.est, 4) AS partkeys_est, ep.n_tracked AS p_tracked
+      |FROM eo JOIN ep ON eo.g = ep.g ORDER BY eo.g""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_distinct_sketch", qDistinctSketch, Some(qDistinctSketchSql)),
     ("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
     ("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersSql)),
     ("q7_volume", q7Volume, Some(q7VolumeSql)),
