@@ -342,6 +342,8 @@ object Bench {
     // contended (and attempts remain) gate + run again; report the
     // best-sentinel pass with every attempt's ratio in-artifact ----
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
+    require(maxAttempts >= 1,
+      s"SPARK_GRAFT_BENCH_ATTEMPTS must be >= 1, got $maxAttempts")
     val attemptRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     var best: Pass = null
     var i = 0

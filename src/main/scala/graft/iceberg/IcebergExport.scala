@@ -340,13 +340,13 @@ object IcebergExport {
     // one snapshot unambiguously, and it is unpublishable until rebased
     // anyway. A branch with no own commits resolves to its fork point.
     val mainIds = exported.map(_.snapshotId).toSet
-    val branchViews: Seq[(String, GraftTable, Long)] =
+    val branchViews: Seq[(String, GraftTable, Long, Long)] =
       table.branches.toSeq.sortBy(_._1).map { case (b, base) =>
         val bt = table.branch(b)
-        (b, bt, bt.latestSnapshotId.getOrElse(base))
+        (b, bt, bt.latestSnapshotId.getOrElse(base), base)
       }
     val branchSnaps: Seq[(graft.table.Snapshot, GraftTable)] =
-      branchViews.flatMap { case (_, bt, tip) =>
+      branchViews.flatMap { case (_, bt, tip, _) =>
         bt.snapshots.filter(s => s.snapshotId == tip &&
             !mainIds.contains(s.snapshotId) &&
             !table.snapshots.exists(_.snapshotId == s.snapshotId) &&
@@ -654,8 +654,17 @@ object IcebergExport {
     // snapshot entry) + every live branch whose tip made the export
     // (own-commit tip, or the fork point for an empty branch)
     val allExportedIds = exportedAll.map(_._1.snapshotId).toSet
+    // a branch ref may only point at a snapshot that genuinely IS the
+    // branch's state: either its own exported tip (branchSnaps — which
+    // excludes diverged tips whose id collides with a published main
+    // snapshot), or its fork point when it has NO own commits. The id
+    // being exported is NOT sufficient — a diverged branch's tip id
+    // names MAIN's colliding snapshot, and a ref would silently expose
+    // main's rows under the staged-branch name.
+    val branchSnapIds = branchSnaps.map(_._1.snapshotId).toSet
     val branchRefs = branchViews.collect {
-      case (b, _, tip) if allExportedIds.contains(tip) =>
+      case (b, _, tip, base) if branchSnapIds.contains(tip) ||
+          (tip == base && mainIds.contains(tip)) =>
         s"""${jsonStr(b)}: {"snapshot-id": $tip, "type": "branch"}"""
     }
     val refsJson = (Seq(

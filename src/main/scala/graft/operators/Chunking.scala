@@ -20,12 +20,15 @@ object Chunking {
 
   private def tokCol(textCol: String): Column = tokens(col(textCol))
 
-  /** Explode `docs` into token windows of `chunkSize`, starting every
-    * `stride` tokens (stride < chunkSize ⇒ overlapping windows; stride ==
-    * chunkSize ⇒ a partition of the doc). The last window of a doc may be
-    * short (`n_tokens` < chunkSize). Output: (doc_id, chunk_idx,
-    * chunk_text, n_tokens), one row per window, empty docs dropped. */
-  def chunk(docs: DataFrame, idCol: String, textCol: String,
+  /** ONE shared windowing pipeline (tokenize → drop empty docs → window
+    * starts every `stride` → per-window slices): both the public chunk()
+    * and chunkDedup() consume it, so the empty-doc filter and the
+    * window-boundary arithmetic — which the oracles pin — can never
+    * drift between them. Emits one row per window: (doc_id, chunk_idx,
+    * chunk_text = the full chunkSize-token window, owned_text = the
+    * window's first `stride` tokens (≤ stride for the last window),
+    * n_tokens = the window's actual length). */
+  private def windows(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
     require(stride > 0 && stride <= chunkSize,
@@ -41,9 +44,21 @@ object Chunking {
         col("i").cast("long").as("chunk_idx"),
         array_join(slice(col("t"), col("i") * stride + 1, lit(chunkSize)),
           " ").as("chunk_text"),
+        array_join(slice(col("t"), col("i") * stride + 1, lit(stride)),
+          " ").as("owned_text"),
         least(lit(chunkSize), size(col("t")) - col("i") * stride)
           .cast("long").as("n_tokens"))
   }
+
+  /** Explode `docs` into token windows of `chunkSize`, starting every
+    * `stride` tokens (stride < chunkSize ⇒ overlapping windows; stride ==
+    * chunkSize ⇒ a partition of the doc). The last window of a doc may be
+    * short (`n_tokens` < chunkSize). Output: (doc_id, chunk_idx,
+    * chunk_text, n_tokens), one row per window, empty docs dropped. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame =
+    windows(docs, idCol, textCol, chunkSize, stride)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
 
   /** Exact chunk-level dedup, keep-first: partition every doc into
     * non-overlapping `chunkSize`-token chunks, keep each distinct chunk
@@ -89,21 +104,7 @@ object Chunking {
     * (astronomically unlikely, and identically in any engine). */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
-    require(chunkSize > 0, "chunkSize must be positive")
-    require(stride > 0 && stride <= chunkSize,
-      s"stride must be in [1, chunkSize], got $stride")
-    val chunks = docs
-      .select(col(idCol).as("doc_id"), tokCol(textCol).as("t"))
-      .filter(size(col("t")) > 0 && col("t").getItem(0) =!= "")
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0),
-          floor((size(col("t")) - 1) / stride).cast("int"))).as("i"))
-      .select(col("doc_id"),
-        col("i").cast("long").as("chunk_idx"),
-        array_join(slice(col("t"), col("i") * stride + 1, lit(chunkSize)),
-          " ").as("chunk_text"),
-        array_join(slice(col("t"), col("i") * stride + 1, lit(stride)),
-          " ").as("owned_text"))
+    val chunks = windows(docs, idCol, textCol, chunkSize, stride)
       .withColumn("h", md5(col("chunk_text")))
     val winners = chunks.groupBy("h")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))

@@ -30,21 +30,33 @@ object Dedup {
 
   /** Production ingestion dedup against the HISTORICAL corpus table:
     * append only the batch rows whose content fingerprint is not already
-    * in `corpus` (keep-first by id within the batch). The membership
-    * probe never scans the corpus — [[graft.table.GraftTable.readForKeys]]
-    * routes the batch's fingerprints through driver-side manifest
-    * pruning, and the table is created with
-    * `graft.bloom.columns=fingerprint` so per-file Bloom bitsets prune
-    * even files whose min/max range spans the full hash space (they all
-    * do — fingerprints are uniform). At 100 TB the probe cost is
-    * O(batch) + the few files with Bloom hits, not a corpus scan; the
-    * anti-join then runs against only those files' rows. Returns the
-    * number of rows appended. */
+    * in `corpus` (keep-first by id within the batch). Returns the number
+    * of rows appended.
+    *
+    * Two membership-probe regimes, split explicitly because Bloom
+    * probing has a REAL capacity limit, not an arbitrary one:
+    *
+    *   - batches with ≤ [[graft.table.MergeInto.MaxKeyProbeValues]]
+    *     distinct fingerprints route through
+    *     [[graft.table.GraftTable.readForKeys]] — the corpus is created
+    *     with `graft.bloom.columns=fingerprint`, so per-file Bloom
+    *     bitsets prune files even though every file's min/max spans the
+    *     full hash space (fingerprints are uniform). Probe cost:
+    *     O(batch) + the few Bloom-hit files — never a corpus scan. This
+    *     is the steady-state arrival-loop shape (bounded micro-batches).
+    *   - larger batches fall back to a fingerprint-COLUMN anti-join
+    *     against the corpus. This is not a missed optimization: with N
+    *     probe values, a file with no true match still Bloom-hits with
+    *     probability 1-(1-fpp)^N → 1, so point probing mathematically
+    *     cannot prune large batches — the honest large-batch cost is
+    *     one column-pruned scan of the corpus fingerprints (16 bytes/row
+    *     at any scale), which column pruning + the one-column projection
+    *     keep far below a data scan. */
   def dedupAppend(corpus: graft.table.GraftTable, batch: DataFrame,
       idCol: String, textCol: String): Long = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("fingerprint").orderBy(col(idCol))
-    // checkpoint: the batch feeds the probe's two driver jobs, the
+    // checkpoint: the batch feeds the probe's driver jobs, the
     // anti-join, and the append — without it the window re-runs per use
     val firsts = batch
       .withColumn("fingerprint", TextFunctions.fingerprint_md5(col(textCol)))
@@ -54,9 +66,14 @@ object Dedup {
     if (!corpus.exists)
       corpus.create(firsts.schema,
         properties = Map("graft.bloom.columns" -> "fingerprint"))
-    val existing = corpus
-      .readForKeys(firsts.select(col("fingerprint")), Seq("fingerprint"))
-      .select("fingerprint").distinct()
+    val fps = firsts.select(col("fingerprint"))
+    val smallBatch = firsts
+      .limit(graft.table.MergeInto.MaxKeyProbeValues + 1).count() <=
+      graft.table.MergeInto.MaxKeyProbeValues
+    val existing =
+      (if (smallBatch) corpus.readForKeys(fps, Seq("fingerprint"))
+       else corpus.read())
+        .select("fingerprint").distinct()
     val fresh = firsts.join(existing, Seq("fingerprint"), "left_anti")
       .localCheckpoint()
     val n = fresh.count()

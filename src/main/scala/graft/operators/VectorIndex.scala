@@ -71,8 +71,13 @@ object VectorIndex {
     val tip = src.latestSnapshotId.getOrElse(
       throw new IllegalStateException(s"no such table: ${src.location}"))
     val idx = at(spark, dir)
-    require(!idx.assignments.exists,
-      s"index already built at $dir — drop it or refresh()")
+    // BOTH tables must be absent: a build that crashed between the
+    // centroids append and the assignments append would otherwise pass
+    // this guard on re-run and append a SECOND centroid set, silently
+    // corrupting the list_id → centroid mapping for every later search
+    require(!idx.centroids.exists && !idx.assignments.exists,
+      s"index (or a partial build) already present at $dir — remove the " +
+        "directory and rebuild, or refresh() an intact index")
     val snap = src.readAsOf(tip)
       .select(col(idCol).cast("long").as("vec_id"),
         quantize(col(vecCol)).as("qv"))

@@ -360,12 +360,7 @@ object DedupQueries {
        |FROM (SELECT DISTINCT doc_id FROM m) m
        |LEFT JOIN p USING (doc_id) ORDER BY m.doc_id""".stripMargin
 
-  private def scratch(name: String): String = {
-    val dir = s"${Scratch.baseDir}/graft-q-$name-" +
-      java.util.UUID.randomUUID()
-    Scratch.deleteOnExit(dir)
-    dir
-  }
+  private def scratch(name: String): String = Scratch.dir(name)
 
   /** Streaming exact dedup ≡ batch exact dedup: the corpus is chunked
     * into 4 files and streamed one file per micro-batch through

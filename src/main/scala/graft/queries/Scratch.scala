@@ -32,6 +32,16 @@ object Scratch {
 
   def deleteOnExit(dir: String): Unit = dirs.add(dir)
 
+  /** Fresh per-run scratch directory under [[baseDir]], registered for
+    * shutdown cleanup — THE way query code allocates scratch space (one
+    * definition; per-file copies of this helper are where a future
+    * cleanup fix would get applied to only one site). */
+  def dir(name: String): String = {
+    val d = s"$baseDir/graft-q-$name-" + java.util.UUID.randomUUID()
+    deleteOnExit(d)
+    d
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()

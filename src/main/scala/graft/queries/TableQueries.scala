@@ -19,11 +19,7 @@ object TableQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def scratch(name: String): String = {
-    val dir = s"${Scratch.baseDir}/graft-q-$name-${UUID.randomUUID()}"
-    Scratch.deleteOnExit(dir)
-    dir
-  }
+  private def scratch(name: String): String = Scratch.dir(name)
 
   private def ordersSlice(s: SparkSession, dir: String, m: Int): DataFrame =
     Tables.load(s, dir, "orders").filter(col("o_orderkey") % 3 === m)

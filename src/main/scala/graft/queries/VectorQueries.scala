@@ -151,12 +151,7 @@ object VectorQueries {
   }
   val qAnnIvfIndexSql: String = plantedTop1Sql
 
-  private def scratchDir(name: String): String = {
-    val dir = s"${Scratch.baseDir}/graft-q-$name-" +
-      java.util.UUID.randomUUID()
-    Scratch.deleteOnExit(dir)
-    dir
-  }
+  private def scratchDir(name: String): String = Scratch.dir(name)
 
   /** exact quantized norms — cheap full-table oracle over the list ops. */
   val qEmbedNorm: Q = (s, dir) => {

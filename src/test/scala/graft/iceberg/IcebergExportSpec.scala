@@ -126,6 +126,30 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.scan(spark, t.location).count() === 120)
   }
 
+  test("a DIVERGED branch exports NO ref — its tip id names main's " +
+      "colliding snapshot, and a ref would expose main's rows as staging") {
+    val t = mkTable("ice-branch-diverged", 10L)
+    t.createBranch("audit")
+    t.branch("audit").append(Seq((100L, "staged", 1L))
+      .toDF("id", "v", "ts"))
+    // main advances past the fork point: branch tip id now collides
+    t.append(Seq((200L, "mainrow", 2L)).toDF("id", "v", "ts"))
+    IcebergExport.export(spark, t, history = 2)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val path = new java.net.URI("file://" + t.location).getPath
+    val metaDir = Paths.get(path, "metadata")
+    val meta = JsonMethods.parse(Files.readString(metaDir.resolve(
+      s"v${Files.readString(metaDir.resolve("version-hint.text")).trim}" +
+        ".metadata.json")))
+    assert((meta \ "refs" \ "audit") === JNothing,
+      "diverged branch must not export a ref")
+    intercept[IllegalArgumentException](
+      IcebergExport.scan(spark, t.location, Some("audit")))
+    // main reads stay main
+    assert(IcebergExport.scan(spark, t.location).count() === 11)
+  }
+
   test("a branch with no own commits exports a ref at its fork point") {
     val t = mkTable("ice-branch-empty", 10L)
     t.createBranch("staging")
