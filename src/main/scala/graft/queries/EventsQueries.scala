@@ -154,6 +154,56 @@ object EventsQueries {
   // identical to the batch daily rollup — that's the point
   val qStreamDailySql: String = qEventsDailySql
 
+  /** KMV distinct sketches as STREAMING state: per event_type, the
+    * distinct-user sketch accumulates across micro-batches (the
+    * TypedImperativeAggregate's merge is associative/commutative, so
+    * arbitrary micro-batching produces the identical sketch — the same
+    * invariance the batch spec pins for partitioning). The oracle
+    * rebuilds sketch AND estimate in SQL over the full table: streamed
+    * approximate distinct-user counts must equal the batch sketch
+    * bit-for-bit. k=64 < distinct users (150), so the ESTIMATOR path is
+    * exercised, not the exact path. */
+  val qStreamDistinct: Q = (s, dir) => {
+    import graft.functions.AggExpressions.kmv_distinct
+    import graft.functions.HashExpressions.md5_hash64
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(s, dir, "events").schema
+    val name = "graft_stream_distinct_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = raw.groupBy(col("event_type"))
+      .agg(kmv_distinct(md5_hash64(col("user_id").cast("string")), 64)
+        .as("sk"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val resultDf = s.table(name)
+      .select(col("event_type"),
+        round(col("sk.est"), 4).as("users_est"),
+        col("sk.n_tracked").as("n_tracked"))
+      .orderBy(col("event_type"))
+    val rows = resultDf.collect()
+    val outSchema = resultDf.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+  val qStreamDistinctSql: String =
+    """WITH h AS (SELECT DISTINCT event_type AS g,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+      |  FROM events),
+      |r AS (SELECT g, hv,
+      |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS nd FROM h)
+      |SELECT g AS event_type,
+      |  round(CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+      |       ELSE 63.0 * (18446744073709551616.0 /
+      |          CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)) END, 4)
+      |    AS users_est,
+      |  LEAST(MAX(nd), 64) AS n_tracked
+      |FROM r GROUP BY g ORDER BY g""".stripMargin
+
   /** Stream-static join enrichment: the event stream joins a STATIC
     * dimension (customer segment) mid-stream, then aggregates — the
     * standard streaming-enrichment shape (Spark broadcasts or re-plans
@@ -383,6 +433,7 @@ object EventsQueries {
     ("q_events_moving", qEventsMoving, Some(qEventsMovingSql)),
     ("q_stream_daily", qStreamDaily, Some(qStreamDailySql)),
     ("q_stream_enrich", qStreamEnrich, Some(qStreamEnrichSql)),
+    ("q_stream_distinct", qStreamDistinct, Some(qStreamDistinctSql)),
     ("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     ("q_events_daily", qEventsDaily, Some(qEventsDailySql)),
     ("q_events_json", qEventsJson, Some(qEventsJsonSql)),
