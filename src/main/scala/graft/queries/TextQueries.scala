@@ -626,7 +626,51 @@ object TextQueries {
       |      FROM documents GROUP BY lang)
       |ORDER BY lang""".stripMargin
 
+  /** Deterministic hash-sampled quantiles — the honest SCALE path for
+    * percentiles, kept oracle-exact: exact quantiles need a per-group
+    * sort ([[qLengthQuantiles]]); sketches (t-digest/GK) are
+    * merge-order-dependent and unverifiable cross-engine. The middle
+    * road is a DETERMINISTIC uniform sample — rank rows by the
+    * md5-prefix hash of their id and keep each group's bottom 64 — then
+    * exact quantiles over the sample. Every engine picks the identical
+    * sample (hash order is total, ids unique), so the estimates are
+    * reproducible bit-for-bit while the sort shrinks from O(group) to
+    * O(k). Sampling error replaces sketch error; k tunes it. */
+  val qQuantileSample: Q = (s, dir) => {
+    import graft.functions.HashExpressions.md5_hash64
+    import org.apache.spark.sql.expressions.Window
+    // sign-bit flip: Spark orders longs SIGNED, the oracle's UBIGINT
+    // order is unsigned — xor with Long.MinValue maps one onto the other
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5_hash64(col("doc_id").cast("string"))
+        .bitwiseXOR(lit(Long.MinValue)).asc,
+        col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 64)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        expr("percentile(n_chars, array(0.5D, 0.9D))").as("qs"))
+      .select(col("lang"), col("n_sampled"),
+        round(col("qs")(0), 4).as("p50_est"),
+        round(col("qs")(1), 4).as("p90_est"))
+      .orderBy("lang")
+  }
+  val qQuantileSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars, row_number() OVER (PARTITION BY lang
+      |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+      |      doc_id) AS rn
+      |  FROM documents)
+      |SELECT lang, n_sampled,
+      |  round(qs[1], 4) AS p50_est, round(qs[2], 4) AS p90_est
+      |FROM (SELECT lang, COUNT(*) AS n_sampled,
+      |        quantile_cont(n_chars, [0.5, 0.9]) AS qs
+      |      FROM ranked WHERE rn <= 64 GROUP BY lang)
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_quantile_sample", qQuantileSample, Some(qQuantileSampleSql)),
     ("q_vocab_oov", qVocabOov, Some(qVocabOovSql)),
     ("q_length_quantiles", qLengthQuantiles, Some(qLengthQuantilesSql)),
     ("q_lm_score", qLmScore, Some(qLmScoreSql)),
