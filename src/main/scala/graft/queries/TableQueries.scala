@@ -111,6 +111,37 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Z-order clustering end-to-end: orders re-written in (o_custkey,
+    * o_totalprice) z-value order, then a 2-D range scan. The in-flight
+    * requires pin what z-ordering is FOR — after the clustered write,
+    * BOTH dimensions' per-file min/max stats are selective (a 1-D sort
+    * would leave the second column's ranges spanning every file), so a
+    * 2-D predicate prunes files on either column. The oracle is the
+    * plain filter — clustering must never change results. */
+  val qZorderScan: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("zorder"))
+    t.append(graft.operators.ZOrder.arrange(
+      Tables.load(s, dir, "orders"),
+      Seq("o_custkey", "o_totalprice"), bits = 8, numFiles = Some(8)))
+    val live = t.liveFiles()
+    val stats = t.statsFor(live)
+    def overlapping(c: String, lo: Double, hi: Double): Int =
+      live.count(f => stats.get(f).flatMap(_.get(c)).forall(cs =>
+        cs.min.exists(_.toDouble <= hi) && cs.max.exists(_.toDouble >= lo)))
+    require(live.size >= 4, s"need several files, got ${live.size}")
+    require(overlapping("o_custkey", 0, 150) < live.size,
+      "z-order left o_custkey stats unselective")
+    require(overlapping("o_totalprice", 0, 50000) < live.size,
+      "z-order left o_totalprice stats unselective")
+    project(t.read().filter(col("o_custkey") <= 150 &&
+      col("o_totalprice") <= 50000))
+  }
+  val qZorderScanSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_custkey <= 150 AND o_totalprice <= 50000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** CDC changelog over a table lifecycle: append → COW merge → MOR merge,
     * then `changes()` across the whole range. The oracle reconstructs the
     * exact net change set per commit: appends are inserts; the COW merge
@@ -794,6 +825,7 @@ object TableQueries {
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     ("q_branch_wap", qBranchWap, Some(qBranchWapSql)),
     ("q_iceberg_branch", qIcebergBranch, Some(qIcebergBranchSql)),
+    ("q_zorder_scan", qZorderScan, Some(qZorderScanSql)),
     ("q_delete_positions", qDeletePositions, Some(qDeletePositionsSql)),
     ("q_update_positions", qUpdatePositions, Some(qUpdatePositionsSql)),
     ("q_rollup_incremental", qRollupIncremental,
