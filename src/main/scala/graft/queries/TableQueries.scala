@@ -606,6 +606,39 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** JSON-lines ingestion round trip (the web-corpus interchange format):
+    * documents are written as JSONL and read back with a DECLARED schema
+    * (schema inference at 100 TB means a second full pass — a pipeline
+    * always declares), preserving text bytes through JSON escaping. The
+    * oracle is the documents table itself — any escape/encoding loss or
+    * row drop breaks the hash. */
+  val qSourceJson: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val loc = scratch("jsonl")
+    docs.write.json(loc)
+    s.read.schema(docs.schema).json(loc)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+  val qSourceJsonSql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** ORC ingestion round trip — the other columnar interchange format a
+    * lakehouse ingests from; typed columns (timestamps included) must
+    * survive losslessly. */
+  val qSourceOrc: Q = (s, dir) => {
+    val orders = Tables.load(s, dir, "orders")
+    val loc = scratch("orc")
+    orders.write.orc(loc)
+    project(s.read.orc(loc))
+  }
+  val qSourceOrcSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** C1–C3 by NAME: tables bound into the session catalog through a
     * warehouse GraftCatalog, queried with PURE SQL over bare names — the
     * reference's consumer pattern (`SELECT ... FROM dev.icebergdb.
@@ -821,6 +854,8 @@ object TableQueries {
     ("q_hidden_partition", qHiddenPartition, Some(qHiddenPartitionSql)),
     ("q_stream_table", qStreamTable, Some(qStreamTableSql)),
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),
+    ("q_source_json", qSourceJson, Some(qSourceJsonSql)),
+    ("q_source_orc", qSourceOrc, Some(qSourceOrcSql)),
     ("q_incremental_scan", qIncrementalScan, Some(qIncrementalScanSql)),
     ("q_time_travel", qTimeTravel, Some(qTimeTravelSql)),
     ("q_branch_wap", qBranchWap, Some(qBranchWapSql)),
