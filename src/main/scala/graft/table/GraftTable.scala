@@ -1417,8 +1417,9 @@ class GraftTable(spark: SparkSession, val location: String,
   /** Highest batch id committed by idempotent writer `appId` (the
     * streaming sink's replay check). */
   def lastTxnBatch(appId: String): Option[Long] = {
-    val ids = snapshots.filter(_.txnAppId.contains(appId))
-      .flatMap(_.txnBatchId)
+    val ids = snapshots.flatMap(s =>
+      s.txnBatchId.filter(_ => s.txnAppId.contains(appId)).toSeq ++
+        s.txnStamps.flatMap(_.get(appId)).toSeq)
     if (ids.isEmpty) None else Some(ids.max)
   }
 
@@ -2198,6 +2199,16 @@ class GraftTable(spark: SparkSession, val location: String,
     val baselineManifest =
       if (baselineEntries.isEmpty) None
       else Some(writeManifest(baselineEntries, oldest.partitionCols))
+    // idempotent-writer stamps on EXPIRED snapshots must survive the
+    // truncation or a replaying writer double-applies its last batch:
+    // absorb the max batch per appId (incl. stamps a previous expire
+    // already absorbed onto the old baseline) into the new baseline
+    val absorbedStamps: Map[String, Long] = {
+      val pairs = (expired :+ oldest).flatMap(s =>
+        s.txnAppId.zip(s.txnBatchId).toSeq ++
+          s.txnStamps.getOrElse(Map.empty).toSeq)
+      pairs.groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).max }
+    }
     val baseline = oldest.copy(
       parentId = None,
       addedFiles = Seq.empty,
@@ -2209,6 +2220,8 @@ class GraftTable(spark: SparkSession, val location: String,
         if (baselineDeletes.isEmpty) None else Some(baselineDeletes),
       removedDeleteFiles = None,
       base = Some(true),
+      txnStamps =
+        if (absorbedStamps.isEmpty) None else Some(absorbedStamps),
       manifest = baselineManifest)
     val tmp = new Path(metaPath, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)

@@ -122,6 +122,13 @@ case class Snapshot(
       * data commit, so the dedup check and the data are atomic. */
     txnAppId: Option[String] = None,
     txnBatchId: Option[Long] = None,
+    /** txn stamps ABSORBED from expired snapshots (appId → max batchId):
+      * the expire baseline carries them so idempotent-writer replay
+      * checks survive history truncation — without this, expiring a
+      * writer's last stamped commit would make its replay DOUBLE-APPLY
+      * (the problem Delta solves by retaining setTransaction actions in
+      * checkpoints). */
+    txnStamps: Option[Map[String, Long]] = None,
     /** table properties (Iceberg table-properties analogue), set at create
       * and carried forward by every commit. Known keys:
       * `graft.bloom.columns` — comma-separated columns to collect Bloom

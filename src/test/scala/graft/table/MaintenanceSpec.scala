@@ -55,6 +55,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.readAsOf(1L).count() === 0)
   }
 
+  test("idempotent-writer txn stamps survive expire (baseline absorbs " +
+      "them); a replay after truncation stays a no-op") {
+    val t = freshTable("mt-expire-txn")
+    t.append(Seq((1L, "a")).toDF("id", "v"), txn = Some(("sink", 7L)))
+    // bury the stamped commit under unstamped ones, then expire it away
+    (2L to 6L).foreach(i =>
+      t.append(Seq((i, s"r$i")).toDF("id", "v")))
+    t.expireSnapshots(keepLast = 2)
+    assert(!t.snapshots.exists(_.txnAppId.contains("sink")),
+      "precondition: the stamped snapshot itself must be expired")
+    // the absorbed stamp still answers the replay check...
+    assert(t.lastTxnBatch("sink").contains(7L))
+    // ...so a crash-replay of batch 7 is STILL a no-op
+    val rows = t.read().count()
+    t.append(Seq((99L, "dup")).toDF("id", "v"), txn = Some(("sink", 7L)))
+    assert(t.read().count() === rows, "replayed batch must not re-apply")
+    // a genuinely newer batch commits
+    t.append(Seq((100L, "new")).toDF("id", "v"), txn = Some(("sink", 8L)))
+    assert(t.read().count() === rows + 1)
+    assert(t.lastTxnBatch("sink").contains(8L))
+    // a SECOND expire chains: the absorbed stamps carry forward
+    (101L to 105L).foreach(i =>
+      t.append(Seq((i, s"r$i")).toDF("id", "v")))
+    t.expireSnapshots(keepLast = 2)
+    assert(t.lastTxnBatch("sink").contains(8L))
+  }
+
   test("expireOlderThan keeps age-qualified suffix; retain_last floors it") {
     val t = freshTable("mt-expire-age")
     t.append(Seq((1L, "a")).toDF("id", "v"))
