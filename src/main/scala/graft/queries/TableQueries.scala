@@ -120,26 +120,36 @@ object TableQueries {
     * plain filter — clustering must never change results. */
   val qZorderScan: Q = (s, dir) => {
     val t = GraftTable(s, scratch("zorder"))
-    t.append(graft.operators.ZOrder.arrange(
-      Tables.load(s, dir, "orders"),
+    val orders = Tables.load(s, dir, "orders")
+    t.append(graft.operators.ZOrder.arrange(orders,
       Seq("o_custkey", "o_totalprice"), bits = 8, numFiles = Some(8)))
+    // probe = the bottom ~10% of EACH dimension's observed range, so the
+    // selectivity requires hold at every SF (a fixed literal spans the
+    // whole key range at tiny scales); the oracle mirrors the same
+    // max-derived thresholds with identical integer/IEEE arithmetic
+    val r = orders.agg(max(col("o_custkey")), max(col("o_totalprice")))
+      .head()
+    val ckHi = r.getLong(0) / 10
+    val tpHi = r.getDouble(1) / 10.0
     val live = t.liveFiles()
     val stats = t.statsFor(live)
     def overlapping(c: String, lo: Double, hi: Double): Int =
       live.count(f => stats.get(f).flatMap(_.get(c)).forall(cs =>
         cs.min.exists(_.toDouble <= hi) && cs.max.exists(_.toDouble >= lo)))
     require(live.size >= 4, s"need several files, got ${live.size}")
-    require(overlapping("o_custkey", 0, 150) < live.size,
+    require(overlapping("o_custkey", 0, ckHi.toDouble) < live.size,
       "z-order left o_custkey stats unselective")
-    require(overlapping("o_totalprice", 0, 50000) < live.size,
+    require(overlapping("o_totalprice", 0, tpHi) < live.size,
       "z-order left o_totalprice stats unselective")
-    project(t.read().filter(col("o_custkey") <= 150 &&
-      col("o_totalprice") <= 50000))
+    project(t.read().filter(col("o_custkey") <= ckHi &&
+      col("o_totalprice") <= tpHi))
   }
   val qZorderScanSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
-      |FROM orders WHERE o_custkey <= 150 AND o_totalprice <= 50000
+      |FROM orders
+      |WHERE o_custkey <= (SELECT MAX(o_custkey) // 10 FROM orders)
+      |  AND o_totalprice <= (SELECT MAX(o_totalprice) / 10.0 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
   /** CDC changelog over a table lifecycle: append → COW merge → MOR merge,
