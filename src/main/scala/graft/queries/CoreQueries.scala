@@ -645,7 +645,7 @@ object CoreQueries {
   val qDistinctSketchSql: String =
     """WITH ho AS (SELECT DISTINCT l_returnflag AS g,
       |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 16))::UBIGINT AS hv
-      |  FROM lineitem),
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL),
       |ro AS (SELECT g, hv,
       |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
       |    COUNT(*) OVER (PARTITION BY g) AS nd FROM ho),
@@ -658,7 +658,7 @@ object CoreQueries {
       |  FROM ro GROUP BY g),
       |hp AS (SELECT DISTINCT l_returnflag AS g,
       |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 16))::UBIGINT AS hv
-      |  FROM lineitem),
+      |  FROM lineitem WHERE l_partkey IS NOT NULL),
       |rp AS (SELECT g, hv,
       |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
       |    COUNT(*) OVER (PARTITION BY g) AS nd FROM hp),

@@ -122,34 +122,44 @@ object EventsQueries {
     * formulation must agree exactly with the batch oracle (same counts,
     * same exact decimal sums), which is precisely the cross-engine
     *"all consumers see the same data" contract of the reference. */
-  val qStreamDaily: Q = (s, dir) => {
+  /** Shared mechanics of every streaming oracle query in this file: run
+    * one streaming transform over the events FILE stream synchronously
+    * into a memory sink, materialize the (small) result, and drop the
+    * sink view — it holds the aggregate in driver memory and would leak
+    * per invocation. ONE definition: a fix to the sink/stop/cleanup
+    * dance applies everywhere. `agg` builds the streaming frame from the
+    * raw stream (the file source requires a directory — the sf dir is
+    * glob-pinned to events.parquet); `present` shapes the sink table
+    * into the final ordered, oracle-matching frame. */
+  private def runStream(s: SparkSession, dir: String, label: String,
+      mode: String = "complete")(agg: DataFrame => DataFrame)(
+      present: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.load(s, dir, "events").schema
-    val name = "graft_stream_daily_" +
+    val name = s"graft_stream_${label}_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    // the file stream source requires a directory: stream the sf dir with
-    // a glob pinning it to the events table only
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val stream = raw.withColumn("ets", timestamp_micros(tsMicros(raw)))
-    val agg = stream
-      .groupBy(window(col("ets"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("total_value"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
+    val q = agg(raw).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
-    // materialize the (small) result and drop the memory-sink view — it
-    // holds the aggregate in driver memory and would leak per invocation
-    val resultDf = s.table(name)
-      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n"), col("total_value"))
-      .orderBy(col("day"), col("event_type"))
+    val resultDf = present(s.table(name))
     val rows = resultDf.collect()
     val outSchema = resultDf.schema
     s.catalog.dropTempView(name)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+
+  val qStreamDaily: Q = (s, dir) => runStream(s, dir, "daily") { raw =>
+    raw.withColumn("ets", timestamp_micros(tsMicros(raw)))
+      .groupBy(window(col("ets"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+  } { sink =>
+    sink.select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("day"), col("event_type"))
   }
   // identical to the batch daily rollup — that's the point
   val qStreamDailySql: String = qEventsDailySql
@@ -163,36 +173,27 @@ object EventsQueries {
     * approximate distinct-user counts must equal the batch sketch
     * bit-for-bit. k=64 < distinct users (150), so the ESTIMATOR path is
     * exercised, not the exact path. */
-  val qStreamDistinct: Q = (s, dir) => {
-    import graft.functions.AggExpressions.kmv_distinct
-    import graft.functions.HashExpressions.md5_hash64
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(s, dir, "events").schema
-    val name = "graft_stream_distinct_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val agg = raw.groupBy(col("event_type"))
-      .agg(kmv_distinct(md5_hash64(col("user_id").cast("string")), 64)
-        .as("sk"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
-    val resultDf = s.table(name)
-      .select(col("event_type"),
+  val qStreamDistinct: Q = (s, dir) =>
+    runStream(s, dir, "distinct") { raw =>
+      import graft.functions.AggExpressions.kmv_distinct
+      import graft.functions.HashExpressions.md5_hash64
+      // explicit null filter: the sketch SKIPS null hashes while the
+      // oracle's SELECT DISTINCT would keep a NULL row — align both
+      // sides on "nulls don't count as a distinct user"
+      raw.filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(kmv_distinct(md5_hash64(col("user_id").cast("string")), 64)
+          .as("sk"))
+    } { sink =>
+      sink.select(col("event_type"),
         round(col("sk.est"), 4).as("users_est"),
         col("sk.n_tracked").as("n_tracked"))
-      .orderBy(col("event_type"))
-    val rows = resultDf.collect()
-    val outSchema = resultDf.schema
-    s.catalog.dropTempView(name)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
-  }
+        .orderBy(col("event_type"))
+    }
   val qStreamDistinctSql: String =
     """WITH h AS (SELECT DISTINCT event_type AS g,
       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |r AS (SELECT g, hv,
       |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
       |    COUNT(*) OVER (PARTITION BY g) AS nd FROM h)
@@ -211,32 +212,19 @@ object EventsQueries {
     * when small or the stream pre-partitioned on the key). The oracle
     * is the batch join+rollup — the streamed result must equal it
     * exactly. */
-  val qStreamEnrich: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(s, dir, "events").schema
-    val name = "graft_stream_enrich_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val dim = Tables.load(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"))
-    val agg = raw.join(dim, raw("user_id") === dim("c_custkey"))
-      .groupBy(col("c_mktsegment"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("total_value"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
-    val resultDf = s.table(name)
-      .select(col("c_mktsegment"), col("event_type"), col("n"),
+  val qStreamEnrich: Q = (s, dir) =>
+    runStream(s, dir, "enrich") { raw =>
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      raw.join(dim, raw("user_id") === dim("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+    } { sink =>
+      sink.select(col("c_mktsegment"), col("event_type"), col("n"),
         col("total_value"))
-      .orderBy(col("c_mktsegment"), col("event_type"))
-    val rows = resultDf.collect()
-    val outSchema = resultDf.schema
-    s.catalog.dropTempView(name)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
-  }
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }
   val qStreamEnrichSql: String =
     """SELECT c_mktsegment, event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -250,33 +238,19 @@ object EventsQueries {
     * the oracle reconstructs exactly that set in SQL. Output columns
     * are integers only (boundaries + counts) — closure math is exact,
     * no float-order sensitivity. */
-  val qStreamSessions: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(s, dir, "events").schema
-    val name = "graft_stream_sessions_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    import s.implicits._
-    val ev = raw.select(col("user_id"), tsMicros(raw).as("ts_us"),
-      col("value").cast("double").as("value"))
-      .as[graft.streaming.Streaming.Event]
-    val q = graft.streaming.Streaming
-      .sessionize(ev, 30L * 60 * 1000000)
-      .toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    val resultDf = s.table(name)
-      .select(col("user_id"), col("start_us"), col("end_us"),
+  val qStreamSessions: Q = (s, dir) =>
+    runStream(s, dir, "sessions", mode = "append") { raw =>
+      import s.implicits._
+      graft.streaming.Streaming.sessionize(
+        raw.select(col("user_id"), tsMicros(raw).as("ts_us"),
+          col("value").cast("double").as("value"))
+          .as[graft.streaming.Streaming.Event],
+        30L * 60 * 1000000).toDF()
+    } { sink =>
+      sink.select(col("user_id"), col("start_us"), col("end_us"),
         col("n_events").cast("long").as("n_events"))
-      .orderBy(col("user_id"), col("start_us"))
-    val rows = resultDf.collect()
-    val outSchema = resultDf.schema
-    s.catalog.dropTempView(name)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
-  }
+        .orderBy(col("user_id"), col("start_us"))
+    }
   val qStreamSessionsSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_ns(ts)//1000 AS ts_us

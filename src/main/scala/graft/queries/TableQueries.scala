@@ -133,9 +133,13 @@ object TableQueries {
     val tpHi = r.getDouble(1) / 10.0
     val live = t.liveFiles()
     val stats = t.statsFor(live)
+    // forall on the Option bounds: a MISSING bound is "unknown" and the
+    // file must count as overlapping (the conservative stance every
+    // pruning site takes) — exists() would count it prunable and let the
+    // selectivity requires pass vacuously
     def overlapping(c: String, lo: Double, hi: Double): Int =
       live.count(f => stats.get(f).flatMap(_.get(c)).forall(cs =>
-        cs.min.exists(_.toDouble <= hi) && cs.max.exists(_.toDouble >= lo)))
+        cs.min.forall(_.toDouble <= hi) && cs.max.forall(_.toDouble >= lo)))
     require(live.size >= 4, s"need several files, got ${live.size}")
     require(overlapping("o_custkey", 0, ckHi.toDouble) < live.size,
       "z-order left o_custkey stats unselective")

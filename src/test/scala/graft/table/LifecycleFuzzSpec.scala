@@ -48,9 +48,11 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
 
     def check(op: String): Unit = {
+      // sorted Seq, not Set: a bug that double-applies a file yields
+      // duplicate identical rows, which a set compare cannot see
       val got = t.read().select("id", "ord", "v")
-        .as[(Long, Long, Long)].collect().toSet
-      val want = model.map { case (id, (o, v)) => (id, o, v) }.toSet
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val want = model.map { case (id, (o, v)) => (id, o, v) }.toSeq.sorted
       assert(got === want, s"divergence after $op")
     }
 
