@@ -46,6 +46,28 @@ class LifecycleFuzzSpec extends SparkSpec {
       model = model.map { case (id, (o, v)) =>
         id -> (o, if (id % m == r) v * 2 else v) }
     }
+    def branchOp(check: String => Unit): Unit = {
+      // one full write-audit-publish cycle as a composite op: stage 1-2
+      // merges on a branch, assert main is UNTOUCHED mid-stage (the
+      // audit invariant), then fastForward and fold the staged batches
+      // into the model in commit order
+      val bn = s"b$ord"
+      t.createBranch(bn)
+      val b = t.branch(bn)
+      val staged = (1 to (1 + rnd.nextInt(2))).map { _ =>
+        val ids = rnd.shuffle((0L until 200L).toList)
+          .take(5 + rnd.nextInt(10))
+        val rows = ids.map { id =>
+          ord += 1; (id, ord, rnd.nextInt(100000).toLong) }
+        b.merge(rows.toDF("id", "ord", "v"), keys = Seq("id"),
+          dedupKey = Seq("id"), orderCol = "ord",
+          mode = if (rnd.nextBoolean()) "cow" else "mor")
+        rows
+      }
+      check("branch staged (main must be untouched)")
+      t.fastForward(bn)
+      staged.foreach(_.foreach { case (id, o, v) => model += id -> (o, v) })
+    }
 
     def check(op: String): Unit = {
       // sorted Seq, not Set: a bug that double-applies a file yields
@@ -63,7 +85,8 @@ class LifecycleFuzzSpec extends SparkSpec {
     seedRows.foreach { case (id, o, v) => model += id -> (o, v) }
     check("seed")
     (1 to 23).foreach { i =>
-      val op = rnd.nextInt(6) match {
+      val op = rnd.nextInt(7) match {
+        case 6 => branchOp(s => check(s"op $i: $s")); "branchWap"
         case 0 => mergeOp("cow"); "mergeCow"
         case 1 => mergeOp("mor"); "mergeMor"
         case 2 => if (model.nonEmpty) { deleteOp(false); "delete" }
