@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked runMain JVM inherits sbt's raw stdout/stderr instead of
+// being piped through sbt's logger: no "[info] " framing on Bench's
+// JSON lines, and no logger-buffer truncation at JVM exit (BENCH_r08's
+// tail ends mid-line — the sbt log pipe dropped the final buffer). The
+// driver's structured parse needs a raw JSON line on stdout.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

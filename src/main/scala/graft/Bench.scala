@@ -363,6 +363,11 @@ object Bench {
     val gateJson = gateProbes.map(r => f"$r%.2f").mkString("[", ",", "]")
     val attemptsJson = attemptRatios.map(r => f"$r%.2f").mkString("[", ",", "]")
 
+    // stop BEFORE the artifact lines: nothing may write to stdout after
+    // the final JSON line (build.sbt's StdoutOutput hands us the raw fd,
+    // so these lines reach the driver unframed and unbuffered by sbt)
+    spark.stop()
+
     // full artifact line (everything): prints FIRST so the compact
     // summary below is what a bounded tail capture retains
     println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel":${best.sentinelJson}}""")
@@ -378,6 +383,6 @@ object Bench {
     val unstableShort = best.unstableNames.take(8)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"scale10x_ratio":$scaleRatioJson,"top10_median":$topJson,"unstable":$unstableShort}""")
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -345,18 +345,23 @@ object IcebergExport {
         val bt = table.branch(b)
         (b, bt, bt.latestSnapshotId.getOrElse(base), base)
       }
-    val branchSnaps: Seq[(graft.table.Snapshot, GraftTable)] =
-      branchViews.flatMap { case (_, bt, tip, _) =>
+    // keeps the OWNING branch name: sibling branches forked from the
+    // same main tip allocate colliding sequential snapshot ids, and
+    // distinctBy exports only the first (name-sorted) chain — the ref
+    // emission below must know whose rows the surviving snapshot holds,
+    // or a sibling's ref would silently expose them under its own name
+    val branchSnaps: Seq[(graft.table.Snapshot, GraftTable, String)] =
+      branchViews.flatMap { case (b, bt, tip, _) =>
         bt.snapshots.filter(s => s.snapshotId == tip &&
             !mainIds.contains(s.snapshotId) &&
             !table.snapshots.exists(_.snapshotId == s.snapshotId) &&
             DataType.fromJson(s.schemaJson) == curSchema)
-          .map(s => (s, bt))
+          .map(s => (s, bt, b))
       }.distinctBy(_._1.snapshotId)
     // every exported snapshot paired with the VIEW that can replay it
     // (main snapshots replay on the main chain, branch tips on theirs)
     val exportedAll: Seq[(graft.table.Snapshot, GraftTable)] =
-      exported.map(s => (s, table)) ++ branchSnaps
+      exported.map(s => (s, table)) ++ branchSnaps.map(t => (t._1, t._2))
     val liveBySnap: Map[Long, Seq[String]] = exportedAll.map {
       case (s, vt) => s.snapshotId -> vt.liveFiles(Some(s.snapshotId))
     }.toMap
@@ -364,7 +369,7 @@ object IcebergExport {
     val mainAllFiles = exported.flatMap(s => liveBySnap(s.snapshotId)).distinct
     def unionOver[T](f: (GraftTable, Seq[String]) => Map[String, T])
         : Map[String, T] =
-      f(table, mainAllFiles) ++ branchSnaps.flatMap { case (s, bt) =>
+      f(table, mainAllFiles) ++ branchSnaps.flatMap { case (s, bt, _) =>
         f(bt, liveBySnap(s.snapshotId))
       }
     val rows = unionOver((t, fl) => t.rowsFor(fl))
@@ -661,9 +666,16 @@ object IcebergExport {
     // being exported is NOT sufficient — a diverged branch's tip id
     // names MAIN's colliding snapshot, and a ref would silently expose
     // main's rows under the staged-branch name.
-    val branchSnapIds = branchSnaps.map(_._1.snapshotId).toSet
+    // ... and a tip id being exported is STILL not sufficient when two
+    // sibling branches forked from the same main tip allocated the same
+    // sequential id: the exported snapshot replays exactly ONE chain
+    // (distinctBy kept the first name-sorted branch), so only that
+    // OWNING branch gets a ref — a sibling's ref would resolve to the
+    // owner's staged rows under the sibling's name.
+    val branchOwner: Map[Long, String] =
+      branchSnaps.map(t => t._1.snapshotId -> t._3).toMap
     val branchRefs = branchViews.collect {
-      case (b, _, tip, base) if branchSnapIds.contains(tip) ||
+      case (b, _, tip, base) if branchOwner.get(tip).contains(b) ||
           (tip == base && mainIds.contains(tip)) =>
         s"""${jsonStr(b)}: {"snapshot-id": $tip, "type": "branch"}"""
     }

@@ -63,22 +63,47 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint()
-    if (!corpus.exists)
-      corpus.create(firsts.schema,
-        properties = Map("graft.bloom.columns" -> "fingerprint"))
-    val fps = firsts.select(col("fingerprint"))
-    val smallBatch = firsts
-      .limit(graft.table.MergeInto.MaxKeyProbeValues + 1).count() <=
-      graft.table.MergeInto.MaxKeyProbeValues
-    val existing =
-      (if (smallBatch) corpus.readForKeys(fps, Seq("fingerprint"))
-       else corpus.read())
-        .select("fingerprint").distinct()
-    val fresh = firsts.join(existing, Seq("fingerprint"), "left_anti")
-      .localCheckpoint()
-    val n = fresh.count()
-    if (n > 0) corpus.append(fresh)
-    n
+    try {
+      if (!corpus.exists)
+        corpus.create(firsts.schema,
+          properties = Map("graft.bloom.columns" -> "fingerprint"))
+      val fps = firsts.select(col("fingerprint"))
+      val smallBatch = firsts
+        .limit(graft.table.MergeInto.MaxKeyProbeValues + 1).count() <=
+        graft.table.MergeInto.MaxKeyProbeValues
+      // The probe-then-append pair is a compare-and-swap, not
+      // check-then-act: the append publishes only if the corpus tip is
+      // still the snapshot the membership probe read (expectedParent).
+      // Two concurrent ingestion loops can both pass the probe for the
+      // same fingerprint; without the guard both appends would land and
+      // the corpus's dedup invariant would silently break. The loser
+      // re-probes against the winner's tip — its now-duplicate rows
+      // drop out in the anti-join — and retries.
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        if (attempt > 20) throw new IllegalStateException(
+          s"dedupAppend contention on ${corpus.location}")
+        val tip = corpus.latestSnapshotId
+        val existing =
+          (if (smallBatch) corpus.readForKeys(fps, Seq("fingerprint"))
+           else corpus.read())
+            .select("fingerprint").distinct()
+        val fresh = firsts.join(existing, Seq("fingerprint"), "left_anti")
+          .localCheckpoint()
+        try {
+          val n = fresh.count()
+          if (n == 0) return 0L
+          try {
+            corpus.append(fresh, expectedParent = tip)
+            return n
+          } catch {
+            case _: java.util.ConcurrentModificationException => // re-probe
+          }
+        } finally fresh.unpersist(blocking = false)
+      }
+      0L // unreachable — loop exits via return or throw
+    } finally firsts.unpersist(blocking = false)
   }
 
   /** Exact dedup keeping whole rows: first row per fingerprint by id. */
@@ -350,7 +375,11 @@ object Dedup {
       distinct_span_hashes(toks, w).as("hs"))
     val spans = base.select(col("id"), explode(col("hs")).as("h"))
     // the ONE span-keyed shuffle; checkpointed so the size probe and the
-    // membership join reuse the aggregation instead of re-running it
+    // membership join reuse the aggregation instead of re-running it.
+    // The blocks CANNOT be unpersisted here — the returned (lazy) plan
+    // references them; they free via the ContextCleaner once the caller
+    // drops the result (long-lived loops should drop references promptly;
+    // Bench's per-query GC nudge is the session-level mitigation)
     val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1).select("h").localCheckpoint()
     val sharedSide =

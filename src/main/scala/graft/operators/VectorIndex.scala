@@ -142,7 +142,10 @@ object VectorIndex {
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("q_query_id"), col("list_id"))
       // the probe set feeds (a) the partition-pruned index read and
-      // (b) the candidate join — checkpoint so the window runs once
+      // (b) the candidate join — checkpoint so the window runs once.
+      // Not unpersisted here: the returned lazy plan references the
+      // blocks; the ContextCleaner frees them when the caller drops the
+      // result frame (repeated-search loops should not hold results)
       .localCheckpoint()
     // bounded driver pull: O(queries × nProbe) list ids
     val probedLists = probes.select("list_id").distinct()

@@ -94,6 +94,20 @@ object IncrementalRollup {
     val delta = ch.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .localCheckpoint()
+    try {
+    // Group keys must be non-null: every downstream key match (the dst
+    // file-prune probe, the semi/full-outer/anti joins, MergeInto's key
+    // equality, and the file-stat pruning that makes the reads bounded)
+    // uses SQL equality, where NULL never equals NULL — a null-keyed
+    // group's dst row would never update or retract and duplicates
+    // would silently accumulate. The delta is aggregate-sized, so this
+    // guard costs one pass over one row per changed group.
+    val nullKeyed = delta
+      .filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+    require(nullKeyed == 0L,
+      s"rollup group keys (${keys.mkString(",")}) contain NULLs; " +
+        "filter or coalesce them upstream — null-keyed groups cannot be " +
+        "maintained through SQL key equality")
 
     if (!dst.exists) {
       val aggFields = keys.map(k => srcSchema(k)) ++
@@ -167,5 +181,11 @@ object IncrementalRollup {
       orderCol = keys.head, opCol = Some("__op"), mode = mode,
       txn = Some((appId, tip)))
     Some((from, tip))
+    // free the checkpointed delta's RDD blocks now, not at GC time: a
+    // long-lived session running repeated maintenance rounds would
+    // otherwise accumulate persistent blocks until storage-memory
+    // eviction churn dominates (the failure mode Bench works around
+    // with explicit per-query cleanup)
+    } finally delta.unpersist(blocking = false)
   }
 }

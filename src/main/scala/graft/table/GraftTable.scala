@@ -1258,7 +1258,12 @@ class GraftTable(spark: SparkSession, val location: String,
       mergeSchema: Boolean = false,
       txn: Option[(String, Long)] = None,
       sortBy: Seq[String] = Seq.empty,
-      sortFiles: Option[Int] = None): Long = {
+      sortFiles: Option[Int] = None,
+      // optimistic-concurrency guard: the append only publishes if the
+      // table tip is still this snapshot (ConcurrentModificationException
+      // otherwise) — for check-then-append callers (e.g. corpus dedup)
+      // whose decision to append depends on the state they read
+      expectedParent: Option[Long] = None): Long = {
     if (!exists) {
       create(df.schema, parts)
     }
@@ -1339,7 +1344,7 @@ class GraftTable(spark: SparkSession, val location: String,
         StructType(cur.fields ++ extra).json
       case None => targetSchema.json
     }, partitionCols, stats = sr._1, rows = sr._2, txn = txn,
-      bytes = staged.toMap)
+      bytes = staged.toMap, expectedParent = expectedParent)
   }
 
   // ---- write-audit-publish (Iceberg's WAP pattern, branch-free) ----

@@ -150,6 +150,43 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.scan(spark, t.location).count() === 11)
   }
 
+  test("sibling branches with COLLIDING tip ids: only the exported " +
+      "chain's branch gets a ref — a sibling ref would expose the " +
+      "owner's staged rows under the sibling's name") {
+    val t = mkTable("ice-branch-siblings", 10L)
+    // two branches forked from the same main tip each commit once:
+    // both chains allocate the SAME next sequential snapshot id
+    t.createBranch("alpha")
+    t.createBranch("beta")
+    t.branch("alpha").append(Seq((100L, "alpha-staged", 1L))
+      .toDF("id", "v", "ts"))
+    t.branch("beta").append(Seq((200L, "beta-staged", 2L))
+      .toDF("id", "v", "ts"))
+    assert(t.branch("alpha").latestSnapshotId ===
+      t.branch("beta").latestSnapshotId, "fixture requires the collision")
+    IcebergExport.export(spark, t)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val path = new java.net.URI("file://" + t.location).getPath
+    val metaDir = Paths.get(path, "metadata")
+    val meta = JsonMethods.parse(Files.readString(metaDir.resolve(
+      s"v${Files.readString(metaDir.resolve("version-hint.text")).trim}" +
+        ".metadata.json")))
+    // the name-sorted first branch owns the exported snapshot
+    assert((meta \ "refs" \ "alpha" \ "snapshot-id").extract[Long] ===
+      t.branch("alpha").latestSnapshotId.get)
+    assert((meta \ "refs" \ "beta") === JNothing,
+      "colliding sibling must not export a ref")
+    // the exported branch state is exactly alpha's chain
+    val alpha = IcebergExport.scan(spark, t.location, Some("alpha"))
+    assert(alpha.orderBy("id").collect() ===
+      t.branch("alpha").read().orderBy("id").collect())
+    assert(alpha.filter($"v" === "beta-staged").count() === 0)
+    intercept[IllegalArgumentException](
+      IcebergExport.scan(spark, t.location, Some("beta")))
+  }
+
   test("a branch with no own commits exports a ref at its fork point") {
     val t = mkTable("ice-branch-empty", 10L)
     t.createBranch("staging")

@@ -136,6 +136,22 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(mmRows(dst) === recomputeMM(src))
   }
 
+  test("null-keyed groups fail LOUD: every downstream key match is " +
+      "SQL-equality, where a null-keyed dst row could never update") {
+    val src = fresh("roll-nullkey-src")
+    val dst = fresh("roll-nullkey-dst")
+    src.append(Seq(("a", 1L, 10L), (null, 2L, 20L))
+      .toDF("g", "id", "v"))
+    val e = intercept[IllegalArgumentException](
+      IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v"), "x"))
+    assert(e.getMessage.contains("NULL"))
+    // non-null groups maintain fine once the nulls are filtered upstream
+    val clean = fresh("roll-nullkey-clean")
+    clean.append(src.read().filter(col("g").isNotNull))
+    IncrementalRollup.maintain(clean, dst, Seq("g"), Seq("v"), "x")
+    assert(dstRows(dst) === Array(("a", 10L, 1L)))
+  }
+
   test("maintain with a different aggregate spec than dst was built " +
       "with fails loud") {
     val src = fresh("roll-spec-src")

@@ -34,6 +34,46 @@ class ConcurrencySpec extends SparkSpec {
     assert(parents === (0L to 11L))
   }
 
+  test("append with a stale expectedParent conflicts instead of " +
+      "publishing (CAS guard for check-then-append callers)") {
+    val t = GraftTable(spark, tmpDir("conc-cas-append") + "/t")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val tip = t.latestSnapshotId
+    t.append(Seq((2L, "b")).toDF("id", "v")) // tip moves
+    intercept[java.util.ConcurrentModificationException](
+      t.append(Seq((3L, "c")).toDF("id", "v"), expectedParent = tip))
+    // nothing published by the loser
+    assert(t.read().count() === 2)
+    // with the CURRENT tip the same append lands
+    t.append(Seq((3L, "c")).toDF("id", "v"),
+      expectedParent = t.latestSnapshotId)
+    assert(t.read().count() === 3)
+  }
+
+  test("concurrent dedupAppend loops never double-commit a fingerprint " +
+      "(probe+append is compare-and-swap, not check-then-act)") {
+    val t = GraftTable(spark, tmpDir("conc-dedup-append") + "/t")
+    // seed so both writers race against an existing corpus
+    graft.operators.Dedup.dedupAppend(t,
+      Seq((0L, "seed text zero")).toDF("doc_id", "text"), "doc_id", "text")
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // overlapping batches: ids 1-20 and 11-30 share texts 11-20 — at
+    // most one loop may land each shared fingerprint
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"document body number $i"))
+        .toDF("doc_id", "text")
+    val fs = Seq(mk(1, 20), mk(11, 30)).map(b =>
+      Future(graft.operators.Dedup.dedupAppend(t, b, "doc_id", "text")))
+    val counts = Await.result(Future.sequence(fs), 120.seconds)
+    pool.shutdown()
+    assert(counts.sum === 30L, s"net novel rows must be 30, got $counts")
+    val rows = t.read()
+    assert(rows.count() === 31)
+    assert(rows.select("fingerprint").distinct().count() === 31,
+      "a fingerprint double-committed under concurrency")
+  }
+
   test("a rewrite whose base changed under it fails instead of corrupting") {
     val t = GraftTable(spark, tmpDir("conc-conflict") + "/t")
     t.append(Seq((1L, "a")).toDF("id", "v"))
