@@ -247,8 +247,10 @@ object IcebergExport {
   private def icebergTransform(t: graft.table.PartTransform): Option[String] =
     t match {
       case graft.table.PartTransform.Identity => Some("identity")
+      case graft.table.PartTransform.Years => Some("year")
       case graft.table.PartTransform.Days => Some("day")
       case graft.table.PartTransform.Months => Some("month")
+      case graft.table.PartTransform.Hours => Some("hour")
       case graft.table.PartTransform.Truncate(w) => Some(s"truncate[$w]")
       case graft.table.PartTransform.Bucket(n) => Some(s"bucket[$n]")
     }
@@ -259,6 +261,13 @@ object IcebergExport {
     * truncated source value. */
   private def transformValue(t: graft.table.PartTransform, dir: String,
       srcType: DataType): Any = t match {
+    case graft.table.PartTransform.Years =>
+      dir.toInt - 1970 // Iceberg year transform: years from 1970
+    case graft.table.PartTransform.Hours =>
+      // "yyyy-MM-dd-HH" → hours from epoch (Iceberg hour transform)
+      val Array(y, m, d, h) = dir.split("-").map(_.toInt)
+      val day = java.time.LocalDate.of(y, m, d).toEpochDay
+      (day * 24L + h).toInt
     case graft.table.PartTransform.Days =>
       java.time.LocalDate.parse(dir).toEpochDay.toInt
     case graft.table.PartTransform.Months =>
@@ -403,8 +412,10 @@ object IcebergExport {
     val avroPartFields = specFields.map { f =>
       val srcType = schema(f.source).dataType
       f.physName -> (f.transform match {
-        case graft.table.PartTransform.Days |
+        case graft.table.PartTransform.Years |
+             graft.table.PartTransform.Days |
              graft.table.PartTransform.Months |
+             graft.table.PartTransform.Hours |
              graft.table.PartTransform.Bucket(_) => "int"
         case _ => partitionAvroType(srcType)
       })

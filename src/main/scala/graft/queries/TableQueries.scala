@@ -764,6 +764,51 @@ object TableQueries {
       |  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Hour-granularity hidden partitioning — the event-time streaming
+    * bronze layout (the reference's bronze is date-partitioned,
+    * /root/reference/raw-bronze.py:205; hour is its natural refinement).
+    * One day of events lands in ≤24 `hours(ts)` dirs; a 3-hour
+    * source-column window must prune to those hours' files, asserted
+    * IN-FLIGHT against the dir layout (so the oracle can't pass with
+    * pruning silently broken). */
+  val qHiddenPartitionHour: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("hiddenhour"))
+    val ev = Tables.load(s, dir, "events")
+    // normalize ts to a true TimestampType column whatever the parquet
+    // dtype (the fixture has shipped nanos-as-long at some SFs)
+    val src = ev
+      .withColumn("ts", timestamp_micros(EventsQueries.tsMicros(ev)))
+      .filter(col("ts") < lit(new java.sql.Timestamp(1704153600000L)))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    t.create(src.schema, parts = Seq("hours(ts)"),
+      properties = Map("graft.write.distribution" -> "hash"))
+    t.append(src)
+    // [06:00, 09:00) UTC on 2024-01-01
+    val lo = new java.sql.Timestamp(1704088800000L)
+    val hi = new java.sql.Timestamp(1704099600000L)
+    val live = t.liveFiles()
+    val hot = live.count { f =>
+      val h = t.partitionValues(f)("ts_hour")
+      h >= "2024-01-01-06" && h <= "2024-01-01-08"
+    }
+    require(live.size >= 12,
+      s"hour layout produced only ${live.size} files")
+    require(hot <= live.size / 2,
+      s"3-hour window spans $hot of ${live.size} files — hour dirs not selective")
+    s.read.format("graft").load(t.location)
+      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+  }
+  val qHiddenPartitionHourSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  epoch_ns(ts)//1000 AS ts_us
+      |FROM events
+      |WHERE epoch_ns(ts)//1000 >= 1704088800000000
+      |  AND epoch_ns(ts)//1000 < 1704099600000000
+      |ORDER BY event_id""".stripMargin
+
   /** Structured Streaming FROM a graft table (snapshot ids as offsets):
     * batch 0 delivers the full state at stream start, later micro-batches
     * exactly the appended snapshots — the streamed contents must equal
@@ -866,6 +911,8 @@ object TableQueries {
     ("q_sql_rowlevel", qSqlRowLevel, Some(qSqlRowLevelSql)),
     ("q_sql_time_travel", qSqlTimeTravel, Some(qSqlTimeTravelSql)),
     ("q_hidden_partition", qHiddenPartition, Some(qHiddenPartitionSql)),
+    ("q_hidden_partition_hour", qHiddenPartitionHour,
+      Some(qHiddenPartitionHourSql)),
     ("q_stream_table", qStreamTable, Some(qStreamTableSql)),
     ("q_source_format", qSourceFormat, Some(qSourceFormatSql)),
     ("q_source_json", qSourceJson, Some(qSourceJsonSql)),

@@ -11,8 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * classic Hive layout, column moves into the directory) or a TRANSFORM
   * of a source column:
   *
-  *   days(ts)          → dir column `ts_day` = UTC date of ts
+  *   years(ts)         → dir column `ts_year` = UTC calendar year (int)
   *   months(ts)        → dir column `ts_month` = "yyyy-MM" of ts (UTC)
+  *   days(ts)          → dir column `ts_day` = UTC date of ts
+  *   hours(ts)         → dir column `ts_hour` = "yyyy-MM-dd-HH" (UTC) —
+  *                       the natural refinement of a date-partitioned
+  *                       event-time streaming layout
   *   bucket(16, id)    → dir column `id_bucket16m` = Iceberg Appendix-B
   *                       bucket: (murmur3_x86_32(id) & MaxInt) % 16
   *   truncate(4, name) → dir column `name_trunc` = prefix/floor of width 4
@@ -35,8 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
 sealed trait PartTransform
 object PartTransform {
   case object Identity extends PartTransform
+  case object Years extends PartTransform
   case object Days extends PartTransform
   case object Months extends PartTransform
+  case object Hours extends PartTransform
   case class Bucket(n: Int) extends PartTransform
   case class Truncate(w: Int) extends PartTransform
 }
@@ -55,8 +61,10 @@ case class PartitionField(source: String, transform: PartTransform) {
     * must likewise be invisible to the new pruning. */
   def physName: String = transform match {
     case Identity => source
+    case Years => s"${source}_year"
     case Days => s"${source}_day"
     case Months => s"${source}_month"
+    case Hours => s"${source}_hour"
     case Bucket(n) => s"${source}_bucket${n}m"
     case Truncate(w) => s"${source}_trunc$w"
   }
@@ -66,14 +74,18 @@ case class PartitionField(source: String, transform: PartTransform) {
 object PartitionTransforms {
   import PartTransform._
 
+  private val YearsRe = """years\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val MonthsRe = """months\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val HoursRe = """hours\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
 
   def parse(spec: String): PartitionField = spec.trim match {
+    case YearsRe(c) => PartitionField(c, Years)
     case DaysRe(c) => PartitionField(c, Days)
     case MonthsRe(c) => PartitionField(c, Months)
+    case HoursRe(c) => PartitionField(c, Hours)
     case BucketRe(n, c) => PartitionField(c, Bucket(n.toInt))
     case TruncRe(w, c) => PartitionField(c, Truncate(w.toInt))
     case c => PartitionField(c, Identity)
@@ -88,8 +100,10 @@ object PartitionTransforms {
   def physType(f: PartitionField, srcType: DataType): DataType =
     f.transform match {
       case Identity => srcType
+      case Years => IntegerType // calendar year: int order is monotone
       case Days => DateType
       case Months => StringType // "yyyy-MM": zero-padded, so ordering is monotone
+      case Hours => StringType // "yyyy-MM-dd-HH": zero-padded, monotone
       case Bucket(_) => IntegerType
       case Truncate(_) => srcType
     }
@@ -98,6 +112,23 @@ object PartitionTransforms {
   def columnFor(f: PartitionField, src: Column, srcType: DataType): Column =
     f.transform match {
       case Identity => src
+      case Years =>
+        val d = GraftSqlGlue.column(org.apache.spark.sql.catalyst.expressions
+          .Cast(GraftSqlGlue.expression(src), DateType, Some("UTC")))
+        year(d)
+      case Hours =>
+        // date part via the same UTC cast as Days; hour via the catalyst
+        // Hour expression with an EXPLICIT zone (the functions.hour
+        // builder follows the session zone and would disagree with the
+        // driver-side pruning transform under a non-UTC session)
+        val d = GraftSqlGlue.column(org.apache.spark.sql.catalyst.expressions
+          .Cast(GraftSqlGlue.expression(src), DateType, Some("UTC")))
+        val h = GraftSqlGlue.column(org.apache.spark.sql.catalyst.expressions
+          .Hour(GraftSqlGlue.expression(src), Some("UTC")))
+        concat(lpad(year(d).cast("string"), 4, "0"), lit("-"),
+          lpad(month(d).cast("string"), 2, "0"), lit("-"),
+          lpad(dayofmonth(d).cast("string"), 2, "0"), lit("-"),
+          lpad(h.cast("string"), 2, "0"))
       case Days =>
         // explicit-UTC cast, NOT to_date (which follows the session zone
         // and would disagree with the driver-side pruning transform)
@@ -126,6 +157,26 @@ object PartitionTransforms {
   def applyToValue(f: PartitionField, srcType: DataType, v: Any): Any =
     f.transform match {
       case Identity => v
+      case Years =>
+        val days = srcType match {
+          case TimestampType =>
+            Math.floorDiv(v.asInstanceOf[Long], 86400000000L)
+          case DateType => v.asInstanceOf[Int].toLong
+          case other => throw new IllegalArgumentException(
+            s"years(${f.source}) unsupported for type $other")
+        }
+        java.time.LocalDate.ofEpochDay(days).getYear
+      case Hours => srcType match {
+        case TimestampType =>
+          val hrs = Math.floorDiv(v.asInstanceOf[Long], 3600000000L)
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            hrs * 3600L, 0, java.time.ZoneOffset.UTC)
+          UTF8String.fromString(f"${ldt.getYear}%04d-" +
+            f"${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d-" +
+            f"${ldt.getHour}%02d")
+        case other => throw new IllegalArgumentException(
+          s"hours(${f.source}) unsupported for type $other")
+      }
       case Days => srcType match {
         case TimestampType => // micros → UTC days
           Math.floorDiv(v.asInstanceOf[Long], 86400000000L).toInt

@@ -368,6 +368,49 @@ class IcebergExportSpec extends SparkSpec {
       t.read().orderBy("id").select("id", "v", "d").collect())
   }
 
+  test("hour and year transforms export truthful hour/int-ordinal specs " +
+      "the hand-walk planner decodes") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    // hour-partitioned event table (the streaming bronze layout)
+    val th = GraftTable(spark, tmpDir("ice-hour") + "/t")
+    val hourRows = for { h <- 0 until 3; i <- 0 until 5 } yield
+      (h.toLong * 5 + i,
+        new java.sql.Timestamp(1704067200000L + h * 3600000L + i * 1000L))
+    th.append(hourRows.toDF("id", "ts"), parts = Seq("hours(ts)"))
+    IcebergExport.export(spark, th)
+    val hPath = new java.net.URI("file://" + th.location).getPath
+    val hPlan = JsonMethods.parse(
+      Seq("python3", "tools/read_iceberg_duckdb.py", hPath, "--plan").!!)
+    assert((hPlan \ "spec").children.map(f =>
+      ((f \ "name").extract[String], (f \ "transform").extract[String]))
+      === List(("ts_hour", "hour")))
+    // 2024-01-01T00 UTC = 19723 days * 24 = 473352 hours from epoch
+    val hoursSeen = (hPlan \ "files").children.map(f =>
+      (f \ "partition" \ "ts_hour").extract[Int]).toSet
+    assert(hoursSeen === Set(473352, 473353, 473354))
+    val hOut = Seq("python3", "tools/read_iceberg_duckdb.py", hPath,
+      "SELECT COUNT(*) AS n FROM t").!!
+    assert(hOut.trim.split("\n").last === "15")
+    // year-partitioned table: year ordinal = year - 1970
+    val ty = GraftTable(spark, tmpDir("ice-year") + "/t")
+    val yearRows = Seq("2023-06-15", "2024-06-15").zipWithIndex.map {
+      case (d, i) => (i.toLong, java.sql.Timestamp.valueOf(s"$d 00:00:00"))
+    }
+    ty.append(yearRows.toDF("id", "ts"), parts = Seq("years(ts)"))
+    IcebergExport.export(spark, ty)
+    val yPath = new java.net.URI("file://" + ty.location).getPath
+    val yPlan = JsonMethods.parse(
+      Seq("python3", "tools/read_iceberg_duckdb.py", yPath, "--plan").!!)
+    assert((yPlan \ "spec").children.map(f =>
+      ((f \ "name").extract[String], (f \ "transform").extract[String]))
+      === List(("ts_year", "year")))
+    assert((yPlan \ "files").children.map(f =>
+      (f \ "partition" \ "ts_year").extract[Int]).toSet === Set(53, 54))
+    assert(IcebergExport.scan(spark, ty.location).count() === 2)
+  }
+
   test("spec-evolved table (files predating the current spec) exports " +
       "unpartitioned instead of failing or emitting null tuples") {
     val loc = tmpDir("ice-evolve") + "/t"

@@ -88,6 +88,51 @@ class PartitionTransformSpec extends SparkSpec {
     assert(all.filter($"ts" < lit("2024-02-01 00:00:00")).count() === 31)
   }
 
+  test("hours(ts): hourly dirs for event-time layouts; an hour-range " +
+      "predicate on the source column prunes to that hour's files") {
+    val t = freshTable("pt-hours")
+    // 48 rows across 4 hours of 2024-01-01
+    val rows = for { h <- 0 until 4; i <- 0 until 12 } yield
+      (h.toLong * 12 + i,
+        new java.sql.Timestamp(1704067200000L + h * 3600000L + i * 1000L),
+        s"v$h-$i")
+    t.append(rows.toDF("id", "ts", "v"), parts = Seq("hours(ts)"))
+    val kv = t.liveFiles().map(t.partitionValues)
+    assert(kv.forall(_.contains("ts_hour")))
+    assert(kv.map(_("ts_hour")).distinct.sorted === Seq(
+      "2024-01-01-00", "2024-01-01-01", "2024-01-01-02", "2024-01-01-03"))
+    assert(t.schema.fieldNames.toSeq === Seq("id", "ts", "v"))
+    val all = spark.read.format("graft").load(t.location)
+    val perHour = t.liveFiles().size / 4
+    val oneHour = all.filter($"ts" >= lit("2024-01-01 01:00:00") &&
+      $"ts" < lit("2024-01-01 02:00:00"))
+    assert(oneHour.count() === 12)
+    assert(scannedFiles(oneHour) <= 2L * perHour) // hour 1 (+boundary)
+    assert(oneHour.select("id").as[Long].collect().sorted ===
+      (12L until 24L).toArray)
+  }
+
+  test("years(ts): multi-year range prunes to the predicate's years") {
+    val t = freshTable("pt-years")
+    // 3 years: 2023, 2024, 2025 — 6 rows each, mid-year anchors so no
+    // leap-day arithmetic can slide a row across a year boundary
+    val anchors = Seq("2023-06-15", "2024-06-15", "2025-06-15").map(d =>
+      java.sql.Timestamp.valueOf(s"$d 00:00:00").getTime)
+    val rows = for { y <- 0 until 3; i <- 0 until 6 } yield
+      (y.toLong * 6 + i,
+        new java.sql.Timestamp(anchors(y) + i * 3600000L), s"v$y")
+    t.append(rows.toDF("id", "ts", "v"), parts = Seq("years(ts)"))
+    val kv = t.liveFiles().map(t.partitionValues)
+    assert(kv.map(_("ts_year")).distinct.sorted === Seq("2023", "2024", "2025"))
+    val all = spark.read.format("graft").load(t.location)
+    val perYear = t.liveFiles().size / 3
+    val y24 = all.filter($"ts" >= lit("2024-01-01 00:00:00") &&
+      $"ts" < lit("2025-01-01 00:00:00"))
+    assert(y24.count() === 6)
+    assert(scannedFiles(y24) <= 2L * perYear)
+    assert(all.filter($"ts" < lit("2024-01-01 00:00:00")).count() === 6)
+  }
+
   test("bucket(n, id): equality prunes to one bucket") {
     val t = freshTable("pt-bucket")
     t.append((1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"),
