@@ -65,6 +65,8 @@ object Bench {
     "q1_agg", "q3_shipping", "q4_semi", "q5_local_supplier", "q6_forecast",
     "q7_volume", "q8_market_share", "q14_promo",
     "q17_small_qty", "q18_large_orders",
+    "q13_custdist", "q16_part_supplier", "q21_waiting_supplier",
+    "q22_global_sales",
     "q_running_total", "q_rank_in_group", "q_distinct_sketch",
     "q_quantile_sample",
     "q10_returned", "q_rollup", "q_count_distinct",

@@ -674,7 +674,163 @@ object CoreQueries {
       |  round(ep.est, 4) AS partkeys_est, ep.n_tracked AS p_tracked
       |FROM eo JOIN ep ON eo.g = ep.g ORDER BY eo.g""".stripMargin
 
+  /** TPC-H Q13 (customer order-count distribution): left-outer join with
+    * a predicate ON THE JOIN (not a post-filter — customers with only
+    * urgent orders must still count as zero), then a second aggregate
+    * over the first's result. The c_custkey aggregate reuses the join's
+    * hash partitioning, so the shape is one customer-keyed shuffle plus
+    * one tiny count-keyed exchange. The fixture lacks o_comment, so the
+    * classic NOT LIKE filter becomes a priority exclusion. */
+  val q13CustDist: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+    val ords = Tables.load(s, dir, "orders")
+      .filter($"o_orderpriority" =!= "1-URGENT")
+    cust.join(ords, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count")) // nulls don't count
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+  val q13CustDistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q16 (supplier-relationship count): NOT IN null-aware
+    * anti-join against an excluded-supplier subquery + COUNT(DISTINCT)
+    * under a three-way dimension filter. lineitem stands in for partsupp
+    * (the fixture has no partsupp table); negative-balance suppliers
+    * stand in for the comment-matched exclusion. SQL-planned so
+    * Catalyst's null-aware single-column anti-join strategy is the path
+    * under test. */
+  val q16PartSupplier: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    Tables.load(s, dir, "part").createOrReplaceTempView("q16_part")
+    Tables.load(s, dir, "supplier").createOrReplaceTempView("q16_supplier")
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM q16_lineitem JOIN q16_part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 28, 33, 38, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+  val q16PartSupplierSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 24, 28, 33, 38, 45)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept waiting): the hardest TPC-H join
+    * shape — one fact table correlated against ITSELF twice, EXISTS
+    * (another supplier contributed to the order) and NOT EXISTS (no
+    * OTHER supplier's line is return-flagged). The fixture lacks
+    * commit/receipt dates, so `l_returnflag = 'R'` stands in for the
+    * late-delivery predicate; the multi-supplier-order semantics are
+    * unchanged. Both correlations plan as l_orderkey equi-joins (semi +
+    * anti) over the same key hash — three shuffles of the fact on one
+    * key, no cartesian anywhere. */
+  val q21WaitingSupplier: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q21_orders")
+    Tables.load(s, dir, "supplier").createOrReplaceTempView("q21_supplier")
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM q21_supplier, q21_lineitem l1, q21_orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM q21_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+  }
+  val q21WaitingSupplierSql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity): scalar subqueries + NOT
+    * EXISTS anti-join. c_nationkey stands in for the phone
+    * country code, and "no urgent order" for "no order" (the fixture's
+    * generator gives every customer at least one order, which would make
+    * the classic anti-join vacuously empty).
+    * The above-average test is algebraized to exact decimal arithmetic —
+    * `bal * cnt > total` instead of `bal > total/cnt` — so both engines
+    * decide threshold-adjacent customers identically (no IEEE division
+    * in the predicate); the final sum is the engine-exact
+    * decimal-then-double pattern used registry-wide. */
+  val q22GlobalSales: Q = (s, dir) => {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("q22_customer")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q22_orders")
+    s.sql(
+      """SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM q22_customer
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) *
+        |    (SELECT COUNT(*) FROM q22_customer
+        |     WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9)) >
+        |    (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |     FROM q22_customer
+        |     WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
+        |  AND NOT EXISTS (SELECT 1 FROM q22_orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY cntry""".stripMargin)
+  }
+  val q22GlobalSalesSql: String =
+    """SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      |  AND CAST(c_acctbal AS DECIMAL(18,2)) *
+      |    (SELECT COUNT(*) FROM customer
+      |     WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9)) >
+      |    (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |     FROM customer
+      |     WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY cntry""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q13_custdist", q13CustDist, Some(q13CustDistSql)),
+    ("q16_part_supplier", q16PartSupplier, Some(q16PartSupplierSql)),
+    ("q21_waiting_supplier", q21WaitingSupplier,
+      Some(q21WaitingSupplierSql)),
+    ("q22_global_sales", q22GlobalSales, Some(q22GlobalSalesSql)),
     ("q_distinct_sketch", qDistinctSketch, Some(qDistinctSketchSql)),
     ("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
     ("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersSql)),
