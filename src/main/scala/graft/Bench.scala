@@ -87,7 +87,8 @@ object Bench {
     "q_delete_positions", "q_update_positions",
     "q_zorder_scan",
     "q_chunk_dedup", "q_chunk_overlap", "q_rollup_incremental",
-    "q_rollup_minmax", "q_ann_ivf_index", "q_ingest_dedup",
+    "q_rollup_minmax", "q_rollup_distinct", "q_ann_ivf_index",
+    "q_ingest_dedup",
     "q_source_overlap", "q_vocab_oov", "q_retention_cohorts")
 
   val lifecycle: Set[String] = Set("q_table_merge", "q_table_merge_mor",
@@ -95,8 +96,8 @@ object Bench {
     "q_sql_rowlevel", "q_stream_table", "q_table_changes",
     "q_table_changes_materialized",
     "q_delete_positions", "q_update_positions", "q_rollup_incremental",
-    "q_rollup_minmax", "q_ann_ivf_index", "q_ingest_dedup",
-    "q_zorder_scan")
+    "q_rollup_minmax", "q_rollup_distinct", "q_ann_ivf_index",
+    "q_ingest_dedup", "q_zorder_scan")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

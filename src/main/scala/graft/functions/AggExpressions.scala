@@ -223,6 +223,131 @@ object AggExpressions {
       KmvDistinctAgg(GraftSqlGlue.expression(hashCol), k)
         .toAggregateExpression())
 
+  /** [[KmvDistinctAgg]] variant that evals to the sketch STATE — the
+    * unsigned-ascending array of (at most) k smallest distinct hashes —
+    * instead of the (est, n_tracked) summary. The state is what an
+    * incrementally-maintained rollup persists per group: two states
+    * union-merge ([[KmvMergeExpr]]) into exactly the state a one-shot
+    * aggregation of the union would produce (bottom-k-distinct is a
+    * semilattice homomorphism), so insert-only maintenance never has to
+    * re-read the source. */
+  case class KmvSketchAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    require(k >= 2, s"kmv_sketch needs k >= 2, got $k")
+    private val inner = KmvDistinctAgg(child, k)
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      inner.createAggregationBuffer()
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] =
+      inner.update(buf, input)
+    override def merge(buf: java.util.TreeSet[java.lang.Long],
+        other: java.util.TreeSet[java.lang.Long])
+        : java.util.TreeSet[java.lang.Long] = inner.merge(buf, other)
+    override def serialize(buf: java.util.TreeSet[java.lang.Long])
+        : Array[Byte] = inner.serialize(buf)
+    override def deserialize(bytes: Array[Byte])
+        : java.util.TreeSet[java.lang.Long] = inner.deserialize(bytes)
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      var i = 0
+      buf.forEach { h => out(i) = h; i += 1 } // TreeSet iterates unsigned-asc
+      new GenericArrayData(out)
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def prettyName: String = "kmv_sketch"
+    override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): KmvSketchAgg = copy(child = cs.head)
+  }
+
+  /** Column entry point: KMV sketch state (array of bottom-k distinct
+    * hashes, unsigned ascending). */
+  def kmv_sketch(hashCol: Column, k: Int): Column =
+    GraftSqlGlue.column(
+      KmvSketchAgg(GraftSqlGlue.expression(hashCol), k)
+        .toAggregateExpression())
+
+  /** Scalar union-merge of two KMV sketch states: distinct union,
+    * unsigned order, keep the k smallest. NULL on either side acts as
+    * the empty sketch (a group new to dst, or a delta with no inserts),
+    * so the rollup's full-outer combine needs no coalesce scaffolding.
+    * Interpreted eval (CodegenFallback): it runs on aggregate-sized
+    * rows — one per changed group — never in a per-row hot path. */
+  case class KmvMergeExpr(left: Expression, right: Expression, k: Int)
+      extends Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(k >= 2, s"kmv_merge needs k >= 2, got $k")
+    override def children: Seq[Expression] = Seq(left, right)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any = {
+      val set = new java.util.TreeSet[java.lang.Long](
+        KmvDistinctAgg.UnsignedOrder)
+      def addAll(v: Any): Unit = v match {
+        case null => ()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          var i = 0
+          while (i < a.numElements()) { set.add(a.getLong(i)); i += 1 }
+      }
+      addAll(left.eval(input))
+      addAll(right.eval(input))
+      while (set.size > k) set.pollLast()
+      val out = new Array[Long](set.size)
+      var i = 0
+      set.forEach { h => out(i) = h; i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: IndexedSeq[Expression]): Expression =
+      copy(left = newLeft(0), right = newLeft(1))
+  }
+
+  def kmv_merge(a: Column, b: Column, k: Int): Column =
+    GraftSqlGlue.column(KmvMergeExpr(
+      GraftSqlGlue.expression(a), GraftSqlGlue.expression(b), k))
+
+  /** Scalar estimate from a KMV sketch state — the same correctly-
+    * rounded arithmetic as [[KmvDistinctAgg.eval]], so a maintained
+    * state's estimate is bit-identical to the one-shot aggregate's (and
+    * to a DuckDB SQL rebuild). NULL state estimates as 0 distinct. */
+  case class KmvEstimateExpr(child: Expression, k: Int)
+      extends Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(k >= 2, s"kmv_estimate needs k >= 2, got $k")
+    override def children: Seq[Expression] = Seq(child)
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any = child.eval(input) match {
+      case null => 0.0
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val n = a.numElements()
+        if (n < k) n.toDouble
+        else {
+          val hk = a.getLong(n - 1) // unsigned-ascending: last = h_k
+          val hkD = java.lang.Double.parseDouble(
+            java.lang.Long.toUnsignedString(hk))
+          (k - 1).toDouble * (KmvDistinctAgg.Two64 / hkD)
+        }
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
+  }
+
+  def kmv_estimate(state: Column, k: Int): Column =
+    GraftSqlGlue.column(KmvEstimateExpr(GraftSqlGlue.expression(state), k))
+
   /** Fixed-size Bloom filter over a column of xxhash64 values: `m` bits,
     * `k` probes double-hashed from the 64-bit input (h1 + i·h2). Buffer is
     * the raw bitset; merge is elementwise OR (associative/commutative →

@@ -19,6 +19,15 @@ import graft.table.GraftTable
   * costs a full source scan. SUM/COUNT are retraction-safe (deletes
   * subtract); AVG derives downstream as c_sum / n.
   *
+  * COUNT(DISTINCT c) is maintained approximately as KMV sketch state
+  * (`<c>_distinct_sk` + `<c>_distinct_est`): insert deltas union-merge
+  * into the per-group state (exact below k distinct values, the classic
+  * unbiased bottom-k estimate above), and retractions fall back to the
+  * MIN/MAX path below. The estimate equals the one-shot aggregate's
+  * bit-for-bit — and a DuckDB SQL rebuild's — because the state is the
+  * engine-portable md5-prefix hash set and the estimator a fixed IEEE
+  * expression.
+  *
   * MIN/MAX are NOT delta-safe — a retracted extremum is unrecoverable
   * from deltas alone — so they use the standard bounded fallback: the
   * changelog names exactly the groups that saw a retraction, and ONLY
@@ -60,7 +69,17 @@ object IncrementalRollup {
       sumCols: Seq[String], appId: String,
       mode: String = "cow",
       minCols: Seq[String] = Seq.empty,
-      maxCols: Seq[String] = Seq.empty): Option[(Long, Long)] = {
+      maxCols: Seq[String] = Seq.empty,
+      // approximate COUNT(DISTINCT c) per group, maintained as KMV
+      // sketch state (`<c>_distinct_sk` array + `<c>_distinct_est`
+      // double in dst): inserts union-merge into the state (bottom-k-
+      // distinct is a semilattice homomorphism, so merged state ≡ the
+      // one-shot aggregate of the union); deletes can't retract a
+      // sketch, so retraction-affected groups ride the same bounded
+      // re-aggregation path MIN/MAX uses. The hash is the engine-
+      // portable md5 prefix (DuckDB rebuilds the identical estimate).
+      distinctCols: Seq[String] = Seq.empty,
+      distinctK: Int = 512): Option[(Long, Long)] = {
     require(keys.nonEmpty, "at least one group key")
     val tip = src.latestSnapshotId.getOrElse(return None)
     val from = if (dst.exists) dst.lastTxnBatch(appId).getOrElse(-1L)
@@ -68,10 +87,17 @@ object IncrementalRollup {
     if (tip <= from) return None
 
     val srcSchema = src.schema
-    (sumCols ++ minCols ++ maxCols).foreach(c =>
+    (sumCols ++ minCols ++ maxCols ++ distinctCols).foreach(c =>
       require(srcSchema.fieldNames.contains(c),
         s"aggregate column $c not in source schema"))
-    val extremes = minCols.nonEmpty || maxCols.nonEmpty
+    // distinct shares the retraction flag + bounded re-aggregation
+    // machinery with MIN/MAX: a delete may remove a group's last
+    // occurrence of a value, which no sketch can un-count
+    val extremes = minCols.nonEmpty || maxCols.nonEmpty ||
+      distinctCols.nonEmpty
+    import graft.functions.AggExpressions.{kmv_sketch, kmv_merge, kmv_estimate}
+    import graft.functions.HashExpressions.md5_hash64
+    def hashOf(c: String) = md5_hash64(col(c).cast("string"))
     val ch = src.changes(from, tip)
     // net per-key delta: inserts add, deletes subtract (an update is a
     // delete+insert pair in the changelog, so it contributes the net).
@@ -86,6 +112,9 @@ object IncrementalRollup {
           min(when(!isDel, col(c))).as(s"__delta_${c}_min")) ++
         maxCols.map(c =>
           max(when(!isDel, col(c))).as(s"__delta_${c}_max")) ++
+        distinctCols.map(c =>
+          kmv_sketch(when(!isDel, hashOf(c)), distinctK)
+            .as(s"__delta_${c}_sk")) ++
         Seq(max(when(isDel, lit(1)).otherwise(lit(0))).as("__retracted"))
     // checkpoint: the delta is aggregate-sized (one row per CHANGED
     // group) and feeds three consumers — the dst file-prune probe, the
@@ -114,7 +143,12 @@ object IncrementalRollup {
         sumCols.map(c => StructField(s"${c}_sum",
           delta.schema(s"__delta_${c}_sum").dataType)) ++
         minCols.map(c => StructField(s"${c}_min", srcSchema(c).dataType)) ++
-        maxCols.map(c => StructField(s"${c}_max", srcSchema(c).dataType)) :+
+        maxCols.map(c => StructField(s"${c}_max", srcSchema(c).dataType)) ++
+        distinctCols.flatMap(c => Seq(
+          StructField(s"${c}_distinct_sk",
+            org.apache.spark.sql.types.ArrayType(LongType, false)),
+          StructField(s"${c}_distinct_est",
+            org.apache.spark.sql.types.DoubleType))) :+
         StructField("n", LongType)
       dst.create(StructType(aggFields.toArray))
     } else {
@@ -122,7 +156,7 @@ object IncrementalRollup {
       // with a different aggregate list would silently read absent
       // columns — fail loud instead
       val expect = sumCols.map(_ + "_sum") ++ minCols.map(_ + "_min") ++
-        maxCols.map(_ + "_max")
+        maxCols.map(_ + "_max") ++ distinctCols.map(_ + "_distinct_sk")
       val have = dst.schema.fieldNames.toSet
       val missing = expect.filterNot(have)
       require(missing.isEmpty,
@@ -145,7 +179,9 @@ object IncrementalRollup {
         val retr = delta.filter(col("__retracted") === 1)
           .select(keys.map(col): _*)
         val reAggs = minCols.map(c => min(col(c)).as(s"__re_${c}_min")) ++
-          maxCols.map(c => max(col(c)).as(s"__re_${c}_max"))
+          maxCols.map(c => max(col(c)).as(s"__re_${c}_max")) ++
+          distinctCols.map(c =>
+            kmv_sketch(hashOf(c), distinctK).as(s"__re_${c}_sk"))
         Some(src.readForKeys(retr, keys, asOf = Some(tip))
           .join(retr, keys, "left_semi")
           .groupBy(keys.map(col): _*)
@@ -170,7 +206,16 @@ object IncrementalRollup {
         maxCols.map(c =>
           when(retracted, col(s"__re_${c}_max"))
             .otherwise(greatest(col(s"${c}_max"), col(s"__delta_${c}_max")))
-            .as(s"${c}_max")) :+
+            .as(s"${c}_max")) ++
+        distinctCols.flatMap { c =>
+          // kmv_merge treats NULL as the empty sketch, so new-to-dst
+          // groups and delete-only deltas need no special casing
+          val st = when(retracted, col(s"__re_${c}_sk"))
+            .otherwise(kmv_merge(col(s"${c}_distinct_sk"),
+              col(s"__delta_${c}_sk"), distinctK))
+          Seq(st.as(s"${c}_distinct_sk"),
+            kmv_estimate(st, distinctK).as(s"${c}_distinct_est"))
+        } :+
         (coalesce(col("n"), lit(0L)) +
           coalesce(col("__delta_n"), lit(0L))).as("n"): _*)
       // a group whose count reaches zero LEFT the aggregate — a CDC

@@ -492,6 +492,64 @@ object TableQueries {
     * value usually the new max) and the COW delete removes %7 keys
     * outright — so the oracle (full recompute over the final state) is
     * correct only if the bounded re-aggregation path nets exactly. */
+  /** Incrementally-maintained approximate COUNT(DISTINCT): per-status
+    * distinct-customer estimates kept as KMV sketch state in dst —
+    * insert rounds union-merge the state (never touching the source),
+    * the delete round re-aggregates only retraction-affected groups.
+    * The maintained estimate is bit-identical to a one-shot sketch of
+    * the final source (semilattice merge + fixed IEEE estimator), which
+    * DuckDB rebuilds in SQL — closing the last refused aggregate family
+    * in the engine's materialized-view story (the reference's own
+    * cross-engine invariant is a count readback,
+    * /root/reference/README.md:121-126). */
+  val qRollupDistinct: Q = (s, dir) => {
+    import graft.pipeline.IncrementalRollup
+    val k = 256
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_custkey")
+    val src = GraftTable(s, scratch("rolldistsrc"))
+    src.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(cols.map(col): _*), parts = Seq("o_orderstatus"))
+    val dst = GraftTable(s, scratch("rolldistdst"))
+    def maintainRound(): Unit = IncrementalRollup.maintain(src, dst,
+      Seq("o_orderstatus"), Seq.empty, "rolldist",
+      distinctCols = Seq("o_custkey"), distinctK = k)
+    maintainRound()
+    src.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 1)
+      .select(cols.map(col): _*))
+    src.delete(col("o_orderkey") % 7 === 0) // retraction → bounded re-agg
+    maintainRound()
+    dst.read().select(col("o_orderstatus"),
+      round(col("o_custkey_distinct_est"), 4).as("cust_est"),
+      size(col("o_custkey_distinct_sk")).cast("long").as("n_tracked"),
+      col("n"))
+      .orderBy("o_orderstatus")
+  }
+  val qRollupDistinctSql: String =
+    """WITH final AS (
+      |  SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
+      |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0),
+      |h AS (SELECT DISTINCT o_orderstatus AS g,
+      |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16))::UBIGINT
+      |      AS hv
+      |  FROM final WHERE o_custkey IS NOT NULL),
+      |r AS (SELECT g, hv,
+      |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS nd FROM h),
+      |e AS (SELECT g,
+      |    CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS DOUBLE)
+      |         ELSE 255.0 * (18446744073709551616.0 /
+      |            CAST(MAX(CASE WHEN rn = 256 THEN hv END) AS DOUBLE)) END
+      |      AS est,
+      |    LEAST(MAX(nd), 256) AS n_tracked
+      |  FROM r GROUP BY g),
+      |cnt AS (SELECT o_orderstatus AS g, COUNT(*) AS n FROM final
+      |  GROUP BY 1)
+      |SELECT e.g AS o_orderstatus, round(e.est, 4) AS cust_est,
+      |  e.n_tracked, cnt.n
+      |FROM e JOIN cnt ON e.g = cnt.g ORDER BY 1""".stripMargin
+
   val qRollupMinmax: Q = (s, dir) => {
     import graft.pipeline.IncrementalRollup
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
@@ -927,6 +985,7 @@ object TableQueries {
     ("q_rollup_incremental", qRollupIncremental,
       Some(qRollupIncrementalSql)),
     ("q_rollup_minmax", qRollupMinmax, Some(qRollupMinmaxSql)),
+    ("q_rollup_distinct", qRollupDistinct, Some(qRollupDistinctSql)),
     ("q_table_changes", qTableChanges, Some(qTableChangesSql)),
     ("q_table_changes_materialized", qTableChangesMaterialized,
       Some(qTableChangesSql)),

@@ -136,6 +136,56 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(mmRows(dst) === recomputeMM(src))
   }
 
+  test("COUNT(DISTINCT) maintenance: insert rounds union-merge the KMV " +
+      "state; a retraction re-aggregates only affected groups; dst " +
+      "equals the one-shot sketch after every round") {
+    import graft.functions.AggExpressions.kmv_sketch
+    import graft.functions.HashExpressions.md5_hash64
+    val src = fresh("roll-dist-src")
+    val dst = fresh("roll-dist-dst")
+    val k = 8 // small k so the estimator path (not just exact-below-k) runs
+
+    def oneShot(): Array[(String, Seq[Long], Long)] =
+      src.read().groupBy("g")
+        .agg(kmv_sketch(md5_hash64(col("u").cast("string")), k).as("sk"))
+        .orderBy("g").as[(String, Seq[Long])].collect()
+        .map { case (g, sk) => (g, sk, sk.size.toLong) }
+    def maintained(): Array[(String, Seq[Long], Long)] =
+      dst.read().select("g", "u_distinct_sk")
+        .orderBy("g").as[(String, Seq[Long])].collect()
+        .map { case (g, sk) => (g, sk, sk.size.toLong) }
+    def check(): Unit = assert(maintained() === oneShot())
+
+    // round 1: create + initial state; group a exceeds k distinct users
+    src.append((1L to 20L).map(u => ("a", u, 1L)).toDF("g", "u", "v") union
+      Seq(("b", 1L, 1L), ("b", 2L, 1L)).toDF("g", "u", "v"))
+    IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v"), "x",
+      distinctCols = Seq("u"), distinctK = k)
+    check()
+    // estimate column matches the summary aggregate's est exactly
+    val est = dst.read().filter(col("g") === "b")
+      .select("u_distinct_est").as[Double].head()
+    assert(est === 2.0) // below k: exact
+
+    // round 2: insert-only — new users, repeated users, a new group
+    src.append(Seq(("a", 21L, 1L), ("a", 1L, 1L), ("b", 3L, 1L),
+      ("c", 9L, 1L)).toDF("g", "u", "v"))
+    IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v"), "x",
+      distinctCols = Seq("u"), distinctK = k)
+    check()
+
+    // round 3: retraction — delete some of group a's rows (including
+    // bottom-k members, which no sketch can un-count) → bounded re-agg
+    src.delete(col("g") === "a" && col("u") <= 10L)
+    IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v"), "x",
+      distinctCols = Seq("u"), distinctK = k)
+    check()
+
+    // replay safety: an identical maintain call is a no-op
+    assert(IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v"), "x",
+      distinctCols = Seq("u"), distinctK = k).isEmpty)
+  }
+
   test("null-keyed groups fail LOUD: every downstream key match is " +
       "SQL-equality, where a null-keyed dst row could never update") {
     val src = fresh("roll-nullkey-src")
