@@ -88,7 +88,7 @@ object Bench {
     "q_zorder_scan",
     "q_chunk_dedup", "q_chunk_overlap", "q_rollup_incremental",
     "q_rollup_minmax", "q_rollup_distinct", "q_ann_ivf_index",
-    "q_ingest_dedup",
+    "q_ann_ivf_index_update", "q_ingest_dedup",
     "q_source_overlap", "q_vocab_oov", "q_retention_cohorts")
 
   val lifecycle: Set[String] = Set("q_table_merge", "q_table_merge_mor",
@@ -97,7 +97,7 @@ object Bench {
     "q_table_changes_materialized",
     "q_delete_positions", "q_update_positions", "q_rollup_incremental",
     "q_rollup_minmax", "q_rollup_distinct", "q_ann_ivf_index",
-    "q_ingest_dedup", "q_zorder_scan")
+    "q_ann_ivf_index_update", "q_ingest_dedup", "q_zorder_scan")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

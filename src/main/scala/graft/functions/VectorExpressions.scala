@@ -244,4 +244,64 @@ object VectorExpressions {
     GraftSqlGlue.column(NearestCosineCentroidExpr(
       GraftSqlGlue.expression(qv), GraftSqlGlue.expression(sig),
       cents, sigs, probeDist))
+
+  /** [[NearestCosineCentroidExpr]] over a TORRENT-BROADCAST centroid set
+    * instead of expression-held arrays. Same codegen'd zero-shuffle
+    * argmax, different shipping: the expression (and thus every
+    * serialized task closure and plan copy) carries only the broadcast
+    * HANDLE; the centroid payload moves to each executor once via the
+    * torrent protocol and is block-managed (evictable, disk-spillable)
+    * rather than living inside task binaries. At a persisted index's
+    * scale (nLists ~10⁵ × high-dim quantized arrays ≈ 100 MB) the
+    * per-task-serialization form is a real driver/scheduler tax; the
+    * handle form is the MLlib-KMeans shipping shape. The generated code
+    * resolves `bc.value()` ONCE per task (constructor-initialized state),
+    * not per row. */
+  case class NearestCosineCentroidBcastExpr(left: Expression,
+      right: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[CentroidSet],
+      probeDist: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    require(probeDist >= 0, s"probeDist must be non-negative, got $probeDist")
+    override def dataType: DataType = IntegerType
+    override def inputTypes: Seq[GraftSqlGlue.SqlAbstractDataType] =
+      Seq(ArrayType(LongType), LongType)
+    override def prettyName: String = "nearest_cosine_centroid_bcast"
+
+    @transient private lazy val data: CentroidSet = bc.value
+
+    override def nullSafeEval(qv: Any, sig: Any): Any =
+      NativeOps.nearestCosineCentroid(qv.asInstanceOf[ArrayData],
+        sig.asInstanceOf[Long], data.cents, data.norms, data.sigs,
+        probeDist)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("centBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val d = ctx.addMutableState("graft.functions.CentroidSet", "centData",
+        v => s"$v = (graft.functions.CentroidSet) $bcRef.value();")
+      defineCodeGen(ctx, ev, (qv, sig) =>
+        s"graft.functions.NativeOps.nearestCosineCentroid($qv, $sig, " +
+          s"$d.cents(), $d.norms(), $d.sigs(), $probeDist)")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): NearestCosineCentroidBcastExpr =
+      copy(left = l, right = r)
+  }
+
+  def nearest_cosine_centroid_bcast(qv: Column, sig: Column,
+      bc: org.apache.spark.broadcast.Broadcast[CentroidSet],
+      probeDist: Int): Column =
+    GraftSqlGlue.column(NearestCosineCentroidBcastExpr(
+      GraftSqlGlue.expression(qv), GraftSqlGlue.expression(sig),
+      bc, probeDist))
 }
+
+/** Executor-resident centroid payload for
+  * [[VectorExpressions.NearestCosineCentroidBcastExpr]] — one torrent
+  * transfer per executor, accessed from generated Java via the Scala
+  * accessors. */
+case class CentroidSet(cents: Array[Array[Long]], norms: Array[Double],
+    sigs: Array[Long]) extends Serializable

@@ -45,19 +45,39 @@ object VectorIndex {
     Index(GraftTable(spark, s"$dir/centroids"),
       GraftTable(spark, s"$dir/assignments"))
 
-  /** Frozen centroid vectors in list-id order (index == list_id). */
-  private def centArray(idx: Index): IndexedSeq[IndexedSeq[Long]] =
-    idx.centroids.read().select(col("list_id"), col("cent_q"))
+  /** Frozen centroid set as a TORRENT BROADCAST, for the map-side
+    * assignment expression. The centroid table is materialized once into
+    * a block-managed broadcast (the MLlib-KMeans shipping shape): tasks
+    * carry only the handle, each executor fetches the payload once. This
+    * is the deliberate alternative to (a) folding centroids into the
+    * expression/plan — at nLists ~10⁵ × high-dim arrays that taxes every
+    * task serialization — and (b) a crossJoin(broadcast)+max_by plan,
+    * which would put the FULL QUANTIZED CORPUS through a vec_id shuffle
+    * at build time; the expression form assigns with zero shuffles. The
+    * one-time driver materialization is bounded by the centroid set
+    * (not the corpus) and is exactly what executing a broadcast join
+    * would do internally anyway. */
+  private def centroidBroadcast(idx: Index)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.CentroidSet] = {
+    val spark = idx.centroids.sparkSession
+    val cents = idx.centroids.read().select(col("list_id"), col("cent_q"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
-      .sortBy(_._1).map(_._2).toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val norms = cents.map(c =>
+      math.sqrt(c.map(x => x * x).sum.toDouble))
+    spark.sparkContext.broadcast(graft.functions.CentroidSet(
+      cents, norms, cents.map(_ => 0L)))
+  }
 
   /** Map-side exact nearest-centroid assignment (no signature
-    * prefilter — the frozen centroid count is small). */
-  private def assignList(cents: IndexedSeq[IndexedSeq[Long]],
+    * prefilter — every Hamming distance is 0 ≤ 64, so the full exact
+    * argmax runs). */
+  private def assignList(
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.CentroidSet],
       qv: Column): Column =
-    graft.functions.VectorExpressions.nearest_cosine_centroid(
-      qv, lit(0L), cents, cents.map(_ => 0L), 64)
+    graft.functions.VectorExpressions.nearest_cosine_centroid_bcast(
+      qv, lit(0L), bc, 64)
 
   /** Build the index from `src`'s CURRENT snapshot: freeze nLists
     * deterministic centroids (hash-ordered id sample — the ivfTopK
@@ -90,7 +110,7 @@ object VectorIndex {
         (row_number().over(Window.orderBy(col("ref_id"))) - 1).cast("int"))
       .select("list_id", "ref_id", "cent_q")
     idx.centroids.append(centRows.coalesce(1))
-    val cents = centArray(idx)
+    val cents = centroidBroadcast(idx)
     idx.assignments.append(
       snap.withColumn("list_id", assignList(cents, col("qv")))
         .select("vec_id", "list_id", "qv"),
@@ -98,10 +118,21 @@ object VectorIndex {
     idx
   }
 
-  /** Incremental maintenance: assign ONLY the vectors appended to `src`
-    * since the last indexed snapshot. Returns the applied range, None
-    * when up to date. Fails loud if the range crosses a rewrite (the
-    * append-only contract — rebuild instead). */
+  /** Incremental maintenance from the source CHANGELOG: assign only the
+    * vectors changed since the last indexed snapshot. Pure-append ranges
+    * (the steady state) take the cheap path — map-side assignment, one
+    * partitioned append, no merge machinery, searches keep reading plain
+    * data files. A range containing updates/deletes takes the bounded
+    * REPAIR path: the changelog names exactly the affected vec_ids, so
+    * one MOR merge tombstones their old assignment rows (equality
+    * deletes — the assignments table's reads are MOR-aware) and appends
+    * the re-assigned vectors — O(changed vectors), never O(index), where
+    * the previous contract forced a full rebuild for a single corrected
+    * vector. Compaction/fold rewrites of the source contribute nothing
+    * (data-equivalent commits have empty changelogs) instead of faulting
+    * the old readIncremental path. Exactly-once via the same
+    * (appId, tip) txn stamp either way. Returns the applied range, None
+    * when up to date. */
   def refresh(src: GraftTable, idCol: String, vecCol: String,
       idx: Index, appId: String): Option[(Long, Long)] = {
     val tip = src.latestSnapshotId.getOrElse(return None)
@@ -110,15 +141,48 @@ object VectorIndex {
         s"index at ${idx.assignments.location} has no build stamp for " +
           s"app '$appId' — build() first"))
     if (tip <= from) return None
-    val cents = centArray(idx)
-    val fresh = src.readIncremental(from, tip)
+    val cents = centroidBroadcast(idx)
+    // checkpoint: the changelog reconstruction feeds the regime probe
+    // AND the assignment write; both are O(changed rows)
+    val ch = src.changes(from, tip)
       .select(col(idCol).cast("long").as("vec_id"),
-        quantize(col(vecCol)).as("qv"))
-    idx.assignments.append(
-      fresh.withColumn("list_id", assignList(cents, col("qv")))
-        .select("vec_id", "list_id", "qv"),
-      parts = Seq("list_id"), txn = Some((appId, tip)))
-    Some((from, tip))
+        quantize(col(vecCol)).as("qv"),
+        col("_change_type"), col("_commit_snapshot_id"))
+      .localCheckpoint()
+    try {
+      val anyDelete = ch.filter(col("_change_type") === "delete")
+        .limit(1).count() > 0
+      if (!anyDelete) {
+        val fresh = ch.filter(col("_change_type") === "insert")
+        idx.assignments.append(
+          fresh.withColumn("list_id", assignList(cents, col("qv")))
+            .select("vec_id", "list_id", "qv"),
+          parts = Seq("list_id"), txn = Some((appId, tip)))
+      } else {
+        // net final state per changed vec_id: latest commit wins; within
+        // one commit an update is delete(old)+insert(new) and the insert
+        // IS the final state, so inserts out-rank deletes on ties
+        val w = Window.partitionBy("vec_id").orderBy(
+          col("_commit_snapshot_id").desc,
+          when(col("_change_type") === "insert", 1).otherwise(0).desc)
+        val net = ch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+        val assigned = net
+          .withColumn("list_id",
+            when(col("_change_type") === "insert",
+              assignList(cents, col("qv"))))
+          .withColumn("__op",
+            when(col("_change_type") === "delete", lit("D")))
+          .select("vec_id", "list_id", "qv", "__op")
+        // the MOR merge tombstones every source key (removing updated/
+        // deleted vectors' rows from their OLD list partitions) and
+        // appends the surviving assignments into their new lists
+        idx.assignments.merge(assigned, keys = Seq("vec_id"),
+          dedupKey = Seq("vec_id"), orderCol = "vec_id",
+          opCol = Some("__op"), mode = "mor", txn = Some((appId, tip)))
+      }
+      Some((from, tip))
+    } finally ch.unpersist(blocking = false)
   }
 
   /** Probe-pruned top-k search: each query's nProbe exact-nearest lists
@@ -129,9 +193,9 @@ object VectorIndex {
       vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val cents = centArray(idx)
-    val centsDf = cents.zipWithIndex
-      .map { case (v, i) => (i, v) }.toDF("list_id", "cent_q")
+    // probe ranking joins the centroid TABLE directly (broadcast build
+    // side) — no driver collect of centroids anywhere in the search path
+    val centsDf = idx.centroids.read().select(col("list_id"), col("cent_q"))
     val q0 = queries.select(col(idCol).as("query_id"),
       quantize(col(vecCol)).as("q_query_id"))
     val w = Window.partitionBy("query_id")

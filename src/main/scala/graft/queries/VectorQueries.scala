@@ -151,6 +151,101 @@ object VectorQueries {
   }
   val qAnnIvfIndexSql: String = plantedTop1Sql
 
+  /** Bounded index REPAIR on updates/deletes: vectors 50-59 are
+    * MOR-corrected (dim 0 += 0.5), 60-69 deleted; `refresh` repairs from
+    * the changelog — tombstoning the stale assignment rows and
+    * re-assigning ONLY the changed vectors (O(changed), never a rebuild).
+    * Queries are planted on the FINAL corpus state (+0.1 on dim 0) over
+    * untouched vectors AND the corrected ones, so a stale assignment
+    * (old qv, old list) or a surviving deleted row changes the output;
+    * the oracle is brute-force top-1 over the post-update post-delete
+    * corpus. In-flight requires pin the deletion and uniqueness
+    * invariants the oracle can't see. */
+  val qAnnIvfIndexUpdate: Q = (s, dir) => {
+    val em = Tables.load(s, dir, "embeddings")
+    val loc = scratchDir("ivfrepair")
+    val src = GraftTable(s, s"$loc/src")
+    src.append(em)
+    val idx = VectorIndex.build(src, "vec_id", "embedding",
+      nLists = 16, s"$loc/idx", appId = "annr")
+    val upd = em.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select(col("vec_id"),
+        concat(
+          array((col("embedding").getItem(0).cast("double") + lit(0.5))
+            .cast("float")),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"),
+        col("label"))
+    src.merge(upd, keys = Seq("vec_id"), dedupKey = Seq("vec_id"),
+      orderCol = "vec_id", mode = "mor")
+    src.delete(col("vec_id") >= 60 && col("vec_id") < 70)
+    VectorIndex.refresh(src, "vec_id", "embedding", idx, appId = "annr")
+    val assigned = idx.assignments.read().select("vec_id")
+    require(assigned
+      .filter(col("vec_id") >= 60 && col("vec_id") < 70).count() == 0,
+      "deleted vectors still indexed after repair")
+    require(assigned.count() == assigned.distinct().count(),
+      "repair left duplicate assignment rows")
+    val queries = src.read()
+      .filter(col("vec_id") < 30 ||
+        (col("vec_id") >= 50 && col("vec_id") < 60))
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        concat(
+          array((col("embedding").getItem(0).cast("double") + lit(0.1))
+            .cast("float")),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    VectorIndex.search(idx, queries, "vec_id", "embedding", k = 1)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val qAnnIvfIndexUpdateSql: String =
+    """WITH fin AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id BETWEEN 50 AND 59 THEN
+      |      list_concat(
+      |        [CAST(CAST(embedding[1] AS DOUBLE) + 0.5 AS REAL)],
+      |        embedding[2:])
+      |    ELSE embedding END AS embedding
+      |  FROM embeddings
+      |  WHERE vec_id NOT BETWEEN 60 AND 69),
+      |qs AS (
+      |  SELECT vec_id + 1000000 AS query_id,
+      |    list_concat(
+      |      [CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS REAL)],
+      |      embedding[2:]) AS emb
+      |  FROM fin WHERE vec_id < 30 OR vec_id BETWEEN 50 AND 59),
+      |qq AS (
+      |  SELECT query_id,
+      |    list_transform(emb,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM qs),
+      |qn AS (
+      |  SELECT query_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+      |  FROM qq),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      |  FROM fin),
+      |cn AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+      |  FROM c),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    CAST(CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+      |           p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+      |      AS cos
+      |  FROM qn q JOIN cn c ON q.query_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+      |FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin
+
   private def scratchDir(name: String): String = Scratch.dir(name)
 
   /** exact quantized norms — cheap full-table oracle over the list ops. */
@@ -303,6 +398,8 @@ object VectorQueries {
     ("q_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
     ("q_ann_ivf", qAnnIvf, Some(qAnnIvfSql)),
     ("q_ann_ivf_index", qAnnIvfIndex, Some(qAnnIvfIndexSql)),
+    ("q_ann_ivf_index_update", qAnnIvfIndexUpdate,
+      Some(qAnnIvfIndexUpdateSql)),
     ("q_embed_norm", qEmbedNorm, Some(qEmbedNormSql)),
     ("q_kmeans", qKmeans, Some(qKmeansSql)),
     ("q_semdedup", qSemdedup, Some(qSemdedupSql)),

@@ -1800,9 +1800,19 @@ class GraftTable(spark: SparkSession, val location: String,
       val src = FieldIds.idOf(f).flatMap(srcById.get)
         .orElse(Some(f.name).filter(df.columns.contains))
       (src match {
-        case Some(c) => df(c)
-        case None => lit(null)
-      }).cast(f.dataType).as(f.name)
+        case Some(c) =>
+          // same nullability discipline as [[align]]: parquet returns
+          // arrays/maps with NULLABLE containers, and casting those to a
+          // declared containsNull=false element type is an INVALID cast —
+          // a changelog read over any array-columned table would fail
+          // analysis. Same-type (modulo container nullability) aliases
+          // without a cast; genuine evolution casts container-widened.
+          val cur = df.schema(c).dataType
+          if (GraftTable.widenContainers(cur) ==
+              GraftTable.widenContainers(f.dataType)) df(c)
+          else df(c).cast(GraftTable.widenContainers(f.dataType))
+        case None => lit(null).cast(f.dataType)
+      }).as(f.name)
     }.toIndexedSeq: _*)
   }
 

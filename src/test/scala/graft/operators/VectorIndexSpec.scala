@@ -73,20 +73,65 @@ class VectorIndexSpec extends SparkSpec {
     assert(hit === 115L)
   }
 
-  test("refresh fails loud when the source range crosses a rewrite " +
-      "(append-only contract)") {
+  test("refresh absorbs a source compaction (data-equivalent commits " +
+      "have empty changelogs) instead of refusing the range") {
     val dir = tmpDir("vidx-rewrite")
     val src = GraftTable(spark, s"$dir/src")
     src.append(corpus(0L until 50L))
     val idx = VectorIndex.build(src, "vec_id", "embedding",
       nLists = 4, s"$dir/idx", "app")
-    src.compact() // a rewrite commit (data-equivalent, still refused:
-    // assignment state is keyed to FILES the range replay must not cross)
+    src.compact() // a rewrite commit — contributes nothing to changes()
     src.append(corpus(50L until 60L))
-    val e = intercept[IllegalArgumentException] {
-      VectorIndex.refresh(src, "vec_id", "embedding", idx, "app")
-    }
-    assert(e.getMessage.contains("non-append"))
+    val r = VectorIndex.refresh(src, "vec_id", "embedding", idx, "app")
+    assert(r.isDefined)
+    assert(idx.assignments.read().count() === 60)
+    assert(idx.assignments.read().select("vec_id").distinct().count()
+      === 60)
+  }
+
+  test("refresh REPAIRS updates/deletes bounded by the changelog: " +
+      "tombstone old assignments, re-assign only changed vectors, " +
+      "search returns post-update neighbors") {
+    val dir = tmpDir("vidx-repair")
+    val src = GraftTable(spark, s"$dir/src")
+    src.append(corpus(0L until 100L))
+    val idx = VectorIndex.build(src, "vec_id", "embedding",
+      nLists = 8, s"$dir/idx", "app")
+    val filesBefore = idx.assignments.liveFiles().toSet
+
+    // MOR-update vector 7 to (a perturbation of) vector 55's embedding,
+    // and delete vector 90 outright
+    val newV = corpus(Seq(55L))
+      .select(lit(7L).as("vec_id"),
+        concat(array((col("embedding").getItem(0).cast("double") +
+          lit(0.05)).cast("float")),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    src.merge(newV, keys = Seq("vec_id"), dedupKey = Seq("vec_id"),
+      orderCol = "vec_id", mode = "mor")
+    src.delete(col("vec_id") === 90L)
+    val r = VectorIndex.refresh(src, "vec_id", "embedding", idx, "app")
+    assert(r.isDefined)
+
+    // index state: 99 live assignments (90 gone), each vec_id once
+    val live = idx.assignments.read()
+    assert(live.count() === 99)
+    assert(live.select("vec_id").distinct().count() === 99)
+    assert(live.filter(col("vec_id") === 90L).count() === 0)
+    // bounded repair: the untouched lists' files survived unchanged —
+    // the merge rewrote nothing outside the affected vectors' rows
+    assert(idx.assignments.liveFiles().toSet.intersect(filesBefore).nonEmpty,
+      "repair rewrote the whole index")
+
+    // a query at vector 55's position now finds BOTH 55 and updated 7
+    val q = corpus(Seq(55L))
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val top2 = VectorIndex.search(idx, q, "vec_id", "embedding",
+      k = 2, nProbe = 3).select("neighbor_id").as[Long].collect().toSet
+    assert(top2 === Set(55L, 7L))
+    // replay is a no-op
+    assert(VectorIndex.refresh(src, "vec_id", "embedding", idx, "app")
+      .isEmpty)
   }
 
   test("search reads only probed partitions, not the whole index") {
