@@ -400,7 +400,64 @@ object EventsQueries {
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming bronze→gold composition ([[graft.streaming.Streaming
+    * .graftRollupSink]]): events arrive as three micro-batches (one file
+    * per trigger), each batch lands exactly-once in a bronze graft table
+    * AND is folded into the gold per-type aggregate by incremental
+    * rollup maintenance — the full always-on bronze→silver→gold story
+    * the reference runs as checkpointed batch re-runs
+    * (/root/reference/bronze-silver.py:219-321). The afterBatch hook
+    * asserts gold == a full bronze recompute AFTER EVERY BATCH (the
+    * invariant the final oracle alone can't see), and the step counter
+    * proves the stream genuinely micro-batched. */
+  val qStreamRollup: Q = (s, dir) => {
+    import graft.table.GraftTable
+    val ev = events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        dec(col("value")).as("value_d"))
+    val raw = Scratch.dir("streamroll-raw")
+    Seq(0, 1, 2).foreach(m => ev.filter(col("event_id") % 3 === m)
+      .coalesce(1).write.mode("append").parquet(raw))
+    val bronzeLoc = Scratch.dir("streamroll-bronze")
+    val goldLoc = Scratch.dir("streamroll-gold")
+    val schema = s.read.parquet(raw).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(raw)
+    val steps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = graft.streaming.Streaming.graftRollupSink(stream,
+      bronzeLoc, goldLoc, "stroll", Seq("event_type"), Seq("value_d"),
+      afterBatch = (bronze, gold) => {
+        val step = steps.incrementAndGet()
+        val want = bronze.read().groupBy("event_type")
+          .agg(sum(col("value_d")).as("value_d_sum"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type").collect().toSeq
+        val got = gold.read()
+          .select("event_type", "value_d_sum", "n")
+          .orderBy("event_type").collect().toSeq
+        require(got == want,
+          s"gold != bronze recompute after micro-batch $step")
+      })
+      .option("checkpointLocation", Scratch.dir("streamroll-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(steps.get() >= 3,
+      s"expected >= 3 micro-batches, saw ${steps.get()}")
+    GraftTable(s, goldLoc).read()
+      .select(col("event_type"),
+        col("value_d_sum").cast("double").as("value_sum"), col("n"))
+      .orderBy("event_type")
+  }
+  val qStreamRollupSql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_rollup", qStreamRollup, Some(qStreamRollupSql)),
     ("q_retention_cohorts", qRetentionCohorts, Some(qRetentionCohortsSql)),
     ("q_asof_signup", qAsofSignup, Some(qAsofSignupSql)),
     ("q_funnel", qFunnel, Some(qFunnelSql)),

@@ -48,6 +48,43 @@ object Streaming {
         ()
     }
 
+  /** Streaming bronze→gold composition: each micro-batch lands in the
+    * BRONZE graft table with the exactly-once txn stamp (as [[graftSink]])
+    * and is immediately folded into the GOLD aggregate by
+    * [[graft.pipeline.IncrementalRollup.maintain]] — the always-on form
+    * of the reference's checkpointed bronze→silver→gold batch reruns
+    * (/root/reference/bronze-silver.py), with every incremental layer
+    * carrying its own high-water mark:
+    *
+    *   - a replayed micro-batch (same batchId) finds its txn stamp in
+    *     bronze and appends nothing; the follow-up maintain sees an
+    *     unmoved tip and is a no-op;
+    *   - a crash BETWEEN the bronze append and the maintain loses
+    *     nothing: the next batch's (or replay's) maintain reads bronze's
+    *     changelog from gold's own recorded tip, catching up exactly —
+    *     neither layer needs the stream checkpoint to agree with the
+    *     other.
+    *
+    * Gold maintenance cost per batch is O(batch's changed groups), not
+    * O(bronze) — the 100 TB always-on shape. `afterBatch` (test hook)
+    * runs after each maintain with (bronze, gold). */
+  def graftRollupSink(stream: DataFrame, bronzeLoc: String, goldLoc: String,
+      txnAppId: String, keys: Seq[String], sumCols: Seq[String],
+      parts: Seq[String] = Seq.empty,
+      afterBatch: (graft.table.GraftTable, graft.table.GraftTable) => Unit =
+        (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bronze = graft.table.GraftTable(batch.sparkSession, bronzeLoc)
+        val gold = graft.table.GraftTable(batch.sparkSession, goldLoc)
+        bronze.append(batch.toDF(), parts, txn = Some((txnAppId, batchId)))
+        graft.pipeline.IncrementalRollup.maintain(bronze, gold, keys,
+          sumCols, s"$txnAppId-rollup")
+        afterBatch(bronze, gold)
+        ()
+    }
+
   /** Streaming exact dedup: keep only the FIRST occurrence of each
     * content fingerprint — the streaming face of Dedup.exactRows for a
     * continuously-ingesting corpus, backed by the checkpoint

@@ -72,6 +72,64 @@ class StreamingSpec extends SparkSpec {
     assert(t.read().count() === 4)
   }
 
+  test("graftRollupSink: bronze append + gold maintenance per batch; " +
+      "crash between the two layers and batch replay both recover " +
+      "without double-counting") {
+    val base = tmpDir("stream-rollup")
+    val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
+    val bronzeLoc = s"$base/bronze"; val goldLoc = s"$base/gold"
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType)))
+    Files.write(Paths.get(rawDir, "b1.csv"),
+      "g,v\na,1\na,2\nb,10\n".getBytes("UTF-8"))
+
+    def goldRows() = graft.table.GraftTable(spark, goldLoc).read()
+      .select("g", "v_sum", "n").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true").csv(rawDir)
+    var batches = 0
+    val q = Streaming.graftRollupSink(stream, bronzeLoc, goldLoc,
+      "roll-test", Seq("g"), Seq("v"),
+      afterBatch = (_, _) => batches += 1)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(goldRows() === Seq(("a", 3L, 2L), ("b", 10L, 1L)))
+      Files.write(Paths.get(rawDir, "b2.csv"),
+        "g,v\na,5\nc,7\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(goldRows() === Seq(("a", 8L, 3L), ("b", 10L, 1L),
+        ("c", 7L, 1L)))
+      assert(batches === 2)
+    } finally q.stop()
+
+    val bronze = graft.table.GraftTable(spark, bronzeLoc)
+    val gold = graft.table.GraftTable(spark, goldLoc)
+
+    // crash BETWEEN bronze append and gold maintain: batch 2 lands in
+    // bronze only (the torn state a crash leaves) ...
+    bronze.append(Seq(("b", 100L)).toDF("g", "v"),
+      txn = Some(("roll-test", 2L)))
+    // ... the stream restarts and REPLAYS batch 2: the bronze append is
+    // a txn no-op, and the maintain reads bronze's changelog from gold's
+    // own high-water mark — catching up the missed delta exactly once
+    bronze.append(Seq(("b", 100L)).toDF("g", "v"),
+      txn = Some(("roll-test", 2L))) // replayed append: no-op
+    graft.pipeline.IncrementalRollup.maintain(bronze, gold, Seq("g"),
+      Seq("v"), "roll-test-rollup")
+    assert(goldRows() === Seq(("a", 8L, 3L), ("b", 110L, 2L),
+      ("c", 7L, 1L)))
+    // a full replay of the same batch (append + maintain) changes nothing
+    bronze.append(Seq(("b", 100L)).toDF("g", "v"),
+      txn = Some(("roll-test", 2L)))
+    assert(graft.pipeline.IncrementalRollup.maintain(bronze, gold,
+      Seq("g"), Seq("v"), "roll-test-rollup").isEmpty)
+    assert(goldRows() === Seq(("a", 8L, 3L), ("b", 110L, 2L),
+      ("c", 7L, 1L)))
+  }
+
   test("streaming dedup keeps first occurrence across micro-batches") {
     val base = tmpDir("stream-dedup")
     val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
