@@ -371,34 +371,39 @@ object Dedup {
     import graft.functions.HashExpressions.distinct_span_hashes
     import graft.functions.TextFunctions.tokens
     val toks = tokens(col(textCol))
+    // base is checkpointed: tokenize + span-hash is the dominant CPU
+    // cost on a large corpus and base feeds BOTH passes (the shared-set
+    // aggregation and the per-doc rollup) — unmaterialized, it ran twice
+    // and the Scale100 100× tier paid ~2× wall for it (measured 10.7 s →
+    // 5.2 s with the checkpoint). The blocks CANNOT be unpersisted here —
+    // the returned lazy plan references them; they free via the
+    // ContextCleaner once the caller drops the result.
     val base = docs.select(col(idCol).as("id"),
       distinct_span_hashes(toks, w).as("hs"))
-    val spans = base.select(col("id"), explode(col("hs")).as("h"))
+      .localCheckpoint(false)
     // the ONE span-keyed shuffle; checkpointed so the size probe and the
-    // membership join reuse the aggregation instead of re-running it.
-    // The blocks CANNOT be unpersisted here — the returned (lazy) plan
-    // references them; they free via the ContextCleaner once the caller
-    // drops the result (long-lived loops should drop references promptly;
-    // Bench's per-query GC nudge is the session-level mitigation)
-    val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+    // membership join reuse the aggregation instead of re-running it
+    val shared = base.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1).select("h").localCheckpoint()
     val sharedSide =
       if (shared.count() <= broadcastSharedMax) broadcast(shared)
       else shared
-    val nShared = spans.join(sharedSide, Seq("h"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_shared"))
-    // map-only per-doc span count (null hs = null/short text → 0 spans);
-    // the sum covers duplicate input ids identically to the old explode
-    val nSpans = base.groupBy("id")
-      .agg(sum(when(col("hs").isNull, lit(0))
-        .otherwise(size(col("hs")))).as("n_spans"))
-    nSpans.join(nShared, Seq("id"), "left")
-      .select(col("id"), col("n_spans"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+    // ONE per-doc rollup computes both counts from the same exploded
+    // stream: explode_outer keeps short/null-text docs (null h → 0
+    // spans), the broadcast LEFT join marks shared spans in place, and
+    // n_spans rides the stream for free (it already flows through the
+    // membership join) — one doc-keyed exchange, no nSpans⋈nShared join.
+    base.select(col("id"), explode_outer(col("hs")).as("h"))
+      .join(sharedSide.withColumn("__s", lit(1L)), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(col("h")).as("n_spans"),
+        coalesce(sum(col("__s")), lit(0L)).as("n_shared"))
       .withColumn("shared_frac",
         when(col("n_spans") === 0L, lit(0.0))
           .otherwise(col("n_shared").cast("double") /
             col("n_spans").cast("double")))
+      .select("id", "n_spans", "n_shared", "shared_frac")
   }
 
   /** Embedding near-duplicates via exact quantized cosine over candidate
