@@ -66,7 +66,7 @@ object Bench {
     "q7_volume", "q8_market_share", "q14_promo",
     "q17_small_qty", "q18_large_orders",
     "q13_custdist", "q16_part_supplier", "q21_waiting_supplier",
-    "q22_global_sales",
+    "q22_global_sales", "q15_top_supplier", "q19_discounted",
     "q_running_total", "q_rank_in_group", "q_distinct_sketch",
     "q_quantile_sample",
     "q10_returned", "q_rollup", "q_count_distinct",
@@ -87,17 +87,19 @@ object Bench {
     "q_delete_positions", "q_update_positions",
     "q_zorder_scan",
     "q_chunk_dedup", "q_chunk_overlap", "q_rollup_incremental",
-    "q_rollup_minmax", "q_rollup_distinct", "q_ann_ivf_index",
-    "q_ann_ivf_index_update", "q_ingest_dedup",
-    "q_source_overlap", "q_vocab_oov", "q_retention_cohorts")
+    "q_rollup_minmax", "q_rollup_distinct", "q_rollup_var",
+    "q_ann_ivf_index", "q_ann_ivf_index_update", "q_ingest_dedup",
+    "q_source_overlap", "q_vocab_oov", "q_retention_cohorts",
+    "q_hidden_partition_hour", "q_stream_rollup")
 
   val lifecycle: Set[String] = Set("q_table_merge", "q_table_merge_mor",
     "q_incremental_scan", "q_sql_merge", "q_hidden_partition",
     "q_sql_rowlevel", "q_stream_table", "q_table_changes",
     "q_table_changes_materialized",
     "q_delete_positions", "q_update_positions", "q_rollup_incremental",
-    "q_rollup_minmax", "q_rollup_distinct", "q_ann_ivf_index",
-    "q_ann_ivf_index_update", "q_ingest_dedup", "q_zorder_scan")
+    "q_rollup_minmax", "q_rollup_distinct", "q_rollup_var",
+    "q_ann_ivf_index", "q_ann_ivf_index_update", "q_ingest_dedup",
+    "q_zorder_scan", "q_hidden_partition_hour", "q_stream_rollup")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

@@ -79,7 +79,14 @@ object IncrementalRollup {
       // re-aggregation path MIN/MAX uses. The hash is the engine-
       // portable md5 prefix (DuckDB rebuilds the identical estimate).
       distinctCols: Seq[String] = Seq.empty,
-      distinctK: Int = 512): Option[(Long, Long)] = {
+      distinctK: Int = 512,
+      // sum-of-squares state (`<c>_sumsq` in dst): retraction-safe like
+      // sums (deletes subtract c²), and together with `<c>_sum` and `n`
+      // it derives AVG, VAR_POP and STDDEV downstream without ever
+      // re-reading the source — use DECIMAL source columns so the
+      // squared sums stay exact (engine-portable) under any summation
+      // order
+      sumSqCols: Seq[String] = Seq.empty): Option[(Long, Long)] = {
     require(keys.nonEmpty, "at least one group key")
     val tip = src.latestSnapshotId.getOrElse(return None)
     val from = if (dst.exists) dst.lastTxnBatch(appId).getOrElse(-1L)
@@ -87,7 +94,7 @@ object IncrementalRollup {
     if (tip <= from) return None
 
     val srcSchema = src.schema
-    (sumCols ++ minCols ++ maxCols ++ distinctCols).foreach(c =>
+    (sumCols ++ minCols ++ maxCols ++ distinctCols ++ sumSqCols).foreach(c =>
       require(srcSchema.fieldNames.contains(c),
         s"aggregate column $c not in source schema"))
     // distinct shares the retraction flag + bounded re-aggregation
@@ -108,6 +115,8 @@ object IncrementalRollup {
     val aggs: Seq[org.apache.spark.sql.Column] =
       Seq(sum(sgn).as("__delta_n")) ++
         sumCols.map(c => sum(col(c) * sgn).as(s"__delta_${c}_sum")) ++
+        sumSqCols.map(c =>
+          sum(col(c) * col(c) * sgn).as(s"__delta_${c}_sumsq")) ++
         minCols.map(c =>
           min(when(!isDel, col(c))).as(s"__delta_${c}_min")) ++
         maxCols.map(c =>
@@ -142,6 +151,8 @@ object IncrementalRollup {
       val aggFields = keys.map(k => srcSchema(k)) ++
         sumCols.map(c => StructField(s"${c}_sum",
           delta.schema(s"__delta_${c}_sum").dataType)) ++
+        sumSqCols.map(c => StructField(s"${c}_sumsq",
+          delta.schema(s"__delta_${c}_sumsq").dataType)) ++
         minCols.map(c => StructField(s"${c}_min", srcSchema(c).dataType)) ++
         maxCols.map(c => StructField(s"${c}_max", srcSchema(c).dataType)) ++
         distinctCols.flatMap(c => Seq(
@@ -156,7 +167,8 @@ object IncrementalRollup {
       // with a different aggregate list would silently read absent
       // columns — fail loud instead
       val expect = sumCols.map(_ + "_sum") ++ minCols.map(_ + "_min") ++
-        maxCols.map(_ + "_max") ++ distinctCols.map(_ + "_distinct_sk")
+        maxCols.map(_ + "_max") ++ distinctCols.map(_ + "_distinct_sk") ++
+        sumSqCols.map(_ + "_sumsq")
       val have = dst.schema.fieldNames.toSet
       val missing = expect.filterNot(have)
       require(missing.isEmpty,
@@ -199,6 +211,10 @@ object IncrementalRollup {
         sumCols.map(c =>
           (coalesce(col(s"${c}_sum"), lit(0)) +
             coalesce(col(s"__delta_${c}_sum"), lit(0))).as(s"${c}_sum")) ++
+        sumSqCols.map(c =>
+          (coalesce(col(s"${c}_sumsq"), lit(0)) +
+            coalesce(col(s"__delta_${c}_sumsq"), lit(0)))
+            .as(s"${c}_sumsq")) ++
         minCols.map(c =>
           when(retracted, col(s"__re_${c}_min"))
             .otherwise(least(col(s"${c}_min"), col(s"__delta_${c}_min")))

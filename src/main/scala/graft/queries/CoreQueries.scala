@@ -825,8 +825,77 @@ object CoreQueries {
       |GROUP BY c_nationkey
       |ORDER BY cntry""".stripMargin
 
+  /** TPC-H Q15 (top supplier): derived revenue view + scalar-max
+    * equality join — the "rows equal to an aggregate of the same
+    * derived table" shape. The revenue view computes ONCE and feeds
+    * both the max and the equality probe (Catalyst reuses the
+    * aggregated subplan); sums are exact decimals, so the max-equality
+    * comparison is deterministic in both engines. */
+  val q15TopSupplier: Q = (s, dir) => {
+    import s.implicits._
+    val revenue = Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey".as("supplier_no"))
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .as("total_revenue"))
+    val best = revenue.agg(max($"total_revenue").as("best_rev"))
+    Tables.load(s, dir, "supplier")
+      .join(revenue, $"s_suppkey" === $"supplier_no")
+      .join(broadcast(best), $"total_revenue" === $"best_rev")
+      .select($"s_suppkey", $"s_name",
+        $"total_revenue".cast("double").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name,
+      |  CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue): three-way DISJUNCTION of
+    * conjunctive brand/size/quantity clauses — the shape that exercises
+    * OR-predicate handling (Catalyst extracts the common l_partkey =
+    * p_partkey equi-key so the join stays hash, never nested-loop, and
+    * pushes the per-table OR residuals to each scan). */
+  val q19Discounted: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val p = Tables.load(s, dir, "part")
+    li.join(p, $"l_partkey" === $"p_partkey" && (
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+        $"l_quantity".between(1, 20)) ||
+      ($"p_brand" === "Brand#2" && $"p_size".between(11, 25) &&
+        $"l_quantity".between(10, 30)) ||
+      ($"p_brand" === "Brand#3" && $"p_size".between(26, 50) &&
+        $"l_quantity".between(20, 40))))
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+  }
+  val q19DiscountedSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+      |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q13_custdist", q13CustDist, Some(q13CustDistSql)),
+    ("q15_top_supplier", q15TopSupplier, Some(q15TopSupplierSql)),
+    ("q19_discounted", q19Discounted, Some(q19DiscountedSql)),
     ("q16_part_supplier", q16PartSupplier, Some(q16PartSupplierSql)),
     ("q21_waiting_supplier", q21WaitingSupplier,
       Some(q21WaitingSupplierSql)),

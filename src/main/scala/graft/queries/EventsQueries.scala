@@ -400,6 +400,39 @@ object EventsQueries {
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Watermarked STREAM-STREAM inner join (the conversion-attribution
+    * shape): views and purchases are two watermarked streams (a
+    * self-join of the event stream), joined on user with a time-range
+    * condition `purchase within 1 hour of view`. The time bound is what
+    * makes the join state FINITE — each side's watermark plus the range
+    * lets Spark evict rows that can no longer match, the requirement
+    * for an unbounded 100 TB stream. The oracle is the equivalent batch
+    * self-join; streamed output must equal it exactly. */
+  val qStreamJoin: Q = (s, dir) => runStream(s, dir, "join",
+    mode = "append") { raw =>
+    val e = raw.withColumn("ets", timestamp_micros(tsMicros(raw)))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ets").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ets").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases, expr(
+      "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"))
+  } { sink =>
+    sink.select(col("view_id"), col("purchase_id"),
+      col("v_user").as("user_id"))
+      .orderBy("view_id", "purchase_id")
+  }
+  val qStreamJoinSql: String =
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+      |FROM events v JOIN events p ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   /** Streaming bronze→gold composition ([[graft.streaming.Streaming
     * .graftRollupSink]]): events arrive as three micro-batches (one file
     * per trigger), each batch lands exactly-once in a bronze graft table
@@ -457,6 +490,7 @@ object EventsQueries {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_join", qStreamJoin, Some(qStreamJoinSql)),
     ("q_stream_rollup", qStreamRollup, Some(qStreamRollupSql)),
     ("q_retention_cohorts", qRetentionCohorts, Some(qRetentionCohortsSql)),
     ("q_asof_signup", qAsofSignup, Some(qAsofSignupSql)),

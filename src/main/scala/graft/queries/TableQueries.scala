@@ -550,6 +550,59 @@ object TableQueries {
       |  e.n_tracked, cnt.n
       |FROM e JOIN cnt ON e.g = cnt.g ORDER BY 1""".stripMargin
 
+  /** Incrementally-maintained AVG/VAR/STDDEV: sum-of-squares state is
+    * retraction-safe (deletes subtract c²), so second-moment statistics
+    * maintain through the same O(changed rows) delta path as sums — no
+    * bounded re-aggregation needed at all. The exact-decimal state makes
+    * the derived doubles bit-identical to DuckDB's same algebra
+    * (both engines: sumsq/n − (sum/n)², evaluated in the same order
+    * from the same exact decimal sums). */
+  val qRollupVar: Q = (s, dir) => {
+    import graft.pipeline.IncrementalRollup
+    // l_quantity: small integral values, so every sum/sum-of-squares is
+    // an exact LONG and the derived doubles are below 2^53 — bit-exact
+    // in any engine. (A decimal-price variant diverges at 1 ulp: the
+    // oracle engine's DECIMAL→DOUBLE cast of a >2^63 unscaled value is
+    // not correctly rounded, an engine-portability boundary the KMV
+    // estimate already documents from the other side.)
+    val src = GraftTable(s, scratch("rollvarsrc"))
+    def slice(m: Int) = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 3 === m)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"))
+    src.append(slice(0), parts = Seq("l_returnflag"))
+    val dst = GraftTable(s, scratch("rollvardst"))
+    def maintainRound(): Unit = IncrementalRollup.maintain(src, dst,
+      Seq("l_returnflag"), Seq("qty"), "rollvar", sumSqCols = Seq("qty"))
+    maintainRound()
+    src.append(slice(1))
+    src.delete(col("l_orderkey") % 7 === 0) // retraction: sums subtract
+    maintainRound()
+    val mean = col("qty_sum").cast("double") / col("n")
+    dst.read().select(col("l_returnflag"),
+      mean.as("qty_avg"),
+      (col("qty_sumsq").cast("double") / col("n") - mean * mean)
+        .as("qty_var"),
+      col("n"))
+      .orderBy("l_returnflag")
+  }
+  val qRollupVarSql: String =
+    """WITH final AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem
+      |  WHERE l_orderkey % 3 IN (0, 1) AND l_orderkey % 7 <> 0),
+      |st AS (
+      |  SELECT l_returnflag, SUM(qty) AS s, SUM(qty * qty) AS sq,
+      |    COUNT(*) AS n
+      |  FROM final GROUP BY 1)
+      |SELECT l_returnflag,
+      |  CAST(s AS DOUBLE) / n AS qty_avg,
+      |  CAST(sq AS DOUBLE) / n -
+      |    (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS qty_var,
+      |  n
+      |FROM st ORDER BY 1""".stripMargin
+
   val qRollupMinmax: Q = (s, dir) => {
     import graft.pipeline.IncrementalRollup
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
@@ -986,6 +1039,7 @@ object TableQueries {
       Some(qRollupIncrementalSql)),
     ("q_rollup_minmax", qRollupMinmax, Some(qRollupMinmaxSql)),
     ("q_rollup_distinct", qRollupDistinct, Some(qRollupDistinctSql)),
+    ("q_rollup_var", qRollupVar, Some(qRollupVarSql)),
     ("q_table_changes", qTableChanges, Some(qTableChangesSql)),
     ("q_table_changes_materialized", qTableChangesMaterialized,
       Some(qTableChangesSql)),

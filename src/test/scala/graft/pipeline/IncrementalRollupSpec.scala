@@ -136,6 +136,29 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(mmRows(dst) === recomputeMM(src))
   }
 
+  test("sum-of-squares maintenance: second moments stay delta-safe " +
+      "through inserts AND retractions (no re-aggregation path needed)") {
+    val src = fresh("roll-sq-src")
+    val dst = fresh("roll-sq-dst")
+    def m(): Unit = { IncrementalRollup.maintain(src, dst, Seq("g"),
+      Seq("v"), "x", sumSqCols = Seq("v")); () }
+    def want() = src.read().groupBy("g")
+      .agg(sum(col("v")).as("v_sum"),
+        sum(col("v") * col("v")).as("v_sumsq"),
+        count(lit(1)).as("n")).orderBy("g")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    def got() = dst.read().select("g", "v_sum", "v_sumsq", "n")
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+
+    src.append(Seq(("a", 1L, 3L), ("a", 2L, 5L), ("b", 3L, 7L))
+      .toDF("g", "id", "v"))
+    m(); assert(got() === want())
+    src.append(Seq(("a", 4L, 11L), ("c", 5L, 2L)).toDF("g", "id", "v"))
+    src.delete(col("id") === 2L) // retract a² from the running sumsq
+    m(); assert(got() === want())
+    assert(got().find(_._1 == "a").get === (("a", 14L, 130L, 2L)))
+  }
+
   test("COUNT(DISTINCT) maintenance: insert rounds union-merge the KMV " +
       "state; a retraction re-aggregates only affected groups; dst " +
       "equals the one-shot sketch after every round") {

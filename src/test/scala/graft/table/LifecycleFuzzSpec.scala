@@ -12,7 +12,12 @@ import graft.SparkSpec
   * in commit order) and must reconstruct the exact final state — the
   * cross-check that every commit type's net change set is consistent
   * with its effect on reads, under arbitrary interleavings no
-  * hand-written spec enumerates. */
+  * hand-written spec enumerates. Every 5th op additionally runs
+  * incremental ROLLUP MAINTENANCE (sum/sumsq/min/max/KMV-distinct over
+  * a derived group key) against the fuzzed history and asserts the
+  * maintained aggregate equals a full recompute — the maintenance
+  * machinery exercised over op interleavings (merge/delete/update/
+  * compact/WAP) its own specs never enumerate. */
 class LifecycleFuzzSpec extends SparkSpec {
   import spark.implicits._
 
@@ -29,7 +34,8 @@ class LifecycleFuzzSpec extends SparkSpec {
       val ids = rnd.shuffle((0L until 200L).toList)
         .take(5 + rnd.nextInt(25))
       val rows = ids.map { id => ord += 1; (id, ord, rnd.nextInt(100000).toLong) }
-      t.merge(rows.toDF("id", "ord", "v"), keys = Seq("id"),
+      t.merge(rows.toDF("id", "ord", "v")
+        .withColumn("g", pmod(col("id"), lit(5L))), keys = Seq("id"),
         dedupKey = Seq("id"), orderCol = "ord", mode = mode)
       rows.foreach { case (id, o, v) => model += id -> (o, v) }
     }
@@ -59,7 +65,8 @@ class LifecycleFuzzSpec extends SparkSpec {
           .take(5 + rnd.nextInt(10))
         val rows = ids.map { id =>
           ord += 1; (id, ord, rnd.nextInt(100000).toLong) }
-        b.merge(rows.toDF("id", "ord", "v"), keys = Seq("id"),
+        b.merge(rows.toDF("id", "ord", "v")
+          .withColumn("g", pmod(col("id"), lit(5L))), keys = Seq("id"),
           dedupKey = Seq("id"), orderCol = "ord",
           mode = if (rnd.nextBoolean()) "cow" else "mor")
         rows
@@ -81,9 +88,41 @@ class LifecycleFuzzSpec extends SparkSpec {
     // seed via append (merge needs an existing table): unique ids
     val seedRows = rnd.shuffle((0L until 200L).toList).take(40)
       .map { id => ord += 1; (id, ord, rnd.nextInt(100000).toLong) }
-    t.append(seedRows.toDF("id", "ord", "v"))
+    t.append(seedRows.toDF("id", "ord", "v")
+      .withColumn("g", pmod(col("id"), lit(5L))))
     seedRows.foreach { case (id, o, v) => model += id -> (o, v) }
     check("seed")
+
+    // incremental-rollup cross-check: maintain a full-featured aggregate
+    // (sum/sumsq/min/max/KMV distinct, k small enough to exercise the
+    // estimator and the retraction re-agg on every update/delete) and
+    // compare against a one-shot recompute of the CURRENT table state
+    val roll = GraftTable(spark, tmpDir(s"fuzz-roll-$seed") + "/t")
+    def rollCheck(op: String): Unit = {
+      import graft.functions.AggExpressions.kmv_sketch
+      import graft.functions.HashExpressions.md5_hash64
+      graft.pipeline.IncrementalRollup.maintain(t, roll, Seq("g"),
+        Seq("v"), "fuzz", minCols = Seq("v"), maxCols = Seq("v"),
+        sumSqCols = Seq("v"), distinctCols = Seq("v"), distinctK = 4)
+      val want = t.read().groupBy("g")
+        .agg(sum(col("v")).as("v_sum"),
+          sum(col("v") * col("v")).as("v_sumsq"),
+          min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+          kmv_sketch(md5_hash64(col("v").cast("string")), 4).as("sk"),
+          count(lit(1)).as("n"))
+        .orderBy("g")
+        .as[(Long, Long, Long, Long, Long, Seq[Long], Long)]
+        .collect().toSeq
+      val got = roll.read()
+        .select(col("g"), col("v_sum"), col("v_sumsq"), col("v_min"),
+          col("v_max"), col("v_distinct_sk"), col("n"))
+        .orderBy("g")
+        .as[(Long, Long, Long, Long, Long, Seq[Long], Long)]
+        .collect().toSeq
+      assert(got === want, s"rollup maintenance diverged after $op")
+    }
+    rollCheck("seed")
+
     (1 to 23).foreach { i =>
       val op = rnd.nextInt(7) match {
         case 6 => branchOp(s => check(s"op $i: $s")); "branchWap"
@@ -99,7 +138,9 @@ class LifecycleFuzzSpec extends SparkSpec {
           "compact"
       }
       check(s"op $i: $op")
+      if (i % 5 == 0) rollCheck(s"op $i: $op")
     }
+    rollCheck("final")
 
     // full-history changelog replay: per commit apply deletes then
     // inserts; the replayed multiset must equal the final read
