@@ -88,6 +88,7 @@ object Bench {
     "q_zorder_scan",
     "q_chunk_dedup", "q_chunk_overlap", "q_rollup_incremental",
     "q_rollup_minmax", "q_rollup_distinct", "q_rollup_var",
+    "q_rollup_histogram",
     "q_ann_ivf_index", "q_ann_ivf_index_update", "q_ingest_dedup",
     "q_source_overlap", "q_vocab_oov", "q_retention_cohorts",
     "q_hidden_partition_hour", "q_stream_rollup")
@@ -98,6 +99,7 @@ object Bench {
     "q_table_changes_materialized",
     "q_delete_positions", "q_update_positions", "q_rollup_incremental",
     "q_rollup_minmax", "q_rollup_distinct", "q_rollup_var",
+    "q_rollup_histogram",
     "q_ann_ivf_index", "q_ann_ivf_index_update", "q_ingest_dedup",
     "q_zorder_scan", "q_hidden_partition_hour", "q_stream_rollup")
 

@@ -603,6 +603,71 @@ object TableQueries {
       |  n
       |FROM st ORDER BY 1""".stripMargin
 
+  /** Incrementally-maintained QUANTILES via histogram state: put the
+    * bucket in the GROUP KEY and quantile maintenance falls out of
+    * plain count maintenance — counts per (flag, bucket) are fully
+    * retraction-safe (no re-aggregation path, ever), and any percentile
+    * derives from the maintained histogram with a cumulative-sum window
+    * over one tiny aggregate table. This is the 100 TB shape for
+    * maintained percentiles: the state is O(groups × buckets), the
+    * maintenance O(changed rows), and the derivation never touches the
+    * source. Integer bucket arithmetic end to end — DuckDB mirrors it
+    * exactly. */
+  val qRollupHistogram: Q = (s, dir) => {
+    import graft.pipeline.IncrementalRollup
+    import org.apache.spark.sql.expressions.Window
+    val src = GraftTable(s, scratch("rollhistsrc"))
+    def slice(m: Int) = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 3 === m)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        expr("CAST(l_quantity AS BIGINT) div 5").as("qb"))
+    src.append(slice(0), parts = Seq("l_returnflag"))
+    val dst = GraftTable(s, scratch("rollhistdst"))
+    def maintainRound(): Unit = IncrementalRollup.maintain(src, dst,
+      Seq("l_returnflag", "qb"), Seq.empty, "rollhist")
+    maintainRound()
+    src.append(slice(1))
+    src.delete(col("l_orderkey") % 7 === 0)
+    maintainRound()
+    val w = Window.partitionBy("l_returnflag").orderBy("qb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("l_returnflag")
+    val hist = dst.read().select(col("l_returnflag"), col("qb"), col("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(tot))
+    def pick(numer: Int, denom: Int, as: String) =
+      hist.filter(col("cum") * denom >= col("total") * numer)
+        .groupBy("l_returnflag").agg(min(col("qb")).as(as))
+    pick(1, 2, "p50_bucket")
+      .join(pick(9, 10, "p90_bucket"), Seq("l_returnflag"))
+      .join(hist.groupBy("l_returnflag")
+        .agg(max(col("total")).as("n_rows")), Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+  }
+  val qRollupHistogramSql: String =
+    """WITH final AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) // 5 AS qb
+      |  FROM lineitem
+      |  WHERE l_orderkey % 3 IN (0, 1) AND l_orderkey % 7 <> 0),
+      |hist AS (
+      |  SELECT l_returnflag, qb, COUNT(*) AS n
+      |  FROM final GROUP BY 1, 2),
+      |cums AS (
+      |  SELECT l_returnflag, qb, n,
+      |    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY qb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(n) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM hist)
+      |SELECT c50.l_returnflag, c50.p50_bucket, c90.p90_bucket, t.n_rows
+      |FROM (SELECT l_returnflag, MIN(qb) AS p50_bucket FROM cums
+      |      WHERE cum * 2 >= total GROUP BY 1) c50
+      |JOIN (SELECT l_returnflag, MIN(qb) AS p90_bucket FROM cums
+      |      WHERE cum * 10 >= total * 9 GROUP BY 1) c90
+      |  ON c50.l_returnflag = c90.l_returnflag
+      |JOIN (SELECT l_returnflag, CAST(MAX(total) AS BIGINT) AS n_rows
+      |      FROM cums GROUP BY 1) t ON c50.l_returnflag = t.l_returnflag
+      |ORDER BY c50.l_returnflag""".stripMargin
+
   val qRollupMinmax: Q = (s, dir) => {
     import graft.pipeline.IncrementalRollup
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
@@ -1040,6 +1105,7 @@ object TableQueries {
     ("q_rollup_minmax", qRollupMinmax, Some(qRollupMinmaxSql)),
     ("q_rollup_distinct", qRollupDistinct, Some(qRollupDistinctSql)),
     ("q_rollup_var", qRollupVar, Some(qRollupVarSql)),
+    ("q_rollup_histogram", qRollupHistogram, Some(qRollupHistogramSql)),
     ("q_table_changes", qTableChanges, Some(qTableChangesSql)),
     ("q_table_changes_materialized", qTableChangesMaterialized,
       Some(qTableChangesSql)),
