@@ -473,11 +473,22 @@ class GraftTable(spark: SparkSession, val location: String,
       // winner published) guarantees the batch commits at most once. The
       // loser's staged files are left unreferenced and swept by
       // removeOrphanFiles, same as a crashed write.
+      //
+      // ORDER MATTERS: the parent must be read BEFORE the stamp check.
+      // With the check first, a winner publishing in the gap between the
+      // check (no stamp yet) and the parent read (now sees the winner's
+      // tip) hands the loser a parent ABOVE the winner — its publish
+      // lands on a fresh slot and the batch commits twice (reproduced as
+      // a rare ConcurrencySpec flake). Parent-first is safe by cases: a
+      // winner publishing before the check is SEEN by it (the fresh
+      // listing is a superset of the chain at parent-read time); one
+      // publishing after collides on the parent+1 slot and this attempt
+      // retries.
+      val parent = latestSnapshot
       txn.foreach { case (appId, batchId) =>
         if (lastTxnBatch(appId).exists(_ >= batchId))
           return latestSnapshotId.get
       }
-      val parent = latestSnapshot
       expectedParent.foreach { exp =>
         if (!parent.map(_.snapshotId).contains(exp))
           throw new java.util.ConcurrentModificationException(

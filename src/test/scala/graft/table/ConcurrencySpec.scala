@@ -150,21 +150,30 @@ class ConcurrencySpec extends SparkSpec {
     // the zombie-driver race: several replays of the SAME (appId, batchId)
     // pass the pre-staging check together (barrier), stage, and race the
     // publish — the in-retry-loop re-check must let exactly one commit
+    // several contended batches, each raced by 4 barrier-synchronized
+    // replayers: the original single-batch form caught the
+    // check-then-parent-read ordering race (GraftTable.commit) only
+    // rarely; looping widens the window enough to make a regression a
+    // suite failure rather than a once-a-month flake
     val t = GraftTable(spark, tmpDir("conc-txn") + "/t")
     t.create(Seq((0L, "")).toDF("id", "v").schema)
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val barrier = new java.util.concurrent.CyclicBarrier(4)
-    val futures = (1 to 4).map { _ =>
-      Future {
-        barrier.await()
-        t.append(Seq((1L, "x")).toDF("id", "v"), txn = Some(("zombie", 7L)))
+    (1 to 5).foreach { b =>
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val futures = (1 to 4).map { _ =>
+        Future {
+          barrier.await()
+          t.append(Seq((b.toLong, "x")).toDF("id", "v"),
+            txn = Some(("zombie", b.toLong)))
+        }
       }
+      Await.result(Future.sequence(futures), 120.seconds)
+      assert(t.read().count() === b, s"batch $b landed more than once")
+      assert(t.snapshots.count(s => s.txnAppId.contains("zombie") &&
+        s.txnBatchId.contains(b.toLong)) === 1)
     }
-    Await.result(Future.sequence(futures), 120.seconds)
     pool.shutdown()
-    assert(t.read().count() === 1) // the batch landed exactly once
-    assert(t.snapshots.count(_.txnAppId.contains("zombie")) === 1)
   }
 
   test("lock-service commit path: concurrent appends all commit, no clobber") {
