@@ -690,6 +690,23 @@ object IcebergExport {
           (tip == base && mainIds.contains(tip)) =>
         s"""${jsonStr(b)}: {"snapshot-id": $tip, "type": "branch"}"""
     }
+    // a branch that got NO ref (diverged-tip id collision, or a sibling
+    // losing the one-owner-per-snapshot-id rule) is absent from the
+    // export — safer than exposing another chain's rows under its name,
+    // but a silent partial export would surprise consumers: warn loud,
+    // same pattern as the CDC-materialization failure path
+    branchViews.foreach { case (b, _, tip, base) =>
+      val hasRef = branchOwner.get(tip).contains(b) ||
+        (tip == base && mainIds.contains(tip))
+      if (!hasRef)
+        System.err.println(
+          s"graft: iceberg export of ${table.location} DROPPED branch '$b' " +
+            s"(tip $tip collides with a snapshot id owned by " +
+            s"${branchOwner.get(tip).map(o => s"branch '$o'")
+              .getOrElse("the main chain")}); the branch has no ref and " +
+            "no rows in the export — re-export after the branch is " +
+            "merged or fast-forwarded, or rename the colliding branch")
+    }
     val refsJson = (Seq(
       s""""main": {"snapshot-id": ${snap.snapshotId}, "type": "branch"}""") ++
       table.refs.toSeq.sortBy(_._1).collect {

@@ -65,8 +65,13 @@ object Dedup {
       .localCheckpoint()
     try {
       if (!corpus.exists)
-        corpus.create(firsts.schema,
+        try corpus.create(firsts.schema,
           properties = Map("graft.bloom.columns" -> "fingerprint"))
+        catch {
+          // lost a cold-start create race — the winner's table (same
+          // schema, same properties) is the one to ingest into
+          case e: IllegalArgumentException if corpus.exists => ()
+        }
       val fps = firsts.select(col("fingerprint"))
       val smallBatch = firsts
         .limit(graft.table.MergeInto.MaxKeyProbeValues + 1).count() <=
@@ -79,6 +84,11 @@ object Dedup {
       // the corpus's dedup invariant would silently break. The loser
       // re-probes against the winner's tip — its now-duplicate rows
       // drop out in the anti-join — and retries.
+      //
+      // An EMPTY chain (cold start: create() ran but nothing committed
+      // yet) is guarded too, via casParent's parentless assertion — a
+      // plain `expectedParent = tip` would pass None and skip the check,
+      // so two loops racing the very first batch would both append.
       var attempt = 0
       while (true) {
         attempt += 1
@@ -95,7 +105,8 @@ object Dedup {
           val n = fresh.count()
           if (n == 0) return 0L
           try {
-            corpus.append(fresh, expectedParent = tip)
+            corpus.append(fresh,
+              expectedParent = graft.table.GraftTable.casParent(tip))
             return n
           } catch {
             case _: java.util.ConcurrentModificationException => // re-probe

@@ -124,6 +124,22 @@ object IncrementalRollup {
         distinctCols.map(c =>
           kmv_sketch(when(!isDel, hashOf(c)), distinctK)
             .as(s"__delta_${c}_sk")) ++
+        // per summed column, TWO non-null trackers over the delta:
+        //   __delta_c_anynn (unsigned count of non-null inputs): a SUM
+        //     over non-null inputs can only be NULL through overflow
+        //     (non-ANSI DECIMAL overflow returns null) — this tells the
+        //     overflow apart from an empty/all-null group and fails
+        //     LOUD below, instead of coalesce(...,0) silently zeroing
+        //     the delta and corrupting the maintained sums forever;
+        //   __delta_c_nncnt (SIGNED: inserts +1, deletes -1): maintains
+        //     dst's running non-null count `c_nncnt`, which restores
+        //     SQL SEMANTICS for all-null groups — SUM over zero
+        //     non-null values is NULL, not the 0 the coalesce-combine
+        //     alone would produce
+        (sumCols ++ sumSqCols).distinct.flatMap(c => Seq(
+          count(col(c)).as(s"__delta_${c}_anynn"),
+          sum(when(col(c).isNotNull, sgn).otherwise(lit(0L)))
+            .as(s"__delta_${c}_nncnt"))) ++
         Seq(max(when(isDel, lit(1)).otherwise(lit(0))).as("__retracted"))
     // checkpoint: the delta is aggregate-sized (one row per CHANGED
     // group) and feeds three consumers — the dst file-prune probe, the
@@ -147,12 +163,33 @@ object IncrementalRollup {
         "filter or coalesce them upstream — null-keyed groups cannot be " +
         "maintained through SQL key equality")
 
+    // overflow guard (same one-pass-over-the-tiny-delta cost as the null
+    // check): null delta sum + non-null inputs ⇔ the aggregate overflowed
+    // its DECIMAL precision — the state would corrupt silently through
+    // coalesce(...,0), so refuse the round and tell the caller to widen
+    val overflowConds =
+      sumCols.map(c => col(s"__delta_${c}_sum").isNull &&
+        col(s"__delta_${c}_anynn") > 0) ++
+      sumSqCols.map(c => col(s"__delta_${c}_sumsq").isNull &&
+        col(s"__delta_${c}_anynn") > 0)
+    if (overflowConds.nonEmpty) {
+      val overflowed = delta.filter(overflowConds.reduce(_ || _))
+        .limit(1).count()
+      require(overflowed == 0L,
+        s"a delta SUM/SUMSQ aggregate overflowed its DECIMAL precision " +
+          s"(null result over non-null inputs) for ${dst.location} — " +
+          "widen the source column's precision (sum-of-squares needs " +
+          "~2x the digits) or maintain over a bounded-precision cast")
+    }
+
     if (!dst.exists) {
       val aggFields = keys.map(k => srcSchema(k)) ++
         sumCols.map(c => StructField(s"${c}_sum",
           delta.schema(s"__delta_${c}_sum").dataType)) ++
         sumSqCols.map(c => StructField(s"${c}_sumsq",
           delta.schema(s"__delta_${c}_sumsq").dataType)) ++
+        (sumCols ++ sumSqCols).distinct.map(c =>
+          StructField(s"${c}_nncnt", LongType)) ++
         minCols.map(c => StructField(s"${c}_min", srcSchema(c).dataType)) ++
         maxCols.map(c => StructField(s"${c}_max", srcSchema(c).dataType)) ++
         distinctCols.flatMap(c => Seq(
@@ -168,7 +205,8 @@ object IncrementalRollup {
       // columns — fail loud instead
       val expect = sumCols.map(_ + "_sum") ++ minCols.map(_ + "_min") ++
         maxCols.map(_ + "_max") ++ distinctCols.map(_ + "_distinct_sk") ++
-        sumSqCols.map(_ + "_sumsq")
+        sumSqCols.map(_ + "_sumsq") ++
+        (sumCols ++ sumSqCols).distinct.map(_ + "_nncnt")
       val have = dst.schema.fieldNames.toSet
       val missing = expect.filterNot(have)
       require(missing.isEmpty,
@@ -206,15 +244,26 @@ object IncrementalRollup {
     // rows of a full-outer join never happen here — cur is semi-joined
     // to the delta — but the guard keeps the expression total)
     val retracted = col("__retracted") === 1
+    // running non-null input count per summed column: when it reaches
+    // zero the group's values are ALL null and SQL says SUM = NULL —
+    // the coalesce-combine alone would freeze a stale 0/old value
+    def newNn(c: String) =
+      coalesce(col(s"${c}_nncnt"), lit(0L)) +
+        coalesce(col(s"__delta_${c}_nncnt"), lit(0L))
     val combined = joined
       .select(keys.map(col) ++
         sumCols.map(c =>
-          (coalesce(col(s"${c}_sum"), lit(0)) +
-            coalesce(col(s"__delta_${c}_sum"), lit(0))).as(s"${c}_sum")) ++
+          when(newNn(c) > 0,
+            coalesce(col(s"${c}_sum"), lit(0)) +
+              coalesce(col(s"__delta_${c}_sum"), lit(0)))
+            .as(s"${c}_sum")) ++
         sumSqCols.map(c =>
-          (coalesce(col(s"${c}_sumsq"), lit(0)) +
-            coalesce(col(s"__delta_${c}_sumsq"), lit(0)))
+          when(newNn(c) > 0,
+            coalesce(col(s"${c}_sumsq"), lit(0)) +
+              coalesce(col(s"__delta_${c}_sumsq"), lit(0)))
             .as(s"${c}_sumsq")) ++
+        (sumCols ++ sumSqCols).distinct.map(c =>
+          newNn(c).as(s"${c}_nncnt")) ++
         minCols.map(c =>
           when(retracted, col(s"__re_${c}_min"))
             .otherwise(least(col(s"${c}_min"), col(s"__delta_${c}_min")))

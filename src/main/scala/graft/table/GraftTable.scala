@@ -490,9 +490,18 @@ class GraftTable(spark: SparkSession, val location: String,
           return latestSnapshotId.get
       }
       expectedParent.foreach { exp =>
-        if (!parent.map(_.snapshotId).contains(exp))
+        // NoParentSentinel asserts a PARENTLESS publish (the caller read
+        // an empty chain): without it, two cold-start CAS writers both
+        // passing `expectedParent = None` would skip the check entirely —
+        // the publish-slot loser would retry on top of the winner and
+        // the check-then-append invariant would silently break
+        val ok =
+          if (exp == GraftTable.NoParentSentinel) parent.isEmpty
+          else parent.map(_.snapshotId).contains(exp)
+        if (!ok)
           throw new java.util.ConcurrentModificationException(
-            s"commit conflict on $location: expected parent $exp, " +
+            s"commit conflict on $location: expected parent " +
+              s"${if (exp == GraftTable.NoParentSentinel) "<none>" else exp}, " +
               s"found ${parent.map(_.snapshotId).orNull} — recompute the " +
               s"$operation against the current snapshot and retry")
       }
@@ -554,6 +563,11 @@ class GraftTable(spark: SparkSession, val location: String,
     val fields = parts.map(PartitionTransforms.parse)
     fields.foreach(f => require(schema.fieldNames.contains(f.source),
       s"partition source column ${f.source} not in schema"))
+    // transform/type compatibility fails HERE, not at first pruned read
+    // (hours(dateCol) would otherwise write zone-dependent dirs no read
+    // can prune through)
+    fields.foreach(f =>
+      PartitionTransforms.validateSourceType(f, schema(f.source).dataType))
     require(fields.forall(_.isIdentity) || fields.forall(!_.isIdentity),
       "mixing identity and transform partition fields is not supported — " +
         "wrap identity columns in truncate/bucket or keep the spec uniform")
@@ -960,6 +974,8 @@ class GraftTable(spark: SparkSession, val location: String,
     val fields = parts.map(PartitionTransforms.parse)
     fields.foreach(f => require(schema.fieldNames.contains(f.source),
       s"partition source column ${f.source} not in schema"))
+    fields.foreach(f =>
+      PartitionTransforms.validateSourceType(f, schema(f.source).dataType))
     require(fields.forall(!_.isIdentity),
       "partition spec evolution supports transform fields (days/months/" +
         "bucket/truncate) or an empty spec only: identity-partitioned " +
@@ -2682,6 +2698,20 @@ class GraftTable(spark: SparkSession, val location: String,
 object GraftTable {
   def apply(spark: SparkSession, location: String): GraftTable =
     new GraftTable(spark, location)
+
+  /** `expectedParent` sentinel asserting a PARENTLESS publish: pass
+    * `Some(NoParentSentinel)` when the caller's decision was computed
+    * against an EMPTY snapshot chain, so a concurrent first commit makes
+    * this one conflict instead of landing silently on top of it.
+    * (`expectedParent = None` means "no check", so a CAS caller must map
+    * an empty-chain read to this sentinel, never to None.) Snapshot ids
+    * are non-negative, so -1 can never name a real parent. */
+  val NoParentSentinel: Long = -1L
+
+  /** The tip a CAS caller should pass as `expectedParent`: the id it
+    * read, or the parentless assertion when the chain was empty. */
+  def casParent(tip: Option[Long]): Option[Long] =
+    Some(tip.getOrElse(NoParentSentinel))
 
   /** The same type with every array/map/struct container marked
     * nullable — the widest nullability shape, always a legal cast

@@ -96,6 +96,38 @@ object PartitionTransforms {
   def splitSpecs(s: String): Seq[String] =
     s.split(""",(?![^(]*\))""").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Reject transform/source-type pairs the DRIVER-side value transform
+    * ([[applyToValue]]) cannot evaluate, at table-CREATE/spec-evolution
+    * time rather than first pruned read. Without this, hours(d) on a
+    * DateType column WRITES fine (columnFor casts implicitly) but every
+    * partition-pruned read then throws — data lands in a layout no query
+    * can use. The accepted sets mirror applyToValue's match arms exactly;
+    * hours() additionally has no honest DateType meaning (a date has no
+    * hour — and the write-side cast would make the dirs session-zone
+    * dependent), so it requires a timestamp source. */
+  def validateSourceType(f: PartitionField, srcType: DataType): Unit = {
+    def fail(t: String): Nothing = throw new IllegalArgumentException(
+      s"$t(${f.source}) unsupported for source type ${srcType.simpleString}")
+    f.transform match {
+      case Identity => ()
+      case Years => srcType match {
+        case TimestampType | TimestampNTZType | DateType => ()
+        case _ => fail("years") }
+      case Months => srcType match {
+        case TimestampType | TimestampNTZType | DateType => ()
+        case _ => fail("months") }
+      case Days => srcType match {
+        case TimestampType | TimestampNTZType | DateType => ()
+        case _ => fail("days") }
+      case Hours => srcType match {
+        case TimestampType | TimestampNTZType => (); case _ => fail("hours") }
+      case Bucket(_) => () // IcebergBucketHash covers all bucketable types
+      case Truncate(w) => srcType match {
+        case StringType | LongType | IntegerType => ()
+        case _ => fail(s"truncate($w,)") }
+    }
+  }
+
   /** The derived column's type in the directory layout. */
   def physType(f: PartitionField, srcType: DataType): DataType =
     f.transform match {
@@ -159,7 +191,7 @@ object PartitionTransforms {
       case Identity => v
       case Years =>
         val days = srcType match {
-          case TimestampType =>
+          case TimestampType | TimestampNTZType =>
             Math.floorDiv(v.asInstanceOf[Long], 86400000000L)
           case DateType => v.asInstanceOf[Int].toLong
           case other => throw new IllegalArgumentException(
@@ -167,7 +199,7 @@ object PartitionTransforms {
         }
         java.time.LocalDate.ofEpochDay(days).getYear
       case Hours => srcType match {
-        case TimestampType =>
+        case TimestampType | TimestampNTZType =>
           val hrs = Math.floorDiv(v.asInstanceOf[Long], 3600000000L)
           val ldt = java.time.LocalDateTime.ofEpochSecond(
             hrs * 3600L, 0, java.time.ZoneOffset.UTC)
@@ -178,7 +210,7 @@ object PartitionTransforms {
           s"hours(${f.source}) unsupported for type $other")
       }
       case Days => srcType match {
-        case TimestampType => // micros → UTC days
+        case TimestampType | TimestampNTZType => // micros → (UTC) days
           Math.floorDiv(v.asInstanceOf[Long], 86400000000L).toInt
         case DateType => v
         case other => throw new IllegalArgumentException(
@@ -186,7 +218,7 @@ object PartitionTransforms {
       }
       case Months =>
         val days = srcType match {
-          case TimestampType =>
+          case TimestampType | TimestampNTZType =>
             Math.floorDiv(v.asInstanceOf[Long], 86400000000L).toLong
           case DateType => v.asInstanceOf[Int].toLong
           case other => throw new IllegalArgumentException(

@@ -250,7 +250,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"""CALL graft.maintain_rollup('ext_roll_src', dst => '$dstPath',
          |keys => 'g', sums => 'v', app_id => 'r')""".stripMargin)
     val dst = graft.table.GraftTable(spark, dstPath)
-    assert(dst.read().orderBy("g").as[(String, Long, Long)].collect()
+    assert(dst.read().select("g", "v_sum", "n")
+      .orderBy("g").as[(String, Long, Long)].collect()
       === Array(("a", 17L, 2L), ("b", 5L, 1L)))
     // up to date: -1 (nothing applied), and the dst is unchanged
     assert(spark.sql(
@@ -275,12 +276,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
          |mins => 'v', maxes => 'v')""".stripMargin)
     round()
     val dst = graft.table.GraftTable(spark, dstPath)
-    assert(dst.read().as[(String, Long, Long, Long, Long)].collect()
+    assert(dst.read().select("g", "v_sum", "v_min", "v_max", "n")
+      .as[(String, Long, Long, Long, Long)].collect()
       === Array(("a", 109L, 10L, 99L, 2L)))
     // retract the max through SQL DELETE on the source, re-maintain
     spark.sql("DELETE FROM ext_rollmm_src WHERE id = 2")
     round()
-    assert(dst.read().as[(String, Long, Long, Long, Long)].collect()
+    assert(dst.read().select("g", "v_sum", "v_min", "v_max", "n")
+      .as[(String, Long, Long, Long, Long)].collect()
       === Array(("a", 10L, 10L, 10L, 1L)))
     cat.drop("ext_rollmm_src")
   }

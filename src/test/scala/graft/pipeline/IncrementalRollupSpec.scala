@@ -18,7 +18,8 @@ class IncrementalRollupSpec extends SparkSpec {
       .agg(sum(col("v")).as("v_sum"), count(lit(1)).as("n"))
 
   private def dstRows(dst: GraftTable) =
-    dst.read().orderBy("g").as[(String, Long, Long)].collect()
+    dst.read().select("g", "v_sum", "n")
+      .orderBy("g").as[(String, Long, Long)].collect()
 
   test("maintain applies append/merge/delete deltas; dst equals the " +
       "recompute after every round") {
@@ -59,7 +60,7 @@ class IncrementalRollupSpec extends SparkSpec {
     // a replayed sink call with the SAME (appId, batchId) — the crashed-
     // between-merge-and-ack scenario — must not double-apply, even with
     // a poisoned delta
-    dst.merge(Seq(("a", 999999L, 1L)).toDF("g", "v_sum", "n"),
+    dst.merge(Seq(("a", 999999L, 9L, 1L)).toDF("g", "v_sum", "v_nncnt", "n"),
       keys = Seq("g"), dedupKey = Seq("g"), orderCol = "g",
       txn = Some(("x", tip)))
     assert(dst.snapshots.size === snapsBefore) // no new commit
@@ -90,7 +91,8 @@ class IncrementalRollupSpec extends SparkSpec {
       .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
 
   private def mmRows(dst: GraftTable) =
-    dst.read().orderBy("g").as[(String, Long, Long, Long, Long)]
+    dst.read().select("g", "v_sum", "v_min", "v_max", "n")
+      .orderBy("g").as[(String, Long, Long, Long, Long)]
       .collect().toSeq
 
   private def maintainMM(src: GraftTable, dst: GraftTable): Unit =
@@ -157,6 +159,71 @@ class IncrementalRollupSpec extends SparkSpec {
     src.delete(col("id") === 2L) // retract a² from the running sumsq
     m(); assert(got() === want())
     assert(got().find(_._1 == "a").get === (("a", 14L, 130L, 2L)))
+  }
+
+  test("maintenance across a SOURCE schema-evolve boundary: pre-evolve " +
+      "rows null-fill the new column and contribute nothing to its sums " +
+      "(asserted, not assumed); n still counts them") {
+    val src = fresh("roll-evolve-src")
+    val dst = fresh("roll-evolve-dst")
+    // history: 3 rows WITHOUT w → evolve adds w → 2 rows WITH w
+    src.append(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L))
+      .toDF("g", "id", "v"))
+    src.addColumns(Seq(org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+    src.append(Seq(("a", 4L, 5L, 100L), ("c", 5L, 7L, 200L))
+      .toDF("g", "id", "v", "w"))
+
+    // ONE maintenance round spanning the evolve commit: the changelog
+    // range mixes schemas; pre-evolve inserts read with w = null
+    val r = IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v", "w"),
+      "x")
+    assert(r.isDefined)
+    def got() = dst.read().select("g", "v_sum", "w_sum", "n")
+      .orderBy("g").as[(String, Long, Option[Long], Long)].collect().toSeq
+    // group a: v sums ALL three rows; w sums only the post-evolve row
+    assert(got() === Seq(("a", 35L, Some(100L), 3L), ("b", 30L, None, 1L),
+      ("c", 7L, Some(200L), 1L)))
+    // ... and equals the one-shot recompute (SUM skips nulls there too)
+    val want = src.read().groupBy("g")
+      .agg(sum(col("v")).as("v_sum"), sum(col("w")).as("w_sum"),
+        count(lit(1)).as("n")).orderBy("g")
+      .as[(String, Long, Option[Long], Long)].collect().toSeq
+    assert(got() === want)
+
+    // incremental rounds AFTER the boundary keep netting correctly,
+    // including a retraction of a group's ONLY w row — which must take
+    // its w_sum back to SQL's all-null answer (NULL, not a stale 0)
+    src.append(Seq(("b", 6L, 1L, 50L)).toDF("g", "id", "v", "w"))
+    src.delete(col("id") === 4L) // retract a's only w row
+    assert(IncrementalRollup.maintain(src, dst, Seq("g"), Seq("v", "w"),
+      "x").isDefined)
+    assert(got() === Seq(("a", 30L, None, 2L), ("b", 31L, Some(50L), 2L),
+      ("c", 7L, Some(200L), 1L)))
+    val want2 = src.read().groupBy("g")
+      .agg(sum(col("v")).as("v_sum"), sum(col("w")).as("w_sum"),
+        count(lit(1)).as("n")).orderBy("g")
+      .as[(String, Long, Option[Long], Long)].collect().toSeq
+    assert(got() === want2)
+  }
+
+  test("DECIMAL overflow in a delta aggregate fails LOUD under non-ANSI " +
+      "mode instead of silently zeroing the sumsq state") {
+    val src = fresh("roll-ovf-src")
+    val dst = fresh("roll-ovf-dst")
+    // 10^19 as DECIMAL(38,0): v*v = 10^38 overflows Decimal(38) — ANSI
+    // throws at the multiply; non-ANSI yields NULL, which the combine's
+    // coalesce(...,0) would have silently treated as a zero delta
+    src.append(Seq(("a", 1L)).toDF("g", "id")
+      .withColumn("v", lit("10000000000000000000").cast("decimal(38,0)")))
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[IllegalArgumentException](
+        IncrementalRollup.maintain(src, dst, Seq("g"), Seq.empty, "x",
+          sumSqCols = Seq("v")))
+      assert(e.getMessage.contains("overflowed"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
 
   test("COUNT(DISTINCT) maintenance: insert rounds union-merge the KMV " +

@@ -74,6 +74,30 @@ class ConcurrencySpec extends SparkSpec {
       "a fingerprint double-committed under concurrency")
   }
 
+  test("COLD-START dedupAppend race: two loops racing the very first " +
+      "batch still never double-commit (empty chain asserts a parentless " +
+      "publish, not no-check)") {
+    // no seeding: both writers may observe exists=false or an empty
+    // snapshot chain — the regime where a plain expectedParent=tip
+    // degrades to "no check" and overlapping fingerprints double-commit
+    val t = GraftTable(spark, tmpDir("conc-dedup-cold") + "/t")
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"cold start document $i"))
+        .toDF("doc_id", "text")
+    // ids 1-15 and 6-20 share texts 6-15
+    val fs = Seq(mk(1, 15), mk(6, 20)).map(b =>
+      Future(graft.operators.Dedup.dedupAppend(t, b, "doc_id", "text")))
+    val counts = Await.result(Future.sequence(fs), 120.seconds)
+    pool.shutdown()
+    assert(counts.sum === 20L, s"net novel rows must be 20, got $counts")
+    val rows = t.read()
+    assert(rows.count() === 20)
+    assert(rows.select("fingerprint").distinct().count() === 20,
+      "a fingerprint double-committed in the cold-start race")
+  }
+
   test("a rewrite whose base changed under it fails instead of corrupting") {
     val t = GraftTable(spark, tmpDir("conc-conflict") + "/t")
     t.append(Seq((1L, "a")).toDF("id", "v"))

@@ -26,18 +26,25 @@ class LifecycleFuzzSpec extends SparkSpec {
       "after every op; changelog replay reconstructs the final state") {
     val rnd = new scala.util.Random(seed)
     val t = GraftTable(spark, tmpDir(s"fuzz-$seed") + "/t")
-    // model: id -> (ord, v)
-    var model = Map.empty[Long, (Long, Long)]
+    // model: id -> (ord, v, w) — w is None until the mid-fuzz schema
+    // evolve lands and for every row whose write predates it
+    var model = Map.empty[Long, (Long, Long, Option[Long])]
     var ord = 0L
+    var evolved = false
+    // post-evolve merge batches carry w (the merge path requires the
+    // exact target column set); derived from ord so it's deterministic
+    def withW(df: org.apache.spark.sql.DataFrame) =
+      if (evolved) df.withColumn("w", pmod(col("ord"), lit(7L))) else df
 
     def mergeOp(mode: String): Unit = {
       val ids = rnd.shuffle((0L until 200L).toList)
         .take(5 + rnd.nextInt(25))
       val rows = ids.map { id => ord += 1; (id, ord, rnd.nextInt(100000).toLong) }
-      t.merge(rows.toDF("id", "ord", "v")
-        .withColumn("g", pmod(col("id"), lit(5L))), keys = Seq("id"),
+      t.merge(withW(rows.toDF("id", "ord", "v")
+        .withColumn("g", pmod(col("id"), lit(5L)))), keys = Seq("id"),
         dedupKey = Seq("id"), orderCol = "ord", mode = mode)
-      rows.foreach { case (id, o, v) => model += id -> (o, v) }
+      rows.foreach { case (id, o, v) =>
+        model += id -> (o, v, if (evolved) Some(o % 7) else None) }
     }
     def deleteOp(positional: Boolean): Unit = {
       val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
@@ -49,8 +56,8 @@ class LifecycleFuzzSpec extends SparkSpec {
       val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
       t.updatePositions(Map("v" -> (col("v") * 2)),
         Some(col("id") % m === r))
-      model = model.map { case (id, (o, v)) =>
-        id -> (o, if (id % m == r) v * 2 else v) }
+      model = model.map { case (id, (o, v, w)) =>
+        id -> (o, if (id % m == r) v * 2 else v, w) }
     }
     def branchOp(check: String => Unit): Unit = {
       // one full write-audit-publish cycle as a composite op: stage 1-2
@@ -65,24 +72,36 @@ class LifecycleFuzzSpec extends SparkSpec {
           .take(5 + rnd.nextInt(10))
         val rows = ids.map { id =>
           ord += 1; (id, ord, rnd.nextInt(100000).toLong) }
-        b.merge(rows.toDF("id", "ord", "v")
-          .withColumn("g", pmod(col("id"), lit(5L))), keys = Seq("id"),
+        b.merge(withW(rows.toDF("id", "ord", "v")
+          .withColumn("g", pmod(col("id"), lit(5L)))), keys = Seq("id"),
           dedupKey = Seq("id"), orderCol = "ord",
           mode = if (rnd.nextBoolean()) "cow" else "mor")
         rows
       }
       check("branch staged (main must be untouched)")
       t.fastForward(bn)
-      staged.foreach(_.foreach { case (id, o, v) => model += id -> (o, v) })
+      staged.foreach(_.foreach { case (id, o, v) =>
+        model += id -> (o, v, if (evolved) Some(o % 7) else None) })
     }
 
     def check(op: String): Unit = {
       // sorted Seq, not Set: a bug that double-applies a file yields
       // duplicate identical rows, which a set compare cannot see
-      val got = t.read().select("id", "ord", "v")
-        .as[(Long, Long, Long)].collect().toSeq.sorted
-      val want = model.map { case (id, (o, v)) => (id, o, v) }.toSeq.sorted
-      assert(got === want, s"divergence after $op")
+      if (!evolved) {
+        val got = t.read().select("id", "ord", "v")
+          .as[(Long, Long, Long)].collect().toSeq.sorted
+        val want = model.map { case (id, (o, v, _)) => (id, o, v) }
+          .toSeq.sorted
+        assert(got === want, s"divergence after $op")
+      } else {
+        // post-evolve: w compares too — pre-evolve rows must read null
+        // through every path (plain read, MOR merge view, rewrites)
+        val got = t.read().select("id", "ord", "v", "w")
+          .as[(Long, Long, Long, Option[Long])].collect().toSeq.sorted
+        val want = model.map { case (id, (o, v, w)) => (id, o, v, w) }
+          .toSeq.sorted
+        assert(got === want, s"divergence after $op")
+      }
     }
 
     // seed via append (merge needs an existing table): unique ids
@@ -90,7 +109,7 @@ class LifecycleFuzzSpec extends SparkSpec {
       .map { id => ord += 1; (id, ord, rnd.nextInt(100000).toLong) }
     t.append(seedRows.toDF("id", "ord", "v")
       .withColumn("g", pmod(col("id"), lit(5L))))
-    seedRows.foreach { case (id, o, v) => model += id -> (o, v) }
+    seedRows.foreach { case (id, o, v) => model += id -> (o, v, None) }
     check("seed")
 
     // incremental-rollup cross-check: maintain a full-featured aggregate
@@ -123,7 +142,35 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
     rollCheck("seed")
 
+    // the second rollup spans the evolve boundary: created AFTER the
+    // evolve with sumCols (v, w), its first maintenance round reads a
+    // mixed-schema changelog range — pre-evolve inserts must null-fill
+    // w and zero-contribute to w_sum while still counting in n
+    val roll2 = GraftTable(spark, tmpDir(s"fuzz-roll2-$seed") + "/t")
+    def rollCheck2(op: String): Unit = if (evolved) {
+      graft.pipeline.IncrementalRollup.maintain(t, roll2, Seq("g"),
+        Seq("v", "w"), "fuzz2")
+      val want = t.read().groupBy("g")
+        .agg(sum(col("v")).as("v_sum"), sum(col("w")).as("w_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("g")
+        .as[(Long, Long, Option[Long], Long)].collect().toSeq
+      val got = roll2.read().select(col("g"), col("v_sum"), col("w_sum"),
+          col("n")).orderBy("g")
+        .as[(Long, Long, Option[Long], Long)].collect().toSeq
+      assert(got === want,
+        s"cross-evolve rollup maintenance diverged after $op")
+    }
+
     (1 to 23).foreach { i =>
+      // mid-fuzz schema evolve (deterministic op 10): every later merge
+      // carries w; every earlier row must null-fill it forever after
+      if (i == 10) {
+        t.addColumns(Seq(org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+        evolved = true
+        check("op 10: evolve (metadata-only, no data change)")
+      }
       val op = rnd.nextInt(7) match {
         case 6 => branchOp(s => check(s"op $i: $s")); "branchWap"
         case 0 => mergeOp("cow"); "mergeCow"
@@ -138,9 +185,9 @@ class LifecycleFuzzSpec extends SparkSpec {
           "compact"
       }
       check(s"op $i: $op")
-      if (i % 5 == 0) rollCheck(s"op $i: $op")
+      if (i % 5 == 0) { rollCheck(s"op $i: $op"); rollCheck2(s"op $i: $op") }
     }
-    rollCheck("final")
+    rollCheck("final"); rollCheck2("final")
 
     // full-history changelog replay: per commit apply deletes then
     // inserts; the replayed multiset must equal the final read
@@ -166,6 +213,6 @@ class LifecycleFuzzSpec extends SparkSpec {
       s"changelog replay produced duplicates/negatives: " +
         replayed.filter(_._2 != 1).take(5))
     assert(replayed.keySet ===
-      model.map { case (id, (o, v)) => (id, o, v) }.toSet)
+      model.map { case (id, (o, v, _)) => (id, o, v) }.toSet)
   }
 }

@@ -185,6 +185,30 @@ class PartitionTransformSpec extends SparkSpec {
     }
   }
 
+  test("transform/source-type mismatch is rejected at CREATE, not first " +
+      "pruned read (hours() needs a timestamp; a DateType source would " +
+      "write dirs no read could prune through)") {
+    val dSch = Seq((1L, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("id", "d").schema
+    val e = intercept[IllegalArgumentException] {
+      freshTable("pt-hours-date").create(dSch, parts = Seq("hours(d)"))
+    }
+    assert(e.getMessage.contains("hours") && e.getMessage.contains("date"))
+    // same guard on the spec-evolution path
+    val t = freshTable("pt-hours-evolve")
+    t.create(dSch, parts = Seq("days(d)"))
+    val e2 = intercept[IllegalArgumentException](
+      t.updatePartitionSpec(Seq("hours(d)")))
+    assert(e2.getMessage.contains("hours"))
+    // transforms with an honest DateType meaning still work
+    freshTable("pt-days-date").create(dSch, parts = Seq("days(d)"))
+    // and strings reject time transforms too
+    val sSch = Seq((1L, "x")).toDF("id", "s").schema
+    intercept[IllegalArgumentException] {
+      freshTable("pt-days-str").create(sSch, parts = Seq("days(s)"))
+    }
+  }
+
   test("graft.write.distribution=hash: one task per partition value") {
     val rows = tsRows(3, 40) // 3 days, 120 rows
     val sch = rows.toDF("id", "ts", "v").schema
