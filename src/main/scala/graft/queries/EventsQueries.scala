@@ -433,6 +433,90 @@ object EventsQueries {
       |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** Watermarked STREAM-STREAM LEFT OUTER time-range join: the outer
+    * variant of [[qStreamJoin]], exercising the eviction semantics the
+    * inner join never does — an unmatched view may emit its null-padded
+    * row ONLY once the watermark proves no future purchase can match
+    * (v_ts + 1h < watermark); emitting earlier would retract on a late
+    * match, and never emitting would hold state forever. The fixture is
+    * finite, so the final windows would never close on their own: a
+    * second micro-batch carries two far-future SENTINEL events (one per
+    * side — the global watermark is the MIN across both inputs), pushing
+    * the watermark past every real window so Spark's no-data trigger
+    * flushes every unmatched view. Streamed output (sentinels filtered)
+    * must then equal the batch left join EXACTLY — matched pairs AND
+    * null rows. */
+  val qStreamJoinOuter: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts_us"))
+    val raw = Scratch.dir("streamjoinouter-raw")
+    val maxUs = ev0.agg(max(col("ts_us"))).collect()(0).getLong(0)
+    import s.implicits._
+    val sentinels = Seq(
+      (-1L, -999L, "view", maxUs + 30L * 86400000000L),
+      (-2L, -999L, "purchase", maxUs + 30L * 86400000000L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    // real events first, sentinels second; mtimes pinned so the file
+    // source can never reorder the flush ahead of the data
+    val rawDir = new java.io.File(raw)
+    var seen = Set.empty[String]
+    val t0 = System.currentTimeMillis() - 600000L
+    Seq(ev0, sentinels).zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(raw)
+      val files = rawDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      files.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(t0 + i * 60000L))
+      seen ++= files.map(_.getName)
+    }
+    val schema = s.read.parquet(raw).schema
+    val rawStream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(raw)
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+    val views = rawStream.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ets").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = rawStream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ets").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases, expr(
+      "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"),
+      "left_outer")
+    val name = "graft_stream_join_outer_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Scratch.dir("streamjoinouter-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val resultDf = s.table(name)
+      .filter(col("view_id") >= 0) // sentinel flush rows are not output
+      // unmatched views surface as -1, not NULL: a nullable numeric
+      // column renders as mixed int/NaN across compare engines and
+      // makes the row-sort hash fragile — the sentinel is unambiguous
+      // (real event ids are non-negative)
+      .select(col("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("v_user").as("user_id"))
+      .orderBy("view_id", "purchase_id")
+    val rows = resultDf.collect()
+    val outSchema = resultDf.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+  val qStreamJoinOuterSql: String =
+    """SELECT v.event_id AS view_id,
+      |  COALESCE(p.event_id, -1) AS purchase_id, v.user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   /** Streaming bronze→gold composition ([[graft.streaming.Streaming
     * .graftRollupSink]]): events arrive as three micro-batches (one file
     * per trigger), each batch lands exactly-once in a bronze graft table
@@ -489,8 +573,80 @@ object EventsQueries {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming bronze→silver MERGE ([[graft.streaming.Streaming
+    * .graftMergeSink]]): the reference's keyed CDC upsert
+    * (/root/reference/bronze-silver.py:249-286) as an always-on stream.
+    * Events arrive as three MICRO-BATCHES in event_id order (the merge
+    * order key — WHEN MATCHED replaces unconditionally, so arrival
+    * order must follow it, exactly like the reference's checkpointed
+    * sequential re-runs); each batch is window-deduped keep-latest per
+    * user and MOR-merged into silver with the exactly-once txn stamp.
+    * 'purchase' events ride the CDC delete branch (op='D'). Final
+    * silver state = per user the globally-latest event — absent if that
+    * event was a delete — which is exactly what the SQL oracle
+    * reconstructs in one window pass. */
+  val qStreamMerge: Q = (s, dir) => {
+    import graft.table.GraftTable
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        dec(col("value")).as("value_d"))
+    val raw = Scratch.dir("streammerge-raw")
+    val nmax = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val c1 = nmax / 3; val c2 = 2 * nmax / 3
+    val chunks = Seq(col("event_id") <= c1,
+      col("event_id") > c1 && col("event_id") <= c2,
+      col("event_id") > c2)
+    // one file per chunk; mtimes pinned ascending so the file source
+    // (which orders by modification time) can never reorder two chunks
+    // written within the same clock tick
+    val rawDir = new java.io.File(raw)
+    var seen = Set.empty[String]
+    val t0 = System.currentTimeMillis() - 600000L
+    chunks.zipWithIndex.foreach { case (p, i) =>
+      ev.filter(p).coalesce(1).write.mode("append").parquet(raw)
+      val files = rawDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      files.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(t0 + i * 60000L))
+      seen ++= files.map(_.getName)
+    }
+    val silverLoc = Scratch.dir("streammerge-silver")
+    val schema = s.read.parquet(raw).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(raw)
+      .withColumn("__op",
+        when(col("event_type") === "purchase", lit("D")))
+    val steps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = graft.streaming.Streaming.graftMergeSink(stream, silverLoc,
+      "smerge", keys = Seq("user_id"), dedupKey = Seq("user_id"),
+      orderCol = "event_id", opCol = Some("__op"),
+      afterBatch = _ => steps.incrementAndGet())
+      .option("checkpointLocation", Scratch.dir("streammerge-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(steps.get() >= 3,
+      s"expected >= 3 micro-batches, saw ${steps.get()}")
+    GraftTable(s, silverLoc).read()
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value_d").cast("double").as("value"))
+      .orderBy("user_id")
+  }
+  val qStreamMergeSql: String =
+    """WITH latest AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id, event_type, value
+      |FROM latest WHERE rn = 1 AND event_type <> 'purchase'
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_merge", qStreamMerge, Some(qStreamMergeSql)),
     ("q_stream_join", qStreamJoin, Some(qStreamJoinSql)),
+    ("q_stream_join_outer", qStreamJoinOuter, Some(qStreamJoinOuterSql)),
     ("q_stream_rollup", qStreamRollup, Some(qStreamRollupSql)),
     ("q_retention_cohorts", qRetentionCohorts, Some(qRetentionCohortsSql)),
     ("q_asof_signup", qAsofSignup, Some(qAsofSignupSql)),

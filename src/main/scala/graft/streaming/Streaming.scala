@@ -85,6 +85,50 @@ object Streaming {
         ()
     }
 
+  /** Streaming bronze→silver MERGE sink: the reference's keyed CDC
+    * upsert (/root/reference/bronze-silver.py:249-286) as an ALWAYS-ON
+    * stream. Each micro-batch is window-deduped keep-latest per
+    * `dedupKey` ([[graft.table.MergeInto.dedupLatest]] — the reference's
+    * ROW_NUMBER...rn=1, including its N4 coarser-dedup-key quirk) and
+    * MERGEd into the silver graft table: WHEN MATCHED → full-row
+    * replace, WHEN NOT MATCHED → INSERT, and (engine extension, off by
+    * default like the batch path) op∈deleteOps → DELETE.
+    *
+    * Exactly-once: the merge commits with the idempotent-writer stamp
+    * `(txnAppId, batchId)` ATOMICALLY inside the snapshot, so a crash
+    * between the table commit and the stream checkpoint replays the
+    * micro-batch into a no-op — the same guarantee as [[graftSink]],
+    * extended to row-level rewrites. `mode = "mor"` (default — silver's
+    * own table format in the reference) keeps the per-batch write
+    * O(batch): the batch appends + one key-tombstone file, never a
+    * table-sized rewrite, which is the only always-on-viable shape at
+    * 100 TB; "cow"/"auto" are honored for workloads that prefer
+    * read-amplification-free files.
+    *
+    * First micro-batch creates the silver table from the batch schema
+    * (minus the op column — CDC metadata is not silver state).
+    * `afterBatch` (test hook) runs after each merge with the table. */
+  def graftMergeSink(stream: DataFrame, silverLoc: String, txnAppId: String,
+      keys: Seq[String], dedupKey: Seq[String], orderCol: String,
+      opCol: Option[String] = None, deleteOps: Seq[String] = Seq("D"),
+      mode: String = "mor",
+      afterBatch: graft.table.GraftTable => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val silver = graft.table.GraftTable(batch.sparkSession, silverLoc)
+        if (!silver.exists) {
+          val dataCols = batch.schema.fields
+            .filterNot(f => opCol.contains(f.name))
+          silver.create(StructType(dataCols))
+        }
+        silver.merge(batch.toDF(), keys = keys, dedupKey = dedupKey,
+          orderCol = orderCol, opCol = opCol, deleteOps = deleteOps,
+          mode = mode, txn = Some((txnAppId, batchId)))
+        afterBatch(silver)
+        ()
+    }
+
   /** Streaming exact dedup: keep only the FIRST occurrence of each
     * content fingerprint — the streaming face of Dedup.exactRows for a
     * continuously-ingesting corpus, backed by the checkpoint

@@ -130,6 +130,63 @@ class StreamingSpec extends SparkSpec {
       ("c", 7L, 1L)))
   }
 
+  test("graftMergeSink: per-batch window-dedup + keyed MOR merge; CDC " +
+      "delete branch; crash-replay of a committed batch is a no-op") {
+    val base = tmpDir("stream-merge")
+    val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
+    val silverLoc = s"$base/silver"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("seq", LongType), StructField("op", StringType)))
+    // batch 1: two versions of k=1 (dedup keeps latest by seq) + k=2
+    Files.write(Paths.get(rawDir, "b1.csv"),
+      "k,v,seq,op\n1,old,10,\n1,new,11,\n2,two,12,\n".getBytes("UTF-8"))
+
+    def silverRows() = graft.table.GraftTable(spark, silverLoc).read()
+      .select("k", "v", "seq").orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq
+
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true").csv(rawDir)
+    var batches = 0
+    val q = Streaming.graftMergeSink(stream, silverLoc, "merge-test",
+      keys = Seq("k"), dedupKey = Seq("k"), orderCol = "seq",
+      opCol = Some("op"), afterBatch = _ => batches += 1)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(silverRows() === Seq((1L, "new", 11L), (2L, "two", 12L)))
+      // batch 2: update k=1, CDC-delete k=2, insert k=3
+      Files.write(Paths.get(rawDir, "b2.csv"),
+        "k,v,seq,op\n1,upd,20,\n2,gone,21,D\n3,three,22,\n"
+          .getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(silverRows() === Seq((1L, "upd", 20L), (3L, "three", 22L)))
+      assert(batches === 2)
+    } finally q.stop()
+
+    val silver = graft.table.GraftTable(spark, silverLoc)
+    // the op column never leaked into silver's schema
+    assert(silver.schema.fieldNames.toSeq === Seq("k", "v", "seq"))
+    // micro-batch merges carried the idempotent-writer stamp
+    assert(silver.lastTxnBatch("merge-test") === Some(1L))
+    // crash-replay: re-merging an already-committed batchId is a NO-OP
+    val before = silver.latestSnapshotId.get
+    silver.merge(Seq((9L, "dup", 99L, null.asInstanceOf[String]))
+      .toDF("k", "v", "seq", "op"),
+      keys = Seq("k"), dedupKey = Seq("k"), orderCol = "seq",
+      opCol = Some("op"), mode = "mor", txn = Some(("merge-test", 1L)))
+    assert(silver.latestSnapshotId.get === before)
+    assert(silverRows() === Seq((1L, "upd", 20L), (3L, "three", 22L)))
+    // a NEW batch id merges normally
+    silver.merge(Seq((9L, "nine", 30L, null.asInstanceOf[String]))
+      .toDF("k", "v", "seq", "op"),
+      keys = Seq("k"), dedupKey = Seq("k"), orderCol = "seq",
+      opCol = Some("op"), mode = "mor", txn = Some(("merge-test", 2L)))
+    assert(silverRows() ===
+      Seq((1L, "upd", 20L), (3L, "three", 22L), (9L, "nine", 30L)))
+  }
+
   test("streaming dedup keeps first occurrence across micro-batches") {
     val base = tmpDir("stream-dedup")
     val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
