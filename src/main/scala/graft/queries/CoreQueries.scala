@@ -892,7 +892,113 @@ object CoreQueries {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
       |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
+  /** TPC-H Q11 (important stock): group-HAVING against a scalar-subquery
+    * FRACTION of a global sum — the "share of total" planner shape.
+    * lineitem stands in for partsupp (as in q16): part value =
+    * Σ extendedprice×quantity over a two-nation supplier slice; a part
+    * qualifies when its value exceeds 1/1000 of the slice's total. The
+    * threshold is algebraized to exact decimal arithmetic
+    * (`sum*1000 > total`, no IEEE division), so both engines decide
+    * threshold-adjacent parts identically. Scale shape: the slice
+    * aggregates once behind a CTE and feeds BOTH the per-part rollup and
+    * the global sum; the scalar subquery broadcasts as a one-row build
+    * side — no second scan of lineitem, no nested loop. */
+  val q11ImportantStock: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("q11_lineitem")
+    Tables.load(s, dir, "supplier").createOrReplaceTempView("q11_supplier")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("q11_nation")
+    s.sql(
+      """WITH nat AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS val
+        |  FROM q11_lineitem JOIN q11_supplier ON l_suppkey = s_suppkey
+        |  JOIN q11_nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7')),
+        |agg AS (
+        |  SELECT l_partkey AS ps_partkey, SUM(val) AS sval
+        |  FROM nat GROUP BY l_partkey)
+        |SELECT ps_partkey, CAST(sval AS DOUBLE) AS part_value
+        |FROM agg
+        |WHERE sval * 1000 > (SELECT SUM(val) FROM nat)
+        |ORDER BY part_value DESC, ps_partkey""".stripMargin)
+  }
+  val q11ImportantStockSql: String =
+    """WITH nat AS (
+      |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |         CAST(l_quantity AS DECIMAL(18,2)) AS val
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_3', 'NATION_7')),
+      |agg AS (
+      |  SELECT l_partkey AS ps_partkey, SUM(val) AS sval
+      |  FROM nat GROUP BY l_partkey)
+      |SELECT ps_partkey, CAST(sval AS DOUBLE) AS part_value
+      |FROM agg
+      |WHERE sval * 1000 > (SELECT SUM(val) FROM nat)
+      |ORDER BY part_value DESC, ps_partkey""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion): nested correlated IN with a
+    * 50%-of-SUM threshold join — the hardest remaining decorrelation
+    * shape. lineitem stands in for partsupp: availqty = Σ quantity of a
+    * pair's non-returned lines; a pair qualifies when that exceeds half
+    * the pair's 1996-97 shipped quantity (the correlated scalar
+    * aggregate). The inner filter chains a second IN (PROMO parts), and
+    * the outer IN feeds a nation-sliced supplier list — three nested
+    * subquery levels, every one of which must plan as an equi-keyed
+    * hash/semi join (the correlated aggregate decorrelates to a
+    * (partkey, suppkey)-keyed aggregate + left join; nothing may go
+    * nested-loop). Exact decimal quantities (`avail*2 > shipped`) keep
+    * the threshold engine-identical. */
+  val q20PartPromotion: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+    Tables.load(s, dir, "supplier").createOrReplaceTempView("q20_supplier")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("q20_nation")
+    Tables.load(s, dir, "part").createOrReplaceTempView("q20_part")
+    s.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+        |  FROM q20_lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2)
+        |SELECT s_name
+        |FROM q20_supplier JOIN q20_nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
+        |                 'NATION_5')
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN
+        |        (SELECT p_partkey FROM q20_part WHERE p_type = 'PROMO')
+        |      AND ps_availqty * 2 > COALESCE((
+        |        SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |        FROM q20_lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'), 0))
+        |ORDER BY s_name""".stripMargin)
+  }
+  val q20PartPromotionSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+      |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2)
+      |SELECT s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
+      |                 'NATION_5')
+      |  AND s_suppkey IN (
+      |    SELECT ps_suppkey FROM ps
+      |    WHERE ps_partkey IN
+      |        (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      |      AND ps_availqty * 2 > COALESCE((
+      |        SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+      |        FROM lineitem
+      |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'), 0))
+      |ORDER BY s_name""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q11_important_stock", q11ImportantStock, Some(q11ImportantStockSql)),
+    ("q20_part_promotion", q20PartPromotion, Some(q20PartPromotionSql)),
     ("q13_custdist", q13CustDist, Some(q13CustDistSql)),
     ("q15_top_supplier", q15TopSupplier, Some(q15TopSupplierSql)),
     ("q19_discounted", q19Discounted, Some(q19DiscountedSql)),
