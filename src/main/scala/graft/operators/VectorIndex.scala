@@ -80,12 +80,23 @@ object VectorIndex {
       qv, lit(0L), bc, 64)
 
   /** Build the index from `src`'s CURRENT snapshot: freeze nLists
-    * deterministic centroids (hash-ordered id sample — the ivfTopK
-    * choice, engine-portable) and assign every current vector. The
+    * deterministic centroids and assign every current vector. The
     * assignment append carries txn (appId, tip), so refresh picks up
-    * exactly after the built state. */
+    * exactly after the built state.
+    *
+    * Centroid choice: the default is the hash-ordered id SAMPLE (the
+    * ivfTopK choice — engine-portable, so the DuckDB oracle can rebuild
+    * it). `trained = true` instead runs `trainIters` Lloyd iterations
+    * ([[Clustering.kmeans]], same quantization scale) and freezes the
+    * per-cluster MEAN vectors — better-balanced lists and higher recall
+    * at equal nProbe (pinned by VectorIndexSpec's recall test), at the
+    * cost of `trainIters` extra passes at build time. Empty clusters
+    * collapse (lists renumber contiguously), so the effective list
+    * count may be < nLists. The frozen-centroid contract is identical
+    * either way: refresh/search never re-derive centroids. */
   def build(src: GraftTable, idCol: String, vecCol: String,
-      nLists: Int, dir: String, appId: String): Index = {
+      nLists: Int, dir: String, appId: String,
+      trained: Boolean = false, trainIters: Int = 3): Index = {
     require(nLists > 0, "nLists must be positive")
     val spark = src.sparkSession
     val tip = src.latestSnapshotId.getOrElse(
@@ -101,14 +112,38 @@ object VectorIndex {
     val snap = src.readAsOf(tip)
       .select(col(idCol).cast("long").as("vec_id"),
         quantize(col(vecCol)).as("qv"))
-    val centRows = snap
-      .select(col("vec_id").as("ref_id"), col("qv").as("cent_q"))
-      .orderBy(xxhash64(col("ref_id")), col("ref_id"))
-      .limit(nLists)
-      .orderBy(col("ref_id"))
-      .withColumn("list_id",
-        (row_number().over(Window.orderBy(col("ref_id"))) - 1).cast("int"))
-      .select("list_id", "ref_id", "cent_q")
+    val centRows =
+      if (!trained) snap
+        .select(col("vec_id").as("ref_id"), col("qv").as("cent_q"))
+        .orderBy(xxhash64(col("ref_id")), col("ref_id"))
+        .limit(nLists)
+        .orderBy(col("ref_id"))
+        .withColumn("list_id",
+          (row_number().over(Window.orderBy(col("ref_id"))) - 1).cast("int"))
+        .select("list_id", "ref_id", "cent_q")
+      else {
+        val assigned = Clustering.kmeans(
+          src.readAsOf(tip).select(col(idCol).cast("long").as("id"),
+            col(vecCol).as("v")),
+          "id", "v", nLists, trainIters)
+        val dim = snap.select(size(col("qv"))).limit(1)
+          .collect()(0).getInt(0)
+        // per-cluster mean in quantized space, rounded back to the same
+        // int lattice every cosine kernel runs on; one k-row aggregate
+        assigned.join(snap, assigned("id") === snap("vec_id"))
+          .groupBy(col("cluster"))
+          .agg(graft.functions.AggExpressions
+            .vector_sum(col("qv"), dim).as("s"), count(lit(1)).as("n"))
+          .select(col("cluster").cast("long").as("ref_id"),
+            transform(col("s"),
+              x => round(x.cast("double") / col("n")).cast("long"))
+              .as("cent_q"))
+          // empty clusters produced no row: renumber contiguously
+          .withColumn("list_id",
+            (row_number().over(Window.orderBy(col("ref_id"))) - 1)
+              .cast("int"))
+          .select("list_id", "ref_id", "cent_q")
+      }
     idx.centroids.append(centRows.coalesce(1))
     val cents = centroidBroadcast(idx)
     idx.assignments.append(

@@ -157,4 +157,61 @@ class VectorIndexSpec extends SparkSpec {
     val total = idx.assignments.read().count()
     assert(probed < total)
   }
+
+  test("trained centroids (build trained=true): recall >= the sampled " +
+      "build at equal nProbe on a clustered corpus; frozen-centroid " +
+      "contract unchanged (refresh + search work identically)") {
+    // CLUSTERED corpus — 10 tight groups around distinct prototypes —
+    // the regime where Lloyd means genuinely out-place a random id
+    // sample (which can put several centroids in one group and none in
+    // another, splitting/merging lists and losing probes)
+    val dir = tmpDir("vidx-trained")
+    def proto(g: Long) = vec(g * 7919L)
+    val rows = (0L until 300L).map { i =>
+      val g = i % 10
+      val p = proto(g)
+      // small deterministic jitter keeps members nearest their own group
+      val jit = vec(i * 104729L).map(_ * 0.05f)
+      (i, p.zip(jit).map { case (a, b) => a + b })
+    }.toDF("vec_id", "embedding")
+    val src = GraftTable(spark, s"$dir/src")
+    src.append(rows)
+    val sampled = VectorIndex.build(src, "vec_id", "embedding",
+      nLists = 10, s"$dir/idx-sampled", "app")
+    val trainedIdx = VectorIndex.build(src, "vec_id", "embedding",
+      nLists = 10, s"$dir/idx-trained", "app", trained = true)
+
+    // queries: fresh jittered members of each group; truth = brute force
+    val queries = (0L until 10L).map { g =>
+      val p = proto(g)
+      val jit = vec((g + 5000L) * 104729L).map(_ * 0.05f)
+      (1000L + g, p.zip(jit).map { case (a, b) => a + b })
+    }.toDF("vec_id", "embedding")
+    val truth = SimilaritySearch.bruteForceTopK(
+      rows.select(col("vec_id"), col("embedding")), queries,
+      "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    def recall(idx: VectorIndex.Index): Double = {
+      val got = VectorIndex.search(idx, queries, "vec_id", "embedding",
+        k = 1, nProbe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      truth.count { case (q, n) => got.get(q).contains(n) }.toDouble /
+        truth.size
+    }
+    val rSampled = recall(sampled)
+    val rTrained = recall(trainedIdx)
+    assert(rTrained >= rSampled,
+      s"trained recall $rTrained < sampled recall $rSampled")
+    assert(rTrained >= 0.9, s"trained recall too low: $rTrained")
+
+    // the trained index honors the same frozen-centroid lifecycle
+    src.append((300L until 320L).map { i =>
+      val p = proto(i % 10)
+      val jit = vec(i * 104729L).map(_ * 0.05f)
+      (i, p.zip(jit).map { case (a, b) => a + b })
+    }.toDF("vec_id", "embedding"))
+    assert(VectorIndex.refresh(src, "vec_id", "embedding", trainedIdx,
+      "app").isDefined)
+    assert(trainedIdx.assignments.read().count() === 320)
+  }
 }
