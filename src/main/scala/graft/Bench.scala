@@ -67,6 +67,7 @@ object Bench {
     "q17_small_qty", "q18_large_orders",
     "q13_custdist", "q16_part_supplier", "q21_waiting_supplier",
     "q22_global_sales", "q15_top_supplier", "q19_discounted",
+    "q11_important_stock", "q20_part_promotion",
     "q_running_total", "q_rank_in_group", "q_distinct_sketch",
     "q_quantile_sample",
     "q10_returned", "q_rollup", "q_count_distinct",
@@ -91,7 +92,39 @@ object Bench {
     "q_rollup_histogram",
     "q_ann_ivf_index", "q_ann_ivf_index_update", "q_ingest_dedup",
     "q_source_overlap", "q_vocab_oov", "q_retention_cohorts",
-    "q_hidden_partition_hour", "q_stream_rollup")
+    "q_hidden_partition_hour", "q_stream_rollup", "q_stream_merge")
+
+  /** FROZEN round-over-round comparison set: the round-8 headline,
+    * never to grow again — the headline total became incomparable across
+    * rounds as new queries joined it (74 → 85 → ...), so the artifact
+    * carries `core_comparable_sec` / `lifecycle_comparable_sec` summed
+    * over exactly this set. Growth shows in the headline totals;
+    * regression shows here. */
+  val comparable: Set[String] = Set(
+    "q1_agg", "q3_shipping", "q4_semi", "q5_local_supplier", "q6_forecast",
+    "q7_volume", "q8_market_share", "q14_promo",
+    "q17_small_qty", "q18_large_orders",
+    "q_running_total", "q_rank_in_group", "q_distinct_sketch",
+    "q_quantile_sample",
+    "q10_returned", "q_rollup", "q_count_distinct",
+    "q_filter_project", "q_window_dedup", "q_merge_upsert",
+    "q_join_enrich", "q_topk", "q_count",
+    "q_events_daily", "q_events_sessions", "q_funnel",
+    "q_doc_stats", "q_token_count", "q_quality", "q_lang_id", "q_fingerprint",
+    "q_bm25", "q_diversity", "q_decontaminate", "q_pack",
+    "q_repetition", "q_span_dedup", "q_source_mix", "q_quality_classifier",
+    "q_lm_score", "q_inverted_index", "q_heavy_hitters",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
+    "q_dedup_embedding", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+    "q_embed_norm", "q_kmeans", "q_semdedup",
+    "q_table_merge", "q_table_merge_mor", "q_incremental_scan",
+    "q_sql_merge", "q_hidden_partition", "q_sql_rowlevel", "q_stream_table",
+    "q_table_changes", "q_table_changes_materialized",
+    "q_delete_positions", "q_update_positions",
+    "q_zorder_scan",
+    "q_chunk_dedup", "q_chunk_overlap", "q_rollup_incremental",
+    "q_rollup_minmax", "q_ann_ivf_index", "q_ingest_dedup",
+    "q_source_overlap", "q_vocab_oov", "q_retention_cohorts")
 
   val lifecycle: Set[String] = Set("q_table_merge", "q_table_merge_mor",
     "q_incremental_scan", "q_sql_merge", "q_hidden_partition",
@@ -101,7 +134,8 @@ object Bench {
     "q_rollup_minmax", "q_rollup_distinct", "q_rollup_var",
     "q_rollup_histogram",
     "q_ann_ivf_index", "q_ann_ivf_index_update", "q_ingest_dedup",
-    "q_zorder_scan", "q_hidden_partition_hour", "q_stream_rollup")
+    "q_zorder_scan", "q_hidden_partition_hour", "q_stream_rollup",
+    "q_stream_merge")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,
@@ -126,6 +160,7 @@ object Bench {
       attempt: Int,
       qs: String, qsMed: String,
       total: Double, coreSec: Double, lifeSec: Double,
+      coreCmpSec: Double, lifeCmpSec: Double,
       unstableNames: Seq[String], unstableJson: String,
       unstableRunsJson: String, ledgerJson: String,
       cdcJson: String, scaleJson: String,
@@ -310,6 +345,13 @@ object Bench {
         .map(_._2._1).filter(_ >= 0).sum
       val lifeSec = results.filter(r => lifecycle(r._1))
         .map(_._2._1).filter(_ >= 0).sum
+      // frozen-set totals: comparable round-over-round by construction
+      val coreCmpSec = results
+        .filter(r => comparable(r._1) && !lifecycle(r._1))
+        .map(_._2._1).filter(_ >= 0).sum
+      val lifeCmpSec = results
+        .filter(r => comparable(r._1) && lifecycle(r._1))
+        .map(_._2._1).filter(_ >= 0).sum
       val unstableJson = unstable.map(u => "\"" + u._1 + "\"")
         .mkString("[", ",", "]")
       val unstableRunsJson = unstable.map { case (n, runs) =>
@@ -343,6 +385,7 @@ object Bench {
         .filter(_._2 >= 0).sortBy(-_._2).take(10)
 
       Pass(attempt, qs, qsMed, total, coreSec, lifeSec,
+        coreCmpSec, lifeCmpSec,
         unstable.map(_._1).toSeq, unstableJson, unstableRunsJson,
         ledgerJson, cdcJson, scaleJson, scaleRatios, topMedians,
         sentinelJson, sentRatio, contended)
@@ -377,7 +420,7 @@ object Bench {
 
     // full artifact line (everything): prints FIRST so the compact
     // summary below is what a bounded tail capture retains
-    println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel":${best.sentinelJson}}""")
+    println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel":${best.sentinelJson}}""")
 
     // compact summary LAST (r7 verdict #1): totals + contamination flag +
     // 10× ratios + ten slowest medians, bounded well under 1.5 kB
@@ -389,7 +432,7 @@ object Bench {
       .mkString("{", ",", "}")
     val unstableShort = best.unstableNames.take(8)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"scale10x_ratio":$scaleRatioJson,"top10_median":$topJson,"unstable":$unstableShort}""")
+    println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"scale10x_ratio":$scaleRatioJson,"top10_median":$topJson,"unstable":$unstableShort}""")
     System.out.flush()
   }
 }

@@ -58,8 +58,12 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
                 n_fail += 1
                 continue
-            g = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)])
-            w = sorted([tuple(norm(v) for v in r) for r in want.itertuples(index=False)])
+            # sort key stringifies so mixed null/non-null numeric columns
+            # (int + NaN tuples) stay orderable; equality still compares
+            # the normalized values themselves
+            key = lambda t: tuple(str(v) for v in t)
+            g = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)], key=key)
+            w = sorted([tuple(norm(v) for v in r) for r in want.itertuples(index=False)], key=key)
             bad = [(a, b) for a, b in zip(g, w) if a != b]
             if bad:
                 print(f"FAIL {name}: {len(bad)} differing rows; first: {bad[0]}")
