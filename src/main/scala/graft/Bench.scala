@@ -68,6 +68,7 @@ object Bench {
     "q13_custdist", "q16_part_supplier", "q21_waiting_supplier",
     "q22_global_sales", "q15_top_supplier", "q19_discounted",
     "q11_important_stock", "q20_part_promotion",
+    "q2_min_cost_supplier", "q9_product_profit", "q12_ship_priority",
     "q_running_total", "q_rank_in_group", "q_distinct_sketch",
     "q_quantile_sample",
     "q10_returned", "q_rollup", "q_count_distinct",

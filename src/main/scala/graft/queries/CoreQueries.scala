@@ -996,7 +996,143 @@ object CoreQueries {
       |          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'), 0))
       |ORDER BY s_name""".stripMargin
 
+  /** TPC-H Q2 (minimum-cost supplier): correlated scalar-MIN equality
+    * against a region-filtered derived partsupp — the "rows equal to a
+    * correlated aggregate" shape at two join depths (the inner MIN
+    * re-joins supplier→nation→region per part). lineitem aggregates to
+    * partsupp (supplycost = MIN extendedprice per pair, exact decimal).
+    * Catalyst decorrelates the scalar subquery to a part-keyed
+    * aggregate + join; every edge is equi-keyed. */
+  val q2MinCostSupplier: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("q2_lineitem")
+    Tables.load(s, dir, "part").createOrReplaceTempView("q2_part")
+    Tables.load(s, dir, "supplier").createOrReplaceTempView("q2_supplier")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("q2_nation")
+    Tables.load(s, dir, "region").createOrReplaceTempView("q2_region")
+    s.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |           AS ps_supplycost
+        |  FROM q2_lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |  CAST(ps_supplycost AS DOUBLE) AS supplycost
+        |FROM q2_part, ps, q2_supplier, q2_nation, q2_region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size IN (5, 15, 25) AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND ps_supplycost = (
+        |    SELECT MIN(ps2.ps_supplycost)
+        |    FROM ps ps2, q2_supplier s2, q2_nation n2, q2_region r2
+        |    WHERE ps2.ps_partkey = p_partkey
+        |      AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+  val q2MinCostSupplierSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |           AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+      |  CAST(ps_supplycost AS DOUBLE) AS supplycost
+      |FROM part, ps, supplier, nation, region
+      |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |  AND p_size IN (5, 15, 25) AND p_type = 'LARGE'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND ps_supplycost = (
+      |    SELECT MIN(ps2.ps_supplycost)
+      |    FROM ps ps2, supplier s2, nation n2, region r2
+      |    WHERE ps2.ps_partkey = p_partkey
+      |      AND s2.s_suppkey = ps2.ps_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 (product type profit): the widest join tree in the suite
+    * — lineitem × part × supplier × orders × nation with a substring
+    * part filter, profit = revenue − cost, grouped by (nation, year).
+    * p_retailprice×quantity×0.1 stands in for supplycost×quantity (the
+    * fixture has no partsupp); all arithmetic exact decimal until the
+    * final double cast. Scale shape: part/supplier/nation broadcast,
+    * lineitem shuffles once on l_orderkey to meet orders, the aggregate
+    * partial-aggregates map-side to 25×7 groups. */
+  val q9ProductProfit: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("q9_lineitem")
+    Tables.load(s, dir, "part").createOrReplaceTempView("q9_part")
+    Tables.load(s, dir, "supplier").createOrReplaceTempView("q9_supplier")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q9_orders")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("q9_nation")
+    s.sql(
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (1 - CAST(l_discount AS DECIMAL(18,2))) -
+        |       CAST(p_retailprice AS DECIMAL(18,2)) *
+        |       CAST(l_quantity AS DECIMAL(18,2)) * 0.1) AS DOUBLE)
+        |    AS sum_profit
+        |FROM q9_part, q9_supplier, q9_lineitem, q9_orders, q9_nation
+        |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)
+  }
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (1 - CAST(l_discount AS DECIMAL(18,2))) -
+      |       CAST(p_retailprice AS DECIMAL(18,2)) *
+      |       CAST(l_quantity AS DECIMAL(18,2)) * 0.1) AS DOUBLE)
+      |    AS sum_profit
+      |FROM part, supplier, lineitem, orders, nation
+      |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%gear%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q12 (shipping modes and order priority): one fact join +
+    * conditional aggregation (SUM of CASE) — the pivot-without-pivot
+    * shape. l_linestatus stands in for the fixture's absent shipmode;
+    * the date window filters the fact side before the join (pushed to
+    * the scan), and the two CASE sums fold in one aggregate pass. */
+  val q12ShipPriority: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("q12_lineitem")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("q12_orders")
+    s.sql(
+      """SELECT l_linestatus AS shipmode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM q12_orders JOIN q12_lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+  val q12ShipPrioritySql: String =
+    """SELECT l_linestatus AS shipmode,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q2_min_cost_supplier", q2MinCostSupplier, Some(q2MinCostSupplierSql)),
+    ("q9_product_profit", q9ProductProfit, Some(q9ProductProfitSql)),
+    ("q12_ship_priority", q12ShipPriority, Some(q12ShipPrioritySql)),
     ("q11_important_stock", q11ImportantStock, Some(q11ImportantStockSql)),
     ("q20_part_promotion", q20PartPromotion, Some(q20PartPromotionSql)),
     ("q13_custdist", q13CustDist, Some(q13CustDistSql)),

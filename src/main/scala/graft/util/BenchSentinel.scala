@@ -25,10 +25,18 @@ object BenchSentinel {
 
   /** Expected idle min-of-3 seconds on the build machine (local[32],
     * 128 GiB), calibrated by `graft.tools.SentinelCalibrate` on an idle
-    * box (2026-08-13: two sessions at these Rows, mins 0.335 and
-    * 0.310 → 0.32). Override with SPARK_GRAFT_SENTINEL_SEC after
+    * box. History: 2026-08-13 two sessions gave 0.335/0.310 → 0.32;
+    * 2026-08-14 the VM instance REBOOTED onto visibly slower hardware
+    * (uptime reset; idle floor 0.778 across repeated min-of-3 sessions,
+    * /proc/stat steal flat, process table empty — every post-reboot
+    * measurement of the old 0.32 expectation read as "contended 2.2-2.4"
+    * including genuinely idle windows) → recalibrated to 0.78. The r9
+    * bench's universal contended flags and the r9 "minhash regression"
+    * trace to this hardware change, not load: ProfilePerf re-measured
+    * minhash 10× at 3.4 s (vs the 6.67 contended recording) on the
+    * slower box. Override with SPARK_GRAFT_SENTINEL_SEC after further
     * hardware changes. */
-  val ExpectedSec: Double = 0.32
+  val ExpectedSec: Double = 0.78
 
   /** Either sentinel measurement above ExpectedSec × this ⇒ the whole
     * artifact is flagged contended. 1.5 per the r5 verdict ask. */
