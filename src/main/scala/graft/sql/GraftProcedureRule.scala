@@ -99,6 +99,13 @@ case class GraftCallCommand(proc: String, location: String,
             longArg("files_per_partition").getOrElse(1L).toInt,
             specArg("sort_by"), where)
         }
+      case "compact_small_files" =>
+        // binpack maintenance: -1 = nothing met the trigger (no commit)
+        t.compactSmallFiles(
+          longArg("target_file_bytes").getOrElse(128L * 1024 * 1024),
+          longArg("small_file_bytes").getOrElse(0L),
+          longArg("min_input_files").getOrElse(2L).toInt)
+          .getOrElse(-1L)
       case "rewrite_manifests" => t.rewriteManifests()
       case "retrofit_field_ids" => longArg("target_file_bytes") match {
         case Some(b) => t.retrofitFieldIds(b)
@@ -147,7 +154,8 @@ case class GraftCallCommand(proc: String, location: String,
           throw new IllegalArgumentException(s"graft.$proc needs name")))
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other — supported: " +
-          "expire_snapshots, compact, rewrite_manifests, " +
+          "expire_snapshots, compact, compact_small_files, " +
+          "rewrite_manifests, " +
           "retrofit_field_ids, prune_dangling_deletes, maintain_rollup, " +
           "rollback, remove_orphan_files, set_partition_spec, tag, " +
           "drop_tag, branch, drop_branch, fast_forward")
@@ -169,6 +177,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Set("older_than_ms", "retain_last")),
     "compact" -> (Seq("files_per_partition"),
       Set("target_file_bytes", "sort_by", "where")),
+    "compact_small_files" -> (Seq("target_file_bytes"),
+      Set("small_file_bytes", "min_input_files")),
     "rewrite_manifests" -> (Seq.empty, Set.empty),
     "retrofit_field_ids" -> (Seq.empty, Set("target_file_bytes")),
     "prune_dangling_deletes" -> (Seq.empty, Set.empty),

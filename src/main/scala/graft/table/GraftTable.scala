@@ -2019,6 +2019,51 @@ class GraftTable(spark: SparkSession, val location: String,
     *   so nothing re-applies or double-deletes); tombstone FILES are
     *   retired only on a full compact, since out-of-scope data may
     *   still need them. */
+  /** Iceberg binpack-style SMALL-FILE compaction: rewrite ONLY live
+    * data files smaller than `smallFileBytes` (default ¾ of the
+    * target), binpacked toward `targetFileBytes` outputs; right-sized
+    * files are never touched and a partition with fewer than
+    * `minInputFiles` small files is skipped (rewriting one file buys
+    * nothing). This is the steady-state maintenance shape for a 100 TB
+    * table fed by streaming micro-batches: each trigger lands small
+    * files, and the nightly binpack's WRITE AMPLIFICATION is bounded by
+    * the small-file bytes — never the table size, which `compact()`
+    * (full rewrite) or `compactToSize` (scoped by rows, not file size)
+    * cannot promise. MOR tombstones fold into the rewritten subset
+    * exactly as in partial `compact` (live delete files are kept — they
+    * may still apply to untouched files). Returns the commit's snapshot
+    * id, or None when no partition met the trigger (no commit). */
+  def compactSmallFiles(targetFileBytes: Long = 128L * 1024 * 1024,
+      smallFileBytes: Long = 0L, minInputFiles: Int = 2): Option[Long] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(minInputFiles >= 2,
+      "minInputFiles must be >= 2 — rewriting a single file buys nothing")
+    val thr =
+      if (smallFileBytes > 0) smallFileBytes else targetFileBytes * 3 / 4
+    val parentAtRead = latestSnapshotId
+    val live = liveFiles()
+    val known = bytesFor(live)
+    def sz(f: String): Long = known.getOrElse(f,
+      fs.getFileStatus(new Path(tablePath, f)).getLen)
+    val removed = live.filter(f => sz(f) < thr)
+      .groupBy(partitionValues)
+      .values.filter(_.size >= minInputFiles).flatten.toSeq
+    if (removed.isEmpty) return None
+    val totalBytes = removed.map(sz).sum
+    val n = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // MOR-aware scoped read: tombstoned rows of the rewritten files do
+    // not resurrect; new files' sequence exceeds every live delete's
+    val df = readFilesOf(removed).coalesce(n)
+    val staged = stageAndMove(align(df, schema), partitionCols,
+      clustered = true)
+    val added = staged.map(_._1)
+    val sr = collectStats(added)
+    Some(commit("compact", added, removed, _ => schema.json,
+      partitionCols, expectedParent = parentAtRead, stats = sr._1,
+      rows = sr._2, bytes = staged.toMap))
+  }
+
   def compact(filesPerPartition: Int = 1,
       sortBy: Seq[String] = Seq.empty,
       where: Option[Column] = None): Long = {

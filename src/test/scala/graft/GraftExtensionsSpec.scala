@@ -232,6 +232,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_meta")
   }
 
+  test("CALL graft.compact_small_files binpacks via SQL; -1 when " +
+      "nothing meets the trigger") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-binpack").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.table("ext_binpack")
+    (1 to 4).foreach(i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    cat.register("ext_binpack")
+    val nBefore = t.liveFiles().size
+    val snap = spark.sql(
+      "CALL graft.compact_small_files('ext_binpack', " +
+        "target_file_bytes => 1048576)").as[Long].collect()(0)
+    assert(snap === t.latestSnapshotId.get)
+    assert(t.liveFiles().size < nBefore)
+    assert(spark.sql("SELECT count(*) FROM ext_binpack").as[Long]
+      .collect()(0) === 4L)
+    // second run: everything is right-sized or below the trigger → -1
+    assert(spark.sql(
+      "CALL graft.compact_small_files('ext_binpack', " +
+        "target_file_bytes => 1048576)").as[Long].collect()(0) === -1L)
+    cat.drop("ext_binpack")
+  }
+
   test("CALL graft.maintain_rollup keeps a rollup table current") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-roll").toString

@@ -259,6 +259,64 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.read().count() === 12000)
   }
 
+  test("compactSmallFiles binpacks ONLY undersized files; right-sized " +
+      "files and partitions below the trigger are untouched") {
+    val t = freshTable("mt-binpack")
+    // one LARGE file (many rows) + several tiny single-row files
+    t.append((1L to 3000L).map(i => (i, s"bulk$i")).toDF("id", "v"))
+    val largeFile = t.liveFiles() match {
+      case Seq(f) => f
+      case fs => fs.maxBy(f => t.bytesFor(Seq(f)).getOrElse(f, 0L))
+    }
+    (1 to 4).foreach(i =>
+      t.append(Seq((10000L + i, s"small$i")).toDF("id", "v")))
+    val before = t.read().orderBy("id").collect().toSeq
+    val nBefore = t.liveFiles().size
+
+    // threshold sized between the tiny files and the bulk file
+    val largeBytes = t.bytesFor(Seq(largeFile))(largeFile)
+    val r = t.compactSmallFiles(targetFileBytes = largeBytes * 4,
+      smallFileBytes = largeBytes)
+    assert(r.isDefined)
+    val after = t.liveFiles()
+    // the large file survived UNREWRITTEN (same path in the live set)
+    assert(after.contains(largeFile),
+      "right-sized file must not be rewritten")
+    // the 4 small files collapsed into fewer outputs
+    assert(after.size < nBefore)
+    assert(t.read().orderBy("id").collect().toSeq === before)
+
+    // no partition meets minInputFiles → no commit at all
+    val tip = t.latestSnapshotId
+    assert(t.compactSmallFiles(targetFileBytes = largeBytes * 4,
+      smallFileBytes = largeBytes).isEmpty)
+    assert(t.latestSnapshotId === tip)
+
+  }
+
+  test("compactSmallFiles folds MOR tombstones of the rewritten subset " +
+      "and leaves still-applicable deletes live") {
+    val t = freshTable("mt-binpack-mor")
+    t.append((1L to 2000L).map(i => (i, "bulk")).toDF("id", "v"))
+    val largeFile = t.liveFiles().head
+    (1 to 3).foreach(i =>
+      t.append(Seq((5000L + i, s"s$i")).toDF("id", "v")))
+    // MOR merge touches one small-file key AND one bulk key
+    t.merge(Seq((5001L, "upd"), (7L, "upd7")).toDF("id", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id",
+      mode = "mor")
+    val before = t.read().orderBy("id").collect().toSeq
+    val largeBytes = t.bytesFor(Seq(largeFile))(largeFile)
+    assert(t.compactSmallFiles(targetFileBytes = largeBytes * 4,
+      smallFileBytes = largeBytes).isDefined)
+    // reads agree exactly; tombstones still apply to the untouched bulk
+    assert(t.read().orderBy("id").collect().toSeq === before)
+    assert(t.read().filter($"id" === 7L).select("v")
+      .as[String].collect() === Array("upd7"))
+    assert(t.read().filter($"id" === 5001L).select("v")
+      .as[String].collect() === Array("upd"))
+  }
+
   test("expire keeps everything when history is short; appends still work") {
     val t = freshTable("mt-expire-short")
     t.append(Seq((1L, "a")).toDF("id", "v"))
