@@ -643,7 +643,94 @@ object EventsQueries {
       |FROM latest WHERE rn = 1 AND event_type <> 'purchase'
       |ORDER BY user_id""".stripMargin
 
+  /** The COMPLETE always-on medallion ([[graft.streaming.Streaming
+    * .graftMedallionSink]]): events stream in three event-id-ordered
+    * micro-batches; each batch lands RAW in bronze (txn-stamped), merges
+    * keep-latest into silver (MOR, purchases ride the CDC delete
+    * branch), and gold's per-type aggregate folds SILVER's changelog —
+    * inserts AND the merge's retractions — via incremental rollup
+    * maintenance. The afterBatch hook asserts gold ≡ a silver recompute
+    * after EVERY batch (the invariant the final oracle can't see);
+    * bronze must hold every raw row. Final gold = per-type count + sum
+    * over each user's globally-latest non-deleted event — exactly what
+    * the SQL oracle reconstructs. */
+  val qStreamPipeline: Q = (s, dir) => {
+    import graft.table.GraftTable
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        dec(col("value")).as("value_d"))
+    val raw = Scratch.dir("streampipe-raw")
+    val nmax = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val c1 = nmax / 3; val c2 = 2 * nmax / 3
+    val chunks = Seq(col("event_id") <= c1,
+      col("event_id") > c1 && col("event_id") <= c2,
+      col("event_id") > c2)
+    val rawDir = new java.io.File(raw)
+    var seen = Set.empty[String]
+    val t0 = System.currentTimeMillis() - 600000L
+    chunks.zipWithIndex.foreach { case (p, i) =>
+      ev.filter(p).coalesce(1).write.mode("append").parquet(raw)
+      val files = rawDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      files.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(t0 + i * 60000L))
+      seen ++= files.map(_.getName)
+    }
+    val bronzeLoc = Scratch.dir("streampipe-bronze")
+    val silverLoc = Scratch.dir("streampipe-silver")
+    val goldLoc = Scratch.dir("streampipe-gold")
+    val schema = s.read.parquet(raw).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(raw)
+      .withColumn("__op",
+        when(col("event_type") === "purchase", lit("D")))
+    val steps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = graft.streaming.Streaming.graftMedallionSink(stream,
+      bronzeLoc, silverLoc, goldLoc, "spipe",
+      keys = Seq("user_id"), dedupKey = Seq("user_id"),
+      orderCol = "event_id", rollupKeys = Seq("event_type"),
+      sumCols = Seq("value_d"), opCol = Some("__op"),
+      afterBatch = (bronze, silver, gold) => {
+        steps.incrementAndGet()
+        val want = silver.read().groupBy("event_type")
+          .agg(sum(col("value_d")).as("value_d_sum"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type").collect().toSeq
+        val got = gold.read()
+          .select("event_type", "value_d_sum", "n")
+          .orderBy("event_type").collect().toSeq
+        require(got == want,
+          s"gold != silver recompute after micro-batch ${steps.get()}")
+      })
+      .option("checkpointLocation", Scratch.dir("streampipe-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(steps.get() >= 3,
+      s"expected >= 3 micro-batches, saw ${steps.get()}")
+    // bronze holds the COMPLETE raw history
+    require(GraftTable(s, bronzeLoc).read().count() ==
+      ev.count(), "bronze lost raw rows")
+    GraftTable(s, goldLoc).read()
+      .select(col("event_type"),
+        col("value_d_sum").cast("double").as("value_sum"), col("n"))
+      .orderBy("event_type")
+  }
+  val qStreamPipelineSql: String =
+    """WITH latest AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS value_d,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(SUM(value_d) AS DOUBLE) AS value_sum,
+      |  COUNT(*) AS n
+      |FROM latest WHERE rn = 1 AND event_type <> 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stream_pipeline", qStreamPipeline, Some(qStreamPipelineSql)),
     ("q_stream_merge", qStreamMerge, Some(qStreamMergeSql)),
     ("q_stream_join", qStreamJoin, Some(qStreamJoinSql)),
     ("q_stream_join_outer", qStreamJoinOuter, Some(qStreamJoinOuterSql)),

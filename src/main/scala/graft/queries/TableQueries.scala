@@ -1080,7 +1080,63 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Small-file binpack maintenance lifecycle
+    * ([[GraftTable.compactSmallFiles]]): one bulk append + a stream of
+    * tiny per-batch appends + a MOR update, then the binpack rewrites
+    * ONLY the undersized files. In-flight requires pin the 100 TB
+    * contract the oracle can't see: the right-sized bulk file keeps its
+    * PATH (zero write amplification on it), the small files collapse,
+    * and MOR tombstones neither resurrect rows nor go missing. The
+    * oracle is the equivalent final state — binpack must be invisible
+    * to readers. */
+  val qCompactSmallFiles: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("binpack"))
+    t.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0))
+    val bulk = t.liveFiles()
+    // tiny "micro-batch" appends: one file each
+    // disjoint from the bulk slice — no row may land twice
+    (1 to 4).foreach(m =>
+      t.append(Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 20 === m &&
+          col("o_orderkey") % 3 =!= 0).coalesce(1)))
+    // a MOR update whose tombstones target bulk AND small files
+    t.merge(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 30 === 3)
+      .withColumn("o_orderstatus", lit("X")),
+      keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    val nBefore = t.liveFiles().size
+    val bulkBytes = t.bytesFor(bulk).values.max
+    val r = t.compactSmallFiles(targetFileBytes = bulkBytes * 4,
+      smallFileBytes = bulkBytes)
+    require(r.isDefined, "binpack found nothing to rewrite")
+    require(bulk.forall(t.liveFiles().contains),
+      "right-sized bulk file was rewritten — write amplification leak")
+    require(t.liveFiles().size < nBefore,
+      "small files did not collapse")
+    project(t.read())
+  }
+  val qCompactSmallFilesSql: String =
+    """WITH target AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderkey % 3 = 0
+      |     OR (o_orderkey % 20 IN (1, 2, 3, 4) AND o_orderkey % 3 <> 0)),
+      |source AS (
+      |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+      |         o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 30 = 3)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (SELECT t.* FROM target t
+      |      WHERE NOT EXISTS
+      |        (SELECT 1 FROM source x WHERE x.o_orderkey = t.o_orderkey)
+      |      UNION ALL SELECT * FROM source)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_compact_smallfiles", qCompactSmallFiles,
+      Some(qCompactSmallFilesSql)),
     ("q_catalog_sql", qCatalogSql, Some(qCatalogSqlSql)),
     ("q_sql_evolve", qSqlEvolve, Some(qSqlEvolveSql)),
     ("q_sql_merge", qSqlMerge, Some(qSqlMergeSql)),

@@ -129,6 +129,57 @@ object Streaming {
         ()
     }
 
+  /** The COMPLETE always-on medallion: per micro-batch,
+    *
+    *   bronze  — raw append with the (appId, batchId) txn stamp
+    *             ([[graftSink]] semantics);
+    *   silver  — keep-latest window dedup + keyed MOR merge, stamped
+    *             with the same (appId, batchId) ([[graftMergeSink]]);
+    *   gold    — [[graft.pipeline.IncrementalRollup.maintain]] folds
+    *             SILVER's changelog (inserts AND the merge's
+    *             retractions) into the aggregate, high-water-marked by
+    *             gold's own txn stamp.
+    *
+    * This is the reference's full raw→bronze→silver→gold pipeline
+    * (/root/reference/raw-bronze.py + bronze-silver.py) as ONE
+    * always-on stream. Crash anywhere between layers loses nothing:
+    * a replayed batch no-ops into bronze and silver (stamps), and the
+    * gold maintain reads silver's changelog from gold's own recorded
+    * tip — the layers never need the stream checkpoint to agree.
+    * Per-batch cost: O(batch) bronze write + O(batch) silver MOR merge
+    * + O(changed groups) gold maintenance — nothing scales with table
+    * size, the only viable always-on shape at 100 TB. */
+  def graftMedallionSink(stream: DataFrame, bronzeLoc: String,
+      silverLoc: String, goldLoc: String, txnAppId: String,
+      keys: Seq[String], dedupKey: Seq[String], orderCol: String,
+      rollupKeys: Seq[String], sumCols: Seq[String],
+      opCol: Option[String] = None, deleteOps: Seq[String] = Seq("D"),
+      afterBatch: (graft.table.GraftTable, graft.table.GraftTable,
+        graft.table.GraftTable) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val bronze = graft.table.GraftTable(spark, bronzeLoc)
+        val silver = graft.table.GraftTable(spark, silverLoc)
+        val gold = graft.table.GraftTable(spark, goldLoc)
+        // bronze keeps the RAW batch (op column included — CDC history
+        // is bronze's value); silver/gold hold the merged state
+        bronze.append(batch.toDF(), txn = Some((txnAppId, batchId)))
+        if (!silver.exists) {
+          val dataCols = batch.schema.fields
+            .filterNot(f => opCol.contains(f.name))
+          silver.create(StructType(dataCols))
+        }
+        silver.merge(batch.toDF(), keys = keys, dedupKey = dedupKey,
+          orderCol = orderCol, opCol = opCol, deleteOps = deleteOps,
+          mode = "mor", txn = Some((txnAppId, batchId)))
+        graft.pipeline.IncrementalRollup.maintain(silver, gold,
+          rollupKeys, sumCols, s"$txnAppId-gold")
+        afterBatch(bronze, silver, gold)
+        ()
+    }
+
   /** Streaming exact dedup: keep only the FIRST occurrence of each
     * content fingerprint — the streaming face of Dedup.exactRows for a
     * continuously-ingesting corpus, backed by the checkpoint

@@ -187,6 +187,81 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "upd", 20L), (3L, "three", 22L), (9L, "nine", 30L)))
   }
 
+  test("graftMedallionSink: bronze raw + silver merge + gold rollup per " +
+      "batch; torn-state crash between ANY two layers recovers exactly " +
+      "once on replay") {
+    val base = tmpDir("stream-medallion")
+    val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))
+    val (bLoc, sLoc, gLoc) = (s"$base/bronze", s"$base/silver", s"$base/gold")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("v", LongType), StructField("seq", LongType),
+      StructField("op", StringType)))
+    Files.write(Paths.get(rawDir, "b1.csv"),
+      "k,g,v,seq,op\n1,a,10,1,\n2,a,20,2,\n3,b,30,3,\n".getBytes("UTF-8"))
+
+    def goldRows() = graft.table.GraftTable(spark, gLoc).read()
+      .select("g", "v_sum", "n").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    def silverRecompute() = graft.table.GraftTable(spark, sLoc).read()
+      .groupBy("g").agg(sum(col("v")).as("v_sum"), count(lit(1)).as("n"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true").csv(rawDir)
+    val q = Streaming.graftMedallionSink(stream, bLoc, sLoc, gLoc,
+      "med-test", keys = Seq("k"), dedupKey = Seq("k"), orderCol = "seq",
+      rollupKeys = Seq("g"), sumCols = Seq("v"), opCol = Some("op"))
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(goldRows() === Seq(("a", 30L, 2L), ("b", 30L, 1L)))
+      // batch 2: update k=1, CDC-delete k=3, insert k=4
+      Files.write(Paths.get(rawDir, "b2.csv"),
+        "k,g,v,seq,op\n1,a,100,4,\n3,b,0,5,D\n4,b,7,6,\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(goldRows() === Seq(("a", 120L, 2L), ("b", 7L, 1L)))
+      assert(goldRows() === silverRecompute())
+    } finally q.stop()
+
+    val bronze = graft.table.GraftTable(spark, bLoc)
+    val silver = graft.table.GraftTable(spark, sLoc)
+    val gold = graft.table.GraftTable(spark, gLoc)
+    assert(bronze.read().count() === 6) // RAW history incl. the delete row
+
+    // torn state: batch 2 "crashed" after silver but BEFORE gold would
+    // have caught a later delta — simulate a batch 3 that reaches bronze
+    // and silver only
+    val b3 = Seq((5L, "a", 50L, 7L, null.asInstanceOf[String]))
+      .toDF("k", "g", "v", "seq", "op")
+    bronze.append(b3, txn = Some(("med-test", 2L)))
+    silver.merge(b3, keys = Seq("k"), dedupKey = Seq("k"),
+      orderCol = "seq", opCol = Some("op"), mode = "mor",
+      txn = Some(("med-test", 2L)))
+    // gold is now BEHIND silver ...
+    assert(goldRows() !== silverRecompute())
+    // ... the stream restarts and REPLAYS batch 3 through all layers:
+    // bronze + silver no-op on their stamps, gold catches up exactly
+    bronze.append(b3, txn = Some(("med-test", 2L)))
+    silver.merge(b3, keys = Seq("k"), dedupKey = Seq("k"),
+      orderCol = "seq", opCol = Some("op"), mode = "mor",
+      txn = Some(("med-test", 2L)))
+    graft.pipeline.IncrementalRollup.maintain(silver, gold, Seq("g"),
+      Seq("v"), "med-test-gold")
+    assert(bronze.read().count() === 7) // no duplicate raw rows
+    assert(goldRows() === silverRecompute())
+    assert(goldRows() === Seq(("a", 170L, 3L), ("b", 7L, 1L)))
+    // a full second replay changes nothing anywhere
+    bronze.append(b3, txn = Some(("med-test", 2L)))
+    silver.merge(b3, keys = Seq("k"), dedupKey = Seq("k"),
+      orderCol = "seq", opCol = Some("op"), mode = "mor",
+      txn = Some(("med-test", 2L)))
+    assert(graft.pipeline.IncrementalRollup.maintain(silver, gold,
+      Seq("g"), Seq("v"), "med-test-gold").isEmpty)
+    assert(bronze.read().count() === 7)
+    assert(goldRows() === Seq(("a", 170L, 3L), ("b", 7L, 1L)))
+  }
+
   test("streaming dedup keeps first occurrence across micro-batches") {
     val base = tmpDir("stream-dedup")
     val rawDir = s"$base/raw"; Files.createDirectories(Paths.get(rawDir))

@@ -70,6 +70,31 @@ class PartitionTransformSpec extends SparkSpec {
       (10L until 20L).toArray)
   }
 
+  test("TIMESTAMP_NTZ source: days() writes the same UTC dirs and the " +
+      "pruning transform matches them (the r10 fix — NTZ tables were " +
+      "writable but every pruned read was conservatively unpruned)") {
+    val t = freshTable("pt-days-ntz")
+    // NTZ column: same micros, no zone; cast through NTZ explicitly
+    val rows = tsRows(4, 10).toDF("id", "ts", "v")
+      .withColumn("ts", $"ts".cast("timestamp_ntz"))
+    t.append(rows, parts = Seq("days(ts)"))
+    assert(t.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val kv = t.liveFiles().map(t.partitionValues)
+    assert(kv.map(_("ts_day")).distinct.sorted ===
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    val all = spark.read.format("graft").load(t.location)
+    val perDay = t.liveFiles().size / 4
+    val oneDay = all.filter(
+      $"ts" >= lit("2024-01-02 00:00:00").cast("timestamp_ntz") &&
+      $"ts" < lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+    assert(oneDay.count() === 10)
+    // the point of the fix: the scan is PRUNED, not a full read
+    assert(scannedFiles(oneDay) <= 2L * perDay)
+    assert(oneDay.select("id").as[Long].collect().sorted ===
+      (10L until 20L).toArray)
+  }
+
   test("months(ts): multi-month range prunes; dirs stay coarse") {
     val t = freshTable("pt-months")
     // 90 days spanning 2024-01..2024-03
