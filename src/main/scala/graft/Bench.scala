@@ -145,7 +145,7 @@ object Bench {
   val scaleQueries: Seq[String] = Seq("q_dedup_minhash", "q_ann_ivf",
     "q_table_merge", "q_table_merge_mor", "q_hidden_partition",
     "q_semdedup", "q_span_dedup", "q_lm_score", "q_table_changes",
-    "q_chunk_dedup")
+    "q_chunk_dedup", "q_stream_merge")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
