@@ -1134,7 +1134,52 @@ object TableQueries {
       |      UNION ALL SELECT * FROM source)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** SQL MERGE with COLUMN-LEVEL assignments (ANSI partial update):
+    * matched rows keep every unassigned column, the assignment mixes
+    * target and source values (`t.o_totalprice + s.o_totalprice`), and
+    * NOT MATCHED rows insert whole source rows — the shape `UPDATE SET *`
+    * cannot express. Runs through the same file-pruned merge machinery
+    * (MOR reads only key-overlapping files for the unassigned columns). */
+  val qSqlMergeUpdate: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("sqlmu"))
+    cat.createFrom("silver_upd_orders",
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0))
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .createOrReplaceTempView("upd_cdc_batch")
+    s.sql(
+      """MERGE INTO silver_upd_orders t USING upd_cdc_batch s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET
+        |  o_orderstatus = 'U',
+        |  o_totalprice = t.o_totalprice + s.o_totalprice
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    project(s.sql("SELECT * FROM silver_upd_orders"))
+  }
+  val qSqlMergeUpdateSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |     source AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (
+      |  SELECT t.o_orderkey, t.o_custkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN 'U'
+      |         ELSE t.o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN s.o_orderkey IS NOT NULL
+      |         THEN t.o_totalprice + s.o_totalprice
+      |         ELSE t.o_totalprice END AS o_totalprice,
+      |    t.o_orderdate
+      |  FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate
+      |  FROM source x
+      |  WHERE NOT EXISTS
+      |    (SELECT 1 FROM target t2 WHERE t2.o_orderkey = x.o_orderkey))
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sql_merge_update", qSqlMergeUpdate, Some(qSqlMergeUpdateSql)),
     ("q_compact_smallfiles", qCompactSmallFiles,
       Some(qCompactSmallFilesSql)),
     ("q_catalog_sql", qCatalogSql, Some(qCatalogSqlSql)),

@@ -50,14 +50,22 @@ case class GraftInsertCommand(location: String, query: LogicalPlan,
   * delete-op row is dropped (CDC semantics), not inserted. */
 case class GraftMergeCommand(location: String, source: LogicalPlan,
     keys: Seq[String], opCol: Option[String], deleteOps: Seq[String],
-    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+    refreshIdent: Option[TableIdentifier],
+    // column-level UPDATE SET assignments (None = full-row replace):
+    // target column name -> expression whose attributes are name-based
+    // (plain = matched TARGET row, MergeInto.SrcPrefix'd = source row),
+    // re-resolved at run time against the merge's matched-rows join
+    updateSet: Option[Seq[(String, ExprBox)]] = None)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val table = GraftTable(spark, location)
     val src = GraftSqlGlue.ofRows(spark, source)
     val mode = table.properties.getOrElse("graft.merge.mode", "cow")
     table.merge(src, keys = keys, dedupKey = keys, orderCol = keys.head,
-      opCol = opCol, deleteOps = deleteOps, mode = mode)
+      opCol = opCol, deleteOps = deleteOps, mode = mode,
+      updateSet = updateSet.map(_.map { case (k, b) =>
+        k -> GraftSqlGlue.column(b.e) }))
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq.empty
   }
@@ -264,12 +272,19 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** A full-row assignment set (the analyzed form of UPDATE SET * /
-    * INSERT *): every value is a bare source attribute with the same name
-    * as its target column. */
-  private def isFullRow(assignments: Seq[Assignment]): Boolean =
+    * INSERT *): every value is a bare attribute with the same name as
+    * its target column. `requireSide` (when given) additionally pins
+    * which relation the value must come from — an UPDATE whose values
+    * were analyzer-aligned with TARGET attributes for unassigned
+    * columns must NOT be mistaken for a full-row SOURCE replace. */
+  private def isFullRow(assignments: Seq[Assignment],
+      requireSide: Option[
+        org.apache.spark.sql.catalyst.expressions.AttributeSet] = None)
+      : Boolean =
     assignments.forall {
       case Assignment(k: AttributeReference, v: AttributeReference) =>
-        k.name.equalsIgnoreCase(v.name)
+        k.name.equalsIgnoreCase(v.name) &&
+          requireSide.forall(_.contains(v))
       case _ => false
     }
 
@@ -305,18 +320,53 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (Some(oc), ops, rest)
       case other => (None, Seq.empty[String], other)
     }
-    updates match {
-      case Seq(UpdateStarAction(None)) => ()
-      case Seq(UpdateAction(None, assigns, _)) if isFullRow(assigns) => ()
-      case _ => unsupported("this WHEN MATCHED shape (need UPDATE SET *)")
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    // column-level assignments: keep the analyzed expression but swap
+    // its attribute references for NAME-BASED ones tagged by side, so
+    // the command can re-resolve them against its run-time matched-rows
+    // join (target columns plain, source columns SrcPrefix'd — the
+    // frame MergeInto.upsertRows evaluates assignments over)
+    def nameBased(v: Expression): Expression = v.transform {
+      case a: AttributeReference if sOut.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(graft.table.MergeInto.SrcPrefix + a.name))
+      case a: AttributeReference if tOut.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(a.name))
+    }
+    val updateSet: Option[Seq[(String, ExprBox)]] = updates match {
+      case Seq(UpdateStarAction(None)) => None
+      case Seq(UpdateAction(None, assigns, _))
+          if isFullRow(assigns, Some(sOut)) => None
+      case Seq(UpdateAction(None, assigns, _))
+          if assigns.forall(_.key.isInstanceOf[AttributeReference]) =>
+        Some(assigns.flatMap { a =>
+          val k = a.key.asInstanceOf[AttributeReference]
+          require(tOut.contains(k),
+            s"MERGE UPDATE SET must assign a target column, got ${k.name}")
+          a.value match {
+            // identity target assignment (k = t.k): an analyzer-aligned
+            // no-op for an unassigned column — unassigned columns keep
+            // the target value anyway
+            case v: AttributeReference
+                if tOut.contains(v) && v.name.equalsIgnoreCase(k.name) =>
+              None
+            case v => Some(k.name -> ExprBox(nameBased(v)))
+          }
+        })
+      case _ => unsupported(
+        "this WHEN MATCHED shape (need UPDATE SET * or UPDATE SET " +
+          "col = expr)")
     }
     m.notMatchedActions match {
       case Seq(InsertStarAction(None)) => ()
-      case Seq(InsertAction(None, assigns)) if isFullRow(assigns) => ()
+      case Seq(InsertAction(None, assigns))
+          if isFullRow(assigns, Some(sOut)) => ()
       case _ => unsupported("this WHEN NOT MATCHED shape (need INSERT *)")
     }
     GraftMergeCommand(g.table.location, m.sourceTable, keys, opCol,
-      deleteOps, ident)
+      deleteOps, ident, updateSet)
   }
 
   /** Table path when `ident` is a catalog-registered graft table. */

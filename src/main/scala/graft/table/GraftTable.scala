@@ -2620,9 +2620,12 @@ class GraftTable(spark: SparkSession, val location: String,
       // (appId, batchId) already at-or-below the last committed batch
       // for appId makes the merge a no-op — exactly-once incremental
       // consumers (TableFeed, IncrementalRollup) replay crashes safely
-      txn: Option[(String, Long)] = None): Long =
+      txn: Option[(String, Long)] = None,
+      // column-level WHEN MATCHED THEN UPDATE SET (see MergeInto.merge)
+      updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None)
+      : Long =
     MergeInto.merge(spark, this, source, keys, dedupKey, orderCol, opCol,
-      deleteOps, mode, txn)
+      deleteOps, mode, txn, updateSet)
 
   private[table] def commitMerge(staged: Seq[(String, Long)],
       removed: Seq[String], expectedParent: Option[Long],

@@ -152,6 +152,13 @@ object MergeInto {
     * override path (reachable from SQL via `graft.merge.mode`). */
   val MorMaxBatchRows: Long = 10L * 1000 * 1000
 
+  /** Prefix for SOURCE columns inside [[merge]]'s `updateSet`
+    * expressions: `col("v")` names the TARGET's current value,
+    * `srcCol("v")` the incoming batch's. */
+  val SrcPrefix = "__src_"
+  def srcCol(name: String): org.apache.spark.sql.Column =
+    col(SrcPrefix + name)
+
   /** @param opCol engine EXTENSION over the reference (which never
     *   interprets CDC op codes — SURVEY.md §2 N1): when set, source rows
     *   whose op ∈ `deleteOps` (after keep-latest dedup, so a later update
@@ -162,12 +169,25 @@ object MergeInto {
     *   a key-tombstone equality-delete file — O(batch) write regardless of
     *   table size, merged at read (silver's format,
     *   /root/reference/bronze-silver.py:184-194); "auto" measures the
-    *   would-be rewrite and picks. */
+    *   would-be rewrite and picks.
+    * @param updateSet COLUMN-LEVEL `WHEN MATCHED THEN UPDATE SET c = expr`
+    *   (ANSI MERGE's partial update, vs the default full-row replace):
+    *   each (targetColumn, expression) pair computes over a frame holding
+    *   the matched TARGET row's columns under their plain names and the
+    *   source row's under [[srcCol]]; unassigned columns keep the
+    *   target's value. NOT MATCHED rows still INSERT the full source row,
+    *   and delete-op rows still delete. Cost note: MOR mode normally
+    *   never reads the target — with `updateSet` it must read the
+    *   key-overlapping files (bounded by the same manifest pruning as
+    *   COW planning) to obtain the unassigned columns' current values;
+    *   the WRITE stays O(batch). */
   def merge(spark: SparkSession, target: GraftTable, source: DataFrame,
       keys: Seq[String], dedupKey: Seq[String], orderCol: String,
       opCol: Option[String] = None,
       deleteOps: Seq[String] = Seq("D"), mode: String = "cow",
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None)
+      : Long = {
     require(Set("cow", "mor", "auto").contains(mode),
       s"merge mode must be cow|mor|auto, got $mode")
     val parentAtRead = target.latestSnapshotId
@@ -188,11 +208,45 @@ object MergeInto {
       case None => deduped.select(cols.map(col): _*)
     }
 
+    // rows this merge WRITES for the batch's keys: the full source row
+    // (full-row replace / plain insert), or — with updateSet — matched
+    // target rows with the assignments applied (unassigned columns keep
+    // the target's value) plus raw not-matched inserts. `affectedDf`
+    // must cover every file that can contain a batch key.
+    def upsertRows(affectedDf: => DataFrame): DataFrame = updateSet match {
+      case None => inserts
+      case Some(assigns) =>
+        val bad = assigns.collect { case (c, _) if !cols.contains(c) => c }
+        require(bad.isEmpty,
+          s"updateSet names unknown column(s): ${bad.mkString(",")}")
+        require(assigns.forall { case (c, _) => !keys.contains(c) },
+          "updateSet must not assign a merge key")
+        val renamed = deduped.columns.filterNot(keys.contains)
+          .foldLeft(deduped)((d, c) =>
+            d.withColumnRenamed(c, SrcPrefix + c))
+        val joined = affectedDf.join(renamed, keys, "inner")
+        val nonDelete = opCol match {
+          case Some(oc) => joined.filter(col(SrcPrefix + oc).isNull ||
+            !col(SrcPrefix + oc).isin(deleteOps: _*))
+          case None => joined
+        }
+        val assignMap = assigns.toMap
+        val matchedOut = nonDelete.select(cols.map(c =>
+          assignMap.get(c)
+            .map(_.cast(schema(c).dataType).as(c))
+            .getOrElse(col(c))): _*)
+        val newInserts = inserts.join(
+          affectedDf.select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
+        matchedOut.unionByName(newInserts)
+    }
+
     val fields = target.partitionFields
     // lazy: the key-range/point-probe pruning inputs cost a distributed
     // aggregate + a capped collect over the batch — COW planning needs
     // them, a pure-MOR commit (append + tombstone, nothing read) does NOT,
-    // so mode="mor" must never pay for them
+    // so mode="mor" must never pay for them (EXCEPT with updateSet,
+    // whose unassigned columns force a bounded read of overlapping files)
     lazy val live = target.liveFiles()
     lazy val stats = Phase.timed("merge.statsFor")(target.statsFor(live))
     lazy val keyRange = Phase.timed("merge.keyRange")(
@@ -214,7 +268,8 @@ object MergeInto {
       val delPaths = Phase.timed("merge.stageDeletes")(
         target.stageDeletes(delKeys, batchRows))
       val added = Phase.timed("merge.stageInserts")(
-        target.stageForMerge(inserts))
+        target.stageForMerge(
+          upsertRows(target.readFilesOf(overlapping(live)))))
       deduped.unpersist(); dedupedAll.unpersist()
       Phase.timed("merge.commitMor")(
         target.commitMergeMor(added, delPaths, keys, txn))
@@ -243,8 +298,9 @@ object MergeInto {
       // overlaps the batch are rewritten; the rest stay live untouched.
       val touched = overlapping(live)
       if (autoPrefersMor(touched)) return morCommit(deduped.count())
-      val kept = target.readFilesOf(touched).join(deduped, keys, "left_anti")
-      val merged = kept.unionByName(inserts)
+      val touchedDf = target.readFilesOf(touched)
+      val kept = touchedDf.join(deduped, keys, "left_anti")
+      val merged = kept.unionByName(upsertRows(touchedDf))
       val added = Phase.timed("merge.stageRewrite")(
         target.stageForMerge(merged))
       deduped.unpersist(); dedupedAll.unpersist()
@@ -294,7 +350,7 @@ object MergeInto {
       val affectedDf = target.readFilesOf(affectedFiles)
 
       val kept = affectedDf.join(deduped, keys, "left_anti")
-      val merged = kept.unionByName(inserts)
+      val merged = kept.unionByName(upsertRows(affectedDf))
       val added = Phase.timed("merge.stageRewrite")(
         target.stageForMerge(merged))
       deduped.unpersist(); dedupedAll.unpersist()

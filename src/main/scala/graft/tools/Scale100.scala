@@ -251,6 +251,63 @@ object Scale100 {
         spark.sharedState.cacheManager.clearCache(); System.gc()
       }
     }
+
+    // ---- COW merge WRITE AMPLIFICATION vs table size ----
+    // The product claim behind MergeInto's file pruning: a keyed upsert
+    // rewrites only files whose recorded key ranges can overlap the
+    // batch, so a FIXED contiguous-key batch's rewritten file count and
+    // bytes stay ~flat as the table grows 10× (files are byte-sized by
+    // AQE, so the file COUNT grows with data while each file's key span
+    // shrinks — rewritten-bytes flatness is the honest signal). Also
+    // records the MOR alternative's cost for the same batch: O(batch)
+    // append + tombstone, no read at all.
+    Seq(("1x", sfDir), ("10x", dir10)).foreach { case (tier, dir) =>
+      val ordersPath = new Path(s"$dir/orders.parquet")
+      val fs2 = ordersPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs2.exists(ordersPath)) {
+        val orders = spark.read.parquet(ordersPath.toString)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+        val scratch = s"${graft.queries.Scratch.baseDir}/graft-s100-ma-" +
+          java.util.UUID.randomUUID()
+        graft.queries.Scratch.deleteOnExit(scratch)
+        val t = GraftTable(spark, s"$scratch/t")
+        // pin file granularity to ~20k rows/file at every tier: the
+        // file COUNT grows with data, each file's key span stays fixed
+        // — the honest setup for a flat-rewritten-bytes claim (AQE's
+        // byte targeting would otherwise fold the 1× tier into one file)
+        t.append(orders, sortBy = Seq("o_orderkey"),
+          sortFiles = Some(math.max(8, (orders.count() / 20000L).toInt)))
+        val nFiles = t.liveFiles().size
+        val totBytes = t.bytesFor(t.liveFiles()).values.sum
+        // fixed batch: 500 contiguous keys — overlaps O(1) clustered files
+        val lo = 1000L
+        val batch = orders
+          .filter(col("o_orderkey") >= lo && col("o_orderkey") < lo + 500)
+          .withColumn("o_totalprice",
+            (col("o_totalprice") * 2).cast("decimal(18,2)"))
+          .localCheckpoint()
+        val bn = batch.count()
+        val t0 = System.nanoTime()
+        t.merge(batch, keys = Seq("o_orderkey"),
+          dedupKey = Seq("o_orderkey"), orderCol = "o_orderkey",
+          mode = "cow")
+        val cowSec = (System.nanoTime() - t0) / 1e9
+        val snap = t.snapshots.last
+        val rew = t.removedFilesOf(snap)
+        val rewBytes = rew.map(f => t.bytesFor(Seq(f)).getOrElse(f, 0L)).sum
+        val t1 = System.nanoTime()
+        t.merge(batch, keys = Seq("o_orderkey"),
+          dedupKey = Seq("o_orderkey"), orderCol = "o_orderkey",
+          mode = "mor")
+        val morSec = (System.nanoTime() - t1) / 1e9
+        println(s"""{"tier":"$tier","merge_amp":{"table_files":$nFiles,""" +
+          s""""table_bytes":$totBytes,"batch_rows":$bn,""" +
+          s""""rewritten_files":${rew.size},"rewritten_bytes":$rewBytes,""" +
+          f""""cow_sec":$cowSec%.1f,"mor_sec":$morSec%.1f}}""")
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+      }
+    }
     spark.stop()
   }
 }
