@@ -1178,7 +1178,46 @@ object TableQueries {
       |    (SELECT 1 FROM target t2 WHERE t2.o_orderkey = x.o_orderkey))
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Snapshot-sync MERGE (`WHEN NOT MATCHED BY SOURCE THEN DELETE`,
+    * composed with a partial matched update): target-only rows vanish,
+    * matched rows keep every unassigned column, source-only rows insert
+    * whole — the dimension-snapshot refresh shape. One overwrite commit
+    * by design (the semantics compare every target row); history stays
+    * time-travelable. */
+  val qSqlMergeSync: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("sqlms"))
+    cat.createFrom("sync_orders",
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0))
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .createOrReplaceTempView("sync_src")
+    s.sql(
+      """MERGE INTO sync_orders t USING sync_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'S'
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    project(s.sql("SELECT * FROM sync_orders"))
+  }
+  val qSqlMergeSyncSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |     source AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (
+      |  SELECT t.o_orderkey, t.o_custkey, 'S' AS o_orderstatus,
+      |         t.o_totalprice, t.o_orderdate
+      |  FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate
+      |  FROM source x
+      |  WHERE NOT EXISTS
+      |    (SELECT 1 FROM target t2 WHERE t2.o_orderkey = x.o_orderkey))
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sql_merge_sync", qSqlMergeSync, Some(qSqlMergeSyncSql)),
     ("q_sql_merge_update", qSqlMergeUpdate, Some(qSqlMergeUpdateSql)),
     ("q_compact_smallfiles", qCompactSmallFiles,
       Some(qCompactSmallFilesSql)),

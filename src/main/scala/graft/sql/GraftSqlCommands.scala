@@ -55,7 +55,10 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
     // target column name -> expression whose attributes are name-based
     // (plain = matched TARGET row, MergeInto.SrcPrefix'd = source row),
     // re-resolved at run time against the merge's matched-rows join
-    updateSet: Option[Seq[(String, ExprBox)]] = None)
+    updateSet: Option[Seq[(String, ExprBox)]] = None,
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE (snapshot sync — one
+    // overwrite commit; see MergeInto.merge)
+    syncDelete: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -65,7 +68,8 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
     table.merge(src, keys = keys, dedupKey = keys, orderCol = keys.head,
       opCol = opCol, deleteOps = deleteOps, mode = mode,
       updateSet = updateSet.map(_.map { case (k, b) =>
-        k -> GraftSqlGlue.column(b.e) }))
+        k -> GraftSqlGlue.column(b.e) }),
+      syncDelete = syncDelete)
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq.empty
   }
@@ -307,8 +311,12 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def toMergeCommand(m: MergeIntoTable,
       g: GraftFileIndex, ident: Option[TableIdentifier]): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE")
+    val syncDelete = m.notMatchedBySourceActions match {
+      case Seq() => false
+      case Seq(DeleteAction(None)) => true // snapshot-sync delete
+      case _ => unsupported(
+        "this WHEN NOT MATCHED BY SOURCE shape (only a bare DELETE)")
+    }
     val keys = mergeKeys(m)
 
     // matched: optional leading DELETE (must precede the update — SQL
@@ -366,7 +374,7 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => unsupported("this WHEN NOT MATCHED shape (need INSERT *)")
     }
     GraftMergeCommand(g.table.location, m.sourceTable, keys, opCol,
-      deleteOps, ident, updateSet)
+      deleteOps, ident, updateSet, syncDelete)
   }
 
   /** Table path when `ident` is a catalog-registered graft table. */

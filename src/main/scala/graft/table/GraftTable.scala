@@ -2622,10 +2622,11 @@ class GraftTable(spark: SparkSession, val location: String,
       // consumers (TableFeed, IncrementalRollup) replay crashes safely
       txn: Option[(String, Long)] = None,
       // column-level WHEN MATCHED THEN UPDATE SET (see MergeInto.merge)
-      updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None)
-      : Long =
+      updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
+      // WHEN NOT MATCHED BY SOURCE THEN DELETE (see MergeInto.merge)
+      syncDelete: Boolean = false): Long =
     MergeInto.merge(spark, this, source, keys, dedupKey, orderCol, opCol,
-      deleteOps, mode, txn, updateSet)
+      deleteOps, mode, txn, updateSet, syncDelete)
 
   private[table] def commitMerge(staged: Seq[(String, Long)],
       removed: Seq[String], expectedParent: Option[Long],

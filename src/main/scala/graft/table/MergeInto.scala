@@ -180,14 +180,23 @@ object MergeInto {
     *   never reads the target — with `updateSet` it must read the
     *   key-overlapping files (bounded by the same manifest pruning as
     *   COW planning) to obtain the unassigned columns' current values;
-    *   the WRITE stays O(batch). */
+    *   the WRITE stays O(batch).
+    * @param syncDelete ANSI `WHEN NOT MATCHED BY SOURCE THEN DELETE`
+    *   (snapshot-sync semantics): target rows whose key is absent from
+    *   the batch are DELETED — the final table holds exactly the
+    *   matched rows (updated) plus the source-only inserts. Inherently
+    *   a full-table operation (every target row must be compared
+    *   against the source key set), so it commits as one overwrite;
+    *   file pruning cannot apply and MOR would tombstone ~the whole
+    *   table, so the mode is forced to the COW overwrite. Use for
+    *   dimension-snapshot sync, never for hot-path CDC batches. */
   def merge(spark: SparkSession, target: GraftTable, source: DataFrame,
       keys: Seq[String], dedupKey: Seq[String], orderCol: String,
       opCol: Option[String] = None,
       deleteOps: Seq[String] = Seq("D"), mode: String = "cow",
       txn: Option[(String, Long)] = None,
-      updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None)
-      : Long = {
+      updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
+      syncDelete: Boolean = false): Long = {
     require(Set("cow", "mor", "auto").contains(mode),
       s"merge mode must be cow|mor|auto, got $mode")
     val parentAtRead = target.latestSnapshotId
@@ -239,6 +248,21 @@ object MergeInto {
           affectedDf.select(keys.map(col): _*).distinct(),
           keys, "left_anti")
         matchedOut.unionByName(newInserts)
+    }
+
+    if (syncDelete) {
+      // snapshot sync: the result is fully determined by the source +
+      // the matched target rows; target-only rows vanish. One overwrite
+      // commit — O(result) write, by the semantics' own nature.
+      val out = updateSet match {
+        case None => inserts // full-row replace: result ≡ deduped source
+        case Some(_) => upsertRows(target.read())
+      }
+      val staged = Phase.timed("merge.stageSync")(
+        target.stageForMerge(out))
+      deduped.unpersist(); dedupedAll.unpersist()
+      return Phase.timed("merge.commitSync")(
+        target.commitMerge(staged, target.liveFiles(), parentAtRead, txn))
     }
 
     val fields = target.partitionFields

@@ -599,10 +599,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
     val snapBefore = cat.table("ext_u").latestSnapshotId.get
-    // partial-column UPDATE is not full-row replace
+    // CONDITIONAL matched update (WHEN MATCHED AND ...) is unsupported
+    // (plain column-level UPDATE SET became a real partial update in r10)
     val e = intercept[Exception](spark.sql(
       """MERGE INTO ext_u t USING ext_u_src s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET v = 'zzz'
+        |WHEN MATCHED AND s.v = 'q' THEN UPDATE SET v = 'zzz'
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
     assert(causes(e).exists(c => Option(c.getMessage).exists(
       _.contains("not supported on graft tables"))))

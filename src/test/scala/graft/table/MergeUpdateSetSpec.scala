@@ -68,6 +68,44 @@ class MergeUpdateSetSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown column"))
   }
 
+  test("syncDelete (WHEN NOT MATCHED BY SOURCE THEN DELETE): target-only " +
+      "rows vanish; matched update + source-only insert still apply") {
+    val t = fresh("mus-sync")
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n"))
+    // full-row replace + sync: result ≡ the deduped source
+    t.merge(Seq((2L, "B", 200L), (4L, "d", 40L)).toDF("id", "v", "n"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id",
+      syncDelete = true)
+    assert(rows(t) === Seq((2L, "B", 200L), (4L, "d", 40L)))
+    // partial update + sync: matched keeps unassigned target columns
+    t.merge(Seq((4L, "ZZZ", 2L), (7L, "g", 70L)).toDF("id", "v", "n"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id",
+      updateSet = Some(Seq("n" -> (col("n") + MergeInto.srcCol("n")))),
+      syncDelete = true)
+    assert(rows(t) === Seq((4L, "d", 42L), (7L, "g", 70L)))
+    // time travel still sees the pre-sync states
+    assert(t.readAsOf(1L).count() === 3)
+  }
+
+  test("SQL MERGE: NOT MATCHED BY SOURCE DELETE end to end") {
+    val wh = tmpDir("mus-sync-sql-wh")
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("mus_sync",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cat.register("mus_sync")
+    Seq((2L, "B"), (9L, "i")).toDF("id", "v")
+      .createOrReplaceTempView("mus_sync_src")
+    spark.sql(
+      """MERGE INTO mus_sync t USING mus_sync_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM mus_sync ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "B"), (9L, "i")))
+    cat.drop("mus_sync")
+  }
+
   test("SQL MERGE with column-level UPDATE SET (incl. t./s. refs)") {
     val wh = tmpDir("mus-sql-wh")
     val cat = graft.catalog.GraftCatalog(spark, wh)
