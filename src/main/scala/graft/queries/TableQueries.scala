@@ -1216,7 +1216,66 @@ object TableQueries {
       |    (SELECT 1 FROM target t2 WHERE t2.o_orderkey = x.o_orderkey))
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Conditional matched update (`WHEN MATCHED AND cond THEN UPDATE`):
+    * only matched rows passing the t-vs-s condition update; the rest
+    * keep their target row untouched — ANSI three-valued logic (a NULL
+    * condition keeps the row). Here: a CDC batch only wins when its
+    * price is strictly higher (the last-writer-wins-by-value shape). */
+  val qSqlMergeCond: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("sqlmc"))
+    cat.createFrom("cond_orders",
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0))
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      // mixed outcomes: ~half the batch has a higher price (wins),
+      // half lower (loses — target rows must stay byte-identical)
+      .withColumn("o_totalprice", col("o_totalprice") *
+        when(col("o_custkey") % 2 === 0, 0.5).otherwise(2.0))
+      .withColumn("o_orderstatus", lit("C"))
+      .createOrReplaceTempView("cond_src")
+    s.sql(
+      """MERGE INTO cond_orders t USING cond_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.o_totalprice > t.o_totalprice
+        |  THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    project(s.sql("SELECT * FROM cond_orders"))
+  }
+  val qSqlMergeCondSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |     source AS (SELECT o_orderkey, o_custkey,
+      |                       'C' AS o_orderstatus,
+      |                       o_totalprice * CASE WHEN o_custkey % 2 = 0
+      |                         THEN 0.5 ELSE 2.0 END AS o_totalprice,
+      |                       o_orderdate, o_orderpriority
+      |                FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (
+      |  SELECT t.o_orderkey, t.o_custkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL
+      |              AND s.o_totalprice > t.o_totalprice
+      |         THEN s.o_orderstatus ELSE t.o_orderstatus
+      |    END AS o_orderstatus,
+      |    CASE WHEN s.o_orderkey IS NOT NULL
+      |              AND s.o_totalprice > t.o_totalprice
+      |         THEN s.o_totalprice ELSE t.o_totalprice
+      |    END AS o_totalprice,
+      |    CASE WHEN s.o_orderkey IS NOT NULL
+      |              AND s.o_totalprice > t.o_totalprice
+      |         THEN s.o_orderdate ELSE t.o_orderdate
+      |    END AS o_orderdate
+      |  FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate
+      |  FROM source x
+      |  WHERE NOT EXISTS
+      |    (SELECT 1 FROM target t2 WHERE t2.o_orderkey = x.o_orderkey))
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sql_merge_cond", qSqlMergeCond, Some(qSqlMergeCondSql)),
     ("q_sql_merge_sync", qSqlMergeSync, Some(qSqlMergeSyncSql)),
     ("q_sql_merge_update", qSqlMergeUpdate, Some(qSqlMergeUpdateSql)),
     ("q_compact_smallfiles", qCompactSmallFiles,

@@ -58,7 +58,9 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
     updateSet: Option[Seq[(String, ExprBox)]] = None,
     // WHEN NOT MATCHED BY SOURCE THEN DELETE (snapshot sync — one
     // overwrite commit; see MergeInto.merge)
-    syncDelete: Boolean = false)
+    syncDelete: Boolean = false,
+    // WHEN MATCHED AND <cond> THEN UPDATE — name-based like updateSet
+    updateCond: Option[ExprBox] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -69,7 +71,8 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
       opCol = opCol, deleteOps = deleteOps, mode = mode,
       updateSet = updateSet.map(_.map { case (k, b) =>
         k -> GraftSqlGlue.column(b.e) }),
-      syncDelete = syncDelete)
+      syncDelete = syncDelete,
+      updateCond = updateCond.map(b => GraftSqlGlue.column(b.e)))
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq.empty
   }
@@ -343,30 +346,41 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
           Seq(a.name))
     }
-    val updateSet: Option[Seq[(String, ExprBox)]] = updates match {
-      case Seq(UpdateStarAction(None)) => None
-      case Seq(UpdateAction(None, assigns, _))
-          if isFullRow(assigns, Some(sOut)) => None
-      case Seq(UpdateAction(None, assigns, _))
-          if assigns.forall(_.key.isInstanceOf[AttributeReference]) =>
-        Some(assigns.flatMap { a =>
-          val k = a.key.asInstanceOf[AttributeReference]
-          require(tOut.contains(k),
-            s"MERGE UPDATE SET must assign a target column, got ${k.name}")
-          a.value match {
-            // identity target assignment (k = t.k): an analyzer-aligned
-            // no-op for an unassigned column — unassigned columns keep
-            // the target value anyway
-            case v: AttributeReference
-                if tOut.contains(v) && v.name.equalsIgnoreCase(k.name) =>
-              None
-            case v => Some(k.name -> ExprBox(nameBased(v)))
-          }
-        })
-      case _ => unsupported(
-        "this WHEN MATCHED shape (need UPDATE SET * or UPDATE SET " +
-          "col = expr)")
-    }
+    def assignSet(assigns: Seq[Assignment])
+        : Option[Seq[(String, ExprBox)]] =
+      if (isFullRow(assigns, Some(sOut))) None
+      else Some(assigns.flatMap { a =>
+        val k = a.key match {
+          case ar: AttributeReference => ar
+          case other => unsupported(
+            s"MERGE UPDATE SET key `${other.sql}` (need a column)")
+        }
+        require(tOut.contains(k),
+          s"MERGE UPDATE SET must assign a target column, got ${k.name}")
+        a.value match {
+          // identity target assignment (k = t.k): an analyzer-aligned
+          // no-op for an unassigned column — unassigned columns keep
+          // the target value anyway
+          case v: AttributeReference
+              if tOut.contains(v) && v.name.equalsIgnoreCase(k.name) =>
+            None
+          case v => Some(k.name -> ExprBox(nameBased(v)))
+        }
+      })
+    val (updateSet, updateCond)
+        : (Option[Seq[(String, ExprBox)]], Option[ExprBox]) =
+      updates match {
+        case Seq(UpdateStarAction(None)) => (None, None)
+        case Seq(UpdateStarAction(Some(cond))) =>
+          (None, Some(ExprBox(nameBased(cond))))
+        case Seq(UpdateAction(cond, assigns, _)) =>
+          (assignSet(assigns), cond.map(c => ExprBox(nameBased(c))))
+        case Seq() => unsupported(
+          "MERGE without a WHEN MATCHED update clause")
+        case _ => unsupported(
+          "this WHEN MATCHED shape (one UPDATE clause, optionally " +
+            "conditional, optionally preceded by a DELETE)")
+      }
     m.notMatchedActions match {
       case Seq(InsertStarAction(None)) => ()
       case Seq(InsertAction(None, assigns))
@@ -374,7 +388,7 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => unsupported("this WHEN NOT MATCHED shape (need INSERT *)")
     }
     GraftMergeCommand(g.table.location, m.sourceTable, keys, opCol,
-      deleteOps, ident, updateSet, syncDelete)
+      deleteOps, ident, updateSet, syncDelete, updateCond)
   }
 
   /** Table path when `ident` is a catalog-registered graft table. */

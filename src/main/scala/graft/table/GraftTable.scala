@@ -2624,9 +2624,11 @@ class GraftTable(spark: SparkSession, val location: String,
       // column-level WHEN MATCHED THEN UPDATE SET (see MergeInto.merge)
       updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
       // WHEN NOT MATCHED BY SOURCE THEN DELETE (see MergeInto.merge)
-      syncDelete: Boolean = false): Long =
+      syncDelete: Boolean = false,
+      // WHEN MATCHED AND <cond> THEN UPDATE (see MergeInto.merge)
+      updateCond: Option[org.apache.spark.sql.Column] = None): Long =
     MergeInto.merge(spark, this, source, keys, dedupKey, orderCol, opCol,
-      deleteOps, mode, txn, updateSet, syncDelete)
+      deleteOps, mode, txn, updateSet, syncDelete, updateCond)
 
   private[table] def commitMerge(staged: Seq[(String, Long)],
       removed: Seq[String], expectedParent: Option[Long],

@@ -189,14 +189,22 @@ object MergeInto {
     *   against the source key set), so it commits as one overwrite;
     *   file pruning cannot apply and MOR would tombstone ~the whole
     *   table, so the mode is forced to the COW overwrite. Use for
-    *   dimension-snapshot sync, never for hot-path CDC batches. */
+    *   dimension-snapshot sync, never for hot-path CDC batches.
+    * @param updateCond ANSI `WHEN MATCHED AND <cond> THEN UPDATE`:
+    *   evaluated over the same matched-rows frame as `updateSet`
+    *   (target plain, source via [[srcCol]]); matched rows failing (or
+    *   NULL-ing) the condition keep the target row UNCHANGED — they are
+    *   neither replaced nor deleted. Composes with full-row or
+    *   column-level updates; forces the bounded overlapping-files read
+    *   even for full-row mode (the kept rows must be rewritten). */
   def merge(spark: SparkSession, target: GraftTable, source: DataFrame,
       keys: Seq[String], dedupKey: Seq[String], orderCol: String,
       opCol: Option[String] = None,
       deleteOps: Seq[String] = Seq("D"), mode: String = "cow",
       txn: Option[(String, Long)] = None,
       updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
-      syncDelete: Boolean = false): Long = {
+      syncDelete: Boolean = false,
+      updateCond: Option[org.apache.spark.sql.Column] = None): Long = {
     require(Set("cow", "mor", "auto").contains(mode),
       s"merge mode must be cow|mor|auto, got $mode")
     val parentAtRead = target.latestSnapshotId
@@ -217,19 +225,26 @@ object MergeInto {
       case None => deduped.select(cols.map(col): _*)
     }
 
+    // Does this merge need the matched-rows JOIN (target values read)?
+    val needsJoin = updateSet.isDefined || updateCond.isDefined
+
     // rows this merge WRITES for the batch's keys: the full source row
-    // (full-row replace / plain insert), or — with updateSet — matched
-    // target rows with the assignments applied (unassigned columns keep
-    // the target's value) plus raw not-matched inserts. `affectedDf`
-    // must cover every file that can contain a batch key.
-    def upsertRows(affectedDf: => DataFrame): DataFrame = updateSet match {
-      case None => inserts
-      case Some(assigns) =>
-        val bad = assigns.collect { case (c, _) if !cols.contains(c) => c }
-        require(bad.isEmpty,
-          s"updateSet names unknown column(s): ${bad.mkString(",")}")
-        require(assigns.forall { case (c, _) => !keys.contains(c) },
-          "updateSet must not assign a merge key")
+    // (full-row replace / plain insert), or — with updateSet/updateCond
+    // — matched target rows with the assignments applied (unassigned
+    // columns keep the target's value; condition-failing rows keep the
+    // whole target row) plus raw not-matched inserts. `affectedDf` must
+    // cover every file that can contain a batch key, and is only forced
+    // when the join is needed.
+    def upsertRows(affectedDf: => DataFrame): DataFrame =
+      if (!needsJoin) inserts
+      else {
+        updateSet.foreach { assigns =>
+          val bad = assigns.collect { case (c, _) if !cols.contains(c) => c }
+          require(bad.isEmpty,
+            s"updateSet names unknown column(s): ${bad.mkString(",")}")
+          require(assigns.forall { case (c, _) => !keys.contains(c) },
+            "updateSet must not assign a merge key")
+        }
         val renamed = deduped.columns.filterNot(keys.contains)
           .foldLeft(deduped)((d, c) =>
             d.withColumnRenamed(c, SrcPrefix + c))
@@ -239,25 +254,32 @@ object MergeInto {
             !col(SrcPrefix + oc).isin(deleteOps: _*))
           case None => joined
         }
-        val assignMap = assigns.toMap
-        val matchedOut = nonDelete.select(cols.map(c =>
-          assignMap.get(c)
-            .map(_.cast(schema(c).dataType).as(c))
-            .getOrElse(col(c))): _*)
+        // SQL three-valued logic: a NULL condition means "this clause
+        // does not fire" — the row keeps its target state
+        val pass = coalesce(updateCond.getOrElse(lit(true)), lit(false))
+        val assignMap = updateSet.getOrElse(Seq.empty).toMap
+        val matchedOut = nonDelete.filter(pass).select(cols.map(c =>
+          (if (updateSet.isDefined)
+            assignMap.get(c)
+              .map(_.cast(schema(c).dataType))
+              .getOrElse(col(c))
+          else if (keys.contains(c)) col(c)
+          else col(SrcPrefix + c).cast(schema(c).dataType)).as(c)): _*)
+        val keptMatched = nonDelete.filter(!pass)
+          .select(cols.map(col): _*)
         val newInserts = inserts.join(
           affectedDf.select(keys.map(col): _*).distinct(),
           keys, "left_anti")
-        matchedOut.unionByName(newInserts)
-    }
+        matchedOut.unionByName(keptMatched).unionByName(newInserts)
+      }
 
     if (syncDelete) {
       // snapshot sync: the result is fully determined by the source +
       // the matched target rows; target-only rows vanish. One overwrite
       // commit — O(result) write, by the semantics' own nature.
-      val out = updateSet match {
-        case None => inserts // full-row replace: result ≡ deduped source
-        case Some(_) => upsertRows(target.read())
-      }
+      val out =
+        if (!needsJoin) inserts // full-row: result ≡ deduped source
+        else upsertRows(target.read())
       val staged = Phase.timed("merge.stageSync")(
         target.stageForMerge(out))
       deduped.unpersist(); dedupedAll.unpersist()

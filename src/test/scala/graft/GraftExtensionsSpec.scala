@@ -599,12 +599,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
     val snapBefore = cat.table("ext_u").latestSnapshotId.get
-    // CONDITIONAL matched update (WHEN MATCHED AND ...) is unsupported
-    // (plain column-level UPDATE SET became a real partial update in r10)
+    // NOT MATCHED BY SOURCE supports only a bare DELETE — an UPDATE
+    // there is unsupported (matched-side partial/conditional updates
+    // became real operations in r10)
     val e = intercept[Exception](spark.sql(
       """MERGE INTO ext_u t USING ext_u_src s ON t.id = s.id
-        |WHEN MATCHED AND s.v = 'q' THEN UPDATE SET v = 'zzz'
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'gone'"""
+        .stripMargin))
     assert(causes(e).exists(c => Option(c.getMessage).exists(
       _.contains("not supported on graft tables"))))
     assert(cat.table("ext_u").latestSnapshotId.get === snapBefore)

@@ -106,6 +106,53 @@ class MergeUpdateSetSpec extends SparkSpec {
     cat.drop("mus_sync")
   }
 
+  test("updateCond (WHEN MATCHED AND cond THEN UPDATE): failing or NULL " +
+      "condition keeps the target row; composes with full-row and " +
+      "column-level updates, COW and MOR") {
+    val t = fresh("mus-cond")
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n"))
+    // full-row + condition on the SOURCE value: only n>=100 replaces
+    t.merge(Seq((1L, "A", 100L), (2L, "B", 5L), (4L, "d", 40L))
+      .toDF("id", "v", "n"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id",
+      updateCond = Some(MergeInto.srcCol("n") >= 100L))
+    assert(rows(t) === Seq((1L, "A", 100L), (2L, "b", 20L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+    // column-level + condition on the TARGET value, MOR mode
+    t.merge(Seq((2L, "x", 1L), (3L, "y", 1L)).toDF("id", "v", "n"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id",
+      mode = "mor",
+      updateSet = Some(Seq("n" -> (col("n") + MergeInto.srcCol("n")))),
+      updateCond = Some(col("n") >= 30L)) // only id=3 passes (n=30)
+    assert(rows(t) === Seq((1L, "A", 100L), (2L, "b", 20L),
+      (3L, "c", 31L), (4L, "d", 40L)))
+    // NULL condition = clause does not fire (three-valued logic)
+    t.merge(Seq((4L, "Z", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "v", "n"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id",
+      updateCond = Some(MergeInto.srcCol("n") > 0L))
+    assert(rows(t).find(_._1 == 4L).get === ((4L, "d", 40L)))
+  }
+
+  test("SQL MERGE: conditional matched update end to end") {
+    val wh = tmpDir("mus-cond-sql-wh")
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("mus_cond",
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n"))
+    cat.register("mus_cond")
+    Seq((1L, "A", 5L), (2L, "B", 99L), (7L, "g", 1L))
+      .toDF("id", "v", "n").createOrReplaceTempView("mus_cond_src")
+    spark.sql(
+      """MERGE INTO mus_cond t USING mus_cond_src s ON t.id = s.id
+        |WHEN MATCHED AND s.n > t.n THEN UPDATE SET v = s.v, n = s.n
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v, n FROM mus_cond ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (2L, "B", 99L), (7L, "g", 1L)))
+    cat.drop("mus_cond")
+  }
+
   test("SQL MERGE with column-level UPDATE SET (incl. t./s. refs)") {
     val wh = tmpDir("mus-sql-wh")
     val cat = graft.catalog.GraftCatalog(spark, wh)
