@@ -112,5 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CALL graft.<maintenance procedure>(...) — Spark parses CALL but
     // only v2 ProcedureCatalogs resolve it; convert in the HINTS batch.
     ext.injectHintResolutionRule(new graft.sql.GraftProcedureRule(_))
+
+    // SELECT COUNT(*) FROM <graft table> answers from the snapshot
+    // log's per-file row counts (manifest metadata) instead of a scan,
+    // when provably scan-equivalent — see GraftCountStarRule.
+    ext.injectOptimizerRule(new graft.sql.GraftCountStarRule(_))
   }
 }

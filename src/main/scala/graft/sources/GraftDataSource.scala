@@ -163,7 +163,7 @@ class GraftDataSource extends RelationProvider
   * cannot satisfy a pushed predicate are skipped BEFORE the scan —
   * Iceberg's manifest-stats skipping. */
 class GraftFileIndex(spark: SparkSession, val table: GraftTable,
-    files: Seq[String], override val partitionSchema: StructType,
+    val files: Seq[String], override val partitionSchema: StructType,
     stats: Map[String, Map[String, graft.table.ColStat]] = Map.empty,
     sizes: Map[String, Long] = Map.empty)
     extends FileIndex {

@@ -590,6 +590,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_tag")
   }
 
+  test("COUNT(*) answers from manifest row counts — no scan; filtered " +
+      "counts and time travel stay correct") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-cnt").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_cnt", (1L to 500L).map(i => (i, s"v$i"))
+      .toDF("id", "v"))
+    cat.register("ext_cnt")
+    cat.append("ext_cnt", Seq((501L, "x")).toDF("id", "v"))
+
+    def optimized(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan
+    // the plain count collapses to a LocalRelation — metadata only
+    val plan = optimized("SELECT COUNT(*) FROM ext_cnt")
+    assert(plan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"expected metadata-only count, got:\n$plan")
+    assert(spark.sql("SELECT COUNT(*) FROM ext_cnt").as[Long]
+      .collect()(0) === 501L)
+    // multiple count outputs fold too
+    assert(spark.sql("SELECT COUNT(*) AS a, COUNT(1) AS b FROM ext_cnt")
+      .as[(Long, Long)].collect()(0) === ((501L, 501L)))
+
+    // a FILTERED count must NOT rewrite (and must stay correct)
+    val filtered = optimized("SELECT COUNT(*) FROM ext_cnt WHERE id <= 10")
+    assert(!filtered.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(spark.sql("SELECT COUNT(*) FROM ext_cnt WHERE id <= 10")
+      .as[Long].collect()(0) === 10L)
+    // count(col) (null-sensitive) must NOT rewrite
+    assert(!optimized("SELECT COUNT(v) FROM ext_cnt").isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+    // time travel counts its own snapshot — also metadata-only
+    val t = cat.table("ext_cnt")
+    val v0 = t.snapshots.filter(_.operation == "append").head.snapshotId
+    assert(spark.sql(s"SELECT COUNT(*) FROM ext_cnt VERSION AS OF $v0")
+      .as[Long].collect()(0) === 500L)
+    cat.drop("ext_cnt")
+  }
+
   test("unsupported SQL write shapes fail loudly, committing nothing") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString
