@@ -93,7 +93,14 @@ case class GraftCallCommand(proc: String, location: String,
       case "compact" =>
         val where = args.get("where")
           .map(org.apache.spark.sql.functions.expr)
-        longArg("target_file_bytes") match {
+        val zorder = specArg("zorder_by")
+        if (zorder.nonEmpty)
+          // OPTIMIZE ... ZORDER BY: multi-dimensional interleaved-bit
+          // clustering (file pruning on every listed column)
+          t.compactZOrder(zorder,
+            longArg("zorder_bits").getOrElse(12L).toInt,
+            longArg("files_per_partition").getOrElse(1L).toInt, where)
+        else longArg("target_file_bytes") match {
           case Some(b) => t.compactToSize(b, specArg("sort_by"), where)
           case None => t.compact(
             longArg("files_per_partition").getOrElse(1L).toInt,
@@ -176,7 +183,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "expire_snapshots" -> (Seq("keep_last"),
       Set("older_than_ms", "retain_last")),
     "compact" -> (Seq("files_per_partition"),
-      Set("target_file_bytes", "sort_by", "where")),
+      Set("target_file_bytes", "sort_by", "where", "zorder_by",
+        "zorder_bits")),
     "compact_small_files" -> (Seq("target_file_bytes"),
       Set("small_file_bytes", "min_input_files")),
     "rewrite_manifests" -> (Seq.empty, Set.empty),

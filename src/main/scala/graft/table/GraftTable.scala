@@ -2064,6 +2064,37 @@ class GraftTable(spark: SparkSession, val location: String,
       rows = sr._2, bytes = staged.toMap))
   }
 
+  /** Z-ORDER compaction: rewrite the (scoped) live set clustered by the
+    * interleaved z-value of `cols`, so multi-dimensional range predicates
+    * prune files on EVERY listed column — `compact(sortBy)` clusters one
+    * sort prefix; this is the `OPTIMIZE ... ZORDER BY` maintenance shape.
+    * Same commit semantics as [[compact]] (tombstones folded, incremental
+    * reads blocked across it, history time-travelable). */
+  def compactZOrder(cols: Seq[String], bits: Int = 12,
+      filesPerPartition: Int = 1, where: Option[Column] = None): Long = {
+    require(cols.nonEmpty, "zorder needs at least one column")
+    val parentAtRead = latestSnapshotId
+    val all = liveFiles()
+    val removed = where match {
+      case Some(c) => filesMatching(all, c)
+      case None => all
+    }
+    if (removed.isEmpty) return parentAtRead.getOrElse(
+      throw new IllegalStateException(s"no such table: $location"))
+    val full = removed.size == all.size
+    val df0 = if (full) read() else readFilesOf(removed)
+    val df = graft.operators.ZOrder.arrange(df0, cols, bits,
+      Some(math.max(filesPerPartition, 1)))
+    val staged = stageAndMove(align(df, schema), partitionCols,
+      clustered = true)
+    val added = staged.map(_._1)
+    val sr = collectStats(added)
+    commit("compact", added, removed, _ => schema.json, partitionCols,
+      expectedParent = parentAtRead, stats = sr._1, rows = sr._2,
+      removeDeletes = if (full) liveDeletes().map(_.path) else Seq.empty,
+      bytes = staged.toMap)
+  }
+
   def compact(filesPerPartition: Int = 1,
       sortBy: Seq[String] = Seq.empty,
       where: Option[Column] = None): Long = {

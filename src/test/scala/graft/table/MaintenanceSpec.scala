@@ -317,6 +317,52 @@ class MaintenanceSpec extends SparkSpec {
       .as[String].collect() === Array("upd"))
   }
 
+  test("compactZOrder: fragmented appends regain MULTI-dimensional " +
+      "pruning (both columns' per-file ranges tighten); CALL surface") {
+    val t = freshTable("mt-zorder")
+    // unclustered fragments: every file spans the full (x, y) space
+    (0 until 4).foreach { k =>
+      t.append((k until 4096 by 4).map { i =>
+        (i.toLong, (i % 64).toLong, (i / 64).toLong) }
+        .toDF("id", "x", "y").coalesce(1))
+    }
+    val before = t.read().orderBy("id").collect().toSeq
+    def spans(fileSet: Seq[String]): Seq[(Long, Long)] = {
+      val st = t.statsFor(fileSet)
+      fileSet.map { f =>
+        val sx = st(f)("x"); val sy = st(f)("y")
+        (sx.max.get.toLong - sx.min.get.toLong,
+          sy.max.get.toLong - sy.min.get.toLong)
+      }
+    }
+    // before: each file spans ~the full 0..63 range on both dims
+    assert(spans(t.liveFiles()).forall { case (dx, dy) =>
+      dx >= 60 && dy >= 60 })
+    t.compactZOrder(Seq("x", "y"), filesPerPartition = 16)
+    assert(t.read().orderBy("id").collect().toSeq === before)
+    // after: z-clustered files cover sub-rectangles — BOTH dims tighten
+    // for most files (z-order trades a perfect single-dim sort for
+    // bounded spans on every dim)
+    val after = spans(t.liveFiles())
+    assert(after.count { case (dx, dy) => dx <= 32 && dy <= 32 } >=
+      after.size / 2, s"z-order did not tighten both dims: $after")
+
+    // the same through SQL CALL
+    val wh = tmpDir("mt-zorder-wh")
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    val t2 = cat.table("mt_zorder_sql")
+    (0 until 3).foreach { k =>
+      t2.append((k until 300 by 3).map(i =>
+        (i.toLong, (i % 10).toLong)).toDF("id", "x").coalesce(1))
+    }
+    cat.register("mt_zorder_sql")
+    spark.sql(
+      "CALL graft.compact('mt_zorder_sql', zorder_by => 'id,x', " +
+        "files_per_partition => 4)")
+    assert(t2.snapshots.last.operation === "compact")
+    assert(t2.read().count() === 300)
+  }
+
   test("expire keeps everything when history is short; appends still work") {
     val t = freshTable("mt-expire-short")
     t.append(Seq((1L, "a")).toDF("id", "v"))
