@@ -52,6 +52,41 @@ class LifecycleFuzzSpec extends SparkSpec {
       if (positional) t.deletePositions(pred) else t.delete(pred)
       model = model.filterNot { case (id, _) => id % m == r }
     }
+    // round-10 ops: conditional partial-update merge (the full MERGE
+    // matrix under interleavings) and the two maintenance rewrites
+    def partialMergeOp(mode: String): Unit = {
+      val ids = rnd.shuffle((0L until 200L).toList)
+        .take(5 + rnd.nextInt(15))
+      val rows = ids.map { id =>
+        ord += 1; (id, ord, rnd.nextInt(100000).toLong) }
+      t.merge(withW(rows.toDF("id", "ord", "v")
+        .withColumn("g", pmod(col("id"), lit(5L)))), keys = Seq("id"),
+        dedupKey = Seq("id"), orderCol = "ord", mode = mode,
+        // accumulate v and take the new ord ONLY when the source v is
+        // even; odd-v matches keep the target row byte-identical; w
+        // (post-evolve) stays unassigned — matched rows keep theirs
+        updateSet = Some(Seq(
+          "v" -> (col("v") + MergeInto.srcCol("v")),
+          "ord" -> MergeInto.srcCol("ord"),
+          "g" -> col("g"))),
+        updateCond = Some(MergeInto.srcCol("v") % 2 === 0))
+      rows.foreach { case (id, o, v) =>
+        model.get(id) match {
+          case Some((_, oldV, oldW)) if v % 2 == 0 =>
+            model += id -> (o, oldV + v, oldW)
+          case Some(_) => () // condition failed: target row unchanged
+          case None =>
+            model += id -> (o, v, if (evolved) Some(o % 7) else None)
+        }
+      }
+    }
+    def binpackOp(): Unit = {
+      // data-preserving; may legitimately no-op below the trigger
+      t.compactSmallFiles(targetFileBytes = 4L * 1024 * 1024)
+      ()
+    }
+    def zorderOp(): Unit = { t.compactZOrder(Seq("id", "v")); () }
+
     def updateOp(): Unit = {
       val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
       t.updatePositions(Map("v" -> (col("v") * 2)),
@@ -171,7 +206,7 @@ class LifecycleFuzzSpec extends SparkSpec {
         evolved = true
         check("op 10: evolve (metadata-only, no data change)")
       }
-      val op = rnd.nextInt(7) match {
+      val op = rnd.nextInt(10) match {
         case 6 => branchOp(s => check(s"op $i: $s")); "branchWap"
         case 0 => mergeOp("cow"); "mergeCow"
         case 1 => mergeOp("mor"); "mergeMor"
@@ -183,6 +218,10 @@ class LifecycleFuzzSpec extends SparkSpec {
           else { mergeOp("cow"); "mergeCow" }
         case 5 => t.compact(filesPerPartition = 1 + rnd.nextInt(3))
           "compact"
+        case 7 => partialMergeOp(if (rnd.nextBoolean()) "cow" else "mor")
+          "partialMerge"
+        case 8 => binpackOp(); "binpack"
+        case 9 => zorderOp(); "zorder"
       }
       check(s"op $i: $op")
       if (i % 5 == 0) { rollCheck(s"op $i: $op"); rollCheck2(s"op $i: $op") }
