@@ -2681,13 +2681,21 @@ class GraftTable(spark: SparkSession, val location: String,
     * CDC upsert streams therefore never abort each other. */
   private[table] def commitMergeMor(staged: Seq[(String, Long)],
       deleteStaged: Seq[(String, Long)], keyCols: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      // a MOR merge that READ target values (partial/conditional
+      // update: read-modify-write) must CAS on the snapshot it read —
+      // committing append-like would silently lose a concurrent
+      // writer's update to the same keys. Plain full-row MOR merges
+      // pass None and stay append-like (last-committed-wins per key is
+      // their honest semantics).
+      expectedParent: Option[Long] = None): Long = {
     val added = staged.map(_._1)
     val sr = collectStats(added)
     val id = commit("merge", added, Seq.empty, _ => schema.json,
       partitionCols, stats = sr._1, rows = sr._2,
       addDeletePaths = deleteStaged, addDeleteCols = Some(keyCols),
-      txn = txn, bytes = staged.toMap)
+      txn = txn, bytes = staged.toMap,
+      expectedParent = expectedParent)
     // auto-fold: a long-running MOR stream must not degrade until an
     // operator remembers to compact — once live tombstone files exceed
     // the threshold, fold them into the (bounded set of) affected data

@@ -318,7 +318,12 @@ object MergeInto {
           upsertRows(target.readFilesOf(overlapping(live)))))
       deduped.unpersist(); dedupedAll.unpersist()
       Phase.timed("merge.commitMor")(
-        target.commitMergeMor(added, delPaths, keys, txn))
+        target.commitMergeMor(added, delPaths, keys, txn,
+          // read-modify-write merges CAS on the tip their target
+          // values were read at (casParent: an empty chain asserts a
+          // parentless publish); pure append-like merges skip the check
+          expectedParent =
+            if (needsJoin) GraftTable.casParent(parentAtRead) else None))
     }
     // would a COW rewrite of `files` be both large and >>batch?
     def autoPrefersMor(files: Seq[String]): Boolean = mode == "auto" && {

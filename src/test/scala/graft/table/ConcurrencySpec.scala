@@ -98,6 +98,40 @@ class ConcurrencySpec extends SparkSpec {
       "a fingerprint double-committed in the cold-start race")
   }
 
+  test("concurrent ACCUMULATING (read-modify-write) MOR merges never " +
+      "lose an update: losers conflict, the final value equals the sum " +
+      "of exactly the successful increments") {
+    import org.apache.spark.sql.functions._
+    val t = GraftTable(spark, tmpDir("conc-rmw-merge") + "/t")
+    t.append(Seq((1L, 100L)).toDF("id", "n"))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val increments = Seq(7L, 11L, 13L, 17L)
+    val results = increments.map { inc =>
+      Future {
+        try {
+          t.merge(Seq((1L, inc)).toDF("id", "n"),
+            keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id",
+            mode = "mor",
+            updateSet = Some(Seq(
+              "n" -> (col("n") + graft.table.MergeInto.srcCol("n")))))
+          Some(inc)
+        } catch {
+          case _: java.util.ConcurrentModificationException => None
+        }
+      }
+    }
+    val applied = Await.result(Future.sequence(results), 120.seconds)
+      .flatten
+    pool.shutdown()
+    assert(applied.nonEmpty, "at least one merge must win")
+    val finalN = t.read().select("n").as[Long].collect()(0)
+    // the CAS property: exactly the winners' increments are in the
+    // value — a silently lost update would make this sum disagree
+    assert(finalN === 100L + applied.sum,
+      s"lost/duplicated update: applied=$applied finalN=$finalN")
+  }
+
   test("a rewrite whose base changed under it fails instead of corrupting") {
     val t = GraftTable(spark, tmpDir("conc-conflict") + "/t")
     t.append(Seq((1L, "a")).toDF("id", "v"))
