@@ -127,6 +127,19 @@ private[sql] object CatalogSync {
   }
 }
 
+/** SQL `TRUNCATE TABLE <graft table>` — one snapshot-log commit
+  * removing every live file ([[GraftTable.truncate]]). Spark's builtin
+  * TruncateTableCommand would DELETE THE TABLE DIRECTORY, snapshot log
+  * included — data loss, not a commit — so the rule must intercept. */
+case class GraftTruncateCommand(location: String,
+    refreshIdent: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable(spark, location).truncate()
+    refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
+    Seq.empty
+  }
+}
+
 /** SQL `ALTER TABLE <graft table> ADD COLUMNS (...)` — a zero-file
   * "evolve" commit through the snapshot log ([[GraftTable.addColumns]]);
   * Spark's v1 command would reject the graft provider outright. */
@@ -434,6 +447,15 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       GraftUpdateCommand(g.table.location, set,
         u.condition.map(c => ExprBox(nameBased(c))), ident)
+
+    // TRUNCATE TABLE resolves to the v1 command, whose run() would rm
+    // the TABLE DIRECTORY (snapshot log included) — swap for the
+    // history-preserving zero-file commit
+    case tc: org.apache.spark.sql.execution.command.TruncateTableCommand
+        if graftLoc(tc.tableName).isDefined =>
+      if (tc.partitionSpec.nonEmpty)
+        unsupported("TRUNCATE with a partition spec")
+      GraftTruncateCommand(graftLoc(tc.tableName).get, Some(tc.tableName))
 
     // ALTER TABLE ADD COLUMNS resolves to the v1 command (whose run()
     // would reject the graft provider) — swap for the evolve commit

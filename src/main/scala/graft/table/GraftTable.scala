@@ -2095,6 +2095,20 @@ class GraftTable(spark: SparkSession, val location: String,
       bytes = staged.toMap)
   }
 
+  /** TRUNCATE: one commit removing every live data file (and retiring
+    * live tombstones — nothing left for them to apply to). History stays
+    * time-travelable; expire reclaims the bytes later. This is the ONLY
+    * correct truncate for a snapshot-log table — Spark's v1
+    * TruncateTableCommand would rm the table directory, snapshot log
+    * included (the SQL rule intercepts it into this). */
+  def truncate(): Long = {
+    require(exists, s"no such table: $location")
+    val parentAtRead = latestSnapshotId
+    commit("overwrite", Seq.empty, liveFiles(), _ => schema.json,
+      partitionCols, expectedParent = parentAtRead,
+      removeDeletes = liveDeletes().map(_.path))
+  }
+
   def compact(filesPerPartition: Int = 1,
       sortBy: Seq[String] = Seq.empty,
       where: Option[Column] = None): Long = {

@@ -631,6 +631,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     cat.drop("ext_cnt")
   }
 
+  test("TRUNCATE TABLE commits through the snapshot log — history " +
+      "survives, the log is NOT rm'd, inserts keep working") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ext-trunc").toString
+    val cat = graft.catalog.GraftCatalog(spark, wh)
+    cat.createFrom("ext_trunc", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cat.register("ext_trunc")
+    val t = cat.table("ext_trunc")
+    val preTip = t.latestSnapshotId.get
+    spark.sql("TRUNCATE TABLE ext_trunc")
+    assert(spark.sql("SELECT COUNT(*) FROM ext_trunc").as[Long]
+      .collect()(0) === 0L)
+    // a COMMIT, not an rm: the chain extends and old state time-travels
+    assert(t.snapshots.last.operation === "overwrite")
+    assert(t.readAsOf(preTip).count() === 2)
+    // the table keeps working
+    spark.sql("INSERT INTO ext_trunc VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM ext_trunc").as[Long]
+      .collect() === Array(9L))
+    cat.drop("ext_trunc")
+  }
+
   test("unsupported SQL write shapes fail loudly, committing nothing") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("ext-unsup").toString
