@@ -95,7 +95,8 @@ object Bench {
     "q_source_overlap", "q_vocab_oov", "q_retention_cohorts",
     "q_hidden_partition_hour", "q_stream_rollup", "q_stream_merge",
     "q_stream_pipeline", "q_compact_smallfiles", "q_sql_merge_update",
-    "q_sql_merge_sync", "q_sql_merge_cond")
+    "q_sql_merge_sync", "q_sql_merge_cond", "q_compact_zorder",
+    "q_truncate")
 
   /** FROZEN round-over-round comparison set: the round-8 headline,
     * never to grow again — the headline total became incomparable across
@@ -139,7 +140,8 @@ object Bench {
     "q_ann_ivf_index", "q_ann_ivf_index_update", "q_ingest_dedup",
     "q_zorder_scan", "q_hidden_partition_hour", "q_stream_rollup",
     "q_stream_merge", "q_stream_pipeline", "q_compact_smallfiles",
-    "q_sql_merge_update", "q_sql_merge_sync", "q_sql_merge_cond")
+    "q_sql_merge_update", "q_sql_merge_sync", "q_sql_merge_cond",
+    "q_compact_zorder", "q_truncate")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

@@ -1274,7 +1274,73 @@ object TableQueries {
       |    (SELECT 1 FROM target t2 WHERE t2.o_orderkey = x.o_orderkey))
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Z-order compaction lifecycle: fragmented unclustered appends (every
+    * file spans the full 2-D space) → CALL compact(zorder_by) → a 2-D
+    * range predicate prunes again. The in-flight require pins the
+    * pruning (scan-metric files < total); the oracle pins that the
+    * rewrite changed NOTHING observable. */
+  val qCompactZorder: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("zordercomp"))
+    // interleave order keys so each append spans the full space
+    (0 until 4).foreach { k =>
+      t.append(Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === k).coalesce(1))
+    }
+    t.compactZOrder(Seq("o_orderkey", "o_custkey"),
+      filesPerPartition = 8)
+    val pruned = s.read.format("graft").load(t.location)
+      .filter(col("o_orderkey") < 500 && col("o_custkey") < 200)
+    pruned.collect()
+    def scanned(df: DataFrame): Long = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case other => other.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics("numFiles").value
+          }.sum
+        }
+      walk(df.queryExecution.executedPlan)
+    }
+    require(scanned(pruned) < t.liveFiles().size,
+      "z-order compaction did not restore 2-D pruning")
+    project(t.read())
+  }
+  val qCompactZorderSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** TRUNCATE lifecycle: SQL TRUNCATE commits through the snapshot log
+    * (the v1 command would rm the log itself), history stays
+    * time-travelable, and post-truncate inserts work — the final state
+    * is just the re-inserted slice, which the oracle mirrors. */
+  val qTruncate: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("trunc"))
+    cat.createFrom("trunc_orders",
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0))
+    val t = cat.table("trunc_orders")
+    val preTip = t.latestSnapshotId.get
+    s.sql("TRUNCATE TABLE trunc_orders")
+    require(t.readAsOf(preTip).count() > 0,
+      "truncate must keep history time-travelable")
+    require(s.table("trunc_orders").count() == 0,
+      "truncate must empty the current state")
+    Tables.load(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+      .createOrReplaceTempView("trunc_refill")
+    s.sql("INSERT INTO trunc_orders SELECT * FROM trunc_refill")
+    project(s.sql("SELECT * FROM trunc_orders"))
+  }
+  val qTruncateSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_compact_zorder", qCompactZorder, Some(qCompactZorderSql)),
+    ("q_truncate", qTruncate, Some(qTruncateSql)),
     ("q_sql_merge_cond", qSqlMergeCond, Some(qSqlMergeCondSql)),
     ("q_sql_merge_sync", qSqlMergeSync, Some(qSqlMergeSyncSql)),
     ("q_sql_merge_update", qSqlMergeUpdate, Some(qSqlMergeUpdateSql)),
