@@ -70,7 +70,7 @@ object Bench {
     "q11_important_stock", "q20_part_promotion",
     "q2_min_cost_supplier", "q9_product_profit", "q12_ship_priority",
     "q_running_total", "q_rank_in_group", "q_distinct_sketch",
-    "q_quantile_sample",
+    "q_quantile_sample", "q_window_breadth", "q_cube",
     "q10_returned", "q_rollup", "q_count_distinct",
     "q_filter_project", "q_window_dedup", "q_merge_upsert",
     "q_join_enrich", "q_topk", "q_count",
@@ -109,7 +109,7 @@ object Bench {
     "q7_volume", "q8_market_share", "q14_promo",
     "q17_small_qty", "q18_large_orders",
     "q_running_total", "q_rank_in_group", "q_distinct_sketch",
-    "q_quantile_sample",
+    "q_quantile_sample", "q_window_breadth", "q_cube",
     "q10_returned", "q_rollup", "q_count_distinct",
     "q_filter_project", "q_window_dedup", "q_merge_upsert",
     "q_join_enrich", "q_topk", "q_count",

@@ -134,7 +134,63 @@ object FunctionQueries {
       |FROM ex CROSS JOIN tot WHERE exact_cnt > thresh
       |ORDER BY item""".stripMargin
 
+  /** Window-function breadth: ntile / percent_rank / cume_dist /
+    * nth_value over per-customer order sequences — the ranking-family
+    * sweep beyond row_number/rank. percent_rank and cume_dist are exact
+    * rational doubles (one IEEE division of identical small-int
+    * operands in both engines). */
+  val qWindowBreadth: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    val wAll = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders").filter($"o_custkey" < 20)
+      .select($"o_custkey", $"o_orderkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value($"o_orderkey", 2).over(wAll).as("second_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  val qWindowBreadthSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  CAST(nth_value(o_orderkey, 2) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS BIGINT) AS second_order
+      |FROM orders WHERE o_custkey < 20
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** CUBE aggregation: every grouping-set combination of (returnflag,
+    * linestatus) incl. both subtotals and the grand total — the
+    * grouping-sets companion to q_rollup's ROLLUP. */
+  val qCube: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).cast("double").as("qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"qty", $"n")
+      .orderBy($"rf", $"ls")
+  }
+  val qCubeSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_window_breadth", qWindowBreadth, Some(qWindowBreadthSql)),
+    ("q_cube", qCube, Some(qCubeSql)),
     ("q_pivot", qPivot, Some(qPivotSql)),
     ("q_set_ops", qSetOps, Some(qSetOpsSql)),
     ("q_string_funcs", qStringFuncs, Some(qStringFuncsSql)),
