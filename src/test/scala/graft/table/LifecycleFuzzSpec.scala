@@ -21,7 +21,7 @@ import graft.SparkSpec
 class LifecycleFuzzSpec extends SparkSpec {
   import spark.implicits._
 
-  for (seed <- Seq(4242, 907))
+  for (seed <- Seq(4242, 907, 31337))
   test(s"24 random lifecycle ops (seed $seed) match the reference model " +
       "after every op; changelog replay reconstructs the final state") {
     val rnd = new scala.util.Random(seed)
