@@ -71,6 +71,7 @@ object Bench {
     "q2_min_cost_supplier", "q9_product_profit", "q12_ship_priority",
     "q_running_total", "q_rank_in_group", "q_distinct_sketch",
     "q_quantile_sample", "q_window_breadth", "q_cube",
+    "q_date_funcs", "q_array_funcs",
     "q10_returned", "q_rollup", "q_count_distinct",
     "q_filter_project", "q_window_dedup", "q_merge_upsert",
     "q_join_enrich", "q_topk", "q_count",
@@ -110,6 +111,7 @@ object Bench {
     "q17_small_qty", "q18_large_orders",
     "q_running_total", "q_rank_in_group", "q_distinct_sketch",
     "q_quantile_sample", "q_window_breadth", "q_cube",
+    "q_date_funcs", "q_array_funcs",
     "q10_returned", "q_rollup", "q_count_distinct",
     "q_filter_project", "q_window_dedup", "q_merge_upsert",
     "q_join_enrich", "q_topk", "q_count",

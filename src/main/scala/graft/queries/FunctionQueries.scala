@@ -188,7 +188,72 @@ object FunctionQueries {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** Temporal-function sweep: month truncation/end, quarter, day name,
+    * calendar month arithmetic, day deltas — every output a string or
+    * exact integer (timestamps never cross the engine boundary raw). */
+  val qDateFuncs: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders").filter($"o_orderkey" < 200)
+      .select($"o_orderkey",
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(last_day($"o_orderdate"), "yyyy-MM-dd")
+          .as("month_end"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        date_format($"o_orderdate", "EEEE").as("day_name"),
+        date_format(add_months($"o_orderdate", 3), "yyyy-MM-dd")
+          .as("plus3m"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"))
+      .orderBy($"o_orderkey")
+  }
+  val qDateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+      |    AS month_start,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+      |  strftime(o_orderdate, '%A') AS day_name,
+      |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+      |  CAST(date_diff('day', DATE '1995-01-01',
+      |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+      |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin
+
+  /** Array/higher-order-function sweep over quantized embeddings:
+    * size / array_max / array_min / slice-aggregate /
+    * filter-aggregate / array_contains — all exact integer math. */
+  val qArrayFuncs: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings").filter($"vec_id" < 50)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.quantize($"embedding").as("qv"))
+      .select($"vec_id",
+        size($"qv").cast("long").as("dim"),
+        array_max($"qv").as("mx"),
+        array_min($"qv").as("mn"),
+        aggregate(slice($"qv", 1, 8), lit(0L), (a, x) => a + x)
+          .as("head_sum"),
+        aggregate(filter($"qv", _ > 0L), lit(0L), (a, x) => a + x)
+          .as("pos_sum"),
+        array_contains($"qv", 0L).as("has_zero"))
+      .orderBy($"vec_id")
+  }
+  val qArrayFuncsSql: String =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id < 50)
+      |SELECT vec_id, len(qv) AS dim,
+      |  CAST(list_max(qv) AS BIGINT) AS mx,
+      |  CAST(list_min(qv) AS BIGINT) AS mn,
+      |  CAST(list_sum(qv[1:8]) AS BIGINT) AS head_sum,
+      |  CAST(list_sum(list_filter(qv, x -> x > 0)) AS BIGINT) AS pos_sum,
+      |  list_contains(qv, 0) AS has_zero
+      |FROM e ORDER BY vec_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q_date_funcs", qDateFuncs, Some(qDateFuncsSql)),
+    ("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     ("q_window_breadth", qWindowBreadth, Some(qWindowBreadthSql)),
     ("q_cube", qCube, Some(qCubeSql)),
     ("q_pivot", qPivot, Some(qPivotSql)),
