@@ -132,6 +132,33 @@ class ConcurrencySpec extends SparkSpec {
       s"lost/duplicated update: applied=$applied finalN=$finalN")
   }
 
+  test("binpack maintenance racing a live ingest stream: appends always " +
+      "land, the binpack either commits cleanly or conflicts — no row is " +
+      "ever lost or duplicated") {
+    val t = GraftTable(spark, tmpDir("conc-binpack") + "/t")
+    (1 to 6).foreach(i =>
+      t.append(Seq((i.toLong, s"seed$i")).toDF("id", "v")))
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val appender = Future {
+      (100 to 110).foreach(i =>
+        t.append(Seq((i.toLong, s"live$i")).toDF("id", "v")))
+    }
+    val binpacks = Future {
+      (1 to 3).map { _ =>
+        try { t.compactSmallFiles(targetFileBytes = 8L * 1024 * 1024); 1 }
+        catch { case _: java.util.ConcurrentModificationException => 0 }
+      }.sum
+    }
+    Await.result(appender, 120.seconds)
+    val wins = Await.result(binpacks, 120.seconds)
+    pool.shutdown()
+    // every append landed regardless of maintenance interleaving
+    val ids = t.read().select("id").as[Long].collect().sorted
+    assert(ids === ((1L to 6L) ++ (100L to 110L)).toArray,
+      s"maintenance raced away data: wins=$wins ids=${ids.mkString(",")}")
+  }
+
   test("a rewrite whose base changed under it fails instead of corrupting") {
     val t = GraftTable(spark, tmpDir("conc-conflict") + "/t")
     t.append(Seq((1L, "a")).toDF("id", "v"))
