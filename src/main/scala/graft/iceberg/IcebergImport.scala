@@ -1,0 +1,430 @@
+package graft.iceberg
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.table.GraftTable
+
+/** Iceberg v2 IMPORT: read a FOREIGN Iceberg table — one produced by any
+  * engine, not just [[IcebergExport]] — with no Iceberg runtime jar, by
+  * hand-walking the public table-spec metadata tree:
+  *
+  *   metadata.json → snapshot → manifest list (Avro) → manifests (Avro)
+  *   → data files + v2 delete files (position AND equality encodings).
+  *
+  * This is the missing read direction of the reference's defining
+  * multi-engine contract: its pipelines READ Iceberg tables written by
+  * other engines (/root/reference/bronze-silver.py:132,146-149) and its
+  * README's whole premise is four engines over one table
+  * (/root/reference/README.md:127-197). [[IcebergExport.scan]] already
+  * re-reads graft's OWN export; this importer accepts trees graft never
+  * wrote. Foreign-tolerance beyond `scan`:
+  *
+  *   - metadata discovery without `version-hint.text`: highest version
+  *     parsed from `v<N>.metadata.json` (HadoopCatalog naming) or
+  *     `<NNNNN>-<uuid>.metadata.json` (metastore naming), lexicographic
+  *     tie-break — the same resolution the reference's DuckDB demo walk
+  *     starts from (query-engine/duckdbdemo/read_iceberg_duckdb.py:22-44);
+  *   - per-SNAPSHOT schema resolution (`schema-id` on the snapshot entry,
+  *     falling back to `current-schema-id`, falling back to the v1
+  *     top-level `schema`) — so time travel to a pre-evolve snapshot
+  *     resolves columns against the schema that wrote it;
+  *   - multiple partition specs: each manifest resolves its own
+  *     `partition_spec_id`; identity columns reconstruct per-file from
+  *     the manifest partition tuples (and when a foreign writer ALSO
+  *     stored the column bytes in the data file — Iceberg writers do —
+  *     the file value is taken, the tuple only fills files that lack it);
+  *   - v2 sequence-number INHERITANCE: a manifest entry with null
+  *     `sequence_number` inherits the manifest-list entry's sequence (the
+  *     spec's rule for ADDED entries; v1 trees run entirely at seq 0);
+  *   - v1 fallbacks: snapshots carrying an inline `manifests` array
+  *     instead of `manifest-list`, manifest-list entries without
+  *     `content`/`sequence_number`, data_file records without `content`;
+  *   - unknown extra manifest columns (column_sizes, value_counts, …)
+  *     are ignored by reading with the writer's own embedded Avro schema;
+  *   - schema-evolution nulls: a data file missing a column added later
+  *     reads as NULL via an explicit Spark read schema.
+  *
+  * Scale design (the 100 TB shape — deliberately NOT the per-partition
+  * union [[IcebergExport.scan]] uses): ONE parquet scan over every live
+  * data file with an explicit schema, per-file metadata (identity
+  * partition tuple, data sequence number) attached by a BROADCAST join
+  * on `_metadata.file_path` against an O(|files|) driver-built lookup,
+  * equality deletes applied as broadcast anti-joins carrying the spec's
+  * strict `deleteSeq > dataSeq` ordering, position deletes as one
+  * broadcast anti-join on (file, `_metadata.row_index`). Partition count
+  * never multiplies job count; delete application stays inside the one
+  * scan's plan. Filters/pruning on the returned frame push into the scan
+  * as usual.
+  *
+  * Honest limits, fail-loud: parquet data files only; flat scalar
+  * columns (the engine's table surface); no int→long/float→double
+  * physical promotion inside one import (Spark's parquet reader refuses
+  * the upcast — re-import after a compaction normalizes files).
+  */
+object IcebergImport {
+
+  /** One live data file of the resolved snapshot. */
+  case class DataFileRef(uri: String, seq: Long,
+      identity: Map[String, Any])
+  /** One live v2 delete file: `equalityCols` = Some(key column names)
+    * for equality deletes, None for position deletes. */
+  case class DeleteRef(uri: String, seq: Long,
+      equalityCols: Option[Seq[String]])
+  /** The resolved scan plan of one snapshot of a foreign table. */
+  case class TablePlan(snapshotId: Long, schema: StructType,
+      identityCols: Seq[String], files: Seq[DataFileRef],
+      deletes: Seq[DeleteRef])
+
+  private[iceberg] def sparkType(t: String): DataType = t match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "uuid" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case d if d.startsWith("decimal") =>
+      val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
+        .split(",").map(_.trim.toInt)
+      DecimalType(p, s)
+    case other => throw new IllegalArgumentException(
+      s"iceberg import does not support type '$other' " +
+        "(flat scalar columns only)")
+  }
+
+  /** Resolve the current metadata file: version-hint when present (and
+    * pointing at an existing file), else the highest version among
+    * `v<N>.metadata.json` / `<NNNNN>-<uuid>.metadata.json`, lexicographic
+    * tie-break — so catalogless trees from either naming family resolve. */
+  private[iceberg] def resolveMetadataFile(fs: FileSystem,
+      metaDir: Path): Path = {
+    val hint = new Path(metaDir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val v = try new String(org.apache.commons.io.IOUtils
+        .toByteArray(in), StandardCharsets.UTF_8).trim
+      finally in.close()
+      val p = new Path(metaDir, s"v$v.metadata.json")
+      if (fs.exists(p)) return p
+    }
+    val candidates = fs.listStatus(metaDir).map(_.getPath)
+      .filter(_.getName.endsWith(".metadata.json"))
+    require(candidates.nonEmpty, s"no *.metadata.json under $metaDir")
+    def versionOf(name: String): Long = {
+      val stem = name.stripSuffix(".metadata.json")
+      if (stem.startsWith("v") && stem.drop(1).forall(_.isDigit))
+        stem.drop(1).toLong
+      else stem.takeWhile(_.isDigit) match {
+        case "" => -1L
+        case ds => ds.toLong
+      }
+    }
+    candidates.maxBy(p => (versionOf(p.getName), p.getName))
+  }
+
+  private def readFully(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+  }
+
+  /** Avro object-container read through the Hadoop FS (fs-agnostic —
+    * manifests are metadata-sized, a byte-array buffer is fine). Records
+    * decode with the WRITER's embedded schema, so foreign manifests with
+    * extra stats columns read untouched. */
+  private def readAvro(fs: FileSystem, uri: String): Seq[GenericRecord] = {
+    val bytes = readFully(fs, new Path(new java.net.URI(uri)))
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toList finally r.close()
+  }
+
+  private def str(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case other => other
+  }
+
+  /** Resolve a foreign table's scan plan at a snapshot: `at` is None
+    * (current), a ref name from `refs` (tag or branch), or a snapshot id
+    * in digits. */
+  def plan(spark: SparkSession, tableLocation: String,
+      at: Option[String] = None): TablePlan = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val fs = new Path(tableLocation)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = resolveMetadataFile(fs, new Path(tableLocation, "metadata"))
+    val meta = JsonMethods.parse(
+      new String(readFully(fs, metaFile), StandardCharsets.UTF_8))
+
+    val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L)
+    val targetId: Long = at match {
+      case None => currentId.getOrElse(throw new IllegalStateException(
+        s"$metaFile has no current snapshot (empty table)"))
+      case Some(a) => (meta \ "refs" \ a) match {
+        case JNothing =>
+          require(a.nonEmpty && a.forall(_.isDigit),
+            s"no ref '$a' in $metaFile")
+          a.toLong
+        case ref => (ref \ "snapshot-id").extract[Long]
+      }
+    }
+    val snap = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == targetId).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot $targetId not in $metaFile"))
+
+    // schema: the SNAPSHOT's schema-id when stamped, else the table's
+    // current one, else the v1 top-level `schema`
+    val schemaJ: JValue = {
+      val sid = (snap \ "schema-id").extractOpt[Int]
+        .orElse((meta \ "current-schema-id").extractOpt[Int])
+      val fromList = sid.flatMap(id => (meta \ "schemas").children.find(s =>
+        (s \ "schema-id").extractOpt[Int].contains(id)))
+      fromList.orElse((meta \ "schema").toOption).getOrElse(
+        throw new IllegalStateException(s"no schema in $metaFile"))
+    }
+    val fieldsJ = (schemaJ \ "fields").children
+    val schema = StructType(fieldsJ.map { f =>
+      StructField((f \ "name").extract[String],
+        sparkType((f \ "type").extract[String]), nullable = true)
+    })
+    val nameById: Map[Int, String] = fieldsJ.map(f =>
+      (f \ "id").extract[Int] -> (f \ "name").extract[String]).toMap
+
+    // partition specs by id; v1 fallback: top-level `partition-spec`
+    val specsById: Map[Int, Seq[(String, String, Int)]] = {
+      val listed = (meta \ "partition-specs").children.map { s =>
+        (s \ "spec-id").extract[Int] -> (s \ "fields").children.map(f =>
+          ((f \ "name").extract[String], (f \ "transform").extract[String],
+            (f \ "source-id").extract[Int]))
+      }.toMap
+      if (listed.nonEmpty) listed
+      else (meta \ "partition-spec").toOption.map(ps =>
+        0 -> ps.children.map(f =>
+          ((f \ "name").extract[String], (f \ "transform").extract[String],
+            (f \ "source-id").extract[Int]))).toMap
+    }
+    val defaultSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+
+    // manifest list (v2/v1) or the v1 inline `manifests` array
+    val manifestRefs: Seq[(String, Int, Long, Int)] = // (path,content,seq,specId)
+      (snap \ "manifest-list").extractOpt[String] match {
+        case Some(listUri) => readAvro(fs, listUri).map { mf =>
+          (mf.get("manifest_path").toString,
+            Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
+            Option(mf.get("sequence_number")).map(_.asInstanceOf[Long])
+              .getOrElse(0L),
+            Option(mf.get("partition_spec_id")).map(_.asInstanceOf[Int])
+              .getOrElse(defaultSpecId))
+        }
+        case None => (snap \ "manifests").children.map(m =>
+          (m.extract[String], 0, 0L, defaultSpecId))
+      }
+
+    val files = Seq.newBuilder[DataFileRef]
+    val deletes = Seq.newBuilder[DeleteRef]
+    manifestRefs.foreach { case (mPath, mContent, mSeq, specId) =>
+      val identityFields: Seq[(String, String)] = // (tupleField, column)
+        specsById.getOrElse(specId, Seq.empty).collect {
+          case (n, "identity", srcId) => n -> nameById.getOrElse(srcId, n)
+        }
+      readAvro(fs, mPath).foreach { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        if (status != 2) { // 2 = DELETED
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          // v2 inheritance: a null entry sequence inherits the manifest
+          // list entry's sequence (ADDED rows of an unrewritten manifest)
+          val seq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(mSeq)
+          val content = Option(df.get("content"))
+            .map(_.asInstanceOf[Int]).getOrElse(0)
+          val uri = df.get("file_path").toString
+          val fmt = Option(df.get("file_format")).map(_.toString)
+            .getOrElse("PARQUET")
+          require(fmt.equalsIgnoreCase("parquet"),
+            s"iceberg import reads parquet data files only, got $fmt ($uri)")
+          if (mContent == 1 || content != 0) content match {
+            case 2 =>
+              val ids = df.get("equality_ids")
+                .asInstanceOf[java.util.List[Integer]].asScala.toSeq
+              deletes += DeleteRef(uri, seq,
+                Some(ids.map(i => nameById.getOrElse(i.toInt,
+                  throw new IllegalStateException(
+                    s"equality_ids field $i not in schema ($uri)")))))
+            case 1 => deletes += DeleteRef(uri, seq, None)
+            case other => throw new IllegalStateException(
+              s"unknown delete content $other in $mPath")
+          } else {
+            val part = Option(df.get("partition"))
+              .map(_.asInstanceOf[GenericRecord])
+            val identity = identityFields.flatMap { case (tf, colName) =>
+              part.flatMap(p =>
+                if (p.getSchema.getField(tf) == null) None
+                else Some(colName -> str(p.get(tf))))
+            }.toMap
+            files += DataFileRef(uri, seq, identity)
+          }
+        }
+      }
+    }
+    TablePlan(targetId, schema,
+      specsById.getOrElse(defaultSpecId, Seq.empty).collect {
+        case (n, "identity", srcId) => nameById.getOrElse(srcId, n) },
+      files.result(), deletes.result())
+  }
+
+  /** JVM value for a manifest partition value as Spark external type. */
+  private def externalValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (i: Int, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
+    case (l: Long, TimestampType) => // spec: micros from epoch
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L))
+    case (l: Long, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l, 1000000L),
+        (Math.floorMod(l, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (b: Array[Byte], d: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(b), d.scale)
+    case (s: String, d: DecimalType) => new java.math.BigDecimal(s)
+    case (i: Int, LongType) => i.toLong
+    case (x, _) => x
+  }
+
+  private val FileCol = "__ice_import_file__"
+  private val SeqCol = "__ice_import_seq__"
+  private val PosCol = "__ice_import_pos__"
+
+  /** Read the resolved snapshot as a live DataFrame — one parquet scan,
+    * metadata attached by broadcast joins (see the object doc for the
+    * scale argument). */
+  def read(spark: SparkSession, tableLocation: String,
+      at: Option[String] = None): DataFrame = {
+    val p = plan(spark, tableLocation, at)
+    readPlan(spark, p)
+  }
+
+  private def readPlan(spark: SparkSession, p: TablePlan): DataFrame = {
+    val schema = p.schema
+    if (p.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    val fs = new Path(p.files.head.uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the URI the Spark scan's _metadata.file_path will report for a
+    // manifest URI (qualification differences: file:/ vs file:///)
+    def scanUri(uri: String): String =
+      fs.makeQualified(new Path(new java.net.URI(uri))).toString
+
+    val eqDeletes = p.deletes.filter(_.equalityCols.isDefined)
+    val posDeletes = p.deletes.filter(_.equalityCols.isEmpty)
+    val needPos = posDeletes.nonEmpty
+
+    // per-file lookup: scan uri -> (data sequence, identity tuple values)
+    val identityCols = p.identityCols.filter(c => schema.fieldNames.contains(c))
+    val infoSchema = StructType(
+      StructField(FileCol, StringType) ::
+        StructField(SeqCol, LongType) ::
+        identityCols.toList.map(c =>
+          StructField(s"__ice_part_$c", schema(c).dataType)))
+    val infoRows = p.files.map { f =>
+      Row.fromSeq(scanUri(f.uri) +: f.seq +:
+        identityCols.map(c => externalValue(
+          f.identity.getOrElse(c, null), schema(c).dataType)))
+    }
+    val info = spark.createDataFrame(
+      spark.sparkContext.parallelize(infoRows, 1), infoSchema)
+
+    val metaSel: Seq[Column] =
+      col("_metadata.file_path").as(FileCol) ::
+        (if (needPos) List(col("_metadata.row_index").as(PosCol)) else Nil)
+    val base = spark.read.schema(schema)
+      .parquet(p.files.map(_.uri): _*)
+      .select(col("*") +: metaSel: _*)
+      .join(broadcast(info), FileCol)
+    // identity columns: the file's own bytes when the writer stored them
+    // (Iceberg writers do), the manifest tuple when it didn't (Hive-style
+    // layouts like graft's own export)
+    val withIdentity = identityCols.foldLeft(base)((d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__ice_part_$c"))))
+
+    // equality deletes: one broadcast anti-join per key-column set,
+    // carrying the v2 strict ordering deleteSeq > dataSeq
+    val afterEq = eqDeletes.groupBy(_.equalityCols.get).foldLeft(withIdentity) {
+      case (acc, (cols, ds)) =>
+        val del = ds.groupBy(_.seq).map { case (seq, group) =>
+          spark.read.schema(StructType(cols.map(c => schema(c)).toArray))
+            .parquet(group.map(_.uri): _*)
+            .select(cols.map(c => col(c).as(s"__ice_del_$c")) :+
+              lit(seq).as("__ice_dseq"): _*)
+        }.reduce(_ unionByName _)
+        val cond = cols.map(c =>
+          acc(c) <=> del(s"__ice_del_$c")).reduce(_ && _) &&
+          del("__ice_dseq") > acc(SeqCol)
+        acc.join(broadcast(del), cond, "left_anti")
+    }
+    // position deletes: (data file uri, row ordinal), applied at
+    // deleteSeq >= dataSeq; delete rows name files by their manifest URI
+    // form, normalized to the scan's qualified form via the same lookup
+    val afterPos =
+      if (!needPos) afterEq
+      else {
+        val uriMap = spark.createDataFrame(
+          p.files.map(f => (f.uri, scanUri(f.uri))))
+          .toDF("__ice_manifest_uri", FileCol)
+        val posDel = posDeletes.groupBy(_.seq).map { case (seq, group) =>
+          spark.read.parquet(group.map(_.uri): _*)
+            .select(col("file_path"), col("pos"),
+              lit(seq).as("__ice_dseq"))
+        }.reduce(_ unionByName _)
+          .join(broadcast(uriMap),
+            col("file_path") === col("__ice_manifest_uri"))
+          .select(col(FileCol).as("__ice_del_file"),
+            col("pos").as("__ice_del_pos"), col("__ice_dseq"))
+        val cond = afterEq(FileCol) === posDel("__ice_del_file") &&
+          afterEq(PosCol) === posDel("__ice_del_pos") &&
+          posDel("__ice_dseq") >= afterEq(SeqCol)
+        afterEq.join(broadcast(posDel), cond, "left_anti")
+      }
+    afterPos.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Materialize a foreign Iceberg snapshot INTO a graft table, so the
+    * engine's whole surface (merge, time travel, rollup maintenance,
+    * changelog, compaction) runs over it. One append commit; identity
+    * partition columns become graft identity partitions by default, so
+    * the imported layout keeps its dir pruning. A data copy is the honest
+    * contract here: graft snapshots reference table-relative paths (the
+    * relocatable-table invariant, [[graft.table.Snapshot]]), and graft
+    * commits could not mutate foreign-owned files anyway. For a no-copy
+    * live view, use [[read]]. */
+  def importInto(spark: SparkSession, tableLocation: String,
+      destLocation: String, at: Option[String] = None,
+      parts: Option[Seq[String]] = None): GraftTable = {
+    val pl = plan(spark, tableLocation, at)
+    val t = GraftTable(spark, destLocation)
+    t.append(readPlan(spark, pl),
+      parts = parts.getOrElse(pl.identityCols))
+    t
+  }
+}

@@ -339,6 +339,69 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Iceberg IMPORT — the reference's multi-engine contract in the READ
+    * direction (its pipelines read Iceberg tables other engines wrote,
+    * /root/reference/bronze-silver.py:132,146-149): a partitioned table
+    * is exported as an Iceberg v2 metadata tree and then MATERIALIZED
+    * INTO A SECOND GRAFT TABLE by [[graft.iceberg.IcebergImport]] — a
+    * hand-walk of metadata.json → Avro manifest list → manifests → data
+    * files that never consults the source's graft snapshot log — and the
+    * result is the destination table's own graft read. Correct only if
+    * the import reconstructed the identity-partition columns from the
+    * manifest partition tuples (their bytes are NOT in the data files)
+    * and carried every live file. */
+  val qIcebergImport: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("iceimp"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    t.append(ordersSlice(s, dir, 1))
+    graft.iceberg.IcebergExport.export(s, t)
+    val dest = graft.iceberg.IcebergImport.importInto(s, t.location,
+      scratch("iceimpdst"))
+    require(dest.partitionFields.map(_.source) == Seq("o_orderstatus"),
+      "import must preserve the identity partition layout")
+    project(dest.read())
+  }
+  val qIcebergImportSql: String = qIcebergExportSql
+
+  /** Iceberg IMPORT of LIVE MOR state: the exported tree carries both v2
+    * delete encodings (equality tombstones from two overriding merges +
+    * position tombstones from a point delete), and the importer's live
+    * read applies them by the spec's sequence ordering — one parquet
+    * scan, broadcast anti-joins — with no graft-log access. The oracle is
+    * the post-merge-post-delete table state. */
+  val qIcebergImportMor: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("iceimpmor"))
+    t.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0), parts = Seq("o_orderstatus"))
+    val src1 = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+    t.merge(src1, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    val src2 = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("Y"))
+    t.merge(src2, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey", mode = "mor")
+    t.deletePositions(col("o_orderkey") % 9 === 0)
+    require(t.liveDeletes().exists(_.isPosition) &&
+      t.liveDeletes().exists(!_.isPosition),
+      "import fixture must carry both live delete encodings")
+    graft.iceberg.IcebergExport.export(s, t)
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergImportMorSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN 'Y'
+      |       WHEN o_orderkey % 3 = 0 THEN 'X'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 OR o_orderkey % 5 = 0)
+      |  AND o_orderkey % 9 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Exported-history time travel: the export carries the newest N
     * snapshots (each with its own manifest list) plus tag refs, and the
     * hand-walk reader resolves `--at 'tag'` exactly like an external
@@ -1377,6 +1440,8 @@ object TableQueries {
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
     ("q_table_merge_mor", qTableMergeMor, Some(qTableMergeMorSql)),
     ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),
+    ("q_iceberg_import", qIcebergImport, Some(qIcebergImportSql)),
+    ("q_iceberg_import_mor", qIcebergImportMor, Some(qIcebergImportMorSql)),
     ("q_iceberg_history", qIcebergHistory, Some(qIcebergHistorySql)),
     ("q_iceberg_mor_export", qIcebergMorExport,
       Some(qIcebergMorExportSql)),

@@ -1,0 +1,373 @@
+package graft.iceberg
+
+import java.io.File
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** Iceberg IMPORT — the inverse direction of [[IcebergExport]]: foreign
+  * Iceberg v2 metadata trees hand-walked into a live DataFrame and into a
+  * materialized graft table, with no Iceberg jar. Round-trip cases run
+  * against graft's own export (the reference's multi-engine loop closed:
+  * write → export → re-import); the FOREIGN fixture is written by this
+  * spec with its own Avro/JSON writer — metastore file naming, no
+  * version-hint, null sequence numbers (v2 inheritance), extra manifest
+  * stats columns, per-snapshot schema ids, and a v1-style inline
+  * `manifests` snapshot — none of which IcebergExport ever produces. */
+class IcebergImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round trip: identity-partitioned export re-imports exactly") {
+    val t = GraftTable(spark, tmpDir("imp-rt") + "/t")
+    t.append((1L to 60L).map(i => (i, s"c${i % 3}", i * 1.5))
+      .toDF("id", "cat", "v"), parts = Seq("cat"))
+    IcebergExport.export(spark, t)
+    val p = IcebergImport.plan(spark, t.location)
+    assert(p.identityCols === Seq("cat"))
+    assert(p.files.nonEmpty && p.files.forall(_.identity.contains("cat")))
+    val back = IcebergImport.read(spark, t.location)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "cat", "v"))
+    assert(back.orderBy("id").collect() === t.read().orderBy("id")
+      .select("id", "cat", "v").collect())
+  }
+
+  test("round trip: live MOR state (equality + position tombstones)") {
+    val t = GraftTable(spark, tmpDir("imp-mor") + "/t")
+    t.append((1L to 50L).map(i => (i, s"c${i % 2}", i * 1.0))
+      .toDF("id", "cat", "v"), parts = Seq("cat"))
+    t.merge((10L to 20L).map(i => (i, "cX", -1.0)).toDF("id", "cat", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id", mode = "mor")
+    t.deletePositions($"id" % 7 === 0)
+    require(t.liveDeletes().exists(_.isPosition) &&
+      t.liveDeletes().exists(!_.isPosition),
+      "fixture must carry both live delete encodings")
+    IcebergExport.export(spark, t)
+    val back = IcebergImport.read(spark, t.location)
+    assert(back.orderBy("id").collect() ===
+      t.read().orderBy("id").select("id", "cat", "v").collect())
+  }
+
+  test("time travel: ref name and snapshot id resolve over the export") {
+    val t = GraftTable(spark, tmpDir("imp-tt") + "/t")
+    t.append((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    val s1 = t.latestSnapshotId.get
+    t.tag("before")
+    t.append((11L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 3)
+    assert(IcebergImport.read(spark, t.location).count() === 20)
+    assert(IcebergImport.read(spark, t.location, Some("before"))
+      .count() === 10)
+    assert(IcebergImport.read(spark, t.location, Some(s1.toString))
+      .count() === 10)
+    intercept[IllegalArgumentException](
+      IcebergImport.read(spark, t.location, Some("nope")))
+  }
+
+  test("importInto materializes a graft table the full engine surface " +
+      "runs over (partitioning preserved, merge on top works)") {
+    val src = GraftTable(spark, tmpDir("imp-src") + "/t")
+    src.append((1L to 40L).map(i => (i, s"c${i % 2}", i * 1.0))
+      .toDF("id", "cat", "v"), parts = Seq("cat"))
+    IcebergExport.export(spark, src)
+    val dest = IcebergImport.importInto(spark, src.location,
+      tmpDir("imp-dst") + "/t")
+    assert(dest.partitionFields.map(_.source) === Seq("cat"))
+    assert(dest.read().orderBy("id").select("id", "cat", "v").collect() ===
+      src.read().orderBy("id").select("id", "cat", "v").collect())
+    // the imported table is a first-class graft table: MOR merge + time
+    // travel work on top of it
+    val s0 = dest.latestSnapshotId.get
+    dest.merge(Seq((1L, "cZ", 0.0), (99L, "cZ", 9.0)).toDF("id", "cat", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id", mode = "mor")
+    assert(dest.read().count() === 41)
+    assert(dest.readAsOf(s0).count() === 40)
+  }
+
+  test("hidden-transform partition specs (days/bucket) re-import: " +
+      "source columns come from the data files") {
+    val t = GraftTable(spark, tmpDir("imp-hid") + "/t")
+    val df = (1L to 30L).map(i =>
+      (i, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1,
+        (i % 28 + 1).toInt)), i * 2.0)).toDF("id", "d", "v")
+    t.append(df, parts = Seq("days(d)", "bucket(4, id)"))
+    IcebergExport.export(spark, t)
+    val p = IcebergImport.plan(spark, t.location)
+    assert(p.identityCols.isEmpty) // hidden transforms: nothing to rebuild
+    val back = IcebergImport.read(spark, t.location)
+    assert(back.orderBy("id").collect() ===
+      t.read().orderBy("id").select("id", "d", "v").collect())
+  }
+
+  // ---------------------------------------------------------------- //
+  // FOREIGN fixture: a metadata tree graft never writes.             //
+  // ---------------------------------------------------------------- //
+
+  private def writeAvro(path: String, schema: Schema,
+      records: Seq[GenericRecord]): Long = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(path))
+    try records.foreach(w.append) finally w.close()
+    new File(path).length()
+  }
+
+  /** Manifest-list schema: field order/names per spec, `content` and
+    * `sequence_number` present (v2). */
+  private val listSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"}
+      |]}""".stripMargin)
+
+  /** Foreign manifest-entry schema: NULLABLE sequence_number (exercises
+    * v2 inheritance) and EXTRA stats fields (column_sizes, value_counts)
+    * the importer must skip; identity partition tuple on `cat`. */
+  private def foreignEntrySchema(withPart: Boolean,
+      withEq: Boolean): Schema = {
+    val part = if (withPart)
+      """{"name":"cat","type":["null","string"],"default":null}""" else ""
+    val eq = if (withEq)
+      """,{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}"""
+    else ""
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$part]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"column_sizes","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"k117_v118","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
+        |   "default":null},
+        |  {"name":"value_counts","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"k119_v120","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
+        |   "default":null}$eq
+        |]}}]}""".stripMargin)
+  }
+
+  private def entry(schema: Schema, status: Int, seq: Option[Long],
+      content: Int, path: String, rows: Long, cat: Option[String] = None,
+      eqIds: Seq[Int] = Seq.empty): GenericRecord = {
+    val e = new GenericData.Record(schema)
+    e.put("status", status)
+    e.put("snapshot_id", 200L)
+    seq.foreach(s => e.put("sequence_number", s))
+    val df = new GenericData.Record(schema.getField("data_file").schema())
+    df.put("content", content)
+    df.put("file_path", path)
+    df.put("file_format", "PARQUET")
+    val part = new GenericData.Record(
+      df.getSchema.getField("partition").schema())
+    cat.foreach(c => part.put("cat", c))
+    df.put("partition", part)
+    df.put("record_count", rows)
+    df.put("file_size_in_bytes", new File(
+      new java.net.URI(path).getPath).length())
+    // extra stats columns a real writer emits — importer must ignore
+    val szSchema = df.getSchema.getField("column_sizes").schema()
+      .getTypes.get(1).getElementType
+    val sz = new GenericData.Record(szSchema)
+    sz.put("key", 1); sz.put("value", 123L)
+    df.put("column_sizes", Seq[GenericRecord](sz).asJava)
+    if (eqIds.nonEmpty) df.put("equality_ids",
+      eqIds.map(Int.box).asJava)
+    e.put("data_file", df)
+    e
+  }
+
+  /** Build the foreign tree:
+    *  - snapshot 100 (schema-id 0: id,cat,v): v1-style INLINE `manifests`
+    *    array, entries at explicit seq 1;
+    *  - snapshot 200 (schema-id 1: id,cat,v,w — current): manifest list;
+    *    data manifest with NULL entry seqs inheriting list seq 5 (file A:
+    *    pre-evolve, no `w` column; file B: has `w`), one more data file at
+    *    explicit seq 7, plus an equality-delete manifest at seq 6 on id —
+    *    deleting from A/B (seq 5 < 6) but NOT from the seq-7 file;
+    *  - metadata files `00001-*.json` (decoy old) and `00002-*.json`
+    *    (current), NO version-hint.
+    * Expected current rows: A∪B minus ids {2,4} plus the seq-7 file. */
+  private def buildForeign(): (String, Long) = {
+    val root = tmpDir("imp-foreign")
+    val loc = s"$root/ft"
+    val dataDir = new File(s"$loc/data"); dataDir.mkdirs()
+    val metaDir = new File(s"$loc/metadata"); metaDir.mkdirs()
+    def uri(p: String) = s"file://$p"
+
+    def writeParquet(name: String, df: org.apache.spark.sql.DataFrame)
+        : String = {
+      val tmp = s"$root/stage-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new File(dataDir, s"$name.parquet")
+      assert(part.renameTo(dest))
+      uri(dest.getAbsolutePath)
+    }
+    // pre-evolve file (no w), written by the "old" writer; identity col
+    // `cat` IS stored in the file (foreign writers store it)
+    val fA = writeParquet("A",
+      Seq((1L, "x", 1.0), (2L, "x", 2.0)).toDF("id", "cat", "v"))
+    val fB = writeParquet("B",
+      Seq((3L, "y", 3.0, 30L), (4L, "y", 4.0, 40L))
+        .toDF("id", "cat", "v", "w"))
+    val fC = writeParquet("C",
+      Seq((2L, "x", 20.0, 200L), (5L, "y", 5.0, 50L))
+        .toDF("id", "cat", "v", "w"))
+    val fDel = writeParquet("D", Seq(2L, 4L).toDF("id"))
+
+    // ---- snapshot 100: v1-style inline manifest (schema 0) ----
+    val e1 = foreignEntrySchema(withPart = true, withEq = false)
+    val m100 = s"${metaDir.getAbsolutePath}/m100.avro"
+    writeAvro(m100, e1, Seq(
+      entry(e1, 1, Some(1L), 0, fA, 2, cat = Some("x"))))
+
+    // ---- snapshot 200: manifest list + inheritance + deletes ----
+    val mData = s"${metaDir.getAbsolutePath}/m200-data.avro"
+    val dataLen = writeAvro(mData, e1, Seq(
+      entry(e1, 1, None, 0, fA, 2, cat = Some("x")), // inherits seq 5
+      entry(e1, 1, None, 0, fB, 2, cat = Some("y")), // inherits seq 5
+      entry(e1, 1, Some(7L), 0, fC, 2, cat = Some("x"))))
+    val eDel = foreignEntrySchema(withPart = false, withEq = true)
+    val mDel = s"${metaDir.getAbsolutePath}/m200-del.avro"
+    val delLen = writeAvro(mDel, eDel, Seq(
+      entry(eDel, 1, Some(6L), 2, fDel, 2, eqIds = Seq(1))))
+    def listEntry(path: String, len: Long, content: Int, seq: Long)
+        : GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", uri(path))
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 200L)
+      r
+    }
+    val list200 = s"${metaDir.getAbsolutePath}/snap-200.avro"
+    writeAvro(list200, listSchema, Seq(
+      listEntry(mData, dataLen, 0, 5L),
+      listEntry(mDel, delLen, 1, 6L)))
+
+    val schema0 =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"cat","required":false,"type":"string"},
+        |{"id":3,"name":"v","required":false,"type":"double"}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val schema1 =
+      """{"type":"struct","schema-id":1,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"cat","required":false,"type":"string"},
+        |{"id":3,"name":"v","required":false,"type":"double"},
+        |{"id":4,"name":"w","required":false,"type":"long"}]}"""
+        .stripMargin.replaceAll("\n", "")
+    def metaJson(currentSnap: Long): String =
+      s"""{
+        |"format-version": 2,
+        |"table-uuid": "00000000-0000-0000-0000-000000000001",
+        |"location": "${uri(loc)}",
+        |"last-sequence-number": 7,
+        |"last-updated-ms": 1700000000000,
+        |"last-column-id": 4,
+        |"current-schema-id": 1,
+        |"schemas": [$schema0, $schema1],
+        |"default-spec-id": 0,
+        |"partition-specs": [{"spec-id": 0, "fields": [
+        |  {"name": "cat", "transform": "identity", "source-id": 2, "field-id": 1000}]}],
+        |"last-partition-id": 1000,
+        |"default-sort-order-id": 0,
+        |"sort-orders": [{"order-id": 0, "fields": []}],
+        |"properties": {},
+        |"current-snapshot-id": $currentSnap,
+        |"refs": {"main": {"snapshot-id": $currentSnap, "type": "branch"},
+        |         "old": {"snapshot-id": 100, "type": "tag"}},
+        |"snapshots": [
+        |  {"sequence-number": 1, "snapshot-id": 100,
+        |   "timestamp-ms": 1690000000000,
+        |   "summary": {"operation": "append"}, "schema-id": 0,
+        |   "manifests": ["${uri(m100)}"]},
+        |  {"sequence-number": 7, "snapshot-id": 200,
+        |   "timestamp-ms": 1700000000000,
+        |   "summary": {"operation": "append"}, "schema-id": 1,
+        |   "manifest-list": "${uri(list200)}"}
+        |],
+        |"snapshot-log": [], "metadata-log": []
+        |}""".stripMargin
+    // decoy OLD metadata (current = snapshot 100) + the real current one;
+    // no version-hint — resolution must pick 00002 by version number
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(metaDir.getAbsolutePath,
+        "00001-aaaaaaaa.metadata.json"),
+      metaJson(100).getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(metaDir.getAbsolutePath,
+        "00002-bbbbbbbb.metadata.json"),
+      metaJson(200).getBytes("UTF-8"))
+    (loc, 200L)
+  }
+
+  test("foreign tree: metastore naming without version-hint, sequence " +
+      "inheritance, extra manifest columns, per-snapshot schema ids, " +
+      "v1 inline manifests") {
+    val (loc, cur) = buildForeign()
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.snapshotId === cur)
+    assert(p.schema.fieldNames.toSeq === Seq("id", "cat", "v", "w"))
+    // inheritance: A and B carry the list seq 5; C keeps its explicit 7
+    assert(p.files.map(_.seq).sorted === Seq(5L, 5L, 7L))
+    assert(p.deletes === Seq(IcebergImport.DeleteRef(
+      p.deletes.head.uri, 6L, Some(Seq("id")))))
+
+    val rows = IcebergImport.read(spark, loc)
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // eq-delete {2,4} at seq 6 kills A/B rows (seq 5) but NOT C (seq 7);
+    // pre-evolve file A reads w as NULL (-1 sentinel here)
+    assert(rows === Seq(
+      (1L, "x", 1.0, -1L),     // A survives (id 1 not deleted)
+      (2L, "x", 20.0, 200L),   // C's id=2 survives: seq 7 > delete seq 6
+      (3L, "y", 3.0, 30L),     // B survives
+      (5L, "y", 5.0, 50L)))    // C
+
+    // time travel by tag to the v1-style snapshot: old schema (no w),
+    // inline manifest array, seq floor
+    val old = IcebergImport.read(spark, loc, Some("old"))
+    assert(old.schema.fieldNames.toSeq === Seq("id", "cat", "v"))
+    assert(old.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L))
+  }
+
+  test("foreign tree: version-hint wins when present and valid") {
+    val (loc, _) = buildForeign()
+    // add a v3 named in the OTHER family plus a hint pointing at it
+    val metaDir = s"$loc/metadata"
+    val src = new File(metaDir).listFiles()
+      .find(_.getName.startsWith("00001")).get
+    java.nio.file.Files.copy(src.toPath,
+      java.nio.file.Paths.get(metaDir, "v3.metadata.json"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(metaDir, "version-hint.text"),
+      "3".getBytes("UTF-8"))
+    // hint → v3 → that file's current snapshot is 100 (2 rows)
+    assert(IcebergImport.read(spark, loc).count() === 2)
+  }
+}
