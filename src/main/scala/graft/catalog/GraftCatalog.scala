@@ -170,7 +170,10 @@ class GraftCatalog(spark: SparkSession, val warehouse: String) {
       // so this check must come before any refreshTable resolution)
       val stored = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(name)).schema
-      if (stored != table(name).schema) {
+      // compare in the RELAXED (all-nullable) form the relation reports
+      // — the registration-time inference stored that form
+      if (stored != graft.sources.GraftDataSource.relaxNullability(
+          table(name).schema)) {
         unregister(name)
         register(name)
       } else spark.catalog.refreshTable(name)

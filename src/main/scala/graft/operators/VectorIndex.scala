@@ -127,7 +127,10 @@ object VectorIndex {
             col(vecCol).as("v")),
           "id", "v", nLists, trainIters)
         val dim = snap.select(size(col("qv"))).limit(1)
-          .collect()(0).getInt(0)
+          .collect().headOption.map(_.getInt(0)).getOrElse(
+            throw new IllegalArgumentException(
+              "cannot train IVF centroids on an empty table — append " +
+                "vectors first, or build with trained=false"))
         // per-cluster mean in quantized space, rounded back to the same
         // int lattice every cosine kernel runs on; one k-row aggregate
         assigned.join(snap, assigned("id") === snap("vec_id"))

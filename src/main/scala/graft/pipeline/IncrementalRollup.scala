@@ -210,7 +210,14 @@ object IncrementalRollup {
       val have = dst.schema.fieldNames.toSet
       val missing = expect.filterNot(have)
       require(missing.isEmpty,
-        s"dst ${dst.location} lacks maintained columns: ${missing.mkString(",")}")
+        s"dst ${dst.location} lacks maintained columns: " +
+          s"${missing.mkString(",")}. The destination was created by an " +
+          "older maintain() or with a different aggregate list; recover " +
+          "by either (a) recreating dst (drop the table and re-run " +
+          "maintain — it rebuilds from src's full state in one pass), or " +
+          "(b) adding the missing columns with a one-shot backfill " +
+          "computed from src (e.g. <c>_nncnt = COUNT(<c>) per group) " +
+          "before resuming incremental maintenance")
     }
 
     // current values for AFFECTED keys only: the probe's key set reaches

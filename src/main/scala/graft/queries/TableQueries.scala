@@ -339,6 +339,71 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The COMPLETE ANSI MERGE clause matrix in ONE statement — every
+    * residual shape the r10 engine refused, exercised together with
+    * first-match-wins ordering: a conditional MATCHED DELETE (general
+    * key-mod predicate, not the CDC op-column form), TWO further matched
+    * UPDATE clauses (column-level, earlier clause must shadow later), a
+    * conditional NOT MATCHED INSERT with explicit column list (unassigned
+    * columns → NULL) plus an INSERT * fallback, and conditional
+    * NOT MATCHED BY SOURCE DELETE + UPDATE over target-only rows. The SQL
+    * layer compiles this to mutually exclusive conditions + per-column
+    * CASE expressions applied in one matched-join pass
+    * (GraftSqlCommands.toGeneralMergeCommand). Oracle = the equivalent
+    * relational algebra in DuckDB. */
+  val qSqlMergeMatrix: Q = (s, dir) => {
+    val cat = graft.catalog.GraftCatalog(s, scratch("sqlmm"))
+    cat.createFrom("matrix_t",
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 === 0))
+    Tables.load(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      .createOrReplaceTempView("matrix_s")
+    s.sql(
+      """MERGE INTO matrix_t t USING matrix_s s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.o_orderkey % 5 = 0 THEN DELETE
+        |WHEN MATCHED AND s.o_orderkey % 4 = 0 THEN UPDATE SET
+        |  o_orderstatus = 'A',
+        |  o_totalprice = t.o_totalprice + s.o_totalprice
+        |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'B'
+        |WHEN NOT MATCHED AND s.o_orderkey % 7 = 0 THEN
+        |  INSERT (o_orderkey, o_orderstatus, o_totalprice, o_orderdate)
+        |  VALUES (s.o_orderkey, 'N', s.o_totalprice, s.o_orderdate)
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 11 = 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 13 = 0 THEN
+        |  UPDATE SET o_orderstatus = 'S'""".stripMargin)
+    project(cat.table("matrix_t").read())
+  }
+  val qSqlMergeMatrixSql: String =
+    """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |     s AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+      |     m AS (SELECT t.o_orderkey, t.o_custkey,
+      |             CASE WHEN t.o_orderkey % 4 = 0 THEN 'A' ELSE 'B' END
+      |               AS o_orderstatus,
+      |             CASE WHEN t.o_orderkey % 4 = 0
+      |               THEN t.o_totalprice + s.o_totalprice
+      |               ELSE t.o_totalprice END AS o_totalprice,
+      |             t.o_orderdate
+      |           FROM t JOIN s USING (o_orderkey)
+      |           WHERE t.o_orderkey % 5 <> 0),
+      |     ins AS (SELECT o_orderkey,
+      |               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |                 ELSE o_custkey END AS o_custkey,
+      |               CASE WHEN o_orderkey % 7 = 0 THEN 'N'
+      |                 ELSE o_orderstatus END AS o_orderstatus,
+      |               o_totalprice, o_orderdate
+      |             FROM s WHERE o_orderkey % 2 <> 0),
+      |     bys AS (SELECT o_orderkey, o_custkey,
+      |               CASE WHEN o_orderkey % 13 = 0 THEN 'S'
+      |                 ELSE o_orderstatus END AS o_orderstatus,
+      |               o_totalprice, o_orderdate
+      |             FROM t WHERE o_orderkey % 3 <> 0 AND o_orderkey % 11 <> 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (SELECT * FROM m UNION ALL SELECT * FROM ins
+      |      UNION ALL SELECT * FROM bys)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Iceberg IMPORT — the reference's multi-engine contract in the READ
     * direction (its pipelines read Iceberg tables other engines wrote,
     * /root/reference/bronze-silver.py:132,146-149): a partitioned table
@@ -1405,6 +1470,7 @@ object TableQueries {
     ("q_compact_zorder", qCompactZorder, Some(qCompactZorderSql)),
     ("q_truncate", qTruncate, Some(qTruncateSql)),
     ("q_sql_merge_cond", qSqlMergeCond, Some(qSqlMergeCondSql)),
+    ("q_sql_merge_matrix", qSqlMergeMatrix, Some(qSqlMergeMatrixSql)),
     ("q_sql_merge_sync", qSqlMergeSync, Some(qSqlMergeSyncSql)),
     ("q_sql_merge_update", qSqlMergeUpdate, Some(qSqlMergeUpdateSql)),
     ("q_compact_smallfiles", qCompactSmallFiles,

@@ -101,7 +101,14 @@ class GraftDataSource extends RelationProvider
         "read via GraftTable.read()/readAsOf(), or run compact() to fold " +
         "them into data files first")
 
-    val fullSchema = table.schemaAt(asOf)
+    // asNullable: parquet files CAN hold nulls in a column the declared
+    // schema marks non-nullable (e.g. a MERGE insert clause that leaves
+    // the column unassigned); scanning such data through a non-nullable
+    // read schema makes the vectorized reader return 0/"" garbage
+    // instead of NULL. Spark's own file-based tables relax the read
+    // schema the same way (DataSource.resolveRelation), as does
+    // GraftTable.read().
+    val fullSchema = GraftDataSource.relaxNullability(table.schemaAt(asOf))
     // hidden partitioning: every logical column lives in the data files
     // and the derived dir columns must NOT leak into the schema — the
     // relation is unpartitioned to Spark, and the FileIndex prunes dirs
@@ -150,6 +157,32 @@ class GraftDataSource extends RelationProvider
           table.append(data, parts, mergeSchema = evolve, sortBy = sortBy)
     }
     createRelation(ctx, parameters)
+  }
+}
+
+object GraftDataSource {
+  /** The SQL-surface schema of a graft table: everything nullable.
+    * Parquet files CAN hold nulls in a column the declared schema marks
+    * non-nullable (a MERGE insert clause that leaves the column
+    * unassigned, an evolve null-fill), and scanning such data through a
+    * non-nullable read schema makes the vectorized reader return 0/""
+    * garbage instead of NULL. Spark's own file-based tables relax the
+    * read schema the same way (DataSource.resolveRelation); the session
+    * catalog must store the SAME relaxed form or relation re-resolution
+    * fails the user-specified-schema equality check. */
+  def relaxNullability(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(nullable = true, dataType = relax(f.dataType))))
+      case a: ArrayType =>
+        a.copy(elementType = relax(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(valueType = relax(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    relax(schema).asInstanceOf[StructType]
   }
 }
 

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, CaseWhen, Coalesce, EqualTo, Expression, In, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -60,19 +60,38 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
     // overwrite commit; see MergeInto.merge)
     syncDelete: Boolean = false,
     // WHEN MATCHED AND <cond> THEN UPDATE — name-based like updateSet
-    updateCond: Option[ExprBox] = None)
+    updateCond: Option[ExprBox] = None,
+    // residual ANSI clause shapes, compiled first-match-wins by
+    // GraftSqlRule (see MergeInto.MergeExtras for evaluation frames):
+    // general WHEN MATCHED THEN DELETE
+    deleteCond: Option[ExprBox] = None,
+    // WHEN NOT MATCHED AND cond / column-level INSERT (plain src names)
+    insertCond: Option[ExprBox] = None,
+    insertSet: Option[Seq[(String, ExprBox)]] = None,
+    // conditional WHEN NOT MATCHED BY SOURCE DELETE / UPDATE
+    bySourceDeleteCond: Option[ExprBox] = None,
+    bySourceUpdateCond: Option[ExprBox] = None,
+    bySourceUpdateSet: Seq[(String, ExprBox)] = Seq.empty)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val table = GraftTable(spark, location)
     val src = GraftSqlGlue.ofRows(spark, source)
     val mode = table.properties.getOrElse("graft.merge.mode", "cow")
+    def c(b: ExprBox) = GraftSqlGlue.column(b.e)
     table.merge(src, keys = keys, dedupKey = keys, orderCol = keys.head,
       opCol = opCol, deleteOps = deleteOps, mode = mode,
-      updateSet = updateSet.map(_.map { case (k, b) =>
-        k -> GraftSqlGlue.column(b.e) }),
+      updateSet = updateSet.map(_.map { case (k, b) => k -> c(b) }),
       syncDelete = syncDelete,
-      updateCond = updateCond.map(b => GraftSqlGlue.column(b.e)))
+      updateCond = updateCond.map(c),
+      extras = graft.table.MergeInto.MergeExtras(
+        deleteCond = deleteCond.map(c),
+        insertCond = insertCond.map(c),
+        insertSet = insertSet.map(_.map { case (k, b) => k -> c(b) }),
+        bySourceDeleteCond = bySourceDeleteCond.map(c),
+        bySourceUpdateCond = bySourceUpdateCond.map(c),
+        bySourceUpdateSet = bySourceUpdateSet.map {
+          case (k, b) => k -> c(b) }))
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq.empty
   }
@@ -122,7 +141,11 @@ private[sql] object CatalogSync {
       location: String): Unit = {
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(ident)
-    cat.alterTable(meta.copy(schema = GraftTable(spark, location).schema))
+    // store the RELAXED (all-nullable) form — the one the relation
+    // reports — or re-resolution fails the user-specified-schema check
+    cat.alterTable(meta.copy(schema =
+      graft.sources.GraftDataSource.relaxNullability(
+        GraftTable(spark, location).schema)))
     cat.refreshTable(ident)
   }
 }
@@ -308,24 +331,79 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** WHEN MATCHED AND <cond> THEN DELETE → (opCol, deleteOps). */
-  private def deleteSpec(m: MergeIntoTable,
-      cond: Expression): (String, Seq[String]) = {
+  /** WHEN MATCHED AND <cond> THEN DELETE in the CDC fast-path shape
+    * (source op column = string literal(s)) → (opCol, deleteOps). The
+    * shape matters for performance, not just familiarity: the opCol path
+    * evaluates on the SOURCE frame alone, keeping pure-MOR merges
+    * read-free, where the general `deleteCond` forces the matched join. */
+  private def cdcDeleteSpec(m: MergeIntoTable,
+      cond: Expression): Option[(String, Seq[String])] = {
     val sOut = m.sourceTable.outputSet
     cond match {
       case EqualTo(a: AttributeReference, Literal(v, StringType))
-          if sOut.contains(a) => (a.name, Seq(v.toString))
+          if sOut.contains(a) => Some((a.name, Seq(v.toString)))
       case EqualTo(Literal(v, StringType), a: AttributeReference)
-          if sOut.contains(a) => (a.name, Seq(v.toString))
+          if sOut.contains(a) => Some((a.name, Seq(v.toString)))
       case In(a: AttributeReference, vs)
           if sOut.contains(a) && vs.forall {
             case Literal(_, StringType) => true; case _ => false } =>
-        (a.name, vs.map(_.asInstanceOf[Literal].value.toString))
-      case other => unsupported(s"MERGE delete condition `${other.sql}`")
+        Some((a.name, vs.map(_.asInstanceOf[Literal].value.toString)))
+      case _ => None
+    }
+  }
+
+  /** First-match-wins compilation (SQL evaluates WHEN clauses in order):
+    * clause i's EFFECTIVE condition = its own condition AND NOT(any
+    * earlier clause fired), where "fired" null-coalesces to false so an
+    * earlier NULL condition cannot poison later clauses. The effective
+    * conditions are mutually exclusive by construction, so the engine may
+    * apply the compiled delete/update actions in either order. */
+  private def effConds(conds: Seq[Option[Expression]]): Seq[Expression] = {
+    val fired = conds.map(c => Coalesce(Seq(
+      c.getOrElse(Literal.TrueLiteral), Literal.FalseLiteral)))
+    conds.zipWithIndex.map { case (c, i) =>
+      val own = c.getOrElse(Literal.TrueLiteral)
+      if (i == 0) own else And(own, Not(fired.take(i).reduce(Or)))
     }
   }
 
   private def toMergeCommand(m: MergeIntoTable,
+      g: GraftFileIndex, ident: Option[TableIdentifier]): LogicalPlan = {
+    val keys = mergeKeys(m)
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    val tCols = m.targetTable.output.map(_.name)
+
+    // ---- legacy fast-path shapes (kept verbatim: the opCol CDC delete
+    // keeps pure-MOR merges read-free, and bare shapes skip the join) ----
+    def isLegacyUpdate(a: MergeAction): Boolean = a match {
+      case UpdateStarAction(_) => true
+      case UpdateAction(_, _, _) => true
+      case _ => false
+    }
+    val legacyBySource = m.notMatchedBySourceActions match {
+      case Seq() | Seq(DeleteAction(None)) => true
+      case _ => false
+    }
+    val legacyInsert = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, assigns)) =>
+        isFullRow(assigns, Some(sOut))
+      case _ => false
+    }
+    val legacyMatched = m.matchedActions match {
+      case Seq(DeleteAction(Some(cond)), rest @ _*) =>
+        cdcDeleteSpec(m, cond).isDefined && rest.size == 1 &&
+          isLegacyUpdate(rest.head)
+      case Seq(u) => isLegacyUpdate(u)
+      case _ => false
+    }
+    if (legacyBySource && legacyInsert && legacyMatched)
+      return toLegacyMergeCommand(m, g, ident)
+    toGeneralMergeCommand(m, g, ident)
+  }
+
+  private def toLegacyMergeCommand(m: MergeIntoTable,
       g: GraftFileIndex, ident: Option[TableIdentifier]): LogicalPlan = {
     val syncDelete = m.notMatchedBySourceActions match {
       case Seq() => false
@@ -340,7 +418,8 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // update would be dead), then exactly one full-row update
     val (opCol, deleteOps, updates) = m.matchedActions match {
       case Seq(DeleteAction(Some(cond)), rest @ _*) =>
-        val (oc, ops) = deleteSpec(m, cond)
+        val (oc, ops) = cdcDeleteSpec(m, cond).getOrElse(
+          unsupported(s"MERGE delete condition `${cond.sql}`"))
         (Some(oc), ops, rest)
       case other => (None, Seq.empty[String], other)
     }
@@ -353,8 +432,11 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // frame MergeInto.upsertRows evaluates assignments over)
     def nameBased(v: Expression): Expression = v.transform {
       case a: AttributeReference if sOut.contains(a) =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-          Seq(graft.table.MergeInto.SrcPrefix + a.name))
+        // merge keys stay under their plain shared names in the join
+        // frame (and the ON condition makes the sides equal anyway)
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(
+          if (keys.exists(_.equalsIgnoreCase(a.name))) a.name
+          else graft.table.MergeInto.SrcPrefix + a.name))
       case a: AttributeReference if tOut.contains(a) =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
           Seq(a.name))
@@ -402,6 +484,189 @@ class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     GraftMergeCommand(g.table.location, m.sourceTable, keys, opCol,
       deleteOps, ident, updateSet, syncDelete, updateCond)
+  }
+
+  /** The GENERAL ANSI MERGE compiler — any number of WHEN MATCHED /
+    * NOT MATCHED / NOT MATCHED BY SOURCE clauses, each optionally
+    * conditional, UPDATE (full or column-level) / DELETE / INSERT (star
+    * or column-level), evaluated with SQL's first-match-wins ordering.
+    * Multiple clauses compile into SINGLE engine primitives: mutually
+    * exclusive effective conditions ([[effConds]]) whose actions fold
+    * into per-column CASE expressions, so [[graft.table.MergeInto]]
+    * applies the whole matrix in one matched-join pass — no per-clause
+    * scans, no unions of the join. */
+  private def toGeneralMergeCommand(m: MergeIntoTable,
+      g: GraftFileIndex, ident: Option[TableIdentifier]): LogicalPlan = {
+    val keys = mergeKeys(m)
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    val tCols = m.targetTable.output.map(_.name)
+    def ua(n: String) =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))
+
+    // join-frame mapping: target plain, source SrcPrefix'd — except the
+    // merge keys, which the join keeps under their plain (shared) names
+    // and the ON condition makes equal on both sides anyway
+    def nameBased(v: Expression): Expression = v.transform {
+      case a: AttributeReference if sOut.contains(a) =>
+        if (keys.exists(_.equalsIgnoreCase(a.name))) ua(a.name)
+        else ua(graft.table.MergeInto.SrcPrefix + a.name)
+      case a: AttributeReference if tOut.contains(a) => ua(a.name)
+    }
+    // source-frame mapping (NOT MATCHED clauses): plain source names
+    def sourceOnly(v: Expression, where: String): Expression = v.transform {
+      case a: AttributeReference if sOut.contains(a) => ua(a.name)
+      case a: AttributeReference if tOut.contains(a) => unsupported(
+        s"$where may reference only SOURCE columns, got target ${a.name}")
+    }
+    // target-frame mapping (NOT MATCHED BY SOURCE clauses)
+    def targetOnly(v: Expression, where: String): Expression = v.transform {
+      case a: AttributeReference if tOut.contains(a) => ua(a.name)
+      case a: AttributeReference if sOut.contains(a) => unsupported(
+        s"$where may reference only TARGET columns, got source ${a.name}")
+    }
+    def condOf(a: MergeAction): Option[Expression] = a.condition
+    def assignPairs(assigns: Seq[Assignment], where: String)
+        : Seq[(String, Expression)] = assigns.map { a =>
+      val k = a.key match {
+        case ar: AttributeReference => ar
+        case other => unsupported(
+          s"$where SET key `${other.sql}` (need a column)")
+      }
+      require(tOut.contains(k),
+        s"$where must assign a target column, got ${k.name}")
+      k.name -> a.value
+    }
+
+    // ---- WHEN MATCHED: updates + deletes, first-match-wins ----
+    val mEffs = effConds(m.matchedActions.map(condOf))
+    val deleteEffs = mEffs.zip(m.matchedActions).collect {
+      case (e, DeleteAction(_)) => e }
+    // (eff, column -> raw value) per update clause; star = all non-key
+    // columns from the source row by name
+    val updatePairs: Seq[(Expression, Seq[(String, Expression)])] =
+      mEffs.zip(m.matchedActions).collect {
+        case (e, UpdateStarAction(_)) =>
+          e -> tCols.filterNot(keys.contains).map(c =>
+            c -> (ua(graft.table.MergeInto.SrcPrefix + c): Expression))
+        case (e, UpdateAction(_, assigns, _)) =>
+          e -> assignPairs(assigns, "MERGE UPDATE").flatMap {
+            // merge-key assignment: the analyzer's SET * expansion emits
+            // k = s.k, which the ON condition makes an identity — drop;
+            // any OTHER key reassignment has no engine meaning
+            case (k2, v: AttributeReference)
+                if keys.contains(k2) && v.name.equalsIgnoreCase(k2) &&
+                  (sOut.contains(v) || tOut.contains(v)) => None
+            case (k2, _) if keys.contains(k2) => unsupported(
+              s"MERGE UPDATE may not reassign merge key `$k2`")
+            // identity no-op (c = t.c): the effective conditions are
+            // mutually exclusive, so a row matching this clause falls to
+            // the ELSE target value — identical outcome
+            case (k2, v: AttributeReference)
+                if tOut.contains(v) && v.name.equalsIgnoreCase(k2) => None
+            case pair => Some(pair)
+          }
+      }
+    m.matchedActions.foreach {
+      case _: DeleteAction | _: UpdateAction | _: UpdateStarAction => ()
+      case other => unsupported(s"WHEN MATCHED action `$other`")
+    }
+    val deleteCond = deleteEffs.reduceOption(Or)
+      .map(e => ExprBox(nameBased(e)))
+    // updateCond: OR of update effs; a merge with NO update clause keeps
+    // matched rows untouched — compiled as literal false
+    val updateCond: Option[ExprBox] =
+      if (updatePairs.isEmpty) Some(ExprBox(Literal.FalseLiteral))
+      else Some(ExprBox(nameBased(updatePairs.map(_._1).reduce(Or))))
+    // per-column CASE across update clauses; ELSE = keep target value
+    val assignedCols = updatePairs.flatMap(_._2.map(_._1)).distinct
+    val updateSet: Option[Seq[(String, ExprBox)]] =
+      if (assignedCols.isEmpty) None
+      else Some(assignedCols.map { c =>
+        val branches = updatePairs.collect {
+          case (e, as) if as.exists(_._1 == c) =>
+            (nameBased(Coalesce(Seq(e, Literal.FalseLiteral))),
+              nameBased(as.find(_._1 == c).get._2))
+        }
+        c -> ExprBox(CaseWhen(branches, Some(ua(c))))
+      })
+
+    // ---- WHEN NOT MATCHED: inserts, first-match-wins ----
+    val (insertCond, insertSet): (Option[ExprBox],
+        Option[Seq[(String, ExprBox)]]) = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => (None, None)
+      case Seq(InsertAction(None, assigns))
+          if isFullRow(assigns, Some(sOut)) => (None, None)
+      case Seq() => // no insert clause: not-matched source rows drop
+        (Some(ExprBox(Literal.FalseLiteral)), None)
+      case actions =>
+        val effs = effConds(actions.map(condOf))
+        val perClause: Seq[Map[String, Expression]] = actions.map {
+          case InsertStarAction(_) =>
+            tCols.map(c => c -> (ua(c): Expression)).toMap
+          case InsertAction(_, assigns) =>
+            assignPairs(assigns, "MERGE INSERT").toMap
+          case other => unsupported(s"WHEN NOT MATCHED action `$other`")
+        }
+        val set = tCols.flatMap { c =>
+          val branches = effs.zip(perClause).collect {
+            case (e, as) if as.contains(c) =>
+              (sourceOnly(Coalesce(Seq(e, Literal.FalseLiteral)),
+                "MERGE INSERT condition"),
+                sourceOnly(as(c), "MERGE INSERT value"))
+          }
+          // a column no clause assigns inserts NULL (engine default)
+          if (branches.isEmpty) None
+          else Some(c -> ExprBox(CaseWhen(branches, None)))
+        }
+        (Some(ExprBox(sourceOnly(effs.reduce(Or),
+          "MERGE INSERT condition"))), Some(set))
+    }
+
+    // ---- WHEN NOT MATCHED BY SOURCE: target-only rows ----
+    val (syncDelete, bsDelete, bsUpdateCond, bsUpdateSet) =
+      m.notMatchedBySourceActions match {
+        case Seq() => (false, None, None, Seq.empty[(String, ExprBox)])
+        case Seq(DeleteAction(None)) =>
+          (true, None, None, Seq.empty[(String, ExprBox)])
+        case actions =>
+          val effs = effConds(actions.map(condOf))
+          val delEffs = effs.zip(actions).collect {
+            case (e, DeleteAction(_)) => e }
+          val updPairs = effs.zip(actions).collect {
+            case (e, UpdateAction(_, assigns, _)) =>
+              e -> assignPairs(assigns, "MERGE BY SOURCE UPDATE")
+          }
+          actions.foreach {
+            case _: DeleteAction | _: UpdateAction => ()
+            case other => unsupported(
+              s"WHEN NOT MATCHED BY SOURCE action `$other` " +
+                "(UPDATE SET or DELETE — there is no source row)")
+          }
+          def tgt(e: Expression) =
+            targetOnly(e, "WHEN NOT MATCHED BY SOURCE")
+          val del = delEffs.reduceOption(Or).map(e => ExprBox(tgt(e)))
+          val updCond = updPairs.map(_._1).reduceOption(Or)
+            .map(e => ExprBox(tgt(e)))
+          val assigned = updPairs.flatMap(_._2.map(_._1)).distinct
+          val updSet = assigned.map { c2 =>
+            val branches = updPairs.collect {
+              case (e, as) if as.exists(_._1 == c2) =>
+                (tgt(Coalesce(Seq(e, Literal.FalseLiteral))),
+                  tgt(as.find(_._1 == c2).get._2))
+            }
+            c2 -> ExprBox(CaseWhen(branches, Some(ua(c2))))
+          }
+          (false, del, updCond, updSet)
+      }
+
+    GraftMergeCommand(g.table.location, m.sourceTable, keys,
+      opCol = None, deleteOps = Seq.empty, refreshIdent = ident,
+      updateSet = updateSet, syncDelete = syncDelete,
+      updateCond = updateCond, deleteCond = deleteCond,
+      insertCond = insertCond, insertSet = insertSet,
+      bySourceDeleteCond = bsDelete, bySourceUpdateCond = bsUpdateCond,
+      bySourceUpdateSet = bsUpdateSet)
   }
 
   /** Table path when `ident` is a catalog-registered graft table. */

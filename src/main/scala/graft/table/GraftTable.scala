@@ -2043,18 +2043,66 @@ class GraftTable(spark: SparkSession, val location: String,
     val parentAtRead = latestSnapshotId
     val live = liveFiles()
     val known = bytesFor(live)
-    def sz(f: String): Long = known.getOrElse(f,
-      fs.getFileStatus(new Path(tablePath, f)).getLen)
-    val removed = live.filter(f => sz(f) < thr)
-      .groupBy(partitionValues)
-      .values.filter(_.size >= minInputFiles).flatten.toSeq
-    if (removed.isEmpty) return None
-    val totalBytes = removed.map(sz).sum
-    val n = math.max(1L,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // files without a recorded size are SKIPPED rather than stat'd — a
+    // driver-side getFileStatus per unknown file is an RPC storm at real
+    // file counts; an unknown-size file picks up a recorded size at its
+    // next rewrite and becomes compactable then
+    val groups: Map[Map[String, String], Seq[(String, Long)]] = live
+      .flatMap(f => known.get(f).map(f -> _))
+      .filter(_._2 < thr)
+      .groupBy(fb => partitionValues(fb._1))
+      .filter(_._2.size >= minInputFiles)
+    if (groups.isEmpty) return None
+    val removed = groups.values.flatten.map(_._1).toSeq
+    // output-file count PER PARTITION GROUP: a global ceil(total/target)
+    // would let small files spanning many partitions land each dir far
+    // under targetFileBytes (one global task count spread across dirs)
+    val nByGroup: Map[Map[String, String], Int] = groups.map {
+      case (k, fls) => k -> math.max(1L,
+        (fls.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    }
     // MOR-aware scoped read: tombstoned rows of the rewritten files do
     // not resurrect; new files' sequence exceeds every live delete's
-    val df = readFilesOf(removed).coalesce(n)
+    val scoped = readFilesOf(removed)
+    val fields = partitionFields
+    val df =
+      if (fields.isEmpty) scoped.coalesce(nByGroup.values.head)
+      else {
+        // route each row to one of its GROUP's nGroup output slots: the
+        // clustered write then produces ~ceil(groupBytes/target) files
+        // per dir. Group lookup is a broadcast join on the partition
+        // tuple (rendered with the same Cast-to-string discipline the
+        // partition-path writer uses); the salt hashes the row within
+        // its group.
+        val Sentinel = "__HIVE_DEFAULT_PARTITION__"
+        val physCols = fields.map(f => coalesce(PartitionTransforms
+          .columnFor(f, col(f.source).cast(schema(f.source).dataType),
+            schema(f.source).dataType).cast("string"), lit(Sentinel))
+          .as(s"__cmp_${f.physName}"))
+        val nRows = nByGroup.toSeq.map { case (kv, ng) =>
+          Row.fromSeq(fields.map(f =>
+            kv.getOrElse(f.physName, Sentinel)) :+ ng)
+        }
+        val nSchema = org.apache.spark.sql.types.StructType(
+          fields.map(f => org.apache.spark.sql.types.StructField(
+            s"__cmp_${f.physName}",
+            org.apache.spark.sql.types.StringType)) :+
+            org.apache.spark.sql.types.StructField("__cmp_n",
+              org.apache.spark.sql.types.IntegerType))
+        val nDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(nRows, 1), nSchema)
+        val keyed = scoped.select(col("*") +: physCols: _*)
+          .join(broadcast(nDf), fields.map(f => s"__cmp_${f.physName}"))
+        val salt = pmod(xxhash64(schema.fieldNames.map(col)
+          .toIndexedSeq: _*), col("__cmp_n")).as("__cmp_salt")
+        val totalFiles = math.max(1, nByGroup.values.sum)
+        keyed.select(col("*"), salt)
+          .repartition(totalFiles,
+            fields.map(f => col(s"__cmp_${f.physName}")) :+
+              col("__cmp_salt"): _*)
+          .drop((fields.map(f => s"__cmp_${f.physName}") ++
+            Seq("__cmp_n", "__cmp_salt")).toIndexedSeq: _*)
+      }
     val staged = stageAndMove(align(df, schema), partitionCols,
       clustered = true)
     val added = staged.map(_._1)
@@ -2671,9 +2719,11 @@ class GraftTable(spark: SparkSession, val location: String,
       // WHEN NOT MATCHED BY SOURCE THEN DELETE (see MergeInto.merge)
       syncDelete: Boolean = false,
       // WHEN MATCHED AND <cond> THEN UPDATE (see MergeInto.merge)
-      updateCond: Option[org.apache.spark.sql.Column] = None): Long =
+      updateCond: Option[org.apache.spark.sql.Column] = None,
+      // residual ANSI clause shapes (see MergeInto.MergeExtras)
+      extras: MergeInto.MergeExtras = MergeInto.MergeExtras()): Long =
     MergeInto.merge(spark, this, source, keys, dedupKey, orderCol, opCol,
-      deleteOps, mode, txn, updateSet, syncDelete, updateCond)
+      deleteOps, mode, txn, updateSet, syncDelete, updateCond, extras)
 
   private[table] def commitMerge(staged: Seq[(String, Long)],
       removed: Seq[String], expectedParent: Option[Long],

@@ -159,6 +159,46 @@ object MergeInto {
   def srcCol(name: String): org.apache.spark.sql.Column =
     col(SrcPrefix + name)
 
+  /** The residual ANSI MERGE clause shapes beyond [[merge]]'s named
+    * parameters — together they complete the WHEN matrix (multiple
+    * first-match-wins clauses are compiled INTO these fields by the SQL
+    * layer: mutually-exclusive conditions + per-column CASE values, so
+    * the engine applies each field at most once per row).
+    *
+    * @param deleteCond `WHEN MATCHED [AND cond] THEN DELETE` (the general
+    *   non-CDC form): evaluated over the matched-rows join (target
+    *   columns plain, source via [[srcCol]]); rows where it holds are
+    *   removed — they are dropped before the update condition is even
+    *   consulted (the SQL layer's compilation makes delete/update
+    *   conditions mutually exclusive, preserving clause order). Forces
+    *   the matched-rows join.
+    * @param insertCond `WHEN NOT MATCHED AND cond THEN INSERT`:
+    *   evaluated over the deduped SOURCE row under PLAIN column names
+    *   (extra source columns visible); not-matched rows failing (or
+    *   NULL-ing) it are dropped — in particular `Some(lit(false))`
+    *   expresses a MERGE with no insert clause at all.
+    * @param insertSet column-level insert values (ANSI
+    *   `INSERT (cols) VALUES (exprs)`): target column → expression over
+    *   the plain-named source row; unassigned columns insert NULL.
+    * @param bySourceDeleteCond / bySourceUpdateCond / bySourceUpdateSet
+    *   conditional `WHEN NOT MATCHED BY SOURCE THEN DELETE / UPDATE`:
+    *   evaluated over the TARGET-ONLY row (plain names — there is no
+    *   source side by definition). Any bySource clause forces the
+    *   full-table overwrite commit, exactly like the bare syncDelete:
+    *   every target row must be compared against the source key set. */
+  case class MergeExtras(
+      deleteCond: Option[org.apache.spark.sql.Column] = None,
+      insertCond: Option[org.apache.spark.sql.Column] = None,
+      insertSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
+      bySourceDeleteCond: Option[org.apache.spark.sql.Column] = None,
+      bySourceUpdateCond: Option[org.apache.spark.sql.Column] = None,
+      bySourceUpdateSet: Seq[(String, org.apache.spark.sql.Column)] =
+        Seq.empty) {
+    def isEmpty: Boolean = deleteCond.isEmpty && insertCond.isEmpty &&
+      insertSet.isEmpty && bySourceDeleteCond.isEmpty &&
+      bySourceUpdateCond.isEmpty
+  }
+
   /** @param opCol engine EXTENSION over the reference (which never
     *   interprets CDC op codes — SURVEY.md §2 N1): when set, source rows
     *   whose op ∈ `deleteOps` (after keep-latest dedup, so a later update
@@ -204,7 +244,8 @@ object MergeInto {
       txn: Option[(String, Long)] = None,
       updateSet: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
       syncDelete: Boolean = false,
-      updateCond: Option[org.apache.spark.sql.Column] = None): Long = {
+      updateCond: Option[org.apache.spark.sql.Column] = None,
+      extras: MergeExtras = MergeExtras()): Long = {
     require(Set("cow", "mor", "auto").contains(mode),
       s"merge mode must be cow|mor|auto, got $mode")
     val parentAtRead = target.latestSnapshotId
@@ -224,9 +265,39 @@ object MergeInto {
         .select(cols.map(col): _*)
       case None => deduped.select(cols.map(col): _*)
     }
+    // the rows ELIGIBLE to insert where no target key matches — `inserts`
+    // narrowed by the NOT MATCHED condition and projected through the
+    // insert assignments (both over the PLAIN-named deduped source, so
+    // extra source columns stay visible to the condition)
+    val insertEligible: DataFrame =
+      if (extras.insertCond.isEmpty && extras.insertSet.isEmpty) inserts
+      else {
+        val nonDelete = opCol match {
+          case Some(oc) => dedupedAll
+            .filter(col(oc).isNull || !col(oc).isin(deleteOps: _*))
+          case None => dedupedAll
+        }
+        // SQL three-valued logic: NULL condition = clause does not fire
+        val filtered = extras.insertCond match {
+          case None => nonDelete
+          case Some(c) => nonDelete.filter(coalesce(c, lit(false)))
+        }
+        extras.insertSet match {
+          case None => filtered.select(cols.map(col): _*)
+          case Some(assigns) =>
+            val m = assigns.toMap
+            filtered.select(cols.map(c => m.getOrElse(c, lit(null))
+              .cast(schema(c).dataType).as(c)): _*)
+        }
+      }
 
     // Does this merge need the matched-rows JOIN (target values read)?
-    val needsJoin = updateSet.isDefined || updateCond.isDefined
+    // Matched deletes need target rows; restricted inserts need the
+    // matched-key distinction (the join-free full-row path cannot tell
+    // an update from an insert).
+    val needsJoin = updateSet.isDefined || updateCond.isDefined ||
+      extras.deleteCond.isDefined || extras.insertCond.isDefined ||
+      extras.insertSet.isDefined
 
     // rows this merge WRITES for the batch's keys: the full source row
     // (full-row replace / plain insert), or — with updateSet/updateCond
@@ -245,8 +316,22 @@ object MergeInto {
           require(assigns.forall { case (c, _) => !keys.contains(c) },
             "updateSet must not assign a merge key")
         }
-        val renamed = deduped.columns.filterNot(keys.contains)
-          .foldLeft(deduped)((d, c) =>
+        // renamed from dedupedALL, not the projected frame: matched
+        // conditions (updateCond/deleteCond) may reference EXTRA source
+        // columns that are not target columns. When dedupKey is FINER
+        // than the merge keys (the N4 quirk direction), several source
+        // rows can share one merge key — the matched join would then
+        // emit a target row once per source row (an updated row for the
+        // passing source row AND the unchanged row for a failing one),
+        // duplicating keys in the output. One more keep-latest dedup on
+        // the MERGE keys pins the join to one source row per key.
+        val joinSource =
+          if (dedupKey == keys) dedupedAll
+          else dedupLatest(dedupedAll, keys, orderCol)
+        val renameBase = joinSource.drop(joinSource.columns
+          .filter(_.startsWith(SrcPrefix)).toIndexedSeq: _*) // reserved
+        val renamed = renameBase.columns.filterNot(keys.contains)
+          .foldLeft(renameBase)((d, c) =>
             d.withColumnRenamed(c, SrcPrefix + c))
         val joined = affectedDf.join(renamed, keys, "inner")
         val nonDelete = opCol match {
@@ -254,32 +339,64 @@ object MergeInto {
             !col(SrcPrefix + oc).isin(deleteOps: _*))
           case None => joined
         }
+        // general matched DELETE (non-CDC form): rows where it holds are
+        // gone — dropped before the update condition applies (the SQL
+        // layer compiled the two mutually exclusive, preserving clause
+        // order)
+        val afterDelete = extras.deleteCond match {
+          case None => nonDelete
+          case Some(dc) => nonDelete.filter(!coalesce(dc, lit(false)))
+        }
         // SQL three-valued logic: a NULL condition means "this clause
         // does not fire" — the row keeps its target state
         val pass = coalesce(updateCond.getOrElse(lit(true)), lit(false))
         val assignMap = updateSet.getOrElse(Seq.empty).toMap
-        val matchedOut = nonDelete.filter(pass).select(cols.map(c =>
+        val matchedOut = afterDelete.filter(pass).select(cols.map(c =>
           (if (updateSet.isDefined)
             assignMap.get(c)
               .map(_.cast(schema(c).dataType))
               .getOrElse(col(c))
           else if (keys.contains(c)) col(c)
           else col(SrcPrefix + c).cast(schema(c).dataType)).as(c)): _*)
-        val keptMatched = nonDelete.filter(!pass)
+        val keptMatched = afterDelete.filter(!pass)
           .select(cols.map(col): _*)
-        val newInserts = inserts.join(
+        val newInserts = insertEligible.join(
           affectedDf.select(keys.map(col): _*).distinct(),
           keys, "left_anti")
         matchedOut.unionByName(keptMatched).unionByName(newInserts)
       }
 
-    if (syncDelete) {
-      // snapshot sync: the result is fully determined by the source +
-      // the matched target rows; target-only rows vanish. One overwrite
-      // commit — O(result) write, by the semantics' own nature.
-      val out =
+    val hasBySource = syncDelete || extras.bySourceDeleteCond.isDefined ||
+      extras.bySourceUpdateCond.isDefined
+    if (hasBySource) {
+      // NOT MATCHED BY SOURCE semantics force the full-table comparison
+      // (every target row must probe the source key set), so the commit
+      // is one overwrite — O(result) write, by the semantics' own nature.
+      // Bare syncDelete: target-only rows vanish, result fully determined
+      // by source + matched rows. Conditional forms keep the target-only
+      // survivors (optionally updated).
+      val upserted =
         if (!needsJoin) inserts // full-row: result ≡ deduped source
         else upsertRows(target.read())
+      val out =
+        if (syncDelete) upserted
+        else {
+          val tOnly = target.read().join(
+            deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          val delPass = coalesce(
+            extras.bySourceDeleteCond.getOrElse(lit(false)), lit(false))
+          val survivors0 = tOnly.filter(!delPass)
+          val survivors = extras.bySourceUpdateCond match {
+            case None => survivors0.select(cols.map(col): _*)
+            case Some(uc) =>
+              val pass = coalesce(uc, lit(false))
+              val m = extras.bySourceUpdateSet.toMap
+              survivors0.select(cols.map(c =>
+                when(pass, m.getOrElse(c, col(c)).cast(schema(c).dataType))
+                  .otherwise(col(c)).as(c)): _*)
+          }
+          upserted.unionByName(survivors)
+        }
       val staged = Phase.timed("merge.stageSync")(
         target.stageForMerge(out))
       deduped.unpersist(); dedupedAll.unpersist()

@@ -662,14 +662,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
     val snapBefore = cat.table("ext_u").latestSnapshotId.get
-    // NOT MATCHED BY SOURCE supports only a bare DELETE — an UPDATE
-    // there is unsupported (matched-side partial/conditional updates
-    // became real operations in r10)
+    // a non-equi ON condition has no merge-key mapping — unsupported
+    // (the clause MATRIX itself became fully supported in r11:
+    // conditional inserts/deletes, multiple WHEN MATCHED, conditional
+    // NOT MATCHED BY SOURCE — see MergeMatrixSpec)
     val e = intercept[Exception](spark.sql(
-      """MERGE INTO ext_u t USING ext_u_src s ON t.id = s.id
+      """MERGE INTO ext_u t USING ext_u_src s ON t.id >= s.id
         |WHEN MATCHED THEN UPDATE SET *
-        |WHEN NOT MATCHED THEN INSERT *
-        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'gone'"""
+        |WHEN NOT MATCHED THEN INSERT *"""
         .stripMargin))
     assert(causes(e).exists(c => Option(c.getMessage).exists(
       _.contains("not supported on graft tables"))))

@@ -423,4 +423,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(t2.publishPending(token3) > id)
     assert(t2.read().filter(col("id") === 9L).count() === 1)
   }
+
+  test("compactSmallFiles sizes outputs PER PARTITION GROUP: small files " +
+      "spanning many partitions do not share one global file budget") {
+    import org.apache.spark.sql.functions.input_file_name
+    val t = freshTable("mt-binpack-parts")
+    // two partitions, each with 4 tiny files
+    (1 to 4).foreach { i =>
+      t.append(Seq((i.toLong, "p1", s"a$i")).toDF("id", "part", "v"),
+        parts = if (i == 1) Seq("part") else Seq.empty)
+      t.append(Seq((100L + i, "p2", s"b$i")).toDF("id", "part", "v"))
+    }
+    assert(t.liveFiles().size === 8)
+    val before = t.read().orderBy("id").collect().toSeq
+    // a huge target: each GROUP should binpack to exactly ONE file —
+    // the old global coalesce(1) would have produced one task writing
+    // both dirs (still 2 files) but a global budget; per-group sizing
+    // must give exactly ceil(groupBytes/target)=1 output per partition
+    val r = t.compactSmallFiles(targetFileBytes = 64L * 1024 * 1024)
+    assert(r.isDefined)
+    val after = t.liveFiles()
+    assert(after.size === 2, s"one output per partition group: $after")
+    assert(after.count(_.contains("part=p1")) === 1)
+    assert(after.count(_.contains("part=p2")) === 1)
+    assert(t.read().orderBy("id").collect().toSeq === before)
+    // a tiny target forces MULTIPLE outputs per group, still per-group:
+    val t2 = freshTable("mt-binpack-parts2")
+    (1 to 6).foreach { i =>
+      t2.append((1L to 400L).map(j => (i * 1000L + j, "p1", s"v$j"))
+        .toDF("id", "part", "v"),
+        parts = if (i == 1) Seq("part") else Seq.empty)
+    }
+    val groupBytes = t2.bytesFor(t2.liveFiles()).values.sum
+    val r2 = t2.compactSmallFiles(targetFileBytes = groupBytes / 3 + 1)
+    assert(r2.isDefined)
+    val n2 = t2.liveFiles().size
+    assert(n2 >= 2 && n2 <= 4,
+      s"~ceil(group/target)=3 outputs expected, got $n2")
+  }
 }

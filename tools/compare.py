@@ -59,9 +59,11 @@ def main(sf_dir, out_dir):
                 n_fail += 1
                 continue
             # sort key stringifies so mixed null/non-null numeric columns
-            # (int + NaN tuples) stay orderable; equality still compares
+            # (int + NaN tuples) stay orderable; the type name rides along
+            # so distinct values with equal string forms (int 1 vs '1')
+            # order identically on both sides; equality still compares
             # the normalized values themselves
-            key = lambda t: tuple(str(v) for v in t)
+            key = lambda t: tuple((str(v), type(v).__name__) for v in t)
             g = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)], key=key)
             w = sorted([tuple(norm(v) for v in r) for r in want.itertuples(index=False)], key=key)
             bad = [(a, b) for a, b in zip(g, w) if a != b]
