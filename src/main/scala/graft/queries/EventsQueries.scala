@@ -40,6 +40,17 @@ object EventsQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Per-micro-batch invariant asserts in the streaming lifecycle queries
+    * (gold ≡ full recompute after EVERY batch). Default ON — specs and
+    * the driver's Verify keep full validation — but the bench harness
+    * turns them off for its TIMED passes (-Dgraft.lifecycle.asserts=off):
+    * the assertion is a deliberate full-recompute per batch, so with it
+    * on the headline "query time" mostly measures assertion cost, not
+    * engine work. Bench records one assert-on run beside the timed
+    * number so the delta stays in-artifact. */
+  private[queries] def lifecycleAsserts: Boolean =
+    !sys.props.get("graft.lifecycle.asserts").contains("off")
+
   /** daily event rollup: counts + exact value sums per (day, type). */
   val qEventsDaily: Q = (s, dir) => {
     events(s, dir)
@@ -547,15 +558,17 @@ object EventsQueries {
       bronzeLoc, goldLoc, "stroll", Seq("event_type"), Seq("value_d"),
       afterBatch = (bronze, gold) => {
         val step = steps.incrementAndGet()
-        val want = bronze.read().groupBy("event_type")
-          .agg(sum(col("value_d")).as("value_d_sum"),
-            count(lit(1)).as("n"))
-          .orderBy("event_type").collect().toSeq
-        val got = gold.read()
-          .select("event_type", "value_d_sum", "n")
-          .orderBy("event_type").collect().toSeq
-        require(got == want,
-          s"gold != bronze recompute after micro-batch $step")
+        if (lifecycleAsserts) {
+          val want = bronze.read().groupBy("event_type")
+            .agg(sum(col("value_d")).as("value_d_sum"),
+              count(lit(1)).as("n"))
+            .orderBy("event_type").collect().toSeq
+          val got = gold.read()
+            .select("event_type", "value_d_sum", "n")
+            .orderBy("event_type").collect().toSeq
+          require(got == want,
+            s"gold != bronze recompute after micro-batch $step")
+        }
       })
       .option("checkpointLocation", Scratch.dir("streamroll-ckpt"))
       .start()
@@ -693,15 +706,17 @@ object EventsQueries {
       sumCols = Seq("value_d"), opCol = Some("__op"),
       afterBatch = (bronze, silver, gold) => {
         steps.incrementAndGet()
-        val want = silver.read().groupBy("event_type")
-          .agg(sum(col("value_d")).as("value_d_sum"),
-            count(lit(1)).as("n"))
-          .orderBy("event_type").collect().toSeq
-        val got = gold.read()
-          .select("event_type", "value_d_sum", "n")
-          .orderBy("event_type").collect().toSeq
-        require(got == want,
-          s"gold != silver recompute after micro-batch ${steps.get()}")
+        if (lifecycleAsserts) {
+          val want = silver.read().groupBy("event_type")
+            .agg(sum(col("value_d")).as("value_d_sum"),
+              count(lit(1)).as("n"))
+            .orderBy("event_type").collect().toSeq
+          val got = gold.read()
+            .select("event_type", "value_d_sum", "n")
+            .orderBy("event_type").collect().toSeq
+          require(got == want,
+            s"gold != silver recompute after micro-batch ${steps.get()}")
+        }
       })
       .option("checkpointLocation", Scratch.dir("streampipe-ckpt"))
       .start()

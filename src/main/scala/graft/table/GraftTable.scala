@@ -739,20 +739,34 @@ class GraftTable(spark: SparkSession, val location: String,
     import org.apache.spark.sql.types._
     val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
       IntegerType -> 3, LongType -> 4)
-    val ok = (field.dataType, newType) match {
+    val isFloatToDouble =
+      field.dataType == FloatType && newType == DoubleType
+    val ok = isFloatToDouble || ((field.dataType, newType) match {
       case (a, b) if intRank.contains(a) && intRank.contains(b) =>
         intRank(a) < intRank(b)
       case (a: DecimalType, b: DecimalType) =>
         a.scale == b.scale && a.precision < b.precision
       case _ => false
-    }
+    })
     require(ok, s"cannot widen ${field.dataType.simpleString} to " +
       s"${newType.simpleString}: supported widenings are byte/short/int " +
-      "to a wider integer and decimal(p,s) to decimal(p+,s)")
+      "to a wider integer, float to double, and decimal(p,s) to " +
+      "decimal(p+,s)")
+    // float partition dirs would need the same exact re-rendering in the
+    // partition-path parser; partitioning on float is refused at write
+    // time anyway, but guard the evolve side independently
+    require(!partitionFields.exists(_.source.equalsIgnoreCase(name)),
+      s"cannot widen partition source column $name")
     val live = liveFiles()
     val bloomed = statsFor(live).exists(_._2.get(field.name)
       .exists(_.bloom.isDefined))
-    require(!bloomed,
+    // float→double: stats of float-era files (min/max AND blooms) are
+    // handled at resolution time — statsFor re-renders the bounds through
+    // the exact float→double conversion and drops the (type-dependent)
+    // blooms for those files, so pruning stays sound with no rewrite.
+    // Integer/decimal widenings round-trip their stat strings untouched
+    // but have no sound bloom story — they still require a compact first.
+    require(isFloatToDouble || !bloomed,
       s"cannot widen $name while live files carry Bloom bitsets for it " +
         "(value hashes are type-dependent) — compact() first")
     commit("evolve", Seq.empty, Seq.empty, parent => {
@@ -1205,7 +1219,10 @@ class GraftTable(spark: SparkSession, val location: String,
       : Map[String, Map[String, ColStat]] = {
     val want = files.toSet
     val out = scala.collection.mutable.Map.empty[String, Map[String, ColStat]]
-    val curById = FieldIds.byId(schemaAt(asOf))
+    val curSchema = schemaAt(asOf)
+    val curById = FieldIds.byId(curSchema)
+    val curTypeByName: Map[String, DataType] =
+      curSchema.fields.map(f => f.name -> f.dataType).toMap
     val renameCache =
       scala.collection.mutable.Map.empty[Long, Map[String, String]]
     def renamesOf(s: Snapshot): Map[String, String] =
@@ -1215,13 +1232,53 @@ class GraftTable(spark: SparkSession, val location: String,
           .fields.flatMap(f => FieldIds.idOf(f).flatMap(curById.get)
             .filter(_ != f.name).map(f.name -> _)).toMap
       })
+    // float→double promotion: the stat STRING was rendered from the
+    // float value by the era's Cast ("0.1"), and parsing it back as
+    // DOUBLE lands on a different real than the exact float bound
+    // (0.1f = 0.100000001490...d) — an unsound bound in either
+    // direction. The conversion itself is exact, so bounds stay sound
+    // by RE-RENDERING at resolution time: parse with the RECORDING
+    // era's type, widen exactly, render as the current type. Same
+    // replay-time mapping discipline as renames above; integer-rank and
+    // decimal(p→p+) widenings round-trip their strings untouched.
+    val retypeCache =
+      scala.collection.mutable.Map.empty[Long, Map[String, DataType]]
+    def retypesOf(s: Snapshot): Map[String, DataType] =
+      retypeCache.getOrElseUpdate(s.snapshotId, {
+        DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+          .fields.flatMap { f =>
+            val curName = FieldIds.idOf(f).flatMap(curById.get)
+              .getOrElse(f.name)
+            (f.dataType, curTypeByName.get(curName)) match {
+              case (org.apache.spark.sql.types.FloatType,
+                  Some(org.apache.spark.sql.types.DoubleType)) =>
+                Some(f.name -> f.dataType)
+              case _ => None
+            }
+          }.toMap
+      })
+    def rerender(v: Option[String], from: DataType): Option[String] =
+      v.flatMap(s => Option(org.apache.spark.sql.graftglue.GraftSqlGlue
+        .castFromString(s, from)).map {
+          case f: java.lang.Float => f.toDouble.toString
+          case other => other.toString
+        })
     replayChain(asOf).foreach(s => entriesOf(s).foreach { e =>
       if (e.status == "add" && want.contains(e.path))
         e.stats.filter(_.nonEmpty).foreach { st =>
           val rn = renamesOf(s)
+          val rt = retypesOf(s)
           out(e.path) =
-            if (rn.isEmpty) st
-            else st.map { case (k, v) => rn.getOrElse(k, k) -> v }
+            if (rn.isEmpty && rt.isEmpty) st
+            else st.map { case (k, v0) =>
+              val v = rt.get(k) match {
+                case Some(from) => ColStat(
+                  rerender(v0.min, from), rerender(v0.max, from),
+                  bloom = None) // value hashes are type-dependent
+                case None => v0
+              }
+              rn.getOrElse(k, k) -> v
+            }
         }
     })
     out.toMap

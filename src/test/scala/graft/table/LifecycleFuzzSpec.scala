@@ -26,15 +26,27 @@ class LifecycleFuzzSpec extends SparkSpec {
       "after every op; changelog replay reconstructs the final state") {
     val rnd = new scala.util.Random(seed)
     val t = GraftTable(spark, tmpDir(s"fuzz-$seed") + "/t")
-    // model: id -> (ord, v, w) — w is None until the mid-fuzz schema
-    // evolve lands and for every row whose write predates it
-    var model = Map.empty[Long, (Long, Long, Option[Long])]
+    // model: id -> (ord, v, w, f) — w is None until the mid-fuzz schema
+    // evolve lands and for every row whose write predates it; f is a
+    // FLOAT column present from the seed, type-widened to double by the
+    // deterministic op-14 evolve (the r11 float→double promotion under
+    // fuzzed interleavings — stat re-rendering must keep pruning sound
+    // across every later merge/delete/compact)
+    var model = Map.empty[Long, (Long, Long, Option[Long], Float)]
     var ord = 0L
     var evolved = false
+    var widened = false
+    // float MULTIPLY (Spark keeps float×float at float; division would
+    // silently promote the column to double) — 0.1f makes most values
+    // non-exact decimals, so the widen's stat re-rendering is exercised
+    def fOf(o: Long): Float = (o % 97).toFloat * 0.1f
     // post-evolve merge batches carry w (the merge path requires the
     // exact target column set); derived from ord so it's deterministic
-    def withW(df: org.apache.spark.sql.DataFrame) =
+    def withW(df0: org.apache.spark.sql.DataFrame) = {
+      val df = df0.withColumn("f",
+        pmod(col("ord"), lit(97L)).cast("float") * lit(0.1f))
       if (evolved) df.withColumn("w", pmod(col("ord"), lit(7L))) else df
+    }
 
     def mergeOp(mode: String): Unit = {
       val ids = rnd.shuffle((0L until 200L).toList)
@@ -44,7 +56,7 @@ class LifecycleFuzzSpec extends SparkSpec {
         .withColumn("g", pmod(col("id"), lit(5L)))), keys = Seq("id"),
         dedupKey = Seq("id"), orderCol = "ord", mode = mode)
       rows.foreach { case (id, o, v) =>
-        model += id -> (o, v, if (evolved) Some(o % 7) else None) }
+        model += id -> (o, v, if (evolved) Some(o % 7) else None, fOf(o)) }
     }
     def deleteOp(positional: Boolean): Unit = {
       val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
@@ -72,11 +84,13 @@ class LifecycleFuzzSpec extends SparkSpec {
         updateCond = Some(MergeInto.srcCol("v") % 2 === 0))
       rows.foreach { case (id, o, v) =>
         model.get(id) match {
-          case Some((_, oldV, oldW)) if v % 2 == 0 =>
-            model += id -> (o, oldV + v, oldW)
+          case Some((_, oldV, oldW, oldF)) if v % 2 == 0 =>
+            // f unassigned by the partial update: target value KEPT
+            model += id -> (o, oldV + v, oldW, oldF)
           case Some(_) => () // condition failed: target row unchanged
           case None =>
-            model += id -> (o, v, if (evolved) Some(o % 7) else None)
+            model += id -> (o, v, if (evolved) Some(o % 7) else None,
+              fOf(o))
         }
       }
     }
@@ -91,8 +105,8 @@ class LifecycleFuzzSpec extends SparkSpec {
       val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
       t.updatePositions(Map("v" -> (col("v") * 2)),
         Some(col("id") % m === r))
-      model = model.map { case (id, (o, v, w)) =>
-        id -> (o, if (id % m == r) v * 2 else v, w) }
+      model = model.map { case (id, (o, v, w, f)) =>
+        id -> (o, if (id % m == r) v * 2 else v, w, f) }
     }
     def branchOp(check: String => Unit): Unit = {
       // one full write-audit-publish cycle as a composite op: stage 1-2
@@ -116,7 +130,8 @@ class LifecycleFuzzSpec extends SparkSpec {
       check("branch staged (main must be untouched)")
       t.fastForward(bn)
       staged.foreach(_.foreach { case (id, o, v) =>
-        model += id -> (o, v, if (evolved) Some(o % 7) else None) })
+        model += id -> (o, v, if (evolved) Some(o % 7) else None,
+          fOf(o)) })
     }
 
     def check(op: String): Unit = {
@@ -125,7 +140,7 @@ class LifecycleFuzzSpec extends SparkSpec {
       if (!evolved) {
         val got = t.read().select("id", "ord", "v")
           .as[(Long, Long, Long)].collect().toSeq.sorted
-        val want = model.map { case (id, (o, v, _)) => (id, o, v) }
+        val want = model.map { case (id, (o, v, _, _)) => (id, o, v) }
           .toSeq.sorted
         assert(got === want, s"divergence after $op")
       } else {
@@ -133,18 +148,31 @@ class LifecycleFuzzSpec extends SparkSpec {
         // through every path (plain read, MOR merge view, rewrites)
         val got = t.read().select("id", "ord", "v", "w")
           .as[(Long, Long, Long, Option[Long])].collect().toSeq.sorted
-        val want = model.map { case (id, (o, v, w)) => (id, o, v, w) }
+        val want = model.map { case (id, (o, v, w, _)) => (id, o, v, w) }
           .toSeq.sorted
         assert(got === want, s"divergence after $op")
       }
+      // f: exact through both eras (float pre-widen, double post —
+      // cast(float as double) is exact, so one compare covers both);
+      // also pins the widened column's PRUNING path: the scan below
+      // filters on f, so a mis-rendered float-era bound would lose rows
+      assert(t.schema("f").dataType ===
+        (if (widened) org.apache.spark.sql.types.DoubleType
+         else org.apache.spark.sql.types.FloatType))
+      val gotF = t.read().select(col("id"), col("f").cast("double"))
+        .as[(Long, Double)].collect().toSeq.sorted
+      val wantF = model.map { case (id, (_, _, _, f)) =>
+        (id, f.toDouble) }.toSeq.sorted
+      assert(gotF === wantF, s"f divergence after $op")
     }
 
     // seed via append (merge needs an existing table): unique ids
     val seedRows = rnd.shuffle((0L until 200L).toList).take(40)
       .map { id => ord += 1; (id, ord, rnd.nextInt(100000).toLong) }
-    t.append(seedRows.toDF("id", "ord", "v")
-      .withColumn("g", pmod(col("id"), lit(5L))))
-    seedRows.foreach { case (id, o, v) => model += id -> (o, v, None) }
+    t.append(withW(seedRows.toDF("id", "ord", "v")
+      .withColumn("g", pmod(col("id"), lit(5L)))))
+    seedRows.foreach { case (id, o, v) =>
+      model += id -> (o, v, None, fOf(o)) }
     check("seed")
 
     // incremental-rollup cross-check: maintain a full-featured aggregate
@@ -206,6 +234,11 @@ class LifecycleFuzzSpec extends SparkSpec {
         evolved = true
         check("op 10: evolve (metadata-only, no data change)")
       }
+      if (i == 14) {
+        t.widenColumn("f", org.apache.spark.sql.types.DoubleType)
+        widened = true
+        check("op 14: widen f float->double (metadata-only)")
+      }
       val op = rnd.nextInt(10) match {
         case 6 => branchOp(s => check(s"op $i: $s")); "branchWap"
         case 0 => mergeOp("cow"); "mergeCow"
@@ -252,6 +285,6 @@ class LifecycleFuzzSpec extends SparkSpec {
       s"changelog replay produced duplicates/negatives: " +
         replayed.filter(_._2 != 1).take(5))
     assert(replayed.keySet ===
-      model.map { case (id, (o, v, _)) => (id, o, v) }.toSet)
+      model.map { case (id, (o, v, _, _)) => (id, o, v) }.toSet)
   }
 }
