@@ -214,4 +214,61 @@ class VectorIndexSpec extends SparkSpec {
       "app").isDefined)
     assert(trainedIdx.assignments.read().count() === 320)
   }
+
+  test("recall@10 vs nProbe CURVE on the 10x clustered fixture: trained " +
+      "centroids >= sampled at every probe depth (the index's quality " +
+      "contract next to its perf numbers)") {
+    // 10x the trained-recall fixture: 10 groups x 300 members = 3000
+    // vectors; 30 queries (3 fresh jittered members per group); truth =
+    // brute-force top-10. The curve (printed below) goes to PLANS.md so
+    // the index carries a measured quality number per nProbe.
+    val dir = tmpDir("vidx-curve")
+    def proto(g: Long) = vec(g * 7919L)
+    // WIDE jitter (1.1x the per-dim prototype scale): groups overlap enough
+    // that members straddle Voronoi boundaries — the regime where probe
+    // depth matters and mis-placed centroids split a query's true
+    // neighbor set across lists (0.05 jitter gives a flat 1.000 curve:
+    // every group collapses into one list regardless of centroids)
+    def member(g: Long, salt: Long) = {
+      val p = proto(g)
+      val jit = vec(salt * 104729L).map(_ * 1.1f)
+      p.zip(jit).map { case (a, b) => a + b }
+    }
+    val rows = (0L until 3000L).map(i => (i, member(i % 10, i)))
+      .toDF("vec_id", "embedding")
+    val src = GraftTable(spark, s"$dir/src")
+    src.append(rows)
+    val sampled = VectorIndex.build(src, "vec_id", "embedding",
+      nLists = 10, s"$dir/idx-sampled", "app")
+    val trainedIdx = VectorIndex.build(src, "vec_id", "embedding",
+      nLists = 10, s"$dir/idx-trained", "app", trained = true)
+    val queries = (0L until 30L).map(q =>
+      (10000L + q, member(q % 10, 7000L + q))).toDF("vec_id", "embedding")
+    val truth: Map[Long, Set[Long]] = SimilaritySearch.bruteForceTopK(
+      rows, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    def recallAt(idx: VectorIndex.Index, nProbe: Int): Double = {
+      val got = VectorIndex.search(idx, queries, "vec_id", "embedding",
+        k = 10, nProbe = nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val curve = Seq(1, 2, 4, 8).map { np =>
+      (np, recallAt(sampled, np), recallAt(trainedIdx, np))
+    }
+    info("recall@10 curve (nProbe, sampled, trained): " +
+      curve.map { case (np, s, t) => f"$np:($s%.3f,$t%.3f)" }
+        .mkString(" "))
+    curve.foreach { case (np, s, t) =>
+      assert(t >= s, f"trained recall $t%.3f < sampled $s%.3f at nProbe $np")
+    }
+    // trained centroids land one list per planted group: shallow probes
+    // already recover essentially everything
+    assert(curve.find(_._1 == 2).get._3 >= 0.95)
+    assert(curve.find(_._1 == 8).get._3 >= 0.99)
+  }
 }
