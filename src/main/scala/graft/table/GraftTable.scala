@@ -1702,14 +1702,21 @@ class GraftTable(spark: SparkSession, val location: String,
     val range = snapshots
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
     // zero-file metadata commits (schema/property/spec changes) add and
-    // remove nothing — they are safe to cross, not rewrites
-    val appends = range.filter(s => s.operation match {
-      // prune-deletes retires inert tombstone refs, adds and removes no
-      // data files — safe to cross, like the other metadata commits
-      case "append" | "create" | "evolve" | "set-properties" |
-           "set-spec" | "prune-deletes" => true
-      case _ => false
-    })
+    // remove nothing — they are safe to cross, not rewrites. A BASE
+    // snapshot (expire baseline / rewritten-manifests root) is NEVER an
+    // append even when its recorded operation says so: it carries the
+    // absorbed history's FULL live state in its manifest, and delivering
+    // that as "newly appended" would hand an incremental consumer every
+    // pre-existing row — refuse (or skip, under the skip-rewrites
+    // semantics) exactly as for any other rewrite-shaped commit.
+    val appends = range.filter(s => !s.base.contains(true) &&
+      (s.operation match {
+        // prune-deletes retires inert tombstone refs, adds and removes no
+        // data files — safe to cross, like the other metadata commits
+        case "append" | "create" | "evolve" | "set-properties" |
+             "set-spec" | "prune-deletes" => true
+        case _ => false
+      }))
     if (!skipRewrites) {
       val bad = range.diff(appends)
       require(bad.isEmpty,

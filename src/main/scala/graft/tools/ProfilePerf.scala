@@ -156,6 +156,30 @@ object ProfilePerf {
     val ivf10 = ivfStages(scaleDir)
     val s1 = sentinel()
     println(s"""{"probe":"ivf","1x":$ivf1,"10x":$ivf10,"sentinel":[${fmt(s0)},${fmt(s1)}]}""")
+
+    // ---- 3. the r10 `unstable` flags, isolated idle (VERDICT r10 item
+    // 2): q_lm_score (10× ratio 2.86, min 3.24 vs median 7.77 in one
+    // pass) and q_semdedup (1.61, 4.7 vs 6.9). Measured here in a fresh
+    // near-empty session — if the grown 151-query bench session's heap/
+    // page-cache pressure was the cause, these numbers come back tight
+    // and sub-2× while the plans are unchanged. 5 runs (not 3) so the
+    // spread itself is the evidence. ----
+    Seq("q_lm_score", "q_semdedup").foreach { qn =>
+      val fn = graft.SparkEntry.queries(qn)
+      val tiers = Seq(("1x", sfDir), ("10x", scaleDir)).map { case (tier, dir) =>
+        val t0 = sentinel()
+        fn(spark, dir).queryExecution.toRdd.count(); cleanup() // warm-up
+        val runs = Seq.fill(5) {
+          val w0 = System.nanoTime()
+          fn(spark, dir).queryExecution.toRdd.count()
+          val sec = (System.nanoTime() - w0) / 1e9
+          cleanup(); sec
+        }
+        val t1 = sentinel()
+        s""""$tier":{"min":${fmt(runs.min)},"median":${fmt(runs.sorted.apply(2))},"max":${fmt(runs.max)},"runs":[${runs.map(fmt).mkString(",")}],"sentinel":[${fmt(t0)},${fmt(t1)}]}"""
+      }
+      println(s"""{"probe":"$qn",${tiers.mkString(",")}}""")
+    }
     spark.stop()
   }
 }
