@@ -33,6 +33,8 @@ import graft.table.{GraftTable, PartitionTransforms}
   *   CALL graft.tag('t', 'v1' [, snapshot_id]) / graft.drop_tag('t', 'v1')
   *   CALL graft.branch('t', 'audit' [, snapshot_id]) / graft.drop_branch(...)
   *   CALL graft.fast_forward('t', 'audit')
+  *   CALL graft.import_iceberg('dest-or-path', source => '/ice/table'
+  *     [, at => ref-or-id])
   *
   * (`graft.system.<proc>` also accepted.) Spark 4 parses CALL into
   * `Call(UnresolvedProcedure, args)` but only v2 ProcedureCatalogs can
@@ -159,13 +161,21 @@ case class GraftCallCommand(proc: String, location: String,
       case "fast_forward" =>
         t.fastForward(args.getOrElse("name",
           throw new IllegalArgumentException(s"graft.$proc needs name")))
+      case "import_iceberg" =>
+        // foreign Iceberg v2 tree → append commit into THIS table
+        // (created if absent); `at` time-travels the foreign history
+        val source = args.getOrElse("source",
+          throw new IllegalArgumentException(s"graft.$proc needs source"))
+        graft.iceberg.IcebergImport.importInto(spark, source, location,
+          at = args.get("at"))
+          .latestSnapshotId.getOrElse(-1L)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other — supported: " +
           "expire_snapshots, compact, compact_small_files, " +
           "rewrite_manifests, " +
           "retrofit_field_ids, prune_dangling_deletes, maintain_rollup, " +
           "rollback, remove_orphan_files, set_partition_spec, tag, " +
-          "drop_tag, branch, drop_branch, fast_forward")
+          "drop_tag, branch, drop_branch, fast_forward, import_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -199,7 +209,12 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "drop_tag" -> (Seq("name"), Set.empty),
     "branch" -> (Seq("name", "snapshot_id"), Set.empty),
     "drop_branch" -> (Seq("name"), Set.empty),
-    "fast_forward" -> (Seq("name"), Set.empty))
+    "fast_forward" -> (Seq("name"), Set.empty),
+    // import a FOREIGN Iceberg v2 table (hand-walk, no Iceberg jar —
+    // iceberg.IcebergImport) into the named graft table (append; the
+    // table may be a not-yet-existing path): CALL graft.import_iceberg(
+    //   'dest-table-or-path', source => '/path/to/iceberg' [, at => ref])
+    "import_iceberg" -> (Seq("source"), Set("at")))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -245,21 +260,27 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
           s" — accepted: ${allowed.toSeq.sorted.mkString(", ")}")
       val name = kvs.getOrElse("table", throw new IllegalArgumentException(
         s"graft.$proc needs a table name as its first argument"))
-      // accept db-qualified names, matching the ALTER rule's resolution
-      val ident = name.split('.') match {
-        case Array(t) => TableIdentifier(t)
-        case Array(db, t) => TableIdentifier(t, Some(db))
-        case _ => throw new IllegalArgumentException(
-          s"invalid table name: $name")
+      // import_iceberg may target a PATH (the destination table often
+      // does not exist yet — importInto creates it)
+      if (proc == "import_iceberg" && name.contains("/"))
+        GraftCallCommand(proc, name, kvs - "table", None)
+      else {
+        // accept db-qualified names, matching the ALTER rule's resolution
+        val ident = name.split('.') match {
+          case Array(t) => TableIdentifier(t)
+          case Array(db, t) => TableIdentifier(t, Some(db))
+          case _ => throw new IllegalArgumentException(
+            s"invalid table name: $name")
+        }
+        val cat = spark.sessionState.catalog
+        require(cat.tableExists(ident), s"no such table: $name")
+        val meta = cat.getTableMetadata(ident)
+        require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+          s"$name is not a graft table")
+        val loc = meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.toString))
+          .getOrElse(throw new IllegalStateException(s"no path for $name"))
+        GraftCallCommand(proc, loc, kvs - "table", Some(ident))
       }
-      val cat = spark.sessionState.catalog
-      require(cat.tableExists(ident), s"no such table: $name")
-      val meta = cat.getTableMetadata(ident)
-      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
-        s"$name is not a graft table")
-      val loc = meta.storage.properties.get("path")
-        .orElse(meta.storage.locationUri.map(_.toString))
-        .getOrElse(throw new IllegalStateException(s"no path for $name"))
-      GraftCallCommand(proc, loc, kvs - "table", Some(ident))
   }
 }

@@ -432,10 +432,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM ext_widen WHERE id = 2").as[String]
       .collect() === Array("b"))
 
-    // float→double is an unsafe stat round-trip — refused
-    val e = intercept[Exception](spark.sql(
-      "ALTER TABLE ext_widen ALTER COLUMN score TYPE DOUBLE"))
-    assert(e.getMessage.contains("widen"))
+    // float→double: supported since r11 — stat strings re-render through
+    // the exact conversion at resolution time (FloatWidenSpec pins the
+    // pruning soundness; here: the SQL surface works and values are exact)
+    spark.sql("ALTER TABLE ext_widen ALTER COLUMN score TYPE DOUBLE")
+    assert(t.schema("score").dataType === DoubleType)
+    assert(spark.sql("SELECT score FROM ext_widen WHERE id = 2")
+      .as[Double].collect() === Array(2.5f.toDouble))
     // narrowing refused
     intercept[Exception](spark.sql(
       "ALTER TABLE ext_widen ALTER COLUMN id TYPE INT"))

@@ -370,4 +370,21 @@ class IcebergImportSpec extends SparkSpec {
     // hint → v3 → that file's current snapshot is 100 (2 rows)
     assert(IcebergImport.read(spark, loc).count() === 2)
   }
+
+  test("SQL surface: CALL graft.import_iceberg materializes a foreign " +
+      "tree into a path destination") {
+    val t = GraftTable(spark, tmpDir("imp-call") + "/t")
+    t.append((1L to 25L).map(i => (i, s"c${i % 2}", i * 1.0))
+      .toDF("id", "cat", "v"), parts = Seq("cat"))
+    IcebergExport.export(spark, t)
+    val dest = tmpDir("imp-call-dst") + "/t"
+    val res = spark.sql(
+      s"CALL graft.import_iceberg('$dest', source => '${t.location}')")
+      .collect()
+    assert(res.length === 1 && res(0).getLong(0) >= 0L)
+    val d = GraftTable(spark, dest)
+    assert(d.read().orderBy("id").select("id", "cat", "v").collect() ===
+      t.read().orderBy("id").select("id", "cat", "v").collect())
+    assert(d.partitionFields.map(_.source) === Seq("cat"))
+  }
 }
