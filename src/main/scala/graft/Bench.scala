@@ -97,7 +97,8 @@ object Bench {
     "q_hidden_partition_hour", "q_stream_rollup", "q_stream_merge",
     "q_stream_pipeline", "q_compact_smallfiles", "q_sql_merge_update",
     "q_sql_merge_sync", "q_sql_merge_cond", "q_compact_zorder",
-    "q_truncate")
+    "q_truncate",
+    "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor")
 
   /** FROZEN round-over-round comparison set: the round-8 headline,
     * never to grow again — the headline total became incomparable across
@@ -143,7 +144,8 @@ object Bench {
     "q_zorder_scan", "q_hidden_partition_hour", "q_stream_rollup",
     "q_stream_merge", "q_stream_pipeline", "q_compact_smallfiles",
     "q_sql_merge_update", "q_sql_merge_sync", "q_sql_merge_cond",
-    "q_compact_zorder", "q_truncate")
+    "q_compact_zorder", "q_truncate",
+    "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

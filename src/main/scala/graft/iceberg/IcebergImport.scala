@@ -76,9 +76,15 @@ object IcebergImport {
   case class DataFileRef(uri: String, seq: Long,
       identity: Map[String, Any])
   /** One live v2 delete file: `equalityCols` = Some(key column names)
-    * for equality deletes, None for position deletes. */
+    * for equality deletes, None for position deletes. `scope` is the
+    * delete file's own identity-partition tuple — per the v2 spec a
+    * PARTITIONED delete file applies only to data with the same
+    * partition value, so a scoped equality delete must not remove
+    * matching keys in other partitions (position deletes name exact
+    * files, which already pin the partition). */
   case class DeleteRef(uri: String, seq: Long,
-      equalityCols: Option[Seq[String]])
+      equalityCols: Option[Seq[String]],
+      scope: Map[String, Any] = Map.empty)
   /** The resolved scan plan of one snapshot of a foreign table. */
   case class TablePlan(snapshotId: Long, schema: StructType,
       identityCols: Seq[String], files: Seq[DataFileRef],
@@ -265,10 +271,33 @@ object IcebergImport {
             case 2 =>
               val ids = df.get("equality_ids")
                 .asInstanceOf[java.util.List[Integer]].asScala.toSeq
+              // partition scope of the delete file itself: identity
+              // fields become an extra predicate; a NON-identity
+              // (transform) scope would need transform evaluation over
+              // every data row — refuse rather than over-delete
+              val part = Option(df.get("partition"))
+                .map(_.asInstanceOf[GenericRecord])
+              val scope = identityFields.flatMap { case (tf, colName) =>
+                part.flatMap(p =>
+                  if (p.getSchema.getField(tf) == null) None
+                  else Option(p.get(tf)).map(v => colName -> str(v)))
+              }.toMap
+              val nonIdentity = specsById.getOrElse(specId, Seq.empty)
+                .filter(_._2 != "identity")
+              nonIdentity.foreach { case (n, tr, _) =>
+                val v = part.flatMap(p =>
+                  if (p.getSchema.getField(n) == null) None
+                  else Option(p.get(n)))
+                require(v.isEmpty, s"equality delete $uri is scoped by " +
+                  s"hidden-transform partition $tr($n) — applying it " +
+                  "needs transform evaluation per row; import after the " +
+                  "source table compacts its deletes")
+              }
               deletes += DeleteRef(uri, seq,
                 Some(ids.map(i => nameById.getOrElse(i.toInt,
                   throw new IllegalStateException(
-                    s"equality_ids field $i not in schema ($uri)")))))
+                    s"equality_ids field $i not in schema ($uri)")))),
+                scope)
             case 1 => deletes += DeleteRef(uri, seq, None)
             case other => throw new IllegalStateException(
               s"unknown delete content $other in $mPath")
@@ -368,21 +397,26 @@ object IcebergImport {
     val withIdentity = identityCols.foldLeft(base)((d, c) =>
       d.withColumn(c, coalesce(col(c), col(s"__ice_part_$c"))))
 
-    // equality deletes: one broadcast anti-join per key-column set,
-    // carrying the v2 strict ordering deleteSeq > dataSeq
-    val afterEq = eqDeletes.groupBy(_.equalityCols.get).foldLeft(withIdentity) {
-      case (acc, (cols, ds)) =>
-        val del = ds.groupBy(_.seq).map { case (seq, group) =>
-          spark.read.schema(StructType(cols.map(c => schema(c)).toArray))
-            .parquet(group.map(_.uri): _*)
-            .select(cols.map(c => col(c).as(s"__ice_del_$c")) :+
-              lit(seq).as("__ice_dseq"): _*)
-        }.reduce(_ unionByName _)
-        val cond = cols.map(c =>
-          acc(c) <=> del(s"__ice_del_$c")).reduce(_ && _) &&
-          del("__ice_dseq") > acc(SeqCol)
-        acc.join(broadcast(del), cond, "left_anti")
-    }
+    // equality deletes: one broadcast anti-join per (key-column set ×
+    // partition scope), carrying the v2 strict ordering deleteSeq >
+    // dataSeq; a partition-scoped delete additionally matches only rows
+    // of its own identity tuple (literal predicates — no extra columns)
+    val afterEq = eqDeletes.groupBy(d => (d.equalityCols.get, d.scope))
+      .foldLeft(withIdentity) {
+        case (acc, ((cols, scope), ds)) =>
+          val del = ds.groupBy(_.seq).map { case (seq, group) =>
+            spark.read.schema(StructType(cols.map(c => schema(c)).toArray))
+              .parquet(group.map(_.uri): _*)
+              .select(cols.map(c => col(c).as(s"__ice_del_$c")) :+
+                lit(seq).as("__ice_dseq"): _*)
+          }.reduce(_ unionByName _)
+          val scopeCond = scope.map { case (c, v) =>
+            acc(c) <=> lit(externalValue(v, schema(c).dataType)) }
+          val cond = (cols.map(c =>
+            acc(c) <=> del(s"__ice_del_$c")) ++ scopeCond).reduce(_ && _) &&
+            del("__ice_dseq") > acc(SeqCol)
+          acc.join(broadcast(del), cond, "left_anti")
+      }
     // position deletes: (data file uri, row ordinal), applied at
     // deleteSeq >= dataSeq; delete rows name files by their manifest URI
     // form, normalized to the scan's qualified form via the same lookup

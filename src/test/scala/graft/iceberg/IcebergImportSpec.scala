@@ -387,4 +387,89 @@ class IcebergImportSpec extends SparkSpec {
       t.read().orderBy("id").select("id", "cat", "v").collect())
     assert(d.partitionFields.map(_.source) === Seq("cat"))
   }
+
+  test("partition-SCOPED equality deletes (v2: a partitioned delete " +
+      "file applies only within its partition) do not over-delete " +
+      "matching keys in other partitions") {
+    val root = tmpDir("imp-scoped")
+    val loc = s"$root/ft"
+    val dataDir = new File(s"$loc/data"); dataDir.mkdirs()
+    val metaDir = new File(s"$loc/metadata"); metaDir.mkdirs()
+    def uri(p: String) = s"file://$p"
+    def writeParquet(name: String, df: org.apache.spark.sql.DataFrame)
+        : String = {
+      val tmp = s"$root/stage-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new File(dataDir, s"$name.parquet")
+      assert(part.renameTo(dest))
+      uri(dest.getAbsolutePath)
+    }
+    // id=2 exists in BOTH partitions; the delete is scoped to cat=x
+    val fA = writeParquet("A",
+      Seq((1L, "x", 1.0), (2L, "x", 2.0)).toDF("id", "cat", "v"))
+    val fB = writeParquet("B",
+      Seq((2L, "y", 20.0), (3L, "y", 3.0)).toDF("id", "cat", "v"))
+    val fDel = writeParquet("D", Seq(2L).toDF("id"))
+    val e1 = foreignEntrySchema(withPart = true, withEq = false)
+    val mData = s"${metaDir.getAbsolutePath}/m-data.avro"
+    val dataLen = writeAvro(mData, e1, Seq(
+      entry(e1, 1, Some(1L), 0, fA, 2, cat = Some("x")),
+      entry(e1, 1, Some(1L), 0, fB, 2, cat = Some("y"))))
+    val eDel = foreignEntrySchema(withPart = true, withEq = true)
+    val mDel = s"${metaDir.getAbsolutePath}/m-del.avro"
+    val delLen = writeAvro(mDel, eDel, Seq(
+      entry(eDel, 1, Some(2L), 2, fDel, 1, cat = Some("x"),
+        eqIds = Seq(1))))
+    def listEntry(path: String, len: Long, content: Int, seq: Long)
+        : GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", uri(path))
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 100L)
+      r
+    }
+    val list = s"${metaDir.getAbsolutePath}/snap-100.avro"
+    writeAvro(list, listSchema, Seq(
+      listEntry(mData, dataLen, 0, 1L), listEntry(mDel, delLen, 1, 2L)))
+    val metaJson =
+      s"""{"format-version": 2,
+        |"table-uuid": "00000000-0000-0000-0000-000000000002",
+        |"location": "${uri(loc)}", "last-sequence-number": 2,
+        |"last-updated-ms": 1700000000000, "last-column-id": 3,
+        |"current-schema-id": 0,
+        |"schemas": [{"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"id","required":false,"type":"long"},
+        |  {"id":2,"name":"cat","required":false,"type":"string"},
+        |  {"id":3,"name":"v","required":false,"type":"double"}]}],
+        |"default-spec-id": 0,
+        |"partition-specs": [{"spec-id": 0, "fields": [
+        |  {"name": "cat", "transform": "identity", "source-id": 2,
+        |   "field-id": 1000}]}],
+        |"last-partition-id": 1000, "default-sort-order-id": 0,
+        |"sort-orders": [{"order-id": 0, "fields": []}],
+        |"properties": {}, "current-snapshot-id": 100,
+        |"refs": {"main": {"snapshot-id": 100, "type": "branch"}},
+        |"snapshots": [{"sequence-number": 2, "snapshot-id": 100,
+        |  "timestamp-ms": 1700000000000,
+        |  "summary": {"operation": "append"}, "schema-id": 0,
+        |  "manifest-list": "${uri(list)}"}],
+        |"snapshot-log": [], "metadata-log": []}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      metaDir.getAbsolutePath, "00001-scoped.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.deletes.head.scope === Map("cat" -> "x"))
+    val got = IcebergImport.read(spark, loc).orderBy("id", "cat")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // id=2 in cat=x deleted; id=2 in cat=y SURVIVES the scoped delete
+    assert(got.toSeq === Seq(
+      (1L, "x", 1.0), (2L, "y", 20.0), (3L, "y", 3.0)))
+  }
 }
