@@ -65,10 +65,20 @@ import graft.table.GraftTable
   * scan's plan. Filters/pruning on the returned frame push into the scan
   * as usual.
   *
+  * Column resolution follows the spec: when the tree's parquet files
+  * embed Iceberg field ids (every Iceberg-native writer must), the scan
+  * resolves columns BY FIELD ID (Spark's parquet.field.id machinery) —
+  * so a renamed column reads its values from pre-rename files, and a
+  * drop+re-add (same name, new id) correctly reads NULL from old files
+  * instead of resurrecting the dropped column's bytes. Id-less trees
+  * (files adopted via name-mapping; graft's own export) resolve by name
+  * as before; a mixed tree fails loud at scan time.
+  *
   * Honest limits, fail-loud: parquet data files only; flat scalar
-  * columns (the engine's table surface); no int→long/float→double
-  * physical promotion inside one import (Spark's parquet reader refuses
-  * the upcast — re-import after a compaction normalizes files).
+  * columns (the engine's table surface); in name-resolution mode no
+  * int→long/float→double physical promotion inside one import (Spark's
+  * parquet reader refuses the upcast — re-import after a compaction
+  * normalizes files; in field-id mode int→long reads through).
   */
 object IcebergImport {
 
@@ -208,9 +218,16 @@ object IcebergImport {
         throw new IllegalStateException(s"no schema in $metaFile"))
     }
     val fieldsJ = (schemaJ \ "fields").children
+    // each field carries its Iceberg field id as parquet.field.id
+    // metadata: when the tree's data files embed ids (any Iceberg-native
+    // writer does), readPlan switches Spark's parquet reader to ID-based
+    // column resolution — the spec's rule — so renames and drop+re-add
+    // evolution resolve correctly against pre-evolve files
     val schema = StructType(fieldsJ.map { f =>
       StructField((f \ "name").extract[String],
-        sparkType((f \ "type").extract[String]), nullable = true)
+        sparkType((f \ "type").extract[String]), nullable = true,
+        new MetadataBuilder().putLong(FieldIdKey,
+          (f \ "id").extract[Int].toLong).build())
     })
     val nameById: Map[Int, String] = fieldsJ.map(f =>
       (f \ "id").extract[Int] -> (f \ "name").extract[String]).toMap
@@ -343,6 +360,30 @@ object IcebergImport {
   private val FileCol = "__ice_import_file__"
   private val SeqCol = "__ice_import_seq__"
   private val PosCol = "__ice_import_pos__"
+  /** Spark's parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
+  private val FieldIdKey = "parquet.field.id"
+  private val FieldIdReadConf = "spark.sql.parquet.fieldId.read.enabled"
+
+  private def stripIds(s: StructType): StructType =
+    StructType(s.map(f => f.copy(metadata = Metadata.empty)))
+
+  /** Does this parquet file's own schema carry field ids? One driver-side
+    * footer read — sniffed ONCE per import for the data-file set (and once
+    * per equality-delete group), never per file: an Iceberg tree's files
+    * either all embed ids (Iceberg-native writers are required to) or none
+    * do (files adopted via name-mapping, or graft's own export). A mixed
+    * tree fails LOUD at scan time (Spark refuses an id-schema over an
+    * id-less file), never silently misreads. */
+  private def footerHasFieldIds(spark: SparkSession, uri: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(new java.net.URI(uri)), conf))
+    try r.getFileMetaData.getSchema.getFields.asScala
+      .exists(_.getId != null)
+    finally r.close()
+  }
 
   /** Read the resolved snapshot as a live DataFrame — one parquet scan,
     * metadata attached by broadcast joins (see the object doc for the
@@ -354,10 +395,19 @@ object IcebergImport {
   }
 
   private def readPlan(spark: SparkSession, p: TablePlan): DataFrame = {
-    val schema = p.schema
     if (p.files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema)
+        spark.sparkContext.emptyRDD[Row], stripIds(p.schema))
+    // ID-based column resolution when the tree's files embed field ids:
+    // renames and drop+re-add evolution then resolve per the v2 spec
+    // (and int→long physical widening reads through). The session conf
+    // is one-way enabled; it only changes behavior for requested schemas
+    // that CARRY parquet.field.id metadata, so every other read in the
+    // session is untouched. Id-less trees scan with a stripped schema —
+    // name-based, the pre-existing behavior.
+    val idMode = footerHasFieldIds(spark, p.files.head.uri)
+    if (idMode) spark.conf.set(FieldIdReadConf, "true")
+    val schema = if (idMode) p.schema else stripIds(p.schema)
     val fs = new Path(p.files.head.uri)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // the URI the Spark scan's _metadata.file_path will report for a
@@ -404,8 +454,17 @@ object IcebergImport {
     val afterEq = eqDeletes.groupBy(d => (d.equalityCols.get, d.scope))
       .foldLeft(withIdentity) {
         case (acc, ((cols, scope), ds)) =>
+          // the delete files' writer may differ from the data files' —
+          // sniff this group's own footer for ids (e.g. graft's export
+          // writes id-less delete parquet)
+          val delSchema = {
+            val s = StructType(cols.map(c => schema(c)).toArray)
+            if (idMode && !footerHasFieldIds(spark, ds.head.uri))
+              stripIds(s)
+            else s
+          }
           val del = ds.groupBy(_.seq).map { case (seq, group) =>
-            spark.read.schema(StructType(cols.map(c => schema(c)).toArray))
+            spark.read.schema(delSchema)
               .parquet(group.map(_.uri): _*)
               .select(cols.map(c => col(c).as(s"__ice_del_$c")) :+
                 lit(seq).as("__ice_dseq"): _*)
@@ -440,7 +499,11 @@ object IcebergImport {
           posDel("__ice_dseq") >= afterEq(SeqCol)
         afterEq.join(broadcast(posDel), cond, "left_anti")
       }
-    afterPos.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // explicit empty-metadata aliases drop the field-id markers from the
+    // result columns so downstream consumers (graft create/append schema
+    // storage) see a plain schema
+    afterPos.select(schema.fieldNames.toIndexedSeq
+      .map(c => col(c).as(c, Metadata.empty)): _*)
   }
 
   /** Materialize a foreign Iceberg snapshot INTO a graft table, so the

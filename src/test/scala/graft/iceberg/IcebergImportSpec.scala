@@ -472,4 +472,117 @@ class IcebergImportSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1L, "x", 1.0), (2L, "y", 20.0), (3L, "y", 3.0)))
   }
+
+  test("field-id column resolution: a RENAMED column reads pre-rename " +
+      "files by id, a drop+re-add (same name, NEW id) reads NULL from " +
+      "old files, and an id-LESS delete file over id-ful data still " +
+      "applies (per-group name fallback)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = tmpDir("imp-fid")
+    val loc = s"$root/ft"
+    val dataDir = new File(s"$loc/data"); dataDir.mkdirs()
+    val metaDir = new File(s"$loc/metadata"); metaDir.mkdirs()
+    def uri(p: String) = s"file://$p"
+    def idField(name: String, t: DataType, id: Long) =
+      StructField(name, t, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", id).build())
+    def writeParquet(name: String, df: org.apache.spark.sql.DataFrame)
+        : String = {
+      val tmp = s"$root/stage-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new File(dataDir, s"$name.parquet")
+      assert(part.renameTo(dest))
+      uri(dest.getAbsolutePath)
+    }
+    val prevWrite = spark.conf.getOption(
+      "spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val (fA, fB, fDel) = try {
+      // pre-evolve writer: name_old@2, flag@3 (flag later dropped and
+      // re-added as id 7 — these bytes must NOT resurrect)
+      val sA = StructType(Seq(idField("id", LongType, 1L),
+        idField("name_old", StringType, 2L), idField("flag", LongType, 3L)))
+      val fA = writeParquet("A", spark.createDataFrame(
+        Seq(Row(1L, "a", 99L), Row(2L, "b", 98L)).asJava, sA))
+      // post-evolve writer: field 2 renamed, flag re-added as id 7
+      val sB = StructType(Seq(idField("id", LongType, 1L),
+        idField("name_new", StringType, 2L), idField("flag", LongType, 7L)))
+      val fB = writeParquet("B", spark.createDataFrame(
+        Seq(Row(3L, "c", 7L)).asJava, sB))
+      // equality-delete parquet WITHOUT field ids (e.g. an adopted
+      // engine's writer): the importer must fall back to name matching
+      // for THIS group while the data scan stays id-resolved
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+      val fDel = writeParquet("D", Seq(2L).toDF("id"))
+      (fA, fB, fDel)
+    } finally prevWrite match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    val e1 = foreignEntrySchema(withPart = false, withEq = false)
+    val mData = s"${metaDir.getAbsolutePath}/m-data.avro"
+    val dataLen = writeAvro(mData, e1, Seq(
+      entry(e1, 1, Some(1L), 0, fA, 2),
+      entry(e1, 1, Some(1L), 0, fB, 1)))
+    val eDel = foreignEntrySchema(withPart = false, withEq = true)
+    val mDel = s"${metaDir.getAbsolutePath}/m-del.avro"
+    val delLen = writeAvro(mDel, eDel, Seq(
+      entry(eDel, 1, Some(2L), 2, fDel, 1, eqIds = Seq(1))))
+    def listEntry(path: String, len: Long, content: Int, seq: Long)
+        : GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", uri(path))
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 100L)
+      r
+    }
+    val list = s"${metaDir.getAbsolutePath}/snap-100.avro"
+    writeAvro(list, listSchema, Seq(
+      listEntry(mData, dataLen, 0, 1L), listEntry(mDel, delLen, 1, 2L)))
+    // current schema: id@1, name_NEW@2 (rename), flag@7 (drop+re-add)
+    val metaJson =
+      s"""{"format-version": 2,
+        |"table-uuid": "00000000-0000-0000-0000-000000000003",
+        |"location": "${uri(loc)}", "last-sequence-number": 2,
+        |"last-updated-ms": 1700000000000, "last-column-id": 7,
+        |"current-schema-id": 1,
+        |"schemas": [{"type":"struct","schema-id":1,"fields":[
+        |  {"id":1,"name":"id","required":false,"type":"long"},
+        |  {"id":2,"name":"name_new","required":false,"type":"string"},
+        |  {"id":7,"name":"flag","required":false,"type":"long"}]}],
+        |"default-spec-id": 0,
+        |"partition-specs": [{"spec-id": 0, "fields": []}],
+        |"last-partition-id": 999, "default-sort-order-id": 0,
+        |"sort-orders": [{"order-id": 0, "fields": []}],
+        |"properties": {}, "current-snapshot-id": 100,
+        |"refs": {"main": {"snapshot-id": 100, "type": "branch"}},
+        |"snapshots": [{"sequence-number": 2, "snapshot-id": 100,
+        |  "timestamp-ms": 1700000000000,
+        |  "summary": {"operation": "append"}, "schema-id": 1,
+        |  "manifest-list": "${uri(list)}"}],
+        |"snapshot-log": [], "metadata-log": []}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      metaDir.getAbsolutePath, "00001-fid.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+
+    val back = IcebergImport.read(spark, loc)
+    // result schema is plain (no field-id metadata leaks downstream)
+    assert(back.schema.forall(_.metadata == Metadata.empty))
+    val got = back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+    // id=2 equality-deleted (id-less delete file applied by name);
+    // name_new reads A's name_old bytes BY ID; A's old flag@3 does NOT
+    // leak into the re-added flag@7; B reads everything
+    assert(got.toSeq === Seq((1L, "a", null), (3L, "c", 7L)))
+  }
 }
