@@ -98,7 +98,8 @@ object Bench {
     "q_stream_pipeline", "q_compact_smallfiles", "q_sql_merge_update",
     "q_sql_merge_sync", "q_sql_merge_cond", "q_compact_zorder",
     "q_truncate",
-    "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor")
+    "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor",
+    "q_iceberg_import_incremental")
 
   /** FROZEN round-over-round comparison set: the round-8 headline,
     * never to grow again — the headline total became incomparable across
@@ -145,7 +146,8 @@ object Bench {
     "q_stream_merge", "q_stream_pipeline", "q_compact_smallfiles",
     "q_sql_merge_update", "q_sql_merge_sync", "q_sql_merge_cond",
     "q_compact_zorder", "q_truncate",
-    "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor")
+    "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor",
+    "q_iceberg_import_incremental")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

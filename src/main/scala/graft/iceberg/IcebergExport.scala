@@ -636,12 +636,25 @@ object IcebergExport {
         manifestListSchema, mlRecords, Map("format-version" -> "2"))
 
       val lastSeq = (1L +: dataSeqs ++: deletes.map(_.seq)).max
+      // graft op → the spec's four summary operations (Iceberg readers —
+      // including our own readChanges — gate incremental scans on this):
+      // data-adding commits → append; row-level changes → overwrite;
+      // row removals → delete; same-rows rewrites and metadata-only
+      // commits → replace
+      val iceOp = s.operation match {
+        case "append" | "create" => "append"
+        case "delete" | "truncate" => "delete"
+        case "merge" | "update" | "overwrite" | "rollback" => "overwrite"
+        case _ => "replace" // compact/fold/evolve/prune-deletes/...
+      }
+      val parentJson = s.parentId
+        .map(p => s"""\n    "parent-snapshot-id": $p,""").getOrElse("")
       val entryJson =
         s"""{
            |    "sequence-number": $lastSeq,
-           |    "snapshot-id": $sid,
+           |    "snapshot-id": $sid,$parentJson
            |    "timestamp-ms": ${s.timestampMs},
-           |    "summary": {"operation": "append"},
+           |    "summary": {"operation": "$iceOp"},
            |    "manifest-list": ${jsonStr(s"$tableUri/metadata/$listName")},
            |    "schema-id": 0
            |  }""".stripMargin

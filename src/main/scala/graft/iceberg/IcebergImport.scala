@@ -178,16 +178,21 @@ object IcebergImport {
   /** Resolve a foreign table's scan plan at a snapshot: `at` is None
     * (current), a ref name from `refs` (tag or branch), or a snapshot id
     * in digits. */
-  def plan(spark: SparkSession, tableLocation: String,
-      at: Option[String] = None): TablePlan = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    implicit val fmts: Formats = DefaultFormats
+  private def parseMeta(spark: SparkSession, tableLocation: String)
+      : (FileSystem, org.json4s.JValue, Path) = {
     val fs = new Path(tableLocation)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val metaFile = resolveMetadataFile(fs, new Path(tableLocation, "metadata"))
-    val meta = JsonMethods.parse(
+    val meta = org.json4s.jackson.JsonMethods.parse(
       new String(readFully(fs, metaFile), StandardCharsets.UTF_8))
+    (fs, meta, metaFile)
+  }
+
+  def plan(spark: SparkSession, tableLocation: String,
+      at: Option[String] = None): TablePlan = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val (fs, meta, metaFile) = parseMeta(spark, tableLocation)
 
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L)
@@ -504,6 +509,80 @@ object IcebergImport {
     // storage) see a plain schema
     afterPos.select(schema.fieldNames.toIndexedSeq
       .map(c => col(c).as(c, Metadata.empty)): _*)
+  }
+
+  /** Incremental foreign-table FOLLOW — Iceberg's incremental append
+    * scan, hand-walked: the rows added by the snapshot range
+    * `(sinceSnapshotId, target]`, where target is `at` (ref/id) or the
+    * current snapshot. This is how the reference's bronze→silver loop
+    * tails an Iceberg table another engine keeps appending to
+    * (/root/reference/bronze-silver.py:132,146-149) without re-reading
+    * the whole table each cycle.
+    *
+    * Semantics and refusals (all fail-loud, mirroring both Iceberg's
+    * incremental append scan and graft's own snapshot-range scan):
+    *   - `sinceSnapshotId` must be an ANCESTOR of the target (walked via
+    *     parent-snapshot-id); diverged branches don't difference;
+    *   - every snapshot in the range must be an `append` — an overwrite /
+    *     delete / replace (compaction) cannot be expressed as an append
+    *     delta, so the caller must fall back to a full re-import (graft's
+    *     incremental scan refuses to cross compactions the same way);
+    *   - v2 trees only: the delta is selected by data sequence number
+    *     (`fileSeq > seq(since)`), which v1 trees don't carry.
+    *
+    * No delete application is needed by construction: every delete file
+    * in the tree has `seq <= seq(since)` (later deletes would have failed
+    * the append-only check), and the v2 ordering rules
+    * (`deleteSeq > dataSeq` / `posSeq >= dataSeq`) make such deletes
+    * no-ops against files with `seq > seq(since)`. */
+  def readChanges(spark: SparkSession, tableLocation: String,
+      sinceSnapshotId: Long, at: Option[String] = None): DataFrame = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val (_, meta, metaFile) = parseMeta(spark, tableLocation)
+    require((meta \ "format-version").extractOpt[Int].contains(2),
+      s"incremental import needs a v2 tree (sequence numbers): $metaFile")
+    val snaps: Map[Long, JValue] = (meta \ "snapshots").children.map(s =>
+      (s \ "snapshot-id").extract[Long] -> s).toMap
+    require(snaps.contains(sinceSnapshotId),
+      s"since-snapshot $sinceSnapshotId not in $metaFile (expired? " +
+        "fall back to a full import)")
+    val p = plan(spark, tableLocation, at) // also resolves refs/current
+    // walk target → since via parent ids, validating append-only
+    var cur = p.snapshotId
+    val rangeOps = Seq.newBuilder[(Long, String)]
+    while (cur != sinceSnapshotId) {
+      val s = snaps.getOrElse(cur, throw new IllegalStateException(
+        s"snapshot $cur missing from $metaFile during lineage walk"))
+      rangeOps += cur -> (s \ "summary" \ "operation").extractOpt[String]
+        .getOrElse("unknown")
+      cur = (s \ "parent-snapshot-id").extractOpt[Long].getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $sinceSnapshotId is not an ancestor of " +
+            s"${p.snapshotId} — diverged history, full re-import needed"))
+    }
+    val nonAppend = rangeOps.result().filter(_._2 != "append")
+    require(nonAppend.isEmpty,
+      s"snapshot range ($sinceSnapshotId, ${p.snapshotId}] contains " +
+        s"non-append commits ${nonAppend.map { case (id, op) =>
+          s"$id:$op" }.mkString(", ")} — an incremental append delta " +
+        "cannot express them; run a full import of the target snapshot")
+    val sinceSeq = (snaps(sinceSnapshotId) \ "sequence-number")
+      .extractOpt[Long].getOrElse(0L)
+    val added = p.files.filter(_.seq > sinceSeq)
+    require(p.deletes.forall(_.seq <= sinceSeq),
+      "append-only range cannot carry new delete files (corrupt tree?)")
+    readPlan(spark, p.copy(files = added, deletes = Seq.empty))
+  }
+
+  /** Tail a foreign table INTO a graft table: append the
+    * `(since, target]` delta resolved by [[readChanges]] as one graft
+    * append commit. Returns the destination's new snapshot id. */
+  def importChangesInto(spark: SparkSession, tableLocation: String,
+      dest: GraftTable, sinceSnapshotId: Long,
+      at: Option[String] = None): Long = {
+    dest.append(readChanges(spark, tableLocation, sinceSnapshotId, at))
+    dest.latestSnapshotId.get
   }
 
   /** Materialize a foreign Iceberg snapshot INTO a graft table, so the

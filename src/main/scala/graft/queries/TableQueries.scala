@@ -428,6 +428,33 @@ object TableQueries {
   }
   val qIcebergImportSql: String = qIcebergExportSql
 
+  /** Incremental foreign FOLLOW — the reference's bronze→silver loop
+    * tails an Iceberg table another engine keeps appending to
+    * (/root/reference/bronze-silver.py:132,146-149) without re-reading
+    * it: a destination is bootstrapped by a full import at snapshot s1,
+    * the source then commits another append and re-exports, and
+    * [[graft.iceberg.IcebergImport.importChangesInto]] appends ONLY the
+    * `(s1, current]` delta (selected by v2 data sequence numbers over an
+    * append-validated snapshot lineage). Correct only if the delta is
+    * exactly the second slice — a full-table re-read would double the
+    * first slice, a missed manifest would drop rows. */
+  val qIcebergImportIncremental: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("iceinc"))
+    t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
+    val s1 = t.latestSnapshotId.get
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    val dest = graft.iceberg.IcebergImport.importInto(s, t.location,
+      scratch("iceincdst"))
+    val bootCount = dest.read().count()
+    t.append(ordersSlice(s, dir, 1))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    graft.iceberg.IcebergImport.importChangesInto(s, t.location, dest, s1)
+    require(dest.read().count() > bootCount,
+      "incremental follow must have appended a non-empty delta")
+    project(dest.read())
+  }
+  val qIcebergImportIncrementalSql: String = qIcebergExportSql
+
   /** Iceberg IMPORT of LIVE MOR state: the exported tree carries both v2
     * delete encodings (equality tombstones from two overriding merges +
     * position tombstones from a point delete), and the importer's live
@@ -1508,6 +1535,8 @@ object TableQueries {
     ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),
     ("q_iceberg_import", qIcebergImport, Some(qIcebergImportSql)),
     ("q_iceberg_import_mor", qIcebergImportMor, Some(qIcebergImportMorSql)),
+    ("q_iceberg_import_incremental", qIcebergImportIncremental,
+      Some(qIcebergImportIncrementalSql)),
     ("q_iceberg_history", qIcebergHistory, Some(qIcebergHistorySql)),
     ("q_iceberg_mor_export", qIcebergMorExport,
       Some(qIcebergMorExportSql)),

@@ -585,4 +585,49 @@ class IcebergImportSpec extends SparkSpec {
     // leak into the re-added flag@7; B reads everything
     assert(got.toSeq === Seq((1L, "a", null), (3L, "c", 7L)))
   }
+
+  test("incremental follow: readChanges returns exactly the append-range " +
+      "delta, importChangesInto tails a dest table to equality, and " +
+      "ranges crossing a non-append commit or an unknown baseline are " +
+      "refused") {
+    val src = GraftTable(spark, tmpDir("imp-inc-src") + "/t")
+    src.append((1L to 20L).map(i => (i, s"c${i % 2}", i * 1.0))
+      .toDF("id", "cat", "v"), parts = Seq("cat"))
+    val s1 = src.latestSnapshotId.get
+    IcebergExport.export(spark, src, history = 4)
+    // dest bootstrapped from the first export
+    val dest = IcebergImport.importInto(spark, src.location,
+      tmpDir("imp-inc-dst") + "/t")
+    assert(dest.read().count() === 20)
+    // source moves on: two more appends, re-export
+    src.append((21L to 30L).map(i => (i, s"c${i % 2}", i * 1.0))
+      .toDF("id", "cat", "v"))
+    src.append((31L to 35L).map(i => (i, s"c${i % 2}", i * 1.0))
+      .toDF("id", "cat", "v"))
+    IcebergExport.export(spark, src, history = 4)
+    val delta = IcebergImport.readChanges(spark, src.location, s1)
+    // exactly the two appended batches, identity partition col included
+    assert(delta.select("id").orderBy("id").collect().map(_.getLong(0))
+      .toSeq === (21L to 35L))
+    assert(delta.filter(col("cat").isNull).count() === 0)
+    // empty range: since == target
+    assert(IcebergImport.readChanges(spark, src.location,
+      src.latestSnapshotId.get).count() === 0)
+    // tail the dest to equality
+    IcebergImport.importChangesInto(spark, src.location, dest, s1)
+    assert(dest.read().orderBy("id").select("id", "cat", "v").collect() ===
+      src.read().orderBy("id").select("id", "cat", "v").collect())
+    // a merge in range → refused (cannot be expressed as append delta)
+    val s3 = src.latestSnapshotId.get
+    src.merge(Seq((1L, "cZ", -1.0)).toDF("id", "cat", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id")
+    IcebergExport.export(spark, src, history = 6)
+    val eNonAppend = intercept[IllegalArgumentException](
+      IcebergImport.readChanges(spark, src.location, s3))
+    assert(eNonAppend.getMessage.contains("non-append"))
+    // unknown / expired baseline → refused with full-import guidance
+    val eUnknown = intercept[IllegalArgumentException](
+      IcebergImport.readChanges(spark, src.location, 424242L))
+    assert(eUnknown.getMessage.contains("full import"))
+  }
 }
