@@ -399,6 +399,30 @@ object IcebergImport {
     readPlan(spark, p)
   }
 
+  /** Partition-pruned foreign read: only the data files whose manifest
+    * identity-partition tuple matches `partitionValues` enter the scan.
+    * At 100 TB this is the manifest-level file pruning an Iceberg reader
+    * is expected to do — without it every task-scheduling decision and
+    * footer open pays for the full file set even when the query wants one
+    * partition. Values compare against the TUPLE (string form for
+    * strings, JVM externals otherwise); unknown columns fail loud.
+    * Equality/position deletes are kept in full — a delete scoped
+    * elsewhere simply matches nothing. */
+  def readPartition(spark: SparkSession, tableLocation: String,
+      partitionValues: Map[String, Any],
+      at: Option[String] = None): DataFrame = {
+    val p = plan(spark, tableLocation, at)
+    val unknown = partitionValues.keySet -- p.identityCols.toSet
+    require(unknown.isEmpty,
+      s"not identity-partition columns of this table: " +
+        s"${unknown.mkString(",")} (have: ${p.identityCols.mkString(",")})")
+    val matching = p.files.filter(f => partitionValues.forall {
+      case (c, v) => f.identity.get(c).exists(x =>
+        String.valueOf(x) == String.valueOf(v))
+    })
+    readPlan(spark, p.copy(files = matching))
+  }
+
   private def readPlan(spark: SparkSession, p: TablePlan): DataFrame = {
     if (p.files.isEmpty)
       return spark.createDataFrame(

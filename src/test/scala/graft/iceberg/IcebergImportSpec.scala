@@ -630,4 +630,25 @@ class IcebergImportSpec extends SparkSpec {
       IcebergImport.readChanges(spark, src.location, 424242L))
     assert(eUnknown.getMessage.contains("full import"))
   }
+
+  test("readPartition prunes the scan to the matching identity " +
+      "partition's files (manifest-level pruning, not a post-filter)") {
+    val t = GraftTable(spark, tmpDir("imp-prune") + "/t")
+    t.append((1L to 40L).map(i => (i, s"c${i % 4}", i * 1.0))
+      .toDF("id", "cat", "v"), parts = Seq("cat"))
+    t.append((41L to 60L).map(i => (i, s"c${i % 4}", i * 1.0))
+      .toDF("id", "cat", "v"))
+    IcebergExport.export(spark, t)
+    val pruned = IcebergImport.readPartition(spark, t.location,
+      Map("cat" -> "c1"))
+    assert(pruned.select("id").orderBy("id").collect().map(_.getLong(0))
+      .toSeq === (1L to 60L).filter(_ % 4 == 1))
+    // the SCAN itself is pruned: only cat=c1 files are inputs
+    val allFiles = IcebergImport.plan(spark, t.location).files.size
+    val prunedFiles = pruned.inputFiles.length
+    assert(prunedFiles > 0 && prunedFiles < allFiles)
+    assert(pruned.inputFiles.forall(_.contains("cat=c1")))
+    intercept[IllegalArgumentException](
+      IcebergImport.readPartition(spark, t.location, Map("nope" -> "x")))
+  }
 }
