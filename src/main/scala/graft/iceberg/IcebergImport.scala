@@ -83,8 +83,15 @@ import graft.table.GraftTable
 object IcebergImport {
 
   /** One live data file of the resolved snapshot. */
+  /** `lower`/`upper` are the manifest's per-column value bounds (spec
+    * fields 125/128), parsed from single-value serialization into JVM
+    * comparables — present only for columns the writer recorded. String
+    * upper bounds may be writer-truncated; per the spec they remain
+    * valid (conservative) bounds, so pruning against them stays sound. */
   case class DataFileRef(uri: String, seq: Long,
-      identity: Map[String, Any])
+      identity: Map[String, Any],
+      lower: Map[String, Any] = Map.empty,
+      upper: Map[String, Any] = Map.empty)
   /** One live v2 delete file: `equalityCols` = Some(key column names)
     * for equality deletes, None for position deletes. `scope` is the
     * delete file's own identity-partition tuple — per the v2 spec a
@@ -331,7 +338,34 @@ object IcebergImport {
                 if (p.getSchema.getField(tf) == null) None
                 else Some(colName -> str(p.get(tf))))
             }.toMap
-            files += DataFileRef(uri, seq, identity)
+            // per-column value bounds (fields 125/128): Avro encodes the
+            // int-keyed map as an array of key/value records (or a real
+            // map from some writers); unknown field ids / unparseable
+            // types are simply absent → no pruning on that column
+            def boundsOf(fieldName: String): Map[String, Any] = {
+              if (df.getSchema.getField(fieldName) == null) Map.empty
+              else Option(df.get(fieldName)).map {
+                case l: java.util.List[_] => l.asScala.flatMap { r0 =>
+                  val r = r0.asInstanceOf[GenericRecord]
+                  val fid = r.get("key").asInstanceOf[Int]
+                  nameById.get(fid).flatMap { name =>
+                    boundValue(str(r.get("value")).asInstanceOf[Array[Byte]],
+                      schema(name).dataType).map(name -> _)
+                  }
+                }.toMap
+                case m: java.util.Map[_, _] => m.asScala.flatMap {
+                  case (k, v) =>
+                    scala.util.Try(str(k).toString.toInt).toOption
+                      .flatMap(nameById.get).flatMap { name =>
+                        boundValue(str(v).asInstanceOf[Array[Byte]],
+                          schema(name).dataType).map(name -> _)
+                      }
+                }.toMap
+                case _ => Map.empty[String, Any]
+              }.getOrElse(Map.empty)
+            }
+            files += DataFileRef(uri, seq, identity,
+              boundsOf("lower_bounds"), boundsOf("upper_bounds"))
           }
         }
       }
@@ -340,6 +374,152 @@ object IcebergImport {
       specsById.getOrElse(defaultSpecId, Seq.empty).collect {
         case (n, "identity", srcId) => nameById.getOrElse(srcId, n) },
       files.result(), deletes.result())
+  }
+
+  /** Inverse of the spec's Appendix-D single-value serialization for the
+    * scalar types the import surface supports; None = don't prune. */
+  private def boundValue(bytes: Array[Byte], dt: DataType): Option[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType if bytes.length >= 4 => Some(le.getInt)
+      case LongType | TimestampType | TimestampNTZType
+          if bytes.length >= 8 => Some(le.getLong)
+      case FloatType if bytes.length >= 4 => Some(le.getFloat)
+      case DoubleType if bytes.length >= 8 => Some(le.getDouble)
+      case BooleanType if bytes.length >= 1 => Some(bytes(0) != 0)
+      case StringType =>
+        Some(new String(bytes, StandardCharsets.UTF_8))
+      case d: DecimalType => Some(new java.math.BigDecimal(
+        new java.math.BigInteger(bytes), d.scale))
+      case _ => None
+    }
+  }
+
+  /** One prunable conjunct: column `op` literal, in bound space. */
+  private case class BoundPred(col: String, op: String, v: Any)
+
+  /** Total order inside one bound type; None = incomparable (never
+    * prune). */
+  private def cmpBound(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Int, y: Int) => Some(x.compare(y))
+    case (x: Long, y: Long) => Some(x.compare(y))
+    case (x: Float, y: Float) =>
+      Some(java.lang.Float.compare(x, y))
+    case (x: Double, y: Double) =>
+      Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compare(y))
+    case (x: Boolean, y: Boolean) => Some(x.compare(y))
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Normalize a Catalyst literal's internal value into the column's
+    * bound space (Int for int/date, Long for long/timestamp, String,
+    * BigDecimal, …); None = this conjunct can't prune. */
+  private def normLit(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (null, _) => None
+    case (i: Int, IntegerType | DateType) => Some(i)
+    case (i: Int, LongType) => Some(i.toLong)
+    case (l: Long, LongType | TimestampType | TimestampNTZType) => Some(l)
+    // NaN literals never prune: Spark orders NaN greatest and equal to
+    // itself, but the spec keeps NaN OUT of value bounds (separate
+    // nan_value_counts) — bounds say nothing about NaN presence
+    case (f: Float, FloatType) => Some(f).filterNot(_.isNaN)
+    case (f: Float, DoubleType) => Some(f.toDouble).filterNot(_.isNaN)
+    case (d: Double, DoubleType) => Some(d).filterNot(_.isNaN)
+    case (b: Boolean, BooleanType) => Some(b)
+    case (s, StringType) => Some(s.toString) // UTF8String et al.
+    case (d: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+      Some(d.toJavaBigDecimal)
+    case _ => None
+  }
+
+  /** Extract the bound-prunable conjuncts of a predicate: top-level ANDs
+    * of `column (=|<|<=|>|>=) literal` (either side). Everything else is
+    * ignored for pruning — the full predicate is still applied to the
+    * scan, so pruning is only ever an optimization. */
+  private def boundPreds(e: org.apache.spark.sql.catalyst.expressions
+      .Expression, schema: StructType): Seq[BoundPred] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def colName(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head).filter(n =>
+          schema.fieldNames.contains(n))
+      case a: AttributeReference
+          if schema.fieldNames.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+    // Column-built predicates arrive as UNRESOLVED function applications
+    // ('and, '>, '=, ...), not typed comparisons — match both forms
+    def flip(op: String): String = op match {
+      case ">" => "<"; case "<" => ">"
+      case ">=" => "<="; case "<=" => ">="; case o => o
+    }
+    def cmp(op: String, l: Expression, r: Expression): Seq[BoundPred] =
+      (l, r) match {
+        case (a, Literal(v, _)) => mk(a, op, v)
+        case (Literal(v, _), a) => mk(a, flip(op), v)
+        case _ => Seq.empty
+      }
+    def one(x: Expression): Seq[BoundPred] = x match {
+      case And(l, r) => one(l) ++ one(r)
+      case EqualTo(l, r) => cmp("=", l, r)
+      case GreaterThan(l, r) => cmp(">", l, r)
+      case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
+      case LessThan(l, r) => cmp("<", l, r)
+      case LessThanOrEqual(l, r) => cmp("<=", l, r)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.arguments.length == 2 =>
+        f.nameParts.lastOption match {
+          case Some("and") => one(f.arguments(0)) ++ one(f.arguments(1))
+          case Some(op @ ("=" | "==" | ">" | ">=" | "<" | "<=")) =>
+            cmp(if (op == "==") "=" else op,
+              f.arguments(0), f.arguments(1))
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    def mk(a: Expression, op: String, v: Any): Seq[BoundPred] =
+      colName(a).flatMap(n =>
+        normLit(v, schema(n).dataType).map(BoundPred(n, op, _))).toSeq
+    one(e)
+  }
+
+  /** Can this file possibly hold a row satisfying the conjunct? Missing
+    * bounds (or incomparable values) → yes. */
+  private def mightMatch(f: DataFileRef, p: BoundPred): Boolean = {
+    val lo = f.lower.get(p.col)
+    val hi = f.upper.get(p.col)
+    def c(b: Option[Any]): Option[Int] = b.flatMap(cmpBound(_, p.v))
+    p.op match {
+      case "=" => c(lo).forall(_ <= 0) && c(hi).forall(_ >= 0)
+      case ">" => c(hi).forall(_ > 0)
+      case ">=" => c(hi).forall(_ >= 0)
+      case "<" => c(lo).forall(_ < 0)
+      case "<=" => c(lo).forall(_ <= 0)
+      case _ => true
+    }
+  }
+
+  /** Filtered foreign read with MANIFEST-LEVEL data skipping: files whose
+    * recorded column bounds prove no row can satisfy `predicate` never
+    * enter the scan — Iceberg's scan planning, hand-walked. The predicate
+    * is then applied to the surviving scan in full, so the result is
+    * byte-identical to `read(...).filter(predicate)`; pruning is purely a
+    * scheduling/IO win (at 100 TB, a selective range predicate on a
+    * sorted/clustered column skips almost every file before any footer is
+    * opened). Prunable shapes: AND-chains of `col (=,<,<=,>,>=) literal`;
+    * other conjuncts simply don't prune. */
+  def readWhere(spark: SparkSession, tableLocation: String,
+      predicate: Column, at: Option[String] = None): DataFrame = {
+    val p = plan(spark, tableLocation, at)
+    val preds = boundPreds(org.apache.spark.sql.graftglue.GraftSqlGlue
+      .resolvedExpression(predicate), p.schema)
+    val kept = p.files.filter(f => preds.forall(mightMatch(f, _)))
+    readPlan(spark, p.copy(files = kept)).filter(predicate)
   }
 
   /** JVM value for a manifest partition value as Spark external type. */

@@ -12,6 +12,14 @@ object GraftSqlGlue {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion: [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper that only resolves during analysis —
+    * useless for driver-side predicate inspection (manifest pruning).
+    * This runs the real converter so pattern matches see the Catalyst
+    * tree (And/GreaterThan/Literal/UnresolvedAttribute...). */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame over an analyzed logical plan (the private[sql]
     * Dataset.ofRows) — lets graft's SQL commands execute the plan a
     * statement carried (INSERT's query, MERGE's source). */

@@ -651,4 +651,41 @@ class IcebergImportSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IcebergImport.readPartition(spark, t.location, Map("nope" -> "x")))
   }
+
+  test("readWhere prunes files by manifest value bounds (data skipping) " +
+      "and stays byte-identical to read().filter") {
+    val t = GraftTable(spark, tmpDir("imp-skip") + "/t")
+    // three appends with DISJOINT id ranges → per-file bounds partition
+    // the keyspace; a range predicate must touch only one append's files
+    t.append((1L to 20L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "nm", "v"))
+    t.append((21L to 40L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "nm", "v"))
+    t.append((41L to 60L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "nm", "v"))
+    IcebergExport.export(spark, t)
+    val p = IcebergImport.plan(spark, t.location)
+    assert(p.files.forall(f => f.lower.contains("id") &&
+      f.upper.contains("id")), "export must carry id bounds")
+    val all = p.files.size
+
+    val hi = IcebergImport.readWhere(spark, t.location, col("id") > 45L)
+    assert(hi.select("id").orderBy("id").collect().map(_.getLong(0))
+      .toSeq === (46L to 60L))
+    assert(hi.inputFiles.length < all, "range predicate must skip files")
+
+    // equality on a string column prunes too; extra non-prunable
+    // conjunct rides along without breaking pruning soundness
+    val eq = IcebergImport.readWhere(spark, t.location,
+      col("nm") === "n33" && col("v") * 2 > 0)
+    assert(eq.collect().map(_.getLong(0)).toSeq === Seq(33L))
+    assert(eq.inputFiles.length < all)
+
+    // bounds say nothing about NaN: a NaN literal must not prune
+    val nan = IcebergImport.readWhere(spark, t.location,
+      col("v") === Double.NaN)
+    assert(nan.inputFiles.length === all)
+
+    // byte-identical to the unpruned filtered read
+    val want = IcebergImport.read(spark, t.location)
+      .filter(col("id") > 45L).orderBy("id").collect()
+    assert(hi.orderBy("id").collect() === want)
+  }
 }
