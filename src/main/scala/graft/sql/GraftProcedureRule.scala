@@ -35,6 +35,9 @@ import graft.table.{GraftTable, PartitionTransforms}
   *   CALL graft.fast_forward('t', 'audit')
   *   CALL graft.import_iceberg('dest-or-path', source => '/ice/table'
   *     [, at => ref-or-id])
+  *   CALL graft.import_iceberg_changes('dest-or-path',
+  *     source => '/ice/table', since => last-imported-foreign-snapshot-id
+  *     [, at => ref-or-id])
   *
   * (`graft.system.<proc>` also accepted.) Spark 4 parses CALL into
   * `Call(UnresolvedProcedure, args)` but only v2 ProcedureCatalogs can
@@ -169,13 +172,24 @@ case class GraftCallCommand(proc: String, location: String,
         graft.iceberg.IcebergImport.importInto(spark, source, location,
           at = args.get("at"))
           .latestSnapshotId.getOrElse(-1L)
+      case "import_iceberg_changes" =>
+        // incremental FOLLOW: append only the foreign (since, target]
+        // append-delta into this table (IcebergImport.readChanges rules:
+        // append-only range, else fail loud with full-import guidance)
+        val source = args.getOrElse("source",
+          throw new IllegalArgumentException(s"graft.$proc needs source"))
+        graft.iceberg.IcebergImport.importChangesInto(spark, source, t,
+          longArg("since").getOrElse(throw new IllegalArgumentException(
+            s"graft.$proc needs since (the last imported foreign " +
+              "snapshot id)")), at = args.get("at"))
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other — supported: " +
           "expire_snapshots, compact, compact_small_files, " +
           "rewrite_manifests, " +
           "retrofit_field_ids, prune_dangling_deletes, maintain_rollup, " +
           "rollback, remove_orphan_files, set_partition_spec, tag, " +
-          "drop_tag, branch, drop_branch, fast_forward, import_iceberg")
+          "drop_tag, branch, drop_branch, fast_forward, import_iceberg, " +
+          "import_iceberg_changes")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -214,7 +228,11 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // iceberg.IcebergImport) into the named graft table (append; the
     // table may be a not-yet-existing path): CALL graft.import_iceberg(
     //   'dest-table-or-path', source => '/path/to/iceberg' [, at => ref])
-    "import_iceberg" -> (Seq("source"), Set("at")))
+    "import_iceberg" -> (Seq("source"), Set("at")),
+    // incremental follow of a foreign table: CALL
+    //   graft.import_iceberg_changes('dest', source => '/path',
+    //     since => <last imported foreign snapshot id> [, at => ref])
+    "import_iceberg_changes" -> (Seq("source", "since"), Set("at")))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -262,7 +280,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"graft.$proc needs a table name as its first argument"))
       // import_iceberg may target a PATH (the destination table often
       // does not exist yet — importInto creates it)
-      if (proc == "import_iceberg" && name.contains("/"))
+      if ((proc == "import_iceberg" ||
+          proc == "import_iceberg_changes") && name.contains("/"))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution

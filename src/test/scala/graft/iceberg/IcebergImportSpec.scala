@@ -388,6 +388,30 @@ class IcebergImportSpec extends SparkSpec {
     assert(d.partitionFields.map(_.source) === Seq("cat"))
   }
 
+  test("SQL surface: CALL graft.import_iceberg_changes appends the " +
+      "foreign append-delta since the given snapshot") {
+    val t = GraftTable(spark, tmpDir("imp-callinc") + "/t")
+    t.append((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    val s1 = t.latestSnapshotId.get
+    IcebergExport.export(spark, t, history = 4)
+    val dest = tmpDir("imp-callinc-dst") + "/t"
+    spark.sql(
+      s"CALL graft.import_iceberg('$dest', source => '${t.location}')")
+    t.append((11L to 15L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 4)
+    val res = spark.sql(
+      s"CALL graft.import_iceberg_changes('$dest', " +
+        s"source => '${t.location}', since => $s1)").collect()
+    assert(res.length === 1 && res(0).getLong(0) >= 0L)
+    assert(GraftTable(spark, dest).read().select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq === (1L to 15L))
+    // missing since → loud
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.import_iceberg_changes('$dest', " +
+        s"source => '${t.location}')").collect())
+    assert(e.getMessage.contains("since"))
+  }
+
   test("partition-SCOPED equality deletes (v2: a partitioned delete " +
       "file applies only within its partition) do not over-delete " +
       "matching keys in other partitions") {
