@@ -182,6 +182,16 @@ object IcebergImport {
     case other => other
   }
 
+  /** The foreign table's current snapshot id — a LIGHT metadata.json
+    * parse (no manifest walk), cheap enough to poll per micro-batch. */
+  def currentSnapshotId(spark: SparkSession,
+      tableLocation: String): Option[Long] = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val (_, meta, _) = parseMeta(spark, tableLocation)
+    (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+  }
+
   /** Resolve a foreign table's scan plan at a snapshot: `at` is None
     * (current), a ref name from `refs` (tag or branch), or a snapshot id
     * in digits. */

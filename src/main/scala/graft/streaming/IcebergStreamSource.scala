@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graftglue.GraftSqlGlue
+import org.apache.spark.sql.types.StructType
+
+import graft.iceberg.IcebergImport
+
+/** Structured Streaming SOURCE over a FOREIGN Iceberg v2 table — the
+  * streaming twin of [[graft.iceberg.IcebergImport.readChanges]], and
+  * the continuous form of the reference's bronze→silver loop, which
+  * re-runs checkpointed incremental pulls of an Iceberg table another
+  * engine keeps appending to (/root/reference/bronze-silver.py:121-149).
+  * `spark.readStream.format("graft-iceberg").load(path)`.
+  *
+  * Offsets ARE foreign snapshot ids ([[LongOffset]]): the first batch
+  * delivers the table's full state at the then-current snapshot (a plain
+  * import read), every later batch the `(lastOffset, tip]` append delta.
+  * Exactly-once end to end: the offset log pins foreign snapshot ids, and
+  * a replayed batch re-reads the identical file set (the delta is a pure
+  * function of the two snapshot ids over an immutable metadata tree).
+  *
+  * A non-append foreign commit (overwrite / delete / replace) inside an
+  * uncommitted range FAILS the stream — [[IcebergImport.readChanges]]'s
+  * rule; an increment is undefined across a rewrite and silently
+  * re-delivering or skipping rows would corrupt the sink. Restart from a
+  * fresh full import after the foreign table compacts/rewrites.
+  *
+  * getOffset polls only metadata.json (no manifest walk), so idle ticks
+  * cost one small file read. */
+class IcebergStreamSource(spark: SparkSession, location: String)
+    extends Source {
+
+  override val schema: StructType = {
+    val p = IcebergImport.plan(spark, location)
+    // plan schemas carry parquet.field.id markers for the scan; the
+    // stream's public schema is the plain form
+    StructType(p.schema.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+  }
+
+  private def toId(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    IcebergImport.currentSnapshotId(spark, location).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endId = toId(end)
+    val batch = start match {
+      case None => // first batch: the full state at the pinned snapshot
+        IcebergImport.read(spark, location, Some(endId.toString))
+      case Some(s) =>
+        val startId = toId(s)
+        if (startId >= endId)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else IcebergImport.readChanges(spark, location, startId,
+          Some(endId.toString))
+    }
+    GraftSqlGlue.streamingDataFrame(spark, batch)
+  }
+
+  override def stop(): Unit = {}
+}

@@ -539,4 +539,55 @@ class StreamingSpec extends SparkSpec {
     } finally qSkip.stop()
     spark.catalog.dropTempView("graft_src_skip")
   }
+
+  test("foreign Iceberg streaming source: full state, then append " +
+      "deltas, checkpoint-exact restart, non-append commit fails loud") {
+    import graft.table.GraftTable
+    import graft.iceberg.IcebergExport
+    val base = tmpDir("stream-ice")
+    val t = GraftTable(spark, s"$base/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 8)
+
+    def startQuery() = Streaming.graftSink(
+      spark.readStream.format("graft-iceberg").load(t.location),
+      s"$base/out", txnAppId = "ice-stream-spec")
+      .option("checkpointLocation", s"$base/ckpt").start()
+
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable() // batch 0: full state at current snapshot
+      assert(GraftTable(spark, s"$base/out").read().select("id").as[Long]
+        .collect().sorted === Array(1L, 2L))
+      // the foreign writer appends + re-exports; the delta flows
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      IcebergExport.export(spark, t, history = 8)
+      q1.processAllAvailable()
+      assert(GraftTable(spark, s"$base/out").read().select("id").as[Long]
+        .collect().sorted === Array(1L, 2L, 3L))
+      // idle tick: no new snapshot, no new rows
+      q1.processAllAvailable()
+      assert(GraftTable(spark, s"$base/out").read().count() === 3L)
+    } finally q1.stop()
+
+    // two appends while the stream is down → one exactly-once catch-up
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    t.append(Seq((5L, "e")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 8)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(GraftTable(spark, s"$base/out").read().select("id").as[Long]
+        .collect().sorted === Array(1L, 2L, 3L, 4L, 5L))
+
+      // a non-append foreign commit (merge → overwrite) fails the stream
+      t.merge(Seq((1L, "zz")).toDF("id", "v"), keys = Seq("id"),
+        dedupKey = Seq("id"), orderCol = "id")
+      IcebergExport.export(spark, t, history = 8)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("non-append"))
+    } finally q2.stop()
+  }
 }
