@@ -99,7 +99,8 @@ object Bench {
     "q_sql_merge_sync", "q_sql_merge_cond", "q_compact_zorder",
     "q_truncate",
     "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor",
-    "q_iceberg_import_incremental")
+    "q_iceberg_import_incremental", "q_iceberg_import_pruned",
+    "q_stream_iceberg")
 
   /** FROZEN round-over-round comparison set: the round-8 headline,
     * never to grow again — the headline total became incomparable across
@@ -147,7 +148,8 @@ object Bench {
     "q_sql_merge_update", "q_sql_merge_sync", "q_sql_merge_cond",
     "q_compact_zorder", "q_truncate",
     "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor",
-    "q_iceberg_import_incremental")
+    "q_iceberg_import_incremental", "q_iceberg_import_pruned",
+    "q_stream_iceberg")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

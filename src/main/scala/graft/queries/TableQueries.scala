@@ -455,6 +455,67 @@ object TableQueries {
   }
   val qIcebergImportIncrementalSql: String = qIcebergExportSql
 
+  /** Foreign-read DATA SKIPPING: the export records per-file value
+    * bounds (spec fields 125/128) from range-clustered files, and
+    * [[graft.iceberg.IcebergImport.readWhere]] prunes files whose bounds
+    * prove no row matches — Iceberg's scan planning, hand-walked. The
+    * query REQUIRES the scan to be file-pruned (not post-filtered) and
+    * its rows must still exactly match the oracle's plain WHERE. */
+  val qIcebergImportPruned: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("iceprune"))
+    t.append(Tables.load(s, dir, "orders"),
+      sortBy = Seq("o_orderkey"), sortFiles = Some(8))
+    graft.iceberg.IcebergExport.export(s, t)
+    val all = graft.iceberg.IcebergImport.plan(s, t.location).files.size
+    require(all >= 8, s"range clustering produced only $all files")
+    // scale-independent cut: the top quarter of the keyspace (the oracle
+    // computes the same bound in SQL)
+    val cut = Tables.load(s, dir, "orders")
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0) * 3 / 4
+    val pruned = graft.iceberg.IcebergImport.readWhere(s, t.location,
+      col("o_orderkey") > lit(cut))
+    val scanned = pruned.inputFiles.length
+    require(scanned > 0 && scanned <= all / 2,
+      s"bounds pruning scanned $scanned of $all files — skipped nothing")
+    project(pruned)
+  }
+  val qIcebergImportPrunedSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey > (SELECT (max(o_orderkey) * 3) // 4 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Streaming FOREIGN tail — format("graft-iceberg"): offsets are the
+    * foreign table's snapshot ids; batch 0 is the full state at stream
+    * start, the next micro-batch exactly the slice the foreign writer
+    * appended (and re-exported) mid-stream. The streamed union must
+    * equal the batch read of everything. */
+  val qStreamIceberg: Q = (s, dir) => {
+    val loc = scratch("streamice")
+    val t = GraftTable(s, loc)
+    t.append(ordersSlice(s, dir, 0))
+    graft.iceberg.IcebergExport.export(s, t, history = 6)
+    val name = "graft_stream_ice_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft-iceberg").load(loc)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$loc-ckpt").start()
+    try {
+      q.processAllAvailable() // slice 0 as the initial full state
+      t.append(ordersSlice(s, dir, 1)) // foreign writer moves on
+      graft.iceberg.IcebergExport.export(s, t, history = 6)
+      q.processAllAvailable() // the (s1, s2] delta arrives exactly once
+    } finally q.stop()
+    val resultDf = project(s.table(name))
+    val rows = resultDf.collect()
+    val outSchema = resultDf.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+  val qStreamIcebergSql: String = qIcebergExportSql
+
   /** Iceberg IMPORT of LIVE MOR state: the exported tree carries both v2
     * delete encodings (equality tombstones from two overriding merges +
     * position tombstones from a point delete), and the importer's live
@@ -1537,6 +1598,9 @@ object TableQueries {
     ("q_iceberg_import_mor", qIcebergImportMor, Some(qIcebergImportMorSql)),
     ("q_iceberg_import_incremental", qIcebergImportIncremental,
       Some(qIcebergImportIncrementalSql)),
+    ("q_iceberg_import_pruned", qIcebergImportPruned,
+      Some(qIcebergImportPrunedSql)),
+    ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_iceberg_history", qIcebergHistory, Some(qIcebergHistorySql)),
     ("q_iceberg_mor_export", qIcebergMorExport,
       Some(qIcebergMorExportSql)),
