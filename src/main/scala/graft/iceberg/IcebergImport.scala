@@ -750,7 +750,8 @@ object IcebergImport {
     * (`deleteSeq > dataSeq` / `posSeq >= dataSeq`) make such deletes
     * no-ops against files with `seq > seq(since)`. */
   def readChanges(spark: SparkSession, tableLocation: String,
-      sinceSnapshotId: Long, at: Option[String] = None): DataFrame = {
+      sinceSnapshotId: Long, at: Option[String] = None,
+      skipRewrites: Boolean = false): DataFrame = {
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
     val (_, meta, metaFile) = parseMeta(spark, tableLocation)
@@ -762,7 +763,7 @@ object IcebergImport {
       s"since-snapshot $sinceSnapshotId not in $metaFile (expired? " +
         "fall back to a full import)")
     val p = plan(spark, tableLocation, at) // also resolves refs/current
-    // walk target → since via parent ids, validating append-only
+    // walk target → since via parent ids, validating the range's ops
     var cur = p.snapshotId
     val rangeOps = Seq.newBuilder[(Long, String)]
     while (cur != sinceSnapshotId) {
@@ -775,18 +776,46 @@ object IcebergImport {
           s"snapshot $sinceSnapshotId is not an ancestor of " +
             s"${p.snapshotId} — diverged history, full re-import needed"))
     }
-    val nonAppend = rangeOps.result().filter(_._2 != "append")
-    require(nonAppend.isEmpty,
+    // data-CHANGING ops can never be expressed as an append delta; a
+    // `replace` (compaction — same logical rows) is refusable by default
+    // but skippable with skipRewrites (Iceberg's
+    // streaming-skip-overwrite-snapshots semantics)
+    val blocked = rangeOps.result().filterNot { case (_, op) =>
+      op == "append" || (skipRewrites && op == "replace") }
+    require(blocked.isEmpty,
       s"snapshot range ($sinceSnapshotId, ${p.snapshotId}] contains " +
-        s"non-append commits ${nonAppend.map { case (id, op) =>
+        s"non-append commits ${blocked.map { case (id, op) =>
           s"$id:$op" }.mkString(", ")} — an incremental append delta " +
-        "cannot express them; run a full import of the target snapshot")
-    val sinceSeq = (snaps(sinceSnapshotId) \ "sequence-number")
-      .extractOpt[Long].getOrElse(0L)
-    val added = p.files.filter(_.seq > sinceSeq)
-    require(p.deletes.forall(_.seq <= sinceSeq),
-      "append-only range cannot carry new delete files (corrupt tree?)")
-    readPlan(spark, p.copy(files = added, deletes = Seq.empty))
+        "cannot express them; run a full import of the target snapshot" +
+        (if (!skipRewrites && blocked.forall(_._2 == "replace"))
+          " (or pass skipRewrites=true: replace commits keep the same " +
+            "logical rows and can be skipped)" else ""))
+    if (rangeOps.result().exists(_._2 == "replace")) {
+      // rewrites in range: sequence numbers no longer separate "new
+      // rows" from "rewritten old rows". Attribute files per APPEND
+      // snapshot instead: diff each append's file set against its
+      // parent's — the originally-appended files stay on disk (expire
+      // hasn't run inside the range), so the delta reads the original
+      // bytes even when a later compaction rewrote them.
+      val ordered = rangeOps.result().reverse // oldest → newest
+      var prev = plan(spark, tableLocation,
+        Some(sinceSnapshotId.toString)).files.map(_.uri).toSet
+      val delta = Seq.newBuilder[DataFileRef]
+      ordered.foreach { case (sid, op) =>
+        val pf = plan(spark, tableLocation, Some(sid.toString))
+        if (op == "append")
+          delta ++= pf.files.filterNot(f => prev.contains(f.uri))
+        prev = pf.files.map(_.uri).toSet
+      }
+      readPlan(spark, p.copy(files = delta.result(), deletes = Seq.empty))
+    } else {
+      val sinceSeq = (snaps(sinceSnapshotId) \ "sequence-number")
+        .extractOpt[Long].getOrElse(0L)
+      val added = p.files.filter(_.seq > sinceSeq)
+      require(p.deletes.forall(_.seq <= sinceSeq),
+        "append-only range cannot carry new delete files (corrupt tree?)")
+      readPlan(spark, p.copy(files = added, deletes = Seq.empty))
+    }
   }
 
   /** Tail a foreign table INTO a graft table: append the

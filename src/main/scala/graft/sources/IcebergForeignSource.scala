@@ -30,5 +30,6 @@ class IcebergForeignSource extends StreamSourceProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     new graft.streaming.IcebergStreamSource(ctx.sparkSession,
-      location(parameters))
+      location(parameters),
+      parameters.get("skipRewrites").exists(_.toBoolean))
 }

@@ -22,16 +22,20 @@ import graft.iceberg.IcebergImport
   * a replayed batch re-reads the identical file set (the delta is a pure
   * function of the two snapshot ids over an immutable metadata tree).
   *
-  * A non-append foreign commit (overwrite / delete / replace) inside an
+  * A non-append foreign commit (overwrite / delete) inside an
   * uncommitted range FAILS the stream — [[IcebergImport.readChanges]]'s
   * rule; an increment is undefined across a rewrite and silently
-  * re-delivering or skipping rows would corrupt the sink. Restart from a
-  * fresh full import after the foreign table compacts/rewrites.
+  * re-delivering or skipping rows would corrupt the sink. A `replace`
+  * (compaction — same logical rows) also fails by default, but
+  * `.option("skipRewrites", true)` opts into Iceberg's
+  * streaming-skip-overwrite semantics: appends keep flowing, attributed
+  * per append snapshot so a later in-range compaction cannot double- or
+  * under-deliver.
   *
   * getOffset polls only metadata.json (no manifest walk), so idle ticks
   * cost one small file read. */
-class IcebergStreamSource(spark: SparkSession, location: String)
-    extends Source {
+class IcebergStreamSource(spark: SparkSession, location: String,
+    skipRewrites: Boolean = false) extends Source {
 
   override val schema: StructType = {
     val p = IcebergImport.plan(spark, location)
@@ -61,7 +65,7 @@ class IcebergStreamSource(spark: SparkSession, location: String)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else IcebergImport.readChanges(spark, location, startId,
-          Some(endId.toString))
+          Some(endId.toString), skipRewrites)
     }
     GraftSqlGlue.streamingDataFrame(spark, batch)
   }

@@ -655,6 +655,37 @@ class IcebergImportSpec extends SparkSpec {
     assert(eUnknown.getMessage.contains("full import"))
   }
 
+  test("incremental follow with skipRewrites: a replace (compaction) in " +
+      "range is skipped — appends attributed per snapshot, original " +
+      "files read — while data-changing ops still refuse") {
+    val src = GraftTable(spark, tmpDir("imp-skiprw-src") + "/t")
+    src.append((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    val s1 = src.latestSnapshotId.get
+    src.append((11L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    src.compact(filesPerPartition = 1) // replace: same rows, new files
+    src.append((21L to 25L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    IcebergExport.export(spark, src, history = 8)
+    // default: refused, with the skipRewrites hint
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.readChanges(spark, src.location, s1))
+    assert(e.getMessage.contains("skipRewrites"))
+    // skipRewrites: exactly the two appended batches, never the
+    // compaction's rewritten copies (no double delivery)
+    val delta = IcebergImport.readChanges(spark, src.location, s1,
+      skipRewrites = true)
+    assert(delta.select("id").orderBy("id").collect().map(_.getLong(0))
+      .toSeq === (11L to 25L))
+    // a data-changing op in range refuses even with skipRewrites
+    val s4 = src.latestSnapshotId.get
+    src.merge(Seq((1L, -1.0)).toDF("id", "v"), keys = Seq("id"),
+      dedupKey = Seq("id"), orderCol = "id")
+    IcebergExport.export(spark, src, history = 10)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergImport.readChanges(spark, src.location, s4,
+        skipRewrites = true))
+    assert(e2.getMessage.contains("non-append"))
+  }
+
   test("readPartition prunes the scan to the matching identity " +
       "partition's files (manifest-level pruning, not a post-filter)") {
     val t = GraftTable(spark, tmpDir("imp-prune") + "/t")

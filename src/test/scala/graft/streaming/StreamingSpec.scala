@@ -590,4 +590,31 @@ class StreamingSpec extends SparkSpec {
       assert(e.getMessage.contains("non-append"))
     } finally q2.stop()
   }
+
+  test("foreign Iceberg streaming source with skipRewrites rides " +
+      "through a mid-stream compaction exactly-once") {
+    import graft.table.GraftTable
+    import graft.iceberg.IcebergExport
+    val base = tmpDir("stream-ice-skip")
+    val t = GraftTable(spark, s"$base/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 10)
+    val q = Streaming.graftSink(
+      spark.readStream.format("graft-iceberg")
+        .option("skipRewrites", "true").load(t.location),
+      s"$base/out", txnAppId = "ice-skip-spec")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // append → compact → append, all inside ONE uncommitted range
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      t.compact(filesPerPartition = 1)
+      t.append(Seq((4L, "d")).toDF("id", "v"))
+      IcebergExport.export(spark, t, history = 10)
+      q.processAllAvailable()
+      // both appends once each; the compaction's rewritten copies never
+      assert(GraftTable(spark, s"$base/out").read().select("id").as[Long]
+        .collect().sorted === Array(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
 }
