@@ -182,6 +182,40 @@ object IcebergImport {
     case other => other
   }
 
+  /** Iceberg `.snapshots`-shaped metadata view over a FOREIGN tree (one
+    * metadata.json parse, no manifest walk) — the S7 inspection surface
+    * for tables graft didn't write: snapshot id / parent / commit time /
+    * operation / sequence number. */
+  def snapshots(spark: SparkSession, tableLocation: String): DataFrame = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    import spark.implicits._
+    val (_, meta, _) = parseMeta(spark, tableLocation)
+    (meta \ "snapshots").children.map { s =>
+      ((s \ "snapshot-id").extract[Long],
+        (s \ "parent-snapshot-id").extractOpt[Long],
+        new java.sql.Timestamp((s \ "timestamp-ms").extract[Long]),
+        (s \ "summary" \ "operation").extractOpt[String]
+          .getOrElse("unknown"),
+        (s \ "sequence-number").extractOpt[Long].getOrElse(0L))
+    }.toDF("snapshot_id", "parent_id", "committed_at", "operation",
+      "sequence_number")
+  }
+
+  /** Iceberg `.files`-shaped metadata view over a FOREIGN tree: one row
+    * per live data file of the resolved snapshot, with its data sequence
+    * number and identity-partition tuple (JSON string — tuples are
+    * heterogeneous). Walks the manifests (same cost as planning a read). */
+  def files(spark: SparkSession, tableLocation: String,
+      at: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val p = plan(spark, tableLocation, at)
+    p.files.map { f =>
+      (f.uri, f.seq, f.identity.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""$k":"${String.valueOf(v)}"""" }.mkString("{", ",", "}"))
+    }.toDF("file_path", "sequence_number", "partition")
+  }
+
   /** The foreign table's current snapshot id — a LIGHT metadata.json
     * parse (no manifest walk), cheap enough to poll per micro-batch. */
   def currentSnapshotId(spark: SparkSession,

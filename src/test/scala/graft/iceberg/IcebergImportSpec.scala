@@ -655,6 +655,31 @@ class IcebergImportSpec extends SparkSpec {
     assert(eUnknown.getMessage.contains("full import"))
   }
 
+  test("foreign metadata views: .snapshots lineage/ops and .files with " +
+      "sequence numbers + identity tuples") {
+    val t = GraftTable(spark, tmpDir("imp-meta") + "/t")
+    t.append((1L to 10L).map(i => (i, s"c${i % 2}", i * 1.0))
+      .toDF("id", "cat", "v"), parts = Seq("cat"))
+    t.append((11L to 14L).map(i => (i, s"c${i % 2}", i * 1.0))
+      .toDF("id", "cat", "v"))
+    t.merge(Seq((1L, "cZ", 0.0)).toDF("id", "cat", "v"),
+      keys = Seq("id"), dedupKey = Seq("id"), orderCol = "id")
+    IcebergExport.export(spark, t, history = 6)
+    val snaps = IcebergImport.snapshots(spark, t.location)
+      .orderBy("committed_at", "snapshot_id").collect()
+    assert(snaps.length >= 3)
+    assert(snaps.take(2).map(_.getString(3)).toSeq ===
+      Seq("append", "append"))
+    assert(snaps.last.getString(3) === "overwrite")
+    // parent lineage chains oldest → newest
+    assert(snaps(1).getLong(1) === snaps(0).getLong(0))
+    assert(snaps(2).getLong(1) === snaps(1).getLong(0))
+    val files = IcebergImport.files(spark, t.location).collect()
+    assert(files.nonEmpty)
+    assert(files.forall(_.getLong(1) > 0L)) // real data sequences
+    assert(files.forall(r => r.getString(2).contains("\"cat\":")))
+  }
+
   test("incremental follow with skipRewrites: a replace (compaction) in " +
       "range is skipped — appends attributed per snapshot, original " +
       "files read — while data-changing ops still refuse") {
