@@ -102,10 +102,15 @@ object IcebergImport {
   case class DeleteRef(uri: String, seq: Long,
       equalityCols: Option[Seq[String]],
       scope: Map[String, Any] = Map.empty)
-  /** The resolved scan plan of one snapshot of a foreign table. */
+  /** The resolved scan plan of one snapshot of a foreign table.
+    * `nameMapping` is the table's `schema.name-mapping.default` (field
+    * id → accepted file-side names), used to resolve columns in id-LESS
+    * files whose writers used legacy names (Iceberg's fallback
+    * resolution order: field id, then name mapping, then plain name). */
   case class TablePlan(snapshotId: Long, schema: StructType,
       identityCols: Seq[String], files: Seq[DataFileRef],
-      deletes: Seq[DeleteRef])
+      deletes: Seq[DeleteRef],
+      nameMapping: Map[Int, Seq[String]] = Map.empty)
 
   private[iceberg] def sparkType(t: String): DataType = t match {
     case "boolean" => BooleanType
@@ -414,10 +419,20 @@ object IcebergImport {
         }
       }
     }
+    // schema.name-mapping.default: a JSON list of {field-id, names}
+    // (flat fields only — nested mappings have no flat-scalar targets)
+    val nameMapping: Map[Int, Seq[String]] =
+      (meta \ "properties" \ "schema.name-mapping.default")
+        .extractOpt[String].map { j =>
+          org.json4s.jackson.JsonMethods.parse(j).children.flatMap { m =>
+            (m \ "field-id").extractOpt[Int].map(fid =>
+              fid -> (m \ "names").children.map(_.extract[String]))
+          }.toMap
+        }.getOrElse(Map.empty)
     TablePlan(targetId, schema,
       specsById.getOrElse(defaultSpecId, Seq.empty).collect {
         case (n, "identity", srcId) => nameById.getOrElse(srcId, n) },
-      files.result(), deletes.result())
+      files.result(), deletes.result(), nameMapping)
   }
 
   /** Inverse of the spec's Appendix-D single-value serialization for the
@@ -596,22 +611,59 @@ object IcebergImport {
   private def stripIds(s: StructType): StructType =
     StructType(s.map(f => f.copy(metadata = Metadata.empty)))
 
-  /** Does this parquet file's own schema carry field ids? One driver-side
-    * footer read — sniffed ONCE per import for the data-file set (and once
-    * per equality-delete group), never per file: an Iceberg tree's files
-    * either all embed ids (Iceberg-native writers are required to) or none
-    * do (files adopted via name-mapping, or graft's own export). A mixed
-    * tree fails LOUD at scan time (Spark refuses an id-schema over an
-    * id-less file), never silently misreads. */
-  private def footerHasFieldIds(spark: SparkSession, uri: String): Boolean = {
+  /** One parquet footer's resolution-relevant facts: does it embed field
+    * ids, and what are its top-level column names. */
+  private[iceberg] case class FooterInfo(hasIds: Boolean,
+      cols: Set[String])
+
+  private def readFooterInfo(conf: org.apache.hadoop.conf.Configuration,
+      uri: String): FooterInfo = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val conf = spark.sessionState.newHadoopConf()
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(
       new Path(new java.net.URI(uri)), conf))
-    try r.getFileMetaData.getSchema.getFields.asScala
-      .exists(_.getId != null)
-    finally r.close()
+    try {
+      val fields = r.getFileMetaData.getSchema.getFields.asScala
+      FooterInfo(fields.exists(_.getId != null),
+        fields.map(_.getName).toSet)
+    } finally r.close()
+  }
+
+  private def footerInfo(spark: SparkSession, uri: String): FooterInfo =
+    readFooterInfo(spark.sessionState.newHadoopConf(), uri)
+
+  /** Classify every data file as id-ful / id-less. Cheap path: sniff a
+    * bounded SAMPLE (ends of the manifest order); a uniform sample
+    * classifies the whole set with zero per-file cost — the usual case,
+    * since an Iceberg tree's files are either all native-written (ids)
+    * or all adopted (no ids). A MIXED sample (post-migration tree:
+    * adopted legacy files + new native files) escalates to a
+    * DISTRIBUTED sniff — one executor-side footer open per file, the
+    * same footers the scan reads anyway — so mixed trees resolve
+    * per-file instead of failing. */
+  private def classifyFiles(spark: SparkSession,
+      uris: Seq[String]): Map[String, Boolean] = {
+    val sample = (uris.take(4) ++ uris.takeRight(4)).distinct
+    val sampled = sample.map(u => u -> footerInfo(spark, u).hasIds).toMap
+    if (sampled.values.toSet.size <= 1)
+      uris.map(_ -> sampled.values.headOption.getOrElse(false)).toMap
+    else {
+      val confBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        spark.sessionState.newHadoopConf().write(oos)
+        oos.close(); bos.toByteArray
+      }
+      val bc = spark.sparkContext.broadcast(confBytes)
+      spark.sparkContext
+        .parallelize(uris, math.max(1, math.min(uris.size / 16 + 1, 256)))
+        .map { u =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          conf.readFields(new java.io.ObjectInputStream(
+            new java.io.ByteArrayInputStream(bc.value)))
+          u -> readFooterInfo(conf, u).hasIds
+        }.collect().toMap
+    }
   }
 
   /** Read the resolved snapshot as a live DataFrame — one parquet scan,
@@ -647,20 +699,48 @@ object IcebergImport {
     readPlan(spark, p.copy(files = matching))
   }
 
+  /** Pick the FILE-side name of each requested field for an id-less
+    * read: the field's current name when the footer has it, else the
+    * first name-mapping alias the footer carries, else the current name
+    * (absent → schema-evolution NULLs). Fails loud on a collision (two
+    * fields resolving to one file column). */
+  private def plainResolution(p: TablePlan, footerCols: Set[String])
+      : Seq[(String, StructField)] = {
+    val chosen = p.schema.fields.toSeq.map { f =>
+      val fid =
+        if (f.metadata.contains(FieldIdKey))
+          Some(f.metadata.getLong(FieldIdKey).toInt)
+        else None
+      val aliases = fid.flatMap(p.nameMapping.get).getOrElse(Seq.empty)
+      val name =
+        if (footerCols.contains(f.name)) f.name
+        else aliases.find(footerCols.contains).getOrElse(f.name)
+      (name, f)
+    }
+    val dup = chosen.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dup.isEmpty, "name-mapping collision: file column(s) " +
+      s"${dup.mkString(",")} resolve more than one schema field")
+    chosen
+  }
+
   private def readPlan(spark: SparkSession, p: TablePlan): DataFrame = {
     if (p.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], stripIds(p.schema))
-    // ID-based column resolution when the tree's files embed field ids:
-    // renames and drop+re-add evolution then resolve per the v2 spec
-    // (and int→long physical widening reads through). The session conf
-    // is one-way enabled; it only changes behavior for requested schemas
-    // that CARRY parquet.field.id metadata, so every other read in the
-    // session is untouched. Id-less trees scan with a stripped schema —
-    // name-based, the pre-existing behavior.
-    val idMode = footerHasFieldIds(spark, p.files.head.uri)
-    if (idMode) spark.conf.set(FieldIdReadConf, "true")
-    val schema = if (idMode) p.schema else stripIds(p.schema)
+    // Per the spec's resolution order, each data file resolves columns
+    // BY FIELD ID when it embeds ids (renames and drop+re-add then
+    // behave correctly, and int→long physical widening reads through),
+    // and by NAME MAPPING / plain name when it doesn't (adopted files).
+    // A mixed tree (post-migration: legacy id-less files + new native
+    // files) splits into two scans unioned under the current schema.
+    // The session conf is one-way enabled; it only changes behavior for
+    // requested schemas that CARRY parquet.field.id metadata, so every
+    // other read in the session is untouched.
+    val classes = classifyFiles(spark, p.files.map(_.uri))
+    val idFiles = p.files.filter(f => classes(f.uri))
+    val plainFiles = p.files.filterNot(f => classes(f.uri))
+    if (idFiles.nonEmpty) spark.conf.set(FieldIdReadConf, "true")
+    val schema = stripIds(p.schema)
     val fs = new Path(p.files.head.uri)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // the URI the Spark scan's _metadata.file_path will report for a
@@ -690,9 +770,23 @@ object IcebergImport {
     val metaSel: Seq[Column] =
       col("_metadata.file_path").as(FileCol) ::
         (if (needPos) List(col("_metadata.row_index").as(PosCol)) else Nil)
-    val base = spark.read.schema(schema)
-      .parquet(p.files.map(_.uri): _*)
-      .select(col("*") +: metaSel: _*)
+    val idScan = Option.when(idFiles.nonEmpty)(
+      spark.read.schema(p.schema)
+        .parquet(idFiles.map(_.uri): _*)
+        .select(schema.fieldNames.toIndexedSeq
+          .map(c => col(c).as(c, Metadata.empty)) ++ metaSel: _*))
+    val plainScan = Option.when(plainFiles.nonEmpty) {
+      val resolution = plainResolution(p,
+        footerInfo(spark, plainFiles.head.uri).cols)
+      val readSchema = StructType(resolution.map { case (n, f) =>
+        StructField(n, f.dataType, nullable = true) }.toArray)
+      spark.read.schema(readSchema)
+        .parquet(plainFiles.map(_.uri): _*)
+        .select(resolution.map { case (n, f) =>
+          col(n).as(f.name) } ++ metaSel: _*)
+    }
+    val base = (idScan.toSeq ++ plainScan.toSeq)
+      .reduce(_ unionByName _)
       .join(broadcast(info), FileCol)
     // identity columns: the file's own bytes when the writer stored them
     // (Iceberg writers do), the manifest tuple when it didn't (Hive-style
@@ -708,18 +802,26 @@ object IcebergImport {
       .foldLeft(withIdentity) {
         case (acc, ((cols, scope), ds)) =>
           // the delete files' writer may differ from the data files' —
-          // sniff this group's own footer for ids (e.g. graft's export
-          // writes id-less delete parquet)
-          val delSchema = {
-            val s = StructType(cols.map(c => schema(c)).toArray)
-            if (idMode && !footerHasFieldIds(spark, ds.head.uri))
-              stripIds(s)
-            else s
-          }
+          // sniff this group's own footer: id-ful delete files read by
+          // field id, id-less ones by name mapping / plain name (e.g.
+          // graft's export writes id-less delete parquet)
+          val delInfo = footerInfo(spark, ds.head.uri)
+          val (delSchema, delNames) =
+            if (delInfo.hasIds)
+              (StructType(cols.map(c => p.schema(c)).toArray), cols)
+            else {
+              val res = plainResolution(
+                p.copy(schema = StructType(
+                  cols.map(c => p.schema(c)).toArray)), delInfo.cols)
+              (StructType(res.map { case (n, f) =>
+                StructField(n, f.dataType, nullable = true) }.toArray),
+                res.map(_._1))
+            }
           val del = ds.groupBy(_.seq).map { case (seq, group) =>
             spark.read.schema(delSchema)
               .parquet(group.map(_.uri): _*)
-              .select(cols.map(c => col(c).as(s"__ice_del_$c")) :+
+              .select(delNames.zip(cols).map { case (n, c) =>
+                col(n).as(s"__ice_del_$c") } :+
                 lit(seq).as("__ice_dseq"): _*)
           }.reduce(_ unionByName _)
           val scopeCond = scope.map { case (c, v) =>

@@ -655,6 +655,101 @@ class IcebergImportSpec extends SparkSpec {
     assert(eUnknown.getMessage.contains("full import"))
   }
 
+  test("MIXED tree (adopted id-less files + native id-ful files) " +
+      "resolves per-file: legacy files through schema.name-mapping." +
+      "default aliases, native files by field id") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = tmpDir("imp-mixed")
+    val loc = s"$root/ft"
+    val dataDir = new File(s"$loc/data"); dataDir.mkdirs()
+    val metaDir = new File(s"$loc/metadata"); metaDir.mkdirs()
+    def uri(p: String) = s"file://$p"
+    def writeParquet(name: String, df: org.apache.spark.sql.DataFrame)
+        : String = {
+      val tmp = s"$root/stage-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new File(dataDir, s"$name.parquet")
+      assert(part.renameTo(dest))
+      uri(dest.getAbsolutePath)
+    }
+    // adopted legacy file: NO field ids, legacy column names pk/val
+    val fA = writeParquet("A",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("pk", "val"))
+    // native file: field ids, current names
+    val prevWrite = spark.conf.getOption(
+      "spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val fB = try {
+      def idField(name: String, t: DataType, id: Long) =
+        StructField(name, t, nullable = true,
+          new MetadataBuilder().putLong("parquet.field.id", id).build())
+      writeParquet("B", spark.createDataFrame(
+        Seq(Row(3L, 3.0)).asJava,
+        StructType(Seq(idField("id", LongType, 1L),
+          idField("v", DoubleType, 2L)))))
+    } finally prevWrite match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    val e1 = foreignEntrySchema(withPart = false, withEq = false)
+    val mData = s"${metaDir.getAbsolutePath}/m-data.avro"
+    val dataLen = writeAvro(mData, e1, Seq(
+      entry(e1, 1, Some(1L), 0, fA, 2),
+      entry(e1, 1, Some(2L), 0, fB, 1)))
+    def listEntry(path: String, len: Long): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", uri(path))
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 2L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 100L)
+      r
+    }
+    val list = s"${metaDir.getAbsolutePath}/snap-100.avro"
+    writeAvro(list, listSchema, Seq(listEntry(mData, dataLen)))
+    val mapping =
+      """[{\"field-id\":1,\"names\":[\"pk\",\"id\"]},""" +
+        """{\"field-id\":2,\"names\":[\"val\",\"v\"]}]"""
+    val metaJson =
+      s"""{"format-version": 2,
+        |"table-uuid": "00000000-0000-0000-0000-000000000004",
+        |"location": "${uri(loc)}", "last-sequence-number": 2,
+        |"last-updated-ms": 1700000000000, "last-column-id": 2,
+        |"current-schema-id": 0,
+        |"schemas": [{"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"id","required":false,"type":"long"},
+        |  {"id":2,"name":"v","required":false,"type":"double"}]}],
+        |"default-spec-id": 0,
+        |"partition-specs": [{"spec-id": 0, "fields": []}],
+        |"last-partition-id": 999, "default-sort-order-id": 0,
+        |"sort-orders": [{"order-id": 0, "fields": []}],
+        |"properties": {"schema.name-mapping.default": "$mapping"},
+        |"current-snapshot-id": 100,
+        |"refs": {"main": {"snapshot-id": 100, "type": "branch"}},
+        |"snapshots": [{"sequence-number": 2, "snapshot-id": 100,
+        |  "timestamp-ms": 1700000000000,
+        |  "summary": {"operation": "append"}, "schema-id": 0,
+        |  "manifest-list": "${uri(list)}"}],
+        |"snapshot-log": [], "metadata-log": []}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      metaDir.getAbsolutePath, "00001-mixed.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.nameMapping === Map(1 -> Seq("pk", "id"),
+      2 -> Seq("val", "v")))
+    val got = IcebergImport.read(spark, loc).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("foreign metadata views: .snapshots lineage/ops and .files with " +
       "sequence numbers + identity tuples") {
     val t = GraftTable(spark, tmpDir("imp-meta") + "/t")
