@@ -954,6 +954,28 @@ object IcebergImport {
     }
   }
 
+  /** Row-level CHANGELOG between two snapshots of a foreign table —
+    * the `create_changelog_view` shape for ARBITRARY ranges (merges,
+    * deletes, overwrites included), complementing [[readChanges]]'s
+    * metadata-only append fast path: `_change_type` = 'insert' for rows
+    * in `to` but not `from`, 'delete' for rows in `from` but not `to`
+    * (bag semantics — exceptAll — so duplicate-row multiplicity
+    * diffs correctly; an in-place value update appears as
+    * delete+insert, Iceberg's pre/post-update image pair).
+    *
+    * Scale shape: two snapshot scans into one hash-aggregate diff per
+    * direction (Catalyst's exceptAll), shuffled on the full row — the
+    * honest cost of diffing arbitrary rewrites; ranges that are pure
+    * appends should use [[readChanges]] (no shuffle, no second scan). */
+  def diff(spark: SparkSession, tableLocation: String,
+      fromSnapshot: Long, to: Option[String] = None): DataFrame = {
+    val pre = read(spark, tableLocation, Some(fromSnapshot.toString))
+    val post = read(spark, tableLocation, to)
+    post.exceptAll(pre).withColumn("_change_type", lit("insert"))
+      .unionAll(pre.exceptAll(post)
+        .withColumn("_change_type", lit("delete")))
+  }
+
   /** Tail a foreign table INTO a graft table: append the
     * `(since, target]` delta resolved by [[readChanges]] as one graft
     * append commit. Returns the destination's new snapshot id. */

@@ -486,6 +486,55 @@ object TableQueries {
       |WHERE o_orderkey > (SELECT (max(o_orderkey) * 3) // 4 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Foreign row-level CHANGELOG across an arbitrary commit range
+    * (merge + positional delete — shapes [[qIcebergImportIncremental]]'s
+    * append-only fast path refuses): `IcebergImport.diff` reads the two
+    * snapshots through the exported metadata tree and emits
+    * insert/delete rows with bag semantics — an updated row appears as
+    * its pre-image delete plus post-image insert. The oracle recomputes
+    * both states and diffs them with EXCEPT ALL. */
+  val qIcebergDiff: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icediff"))
+    t.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0), parts = Seq("o_orderstatus"))
+    val s1 = t.latestSnapshotId.get
+    val src = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("D"))
+    t.merge(src, keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey")
+    t.deletePositions(col("o_orderkey") % 5 === 0)
+    graft.iceberg.IcebergExport.export(s, t, history = 6)
+    val d = graft.iceberg.IcebergImport.diff(s, t.location, s1)
+    d.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      col("_change_type"))
+      .orderBy(col("_change_type"), col("o_orderkey"))
+  }
+  val qIcebergDiffSql: String =
+    """WITH pre AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |post AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    o_totalprice, o_orderdate
+      |  FROM orders
+      |  WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+      |    AND o_orderkey % 5 <> 0),
+      |ins AS (SELECT * FROM post EXCEPT ALL SELECT * FROM pre),
+      |del AS (SELECT * FROM pre EXCEPT ALL SELECT * FROM post)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, _change_type
+      |FROM (
+      |  SELECT *, 'insert' AS _change_type FROM ins
+      |  UNION ALL
+      |  SELECT *, 'delete' AS _change_type FROM del)
+      |ORDER BY _change_type, o_orderkey""".stripMargin
+
   /** Streaming FOREIGN tail — format("graft-iceberg"): offsets are the
     * foreign table's snapshot ids; batch 0 is the full state at stream
     * start, the next micro-batch exactly the slice the foreign writer
@@ -1600,6 +1649,7 @@ object TableQueries {
       Some(qIcebergImportIncrementalSql)),
     ("q_iceberg_import_pruned", qIcebergImportPruned,
       Some(qIcebergImportPrunedSql)),
+    ("q_iceberg_diff", qIcebergDiff, Some(qIcebergDiffSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_iceberg_history", qIcebergHistory, Some(qIcebergHistorySql)),
     ("q_iceberg_mor_export", qIcebergMorExport,

@@ -863,4 +863,33 @@ class IcebergImportSpec extends SparkSpec {
       .filter(col("id") > 45L).orderBy("id").collect()
     assert(hi.orderBy("id").collect() === want)
   }
+
+  test("diff: row-level changelog across arbitrary commits — updates as " +
+      "pre-image delete + post-image insert, bag multiplicity honored") {
+    val t = GraftTable(spark, tmpDir("imp-diff") + "/t")
+    // pre-state carries a DUPLICATE row (1,"a") — multiplicity must diff
+    t.append(Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "nm"))
+    val s1 = t.latestSnapshotId.get
+    // update 3 → "C" (COW rewrite), append a SECOND copy of (2,"b"),
+    // position-delete 4
+    t.merge(Seq((3L, "C")).toDF("id", "nm"), keys = Seq("id"),
+      dedupKey = Seq("id"), orderCol = "id")
+    t.append(Seq((2L, "b")).toDF("id", "nm"))
+    t.deletePositions($"id" === 4L)
+    IcebergExport.export(spark, t, history = 8)
+
+    val d = IcebergImport.diff(spark, t.location, s1)
+      .select("id", "nm", "_change_type").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(d === Seq(
+      (2L, "b", "insert"), // one NEW copy only — the pre copy cancels
+      (3L, "C", "insert"), // post-image of the update
+      (3L, "c", "delete"), // pre-image of the update
+      (4L, "d", "delete"))) // position-deleted row
+    // untouched rows (1,"a")×2 appear in neither direction; a
+    // self-diff is empty
+    assert(IcebergImport.diff(spark, t.location,
+      t.latestSnapshotId.get).count() === 0)
+  }
 }
