@@ -535,6 +535,70 @@ object TableQueries {
       |  SELECT *, 'delete' AS _change_type FROM del)
       |ORDER BY _change_type, o_orderkey""".stripMargin
 
+  /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
+    * `IcebergImport.diffPerCommit` walks the commit range and tags every
+    * row with its `_change_ordinal` — append delta at ordinal 0 read
+    * metadata-only, the merge's update pairs diffed at ordinal 1, a
+    * compaction at ordinal 2 silent (same logical rows, ordinal still
+    * consumed), the positional delete diffed at ordinal 3. The oracle
+    * recomputes each commit's state as a CTE and diffs adjacent states
+    * with EXCEPT ALL under the same ordinals. `_commit_snapshot_id` is
+    * engine-assigned, so the oracled projection keeps the ordinal and
+    * drops the id. */
+  val qIcebergDiffLog: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icedifflog"))
+    val orders = Tables.load(s, dir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    val s1 = t.latestSnapshotId.get
+    t.append(orders.filter(col("o_orderkey") % 2 === 1 &&
+      col("o_orderkey") % 7 === 0))
+    t.merge(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("D")),
+      keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+      orderCol = "o_orderkey")
+    t.compactSmallFiles()
+    t.deletePositions(col("o_orderkey") % 5 === 0)
+    graft.iceberg.IcebergExport.export(s, t, history = 10)
+    val d = graft.iceberg.IcebergImport.diffPerCommit(s, t.location, s1)
+    d.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      col("_change_type"), col("_change_ordinal"))
+      .orderBy(col("_change_ordinal"), col("_change_type"),
+        col("o_orderkey"))
+  }
+  val qIcebergDiffLogSql: String =
+    """WITH state1 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |     OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)),
+      |state2 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    o_totalprice, o_orderdate
+      |  FROM orders
+      |  WHERE o_orderkey % 2 = 0
+      |     OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)
+      |     OR o_orderkey % 3 = 0),
+      |app AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, 'insert' AS _change_type, 0 AS _change_ordinal
+      |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0),
+      |m_ins AS (SELECT *, 'insert' AS _change_type, 1 AS _change_ordinal
+      |  FROM (SELECT * FROM state2 EXCEPT ALL SELECT * FROM state1)),
+      |m_del AS (SELECT *, 'delete' AS _change_type, 1 AS _change_ordinal
+      |  FROM (SELECT * FROM state1 EXCEPT ALL SELECT * FROM state2)),
+      |d_del AS (SELECT *, 'delete' AS _change_type, 3 AS _change_ordinal
+      |  FROM state2 WHERE o_orderkey % 5 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, _change_type,
+      |  _change_ordinal
+      |FROM (SELECT * FROM app UNION ALL SELECT * FROM m_ins
+      |  UNION ALL SELECT * FROM m_del UNION ALL SELECT * FROM d_del)
+      |ORDER BY _change_ordinal, _change_type, o_orderkey""".stripMargin
+
   /** Streaming FOREIGN tail — format("graft-iceberg"): offsets are the
     * foreign table's snapshot ids; batch 0 is the full state at stream
     * start, the next micro-batch exactly the slice the foreign writer
@@ -1650,6 +1714,7 @@ object TableQueries {
     ("q_iceberg_import_pruned", qIcebergImportPruned,
       Some(qIcebergImportPrunedSql)),
     ("q_iceberg_diff", qIcebergDiff, Some(qIcebergDiffSql)),
+    ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_iceberg_history", qIcebergHistory, Some(qIcebergHistorySql)),
     ("q_iceberg_mor_export", qIcebergMorExport,

@@ -892,4 +892,39 @@ class IcebergImportSpec extends SparkSpec {
     assert(IcebergImport.diff(spark, t.location,
       t.latestSnapshotId.get).count() === 0)
   }
+
+  test("diffPerCommit: per-commit changelog — appends attributed " +
+      "metadata-only at their ordinal, replaces silent, rewrites as " +
+      "update pairs; insert-then-delete visible per-commit but net-cancelled") {
+    val t = GraftTable(spark, tmpDir("imp-dpc") + "/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "nm"))
+    val s1 = t.latestSnapshotId.get
+    t.append(Seq((3L, "c")).toDF("id", "nm")) // ord 0: append delta
+    val s2 = t.latestSnapshotId.get
+    t.compactSmallFiles() // ord 1: replace — silent, ordinal consumed
+    t.merge(Seq((1L, "A")).toDF("id", "nm"), keys = Seq("id"),
+      dedupKey = Seq("id"), orderCol = "id") // ord 2: update pair
+    val s4 = t.latestSnapshotId.get
+    t.append(Seq((4L, "d")).toDF("id", "nm")) // ord 3: insert...
+    val s5 = t.latestSnapshotId.get
+    t.deletePositions($"id" === 4L) // ord 4: ...then delete
+    val s6 = t.latestSnapshotId.get
+    IcebergExport.export(spark, t, history = 10)
+
+    val d = IcebergImport.diffPerCommit(spark, t.location, s1)
+      .select("id", "nm", "_change_type", "_change_ordinal",
+        "_commit_snapshot_id")
+      .as[(Long, String, String, Int, Long)].collect()
+      .sortBy(r => (r._4, r._3, r._1)).toSeq
+    assert(d === Seq(
+      (3L, "c", "insert", 0, s2),
+      (1L, "a", "delete", 2, s4),
+      (1L, "A", "insert", 2, s4),
+      (4L, "d", "insert", 3, s5),
+      (4L, "d", "delete", 4, s6)))
+    // the endpoint-net view cancels the insert-then-delete of id=4
+    val net = IcebergImport.diff(spark, t.location, s1)
+    assert(net.filter($"id" === 4L).count() === 0)
+    assert(net.count() === 3)
+  }
 }
