@@ -100,7 +100,8 @@ object Bench {
     "q_truncate",
     "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor",
     "q_iceberg_import_incremental", "q_iceberg_import_pruned",
-    "q_stream_iceberg", "q_iceberg_diff")
+    "q_stream_iceberg", "q_iceberg_diff", "q_iceberg_diff_log",
+    "q_stream_iceberg_cdc")
 
   /** FROZEN round-over-round comparison set: the round-8 headline,
     * never to grow again — the headline total became incomparable across
@@ -149,7 +150,8 @@ object Bench {
     "q_compact_zorder", "q_truncate",
     "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor",
     "q_iceberg_import_incremental", "q_iceberg_import_pruned",
-    "q_stream_iceberg", "q_iceberg_diff")
+    "q_stream_iceberg", "q_iceberg_diff", "q_iceberg_diff_log",
+    "q_stream_iceberg_cdc")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

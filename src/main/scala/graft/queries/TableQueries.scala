@@ -629,6 +629,76 @@ object TableQueries {
   }
   val qStreamIcebergSql: String = qIcebergExportSql
 
+  /** Streaming foreign tail in CDC MODE — `.option("mode","cdc")`:
+    * batch 0 delivers the full state as `_change_type='insert'` rows at
+    * ordinal 0; the mid-stream foreign MERGE + APPEND arrive as one
+    * micro-batch of per-commit change rows (the merge's pre/post-image
+    * pairs at ordinal 0, the append's rows — attributed metadata-only —
+    * at ordinal 1) instead of failing the stream the way append mode
+    * must. `_commit_snapshot_id` is engine-assigned, so the oracled
+    * projection keeps type + ordinal. */
+  val qStreamIcebergCdc: Q = (s, dir) => {
+    val loc = scratch("streamicecdc")
+    val t = GraftTable(s, loc)
+    t.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0))
+    graft.iceberg.IcebergExport.export(s, t, history = 8)
+    val name = "graft_stream_icecdc_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft-iceberg")
+      .option("mode", "cdc").load(loc)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$loc-ckpt").start()
+    try {
+      q.processAllAvailable() // full state as inserts
+      t.merge(Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_orderstatus", lit("D")),
+        keys = Seq("o_orderkey"), dedupKey = Seq("o_orderkey"),
+        orderCol = "o_orderkey")
+      t.append(Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 9 === 0))
+      graft.iceberg.IcebergExport.export(s, t, history = 8)
+      q.processAllAvailable() // one batch: merge pairs + append inserts
+    } finally q.stop()
+    val resultDf = s.table(name)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("_change_type"), col("_change_ordinal"))
+      .orderBy(col("_change_ordinal"), col("_change_type"),
+        col("o_orderkey"), col("o_orderstatus"))
+    val rows = resultDf.collect()
+    val outSchema = resultDf.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+  val qStreamIcebergCdcSql: String =
+    """WITH state1 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |b0 AS (SELECT *, 'insert' AS _change_type, 0 AS _change_ordinal
+      |  FROM state1),
+      |m_del AS (SELECT *, 'delete' AS _change_type, 0 AS _change_ordinal
+      |  FROM state1 WHERE o_orderkey % 6 = 0),
+      |m_ins AS (SELECT o_orderkey, o_custkey, 'D' AS o_orderstatus,
+      |    o_totalprice, o_orderdate, 'insert' AS _change_type,
+      |    0 AS _change_ordinal
+      |  FROM orders WHERE o_orderkey % 6 = 0),
+      |app AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, 'insert' AS _change_type, 1 AS _change_ordinal
+      |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, _change_type,
+      |  _change_ordinal
+      |FROM (SELECT * FROM b0 UNION ALL SELECT * FROM m_del
+      |  UNION ALL SELECT * FROM m_ins UNION ALL SELECT * FROM app)
+      |ORDER BY _change_ordinal, _change_type, o_orderkey,
+      |  o_orderstatus""".stripMargin
+
   /** Iceberg IMPORT of LIVE MOR state: the exported tree carries both v2
     * delete encodings (equality tombstones from two overriding merges +
     * position tombstones from a point delete), and the importer's live
@@ -1716,6 +1786,7 @@ object TableQueries {
     ("q_iceberg_diff", qIcebergDiff, Some(qIcebergDiffSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
+    ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),
     ("q_iceberg_history", qIcebergHistory, Some(qIcebergHistorySql)),
     ("q_iceberg_mor_export", qIcebergMorExport,
       Some(qIcebergMorExportSql)),

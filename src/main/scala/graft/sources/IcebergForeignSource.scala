@@ -19,11 +19,20 @@ class IcebergForeignSource extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-iceberg source requires a path"))
 
+  private def cdcMode(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("mode", "append") match {
+      case "append" => false
+      case "cdc" => true
+      case other => throw new IllegalArgumentException(
+        s"graft-iceberg mode must be 'append' or 'cdc', got '$other'")
+    }
+
   override def sourceSchema(ctx: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), new graft.streaming.IcebergStreamSource(
-      ctx.sparkSession, location(parameters)).schema)
+      ctx.sparkSession, location(parameters),
+      cdc = cdcMode(parameters)).schema)
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -31,5 +40,6 @@ class IcebergForeignSource extends StreamSourceProvider
       : org.apache.spark.sql.execution.streaming.Source =
     new graft.streaming.IcebergStreamSource(ctx.sparkSession,
       location(parameters),
-      parameters.get("skipRewrites").exists(_.toBoolean))
+      parameters.get("skipRewrites").exists(_.toBoolean),
+      cdc = cdcMode(parameters))
 }

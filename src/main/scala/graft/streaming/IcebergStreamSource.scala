@@ -33,16 +33,34 @@ import graft.iceberg.IcebergImport
   * under-deliver.
   *
   * getOffset polls only metadata.json (no manifest walk), so idle ticks
-  * cost one small file read. */
+  * cost one small file read.
+  *
+  * `.option("mode", "cdc")` switches the delivery contract from
+  * append-rows to PER-COMMIT CHANGE ROWS ([[IcebergImport.diffPerCommit]]):
+  * every row carries `_change_type` / `_change_ordinal` /
+  * `_commit_snapshot_id`, batch 0 is the full state as inserts, and —
+  * the point — foreign merges/deletes/overwrites no longer fail the
+  * stream: an append commit in a batch range still flows metadata-only,
+  * a compaction is silent, and a rewriting commit delivers its
+  * pre-image delete + post-image insert pairs. Replay stays
+  * exactly-once as a BAG per batch: the change set is a pure function
+  * of the two offset snapshot ids over the immutable tree. */
 class IcebergStreamSource(spark: SparkSession, location: String,
-    skipRewrites: Boolean = false) extends Source {
+    skipRewrites: Boolean = false, cdc: Boolean = false) extends Source {
 
   override val schema: StructType = {
     val p = IcebergImport.plan(spark, location)
     // plan schemas carry parquet.field.id markers for the scan; the
     // stream's public schema is the plain form
-    StructType(p.schema.map(f =>
+    val base = StructType(p.schema.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    if (!cdc) base else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_change_ordinal",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
   private def toId(o: Offset): Long = o match {
@@ -56,14 +74,21 @@ class IcebergStreamSource(spark: SparkSession, location: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = toId(end)
+    import org.apache.spark.sql.functions.lit
     val batch = start match {
       case None => // first batch: the full state at the pinned snapshot
-        IcebergImport.read(spark, location, Some(endId.toString))
+        val full = IcebergImport.read(spark, location, Some(endId.toString))
+        if (!cdc) full
+        else full.withColumn("_change_type", lit("insert"))
+          .withColumn("_change_ordinal", lit(0))
+          .withColumn("_commit_snapshot_id", lit(endId))
       case Some(s) =>
         val startId = toId(s)
         if (startId >= endId)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else if (cdc) IcebergImport.diffPerCommit(spark, location,
+          startId, Some(endId.toString))
         else IcebergImport.readChanges(spark, location, startId,
           Some(endId.toString), skipRewrites)
     }

@@ -617,4 +617,66 @@ class StreamingSpec extends SparkSpec {
         .collect().sorted === Array(1L, 2L, 3L, 4L))
     } finally q.stop()
   }
+
+  test("foreign Iceberg streaming CDC mode: merges/deletes flow as " +
+      "per-commit change rows instead of failing; restart catch-up " +
+      "exactly-once") {
+    import graft.table.GraftTable
+    import graft.iceberg.IcebergExport
+    val base = tmpDir("stream-ice-cdc")
+    val t = GraftTable(spark, s"$base/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 14)
+    val sBase = t.latestSnapshotId.get
+    def start() = Streaming.graftSink(
+      spark.readStream.format("graft-iceberg")
+        .option("mode", "cdc").load(t.location),
+      s"$base/out", txnAppId = "ice-cdc-spec")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    def out() = GraftTable(spark, s"$base/out").read()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(out().count() === 2)
+      assert(out().select("_change_type").distinct().as[String]
+        .collect().toSeq === Seq("insert"))
+      // the foreign writer merges, deletes AND appends — the append-mode
+      // stream would fail here; CDC delivers all three as change rows
+      t.merge(Seq((1L, "zz")).toDF("id", "v"), keys = Seq("id"),
+        dedupKey = Seq("id"), orderCol = "id") // ord 0: update pair
+      t.deletePositions($"id" === 2L) // ord 1: delete
+      t.append(Seq((3L, "c")).toDF("id", "v")) // ord 2: insert, no diff
+      IcebergExport.export(spark, t, history = 14)
+      q.processAllAvailable()
+      val post = out()
+        .filter($"_commit_snapshot_id" =!= sBase)
+        .select("id", "v", "_change_type", "_change_ordinal")
+        .as[(Long, String, String, Int)].collect()
+        .sortBy(r => (r._4, r._3, r._1)).toSeq
+      assert(post === Seq(
+        (1L, "a", "delete", 0), (1L, "zz", "insert", 0),
+        (2L, "b", "delete", 1),
+        (3L, "c", "insert", 2)))
+      // idle tick delivers nothing
+      q.processAllAvailable()
+      assert(out().count() === 6)
+    } finally q.stop()
+
+    // change committed while the stream is DOWN → restart delivers the
+    // catch-up diff exactly once from the checkpointed offset
+    t.merge(Seq((3L, "C")).toDF("id", "v"), keys = Seq("id"),
+      dedupKey = Seq("id"), orderCol = "id")
+    IcebergExport.export(spark, t, history = 14)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // checkpointed offsets: the restarted query delivers ONLY the
+      // missed range, as exactly its diff pair — total 6 + 2
+      assert(out().count() === 8)
+      assert(out().filter($"id" === 3L)
+        .select("v", "_change_type").as[(String, String)].collect()
+        .sortBy(r => (r._2, r._1)).toSeq ===
+        Seq(("c", "delete"), ("C", "insert"), ("c", "insert")))
+    } finally q2.stop()
+  }
 }
