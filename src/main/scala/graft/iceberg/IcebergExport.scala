@@ -96,7 +96,7 @@ object IcebergExport {
       s"iceberg export does not support nested/complex type $other")
   }
 
-  private def jsonStr(s: String): String =
+  private[iceberg] def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** A schema field's Iceberg id: the graft field id when the table was
@@ -117,7 +117,7 @@ object IcebergExport {
   }
 
   /** Avro schema for the v2 manifest-list entry (spec field ids 500+). */
-  private val manifestListSchema: Schema = new Schema.Parser().parse(
+  private[iceberg] val manifestListSchema: Schema = new Schema.Parser().parse(
     """{
       |"type": "record", "name": "manifest_file", "fields": [
       | {"name": "manifest_path", "type": "string", "field-id": 500},
@@ -147,7 +147,7 @@ object IcebergExport {
     * field). Kept to types whose partition-dir strings parse back
     * unambiguously; date/timestamp identity partitioning is better
     * served by the hidden transforms anyway. */
-  private def partitionAvroType(dt: DataType): String = dt match {
+  private[iceberg] def partitionAvroType(dt: DataType): String = dt match {
     case StringType => "string"
     case LongType => "long"
     case IntegerType | ShortType | ByteType => "int"
@@ -166,7 +166,7 @@ object IcebergExport {
     * map<int, binary> stats (ids 125-130, Avro array-of-record map
     * encoding) keyed by schema field id — the pruning metadata external
     * engines' scan planners read. */
-  private def manifestEntrySchema(
+  private[iceberg] def manifestEntrySchema(
       partFields: Seq[(String, String)],
       equalityIds: Boolean = false): Schema = {
     val pf = partFields.zipWithIndex.map { case ((n, avroType), i) =>
@@ -279,7 +279,7 @@ object IcebergExport {
   }
 
   /** Parse a partition-dir value string back to the typed Avro value. */
-  private def partitionValue(s: String, dt: DataType): Any =
+  private[iceberg] def partitionValue(s: String, dt: DataType): Any =
     if (s == "__HIVE_DEFAULT_PARTITION__") null
     else dt match {
       case StringType => s
@@ -291,7 +291,7 @@ object IcebergExport {
       case other => throw new IllegalArgumentException(other.toString)
     }
 
-  private def writeAvro(file: File, schema: Schema,
+  private[iceberg] def writeAvro(file: File, schema: Schema,
       records: Seq[GenericRecord], meta: Map[String, String]): Long = {
     val datumWriter = new GenericDatumWriter[GenericRecord](schema)
     val w = new DataFileWriter[GenericRecord](datumWriter)
@@ -759,7 +759,7 @@ object IcebergExport {
     metaFile.toString
   }
 
-  private def localPath(fs: org.apache.hadoop.fs.FileSystem,
+  private[iceberg] def localPath(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): File = new File(fs.makeQualified(dir).toUri.getPath)
 
   private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,

@@ -172,7 +172,7 @@ object IcebergImport {
     * manifests are metadata-sized, a byte-array buffer is fine). Records
     * decode with the WRITER's embedded schema, so foreign manifests with
     * extra stats columns read untouched. */
-  private def readAvro(fs: FileSystem, uri: String): Seq[GenericRecord] = {
+  private[iceberg] def readAvro(fs: FileSystem, uri: String): Seq[GenericRecord] = {
     val bytes = readFully(fs, new Path(new java.net.URI(uri)))
     val r = new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(bytes),
@@ -234,7 +234,7 @@ object IcebergImport {
   /** Resolve a foreign table's scan plan at a snapshot: `at` is None
     * (current), a ref name from `refs` (tag or branch), or a snapshot id
     * in digits. */
-  private def parseMeta(spark: SparkSession, tableLocation: String)
+  private[iceberg] def parseMeta(spark: SparkSession, tableLocation: String)
       : (FileSystem, org.json4s.JValue, Path) = {
     val fs = new Path(tableLocation)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -629,7 +629,7 @@ object IcebergImport {
     } finally r.close()
   }
 
-  private def footerInfo(spark: SparkSession, uri: String): FooterInfo =
+  private[iceberg] def footerInfo(spark: SparkSession, uri: String): FooterInfo =
     readFooterInfo(spark.sessionState.newHadoopConf(), uri)
 
   /** Classify every data file as id-ful / id-less. Cheap path: sniff a

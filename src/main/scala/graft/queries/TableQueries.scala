@@ -535,6 +535,32 @@ object TableQueries {
       |  SELECT *, 'delete' AS _change_type FROM del)
       |ORDER BY _change_type, o_orderkey""".stripMargin
 
+  /** WRITE-BACK into a foreign Iceberg tree: `IcebergWriteBack.appendTo`
+    * commits the odd-key slice into an identity-partitioned v2 tree as a
+    * new snapshot (data parquet + manifest + manifest list + next
+    * metadata.json version, existing metadata carried forward
+    * untouched), and the foreign read returns the union — the write
+    * direction of the multi-engine loop. The oracle is the plain union
+    * of both slices. */
+  val qIcebergWriteback: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icewb"))
+    t.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0), parts = Seq("o_orderstatus"))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    graft.iceberg.IcebergWriteBack.appendTo(s, t.location,
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 7 === 0))
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergWritebackSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0
+      |   OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -1784,6 +1810,7 @@ object TableQueries {
     ("q_iceberg_import_pruned", qIcebergImportPruned,
       Some(qIcebergImportPrunedSql)),
     ("q_iceberg_diff", qIcebergDiff, Some(qIcebergDiffSql)),
+    ("q_iceberg_writeback", qIcebergWriteback, Some(qIcebergWritebackSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

@@ -172,6 +172,13 @@ case class GraftCallCommand(proc: String, location: String,
         graft.iceberg.IcebergImport.importInto(spark, source, location,
           at = args.get("at"))
           .latestSnapshotId.getOrElse(-1L)
+      case "append_iceberg" =>
+        // WRITE-BACK: commit the named Spark table/view into the FOREIGN
+        // Iceberg tree at the target path as one v2 append snapshot
+        val source = args.getOrElse("source",
+          throw new IllegalArgumentException(s"graft.$proc needs source"))
+        graft.iceberg.IcebergWriteBack.appendTo(spark, location,
+          spark.table(source))
       case "import_iceberg_changes" =>
         // incremental FOLLOW: append only the foreign (since, target]
         // append-delta into this table (IcebergImport.readChanges rules:
@@ -189,7 +196,7 @@ case class GraftCallCommand(proc: String, location: String,
           "retrofit_field_ids, prune_dangling_deletes, maintain_rollup, " +
           "rollback, remove_orphan_files, set_partition_spec, tag, " +
           "drop_tag, branch, drop_branch, fast_forward, import_iceberg, " +
-          "import_iceberg_changes")
+          "import_iceberg_changes, append_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -232,7 +239,11 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // incremental follow of a foreign table: CALL
     //   graft.import_iceberg_changes('dest', source => '/path',
     //     since => <last imported foreign snapshot id> [, at => ref])
-    "import_iceberg_changes" -> (Seq("source", "since"), Set("at")))
+    "import_iceberg_changes" -> (Seq("source", "since"), Set("at")),
+    // WRITE-BACK: append a Spark table/view into a FOREIGN Iceberg v2
+    // tree (iceberg.IcebergWriteBack) as one snapshot commit: CALL
+    //   graft.append_iceberg('/path/to/iceberg', source => 'view_name')
+    "append_iceberg" -> (Seq("source"), Set.empty[String]))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -280,8 +291,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"graft.$proc needs a table name as its first argument"))
       // import_iceberg may target a PATH (the destination table often
       // does not exist yet — importInto creates it)
-      if ((proc == "import_iceberg" ||
-          proc == "import_iceberg_changes") && name.contains("/"))
+      if ((proc == "import_iceberg" || proc == "import_iceberg_changes" ||
+          proc == "append_iceberg") && name.contains("/"))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution
