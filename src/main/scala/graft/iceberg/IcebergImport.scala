@@ -604,6 +604,12 @@ object IcebergImport {
   private val FileCol = "__ice_import_file__"
   private val SeqCol = "__ice_import_seq__"
   private val PosCol = "__ice_import_pos__"
+  private val ManifestUriCol = "__ice_import_manifest_uri__"
+  /** Lineage columns exposed by [[readLineage]]: the data file's
+    * MANIFEST-form URI (the exact string other readers join position
+    * deletes against) and the row's ordinal within that file. */
+  private[iceberg] val LineageFileCol = "_ice_file"
+  private[iceberg] val LineagePosCol = "_ice_pos"
   /** Spark's parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
   private val FieldIdKey = "parquet.field.id"
   private val FieldIdReadConf = "spark.sql.parquet.fieldId.read.enabled"
@@ -723,10 +729,34 @@ object IcebergImport {
     chosen
   }
 
-  private def readPlan(spark: SparkSession, p: TablePlan): DataFrame = {
+  /** The MOR-aware foreign read PLUS per-row lineage — every surviving
+    * row carries [[LineageFileCol]] (its data file's manifest-form URI)
+    * and [[LineagePosCol]] (its ordinal within that file). This is the
+    * read [[IcebergWriteBack]] row-level operations build on: a position
+    * delete for a surviving row is exactly (file, pos) in the v2 spec's
+    * own coordinates. Same plan shape as [[read]] (one parquet scan,
+    * broadcast metadata joins); the only extra cost is carrying
+    * `_metadata.row_index` through the scan. */
+  private[iceberg] def readLineage(spark: SparkSession,
+      tableLocation: String, at: Option[String] = None): DataFrame = {
+    val p = plan(spark, tableLocation, at)
+    require(!p.schema.fieldNames.contains(LineageFileCol) &&
+      !p.schema.fieldNames.contains(LineagePosCol),
+      s"table schema collides with lineage columns " +
+        s"$LineageFileCol/$LineagePosCol")
+    readPlan(spark, p, lineage = true)
+  }
+
+  private def readPlan(spark: SparkSession, p: TablePlan,
+      lineage: Boolean = false): DataFrame = {
+    val lineageFields =
+      if (!lineage) Nil
+      else List(StructField(LineageFileCol, StringType),
+        StructField(LineagePosCol, LongType))
     if (p.files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], stripIds(p.schema))
+        spark.sparkContext.emptyRDD[Row],
+        StructType(stripIds(p.schema).fields ++ lineageFields))
     // Per the spec's resolution order, each data file resolves columns
     // BY FIELD ID when it embeds ids (renames and drop+re-add then
     // behave correctly, and int→long physical widening reads through),
@@ -750,19 +780,23 @@ object IcebergImport {
 
     val eqDeletes = p.deletes.filter(_.equalityCols.isDefined)
     val posDeletes = p.deletes.filter(_.equalityCols.isEmpty)
-    val needPos = posDeletes.nonEmpty
+    val needPos = posDeletes.nonEmpty || lineage
 
-    // per-file lookup: scan uri -> (data sequence, identity tuple values)
+    // per-file lookup: scan uri -> (data sequence, identity tuple values,
+    // and — for lineage reads — the file's manifest-form URI)
     val identityCols = p.identityCols.filter(c => schema.fieldNames.contains(c))
     val infoSchema = StructType(
       StructField(FileCol, StringType) ::
         StructField(SeqCol, LongType) ::
-        identityCols.toList.map(c =>
-          StructField(s"__ice_part_$c", schema(c).dataType)))
+        (identityCols.toList.map(c =>
+          StructField(s"__ice_part_$c", schema(c).dataType)) ++
+          (if (lineage) List(StructField(ManifestUriCol, StringType))
+           else Nil)))
     val infoRows = p.files.map { f =>
-      Row.fromSeq(scanUri(f.uri) +: f.seq +:
+      Row.fromSeq((scanUri(f.uri) +: f.seq +:
         identityCols.map(c => externalValue(
-          f.identity.getOrElse(c, null), schema(c).dataType)))
+          f.identity.getOrElse(c, null), schema(c).dataType))) ++
+        (if (lineage) Seq(f.uri) else Nil))
     }
     val info = spark.createDataFrame(
       spark.sparkContext.parallelize(infoRows, 1), infoSchema)
@@ -835,7 +869,7 @@ object IcebergImport {
     // deleteSeq >= dataSeq; delete rows name files by their manifest URI
     // form, normalized to the scan's qualified form via the same lookup
     val afterPos =
-      if (!needPos) afterEq
+      if (posDeletes.isEmpty) afterEq
       else {
         val uriMap = spark.createDataFrame(
           p.files.map(f => (f.uri, scanUri(f.uri))))
@@ -858,7 +892,9 @@ object IcebergImport {
     // result columns so downstream consumers (graft create/append schema
     // storage) see a plain schema
     afterPos.select(schema.fieldNames.toIndexedSeq
-      .map(c => col(c).as(c, Metadata.empty)): _*)
+      .map(c => col(c).as(c, Metadata.empty)) ++
+      (if (lineage) Seq(col(ManifestUriCol).as(LineageFileCol),
+        col(PosCol).cast(LongType).as(LineagePosCol)) else Nil): _*)
   }
 
   /** Incremental foreign-table FOLLOW — Iceberg's incremental append

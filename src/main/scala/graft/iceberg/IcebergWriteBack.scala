@@ -5,59 +5,92 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.avro.generic.{GenericData, GenericRecord}
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{Metadata => SqlMetadata}
+import org.apache.spark.sql.types.{LongType, Metadata => SqlMetadata}
 
-/** Iceberg v2 WRITE-BACK: commit an APPEND into a FOREIGN Iceberg tree —
+/** Iceberg v2 WRITE-BACK: commit changes into a FOREIGN Iceberg tree —
   * the write direction of the multi-engine loop whose read direction is
   * [[IcebergImport]]. The reference's premise is several engines sharing
   * one Iceberg table (/root/reference/README.md:127-197); with import
   * (read/follow/diff/stream) plus this, graft participates in both
-  * directions with no Iceberg runtime jar: data parquet + one manifest +
-  * one manifest list + the next metadata.json version, all by the public
-  * table spec, leaving every existing snapshot/manifest byte untouched.
+  * directions with no Iceberg runtime jar, writing only by the public
+  * table spec and leaving every existing snapshot/manifest byte
+  * untouched. Three commit shapes:
+  *
+  *   - [[appendTo]] — one append snapshot: data parquet + one manifest +
+  *     carried-forward manifest list + the next metadata.json version;
+  *   - [[deleteWhere]] — one `delete` snapshot of v2 POSITION delete
+  *     files: the rows matching a predicate in the CURRENT state (MOR —
+  *     already-deleted rows never re-match) become (file_path, pos)
+  *     tombstones; no data byte is rewritten. Works under ANY partition
+  *     spec including hidden transforms — a position delete names exact
+  *     files, so no foreign transform ever needs evaluating;
+  *   - [[deleteKeys]] — one `delete` snapshot of v2 EQUALITY delete
+  *     files: key tuples tombstone every strictly-older row with that
+  *     key, with NO table scan — O(keys) cost, the streaming-CDC delete
+  *     shape at 100 TB;
+  *   - [[mergeInto]] — the reference's headline MERGE
+  *     (/root/reference/bronze-silver.py:151-160), run BY graft AGAINST
+  *     a foreign table: keyed upsert as ONE `overwrite` snapshot holding
+  *     a position-delete manifest (matched target rows) plus a data
+  *     manifest (every source row).
   *
   * Contract and refusals (fail-loud, never a silently-wrong tree):
   *   - v2 trees only, non-empty (a current snapshot must exist);
-  *   - the default partition spec must be UNPARTITIONED or all-IDENTITY:
-  *     appending under a hidden-transform spec would require evaluating
-  *     the foreign transform exactly (any mismatch mis-prunes external
-  *     readers), so it is refused;
-  *   - the frame must carry exactly the current schema's columns (by
-  *     name; values are cast to the schema's types);
+  *   - appends (appendTo / mergeInto's insert side) need an
+  *     UNPARTITIONED or all-IDENTITY default spec: writing data under a
+  *     hidden-transform spec would require evaluating the foreign
+  *     transform exactly (any mismatch mis-prunes external readers);
+  *     deleteWhere has no such restriction;
+  *   - appended frames must carry exactly the current schema's columns
+  *     (by name; values are cast to the schema's types);
   *   - a current snapshot holding a v1-style inline `manifests` array is
   *     refused (there is no manifest list to extend).
   *
-  * New data files follow the TREE's column-resolution convention
-  * (one footer sniff): id-ful trees get parquet field ids stamped from
-  * the current schema (so later renames in the foreign engine keep
-  * resolving our files), id-less trees (adopted files, graft's own
-  * export) stay id-less name-resolved — the append never flips the tree
-  * into the mixed mode that costs readers a distributed footer sniff.
+  * New files follow the TREE's column-resolution convention (one footer
+  * sniff): id-ful trees get parquet field ids stamped (data files from
+  * the current schema; position-delete files the spec's reserved ids
+  * 2147483546/2147483545), id-less trees stay id-less name-resolved —
+  * a write-back never flips the tree into the mixed mode that costs
+  * readers a distributed footer sniff.
   *
   * Existing manifests are CARRIED FORWARD by reference in the new
   * manifest list (their per-manifest partition summaries are dropped —
   * readers then read those manifests instead of skipping, conservative
   * and correct). Commit ordering per the spec: the new snapshot takes
-  * `last-sequence-number + 1`, refs.main advances, the snapshot-log
+  * `last-sequence-number + 1` — so a position delete written here
+  * applies to every current data file (deleteSeq >= dataSeq) and never
+  * to data committed after it; refs.main advances; the snapshot-log
   * appends. The metadata version file is written temp-then-rename and
   * never overwrites an existing version — a concurrent foreign commit
   * surfaces as a loud failure to publish, not a lost update.
   *
-  * Scale shape: the data write is an ordinary distributed parquet write
-  * (partitionBy for identity specs); driver-side work is O(new files)
-  * footer reads plus O(existing manifests) list records — never a
-  * manifest walk of the table's full file set. */
+  * Scale shape: data and delete writes are ordinary distributed parquet
+  * writes (partitionBy for identity specs; delete rows globally sorted
+  * by (file, pos) per the spec's recommendation); the matched-row scan
+  * behind deleteWhere/mergeInto is [[IcebergImport.readLineage]] — the
+  * same one-scan + broadcast-metadata plan as a foreign read. Driver-side
+  * work is O(new files) footer reads plus O(existing manifests) list
+  * records — never a manifest walk of the table's full file set. */
 object IcebergWriteBack {
 
-  /** Append `df` to the foreign tree at `tableLocation` as one v2
-    * snapshot commit; returns the new snapshot id. */
-  def appendTo(spark: SparkSession, tableLocation: String,
-      df: DataFrame): Long = {
-    import org.json4s._
-    import org.json4s.JsonDSL._
+  import org.json4s._
+
+  /** Parsed-and-validated foreign tree state shared by every commit
+    * shape: current snapshot, schema, default spec, and the ids the new
+    * commit will take. */
+  private case class Tree(fs: FileSystem, meta: JValue, metaFile: Path,
+      tableUri: String, tableLocation: String,
+      curId: Long, snapsJ: List[JValue], oldListUri: String,
+      curSchemaId: Int, schemaJ: JValue,
+      fields: Seq[(String, Int, String)], // (name, field id, iceberg type)
+      defaultSpecId: Int, defSpecFields: Seq[JValue],
+      specTriples: Seq[(String, String, Int)], // (name, transform, srcId)
+      newSeq: Long, newId: Long)
+
+  private def loadTree(spark: SparkSession, tableLocation: String): Tree = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
 
@@ -66,7 +99,7 @@ object IcebergWriteBack {
       s"iceberg write-back needs a v2 tree (sequence numbers): $metaFile")
     val curId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw new IllegalStateException(
-      s"$metaFile has no current snapshot — write-back appends to " +
+      s"$metaFile has no current snapshot — write-back commits to " +
         "established tables only"))
     val snapsJ = (meta \ "snapshots").children
     val curSnap = snapsJ.find(s =>
@@ -97,7 +130,7 @@ object IcebergWriteBack {
         ((f \ "name").extract[String], (f \ "id").extract[Int], t)
       }
 
-    // ---- default partition spec: unpartitioned or all-identity ----
+    // ---- default partition spec fields ----
     val defaultSpecId = (meta \ "default-spec-id").extractOpt[Int]
       .getOrElse(0)
     val defSpecFields: Seq[JValue] = (meta \ "partition-specs").children
@@ -107,50 +140,50 @@ object IcebergWriteBack {
     val specTriples: Seq[(String, String, Int)] = defSpecFields.map(f =>
       ((f \ "name").extract[String], (f \ "transform").extract[String],
         (f \ "source-id").extract[Int]))
-    require(specTriples.forall(_._2 == "identity"),
+
+    val lastSeq = (meta \ "last-sequence-number").extractOpt[Long]
+      .getOrElse(0L)
+    val newId = snapsJ.map(s => (s \ "snapshot-id").extract[Long])
+      .foldLeft(0L)(math.max) + 1
+    val tableUri = fs.makeQualified(new Path(tableLocation))
+      .toUri.toString.stripSuffix("/")
+    Tree(fs, meta, metaFile, tableUri, tableLocation, curId, snapsJ,
+      oldListUri, curSchemaId, schemaJ, fields, defaultSpecId,
+      defSpecFields, specTriples, lastSeq + 1, newId)
+  }
+
+  /** Appends need an unpartitioned/all-identity default spec; returns
+    * the identity partition column names in spec order. */
+  private def identityPartCols(tree: Tree): Seq[String] = {
+    require(tree.specTriples.forall(_._2 == "identity"),
       s"write-back appends under identity/unpartitioned specs only; " +
-        s"default spec $defaultSpecId has transforms " +
-        specTriples.filter(_._2 != "identity").map(t =>
+        s"default spec ${tree.defaultSpecId} has transforms " +
+        tree.specTriples.filter(_._2 != "identity").map(t =>
           s"${t._1}:${t._2}").mkString(", ") +
         " — appending would require evaluating the foreign transform " +
         "exactly; import the table instead")
-    val nameById = fields.map(f => f._2 -> f._1).toMap
-    val partCols: Seq[String] = specTriples.map(t =>
+    val nameById = tree.fields.map(f => f._2 -> f._1).toMap
+    tree.specTriples.map(t =>
       nameById.getOrElse(t._3, throw new IllegalStateException(
         s"spec field ${t._1} references unknown source-id ${t._3}")))
+  }
 
-    // ---- align the frame to the schema (names, order, types) ----
-    val have = df.columns.toSet
-    val want = fields.map(_._1).toSet
-    require(have == want,
-      s"frame columns must match the table schema exactly; " +
-        s"missing=${(want -- have).mkString(",")} " +
-        s"extra=${(have -- want).mkString(",")}")
-    // match the tree's resolution convention: one footer sniff of one
-    // existing live data file
-    val plan0 = IcebergImport.plan(spark, tableLocation)
-    val treeHasIds = plan0.files.headOption.exists(f =>
-      IcebergImport.footerInfo(spark, f.uri).hasIds)
-    val aligned = df.select(fields.map { case (n, id, t) =>
-      val c = col(n).cast(IcebergImport.sparkType(t))
-      if (treeHasIds) c.as(n,
-        SqlMetadata.fromJson(s"""{"parquet.field.id": $id}"""))
-      else c.as(n)
-    }: _*)
+  /** Does the tree resolve columns by parquet field id? One footer sniff
+    * of one live data file. */
+  private def treeHasIds(spark: SparkSession, tree: Tree): Boolean =
+    IcebergImport.plan(spark, tree.tableLocation).files.headOption
+      .exists(f => IcebergImport.footerInfo(spark, f.uri).hasIds)
 
-    // ---- distributed data write ----
-    val tableUri = fs.makeQualified(new Path(tableLocation))
-      .toUri.toString.stripSuffix("/")
-    val dataRel = s"data/graft-append-${UUID.randomUUID()}"
-    val outDir = new Path(tableLocation, dataRel)
-    val w = aligned.write.mode("errorifexists")
-    if (partCols.nonEmpty) w.partitionBy(partCols: _*)
-      .parquet(outDir.toString)
-    else w.parquet(outDir.toString)
+  private def idMeta(id: Long): SqlMetadata =
+    SqlMetadata.fromJson(s"""{"parquet.field.id": $id}""")
 
+  /** List the parquet files a write just produced under `dataRel`,
+    * returning (table-relative path, hive partition tuple, rows, bytes). */
+  private def listWritten(spark: SparkSession, tree: Tree, dataRel: String)
+      : Seq[(String, Map[String, String], Long, Long)] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val it = fs.listFiles(outDir, true)
-    val newFiles = Seq.newBuilder[(String, Map[String, String], Long, Long)]
+    val it = tree.fs.listFiles(new Path(tree.tableLocation, dataRel), true)
+    val out = Seq.newBuilder[(String, Map[String, String], Long, Long)]
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
@@ -167,25 +200,46 @@ object IcebergWriteBack {
           }.toMap
         val rows = graft.table.FooterStats.read(hadoopConf, st.getPath,
           Seq.empty)._2
-        newFiles += ((tail, tuple, rows, st.getLen))
+        out += ((tail, tuple, rows, st.getLen))
       }
     }
-    val files = newFiles.result()
+    out.result()
+  }
+
+  /** Write `df` as new data files under the tree's default (identity)
+    * spec and build the data manifest; returns its manifest-list record. */
+  private def newDataManifest(spark: SparkSession, tree: Tree,
+      df: DataFrame, hasIds: Boolean): GenericRecord = {
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val partCols = identityPartCols(tree)
+
+    // ---- align the frame to the schema (names, order, types) ----
+    val have = df.columns.toSet
+    val want = tree.fields.map(_._1).toSet
+    require(have == want,
+      s"frame columns must match the table schema exactly; " +
+        s"missing=${(want -- have).mkString(",")} " +
+        s"extra=${(have -- want).mkString(",")}")
+    val aligned = df.select(tree.fields.map { case (n, id, t) =>
+      val c = col(n).cast(IcebergImport.sparkType(t))
+      if (hasIds) c.as(n, idMeta(id.toLong)) else c.as(n)
+    }: _*)
+
+    // ---- distributed data write ----
+    val dataRel = s"data/graft-append-${UUID.randomUUID()}"
+    val outDir = new Path(tree.tableLocation, dataRel)
+    val w = aligned.write.mode("errorifexists")
+    if (partCols.nonEmpty) w.partitionBy(partCols: _*)
+      .parquet(outDir.toString)
+    else w.parquet(outDir.toString)
+    val files = listWritten(spark, tree, dataRel)
     require(partCols.isEmpty || files.forall(f =>
       partCols.forall(f._2.contains)),
       "written files lack expected partition dirs (layout drift)")
 
-    // ---- ids and sequence for the new commit ----
-    val lastSeq = (meta \ "last-sequence-number").extractOpt[Long]
-      .getOrElse(0L)
-    val newSeq = lastSeq + 1
-    val newId = snapsJ.map(s => (s \ "snapshot-id").extract[Long])
-      .foldLeft(0L)(math.max) + 1
-    val now = System.currentTimeMillis()
-
     // ---- new data manifest ----
-    val typeById = fields.map(f => f._2 -> f._3).toMap
-    val avroPartFields = specTriples.map { case (phys, _, srcId) =>
+    val typeById = tree.fields.map(f => f._2 -> f._3).toMap
+    val avroPartFields = tree.specTriples.map { case (phys, _, srcId) =>
       phys -> IcebergExport.partitionAvroType(
         IcebergImport.sparkType(typeById(srcId)))
     }
@@ -193,17 +247,17 @@ object IcebergWriteBack {
     val entries = files.map { case (rel, tuple, rows, len) =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
-      e.put("snapshot_id", newId)
-      e.put("sequence_number", newSeq)
-      e.put("file_sequence_number", newSeq)
+      e.put("snapshot_id", tree.newId)
+      e.put("sequence_number", tree.newSeq)
+      e.put("file_sequence_number", tree.newSeq)
       val dfr = new GenericData.Record(
         entrySchema.getField("data_file").schema())
       dfr.put("content", 0)
-      dfr.put("file_path", s"$tableUri/$rel")
+      dfr.put("file_path", s"${tree.tableUri}/$rel")
       dfr.put("file_format", "PARQUET")
       val part = new GenericData.Record(
         dfr.getSchema.getField("partition").schema())
-      specTriples.foreach { case (phys, _, srcId) =>
+      tree.specTriples.foreach { case (phys, _, srcId) =>
         part.put(phys, IcebergExport.partitionValue(tuple(phys),
           IcebergImport.sparkType(typeById(srcId))))
       }
@@ -213,19 +267,137 @@ object IcebergWriteBack {
       e.put("data_file", dfr)
       e: GenericRecord
     }
-    val metaDir = new Path(tableLocation, "metadata")
-    val specFieldsJson = compact(render(JArray(defSpecFields.toList)))
+    val metaDir = new Path(tree.tableLocation, "metadata")
     val manifestName = s"${UUID.randomUUID()}-m0.avro"
     val manifestLen = IcebergExport.writeAvro(
-      new File(IcebergExport.localPath(fs, metaDir), manifestName),
+      new File(IcebergExport.localPath(tree.fs, metaDir), manifestName),
       entrySchema, entries,
-      Map("schema" -> compact(render(schemaJ)),
-        "schema-id" -> curSchemaId.toString,
-        "partition-spec" -> specFieldsJson,
-        "partition-spec-id" -> defaultSpecId.toString,
+      Map("schema" -> compact(render(tree.schemaJ)),
+        "schema-id" -> tree.curSchemaId.toString,
+        "partition-spec" ->
+          compact(render(JArray(tree.defSpecFields.toList))),
+        "partition-spec-id" -> tree.defaultSpecId.toString,
         "format-version" -> "2", "content" -> "data"))
 
-    // ---- manifest list: carry old manifests forward + the new one ----
+    val mls = IcebergExport.manifestListSchema
+    val rec = new GenericData.Record(mls)
+    rec.put("manifest_path", s"${tree.tableUri}/metadata/$manifestName")
+    rec.put("manifest_length", manifestLen)
+    rec.put("partition_spec_id", tree.defaultSpecId)
+    rec.put("content", 0)
+    rec.put("sequence_number", tree.newSeq)
+    rec.put("min_sequence_number", tree.newSeq)
+    rec.put("added_snapshot_id", tree.newId)
+    rec.put("added_data_files_count", files.size)
+    rec.put("existing_data_files_count", 0)
+    rec.put("deleted_data_files_count", 0)
+    rec.put("added_rows_count", files.map(_._3).sum)
+    rec.put("existing_rows_count", 0L)
+    rec.put("deleted_rows_count", 0L)
+    rec
+  }
+
+  /** Write pre-aligned delete rows (position coordinates, or equality
+    * key tuples) as v2 delete files plus their delete manifest.
+    * `content` is 1 (POSITION_DELETES — `rows` = (file_path, pos)) or 2
+    * (EQUALITY_DELETES — `rows` = the key columns, `equalityIds` their
+    * schema field ids). Returns None when `rows` is empty (nothing to
+    * commit); otherwise the manifest-list record and, when the tree has
+    * no unpartitioned spec to file the delete manifest under, the new
+    * spec id to register in the published metadata. Rows are globally
+    * sorted on `sortCols` per the spec's recommendation. */
+  private def newDeleteManifest(spark: SparkSession, tree: Tree,
+      rows: DataFrame, sortCols: Seq[String], content: Int,
+      equalityIds: Seq[Int])
+      : Option[(GenericRecord, Option[Int])] = {
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    implicit val fmts: Formats = DefaultFormats
+    val out = rows.sort(sortCols.map(col): _*)
+    val dataRel = s"data/graft-delete-${UUID.randomUUID()}"
+    val outDir = new Path(tree.tableLocation, dataRel)
+    out.write.mode("errorifexists").parquet(outDir.toString)
+    val files = listWritten(spark, tree, dataRel).filter(_._3 > 0)
+    if (files.isEmpty) { // no matches: leave no trace, commit nothing
+      tree.fs.delete(outDir, true)
+      return None
+    }
+
+    // the delete manifest files under an UNPARTITIONED spec (position
+    // deletes name exact files — partition scope adds nothing); reuse
+    // the tree's own unpartitioned spec when it has one, else register
+    // the next spec id alongside this commit
+    val specs: Seq[(Int, Seq[JValue])] =
+      (tree.meta \ "partition-specs").children.map(s =>
+        ((s \ "spec-id").extractOpt[Int].getOrElse(0),
+          (s \ "fields").children))
+    val existingUnpart = specs.find(_._2.isEmpty).map(_._1)
+    val specId = existingUnpart.getOrElse(
+      specs.map(_._1).foldLeft(-1)(math.max) + 1)
+
+    val delSchema = IcebergExport.manifestEntrySchema(Seq.empty,
+      equalityIds = true)
+    val entries = files.map { case (rel, _, rows, len) =>
+      val e = new GenericData.Record(delSchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", tree.newId)
+      e.put("sequence_number", tree.newSeq)
+      e.put("file_sequence_number", tree.newSeq)
+      val dfr = new GenericData.Record(
+        delSchema.getField("data_file").schema())
+      dfr.put("content", content) // 1 POSITION / 2 EQUALITY
+      if (equalityIds.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        dfr.put("equality_ids", equalityIds.map(Int.box).asJava)
+      }
+      dfr.put("file_path", s"${tree.tableUri}/$rel")
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(
+        dfr.getSchema.getField("partition").schema()))
+      dfr.put("record_count", rows)
+      dfr.put("file_size_in_bytes", len)
+      e.put("data_file", dfr)
+      e: GenericRecord
+    }
+    val metaDir = new Path(tree.tableLocation, "metadata")
+    val manifestName = s"${UUID.randomUUID()}-m1.avro"
+    val manifestLen = IcebergExport.writeAvro(
+      new File(IcebergExport.localPath(tree.fs, metaDir), manifestName),
+      delSchema, entries,
+      Map("schema" -> compact(render(tree.schemaJ)),
+        "schema-id" -> tree.curSchemaId.toString,
+        "partition-spec" -> "[]",
+        "partition-spec-id" -> specId.toString,
+        "format-version" -> "2", "content" -> "deletes"))
+
+    val mls = IcebergExport.manifestListSchema
+    val rec = new GenericData.Record(mls)
+    rec.put("manifest_path", s"${tree.tableUri}/metadata/$manifestName")
+    rec.put("manifest_length", manifestLen)
+    rec.put("partition_spec_id", specId)
+    rec.put("content", 1) // DELETES
+    rec.put("sequence_number", tree.newSeq)
+    rec.put("min_sequence_number", tree.newSeq)
+    rec.put("added_snapshot_id", tree.newId)
+    rec.put("added_data_files_count", files.size)
+    rec.put("existing_data_files_count", 0)
+    rec.put("deleted_data_files_count", 0)
+    rec.put("added_rows_count", files.map(_._3).sum)
+    rec.put("existing_rows_count", 0L)
+    rec.put("deleted_rows_count", 0L)
+    Some((rec, if (existingUnpart.isDefined) None else Some(specId)))
+  }
+
+  /** Publish one commit: carry the current manifest list forward, append
+    * `newRecords`, write the next metadata.json version (registering
+    * `addUnpartSpec` when a delete manifest needed a fresh unpartitioned
+    * spec). Returns the new snapshot id. */
+  private def publish(spark: SparkSession, tree: Tree,
+      newRecords: Seq[GenericRecord], operation: String,
+      addUnpartSpec: Option[Int]): Long = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    implicit val fmts: Formats = DefaultFormats
+    val now = System.currentTimeMillis()
     val mls = IcebergExport.manifestListSchema
     def carried(r: GenericRecord): GenericRecord = {
       val ml = new GenericData.Record(mls)
@@ -243,7 +415,7 @@ object IcebergWriteBack {
       ml.put("content", gI("content", 0))
       ml.put("sequence_number", gL("sequence_number", 0L))
       ml.put("min_sequence_number", gL("min_sequence_number", 0L))
-      ml.put("added_snapshot_id", gL("added_snapshot_id", curId))
+      ml.put("added_snapshot_id", gL("added_snapshot_id", tree.curId))
       ml.put("added_data_files_count", gI("added_data_files_count", 0))
       ml.put("existing_data_files_count",
         gI("existing_data_files_count", 0))
@@ -254,61 +426,63 @@ object IcebergWriteBack {
       ml.put("deleted_rows_count", gL("deleted_rows_count", 0L))
       ml
     }
-    val newMl = new GenericData.Record(mls)
-    newMl.put("manifest_path", s"$tableUri/metadata/$manifestName")
-    newMl.put("manifest_length", manifestLen)
-    newMl.put("partition_spec_id", defaultSpecId)
-    newMl.put("content", 0)
-    newMl.put("sequence_number", newSeq)
-    newMl.put("min_sequence_number", newSeq)
-    newMl.put("added_snapshot_id", newId)
-    newMl.put("added_data_files_count", files.size)
-    newMl.put("existing_data_files_count", 0)
-    newMl.put("deleted_data_files_count", 0)
-    newMl.put("added_rows_count", files.map(_._3).sum)
-    newMl.put("existing_rows_count", 0L)
-    newMl.put("deleted_rows_count", 0L)
     val listRecords: Seq[GenericRecord] =
-      IcebergImport.readAvro(fs, oldListUri).map(carried) :+ newMl
-    val listName = s"snap-$newId-1-${UUID.randomUUID()}.avro"
+      IcebergImport.readAvro(tree.fs, tree.oldListUri).map(carried) ++
+        newRecords
+    val metaDir = new Path(tree.tableLocation, "metadata")
+    val listName = s"snap-${tree.newId}-1-${UUID.randomUUID()}.avro"
     IcebergExport.writeAvro(
-      new File(IcebergExport.localPath(fs, metaDir), listName),
+      new File(IcebergExport.localPath(tree.fs, metaDir), listName),
       mls, listRecords, Map("format-version" -> "2"))
 
     // ---- next metadata.json version ----
     val entryJ: JObject =
-      ("sequence-number" -> newSeq) ~
-        ("snapshot-id" -> newId) ~
-        ("parent-snapshot-id" -> curId) ~
+      ("sequence-number" -> tree.newSeq) ~
+        ("snapshot-id" -> tree.newId) ~
+        ("parent-snapshot-id" -> tree.curId) ~
         ("timestamp-ms" -> now) ~
-        ("summary" -> (("operation" -> "append"): JObject)) ~
-        ("manifest-list" -> s"$tableUri/metadata/$listName") ~
-        ("schema-id" -> curSchemaId)
-    val oldRefs: List[JField] = (meta \ "refs") match {
+        ("summary" -> (("operation" -> operation): JObject)) ~
+        ("manifest-list" -> s"${tree.tableUri}/metadata/$listName") ~
+        ("schema-id" -> tree.curSchemaId)
+    val oldRefs: List[JField] = (tree.meta \ "refs") match {
       case JObject(fs0) => fs0
       case _ => Nil
     }
     val newRefs = JObject(oldRefs.filterNot(_._1 == "main") :+
-      ("main" -> (("snapshot-id" -> newId) ~
+      ("main" -> (("snapshot-id" -> tree.newId) ~
         ("type" -> "branch"): JObject)))
-    val oldLog = (meta \ "snapshot-log").children
+    val oldLog = (tree.meta \ "snapshot-log").children
     val newLog = JArray(oldLog :+
-      ((("timestamp-ms" -> now) ~ ("snapshot-id" -> newId)): JValue))
+      ((("timestamp-ms" -> now) ~ ("snapshot-id" -> tree.newId)): JValue))
+    val newSpecsJ: Option[JValue] = addUnpartSpec.map { sid =>
+      // register the fresh unpartitioned spec the delete manifest filed
+      // under (the default spec id is untouched)
+      val existing = (tree.meta \ "partition-specs").children match {
+        case Nil => List[JValue]( // defensive: synthesize the default
+          ("spec-id" -> tree.defaultSpecId) ~
+            ("fields" -> JArray(tree.defSpecFields.toList)))
+        case xs => xs
+      }
+      JArray(existing :+ ((("spec-id" -> sid) ~
+        ("fields" -> JArray(Nil))): JValue))
+    }
     val replaced = Set("last-updated-ms", "last-sequence-number",
-      "current-snapshot-id", "snapshots", "snapshot-log", "refs")
-    val kept = meta.asInstanceOf[JObject].obj
+      "current-snapshot-id", "snapshots", "snapshot-log", "refs") ++
+      (if (newSpecsJ.isDefined) Set("partition-specs") else Set.empty)
+    val kept = tree.meta.asInstanceOf[JObject].obj
       .filterNot(f => replaced.contains(f._1))
     val updated = JObject(kept ++ List[JField](
       "last-updated-ms" -> JLong(now),
-      "last-sequence-number" -> JLong(newSeq),
-      "current-snapshot-id" -> JLong(newId),
-      "snapshots" -> JArray(snapsJ :+ (entryJ: JValue)),
+      "last-sequence-number" -> JLong(tree.newSeq),
+      "current-snapshot-id" -> JLong(tree.newId),
+      "snapshots" -> JArray(tree.snapsJ :+ (entryJ: JValue)),
       "snapshot-log" -> newLog,
-      "refs" -> newRefs))
+      "refs" -> newRefs) ++
+      newSpecsJ.map(s => "partition-specs" -> s).toList)
 
     // version naming follows the tree's own family; publish by rename,
     // refusing to overwrite (a concurrent foreign commit fails loud)
-    val oldName = metaFile.getName
+    val oldName = tree.metaFile.getName
     val newMetaName =
       if (oldName.matches("v\\d+\\.metadata\\.json")) {
         val v = oldName.stripPrefix("v")
@@ -320,24 +494,142 @@ object IcebergWriteBack {
         f"$next%05d-${UUID.randomUUID()}.metadata.json"
       }
     val target = new Path(metaDir, newMetaName)
-    require(!fs.exists(target),
+    require(!tree.fs.exists(target),
       s"$target already exists — a concurrent commit published first; " +
         "re-read the table and retry")
     val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}.metadata.json")
-    val out = fs.create(tmp, false)
+    val out = tree.fs.create(tmp, false)
     try out.write(compact(render(updated))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, target))
+    if (!tree.fs.rename(tmp, target))
       throw new IllegalStateException(
         s"failed to publish $target (concurrent commit?); retry")
     val hint = new Path(metaDir, "version-hint.text")
-    if (fs.exists(hint) && newMetaName.startsWith("v")) {
-      val h = fs.create(hint, true)
+    if (tree.fs.exists(hint) && newMetaName.startsWith("v")) {
+      val h = tree.fs.create(hint, true)
       try h.write(newMetaName.stripPrefix("v")
         .stripSuffix(".metadata.json").getBytes(StandardCharsets.UTF_8))
       finally h.close()
     }
-    newId
+    tree.newId
+  }
+
+  /** Append `df` to the foreign tree at `tableLocation` as one v2
+    * snapshot commit; returns the new snapshot id. */
+  def appendTo(spark: SparkSession, tableLocation: String,
+      df: DataFrame): Long = {
+    val tree = loadTree(spark, tableLocation)
+    val hasIds = treeHasIds(spark, tree)
+    val rec = newDataManifest(spark, tree, df, hasIds)
+    publish(spark, tree, Seq(rec), "append", None)
+  }
+
+  /** Row-level DELETE against the foreign tree: the current-state rows
+    * matching `predicate` become v2 position tombstones in one `delete`
+    * snapshot — no data byte rewritten, any partition spec accepted.
+    * Returns the new snapshot id, or the CURRENT id when nothing matched
+    * (no empty commit is published). */
+  def deleteWhere(spark: SparkSession, tableLocation: String,
+      predicate: Column): Long = {
+    val tree = loadTree(spark, tableLocation)
+    val hasIds = treeHasIds(spark, tree)
+    val matched = posCoords(
+      IcebergImport.readLineage(spark, tableLocation).filter(predicate),
+      hasIds)
+    newDeleteManifest(spark, tree, matched, Seq("file_path", "pos"),
+      content = 1, equalityIds = Nil) match {
+      case None => tree.curId
+      case Some((rec, addSpec)) =>
+        publish(spark, tree, Seq(rec), "delete", addSpec)
+    }
+  }
+
+  /** Lineage rows → spec-shaped position-delete coordinates (reserved
+    * field ids 2147483546/2147483545, stamped iff the tree is id-ful). */
+  private def posCoords(lineage: DataFrame, hasIds: Boolean): DataFrame = {
+    val fp = col(IcebergImport.LineageFileCol)
+    val pos = col(IcebergImport.LineagePosCol).cast(LongType)
+    if (hasIds) lineage.select(fp.as("file_path", idMeta(2147483546L)),
+      pos.as("pos", idMeta(2147483545L)))
+    else lineage.select(fp.as("file_path"), pos.as("pos"))
+  }
+
+  /** Key-based DELETE against the foreign tree as v2 EQUALITY delete
+    * files — O(keys) work with NO table scan at all: the keys parquet
+    * plus one delete manifest plus the metadata commit. This is the
+    * shape a streaming CDC writer needs at 100 TB — tombstoning a
+    * million keys out of a petabyte costs megabytes, and readers apply
+    * the tombstones to strictly-older data by the v2 sequence rule
+    * (deleteSeq > dataSeq), so rows (re-)inserted AFTER this commit are
+    * untouched. `keys` carries one column per equality column (a subset
+    * of the schema); NULL key values are refused — the spec's equality
+    * semantics is null-safe but not every external reader joins
+    * null-safely, and a silent cross-engine divergence is worse than a
+    * loud refusal. Returns the new snapshot id, or the current id when
+    * `keys` is empty. */
+  def deleteKeys(spark: SparkSession, tableLocation: String,
+      keys: DataFrame): Long = {
+    val tree = loadTree(spark, tableLocation)
+    val byName = tree.fields.map(f => f._1 -> f).toMap
+    val cols = keys.columns.toSeq
+    require(cols.nonEmpty, "deleteKeys needs at least one key column")
+    val bad = cols.filterNot(byName.contains)
+    require(bad.isEmpty,
+      s"key columns not in table schema: ${bad.mkString(",")}")
+    val hasIds = treeHasIds(spark, tree)
+    val aligned = keys.select(cols.map { c =>
+      val (_, id, t) = byName(c)
+      val cast = col(c).cast(IcebergImport.sparkType(t))
+      if (hasIds) cast.as(c, idMeta(id.toLong)) else cast.as(c)
+    }: _*).distinct()
+    val nullCond = cols.map(col(_).isNull).reduce(_ || _)
+    require(aligned.filter(nullCond).limit(1).collect().isEmpty,
+      "deleteKeys refuses NULL key values (cross-engine equality-null " +
+        "semantics differ); delete those rows with deleteWhere instead")
+    newDeleteManifest(spark, tree, aligned, cols, content = 2,
+      equalityIds = cols.map(c => byName(c)._2)) match {
+      case None => tree.curId
+      case Some((rec, addSpec)) =>
+        publish(spark, tree, Seq(rec), "delete", addSpec)
+    }
+  }
+
+  /** Keyed UPSERT into the foreign tree — the reference's MERGE INTO
+    * shape (WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    * INSERT *), committed as ONE v2 `overwrite` snapshot: a position-
+    * delete manifest tombstones every current target row whose key
+    * appears in `source`, and a data manifest adds every source row.
+    * Duplicate source keys are refused (two source rows per key have no
+    * deterministic merge result — the same rule the engine-side
+    * MergeInto enforces via its dedup contract). Returns the new
+    * snapshot id. */
+  def mergeInto(spark: SparkSession, tableLocation: String,
+      source: DataFrame, keys: Seq[String]): Long = {
+    val tree = loadTree(spark, tableLocation)
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val schemaCols = tree.fields.map(_._1).toSet
+    val badKeys = keys.filterNot(schemaCols)
+    require(badKeys.isEmpty,
+      s"merge keys not in table schema: ${badKeys.mkString(",")}")
+    val hasIds = treeHasIds(spark, tree)
+    val dups = source.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"source has multiple rows for key ${dups.headOption.map(_.toString)
+        .getOrElse("")} — dedup the source before merging")
+    val matched = posCoords(
+      IcebergImport.readLineage(spark, tableLocation)
+        .join(source.select(keys.map(col): _*).distinct(), keys,
+          "left_semi"), hasIds)
+    val delRec = newDeleteManifest(spark, tree, matched,
+      Seq("file_path", "pos"), content = 1, equalityIds = Nil)
+    val dataRec = newDataManifest(spark, tree, source, hasIds)
+    delRec match {
+      case None => // pure insert — an honest append commit
+        publish(spark, tree, Seq(dataRec), "append", None)
+      case Some((rec, addSpec)) =>
+        publish(spark, tree, Seq(rec, dataRec), "overwrite", addSpec)
+    }
   }
 }

@@ -561,6 +561,79 @@ object TableQueries {
       |   OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Row-level DELETE write-back: `IcebergWriteBack.deleteWhere` reads
+    * the foreign tree's current state WITH per-row lineage (data file
+    * URI + ordinal), and commits the matching rows as v2 POSITION delete
+    * files in one `delete` snapshot — no data byte rewritten. The
+    * readback applies the tombstones MOR-style (both graft's importer
+    * here and DuckDB's hand-walk in the spec); the oracle is the plain
+    * complement filter. Exercised through the SQL surface
+    * (CALL graft.delete_iceberg) so the statement path is what's
+    * oracled. */
+  val qIcebergWritebackDelete: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icewbdel"))
+    t.append(Tables.load(s, dir, "orders"), parts = Seq("o_orderstatus"))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    s.sql(s"CALL graft.delete_iceberg('${t.location}', " +
+      "where => 'o_orderkey % 3 = 0')")
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergWritebackDeleteSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 3 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Equality-delete write-back: `IcebergWriteBack.deleteKeys` commits
+    * the key tuples as v2 EQUALITY delete files — O(keys), NO table
+    * scan (the 100 TB streaming-CDC delete shape) — and the readback
+    * applies them to strictly-older rows by the v2 sequence rule. The
+    * oracle is the key-complement filter. */
+  val qIcebergWritebackDeleteKeys: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icewbdelk"))
+    val orders = Tables.load(s, dir, "orders")
+    t.append(orders, parts = Seq("o_orderstatus"))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    graft.iceberg.IcebergWriteBack.deleteKeys(s, t.location,
+      orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergWritebackDeleteKeysSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** MERGE write-back — the reference's headline statement
+    * (/root/reference/bronze-silver.py:151-160), run BY graft AGAINST a
+    * foreign Iceberg tree: `IcebergWriteBack.mergeInto` upserts the
+    * source (update matched keys, insert new ones) as ONE `overwrite`
+    * snapshot holding a position-delete manifest plus a data manifest.
+    * Correct only if matched pre-images vanish (no duplicate keys in the
+    * readback) and unmatched target rows survive untouched. */
+  val qIcebergWritebackMerge: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icewbmrg"))
+    val orders = Tables.load(s, dir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 2 === 0),
+      parts = Seq("o_orderstatus"))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    val src = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("D"))
+    graft.iceberg.IcebergWriteBack.mergeInto(s, t.location, src,
+      keys = Seq("o_orderkey"))
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergWritebackMergeSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE o_orderstatus END
+      |    AS o_orderstatus,
+      |  o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -1811,6 +1884,12 @@ object TableQueries {
       Some(qIcebergImportPrunedSql)),
     ("q_iceberg_diff", qIcebergDiff, Some(qIcebergDiffSql)),
     ("q_iceberg_writeback", qIcebergWriteback, Some(qIcebergWritebackSql)),
+    ("q_iceberg_writeback_delete", qIcebergWritebackDelete,
+      Some(qIcebergWritebackDeleteSql)),
+    ("q_iceberg_writeback_delete_keys", qIcebergWritebackDeleteKeys,
+      Some(qIcebergWritebackDeleteKeysSql)),
+    ("q_iceberg_writeback_merge", qIcebergWritebackMerge,
+      Some(qIcebergWritebackMergeSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

@@ -179,6 +179,31 @@ case class GraftCallCommand(proc: String, location: String,
           throw new IllegalArgumentException(s"graft.$proc needs source"))
         graft.iceberg.IcebergWriteBack.appendTo(spark, location,
           spark.table(source))
+      case "delete_iceberg" =>
+        // row-level WRITE-BACK: tombstone the foreign rows matching the
+        // predicate as one v2 position-delete snapshot
+        val where = args.getOrElse("where",
+          throw new IllegalArgumentException(s"graft.$proc needs where"))
+        graft.iceberg.IcebergWriteBack.deleteWhere(spark, location,
+          org.apache.spark.sql.functions.expr(where))
+      case "delete_iceberg_keys" =>
+        // key-based WRITE-BACK: v2 equality-delete snapshot, O(keys)
+        // with no table scan — the view's columns ARE the key columns
+        val source = args.getOrElse("source",
+          throw new IllegalArgumentException(s"graft.$proc needs source"))
+        graft.iceberg.IcebergWriteBack.deleteKeys(spark, location,
+          spark.table(source))
+      case "merge_iceberg" =>
+        // row-level WRITE-BACK: keyed upsert of a Spark table/view into
+        // the foreign tree as one overwrite snapshot (position deletes
+        // for matched keys + data files for every source row)
+        val source = args.getOrElse("source",
+          throw new IllegalArgumentException(s"graft.$proc needs source"))
+        val keys = args.getOrElse("keys",
+          throw new IllegalArgumentException(s"graft.$proc needs keys"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.iceberg.IcebergWriteBack.mergeInto(spark, location,
+          spark.table(source), keys)
       case "import_iceberg_changes" =>
         // incremental FOLLOW: append only the foreign (since, target]
         // append-delta into this table (IcebergImport.readChanges rules:
@@ -196,7 +221,8 @@ case class GraftCallCommand(proc: String, location: String,
           "retrofit_field_ids, prune_dangling_deletes, maintain_rollup, " +
           "rollback, remove_orphan_files, set_partition_spec, tag, " +
           "drop_tag, branch, drop_branch, fast_forward, import_iceberg, " +
-          "import_iceberg_changes, append_iceberg")
+          "import_iceberg_changes, append_iceberg, delete_iceberg, " +
+          "delete_iceberg_keys, merge_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -243,7 +269,16 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // WRITE-BACK: append a Spark table/view into a FOREIGN Iceberg v2
     // tree (iceberg.IcebergWriteBack) as one snapshot commit: CALL
     //   graft.append_iceberg('/path/to/iceberg', source => 'view_name')
-    "append_iceberg" -> (Seq("source"), Set.empty[String]))
+    "append_iceberg" -> (Seq("source"), Set.empty[String]),
+    // row-level write-back into a FOREIGN tree: CALL
+    //   graft.delete_iceberg('/path/to/iceberg', where => 'id % 3 = 0')
+    //   graft.merge_iceberg('/path/to/iceberg', source => 'view',
+    //     keys => 'id')   — keys is a comma-separated column list
+    "delete_iceberg" -> (Seq("where"), Set.empty[String]),
+    //   graft.delete_iceberg_keys('/path', source => 'keys_view')
+    //     — equality deletes; the view's columns are the key columns
+    "delete_iceberg_keys" -> (Seq("source"), Set.empty[String]),
+    "merge_iceberg" -> (Seq("source", "keys"), Set.empty[String]))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -292,7 +327,9 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // import_iceberg may target a PATH (the destination table often
       // does not exist yet — importInto creates it)
       if ((proc == "import_iceberg" || proc == "import_iceberg_changes" ||
-          proc == "append_iceberg") && name.contains("/"))
+          proc == "append_iceberg" || proc == "delete_iceberg" ||
+          proc == "delete_iceberg_keys" || proc == "merge_iceberg") &&
+          name.contains("/"))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution

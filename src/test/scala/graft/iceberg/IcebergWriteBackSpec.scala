@@ -105,6 +105,180 @@ class IcebergWriteBackSpec extends SparkSpec {
     assert(IcebergImport.read(spark, u.location).count() === 1)
   }
 
+  test("deleteWhere: a position-delete commit every reader honors; " +
+      "stacked deletes tombstone by ORIGINAL ordinal; no-match is a " +
+      "no-commit; data files untouched") {
+    val t = GraftTable(spark, tmpDir("wb-del") + "/t")
+    t.append((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    val filesBefore = IcebergImport.plan(spark, t.location).files.map(_.uri)
+
+    val s1 = IcebergWriteBack.deleteWhere(spark, t.location,
+      col("id") % 3 === 0)
+    assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+      .collect().sorted === (1L to 20L).filter(_ % 3 != 0).toArray)
+    // snapshot stamped as a delete op; no data file rewritten or dropped
+    val snap = IcebergImport.snapshots(spark, t.location)
+      .orderBy(col("sequence_number").desc).limit(1)
+      .select("snapshot_id", "operation").as[(Long, String)].collect()(0)
+    assert(snap === ((s1, "delete")))
+    assert(IcebergImport.plan(spark, t.location).files.map(_.uri) ===
+      filesBefore)
+    // the new delete file follows the tree's id-ful convention (reserved
+    // spec ids 2147483546/2147483545)
+    val delFiles = IcebergImport.plan(spark, t.location).deletes
+    assert(delFiles.nonEmpty && delFiles.forall(_.equalityCols.isEmpty))
+    assert(delFiles.forall(d =>
+      IcebergImport.footerInfo(spark, d.uri).hasIds))
+    // external engine agrees
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t").!!
+    assert(out.trim.split("\n").last === "14")
+    // a second delete stacks MOR-style: its positions are computed on
+    // SURVIVORS but tombstone the original ordinals, so both apply
+    IcebergWriteBack.deleteWhere(spark, t.location, col("id") <= 5)
+    assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+      .collect().sorted ===
+      (1L to 20L).filter(i => i % 3 != 0 && i > 5).toArray)
+    val out2 = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t").!!
+    assert(out2.trim.split("\n").last === "10")
+    // nothing matches → current id returned, no snapshot published
+    val tip = IcebergImport.currentSnapshotId(spark, t.location).get
+    assert(IcebergWriteBack.deleteWhere(spark, t.location,
+      col("id") > 999L) === tip)
+    assert(IcebergImport.currentSnapshotId(spark, t.location).get === tip)
+  }
+
+  test("deleteWhere works under a hidden-transform spec (the case " +
+      "appendTo must refuse): position deletes name exact files, no " +
+      "foreign transform evaluated") {
+    val t = GraftTable(spark, tmpDir("wb-del-days") + "/t")
+    t.append(Seq(
+      (1L, java.sql.Date.valueOf("2024-01-02")),
+      (2L, java.sql.Date.valueOf("2024-01-02")),
+      (3L, java.sql.Date.valueOf("2024-02-05"))).toDF("id", "d"),
+      parts = Seq("days(d)"))
+    IcebergExport.export(spark, t)
+    IcebergWriteBack.deleteWhere(spark, t.location, col("id") === 2L)
+    assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+      .collect().sorted === Array(1L, 3L))
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t").!!
+    assert(out.trim.split("\n").last === "2")
+  }
+
+  test("deleteKeys: equality-delete commit with NO table scan — keys " +
+      "tombstone strictly-older rows only; a later re-insert of the " +
+      "same key survives; NULL keys refused") {
+    val t = GraftTable(spark, tmpDir("wb-delk") + "/t")
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    IcebergWriteBack.deleteKeys(spark, t.location,
+      Seq(2L, 5L, 8L, 99L).toDF("id")) // 99 matches nothing — harmless
+    assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+      .collect().sorted === Array(1L, 3L, 4L, 6L, 7L, 9L, 10L))
+    // the delete file is equality-encoded and carries the key column
+    val dels = IcebergImport.plan(spark, t.location).deletes
+    assert(dels.nonEmpty &&
+      dels.forall(_.equalityCols.contains(Seq("id"))))
+    // external engine applies the same tombstones
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t").!!
+    assert(out.trim.split("\n").last === "7")
+    // v2 strict ordering: deleteSeq > dataSeq — re-inserting key 5
+    // AFTER the delete survives both readers
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((5L, "reborn")).toDF("id", "v"))
+    assert(IcebergImport.read(spark, t.location)
+      .filter(col("id") === 5L).select("v").as[String].collect() ===
+      Array("reborn"))
+    val out2 = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT v FROM t WHERE id = 5").!!
+    assert(out2.trim.split("\n").last === "reborn")
+    // NULL keys: loud refusal (cross-engine null-equality divergence)
+    val e = intercept[IllegalArgumentException](
+      IcebergWriteBack.deleteKeys(spark, t.location,
+        Seq(Some(1L), None).toDF("id")))
+    assert(e.getMessage.contains("NULL"))
+    // SQL surface
+    Seq(7L).toDF("id").createOrReplaceTempView("wb_delk_keys")
+    spark.sql(s"CALL graft.delete_iceberg_keys('${t.location}', " +
+      "source => 'wb_delk_keys')")
+    assert(IcebergImport.read(spark, t.location)
+      .filter(col("id") === 7L).count() === 0)
+    spark.catalog.dropTempView("wb_delk_keys")
+  }
+
+  test("mergeInto: keyed upsert as ONE overwrite commit — matched rows " +
+      "tombstoned + source rows appended; diff over the foreign tree " +
+      "shows exactly the update pairs; duplicate source keys refused") {
+    val t = GraftTable(spark, tmpDir("wb-merge") + "/t")
+    t.append((1L to 10L).map(i => (i, s"old$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    val base = IcebergImport.currentSnapshotId(spark, t.location).get
+
+    // update 3,6,9; insert 11,12
+    val src = Seq(3L, 6L, 9L, 11L, 12L).map(i => (i, s"new$i"))
+      .toDF("id", "v")
+    val s1 = IcebergWriteBack.mergeInto(spark, t.location, src,
+      keys = Seq("id"))
+    val got = IcebergImport.read(spark, t.location)
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 12)
+    assert(got(3L) === "new3" && got(6L) === "new6" && got(9L) === "new9")
+    assert(got(1L) === "old1" && got(11L) === "new11")
+    val snap = IcebergImport.snapshots(spark, t.location)
+      .orderBy(col("sequence_number").desc).limit(1)
+      .select("snapshot_id", "operation").as[(Long, String)].collect()(0)
+    assert(snap === ((s1, "overwrite")))
+    // external engine agrees on the merged state
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t WHERE v LIKE 'new%'").!!
+    assert(out.trim.split("\n").last === "5")
+    // the foreign changelog reconstructs the merge: 3 update pairs +
+    // 2 pure inserts = 8 change rows across the range
+    val d = IcebergImport.diff(spark, t.location, base)
+    val byType = d.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType === Map("insert" -> 5L, "delete" -> 3L))
+    // duplicate source keys have no deterministic result → refuse
+    val e = intercept[IllegalArgumentException](
+      IcebergWriteBack.mergeInto(spark, t.location,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "v"), keys = Seq("id")))
+    assert(e.getMessage.contains("multiple rows"))
+    // a pure-insert merge publishes an honest append (follow-able)
+    val tip = IcebergImport.currentSnapshotId(spark, t.location).get
+    IcebergWriteBack.mergeInto(spark, t.location,
+      Seq((13L, "new13")).toDF("id", "v"), keys = Seq("id"))
+    assert(IcebergImport.readChanges(spark, t.location, tip)
+      .select("id").as[Long].collect() === Array(13L))
+  }
+
+  test("mergeInto on an identity-partitioned tree writes the upserts " +
+      "under partition dirs and keeps pruning truthful") {
+    val t = GraftTable(spark, tmpDir("wb-merge-part") + "/t")
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "cat", "x"), parts = Seq("cat"))
+    IcebergExport.export(spark, t)
+    // row 3 moves partition a→c; row 4 inserts into b
+    IcebergWriteBack.mergeInto(spark, t.location,
+      Seq((3L, "c", 30.0), (4L, "b", 4.0)).toDF("id", "cat", "x"),
+      keys = Seq("id"))
+    assert(IcebergImport.read(spark, t.location).orderBy("id")
+      .select("id", "cat").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "b")))
+    // pruning: partition a no longer contains id 3
+    assert(IcebergImport.readPartition(spark, t.location,
+      Map("cat" -> "a")).select("id").as[Long].collect() === Array(1L))
+    assert(IcebergImport.readPartition(spark, t.location,
+      Map("cat" -> "c")).select("id").as[Long].collect() === Array(3L))
+  }
+
   test("SQL surface: CALL graft.append_iceberg commits a view into the " +
       "foreign tree") {
     val t = GraftTable(spark, tmpDir("wb-call") + "/t")
@@ -118,5 +292,32 @@ class IcebergWriteBackSpec extends SparkSpec {
     assert(IcebergImport.read(spark, t.location).select("id").as[Long]
       .collect().sorted === (1L to 9L).toArray)
     spark.catalog.dropTempView("wb_call_src")
+  }
+
+  test("SQL surface: CALL graft.merge_iceberg upserts a view; the CDC " +
+      "foreign stream delivers the write-back merge as change rows") {
+    val t = GraftTable(spark, tmpDir("wb-call-merge") + "/t")
+    t.append((1L to 6L).map(i => (i, s"old$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    Seq((2L, "new2"), (7L, "new7")).toDF("id", "v")
+      .createOrReplaceTempView("wb_merge_src")
+    spark.sql(s"CALL graft.merge_iceberg('${t.location}', " +
+      "source => 'wb_merge_src', keys => 'id')")
+    val got = IcebergImport.read(spark, t.location)
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 7 && got(2L) === "new2" && got(7L) === "new7" &&
+      got(1L) === "old1")
+    spark.catalog.dropTempView("wb_merge_src")
+    // the graft-iceberg CDC stream rides through graft's OWN write-back
+    // merge: batch 0 = merged full state as inserts (7 rows)
+    val q = spark.readStream.format("graft-iceberg")
+      .option("mode", "cdc").load(t.location)
+      .writeStream.format("memory").queryName("wb_cdc_merge")
+      .start()
+    try {
+      q.processAllAvailable()
+      val cdc = spark.table("wb_cdc_merge")
+      assert(cdc.filter(col("_change_type") === "insert").count() === 7)
+    } finally q.stop()
   }
 }
