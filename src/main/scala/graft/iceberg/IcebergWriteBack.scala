@@ -571,28 +571,39 @@ object IcebergWriteBack {
   def deleteKeys(spark: SparkSession, tableLocation: String,
       keys: DataFrame): Long = {
     val tree = loadTree(spark, tableLocation)
+    val hasIds = treeHasIds(spark, tree)
+    val (aligned, cols, ids) = alignedKeyTuples(tree, keys,
+      keys.columns.toSeq, hasIds)
+    newDeleteManifest(spark, tree, aligned, cols, content = 2,
+      equalityIds = ids) match {
+      case None => tree.curId
+      case Some((rec, addSpec)) =>
+        publish(spark, tree, Seq(rec), "delete", addSpec)
+    }
+  }
+
+  /** Distinct key tuples aligned to the schema (types cast, field ids
+    * stamped iff the tree is id-ful), NULL keys refused — the shared
+    * contract of every equality-delete writer here. Returns the aligned
+    * frame, the column names, and their schema field ids. */
+  private def alignedKeyTuples(tree: Tree, df: DataFrame,
+      cols: Seq[String], hasIds: Boolean)
+      : (DataFrame, Seq[String], Seq[Int]) = {
     val byName = tree.fields.map(f => f._1 -> f).toMap
-    val cols = keys.columns.toSeq
-    require(cols.nonEmpty, "deleteKeys needs at least one key column")
+    require(cols.nonEmpty, "need at least one key column")
     val bad = cols.filterNot(byName.contains)
     require(bad.isEmpty,
       s"key columns not in table schema: ${bad.mkString(",")}")
-    val hasIds = treeHasIds(spark, tree)
-    val aligned = keys.select(cols.map { c =>
+    val aligned = df.select(cols.map { c =>
       val (_, id, t) = byName(c)
       val cast = col(c).cast(IcebergImport.sparkType(t))
       if (hasIds) cast.as(c, idMeta(id.toLong)) else cast.as(c)
     }: _*).distinct()
     val nullCond = cols.map(col(_).isNull).reduce(_ || _)
     require(aligned.filter(nullCond).limit(1).collect().isEmpty,
-      "deleteKeys refuses NULL key values (cross-engine equality-null " +
-        "semantics differ); delete those rows with deleteWhere instead")
-    newDeleteManifest(spark, tree, aligned, cols, content = 2,
-      equalityIds = cols.map(c => byName(c)._2)) match {
-      case None => tree.curId
-      case Some((rec, addSpec)) =>
-        publish(spark, tree, Seq(rec), "delete", addSpec)
-    }
+      "NULL key values refused for equality deletes (cross-engine " +
+        "equality-null semantics differ); use deleteWhere instead")
+    (aligned, cols, cols.map(c => byName(c)._2))
   }
 
   /** Keyed UPSERT into the foreign tree — the reference's MERGE INTO
@@ -605,7 +616,8 @@ object IcebergWriteBack {
     * MergeInto enforces via its dedup contract). Returns the new
     * snapshot id. */
   def mergeInto(spark: SparkSession, tableLocation: String,
-      source: DataFrame, keys: Seq[String]): Long = {
+      source: DataFrame, keys: Seq[String],
+      equalityDeletes: Boolean = false): Long = {
     val tree = loadTree(spark, tableLocation)
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val schemaCols = tree.fields.map(_._1).toSet
@@ -618,12 +630,27 @@ object IcebergWriteBack {
     require(dups.isEmpty,
       s"source has multiple rows for key ${dups.headOption.map(_.toString)
         .getOrElse("")} — dedup the source before merging")
-    val matched = posCoords(
-      IcebergImport.readLineage(spark, tableLocation)
-        .join(source.select(keys.map(col): _*).distinct(), keys,
-          "left_semi"), hasIds)
-    val delRec = newDeleteManifest(spark, tree, matched,
-      Seq("file_path", "pos"), content = 1, equalityIds = Nil)
+    val delRec =
+      if (equalityDeletes) {
+        // Flink-style upsert: tombstone the source KEYS as equality
+        // deletes — NO target scan at all; unmatched keys tombstone
+        // nothing (v2 ordering scopes them to strictly-older rows).
+        // O(source) total cost — the streaming upsert shape at 100 TB.
+        val (aligned, cols, ids) = alignedKeyTuples(tree,
+          source, keys, hasIds)
+        newDeleteManifest(spark, tree, aligned, cols, content = 2,
+          equalityIds = ids)
+      } else {
+        // position-precise: scan the target once (lineage read) and
+        // tombstone exactly the matched ordinals — the batch shape;
+        // readers then pay file+pos joins instead of key joins
+        val matched = posCoords(
+          IcebergImport.readLineage(spark, tableLocation)
+            .join(source.select(keys.map(col): _*).distinct(), keys,
+              "left_semi"), hasIds)
+        newDeleteManifest(spark, tree, matched,
+          Seq("file_path", "pos"), content = 1, equalityIds = Nil)
+      }
     val dataRec = newDataManifest(spark, tree, source, hasIds)
     delRec match {
       case None => // pure insert — an honest append commit

@@ -634,6 +634,37 @@ object TableQueries {
       |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Equality-MERGE write-back — the STREAMING upsert shape: the same
+    * keyed merge as [[qIcebergWritebackMerge]] but with
+    * `deletes => 'equality'`, so the commit never scans the target
+    * (source keys become v2 equality tombstones scoped to strictly-
+    * older rows by sequence number). Same oracle as the position merge
+    * on a different fixture slice — the two encodings must be
+    * indistinguishable to readers. */
+  val qIcebergWritebackMergeEq: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icewbmrgeq"))
+    val orders = Tables.load(s, dir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 2 === 1),
+      parts = Seq("o_orderstatus"))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("E"))
+      .createOrReplaceTempView("wb_eq_merge_src")
+    s.sql(s"CALL graft.merge_iceberg('${t.location}', " +
+      "source => 'wb_eq_merge_src', keys => 'o_orderkey', " +
+      "deletes => 'equality')")
+    s.catalog.dropTempView("wb_eq_merge_src")
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergWritebackMergeEqSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN 'E' ELSE o_orderstatus END
+      |    AS o_orderstatus,
+      |  o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 2 = 1 OR o_orderkey % 5 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -1890,6 +1921,8 @@ object TableQueries {
       Some(qIcebergWritebackDeleteKeysSql)),
     ("q_iceberg_writeback_merge", qIcebergWritebackMerge,
       Some(qIcebergWritebackMergeSql)),
+    ("q_iceberg_writeback_merge_eq", qIcebergWritebackMergeEq,
+      Some(qIcebergWritebackMergeEqSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

@@ -202,8 +202,14 @@ case class GraftCallCommand(proc: String, location: String,
         val keys = args.getOrElse("keys",
           throw new IllegalArgumentException(s"graft.$proc needs keys"))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val eq = args.get("deletes") match {
+          case None | Some("position") => false
+          case Some("equality") => true
+          case Some(other) => throw new IllegalArgumentException(
+            s"graft.$proc deletes must be position|equality, got $other")
+        }
         graft.iceberg.IcebergWriteBack.mergeInto(spark, location,
-          spark.table(source), keys)
+          spark.table(source), keys, equalityDeletes = eq)
       case "import_iceberg_changes" =>
         // incremental FOLLOW: append only the foreign (since, target]
         // append-delta into this table (IcebergImport.readChanges rules:
@@ -278,7 +284,9 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //   graft.delete_iceberg_keys('/path', source => 'keys_view')
     //     — equality deletes; the view's columns are the key columns
     "delete_iceberg_keys" -> (Seq("source"), Set.empty[String]),
-    "merge_iceberg" -> (Seq("source", "keys"), Set.empty[String]))
+    //   graft.merge_iceberg(..., deletes => 'equality') upserts with
+    //     equality tombstones (no target scan — the streaming shape)
+    "merge_iceberg" -> (Seq("source", "keys"), Set("deletes")))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {

@@ -259,6 +259,46 @@ class IcebergWriteBackSpec extends SparkSpec {
       .select("id").as[Long].collect() === Array(13L))
   }
 
+  test("mergeInto(equalityDeletes): the no-target-scan streaming upsert " +
+      "— same result as the position merge, tombstones are equality-" +
+      "encoded, and the plan never reads the target") {
+    val t = GraftTable(spark, tmpDir("wb-merge-eq") + "/t")
+    t.append((1L to 8L).map(i => (i, s"old$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    val src = Seq((2L, "new2"), (5L, "new5"), (9L, "new9"))
+      .toDF("id", "v")
+    IcebergWriteBack.mergeInto(spark, t.location, src, keys = Seq("id"),
+      equalityDeletes = true)
+    val got = IcebergImport.read(spark, t.location)
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 9)
+    assert(got(2L) === "new2" && got(5L) === "new5" && got(9L) === "new9")
+    assert(got(1L) === "old1" && got(8L) === "old8")
+    // tombstones are equality deletes on the key column
+    val dels = IcebergImport.plan(spark, t.location).deletes
+    assert(dels.nonEmpty &&
+      dels.forall(_.equalityCols.contains(Seq("id"))))
+    // external engine sees the same merged state
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t WHERE v LIKE 'new%'").!!
+    assert(out.trim.split("\n").last === "3")
+    // a second equality merge stacks (SQL surface): re-update key 2 —
+    // the newer tombstone applies to the first merge's row because the
+    // first merge's data seq is strictly older
+    Seq((2L, "newer2")).toDF("id", "v")
+      .createOrReplaceTempView("wb_eq_src2")
+    spark.sql(s"CALL graft.merge_iceberg('${t.location}', " +
+      "source => 'wb_eq_src2', keys => 'id', deletes => 'equality')")
+    spark.catalog.dropTempView("wb_eq_src2")
+    assert(IcebergImport.read(spark, t.location)
+      .filter(col("id") === 2L).select("v").as[String].collect() ===
+      Array("newer2"))
+    val out2 = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT v FROM t WHERE id = 2").!!
+    assert(out2.trim.split("\n").last === "newer2")
+  }
+
   test("mergeInto on an identity-partitioned tree writes the upserts " +
       "under partition dirs and keeps pruning truthful") {
     val t = GraftTable(spark, tmpDir("wb-merge-part") + "/t")
