@@ -268,11 +268,18 @@ object IcebergImport {
       throw new IllegalStateException(
         s"snapshot $targetId not in $metaFile"))
 
-    // schema: the SNAPSHOT's schema-id when stamped, else the table's
-    // current one, else the v1 top-level `schema`
+    // schema: Iceberg reads the CURRENT table schema for current-state
+    // reads (so a metadata-only schema evolve is visible before the next
+    // data commit), and the SNAPSHOT's stamped schema for explicit time
+    // travel; v1 fallback is the top-level `schema`
     val schemaJ: JValue = {
-      val sid = (snap \ "schema-id").extractOpt[Int]
-        .orElse((meta \ "current-schema-id").extractOpt[Int])
+      val sid =
+        if (at.isEmpty)
+          (meta \ "current-schema-id").extractOpt[Int]
+            .orElse((snap \ "schema-id").extractOpt[Int])
+        else
+          (snap \ "schema-id").extractOpt[Int]
+            .orElse((meta \ "current-schema-id").extractOpt[Int])
       val fromList = sid.flatMap(id => (meta \ "schemas").children.find(s =>
         (s \ "schema-id").extractOpt[Int].contains(id)))
       fromList.orElse((meta \ "schema").toOption).getOrElse(

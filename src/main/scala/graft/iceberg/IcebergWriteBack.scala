@@ -480,8 +480,16 @@ object IcebergWriteBack {
       "refs" -> newRefs) ++
       newSpecsJ.map(s => "partition-specs" -> s).toList)
 
-    // version naming follows the tree's own family; publish by rename,
-    // refusing to overwrite (a concurrent foreign commit fails loud)
+    writeVersion(tree, updated)
+    tree.newId
+  }
+
+  /** Publish the next metadata.json version: naming follows the tree's
+    * own family; temp-write then rename, refusing to overwrite (a
+    * concurrent foreign commit fails loud, never a lost update). */
+  private def writeVersion(tree: Tree, updated: JValue): Unit = {
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val metaDir = new Path(tree.tableLocation, "metadata")
     val oldName = tree.metaFile.getName
     val newMetaName =
       if (oldName.matches("v\\d+\\.metadata\\.json")) {
@@ -512,7 +520,6 @@ object IcebergWriteBack {
         .stripSuffix(".metadata.json").getBytes(StandardCharsets.UTF_8))
       finally h.close()
     }
-    tree.newId
   }
 
   /** Append `df` to the foreign tree at `tableLocation` as one v2
@@ -657,6 +664,149 @@ object IcebergWriteBack {
         publish(spark, tree, Seq(dataRec), "append", None)
       case Some((rec, addSpec)) =>
         publish(spark, tree, Seq(rec, dataRec), "overwrite", addSpec)
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // Schema evolution write-back: metadata-only commits (no snapshot, no
+  // sequence bump) that register a NEW schema entry and advance
+  // current-schema-id — exactly how Iceberg evolves. Readers resolve
+  // old files by FIELD ID (renames and int→long widening read through;
+  // added columns read NULL), so no data byte is touched. Every evolve
+  // publishes through the same concurrency-guarded version rename as a
+  // data commit.
+  // --------------------------------------------------------------------
+
+  /** Apply `edit` to the current schema's field list, register the
+    * result as a new schema, and advance current-schema-id. Returns the
+    * new schema id. */
+  private def evolveSchema(spark: SparkSession, tableLocation: String)
+      (edit: (List[JValue], Int) => (List[JValue], Int)): Int = {
+    import org.json4s.JsonDSL._
+    implicit val fmts: Formats = DefaultFormats
+    val tree = loadTree(spark, tableLocation)
+    val curFields = (tree.schemaJ \ "fields").children
+    val lastColId = (tree.meta \ "last-column-id").extractOpt[Int]
+      .getOrElse(if (tree.fields.isEmpty) 0 else tree.fields.map(_._2).max)
+    val (newFields, newLastCol) = edit(curFields, lastColId)
+    // existing schemas list (synthesized from the v1 top-level `schema`
+    // only defensively — loadTree already required a v2 tree)
+    val existing: List[JValue] = (tree.meta \ "schemas").children match {
+      case Nil => List(tree.schemaJ match {
+        case o: JObject if (o \ "schema-id") != JNothing => o
+        case o: JObject => o ~ ("schema-id" -> tree.curSchemaId)
+        case other => other
+      })
+      case xs => xs
+    }
+    val newSchemaId = existing.map(s =>
+      (s \ "schema-id").extractOpt[Int].getOrElse(0)).max + 1
+    val newSchema: JValue =
+      (("type" -> "struct"): JObject) ~ ("schema-id" -> newSchemaId) ~
+        ("fields" -> JArray(newFields))
+    val now = System.currentTimeMillis()
+    val replaced = Set("last-updated-ms", "last-column-id",
+      "current-schema-id", "schemas")
+    val kept = tree.meta.asInstanceOf[JObject].obj
+      .filterNot(f => replaced.contains(f._1))
+    writeVersion(tree, JObject(kept ++ List[JField](
+      "last-updated-ms" -> JLong(now),
+      "last-column-id" -> JInt(newLastCol),
+      "current-schema-id" -> JInt(newSchemaId),
+      "schemas" -> JArray(existing :+ newSchema))))
+    newSchemaId
+  }
+
+  /** Add an optional column of a flat scalar `icebergType` (e.g. "long",
+    * "string", "decimal(10,2)") to the foreign tree. Existing files read
+    * it as NULL; the next append must carry it. Returns the new schema
+    * id. */
+  def addColumn(spark: SparkSession, tableLocation: String,
+      name: String, icebergType: String): Int = {
+    implicit val fmts: Formats = DefaultFormats
+    IcebergImport.sparkType(icebergType) // validate before touching the tree
+    evolveSchema(spark, tableLocation) { (fields, lastCol) =>
+      require(!fields.exists(f =>
+        (f \ "name").extractOpt[String].contains(name)),
+        s"column $name already exists")
+      import org.json4s.JsonDSL._
+      val nf: JValue = (("id" -> (lastCol + 1)): JObject) ~
+        ("name" -> name) ~ ("required" -> false) ~
+        ("type" -> icebergType)
+      (fields :+ nf, lastCol + 1)
+    }
+  }
+
+  /** Rename a column. Field ids are preserved, so id-ful data files
+    * written under the old name keep resolving; id-less trees would
+    * break their name resolution and are refused. Returns the new
+    * schema id. */
+  def renameColumn(spark: SparkSession, tableLocation: String,
+      from: String, to: String): Int = {
+    implicit val fmts: Formats = DefaultFormats
+    require(IcebergImport.plan(spark, tableLocation).files.headOption
+      .forall(f => IcebergImport.footerInfo(spark, f.uri).hasIds),
+      "rename on an id-LESS tree would orphan existing files' columns " +
+        "(they resolve by name); retrofit field ids first")
+    evolveSchema(spark, tableLocation) { (fields, lastCol) =>
+      require(fields.exists(f =>
+        (f \ "name").extractOpt[String].contains(from)),
+        s"no such column: $from")
+      require(!fields.exists(f =>
+        (f \ "name").extractOpt[String].contains(to)),
+        s"column $to already exists")
+      import org.json4s.JsonDSL._
+      val nf = fields.map {
+        case f if (f \ "name").extractOpt[String].contains(from) =>
+          f.asInstanceOf[JObject].obj.map {
+            case ("name", _) => ("name", org.json4s.JString(to))
+            case kv => kv
+          } match { case obj => JObject(obj) }
+        case f => f
+      }
+      (nf, lastCol)
+    }
+  }
+
+  /** Widen a column per the spec's allowed promotions: int→long,
+    * float→double, decimal(P,S)→decimal(P2,S) with P2 >= P. Old files'
+    * stale bounds stop pruning for that column (the importer ignores
+    * bounds whose byte width no longer matches — conservative); id-ful
+    * parquet reads widen physically. Returns the new schema id. */
+  def widenColumn(spark: SparkSession, tableLocation: String,
+      name: String, toType: String): Int = {
+    implicit val fmts: Formats = DefaultFormats
+    def decimalOf(t: String): Option[(Int, Int)] =
+      if (!t.startsWith("decimal(")) None
+      else {
+        val Array(p, s) = t.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        Some((p, s))
+      }
+    evolveSchema(spark, tableLocation) { (fields, lastCol) =>
+      val cur = fields.find(f =>
+        (f \ "name").extractOpt[String].contains(name)).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $name"))
+      val fromType = (cur \ "type").extractOpt[String].getOrElse("")
+      val ok = (fromType, toType) match {
+        case ("int", "long") | ("float", "double") => true
+        case (f0, t0) => (decimalOf(f0), decimalOf(t0)) match {
+          case (Some((p1, s1)), Some((p2, s2))) => s1 == s2 && p2 >= p1
+          case _ => false
+        }
+      }
+      require(ok, s"promotion $fromType -> $toType is not in the " +
+        "spec's allowed set (int->long, float->double, decimal " +
+        "precision widening at equal scale)")
+      val nf = fields.map {
+        case f if (f \ "name").extractOpt[String].contains(name) =>
+          JObject(f.asInstanceOf[JObject].obj.map {
+            case ("type", _) => ("type", org.json4s.JString(toType))
+            case kv => kv
+          })
+        case f => f
+      }
+      (nf, lastCol)
     }
   }
 }

@@ -665,6 +665,40 @@ object TableQueries {
       |WHERE o_orderkey % 2 = 1 OR o_orderkey % 5 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Schema-evolution write-back lifecycle on a FOREIGN tree, driven
+    * through the SQL surface: ADD a column (metadata-only commit — old
+    * files read it as NULL), append THROUGH the evolved schema, then
+    * RENAME a column that is also the identity-partition source (old
+    * files' bytes and the manifest partition tuples must both resolve
+    * under the new name via field ids). The oracle recomputes the same
+    * shape from the raw table. */
+  val qIcebergEvolveWriteback: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icewbevo"))
+    val orders = Tables.load(s, dir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 2 === 0),
+      parts = Seq("o_orderstatus"))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    s.sql(s"CALL graft.evolve_iceberg('${t.location}', op => 'add', " +
+      "col => 'flag', type => 'int')")
+    graft.iceberg.IcebergWriteBack.appendTo(s, t.location,
+      orders.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 7 === 0)
+        .withColumn("flag", (col("o_orderkey") % 3).cast("int")))
+    s.sql(s"CALL graft.evolve_iceberg('${t.location}', " +
+      "op => 'rename', col => 'o_orderstatus', to => 'status')")
+    graft.iceberg.IcebergImport.read(s, t.location)
+      .select(col("o_orderkey"), col("status"), col("flag"))
+      .orderBy(col("o_orderkey"))
+  }
+  val qIcebergEvolveWritebackSql: String =
+    """SELECT o_orderkey, o_orderstatus AS status,
+      |  CASE WHEN o_orderkey % 2 = 1
+      |       THEN CAST(o_orderkey % 3 AS INTEGER) END AS flag
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0
+      |   OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -1923,6 +1957,8 @@ object TableQueries {
       Some(qIcebergWritebackMergeSql)),
     ("q_iceberg_writeback_merge_eq", qIcebergWritebackMergeEq,
       Some(qIcebergWritebackMergeEqSql)),
+    ("q_iceberg_evolve_writeback", qIcebergEvolveWriteback,
+      Some(qIcebergEvolveWritebackSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

@@ -210,6 +210,29 @@ case class GraftCallCommand(proc: String, location: String,
         }
         graft.iceberg.IcebergWriteBack.mergeInto(spark, location,
           spark.table(source), keys, equalityDeletes = eq)
+      case "evolve_iceberg" =>
+        // metadata-only schema evolution on a FOREIGN tree: op is one of
+        // add (col + type), rename (col + to), widen (col + type)
+        val op = args.getOrElse("op",
+          throw new IllegalArgumentException(s"graft.$proc needs op"))
+        val colName = args.getOrElse("col",
+          throw new IllegalArgumentException(s"graft.$proc needs col"))
+        (op match {
+          case "add" => graft.iceberg.IcebergWriteBack.addColumn(
+            spark, location, colName, args.getOrElse("type",
+              throw new IllegalArgumentException(
+                s"graft.$proc op=add needs type")))
+          case "rename" => graft.iceberg.IcebergWriteBack.renameColumn(
+            spark, location, colName, args.getOrElse("to",
+              throw new IllegalArgumentException(
+                s"graft.$proc op=rename needs to")))
+          case "widen" => graft.iceberg.IcebergWriteBack.widenColumn(
+            spark, location, colName, args.getOrElse("type",
+              throw new IllegalArgumentException(
+                s"graft.$proc op=widen needs type")))
+          case other => throw new IllegalArgumentException(
+            s"graft.$proc op must be add|rename|widen, got $other")
+        }).toLong
       case "import_iceberg_changes" =>
         // incremental FOLLOW: append only the foreign (since, target]
         // append-delta into this table (IcebergImport.readChanges rules:
@@ -228,7 +251,7 @@ case class GraftCallCommand(proc: String, location: String,
           "rollback, remove_orphan_files, set_partition_spec, tag, " +
           "drop_tag, branch, drop_branch, fast_forward, import_iceberg, " +
           "import_iceberg_changes, append_iceberg, delete_iceberg, " +
-          "delete_iceberg_keys, merge_iceberg")
+          "delete_iceberg_keys, merge_iceberg, evolve_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -286,7 +309,10 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "delete_iceberg_keys" -> (Seq("source"), Set.empty[String]),
     //   graft.merge_iceberg(..., deletes => 'equality') upserts with
     //     equality tombstones (no target scan — the streaming shape)
-    "merge_iceberg" -> (Seq("source", "keys"), Set("deletes")))
+    "merge_iceberg" -> (Seq("source", "keys"), Set("deletes")),
+    //   graft.evolve_iceberg('/path', op => 'add|rename|widen',
+    //     col => 'c' [, type => 'long'] [, to => 'newname'])
+    "evolve_iceberg" -> (Seq("op", "col"), Set("type", "to")))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -336,8 +362,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // does not exist yet — importInto creates it)
       if ((proc == "import_iceberg" || proc == "import_iceberg_changes" ||
           proc == "append_iceberg" || proc == "delete_iceberg" ||
-          proc == "delete_iceberg_keys" || proc == "merge_iceberg") &&
-          name.contains("/"))
+          proc == "delete_iceberg_keys" || proc == "merge_iceberg" ||
+          proc == "evolve_iceberg") && name.contains("/"))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution

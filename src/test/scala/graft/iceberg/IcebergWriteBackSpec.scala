@@ -319,6 +319,79 @@ class IcebergWriteBackSpec extends SparkSpec {
       Map("cat" -> "c")).select("id").as[Long].collect() === Array(3L))
   }
 
+  test("schema-evolution write-back: add/rename/widen are metadata-only " +
+      "commits — no snapshot, field-id resolution keeps old files " +
+      "readable, time travel sees the old schema") {
+    val t = GraftTable(spark, tmpDir("wb-evolve") + "/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    val tip = IcebergImport.currentSnapshotId(spark, t.location).get
+    val nSnaps = IcebergImport.snapshots(spark, t.location).count()
+
+    // ADD: current read gains a NULL column; snapshot count unchanged
+    IcebergWriteBack.addColumn(spark, t.location, "w", "long")
+    val afterAdd = IcebergImport.read(spark, t.location)
+    assert(afterAdd.schema.fieldNames.toSeq === Seq("id", "v", "w"))
+    assert(afterAdd.filter(col("w").isNull).count() === 2)
+    assert(IcebergImport.currentSnapshotId(spark, t.location).get === tip)
+    assert(IcebergImport.snapshots(spark, t.location).count() === nSnaps)
+    // the next append must carry the evolved schema — and does
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((3L, "c", 30L)).toDF("id", "v", "w"))
+    assert(IcebergImport.read(spark, t.location)
+      .filter(col("w") === 30L).count() === 1)
+    // time travel to the pre-evolve snapshot: OLD schema
+    assert(IcebergImport.read(spark, t.location, Some(tip.toString))
+      .schema.fieldNames.toSeq === Seq("id", "v"))
+
+    // RENAME: field ids preserved — old files' bytes resolve under the
+    // new name
+    IcebergWriteBack.renameColumn(spark, t.location, "v", "label")
+    val afterRename = IcebergImport.read(spark, t.location)
+    assert(afterRename.schema.fieldNames.toSeq ===
+      Seq("id", "label", "w"))
+    assert(afterRename.orderBy("id").select("label").as[String]
+      .collect().toSeq === Seq("a", "b", "c"))
+
+    // SQL surface
+    spark.sql(s"CALL graft.evolve_iceberg('${t.location}', " +
+      "op => 'add', col => 'z', type => 'int')")
+    assert(IcebergImport.read(spark, t.location).schema.fieldNames
+      .contains("z"))
+  }
+
+  test("widen write-back: int->long and float->double promote per the " +
+      "spec; pre-evolve files read through; stale bounds stop pruning " +
+      "conservatively; disallowed promotions refused") {
+    val t = GraftTable(spark, tmpDir("wb-widen") + "/t")
+    t.append(Seq((1, 1.5f, "a"), (2, 2.5f, "b")).toDF("k", "x", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    IcebergWriteBack.widenColumn(spark, t.location, "k", "long")
+    IcebergWriteBack.widenColumn(spark, t.location, "x", "double")
+    val widened = IcebergImport.read(spark, t.location)
+    assert(widened.schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(widened.schema("x").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    // pre-evolve physical int32/float bytes read through the widened
+    // schema (spec resolution by field id + parquet type promotion)
+    assert(widened.orderBy("k").as[(Long, Double, String)].collect()
+      .toSeq === Seq((1L, 1.5, "a"), (2L, 2.5, "b")))
+    // post-widen appends take values outside the old range
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((5000000000L, 3.5, "c")).toDF("k", "x", "v"))
+    assert(IcebergImport.read(spark, t.location)
+      .filter(col("k") > Int.MaxValue.toLong).count() === 1)
+    // readWhere stays CORRECT across mixed-width bounds (old files' 4-
+    // byte bounds can't prune a long predicate — conservative, included)
+    assert(IcebergImport.readWhere(spark, t.location, col("k") >= 2L)
+      .select("v").as[String].collect().sorted === Array("b", "c"))
+    // disallowed: long->int narrow, double->float, scale change
+    val e = intercept[IllegalArgumentException](
+      IcebergWriteBack.widenColumn(spark, t.location, "k", "int"))
+    assert(e.getMessage.contains("promotion"))
+  }
+
   test("SQL surface: CALL graft.append_iceberg commits a view into the " +
       "foreign tree") {
     val t = GraftTable(spark, tmpDir("wb-call") + "/t")
