@@ -91,7 +91,8 @@ object IcebergImport {
   case class DataFileRef(uri: String, seq: Long,
       identity: Map[String, Any],
       lower: Map[String, Any] = Map.empty,
-      upper: Map[String, Any] = Map.empty)
+      upper: Map[String, Any] = Map.empty,
+      bytes: Long = 0L)
   /** One live v2 delete file: `equalityCols` = Some(key column names)
     * for equality deletes, None for position deletes. `scope` is the
     * delete file's own identity-partition tuple — per the v2 spec a
@@ -178,6 +179,25 @@ object IcebergImport {
       new SeekableByteArrayInput(bytes),
       new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.toList finally r.close()
+  }
+
+  /** Like [[readAvro]] but also returns the container's string metadata
+    * (schema / partition-spec / content / ...) — needed to REWRITE a
+    * foreign manifest in its own writer schema without losing any of the
+    * original writer's annotations. */
+  private[iceberg] def readAvroWithMeta(fs: FileSystem, uri: String)
+      : (Seq[GenericRecord], Map[String, String]) = {
+    val bytes = readFully(fs, new Path(new java.net.URI(uri)))
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val meta = r.getMetaKeys.asScala
+        .filterNot(_.startsWith("avro.")) // reserved container keys
+        .filter(k => r.getMetaString(k) != null)
+        .map(k => k -> r.getMetaString(k)).toMap
+      (r.iterator().asScala.toList, meta)
+    } finally r.close()
   }
 
   private def str(v: Any): Any = v match {
@@ -421,7 +441,9 @@ object IcebergImport {
               }.getOrElse(Map.empty)
             }
             files += DataFileRef(uri, seq, identity,
-              boundsOf("lower_bounds"), boundsOf("upper_bounds"))
+              boundsOf("lower_bounds"), boundsOf("upper_bounds"),
+              Option(df.get("file_size_in_bytes"))
+                .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
           }
         }
       }
@@ -686,6 +708,17 @@ object IcebergImport {
       at: Option[String] = None): DataFrame = {
     val p = plan(spark, tableLocation, at)
     readPlan(spark, p)
+  }
+
+  /** MOR-applied read of a chosen SUBSET of the plan's data files (by
+    * manifest URI) — the input side of a foreign compaction: the kept
+    * files never enter the scan, while every delete file stays in force
+    * so the rewritten rows are exactly the surviving rows of the chosen
+    * files. */
+  private[iceberg] def readFileSubset(spark: SparkSession,
+      tableLocation: String, keep: Set[String]): DataFrame = {
+    val p = plan(spark, tableLocation)
+    readPlan(spark, p.copy(files = p.files.filter(f => keep(f.uri))))
   }
 
   /** Partition-pruned foreign read: only the data files whose manifest

@@ -390,10 +390,15 @@ object IcebergWriteBack {
   /** Publish one commit: carry the current manifest list forward, append
     * `newRecords`, write the next metadata.json version (registering
     * `addUnpartSpec` when a delete manifest needed a fresh unpartitioned
-    * spec). Returns the new snapshot id. */
+    * spec). `replaceManifests` swaps individual carried records by
+    * manifest_path — the compaction path, whose rewritten manifests
+    * supersede their originals in the new snapshot only (older
+    * snapshots keep referencing the untouched originals). Returns the
+    * new snapshot id. */
   private def publish(spark: SparkSession, tree: Tree,
       newRecords: Seq[GenericRecord], operation: String,
-      addUnpartSpec: Option[Int]): Long = {
+      addUnpartSpec: Option[Int],
+      replaceManifests: Map[String, GenericRecord] = Map.empty): Long = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
@@ -427,7 +432,9 @@ object IcebergWriteBack {
       ml
     }
     val listRecords: Seq[GenericRecord] =
-      IcebergImport.readAvro(tree.fs, tree.oldListUri).map(carried) ++
+      IcebergImport.readAvro(tree.fs, tree.oldListUri).map(r =>
+        replaceManifests.getOrElse(
+          String.valueOf(r.get("manifest_path")), carried(r))) ++
         newRecords
     val metaDir = new Path(tree.tableLocation, "metadata")
     val listName = s"snap-${tree.newId}-1-${UUID.randomUUID()}.avro"
@@ -665,6 +672,196 @@ object IcebergWriteBack {
       case Some((rec, addSpec)) =>
         publish(spark, tree, Seq(rec, dataRec), "overwrite", addSpec)
     }
+  }
+
+  /** MAINTENANCE write-back — compact the foreign tree's small files as
+    * one `replace` snapshot (Iceberg's rewrite_data_files, hand-walked):
+    * data files under `smallFileBytes` are read MOR-applied (their live
+    * position/equality tombstones are CONSUMED into the rewrite) and
+    * rewritten as right-sized files at the new sequence number, while
+    * every affected manifest is rewritten IN ITS OWN WRITER SCHEMA with
+    * the compacted entries flipped to status DELETED and the kept
+    * entries to EXISTING with explicit (inherited-made-explicit)
+    * sequence numbers and snapshot ids — so bounds/stats annotations the
+    * foreign writer recorded survive verbatim. Untouched manifests and
+    * ALL delete manifests carry forward by reference: equality deletes
+    * still apply to kept files (their sequences are unchanged) and can
+    * never re-apply to the rewrite (newSeq > every deleteSeq); position
+    * deletes naming rewritten files dangle harmlessly (no matching
+    * path). Older snapshots keep referencing the original manifests —
+    * time travel is untouched. Followers ride through via
+    * `readChanges(skipRewrites)` / the streaming source, exactly like a
+    * foreign engine's compaction.
+    *
+    * Only files filed under the DEFAULT all-identity/unpartitioned spec
+    * are compacted (the rewrite writes data, which needs partitionBy);
+    * manifests under other specs keep their files. No-op (current id,
+    * no commit) below `minInputFiles` candidates.
+    *
+    * Scale shape: the rewrite reads only the small files (subset scan);
+    * driver work is O(entries of affected manifests) — the same cost
+    * any Iceberg compaction pays to rewrite its manifests. */
+  def compactSmallFiles(spark: SparkSession, tableLocation: String,
+      smallFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20,
+      minInputFiles: Int = 2): Long = {
+    implicit val fmts: Formats = DefaultFormats
+    val tree = loadTree(spark, tableLocation)
+    identityPartCols(tree) // refuse hidden-transform default specs
+    val hasIds = treeHasIds(spark, tree)
+
+    // walk the manifest list once; candidates = live data files under
+    // the default spec smaller than the threshold
+    val listRecs = IcebergImport.readAvro(tree.fs, tree.oldListUri)
+    case class MF(path: String, listSeq: Long, addedSnap: Long,
+        specId: Int, content: Int)
+    val mfs = listRecs.map { r =>
+      def gL(n: String, d: Long) = Option(r.getSchema.getField(n))
+        .flatMap(_ => Option(r.get(n)))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(d)
+      MF(String.valueOf(r.get("manifest_path")),
+        gL("sequence_number", 0L), gL("added_snapshot_id", tree.curId),
+        Option(r.get("partition_spec_id")).map(_.asInstanceOf[Number]
+          .intValue).getOrElse(0),
+        Option(r.getSchema.getField("content")).flatMap(_ =>
+          Option(r.get("content"))).map(_.asInstanceOf[Number].intValue)
+          .getOrElse(0))
+    }
+    val smallByManifest: Map[String, Set[String]] = mfs
+      .filter(m => m.content == 0 && m.specId == tree.defaultSpecId)
+      .map { m =>
+        val entries = IcebergImport.readAvro(tree.fs, m.path)
+        val small = entries.filter { e =>
+          e.get("status").asInstanceOf[Int] != 2 && {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val isData = Option(df.get("content"))
+              .forall(_.asInstanceOf[Number].intValue == 0)
+            isData && Option(df.get("file_size_in_bytes"))
+              .exists(_.asInstanceOf[Number].longValue < smallFileBytes)
+          }
+        }.map(e => String.valueOf(e.get("data_file")
+          .asInstanceOf[GenericRecord].get("file_path")))
+        m.path -> small.toSet
+      }.filter(_._2.nonEmpty).toMap
+    val smallUris = smallByManifest.values.flatten.toSet
+    if (smallUris.size < minInputFiles) return tree.curId
+
+    // the rewrite: surviving rows of exactly the small files (their
+    // deletes consumed), repacked into ~targetFileBytes outputs at the
+    // new sequence — per-partition sizing is the writer's own
+    // partitionBy; the coalesce only bounds the file COUNT
+    val smallBytes = IcebergImport.plan(spark, tableLocation).files
+      .filter(f => smallUris(f.uri)).map(_.bytes).sum
+    val outFiles = math.max(1L,
+      (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val rows = IcebergImport.readFileSubset(spark, tableLocation,
+      smallUris).coalesce(outFiles)
+    val dataRec = newDataManifest(spark, tree, rows, hasIds)
+
+    // rewrite each affected manifest in its own writer schema
+    val metaDir = new Path(tree.tableLocation, "metadata")
+    val mls = IcebergExport.manifestListSchema
+    val replacements: Map[String, GenericRecord] = mfs
+      .filter(m => smallByManifest.contains(m.path)).map { m =>
+        val (entries, fileMeta) =
+          IcebergImport.readAvroWithMeta(tree.fs, m.path)
+        val small = smallByManifest(m.path)
+        var (kept, removed, keptRows, removedRows) = (0, 0, 0L, 0L)
+        var (minSeq, maxSeq) = (Long.MaxValue, 0L)
+        entries.foreach { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val rc = Option(df.get("record_count"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          // make inherited fields explicit — a rewritten manifest's
+          // list entry carries a NEW context, so nothing may inherit
+          def explicit(n: String, v: Long): Unit =
+            if (e.getSchema.getField(n) != null && e.get(n) == null)
+              e.put(n, v)
+          explicit("sequence_number", m.listSeq)
+          explicit("file_sequence_number", m.listSeq)
+          explicit("snapshot_id", m.addedSnap)
+          val seq = e.get("sequence_number").asInstanceOf[Number]
+            .longValue
+          if (small(String.valueOf(df.get("file_path")))) {
+            e.put("status", 2) // DELETED by this commit
+            removed += 1; removedRows += rc
+          } else if (e.get("status").asInstanceOf[Int] != 2) {
+            e.put("status", 0) // EXISTING
+            kept += 1; keptRows += rc
+            minSeq = math.min(minSeq, seq); maxSeq = math.max(maxSeq, seq)
+          }
+          // else: an already-DELETED entry from a prior rewrite — drop
+          // context by keeping it DELETED (readers skip status 2)
+        }
+        val name = s"${UUID.randomUUID()}-m0.avro"
+        val len = IcebergExport.writeAvro(
+          new File(IcebergExport.localPath(tree.fs, metaDir), name),
+          entries.head.getSchema, entries, fileMeta)
+        val rec = new GenericData.Record(mls)
+        rec.put("manifest_path", s"${tree.tableUri}/metadata/$name")
+        rec.put("manifest_length", len)
+        rec.put("partition_spec_id", m.specId)
+        rec.put("content", 0)
+        rec.put("sequence_number", m.listSeq)
+        rec.put("min_sequence_number",
+          if (kept == 0) m.listSeq else minSeq)
+        rec.put("added_snapshot_id", tree.newId)
+        rec.put("added_data_files_count", 0)
+        rec.put("existing_data_files_count", kept)
+        rec.put("deleted_data_files_count", removed)
+        rec.put("added_rows_count", 0L)
+        rec.put("existing_rows_count", keptRows)
+        rec.put("deleted_rows_count", removedRows)
+        m.path -> (rec: GenericRecord)
+      }.toMap
+
+    publish(spark, tree, Seq(dataRec), "replace", None, replacements)
+  }
+
+  /** MAINTENANCE write-back — expire old foreign snapshots as one
+    * metadata-only version: the newest `keepLast` snapshots of the main
+    * ancestor chain survive, plus every snapshot a ref (tag/branch)
+    * still points at; everything else leaves `snapshots` and the
+    * snapshot-log. No data or manifest file is deleted here — an
+    * expired snapshot's tree bytes become unreferenced (orphan cleanup
+    * is a separate, deliberately manual concern on a SHARED tree: other
+    * engines may still be reading pinned snapshots). Time travel to an
+    * expired id fails loud afterwards, exactly like Iceberg. Returns
+    * the number of snapshots dropped. */
+  def expireSnapshots(spark: SparkSession, tableLocation: String,
+      keepLast: Int): Int = {
+    implicit val fmts: Formats = DefaultFormats
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val tree = loadTree(spark, tableLocation)
+    val byId = tree.snapsJ.map(s =>
+      (s \ "snapshot-id").extract[Long] -> s).toMap
+    // main ancestor chain, newest first
+    val chain = Iterator.iterate(Option(tree.curId))(cur => cur.flatMap(
+      id => byId.get(id).flatMap(s =>
+        (s \ "parent-snapshot-id").extractOpt[Long])))
+      .takeWhile(_.exists(byId.contains)).flatten.toList
+    val refTargets = (tree.meta \ "refs") match {
+      case JObject(fs0) => fs0.flatMap { case (_, v) =>
+        (v \ "snapshot-id").extractOpt[Long] }.toSet
+      case _ => Set.empty[Long]
+    }
+    val keep = chain.take(keepLast).toSet ++ refTargets + tree.curId
+    val dropped = tree.snapsJ.filterNot(s =>
+      keep((s \ "snapshot-id").extract[Long]))
+    if (dropped.isEmpty) return 0
+    val keptSnaps = tree.snapsJ.filter(s =>
+      keep((s \ "snapshot-id").extract[Long]))
+    val keptLog = (tree.meta \ "snapshot-log").children.filter(e =>
+      keep((e \ "snapshot-id").extract[Long]))
+    val now = System.currentTimeMillis()
+    val replaced = Set("last-updated-ms", "snapshots", "snapshot-log")
+    val kept = tree.meta.asInstanceOf[JObject].obj
+      .filterNot(f => replaced.contains(f._1))
+    writeVersion(tree, JObject(kept ++ List[JField](
+      "last-updated-ms" -> JLong(now),
+      "snapshots" -> JArray(keptSnaps),
+      "snapshot-log" -> JArray(keptLog))))
+    dropped.size
   }
 
   // --------------------------------------------------------------------

@@ -699,6 +699,37 @@ object TableQueries {
       |   OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Foreign-tree MAINTENANCE write-back: four small appends plus an
+    * equality-delete write-back are binpacked by
+    * `CALL graft.compact_iceberg` into one `replace` snapshot — the
+    * rewrite consumes the live tombstones into right-sized files while
+    * every affected manifest is rewritten in its own writer schema. The
+    * query REQUIRES the live file count to drop (a no-op "compaction"
+    * must fail the run, not just read correctly); rows must equal the
+    * key-complement oracle. */
+  val qIcebergCompactWriteback: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icewbcmp"))
+    val orders = Tables.load(s, dir, "orders")
+    (0 to 3).foreach(i => t.append(
+      orders.filter(col("o_orderkey") % 4 === i).repartition(1)))
+    graft.iceberg.IcebergExport.export(s, t, history = 8)
+    graft.iceberg.IcebergWriteBack.deleteKeys(s, t.location,
+      orders.filter(col("o_orderkey") % 9 === 0).select("o_orderkey"))
+    val before = graft.iceberg.IcebergImport.plan(s, t.location).files.size
+    s.sql(s"CALL graft.compact_iceberg('${t.location}', " +
+      "min_input_files => 2)")
+    val after = graft.iceberg.IcebergImport.plan(s, t.location).files.size
+    require(after < before,
+      s"foreign compaction did not reduce live files: $before -> $after")
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergCompactWritebackSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 9 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -1959,6 +1990,8 @@ object TableQueries {
       Some(qIcebergWritebackMergeEqSql)),
     ("q_iceberg_evolve_writeback", qIcebergEvolveWriteback,
       Some(qIcebergEvolveWritebackSql)),
+    ("q_iceberg_compact_writeback", qIcebergCompactWriteback,
+      Some(qIcebergCompactWritebackSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

@@ -210,6 +210,21 @@ case class GraftCallCommand(proc: String, location: String,
         }
         graft.iceberg.IcebergWriteBack.mergeInto(spark, location,
           spark.table(source), keys, equalityDeletes = eq)
+      case "expire_iceberg" =>
+        // foreign-tree maintenance: metadata-only snapshot expiry (no
+        // file deletion — other engines may be reading pinned snapshots)
+        graft.iceberg.IcebergWriteBack.expireSnapshots(spark, location,
+          longArg("keep_last").getOrElse(1L).toInt).toLong
+      case "compact_iceberg" =>
+        // foreign-tree maintenance: small-file binpack as one replace
+        // commit (deletes consumed into the rewrite)
+        graft.iceberg.IcebergWriteBack.compactSmallFiles(spark, location,
+          smallFileBytes = longArg("small_file_bytes")
+            .getOrElse(32L << 20),
+          targetFileBytes = longArg("target_file_bytes")
+            .getOrElse(128L << 20),
+          minInputFiles = longArg("min_input_files")
+            .getOrElse(2L).toInt)
       case "evolve_iceberg" =>
         // metadata-only schema evolution on a FOREIGN tree: op is one of
         // add (col + type), rename (col + to), widen (col + type)
@@ -251,7 +266,8 @@ case class GraftCallCommand(proc: String, location: String,
           "rollback, remove_orphan_files, set_partition_spec, tag, " +
           "drop_tag, branch, drop_branch, fast_forward, import_iceberg, " +
           "import_iceberg_changes, append_iceberg, delete_iceberg, " +
-          "delete_iceberg_keys, merge_iceberg, evolve_iceberg")
+          "delete_iceberg_keys, merge_iceberg, evolve_iceberg, " +
+          "compact_iceberg, expire_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -312,7 +328,13 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "merge_iceberg" -> (Seq("source", "keys"), Set("deletes")),
     //   graft.evolve_iceberg('/path', op => 'add|rename|widen',
     //     col => 'c' [, type => 'long'] [, to => 'newname'])
-    "evolve_iceberg" -> (Seq("op", "col"), Set("type", "to")))
+    "evolve_iceberg" -> (Seq("op", "col"), Set("type", "to")),
+    //   graft.compact_iceberg('/path' [, small_file_bytes => N,
+    //     target_file_bytes => N, min_input_files => N])
+    "compact_iceberg" -> (Seq.empty[String],
+      Set("small_file_bytes", "target_file_bytes", "min_input_files")),
+    //   graft.expire_iceberg('/path', keep_last => N)
+    "expire_iceberg" -> (Seq("keep_last"), Set.empty[String]))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -363,7 +385,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if ((proc == "import_iceberg" || proc == "import_iceberg_changes" ||
           proc == "append_iceberg" || proc == "delete_iceberg" ||
           proc == "delete_iceberg_keys" || proc == "merge_iceberg" ||
-          proc == "evolve_iceberg") && name.contains("/"))
+          proc == "evolve_iceberg" || proc == "compact_iceberg" ||
+          proc == "expire_iceberg") && name.contains("/"))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution
