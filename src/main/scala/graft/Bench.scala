@@ -101,7 +101,11 @@ object Bench {
     "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor",
     "q_iceberg_import_incremental", "q_iceberg_import_pruned",
     "q_stream_iceberg", "q_iceberg_diff", "q_iceberg_diff_log",
-    "q_stream_iceberg_cdc", "q_iceberg_writeback")
+    "q_stream_iceberg_cdc", "q_iceberg_writeback",
+    "q_iceberg_writeback_delete", "q_iceberg_writeback_delete_keys",
+    "q_iceberg_writeback_merge", "q_iceberg_writeback_merge_eq",
+    "q_iceberg_evolve_writeback", "q_iceberg_compact_writeback",
+    "q_stream_iceberg_sink")
 
   /** FROZEN round-over-round comparison set: the round-8 headline,
     * never to grow again — the headline total became incomparable across
@@ -151,7 +155,11 @@ object Bench {
     "q_sql_merge_matrix", "q_iceberg_import", "q_iceberg_import_mor",
     "q_iceberg_import_incremental", "q_iceberg_import_pruned",
     "q_stream_iceberg", "q_iceberg_diff", "q_iceberg_diff_log",
-    "q_stream_iceberg_cdc", "q_iceberg_writeback")
+    "q_stream_iceberg_cdc", "q_iceberg_writeback",
+    "q_iceberg_writeback_delete", "q_iceberg_writeback_delete_keys",
+    "q_iceberg_writeback_merge", "q_iceberg_writeback_merge_eq",
+    "q_iceberg_evolve_writeback", "q_iceberg_compact_writeback",
+    "q_stream_iceberg_sink")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

@@ -398,7 +398,8 @@ object IcebergWriteBack {
   private def publish(spark: SparkSession, tree: Tree,
       newRecords: Seq[GenericRecord], operation: String,
       addUnpartSpec: Option[Int],
-      replaceManifests: Map[String, GenericRecord] = Map.empty): Long = {
+      replaceManifests: Map[String, GenericRecord] = Map.empty,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
@@ -448,7 +449,9 @@ object IcebergWriteBack {
         ("snapshot-id" -> tree.newId) ~
         ("parent-snapshot-id" -> tree.curId) ~
         ("timestamp-ms" -> now) ~
-        ("summary" -> (("operation" -> operation): JObject)) ~
+        ("summary" -> JObject(("operation" -> org.json4s.JString(
+          operation)) :: summaryProps.toList.sortBy(_._1).map {
+          case (k, v) => k -> (org.json4s.JString(v): JValue) })) ~
         ("manifest-list" -> s"${tree.tableUri}/metadata/$listName") ~
         ("schema-id" -> tree.curSchemaId)
     val oldRefs: List[JField] = (tree.meta \ "refs") match {
@@ -529,14 +532,55 @@ object IcebergWriteBack {
     }
   }
 
+  /** The idempotent-writer stamp carried in a snapshot's summary —
+    * Iceberg's property bag, same role as Delta's txnAppId/txnVersion:
+    * `graft.txn.app` + `graft.txn.batch` commit ATOMICALLY with the
+    * snapshot (one metadata.json rename), so a replayed micro-batch can
+    * check-then-skip with no side channel. */
+  private val TxnAppKey = "graft.txn.app"
+  private val TxnBatchKey = "graft.txn.batch"
+
+  /** Highest batch id `appId` has committed into the foreign tree — a
+    * metadata.json parse over snapshot summaries, no manifest walk. */
+  def lastCommittedBatch(spark: SparkSession, tableLocation: String,
+      appId: String): Option[Long] = {
+    implicit val fmts: Formats = DefaultFormats
+    val (_, meta, _) = IcebergImport.parseMeta(spark, tableLocation)
+    val batches = (meta \ "snapshots").children.flatMap { s =>
+      val sm = s \ "summary"
+      if ((sm \ TxnAppKey).extractOpt[String].contains(appId))
+        (sm \ TxnBatchKey).extractOpt[String].map(_.toLong)
+      else None
+    }
+    if (batches.isEmpty) None else Some(batches.max)
+  }
+
+  private def txnProps(txn: Option[(String, Long)]): Map[String, String] =
+    txn.map { case (app, batch) =>
+      Map(TxnAppKey -> app, TxnBatchKey -> batch.toString)
+    }.getOrElse(Map.empty)
+
+  /** Has this (appId, batchId) already committed? The exactly-once
+    * check every txn-stamped write-back runs before doing any work. */
+  private def alreadyCommitted(spark: SparkSession, tableLocation: String,
+      txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (app, batch) =>
+      lastCommittedBatch(spark, tableLocation, app).exists(_ >= batch) }
+
   /** Append `df` to the foreign tree at `tableLocation` as one v2
-    * snapshot commit; returns the new snapshot id. */
+    * snapshot commit; returns the new snapshot id. `txn` stamps the
+    * commit with an idempotent-writer (appId, batchId): a replay with a
+    * batch id at or below the stamped high-water mark is a no-op —
+    * exactly-once for streaming sinks. */
   def appendTo(spark: SparkSession, tableLocation: String,
-      df: DataFrame): Long = {
+      df: DataFrame, txn: Option[(String, Long)] = None): Long = {
+    if (alreadyCommitted(spark, tableLocation, txn))
+      return IcebergImport.currentSnapshotId(spark, tableLocation).get
     val tree = loadTree(spark, tableLocation)
     val hasIds = treeHasIds(spark, tree)
     val rec = newDataManifest(spark, tree, df, hasIds)
-    publish(spark, tree, Seq(rec), "append", None)
+    publish(spark, tree, Seq(rec), "append", None,
+      summaryProps = txnProps(txn))
   }
 
   /** Row-level DELETE against the foreign tree: the current-state rows
@@ -631,7 +675,10 @@ object IcebergWriteBack {
     * snapshot id. */
   def mergeInto(spark: SparkSession, tableLocation: String,
       source: DataFrame, keys: Seq[String],
-      equalityDeletes: Boolean = false): Long = {
+      equalityDeletes: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
+    if (alreadyCommitted(spark, tableLocation, txn))
+      return IcebergImport.currentSnapshotId(spark, tableLocation).get
     val tree = loadTree(spark, tableLocation)
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val schemaCols = tree.fields.map(_._1).toSet
@@ -668,9 +715,11 @@ object IcebergWriteBack {
     val dataRec = newDataManifest(spark, tree, source, hasIds)
     delRec match {
       case None => // pure insert — an honest append commit
-        publish(spark, tree, Seq(dataRec), "append", None)
+        publish(spark, tree, Seq(dataRec), "append", None,
+          summaryProps = txnProps(txn))
       case Some((rec, addSpec)) =>
-        publish(spark, tree, Seq(rec, dataRec), "overwrite", addSpec)
+        publish(spark, tree, Seq(rec, dataRec), "overwrite", addSpec,
+          summaryProps = txnProps(txn))
     }
   }
 

@@ -730,6 +730,62 @@ object TableQueries {
       |WHERE o_orderkey % 9 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Structured Streaming CDC upsert INTO a foreign Iceberg tree
+    * (`Streaming.icebergMergeSink`): micro-batch 0 inserts new keys,
+    * micro-batch 1 updates existing ones — each an equality-delete
+    * merge commit stamped (appId, batchId) in the snapshot summary for
+    * exactly-once. The readback must show keep-latest per key across
+    * the whole stream; the oracle recomputes it with a CASE. This is
+    * the reference's multi-engine premise with a STREAM as the writer:
+    * any external engine reading the tree sees each batch as a plain
+    * Iceberg commit. */
+  val qIcebergStreamSink: Q = (s, dir) => {
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = GraftTable(s, scratch("icewbsink"))
+    t.append(orders.filter(col("o_orderkey") % 2 === 0))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    // two mtime-pinned chunks so the file source streams them in order
+    val raw = scratch("icewbsink-raw")
+    val rawDir = new java.io.File(raw)
+    val chunks = Seq(
+      orders.filter(col("o_orderkey") % 2 === 1 &&
+        col("o_orderkey") % 7 === 0), // batch 0: inserts
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("S"))) // batch 1: updates
+    var seen = Set.empty[String]
+    val t0 = System.currentTimeMillis() - 600000L
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.coalesce(1).write.mode("append").parquet(raw)
+      val files = rawDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      files.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(t0 + i * 60000L))
+      seen ++= files.map(_.getName)
+    }
+    val stream = s.readStream.schema(s.read.parquet(raw).schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet").parquet(raw)
+    val q = graft.streaming.Streaming.icebergMergeSink(stream,
+      t.location, "icewbsink", keys = Seq("o_orderkey"),
+      orderCol = "o_orderkey")
+      .option("checkpointLocation", scratch("icewbsink-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    require(graft.iceberg.IcebergWriteBack.lastCommittedBatch(s,
+      t.location, "icewbsink").exists(_ >= 1),
+      "expected at least two stamped micro-batch commits")
+    graft.iceberg.IcebergImport.read(s, t.location)
+      .orderBy(col("o_orderkey"))
+  }
+  val qIcebergStreamSinkSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN 'S' ELSE o_orderstatus END
+      |    AS o_orderstatus,
+      |  o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0
+      |   OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -1992,6 +2048,8 @@ object TableQueries {
       Some(qIcebergEvolveWritebackSql)),
     ("q_iceberg_compact_writeback", qIcebergCompactWriteback,
       Some(qIcebergCompactWritebackSql)),
+    ("q_stream_iceberg_sink", qIcebergStreamSink,
+      Some(qIcebergStreamSinkSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

@@ -288,4 +288,52 @@ object Streaming {
         col("n_events"), col("total_value"))
       .as[SessionOut]
   }
+
+  /** Streaming sink INTO a FOREIGN Iceberg tree: each micro-batch
+    * commits via [[graft.iceberg.IcebergWriteBack.appendTo]] with the
+    * (appId, batchId) stamp carried in the snapshot SUMMARY (Iceberg's
+    * property bag — the same atomic-with-the-commit idempotence Delta's
+    * txnAppId/txnVersion gives), so a replayed batch finds its
+    * high-water mark in the metadata.json chain and no-ops. With this,
+    * a Structured Streaming pipeline lands exactly-once in a table that
+    * Trino/DuckDB/Athena read live — the reference's multi-engine
+    * contract with a STREAM as the writer. */
+  def icebergSink(stream: DataFrame, tableLocation: String,
+      txnAppId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.iceberg.IcebergWriteBack.appendTo(batch.sparkSession,
+          tableLocation, batch.toDF(), txn = Some((txnAppId, batchId)))
+        ()
+    }
+
+  /** Streaming CDC UPSERT into a FOREIGN Iceberg tree: per micro-batch,
+    * keep-latest window dedup on `keys` by `orderCol`, then
+    * [[graft.iceberg.IcebergWriteBack.mergeInto]] — by default with
+    * EQUALITY deletes, so the upsert never scans the target (O(batch)
+    * per batch, the Flink-writer shape at 100 TB). Exactly-once via the
+    * same snapshot-summary txn stamp as [[icebergSink]]. */
+  def icebergMergeSink(stream: DataFrame, tableLocation: String,
+      txnAppId: String, keys: Seq[String], orderCol: String,
+      equalityDeletes: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val latest = batch.toDF()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // project to the tree's CURRENT schema: CDC metadata columns
+        // (the order column, op markers) stay out of the table
+        val schemaCols = graft.iceberg.IcebergImport
+          .plan(batch.sparkSession, tableLocation).schema.fieldNames
+        graft.iceberg.IcebergWriteBack.mergeInto(batch.sparkSession,
+          tableLocation, latest.select(schemaCols.map(col).toIndexedSeq: _*),
+          keys, equalityDeletes = equalityDeletes,
+          txn = Some((txnAppId, batchId)))
+        ()
+    }
 }

@@ -373,6 +373,81 @@ class IcebergWriteBackSpec extends SparkSpec {
       Array(3000L))
   }
 
+  test("streaming into a foreign tree: icebergSink appends exactly-once " +
+      "via snapshot-summary txn stamps; crash-replay no-ops; the CDC " +
+      "upsert sink dedups keep-latest and equality-merges per batch") {
+    val base = tmpDir("wb-stream")
+    val rawDir = s"$base/raw"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    val t = GraftTable(spark, s"$base/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(rawDir, "b1.csv"),
+      "id,v\n3,c\n4,d\n".getBytes("UTF-8"))
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true").csv(rawDir)
+    val q = graft.streaming.Streaming.icebergSink(stream, t.location,
+      txnAppId = "ice-sink")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(IcebergImport.read(spark, t.location).count() === 4)
+      assert(IcebergWriteBack.lastCommittedBatch(spark, t.location,
+        "ice-sink") === Some(0L))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(rawDir, "b2.csv"),
+        "id,v\n5,e\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(IcebergImport.read(spark, t.location).count() === 5)
+      assert(IcebergWriteBack.lastCommittedBatch(spark, t.location,
+        "ice-sink") === Some(1L))
+    } finally q.stop()
+
+    // crash-replay: re-delivering batch 1 must be a NO-OP commit
+    val tipBefore = IcebergImport.currentSnapshotId(spark, t.location).get
+    val replayed = IcebergWriteBack.appendTo(spark, t.location,
+      Seq((99L, "dup")).toDF("id", "v"), txn = Some(("ice-sink", 1L)))
+    assert(replayed === tipBefore)
+    assert(IcebergImport.read(spark, t.location).count() === 5)
+    // the merge path honors the same stamp
+    val mreplay = IcebergWriteBack.mergeInto(spark, t.location,
+      Seq((98L, "dup")).toDF("id", "v"), keys = Seq("id"),
+      txn = Some(("ice-sink", 1L)))
+    assert(mreplay === tipBefore)
+
+    // CDC upsert sink: a batch holding TWO versions of key 3 dedups
+    // keep-latest by orderCol, then equality-merges (no target scan)
+    val raw2 = s"$base/raw2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(raw2))
+    val schema2 = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(raw2, "c1.csv"),
+      "id,v,seq\n3,stale,1\n3,fresh,2\n6,f,1\n".getBytes("UTF-8"))
+    val stream2 = spark.readStream.schema(schema2)
+      .option("header", "true").csv(raw2)
+    val q3 = graft.streaming.Streaming.icebergMergeSink(stream2,
+      t.location, "ice-upsert", keys = Seq("id"), orderCol = "seq")
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    try q3.processAllAvailable() finally q3.stop()
+    val got = IcebergImport.read(spark, t.location)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.size === 6)
+    assert(got(3L) === "fresh") // keep-latest within the batch won
+    assert(got(6L) === "f")
+    // the upsert's tombstones are equality-encoded (streaming shape)
+    assert(IcebergImport.plan(spark, t.location).deletes
+      .exists(_.equalityCols.isDefined))
+  }
+
   test("expireSnapshots: metadata-only expiry keeps the retention chain " +
       "plus every ref target; expired time travel fails loud; no file " +
       "is deleted") {
