@@ -448,6 +448,85 @@ class IcebergWriteBackSpec extends SparkSpec {
       .exists(_.equalityCols.isDefined))
   }
 
+  test("concurrent-commit race: a version published between load and " +
+      "publish fails the write-back loud (never a lost update); a plain " +
+      "retry lands on the next version with both commits intact") {
+    val t = GraftTable(spark, tmpDir("wb-race") + "/t")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    // simulate a foreign engine publishing between our loadTree and our
+    // version rename: pre-create the NEXT version file
+    val metaDir = new java.io.File(s"${t.location}/metadata")
+    val cur = metaDir.listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+    val curV = cur.getName.stripPrefix("v")
+      .stripSuffix(".metadata.json").toLong
+    val next = new java.io.File(metaDir, s"v${curV + 1}.metadata.json")
+    java.nio.file.Files.copy(cur.toPath, next.toPath)
+    new java.io.File(metaDir, s".v${curV + 1}.metadata.json.crc").delete()
+    // the hint still says vN — our writer loads the OLD tip, computes
+    // vN+1 as its target, and must find it taken: the race window
+
+    val e = intercept[IllegalArgumentException](
+      IcebergWriteBack.appendTo(spark, t.location,
+        Seq((2L, "b")).toDF("id", "v")))
+    assert(e.getMessage.contains("concurrent commit"))
+    // nothing half-committed: the tree still reads a consistent state
+    assert(IcebergImport.read(spark, t.location).count() === 1)
+    // the foreign engine finishes its publish (hint advances); a plain
+    // retry re-reads the tip and lands on the NEXT free version
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      (curV + 1).toString.getBytes("UTF-8"))
+    new java.io.File(metaDir, ".version-hint.text.crc").delete()
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((2L, "b")).toDF("id", "v"))
+    assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+      .collect().sorted === Array(1L, 2L))
+    assert(new java.io.File(metaDir,
+      s"v${curV + 2}.metadata.json").exists())
+  }
+
+  test("the CDC foreign stream delivers graft's OWN row-level " +
+      "write-backs: deletes as delete rows, the eq-merge as update " +
+      "pairs, the compaction silently") {
+    val t = GraftTable(spark, tmpDir("wb-cdc-rowlevel") + "/t")
+    t.append((1L to 6L).map(i => (i, s"old$i")).toDF("id", "v")
+      .repartition(2))
+    IcebergExport.export(spark, t, history = 2)
+    val q = spark.readStream.format("graft-iceberg")
+      .option("mode", "cdc").load(t.location)
+      .writeStream.format("memory").queryName("wb_cdc_rl").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wb_cdc_rl").count() === 6) // full state
+      IcebergWriteBack.deleteWhere(spark, t.location, col("id") === 2L)
+      IcebergWriteBack.deleteKeys(spark, t.location, Seq(5L).toDF("id"))
+      IcebergWriteBack.mergeInto(spark, t.location,
+        Seq((3L, "new3"), (7L, "new7")).toDF("id", "v"),
+        keys = Seq("id"), equalityDeletes = true)
+      IcebergWriteBack.compactSmallFiles(spark, t.location,
+        smallFileBytes = 64L << 20)
+      q.processAllAvailable()
+      // change rows per key across batch 0 (full state as inserts) and
+      // the row-level commits; the compaction contributes NOTHING
+      val byKey = spark.table("wb_cdc_rl")
+        .select("id", "v", "_change_type").as[(Long, String, String)]
+        .collect().toSeq.groupBy(_._1)
+      assert(byKey(2L).map(_._3).sorted === Seq("delete", "insert"))
+      assert(byKey(5L).map(_._3).sorted === Seq("delete", "insert"))
+      assert(byKey(3L).map(r => (r._2, r._3)).sortBy(_.toString) ===
+        Seq(("new3", "insert"), ("old3", "delete"), ("old3", "insert")))
+      assert(byKey(7L).map(r => (r._2, r._3)) === Seq(("new7", "insert")))
+      assert(byKey(1L).map(_._3) === Seq("insert")) // batch 0 only
+      // replaying the materialized state from the change rows matches
+      // the tree's current read (the compaction changed no logical row)
+      assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+        .collect().sorted === Array(1L, 3L, 4L, 6L, 7L))
+    } finally q.stop()
+  }
+
   test("expireSnapshots: metadata-only expiry keeps the retention chain " +
       "plus every ref target; expired time travel fails loud; no file " +
       "is deleted") {
