@@ -1,0 +1,105 @@
+package graft.iceberg
+
+import scala.sys.process._
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** Randomized lifecycle fuzz of the FOREIGN write-back surface: a
+  * seeded op sequence (append / position delete / equality delete /
+  * position merge / equality merge / compact / expire) drives one
+  * foreign Iceberg v2 tree, with a driver-side bag model as the
+  * reference semantics. After EVERY op the importer's read must
+  * bag-equal the model — so a wrong sequence-number rule, a tombstone
+  * mis-scope, or a compaction that loses or resurrects one row fails
+  * at the op that introduced it, not at the end. The finished tree is
+  * then cross-checked by the external DuckDB hand-walk reader.
+  *
+  * Same confidence pattern as the graft-table LifecycleFuzzSpec, aimed
+  * at the v2 delete/sequence semantics that only composition exercises
+  * (eq-delete over merged rows, compaction under stacked tombstones,
+  * expire mid-history). */
+class ForeignLifecycleFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runFuzz(seed: Long, nOps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val t = GraftTable(spark, tmpDir(s"ffuzz-$seed") + "/t")
+    // bag model: key -> rows (appends may duplicate a key; merges and
+    // key deletes collapse it)
+    val model = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val init = (1L to 8L).map(i => (i, s"v$i-0"))
+    model ++= init
+    t.append(init.toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    var version = 1
+
+    def freshVal(id: Long): String = { version += 1; s"v$id-$version" }
+    def keys(n: Int): Seq[Long] =
+      Seq.fill(n)(1L + rnd.nextInt(12).toLong).distinct
+
+    def check(op: String): Unit = {
+      val got = IcebergImport.read(spark, t.location)
+        .as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val want = model.sortBy(r => (r._1, r._2)).toSeq
+      assert(got === want, s"seed=$seed after $op")
+    }
+
+    (1 to nOps).foreach { i =>
+      rnd.nextInt(7) match {
+        case 0 => // append (may duplicate keys — bag semantics)
+          val rows = keys(1 + rnd.nextInt(3)).map(k => (k, freshVal(k)))
+          IcebergWriteBack.appendTo(spark, t.location, rows.toDF("id", "v"))
+          model ++= rows
+          check(s"op$i append $rows")
+        case 1 => // position delete by predicate
+          val cut = 1L + rnd.nextInt(12).toLong
+          IcebergWriteBack.deleteWhere(spark, t.location, col("id") === cut)
+          model.filterInPlace(_._1 != cut)
+          check(s"op$i deleteWhere id=$cut")
+        case 2 => // equality delete by key set (no table scan)
+          val ks = keys(1 + rnd.nextInt(3))
+          IcebergWriteBack.deleteKeys(spark, t.location, ks.toDF("id"))
+          model.filterInPlace(r => !ks.contains(r._1))
+          check(s"op$i deleteKeys $ks")
+        case 3 | 4 => // keyed upsert — alternate both delete encodings
+          val eq = rnd.nextBoolean()
+          val src = keys(1 + rnd.nextInt(3)).map(k => (k, freshVal(k)))
+          IcebergWriteBack.mergeInto(spark, t.location,
+            src.toDF("id", "v"), keys = Seq("id"), equalityDeletes = eq)
+          val srcKeys = src.map(_._1).toSet
+          model.filterInPlace(r => !srcKeys(r._1))
+          model ++= src
+          check(s"op$i merge(eq=$eq) $src")
+        case 5 => // maintenance: binpack everything small
+          IcebergWriteBack.compactSmallFiles(spark, t.location,
+            smallFileBytes = 64L << 20)
+          check(s"op$i compact")
+        case 6 => // maintenance: metadata-only expiry
+          IcebergWriteBack.expireSnapshots(spark, t.location, keepLast = 3)
+          check(s"op$i expire")
+      }
+    }
+
+    // external cross-check: DuckDB hand-walks the finished tree
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t").!!
+    assert(out.trim.split("\n").last === model.size.toString,
+      s"seed=$seed duckdb row count")
+  }
+
+  test("seeded foreign-lifecycle fuzz: 20 ops, model-checked after " +
+      "every op, DuckDB cross-check at the end (seed 42)") {
+    runFuzz(42L, 20)
+  }
+
+  test("seeded foreign-lifecycle fuzz (seed 1337)") {
+    runFuzz(1337L, 20)
+  }
+
+  test("seeded foreign-lifecycle fuzz (seed 20260815)") {
+    runFuzz(20260815L, 20)
+  }
+}
