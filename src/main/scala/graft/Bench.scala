@@ -105,7 +105,7 @@ object Bench {
     "q_iceberg_writeback_delete", "q_iceberg_writeback_delete_keys",
     "q_iceberg_writeback_merge", "q_iceberg_writeback_merge_eq",
     "q_iceberg_evolve_writeback", "q_iceberg_compact_writeback",
-    "q_stream_iceberg_sink")
+    "q_stream_iceberg_sink", "q_iceberg_register")
 
   /** FROZEN round-over-round comparison set: the round-8 headline,
     * never to grow again — the headline total became incomparable across
@@ -159,7 +159,7 @@ object Bench {
     "q_iceberg_writeback_delete", "q_iceberg_writeback_delete_keys",
     "q_iceberg_writeback_merge", "q_iceberg_writeback_merge_eq",
     "q_iceberg_evolve_writeback", "q_iceberg_compact_writeback",
-    "q_stream_iceberg_sink")
+    "q_stream_iceberg_sink", "q_iceberg_register")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,

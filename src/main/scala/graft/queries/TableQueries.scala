@@ -786,6 +786,37 @@ object TableQueries {
       |   OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Plain SQL over a FOREIGN tree without import:
+    * `CALL graft.register_iceberg` pins the current snapshot as a temp
+    * view over the composed MOR read, and an ordinary GROUP BY runs
+    * against it — the view must see THROUGH a write-back delete
+    * committed before registration (the anti-join plan a bare file
+    * relation can't express). */
+  val qIcebergRegister: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icereg"))
+    t.append(Tables.load(s, dir, "orders"), parts = Seq("o_orderstatus"))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    graft.iceberg.IcebergWriteBack.deleteWhere(s, t.location,
+      col("o_orderkey") % 6 === 0)
+    s.sql(s"CALL graft.register_iceberg('${t.location}', " +
+      "name => 'ice_reg_orders')")
+    val out = s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total
+        |FROM ice_reg_orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+    s.catalog.dropTempView("ice_reg_orders")
+    out
+  }
+  val qIcebergRegisterSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total
+      |FROM orders
+      |WHERE o_orderkey % 6 <> 0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -2050,6 +2081,7 @@ object TableQueries {
       Some(qIcebergCompactWritebackSql)),
     ("q_stream_iceberg_sink", qIcebergStreamSink,
       Some(qIcebergStreamSinkSql)),
+    ("q_iceberg_register", qIcebergRegister, Some(qIcebergRegisterSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

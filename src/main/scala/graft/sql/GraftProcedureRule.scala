@@ -210,6 +210,18 @@ case class GraftCallCommand(proc: String, location: String,
         }
         graft.iceberg.IcebergWriteBack.mergeInto(spark, location,
           spark.table(source), keys, equalityDeletes = eq)
+      case "register_iceberg" =>
+        // SQL over a FOREIGN tree without import: a temp view over the
+        // composed MOR read (scan + delete anti-joins). The view pins
+        // the snapshot resolved NOW — Iceberg's plan-time semantics;
+        // re-register to see later foreign commits. Returns the pinned
+        // snapshot id.
+        val viewName = args.getOrElse("name",
+          throw new IllegalArgumentException(s"graft.$proc needs name"))
+        val at = args.get("at")
+        graft.iceberg.IcebergImport.read(spark, location, at)
+          .createOrReplaceTempView(viewName)
+        graft.iceberg.IcebergImport.plan(spark, location, at).snapshotId
       case "expire_iceberg" =>
         // foreign-tree maintenance: metadata-only snapshot expiry (no
         // file deletion — other engines may be reading pinned snapshots)
@@ -267,7 +279,7 @@ case class GraftCallCommand(proc: String, location: String,
           "drop_tag, branch, drop_branch, fast_forward, import_iceberg, " +
           "import_iceberg_changes, append_iceberg, delete_iceberg, " +
           "delete_iceberg_keys, merge_iceberg, evolve_iceberg, " +
-          "compact_iceberg, expire_iceberg")
+          "compact_iceberg, expire_iceberg, register_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -334,7 +346,10 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     "compact_iceberg" -> (Seq.empty[String],
       Set("small_file_bytes", "target_file_bytes", "min_input_files")),
     //   graft.expire_iceberg('/path', keep_last => N)
-    "expire_iceberg" -> (Seq("keep_last"), Set.empty[String]))
+    "expire_iceberg" -> (Seq("keep_last"), Set.empty[String]),
+    //   graft.register_iceberg('/path', name => 'view' [, at => ref])
+    //     — snapshot-pinned temp view for plain SQL over a foreign tree
+    "register_iceberg" -> (Seq("name"), Set("at")))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -386,7 +401,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
           proc == "append_iceberg" || proc == "delete_iceberg" ||
           proc == "delete_iceberg_keys" || proc == "merge_iceberg" ||
           proc == "evolve_iceberg" || proc == "compact_iceberg" ||
-          proc == "expire_iceberg") && name.contains("/"))
+          proc == "expire_iceberg" || proc == "register_iceberg") &&
+          name.contains("/"))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution
