@@ -552,6 +552,16 @@ object IcebergImport {
         case (Literal(v, _), a) => mk(a, flip(op), v)
         case _ => Seq.empty
       }
+    // IN-list: prunable as "keep the file iff ANY listed value might be
+    // inside its bounds". A single unnormalizable value disables the
+    // whole conjunct (dropping it could wrongly prune the file that
+    // matched only that value) — conservative, never under-keeps.
+    def mkIn(a: Expression, raw: Seq[Any]): Seq[BoundPred] =
+      colName(a).toSeq.flatMap { n =>
+        val normed = raw.map(normLit(_, schema(n).dataType))
+        if (normed.exists(_.isEmpty)) Seq.empty
+        else Seq(BoundPred(n, "in", normed.flatten))
+      }
     def one(x: Expression): Seq[BoundPred] = x match {
       case And(l, r) => one(l) ++ one(r)
       case EqualTo(l, r) => cmp("=", l, r)
@@ -559,6 +569,8 @@ object IcebergImport {
       case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
       case LessThan(l, r) => cmp("<", l, r)
       case LessThanOrEqual(l, r) => cmp("<=", l, r)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        mkIn(a, vs.map(_.asInstanceOf[Literal].value))
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.arguments.length == 2 =>
         f.nameParts.lastOption match {
@@ -568,6 +580,12 @@ object IcebergImport {
               f.arguments(0), f.arguments(1))
           case _ => Seq.empty
         }
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.arguments.length >= 2 &&
+            f.nameParts.lastOption.contains("in") &&
+            f.arguments.tail.forall(_.isInstanceOf[Literal]) =>
+        mkIn(f.arguments.head,
+          f.arguments.tail.map(_.asInstanceOf[Literal].value))
       case _ => Seq.empty
     }
     def mk(a: Expression, op: String, v: Any): Seq[BoundPred] =
@@ -588,6 +606,9 @@ object IcebergImport {
       case ">=" => c(hi).forall(_ >= 0)
       case "<" => c(lo).forall(_ < 0)
       case "<=" => c(lo).forall(_ <= 0)
+      case "in" => p.v.asInstanceOf[Seq[Any]].exists(v =>
+        lo.flatMap(cmpBound(_, v)).forall(_ <= 0) &&
+          hi.flatMap(cmpBound(_, v)).forall(_ >= 0))
       case _ => true
     }
   }
@@ -599,8 +620,9 @@ object IcebergImport {
     * byte-identical to `read(...).filter(predicate)`; pruning is purely a
     * scheduling/IO win (at 100 TB, a selective range predicate on a
     * sorted/clustered column skips almost every file before any footer is
-    * opened). Prunable shapes: AND-chains of `col (=,<,<=,>,>=) literal`;
-    * other conjuncts simply don't prune. */
+    * opened). Prunable shapes: AND-chains of `col (=,<,<=,>,>=) literal`
+    * and `col IN (literals)` (kept iff ANY listed value fits the file's
+    * bounds); other conjuncts simply don't prune. */
   def readWhere(spark: SparkSession, tableLocation: String,
       predicate: Column, at: Option[String] = None): DataFrame = {
     val p = plan(spark, tableLocation, at)

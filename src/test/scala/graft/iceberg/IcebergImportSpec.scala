@@ -858,6 +858,19 @@ class IcebergImportSpec extends SparkSpec {
       col("v") === Double.NaN)
     assert(nan.inputFiles.length === all)
 
+    // IN-list: kept iff ANY listed value fits the file's bounds — two
+    // values from one append's range touch only that append's files
+    val inl = IcebergImport.readWhere(spark, t.location,
+      col("id").isin(22L, 35L))
+    assert(inl.select("id").orderBy("id").collect().map(_.getLong(0))
+      .toSeq === Seq(22L, 35L))
+    assert(inl.inputFiles.length < all, "IN-list must skip files")
+    // values spanning two appends keep both ranges' files, still exact
+    val in2 = IcebergImport.readWhere(spark, t.location,
+      col("id").isin(5L, 55L))
+    assert(in2.select("id").orderBy("id").collect().map(_.getLong(0))
+      .toSeq === Seq(5L, 55L))
+
     // byte-identical to the unpruned filtered read
     val want = IcebergImport.read(spark, t.location)
       .filter(col("id") > 45L).orderBy("id").collect()
