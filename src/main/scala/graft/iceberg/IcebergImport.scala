@@ -92,7 +92,9 @@ object IcebergImport {
       identity: Map[String, Any],
       lower: Map[String, Any] = Map.empty,
       upper: Map[String, Any] = Map.empty,
-      bytes: Long = 0L)
+      bytes: Long = 0L,
+      rows: Long = 0L,
+      nullCounts: Map[String, Long] = Map.empty)
   /** One live v2 delete file: `equalityCols` = Some(key column names)
     * for equality deletes, None for position deletes. `scope` is the
     * delete file's own identity-partition tuple — per the v2 spec a
@@ -440,10 +442,32 @@ object IcebergImport {
                 case _ => Map.empty[String, Any]
               }.getOrElse(Map.empty)
             }
+            // per-column null counts (field 110, same int-keyed map
+            // encodings as the bounds) — IS [NOT] NULL file pruning
+            def longMapOf(fieldName: String): Map[String, Long] = {
+              if (df.getSchema.getField(fieldName) == null) Map.empty
+              else Option(df.get(fieldName)).map {
+                case l: java.util.List[_] => l.asScala.flatMap { r0 =>
+                  val r = r0.asInstanceOf[GenericRecord]
+                  nameById.get(r.get("key").asInstanceOf[Int]).map(
+                    _ -> r.get("value").asInstanceOf[Number].longValue)
+                }.toMap
+                case m: java.util.Map[_, _] => m.asScala.flatMap {
+                  case (k, v) =>
+                    scala.util.Try(str(k).toString.toInt).toOption
+                      .flatMap(nameById.get).map(
+                        _ -> v.asInstanceOf[Number].longValue)
+                }.toMap
+                case _ => Map.empty[String, Long]
+              }.getOrElse(Map.empty)
+            }
             files += DataFileRef(uri, seq, identity,
               boundsOf("lower_bounds"), boundsOf("upper_bounds"),
               Option(df.get("file_size_in_bytes"))
-                .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+                .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+              Option(df.get("record_count"))
+                .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+              longMapOf("null_value_counts"))
           }
         }
       }
@@ -571,6 +595,10 @@ object IcebergImport {
       case LessThanOrEqual(l, r) => cmp("<=", l, r)
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         mkIn(a, vs.map(_.asInstanceOf[Literal].value))
+      case IsNull(a) =>
+        colName(a).map(BoundPred(_, "isnull", null)).toSeq
+      case IsNotNull(a) =>
+        colName(a).map(BoundPred(_, "notnull", null)).toSeq
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.arguments.length == 2 =>
         f.nameParts.lastOption match {
@@ -586,6 +614,13 @@ object IcebergImport {
             f.arguments.tail.forall(_.isInstanceOf[Literal]) =>
         mkIn(f.arguments.head,
           f.arguments.tail.map(_.asInstanceOf[Literal].value))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.arguments.length == 1 &&
+            f.nameParts.lastOption.map(_.toLowerCase(java.util.Locale.ROOT))
+              .exists(n => n == "isnull" || n == "isnotnull") =>
+        val op = if (f.nameParts.last.equalsIgnoreCase("isnull")) "isnull"
+          else "notnull"
+        colName(f.arguments.head).map(BoundPred(_, op, null)).toSeq
       case _ => Seq.empty
     }
     def mk(a: Expression, op: String, v: Any): Seq[BoundPred] =
@@ -609,6 +644,12 @@ object IcebergImport {
       case "in" => p.v.asInstanceOf[Seq[Any]].exists(v =>
         lo.flatMap(cmpBound(_, v)).forall(_ <= 0) &&
           hi.flatMap(cmpBound(_, v)).forall(_ >= 0))
+      // null-count pruning (manifest field 110): prune IS NULL when the
+      // writer recorded ZERO nulls; prune IS NOT NULL when EVERY row is
+      // null. Missing counts → keep (no information).
+      case "isnull" => f.nullCounts.get(p.col).forall(_ > 0L)
+      case "notnull" => // prune only all-null files with a KNOWN row count
+        f.rows <= 0L || f.nullCounts.get(p.col).forall(_ < f.rows)
       case _ => true
     }
   }
@@ -620,9 +661,11 @@ object IcebergImport {
     * byte-identical to `read(...).filter(predicate)`; pruning is purely a
     * scheduling/IO win (at 100 TB, a selective range predicate on a
     * sorted/clustered column skips almost every file before any footer is
-    * opened). Prunable shapes: AND-chains of `col (=,<,<=,>,>=) literal`
-    * and `col IN (literals)` (kept iff ANY listed value fits the file's
-    * bounds); other conjuncts simply don't prune. */
+    * opened). Prunable shapes: AND-chains of `col (=,<,<=,>,>=) literal`,
+    * `col IN (literals)` (kept iff ANY listed value fits the file's
+    * bounds), and `col IS [NOT] NULL` via the manifest's per-column null
+    * counts (field 110) — IS NULL skips zero-null files, IS NOT NULL
+    * skips all-null files; other conjuncts simply don't prune. */
   def readWhere(spark: SparkSession, tableLocation: String,
       predicate: Column, at: Option[String] = None): DataFrame = {
     val p = plan(spark, tableLocation, at)

@@ -159,13 +159,18 @@ class IcebergImportSpec extends SparkSpec {
         |  {"name":"value_counts","type":["null",{"type":"array","items":
         |    {"type":"record","name":"k119_v120","fields":[
         |      {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
+        |   "default":null},
+        |  {"name":"null_value_counts","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"k121_v122","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
         |   "default":null}$eq
         |]}}]}""".stripMargin)
   }
 
   private def entry(schema: Schema, status: Int, seq: Option[Long],
       content: Int, path: String, rows: Long, cat: Option[String] = None,
-      eqIds: Seq[Int] = Seq.empty): GenericRecord = {
+      eqIds: Seq[Int] = Seq.empty,
+      nullCounts: Map[Int, Long] = Map.empty): GenericRecord = {
     val e = new GenericData.Record(schema)
     e.put("status", status)
     e.put("snapshot_id", 200L)
@@ -189,6 +194,15 @@ class IcebergImportSpec extends SparkSpec {
     df.put("column_sizes", Seq[GenericRecord](sz).asJava)
     if (eqIds.nonEmpty) df.put("equality_ids",
       eqIds.map(Int.box).asJava)
+    if (nullCounts.nonEmpty) {
+      val ncSchema = df.getSchema.getField("null_value_counts").schema()
+        .getTypes.get(1).getElementType
+      df.put("null_value_counts", nullCounts.toSeq.map { case (k, v) =>
+        val r = new GenericData.Record(ncSchema)
+        r.put("key", k); r.put("value", v)
+        r: GenericRecord
+      }.asJava)
+    }
     e.put("data_file", df)
     e
   }
@@ -410,6 +424,100 @@ class IcebergImportSpec extends SparkSpec {
       s"CALL graft.import_iceberg_changes('$dest', " +
         s"source => '${t.location}')").collect())
     assert(e.getMessage.contains("since"))
+  }
+
+  test("null-count pruning: readWhere skips zero-null files for IS NULL " +
+      "and all-null files for IS NOT NULL, results exact; missing " +
+      "counts never prune") {
+    val root = tmpDir("imp-nullcnt")
+    val loc = s"$root/ft"
+    val dataDir = new File(s"$loc/data"); dataDir.mkdirs()
+    val metaDir = new File(s"$loc/metadata"); metaDir.mkdirs()
+    def uri(p: String) = s"file://$p"
+    def writeParquet(name: String, df: org.apache.spark.sql.DataFrame)
+        : String = {
+      val tmp = s"$root/stage-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new File(dataDir, s"$name.parquet")
+      assert(part.renameTo(dest))
+      uri(dest.getAbsolutePath)
+    }
+    // A: v never null (count 0); B: v ALL null (count 2); C: mixed
+    // (count 1); D: NO recorded counts — must never be pruned
+    val fA = writeParquet("A", Seq((1L, "x", Some(1.0)),
+      (2L, "x", Some(2.0))).toDF("id", "cat", "v"))
+    val fB = writeParquet("B", Seq((3L, "x", None: Option[Double]),
+      (4L, "x", None: Option[Double])).toDF("id", "cat", "v"))
+    val fC = writeParquet("C", Seq((5L, "x", Some(5.0)),
+      (6L, "x", None: Option[Double])).toDF("id", "cat", "v"))
+    val fD = writeParquet("D", Seq((7L, "x", Some(7.0)))
+      .toDF("id", "cat", "v"))
+    val e1 = foreignEntrySchema(withPart = false, withEq = false)
+    val mData = s"${metaDir.getAbsolutePath}/m-data.avro"
+    val dataLen = writeAvro(mData, e1, Seq(
+      entry(e1, 1, Some(1L), 0, fA, 2, nullCounts = Map(3 -> 0L)),
+      entry(e1, 1, Some(1L), 0, fB, 2, nullCounts = Map(3 -> 2L)),
+      entry(e1, 1, Some(1L), 0, fC, 2, nullCounts = Map(3 -> 1L)),
+      entry(e1, 1, Some(1L), 0, fD, 1)))
+    def listEntry0(path: String, len: Long): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", uri(path))
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 100L)
+      r
+    }
+    val list = s"${metaDir.getAbsolutePath}/snap-100.avro"
+    writeAvro(list, listSchema, Seq(listEntry0(mData, dataLen)))
+    val metaJson =
+      s"""{"format-version": 2,
+        |"table-uuid": "00000000-0000-0000-0000-000000000003",
+        |"location": "${uri(loc)}", "last-sequence-number": 1,
+        |"last-updated-ms": 1700000000000, "last-column-id": 3,
+        |"current-schema-id": 0,
+        |"schemas": [{"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"id","required":false,"type":"long"},
+        |  {"id":2,"name":"cat","required":false,"type":"string"},
+        |  {"id":3,"name":"v","required":false,"type":"double"}]}],
+        |"default-spec-id": 0,
+        |"partition-specs": [{"spec-id": 0, "fields": []}],
+        |"last-partition-id": 999, "default-sort-order-id": 0,
+        |"sort-orders": [{"order-id": 0, "fields": []}],
+        |"properties": {}, "current-snapshot-id": 100,
+        |"refs": {"main": {"snapshot-id": 100, "type": "branch"}},
+        |"snapshots": [{"sequence-number": 1, "snapshot-id": 100,
+        |  "timestamp-ms": 1700000000000,
+        |  "summary": {"operation": "append"}, "schema-id": 0,
+        |  "manifest-list": "${uri(list)}"}],
+        |"snapshot-log": [], "metadata-log": []}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      metaDir.getAbsolutePath, "00001-nullcnt.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.files.size === 4)
+    assert(p.files.find(_.uri == fB).get.nullCounts === Map("v" -> 2L))
+
+    // IS NULL: skip A (zero nulls); keep B, C, and the count-less D
+    val isNull = IcebergImport.readWhere(spark, loc, col("v").isNull)
+    assert(isNull.select("id").collect().map(_.getLong(0)).sorted ===
+      Array(3L, 4L, 6L))
+    assert(isNull.inputFiles.length === 3)
+    // IS NOT NULL: skip only the all-null B
+    val notNull = IcebergImport.readWhere(spark, loc, col("v").isNotNull)
+    assert(notNull.select("id").collect().map(_.getLong(0)).sorted ===
+      Array(1L, 2L, 5L, 7L))
+    assert(notNull.inputFiles.length === 3)
+    // composed with a range conjunct: both prune together
+    val both = IcebergImport.readWhere(spark, loc,
+      col("v").isNotNull && col("id") >= 5L)
+    assert(both.select("id").collect().map(_.getLong(0)).sorted ===
+      Array(5L, 7L))
   }
 
   test("partition-SCOPED equality deletes (v2: a partitioned delete " +
