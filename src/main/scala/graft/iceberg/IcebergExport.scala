@@ -178,6 +178,14 @@ object IcebergExport {
          |     {"name": "key", "type": "int", "field-id": $kid},
          |     {"name": "value", "type": "bytes", "field-id": $vid}
          |   ]}}], "default": null, "field-id": $fid}""".stripMargin
+    // null_value_counts (field 110): map<int, long> keyed by schema field
+    // id — the stats behind IS [NOT] NULL file pruning in scan planners
+    def longMap(name: String, fid: Int, kid: Int, vid: Int): String =
+      s"""{"name": "$name", "type": ["null", {"type": "array", "logicalType": "map",
+         |   "items": {"type": "record", "name": "k${kid}_v$vid", "fields": [
+         |     {"name": "key", "type": "int", "field-id": $kid},
+         |     {"name": "value", "type": "long", "field-id": $vid}
+         |   ]}}], "default": null, "field-id": $fid}""".stripMargin
     // equality_ids (field 135): the schema field ids a v2 equality-delete
     // file deletes by — present only in delete manifests
     val eq = if (equalityIds)
@@ -201,6 +209,7 @@ object IcebergExport {
         |     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
         |     ${boundsMap("lower_bounds", 125, 126, 127)},
         |     ${boundsMap("upper_bounds", 128, 129, 130)},
+        |     ${longMap("null_value_counts", 110, 121, 122)},
         |     {"name": "split_offsets", "type": ["null", {"type": "array", "items": "long", "element-id": 133}], "default": null, "field-id": 132},
         |     {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}$eq
         |   ]}}
@@ -529,6 +538,23 @@ object IcebergExport {
           .foreach(df.put("lower_bounds", _))
         boundsRecords("upper_bounds", _.max)
           .foreach(df.put("upper_bounds", _))
+        // per-file null counts (field 110) from the snapshot log's
+        // footer stats — IS [NOT] NULL pruning for external planners
+        locally {
+          val itemSchema = entrySchema.getField("data_file").schema()
+            .getField("null_value_counts").schema().getTypes.get(1)
+            .getElementType
+          val recs = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+            fileStats.get(f.name).flatMap(_.nulls).map { n =>
+              val r = new GenericData.Record(itemSchema)
+              r.put("key", fieldId(schema, i).toInt)
+              r.put("value", n)
+              r: GenericRecord
+            }
+          }
+          if (recs.nonEmpty)
+            df.put("null_value_counts", recs.toSeq.asJava)
+        }
         e.put("data_file", df)
         e
       }

@@ -40,12 +40,19 @@ object FooterStats {
       val mins = mutable.Map.empty[String, Any] // Spark-internal values
       val maxs = mutable.Map.empty[String, Any]
       val broken = mutable.Set.empty[String]
+      // per-column null totals; a single row group without a recorded
+      // null count makes the column's total unknowable (dropped) — an
+      // under-count could wrongly prune IS NULL
+      val nulls = mutable.Map.empty[String, Long]
+      val nullsBroken = mutable.Set.empty[String]
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { ccm =>
           val name = ccm.getPath.toDotString
           byName.get(name).foreach { f =>
+            val s = ccm.getStatistics
+            if (s == null || s.getNumNulls < 0) nullsBroken += name
+            else nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
             if (!broken.contains(name)) {
-              val s = ccm.getStatistics
               if (s == null) broken += name
               else if (s.hasNonNullValue) {
                 (decode(f.dataType, ccm.getPrimitiveType, s.genericGetMin),
@@ -66,17 +73,20 @@ object FooterStats {
         }
       }
       val stats = fields.flatMap { f =>
-        if (broken.contains(f.name)) None
-        else {
-          def ok(s: String): Boolean = f.dataType != StringType ||
-            s.length <= FileStats.MaxStringStatLength
-          val mn = mins.get(f.name)
+        def ok(s: String): Boolean = f.dataType != StringType ||
+          s.length <= FileStats.MaxStringStatLength
+        val mn = if (broken.contains(f.name)) None
+          else mins.get(f.name)
             .map(GraftSqlGlue.castToStringUtc(_, f.dataType)).filter(ok)
-          val mx = maxs.get(f.name)
+        val mx = if (broken.contains(f.name)) None
+          else maxs.get(f.name)
             .map(GraftSqlGlue.castToStringUtc(_, f.dataType)).filter(ok)
-          if (mn.isEmpty && mx.isEmpty) None
-          else Some(f.name -> ColStat(mn, mx))
-        }
+        val nc = if (nullsBroken.contains(f.name)) None
+          else nulls.get(f.name)
+        // an all-null column keeps a stat entry (no bounds, a null
+        // count of rowCount) — exactly the IS-NOT-NULL-prunable case
+        if (mn.isEmpty && mx.isEmpty && nc.isEmpty) None
+        else Some(f.name -> ColStat(mn, mx, nulls = nc))
       }.toMap
       (stats, rowCount)
     } finally reader.close()

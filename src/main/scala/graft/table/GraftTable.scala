@@ -1274,7 +1274,8 @@ class GraftTable(spark: SparkSession, val location: String,
               val v = rt.get(k) match {
                 case Some(from) => ColStat(
                   rerender(v0.min, from), rerender(v0.max, from),
-                  bloom = None) // value hashes are type-dependent
+                  bloom = None, // value hashes are type-dependent
+                  nulls = v0.nulls) // null counts are not
                 case None => v0
               }
               rn.getOrElse(k, k) -> v

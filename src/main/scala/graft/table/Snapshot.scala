@@ -29,7 +29,8 @@ package graft.table
   * values (point-lookup pruning where value ranges overlap across files —
   * the unclustered high-cardinality case min/max cannot serve). */
 case class ColStat(min: Option[String], max: Option[String],
-    bloom: Option[String] = None)
+    bloom: Option[String] = None,
+    nulls: Option[Long] = None)
 
 /** A merge-on-read equality-delete file (graft's analogue of an Iceberg
   * v2 equality delete): `path` is a parquet file of key tuples under

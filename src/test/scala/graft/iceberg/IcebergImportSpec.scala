@@ -520,6 +520,38 @@ class IcebergImportSpec extends SparkSpec {
       Array(5L, 7L))
   }
 
+  test("graft's OWN export carries null_value_counts from footer stats " +
+      "and the importer null-prunes its round trip") {
+    val t = GraftTable(spark, tmpDir("imp-nullrt") + "/t")
+    t.append(Seq((1L, Option(1.0)), (2L, Option(2.0)))
+      .toDF("id", "v").repartition(1)) // zero nulls
+    t.append(Seq((3L, None: Option[Double]), (4L, None: Option[Double]))
+      .toDF("id", "v").repartition(1)) // ALL null
+    t.append(Seq((5L, Option(5.0)), (6L, None: Option[Double]))
+      .toDF("id", "v").repartition(1)) // mixed
+    IcebergExport.export(spark, t, history = 4)
+    val p = IcebergImport.plan(spark, t.location)
+    assert(p.files.size === 3)
+    assert(p.files.map(_.nullCounts.get("v")).toSet ===
+      Set(Some(0L), Some(2L), Some(1L)))
+    val isNull = IcebergImport.readWhere(spark, t.location,
+      col("v").isNull)
+    assert(isNull.select("id").collect().map(_.getLong(0)).sorted ===
+      Array(3L, 4L, 6L))
+    assert(isNull.inputFiles.length === 2)
+    val notNull = IcebergImport.readWhere(spark, t.location,
+      col("v").isNotNull)
+    assert(notNull.select("id").collect().map(_.getLong(0)).sorted ===
+      Array(1L, 2L, 5L))
+    assert(notNull.inputFiles.length === 2)
+    // the external reader is untouched by the extra stats field
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = scala.sys.process.Process(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t WHERE v IS NOT NULL")).!!
+    assert(out.trim.split("\n").last === "3")
+  }
+
   test("partition-SCOPED equality deletes (v2: a partitioned delete " +
       "file applies only within its partition) do not over-delete " +
       "matching keys in other partitions") {
