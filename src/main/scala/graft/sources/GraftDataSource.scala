@@ -121,7 +121,8 @@ class GraftDataSource extends RelationProvider
 
     HadoopFsRelation(
       location = new GraftFileIndex(spark, table, files, partSchema,
-        table.statsFor(files, asOf), table.bytesFor(files, asOf)),
+        table.statsFor(files, asOf), table.bytesFor(files, asOf),
+        table.rowsFor(files, asOf)),
       partitionSchema = partSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
@@ -198,7 +199,8 @@ object GraftDataSource {
 class GraftFileIndex(spark: SparkSession, val table: GraftTable,
     val files: Seq[String], override val partitionSchema: StructType,
     stats: Map[String, Map[String, graft.table.ColStat]] = Map.empty,
-    sizes: Map[String, Long] = Map.empty)
+    sizes: Map[String, Long] = Map.empty,
+    rows: Map[String, Long] = Map.empty)
     extends FileIndex {
 
   private val tablePath = new Path(table.location)
@@ -275,6 +277,9 @@ class GraftFileIndex(spark: SparkSession, val table: GraftTable,
       case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => check(a.name, "<=", v)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(l => check(a.name, "=", l.asInstanceOf[Literal].value))
+      case IsNull(a: AttributeReference) => check(a.name, "isnull", null)
+      case IsNotNull(a: AttributeReference) =>
+        check(a.name, "notnull", null)
       case _ => true
     }
   }
@@ -286,6 +291,15 @@ class GraftFileIndex(spark: SparkSession, val table: GraftTable,
     if (fileStats.isEmpty) return true
     filtersMayMatch(dataFilters, (name, cmp, value) =>
       fileStats.get(name) match {
+        // null-count pruning (optimizers inject IsNotNull beside most
+        // predicates, so the all-null-file skip fires on ordinary
+        // filters too): IS NULL prunes zero-null files; IS NOT NULL
+        // prunes files whose every recorded row is null — only with a
+        // KNOWN row count, an under-count must never prune
+        case Some(cs) if cmp == "isnull" => cs.nulls.forall(_ > 0L)
+        case Some(cs) if cmp == "notnull" =>
+          rows.get(rel).filter(_ > 0L)
+            .forall(n => cs.nulls.forall(_ < n))
         case Some(cs) => table.schema.find(_.name == name) match {
           case Some(f) => graft.table.FileStats.mayMatch(f.dataType, cs, cmp, value)
           case None => true

@@ -81,6 +81,46 @@ class GraftDataSourceSpec extends SparkSpec {
       || explained.contains("GreaterThan(id,0)"), explained.take(2000))
   }
 
+  test("null-count file pruning in the graft scan: IS NULL skips " +
+      "zero-null files, IS NOT NULL skips all-null files (the optimizer " +
+      "injects it beside ordinary predicates), results exact") {
+    import org.apache.spark.sql.functions.col
+    val t = graft.table.GraftTable(spark, tmpDir("ds-nullprune") + "/t")
+    t.append(Seq((1L, Option(1.0)), (2L, Option(2.0)))
+      .toDF("id", "v").repartition(1)) // zero nulls in v
+    t.append(Seq((3L, None: Option[Double]), (4L, None: Option[Double]))
+      .toDF("id", "v").repartition(1)) // ALL null
+    t.append(Seq((5L, Option(5.0)), (6L, None: Option[Double]))
+      .toDF("id", "v").repartition(1)) // mixed
+    def scan() = spark.read.format("graft").load(t.location)
+    assert(scan().inputFiles.length === 3)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Long =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case other => other.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics("numFiles").value
+          }.sum
+        }
+      scans(df.queryExecution.executedPlan)
+    }
+
+    val isNull = scan().filter(col("v").isNull)
+    assert(isNull.select("id").collect().map(_.getLong(0)).sorted ===
+      Array(3L, 4L, 6L))
+    assert(scannedFiles(isNull) === 2, "zero-null file must be skipped")
+
+    // a plain value predicate: the optimizer adds IsNotNull(v), which
+    // must skip the all-null file even though v's bounds can't
+    val pos = scan().filter(col("v") > 0.0)
+    assert(pos.select("id").collect().map(_.getLong(0)).sorted ===
+      Array(1L, 2L, 5L))
+    assert(scannedFiles(pos) === 2, "all-null file must be skipped")
+  }
+
   test("SQL over the source: create temp view via format table") {
     val dir = tmpDir("ds-sql") + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
