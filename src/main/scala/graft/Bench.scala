@@ -167,7 +167,11 @@ object Bench {
   val scaleQueries: Seq[String] = Seq("q_dedup_minhash", "q_ann_ivf",
     "q_table_merge", "q_table_merge_mor", "q_hidden_partition",
     "q_semdedup", "q_span_dedup", "q_lm_score", "q_table_changes",
-    "q_chunk_dedup", "q_stream_merge")
+    "q_chunk_dedup", "q_stream_merge",
+    // the foreign write-back path: export + position-tombstone MERGE
+    // into the tree — its scaling claim is one lineage scan + O(source)
+    // writes, so the 10× ratio should track the data linearly
+    "q_iceberg_writeback_merge")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
