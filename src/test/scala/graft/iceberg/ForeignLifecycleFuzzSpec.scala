@@ -102,4 +102,8 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
   test("seeded foreign-lifecycle fuzz (seed 20260815)") {
     runFuzz(20260815L, 20)
   }
+
+  test("seeded foreign-lifecycle fuzz, longer sequence (seed 7)") {
+    runFuzz(7L, 30)
+  }
 }

@@ -527,6 +527,30 @@ class IcebergWriteBackSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CALL graft.register_iceberg: the temp view pins the snapshot " +
+      "resolved at registration (at => time travel included); " +
+      "re-registering sees later foreign commits") {
+    val t = GraftTable(spark, tmpDir("wb-register") + "/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    val s1 = spark.sql(s"CALL graft.register_iceberg('${t.location}', " +
+      "name => 'reg_v1')").collect()(0).getLong(0)
+    assert(spark.table("reg_v1").count() === 2)
+    // a later foreign commit is INVISIBLE to the pinned view...
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((3L, "c")).toDF("id", "v"))
+    assert(spark.table("reg_v1").count() === 2)
+    // ...and visible after re-registering; `at` pins the OLD snapshot
+    spark.sql(s"CALL graft.register_iceberg('${t.location}', " +
+      "name => 'reg_v2')")
+    assert(spark.table("reg_v2").count() === 3)
+    spark.sql(s"CALL graft.register_iceberg('${t.location}', " +
+      s"name => 'reg_old', at => '$s1')")
+    assert(spark.table("reg_old").count() === 2)
+    Seq("reg_v1", "reg_v2", "reg_old")
+      .foreach(spark.catalog.dropTempView)
+  }
+
   test("expireSnapshots: metadata-only expiry keeps the retention chain " +
       "plus every ref target; expired time travel fails loud; no file " +
       "is deleted") {
