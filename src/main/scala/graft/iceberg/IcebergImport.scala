@@ -1002,6 +1002,59 @@ object IcebergImport {
         col(PosCol).cast(LongType).as(LineagePosCol)) else Nil): _*)
   }
 
+  /** ORPHAN-file inspection for a foreign tree: every file under
+    * `data/` that NO snapshot's manifests reference (typically debris of
+    * failed/aborted commits, or files stranded when [[IcebergWriteBack
+    * .expireSnapshots]] dropped the only snapshots referencing them).
+    * LISTING ONLY — on a SHARED tree another engine may be mid-commit,
+    * so deletion is deliberately left to the operator, guarded by
+    * `olderThanMs` (candidates must be older; an in-flight writer's
+    * fresh files never appear). Reference walk covers every snapshot,
+    * every manifest, BOTH content kinds, and status=DELETED entries
+    * (an older snapshot may still read them). Driver cost: the same
+    * manifest walk any full-history planner pays; the path set is
+    * O(total files) strings. */
+  def orphanFiles(spark: SparkSession, tableLocation: String,
+      olderThanMs: Long = Long.MaxValue): DataFrame = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    import spark.implicits._
+    val (fs, meta, _) = parseMeta(spark, tableLocation)
+    val referenced = scala.collection.mutable.Set.empty[String]
+    def norm(uri: String): String =
+      fs.makeQualified(new Path(new java.net.URI(uri))).toString
+    (meta \ "snapshots").children.foreach { s =>
+      val mfs: Seq[String] = (s \ "manifest-list").extractOpt[String] match {
+        case Some(listUri) => readAvro(fs, listUri)
+          .map(r => String.valueOf(r.get("manifest_path")))
+        case None => (s \ "manifests").children.map(_.extract[String])
+      }
+      mfs.foreach { m =>
+        readAvro(fs, m).foreach { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          referenced += norm(String.valueOf(df.get("file_path")))
+        }
+      }
+    }
+    val dataDir = new Path(tableLocation, "data")
+    val found = Seq.newBuilder[(String, Long, Long)]
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        // skip hidden/marker files (.crc sidecars, _SUCCESS) — the same
+        // convention every Hadoop/Spark reader applies
+        if (st.isFile && !name.startsWith(".") && !name.startsWith("_") &&
+            st.getModificationTime < olderThanMs &&
+            !referenced.contains(norm(st.getPath.toString)))
+          found += ((st.getPath.toString, st.getLen,
+            st.getModificationTime))
+      }
+    }
+    found.result().toDF("path", "bytes", "modified_ms")
+  }
+
   /** Incremental foreign-table FOLLOW — Iceberg's incremental append
     * scan, hand-walked: the rows added by the snapshot range
     * `(sinceSnapshotId, target]`, where target is `at` (ref/id) or the

@@ -527,6 +527,42 @@ class IcebergWriteBackSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("orphanFiles: lists data files no snapshot references — planted " +
+      "junk immediately, compacted-then-expired originals once their " +
+      "last referencing snapshot is gone; never a live file") {
+    val t = GraftTable(spark, tmpDir("wb-orphan") + "/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1))
+    IcebergExport.export(spark, t, history = 2)
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((3L, "c")).toDF("id", "v"))
+    // plant debris of a failed commit
+    val junk = new java.io.File(s"${t.location}/data/junk-aborted.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    val o1 = IcebergImport.orphanFiles(spark, t.location)
+      .select("path").as[String].collect()
+    assert(o1.length === 1 && o1(0).endsWith("junk-aborted.parquet"))
+    // olderThanMs guards in-flight writers: a future cutoff includes it,
+    // a past cutoff excludes it
+    assert(IcebergImport.orphanFiles(spark, t.location,
+      olderThanMs = junk.lastModified() - 10000L).count() === 0)
+    // compact + expire: the compacted-away originals remain REFERENCED
+    // (the replace snapshot's rewritten manifests carry them as
+    // status=DELETED entries — Iceberg's reachability semantics, which
+    // keeps orphan cleanup from racing history readers), so the orphan
+    // list still holds only the junk
+    IcebergWriteBack.compactSmallFiles(spark, t.location,
+      smallFileBytes = 64L << 20)
+    IcebergWriteBack.expireSnapshots(spark, t.location, keepLast = 1)
+    val o2 = IcebergImport.orphanFiles(spark, t.location)
+      .select("path").as[String].collect()
+    assert(o2.length === 1 && o2(0).endsWith("junk-aborted.parquet"))
+    // live state is untouched and never listed
+    assert(IcebergImport.read(spark, t.location).count() === 3)
+    assert(!o2.exists(p => IcebergImport.plan(spark, t.location)
+      .files.map(f => new java.net.URI(f.uri).getPath)
+      .exists(p.endsWith)))
+  }
+
   test("CALL graft.register_iceberg: the temp view pins the snapshot " +
       "resolved at registration (at => time travel included); " +
       "re-registering sees later foreign commits") {
