@@ -94,7 +94,8 @@ object IcebergImport {
       upper: Map[String, Any] = Map.empty,
       bytes: Long = 0L,
       rows: Long = 0L,
-      nullCounts: Map[String, Long] = Map.empty)
+      nullCounts: Map[String, Long] = Map.empty,
+      manifest: String = "")
   /** One live v2 delete file: `equalityCols` = Some(key column names)
     * for equality deletes, None for position deletes. `scope` is the
     * delete file's own identity-partition tuple — per the v2 spec a
@@ -102,9 +103,19 @@ object IcebergImport {
     * partition value, so a scoped equality delete must not remove
     * matching keys in other partitions (position deletes name exact
     * files, which already pin the partition). */
+  /** `transformScope` holds the delete file's HIDDEN-TRANSFORM partition
+    * scope as (source column, transform, tuple value) triples — per the
+    * v2 spec a bucket/truncate/time-partitioned equality delete applies
+    * only to data rows whose TRANSFORMED source value equals the tuple
+    * value, so readers must evaluate the transform per data row (the
+    * Flink-CDC bucket-partitioned shape). `bytes` is the manifest's
+    * file_size_in_bytes — the broadcast-vs-shuffle gate for delete
+    * application. */
   case class DeleteRef(uri: String, seq: Long,
       equalityCols: Option[Seq[String]],
-      scope: Map[String, Any] = Map.empty)
+      scope: Map[String, Any] = Map.empty,
+      bytes: Long = 0L,
+      transformScope: Seq[(String, String, Any)] = Seq.empty)
   /** The resolved scan plan of one snapshot of a foreign table.
     * `nameMapping` is the table's `schema.name-mapping.default` (field
     * id → accepted file-side names), used to resolve columns in id-LESS

@@ -84,7 +84,15 @@ class IcebergStreamSource(spark: SparkSession, location: String,
           .withColumn("_commit_snapshot_id", lit(endId))
       case Some(s) =>
         val startId = toId(s)
-        if (startId >= endId)
+        // EQUALITY only: foreign engines generate RANDOM snapshot ids,
+        // so numeric order says nothing about lineage — a `startId >
+        // endId` short-circuit would silently drop a whole batch range
+        // whenever a foreign commit drew a smaller id than the pinned
+        // offset. Ordering comes from the ancestry walk inside
+        // readChanges/diffPerCommit, which fails LOUD when `end` is not
+        // a descendant of `start` (diverged/rolled-back history) instead
+        // of committing an empty batch over lost rows.
+        if (startId == endId)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else if (cdc) IcebergImport.diffPerCommit(spark, location,

@@ -679,4 +679,55 @@ class StreamingSpec extends SparkSpec {
         Seq(("c", "delete"), ("C", "insert"), ("c", "insert")))
     } finally q2.stop()
   }
+
+  test("foreign Iceberg streaming source: NON-MONOTONIC foreign " +
+      "snapshot ids (random-id engines) deliver every batch — ordering " +
+      "comes from the ancestry walk, not numeric comparison") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    import graft.table.GraftTable
+    val base = tmpDir("stream-ice-randid")
+    val loc = s"$base/t"
+    new java.io.File(loc).mkdirs()
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))
+    val f1 = ForeignFixtures.writeParquet(spark, loc, "F1",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // the foreign engine's FIRST commit draws a LARGE random id
+    val s900 = Snap(900L, None, 1L, "append", Seq(Data(f1, 2, 1L)))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(s900), version = 1, lastColumnId = 2)
+
+    val q = Streaming.graftSink(
+      spark.readStream.format("graft-iceberg").load(loc),
+      s"$base/out", txnAppId = "ice-randid-spec")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable() // batch 0 pins offset 900
+      assert(GraftTable(spark, s"$base/out").read().select("id").as[Long]
+        .collect().sorted === Array(1L, 2L))
+      // the next commit draws a SMALLER id (100 < 900): a numeric
+      // startId >= endId short-circuit would commit an EMPTY batch here
+      // and the range's rows would be silently lost forever
+      val f2 = ForeignFixtures.writeParquet(spark, loc, "F2",
+        Seq((3L, "c")).toDF("id", "v"))
+      val s100 = Snap(100L, Some(900L), 2L, "append",
+        Seq(Data(f1, 2, 1L), Data(f2, 1, 2L)))
+      ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+        Seq(s900, s100), version = 2, lastColumnId = 2)
+      q.processAllAvailable()
+      assert(GraftTable(spark, s"$base/out").read().select("id").as[Long]
+        .collect().sorted === Array(1L, 2L, 3L))
+      // and a third commit smaller still (ids keep going "backwards")
+      val f3 = ForeignFixtures.writeParquet(spark, loc, "F3",
+        Seq((4L, "d")).toDF("id", "v"))
+      val s50 = Snap(50L, Some(100L), 3L, "append",
+        Seq(Data(f1, 2, 1L), Data(f2, 1, 2L), Data(f3, 1, 3L)))
+      ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+        Seq(s900, s100, s50), version = 3, lastColumnId = 2)
+      q.processAllAvailable()
+      assert(GraftTable(spark, s"$base/out").read().select("id").as[Long]
+        .collect().sorted === Array(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
 }
