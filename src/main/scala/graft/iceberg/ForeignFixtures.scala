@@ -27,9 +27,11 @@ private[graft] object ForeignFixtures {
 
   sealed trait Entry { def seq: Long }
   /** Live data file; `tuple` = manifest partition values by spec-field
-    * name. */
+    * name; entries sharing a `group` land in the same manifest (so a
+    * fixture can model multi-manifest snapshots — e.g. adopted legacy
+    * manifests next to native ones). */
   case class Data(uri: String, rows: Long, seq: Long,
-      tuple: Map[String, Any] = Map.empty) extends Entry
+      tuple: Map[String, Any] = Map.empty, group: Int = 0) extends Entry
   /** v2 equality-delete file (parquet of the key columns). */
   case class EqDel(uri: String, rows: Long, seq: Long, eqIds: Seq[Int],
       tuple: Map[String, Any] = Map.empty) extends Entry
@@ -174,9 +176,14 @@ private[graft] object ForeignFixtures {
 
     val snapJsons = snaps.zipWithIndex.map { case (s, i) =>
       val (dataEs, delEs) = s.entries.partition(_.isInstanceOf[Data])
-      val listRecs = Seq(
-        (dataEs, 0, s"m-${s.id}-data.avro"),
-        (delEs, 1, s"m-${s.id}-del.avro")
+      val dataManifests = dataEs.groupBy {
+        case d: Data => d.group
+        case _ => 0
+      }.toSeq.sortBy(_._1).map { case (g, es) =>
+        (es, 0, s"m-${s.id}-data-$g.avro")
+      }
+      val listRecs = (dataManifests :+
+        ((delEs, 1, s"m-${s.id}-del.avro"))
       ).filter(_._1.nonEmpty).map { case (entries, content, name) =>
         val mf = new File(metaDir, name)
         val len = writeAvro(mf, es, entries.map(record(es, s.id, _)))

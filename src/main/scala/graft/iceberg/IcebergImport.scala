@@ -56,14 +56,19 @@ import graft.table.GraftTable
   * Scale design (the 100 TB shape — deliberately NOT the per-partition
   * union [[IcebergExport.scan]] uses): ONE parquet scan over every live
   * data file with an explicit schema, per-file metadata (identity
-  * partition tuple, data sequence number) attached by a BROADCAST join
-  * on `_metadata.file_path` against an O(|files|) driver-built lookup,
-  * equality deletes applied as broadcast anti-joins carrying the spec's
-  * strict `deleteSeq > dataSeq` ordering, position deletes as one
-  * broadcast anti-join on (file, `_metadata.row_index`). Partition count
-  * never multiplies job count; delete application stays inside the one
-  * scan's plan. Filters/pruning on the returned frame push into the scan
-  * as usual.
+  * partition tuple, data sequence number) attached by a join on
+  * `_metadata.file_path` against an O(|files|) driver-built lookup,
+  * equality deletes applied as anti-joins carrying the spec's strict
+  * `deleteSeq > dataSeq` ordering, position deletes as one anti-join on
+  * (file, `_metadata.row_index`). Every metadata/delete side is
+  * broadcast-HINTED only while its manifest-recorded bytes fit the
+  * session's autoBroadcastJoinThreshold; past it the hint is dropped so
+  * the planner/AQE picks shuffle-vs-broadcast from the sides' accurate
+  * size stats — an unconditional hint would drag a 100-GB Flink-upsert
+  * equality-delete backlog through the driver. Partition count never
+  * multiplies job count; delete application stays inside the one scan's
+  * plan. Filters/pruning on the returned frame push into the scan as
+  * usual.
   *
   * Column resolution follows the spec: when the tree's parquet files
   * embed Iceberg field ids (every Iceberg-native writer must), the scan
@@ -72,7 +77,9 @@ import graft.table.GraftTable
   * drop+re-add (same name, new id) correctly reads NULL from old files
   * instead of resurrecting the dropped column's bytes. Id-less trees
   * (files adopted via name-mapping; graft's own export) resolve by name
-  * as before; a mixed tree fails loud at scan time.
+  * as before; a mixed tree (post-migration) splits into an id-resolved
+  * and a name-resolved scan, classified per manifest
+  * ([[classifyFiles]]).
   *
   * Honest limits, fail-loud: parquet data files only; flat scalar
   * columns (the engine's table surface); in name-resolution mode no
@@ -116,6 +123,10 @@ object IcebergImport {
       scope: Map[String, Any] = Map.empty,
       bytes: Long = 0L,
       transformScope: Seq[(String, String, Any)] = Seq.empty)
+  /** One v3 DELETION VECTOR: a puffin blob slice holding the deleted
+    * positions of exactly one data file ([[Puffin]]). */
+  case class DvRef(uri: String, seq: Long, dataFileUri: String,
+      offset: Long, length: Long)
   /** The resolved scan plan of one snapshot of a foreign table.
     * `nameMapping` is the table's `schema.name-mapping.default` (field
     * id → accepted file-side names), used to resolve columns in id-LESS
@@ -124,7 +135,8 @@ object IcebergImport {
   case class TablePlan(snapshotId: Long, schema: StructType,
       identityCols: Seq[String], files: Seq[DataFileRef],
       deletes: Seq[DeleteRef],
-      nameMapping: Map[Int, Seq[String]] = Map.empty)
+      nameMapping: Map[Int, Seq[String]] = Map.empty,
+      dvs: Seq[DvRef] = Seq.empty)
 
   private[iceberg] def sparkType(t: String): DataType = t match {
     case "boolean" => BooleanType
@@ -283,6 +295,16 @@ object IcebergImport {
     implicit val fmts: Formats = DefaultFormats
     val (fs, meta, metaFile) = parseMeta(spark, tableLocation)
 
+    // v1/v2 read as before; v3 reads too (deletion vectors decoded via
+    // [[Puffin]]) — but any v3 feature that would change ANSWERS if
+    // ignored fails loud below (field default values); versions beyond
+    // 3 are refused outright rather than mis-read
+    val formatVersion = (meta \ "format-version").extractOpt[Int]
+      .getOrElse(1)
+    require(formatVersion <= 3,
+      s"iceberg import supports format-version <= 3, " +
+        s"got $formatVersion ($metaFile)")
+
     val currentId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L)
     val targetId: Long = at match {
@@ -325,6 +347,17 @@ object IcebergImport {
     // column resolution — the spec's rule — so renames and drop+re-add
     // evolution resolve correctly against pre-evolve files
     val schema = StructType(fieldsJ.map { f =>
+      // v3 default values: a field with a non-null initial-default
+      // reads as that VALUE from pre-evolve files — silently reading
+      // NULL instead would be wrong, so refuse until defaults are
+      // implemented (write-default only affects writers; harmless)
+      (f \ "initial-default") match {
+        case JNothing | JNull => ()
+        case d => throw new IllegalArgumentException(
+          s"v3 initial-default on field ${(f \ "name").extract[String]}" +
+            s" ($d) is not supported — pre-evolve files would mis-read" +
+            " as NULL; rewrite the table without field defaults")
+      }
       StructField((f \ "name").extract[String],
         sparkType((f \ "type").extract[String]), nullable = true,
         new MetadataBuilder().putLong(FieldIdKey,
@@ -365,6 +398,7 @@ object IcebergImport {
 
     val files = Seq.newBuilder[DataFileRef]
     val deletes = Seq.newBuilder[DeleteRef]
+    val dvs = Seq.newBuilder[DvRef]
     manifestRefs.foreach { case (mPath, mContent, mSeq, specId) =>
       val identityFields: Seq[(String, String)] = // (tupleField, column)
         specsById.getOrElse(specId, Seq.empty).collect {
@@ -383,16 +417,39 @@ object IcebergImport {
           val uri = df.get("file_path").toString
           val fmt = Option(df.get("file_format")).map(_.toString)
             .getOrElse("PARQUET")
+          val fileBytes = Option(df.get("file_size_in_bytes"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          val isDelete = mContent == 1 || content != 0
+          def optField(n: String): Option[AnyRef] =
+            if (df.getSchema.getField(n) == null) None
+            else Option(df.get(n))
+          if (isDelete && fmt.equalsIgnoreCase("puffin")) {
+            // v3 deletion vector: a blob slice of this puffin file
+            // holding referenced_data_file's deleted positions
+            require(content == 1,
+              s"puffin delete entry with content=$content ($uri)")
+            def need(n: String): AnyRef = optField(n).getOrElse(
+              throw new IllegalStateException(
+                s"deletion-vector entry lacks $n ($uri)"))
+            dvs += DvRef(uri, seq, need("referenced_data_file").toString,
+              need("content_offset").asInstanceOf[Number].longValue,
+              need("content_size_in_bytes").asInstanceOf[Number]
+                .longValue)
+          } else {
           require(fmt.equalsIgnoreCase("parquet"),
             s"iceberg import reads parquet data files only, got $fmt ($uri)")
-          if (mContent == 1 || content != 0) content match {
+          if (isDelete) content match {
             case 2 =>
               val ids = df.get("equality_ids")
                 .asInstanceOf[java.util.List[Integer]].asScala.toSeq
               // partition scope of the delete file itself: identity
-              // fields become an extra predicate; a NON-identity
-              // (transform) scope would need transform evaluation over
-              // every data row — refuse rather than over-delete
+              // fields become an extra literal predicate; a
+              // NON-identity (hidden-transform) scope is captured as
+              // (source col, transform, tuple value) triples — readPlan
+              // evaluates the transform per data row (the v2 rule: a
+              // partitioned delete file applies only within its own
+              // partition), so Flink-style bucket-partitioned equality
+              // deletes import instead of refusing
               val part = Option(df.get("partition"))
                 .map(_.asInstanceOf[GenericRecord])
               val scope = identityFields.flatMap { case (tf, colName) =>
@@ -402,21 +459,30 @@ object IcebergImport {
               }.toMap
               val nonIdentity = specsById.getOrElse(specId, Seq.empty)
                 .filter(_._2 != "identity")
-              nonIdentity.foreach { case (n, tr, _) =>
-                val v = part.flatMap(p =>
+              val tScope = nonIdentity.flatMap { case (n, tr, srcId) =>
+                part.flatMap { p =>
                   if (p.getSchema.getField(n) == null) None
-                  else Option(p.get(n)))
-                require(v.isEmpty, s"equality delete $uri is scoped by " +
-                  s"hidden-transform partition $tr($n) — applying it " +
-                  "needs transform evaluation per row; import after the " +
-                  "source table compacts its deletes")
+                  else if (tr == "void") None // void: null for every row
+                  else {
+                    require(SupportedTransform.matches(tr),
+                      s"equality delete $uri is scoped by unsupported " +
+                        s"partition transform $tr($n) — import after " +
+                        "the source table compacts its deletes")
+                    val v = Option(p.get(n)).map(str).orNull
+                    require(!v.isInstanceOf[Array[Byte]],
+                      s"equality delete $uri: binary-valued transform " +
+                        s"scope $tr($n) unsupported")
+                    Some((nameById.getOrElse(srcId, n), tr, v))
+                  }
+                }
               }
               deletes += DeleteRef(uri, seq,
                 Some(ids.map(i => nameById.getOrElse(i.toInt,
                   throw new IllegalStateException(
                     s"equality_ids field $i not in schema ($uri)")))),
-                scope)
-            case 1 => deletes += DeleteRef(uri, seq, None)
+                scope, fileBytes, tScope)
+            case 1 => deletes += DeleteRef(uri, seq, None,
+              bytes = fileBytes)
             case other => throw new IllegalStateException(
               s"unknown delete content $other in $mPath")
           } else {
@@ -474,12 +540,12 @@ object IcebergImport {
             }
             files += DataFileRef(uri, seq, identity,
               boundsOf("lower_bounds"), boundsOf("upper_bounds"),
-              Option(df.get("file_size_in_bytes"))
-                .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+              fileBytes,
               Option(df.get("record_count"))
                 .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
-              longMapOf("null_value_counts"))
+              longMapOf("null_value_counts"), manifest = mPath)
           }
+          } // end parquet entries (data + v2 delete files)
         }
       }
     }
@@ -496,7 +562,7 @@ object IcebergImport {
     TablePlan(targetId, schema,
       specsById.getOrElse(defaultSpecId, Seq.empty).collect {
         case (n, "identity", srcId) => nameById.getOrElse(srcId, n) },
-      files.result(), deletes.result(), nameMapping)
+      files.result(), deletes.result(), nameMapping, dvs.result())
   }
 
   /** Inverse of the spec's Appendix-D single-value serialization for the
@@ -516,6 +582,67 @@ object IcebergImport {
       case d: DecimalType => Some(new java.math.BigDecimal(
         new java.math.BigInteger(bytes), d.scale))
       case _ => None
+    }
+  }
+
+  /** The hidden-transform names [[foreignTransformCol]] can evaluate —
+    * the spec's full single-arg set (Appendix B / C). */
+  private[iceberg] object SupportedTransform {
+    val Bucket = """bucket\[(\d+)\]""".r
+    val Truncate = """truncate\[(\d+)\]""".r
+    def matches(tr: String): Boolean = tr match {
+      case Bucket(_) | Truncate(_) => true
+      case "year" | "month" | "day" | "hour" => true
+      case _ => false
+    }
+  }
+
+  /** Evaluate a FOREIGN partition transform over a data column — the
+    * spec's own definitions (Appendix B hashes; time transforms are
+    * EPOCH ORDINALS: year = years since 1970, month = months since
+    * 1970-01, day = epoch days, hour = epoch hours — NOT calendar
+    * parts), so a transform-scoped delete's tuple value compares
+    * directly against this column. All date/time math is UTC, matching
+    * the spec's timezone-free partition values. */
+  private def foreignTransformCol(tr: String, src: Column,
+      dt: DataType): Column = {
+    import org.apache.spark.sql.graftglue.GraftSqlGlue
+    def utcDate: Column = dt match {
+      case DateType => src
+      case TimestampType | TimestampNTZType => GraftSqlGlue.column(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          GraftSqlGlue.expression(src), DateType, Some("UTC")))
+      case other => throw new IllegalArgumentException(
+        s"time transform $tr unsupported for source type $other")
+    }
+    def epochDays: Column =
+      datediff(utcDate, lit(java.sql.Date.valueOf("1970-01-01")))
+    tr match {
+      case SupportedTransform.Bucket(n) => GraftSqlGlue.column(
+        graft.functions.IcebergBucketExpr(
+          GraftSqlGlue.expression(src), n.toInt))
+      case SupportedTransform.Truncate(w) => dt match {
+        case StringType => substring(src, 1, w.toInt)
+        case IntegerType => src - pmod(src, lit(w.toInt))
+        case LongType => src - pmod(src, lit(w.toLong))
+        case other => throw new IllegalArgumentException(
+          s"truncate[$w] scope unsupported for source type $other")
+      }
+      case "year" => year(utcDate) - lit(1970)
+      case "month" =>
+        (year(utcDate) - lit(1970)) * lit(12) + (month(utcDate) - lit(1))
+      case "day" => epochDays
+      case "hour" => dt match {
+        case TimestampType =>
+          val us = unix_micros(src)
+          ((us - pmod(us, lit(3600000000L))) / lit(3600000000L))
+            .cast(IntegerType)
+        case other => throw new IllegalArgumentException(
+          s"hour scope unsupported for source type $other " +
+            "(timestamptz only)")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform $other")
     }
   }
 
@@ -744,20 +871,30 @@ object IcebergImport {
     readFooterInfo(spark.sessionState.newHadoopConf(), uri)
 
   /** Classify every data file as id-ful / id-less. Cheap path: sniff a
-    * bounded SAMPLE (ends of the manifest order); a uniform sample
-    * classifies the whole set with zero per-file cost — the usual case,
-    * since an Iceberg tree's files are either all native-written (ids)
-    * or all adopted (no ids). A MIXED sample (post-migration tree:
-    * adopted legacy files + new native files) escalates to a
-    * DISTRIBUTED sniff — one executor-side footer open per file, the
-    * same footers the scan reads anyway — so mixed trees resolve
-    * per-file instead of failing. */
+    * bounded sample of each MANIFEST's files (first + last two of its
+    * order) — manifests are homogeneous per writer, so a per-manifest
+    * uniform sample classifies that manifest's whole file set with O(1)
+    * footer opens per manifest, and an adopted-then-native migrated
+    * tree (id-less legacy manifests + id-ful new manifests) classifies
+    * correctly where a global ends-only sample could read id-ful files
+    * in name mode after a rename. A manifest whose OWN sample is mixed
+    * escalates to a DISTRIBUTED sniff of just that manifest's files —
+    * one executor-side footer open per file, the same footers the scan
+    * reads anyway. */
   private def classifyFiles(spark: SparkSession,
-      uris: Seq[String]): Map[String, Boolean] = {
-    val sample = (uris.take(4) ++ uris.takeRight(4)).distinct
-    val sampled = sample.map(u => u -> footerInfo(spark, u).hasIds).toMap
-    if (sampled.values.toSet.size <= 1)
-      uris.map(_ -> sampled.values.headOption.getOrElse(false)).toMap
+      files: Seq[DataFileRef]): Map[String, Boolean] = {
+    val byManifest = files.groupBy(_.manifest)
+    val sampled: Map[String, Option[Boolean]] = byManifest.map {
+      case (m, fs) =>
+        val sample = (fs.take(2) ++ fs.takeRight(2)).map(_.uri).distinct
+        val vals = sample.map(u => footerInfo(spark, u).hasIds).toSet
+        m -> (if (vals.size == 1) Some(vals.head) else None)
+    }
+    val settled = files.flatMap(f =>
+      sampled(f.manifest).map(f.uri -> _)).toMap
+    val unsettled = files.filter(f => sampled(f.manifest).isEmpty)
+      .map(_.uri)
+    if (unsettled.isEmpty) settled
     else {
       val confBytes = {
         val bos = new java.io.ByteArrayOutputStream()
@@ -766,8 +903,9 @@ object IcebergImport {
         oos.close(); bos.toByteArray
       }
       val bc = spark.sparkContext.broadcast(confBytes)
-      spark.sparkContext
-        .parallelize(uris, math.max(1, math.min(uris.size / 16 + 1, 256)))
+      settled ++ spark.sparkContext
+        .parallelize(unsettled,
+          math.max(1, math.min(unsettled.size / 16 + 1, 256)))
         .map { u =>
           val conf = new org.apache.hadoop.conf.Configuration(false)
           conf.readFields(new java.io.ObjectInputStream(
@@ -863,6 +1001,29 @@ object IcebergImport {
     readPlan(spark, p, lineage = true)
   }
 
+  /** [[readLineage]] with MANIFEST-BOUNDS FILE PRUNING: data files whose
+    * recorded column bounds prove no row can satisfy `prunePredicate`
+    * never enter the scan. Unlike [[readWhere]] the predicate is NOT
+    * applied row-wise — the caller's own join/filter decides row fate —
+    * so this is exactly a scheduling/IO cut: correct whenever the
+    * caller only cares about rows that DO satisfy the predicate (a
+    * merge batch's key range: pruned files can't hold a matching key).
+    * This is the foreign twin of graft's own merge file pruning
+    * ([[graft.table.MergeInto]]) — at 100 TB a small upsert batch must
+    * not pay a full-tree scan to find its matched rows. */
+  private[iceberg] def readLineageWhere(spark: SparkSession,
+      tableLocation: String, prunePredicate: Column): DataFrame = {
+    val p = plan(spark, tableLocation)
+    require(!p.schema.fieldNames.contains(LineageFileCol) &&
+      !p.schema.fieldNames.contains(LineagePosCol),
+      s"table schema collides with lineage columns " +
+        s"$LineageFileCol/$LineagePosCol")
+    val preds = boundPreds(org.apache.spark.sql.graftglue.GraftSqlGlue
+      .resolvedExpression(prunePredicate), p.schema)
+    val kept = p.files.filter(f => preds.forall(mightMatch(f, _)))
+    readPlan(spark, p.copy(files = kept), lineage = true)
+  }
+
   private def readPlan(spark: SparkSession, p: TablePlan,
       lineage: Boolean = false): DataFrame = {
     val lineageFields =
@@ -882,7 +1043,7 @@ object IcebergImport {
     // The session conf is one-way enabled; it only changes behavior for
     // requested schemas that CARRY parquet.field.id metadata, so every
     // other read in the session is untouched.
-    val classes = classifyFiles(spark, p.files.map(_.uri))
+    val classes = classifyFiles(spark, p.files)
     val idFiles = p.files.filter(f => classes(f.uri))
     val plainFiles = p.files.filterNot(f => classes(f.uri))
     if (idFiles.nonEmpty) spark.conf.set(FieldIdReadConf, "true")
@@ -896,7 +1057,7 @@ object IcebergImport {
 
     val eqDeletes = p.deletes.filter(_.equalityCols.isDefined)
     val posDeletes = p.deletes.filter(_.equalityCols.isEmpty)
-    val needPos = posDeletes.nonEmpty || lineage
+    val needPos = posDeletes.nonEmpty || p.dvs.nonEmpty || lineage
 
     // per-file lookup: scan uri -> (data sequence, identity tuple values,
     // and — for lineage reads — the file's manifest-form URI)
@@ -914,8 +1075,24 @@ object IcebergImport {
           f.identity.getOrElse(c, null), schema(c).dataType))) ++
         (if (lineage) Seq(f.uri) else Nil))
     }
-    val info = spark.createDataFrame(
-      spark.sparkContext.parallelize(infoRows, 1), infoSchema)
+    // Broadcast hints are GATED on size — an explicit broadcast() hint
+    // overrides the planner's autoBroadcastJoinThreshold, so an
+    // unconditional hint on an unbounded side (a 100-GB equality-delete
+    // backlog on a Flink-upsert tree; millions of per-file info rows)
+    // would collect it to the driver and OOM. Under the session
+    // threshold the hint keeps today's single-scan-plus-broadcasts plan;
+    // over it, the side is left unhinted — every side is either a
+    // parquet scan or a LocalRelation with ACCURATE size stats, so the
+    // planner/AQE makes the shuffle-vs-broadcast call it was built for.
+    val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    def gated(df: DataFrame, sizeBytes: Long): DataFrame =
+      if (bcThreshold > 0 && sizeBytes > 0 && sizeBytes <= bcThreshold)
+        broadcast(df)
+      else df
+    val infoBytes = p.files.map(f =>
+      2L * f.uri.length + 64L + 32L * identityCols.size).sum
+    val info = gated(spark.createDataFrame(
+      infoRows.asJava, infoSchema), infoBytes)
 
     val metaSel: Seq[Column] =
       col("_metadata.file_path").as(FileCol) ::
@@ -925,32 +1102,43 @@ object IcebergImport {
         .parquet(idFiles.map(_.uri): _*)
         .select(schema.fieldNames.toIndexedSeq
           .map(c => col(c).as(c, Metadata.empty)) ++ metaSel: _*))
-    val plainScan = Option.when(plainFiles.nonEmpty) {
-      val resolution = plainResolution(p,
-        footerInfo(spark, plainFiles.head.uri).cols)
-      val readSchema = StructType(resolution.map { case (n, f) =>
-        StructField(n, f.dataType, nullable = true) }.toArray)
-      spark.read.schema(readSchema)
-        .parquet(plainFiles.map(_.uri): _*)
-        .select(resolution.map { case (n, f) =>
-          col(n).as(f.name) } ++ metaSel: _*)
-    }
-    val base = (idScan.toSeq ++ plainScan.toSeq)
+    // name-resolved files group PER MANIFEST (one footer open each):
+    // manifests are homogeneous per writer, but DIFFERENT manifests can
+    // carry different column-name generations (files adopted before a
+    // name-mapping rename vs appended after it) — each group gets its
+    // own file-side resolution, so a post-rename append doesn't force
+    // pre-rename files to read NULL
+    val plainScans = plainFiles.groupBy(_.manifest).toSeq.sortBy(_._1)
+      .map { case (_, fs) =>
+        val resolution = plainResolution(p,
+          footerInfo(spark, fs.head.uri).cols)
+        val readSchema = StructType(resolution.map { case (n, f) =>
+          StructField(n, f.dataType, nullable = true) }.toArray)
+        spark.read.schema(readSchema)
+          .parquet(fs.map(_.uri): _*)
+          .select(resolution.map { case (n, f) =>
+            col(n).as(f.name) } ++ metaSel: _*)
+      }
+    val base = (idScan.toSeq ++ plainScans)
       .reduce(_ unionByName _)
-      .join(broadcast(info), FileCol)
+      .join(info, FileCol)
     // identity columns: the file's own bytes when the writer stored them
     // (Iceberg writers do), the manifest tuple when it didn't (Hive-style
     // layouts like graft's own export)
     val withIdentity = identityCols.foldLeft(base)((d, c) =>
       d.withColumn(c, coalesce(col(c), col(s"__ice_part_$c"))))
 
-    // equality deletes: one broadcast anti-join per (key-column set ×
-    // partition scope), carrying the v2 strict ordering deleteSeq >
-    // dataSeq; a partition-scoped delete additionally matches only rows
-    // of its own identity tuple (literal predicates — no extra columns)
-    val afterEq = eqDeletes.groupBy(d => (d.equalityCols.get, d.scope))
+    // equality deletes: one anti-join per (key-column set × partition
+    // scope), carrying the v2 strict ordering deleteSeq > dataSeq; a
+    // partition-scoped delete additionally matches only rows of its own
+    // partition — identity scopes as literal predicates, hidden-
+    // transform scopes (bucket/truncate/time) by evaluating the spec's
+    // transform over each data row ([[foreignTransformCol]]). The join
+    // broadcast is gated on the group's manifest-recorded delete bytes.
+    val afterEq = eqDeletes
+      .groupBy(d => (d.equalityCols.get, d.scope, d.transformScope))
       .foldLeft(withIdentity) {
-        case (acc, ((cols, scope), ds)) =>
+        case (acc, ((cols, scope, tScope), ds)) =>
           // the delete files' writer may differ from the data files' —
           // sniff this group's own footer: id-ful delete files read by
           // field id, id-less ones by name mapping / plain name (e.g.
@@ -976,33 +1164,75 @@ object IcebergImport {
           }.reduce(_ unionByName _)
           val scopeCond = scope.map { case (c, v) =>
             acc(c) <=> lit(externalValue(v, schema(c).dataType)) }
+          // hidden-transform scope: T(sourceCol) <=> tuple value — the
+          // delete only matches rows inside its own hidden partition
+          val tCond = tScope.map { case (c, tr, v) =>
+            require(schema.fieldNames.contains(c),
+              s"transform scope source column $c not in schema")
+            foreignTransformCol(tr, acc(c), schema(c).dataType) <=>
+              lit(v)
+          }
           val cond = (cols.map(c =>
-            acc(c) <=> del(s"__ice_del_$c")) ++ scopeCond).reduce(_ && _) &&
-            del("__ice_dseq") > acc(SeqCol)
-          acc.join(broadcast(del), cond, "left_anti")
+            acc(c) <=> del(s"__ice_del_$c")) ++ scopeCond ++ tCond)
+            .reduce(_ && _) && del("__ice_dseq") > acc(SeqCol)
+          acc.join(gated(del, ds.map(_.bytes).sum), cond, "left_anti")
       }
     // position deletes: (data file uri, row ordinal), applied at
     // deleteSeq >= dataSeq; delete rows name files by their manifest URI
-    // form, normalized to the scan's qualified form via the same lookup
+    // form, normalized to the scan's qualified form via the same lookup.
+    // v3 DELETION VECTORS join the same path: each puffin blob decodes
+    // EXECUTOR-side ([[Puffin.readDv]], one task per blob) into the
+    // identical (file, pos, seq) shape — a DV is the spec's compressed
+    // position-delete encoding, so applying both kinds together is
+    // sound (deletes are monotone: a rewrite makes new files, it never
+    // un-deletes a position of an old one).
     val afterPos =
-      if (posDeletes.isEmpty) afterEq
+      if (posDeletes.isEmpty && p.dvs.isEmpty) afterEq
       else {
+        // uriMap is a LocalRelation with accurate stats — the planner
+        // broadcasts it against a big delete scan on its own
         val uriMap = spark.createDataFrame(
           p.files.map(f => (f.uri, scanUri(f.uri))))
           .toDF("__ice_manifest_uri", FileCol)
-        val posDel = posDeletes.groupBy(_.seq).map { case (seq, group) =>
-          spark.read.parquet(group.map(_.uri): _*)
-            .select(col("file_path"), col("pos"),
-              lit(seq).as("__ice_dseq"))
-        }.reduce(_ unionByName _)
-          .join(broadcast(uriMap),
+        val parquetDel = Option.when(posDeletes.nonEmpty)(
+          posDeletes.groupBy(_.seq).map { case (seq, group) =>
+            spark.read.parquet(group.map(_.uri): _*)
+              .select(col("file_path"), col("pos"),
+                lit(seq).as("__ice_dseq"))
+          }.reduce(_ unionByName _))
+        val dvDel = Option.when(p.dvs.nonEmpty) {
+          val confBytes = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val oos = new java.io.ObjectOutputStream(bos)
+            spark.sessionState.newHadoopConf().write(oos)
+            oos.close(); bos.toByteArray
+          }
+          val bc = spark.sparkContext.broadcast(confBytes)
+          val dvList = p.dvs
+          val rdd = spark.sparkContext.parallelize(dvList,
+            math.max(1, math.min(dvList.size, 256))).flatMap { dv =>
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              conf.readFields(new java.io.ObjectInputStream(
+                new java.io.ByteArrayInputStream(bc.value)))
+              Puffin.readDv(conf, dv.uri, dv.offset, dv.length)
+                .map(pos => Row(dv.dataFileUri, pos, dv.seq))
+            }
+          spark.createDataFrame(rdd, StructType(Seq(
+            StructField("file_path", StringType),
+            StructField("pos", LongType),
+            StructField("__ice_dseq", LongType))))
+        }
+        val posDel = (parquetDel.toSeq ++ dvDel.toSeq)
+          .reduce(_ unionByName _)
+          .join(uriMap,
             col("file_path") === col("__ice_manifest_uri"))
           .select(col(FileCol).as("__ice_del_file"),
             col("pos").as("__ice_del_pos"), col("__ice_dseq"))
         val cond = afterEq(FileCol) === posDel("__ice_del_file") &&
           afterEq(PosCol) === posDel("__ice_del_pos") &&
           posDel("__ice_dseq") >= afterEq(SeqCol)
-        afterEq.join(broadcast(posDel), cond, "left_anti")
+        afterEq.join(gated(posDel, posDeletes.map(_.bytes).sum +
+          p.dvs.map(_.length).sum), cond, "left_anti")
       }
     // explicit empty-metadata aliases drop the field-id markers from the
     // result columns so downstream consumers (graft create/append schema
@@ -1096,8 +1326,10 @@ object IcebergImport {
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
     val (_, meta, metaFile) = parseMeta(spark, tableLocation)
-    require((meta \ "format-version").extractOpt[Int].contains(2),
-      s"incremental import needs a v2 tree (sequence numbers): $metaFile")
+    require((meta \ "format-version").extractOpt[Int]
+      .exists(v => v == 2 || v == 3),
+      s"incremental import needs a v2/v3 tree (sequence numbers): " +
+        s"$metaFile")
     val snaps: Map[Long, JValue] = (meta \ "snapshots").children.map(s =>
       (s \ "snapshot-id").extract[Long] -> s).toMap
     require(snaps.contains(sinceSnapshotId),

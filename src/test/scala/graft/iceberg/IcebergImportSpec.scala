@@ -347,8 +347,13 @@ class IcebergImportSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("id", "cat", "v", "w"))
     // inheritance: A and B carry the list seq 5; C keeps its explicit 7
     assert(p.files.map(_.seq).sorted === Seq(5L, 5L, 7L))
-    assert(p.deletes === Seq(IcebergImport.DeleteRef(
-      p.deletes.head.uri, 6L, Some(Seq("id")))))
+    assert(p.deletes.size === 1)
+    assert(p.deletes.head.seq === 6L)
+    assert(p.deletes.head.equalityCols === Some(Seq("id")))
+    assert(p.deletes.head.scope.isEmpty &&
+      p.deletes.head.transformScope.isEmpty)
+    assert(p.deletes.head.bytes > 0L,
+      "delete refs must carry manifest-recorded bytes (broadcast gate)")
 
     val rows = IcebergImport.read(spark, loc)
       .orderBy("id").collect().map(r =>
@@ -1079,5 +1084,260 @@ class IcebergImportSpec extends SparkSpec {
     val net = IcebergImport.diff(spark, t.location, s1)
     assert(net.filter($"id" === 4L).count() === 0)
     assert(net.count() === 3)
+  }
+
+  test("BUCKET-scoped equality delete (Flink-CDC shape) applies only " +
+      "inside its hidden partition: the same key in another bucket " +
+      "survives") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, EqDel, Snap}
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StringType
+    val loc = tmpDir("imp-eqbucket") + "/ft"
+    new File(loc).mkdirs()
+    def bucketOf(s: String): Int = graft.functions.IcebergBucketHash
+      .bucketValue(UTF8String.fromString(s), StringType, 4)
+    val (bx, by) = (bucketOf("x"), bucketOf("y"))
+    require(bx != by, "fixture needs distinct buckets for x and y")
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "x", 1.0), (2L, "x", 2.0)).toDF("id", "cat", "v"))
+    val fB = ForeignFixtures.writeParquet(spark, loc, "B",
+      Seq((1L, "y", 10.0), (3L, "y", 3.0)).toDF("id", "cat", "v"))
+    val fD = ForeignFixtures.writeParquet(spark, loc, "D",
+      Seq(1L).toDF("id"))
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "id", "long"), (2, "cat", "string"), (3, "v", "double")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0,
+      Seq(ForeignFixtures.SpecField("cat_bucket", "bucket[4]", 2, "int")),
+      Seq(Snap(100L, None, 2L, "append", Seq(
+        Data(fA, 2, 1L, Map("cat_bucket" -> bx)),
+        Data(fB, 2, 1L, Map("cat_bucket" -> by)),
+        // delete id=1 scoped to cat's bucket bx ONLY
+        EqDel(fD, 1, 2L, Seq(1), Map("cat_bucket" -> bx))))),
+      lastColumnId = 3)
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.deletes.head.transformScope ===
+      Seq(("cat", "bucket[4]", bx)))
+    val got = IcebergImport.read(spark, loc).orderBy("id", "cat")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // (1,"x") deleted — its bucket matches the scope; (1,"y") SURVIVES
+    assert(got.toSeq === Seq(
+      (1L, "y", 10.0), (2L, "x", 2.0), (3L, "y", 3.0)))
+  }
+
+  test("DAY- and TRUNCATE-scoped equality deletes evaluate the spec's " +
+      "epoch-ordinal transforms per data row") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, EqDel, Snap}
+    val loc = tmpDir("imp-eqday") + "/ft"
+    new File(loc).mkdirs()
+    def ts(d: String, h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.LocalDate.parse(d)
+        .atTime(h, 0).toInstant(java.time.ZoneOffset.UTC))
+    val d1 = java.time.LocalDate.parse("2024-03-05").toEpochDay.toInt
+    // three copies of key id=1: only the (day d1, cat "ab*") one dies
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, ts("2024-03-05", 9), "abc", 1.0),
+        (2L, ts("2024-03-05", 10), "abq", 2.0))
+        .toDF("id", "ts", "cat", "v"))
+    val fB = ForeignFixtures.writeParquet(spark, loc, "B",
+      Seq((1L, ts("2024-03-06", 9), "abc", 10.0), // other day
+        (1L, ts("2024-03-05", 9), "xyz", 20.0)) // other prefix
+        .toDF("id", "ts", "cat", "v"))
+    val fD = ForeignFixtures.writeParquet(spark, loc, "D",
+      Seq(1L).toDF("id"))
+    val schema = ForeignFixtures.schemaJson(0, Seq((1, "id", "long"),
+      (2, "ts", "timestamptz"), (3, "cat", "string"),
+      (4, "v", "double")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0,
+      Seq(ForeignFixtures.SpecField("ts_day", "day", 2, "int"),
+        ForeignFixtures.SpecField("cat_trunc", "truncate[2]", 3,
+          "string")),
+      Seq(Snap(100L, None, 2L, "append", Seq(
+        Data(fA, 2, 1L, Map("ts_day" -> d1, "cat_trunc" -> "ab")),
+        Data(fB, 2, 1L),
+        EqDel(fD, 1, 2L, Seq(1),
+          Map("ts_day" -> d1, "cat_trunc" -> "ab"))))),
+      lastColumnId = 4)
+    val got = IcebergImport.read(spark, loc).orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (2L, "abq", 2.0),   // same scope, different key — survives
+      (1L, "abc", 10.0),  // same key, other day — survives
+      (1L, "xyz", 20.0))) // same key+day, other prefix — survives
+  }
+
+  test("MOR delete broadcasts are GATED on manifest-recorded bytes: " +
+      "over the threshold the anti-joins shuffle (planner's call), " +
+      "results identical either way") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, EqDel, PosDel, Snap}
+    val loc = tmpDir("imp-bcgate") + "/ft"
+    new File(loc).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    val fDel = ForeignFixtures.writeParquet(spark, loc, "D",
+      Seq(2L, 4L).toDF("id"))
+    val fPos = ForeignFixtures.writeParquet(spark, loc, "P",
+      Seq((fA, 0L)).toDF("file_path", "pos")) // kills id=1 (row 0)
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "double")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 3L, "append", Seq(
+        Data(fA, 30, 1L), EqDel(fDel, 2, 2L, Seq(1)),
+        PosDel(fPos, 1, 3L)))), lastColumnId = 2)
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    val expect = (3L to 30L).filterNot(Set(4L))
+    // default threshold: small delete sets broadcast (today's plan)
+    val hinted = IcebergImport.read(spark, loc)
+    assert(planOf(hinted).contains("BroadcastHashJoin"))
+    assert(hinted.select("id").collect().map(_.getLong(0)).sorted
+      === expect.toArray)
+    // tiny threshold: the hint must NOT be forced — no broadcast join
+    // anywhere, the anti-joins go through shuffle, answers unchanged
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+    try {
+      val unhinted = IcebergImport.read(spark, loc)
+      val plan = planOf(unhinted)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"forced broadcast past the threshold:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"))
+      assert(unhinted.select("id").collect().map(_.getLong(0)).sorted
+        === expect.toArray)
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("classifyFiles samples PER MANIFEST: an id-ful manifest between " +
+      "id-less ones resolves by field id even when the global file-list " +
+      "ends are uniformly id-less") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val loc = tmpDir("imp-permanifest") + "/ft"
+    new File(loc).mkdirs()
+    // manifests M0/M2: 4 id-less files each (plain current names)
+    val edge = (0 until 8).map { i =>
+      ForeignFixtures.writeParquet(spark, loc, s"E$i",
+        Seq((i.toLong, s"e$i")).toDF("id", "name_new"))
+    }
+    // manifest M1 (the MIDDLE of manifest order): ONE id-ful file whose
+    // PHYSICAL column name is the pre-rename name_old@2 — readable only
+    // by field id; name resolution would return NULL
+    val prevWrite = spark.conf.getOption(
+      "spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val fMid = try {
+      def idField(name: String, t: DataType, id: Long) =
+        StructField(name, t, nullable = true,
+          new MetadataBuilder().putLong("parquet.field.id", id).build())
+      ForeignFixtures.writeParquet(spark, loc, "MID",
+        spark.createDataFrame(
+          java.util.List.of(Row(100L, "mid")),
+          StructType(Seq(idField("id", LongType, 1L),
+            idField("name_old", StringType, 2L)))))
+    } finally prevWrite match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "name_new", "string")))
+    val entries =
+      edge.take(4).map(u => Data(u, 1, 1L, group = 0)) ++
+        Seq(Data(fMid, 1, 1L, group = 1)) ++
+        edge.drop(4).map(u => Data(u, 1, 1L, group = 2))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", entries)), lastColumnId = 2)
+    val got = IcebergImport.read(spark, loc).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the middle file's renamed column reads its bytes BY ID — a
+    // global ends-only sample would classify it id-less and read NULL
+    assert(got.last === ((100L, "mid")))
+    assert(got.map(_._2).forall(_ != null))
+    assert(got.length === 9)
+  }
+
+  test("format-version 3: puffin DELETION VECTORS apply (decoded " +
+      "executor-side), compose with v2-style equality deletes, and " +
+      "time travel before the DV sees the rows") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Dv, EqDel, Snap}
+    val loc = tmpDir("imp-v3dv") + "/ft"
+    new File(loc).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "v")
+        .repartition(1).sortWithinPartitions("id"))
+    val fEq = ForeignFixtures.writeParquet(spark, loc, "E",
+      Seq(29L).toDF("id"))
+    // DV kills ordinals 0, 4, 17 of file A → ids 1, 5, 18
+    val metaDir = new File(loc, "metadata"); metaDir.mkdirs()
+    val puffinPath = new org.apache.hadoop.fs.Path(
+      s"$loc/data/dv.puffin")
+    val fs = puffinPath.getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    val coords = Puffin.writeDvFile(fs, puffinPath,
+      Seq((fA, Seq(0L, 4L, 17L))), 200L, 3L)
+    val (_, off, len, card) = coords.head
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "double")))
+    val s100 = Snap(100L, None, 1L, "append", Seq(Data(fA, 30, 1L)))
+    val s200 = Snap(200L, Some(100L), 3L, "append", Seq(
+      Data(fA, 30, 1L), EqDel(fEq, 1, 2L, Seq(1)),
+      Dv(s"file://$loc/data/dv.puffin", fA, off, len, card, 3L)))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(s100, s200), formatVersion = 3, lastColumnId = 2)
+
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.dvs.size === 1 && p.dvs.head.dataFileUri === fA)
+    val got = IcebergImport.read(spark, loc).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === (1L to 30L)
+      .filterNot(Set(1L, 5L, 18L, 29L)).toArray)
+    // time travel to the pre-DV snapshot: all 30 rows
+    assert(IcebergImport.read(spark, loc, Some("100")).count() === 30)
+    // v2/v3 follow: the append-range check still walks ancestry
+    assert(IcebergImport.snapshots(spark, loc).count() === 2)
+  }
+
+  test("v3 refusals fail loud: field initial-default, and any " +
+      "format-version beyond 3") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    val loc = tmpDir("imp-v3refuse") + "/ft"
+    new File(loc).mkdirs()
+    val f1 = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "a")).toDF("id", "v"))
+    // schema with a non-null initial-default on a later-added column
+    val schemaDefault =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"},
+        |{"id":3,"name":"flag","required":false,"type":"long",
+        | "initial-default":7}]}""".stripMargin.replaceAll("\n", "")
+    ForeignFixtures.writeTree(loc, Seq(schemaDefault), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(f1, 1, 1L)))),
+      formatVersion = 3, lastColumnId = 3)
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.plan(spark, loc))
+    assert(e.getMessage.contains("initial-default"))
+
+    val loc2 = tmpDir("imp-v4refuse") + "/ft"
+    new File(loc2).mkdirs()
+    val f2 = ForeignFixtures.writeParquet(spark, loc2, "A",
+      Seq((1L, "a")).toDF("id", "v"))
+    ForeignFixtures.writeTree(loc2, Seq(ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(f2, 1, 1L)))),
+      formatVersion = 4, lastColumnId = 2)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergImport.plan(spark, loc2))
+    assert(e2.getMessage.contains("format-version"))
   }
 }
