@@ -7,7 +7,7 @@ import java.util.UUID
 import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 import org.apache.spark.sql.types.{LongType, Metadata => SqlMetadata}
 
 /** Iceberg v2 WRITE-BACK: commit changes into a FOREIGN Iceberg tree —
@@ -96,7 +96,10 @@ object IcebergWriteBack {
 
     val (fs, meta, metaFile) = IcebergImport.parseMeta(spark, tableLocation)
     require((meta \ "format-version").extractOpt[Int].contains(2),
-      s"iceberg write-back needs a v2 tree (sequence numbers): $metaFile")
+      s"iceberg write-back commits v2 trees only (got format-version " +
+        s"${(meta \ "format-version").extractOpt[Int].getOrElse(1)}): " +
+        s"$metaFile — v1 lacks sequence numbers; v3 commits (deletion " +
+        "vectors, row lineage) are not implemented")
     val curId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw new IllegalStateException(
       s"$metaFile has no current snapshot — write-back commits to " +
@@ -168,11 +171,23 @@ object IcebergWriteBack {
         s"spec field ${t._1} references unknown source-id ${t._3}")))
   }
 
-  /** Does the tree resolve columns by parquet field id? One footer sniff
-    * of one live data file. */
-  private def treeHasIds(spark: SparkSession, tree: Tree): Boolean =
-    IcebergImport.plan(spark, tree.tableLocation).files.headOption
-      .exists(f => IcebergImport.footerInfo(spark, f.uri).hasIds)
+  /** Should new files carry parquet field ids? A bounded footer sample
+    * (ends of the live file set, mirroring the read side's sampling).
+    * Field ids are ALWAYS safe for native readers, so the answer is
+    * id-ful unless the sampled tree is uniformly id-less (an adopted
+    * tree resolving by name, where id-less keeps the tree uniform) —
+    * in particular a tree with ZERO live files (fresh or fully deleted)
+    * gets ids, where the old first-file sniff defaulted to id-less and
+    * strict id-resolving external readers couldn't see the columns. */
+  private def treeHasIds(spark: SparkSession, tree: Tree): Boolean = {
+    val files = IcebergImport.plan(spark, tree.tableLocation).files
+    if (files.isEmpty) true
+    else {
+      val sample = (files.take(2) ++ files.takeRight(2)).map(_.uri)
+        .distinct
+      sample.exists(u => IcebergImport.footerInfo(spark, u).hasIds)
+    }
+  }
 
   private def idMeta(id: Long): SqlMetadata =
     SqlMetadata.fromJson(s"""{"parquet.field.id": $id}""")
@@ -495,9 +510,13 @@ object IcebergWriteBack {
   }
 
   /** Publish the next metadata.json version: naming follows the tree's
-    * own family; temp-write then rename, refusing to overwrite (a
-    * concurrent foreign commit fails loud, never a lost update). */
-  private def writeVersion(tree: Tree, updated: JValue): Unit = {
+    * own family; temp-write then SINGLE-WINNER publish through the same
+    * [[graft.table.CommitLock]] primitive every graft snapshot commit
+    * uses (POSIX link for file:// — a bare exists-check + rename is NOT
+    * single-winner on rename-overwriting stores: two racing committers
+    * could both pass the check and the loser would clobber the winner).
+    * A concurrent foreign commit fails loud, never a lost update. */
+  private[iceberg] def writeVersion(tree: Tree, updated: JValue): Unit = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     val metaDir = new Path(tree.tableLocation, "metadata")
     val oldName = tree.metaFile.getName
@@ -512,17 +531,17 @@ object IcebergWriteBack {
         f"$next%05d-${UUID.randomUUID()}.metadata.json"
       }
     val target = new Path(metaDir, newMetaName)
-    require(!tree.fs.exists(target),
-      s"$target already exists — a concurrent commit published first; " +
-        "re-read the table and retry")
     val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}.metadata.json")
     val out = tree.fs.create(tmp, false)
     try out.write(compact(render(updated))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!tree.fs.rename(tmp, target))
+    if (!graft.table.GraftTable.commitLock.publish(tree.fs, tmp, target)) {
+      tree.fs.delete(tmp, false)
       throw new IllegalStateException(
-        s"failed to publish $target (concurrent commit?); retry")
+        s"$target already exists — a concurrent commit published " +
+          "first; re-read the table and retry")
+    }
     val hint = new Path(metaDir, "version-hint.text")
     if (tree.fs.exists(hint) && newMetaName.startsWith("v")) {
       val h = tree.fs.create(hint, true)
@@ -686,41 +705,77 @@ object IcebergWriteBack {
     require(badKeys.isEmpty,
       s"merge keys not in table schema: ${badKeys.mkString(",")}")
     val hasIds = treeHasIds(spark, tree)
-    val dups = source.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      s"source has multiple rows for key ${dups.headOption.map(_.toString)
-        .getOrElse("")} — dedup the source before merging")
-    val delRec =
-      if (equalityDeletes) {
-        // Flink-style upsert: tombstone the source KEYS as equality
-        // deletes — NO target scan at all; unmatched keys tombstone
-        // nothing (v2 ordering scopes them to strictly-older rows).
-        // O(source) total cost — the streaming upsert shape at 100 TB.
-        val (aligned, cols, ids) = alignedKeyTuples(tree,
-          source, keys, hasIds)
-        newDeleteManifest(spark, tree, aligned, cols, content = 2,
-          equalityIds = ids)
-      } else {
-        // position-precise: scan the target once (lineage read) and
-        // tombstone exactly the matched ordinals — the batch shape;
-        // readers then pay file+pos joins instead of key joins
-        val matched = posCoords(
-          IcebergImport.readLineage(spark, tableLocation)
-            .join(source.select(keys.map(col): _*).distinct(), keys,
-              "left_semi"), hasIds)
-        newDeleteManifest(spark, tree, matched,
-          Seq("file_path", "pos"), content = 1, equalityIds = Nil)
+    // the batch is the SMALL side of a merge: persist it so the stats
+    // pass, the key semi-join and the data write materialize its
+    // lineage once, not once per consumer (micro-batch sources are
+    // expensive to recompute)
+    val src = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE pass over the source yields BOTH the duplicate-key guard
+      // and the per-key-column min/max bounds (the target file pruner)
+      val keyAgg = src.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val statAggs = max(col("__cnt")).as("__maxc") +:
+        keys.flatMap(k => Seq(min(col(k)).as(s"__lo_$k"),
+          max(col(k)).as(s"__hi_$k")))
+      val stats = keyAgg.agg(statAggs.head, statAggs.tail: _*).head()
+      val maxc = Option(stats.getAs[Any]("__maxc"))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      if (maxc > 1L) {
+        val dup = keyAgg.filter(col("__cnt") > 1).limit(1).collect()
+        throw new IllegalArgumentException(
+          s"source has multiple rows for key ${dup.headOption
+            .map(_.toString).getOrElse("")} — dedup the source " +
+            "before merging")
       }
-    val dataRec = newDataManifest(spark, tree, source, hasIds)
-    delRec match {
-      case None => // pure insert — an honest append commit
-        publish(spark, tree, Seq(dataRec), "append", None,
-          summaryProps = txnProps(txn))
-      case Some((rec, addSpec)) =>
-        publish(spark, tree, Seq(rec, dataRec), "overwrite", addSpec,
-          summaryProps = txnProps(txn))
-    }
+      val delRec =
+        if (equalityDeletes) {
+          // Flink-style upsert: tombstone the source KEYS as equality
+          // deletes — NO target scan at all; unmatched keys tombstone
+          // nothing (v2 ordering scopes them to strictly-older rows).
+          // O(source) total cost — the streaming upsert shape at 100 TB.
+          val (aligned, cols, ids) = alignedKeyTuples(tree,
+            src, keys, hasIds)
+          newDeleteManifest(spark, tree, aligned, cols, content = 2,
+            equalityIds = ids)
+        } else {
+          // position-precise: tombstone exactly the matched target
+          // ordinals. The lineage scan is PRUNED to files whose
+          // manifest bounds overlap the batch's key range — the
+          // foreign twin of graft's own merge file pruning — so a
+          // narrow upsert batch never scans the whole tree. Pruned
+          // files can't hold a matching key; rows of kept files are
+          // decided by the semi-join alone (null-key rows unaffected).
+          val boundsPred = keys.flatMap { k =>
+            (Option(stats.getAs[Any](s"__lo_$k")),
+              Option(stats.getAs[Any](s"__hi_$k"))) match {
+              case (Some(lo), Some(hi)) =>
+                Some(col(k) >= lit(lo) && col(k) <= lit(hi))
+              case _ => None
+            }
+          }.reduceOption(_ && _)
+          val lineage = boundsPred match {
+            case Some(p) =>
+              IcebergImport.readLineageWhere(spark, tableLocation, p)
+            case None => IcebergImport.readLineage(spark, tableLocation)
+          }
+          val matched = posCoords(
+            lineage.join(src.select(keys.map(col): _*).distinct(),
+              keys, "left_semi"), hasIds)
+          newDeleteManifest(spark, tree, matched,
+            Seq("file_path", "pos"), content = 1, equalityIds = Nil)
+        }
+      val dataRec = newDataManifest(spark, tree, src, hasIds)
+      delRec match {
+        case None => // pure insert — an honest append commit
+          publish(spark, tree, Seq(dataRec), "append", None,
+            summaryProps = txnProps(txn))
+        case Some((rec, addSpec)) =>
+          publish(spark, tree, Seq(rec, dataRec), "overwrite", addSpec,
+            summaryProps = txnProps(txn))
+      }
+    } finally src.unpersist()
   }
 
   /** MAINTENANCE write-back — compact the foreign tree's small files as
@@ -833,6 +888,10 @@ object IcebergWriteBack {
             .longValue
           if (small(String.valueOf(df.get("file_path")))) {
             e.put("status", 2) // DELETED by this commit
+            // the spec: a DELETED entry's snapshot_id is the snapshot
+            // that DELETED the file — leaving the adding snapshot would
+            // make external changelog readers misattribute the removal
+            e.put("snapshot_id", tree.newId)
             removed += 1; removedRows += rc
           } else if (e.get("status").asInstanceOf[Int] != 2) {
             e.put("status", 0) // EXISTING
@@ -925,8 +984,12 @@ object IcebergWriteBack {
 
   /** Apply `edit` to the current schema's field list, register the
     * result as a new schema, and advance current-schema-id. Returns the
-    * new schema id. */
-  private def evolveSchema(spark: SparkSession, tableLocation: String)
+    * new schema id. `updateProps` may return a replacement `properties`
+    * object to publish atomically with the schema change (the
+    * name-mapping path of id-less renames). */
+  private def evolveSchema(spark: SparkSession, tableLocation: String,
+      updateProps: (Tree, List[JValue]) => Option[JValue] =
+        (_, _) => None)
       (edit: (List[JValue], Int) => (List[JValue], Int)): Int = {
     import org.json4s.JsonDSL._
     implicit val fmts: Formats = DefaultFormats
@@ -935,6 +998,7 @@ object IcebergWriteBack {
     val lastColId = (tree.meta \ "last-column-id").extractOpt[Int]
       .getOrElse(if (tree.fields.isEmpty) 0 else tree.fields.map(_._2).max)
     val (newFields, newLastCol) = edit(curFields, lastColId)
+    val newProps = updateProps(tree, curFields)
     // existing schemas list (synthesized from the v1 top-level `schema`
     // only defensively — loadTree already required a v2 tree)
     val existing: List[JValue] = (tree.meta \ "schemas").children match {
@@ -952,14 +1016,16 @@ object IcebergWriteBack {
         ("fields" -> JArray(newFields))
     val now = System.currentTimeMillis()
     val replaced = Set("last-updated-ms", "last-column-id",
-      "current-schema-id", "schemas")
+      "current-schema-id", "schemas") ++
+      (if (newProps.isDefined) Set("properties") else Set.empty)
     val kept = tree.meta.asInstanceOf[JObject].obj
       .filterNot(f => replaced.contains(f._1))
     writeVersion(tree, JObject(kept ++ List[JField](
       "last-updated-ms" -> JLong(now),
       "last-column-id" -> JInt(newLastCol),
       "current-schema-id" -> JInt(newSchemaId),
-      "schemas" -> JArray(existing :+ newSchema))))
+      "schemas" -> JArray(existing :+ newSchema)) ++
+      newProps.map(p => "properties" -> p).toList))
     newSchemaId
   }
 
@@ -984,17 +1050,51 @@ object IcebergWriteBack {
   }
 
   /** Rename a column. Field ids are preserved, so id-ful data files
-    * written under the old name keep resolving; id-less trees would
-    * break their name resolution and are refused. Returns the new
-    * schema id. */
+    * written under the old name keep resolving. An id-LESS (adopted /
+    * migrated) tree resolves by NAME, so the rename additionally
+    * publishes an updated `schema.name-mapping.default` carrying the
+    * OLD name as a field-id alias — atomically with the schema change —
+    * and existing files keep resolving through the mapping (Iceberg's
+    * own mechanism for migrated Hive trees). Returns the new schema
+    * id. */
   def renameColumn(spark: SparkSession, tableLocation: String,
       from: String, to: String): Int = {
     implicit val fmts: Formats = DefaultFormats
-    require(IcebergImport.plan(spark, tableLocation).files.headOption
-      .forall(f => IcebergImport.footerInfo(spark, f.uri).hasIds),
-      "rename on an id-LESS tree would orphan existing files' columns " +
-        "(they resolve by name); retrofit field ids first")
-    evolveSchema(spark, tableLocation) { (fields, lastCol) =>
+    val files = IcebergImport.plan(spark, tableLocation).files
+    val sample = (files.take(2) ++ files.takeRight(2)).map(_.uri).distinct
+    val idful = files.isEmpty ||
+      sample.exists(u => IcebergImport.footerInfo(spark, u).hasIds)
+    val updateProps: (Tree, List[JValue]) => Option[JValue] =
+      if (idful) (_, _) => None
+      else (tree, fields) => {
+        import org.json4s.jackson.JsonMethods.{compact, parse, render}
+        // existing mapping (field id → aliases), else empty
+        val existing: Map[Int, Seq[String]] =
+          (tree.meta \ "properties" \ "schema.name-mapping.default")
+            .extractOpt[String].map { j =>
+              parse(j).children.flatMap { m =>
+                (m \ "field-id").extractOpt[Int].map(fid => fid ->
+                  (m \ "names").children.map(_.extract[String]))
+              }.toMap
+            }.getOrElse(Map.empty)
+        val mapping = JArray(fields.map { f =>
+          val id = (f \ "id").extract[Int]
+          val name = (f \ "name").extract[String]
+          val names = (existing.getOrElse(id, Seq(name)) ++
+            (if (name == from) Seq(from, to) else Seq(name))).distinct
+          JObject(List[JField]("field-id" -> JInt(id),
+            "names" -> JArray(names.map(org.json4s.JString(_)).toList)))
+        })
+        val oldProps: List[JField] = (tree.meta \ "properties") match {
+          case JObject(fs0) => fs0
+          case _ => Nil
+        }
+        Some(JObject(oldProps.filterNot(
+          _._1 == "schema.name-mapping.default") :+
+          ("schema.name-mapping.default" ->
+            (org.json4s.JString(compact(render(mapping))): JValue))))
+      }
+    evolveSchema(spark, tableLocation, updateProps) { (fields, lastCol) =>
       require(fields.exists(f =>
         (f \ "name").extractOpt[String].contains(from)),
         s"no such column: $from")

@@ -468,10 +468,15 @@ class IcebergWriteBackSpec extends SparkSpec {
     // the hint still says vN — our writer loads the OLD tip, computes
     // vN+1 as its target, and must find it taken: the race window
 
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[IllegalStateException](
       IcebergWriteBack.appendTo(spark, t.location,
         Seq((2L, "b")).toDF("id", "v")))
     assert(e.getMessage.contains("concurrent commit"))
+    // the pre-existing version's CONTENT is untouched (no clobber — the
+    // publish is create-exclusive, not exists-check + rename)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(next.toPath),
+      java.nio.file.Files.readAllBytes(cur.toPath)))
     // nothing half-committed: the tree still reads a consistent state
     assert(IcebergImport.read(spark, t.location).count() === 1)
     // the foreign engine finishes its publish (hint advances); a plain
@@ -740,5 +745,166 @@ class IcebergWriteBackSpec extends SparkSpec {
       val cdc = spark.table("wb_cdc_merge")
       assert(cdc.filter(col("_change_type") === "insert").count() === 7)
     } finally q.stop()
+  }
+
+  test("concurrent commit storm: the single-winner version publish " +
+      "never loses an update — every append that reported success is " +
+      "in the final state") {
+    val t = GraftTable(spark, tmpDir("wb-race") + "/t")
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    val baseSnaps = IcebergImport.snapshots(spark, t.location).count()
+    val threads = 4
+    val outcome = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = (0 until threads).map { k =>
+      new Thread(() => {
+        start.await()
+        val rows = (1L to 5L).map(i => (100L * (k + 1) + i, s"t$k"))
+          .toDF("id", "v")
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 30) {
+          try {
+            IcebergWriteBack.appendTo(spark, t.location, rows)
+            done = true
+          } catch {
+            case _: IllegalStateException => attempts += 1
+          }
+        }
+        outcome.put(k, done)
+      })
+    }
+    pool.foreach(_.start()); start.countDown(); pool.foreach(_.join())
+    assert((0 until threads).forall(outcome.get(_)),
+      "every contender must eventually publish")
+    // no lost update: all four slices plus the base are present, and
+    // the version chain advanced by exactly 4 snapshots
+    val ids = IcebergImport.read(spark, t.location).select("id")
+      .as[Long].collect().sorted
+    val want = ((1L to 10L) ++ (0 until threads).flatMap(k =>
+      (1L to 5L).map(i => 100L * (k + 1) + i))).sorted.toArray
+    assert(ids === want)
+    assert(IcebergImport.snapshots(spark, t.location).count() ===
+      baseSnaps + threads)
+  }
+
+  test("compaction stamps DELETED manifest entries with the COMPACTING " +
+      "snapshot id, so external changelog readers attribute the " +
+      "removal to the right commit") {
+    val t = GraftTable(spark, tmpDir("wb-delstamp") + "/t")
+    // several tiny files → all compaction candidates
+    (1 to 3).foreach(k => t.append(
+      Seq((k.toLong, s"v$k")).toDF("id", "v").coalesce(1)))
+    IcebergExport.export(spark, t, history = 4)
+    val newId = IcebergWriteBack.compactSmallFiles(spark, t.location,
+      smallFileBytes = 10L << 20, targetFileBytes = 64L << 20)
+    // walk the NEW manifest list: every status=2 (DELETED) entry must
+    // carry the compacting snapshot's id, not the original adder's
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s._
+    val (fs, meta, _) = IcebergImport.parseMeta(spark, t.location)
+    val cur = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == newId).get
+    val listUri = (cur \ "manifest-list").extract[String]
+    val deleted = IcebergImport.readAvro(fs, listUri)
+      .map(r => String.valueOf(r.get("manifest_path")))
+      .flatMap(m => IcebergImport.readAvro(fs, m))
+      .filter(e => e.get("status").asInstanceOf[Int] == 2)
+    assert(deleted.nonEmpty, "compaction must mark entries DELETED")
+    assert(deleted.forall(e =>
+      e.get("snapshot_id").asInstanceOf[Number].longValue == newId))
+    // and the read is unchanged
+    assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+      .collect().sorted === Array(1L, 2L, 3L))
+  }
+
+  test("append into a tree with ZERO live files defaults to id-ful " +
+      "data files (ids are always safe for native readers)") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.Snap
+    val loc = tmpDir("wb-empty") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq.empty)), lastColumnId = 2)
+    assert(IcebergImport.read(spark, loc).count() === 0)
+    IcebergWriteBack.appendTo(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val files = IcebergImport.plan(spark, loc).files
+    assert(files.nonEmpty && files.forall(f =>
+      IcebergImport.footerInfo(spark, f.uri).hasIds),
+      "empty-tree append must stamp field ids")
+    assert(IcebergImport.read(spark, loc).select("id").as[Long]
+      .collect().sorted === Array(1L, 2L))
+  }
+
+  test("position-mode mergeInto prunes the target lineage scan by the " +
+      "batch's key bounds (manifest bounds), and the duplicate-source " +
+      "guard still refuses in its single stats pass") {
+    val t = GraftTable(spark, tmpDir("wb-mergeprune") + "/t")
+    // three appends with DISJOINT key ranges → per-file id bounds
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.append((11L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.append((21L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 4)
+    val allFiles = IcebergImport.plan(spark, t.location).files.size
+    assert(allFiles >= 3)
+    // the pruned lineage read the merge plans: a narrow batch touches
+    // only the overlapping file(s)
+    val pruned = IcebergImport.readLineageWhere(spark, t.location,
+      col("id") >= 22L && col("id") <= 25L)
+    assert(pruned.inputFiles.length < allFiles,
+      "narrow key range must prune target files")
+    // end-to-end: the merge updates matched rows + inserts new ones
+    val batch = Seq((22L, "UP"), (25L, "UP"), (99L, "NEW"))
+      .toDF("id", "v")
+    IcebergWriteBack.mergeInto(spark, t.location, batch,
+      keys = Seq("id"))
+    val got = IcebergImport.read(spark, t.location)
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 31)
+    assert(got(22L) === "UP" && got(25L) === "UP" && got(99L) === "NEW")
+    assert(got(21L) === "v21" && got(1L) === "v1")
+    // duplicate source keys still refused (stats-pass guard)
+    val e = intercept[IllegalArgumentException](
+      IcebergWriteBack.mergeInto(spark, t.location,
+        Seq((5L, "a"), (5L, "b")).toDF("id", "v"), keys = Seq("id")))
+    assert(e.getMessage.contains("multiple rows"))
+  }
+
+  test("renameColumn on an id-LESS (adopted) tree publishes a " +
+      "name-mapping so old files keep resolving; post-rename appends " +
+      "and both generations read together") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    val loc = tmpDir("wb-nmrename") + "/ft"
+    new java.io.File(loc).mkdirs()
+    // adopted id-less files under the ORIGINAL column name `name_old`
+    val f1 = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name_old"))
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "name_old", "string")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(f1, 2, 1L)))),
+      lastColumnId = 2)
+    val sid = IcebergWriteBack.renameColumn(spark, loc,
+      "name_old", "name_new")
+    assert(sid > 0)
+    // the mapping landed and the importer resolves old files through it
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.schema.fieldNames.toSeq === Seq("id", "name_new"))
+    assert(p.nameMapping(2).contains("name_old"))
+    assert(IcebergImport.read(spark, loc).orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // post-rename append writes files under the NEW name; both
+    // generations read side by side (per-manifest name resolution)
+    IcebergWriteBack.appendTo(spark, loc,
+      Seq((3L, "c")).toDF("id", "name_new"))
+    assert(IcebergImport.read(spark, loc).orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 }
