@@ -105,7 +105,8 @@ object Bench {
     "q_iceberg_writeback_delete", "q_iceberg_writeback_delete_keys",
     "q_iceberg_writeback_merge", "q_iceberg_writeback_merge_eq",
     "q_iceberg_evolve_writeback", "q_iceberg_compact_writeback",
-    "q_stream_iceberg_sink", "q_iceberg_register")
+    "q_stream_iceberg_sink", "q_iceberg_register",
+    "q_iceberg_import_eq_bucket", "q_iceberg_import_v3")
 
   /** FROZEN round-over-round comparison set: the round-8 headline,
     * never to grow again — the headline total became incomparable across
@@ -159,7 +160,23 @@ object Bench {
     "q_iceberg_writeback_delete", "q_iceberg_writeback_delete_keys",
     "q_iceberg_writeback_merge", "q_iceberg_writeback_merge_eq",
     "q_iceberg_evolve_writeback", "q_iceberg_compact_writeback",
-    "q_stream_iceberg_sink", "q_iceberg_register")
+    "q_stream_iceberg_sink", "q_iceberg_register",
+    "q_iceberg_import_eq_bucket", "q_iceberg_import_v3")
+
+  /** THIRD frozen comparison set (round 12): the 18 round-11 foreign
+    * Iceberg queries — the interop surface the round-12 changes touch
+    * (broadcast gating, per-manifest classification, merge pruning,
+    * DV path). Never grows; regression in the foreign path shows here
+    * the way core/lifecycle regressions show in [[comparable]]. */
+  val foreignComparable: Set[String] = Set(
+    "q_iceberg_import", "q_iceberg_import_incremental",
+    "q_iceberg_import_mor", "q_iceberg_import_pruned",
+    "q_iceberg_register", "q_iceberg_diff", "q_iceberg_diff_log",
+    "q_iceberg_compact_writeback", "q_iceberg_evolve_writeback",
+    "q_iceberg_writeback", "q_iceberg_writeback_delete",
+    "q_iceberg_writeback_delete_keys", "q_iceberg_writeback_merge",
+    "q_iceberg_writeback_merge_eq", "q_sql_merge_matrix",
+    "q_stream_iceberg", "q_stream_iceberg_cdc", "q_stream_iceberg_sink")
 
   /** 10× tier: every operator family whose 100 TB story rests on a
     * scaling claim — dedup/ANN bucketing, merges, partition pruning,
@@ -189,6 +206,7 @@ object Bench {
       qs: String, qsMed: String,
       total: Double, coreSec: Double, lifeSec: Double,
       coreCmpSec: Double, lifeCmpSec: Double,
+      foreignCmpSec: Double,
       unstableNames: Seq[String], unstableJson: String,
       unstableRunsJson: String, ledgerJson: String,
       cdcJson: String, scaleJson: String,
@@ -388,6 +406,9 @@ object Bench {
       val lifeCmpSec = results
         .filter(r => comparable(r._1) && lifecycle(r._1))
         .map(_._2._1).filter(_ >= 0).sum
+      val foreignCmpSec = results
+        .filter(r => foreignComparable(r._1))
+        .map(_._2._1).filter(_ >= 0).sum
       val unstableJson = unstable.map(u => "\"" + u._1 + "\"")
         .mkString("[", ",", "]")
       val unstableRunsJson = unstable.map { case (n, runs) =>
@@ -421,7 +442,7 @@ object Bench {
         .filter(_._2 >= 0).sortBy(-_._2).take(10)
 
       Pass(attempt, qs, qsMed, total, coreSec, lifeSec,
-        coreCmpSec, lifeCmpSec,
+        coreCmpSec, lifeCmpSec, foreignCmpSec,
         unstable.map(_._1).toSeq, unstableJson, unstableRunsJson,
         ledgerJson, cdcJson, scaleJson, scaleRatios, topMedians,
         sentinelJson, sentRatio, contended,
@@ -518,7 +539,7 @@ object Bench {
 
     // full artifact line (everything): prints FIRST so the compact
     // summary below is what a bounded tail capture retains
-    println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf1":$sf1Json,"assert_mode":$assertJson,"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel":${best.sentinelJson}}""")
+    println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf1":$sf1Json,"assert_mode":$assertJson,"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel":${best.sentinelJson}}""")
 
     // compact summary LAST (r7 verdict #1): totals + contamination flag +
     // 10× ratios + ten slowest medians, bounded well under 1.5 kB
@@ -545,7 +566,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"total_sec":$t,"worst_ratio":$worst}"""
       }
-    println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"scale10x_ratio":$scaleRatioJson,"sf1":$sf1Short,"top10_median":$topJson,"unstable":$unstableShort}""")
+    println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"scale10x_ratio":$scaleRatioJson,"sf1":$sf1Short,"top10_median":$topJson,"unstable":$unstableShort}""")
     System.out.flush()
   }
 }

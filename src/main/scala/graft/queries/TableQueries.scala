@@ -987,6 +987,119 @@ object TableQueries {
     * read applies them by the spec's sequence ordering — one parquet
     * scan, broadcast anti-joins — with no graft-log access. The oracle is
     * the post-merge-post-delete table state. */
+  /** FOREIGN bucket-partitioned equality deletes — the Flink-CDC upsert
+    * shape: a hand-rolled (non-graft) v2 tree whose equality-delete file
+    * is SCOPED to one `bucket[16](o_orderstatus)` hidden partition. The
+    * importer must evaluate the spec's murmur3 bucket transform per data
+    * row so the delete kills matching keys ONLY inside its bucket; the
+    * oracle expresses the same semantics as a plain status predicate
+    * (the builder asserts 'O' shares its bucket with no other status, so
+    * bucket-match ⇔ status='O'). */
+  val qIcebergImportEqBucket: Q = (s, dir) => {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, EqDel, Snap}
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StringType
+    val loc = scratch("iceeqbucket")
+    new java.io.File(loc).mkdirs()
+    val base = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+    def bucketOf(st: String): Int = graft.functions.IcebergBucketHash
+      .bucketValue(UTF8String.fromString(st), StringType, 16)
+    val statuses = base.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(statuses.contains("O") && statuses.forall(st =>
+      st == "O" || bucketOf(st) != bucketOf("O")),
+      s"bucket collision would break the oracle: $statuses")
+    // one data file per status, tuple = its bucket (a real writer's
+    // layout); the delete file: keys o_orderkey % 7 = 0 scoped to
+    // bucket(o_orderstatus = 'O')
+    val dataEntries = statuses.zipWithIndex.map { case (st, i) =>
+      val df = base.filter(col("o_orderstatus") === st)
+      val uri = ForeignFixtures.writeParquet(s, loc, s"data-$i", df)
+      Data(uri, df.count(), 1L,
+        Map("status_bucket" -> bucketOf(st)))
+    }
+    val delDf = base.filter(col("o_orderkey") % 7 === 0)
+      .select("o_orderkey")
+    val delUri = ForeignFixtures.writeParquet(s, loc, "del", delDf)
+    val del = EqDel(delUri, delDf.count(), 2L, Seq(1),
+      Map("status_bucket" -> bucketOf("O")))
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "o_orderkey", "long"), (2, "o_custkey", "long"),
+      (3, "o_orderstatus", "string"), (4, "o_totalprice", "double"),
+      (5, "o_orderdate", "date")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0,
+      Seq(ForeignFixtures.SpecField("status_bucket", "bucket[16]", 3,
+        "int")),
+      Seq(Snap(100L, None, 2L, "append", dataEntries :+ del)),
+      lastColumnId = 5)
+    project(graft.iceberg.IcebergImport.read(s, loc))
+  }
+  val qIcebergImportEqBucketSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'O')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** FOREIGN format-version-3 tree with puffin DELETION VECTORS — the
+    * shape Spark 4 / Iceberg 1.8+ writers produce: two data files, a DV
+    * blob tombstoning the positions of `o_orderkey % 5 = 0` rows inside
+    * the even-keys file only. The importer decodes the roaring blob
+    * executor-side ([[graft.iceberg.Puffin]]) and applies it through
+    * the same anti-join as v2 position deletes; the oracle is the
+    * equivalent key predicate. */
+  val qIcebergImportV3: Q = (s, dir) => {
+    import graft.iceberg.{ForeignFixtures, Puffin}
+    import graft.iceberg.ForeignFixtures.{Data, Dv, Snap}
+    val loc = scratch("icev3dv")
+    new java.io.File(loc).mkdirs()
+    val base = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+    def slice(m: Int) = base.filter(col("o_orderkey") % 2 === m)
+      .repartition(1).sortWithinPartitions("o_orderkey")
+    val fEven = ForeignFixtures.writeParquet(s, loc, "even", slice(0))
+    val fOdd = ForeignFixtures.writeParquet(s, loc, "odd", slice(1))
+    // ordinals of the to-delete keys within the SORTED even file
+    val evenKeys = slice(0).select("o_orderkey").collect()
+      .map(_.getLong(0))
+    val positions = evenKeys.zipWithIndex.collect {
+      case (k, i) if k % 5 == 0 => i.toLong }.toSeq
+    val puffinPath = new org.apache.hadoop.fs.Path(
+      s"$loc/data/dv.puffin")
+    val fs = puffinPath.getFileSystem(
+      s.sessionState.newHadoopConf())
+    val coords = Puffin.writeDvFile(fs, puffinPath,
+      Seq((fEven, positions)), 100L, 2L)
+    val (_, off, len, card) = coords.head
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "o_orderkey", "long"), (2, "o_custkey", "long"),
+      (3, "o_orderstatus", "string"), (4, "o_totalprice", "double"),
+      (5, "o_orderdate", "date")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 2L, "append", Seq(
+        Data(fEven, evenKeys.length.toLong, 1L),
+        Data(fOdd, slice(1).count(), 1L),
+        Dv(s"file://$loc/data/dv.puffin", fEven, off, len, card, 2L)))),
+      formatVersion = 3, lastColumnId = 5)
+    project(graft.iceberg.IcebergImport.read(s, loc))
+  }
+  val qIcebergImportV3Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 5 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   val qIcebergImportMor: Q = (s, dir) => {
     val t = GraftTable(s, scratch("iceimpmor"))
     t.append(Tables.load(s, dir, "orders")
@@ -2061,6 +2174,10 @@ object TableQueries {
     ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),
     ("q_iceberg_import", qIcebergImport, Some(qIcebergImportSql)),
     ("q_iceberg_import_mor", qIcebergImportMor, Some(qIcebergImportMorSql)),
+    ("q_iceberg_import_eq_bucket", qIcebergImportEqBucket,
+      Some(qIcebergImportEqBucketSql)),
+    ("q_iceberg_import_v3", qIcebergImportV3,
+      Some(qIcebergImportV3Sql)),
     ("q_iceberg_import_incremental", qIcebergImportIncremental,
       Some(qIcebergImportIncrementalSql)),
     ("q_iceberg_import_pruned", qIcebergImportPruned,

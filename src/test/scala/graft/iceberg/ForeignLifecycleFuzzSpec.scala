@@ -8,13 +8,23 @@ import graft.table.GraftTable
 
 /** Randomized lifecycle fuzz of the FOREIGN write-back surface: a
   * seeded op sequence (append / position delete / equality delete /
-  * position merge / equality merge / compact / expire) drives one
+  * position merge / equality merge / compact / expire / time-travel
+  * readback / orphan-listing invariant / SQL register) drives one
   * foreign Iceberg v2 tree, with a driver-side bag model as the
   * reference semantics. After EVERY op the importer's read must
   * bag-equal the model — so a wrong sequence-number rule, a tombstone
   * mis-scope, or a compaction that loses or resurrects one row fails
   * at the op that introduced it, not at the end. The finished tree is
-  * then cross-checked by the external DuckDB hand-walk reader.
+  * then cross-checked by the external DuckDB hand-walk reader AND by
+  * the `graft-iceberg` CDC streaming source (batch 0 must equal the
+  * model as inserts).
+  *
+  * Standing invariants beyond the bag check:
+  *   - every snapshot id seen is replayable: time travel to it returns
+  *     exactly the model state recorded when it was current (or fails
+  *     loud once expire dropped it);
+  *   - [[IcebergImport.orphanFiles]] NEVER lists a live file of the
+  *     current plan, after any op.
   *
   * Same confidence pattern as the graft-table LifecycleFuzzSpec, aimed
   * at the v2 delete/sequence semantics that only composition exercises
@@ -29,6 +39,9 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
     // bag model: key -> rows (appends may duplicate a key; merges and
     // key deletes collapse it)
     val model = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // snapshot id -> the model state when that snapshot was current
+    val states =
+      scala.collection.mutable.Map.empty[Long, Seq[(Long, String)]]
     val init = (1L to 8L).map(i => (i, s"v$i-0"))
     model ++= init
     t.append(init.toDF("id", "v"))
@@ -44,10 +57,13 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
         .as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
       val want = model.sortBy(r => (r._1, r._2)).toSeq
       assert(got === want, s"seed=$seed after $op")
+      IcebergImport.currentSnapshotId(spark, t.location)
+        .foreach(states(_) = want)
     }
+    check("init")
 
     (1 to nOps).foreach { i =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(10) match {
         case 0 => // append (may duplicate keys — bag semantics)
           val rows = keys(1 + rnd.nextInt(3)).map(k => (k, freshVal(k)))
           IcebergWriteBack.appendTo(spark, t.location, rows.toDF("id", "v"))
@@ -78,7 +94,40 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
           check(s"op$i compact")
         case 6 => // maintenance: metadata-only expiry
           IcebergWriteBack.expireSnapshots(spark, t.location, keepLast = 3)
+          // ids no longer in the tree must fail loud on time travel;
+          // drop them from the replayable set
+          val live = IcebergImport.snapshots(spark, t.location)
+            .select("snapshot_id").as[Long].collect().toSet
+          states.filterInPlace((id, _) => live(id))
           check(s"op$i expire")
+        case 7 => // time travel: any remembered snapshot replays exactly
+          if (states.nonEmpty) {
+            val (sid, want) = {
+              val ks = states.keys.toSeq.sorted
+              val k = ks(rnd.nextInt(ks.size)); (k, states(k))
+            }
+            val got = IcebergImport.read(spark, t.location,
+              Some(sid.toString)).as[(Long, String)].collect()
+              .sortBy(r => (r._1, r._2)).toSeq
+            assert(got === want, s"seed=$seed op$i timeTravel $sid")
+          }
+        case 8 => // orphan listing never names a live file
+          def norm(u: String): String = new java.net.URI(u).getPath
+          val live = IcebergImport.plan(spark, t.location).files
+            .map(f => norm(f.uri)).toSet
+          val listed = IcebergImport.orphanFiles(spark, t.location)
+            .select("path").as[String].collect().map(norm).toSet
+          assert(live.intersect(listed).isEmpty,
+            s"seed=$seed op$i orphanFiles listed live files: " +
+              live.intersect(listed))
+        case 9 => // SQL register: the view pins the CURRENT state
+          spark.sql(s"CALL graft.register_iceberg('${t.location}', " +
+            s"name => 'ffuzz_reg_$seed')")
+          val got = spark.table(s"ffuzz_reg_$seed")
+            .as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+          assert(got === model.sortBy(r => (r._1, r._2)).toSeq,
+            s"seed=$seed op$i register")
+          spark.catalog.dropTempView(s"ffuzz_reg_$seed")
       }
     }
 
@@ -88,10 +137,29 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
       "SELECT COUNT(*) AS n FROM t").!!
     assert(out.trim.split("\n").last === model.size.toString,
       s"seed=$seed duckdb row count")
+
+    // streaming cross-check: the CDC source's batch 0 delivers the
+    // final state as inserts — a replayed follower sees the model bag
+    val q = spark.readStream.format("graft-iceberg")
+      .option("mode", "cdc").load(t.location)
+      .writeStream.format("memory").queryName(s"ffuzz_cdc_$seed")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(s"ffuzz_cdc_$seed")
+        .filter(col("_change_type") === "insert")
+        .select("id", "v").as[(Long, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(streamed === model.sortBy(r => (r._1, r._2)).toSeq,
+        s"seed=$seed cdc stream batch 0")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(s"ffuzz_cdc_$seed")
+    }
   }
 
   test("seeded foreign-lifecycle fuzz: 20 ops, model-checked after " +
-      "every op, DuckDB cross-check at the end (seed 42)") {
+      "every op, DuckDB + CDC-stream cross-check at the end (seed 42)") {
     runFuzz(42L, 20)
   }
 
@@ -105,5 +173,9 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
 
   test("seeded foreign-lifecycle fuzz, longer sequence (seed 7)") {
     runFuzz(7L, 30)
+  }
+
+  test("seeded foreign-lifecycle fuzz, widened alphabet (seed 12012)") {
+    runFuzz(12012L, 25)
   }
 }
