@@ -143,6 +143,15 @@ object IcebergExport {
       | {"name": "key_metadata", "type": ["null", "bytes"], "default": null, "field-id": 519}
       |]}""".stripMargin)
 
+  /** The v3 manifest-list entry: v2 plus `first_row_id` (spec field 520)
+    * — the starting row id assigned to a DATA manifest for row lineage
+    * (null on delete manifests and on pre-lineage carried manifests). */
+  private[iceberg] val manifestListSchemaV3: Schema = new Schema.Parser()
+    .parse(manifestListSchema.toString(false).replace(
+      """{"name":"key_metadata""",
+      """{"name":"first_row_id","type":["null","long"],""" +
+        """"default":null,"field-id":520},{"name":"key_metadata"""))
+
   /** Avro type string for an identity-partition value (the r102 struct
     * field). Kept to types whose partition-dir strings parse back
     * unambiguously; date/timestamp identity partitioning is better
@@ -168,7 +177,8 @@ object IcebergExport {
     * engines' scan planners read. */
   private[iceberg] def manifestEntrySchema(
       partFields: Seq[(String, String)],
-      equalityIds: Boolean = false): Schema = {
+      equalityIds: Boolean = false,
+      v3: Boolean = false): Schema = {
     val pf = partFields.zipWithIndex.map { case ((n, avroType), i) =>
       s"""{"name": ${jsonStr(n)}, "type": ["null", "$avroType"], "default": null, "field-id": ${1000 + i}}"""
     }.mkString(", ")
@@ -192,6 +202,17 @@ object IcebergExport {
       """,
         |     {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int", "element-id": 136}], "default": null, "field-id": 135}""".stripMargin
     else ""
+    // v3 (table-spec v3) data_file additions: row lineage's
+    // first_row_id (142, null on write — readers inherit from the
+    // manifest) and the deletion-vector coordinates (143-145) a PUFFIN
+    // delete entry carries instead of being a standalone delete file
+    val v3f = if (v3)
+      """,
+        |     {"name": "first_row_id", "type": ["null", "long"], "default": null, "field-id": 142},
+        |     {"name": "referenced_data_file", "type": ["null", "string"], "default": null, "field-id": 143},
+        |     {"name": "content_offset", "type": ["null", "long"], "default": null, "field-id": 144},
+        |     {"name": "content_size_in_bytes", "type": ["null", "long"], "default": null, "field-id": 145}""".stripMargin
+    else ""
     new Schema.Parser().parse(
       s"""{
         |"type": "record", "name": "manifest_entry", "fields": [
@@ -211,7 +232,7 @@ object IcebergExport {
         |     ${boundsMap("upper_bounds", 128, 129, 130)},
         |     ${longMap("null_value_counts", 110, 121, 122)},
         |     {"name": "split_offsets", "type": ["null", {"type": "array", "items": "long", "element-id": 133}], "default": null, "field-id": 132},
-        |     {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}$eq
+        |     {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}$eq$v3f
         |   ]}}
         |]}""".stripMargin)
   }

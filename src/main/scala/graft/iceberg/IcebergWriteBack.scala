@@ -88,18 +88,29 @@ object IcebergWriteBack {
       fields: Seq[(String, Int, String)], // (name, field id, iceberg type)
       defaultSpecId: Int, defSpecFields: Seq[JValue],
       specTriples: Seq[(String, String, Int)], // (name, transform, srcId)
-      newSeq: Long, newId: Long)
+      newSeq: Long, newId: Long,
+      formatVersion: Int, nextRowId: Long)
 
   private def loadTree(spark: SparkSession, tableLocation: String): Tree = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
 
     val (fs, meta, metaFile) = IcebergImport.parseMeta(spark, tableLocation)
-    require((meta \ "format-version").extractOpt[Int].contains(2),
-      s"iceberg write-back commits v2 trees only (got format-version " +
-        s"${(meta \ "format-version").extractOpt[Int].getOrElse(1)}): " +
-        s"$metaFile — v1 lacks sequence numbers; v3 commits (deletion " +
-        "vectors, row lineage) are not implemented")
+    val formatVersion = (meta \ "format-version").extractOpt[Int]
+      .getOrElse(1)
+    require(formatVersion == 2 || formatVersion == 3,
+      s"iceberg write-back commits v2 and v3 trees only (got " +
+        s"format-version $formatVersion): $metaFile — v1 lacks " +
+        "sequence numbers; versions beyond 3 are unknown")
+    // v3 row lineage: every commit assigns row ids from the table's
+    // next-row-id — a v3 tree without it cannot be committed to without
+    // corrupting lineage for native readers, so fail loud
+    val nextRowId =
+      if (formatVersion < 3) 0L
+      else (meta \ "next-row-id").extractOpt[Long].getOrElse(
+        throw new IllegalStateException(
+          s"v3 tree lacks required next-row-id ($metaFile) — refusing " +
+            "to commit: assigned row ids would collide"))
     val curId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw new IllegalStateException(
       s"$metaFile has no current snapshot — write-back commits to " +
@@ -152,8 +163,18 @@ object IcebergWriteBack {
       .toUri.toString.stripSuffix("/")
     Tree(fs, meta, metaFile, tableUri, tableLocation, curId, snapsJ,
       oldListUri, curSchemaId, schemaJ, fields, defaultSpecId,
-      defSpecFields, specTriples, lastSeq + 1, newId)
+      defSpecFields, specTriples, lastSeq + 1, newId,
+      formatVersion, nextRowId)
   }
+
+  /** The manifest-list record schema for this tree's format version. */
+  private def mlSchema(tree: Tree) =
+    if (tree.formatVersion >= 3) IcebergExport.manifestListSchemaV3
+    else IcebergExport.manifestListSchema
+
+  /** The `format-version` Avro file attribute for this tree. */
+  private def fmtAttr(tree: Tree): (String, String) =
+    "format-version" -> tree.formatVersion.toString
 
   /** Appends need an unpartitioned/all-identity default spec; returns
     * the identity partition column names in spec order. */
@@ -258,7 +279,8 @@ object IcebergWriteBack {
       phys -> IcebergExport.partitionAvroType(
         IcebergImport.sparkType(typeById(srcId)))
     }
-    val entrySchema = IcebergExport.manifestEntrySchema(avroPartFields)
+    val entrySchema = IcebergExport.manifestEntrySchema(avroPartFields,
+      v3 = tree.formatVersion >= 3)
     val entries = files.map { case (rel, tuple, rows, len) =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
@@ -292,10 +314,9 @@ object IcebergWriteBack {
         "partition-spec" ->
           compact(render(JArray(tree.defSpecFields.toList))),
         "partition-spec-id" -> tree.defaultSpecId.toString,
-        "format-version" -> "2", "content" -> "data"))
+        fmtAttr(tree), "content" -> "data"))
 
-    val mls = IcebergExport.manifestListSchema
-    val rec = new GenericData.Record(mls)
+    val rec = new GenericData.Record(mlSchema(tree))
     rec.put("manifest_path", s"${tree.tableUri}/metadata/$manifestName")
     rec.put("manifest_length", manifestLen)
     rec.put("partition_spec_id", tree.defaultSpecId)
@@ -349,8 +370,12 @@ object IcebergWriteBack {
     val specId = existingUnpart.getOrElse(
       specs.map(_._1).foldLeft(-1)(math.max) + 1)
 
+    // v3 forbids NEW position-delete files — position tombstones must be
+    // deletion vectors ([[newDvManifest]]); equality deletes stay legal
+    require(tree.formatVersion < 3 || content == 2,
+      "v3 position deletes must be written as deletion vectors")
     val delSchema = IcebergExport.manifestEntrySchema(Seq.empty,
-      equalityIds = true)
+      equalityIds = true, v3 = tree.formatVersion >= 3)
     val entries = files.map { case (rel, _, rows, len) =>
       val e = new GenericData.Record(delSchema)
       e.put("status", 1) // ADDED
@@ -382,10 +407,9 @@ object IcebergWriteBack {
         "schema-id" -> tree.curSchemaId.toString,
         "partition-spec" -> "[]",
         "partition-spec-id" -> specId.toString,
-        "format-version" -> "2", "content" -> "deletes"))
+        fmtAttr(tree), "content" -> "deletes"))
 
-    val mls = IcebergExport.manifestListSchema
-    val rec = new GenericData.Record(mls)
+    val rec = new GenericData.Record(mlSchema(tree))
     rec.put("manifest_path", s"${tree.tableUri}/metadata/$manifestName")
     rec.put("manifest_length", manifestLen)
     rec.put("partition_spec_id", specId)
