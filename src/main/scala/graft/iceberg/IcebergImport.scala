@@ -597,6 +597,17 @@ object IcebergImport {
     }
   }
 
+  /** The value type [[foreignTransformCol]] produces for a transform —
+    * the type of the delete-side tuple-value join column (truncate
+    * keeps the source type; bucket and the epoch-ordinal time
+    * transforms are ints). Unknown transforms still refuse loudly when
+    * [[foreignTransformCol]] evaluates them. */
+  private def transformResultType(tr: String, dt: DataType): DataType =
+    tr match {
+      case SupportedTransform.Truncate(_) => dt
+      case _ => IntegerType
+    }
+
   /** Evaluate a FOREIGN partition transform over a data column — the
     * spec's own definitions (Appendix B hashes; time transforms are
     * EPOCH ORDINALS: year = years since 1970, month = months since
@@ -870,6 +881,34 @@ object IcebergImport {
   private[iceberg] def footerInfo(spark: SparkSession, uri: String): FooterInfo =
     readFooterInfo(spark.sessionState.newHadoopConf(), uri)
 
+  /** Sniff EVERY given footer in one batched pass — a driver loop while
+    * the count is metadata-small, a distributed map beyond — replacing
+    * per-group sequential driver round trips (O(#scope-groups) opens on
+    * a many-bucket Flink-CDC tree). */
+  private def sniffFooters(spark: SparkSession,
+      uris: Seq[String]): Map[String, FooterInfo] =
+    if (uris.isEmpty) Map.empty
+    else if (uris.size <= 32) {
+      val conf = spark.sessionState.newHadoopConf()
+      uris.map(u => u -> readFooterInfo(conf, u)).toMap
+    } else {
+      val confBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        spark.sessionState.newHadoopConf().write(oos)
+        oos.close(); bos.toByteArray
+      }
+      val bc = spark.sparkContext.broadcast(confBytes)
+      spark.sparkContext.parallelize(uris,
+        math.max(1, math.min(uris.size / 16 + 1, 256)))
+        .map { u =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          conf.readFields(new java.io.ObjectInputStream(
+            new java.io.ByteArrayInputStream(bc.value)))
+          u -> readFooterInfo(conf, u)
+        }.collect().toMap
+    }
+
   /** Classify every data file as id-ful / id-less. Cheap path: sniff a
     * bounded sample of each MANIFEST's files (first + last two of its
     * order) — manifests are homogeneous per writer, so a per-manifest
@@ -1128,49 +1167,72 @@ object IcebergImport {
     val withIdentity = identityCols.foldLeft(base)((d, c) =>
       d.withColumn(c, coalesce(col(c), col(s"__ice_part_$c"))))
 
-    // equality deletes: one anti-join per (key-column set × partition
-    // scope), carrying the v2 strict ordering deleteSeq > dataSeq; a
-    // partition-scoped delete additionally matches only rows of its own
-    // partition — identity scopes as literal predicates, hidden-
-    // transform scopes (bucket/truncate/time) by evaluating the spec's
-    // transform over each data row ([[foreignTransformCol]]). The join
-    // broadcast is gated on the group's manifest-recorded delete bytes.
+    // equality deletes: ONE anti-join per (key-column set × scope
+    // SHAPE) — the scope/transform tuple VALUES ride as join columns on
+    // the delete side instead of splitting the plan, so a bucket[128]
+    // Flink-CDC tree with per-bucket delete files plans one anti-join
+    // for its key set (the "same-key tombstones union into one
+    // anti-join" rule graft's own MOR read follows), not 128 chained
+    // ones. v2 strict ordering deleteSeq > dataSeq; identity scopes
+    // compare the row's own column, hidden-transform scopes evaluate
+    // the spec's transform over each data row ([[foreignTransformCol]])
+    // ONCE per shape. All delete-file footers are sniffed in one
+    // batched pass ([[sniffFooters]]) and each read sub-batch resolves
+    // by its OWN footer, so heterogeneous delete writers inside one
+    // shape group are fine. The join broadcast is gated on the group's
+    // manifest-recorded delete bytes.
+    val eqFooters = sniffFooters(spark, eqDeletes.map(_.uri).distinct)
     val afterEq = eqDeletes
-      .groupBy(d => (d.equalityCols.get, d.scope, d.transformScope))
+      .groupBy(d => (d.equalityCols.get, d.scope.keys.toSeq.sorted,
+        d.transformScope.map { case (c, tr, _) => (c, tr) }))
       .foldLeft(withIdentity) {
-        case (acc, ((cols, scope, tScope), ds)) =>
-          // the delete files' writer may differ from the data files' —
-          // sniff this group's own footer: id-ful delete files read by
-          // field id, id-less ones by name mapping / plain name (e.g.
-          // graft's export writes id-less delete parquet)
-          val delInfo = footerInfo(spark, ds.head.uri)
-          val (delSchema, delNames) =
-            if (delInfo.hasIds)
-              (StructType(cols.map(c => p.schema(c)).toArray), cols)
-            else {
-              val res = plainResolution(
-                p.copy(schema = StructType(
-                  cols.map(c => p.schema(c)).toArray)), delInfo.cols)
-              (StructType(res.map { case (n, f) =>
-                StructField(n, f.dataType, nullable = true) }.toArray),
-                res.map(_._1))
-            }
-          val del = ds.groupBy(_.seq).map { case (seq, group) =>
-            spark.read.schema(delSchema)
-              .parquet(group.map(_.uri): _*)
-              .select(delNames.zip(cols).map { case (n, c) =>
-                col(n).as(s"__ice_del_$c") } :+
-                lit(seq).as("__ice_dseq"): _*)
-          }.reduce(_ unionByName _)
-          val scopeCond = scope.map { case (c, v) =>
-            acc(c) <=> lit(externalValue(v, schema(c).dataType)) }
-          // hidden-transform scope: T(sourceCol) <=> tuple value — the
-          // delete only matches rows inside its own hidden partition
-          val tCond = tScope.map { case (c, tr, v) =>
+        case (acc, ((cols, scopeCols, tShape), ds)) =>
+          val tTypes = tShape.map { case (c, tr) =>
             require(schema.fieldNames.contains(c),
               s"transform scope source column $c not in schema")
+            transformResultType(tr, schema(c).dataType)
+          }
+          // one parquet read per (sequence × tuple values × footer
+          // shape): files sharing all of those share one scan; id-ful
+          // delete files read by field id, id-less ones by name
+          // mapping / plain name (e.g. graft's export writes id-less
+          // delete parquet)
+          val del = ds.groupBy(d => (d.seq,
+              scopeCols.map(c => d.scope(c)),
+              d.transformScope.map(_._3), eqFooters(d.uri)))
+            .toSeq.sortBy(_._2.head.uri)
+            .map { case ((seq, sVals, tVals, fi), group) =>
+              val (delSchema, delNames) =
+                if (fi.hasIds)
+                  (StructType(cols.map(c => p.schema(c)).toArray), cols)
+                else {
+                  val res = plainResolution(
+                    p.copy(schema = StructType(
+                      cols.map(c => p.schema(c)).toArray)), fi.cols)
+                  (StructType(res.map { case (n, f) =>
+                    StructField(n, f.dataType, nullable = true) }
+                      .toArray),
+                    res.map(_._1))
+                }
+              spark.read.schema(delSchema)
+                .parquet(group.map(_.uri): _*)
+                .select(delNames.zip(cols).map { case (n, c) =>
+                  col(n).as(s"__ice_del_$c") } ++
+                  scopeCols.zip(sVals).map { case (c, v) =>
+                    lit(externalValue(v, schema(c).dataType))
+                      .cast(schema(c).dataType).as(s"__ice_sc_$c") } ++
+                  tVals.zip(tTypes).zipWithIndex.map {
+                    case ((v, t), i) =>
+                      lit(v).cast(t).as(s"__ice_ts_$i") } :+
+                  lit(seq).as("__ice_dseq"): _*)
+            }.reduce(_ unionByName _)
+          val scopeCond = scopeCols.map(c =>
+            acc(c) <=> del(s"__ice_sc_$c"))
+          // hidden-transform scope: T(sourceCol) <=> tuple value — the
+          // delete only matches rows inside its own hidden partition
+          val tCond = tShape.zipWithIndex.map { case ((c, tr), i) =>
             foreignTransformCol(tr, acc(c), schema(c).dataType) <=>
-              lit(v)
+              del(s"__ice_ts_$i")
           }
           val cond = (cols.map(c =>
             acc(c) <=> del(s"__ice_del_$c")) ++ scopeCond ++ tCond)

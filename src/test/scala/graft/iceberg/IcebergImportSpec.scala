@@ -1125,6 +1125,53 @@ class IcebergImportSpec extends SparkSpec {
       (1L, "y", 10.0), (2L, "x", 2.0), (3L, "y", 3.0)))
   }
 
+  test("PLAN SHAPE: per-bucket equality deletes in EVERY bucket of a " +
+      "bucket[8] tree collapse into exactly ONE anti-join (scope tuple " +
+      "values are join columns, not plan splits)") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, EqDel, Snap}
+    import org.apache.spark.sql.types.LongType
+    val loc = tmpDir("imp-eqcollapse") + "/ft"
+    new File(loc).mkdirs()
+    def bucketOf(id: Long): Int = graft.functions.IcebergBucketHash
+      .bucketValue(id, LongType, 8)
+    // 64 keys spread across buckets; one data file + one per-bucket
+    // equality-delete file for EACH of the 8 buckets (the Flink-CDC
+    // writer layout). Delete file kills the even ids of its bucket.
+    val ids = (1L to 64L)
+    val byBucket = ids.groupBy(bucketOf)
+    assert(byBucket.size === 8, "fixture wants all 8 buckets populated")
+    val entries = byBucket.toSeq.sortBy(_._1).flatMap { case (b, ks) =>
+      val fD = ForeignFixtures.writeParquet(spark, loc, s"D$b",
+        ks.filter(_ % 2 == 0).toDF("id"))
+      val fA = ForeignFixtures.writeParquet(spark, loc, s"A$b",
+        ks.map(i => (i, i * 1.0)).toDF("id", "v"))
+      Seq(Data(fA, ks.size, 1L, Map("id_bucket" -> b)),
+        EqDel(fD, ks.count(_ % 2 == 0), 2L, Seq(1),
+          Map("id_bucket" -> b)))
+    }
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "double")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0,
+      Seq(ForeignFixtures.SpecField("id_bucket", "bucket[8]", 1, "int")),
+      Seq(Snap(100L, None, 2L, "append", entries)), lastColumnId = 2)
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.deletes.size === 8)
+    val df = IcebergImport.read(spark, loc)
+    val got = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === ids.filter(_ % 2 == 1))
+    // THE shape assertion: one key-column set + one scope shape means
+    // exactly one LeftAnti join in the whole plan — not 8 chained ones
+    val antis = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+        => j
+    }
+    assert(antis.size === 1,
+      s"expected ONE collapsed anti-join, got ${antis.size}:\n" +
+        df.queryExecution.optimizedPlan)
+  }
+
   test("DAY- and TRUNCATE-scoped equality deletes evaluate the spec's " +
       "epoch-ordinal transforms per data row") {
     import graft.iceberg.ForeignFixtures
