@@ -75,6 +75,15 @@ private[graft] object ForeignFixtures {
       |{"name":"added_snapshot_id","type":"long"}
       |]}""".stripMargin)
 
+  /** The v3 manifest-list entry: v2 plus nullable `first_row_id` — row
+    * lineage's per-data-manifest starting row id. */
+  private val listSchemaV3 = new Schema.Parser().parse(
+    listSchema.toString(false).replace(
+      """{"name":"added_snapshot_id","type":"long"}""",
+      """{"name":"added_snapshot_id","type":"long"},""" +
+        """{"name":"first_row_id","type":["null","long"],""" +
+        """"default":null}"""))
+
   /** Manifest-entry schema with a partition record shaped by `spec` and
     * every optional field a foreign writer may use (equality ids, v3
     * deletion-vector coordinates) — unused ones stay null. */
@@ -173,7 +182,13 @@ private[graft] object ForeignFixtures {
     val metaDir = new File(location, "metadata"); metaDir.mkdirs()
     def uri(f: File) = s"file://${f.getAbsolutePath}"
     val es = entrySchema(spec)
+    val ls = if (formatVersion >= 3) listSchemaV3 else listSchema
 
+    // v3 row lineage: data manifests are assigned first_row_id from a
+    // running counter (advanced by each manifest's row count), and the
+    // metadata publishes next-row-id past every assigned id — the shape
+    // a native v3 writer leaves behind
+    var rowIdCounter = 0L
     val snapJsons = snaps.zipWithIndex.map { case (s, i) =>
       val (dataEs, delEs) = s.entries.partition(_.isInstanceOf[Data])
       val dataManifests = dataEs.groupBy {
@@ -182,12 +197,13 @@ private[graft] object ForeignFixtures {
       }.toSeq.sortBy(_._1).map { case (g, es) =>
         (es, 0, s"m-${s.id}-data-$g.avro")
       }
+      val firstRowId = rowIdCounter
       val listRecs = (dataManifests :+
         ((delEs, 1, s"m-${s.id}-del.avro"))
       ).filter(_._1.nonEmpty).map { case (entries, content, name) =>
         val mf = new File(metaDir, name)
         val len = writeAvro(mf, es, entries.map(record(es, s.id, _)))
-        val r = new GenericData.Record(listSchema)
+        val r = new GenericData.Record(ls)
         r.put("manifest_path", uri(mf))
         r.put("manifest_length", len)
         r.put("partition_spec_id", 0)
@@ -196,14 +212,20 @@ private[graft] object ForeignFixtures {
         r.put("min_sequence_number",
           entries.map(_.seq).foldLeft(s.seq)(math.min))
         r.put("added_snapshot_id", s.id)
+        if (formatVersion >= 3 && content == 0) {
+          r.put("first_row_id", rowIdCounter)
+          rowIdCounter += entries.collect { case d: Data => d.rows }.sum
+        }
         r: GenericRecord
       }
       val listFile = new File(metaDir, s"snap-${s.id}.avro")
-      writeAvro(listFile, listSchema, listRecs)
+      writeAvro(listFile, ls, listRecs)
       val parent = s.parent.map(p =>
         s""""parent-snapshot-id": $p, """).getOrElse("")
+      val frid = if (formatVersion >= 3)
+        s""""first-row-id": $firstRowId, """ else ""
       s"""{"sequence-number": ${s.seq}, "snapshot-id": ${s.id}, $parent
-        |"timestamp-ms": ${1700000000000L + i * 1000},
+        |$frid"timestamp-ms": ${1700000000000L + i * 1000},
         |"summary": {"operation": "${s.op}"}, "schema-id": ${s.schemaId},
         |"manifest-list": "${uri(listFile)}"}""".stripMargin
     }
@@ -215,8 +237,10 @@ private[graft] object ForeignFixtures {
     val props = properties.map { case (k, v) =>
       s""""$k": "$v"""" }.mkString(",")
     val cur = snaps.last
+    val nextRowId = if (formatVersion >= 3)
+      s""""next-row-id": $rowIdCounter,""" else ""
     val metaJson =
-      s"""{"format-version": $formatVersion,
+      s"""{"format-version": $formatVersion, $nextRowId
         |"table-uuid": "00000000-0000-0000-0000-00000000f1x7",
         |"location": "file://$location",
         |"last-sequence-number": ${snaps.map(_.seq).max},

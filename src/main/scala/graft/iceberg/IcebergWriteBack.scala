@@ -38,7 +38,15 @@ import org.apache.spark.sql.types.{LongType, Metadata => SqlMetadata}
   *     manifest (every source row).
   *
   * Contract and refusals (fail-loud, never a silently-wrong tree):
-  *   - v2 trees only, non-empty (a current snapshot must exist);
+  *   - v2 and v3 trees, non-empty (a current snapshot must exist). On
+  *     a v3 tree only the shapes that write no position-delete files
+  *     and rewrite no rows commit: [[appendTo]], [[deleteKeys]], and
+  *     equality-mode [[mergeInto]] — each assigning ROW LINEAGE per the
+  *     v3 spec (snapshot first-row-id, per-data-manifest first_row_id,
+  *     metadata next-row-id advanced by assigned rows). [[deleteWhere]],
+  *     position-mode merge, and compaction refuse loud on v3 (the
+  *     former two would write forbidden position-delete files; the
+  *     latter must preserve rewritten rows' ids, not implemented);
   *   - appends (appendTo / mergeInto's insert side) need an
   *     UNPARTITIONED or all-IDENTITY default spec: writing data under a
   *     hidden-transform spec would require evaluating the foreign
@@ -370,8 +378,10 @@ object IcebergWriteBack {
     val specId = existingUnpart.getOrElse(
       specs.map(_._1).foldLeft(-1)(math.max) + 1)
 
-    // v3 forbids NEW position-delete files — position tombstones must be
-    // deletion vectors ([[newDvManifest]]); equality deletes stay legal
+    // v3 forbids NEW position-delete files — position tombstones must
+    // be deletion vectors, which this writer does not emit yet;
+    // equality deletes stay legal (callers refuse earlier with a
+    // better message — this is the backstop)
     require(tree.formatVersion < 3 || content == 2,
       "v3 position deletes must be written as deletion vectors")
     val delSchema = IcebergExport.manifestEntrySchema(Seq.empty,
@@ -443,7 +453,24 @@ object IcebergWriteBack {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
     val now = System.currentTimeMillis()
-    val mls = IcebergExport.manifestListSchema
+    val mls = mlSchema(tree)
+    // v3 ROW LINEAGE: the new snapshot's first-row-id is the table's
+    // next-row-id; each NEW data manifest is assigned the running
+    // high-water mark, advanced by its added+existing row counts (the
+    // spec's first-row-id inheritance — data files inside then inherit
+    // sequentially from the manifest's value); the published metadata
+    // advances next-row-id to the final mark. Carried manifests keep
+    // their recorded first_row_id verbatim (null stays null on
+    // pre-lineage manifests).
+    var rowIdHwm = tree.nextRowId
+    if (tree.formatVersion >= 3) newRecords.foreach { r =>
+      if (r.get("content").asInstanceOf[Number].intValue == 0) {
+        r.put("first_row_id", rowIdHwm)
+        rowIdHwm +=
+          r.get("added_rows_count").asInstanceOf[Number].longValue +
+          r.get("existing_rows_count").asInstanceOf[Number].longValue
+      }
+    }
     def carried(r: GenericRecord): GenericRecord = {
       val ml = new GenericData.Record(mls)
       def g(n: String): Option[AnyRef] =
@@ -469,6 +496,8 @@ object IcebergWriteBack {
       ml.put("added_rows_count", gL("added_rows_count", 0L))
       ml.put("existing_rows_count", gL("existing_rows_count", 0L))
       ml.put("deleted_rows_count", gL("deleted_rows_count", 0L))
+      if (tree.formatVersion >= 3)
+        ml.put("first_row_id", g("first_row_id").orNull)
       ml
     }
     val listRecords: Seq[GenericRecord] =
@@ -480,10 +509,10 @@ object IcebergWriteBack {
     val listName = s"snap-${tree.newId}-1-${UUID.randomUUID()}.avro"
     IcebergExport.writeAvro(
       new File(IcebergExport.localPath(tree.fs, metaDir), listName),
-      mls, listRecords, Map("format-version" -> "2"))
+      mls, listRecords, Map(fmtAttr(tree)))
 
     // ---- next metadata.json version ----
-    val entryJ: JObject =
+    val entryBase: JObject =
       ("sequence-number" -> tree.newSeq) ~
         ("snapshot-id" -> tree.newId) ~
         ("parent-snapshot-id" -> tree.curId) ~
@@ -493,6 +522,10 @@ object IcebergWriteBack {
           case (k, v) => k -> (org.json4s.JString(v): JValue) })) ~
         ("manifest-list" -> s"${tree.tableUri}/metadata/$listName") ~
         ("schema-id" -> tree.curSchemaId)
+    val entryJ: JObject =
+      if (tree.formatVersion >= 3)
+        entryBase ~ ("first-row-id" -> tree.nextRowId)
+      else entryBase
     val oldRefs: List[JField] = (tree.meta \ "refs") match {
       case JObject(fs0) => fs0
       case _ => Nil
@@ -517,7 +550,8 @@ object IcebergWriteBack {
     }
     val replaced = Set("last-updated-ms", "last-sequence-number",
       "current-snapshot-id", "snapshots", "snapshot-log", "refs") ++
-      (if (newSpecsJ.isDefined) Set("partition-specs") else Set.empty)
+      (if (newSpecsJ.isDefined) Set("partition-specs") else Set.empty) ++
+      (if (tree.formatVersion >= 3) Set("next-row-id") else Set.empty)
     val kept = tree.meta.asInstanceOf[JObject].obj
       .filterNot(f => replaced.contains(f._1))
     val updated = JObject(kept ++ List[JField](
@@ -527,7 +561,9 @@ object IcebergWriteBack {
       "snapshots" -> JArray(tree.snapsJ :+ (entryJ: JValue)),
       "snapshot-log" -> newLog,
       "refs" -> newRefs) ++
-      newSpecsJ.map(s => "partition-specs" -> s).toList)
+      newSpecsJ.map(s => "partition-specs" -> s).toList ++
+      (if (tree.formatVersion >= 3)
+        List[JField]("next-row-id" -> JLong(rowIdHwm)) else Nil))
 
     writeVersion(tree, updated)
     tree.newId
@@ -634,6 +670,10 @@ object IcebergWriteBack {
   def deleteWhere(spark: SparkSession, tableLocation: String,
       predicate: Column): Long = {
     val tree = loadTree(spark, tableLocation)
+    require(tree.formatVersion < 3,
+      "v3 forbids new position-delete FILES (deletion vectors replace " +
+        "them) — deleteWhere on a v3 tree is not supported; use " +
+        "deleteKeys (equality deletes stay legal in v3)")
     val hasIds = treeHasIds(spark, tree)
     val matched = posCoords(
       IcebergImport.readLineage(spark, tableLocation).filter(predicate),
@@ -723,6 +763,10 @@ object IcebergWriteBack {
     if (alreadyCommitted(spark, tableLocation, txn))
       return IcebergImport.currentSnapshotId(spark, tableLocation).get
     val tree = loadTree(spark, tableLocation)
+    require(tree.formatVersion < 3 || equalityDeletes,
+      "position-precise merge writes v2 position-delete files, which " +
+        "v3 forbids (deletion vectors replace them) — merge into a v3 " +
+        "tree with equalityDeletes = true")
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val schemaCols = tree.fields.map(_._1).toSet
     val badKeys = keys.filterNot(schemaCols)
@@ -835,6 +879,10 @@ object IcebergWriteBack {
       minInputFiles: Int = 2): Long = {
     implicit val fmts: Formats = DefaultFormats
     val tree = loadTree(spark, tableLocation)
+    require(tree.formatVersion < 3,
+      "compaction rewrites existing rows, which in v3 must PRESERVE " +
+        "their row ids (materialized _row_id) — not implemented; " +
+        "v3 write-back supports appends and equality deletes only")
     identityPartCols(tree) // refuse hidden-transform default specs
     val hasIds = treeHasIds(spark, tree)
 
@@ -1086,8 +1134,12 @@ object IcebergWriteBack {
     implicit val fmts: Formats = DefaultFormats
     val files = IcebergImport.plan(spark, tableLocation).files
     val sample = (files.take(2) ++ files.takeRight(2)).map(_.uri).distinct
+    // publish the mapping unless the sampled files are UNIFORMLY
+    // id-ful: on a MIXED adopted-then-native tree the id-less files
+    // need it, and the mapping is harmless for id-resolved files (id
+    // resolution wins first), so erring toward publishing is safe
     val idful = files.isEmpty ||
-      sample.exists(u => IcebergImport.footerInfo(spark, u).hasIds)
+      sample.forall(u => IcebergImport.footerInfo(spark, u).hasIds)
     val updateProps: (Tree, List[JValue]) => Option[JValue] =
       if (idful) (_, _) => None
       else (tree, fields) => {

@@ -215,6 +215,15 @@ private[graft] object Puffin {
       dvs: Seq[(String, Seq[Long])], snapshotId: Long,
       sequenceNumber: Long): Seq[(String, Long, Long, Long)] = {
     val blobs = dvs.map { case (uri, ps) => (uri, ps, dvBlob(ps)) }
+    // JSON string escape for interpolated values (a data-file URI with
+    // a quote/backslash/control char must not break the footer for
+    // native readers)
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val out = fs.create(path, false)
     val coords = Seq.newBuilder[(String, Long, Long, Long)]
     val footerBlobs = Seq.newBuilder[String]
@@ -229,7 +238,7 @@ private[graft] object Puffin {
             s""""snapshot-id":$snapshotId,""" +
             s""""sequence-number":$sequenceNumber,""" +
             s""""offset":$off,"length":${blob.length},""" +
-            s""""properties":{"referenced-data-file":"$uri",""" +
+            s""""properties":{"referenced-data-file":"${esc(uri)}",""" +
             s""""cardinality":"${ps.distinct.size}"}}"""
         out.write(blob)
         off += blob.length

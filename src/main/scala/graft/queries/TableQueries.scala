@@ -1100,6 +1100,49 @@ object TableQueries {
       |WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 5 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** WRITE-BACK into a FOREIGN format-version-3 tree — the v3-legal
+    * commit shapes (append + equality delete) with ROW LINEAGE: a
+    * native-writer-shaped v3 fixture (next-row-id, per-manifest
+    * first_row_id) over the odd orders takes a graft append of the even
+    * orders (assigning fresh row ids and advancing next-row-id), then a
+    * deleteKeys tombstoning `o_orderkey % 9 = 0` out of BOTH
+    * generations (equality deletes stay legal in v3; deleteSeq > both
+    * data seqs). The oracle is the equivalent predicate. */
+  val qIcebergWritebackV3: Q = (s, dir) => {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    val loc = scratch("icewbv3")
+    new java.io.File(loc).mkdirs()
+    val base = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+    val odd = base.filter(col("o_orderkey") % 2 === 1)
+      .repartition(1).sortWithinPartitions("o_orderkey")
+    val fOdd = ForeignFixtures.writeParquet(s, loc, "odd", odd)
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "o_orderkey", "long"), (2, "o_custkey", "long"),
+      (3, "o_orderstatus", "string"), (4, "o_totalprice", "double"),
+      (5, "o_orderdate", "date")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append",
+        Seq(Data(fOdd, odd.count(), 1L)))),
+      formatVersion = 3, lastColumnId = 5)
+    graft.iceberg.IcebergWriteBack.appendTo(s, loc,
+      base.filter(col("o_orderkey") % 2 === 0))
+    graft.iceberg.IcebergWriteBack.deleteKeys(s, loc,
+      base.filter(col("o_orderkey") % 9 === 0).select("o_orderkey"))
+    project(graft.iceberg.IcebergImport.read(s, loc))
+  }
+  val qIcebergWritebackV3Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 9 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val qIcebergImportMor: Q = (s, dir) => {
     val t = GraftTable(s, scratch("iceimpmor"))
     t.append(Tables.load(s, dir, "orders")
@@ -2192,6 +2235,8 @@ object TableQueries {
       Some(qIcebergWritebackMergeSql)),
     ("q_iceberg_writeback_merge_eq", qIcebergWritebackMergeEq,
       Some(qIcebergWritebackMergeEqSql)),
+    ("q_iceberg_writeback_v3", qIcebergWritebackV3,
+      Some(qIcebergWritebackV3Sql)),
     ("q_iceberg_evolve_writeback", qIcebergEvolveWriteback,
       Some(qIcebergEvolveWritebackSql)),
     ("q_iceberg_compact_writeback", qIcebergCompactWriteback,

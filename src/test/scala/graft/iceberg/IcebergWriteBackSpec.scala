@@ -907,4 +907,107 @@ class IcebergWriteBackSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq ===
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("v3 tree: appendTo assigns ROW LINEAGE — snapshot first-row-id " +
+      "= old next-row-id, new data manifest first_row_id, metadata " +
+      "next-row-id advanced by added rows, carried manifests keep " +
+      "theirs; importer AND DuckDB hand-walker read the result") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val loc = tmpDir("wb-v3app") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val fB = ForeignFixtures.writeParquet(spark, loc, "B",
+      Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("id", "v"))
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))
+    // two data manifests -> fixture assigns first_row_id 0 and 3,
+    // next-row-id 6 (the shape a native v3 writer leaves behind)
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append",
+        Seq(Data(fA, 3, 1L), Data(fB, 3, 1L, group = 1)))),
+      formatVersion = 3, lastColumnId = 2)
+
+    val sid = IcebergWriteBack.appendTo(spark, loc,
+      Seq((7L, "g"), (8L, "h")).toDF("id", "v"))
+    assert(IcebergImport.read(spark, loc).select("id").as[Long]
+      .collect().sorted === (1L to 8L).toArray)
+
+    val (fs, meta, _) = IcebergImport.parseMeta(spark, loc)
+    assert((meta \ "format-version").extract[Int] === 3)
+    assert((meta \ "next-row-id").extract[Long] === 8L)
+    val snapJ = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == sid).get
+    assert((snapJ \ "first-row-id").extract[Long] === 6L)
+    val (recs, listAttrs) = IcebergImport.readAvroWithMeta(fs,
+      (snapJ \ "manifest-list").extract[String])
+    assert(listAttrs.get("format-version").contains("3"))
+    def frid(r: org.apache.avro.generic.GenericRecord): Option[Long] =
+      Option(r.get("first_row_id")).map(_.asInstanceOf[Number].longValue)
+    // carried manifests keep the fixture's values; the new one starts
+    // at the snapshot's first-row-id
+    assert(recs.flatMap(frid).sorted === Seq(0L, 3L, 6L))
+
+    // chained v3 append: lineage keeps advancing from the new mark
+    IcebergWriteBack.appendTo(spark, loc, Seq((9L, "i")).toDF("id", "v"))
+    val (_, meta2, _) = IcebergImport.parseMeta(spark, loc)
+    assert((meta2 \ "next-row-id").extract[Long] === 9L)
+
+    // independent reader: the DuckDB hand-walker over the v3 tree
+    val path = new java.net.URI("file://" + loc).getPath
+    val out = scala.sys.process.Process(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t")).!!
+    assert(out.trim.split("\n").last === "9")
+  }
+
+  test("v3 tree: deleteKeys commits equality deletes (legal in v3) " +
+      "without advancing next-row-id; position-delete shapes and " +
+      "compaction refuse loud") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val loc = tmpDir("wb-v3del") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 3, 1L)))),
+      formatVersion = 3, lastColumnId = 2)
+
+    IcebergWriteBack.deleteKeys(spark, loc, Seq(2L).toDF("id"))
+    assert(IcebergImport.read(spark, loc).select("id").as[Long]
+      .collect().sorted === Array(1L, 3L))
+    val (_, meta, _) = IcebergImport.parseMeta(spark, loc)
+    assert((meta \ "next-row-id").extract[Long] === 3L,
+      "a delete assigns no row ids")
+
+    // equality-mode merge is the v3 upsert path — and DOES assign ids
+    // to its inserted rows
+    IcebergWriteBack.mergeInto(spark, loc,
+      Seq((3L, "C"), (4L, "d")).toDF("id", "v"), keys = Seq("id"),
+      equalityDeletes = true)
+    assert(IcebergImport.read(spark, loc).orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (3L, "C"), (4L, "d")))
+    val (_, meta2, _) = IcebergImport.parseMeta(spark, loc)
+    assert((meta2 \ "next-row-id").extract[Long] === 5L)
+
+    // refusals: the shapes that would write position-delete files or
+    // rewrite rows without preserving their ids
+    val e1 = intercept[IllegalArgumentException](
+      IcebergWriteBack.deleteWhere(spark, loc, col("id") === 1L))
+    assert(e1.getMessage.contains("deletion vectors"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWriteBack.mergeInto(spark, loc,
+        Seq((1L, "x")).toDF("id", "v"), keys = Seq("id")))
+    assert(e2.getMessage.contains("equalityDeletes"))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergWriteBack.compactSmallFiles(spark, loc))
+    assert(e3.getMessage.contains("row ids"))
+  }
 }

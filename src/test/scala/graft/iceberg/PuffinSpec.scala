@@ -90,4 +90,27 @@ class PuffinSpec extends AnyFunSuite {
     assert(bytes.take(4).toSeq === "PFA1".getBytes.toSeq)
     assert(bytes.takeRight(4).toSeq === "PFA1".getBytes.toSeq)
   }
+
+  test("footer JSON escapes interpolated URIs: a data-file path with " +
+      "quotes/backslashes still parses for native readers") {
+    val dir = java.nio.file.Files.createTempDirectory("puffinesc").toString
+    val path = new org.apache.hadoop.fs.Path(s"$dir/dv.puffin")
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val nasty = """file:///da"ta/we\ird.parquet"""
+    Puffin.writeDvFile(fs, path, Seq((nasty, Seq(3L))), 1L, 1L)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/dv.puffin"))
+    // slice the footer payload per the spec's framing: trailing magic,
+    // 8-byte tail (length + flags) before it
+    val tail = java.nio.ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fLen = tail.getInt
+    val footer = new String(bytes, bytes.length - 12 - fLen, fLen,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val parsed = org.json4s.jackson.JsonMethods.parse(footer)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val got = (parsed \ "blobs").children.head \ "properties" \
+      "referenced-data-file"
+    assert(got.extract[String] === nasty)
+  }
 }

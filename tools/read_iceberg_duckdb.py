@@ -180,9 +180,31 @@ def iceberg_scan_plan(location, at=None):
        POSITION deletes (data_file content=1, cols=None, rows of
        (file_path, pos)) apply at data sequence <= the delete's."""
     meta_dir = os.path.join(location, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            version = int(fh.read().strip())
+        meta_file = os.path.join(meta_dir, f"v{version}.metadata.json")
+    else:
+        # no hint (e.g. a <NNNNN>-<uuid>.metadata.json family): highest
+        # numeric version wins, name as tiebreak — the spec's fallback
+        def version_of(name):
+            stem = name[:-len(".metadata.json")]
+            if stem.startswith("v") and stem[1:].isdigit():
+                return int(stem[1:])
+            digits = ""
+            for ch in stem:
+                if ch.isdigit():
+                    digits += ch
+                else:
+                    break
+            return int(digits) if digits else -1
+        cands = [n for n in os.listdir(meta_dir)
+                 if n.endswith(".metadata.json")]
+        assert cands, f"no *.metadata.json under {meta_dir}"
+        meta_file = os.path.join(
+            meta_dir, max(cands, key=lambda n: (version_of(n), n)))
+    with open(meta_file) as fh:
         meta = json.load(fh)
     current = meta["current-snapshot-id"]
     if at is not None:
