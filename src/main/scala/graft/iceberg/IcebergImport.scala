@@ -136,7 +136,15 @@ object IcebergImport {
       identityCols: Seq[String], files: Seq[DataFileRef],
       deletes: Seq[DeleteRef],
       nameMapping: Map[Int, Seq[String]] = Map.empty,
-      dvs: Seq[DvRef] = Seq.empty)
+      dvs: Seq[DvRef] = Seq.empty,
+      defaults: Seq[DefaultField] = Seq.empty)
+
+  /** One v3 field default: rows of data files that PHYSICALLY LACK the
+    * column read `value` (the spec's `initial-default` — the value the
+    * field had "all along" for pre-evolution files); files that carry
+    * the column read their own bytes, including genuine NULLs. */
+  case class DefaultField(name: String, fieldId: Int, value: Any,
+      dataType: DataType)
 
   private[iceberg] def sparkType(t: String): DataType = t match {
     case "boolean" => BooleanType
@@ -347,22 +355,25 @@ object IcebergImport {
     // column resolution — the spec's rule — so renames and drop+re-add
     // evolution resolve correctly against pre-evolve files
     val schema = StructType(fieldsJ.map { f =>
-      // v3 default values: a field with a non-null initial-default
-      // reads as that VALUE from pre-evolve files — silently reading
-      // NULL instead would be wrong, so refuse until defaults are
-      // implemented (write-default only affects writers; harmless)
-      (f \ "initial-default") match {
-        case JNothing | JNull => ()
-        case d => throw new IllegalArgumentException(
-          s"v3 initial-default on field ${(f \ "name").extract[String]}" +
-            s" ($d) is not supported — pre-evolve files would mis-read" +
-            " as NULL; rewrite the table without field defaults")
-      }
       StructField((f \ "name").extract[String],
         sparkType((f \ "type").extract[String]), nullable = true,
         new MetadataBuilder().putLong(FieldIdKey,
           (f \ "id").extract[Int].toLong).build())
     })
+    // v3 default values: a field with a non-null initial-default reads
+    // as that VALUE from files that physically lack the column (the
+    // pre-evolution files) — readPlan applies them per file by footer
+    // presence; write-default only binds writers, harmless on read
+    val defaults: Seq[DefaultField] = fieldsJ.flatMap { f =>
+      (f \ "initial-default") match {
+        case JNothing | JNull => None
+        case d =>
+          val name = (f \ "name").extract[String]
+          val t = (f \ "type").extract[String]
+          Some(DefaultField(name, (f \ "id").extract[Int],
+            defaultValue(d, t, name), sparkType(t)))
+      }
+    }
     val nameById: Map[Int, String] = fieldsJ.map(f =>
       (f \ "id").extract[Int] -> (f \ "name").extract[String]).toMap
 
@@ -562,7 +573,42 @@ object IcebergImport {
     TablePlan(targetId, schema,
       specsById.getOrElse(defaultSpecId, Seq.empty).collect {
         case (n, "identity", srcId) => nameById.getOrElse(srcId, n) },
-      files.result(), deletes.result(), nameMapping, dvs.result())
+      files.result(), deletes.result(), nameMapping, dvs.result(),
+      defaults)
+  }
+
+  /** Parse a v3 `initial-default` (the spec's single-value JSON
+    * serialization) into the JVM external value `lit()` accepts.
+    * Unsupported (type, json) combinations refuse loudly — a silently
+    * dropped default mis-reads every pre-evolution row. */
+  private def defaultValue(d: org.json4s.JValue, icebergType: String,
+      fieldName: String): Any = {
+    import org.json4s._
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"unsupported v3 initial-default $d for $icebergType " +
+        s"field $fieldName")
+    (icebergType, d) match {
+      case ("boolean", JBool(b)) => b
+      case ("int", JInt(i)) => i.toInt
+      case ("long", JInt(i)) => i.toLong
+      case ("float", JDouble(x)) => x.toFloat
+      case ("float", JDecimal(x)) => x.toFloat
+      case ("float", JInt(i)) => i.toFloat
+      case ("double", JDouble(x)) => x
+      case ("double", JDecimal(x)) => x.toDouble
+      case ("double", JInt(i)) => i.toDouble
+      case ("string" | "uuid", JString(s)) => s
+      case ("date", JString(s)) => java.sql.Date.valueOf(s)
+      case ("timestamp", JString(s)) =>
+        java.time.LocalDateTime.parse(s)
+      case ("timestamptz", JString(s)) =>
+        java.time.Instant.from(
+          java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+            .parse(s))
+      case (t, JString(s)) if t.startsWith("decimal") =>
+        new java.math.BigDecimal(s)
+      case _ => bad()
+    }
   }
 
   /** Inverse of the spec's Appendix-D single-value serialization for the
@@ -861,9 +907,9 @@ object IcebergImport {
     StructType(s.map(f => f.copy(metadata = Metadata.empty)))
 
   /** One parquet footer's resolution-relevant facts: does it embed field
-    * ids, and what are its top-level column names. */
+    * ids, which ids, and what are its top-level column names. */
   private[iceberg] case class FooterInfo(hasIds: Boolean,
-      cols: Set[String])
+      cols: Set[String], ids: Set[Int] = Set.empty)
 
   private def readFooterInfo(conf: org.apache.hadoop.conf.Configuration,
       uri: String): FooterInfo = {
@@ -874,7 +920,8 @@ object IcebergImport {
     try {
       val fields = r.getFileMetaData.getSchema.getFields.asScala
       FooterInfo(fields.exists(_.getId != null),
-        fields.map(_.getName).toSet)
+        fields.map(_.getName).toSet,
+        fields.flatMap(f => Option(f.getId).map(_.intValue)).toSet)
     } finally r.close()
   }
 
@@ -1101,17 +1148,35 @@ object IcebergImport {
     // per-file lookup: scan uri -> (data sequence, identity tuple values,
     // and — for lineage reads — the file's manifest-form URI)
     val identityCols = p.identityCols.filter(c => schema.fieldNames.contains(c))
+    // v3 initial-defaults apply EXACTLY per file — the footer is the
+    // physical truth of column presence (a manifest's writer schema is
+    // not: re-listed EXISTING entries keep pre-evolution bytes under a
+    // post-evolution manifest). Zero cost when the schema carries no
+    // defaults; with defaults, one batched footer sniff over the data
+    // files (the same footers the scan opens anyway).
+    val defFooters: Map[String, FooterInfo] =
+      if (p.defaults.isEmpty) Map.empty
+      else sniffFooters(spark, p.files.map(_.uri).distinct)
+    def lacksColumn(f: DataFileRef, d: DefaultField): Boolean = {
+      val fi = defFooters(f.uri)
+      !(fi.ids.contains(d.fieldId) ||
+        (d.name +: p.nameMapping.getOrElse(d.fieldId, Seq.empty))
+          .exists(fi.cols.contains))
+    }
     val infoSchema = StructType(
       StructField(FileCol, StringType) ::
         StructField(SeqCol, LongType) ::
         (identityCols.toList.map(c =>
           StructField(s"__ice_part_$c", schema(c).dataType)) ++
+          p.defaults.map(d =>
+            StructField(s"__ice_def_${d.name}", BooleanType)) ++
           (if (lineage) List(StructField(ManifestUriCol, StringType))
            else Nil)))
     val infoRows = p.files.map { f =>
       Row.fromSeq((scanUri(f.uri) +: f.seq +:
         identityCols.map(c => externalValue(
           f.identity.getOrElse(c, null), schema(c).dataType))) ++
+        p.defaults.map(d => lacksColumn(f, d)) ++
         (if (lineage) Seq(f.uri) else Nil))
     }
     // Broadcast hints are GATED on size — an explicit broadcast() hint
@@ -1167,6 +1232,17 @@ object IcebergImport {
     val withIdentity = identityCols.foldLeft(base)((d, c) =>
       d.withColumn(c, coalesce(col(c), col(s"__ice_part_$c"))))
 
+    // v3 initial-defaults: only rows of files that physically LACK the
+    // column take the default (per-file flag from the footer sniff);
+    // the coalesce keeps identity-tuple-provided values, and files that
+    // carry the column keep their own bytes including genuine NULLs.
+    // Applied BEFORE delete application so an equality delete on a
+    // defaulted column compares the value the spec says the row has.
+    val withDefaults = p.defaults.foldLeft(withIdentity)((d, df) =>
+      d.withColumn(df.name, when(col(s"__ice_def_${df.name}"),
+        coalesce(col(df.name), lit(df.value).cast(df.dataType)))
+        .otherwise(col(df.name))))
+
     // equality deletes: ONE anti-join per (key-column set × scope
     // SHAPE) — the scope/transform tuple VALUES ride as join columns on
     // the delete side instead of splitting the plan, so a bucket[128]
@@ -1185,7 +1261,7 @@ object IcebergImport {
     val afterEq = eqDeletes
       .groupBy(d => (d.equalityCols.get, d.scope.keys.toSeq.sorted,
         d.transformScope.map { case (c, tr, _) => (c, tr) }))
-      .foldLeft(withIdentity) {
+      .foldLeft(withDefaults) {
         case (acc, ((cols, scopeCols, tShape), ds)) =>
           val tTypes = tShape.map { case (c, tr) =>
             require(schema.fieldNames.contains(c),

@@ -39,14 +39,14 @@ import org.apache.spark.sql.types.{LongType, Metadata => SqlMetadata}
   *
   * Contract and refusals (fail-loud, never a silently-wrong tree):
   *   - v2 and v3 trees, non-empty (a current snapshot must exist). On
-  *     a v3 tree only the shapes that write no position-delete files
-  *     and rewrite no rows commit: [[appendTo]], [[deleteKeys]], and
-  *     equality-mode [[mergeInto]] — each assigning ROW LINEAGE per the
-  *     v3 spec (snapshot first-row-id, per-data-manifest first_row_id,
-  *     metadata next-row-id advanced by assigned rows). [[deleteWhere]],
-  *     position-mode merge, and compaction refuse loud on v3 (the
-  *     former two would write forbidden position-delete files; the
-  *     latter must preserve rewritten rows' ids, not implemented);
+  *     a v3 tree every commit assigns ROW LINEAGE per the v3 spec
+  *     (snapshot first-row-id, per-data-manifest first_row_id, metadata
+  *     next-row-id advanced by assigned rows), and position tombstones
+  *     are written as DELETION VECTORS ([[newDvManifest]]: merged with
+  *     every prior tombstone of their file, superseding old DVs) —
+  *     [[deleteWhere]] and position-mode [[mergeInto]] included; v3
+  *     forbids new position-delete FILES. Only compaction refuses on
+  *     v3 (rewritten rows must preserve their ids, not implemented);
   *   - appends (appendTo / mergeInto's insert side) need an
   *     UNPARTITIONED or all-IDENTITY default spec: writing data under a
   *     hidden-transform spec would require evaluating the foreign
@@ -341,6 +341,40 @@ object IcebergWriteBack {
     rec
   }
 
+  /** The spec id delete manifests file under: the tree's own
+    * UNPARTITIONED spec when it has one (second element None), else the
+    * next free id to register alongside this commit (second element
+    * Some(id)). */
+  private def unpartSpecId(tree: Tree): (Int, Option[Int]) = {
+    implicit val fmts: Formats = DefaultFormats
+    val specs: Seq[(Int, Seq[JValue])] =
+      (tree.meta \ "partition-specs").children.map(s =>
+        ((s \ "spec-id").extractOpt[Int].getOrElse(0),
+          (s \ "fields").children))
+    val existingUnpart = specs.find(_._2.isEmpty).map(_._1)
+    val specId = existingUnpart.getOrElse(
+      specs.map(_._1).foldLeft(-1)(math.max) + 1)
+    (specId, if (existingUnpart.isDefined) None else Some(specId))
+  }
+
+  /** Serialized session Hadoop conf for executor-side FS access (the
+    * broadcast-and-rehydrate pattern shared by every distributed
+    * metadata task here). */
+  private def serializedConf(spark: SparkSession): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    spark.sessionState.newHadoopConf().write(oos)
+    oos.close(); bos.toByteArray
+  }
+
+  private def rehydrateConf(bytes: Array[Byte])
+      : org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    conf
+  }
+
   /** Write pre-aligned delete rows (position coordinates, or equality
     * key tuples) as v2 delete files plus their delete manifest.
     * `content` is 1 (POSITION_DELETES — `rows` = (file_path, pos)) or 2
@@ -370,13 +404,7 @@ object IcebergWriteBack {
     // deletes name exact files — partition scope adds nothing); reuse
     // the tree's own unpartitioned spec when it has one, else register
     // the next spec id alongside this commit
-    val specs: Seq[(Int, Seq[JValue])] =
-      (tree.meta \ "partition-specs").children.map(s =>
-        ((s \ "spec-id").extractOpt[Int].getOrElse(0),
-          (s \ "fields").children))
-    val existingUnpart = specs.find(_._2.isEmpty).map(_._1)
-    val specId = existingUnpart.getOrElse(
-      specs.map(_._1).foldLeft(-1)(math.max) + 1)
+    val (specId, addSpec) = unpartSpecId(tree)
 
     // v3 forbids NEW position-delete files — position tombstones must
     // be deletion vectors, which this writer does not emit yet;
@@ -433,7 +461,231 @@ object IcebergWriteBack {
     rec.put("added_rows_count", files.map(_._3).sum)
     rec.put("existing_rows_count", 0L)
     rec.put("deleted_rows_count", 0L)
-    Some((rec, if (existingUnpart.isDefined) None else Some(specId)))
+    Some((rec, addSpec))
+  }
+
+  /** Write position tombstones in their v3 form — DELETION VECTORS:
+    * `coords` ((manifest-form data-file uri, ordinal) rows, the shape
+    * [[posCoords]] yields) become puffin DV blobs, one blob per
+    * referenced data file, grouped into one puffin FILE per write
+    * partition (executor-side writes — the driver never holds
+    * positions), plus their delete manifest. Spec rules honored:
+    *   - at most ONE live DV per data file: the new DV MERGES every
+    *     prior position tombstone of its file (a prior DV is decoded in
+    *     the same executor pass; prior v2 position-delete rows are read
+    *     and filtered in), and superseded DV entries are flipped to
+    *     DELETED in rewritten delete manifests (returned as publish
+    *     replacements);
+    *   - prior v2 position-delete FILES stay live untouched (they may
+    *     reference other files; their rows for the re-vectored files
+    *     are a subset of the new DV, and readers union monotonically).
+    * Returns None when `coords` is empty (nothing to commit). */
+  private def newDvManifest(spark: SparkSession, tree: Tree,
+      coords: DataFrame): Option[(GenericRecord, Option[Int],
+        Map[String, GenericRecord])] = {
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    implicit val fmts: Formats = DefaultFormats
+    val sp = spark
+    import sp.implicits._
+    val p = IcebergImport.plan(spark, tree.tableLocation)
+    val norm = coords.select(col("file_path").as("__dv_f"),
+      col("pos").cast(LongType).as("__dv_p"))
+    val affected = norm.select("__dv_f").distinct()
+      .as[String].collect().toSet
+    if (affected.isEmpty) return None
+
+    // prior tombstones of the affected files — all merged into the new
+    // DV so it completely replaces them for its file
+    val oldDvs = p.dvs.filter(d => affected(d.dataFileUri))
+    val posFiles = p.deletes.filter(_.equalityCols.isEmpty)
+    val affectedDf = spark.createDataset(affected.toSeq).toDF("__dv_f")
+    val priorPosRows = Option.when(posFiles.nonEmpty)(
+      spark.read.parquet(posFiles.map(_.uri): _*)
+        .select(col("file_path").as("__dv_f"),
+          col("pos").cast(LongType).as("__dv_p"))
+        .join(org.apache.spark.sql.functions.broadcast(affectedDf),
+          Seq("__dv_f"), "left_semi"))
+    val confBytes = serializedConf(spark)
+    val bc = spark.sparkContext.broadcast(confBytes)
+    val priorDvRows = Option.when(oldDvs.nonEmpty) {
+      val dvList = oldDvs.map(d => (d.uri, d.offset, d.length,
+        d.dataFileUri))
+      spark.sparkContext.parallelize(dvList,
+        math.max(1, math.min(dvList.size, 64))).flatMap {
+          case (uri, off, len, ref) =>
+            Puffin.readDv(rehydrateConf(bc.value), uri, off, len)
+              .map(pos => (ref, pos))
+        }.toDF("__dv_f", "__dv_p")
+    }
+    val all = (Seq(norm) ++ priorPosRows ++ priorDvRows)
+      .reduce(_ unionByName _)
+
+    // one puffin file per partition, one blob per data file; positions
+    // of one file land in one partition (hash on file), sorted for the
+    // roaring writer; blob dedup happens inside the codec
+    val nParts = math.max(1, math.min(affected.size, 64))
+    val tableLoc = tree.tableLocation
+    val runId = UUID.randomUUID().toString
+    val (snapId, newSeq) = (tree.newId, tree.newSeq)
+    val blobCoords: Array[(String, Long, Long, Long, String, Long)] =
+      all.repartition(nParts, col("__dv_f"))
+        .sortWithinPartitions("__dv_f", "__dv_p")
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            val conf = rehydrateConf(bc.value)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val name = s"graft-dv-$runId-p$pid.puffin"
+            val path = new Path(s"$tableLoc/data/$name")
+            val fs = path.getFileSystem(conf)
+            // consecutive same-file runs (sorted within partition)
+            val dvs = Seq.newBuilder[(String, Seq[Long])]
+            var curFile: String = null
+            var ps = Seq.newBuilder[Long]
+            it.foreach { case (f, pos) =>
+              if (f != curFile) {
+                if (curFile != null) dvs += ((curFile, ps.result()))
+                curFile = f; ps = Seq.newBuilder[Long]
+              }
+              ps += pos
+            }
+            dvs += ((curFile, ps.result()))
+            val cs = Puffin.writeDvFile(fs, path, dvs.result(),
+              snapId, newSeq)
+            val totalLen = fs.getFileStatus(path).getLen
+            cs.iterator.map { case (ref, off, len, card) =>
+              (name, off, len, card, ref, totalLen) }
+          }
+        }.collect()
+
+    // the DV delete manifest (one entry per blob)
+    val (specId, addSpec) = unpartSpecId(tree)
+    val delSchema = IcebergExport.manifestEntrySchema(Seq.empty,
+      equalityIds = true, v3 = true)
+    val entries = blobCoords.toSeq.map {
+      case (name, off, len, card, ref, totalLen) =>
+        val e = new GenericData.Record(delSchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", tree.newId)
+        e.put("sequence_number", tree.newSeq)
+        e.put("file_sequence_number", tree.newSeq)
+        val dfr = new GenericData.Record(
+          delSchema.getField("data_file").schema())
+        dfr.put("content", 1) // POSITION (deletion vector)
+        dfr.put("file_path", s"${tree.tableUri}/data/$name")
+        dfr.put("file_format", "PUFFIN")
+        dfr.put("partition", new GenericData.Record(
+          dfr.getSchema.getField("partition").schema()))
+        dfr.put("record_count", card)
+        dfr.put("file_size_in_bytes", totalLen)
+        dfr.put("referenced_data_file", ref)
+        dfr.put("content_offset", off)
+        dfr.put("content_size_in_bytes", len)
+        e.put("data_file", dfr)
+        e: GenericRecord
+    }
+    val metaDir = new Path(tree.tableLocation, "metadata")
+    val manifestName = s"${UUID.randomUUID()}-m1.avro"
+    val manifestLen = IcebergExport.writeAvro(
+      new File(IcebergExport.localPath(tree.fs, metaDir), manifestName),
+      delSchema, entries,
+      Map("schema" -> compact(render(tree.schemaJ)),
+        "schema-id" -> tree.curSchemaId.toString,
+        "partition-spec" -> "[]",
+        "partition-spec-id" -> specId.toString,
+        fmtAttr(tree), "content" -> "deletes"))
+    val mls = mlSchema(tree)
+    val rec = new GenericData.Record(mls)
+    rec.put("manifest_path", s"${tree.tableUri}/metadata/$manifestName")
+    rec.put("manifest_length", manifestLen)
+    rec.put("partition_spec_id", specId)
+    rec.put("content", 1) // DELETES
+    rec.put("sequence_number", tree.newSeq)
+    rec.put("min_sequence_number", tree.newSeq)
+    rec.put("added_snapshot_id", tree.newId)
+    rec.put("added_data_files_count", entries.size)
+    rec.put("existing_data_files_count", 0)
+    rec.put("deleted_data_files_count", 0)
+    rec.put("added_rows_count", blobCoords.map(_._4).sum)
+    rec.put("existing_rows_count", 0L)
+    rec.put("deleted_rows_count", 0L)
+
+    // supersede: rewrite delete manifests whose live DV entries
+    // reference a re-vectored file — flipped to DELETED with this
+    // commit's snapshot id (same attribution rule as compaction)
+    val listRecs = IcebergImport.readAvro(tree.fs, tree.oldListUri)
+    val replacements = listRecs.filter(r =>
+      Option(r.getSchema.getField("content")).flatMap(_ =>
+        Option(r.get("content"))).exists(
+        _.asInstanceOf[Number].intValue == 1)).flatMap { r =>
+      val mPath = String.valueOf(r.get("manifest_path"))
+      def gL(n: String, d: Long) = Option(r.getSchema.getField(n))
+        .flatMap(_ => Option(r.get(n)))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(d)
+      val listSeq = gL("sequence_number", 0L)
+      val addedSnap = gL("added_snapshot_id", tree.curId)
+      val (es, fileMeta) = IcebergImport.readAvroWithMeta(tree.fs, mPath)
+      def isSupersededDv(e: GenericRecord): Boolean = {
+        if (e.get("status").asInstanceOf[Int] == 2) return false
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val fmt = Option(df.get("file_format")).map(_.toString)
+          .getOrElse("PARQUET")
+        fmt.equalsIgnoreCase("puffin") &&
+          Option(df.getSchema.getField("referenced_data_file"))
+            .flatMap(_ => Option(df.get("referenced_data_file")))
+            .exists(ref => affected(ref.toString))
+      }
+      if (!es.exists(isSupersededDv)) None
+      else {
+        var (kept, removed, keptRows, removedRows) = (0, 0, 0L, 0L)
+        var minSeq = Long.MaxValue
+        es.foreach { e =>
+          def explicit(n: String, v: Long): Unit =
+            if (e.getSchema.getField(n) != null && e.get(n) == null)
+              e.put(n, v)
+          explicit("sequence_number", listSeq)
+          explicit("file_sequence_number", listSeq)
+          explicit("snapshot_id", addedSnap)
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val rc = Option(df.get("record_count"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          if (isSupersededDv(e)) {
+            e.put("status", 2) // DELETED by this commit
+            e.put("snapshot_id", tree.newId)
+            removed += 1; removedRows += rc
+          } else if (e.get("status").asInstanceOf[Int] != 2) {
+            e.put("status", 0) // EXISTING
+            kept += 1; keptRows += rc
+            minSeq = math.min(minSeq,
+              e.get("sequence_number").asInstanceOf[Number].longValue)
+          }
+        }
+        val name = s"${UUID.randomUUID()}-m1.avro"
+        val len = IcebergExport.writeAvro(
+          new File(IcebergExport.localPath(tree.fs, metaDir), name),
+          es.head.getSchema, es, fileMeta)
+        val nr = new GenericData.Record(mls)
+        nr.put("manifest_path", s"${tree.tableUri}/metadata/$name")
+        nr.put("manifest_length", len)
+        nr.put("partition_spec_id",
+          Option(r.get("partition_spec_id"))
+            .map(_.asInstanceOf[Number].intValue).getOrElse(specId))
+        nr.put("content", 1)
+        nr.put("sequence_number", listSeq)
+        nr.put("min_sequence_number",
+          if (kept == 0) listSeq else minSeq)
+        nr.put("added_snapshot_id", tree.newId)
+        nr.put("added_data_files_count", 0)
+        nr.put("existing_data_files_count", kept)
+        nr.put("deleted_data_files_count", removed)
+        nr.put("added_rows_count", 0L)
+        nr.put("existing_rows_count", keptRows)
+        nr.put("deleted_rows_count", removedRows)
+        Some(mPath -> (nr: GenericRecord))
+      }
+    }.toMap
+    Some((rec, addSpec, replacements))
   }
 
   /** Publish one commit: carry the current manifest list forward, append
@@ -670,10 +922,17 @@ object IcebergWriteBack {
   def deleteWhere(spark: SparkSession, tableLocation: String,
       predicate: Column): Long = {
     val tree = loadTree(spark, tableLocation)
-    require(tree.formatVersion < 3,
-      "v3 forbids new position-delete FILES (deletion vectors replace " +
-        "them) — deleteWhere on a v3 tree is not supported; use " +
-        "deleteKeys (equality deletes stay legal in v3)")
+    if (tree.formatVersion >= 3) {
+      // v3 forbids new position-delete FILES: the tombstones are
+      // written as DELETION VECTORS instead ([[newDvManifest]])
+      val matched = posCoords(IcebergImport.readLineage(spark,
+        tableLocation).filter(predicate), hasIds = false)
+      return newDvManifest(spark, tree, matched) match {
+        case None => tree.curId
+        case Some((rec, addSpec, repl)) =>
+          publish(spark, tree, Seq(rec), "delete", addSpec, repl)
+      }
+    }
     val hasIds = treeHasIds(spark, tree)
     val matched = posCoords(
       IcebergImport.readLineage(spark, tableLocation).filter(predicate),
@@ -763,10 +1022,6 @@ object IcebergWriteBack {
     if (alreadyCommitted(spark, tableLocation, txn))
       return IcebergImport.currentSnapshotId(spark, tableLocation).get
     val tree = loadTree(spark, tableLocation)
-    require(tree.formatVersion < 3 || equalityDeletes,
-      "position-precise merge writes v2 position-delete files, which " +
-        "v3 forbids (deletion vectors replace them) — merge into a v3 " +
-        "tree with equalityDeletes = true")
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val schemaCols = tree.fields.map(_._1).toSet
     val badKeys = keys.filterNot(schemaCols)
@@ -797,7 +1052,8 @@ object IcebergWriteBack {
             .map(_.toString).getOrElse("")} — dedup the source " +
             "before merging")
       }
-      val delRec =
+      val delRec: Option[(GenericRecord, Option[Int],
+          Map[String, GenericRecord])] =
         if (equalityDeletes) {
           // Flink-style upsert: tombstone the source KEYS as equality
           // deletes — NO target scan at all; unmatched keys tombstone
@@ -807,6 +1063,7 @@ object IcebergWriteBack {
             src, keys, hasIds)
           newDeleteManifest(spark, tree, aligned, cols, content = 2,
             equalityIds = ids)
+            .map { case (r, a) => (r, a, Map.empty[String, GenericRecord]) }
         } else {
           // position-precise: tombstone exactly the matched target
           // ordinals. The lineage scan is PRUNED to files whose
@@ -831,17 +1088,25 @@ object IcebergWriteBack {
           val matched = posCoords(
             lineage.join(src.select(keys.map(col): _*).distinct(),
               keys, "left_semi"), hasIds)
-          newDeleteManifest(spark, tree, matched,
-            Seq("file_path", "pos"), content = 1, equalityIds = Nil)
+          // v3: matched-row tombstones become DELETION VECTORS (v3
+          // forbids new position-delete files); v2 keeps its parquet
+          // position-delete encoding
+          if (tree.formatVersion >= 3)
+            newDvManifest(spark, tree, matched)
+          else
+            newDeleteManifest(spark, tree, matched,
+              Seq("file_path", "pos"), content = 1, equalityIds = Nil)
+              .map { case (r, a) =>
+                (r, a, Map.empty[String, GenericRecord]) }
         }
       val dataRec = newDataManifest(spark, tree, src, hasIds)
       delRec match {
         case None => // pure insert — an honest append commit
           publish(spark, tree, Seq(dataRec), "append", None,
             summaryProps = txnProps(txn))
-        case Some((rec, addSpec)) =>
+        case Some((rec, addSpec, repl)) =>
           publish(spark, tree, Seq(rec, dataRec), "overwrite", addSpec,
-            summaryProps = txnProps(txn))
+            repl, summaryProps = txnProps(txn))
       }
     } finally src.unpersist()
   }

@@ -33,9 +33,8 @@ import graft.table.GraftTable
 class ForeignLifecycleFuzzSpec extends SparkSpec {
   import spark.implicits._
 
-  private def runFuzz(seed: Long, nOps: Int): Unit = {
+  private def runFuzz(seed: Long, nOps: Int, v3: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
-    val t = GraftTable(spark, tmpDir(s"ffuzz-$seed") + "/t")
     // bag model: key -> rows (appends may duplicate a key; merges and
     // key deletes collapse it)
     val model = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
@@ -44,8 +43,27 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
       scala.collection.mutable.Map.empty[Long, Seq[(Long, String)]]
     val init = (1L to 8L).map(i => (i, s"v$i-0"))
     model ++= init
-    t.append(init.toDF("id", "v"))
-    IcebergExport.export(spark, t, history = 2)
+    val loc =
+      if (!v3) {
+        val t = GraftTable(spark, tmpDir(s"ffuzz-$seed") + "/t")
+        t.append(init.toDF("id", "v"))
+        IcebergExport.export(spark, t, history = 2)
+        t.location
+      } else {
+        // a NATIVE-shaped v3 fixture tree (next-row-id, first_row_id):
+        // delete ops on it write DELETION VECTORS, so the whole
+        // import / stream / changelog surface is model-checked under v3
+        val l = tmpDir(s"ffuzz3-$seed") + "/t"
+        new java.io.File(l).mkdirs()
+        val f = ForeignFixtures.writeParquet(spark, l, "init",
+          init.toDF("id", "v"))
+        ForeignFixtures.writeTree(l, Seq(ForeignFixtures.schemaJson(0,
+          Seq((1, "id", "long"), (2, "v", "string")))), 0, Seq.empty,
+          Seq(ForeignFixtures.Snap(100L, None, 1L, "append",
+            Seq(ForeignFixtures.Data(f, init.size.toLong, 1L)))),
+          formatVersion = 3, lastColumnId = 2)
+        l
+      }
     var version = 1
 
     def freshVal(id: Long): String = { version += 1; s"v$id-$version" }
@@ -53,11 +71,21 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
       Seq.fill(n)(1L + rnd.nextInt(12).toLong).distinct
 
     def check(op: String): Unit = {
-      val got = IcebergImport.read(spark, t.location)
+      val got = IcebergImport.read(spark, loc)
         .as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
       val want = model.sortBy(r => (r._1, r._2)).toSeq
       assert(got === want, s"seed=$seed after $op")
-      IcebergImport.currentSnapshotId(spark, t.location)
+      if (v3) {
+        // v3 standing invariant: at most ONE live DV per data file
+        // (the spec's merge-on-write rule), no position-delete FILES
+        val p = IcebergImport.plan(spark, loc)
+        val multi = p.dvs.groupBy(_.dataFileUri).filter(_._2.size > 1)
+        assert(multi.isEmpty,
+          s"seed=$seed $op: multiple live DVs per file: ${multi.keys}")
+        assert(p.deletes.forall(_.equalityCols.isDefined),
+          s"seed=$seed $op: a position-delete FILE appeared on v3")
+      }
+      IcebergImport.currentSnapshotId(spark, loc)
         .foreach(states(_) = want)
     }
     check("init")
@@ -66,37 +94,46 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
       rnd.nextInt(10) match {
         case 0 => // append (may duplicate keys — bag semantics)
           val rows = keys(1 + rnd.nextInt(3)).map(k => (k, freshVal(k)))
-          IcebergWriteBack.appendTo(spark, t.location, rows.toDF("id", "v"))
+          IcebergWriteBack.appendTo(spark, loc, rows.toDF("id", "v"))
           model ++= rows
           check(s"op$i append $rows")
         case 1 => // position delete by predicate
           val cut = 1L + rnd.nextInt(12).toLong
-          IcebergWriteBack.deleteWhere(spark, t.location, col("id") === cut)
+          IcebergWriteBack.deleteWhere(spark, loc, col("id") === cut)
           model.filterInPlace(_._1 != cut)
           check(s"op$i deleteWhere id=$cut")
         case 2 => // equality delete by key set (no table scan)
           val ks = keys(1 + rnd.nextInt(3))
-          IcebergWriteBack.deleteKeys(spark, t.location, ks.toDF("id"))
+          IcebergWriteBack.deleteKeys(spark, loc, ks.toDF("id"))
           model.filterInPlace(r => !ks.contains(r._1))
           check(s"op$i deleteKeys $ks")
         case 3 | 4 => // keyed upsert — alternate both delete encodings
           val eq = rnd.nextBoolean()
           val src = keys(1 + rnd.nextInt(3)).map(k => (k, freshVal(k)))
-          IcebergWriteBack.mergeInto(spark, t.location,
+          IcebergWriteBack.mergeInto(spark, loc,
             src.toDF("id", "v"), keys = Seq("id"), equalityDeletes = eq)
           val srcKeys = src.map(_._1).toSet
           model.filterInPlace(r => !srcKeys(r._1))
           model ++= src
           check(s"op$i merge(eq=$eq) $src")
-        case 5 => // maintenance: binpack everything small
-          IcebergWriteBack.compactSmallFiles(spark, t.location,
-            smallFileBytes = 64L << 20)
-          check(s"op$i compact")
+        case 5 => // maintenance: binpack everything small — on v3 the
+          // refusal (rewritten rows must keep their ids) must stay loud
+          if (v3) {
+            val e = intercept[IllegalArgumentException](
+              IcebergWriteBack.compactSmallFiles(spark, loc,
+                smallFileBytes = 64L << 20))
+            assert(e.getMessage.contains("row ids"),
+              s"seed=$seed op$i v3 compact refusal")
+          } else {
+            IcebergWriteBack.compactSmallFiles(spark, loc,
+              smallFileBytes = 64L << 20)
+            check(s"op$i compact")
+          }
         case 6 => // maintenance: metadata-only expiry
-          IcebergWriteBack.expireSnapshots(spark, t.location, keepLast = 3)
+          IcebergWriteBack.expireSnapshots(spark, loc, keepLast = 3)
           // ids no longer in the tree must fail loud on time travel;
           // drop them from the replayable set
-          val live = IcebergImport.snapshots(spark, t.location)
+          val live = IcebergImport.snapshots(spark, loc)
             .select("snapshot_id").as[Long].collect().toSet
           states.filterInPlace((id, _) => live(id))
           check(s"op$i expire")
@@ -106,22 +143,22 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
               val ks = states.keys.toSeq.sorted
               val k = ks(rnd.nextInt(ks.size)); (k, states(k))
             }
-            val got = IcebergImport.read(spark, t.location,
+            val got = IcebergImport.read(spark, loc,
               Some(sid.toString)).as[(Long, String)].collect()
               .sortBy(r => (r._1, r._2)).toSeq
             assert(got === want, s"seed=$seed op$i timeTravel $sid")
           }
         case 8 => // orphan listing never names a live file
           def norm(u: String): String = new java.net.URI(u).getPath
-          val live = IcebergImport.plan(spark, t.location).files
+          val live = IcebergImport.plan(spark, loc).files
             .map(f => norm(f.uri)).toSet
-          val listed = IcebergImport.orphanFiles(spark, t.location)
+          val listed = IcebergImport.orphanFiles(spark, loc)
             .select("path").as[String].collect().map(norm).toSet
           assert(live.intersect(listed).isEmpty,
             s"seed=$seed op$i orphanFiles listed live files: " +
               live.intersect(listed))
         case 9 => // SQL register: the view pins the CURRENT state
-          spark.sql(s"CALL graft.register_iceberg('${t.location}', " +
+          spark.sql(s"CALL graft.register_iceberg('${loc}', " +
             s"name => 'ffuzz_reg_$seed')")
           val got = spark.table(s"ffuzz_reg_$seed")
             .as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
@@ -132,7 +169,7 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
     }
 
     // external cross-check: DuckDB hand-walks the finished tree
-    val path = new java.net.URI("file://" + t.location).getPath
+    val path = new java.net.URI("file://" + loc).getPath
     val out = Seq("python3", "tools/read_iceberg_duckdb.py", path,
       "SELECT COUNT(*) AS n FROM t").!!
     assert(out.trim.split("\n").last === model.size.toString,
@@ -141,7 +178,7 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
     // streaming cross-check: the CDC source's batch 0 delivers the
     // final state as inserts — a replayed follower sees the model bag
     val q = spark.readStream.format("graft-iceberg")
-      .option("mode", "cdc").load(t.location)
+      .option("mode", "cdc").load(loc)
       .writeStream.format("memory").queryName(s"ffuzz_cdc_$seed")
       .start()
     try {
@@ -177,5 +214,11 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
 
   test("seeded foreign-lifecycle fuzz, widened alphabet (seed 12012)") {
     runFuzz(12012L, 25)
+  }
+
+  test("seeded foreign-lifecycle fuzz on a FORMAT-VERSION-3 tree: " +
+      "delete ops write deletion vectors, one-live-DV-per-file " +
+      "invariant after every op, DuckDB decodes the DVs (seed 30313)") {
+    runFuzz(30313L, 25, v3 = true)
   }
 }

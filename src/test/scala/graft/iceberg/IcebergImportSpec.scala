@@ -1353,15 +1353,19 @@ class IcebergImportSpec extends SparkSpec {
     assert(IcebergImport.snapshots(spark, loc).count() === 2)
   }
 
-  test("v3 refusals fail loud: field initial-default, and any " +
-      "format-version beyond 3") {
+  test("v3 initial-default APPLIES per file: pre-evolution files read " +
+      "the default, post-evolution files read their own bytes " +
+      "including genuine NULLs") {
     import graft.iceberg.ForeignFixtures
     import graft.iceberg.ForeignFixtures.{Data, Snap}
-    val loc = tmpDir("imp-v3refuse") + "/ft"
+    val loc = tmpDir("imp-v3default") + "/ft"
     new File(loc).mkdirs()
-    val f1 = ForeignFixtures.writeParquet(spark, loc, "A",
-      Seq((1L, "a")).toDF("id", "v"))
-    // schema with a non-null initial-default on a later-added column
+    // file A: written BEFORE `flag` existed (physically lacks it);
+    // file B: written after, carrying a real value AND a genuine NULL
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val fB = ForeignFixtures.writeParquet(spark, loc, "B",
+      Seq((3L, "c", Some(9L)), (4L, "d", None)).toDF("id", "v", "flag"))
     val schemaDefault =
       """{"type":"struct","schema-id":0,"fields":[
         |{"id":1,"name":"id","required":false,"type":"long"},
@@ -1369,12 +1373,22 @@ class IcebergImportSpec extends SparkSpec {
         |{"id":3,"name":"flag","required":false,"type":"long",
         | "initial-default":7}]}""".stripMargin.replaceAll("\n", "")
     ForeignFixtures.writeTree(loc, Seq(schemaDefault), 0, Seq.empty,
-      Seq(Snap(100L, None, 1L, "append", Seq(Data(f1, 1, 1L)))),
+      Seq(Snap(100L, None, 1L, "append",
+        Seq(Data(fA, 2, 1L), Data(fB, 2, 1L, group = 1)))),
       formatVersion = 3, lastColumnId = 3)
-    val e = intercept[IllegalArgumentException](
-      IcebergImport.plan(spark, loc))
-    assert(e.getMessage.contains("initial-default"))
+    val got = IcebergImport.read(spark, loc).orderBy("id")
+      .select("id", "flag").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None
+        else Some(r.getLong(1))))
+    assert(got.toSeq === Seq(
+      (1L, Some(7L)), (2L, Some(7L)), // pre-evolution: the default
+      (3L, Some(9L)),                 // post-evolution: its own value
+      (4L, None)))                    // post-evolution NULL survives
+  }
 
+  test("v3 refusal fails loud: any format-version beyond 3") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
     val loc2 = tmpDir("imp-v4refuse") + "/ft"
     new File(loc2).mkdirs()
     val f2 = ForeignFixtures.writeParquet(spark, loc2, "A",

@@ -964,8 +964,7 @@ class IcebergWriteBackSpec extends SparkSpec {
   }
 
   test("v3 tree: deleteKeys commits equality deletes (legal in v3) " +
-      "without advancing next-row-id; position-delete shapes and " +
-      "compaction refuse loud") {
+      "without advancing next-row-id; compaction refuses loud") {
     import graft.iceberg.ForeignFixtures
     import graft.iceberg.ForeignFixtures.{Data, Snap}
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
@@ -997,17 +996,79 @@ class IcebergWriteBackSpec extends SparkSpec {
     val (_, meta2, _) = IcebergImport.parseMeta(spark, loc)
     assert((meta2 \ "next-row-id").extract[Long] === 5L)
 
-    // refusals: the shapes that would write position-delete files or
-    // rewrite rows without preserving their ids
-    val e1 = intercept[IllegalArgumentException](
-      IcebergWriteBack.deleteWhere(spark, loc, col("id") === 1L))
-    assert(e1.getMessage.contains("deletion vectors"))
-    val e2 = intercept[IllegalArgumentException](
-      IcebergWriteBack.mergeInto(spark, loc,
-        Seq((1L, "x")).toDF("id", "v"), keys = Seq("id")))
-    assert(e2.getMessage.contains("equalityDeletes"))
+    // the one remaining refusal: compaction rewrites rows and must
+    // preserve their ids — not implemented
     val e3 = intercept[IllegalArgumentException](
       IcebergWriteBack.compactSmallFiles(spark, loc))
     assert(e3.getMessage.contains("row ids"))
+  }
+
+  test("v3 tree: deleteWhere writes DELETION VECTORS — a second delete " +
+      "on the same file MERGES the prior DV and supersedes it (one " +
+      "live DV per file); position-mode merge tombstones via DV too") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val loc = tmpDir("wb-v3dv") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 10, 1L)))),
+      formatVersion = 3, lastColumnId = 2)
+
+    // first row-level delete: a DV tombstones ids 2,4
+    IcebergWriteBack.deleteWhere(spark, loc,
+      col("id") === 2L || col("id") === 4L)
+    val p1 = IcebergImport.plan(spark, loc)
+    assert(p1.dvs.size === 1 && p1.dvs.head.dataFileUri === fA)
+    assert(p1.deletes.isEmpty, "no position-delete FILES on v3")
+    assert(IcebergImport.read(spark, loc).select("id").as[Long]
+      .collect().sorted === Array(1L, 3L, 5L, 6L, 7L, 8L, 9L, 10L))
+    // a delete assigns no row ids
+    val (_, m1, _) = IcebergImport.parseMeta(spark, loc)
+    assert((m1 \ "next-row-id").extract[Long] === 10L)
+
+    // second delete on the SAME file: the new DV carries old ∪ new and
+    // the old DV entry is superseded — exactly one live DV remains
+    IcebergWriteBack.deleteWhere(spark, loc, col("id") === 7L)
+    val p2 = IcebergImport.plan(spark, loc)
+    assert(p2.dvs.size === 1, s"expected ONE live DV, got ${p2.dvs}")
+    val conf = spark.sessionState.newHadoopConf()
+    val merged = Puffin.readDv(conf, p2.dvs.head.uri,
+      p2.dvs.head.offset, p2.dvs.head.length)
+    assert(merged.toSeq === Seq(1L, 3L, 6L),
+      "merged DV = ordinals of ids 2,4,7 in the sorted file")
+    assert(IcebergImport.read(spark, loc).select("id").as[Long]
+      .collect().sorted === Array(1L, 3L, 5L, 6L, 8L, 9L, 10L))
+    // time travel to the first delete still sees id=7
+    val sids = IcebergImport.snapshots(spark, loc)
+      .orderBy("sequence_number").select("snapshot_id").as[Long]
+      .collect()
+    assert(IcebergImport.read(spark, loc, Some(sids(1).toString))
+      .select("id").as[Long].collect().sorted
+      === Array(1L, 3L, 5L, 6L, 7L, 8L, 9L, 10L))
+
+    // position-mode merge on v3: matched rows tombstone via DV, the
+    // data manifest takes fresh row ids
+    IcebergWriteBack.mergeInto(spark, loc,
+      Seq((5L, "V5"), (11L, "v11")).toDF("id", "v"), keys = Seq("id"))
+    assert(IcebergImport.read(spark, loc).orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "v1"), (3L, "v3"), (5L, "V5"), (6L, "v6"), (8L, "v8"),
+        (9L, "v9"), (10L, "v10"), (11L, "v11")))
+    val (_, m3, _) = IcebergImport.parseMeta(spark, loc)
+    assert((m3 \ "next-row-id").extract[Long] === 12L,
+      "merge data manifest assigned 2 fresh row ids")
+
+    // independent reader: the DuckDB hand-walker decodes the DV blobs
+    // from the specs alone and applies them as position tombstones
+    val path = new java.net.URI("file://" + loc).getPath
+    val out = scala.sys.process.Process(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t")).!!
+    assert(out.trim.split("\n").last === "8")
   }
 }

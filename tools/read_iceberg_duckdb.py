@@ -141,6 +141,84 @@ def read_avro(path):
     return records
 
 
+def decode_dv(path, offset, length):
+    """Iceberg v3 deletion-vector-v1 blob -> sorted deleted positions.
+
+    Decoded from the public specs only (Iceberg table-spec v3 blob
+    framing; RoaringFormatSpec portable-64): 4-byte BE length of
+    (magic + vector), magic D1 D3 39 64, a 64-bit portable roaring
+    bitmap (8-byte LE bucket count, then per bucket a 4-byte LE high
+    key and a standard 32-bit roaring serialization — cookie 12346/
+    12347, array / bitmap / run containers), 4-byte CRC (tolerated).
+    Independent of the Scala writer — that's the point of the check."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        blob = fh.read(length)
+    (comb,) = struct.unpack(">i", blob[:4])
+    assert blob[4:8] == b"\xd1\xd3\x39\x64", f"bad DV magic in {path}"
+    vec = blob[8:4 + comb]
+    out = []
+    pos = 0
+    (nparts,) = struct.unpack_from("<q", vec, pos)
+    pos += 8
+    for _ in range(nparts):
+        (high,) = struct.unpack_from("<i", vec, pos)
+        pos += 4
+        base = (high & 0xFFFFFFFF) << 32
+        start = pos
+        (cookie,) = struct.unpack_from("<i", vec, pos)
+        pos += 4
+        if (cookie & 0xFFFF) == 12347:  # run containers present
+            n = ((cookie >> 16) & 0xFFFF) + 1
+            nb = (n + 7) // 8
+            flags = vec[pos:pos + nb]
+            pos += nb
+        else:
+            assert cookie == 12346, f"not a roaring bitmap ({cookie})"
+            (n,) = struct.unpack_from("<i", vec, pos)
+            pos += 4
+            flags = None
+        keys, cards = [], []
+        for _i in range(n):
+            k, c = struct.unpack_from("<HH", vec, pos)
+            pos += 4
+            keys.append(k)
+            cards.append(c + 1)
+        has_off = flags is None or n >= 4
+        offs = []
+        if has_off:
+            for _i in range(n):
+                (o,) = struct.unpack_from("<i", vec, pos)
+                pos += 4
+                offs.append(o)
+        for i in range(n):
+            if has_off:
+                pos = start + offs[i]
+            hi = base | (keys[i] << 16)
+            is_run = flags is not None and (flags[i // 8] >> (i % 8)) & 1
+            if is_run:
+                (nruns,) = struct.unpack_from("<H", vec, pos)
+                pos += 2
+                for _r in range(nruns):
+                    s, ln = struct.unpack_from("<HH", vec, pos)
+                    pos += 4
+                    out.extend(hi | v for v in range(s, s + ln + 1))
+            elif cards[i] > 4096:  # bitmap container: 1024 LE words
+                for w in range(1024):
+                    (word,) = struct.unpack_from("<Q", vec, pos)
+                    pos += 8
+                    while word:
+                        b = (word & -word).bit_length() - 1
+                        out.append(hi | (w * 64 + b))
+                        word &= word - 1
+            else:  # array container
+                for _v in range(cards[i]):
+                    (v,) = struct.unpack_from("<H", vec, pos)
+                    pos += 2
+                    out.append(hi | v)
+    return sorted(out)
+
+
 DUCK_TYPES = {"boolean": "BOOLEAN", "int": "INTEGER", "long": "BIGINT",
               "float": "FLOAT", "double": "DOUBLE", "string": "VARCHAR",
               "date": "DATE", "timestamptz": "TIMESTAMPTZ",
@@ -231,7 +309,7 @@ def iceberg_scan_plan(location, at=None):
         return out
 
     list_path = snap["manifest-list"].replace("file:", "")
-    files, deletes = [], []
+    files, deletes, dvs = [], [], []
     for mf in read_avro(list_path):
         manifest = mf["manifest_path"].replace("file:", "")
         for entry in read_avro(manifest):
@@ -243,6 +321,13 @@ def iceberg_scan_plan(location, at=None):
             if mf.get("content") == 1:  # delete manifest
                 assert df["content"] in (1, 2), \
                     f"unknown delete content {df['content']}"
+                fmt = (df.get("file_format") or "PARQUET").upper()
+                if fmt == "PUFFIN":  # v3 deletion vector blob slice
+                    dvs.append((df["file_path"].replace("file:", ""),
+                                df["content_offset"],
+                                df["content_size_in_bytes"],
+                                df["referenced_data_file"], seq))
+                    continue
                 cols = ([by_id[i][0] for i in df["equality_ids"]]
                         if df["content"] == 2 else None)
                 deletes.append((df["file_path"].replace("file:", ""),
@@ -254,7 +339,7 @@ def iceberg_scan_plan(location, at=None):
                               bounds(df, "upper_bounds"),
                               seq))
     deletes.sort(key=lambda d: d[1])
-    return fields, part_cols, spec["fields"], files, deletes
+    return fields, part_cols, spec["fields"], files, deletes, dvs
 
 
 def main():
@@ -266,7 +351,7 @@ def main():
         del args[i:i + 2]
     location = args[0]
     sql = args[1] if len(args) > 1 else "SELECT COUNT(*) AS n FROM t"
-    fields, part_cols, spec_fields, files, deletes = \
+    fields, part_cols, spec_fields, files, deletes, dvs = \
         iceberg_scan_plan(location, at)
     if sql == "--plan":
         # machine-readable scan plan: what an external planner would see
@@ -283,7 +368,11 @@ def main():
                          "content": "equality" if cols is not None
                          else "position",
                          "equality_cols": cols}
-                        for p, seq, cols in deletes]}, indent=1))
+                        for p, seq, cols in deletes],
+            "deletion_vectors": [
+                {"path": p, "offset": off, "length": ln,
+                 "referenced_data_file": ref, "sequence_number": seq}
+                for p, off, ln, ref, seq in dvs]}, indent=1))
         return
     if not files:
         print("")
@@ -304,13 +393,15 @@ def main():
     pos_deletes = [(p, seq) for p, seq, cols in deletes if cols is None]
     eq_deletes = [(p, seq, cols) for p, seq, cols in deletes
                   if cols is not None]
-    # position deletes match on (data file path, row ordinal): the scan
-    # must then carry both as virtual columns
+    # position deletes (parquet rows OR v3 deletion vectors) match on
+    # (data file path, row ordinal): the scan must then carry both as
+    # virtual columns
+    need_pos = bool(pos_deletes or dvs)
     meta_cols = (", filename=true, file_row_number=true"
-                 if pos_deletes else "")
+                 if need_pos else "")
     meta_sel = (', filename AS "__gfile", file_row_number AS "__gpos"'
-                if pos_deletes else "")
-    meta_names = ', "__gfile", "__gpos"' if pos_deletes else ""
+                if need_pos else "")
+    meta_names = ', "__gfile", "__gpos"' if need_pos else ""
     groups = {}
     for path, part, _lo, _hi, seq in files:
         key = (tuple(part.get(c) for c in part_cols), seq)
@@ -337,16 +428,25 @@ def main():
     for path, seq, cols in eq_deletes:
         eq_groups.setdefault(tuple(cols), []).append((path, seq))
     conds = []
-    if pos_deletes:
+    if need_pos:
         # v2 position semantics: applies at data sequence <= delete's;
         # file_path values are full URIs — normalized like every other
-        # manifest path in this reader
-        psel = " UNION ALL ".join(
+        # manifest path in this reader. v3 deletion vectors decode to
+        # the same (file, pos, seq) shape and union in.
+        parts = [
             "SELECT replace(file_path, 'file:', '') AS file_path, pos, "
             f"{seq} AS __dseq FROM read_parquet(['" +
             p.replace("'", "''") + "'])"
-            for p, seq in pos_deletes)
-        con.execute(f"CREATE VIEW pos_d AS {psel}")
+            for p, seq in pos_deletes]
+        if dvs:
+            con.execute("CREATE TABLE dv_d (file_path VARCHAR, "
+                        "pos BIGINT, __dseq BIGINT)")
+            dv_rows = [(ref.replace("file:", ""), int(p), seq)
+                       for path, off, ln, ref, seq in dvs
+                       for p in decode_dv(path, off, ln)]
+            con.executemany("INSERT INTO dv_d VALUES (?, ?, ?)", dv_rows)
+            parts.append("SELECT file_path, pos, __dseq FROM dv_d")
+        con.execute("CREATE VIEW pos_d AS " + " UNION ALL ".join(parts))
         conds.append("NOT EXISTS (SELECT 1 FROM pos_d "
                      "WHERE pos_d.file_path = b.\"__gfile\" "
                      "AND pos_d.pos = b.\"__gpos\" "
