@@ -102,7 +102,8 @@ object IcebergImport {
       bytes: Long = 0L,
       rows: Long = 0L,
       nullCounts: Map[String, Long] = Map.empty,
-      manifest: String = "")
+      manifest: String = "",
+      firstRowId: Option[Long] = None)
   /** One live v2 delete file: `equalityCols` = Some(key column names)
     * for equality deletes, None for position deletes. `scope` is the
     * delete file's own identity-partition tuple — per the v2 spec a
@@ -392,8 +393,10 @@ object IcebergImport {
     }
     val defaultSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
 
-    // manifest list (v2/v1) or the v1 inline `manifests` array
-    val manifestRefs: Seq[(String, Int, Long, Int)] = // (path,content,seq,specId)
+    // manifest list (v2/v1) or the v1 inline `manifests` array;
+    // v3 list records additionally carry the data manifest's
+    // first_row_id (row lineage's per-manifest starting id)
+    val manifestRefs: Seq[(String, Int, Long, Int, Option[Long])] =
       (snap \ "manifest-list").extractOpt[String] match {
         case Some(listUri) => readAvro(fs, listUri).map { mf =>
           (mf.get("manifest_path").toString,
@@ -401,22 +404,46 @@ object IcebergImport {
             Option(mf.get("sequence_number")).map(_.asInstanceOf[Long])
               .getOrElse(0L),
             Option(mf.get("partition_spec_id")).map(_.asInstanceOf[Int])
-              .getOrElse(defaultSpecId))
+              .getOrElse(defaultSpecId),
+            Option(mf.getSchema.getField("first_row_id"))
+              .flatMap(_ => Option(mf.get("first_row_id")))
+              .map(_.asInstanceOf[Number].longValue))
         }
         case None => (snap \ "manifests").children.map(m =>
-          (m.extract[String], 0, 0L, defaultSpecId))
+          (m.extract[String], 0, 0L, defaultSpecId, None))
       }
 
     val files = Seq.newBuilder[DataFileRef]
     val deletes = Seq.newBuilder[DeleteRef]
     val dvs = Seq.newBuilder[DvRef]
-    manifestRefs.foreach { case (mPath, mContent, mSeq, specId) =>
+    manifestRefs.foreach { case (mPath, mContent, mSeq, specId, mFrid) =>
       val identityFields: Seq[(String, String)] = // (tupleField, column)
         specsById.getOrElse(specId, Seq.empty).collect {
           case (n, "identity", srcId) => n -> nameById.getOrElse(srcId, n)
         }
+      // v3 first-row-id inheritance cursor: advances over EVERY data
+      // entry of the manifest in order — including DELETED ones, so a
+      // later status flip can never shift the ids of files after it
+      var rowIdCursor: Option[Long] = mFrid
       readAvro(fs, mPath).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
+        val frid: Option[Long] = {
+          val df0 = e.get("data_file").asInstanceOf[GenericRecord]
+          val isData = (mContent == 0) && Option(df0.get("content"))
+            .forall(_.asInstanceOf[Number].intValue == 0)
+          if (!isData) None
+          else {
+            val explicit =
+              if (df0.getSchema.getField("first_row_id") == null) None
+              else Option(df0.get("first_row_id"))
+                .map(_.asInstanceOf[Number].longValue)
+            explicit.orElse(rowIdCursor.map { c =>
+              rowIdCursor = Some(c + Option(df0.get("record_count"))
+                .map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+              c
+            })
+          }
+        }
         if (status != 2) { // 2 = DELETED
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           // v2 inheritance: a null entry sequence inherits the manifest
@@ -554,7 +581,8 @@ object IcebergImport {
               fileBytes,
               Option(df.get("record_count"))
                 .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
-              longMapOf("null_value_counts"), manifest = mPath)
+              longMapOf("null_value_counts"), manifest = mPath,
+              firstRowId = frid)
           }
           } // end parquet entries (data + v2 delete files)
         }
@@ -899,6 +927,14 @@ object IcebergImport {
     * deletes against) and the row's ordinal within that file. */
   private[iceberg] val LineageFileCol = "_ice_file"
   private[iceberg] val LineagePosCol = "_ice_pos"
+  /** v3 ROW-LINEAGE reserved columns (table-spec v3 "Row Lineage"):
+    * a rewrite (compaction) materializes them into its output files so
+    * every surviving row keeps its id; readers prefer the materialized
+    * column and fall back to first_row_id inheritance + row ordinal. */
+  private[iceberg] val RowIdCol = "_row_id"
+  private[iceberg] val LastUpdSeqCol = "_last_updated_sequence_number"
+  private[iceberg] val RowIdFieldId = 2147483540L
+  private[iceberg] val LastUpdSeqFieldId = 2147483539L
   /** Spark's parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
   private val FieldIdKey = "parquet.field.id"
   private val FieldIdReadConf = "spark.sql.parquet.fieldId.read.enabled"
@@ -1021,6 +1057,19 @@ object IcebergImport {
     readPlan(spark, p.copy(files = p.files.filter(f => keep(f.uri))))
   }
 
+  /** [[readFileSubset]] WITH v3 row lineage — the input side of a v3
+    * compaction: every surviving row carries its preserved
+    * [[RowIdCol]] / [[LastUpdSeqCol]] (the file's materialized column
+    * when it has one, else first_row_id inheritance + ordinal / the
+    * file's data sequence), ready to be re-materialized into the
+    * rewrite's output files. */
+  private[iceberg] def readFileSubsetRowLineage(spark: SparkSession,
+      tableLocation: String, keep: Set[String]): DataFrame = {
+    val p = plan(spark, tableLocation)
+    readPlan(spark, p.copy(files = p.files.filter(f => keep(f.uri))),
+      rowLineage = true)
+  }
+
   /** Partition-pruned foreign read: only the data files whose manifest
     * identity-partition tuple matches `partitionValues` enter the scan.
     * At 100 TB this is the manifest-level file pruning an Iceberg reader
@@ -1111,15 +1160,34 @@ object IcebergImport {
   }
 
   private def readPlan(spark: SparkSession, p: TablePlan,
-      lineage: Boolean = false): DataFrame = {
+      lineage: Boolean = false, rowLineage: Boolean = false): DataFrame = {
     val lineageFields =
       if (!lineage) Nil
       else List(StructField(LineageFileCol, StringType),
         StructField(LineagePosCol, LongType))
+    // v3 row lineage: the scan ALSO requests the reserved materialized
+    // columns (null where a file doesn't carry them) and the output
+    // computes the spec's fallback per row
+    val rowLineageFields =
+      if (!rowLineage) Nil
+      else List(
+        StructField(RowIdCol, LongType, nullable = true,
+          new MetadataBuilder().putLong(FieldIdKey, RowIdFieldId)
+            .build()),
+        StructField(LastUpdSeqCol, LongType, nullable = true,
+          new MetadataBuilder().putLong(FieldIdKey, LastUpdSeqFieldId)
+            .build()))
+    if (rowLineage)
+      require(!p.schema.fieldNames.contains(RowIdCol) &&
+        !p.schema.fieldNames.contains(LastUpdSeqCol),
+        s"table schema collides with row-lineage columns " +
+          s"$RowIdCol/$LastUpdSeqCol")
     if (p.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
-        StructType(stripIds(p.schema).fields ++ lineageFields))
+        StructType(stripIds(p.schema).fields ++
+          rowLineageFields.map(_.copy(metadata = Metadata.empty)) ++
+          lineageFields))
     // Per the spec's resolution order, each data file resolves columns
     // BY FIELD ID when it embeds ids (renames and drop+re-add then
     // behave correctly, and int→long physical widening reads through),
@@ -1143,7 +1211,8 @@ object IcebergImport {
 
     val eqDeletes = p.deletes.filter(_.equalityCols.isDefined)
     val posDeletes = p.deletes.filter(_.equalityCols.isEmpty)
-    val needPos = posDeletes.nonEmpty || p.dvs.nonEmpty || lineage
+    val needPos = posDeletes.nonEmpty || p.dvs.nonEmpty || lineage ||
+      rowLineage
 
     // per-file lookup: scan uri -> (data sequence, identity tuple values,
     // and — for lineage reads — the file's manifest-form URI)
@@ -1170,6 +1239,9 @@ object IcebergImport {
           StructField(s"__ice_part_$c", schema(c).dataType)) ++
           p.defaults.map(d =>
             StructField(s"__ice_def_${d.name}", BooleanType)) ++
+          (if (rowLineage)
+            List(StructField("__ice_frid", LongType, nullable = true))
+           else Nil) ++
           (if (lineage) List(StructField(ManifestUriCol, StringType))
            else Nil)))
     val infoRows = p.files.map { f =>
@@ -1177,6 +1249,8 @@ object IcebergImport {
         identityCols.map(c => externalValue(
           f.identity.getOrElse(c, null), schema(c).dataType))) ++
         p.defaults.map(d => lacksColumn(f, d)) ++
+        (if (rowLineage) Seq(f.firstRowId.map(Long.box).orNull)
+         else Nil) ++
         (if (lineage) Seq(f.uri) else Nil))
     }
     // Broadcast hints are GATED on size — an explicit broadcast() hint
@@ -1201,10 +1275,13 @@ object IcebergImport {
     val metaSel: Seq[Column] =
       col("_metadata.file_path").as(FileCol) ::
         (if (needPos) List(col("_metadata.row_index").as(PosCol)) else Nil)
+    val scanSchema = StructType(p.schema.fields ++ rowLineageFields)
+    val outCols = schema.fieldNames.toIndexedSeq ++
+      rowLineageFields.map(_.name)
     val idScan = Option.when(idFiles.nonEmpty)(
-      spark.read.schema(p.schema)
+      spark.read.schema(scanSchema)
         .parquet(idFiles.map(_.uri): _*)
-        .select(schema.fieldNames.toIndexedSeq
+        .select(outCols
           .map(c => col(c).as(c, Metadata.empty)) ++ metaSel: _*))
     // name-resolved files group PER MANIFEST (one footer open each):
     // manifests are homogeneous per writer, but DIFFERENT manifests can
@@ -1214,7 +1291,7 @@ object IcebergImport {
     // pre-rename files to read NULL
     val plainScans = plainFiles.groupBy(_.manifest).toSeq.sortBy(_._1)
       .map { case (_, fs) =>
-        val resolution = plainResolution(p,
+        val resolution = plainResolution(p.copy(schema = scanSchema),
           footerInfo(spark, fs.head.uri).cols)
         val readSchema = StructType(resolution.map { case (n, f) =>
           StructField(n, f.dataType, nullable = true) }.toArray)
@@ -1372,10 +1449,22 @@ object IcebergImport {
         afterEq.join(gated(posDel, posDeletes.map(_.bytes).sum +
           p.dvs.map(_.length).sum), cond, "left_anti")
       }
+    // v3 row lineage: materialized column wins (a rewrite wrote the
+    // row's preserved id), else the spec's inheritance fallback —
+    // file.first_row_id + ordinal for the id (null on pre-lineage
+    // manifests), the file's data sequence for last-updated
+    val withRowLineage =
+      if (!rowLineage) afterPos
+      else afterPos
+        .withColumn(RowIdCol,
+          coalesce(col(RowIdCol), col("__ice_frid") + col(PosCol)))
+        .withColumn(LastUpdSeqCol,
+          coalesce(col(LastUpdSeqCol), col(SeqCol)))
     // explicit empty-metadata aliases drop the field-id markers from the
     // result columns so downstream consumers (graft create/append schema
     // storage) see a plain schema
-    afterPos.select(schema.fieldNames.toIndexedSeq
+    withRowLineage.select((schema.fieldNames.toIndexedSeq ++
+      rowLineageFields.map(_.name))
       .map(c => col(c).as(c, Metadata.empty)) ++
       (if (lineage) Seq(col(ManifestUriCol).as(LineageFileCol),
         col(PosCol).cast(LongType).as(LineagePosCol)) else Nil): _*)

@@ -45,8 +45,11 @@ import org.apache.spark.sql.types.{LongType, Metadata => SqlMetadata}
   *     are written as DELETION VECTORS ([[newDvManifest]]: merged with
   *     every prior tombstone of their file, superseding old DVs) —
   *     [[deleteWhere]] and position-mode [[mergeInto]] included; v3
-  *     forbids new position-delete FILES. Only compaction refuses on
-  *     v3 (rewritten rows must preserve their ids, not implemented);
+  *     forbids new position-delete FILES. Compaction PRESERVES row
+  *     lineage by materializing `_row_id` /
+  *     `_last_updated_sequence_number` into its output files (readers
+  *     prefer the materialized columns over inheritance) and making
+  *     first_row_id explicit in rewritten manifests;
   *   - appends (appendTo / mergeInto's insert side) need an
   *     UNPARTITIONED or all-IDENTITY default spec: writing data under a
   *     hidden-transform spec would require evaluating the foreign
@@ -252,14 +255,18 @@ object IcebergWriteBack {
 
   /** Write `df` as new data files under the tree's default (identity)
     * spec and build the data manifest; returns its manifest-list record. */
+  /** `extraCols` are MATERIALIZED long columns written beside the
+    * schema columns with their reserved field ids — v3 compaction's
+    * `_row_id` / `_last_updated_sequence_number` preservation. */
   private def newDataManifest(spark: SparkSession, tree: Tree,
-      df: DataFrame, hasIds: Boolean): GenericRecord = {
+      df: DataFrame, hasIds: Boolean,
+      extraCols: Seq[(String, Long)] = Nil): GenericRecord = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     val partCols = identityPartCols(tree)
 
     // ---- align the frame to the schema (names, order, types) ----
     val have = df.columns.toSet
-    val want = tree.fields.map(_._1).toSet
+    val want = tree.fields.map(_._1).toSet ++ extraCols.map(_._1)
     require(have == want,
       s"frame columns must match the table schema exactly; " +
         s"missing=${(want -- have).mkString(",")} " +
@@ -267,6 +274,9 @@ object IcebergWriteBack {
     val aligned = df.select(tree.fields.map { case (n, id, t) =>
       val c = col(n).cast(IcebergImport.sparkType(t))
       if (hasIds) c.as(n, idMeta(id.toLong)) else c.as(n)
+    } ++ extraCols.map { case (n, id) =>
+      val c = col(n).cast(LongType)
+      if (hasIds) c.as(n, idMeta(id)) else c.as(n)
     }: _*)
 
     // ---- distributed data write ----
@@ -1144,18 +1154,15 @@ object IcebergWriteBack {
       minInputFiles: Int = 2): Long = {
     implicit val fmts: Formats = DefaultFormats
     val tree = loadTree(spark, tableLocation)
-    require(tree.formatVersion < 3,
-      "compaction rewrites existing rows, which in v3 must PRESERVE " +
-        "their row ids (materialized _row_id) — not implemented; " +
-        "v3 write-back supports appends and equality deletes only")
     identityPartCols(tree) // refuse hidden-transform default specs
     val hasIds = treeHasIds(spark, tree)
+    val v3 = tree.formatVersion >= 3
 
     // walk the manifest list once; candidates = live data files under
     // the default spec smaller than the threshold
     val listRecs = IcebergImport.readAvro(tree.fs, tree.oldListUri)
     case class MF(path: String, listSeq: Long, addedSnap: Long,
-        specId: Int, content: Int)
+        specId: Int, content: Int, firstRowId: Option[Long])
     val mfs = listRecs.map { r =>
       def gL(n: String, d: Long) = Option(r.getSchema.getField(n))
         .flatMap(_ => Option(r.get(n)))
@@ -1166,7 +1173,10 @@ object IcebergWriteBack {
           .intValue).getOrElse(0),
         Option(r.getSchema.getField("content")).flatMap(_ =>
           Option(r.get("content"))).map(_.asInstanceOf[Number].intValue)
-          .getOrElse(0))
+          .getOrElse(0),
+        Option(r.getSchema.getField("first_row_id")).flatMap(_ =>
+          Option(r.get("first_row_id")))
+          .map(_.asInstanceOf[Number].longValue))
     }
     val smallByManifest: Map[String, Set[String]] = mfs
       .filter(m => m.content == 0 && m.specId == tree.defaultSpecId)
@@ -1195,13 +1205,25 @@ object IcebergWriteBack {
       .filter(f => smallUris(f.uri)).map(_.bytes).sum
     val outFiles = math.max(1L,
       (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val rows = IcebergImport.readFileSubset(spark, tableLocation,
-      smallUris).coalesce(outFiles)
-    val dataRec = newDataManifest(spark, tree, rows, hasIds)
+    // v3: the rewrite must PRESERVE each surviving row's lineage — the
+    // subset read computes `_row_id` / `_last_updated_sequence_number`
+    // per row (materialized column or inheritance), and the output
+    // files MATERIALIZE both under their reserved field ids, which
+    // readers prefer over inheritance. Rows from pre-lineage manifests
+    // materialize null ids — the spec's "no lineage" value.
+    val rows =
+      (if (v3) IcebergImport.readFileSubsetRowLineage(spark,
+        tableLocation, smallUris)
+       else IcebergImport.readFileSubset(spark, tableLocation,
+         smallUris)).coalesce(outFiles)
+    val dataRec = newDataManifest(spark, tree, rows, hasIds,
+      extraCols = if (!v3) Nil else Seq(
+        (IcebergImport.RowIdCol, IcebergImport.RowIdFieldId),
+        (IcebergImport.LastUpdSeqCol, IcebergImport.LastUpdSeqFieldId)))
 
     // rewrite each affected manifest in its own writer schema
     val metaDir = new Path(tree.tableLocation, "metadata")
-    val mls = IcebergExport.manifestListSchema
+    val mls = mlSchema(tree)
     val replacements: Map[String, GenericRecord] = mfs
       .filter(m => smallByManifest.contains(m.path)).map { m =>
         val (entries, fileMeta) =
@@ -1209,10 +1231,23 @@ object IcebergWriteBack {
         val small = smallByManifest(m.path)
         var (kept, removed, keptRows, removedRows) = (0, 0, 0L, 0L)
         var (minSeq, maxSeq) = (Long.MaxValue, 0L)
+        // v3: the rewritten manifest is a NEW inheritance context, so
+        // first_row_id too becomes EXPLICIT per entry — assigned by the
+        // ORIGINAL manifest's base and entry order (null-valued entries
+        // consume the cursor; explicit ones keep their value), exactly
+        // the read-side inheritance rule
+        var rowIdCursor: Option[Long] = m.firstRowId
         entries.foreach { e =>
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val rc = Option(df.get("record_count"))
             .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          if (v3 && df.getSchema.getField("first_row_id") != null &&
+              Option(df.get("first_row_id")).isEmpty) {
+            rowIdCursor.foreach { c =>
+              df.put("first_row_id", c)
+              rowIdCursor = Some(c + rc)
+            }
+          }
           // make inherited fields explicit — a rewritten manifest's
           // list entry carries a NEW context, so nothing may inherit
           def explicit(n: String, v: Long): Unit =
@@ -1257,6 +1292,11 @@ object IcebergWriteBack {
         rec.put("added_rows_count", 0L)
         rec.put("existing_rows_count", keptRows)
         rec.put("deleted_rows_count", removedRows)
+        // the replacement keeps the ORIGINAL inheritance base — kept
+        // entries are explicit now, but a reader that still walks the
+        // manifest-level value must see the unchanged one
+        if (v3) rec.put("first_row_id",
+          m.firstRowId.map(Long.box).orNull)
         m.path -> (rec: GenericRecord)
       }.toMap
 

@@ -116,19 +116,11 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
           model.filterInPlace(r => !srcKeys(r._1))
           model ++= src
           check(s"op$i merge(eq=$eq) $src")
-        case 5 => // maintenance: binpack everything small — on v3 the
-          // refusal (rewritten rows must keep their ids) must stay loud
-          if (v3) {
-            val e = intercept[IllegalArgumentException](
-              IcebergWriteBack.compactSmallFiles(spark, loc,
-                smallFileBytes = 64L << 20))
-            assert(e.getMessage.contains("row ids"),
-              s"seed=$seed op$i v3 compact refusal")
-          } else {
-            IcebergWriteBack.compactSmallFiles(spark, loc,
-              smallFileBytes = 64L << 20)
-            check(s"op$i compact")
-          }
+        case 5 => // maintenance: binpack everything small (on v3 the
+          // rewrite materializes row lineage into its outputs)
+          IcebergWriteBack.compactSmallFiles(spark, loc,
+            smallFileBytes = 64L << 20)
+          check(s"op$i compact")
         case 6 => // maintenance: metadata-only expiry
           IcebergWriteBack.expireSnapshots(spark, loc, keepLast = 3)
           // ids no longer in the tree must fail loud on time travel;

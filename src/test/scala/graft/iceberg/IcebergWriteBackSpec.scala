@@ -964,7 +964,8 @@ class IcebergWriteBackSpec extends SparkSpec {
   }
 
   test("v3 tree: deleteKeys commits equality deletes (legal in v3) " +
-      "without advancing next-row-id; compaction refuses loud") {
+      "without advancing next-row-id; equality-mode merge assigns " +
+      "fresh ids to its inserts") {
     import graft.iceberg.ForeignFixtures
     import graft.iceberg.ForeignFixtures.{Data, Snap}
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
@@ -996,11 +997,66 @@ class IcebergWriteBackSpec extends SparkSpec {
     val (_, meta2, _) = IcebergImport.parseMeta(spark, loc)
     assert((meta2 \ "next-row-id").extract[Long] === 5L)
 
-    // the one remaining refusal: compaction rewrites rows and must
-    // preserve their ids — not implemented
-    val e3 = intercept[IllegalArgumentException](
-      IcebergWriteBack.compactSmallFiles(spark, loc))
-    assert(e3.getMessage.contains("row ids"))
+  }
+
+  test("v3 compaction PRESERVES row lineage: surviving rows keep their " +
+      "_row_id / _last_updated_sequence_number (materialized into the " +
+      "rewrite), a second delete+compact round trips through the " +
+      "materialized columns") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val loc = tmpDir("wb-v3compact") + "/ft"
+    new java.io.File(loc).mkdirs()
+    // two data manifests -> fixture assigns first_row_id 0 and 3
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val fB = ForeignFixtures.writeParquet(spark, loc, "B",
+      Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("id", "v"))
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append",
+        Seq(Data(fA, 3, 1L), Data(fB, 3, 1L, group = 1)))),
+      formatVersion = 3, lastColumnId = 2)
+
+    // rows carry inherited ids 0..5; id=2 (row id 1) dies via DV
+    IcebergWriteBack.deleteWhere(spark, loc, col("id") === 2L)
+    IcebergWriteBack.compactSmallFiles(spark, loc, minInputFiles = 2)
+    assert(IcebergImport.read(spark, loc).select("id").as[Long]
+      .collect().sorted === Array(1L, 3L, 4L, 5L, 6L))
+    // the rewrite's output files MATERIALIZE the preserved lineage
+    val newFiles = IcebergImport.plan(spark, loc).files
+      .filter(_.uri.contains("graft-append-"))
+    assert(newFiles.nonEmpty)
+    val mat = spark.read.parquet(newFiles.map(_.uri): _*)
+      .select("id", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(mat.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 0L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L)),
+      "row ids preserved through the rewrite (id=2 held row id 1)")
+    assert(mat.forall(_._3 === 1L),
+      "last-updated sequence stays the ORIGINAL data sequence")
+    // next-row-id advanced by the rewrite's added rows (spec-legal id
+    // consumption; materialized columns win on read)
+    val (_, m1, _) = IcebergImport.parseMeta(spark, loc)
+    assert((m1 \ "next-row-id").extract[Long] === 6L + 5L)
+
+    // second round: delete + compact again — lineage must now round
+    // trip through the MATERIALIZED columns (no inheritance left)
+    IcebergWriteBack.appendTo(spark, loc,
+      Seq((7L, "g")).toDF("id", "v")) // second input for minInputFiles
+    IcebergWriteBack.deleteWhere(spark, loc, col("id") === 4L)
+    IcebergWriteBack.compactSmallFiles(spark, loc, minInputFiles = 2)
+    assert(IcebergImport.read(spark, loc).select("id").as[Long]
+      .collect().sorted === Array(1L, 3L, 5L, 6L, 7L))
+    val newFiles2 = IcebergImport.plan(spark, loc).files
+    val mat2 = spark.read.parquet(newFiles2.map(_.uri): _*)
+      .select("id", "_row_id").as[(Long, Long)].collect().sortBy(_._1)
+    // 7 appended after compact 1 took ids 6..10: its file's first
+    // row id is 11, so id=7 carries row id 11
+    assert(mat2.toSeq === Seq((1L, 0L), (3L, 2L), (5L, 4L), (6L, 5L),
+      (7L, 11L)))
   }
 
   test("v3 tree: deleteWhere writes DELETION VECTORS — a second delete " +
