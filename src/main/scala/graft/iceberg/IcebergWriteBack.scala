@@ -1408,20 +1408,49 @@ object IcebergWriteBack {
 
   /** Add an optional column of a flat scalar `icebergType` (e.g. "long",
     * "string", "decimal(10,2)") to the foreign tree. Existing files read
-    * it as NULL; the next append must carry it. Returns the new schema
-    * id. */
+    * it as NULL — unless `default` is given on a v3 tree, in which case
+    * the field carries the spec's `initial-default` AND `write-default`
+    * (pre-evolution rows read the default; the next append must still
+    * carry the column explicitly here). Defaults on a v2 tree refuse
+    * loudly (v2 readers don't know the field and would read NULL —
+    * a silent cross-engine divergence). Returns the new schema id. */
   def addColumn(spark: SparkSession, tableLocation: String,
-      name: String, icebergType: String): Int = {
+      name: String, icebergType: String,
+      default: Option[Any] = None): Int = {
     implicit val fmts: Formats = DefaultFormats
     IcebergImport.sparkType(icebergType) // validate before touching the tree
+    val defaultJ: Option[JValue] = default.map { v =>
+      val fmtV = (IcebergImport.parseMeta(spark, tableLocation)._2 \
+        "format-version").extractOpt[Int].getOrElse(1)
+      require(fmtV >= 3,
+        s"field defaults are a format-version-3 feature (tree is " +
+          s"v$fmtV): a v2 reader would silently read NULL where v3 " +
+          "readers see the default")
+      v match {
+        case b: Boolean => JBool(b)
+        case i: Int => JInt(i)
+        case l: Long => JInt(l)
+        case f: Float => JDouble(f.toDouble)
+        case d: Double => JDouble(d)
+        case s: String => JString(s)
+        case other => throw new IllegalArgumentException(
+          s"unsupported default value $other for $icebergType " +
+            s"(flat scalars only)")
+      }
+    }
     evolveSchema(spark, tableLocation) { (fields, lastCol) =>
       require(!fields.exists(f =>
         (f \ "name").extractOpt[String].contains(name)),
         s"column $name already exists")
       import org.json4s.JsonDSL._
-      val nf: JValue = (("id" -> (lastCol + 1)): JObject) ~
+      val base: JObject = (("id" -> (lastCol + 1)): JObject) ~
         ("name" -> name) ~ ("required" -> false) ~
         ("type" -> icebergType)
+      val nf: JValue = defaultJ match {
+        case None => base
+        case Some(d) =>
+          base ~ ("initial-default" -> d) ~ ("write-default" -> d)
+      }
       (fields :+ nf, lastCol + 1)
     }
   }

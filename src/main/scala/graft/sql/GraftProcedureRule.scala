@@ -245,10 +245,21 @@ case class GraftCallCommand(proc: String, location: String,
         val colName = args.getOrElse("col",
           throw new IllegalArgumentException(s"graft.$proc needs col"))
         (op match {
-          case "add" => graft.iceberg.IcebergWriteBack.addColumn(
-            spark, location, colName, args.getOrElse("type",
+          case "add" =>
+            val t = args.getOrElse("type",
               throw new IllegalArgumentException(
-                s"graft.$proc op=add needs type")))
+                s"graft.$proc op=add needs type"))
+            // v3 field default, typed by the declared column type
+            val dflt: Option[Any] = args.get("default").map(s => t match {
+              case "boolean" => s.toBoolean
+              case "int" => s.toInt
+              case "long" => s.toLong
+              case "float" => s.toFloat
+              case "double" => s.toDouble
+              case _ => s
+            })
+            graft.iceberg.IcebergWriteBack.addColumn(
+              spark, location, colName, t, dflt)
           case "rename" => graft.iceberg.IcebergWriteBack.renameColumn(
             spark, location, colName, args.getOrElse("to",
               throw new IllegalArgumentException(
@@ -339,8 +350,9 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //     equality tombstones (no target scan — the streaming shape)
     "merge_iceberg" -> (Seq("source", "keys"), Set("deletes")),
     //   graft.evolve_iceberg('/path', op => 'add|rename|widen',
-    //     col => 'c' [, type => 'long'] [, to => 'newname'])
-    "evolve_iceberg" -> (Seq("op", "col"), Set("type", "to")),
+    //     col => 'c' [, type => 'long'] [, to => 'newname']
+    //     [, default => '7' — v3 initial-default, typed by `type`])
+    "evolve_iceberg" -> (Seq("op", "col"), Set("type", "to", "default")),
     //   graft.compact_iceberg('/path' [, small_file_bytes => N,
     //     target_file_bytes => N, min_input_files => N])
     "compact_iceberg" -> (Seq.empty[String],

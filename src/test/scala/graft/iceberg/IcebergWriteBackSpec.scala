@@ -999,6 +999,43 @@ class IcebergWriteBackSpec extends SparkSpec {
 
   }
 
+  test("v3 addColumn with a DEFAULT: pre-evolution rows read the " +
+      "default (initial-default + write-default published), the SQL " +
+      "surface takes default =>, and a v2 tree refuses") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    val loc = tmpDir("wb-v3adddef") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 2, 1L)))),
+      formatVersion = 3, lastColumnId = 2)
+    spark.sql(s"CALL graft.evolve_iceberg('$loc', op => 'add', " +
+      "col => 'flag', type => 'int', default => '7')")
+    // pre-evolution rows read 7; an append THROUGH the evolved schema
+    // carries its own values
+    IcebergWriteBack.appendTo(spark, loc,
+      Seq((3L, "c", 9)).toDF("id", "v", "flag"))
+    val got = IcebergImport.read(spark, loc).orderBy("id")
+      .select("id", "flag").as[(Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 7), (2L, 7), (3L, 9)))
+
+    // a v2 tree refuses the default loudly
+    val loc2 = tmpDir("wb-v2adddef") + "/ft"
+    new java.io.File(loc2).mkdirs()
+    val fB = ForeignFixtures.writeParquet(spark, loc2, "A",
+      Seq((1L, "a")).toDF("id", "v"))
+    ForeignFixtures.writeTree(loc2, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fB, 1, 1L)))),
+      lastColumnId = 2)
+    val e = intercept[IllegalArgumentException](
+      IcebergWriteBack.addColumn(spark, loc2, "flag", "int", Some(7)))
+    assert(e.getMessage.contains("format-version-3"))
+  }
+
   test("v3 compaction PRESERVES row lineage: surviving rows keep their " +
       "_row_id / _last_updated_sequence_number (materialized into the " +
       "rewrite), a second delete+compact round trips through the " +
