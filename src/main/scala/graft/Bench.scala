@@ -558,8 +558,10 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
         def grab(key: String): Option[Double] = {
-          // last occurrence = the summary line's value
-          val r = ("\"" + key + "\":([0-9.]+)").r
+          // the artifact carries the value twice: JSON-escaped inside
+          // the "tail" transcript (\"key\":N) and plain in the driver's
+          // "parsed" object ("key": N) — match either form, last wins
+          val r = ("\"" + key + "\\\\?\":\\s*([0-9.]+)").r
           r.findAllMatchIn(txt).toSeq.lastOption.map(_.group(1).toDouble)
         }
         def ratio(key: String, cur: Double): String =
