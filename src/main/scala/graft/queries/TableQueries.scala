@@ -1143,6 +1143,52 @@ object TableQueries {
       |WHERE o_orderkey % 9 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The v3 DELETION-VECTOR lifecycle end-to-end: row-level deleteWhere
+    * writes DVs (merging, superseding), a second delete merges through
+    * the first, and compaction consumes the tombstones while PRESERVING
+    * row lineage (materialized `_row_id`). The oracle is the composed
+    * predicate; the read after compaction must also still be exact. */
+  val qIcebergWritebackV3Dv: Q = (s, dir) => {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    val loc = scratch("icewbv3dv")
+    new java.io.File(loc).mkdirs()
+    val base = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+    def slice(m: Int) = base.filter(col("o_orderkey") % 2 === m)
+      .repartition(1).sortWithinPartitions("o_orderkey")
+    val fEven = ForeignFixtures.writeParquet(s, loc, "even", slice(0))
+    val fOdd = ForeignFixtures.writeParquet(s, loc, "odd", slice(1))
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "o_orderkey", "long"), (2, "o_custkey", "long"),
+      (3, "o_orderstatus", "string"), (4, "o_totalprice", "double"),
+      (5, "o_orderdate", "date")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(
+        Data(fEven, slice(0).count(), 1L),
+        Data(fOdd, slice(1).count(), 1L, group = 1)))),
+      formatVersion = 3, lastColumnId = 5)
+    // DV delete, then a second DV delete that MERGES + SUPERSEDES the
+    // first on the shared files, then a lineage-preserving compaction
+    graft.iceberg.IcebergWriteBack.deleteWhere(s, loc,
+      col("o_orderkey") % 9 === 0)
+    graft.iceberg.IcebergWriteBack.deleteWhere(s, loc,
+      col("o_orderkey") % 7 === 0)
+    graft.iceberg.IcebergWriteBack.compactSmallFiles(s, loc,
+      minInputFiles = 2)
+    project(graft.iceberg.IcebergImport.read(s, loc))
+  }
+  val qIcebergWritebackV3DvSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 9 <> 0 AND o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val qIcebergImportMor: Q = (s, dir) => {
     val t = GraftTable(s, scratch("iceimpmor"))
     t.append(Tables.load(s, dir, "orders")
@@ -2237,6 +2283,8 @@ object TableQueries {
       Some(qIcebergWritebackMergeEqSql)),
     ("q_iceberg_writeback_v3", qIcebergWritebackV3,
       Some(qIcebergWritebackV3Sql)),
+    ("q_iceberg_writeback_v3_dv", qIcebergWritebackV3Dv,
+      Some(qIcebergWritebackV3DvSql)),
     ("q_iceberg_evolve_writeback", qIcebergEvolveWriteback,
       Some(qIcebergEvolveWritebackSql)),
     ("q_iceberg_compact_writeback", qIcebergCompactWriteback,

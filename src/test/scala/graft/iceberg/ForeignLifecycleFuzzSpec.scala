@@ -213,4 +213,10 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
       "invariant after every op, DuckDB decodes the DVs (seed 30313)") {
     runFuzz(30313L, 25, v3 = true)
   }
+
+  test("seeded foreign-lifecycle fuzz, v3 long sequence — repeated " +
+      "DV supersede + lineage-preserving compaction interleavings " +
+      "(seed 90210)") {
+    runFuzz(90210L, 35, v3 = true)
+  }
 }
