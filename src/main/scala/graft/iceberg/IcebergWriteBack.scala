@@ -838,10 +838,14 @@ object IcebergWriteBack {
     * single-winner on rename-overwriting stores: two racing committers
     * could both pass the check and the loser would clobber the winner).
     * A concurrent foreign commit fails loud, never a lost update. */
-  private[iceberg] def writeVersion(tree: Tree, updated: JValue): Unit = {
+  private[iceberg] def writeVersion(tree: Tree, updated: JValue): Unit =
+    publishVersion(tree.fs, tree.tableLocation, tree.metaFile, updated)
+
+  private def publishVersion(fs: FileSystem, tableLocation: String,
+      metaFile: Path, updated: JValue): Unit = {
     import org.json4s.jackson.JsonMethods.{compact, render}
-    val metaDir = new Path(tree.tableLocation, "metadata")
-    val oldName = tree.metaFile.getName
+    val metaDir = new Path(tableLocation, "metadata")
+    val oldName = metaFile.getName
     val newMetaName =
       if (oldName.matches("v\\d+\\.metadata\\.json")) {
         val v = oldName.stripPrefix("v")
@@ -854,19 +858,19 @@ object IcebergWriteBack {
       }
     val target = new Path(metaDir, newMetaName)
     val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}.metadata.json")
-    val out = tree.fs.create(tmp, false)
+    val out = fs.create(tmp, false)
     try out.write(compact(render(updated))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!graft.table.GraftTable.commitLock.publish(tree.fs, tmp, target)) {
-      tree.fs.delete(tmp, false)
+    if (!graft.table.GraftTable.commitLock.publish(fs, tmp, target)) {
+      fs.delete(tmp, false)
       throw new IllegalStateException(
         s"$target already exists — a concurrent commit published " +
           "first; re-read the table and retry")
     }
     val hint = new Path(metaDir, "version-hint.text")
-    if (tree.fs.exists(hint) && newMetaName.startsWith("v")) {
-      val h = tree.fs.create(hint, true)
+    if (fs.exists(hint) && newMetaName.startsWith("v")) {
+      val h = fs.create(hint, true)
       try h.write(newMetaName.stripPrefix("v")
         .stripSuffix(".metadata.json").getBytes(StandardCharsets.UTF_8))
       finally h.close()
@@ -1313,6 +1317,44 @@ object IcebergWriteBack {
     * engines may still be reading pinned snapshots). Time travel to an
     * expired id fails loud afterwards, exactly like Iceberg. Returns
     * the number of snapshots dropped. */
+  /** METADATA-ONLY format-version upgrade of a foreign tree — the
+    * spec's one-way ladder, published single-winner like every commit:
+    *   - → 2: the tree gains sequence-number semantics (the spec reads
+    *     a v1 tree's missing sequences as 0, so every pre-upgrade row
+    *     is "older" than any post-upgrade commit) — all write-back
+    *     shapes then work;
+    *   - → 3: row lineage initializes (`next-row-id`; pre-upgrade rows
+    *     read NULL lineage — their manifests carry no first_row_id —
+    *     which is the spec's value for pre-lineage data) and position
+    *     tombstones switch to deletion vectors.
+    * Downgrades and unknown versions refuse. Returns the new version. */
+  def upgradeFormatVersion(spark: SparkSession, tableLocation: String,
+      to: Int): Int = {
+    implicit val fmts: Formats = DefaultFormats
+    val (fs, meta, metaFile) = IcebergImport.parseMeta(spark,
+      tableLocation)
+    val cur = (meta \ "format-version").extractOpt[Int].getOrElse(1)
+    require(to == 2 || to == 3,
+      s"unknown target format-version $to (2 and 3 supported)")
+    require(to > cur,
+      s"format-version can only increase (tree is v$cur, asked v$to)")
+    val replaced = Set("format-version", "last-updated-ms",
+      "last-sequence-number") ++
+      (if (to >= 3) Set("next-row-id") else Set.empty)
+    val kept = meta.asInstanceOf[JObject].obj
+      .filterNot(f => replaced.contains(f._1))
+    val updated = JObject(kept ++ List[JField](
+      "format-version" -> JInt(to),
+      "last-updated-ms" -> JLong(System.currentTimeMillis()),
+      "last-sequence-number" -> JLong(
+        (meta \ "last-sequence-number").extractOpt[Long].getOrElse(0L)))
+      ++ (if (to >= 3) List[JField]("next-row-id" -> JLong(
+        (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)))
+       else Nil))
+    publishVersion(fs, tableLocation, metaFile, updated)
+    to
+  }
+
   def expireSnapshots(spark: SparkSession, tableLocation: String,
       keepLast: Int): Int = {
     implicit val fmts: Formats = DefaultFormats

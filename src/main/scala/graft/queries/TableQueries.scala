@@ -1189,6 +1189,51 @@ object TableQueries {
       |WHERE o_orderkey % 9 <> 0 AND o_orderkey % 7 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The format-version UPGRADE ladder end-to-end: a v1 foreign tree
+    * (no sequence numbers — write-back refuses it) upgrades metadata-
+    * only to v2 (appends + equality deletes commit; pre-upgrade rows
+    * read as sequence 0, so new tombstones reach them) and then to v3
+    * (row-level delete writes a deletion vector). The oracle composes
+    * the same operations over the raw table. */
+  val qIcebergUpgrade: Q = (s, dir) => {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    val loc = scratch("iceupgrade")
+    new java.io.File(loc).mkdirs()
+    val base = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+    val odd = base.filter(col("o_orderkey") % 2 === 1)
+      .repartition(1).sortWithinPartitions("o_orderkey")
+    val fOdd = ForeignFixtures.writeParquet(s, loc, "odd", odd)
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "o_orderkey", "long"), (2, "o_custkey", "long"),
+      (3, "o_orderstatus", "string"), (4, "o_totalprice", "double"),
+      (5, "o_orderdate", "date")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append",
+        Seq(Data(fOdd, odd.count(), 1L)))),
+      formatVersion = 1, lastColumnId = 5)
+    s.sql(s"CALL graft.upgrade_iceberg('$loc', to => '2')")
+    graft.iceberg.IcebergWriteBack.appendTo(s, loc,
+      base.filter(col("o_orderkey") % 2 === 0))
+    graft.iceberg.IcebergWriteBack.deleteKeys(s, loc,
+      base.filter(col("o_orderkey") % 9 === 0).select("o_orderkey"))
+    s.sql(s"CALL graft.upgrade_iceberg('$loc', to => '3')")
+    graft.iceberg.IcebergWriteBack.deleteWhere(s, loc,
+      col("o_orderkey") % 7 === 0)
+    project(graft.iceberg.IcebergImport.read(s, loc))
+  }
+  val qIcebergUpgradeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 9 <> 0 AND o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val qIcebergImportMor: Q = (s, dir) => {
     val t = GraftTable(s, scratch("iceimpmor"))
     t.append(Tables.load(s, dir, "orders")
@@ -2285,6 +2330,7 @@ object TableQueries {
       Some(qIcebergWritebackV3Sql)),
     ("q_iceberg_writeback_v3_dv", qIcebergWritebackV3Dv,
       Some(qIcebergWritebackV3DvSql)),
+    ("q_iceberg_upgrade", qIcebergUpgrade, Some(qIcebergUpgradeSql)),
     ("q_iceberg_evolve_writeback", qIcebergEvolveWriteback,
       Some(qIcebergEvolveWritebackSql)),
     ("q_iceberg_compact_writeback", qIcebergCompactWriteback,

@@ -227,6 +227,13 @@ case class GraftCallCommand(proc: String, location: String,
         // file deletion — other engines may be reading pinned snapshots)
         graft.iceberg.IcebergWriteBack.expireSnapshots(spark, location,
           longArg("keep_last").getOrElse(1L).toInt).toLong
+      case "upgrade_iceberg" =>
+        // metadata-only format-version upgrade (v1→2 enables write-back
+        // sequence semantics; v2→3 enables row lineage + DVs)
+        graft.iceberg.IcebergWriteBack.upgradeFormatVersion(spark,
+          location, longArg("to").getOrElse(
+            throw new IllegalArgumentException(
+              s"graft.$proc needs to => 2|3")).toInt).toLong
       case "compact_iceberg" =>
         // foreign-tree maintenance: small-file binpack as one replace
         // commit (deletes consumed into the rewrite)
@@ -290,7 +297,8 @@ case class GraftCallCommand(proc: String, location: String,
           "drop_tag, branch, drop_branch, fast_forward, import_iceberg, " +
           "import_iceberg_changes, append_iceberg, delete_iceberg, " +
           "delete_iceberg_keys, merge_iceberg, evolve_iceberg, " +
-          "compact_iceberg, expire_iceberg, register_iceberg")
+          "compact_iceberg, expire_iceberg, register_iceberg, " +
+          "upgrade_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -359,6 +367,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Set("small_file_bytes", "target_file_bytes", "min_input_files")),
     //   graft.expire_iceberg('/path', keep_last => N)
     "expire_iceberg" -> (Seq("keep_last"), Set.empty[String]),
+    //   graft.upgrade_iceberg('/path', to => 3) — one-way ladder
+    "upgrade_iceberg" -> (Seq("to"), Set.empty[String]),
     //   graft.register_iceberg('/path', name => 'view' [, at => ref])
     //     — snapshot-pinned temp view for plain SQL over a foreign tree
     "register_iceberg" -> (Seq("name"), Set("at")))
@@ -413,7 +423,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
           proc == "append_iceberg" || proc == "delete_iceberg" ||
           proc == "delete_iceberg_keys" || proc == "merge_iceberg" ||
           proc == "evolve_iceberg" || proc == "compact_iceberg" ||
-          proc == "expire_iceberg" || proc == "register_iceberg") &&
+          proc == "expire_iceberg" || proc == "register_iceberg" ||
+          proc == "upgrade_iceberg") &&
           name.contains("/"))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {

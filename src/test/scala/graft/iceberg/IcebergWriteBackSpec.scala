@@ -999,6 +999,53 @@ class IcebergWriteBackSpec extends SparkSpec {
 
   }
 
+  test("upgradeFormatVersion: v1 -> 2 enables write-back (pre-upgrade " +
+      "rows read as sequence 0), v2 -> 3 enables deletion vectors with " +
+      "null lineage for pre-upgrade rows; downgrades refuse") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val loc = tmpDir("wb-upgrade") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val schema = ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 3, 1L)))),
+      formatVersion = 1, lastColumnId = 2)
+    // v1: write-back refuses (no sequence numbers)
+    intercept[IllegalArgumentException](
+      IcebergWriteBack.appendTo(spark, loc, Seq((4L, "d")).toDF("id", "v")))
+    // upgrade to 2 via the SQL surface — appends and key deletes work,
+    // and the equality delete tombstones the PRE-UPGRADE row too
+    // (pre-upgrade data reads as sequence <= any new delete's)
+    spark.sql(s"CALL graft.upgrade_iceberg('$loc', to => '2')")
+    IcebergWriteBack.appendTo(spark, loc, Seq((4L, "d")).toDF("id", "v"))
+    IcebergWriteBack.deleteKeys(spark, loc, Seq(2L).toDF("id"))
+    assert(IcebergImport.read(spark, loc).select("id").as[Long]
+      .collect().sorted === Array(1L, 3L, 4L))
+    // upgrade to 3: row-level delete now writes a DELETION VECTOR;
+    // pre-upgrade rows carry NULL lineage (their manifests never had
+    // first_row_id), post-upgrade appends take real ids
+    IcebergWriteBack.upgradeFormatVersion(spark, loc, 3)
+    val (_, m3, _) = IcebergImport.parseMeta(spark, loc)
+    assert((m3 \ "format-version").extract[Int] === 3)
+    assert((m3 \ "next-row-id").extract[Long] === 0L)
+    IcebergWriteBack.deleteWhere(spark, loc, col("id") === 3L)
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.dvs.size === 1)
+    assert(IcebergImport.read(spark, loc).select("id").as[Long]
+      .collect().sorted === Array(1L, 4L))
+    IcebergWriteBack.appendTo(spark, loc, Seq((5L, "e")).toDF("id", "v"))
+    val (_, m4, _) = IcebergImport.parseMeta(spark, loc)
+    assert((m4 \ "next-row-id").extract[Long] === 1L)
+    // downgrade / no-op refuse loudly
+    val e = intercept[IllegalArgumentException](
+      IcebergWriteBack.upgradeFormatVersion(spark, loc, 2))
+    assert(e.getMessage.contains("only increase"))
+  }
+
   test("v3 addColumn with a DEFAULT: pre-evolution rows read the " +
       "default (initial-default + write-default published), the SQL " +
       "surface takes default =>, and a v2 tree refuses") {
