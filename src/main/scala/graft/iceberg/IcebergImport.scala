@@ -676,7 +676,7 @@ object IcebergImport {
     * keeps the source type; bucket and the epoch-ordinal time
     * transforms are ints). Unknown transforms still refuse loudly when
     * [[foreignTransformCol]] evaluates them. */
-  private def transformResultType(tr: String, dt: DataType): DataType =
+  private[iceberg] def transformResultType(tr: String, dt: DataType): DataType =
     tr match {
       case SupportedTransform.Truncate(_) => dt
       case _ => IntegerType
@@ -689,7 +689,7 @@ object IcebergImport {
     * parts), so a transform-scoped delete's tuple value compares
     * directly against this column. All date/time math is UTC, matching
     * the spec's timezone-free partition values. */
-  private def foreignTransformCol(tr: String, src: Column,
+  private[iceberg] def foreignTransformCol(tr: String, src: Column,
       dt: DataType): Column = {
     import org.apache.spark.sql.graftglue.GraftSqlGlue
     def utcDate: Column = dt match {

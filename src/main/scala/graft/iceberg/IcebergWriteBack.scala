@@ -189,18 +189,47 @@ object IcebergWriteBack {
 
   /** Appends need an unpartitioned/all-identity default spec; returns
     * the identity partition column names in spec order. */
-  private def identityPartCols(tree: Tree): Seq[String] = {
-    require(tree.specTriples.forall(_._2 == "identity"),
-      s"write-back appends under identity/unpartitioned specs only; " +
-        s"default spec ${tree.defaultSpecId} has transforms " +
-        tree.specTriples.filter(_._2 != "identity").map(t =>
-          s"${t._1}:${t._2}").mkString(", ") +
-        " — appending would require evaluating the foreign transform " +
-        "exactly; import the table instead")
-    val nameById = tree.fields.map(f => f._2 -> f._1).toMap
-    tree.specTriples.map(t =>
-      nameById.getOrElse(t._3, throw new IllegalStateException(
-        s"spec field ${t._1} references unknown source-id ${t._3}")))
+  /** Per default-spec field: (physical name, the hive-dir column the
+    * write partitions by, an optional DERIVED value column, the TUPLE
+    * value's Spark type). Identity fields follow the Hive-style layout
+    * (the source column itself moves into the dir; readers coalesce it
+    * back from the tuple). HIDDEN TRANSFORMS evaluate the spec's own
+    * definition ([[IcebergImport.foreignTransformCol]] — the same
+    * Appendix-B hashes / epoch ordinals the eq-delete scoping pins
+    * against real foreign layouts), so the source column STAYS in the
+    * data file and only the derived value lands in the dir + manifest
+    * tuple — a wrong tuple would mis-prune external planners, which is
+    * why only exactly-evaluable transforms are accepted: unknown
+    * transforms, and truncate on strings (hive-dir round trips are
+    * lossy for exotic encodings), refuse loudly. */
+  private def specPartition(tree: Tree)
+      : Seq[(String, String, Option[Column],
+        org.apache.spark.sql.types.DataType)] = {
+    val byId = tree.fields.map(f => f._2 -> (f._1, f._3)).toMap
+    tree.specTriples.map { case (phys, tr, srcId) =>
+      val (srcName, srcT) = byId.getOrElse(srcId,
+        throw new IllegalStateException(
+          s"spec field $phys references unknown source-id $srcId"))
+      val srcType = IcebergImport.sparkType(srcT)
+      tr match {
+        case "identity" => (phys, srcName, None, srcType)
+        case t if IcebergImport.SupportedTransform.matches(t) =>
+          require(!(t.startsWith("truncate") &&
+              srcType == org.apache.spark.sql.types.StringType),
+            s"append under truncate-on-string spec field $phys is " +
+              "refused (hive partition dirs round-trip string values " +
+              "lossily); import the table instead")
+          require(!tree.fields.exists(_._1 == phys),
+            s"spec field $phys collides with a schema column")
+          (phys, phys,
+            Some(IcebergImport.foreignTransformCol(t, col(srcName),
+              srcType)),
+            IcebergImport.transformResultType(t, srcType))
+        case other => throw new IllegalArgumentException(
+          s"write-back cannot evaluate partition transform $other " +
+            s"($phys) exactly — import the table instead")
+      }
+    }
   }
 
   /** Should new files carry parquet field ids? A bounded footer sample
@@ -262,7 +291,8 @@ object IcebergWriteBack {
       df: DataFrame, hasIds: Boolean,
       extraCols: Seq[(String, Long)] = Nil): GenericRecord = {
     import org.json4s.jackson.JsonMethods.{compact, render}
-    val partCols = identityPartCols(tree)
+    val partSpec = specPartition(tree)
+    val partCols = partSpec.map(_._2)
 
     // ---- align the frame to the schema (names, order, types) ----
     val have = df.columns.toSet
@@ -271,13 +301,20 @@ object IcebergWriteBack {
       s"frame columns must match the table schema exactly; " +
         s"missing=${(want -- have).mkString(",")} " +
         s"extra=${(have -- want).mkString(",")}")
-    val aligned = df.select(tree.fields.map { case (n, id, t) =>
+    val aligned0 = df.select(tree.fields.map { case (n, id, t) =>
       val c = col(n).cast(IcebergImport.sparkType(t))
       if (hasIds) c.as(n, idMeta(id.toLong)) else c.as(n)
     } ++ extraCols.map { case (n, id) =>
       val c = col(n).cast(LongType)
       if (hasIds) c.as(n, idMeta(id)) else c.as(n)
     }: _*)
+    // hidden-transform partition values ride as derived columns that
+    // partitionBy consumes into the dirs (the source column stays in
+    // the data); identity fields partition by the source column itself
+    val aligned = partSpec.foldLeft(aligned0) {
+      case (d, (_, byName, Some(c), _)) => d.withColumn(byName, c)
+      case (d, _) => d
+    }
 
     // ---- distributed data write ----
     val dataRel = s"data/graft-append-${UUID.randomUUID()}"
@@ -292,10 +329,8 @@ object IcebergWriteBack {
       "written files lack expected partition dirs (layout drift)")
 
     // ---- new data manifest ----
-    val typeById = tree.fields.map(f => f._2 -> f._3).toMap
-    val avroPartFields = tree.specTriples.map { case (phys, _, srcId) =>
-      phys -> IcebergExport.partitionAvroType(
-        IcebergImport.sparkType(typeById(srcId)))
+    val avroPartFields = partSpec.map { case (phys, _, _, t) =>
+      phys -> IcebergExport.partitionAvroType(t)
     }
     val entrySchema = IcebergExport.manifestEntrySchema(avroPartFields,
       v3 = tree.formatVersion >= 3)
@@ -312,9 +347,8 @@ object IcebergWriteBack {
       dfr.put("file_format", "PARQUET")
       val part = new GenericData.Record(
         dfr.getSchema.getField("partition").schema())
-      tree.specTriples.foreach { case (phys, _, srcId) =>
-        part.put(phys, IcebergExport.partitionValue(tuple(phys),
-          IcebergImport.sparkType(typeById(srcId))))
+      partSpec.foreach { case (phys, byName, _, t) =>
+        part.put(phys, IcebergExport.partitionValue(tuple(byName), t))
       }
       dfr.put("partition", part)
       dfr.put("record_count", rows)
@@ -1158,7 +1192,7 @@ object IcebergWriteBack {
       minInputFiles: Int = 2): Long = {
     implicit val fmts: Formats = DefaultFormats
     val tree = loadTree(spark, tableLocation)
-    identityPartCols(tree) // refuse hidden-transform default specs
+    specPartition(tree) // refuse non-evaluable default specs up front
     val hasIds = treeHasIds(spark, tree)
     val v3 = tree.formatVersion >= 3
 

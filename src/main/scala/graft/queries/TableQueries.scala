@@ -1234,6 +1234,56 @@ object TableQueries {
       |WHERE o_orderkey % 9 <> 0 AND o_orderkey % 7 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** WRITE-BACK under a HIDDEN-TRANSFORM partition spec — the layout
+    * real Iceberg tables actually use (days(date) + bucket(key)): the
+    * writer evaluates the spec's own transforms per row (Appendix-B
+    * murmur3 bucket; epoch-day ordinals), records truthful manifest
+    * tuples, and keeps the source columns in the data. The oracle is a
+    * plain recomputation — any transform error would misplace rows or
+    * tuples and diverge the MOR read. */
+  val qIcebergWritebackHidden: Q = (s, dir) => {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    import org.apache.spark.sql.types.LongType
+    val loc = scratch("icewbhid")
+    new java.io.File(loc).mkdirs()
+    val base = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+    val odd = base.filter(col("o_orderkey") % 2 === 1)
+      .repartition(1).sortWithinPartitions("o_orderkey")
+    val fOdd = ForeignFixtures.writeParquet(s, loc, "odd", odd)
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "o_orderkey", "long"), (2, "o_custkey", "long"),
+      (3, "o_orderstatus", "string"), (4, "o_totalprice", "double"),
+      (5, "o_orderdate", "date")))
+    // seed file under the bucket[8](o_orderkey) spec: a single-file
+    // manifest may record any tuple for a multi-bucket file ONLY if the
+    // readers don't prune by it — keep it honest: no tuple (null)
+    ForeignFixtures.writeTree(loc, Seq(schema), 0,
+      Seq(ForeignFixtures.SpecField("key_bucket", "bucket[8]", 1,
+        "int")),
+      Seq(Snap(100L, None, 1L, "append",
+        Seq(Data(fOdd, odd.count(), 1L)))),
+      lastColumnId = 5)
+    // the write-back splits the even slice across the 8 bucket dirs
+    graft.iceberg.IcebergWriteBack.appendTo(s, loc,
+      base.filter(col("o_orderkey") % 2 === 0))
+    // and an equality delete reaches rows in BOTH generations
+    graft.iceberg.IcebergWriteBack.deleteKeys(s, loc,
+      base.filter(col("o_orderkey") % 9 === 0).select("o_orderkey"))
+    project(graft.iceberg.IcebergImport.read(s, loc))
+  }
+  val qIcebergWritebackHiddenSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 9 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val qIcebergImportMor: Q = (s, dir) => {
     val t = GraftTable(s, scratch("iceimpmor"))
     t.append(Tables.load(s, dir, "orders")
@@ -2331,6 +2381,8 @@ object TableQueries {
     ("q_iceberg_writeback_v3_dv", qIcebergWritebackV3Dv,
       Some(qIcebergWritebackV3DvSql)),
     ("q_iceberg_upgrade", qIcebergUpgrade, Some(qIcebergUpgradeSql)),
+    ("q_iceberg_writeback_hidden", qIcebergWritebackHidden,
+      Some(qIcebergWritebackHiddenSql)),
     ("q_iceberg_evolve_writeback", qIcebergEvolveWriteback,
       Some(qIcebergEvolveWritebackSql)),
     ("q_iceberg_compact_writeback", qIcebergCompactWriteback,

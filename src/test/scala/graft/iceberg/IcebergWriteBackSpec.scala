@@ -81,17 +81,39 @@ class IcebergWriteBackSpec extends SparkSpec {
       Array(1L, 3L))
   }
 
-  test("refusals: hidden-transform spec and schema mismatch fail loud, " +
+  test("hidden-transform appends into graft's own days(d) export work; " +
+      "truncate-on-string specs and schema mismatches still refuse, " +
       "committing nothing") {
+    // a days(d) export used to refuse appends — the writer now
+    // evaluates the spec's transform exactly, so it commits
     val t = GraftTable(spark, tmpDir("wb-days") + "/t")
     t.append(Seq((1L, java.sql.Date.valueOf("2024-01-02")))
       .toDF("id", "d"), parts = Seq("days(d)"))
     IcebergExport.export(spark, t)
-    val before = IcebergImport.currentSnapshotId(spark, t.location)
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((2L, java.sql.Date.valueOf("2024-01-03"))).toDF("id", "d"))
+    assert(IcebergImport.read(spark, t.location).orderBy("id")
+      .select("id").as[Long].collect().toSeq === Seq(1L, 2L))
+
+    // truncate-on-string spec: refuse (hive-dir round trip is lossy)
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    val loc = tmpDir("wb-truncstr") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "abc")).toDF("id", "v"))
+    ForeignFixtures.writeTree(loc, Seq(ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))), 0,
+      Seq(ForeignFixtures.SpecField("v_trunc", "truncate[2]", 2,
+        "string")),
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 1, 1L,
+        Map("v_trunc" -> "ab"))))), lastColumnId = 2)
+    val beforeT = IcebergImport.currentSnapshotId(spark, loc)
     val e = intercept[IllegalArgumentException](
-      IcebergWriteBack.appendTo(spark, t.location,
-        Seq((2L, java.sql.Date.valueOf("2024-01-03"))).toDF("id", "d")))
-    assert(e.getMessage.contains("identity"))
+      IcebergWriteBack.appendTo(spark, loc,
+        Seq((2L, "xyz")).toDF("id", "v")))
+    assert(e.getMessage.contains("truncate-on-string"))
+    assert(IcebergImport.currentSnapshotId(spark, loc) === beforeT)
 
     val u = GraftTable(spark, tmpDir("wb-mismatch") + "/t")
     u.append(Seq((1L, "a")).toDF("id", "v"))
@@ -100,8 +122,6 @@ class IcebergWriteBackSpec extends SparkSpec {
       IcebergWriteBack.appendTo(spark, u.location,
         Seq((2L, "b", 9)).toDF("id", "v", "extra")))
     assert(e2.getMessage.contains("extra"))
-    // nothing committed anywhere
-    assert(IcebergImport.currentSnapshotId(spark, t.location) === before)
     assert(IcebergImport.read(spark, u.location).count() === 1)
   }
 
@@ -997,6 +1017,92 @@ class IcebergWriteBackSpec extends SparkSpec {
     val (_, meta2, _) = IcebergImport.parseMeta(spark, loc)
     assert((meta2 \ "next-row-id").extract[Long] === 5L)
 
+  }
+
+  test("append under a HIDDEN-TRANSFORM spec (bucket[4] + day): every " +
+      "written file's manifest tuple equals the spec's transform of its " +
+      "rows, the source columns stay in the data, nulls land in the " +
+      "null partition, and both external readers see the result") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    import org.apache.spark.sql.types.LongType
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val loc = tmpDir("wb-hiddenapp") + "/ft"
+    new java.io.File(loc).mkdirs()
+    def ts(d: String, h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.LocalDate.parse(d)
+        .atTime(h, 0).toInstant(java.time.ZoneOffset.UTC))
+    def bucketOf(id: Long): Int = graft.functions.IcebergBucketHash
+      .bucketValue(id, LongType, 4)
+    def dayOf(t: java.sql.Timestamp): Int =
+      t.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate.toEpochDay.toInt
+    val seedRow = (100L, ts("2024-03-01", 8), "seed")
+    val fSeed = ForeignFixtures.writeParquet(spark, loc, "S",
+      Seq(seedRow).toDF("id", "ts", "v"))
+    val schema = ForeignFixtures.schemaJson(0, Seq((1, "id", "long"),
+      (2, "ts", "timestamptz"), (3, "v", "string")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0,
+      Seq(ForeignFixtures.SpecField("id_bucket", "bucket[4]", 1, "int"),
+        ForeignFixtures.SpecField("ts_day", "day", 2, "int")),
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fSeed, 1, 1L,
+        Map("id_bucket" -> bucketOf(100L),
+          "ts_day" -> dayOf(seedRow._2)))))),
+      lastColumnId = 3)
+
+    val rows = Seq(
+      (1L, Some(ts("2024-03-05", 9)), "a"),
+      (2L, Some(ts("2024-03-05", 10)), "b"),
+      (3L, Some(ts("2024-03-06", 9)), "c"),
+      (4L, Some(ts("2024-03-06", 23)), "d"),
+      (5L, None: Option[java.sql.Timestamp], "e")) // null day partition
+    val sid = IcebergWriteBack.appendTo(spark, loc,
+      rows.toDF("id", "ts", "v"))
+    // read-back: all rows, source columns intact in the data
+    val got = IcebergImport.read(spark, loc).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (100L, "seed")))
+
+    // THE tuple-exactness check: for every appended file, the manifest
+    // partition tuple must equal the spec's transform of EVERY row in
+    // that file (a wrong tuple silently mis-prunes external planners)
+    val (fs, meta, _) = IcebergImport.parseMeta(spark, loc)
+    val snapJ = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == sid).get
+    val newManifests = IcebergImport.readAvro(fs,
+      (snapJ \ "manifest-list").extract[String])
+      .filter(r => r.get("added_snapshot_id").asInstanceOf[Long] == sid)
+    val entries = newManifests.flatMap(m =>
+      IcebergImport.readAvro(fs, m.get("manifest_path").toString))
+    assert(entries.nonEmpty)
+    var checkedRows = 0L
+    entries.foreach { e =>
+      val df = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val part = df.get("partition")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val tb = Option(part.get("id_bucket")).map(_.asInstanceOf[Int])
+      val td = Option(part.get("ts_day")).map(_.asInstanceOf[Int])
+      val fileRows = spark.read
+        .parquet(df.get("file_path").toString)
+        .select("id", "ts").collect()
+      fileRows.foreach { r =>
+        assert(Some(bucketOf(r.getLong(0))) === tb,
+          s"bucket tuple mismatch for id=${r.getLong(0)}")
+        val want = Option(r.getTimestamp(1)).map(dayOf)
+        assert(want === td, s"day tuple mismatch for id=${r.getLong(0)}")
+      }
+      checkedRows += fileRows.length
+    }
+    assert(checkedRows === rows.size)
+
+    // both external readers: DuckDB hand-walk count
+    val path = new java.net.URI("file://" + loc).getPath
+    val out = scala.sys.process.Process(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t")).!!
+    assert(out.trim.split("\n").last === "6")
   }
 
   test("upgradeFormatVersion: v1 -> 2 enables write-back (pre-upgrade " +
