@@ -103,7 +103,8 @@ object IcebergImport {
       rows: Long = 0L,
       nullCounts: Map[String, Long] = Map.empty,
       manifest: String = "",
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      tScope: Seq[(String, String, Any)] = Seq.empty)
   /** One live v2 delete file: `equalityCols` = Some(key column names)
     * for equality deletes, None for position deletes. `scope` is the
     * delete file's own identity-partition tuple — per the v2 spec a
@@ -526,6 +527,23 @@ object IcebergImport {
           } else {
             val part = Option(df.get("partition"))
               .map(_.asInstanceOf[GenericRecord])
+            // hidden-transform tuple values of this DATA file — the
+            // file-pruning input for point predicates on the source
+            // column ([[tupleMightMatch]]); unsupported transforms and
+            // binary values simply don't prune (never refuse here)
+            val dataTScope = specsById.getOrElse(specId, Seq.empty)
+              .filter(t => t._2 != "identity" && t._2 != "void")
+              .flatMap { case (n, tr, srcId) =>
+                part.flatMap { pt =>
+                  if (pt.getSchema.getField(n) == null) None
+                  else if (!SupportedTransform.matches(tr)) None
+                  else {
+                    val v = Option(pt.get(n)).map(str).orNull
+                    if (v.isInstanceOf[Array[Byte]]) None
+                    else Some((nameById.getOrElse(srcId, n), tr, v))
+                  }
+                }
+              }
             val identity = identityFields.flatMap { case (tf, colName) =>
               part.flatMap(p =>
                 if (p.getSchema.getField(tf) == null) None
@@ -582,7 +600,7 @@ object IcebergImport {
               Option(df.get("record_count"))
                 .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
               longMapOf("null_value_counts"), manifest = mPath,
-              firstRowId = frid)
+              firstRowId = frid, tScope = dataTScope)
           }
           } // end parquet entries (data + v2 delete files)
         }
@@ -852,6 +870,82 @@ object IcebergImport {
     one(e)
   }
 
+  /** Driver-side SCALAR evaluation of a hidden transform over a
+    * NORMALIZED literal ([[normLit]] forms: Int for int/date, Long
+    * micros for timestamps, String for strings) — the pruning-time twin
+    * of [[foreignTransformCol]]; the definitions are the spec's own
+    * (Appendix-B murmur3 buckets, epoch-ordinal time transforms).
+    * None = not evaluable → no pruning. */
+  private def scalarTransform(tr: String, v: Any, dt: DataType)
+      : Option[Any] = try {
+    tr match {
+      case SupportedTransform.Bucket(n) =>
+        val conv: Any = dt match {
+          case StringType => org.apache.spark.unsafe.types.UTF8String
+            .fromString(v.toString)
+          case _ => v
+        }
+        Some(graft.functions.IcebergBucketHash
+          .bucketValue(conv, dt, n.toInt))
+      case SupportedTransform.Truncate(w) => (v, dt) match {
+        case (i: Int, IntegerType) => Some(i - Math.floorMod(i, w.toInt))
+        case (l: Long, LongType) => Some(l - Math.floorMod(l, w.toLong))
+        case (s: String, StringType) =>
+          Some(s.substring(0, math.min(w.toInt, s.length)))
+        case _ => None
+      }
+      case "day" | "year" | "month" | "hour" =>
+        val epochDay: Option[Long] = (v, dt) match {
+          case (i: Int, DateType) => Some(i.toLong)
+          case (l: Long, TimestampType | TimestampNTZType) =>
+            Some(Math.floorDiv(l, 86400000000L))
+          case _ => None
+        }
+        tr match {
+          case "day" => epochDay.map(_.toInt)
+          case "hour" => (v, dt) match {
+            case (l: Long, TimestampType) =>
+              Some(Math.floorDiv(l, 3600000000L).toInt)
+            case _ => None
+          }
+          case "year" => epochDay.map(d =>
+            java.time.LocalDate.ofEpochDay(d).getYear - 1970)
+          case "month" => epochDay.map { d =>
+            val ld = java.time.LocalDate.ofEpochDay(d)
+            (ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  /** HIDDEN-PARTITION pruning: can this file's transform tuple admit a
+    * row satisfying the conjunct? Point shapes only (`=`, IN) — a
+    * bucket hash says nothing about ranges, and monotone time
+    * transforms usually prune via column bounds anyway. A null tuple
+    * value means the file holds only null-source rows, which no
+    * equality literal matches. Unevaluable combinations keep the file
+    * (pruning is an optimization, never a filter). */
+  private def tupleMightMatch(f: DataFileRef, p: BoundPred,
+      schema: StructType): Boolean = {
+    if (f.tScope.isEmpty) return true
+    def admit(v: Any): Boolean = f.tScope.forall { case (src, tr, tuple) =>
+      src != p.col || {
+        scalarTransform(tr, v, schema(p.col).dataType) match {
+          case None => true
+          case Some(tv) =>
+            tuple != null && String.valueOf(tv) == String.valueOf(tuple)
+        }
+      }
+    }
+    p.op match {
+      case "=" => admit(p.v)
+      case "in" => p.v.asInstanceOf[Seq[Any]].exists(admit)
+      case _ => true
+    }
+  }
+
   /** Can this file possibly hold a row satisfying the conjunct? Missing
     * bounds (or incomparable values) → yes. */
   private def mightMatch(f: DataFileRef, p: BoundPred): Boolean = {
@@ -888,13 +982,19 @@ object IcebergImport {
     * `col IN (literals)` (kept iff ANY listed value fits the file's
     * bounds), and `col IS [NOT] NULL` via the manifest's per-column null
     * counts (field 110) — IS NULL skips zero-null files, IS NOT NULL
-    * skips all-null files; other conjuncts simply don't prune. */
+    * skips all-null files; other conjuncts simply don't prune.
+    * HIDDEN-PARTITION pruning composes in: a point predicate on a
+    * bucket/truncate/time-transformed source column keeps only the
+    * files whose manifest tuple equals the transform of the literal
+    * ([[tupleMightMatch]]) — the point lookup on a bucket-partitioned
+    * tree that column bounds can never serve. */
   def readWhere(spark: SparkSession, tableLocation: String,
       predicate: Column, at: Option[String] = None): DataFrame = {
     val p = plan(spark, tableLocation, at)
     val preds = boundPreds(org.apache.spark.sql.graftglue.GraftSqlGlue
       .resolvedExpression(predicate), p.schema)
-    val kept = p.files.filter(f => preds.forall(mightMatch(f, _)))
+    val kept = p.files.filter(f => preds.forall(pr =>
+      mightMatch(f, pr) && tupleMightMatch(f, pr, p.schema)))
     readPlan(spark, p.copy(files = kept)).filter(predicate)
   }
 
@@ -1155,7 +1255,8 @@ object IcebergImport {
         s"$LineageFileCol/$LineagePosCol")
     val preds = boundPreds(org.apache.spark.sql.graftglue.GraftSqlGlue
       .resolvedExpression(prunePredicate), p.schema)
-    val kept = p.files.filter(f => preds.forall(mightMatch(f, _)))
+    val kept = p.files.filter(f => preds.forall(pr =>
+      mightMatch(f, pr) && tupleMightMatch(f, pr, p.schema)))
     readPlan(spark, p.copy(files = kept), lineage = true)
   }
 

@@ -1284,6 +1284,67 @@ object TableQueries {
       |WHERE o_orderkey % 9 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** HIDDEN-PARTITION point lookup on a foreign bucket[16] tree — the
+    * pruning shape column bounds can never serve (a hash scatters the
+    * keyspace). The builder itself asserts the scan kept ≲1/16 of the
+    * files (a broken pruner fails the query, not just a perf metric);
+    * the oracle is the plain WHERE. */
+  val qIcebergImportBucketPrune: Q = (s, dir) => {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    import org.apache.spark.sql.types.LongType
+    val loc = scratch("icebprune")
+    new java.io.File(loc).mkdirs()
+    val base = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+    def bucketOf(k: Long): Int = graft.functions.IcebergBucketHash
+      .bucketValue(k, LongType, 16)
+    // the codegen'd bucket expression splits the corpus per bucket —
+    // the same derived-column path the hidden-partition writer uses
+    val withB = base.withColumn("__b",
+      org.apache.spark.sql.graftglue.GraftSqlGlue.column(
+        graft.functions.IcebergBucketExpr(
+          org.apache.spark.sql.graftglue.GraftSqlGlue.expression(
+            col("o_orderkey")), 16)))
+    val entries = (0 until 16).flatMap { b =>
+      val slice = withB.filter(col("__b") === b).drop("__b")
+        .repartition(1)
+      val cnt = slice.count()
+      if (cnt == 0) None
+      else {
+        val f = ForeignFixtures.writeParquet(s, loc, s"b$b", slice)
+        Some(Data(f, cnt, 1L, Map("key_bucket" -> b)))
+      }
+    }
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "o_orderkey", "long"), (2, "o_custkey", "long"),
+      (3, "o_orderstatus", "string"), (4, "o_totalprice", "double"),
+      (5, "o_orderdate", "date")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0,
+      Seq(ForeignFixtures.SpecField("key_bucket", "bucket[16]", 1,
+        "int")),
+      Seq(Snap(100L, None, 1L, "append", entries)), lastColumnId = 5)
+    // point lookups across a fixed key set: each scans ONE bucket
+    val probe = Seq(1L, 7L, 32L, 100L, 1111L)
+    val pruned = graft.iceberg.IcebergImport.readWhere(s, loc,
+      col("o_orderkey").isin(probe: _*))
+    val wantBuckets = probe.map(bucketOf).distinct.size
+    require(pruned.inputFiles.length <= wantBuckets,
+      s"bucket pruning broke: scanned ${pruned.inputFiles.length} " +
+        s"files for $wantBuckets buckets")
+    project(pruned)
+  }
+  val qIcebergImportBucketPruneSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey IN (1, 7, 32, 100, 1111)
+      |ORDER BY o_orderkey""".stripMargin
+
   val qIcebergImportMor: Q = (s, dir) => {
     val t = GraftTable(s, scratch("iceimpmor"))
     t.append(Tables.load(s, dir, "orders")
@@ -2383,6 +2444,8 @@ object TableQueries {
     ("q_iceberg_upgrade", qIcebergUpgrade, Some(qIcebergUpgradeSql)),
     ("q_iceberg_writeback_hidden", qIcebergWritebackHidden,
       Some(qIcebergWritebackHiddenSql)),
+    ("q_iceberg_import_bucket_prune", qIcebergImportBucketPrune,
+      Some(qIcebergImportBucketPruneSql)),
     ("q_iceberg_evolve_writeback", qIcebergEvolveWriteback,
       Some(qIcebergEvolveWritebackSql)),
     ("q_iceberg_compact_writeback", qIcebergCompactWriteback,

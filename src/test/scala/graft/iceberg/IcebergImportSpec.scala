@@ -1172,6 +1172,72 @@ class IcebergImportSpec extends SparkSpec {
         df.queryExecution.optimizedPlan)
   }
 
+  test("HIDDEN-PARTITION pruning: a point lookup on a bucket[8]-" +
+      "partitioned tree scans ONLY the matching bucket's files (the " +
+      "lookup column bounds can never serve), day tuples prune " +
+      "timestamp equality, and results stay byte-identical") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    import org.apache.spark.sql.types.LongType
+    val loc = tmpDir("imp-hiddenprune") + "/ft"
+    new File(loc).mkdirs()
+    def bucketOf(id: Long): Int = graft.functions.IcebergBucketHash
+      .bucketValue(id, LongType, 8)
+    val ids = (1L to 64L)
+    val byBucket = ids.groupBy(bucketOf)
+    assert(byBucket.size === 8)
+    val entries = byBucket.toSeq.sortBy(_._1).map { case (b, ks) =>
+      val f = ForeignFixtures.writeParquet(spark, loc, s"B$b",
+        ks.map(i => (i, i * 1.0)).toDF("id", "v"))
+      Data(f, ks.size.toLong, 1L, Map("id_bucket" -> b))
+    }
+    ForeignFixtures.writeTree(loc, Seq(ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "double")))), 0,
+      Seq(ForeignFixtures.SpecField("id_bucket", "bucket[8]", 1, "int")),
+      Seq(Snap(100L, None, 1L, "append", entries)), lastColumnId = 2)
+
+    val hit = IcebergImport.readWhere(spark, loc, col("id") === 37L)
+    assert(hit.inputFiles.length === 1,
+      s"expected ONE bucket file, scanned ${hit.inputFiles.length}")
+    assert(hit.select("id").as[Long].collect().toSeq === Seq(37L))
+    // IN-list across two buckets keeps exactly those buckets
+    val b37 = bucketOf(37L); val two = ids.find(i =>
+      bucketOf(i) != b37).get
+    val hitIn = IcebergImport.readWhere(spark, loc,
+      col("id").isin(37L, two))
+    assert(hitIn.inputFiles.length === 2)
+    assert(hitIn.select("id").as[Long].collect().sorted ===
+      Array(two, 37L).sorted)
+    // a range predicate doesn't tuple-prune (hash buckets say nothing
+    // about ranges) but stays correct
+    assert(IcebergImport.readWhere(spark, loc, col("id") <= 5L)
+      .select("id").as[Long].collect().sorted === (1L to 5L).toArray)
+
+    // day(ts) tree: timestamp equality prunes to the matching day
+    def ts(d: String, h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.LocalDate.parse(d)
+        .atTime(h, 0).toInstant(java.time.ZoneOffset.UTC))
+    val loc2 = tmpDir("imp-dayprune") + "/ft"
+    new File(loc2).mkdirs()
+    def dayOf(d: String): Int =
+      java.time.LocalDate.parse(d).toEpochDay.toInt
+    val f1 = ForeignFixtures.writeParquet(spark, loc2, "D1",
+      Seq((1L, ts("2024-03-05", 9))).toDF("id", "t"))
+    val f2 = ForeignFixtures.writeParquet(spark, loc2, "D2",
+      Seq((2L, ts("2024-03-06", 9))).toDF("id", "t"))
+    ForeignFixtures.writeTree(loc2, Seq(ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "t", "timestamptz")))), 0,
+      Seq(ForeignFixtures.SpecField("t_day", "day", 2, "int")),
+      Seq(Snap(100L, None, 1L, "append", Seq(
+        Data(f1, 1, 1L, Map("t_day" -> dayOf("2024-03-05"))),
+        Data(f2, 1, 1L, Map("t_day" -> dayOf("2024-03-06")))))),
+      lastColumnId = 2)
+    val dayHit = IcebergImport.readWhere(spark, loc2,
+      col("t") === ts("2024-03-06", 9))
+    assert(dayHit.inputFiles.length === 1)
+    assert(dayHit.select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("DAY- and TRUNCATE-scoped equality deletes evaluate the spec's " +
       "epoch-ordinal transforms per data row") {
     import graft.iceberg.ForeignFixtures
