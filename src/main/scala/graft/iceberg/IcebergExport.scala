@@ -243,7 +243,7 @@ object IcebergExport {
     * big-endian two's-complement for decimal unscaled values. Returns
     * None for types the spec stores differently than we can guarantee
     * (the bound is then simply omitted — bounds are optional per spec). */
-  private def boundBytes(v: Any, dt: DataType): Option[Array[Byte]] = {
+  private[iceberg] def boundBytes(v: Any, dt: DataType): Option[Array[Byte]] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int): ByteBuffer =
       ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)

@@ -255,11 +255,14 @@ object IcebergWriteBack {
 
   /** List the parquet files a write just produced under `dataRel`,
     * returning (table-relative path, hive partition tuple, rows, bytes). */
-  private def listWritten(spark: SparkSession, tree: Tree, dataRel: String)
-      : Seq[(String, Map[String, String], Long, Long)] = {
+  private def listWritten(spark: SparkSession, tree: Tree, dataRel: String,
+      statFields: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
+      : Seq[(String, Map[String, String], Long, Long,
+        Map[String, graft.table.ColStat])] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val it = tree.fs.listFiles(new Path(tree.tableLocation, dataRel), true)
-    val out = Seq.newBuilder[(String, Map[String, String], Long, Long)]
+    val out = Seq.newBuilder[(String, Map[String, String], Long, Long,
+      Map[String, graft.table.ColStat])]
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
@@ -274,9 +277,12 @@ object IcebergWriteBack {
             kv.take(i) -> java.net.URLDecoder.decode(kv.drop(i + 1),
               "UTF-8")
           }.toMap
-        val rows = graft.table.FooterStats.read(hadoopConf, st.getPath,
-          Seq.empty)._2
-        out += ((tail, tuple, rows, st.getLen))
+        // the SAME footer open yields rows AND per-column stats — the
+        // truthful lower/upper/null-count metadata external planners
+        // prune by, for free (no second data scan)
+        val (stats, rows) = graft.table.FooterStats.read(hadoopConf,
+          st.getPath, statFields)
+        out += ((tail, tuple, rows, st.getLen, stats))
       }
     }
     out.result()
@@ -323,7 +329,10 @@ object IcebergWriteBack {
     if (partCols.nonEmpty) w.partitionBy(partCols: _*)
       .parquet(outDir.toString)
     else w.parquet(outDir.toString)
-    val files = listWritten(spark, tree, dataRel)
+    val statFields = tree.fields.map { case (n, _, t) =>
+      org.apache.spark.sql.types.StructField(n,
+        IcebergImport.sparkType(t), nullable = true) }
+    val files = listWritten(spark, tree, dataRel, statFields)
     require(partCols.isEmpty || files.forall(f =>
       partCols.forall(f._2.contains)),
       "written files lack expected partition dirs (layout drift)")
@@ -334,7 +343,8 @@ object IcebergWriteBack {
     }
     val entrySchema = IcebergExport.manifestEntrySchema(avroPartFields,
       v3 = tree.formatVersion >= 3)
-    val entries = files.map { case (rel, tuple, rows, len) =>
+    val glue = org.apache.spark.sql.graftglue.GraftSqlGlue
+    val entries = files.map { case (rel, tuple, rows, len, stats) =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", tree.newId)
@@ -353,6 +363,39 @@ object IcebergWriteBack {
       dfr.put("partition", part)
       dfr.put("record_count", rows)
       dfr.put("file_size_in_bytes", len)
+      // TRUTHFUL per-file column stats from the footers just written
+      // (Appendix-D bounds, ids 125/128; null counts, id 110) — the
+      // pruning metadata every external scan planner reads; columns
+      // without safe footer stats are simply absent (no pruning)
+      def statRecs(fieldName: String,
+          pick: (String, graft.table.ColStat) => Option[AnyRef])
+          : Option[java.util.List[GenericRecord]] = {
+        val itemSchema = dfr.getSchema.getField(fieldName).schema()
+          .getTypes.get(1).getElementType
+        val recs = tree.fields.flatMap { case (n, id, t) =>
+          stats.get(n).flatMap(s => pick(t, s)).map { v =>
+            val r = new GenericData.Record(itemSchema)
+            r.put("key", id)
+            r.put("value", v)
+            r: GenericRecord
+          }
+        }
+        if (recs.isEmpty) None
+        else Some(scala.jdk.CollectionConverters
+          .SeqHasAsJava(recs).asJava)
+      }
+      def boundOf(s: Option[String], t: String): Option[AnyRef] =
+        s.flatMap(str => IcebergExport.boundBytes(
+          glue.castFromString(str, IcebergImport.sparkType(t)),
+          IcebergImport.sparkType(t)))
+          .map(java.nio.ByteBuffer.wrap)
+      statRecs("lower_bounds", (t, s) => boundOf(s.min, t))
+        .foreach(dfr.put("lower_bounds", _))
+      statRecs("upper_bounds", (t, s) => boundOf(s.max, t))
+        .foreach(dfr.put("upper_bounds", _))
+      statRecs("null_value_counts",
+        (_, s) => s.nulls.map(Long.box))
+        .foreach(dfr.put("null_value_counts", _))
       e.put("data_file", dfr)
       e: GenericRecord
     }
@@ -458,7 +501,7 @@ object IcebergWriteBack {
       "v3 position deletes must be written as deletion vectors")
     val delSchema = IcebergExport.manifestEntrySchema(Seq.empty,
       equalityIds = true, v3 = tree.formatVersion >= 3)
-    val entries = files.map { case (rel, _, rows, len) =>
+    val entries = files.map { case (rel, _, rows, len, _) =>
       val e = new GenericData.Record(delSchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", tree.newId)

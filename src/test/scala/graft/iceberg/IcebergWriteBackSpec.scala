@@ -1105,6 +1105,53 @@ class IcebergWriteBackSpec extends SparkSpec {
     assert(out.trim.split("\n").last === "6")
   }
 
+  test("write-back data files record TRUTHFUL column stats: bounds " +
+      "prune readWhere on written files, null counts prune IS NULL, " +
+      "and the external hand-walker decodes the same bounds") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    val loc = tmpDir("wb-stats") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq((1L, "a")).toDF("id", "v"))
+    ForeignFixtures.writeTree(loc, Seq(ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "v", "string")))), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 1, 1L)))),
+      lastColumnId = 2)
+    // two disjoint key-range appends -> two files with disjoint bounds
+    IcebergWriteBack.appendTo(spark, loc,
+      (10L to 19L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    IcebergWriteBack.appendTo(spark, loc,
+      (1000L to 1009L).map(i => (i, Option(s"v$i").filter(_ => i % 2 == 0)))
+        .toDF("id", "v").repartition(1))
+    // range predicate keeps only the matching written file (the seed
+    // file has no id bounds from the fixture and is conservatively kept)
+    val hit = IcebergImport.readWhere(spark, loc,
+      col("id") >= 1000L && col("id") <= 1004L)
+    assert(hit.inputFiles.length <= 2, // pruned file 10..19 dropped
+      s"bounds pruning broke: ${hit.inputFiles.length} files")
+    assert(!hit.inputFiles.exists(_.contains("graft-append-")) ||
+      hit.inputFiles.length < 3)
+    assert(hit.select("id").as[Long].collect().sorted ===
+      (1000L to 1004L).toArray)
+    // null counts: IS NULL prunes the all-non-null written file (the
+    // one whose recorded id bounds top out at 19)
+    val zeroNullFile = IcebergImport.plan(spark, loc).files
+      .find(_.upper.get("id").contains(19L)).get.uri
+    val zeroNullName = zeroNullFile.split('/').last
+    val nullHit = IcebergImport.readWhere(spark, loc, col("v").isNull)
+    assert(!nullHit.inputFiles.exists(_.endsWith(zeroNullName)),
+      "the zero-null written file must prune out of IS NULL")
+    assert(nullHit.select("id").as[Long].collect().sorted ===
+      (1000L to 1009L).filter(_ % 2 == 1).toArray)
+    // the independent hand-walker decodes bounds from the same manifest
+    val path = new java.net.URI("file://" + loc).getPath
+    val planOut = scala.sys.process.Process(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path, "--plan")).!!
+    assert(planOut.contains("\"lower_bounds\""))
+    assert(planOut.contains("1000"), "written bounds visible externally")
+  }
+
   test("upgradeFormatVersion: v1 -> 2 enables write-back (pre-upgrade " +
       "rows read as sequence 0), v2 -> 3 enables deletion vectors with " +
       "null lineage for pre-upgrade rows; downgrades refuse") {
