@@ -626,18 +626,25 @@ object IcebergWriteBack {
             val name = s"graft-dv-$runId-p$pid.puffin"
             val path = new Path(s"$tableLoc/data/$name")
             val fs = path.getFileSystem(conf)
-            // consecutive same-file runs (sorted within partition)
+            // consecutive same-file runs (sorted within partition);
+            // PRIMITIVE position buffers — a heavily tombstoned file's
+            // DV is O(rows) longs, which must not box
             val dvs = Seq.newBuilder[(String, Seq[Long])]
             var curFile: String = null
-            var ps = Seq.newBuilder[Long]
+            var ps = scala.collection.mutable.ArrayBuilder.make[Long]
+            def flush(): Unit = if (curFile != null)
+              dvs += ((curFile,
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                  ps.result())))
             it.foreach { case (f, pos) =>
               if (f != curFile) {
-                if (curFile != null) dvs += ((curFile, ps.result()))
-                curFile = f; ps = Seq.newBuilder[Long]
+                flush()
+                curFile = f
+                ps = scala.collection.mutable.ArrayBuilder.make[Long]
               }
               ps += pos
             }
-            dvs += ((curFile, ps.result()))
+            flush()
             val cs = Puffin.writeDvFile(fs, path, dvs.result(),
               snapId, newSeq)
             val totalLen = fs.getFileStatus(path).getLen

@@ -132,7 +132,15 @@ private[graft] object Puffin {
   /** positions (sorted or not, distinct or not) → portable 64-bit
     * roaring bytes. */
   def serializePortable64(positions: Seq[Long]): Array[Byte] = {
-    val sorted = positions.distinct.sorted
+    // primitive sort + in-place dedup: a heavily tombstoned file's DV
+    // is O(rows) longs — boxed distinct/sorted would triple the memory
+    val arr = positions.toArray
+    java.util.Arrays.sort(arr)
+    var n = 0
+    arr.indices.foreach { i =>
+      if (n == 0 || arr(i) != arr(n - 1)) { arr(n) = arr(i); n += 1 }
+    }
+    val sorted = arr.take(n)
     val byHigh = sorted.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
     val parts = byHigh.map { case (high, ps) =>
       val containers = ps.map(p => (p & 0xFFFFFFFFL).toInt)
@@ -214,7 +222,19 @@ private[graft] object Puffin {
   def writeDvFile(fs: FileSystem, path: Path,
       dvs: Seq[(String, Seq[Long])], snapshotId: Long,
       sequenceNumber: Long): Seq[(String, Long, Long, Long)] = {
-    val blobs = dvs.map { case (uri, ps) => (uri, ps, dvBlob(ps)) }
+    // normalize once per blob (primitive sort+dedup): the blob bytes
+    // and the manifest cardinality must agree, and neither may box
+    val blobs = dvs.map { case (uri, ps) =>
+      val arr = ps.toArray
+      java.util.Arrays.sort(arr)
+      var n = 0
+      arr.indices.foreach { i =>
+        if (n == 0 || arr(i) != arr(n - 1)) { arr(n) = arr(i); n += 1 }
+      }
+      val norm = scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(arr.take(n))
+      (uri, norm, dvBlob(norm))
+    }
     // JSON string escape for interpolated values (a data-file URI with
     // a quote/backslash/control char must not break the footer for
     // native readers)
@@ -232,14 +252,14 @@ private[graft] object Puffin {
       var off = 4L
       blobs.foreach { case (uri, ps, blob) =>
         coords += ((uri, off, blob.length.toLong,
-          ps.distinct.size.toLong))
+          ps.size.toLong))
         footerBlobs +=
           s"""{"type":"deletion-vector-v1","fields":[],""" +
             s""""snapshot-id":$snapshotId,""" +
             s""""sequence-number":$sequenceNumber,""" +
             s""""offset":$off,"length":${blob.length},""" +
             s""""properties":{"referenced-data-file":"${esc(uri)}",""" +
-            s""""cardinality":"${ps.distinct.size}"}}"""
+            s""""cardinality":"${ps.size}"}}"""
         out.write(blob)
         off += blob.length
       }
