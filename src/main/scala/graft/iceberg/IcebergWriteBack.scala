@@ -7,7 +7,7 @@ import java.util.UUID
 import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min}
+import org.apache.spark.sql.functions.{col, concat, count, encode, hex, lit, max, min}
 import org.apache.spark.sql.types.{LongType, Metadata => SqlMetadata}
 
 /** Iceberg v2 WRITE-BACK: commit changes into a FOREIGN Iceberg tree —
@@ -187,24 +187,34 @@ object IcebergWriteBack {
   private def fmtAttr(tree: Tree): (String, String) =
     "format-version" -> tree.formatVersion.toString
 
-  /** Appends need an unpartitioned/all-identity default spec; returns
-    * the identity partition column names in spec order. */
-  /** Per default-spec field: (physical name, the hive-dir column the
-    * write partitions by, an optional DERIVED value column, the TUPLE
-    * value's Spark type). Identity fields follow the Hive-style layout
-    * (the source column itself moves into the dir; readers coalesce it
-    * back from the tuple). HIDDEN TRANSFORMS evaluate the spec's own
-    * definition ([[IcebergImport.foreignTransformCol]] — the same
-    * Appendix-B hashes / epoch ordinals the eq-delete scoping pins
-    * against real foreign layouts), so the source column STAYS in the
-    * data file and only the derived value lands in the dir + manifest
-    * tuple — a wrong tuple would mis-prune external planners, which is
-    * why only exactly-evaluable transforms are accepted: unknown
-    * transforms, and truncate on strings (hive-dir round trips are
-    * lossy for exotic encodings), refuse loudly. */
-  private def specPartition(tree: Tree)
-      : Seq[(String, String, Option[Column],
-        org.apache.spark.sql.types.DataType)] = {
+  /** One default-spec field as the writer sees it: `phys` the spec
+    * field name, `dirCol` the hive-dir column the write partitions by,
+    * `derived` an optional DERIVED value column, `tupleType` the
+    * manifest TUPLE value's Spark type, and `dirDecode` an optional
+    * exact decoder from the hive-dir string back to the tuple string
+    * (identity when absent). */
+  private case class SpecWrite(phys: String, dirCol: String,
+      derived: Option[Column],
+      tupleType: org.apache.spark.sql.types.DataType,
+      dirDecode: Option[String => String] = None)
+
+  /** Per default-spec field, how the writer lays it out. Identity
+    * fields follow the Hive-style layout (the source column itself
+    * moves into the dir; readers coalesce it back from the tuple).
+    * HIDDEN TRANSFORMS evaluate the spec's own definition
+    * ([[IcebergImport.foreignTransformCol]] — the same Appendix-B
+    * hashes / epoch ordinals the eq-delete scoping pins against real
+    * foreign layouts), so the source column STAYS in the data file and
+    * only the derived value lands in the dir + manifest tuple — a
+    * wrong tuple would mis-prune external planners, which is why only
+    * exactly-evaluable transforms are accepted: unknown transforms
+    * refuse loudly. Truncate-on-STRING values round-trip the hive dir
+    * HEX-ENCODED (raw strings are lossy there: Spark's dir escaping
+    * leaves '+'/space literal and URL-decoding folds them, and the
+    * empty string collides with the null marker) — the dir name is a
+    * private staging detail, external readers only ever see the
+    * manifest tuple, which `dirDecode` reconstructs exactly. */
+  private def specPartition(tree: Tree): Seq[SpecWrite] = {
     val byId = tree.fields.map(f => f._2 -> (f._1, f._3)).toMap
     tree.specTriples.map { case (phys, tr, srcId) =>
       val (srcName, srcT) = byId.getOrElse(srcId,
@@ -212,19 +222,26 @@ object IcebergWriteBack {
           s"spec field $phys references unknown source-id $srcId"))
       val srcType = IcebergImport.sparkType(srcT)
       tr match {
-        case "identity" => (phys, srcName, None, srcType)
+        case "identity" => SpecWrite(phys, srcName, None, srcType)
         case t if IcebergImport.SupportedTransform.matches(t) =>
-          require(!(t.startsWith("truncate") &&
-              srcType == org.apache.spark.sql.types.StringType),
-            s"append under truncate-on-string spec field $phys is " +
-              "refused (hive partition dirs round-trip string values " +
-              "lossily); import the table instead")
           require(!tree.fields.exists(_._1 == phys),
             s"spec field $phys collides with a schema column")
-          (phys, phys,
-            Some(IcebergImport.foreignTransformCol(t, col(srcName),
-              srcType)),
-            IcebergImport.transformResultType(t, srcType))
+          val derived = IcebergImport.foreignTransformCol(t,
+            col(srcName), srcType)
+          val tupleType = IcebergImport.transformResultType(t, srcType)
+          if (t.startsWith("truncate") &&
+              srcType == org.apache.spark.sql.types.StringType)
+            // "x"-prefixed hex: the empty string must stay distinct
+            // from null (Spark writes BOTH a null and an empty dir
+            // value as __HIVE_DEFAULT_PARTITION__); concat propagates
+            // null, so only genuine nulls reach the null partition
+            SpecWrite(phys, phys,
+              Some(concat(lit("x"), hex(encode(derived, "UTF-8")))),
+              tupleType, dirDecode = Some(h => new String(
+                h.stripPrefix("x").grouped(2)
+                  .map(Integer.parseInt(_, 16).toByte)
+                  .toArray, StandardCharsets.UTF_8)))
+          else SpecWrite(phys, phys, Some(derived), tupleType)
         case other => throw new IllegalArgumentException(
           s"write-back cannot evaluate partition transform $other " +
             s"($phys) exactly — import the table instead")
@@ -298,7 +315,7 @@ object IcebergWriteBack {
       extraCols: Seq[(String, Long)] = Nil): GenericRecord = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     val partSpec = specPartition(tree)
-    val partCols = partSpec.map(_._2)
+    val partCols = partSpec.map(_.dirCol)
 
     // ---- align the frame to the schema (names, order, types) ----
     val have = df.columns.toSet
@@ -318,14 +335,30 @@ object IcebergWriteBack {
     // partitionBy consumes into the dirs (the source column stays in
     // the data); identity fields partition by the source column itself
     val aligned = partSpec.foldLeft(aligned0) {
-      case (d, (_, byName, Some(c), _)) => d.withColumn(byName, c)
+      case (d, SpecWrite(_, byName, Some(c), _, _)) =>
+        d.withColumn(byName, c)
       case (d, _) => d
     }
+    // ---- write distribution (Iceberg write.distribution-mode=hash) --
+    // Without it every input task writes one file into every partition
+    // dir it touches — a days×bucket append fed from a wide shuffle
+    // bursts into tasks×partitions tiny files per commit at cluster
+    // scale. REBALANCE hash-clusters rows on the partition tuple so
+    // each tuple lands in (normally) exactly one task; under AQE it
+    // additionally coalesces small outputs and SPLITS skewed tuples,
+    // so a 100-GB partition value is not pinned to a single writer —
+    // the same runtime shape Spark-on-Iceberg gets from
+    // write.distribution-mode=hash. Unpartitioned writes keep the
+    // caller's layout (compaction's coalesce bound, a sorted append's
+    // clustering).
+    val distributed =
+      if (partCols.isEmpty) aligned
+      else aligned.hint("rebalance", partCols.map(col): _*)
 
     // ---- distributed data write ----
     val dataRel = s"data/graft-append-${UUID.randomUUID()}"
     val outDir = new Path(tree.tableLocation, dataRel)
-    val w = aligned.write.mode("errorifexists")
+    val w = distributed.write.mode("errorifexists")
     if (partCols.nonEmpty) w.partitionBy(partCols: _*)
       .parquet(outDir.toString)
     else w.parquet(outDir.toString)
@@ -338,9 +371,8 @@ object IcebergWriteBack {
       "written files lack expected partition dirs (layout drift)")
 
     // ---- new data manifest ----
-    val avroPartFields = partSpec.map { case (phys, _, _, t) =>
-      phys -> IcebergExport.partitionAvroType(t)
-    }
+    val avroPartFields = partSpec.map(p =>
+      p.phys -> IcebergExport.partitionAvroType(p.tupleType))
     val entrySchema = IcebergExport.manifestEntrySchema(avroPartFields,
       v3 = tree.formatVersion >= 3)
     val glue = org.apache.spark.sql.graftglue.GraftSqlGlue
@@ -357,8 +389,13 @@ object IcebergWriteBack {
       dfr.put("file_format", "PARQUET")
       val part = new GenericData.Record(
         dfr.getSchema.getField("partition").schema())
-      partSpec.foreach { case (phys, byName, _, t) =>
-        part.put(phys, IcebergExport.partitionValue(tuple(byName), t))
+      partSpec.foreach { p =>
+        val raw = tuple(p.dirCol)
+        val decoded =
+          if (raw == "__HIVE_DEFAULT_PARTITION__") raw
+          else p.dirDecode.fold(raw)(_.apply(raw))
+        part.put(p.phys,
+          IcebergExport.partitionValue(decoded, p.tupleType))
       }
       dfr.put("partition", part)
       dfr.put("record_count", rows)

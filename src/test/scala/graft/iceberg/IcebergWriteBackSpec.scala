@@ -82,8 +82,7 @@ class IcebergWriteBackSpec extends SparkSpec {
   }
 
   test("hidden-transform appends into graft's own days(d) export work; " +
-      "truncate-on-string specs and schema mismatches still refuse, " +
-      "committing nothing") {
+      "schema mismatches still refuse, committing nothing") {
     // a days(d) export used to refuse appends — the writer now
     // evaluates the spec's transform exactly, so it commits
     val t = GraftTable(spark, tmpDir("wb-days") + "/t")
@@ -95,9 +94,23 @@ class IcebergWriteBackSpec extends SparkSpec {
     assert(IcebergImport.read(spark, t.location).orderBy("id")
       .select("id").as[Long].collect().toSeq === Seq(1L, 2L))
 
-    // truncate-on-string spec: refuse (hive-dir round trip is lossy)
+    val u = GraftTable(spark, tmpDir("wb-mismatch") + "/t")
+    u.append(Seq((1L, "a")).toDF("id", "v"))
+    IcebergExport.export(spark, u)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWriteBack.appendTo(spark, u.location,
+        Seq((2L, "b", 9)).toDF("id", "v", "extra")))
+    assert(e2.getMessage.contains("extra"))
+    assert(IcebergImport.read(spark, u.location).count() === 1)
+  }
+
+  test("truncate[w]-on-STRING appends write exact manifest tuples for " +
+      "hostile values ('+', space, %XX lookalikes, unicode, empty), " +
+      "keep empty distinct from null, and read-side pruning covers " +
+      "the written files") {
     import graft.iceberg.ForeignFixtures
     import graft.iceberg.ForeignFixtures.{Data, Snap}
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val loc = tmpDir("wb-truncstr") + "/ft"
     new java.io.File(loc).mkdirs()
     val fA = ForeignFixtures.writeParquet(spark, loc, "A",
@@ -108,21 +121,100 @@ class IcebergWriteBackSpec extends SparkSpec {
         "string")),
       Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 1, 1L,
         Map("v_trunc" -> "ab"))))), lastColumnId = 2)
-    val beforeT = IcebergImport.currentSnapshotId(spark, loc)
-    val e = intercept[IllegalArgumentException](
-      IcebergWriteBack.appendTo(spark, loc,
-        Seq((2L, "xyz")).toDF("id", "v")))
-    assert(e.getMessage.contains("truncate-on-string"))
-    assert(IcebergImport.currentSnapshotId(spark, loc) === beforeT)
+    // every hive-dir hazard the old refusal cited: '+' and space (the
+    // URL-decode folds), a literal %41 (decode corrupts), unicode,
+    // the EMPTY string (collides with the null dir marker), and null
+    val rows = Seq((2L, Some("a+b")), (3L, Some("a b")), (4L, Some("%41x")),
+      (5L, Some("日本語")), (6L, Some("")), (7L, None: Option[String]),
+      (8L, Some("xyz")))
+    val sid = IcebergWriteBack.appendTo(spark, loc, rows.toDF("id", "v"))
+    assert(IcebergImport.read(spark, loc).orderBy("id")
+      .select("v").as[Option[String]].collect().toSeq ===
+      Some("abc") +: rows.map(_._2))
+    // tuple exactness: each appended file's tuple == truncate(v, 2)
+    // of every row it holds (and the null row's tuple IS null, while
+    // the empty string's tuple is "" — not conflated)
+    val (fs, meta, _) = IcebergImport.parseMeta(spark, loc)
+    val snapJ = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == sid).get
+    val entries = IcebergImport.readAvro(fs,
+      (snapJ \ "manifest-list").extract[String])
+      .filter(r => r.get("added_snapshot_id").asInstanceOf[Long] == sid)
+      .flatMap(m => IcebergImport.readAvro(fs,
+        m.get("manifest_path").toString))
+    assert(entries.nonEmpty)
+    var checked = 0L
+    entries.foreach { e =>
+      val df = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val tup = Option(df.get("partition")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("v_trunc")).map(_.toString)
+      val fileRows = spark.read.parquet(df.get("file_path").toString)
+        .select("id", "v").collect()
+      fileRows.foreach { r =>
+        val want = Option(r.getString(1)).map(_.take(2))
+        assert(want === tup, s"tuple mismatch for id=${r.getLong(0)}")
+      }
+      checked += fileRows.length
+    }
+    assert(checked === rows.size)
+    // manifest-level pruning by the truncate transform covers the
+    // newly-written files (the read side's existing truncate pruning)
+    val pruned = IcebergImport.readWhere(spark, loc, col("v") === "a+b")
+    assert(pruned.select("id").as[Long].collect().toSeq === Seq(2L))
+    // the external hand-walker agrees on the committed tree
+    val path = new java.net.URI("file://" + loc).getPath
+    val out = scala.sys.process.Process(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t")).!!
+    assert(out.trim.split("\n").last === "8")
+  }
 
-    val u = GraftTable(spark, tmpDir("wb-mismatch") + "/t")
-    u.append(Seq((1L, "a")).toDF("id", "v"))
-    IcebergExport.export(spark, u)
-    val e2 = intercept[IllegalArgumentException](
-      IcebergWriteBack.appendTo(spark, u.location,
-        Seq((2L, "b", 9)).toDF("id", "v", "extra")))
-    assert(e2.getMessage.contains("extra"))
-    assert(IcebergImport.read(spark, u.location).count() === 1)
+  test("partitioned appends hash-distribute by the partition tuple " +
+      "(write.distribution-mode=hash): a wide multi-task frame writes " +
+      "O(partitions) files, not O(tasks x partitions)") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    import org.apache.spark.sql.types.LongType
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val loc = tmpDir("wb-distro") + "/ft"
+    new java.io.File(loc).mkdirs()
+    def day(d: String): java.sql.Date = java.sql.Date.valueOf(d)
+    val fSeed = ForeignFixtures.writeParquet(spark, loc, "S",
+      Seq((1000L, day("2024-03-01"))).toDF("id", "d"))
+    ForeignFixtures.writeTree(loc, Seq(ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "d", "date")))), 0,
+      Seq(ForeignFixtures.SpecField("id_bucket", "bucket[8]", 1, "int"),
+        ForeignFixtures.SpecField("d_day", "day", 2, "int")),
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fSeed, 1, 1L,
+        Map("id_bucket" -> graft.functions.IcebergBucketHash
+          .bucketValue(1000L, LongType, 8),
+          "d_day" -> day("2024-03-01").toLocalDate.toEpochDay.toInt))))),
+      lastColumnId = 2)
+    // 16 writer tasks x 400 rows over 2 days x 8 buckets = 16 tuples;
+    // each input task sees (nearly) every tuple, so without hash
+    // distribution the dynamic-partition writer would cut up to
+    // tasks x tuples = 256 files — the small-files explosion
+    val frame = (1L to 400L).map(i =>
+      (i, day(if (i % 2 == 0) "2024-03-05" else "2024-03-06")))
+      .toDF("id", "d").repartition(16)
+    val sid = IcebergWriteBack.appendTo(spark, loc, frame)
+    val (fs, meta, _) = IcebergImport.parseMeta(spark, loc)
+    val snapJ = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == sid).get
+    val added = IcebergImport.readAvro(fs,
+      (snapJ \ "manifest-list").extract[String])
+      .filter(r => r.get("added_snapshot_id").asInstanceOf[Long] == sid)
+      .flatMap(m => IcebergImport.readAvro(fs,
+        m.get("manifest_path").toString))
+    // one file per live partition tuple: the hash distribution routes
+    // every tuple to exactly one task (AQE may split a genuinely
+    // SKEWED tuple, impossible at this size)
+    assert(added.size === 16,
+      s"expected O(partitions)=16 files, got ${added.size}")
+    // and the rows all arrived
+    assert(IcebergImport.read(spark, loc).count() === 401)
   }
 
   test("deleteWhere: a position-delete commit every reader honors; " +
