@@ -117,5 +117,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // log's per-file row counts (manifest metadata) instead of a scan,
     // when provably scan-equivalent — see GraftCountStarRule.
     ext.injectOptimizerRule(new graft.sql.GraftCountStarRule(_))
+
+    // SELECT COUNT(*) FROM <registered FOREIGN Iceberg view> answers
+    // from the foreign tree's manifests (minus exactly-applying
+    // position tombstones) instead of the MOR scan — the reference's
+    // headline external-engine check. Post-hoc resolution: the match
+    // is by stored-view plan identity, which optimization would erase.
+    ext.injectPostHocResolutionRule(new graft.sql.GraftForeignCountRule(_))
   }
 }

@@ -1137,6 +1137,79 @@ object IcebergImport {
     }
   }
 
+  /** Deletion vectors decoded EXECUTOR-side into the position-delete
+    * row shape (file_path, pos, __ice_dseq) — one task per blob; a DV
+    * is the spec's compressed position-delete encoding, so downstream
+    * treats both kinds identically. */
+  private def dvRows(spark: SparkSession, dvs: Seq[DvRef]): DataFrame = {
+    val confBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      spark.sessionState.newHadoopConf().write(oos)
+      oos.close(); bos.toByteArray
+    }
+    val bc = spark.sparkContext.broadcast(confBytes)
+    val rdd = spark.sparkContext.parallelize(dvs,
+      math.max(1, math.min(dvs.size, 256))).flatMap { dv =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.readFields(new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(bc.value)))
+        Puffin.readDv(conf, dv.uri, dv.offset, dv.length)
+          .map(pos => Row(dv.dataFileUri, pos, dv.seq))
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("pos", LongType),
+      StructField("__ice_dseq", LongType))))
+  }
+
+  /** EXACT `COUNT(*)` of the resolved snapshot WITHOUT opening any data
+    * file — the Iceberg "count from manifests" answer external engines
+    * give the reference's headline check
+    * (/root/reference/README.md:121-126). Sum of live-file
+    * `record_count`s minus the tombstones that apply to them:
+    *
+    *   - no live deletes → a pure driver-side manifest sum;
+    *   - position deletes / deletion vectors → one metadata-scale job
+    *     over the DELETE files only (parquet position rows + DV blob
+    *     decodes), counting DISTINCT applying (file, pos) pairs — exact
+    *     under duplicate tombstones across delete files AND under a DV
+    *     that merged (but did not physically supersede) older parquet
+    *     position deletes of the same file;
+    *   - live EQUALITY deletes → None (their match set is only knowable
+    *     against the data rows; callers fall back to the scan).
+    *
+    * At 100 TB the difference is manifests + kilobyte-scale tombstone
+    * files vs a full-table scan job. */
+  def countExact(spark: SparkSession, tableLocation: String,
+      at: Option[String] = None): Option[Long] = {
+    val p = plan(spark, tableLocation, at)
+    val (eqDeletes, posDeletes) =
+      p.deletes.partition(_.equalityCols.isDefined)
+    if (eqDeletes.nonEmpty) return None
+    val total = p.files.map(_.rows).sum
+    if (posDeletes.isEmpty && p.dvs.isEmpty) return Some(total)
+    // applying tombstone = targets a LIVE file at dseq >= the file's
+    // data sequence (the same condition the MOR read applies); the
+    // file map is a LocalRelation with accurate stats, so the planner
+    // broadcasts it against the delete scan
+    val liveSeq = spark.createDataFrame(p.files.map(f => (f.uri, f.seq)))
+      .toDF("__ice_target", "__ice_fseq")
+    val parquetDel = Option.when(posDeletes.nonEmpty)(
+      posDeletes.groupBy(_.seq).map { case (seq, group) =>
+        spark.read.parquet(group.map(_.uri): _*)
+          .select(col("file_path"), col("pos"),
+            lit(seq).as("__ice_dseq"))
+      }.reduce(_ unionByName _))
+    val dvDel = Option.when(p.dvs.nonEmpty)(dvRows(spark, p.dvs))
+    val tombstoned = (parquetDel.toSeq ++ dvDel.toSeq)
+      .reduce(_ unionByName _)
+      .join(liveSeq, col("file_path") === col("__ice_target"))
+      .filter(col("__ice_dseq") >= col("__ice_fseq"))
+      .select("file_path", "pos").distinct().count()
+    Some(total - tombstoned)
+  }
+
   /** Read the resolved snapshot as a live DataFrame — one parquet scan,
     * metadata attached by broadcast joins (see the object doc for the
     * scale argument). */
@@ -1516,28 +1589,7 @@ object IcebergImport {
               .select(col("file_path"), col("pos"),
                 lit(seq).as("__ice_dseq"))
           }.reduce(_ unionByName _))
-        val dvDel = Option.when(p.dvs.nonEmpty) {
-          val confBytes = {
-            val bos = new java.io.ByteArrayOutputStream()
-            val oos = new java.io.ObjectOutputStream(bos)
-            spark.sessionState.newHadoopConf().write(oos)
-            oos.close(); bos.toByteArray
-          }
-          val bc = spark.sparkContext.broadcast(confBytes)
-          val dvList = p.dvs
-          val rdd = spark.sparkContext.parallelize(dvList,
-            math.max(1, math.min(dvList.size, 256))).flatMap { dv =>
-              val conf = new org.apache.hadoop.conf.Configuration(false)
-              conf.readFields(new java.io.ObjectInputStream(
-                new java.io.ByteArrayInputStream(bc.value)))
-              Puffin.readDv(conf, dv.uri, dv.offset, dv.length)
-                .map(pos => Row(dv.dataFileUri, pos, dv.seq))
-            }
-          spark.createDataFrame(rdd, StructType(Seq(
-            StructField("file_path", StringType),
-            StructField("pos", LongType),
-            StructField("__ice_dseq", LongType))))
-        }
+        val dvDel = Option.when(p.dvs.nonEmpty)(dvRows(spark, p.dvs))
         val posDel = (parquetDel.toSeq ++ dvDel.toSeq)
           .reduce(_ unionByName _)
           .join(uriMap,

@@ -817,6 +817,59 @@ object TableQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Metadata-only `COUNT(*)` over registered FOREIGN trees — the
+    * reference's headline external-engine check
+    * (/root/reference/README.md:121-126), answered the way Iceberg
+    * engines answer it: manifest `record_count` sums minus
+    * exactly-applying position tombstones, never opening a data file
+    * ([[graft.sql.GraftForeignCountRule]]). Tree 1 carries the mixed
+    * worst case (v2 position-delete files, then a v3 upgrade whose
+    * deletes are DELETION VECTORS) and must collapse to a
+    * LocalRelation — the in-flight require pins that no scan operator
+    * exists in the plan at all. Tree 2 carries live EQUALITY deletes,
+    * whose match set is only knowable against data rows — the rewrite
+    * must DECLINE and the honest MOR scan answers. */
+  val qIcebergCountMeta: Q = (s, dir) => {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val t = GraftTable(s, scratch("icecntmeta"))
+    t.append(Tables.load(s, dir, "orders"))
+    graft.iceberg.IcebergExport.export(s, t, history = 2)
+    graft.iceberg.IcebergWriteBack.deleteWhere(s, t.location,
+      col("o_orderkey") % 9 === 0)
+    graft.iceberg.IcebergWriteBack.upgradeFormatVersion(s, t.location, 3)
+    graft.iceberg.IcebergWriteBack.deleteWhere(s, t.location,
+      col("o_orderkey") % 7 === 0)
+    s.sql(s"CALL graft.register_iceberg('${t.location}', " +
+      "name => 'ice_cnt_meta')")
+    val metaCnt = s.sql("SELECT COUNT(*) AS n_meta FROM ice_cnt_meta")
+    require(metaCnt.queryExecution.optimizedPlan
+      .isInstanceOf[LocalRelation],
+      "foreign COUNT(*) did not collapse to a manifest answer: " +
+        metaCnt.queryExecution.optimizedPlan.nodeName)
+
+    val u = GraftTable(s, scratch("icecnteq"))
+    u.append(Tables.load(s, dir, "orders"))
+    graft.iceberg.IcebergExport.export(s, u)
+    graft.iceberg.IcebergWriteBack.deleteKeys(s, u.location,
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+    s.sql(s"CALL graft.register_iceberg('${u.location}', " +
+      "name => 'ice_cnt_eq')")
+    val eqCnt = s.sql("SELECT COUNT(*) AS n_eq FROM ice_cnt_eq")
+    require(!eqCnt.queryExecution.optimizedPlan
+      .isInstanceOf[LocalRelation],
+      "equality-delete count must fall back to the scan")
+    val out = metaCnt.crossJoin(eqCnt)
+    Seq("ice_cnt_meta", "ice_cnt_eq").foreach(s.catalog.dropTempView)
+    out
+  }
+  val qIcebergCountMetaSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_orderkey % 9 <> 0 AND o_orderkey % 7 <> 0) AS n_meta,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_orderkey % 5 <> 0) AS n_eq""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -2453,6 +2506,8 @@ object TableQueries {
     ("q_stream_iceberg_sink", qIcebergStreamSink,
       Some(qIcebergStreamSinkSql)),
     ("q_iceberg_register", qIcebergRegister, Some(qIcebergRegisterSql)),
+    ("q_iceberg_count_meta", qIcebergCountMeta,
+      Some(qIcebergCountMetaSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

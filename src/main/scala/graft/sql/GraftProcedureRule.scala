@@ -219,9 +219,15 @@ case class GraftCallCommand(proc: String, location: String,
         val viewName = args.getOrElse("name",
           throw new IllegalArgumentException(s"graft.$proc needs name"))
         val at = args.get("at")
-        graft.iceberg.IcebergImport.read(spark, location, at)
-          .createOrReplaceTempView(viewName)
-        graft.iceberg.IcebergImport.plan(spark, location, at).snapshotId
+        val view = graft.iceberg.IcebergImport.read(spark, location, at)
+        view.createOrReplaceTempView(viewName)
+        val pinned =
+          graft.iceberg.IcebergImport.plan(spark, location, at).snapshotId
+        // COUNT(*) on the view answers from manifests when exact
+        // ([[GraftForeignCountRule]]), pinned to the SAME snapshot
+        GraftForeignCountRule.register(view.queryExecution.analyzed,
+          location, Some(pinned.toString))
+        pinned
       case "expire_iceberg" =>
         // foreign-tree maintenance: metadata-only snapshot expiry (no
         // file deletion — other engines may be reading pinned snapshots)

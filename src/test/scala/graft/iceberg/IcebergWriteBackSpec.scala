@@ -704,6 +704,68 @@ class IcebergWriteBackSpec extends SparkSpec {
       .foreach(spark.catalog.dropTempView)
   }
 
+  test("COUNT(*) on a registered FOREIGN view answers from manifests " +
+      "(plan collapses to a LocalRelation, zero data files opened), " +
+      "exact under position deletes + deletion vectors, pinned to the " +
+      "registered snapshot; equality deletes and filters fall back to " +
+      "the honest scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val t = GraftTable(spark, tmpDir("wb-countmeta") + "/t")
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    // v2 position-delete files, then a v3 upgrade whose deleteWhere
+    // writes DELETION VECTORS — the mixed-tombstone worst case (a DV
+    // can merge rows older parquet deletes also name; the count must
+    // not double-subtract)
+    IcebergWriteBack.deleteWhere(spark, t.location, col("id") % 10 === 0)
+    IcebergWriteBack.upgradeFormatVersion(spark, t.location, 3)
+    IcebergWriteBack.deleteWhere(spark, t.location, col("id") % 7 === 0)
+    spark.sql(s"CALL graft.register_iceberg('${t.location}', " +
+      "name => 'cnt_v')")
+    val expect = (1L to 100L).count(i => i % 10 != 0 && i % 7 != 0)
+
+    val cnt = spark.sql("SELECT COUNT(*) AS n FROM cnt_v")
+    // metadata-only: the whole count plan IS a LocalRelation — no scan
+    // operator exists, so zero data files can be opened by it
+    assert(cnt.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      cnt.queryExecution.optimizedPlan.nodeName)
+    assert(cnt.collect()(0).getLong(0) === expect)
+    // the honest MOR read agrees (collect, not count — a structurally
+    // identical read would hit the same rewrite)
+    assert(IcebergImport.read(spark, t.location).collect().length
+      === expect)
+    // Dataset.count() on the view takes the same manifest path
+    assert(spark.table("cnt_v").count() === expect)
+
+    // the pin: a commit AFTER registration does not leak into the count
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((200L, "late")).toDF("id", "v"))
+    assert(spark.table("cnt_v").count() === expect)
+
+    // a filter blocks the rewrite — and the scan answer matches
+    val filtered = spark.sql("SELECT COUNT(*) AS n FROM cnt_v " +
+      "WHERE id > 50")
+    assert(!filtered.queryExecution.optimizedPlan
+      .isInstanceOf[LocalRelation])
+    assert(filtered.collect()(0).getLong(0) ===
+      (51L to 100L).count(i => i % 10 != 0 && i % 7 != 0))
+
+    // LIVE EQUALITY DELETES: only knowable against data rows — the
+    // rewrite declines and the MOR scan answers
+    val u = GraftTable(spark, tmpDir("wb-countmeta") + "/u")
+    u.append((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, u)
+    IcebergWriteBack.deleteKeys(spark, u.location,
+      Seq(3L, 4L).toDF("id"))
+    spark.sql(s"CALL graft.register_iceberg('${u.location}', " +
+      "name => 'cnt_eq')")
+    val eqCnt = spark.sql("SELECT COUNT(*) AS n FROM cnt_eq")
+    assert(!eqCnt.queryExecution.optimizedPlan
+      .isInstanceOf[LocalRelation])
+    assert(eqCnt.collect()(0).getLong(0) === 48L)
+    Seq("cnt_v", "cnt_eq").foreach(spark.catalog.dropTempView)
+  }
+
   test("expireSnapshots: metadata-only expiry keeps the retention chain " +
       "plus every ref target; expired time travel fails loud; no file " +
       "is deleted") {
