@@ -1522,6 +1522,84 @@ object IcebergWriteBack {
   // data commit.
   // --------------------------------------------------------------------
 
+  /** PARTITION-SPEC evolution: register a new spec — the current
+    * default spec's fields plus one more — and make it the default.
+    * Metadata-only, exactly Iceberg's `ALTER TABLE ... ADD PARTITION
+    * FIELD`: existing data files keep their own spec id (the
+    * multi-spec read path scopes pruning and delete application per
+    * spec), while the NEXT write lays out — and external planners
+    * prune — under the evolved spec. The transform is validated here
+    * as one the writer can evaluate EXACTLY ([[specPartition]]'s
+    * rule): a spec this engine could register but not write truthful
+    * tuples for would poison every future append. Returns the new
+    * spec id. */
+  def addPartitionField(spark: SparkSession, tableLocation: String,
+      sourceCol: String, transform: String,
+      name: Option[String] = None): Int = {
+    import org.json4s.JsonDSL._
+    implicit val fmts: Formats = DefaultFormats
+    val tree = loadTree(spark, tableLocation)
+    val (_, srcId, srcT) = tree.fields.find(_._1 == sourceCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"partition source column $sourceCol not in schema"))
+    val srcType = IcebergImport.sparkType(srcT)
+    require(transform == "identity" ||
+      IcebergImport.SupportedTransform.matches(transform),
+      s"unsupported partition transform $transform — supported: " +
+        "identity, bucket[N], truncate[W], year, month, day, hour")
+    // evaluability check: foreignTransformCol throws on an invalid
+    // (transform, source type) pairing, e.g. day on a long column
+    if (transform != "identity")
+      IcebergImport.foreignTransformCol(transform, col(sourceCol),
+        srcType)
+    val fieldName = name.getOrElse(transform match {
+      case "identity" => sourceCol
+      case IcebergImport.SupportedTransform.Bucket(n) =>
+        s"${sourceCol}_bucket_$n"
+      case IcebergImport.SupportedTransform.Truncate(w) =>
+        s"${sourceCol}_trunc_$w"
+      case t => s"${sourceCol}_$t"
+    })
+    require(!tree.specTriples.exists(_._1 == fieldName),
+      s"spec field $fieldName already exists in the default spec")
+    require(transform == "identity" ||
+      !tree.fields.exists(_._1 == fieldName),
+      s"spec field $fieldName collides with a schema column")
+    require(!tree.specTriples.exists(t =>
+      t._2 == transform && t._3 == srcId),
+      s"the default spec already partitions by $transform($sourceCol)")
+
+    val allSpecs = (tree.meta \ "partition-specs").children
+    val newSpecId = allSpecs.map(s =>
+      (s \ "spec-id").extractOpt[Int].getOrElse(0))
+      .foldLeft(tree.defaultSpecId)(math.max) + 1
+    // next partition-field-id: the metadata's last-partition-id when
+    // recorded, else the max field-id across every spec, else the
+    // spec's 999 base (field ids start at 1000)
+    val newFieldId = (tree.meta \ "last-partition-id").extractOpt[Int]
+      .orElse {
+        val ids = allSpecs.flatMap(s => (s \ "fields").children
+          .flatMap(f => (f \ "field-id").extractOpt[Int]))
+        Option.when(ids.nonEmpty)(ids.max)
+      }.getOrElse(999) + 1
+    val newField: JValue = ("name" -> fieldName) ~
+      ("transform" -> transform) ~ ("source-id" -> srcId) ~
+      ("field-id" -> newFieldId)
+    val newSpec: JValue = ("spec-id" -> newSpecId) ~
+      ("fields" -> JArray(tree.defSpecFields.toList :+ newField))
+    val now = System.currentTimeMillis()
+    val replaced = Set("last-updated-ms", "partition-specs",
+      "default-spec-id", "last-partition-id")
+    val kept = tree.meta.asInstanceOf[JObject].obj
+      .filterNot(f => replaced.contains(f._1))
+    writeVersion(tree, JObject(kept ++ List[JField](
+      "last-updated-ms" -> JLong(now),
+      "partition-specs" -> JArray(allSpecs :+ newSpec),
+      "default-spec-id" -> JInt(newSpecId),
+      "last-partition-id" -> JInt(newFieldId))))
+    newSpecId
+  }
+
   /** Apply `edit` to the current schema's field list, register the
     * result as a new schema, and advance current-schema-id. Returns the
     * new schema id. `updateProps` may return a replacement `properties`

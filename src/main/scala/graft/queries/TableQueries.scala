@@ -870,6 +870,47 @@ object TableQueries {
       |  (SELECT COUNT(*) FROM orders
       |   WHERE o_orderkey % 5 <> 0) AS n_eq""".stripMargin
 
+  /** PARTITION-SPEC evolution on a foreign tree
+    * (`CALL graft.evolve_iceberg(op => 'add_partition_field')`,
+    * Iceberg's `ALTER TABLE ... ADD PARTITION FIELD`): half the corpus
+    * commits under the original unpartitioned spec 0, the spec evolves
+    * to bucket[8] on the customer key, the other half commits under
+    * spec 1 — then ONE read returns both generations and a point
+    * lookup PRUNES the evolved generation to a single bucket while
+    * scanning the pre-evolution files in full (they carry no tuple to
+    * prune by). The in-flight require pins that file-count shape. */
+  val qIcebergSpecEvolve: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icespecev"))
+    t.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0))
+    graft.iceberg.IcebergExport.export(s, t, history = 2)
+    val preFiles = graft.iceberg.IcebergImport.plan(s, t.location)
+      .files.size
+    val newSpecId = s.sql(s"CALL graft.evolve_iceberg('${t.location}', " +
+      "op => 'add_partition_field', col => 'o_custkey', " +
+      "transform => 'bucket[8]')").collect()(0).getLong(0)
+    require(newSpecId > 0L, s"spec evolution returned id $newSpecId")
+    graft.iceberg.IcebergWriteBack.appendTo(s, t.location,
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 2 =!= 0))
+    val post = graft.iceberg.IcebergImport.plan(s, t.location).files
+    val newFiles = post.size - preFiles
+    require(newFiles > 1, s"evolved append produced $newFiles files — " +
+      "need >1 bucket for the prune check to mean anything")
+    // point lookup: all pre-evolution files (un-prunable) + exactly
+    // the one bucket of the evolved generation
+    val probed = graft.iceberg.IcebergImport.readWhere(s, t.location,
+      col("o_custkey") === 7L)
+    require(probed.inputFiles.length <= preFiles + 1,
+      s"spec-evolution pruning broke: scanned " +
+        s"${probed.inputFiles.length} files, want <= ${preFiles + 1}")
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergSpecEvolveSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -2508,6 +2549,8 @@ object TableQueries {
     ("q_iceberg_register", qIcebergRegister, Some(qIcebergRegisterSql)),
     ("q_iceberg_count_meta", qIcebergCountMeta,
       Some(qIcebergCountMetaSql)),
+    ("q_iceberg_spec_evolve", qIcebergSpecEvolve,
+      Some(qIcebergSpecEvolveSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

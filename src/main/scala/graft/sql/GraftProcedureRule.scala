@@ -281,8 +281,18 @@ case class GraftCallCommand(proc: String, location: String,
             spark, location, colName, args.getOrElse("type",
               throw new IllegalArgumentException(
                 s"graft.$proc op=widen needs type")))
+          case "add_partition_field" =>
+            // PARTITION-SPEC evolution: new default spec = old fields
+            // + transform(col); old files keep their spec, new writes
+            // lay out under the evolved one
+            graft.iceberg.IcebergWriteBack.addPartitionField(
+              spark, location, colName, args.getOrElse("transform",
+                throw new IllegalArgumentException(
+                  s"graft.$proc op=add_partition_field needs " +
+                    "transform")), args.get("name"))
           case other => throw new IllegalArgumentException(
-            s"graft.$proc op must be add|rename|widen, got $other")
+            s"graft.$proc op must be add|rename|widen|" +
+              s"add_partition_field, got $other")
         }).toLong
       case "import_iceberg_changes" =>
         // incremental FOLLOW: append only the foreign (since, target]
@@ -363,10 +373,14 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //   graft.merge_iceberg(..., deletes => 'equality') upserts with
     //     equality tombstones (no target scan — the streaming shape)
     "merge_iceberg" -> (Seq("source", "keys"), Set("deletes")),
-    //   graft.evolve_iceberg('/path', op => 'add|rename|widen',
+    //   graft.evolve_iceberg('/path',
+    //     op => 'add|rename|widen|add_partition_field',
     //     col => 'c' [, type => 'long'] [, to => 'newname']
-    //     [, default => '7' — v3 initial-default, typed by `type`])
-    "evolve_iceberg" -> (Seq("op", "col"), Set("type", "to", "default")),
+    //     [, default => '7' — v3 initial-default, typed by `type`]
+    //     [, transform => 'bucket[8]' and optional name => 'c_b8'
+    //        for op=add_partition_field — spec evolution])
+    "evolve_iceberg" -> (Seq("op", "col"),
+      Set("type", "to", "default", "transform", "name")),
     //   graft.compact_iceberg('/path' [, small_file_bytes => N,
     //     target_file_bytes => N, min_input_files => N])
     "compact_iceberg" -> (Seq.empty[String],

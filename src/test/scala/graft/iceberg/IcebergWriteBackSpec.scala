@@ -766,6 +766,84 @@ class IcebergWriteBackSpec extends SparkSpec {
     Seq("cnt_v", "cnt_eq").foreach(spark.catalog.dropTempView)
   }
 
+  test("addPartitionField: spec evolution is metadata-only — old files " +
+      "keep spec 0, new writes land under the evolved spec with exact " +
+      "tuples, evolutions stack, and invalid evolutions refuse") {
+    import org.apache.spark.sql.types.LongType
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    def day(n: Int) = java.sql.Date.valueOf(f"2024-03-$n%02d")
+    val t = GraftTable(spark, tmpDir("wb-specev") + "/t")
+    t.append((1L to 20L).map(i => (i, day((i % 5).toInt + 1), s"v$i"))
+      .toDF("id", "d", "v"))
+    IcebergExport.export(spark, t, history = 3)
+    val snapshotsBefore =
+      IcebergImport.snapshots(spark, t.location).count()
+
+    // evolution 1: bucket[4] on id — metadata-only (no new snapshot)
+    val spec1 = IcebergWriteBack.addPartitionField(spark, t.location,
+      "id", "bucket[4]")
+    assert(spec1 === 1)
+    assert(IcebergImport.snapshots(spark, t.location).count()
+      === snapshotsBefore)
+    val sid1 = IcebergWriteBack.appendTo(spark, t.location,
+      (21L to 40L).map(i => (i, day((i % 5).toInt + 1), s"v$i"))
+        .toDF("id", "d", "v"))
+    // tuple exactness on the evolved generation
+    val (fs, meta, _) = IcebergImport.parseMeta(spark, t.location)
+    val snapJ = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == sid1).get
+    val mls = IcebergImport.readAvro(fs,
+      (snapJ \ "manifest-list").extract[String])
+    val newMl = mls.filter(r =>
+      r.get("added_snapshot_id").asInstanceOf[Long] == sid1)
+    // the new manifest is stamped with the EVOLVED spec id
+    assert(newMl.nonEmpty && newMl.forall(r =>
+      r.get("partition_spec_id").asInstanceOf[Int] === spec1))
+    val entries = newMl.flatMap(m => IcebergImport.readAvro(fs,
+      m.get("manifest_path").toString))
+    def bucketOf(id: Long): Int = graft.functions.IcebergBucketHash
+      .bucketValue(id, LongType, 4)
+    var checked = 0
+    entries.foreach { e =>
+      val df = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val tup = df.get("partition")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("id_bucket_4").asInstanceOf[Int]
+      spark.read.parquet(df.get("file_path").toString)
+        .select("id").collect().foreach { r =>
+          assert(bucketOf(r.getLong(0)) === tup); checked += 1 }
+    }
+    assert(checked === 20)
+
+    // evolution 2 stacks: day on d joins the bucket field
+    val spec2 = IcebergWriteBack.addPartitionField(spark, t.location,
+      "d", "day", name = Some("d_day"))
+    assert(spec2 === 2)
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((41L, day(9), "v41")).toDF("id", "d", "v"))
+    // all three generations read together
+    assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+      .collect().sorted === (1L to 41L).toArray)
+    // ...and so does the external hand-walker
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = scala.sys.process.Process(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t")).!!
+    assert(out.trim.split("\n").last === "41")
+
+    // refusals: duplicate (transform, source), bad pairing, unknown col
+    assert(intercept[IllegalArgumentException](
+      IcebergWriteBack.addPartitionField(spark, t.location,
+        "id", "bucket[4]")).getMessage.contains("already"))
+    intercept[IllegalArgumentException](
+      IcebergWriteBack.addPartitionField(spark, t.location,
+        "id", "day")) // time transform on a long column
+    intercept[IllegalArgumentException](
+      IcebergWriteBack.addPartitionField(spark, t.location,
+        "nope", "bucket[4]"))
+  }
+
   test("expireSnapshots: metadata-only expiry keeps the retention chain " +
       "plus every ref target; expired time travel fails loud; no file " +
       "is deleted") {
