@@ -289,11 +289,19 @@ object IcebergImport {
   /** Resolve a foreign table's scan plan at a snapshot: `at` is None
     * (current), a ref name from `refs` (tag or branch), or a snapshot id
     * in digits. */
+  /** `tableLocation` is normally the table ROOT (metadata resolved via
+    * version-hint / highest version), but an explicit
+    * `...metadata.json` path is honored verbatim — the shape a CATALOG
+    * hands out as `metadata-location` ([[graft.catalog.RestCatalog]]),
+    * which may deliberately differ from the directory's latest file
+    * (e.g. after a catalog-side rollback). */
   private[iceberg] def parseMeta(spark: SparkSession, tableLocation: String)
       : (FileSystem, org.json4s.JValue, Path) = {
     val fs = new Path(tableLocation)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val metaFile = resolveMetadataFile(fs, new Path(tableLocation, "metadata"))
+    val metaFile =
+      if (tableLocation.endsWith(".metadata.json")) new Path(tableLocation)
+      else resolveMetadataFile(fs, new Path(tableLocation, "metadata"))
     val meta = org.json4s.jackson.JsonMethods.parse(
       new String(readFully(fs, metaFile), StandardCharsets.UTF_8))
     (fs, meta, metaFile)

@@ -106,6 +106,13 @@ object IcebergWriteBack {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
 
+    // a catalog-resolved metadata-location is a READ handle: committing
+    // through it would bypass the catalog's pointer swap (the catalog,
+    // not the filesystem, owns the current-version decision there)
+    require(!tableLocation.endsWith(".metadata.json"),
+      "write-back needs the table root directory, not a metadata file " +
+        s"(got $tableLocation) — catalog-resolved locations are " +
+        "read-only here")
     val (fs, meta, metaFile) = IcebergImport.parseMeta(spark, tableLocation)
     val formatVersion = (meta \ "format-version").extractOpt[Int]
       .getOrElse(1)

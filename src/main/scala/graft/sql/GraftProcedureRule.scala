@@ -219,14 +219,22 @@ case class GraftCallCommand(proc: String, location: String,
         val viewName = args.getOrElse("name",
           throw new IllegalArgumentException(s"graft.$proc needs name"))
         val at = args.get("at")
-        val view = graft.iceberg.IcebergImport.read(spark, location, at)
+        // with catalog_uri the positional arg is a namespace.table
+        // identifier the REST catalog resolves to a metadata-location
+        // (an exact-version read handle the import honors verbatim)
+        val resolved = args.get("catalog_uri") match {
+          case Some(uri) => graft.catalog.RestCatalog
+            .loadTableMetadataLocation(uri, location)
+          case None => location
+        }
+        val view = graft.iceberg.IcebergImport.read(spark, resolved, at)
         view.createOrReplaceTempView(viewName)
-        val pinned =
-          graft.iceberg.IcebergImport.plan(spark, location, at).snapshotId
+        val pinned = graft.iceberg.IcebergImport
+          .plan(spark, resolved, at).snapshotId
         // COUNT(*) on the view answers from manifests when exact
         // ([[GraftForeignCountRule]]), pinned to the SAME snapshot
         GraftForeignCountRule.register(view.queryExecution.analyzed,
-          location, Some(pinned.toString))
+          resolved, Some(pinned.toString))
         pinned
       case "expire_iceberg" =>
         // foreign-tree maintenance: metadata-only snapshot expiry (no
@@ -390,8 +398,11 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //   graft.upgrade_iceberg('/path', to => 3) — one-way ladder
     "upgrade_iceberg" -> (Seq("to"), Set.empty[String]),
     //   graft.register_iceberg('/path', name => 'view' [, at => ref])
-    //     — snapshot-pinned temp view for plain SQL over a foreign tree
-    "register_iceberg" -> (Seq("name"), Set("at")))
+    //     — snapshot-pinned temp view for plain SQL over a foreign tree;
+    //   graft.register_iceberg('ns.table', name => 'view',
+    //     catalog_uri => 'http://...') resolves the identifier through
+    //     an Iceberg REST catalog first (catalog.RestCatalog)
+    "register_iceberg" -> (Seq("name"), Set("at", "catalog_uri")))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -445,7 +456,10 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
           proc == "evolve_iceberg" || proc == "compact_iceberg" ||
           proc == "expire_iceberg" || proc == "register_iceberg" ||
           proc == "upgrade_iceberg") &&
-          name.contains("/"))
+          (name.contains("/") ||
+            // with catalog_uri the name is a namespace.table identifier
+            // the REST catalog resolves — never a session-catalog table
+            (proc == "register_iceberg" && kvs.contains("catalog_uri"))))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution
