@@ -365,8 +365,16 @@ object IcebergImport {
     // column resolution — the spec's rule — so renames and drop+re-add
     // evolution resolve correctly against pre-evolve files
     val schema = StructType(fieldsJ.map { f =>
+      val typeStr = (f \ "type") match {
+        case JString(s) => s
+        case nested => throw new IllegalArgumentException(
+          "iceberg import supports flat scalar columns only — field '" +
+            (f \ "name").extract[String] + "' has nested type " +
+            org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(nested)))
+      }
       StructField((f \ "name").extract[String],
-        sparkType((f \ "type").extract[String]), nullable = true,
+        sparkType(typeStr), nullable = true,
         new MetadataBuilder().putLong(FieldIdKey,
           (f \ "id").extract[Int].toLong).build())
     })

@@ -104,6 +104,51 @@ class IcebergImportSpec extends SparkSpec {
       t.read().orderBy("id").select("id", "d", "v").collect())
   }
 
+  test("v3 exotic column types (variant / geometry / geography / " +
+      "timestamp_ns / unknown) and nested types refuse LOUDLY on " +
+      "import, naming the type — never a silent mis-map") {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, Snap}
+    Seq("variant", "geometry", "geography", "timestamp_ns",
+      "unknown").foreach { exotic =>
+      val loc = tmpDir(s"imp-exotic-$exotic") + "/ft"
+      new java.io.File(loc).mkdirs()
+      val f = ForeignFixtures.writeParquet(spark, loc, "A",
+        Seq(Tuple1(1L)).toDF("id"))
+      ForeignFixtures.writeTree(loc, Seq(ForeignFixtures.schemaJson(0,
+        Seq((1, "id", "long"), (2, "x", exotic)))), 0, Seq.empty,
+        Seq(Snap(100L, None, 1L, "append", Seq(Data(f, 1, 1L)))),
+        formatVersion = 3, lastColumnId = 2)
+      val e = intercept[IllegalArgumentException](
+        IcebergImport.plan(spark, loc))
+      assert(e.getMessage.contains(exotic),
+        s"refusal for '$exotic' must name the type: ${e.getMessage}")
+      // the full read path refuses identically (schema parse is the
+      // first thing plan() does — no file is ever opened)
+      intercept[IllegalArgumentException](IcebergImport.read(spark, loc))
+    }
+    // nested struct type (a JSON object where flat readers expect a
+    // string) — same loud refusal, not a null-filled column
+    val loc = tmpDir("imp-exotic-nested") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val f = ForeignFixtures.writeParquet(spark, loc, "A",
+      Seq(Tuple1(1L)).toDF("id"))
+    val nestedSchema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"pt","required":false,"type":
+        |  {"type":"struct","fields":[
+        |    {"id":3,"name":"x","required":false,"type":"double"}]}}
+        |]}""".stripMargin
+    ForeignFixtures.writeTree(loc, Seq(nestedSchema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(f, 1, 1L)))),
+      formatVersion = 2, lastColumnId = 3)
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.plan(spark, loc))
+    assert(e.getMessage.contains("nested type") &&
+      e.getMessage.contains("pt"))
+  }
+
   // ---------------------------------------------------------------- //
   // FOREIGN fixture: a metadata tree graft never writes.             //
   // ---------------------------------------------------------------- //
