@@ -532,6 +532,113 @@ object Bench {
       pairs.mkString("{", ",", "}")
     }
 
+    // ---- idle re-check (r13 verdict #3): any top-10 median or 10×
+    // ratio that moved >30% vs the previous committed round's artifact —
+    // plus any 10× ratio sitting above the 2.0 band regardless of
+    // movement — is re-measured after an explicit idle gate, and BOTH
+    // numbers land in the artifact. A loaded-machine outlier is then
+    // dismissible (or confirmed) from the artifact of record alone,
+    // instead of from uncommitted session logs. ----
+    val prevArtifactTxt: Option[String] = {
+      val re = "BENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f))
+          case _ => None
+        }).sortBy(-_._1).headOption.map { case (_, f) =>
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+    }
+    // The committed artifact's bounded tail capture reliably retains
+    // only the final SUMMARY line (the r13 file proves it — its full
+    // line is cut mid-stream), so the previous round's numbers come
+    // from the summary's own sections: `top10_median` (medians of the
+    // slowest ten — exactly the population our median movers are drawn
+    // from; a current top-10 entry absent there has no prior to move
+    // against and is conservatively not a mover) and `scale10x_ratio`
+    // (every 10× ratio, names minus their "q_" prefix). Braces stay
+    // literal under the tail's JSON escaping, so substring-to-"}" is
+    // safe in both the escaped and parsed copies.
+    def summarySection(txt: String, key: String): String = {
+      val i = txt.lastIndexOf(key)
+      if (i < 0) "" else txt.substring(i, math.max(i, txt.indexOf("}", i)) + 1)
+    }
+    val prevMedians: Map[String, Double] = prevArtifactTxt.map { txt =>
+      val pair = """\\?"(q[0-9a-z_]+)\\?":\s*([0-9.]+)""".r
+      pair.findAllMatchIn(summarySection(txt, "top10_median"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    val prevScaleRatios: Map[String, Double] = prevArtifactTxt.map { txt =>
+      val pair = """\\?"([0-9a-z_]+)\\?":\s*([0-9.-]+)""".r
+      pair.findAllMatchIn(summarySection(txt, "scale10x_ratio"))
+        .map(m => ("q_" + m.group(1)) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+
+    def moved(cur: Double, prev: Option[Double]): Boolean =
+      cur > 0 && prev.exists(p => p > 0 && math.abs(cur / p - 1) > 0.30)
+    val medMovers = best.topMedians
+      .filter { case (n, md) => moved(md, prevMedians.get(n)) }
+      .take(4)
+    val scaleMovers = best.scaleRatios
+      .filter { case (n, r) => r > 0 &&
+        (r > 2.0 || moved(r, prevScaleRatios.get(n))) }
+      .take(3)
+    val recheckDropped = (best.topMedians.count { case (n, md) =>
+      moved(md, prevMedians.get(n)) } - medMovers.size) +
+      (best.scaleRatios.count { case (n, r) => r > 0 &&
+        (r > 2.0 || moved(r, prevScaleRatios.get(n))) } - scaleMovers.size)
+    if (recheckDropped > 0) System.err.println(
+      s"[bench] idle_recheck: $recheckDropped mover(s) beyond the " +
+        "4-median + 3-ratio cap were NOT re-measured")
+
+    def idleRuns(n: String, dir: String): (Double, Double) = {
+      onceNamed(n, dir) // warm-up, untimed
+      val rs = Seq.fill(3)(onceNamed(n, dir)).filter(_ >= 0)
+      if (rs.isEmpty) (-1.0, -1.0) else (rs.min, median(rs))
+    }
+    val idleRecheckEntries: Seq[(String, String, Double)] =
+      medMovers.map { case (n, passMed) =>
+        awaitIdle()
+        val sent = graft.util.BenchSentinel.measure(spark, cpus.toInt) /
+          graft.util.BenchSentinel.expected
+        val (mn, md) = idleRuns(n, sfDir)
+        (n,
+          "\"" + n + "\":{\"pass_median_sec\":" + fmt(passMed) +
+            ",\"prev_median_sec\":" +
+            fmt(prevMedians.getOrElse(n, -1.0)) +
+            ",\"idle_min_sec\":" + fmt(mn) +
+            ",\"idle_median_sec\":" + fmt(md) +
+            ",\"sentinel_ratio\":" + f"$sent%.2f" + "}",
+          md)
+      } ++ scaleMovers.flatMap { case (n, passRatio) =>
+        scaleDirOpt.map { scaleDir =>
+          awaitIdle()
+          val sent = graft.util.BenchSentinel.measure(spark, cpus.toInt) /
+            graft.util.BenchSentinel.expected
+          val (baseMn, _) = idleRuns(n, sfDir)
+          val (scaleMn, _) = idleRuns(n, scaleDir)
+          val idleRatio =
+            if (baseMn > 0 && scaleMn >= 0) scaleMn / baseMn else -1.0
+          ("scale10x:" + n,
+            "\"scale10x:" + n + "\":{\"pass_ratio\":" +
+              f"$passRatio%.2f" + ",\"prev_ratio\":" +
+              f"${prevScaleRatios.getOrElse(n, -1.0)}%.2f" +
+              ",\"idle_base_sec\":" + fmt(baseMn) +
+              ",\"idle_scale_sec\":" + fmt(scaleMn) +
+              ",\"idle_ratio\":" + f"$idleRatio%.2f" +
+              ",\"sentinel_ratio\":" + f"$sent%.2f" + "}",
+            idleRatio)
+        }
+      }
+    val idleRecheckJson =
+      idleRecheckEntries.map(_._2).mkString("{", ",", "}")
+    // bounded digest for the summary line: name -> idle median (or
+    // idle 10x ratio), ≤7 entries by construction
+    val idleRecheckShort = idleRecheckEntries
+      .map { case (n, _, v) => "\"" + n + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+
     // stop BEFORE the artifact lines: nothing may write to stdout after
     // the final JSON line (build.sbt's StdoutOutput hands us the raw fd,
     // so these lines reach the driver unframed and unbuffered by sbt)
@@ -539,7 +646,7 @@ object Bench {
 
     // full artifact line (everything): prints FIRST so the compact
     // summary below is what a bounded tail capture retains
-    println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf1":$sf1Json,"assert_mode":$assertJson,"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel":${best.sentinelJson}}""")
+    println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf1":$sf1Json,"assert_mode":$assertJson,"idle_recheck":$idleRecheckJson,"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel":${best.sentinelJson}}""")
 
     // round-over-round regression gate: the newest committed
     // BENCH_r{N}.json (driver artifact in the repo root) supplies the
@@ -603,7 +710,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"total_sec":$t,"worst_ratio":$worst}"""
       }
-    println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"prev_round_ratio":$prevJson,"scale10x_ratio":$scaleRatioJson,"sf1":$sf1Short,"top10_median":$topJson,"unstable":$unstableShort}""")
+    println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"prev_round_ratio":$prevJson,"scale10x_ratio":$scaleRatioJson,"sf1":$sf1Short,"idle_recheck":$idleRecheckShort,"top10_median":$topJson,"unstable":$unstableShort}""")
     System.out.flush()
   }
 }

@@ -1031,10 +1031,15 @@ class GraftTable(spark: SparkSession, val location: String,
         acc.withColumn(f.physName, PartitionTransforms.columnFor(
           f, col(f.source), df.schema(f.source).dataType))),
         fields.map(_.physName))
+    // REBALANCE rather than plain repartition: same tuple→one-task
+    // routing, but AQE also coalesces small outputs and SPLITS a
+    // genuinely skewed partition value instead of pinning it to a
+    // single writer (the same runtime shape the foreign write-back
+    // path uses — IcebergWriteBack.newDataManifest)
     val distributed =
       if (!clustered && physNames.nonEmpty &&
           properties.getOrElse("graft.write.distribution", "none") == "hash")
-        toWrite.repartition(physNames.map(col): _*)
+        toWrite.hint("rebalance", physNames.map(col): _*)
       else toWrite
     // pin MICROS timestamps for the staged write: INT96 (the legacy
     // default some sessions carry) records no usable footer statistics,
