@@ -1,7 +1,5 @@
 package graft.sql
 
-import java.util.concurrent.ConcurrentHashMap
-
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
@@ -59,7 +57,7 @@ class GraftForeignCountRule(spark: SparkSession)
     * real expression — ends the walk (it changes the count). */
   @annotation.tailrec
   private def lookup(p: LogicalPlan): Option[(String, Option[String])] =
-    Option(registry.get(p.canonicalized)) match {
+    lookupExact(p.canonicalized) match {
       case some @ Some(_) => some
       case None => p match {
         case SubqueryAlias(_, child) => lookup(child)
@@ -75,7 +73,7 @@ class GraftForeignCountRule(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(Nil, aggExprs, child, _)
-        if countsOnly(aggExprs) && !registry.isEmpty =>
+        if countsOnly(aggExprs) && !GraftForeignCountRule.isEmpty =>
       lookup(child).flatMap { case (location, at) =>
         try graft.iceberg.IcebergImport.countExact(spark, location, at)
         catch { case NonFatal(_) => None } // re-plan failed: scan
@@ -89,11 +87,26 @@ class GraftForeignCountRule(spark: SparkSession)
 object GraftForeignCountRule {
   /** Canonicalized registered-view plan → (table location, pinned
     * snapshot as an `at` ref). Session-shared like the temp-view
-    * catalog it mirrors; re-registering a view replaces its entry. */
-  private val registry =
-    new ConcurrentHashMap[LogicalPlan, (String, Option[String])]()
+    * catalog it mirrors; re-registering a view replaces its entry.
+    * BOUNDED (LRU, 128): each key retains a full analyzed plan tree,
+    * so a long-lived session registering many views must not
+    * accumulate them forever — evicting an old entry merely turns its
+    * view's COUNT back into the honest scan. */
+  private val MaxEntries = 128
+  private val lru =
+    new java.util.LinkedHashMap[LogicalPlan, (String, Option[String])](
+      32, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, (String, Option[String])])
+          : Boolean = size() > MaxEntries
+    }
 
   private[graft] def register(viewPlan: LogicalPlan, location: String,
       at: Option[String]): Unit =
-    registry.put(viewPlan.canonicalized, (location, at))
+    lru.synchronized { lru.put(viewPlan.canonicalized, (location, at)) }
+
+  private def lookupExact(key: LogicalPlan)
+      : Option[(String, Option[String])] =
+    lru.synchronized { Option(lru.get(key)) }
+  private def isEmpty: Boolean = lru.synchronized { lru.isEmpty }
 }

@@ -75,6 +75,17 @@ case class GraftCallCommand(proc: String, location: String,
     }
   }
 
+  /** When `catalog_uri` is present, `ref` is a namespace.table
+    * identifier the Iceberg REST catalog resolves to the table's
+    * current metadata-location; otherwise `ref` passes through as a
+    * path. */
+  private def catalogResolved(args: Map[String, String],
+      ref: String): String = args.get("catalog_uri") match {
+    case Some(uri) =>
+      graft.catalog.RestCatalog.loadTableMetadataLocation(uri, ref)
+    case None => ref
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftTable(spark, location)
     def longArg(k: String): Option[Long] = args.get(k).map(_.toLong)
@@ -166,9 +177,11 @@ case class GraftCallCommand(proc: String, location: String,
           throw new IllegalArgumentException(s"graft.$proc needs name")))
       case "import_iceberg" =>
         // foreign Iceberg v2 tree → append commit into THIS table
-        // (created if absent); `at` time-travels the foreign history
-        val source = args.getOrElse("source",
-          throw new IllegalArgumentException(s"graft.$proc needs source"))
+        // (created if absent); `at` time-travels the foreign history;
+        // catalog_uri resolves a namespace.table source through the
+        // REST catalog first
+        val source = catalogResolved(args, args.getOrElse("source",
+          throw new IllegalArgumentException(s"graft.$proc needs source")))
         graft.iceberg.IcebergImport.importInto(spark, source, location,
           at = args.get("at"))
           .latestSnapshotId.getOrElse(-1L)
@@ -222,11 +235,7 @@ case class GraftCallCommand(proc: String, location: String,
         // with catalog_uri the positional arg is a namespace.table
         // identifier the REST catalog resolves to a metadata-location
         // (an exact-version read handle the import honors verbatim)
-        val resolved = args.get("catalog_uri") match {
-          case Some(uri) => graft.catalog.RestCatalog
-            .loadTableMetadataLocation(uri, location)
-          case None => location
-        }
+        val resolved = catalogResolved(args, location)
         val view = graft.iceberg.IcebergImport.read(spark, resolved, at)
         view.createOrReplaceTempView(viewName)
         val pinned = graft.iceberg.IcebergImport
@@ -306,8 +315,8 @@ case class GraftCallCommand(proc: String, location: String,
         // incremental FOLLOW: append only the foreign (since, target]
         // append-delta into this table (IcebergImport.readChanges rules:
         // append-only range, else fail loud with full-import guidance)
-        val source = args.getOrElse("source",
-          throw new IllegalArgumentException(s"graft.$proc needs source"))
+        val source = catalogResolved(args, args.getOrElse("source",
+          throw new IllegalArgumentException(s"graft.$proc needs source")))
         graft.iceberg.IcebergImport.importChangesInto(spark, source, t,
           longArg("since").getOrElse(throw new IllegalArgumentException(
             s"graft.$proc needs since (the last imported foreign " +
@@ -360,12 +369,15 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // import a FOREIGN Iceberg v2 table (hand-walk, no Iceberg jar —
     // iceberg.IcebergImport) into the named graft table (append; the
     // table may be a not-yet-existing path): CALL graft.import_iceberg(
-    //   'dest-table-or-path', source => '/path/to/iceberg' [, at => ref])
-    "import_iceberg" -> (Seq("source"), Set("at")),
+    //   'dest-table-or-path', source => '/path/to/iceberg' [, at => ref]
+    //   [, catalog_uri => 'http://...' — source becomes ns.table])
+    "import_iceberg" -> (Seq("source"), Set("at", "catalog_uri")),
     // incremental follow of a foreign table: CALL
     //   graft.import_iceberg_changes('dest', source => '/path',
-    //     since => <last imported foreign snapshot id> [, at => ref])
-    "import_iceberg_changes" -> (Seq("source", "since"), Set("at")),
+    //     since => <last imported foreign snapshot id> [, at => ref]
+    //     [, catalog_uri => ...])
+    "import_iceberg_changes" -> (Seq("source", "since"),
+      Set("at", "catalog_uri")),
     // WRITE-BACK: append a Spark table/view into a FOREIGN Iceberg v2
     // tree (iceberg.IcebergWriteBack) as one snapshot commit: CALL
     //   graft.append_iceberg('/path/to/iceberg', source => 'view_name')

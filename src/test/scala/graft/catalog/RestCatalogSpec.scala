@@ -122,6 +122,13 @@ class RestCatalogSpec extends SparkSpec {
           Seq((99L, "x")).toDF("id", "v")))
       assert(e.getMessage.contains("table root"))
       Seq("cat_tip", "cat_frozen").foreach(spark.catalog.dropTempView)
+
+      // import_iceberg through the catalog: the resolved source
+      // materializes into a graft table
+      val dest = tmpDir("restcat-dest") + "/t"
+      spark.sql(s"CALL graft.import_iceberg('$dest', " +
+        s"source => 'lake.tip', catalog_uri => '$base')")
+      assert(GraftTable(spark, dest).read().count() === 15L)
     }
   }
 }
