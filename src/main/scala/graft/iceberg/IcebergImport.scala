@@ -262,6 +262,47 @@ object IcebergImport {
       "sequence_number")
   }
 
+  /** Iceberg `.manifests`-shaped metadata view: one row per manifest of
+    * the CURRENT snapshot's manifest list — the observable
+    * [[graft.iceberg.IcebergWriteBack.rewriteManifests]] maintains
+    * (manifest-LIST length is the planning cost every scan pays before
+    * reading a byte). Driver-side metadata only. */
+  def manifests(spark: SparkSession, tableLocation: String): DataFrame = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    import spark.implicits._
+    val (fs, meta, metaFile) = parseMeta(spark, tableLocation)
+    val curId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw new IllegalStateException(
+        s"$metaFile has no current snapshot"))
+    val snap = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == curId).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot $curId not in $metaFile"))
+    readAvro(fs, (snap \ "manifest-list").extract[String]).map { r =>
+      def gL(n: String, d: Long) = Option(r.getSchema.getField(n))
+        .flatMap(_ => Option(r.get(n)))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(d)
+      (String.valueOf(r.get("manifest_path")),
+        gL("manifest_length", -1L),
+        Option(r.get("partition_spec_id"))
+          .map(_.asInstanceOf[Number].intValue).getOrElse(0),
+        Option(r.getSchema.getField("content")).flatMap(_ =>
+          Option(r.get("content"))).map(_.asInstanceOf[Number].intValue)
+          .getOrElse(0),
+        gL("sequence_number", 0L),
+        gL("added_snapshot_id", curId),
+        gL("added_data_files_count", 0L),
+        gL("existing_data_files_count", 0L),
+        gL("deleted_data_files_count", 0L),
+        gL("added_rows_count", 0L),
+        gL("existing_rows_count", 0L))
+    }.toDF("path", "length", "partition_spec_id", "content",
+      "sequence_number", "added_snapshot_id", "added_data_files_count",
+      "existing_data_files_count", "deleted_data_files_count",
+      "added_rows_count", "existing_rows_count")
+  }
+
   /** Iceberg `.files`-shaped metadata view over a FOREIGN tree: one row
     * per live data file of the resolved snapshot, with its data sequence
     * number and identity-partition tuple (JSON string — tuples are

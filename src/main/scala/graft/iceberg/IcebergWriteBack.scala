@@ -355,17 +355,51 @@ object IcebergWriteBack {
     // additionally coalesces small outputs and SPLITS skewed tuples,
     // so a 100-GB partition value is not pinned to a single writer —
     // the same runtime shape Spark-on-Iceberg gets from
-    // write.distribution-mode=hash. Unpartitioned writes keep the
-    // caller's layout (compaction's coalesce bound, a sorted append's
+    // write.distribution-mode=hash. SIZE-GATED: below
+    // `graft.iceberg.write.rebalanceMinBytes` (64 MB default) the
+    // extra shuffle buys nothing — a small commit's file count is
+    // bounded by its own size, and the shuffle's stage barrier would
+    // tax every micro-batch (measured: the single-hot-value 10× merge
+    // ratio rose 1.7 → 2.2 with an unconditional rebalance) — so small
+    // frames keep the caller's parallel layout. Unpartitioned writes
+    // always keep it (compaction's coalesce bound, a sorted append's
     // clustering).
+    val rebalanceMin = spark.conf.getOption(
+      "graft.iceberg.write.rebalanceMinBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val distribute = partCols.nonEmpty &&
+      aligned.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        rebalanceMin
     val distributed =
-      if (partCols.isEmpty) aligned
+      if (!distribute) aligned
       else aligned.hint("rebalance", partCols.map(col): _*)
 
     // ---- distributed data write ----
+    // The rebalanced write runs on a CLONED session pinning a smaller
+    // AQE advisory partition size: REBALANCE's skew-split carves a hot
+    // partition value into (size/advisory) writer tasks, and the 64 MB
+    // default leaves a merge whose source lands in ONE value (the
+    // single-status upsert shape) nearly serial. 16 MB restores write
+    // parallelism for hot values while small outputs still coalesce;
+    // cold values stay one-file-per-tuple. The pin lives on the clone
+    // (shared context, private conf) so the caller's session is never
+    // mutated.
+    val writeSpark =
+      if (!distribute) spark
+      else {
+        val s = org.apache.spark.sql.graftglue.GraftSqlGlue
+          .cloneSession(spark)
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "16m")
+        s
+      }
+    val bound =
+      if (!distribute) distributed
+      else org.apache.spark.sql.graftglue.GraftSqlGlue
+        .ofRows(writeSpark, distributed.queryExecution.logical)
     val dataRel = s"data/graft-append-${UUID.randomUUID()}"
     val outDir = new Path(tree.tableLocation, dataRel)
-    val w = distributed.write.mode("errorifexists")
+    val w = bound.write.mode("errorifexists")
     if (partCols.nonEmpty) w.partitionBy(partCols: _*)
       .parquet(outDir.toString)
     else w.parquet(outDir.toString)
@@ -838,7 +872,8 @@ object IcebergWriteBack {
       newRecords: Seq[GenericRecord], operation: String,
       addUnpartSpec: Option[Int],
       replaceManifests: Map[String, GenericRecord] = Map.empty,
-      summaryProps: Map[String, String] = Map.empty): Long = {
+      summaryProps: Map[String, String] = Map.empty,
+      dropManifests: Set[String] = Set.empty): Long = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
@@ -854,7 +889,12 @@ object IcebergWriteBack {
     // pre-lineage manifests).
     var rowIdHwm = tree.nextRowId
     if (tree.formatVersion >= 3) newRecords.foreach { r =>
-      if (r.get("content").asInstanceOf[Number].intValue == 0) {
+      // only manifests that ADD rows consume the row-id space: a
+      // rewritten/consolidated manifest of EXISTING rows carries every
+      // id explicitly per entry (null manifest value = nothing to
+      // inherit), and stamping it would permanently inflate next-row-id
+      if (r.get("content").asInstanceOf[Number].intValue == 0 &&
+          r.get("added_rows_count").asInstanceOf[Number].longValue > 0) {
         r.put("first_row_id", rowIdHwm)
         rowIdHwm +=
           r.get("added_rows_count").asInstanceOf[Number].longValue +
@@ -891,8 +931,10 @@ object IcebergWriteBack {
       ml
     }
     val listRecords: Seq[GenericRecord] =
-      IcebergImport.readAvro(tree.fs, tree.oldListUri).map(r =>
-        replaceManifests.getOrElse(
+      IcebergImport.readAvro(tree.fs, tree.oldListUri)
+        .filterNot(r =>
+          dropManifests(String.valueOf(r.get("manifest_path"))))
+        .map(r => replaceManifests.getOrElse(
           String.valueOf(r.get("manifest_path")), carried(r))) ++
         newRecords
     val metaDir = new Path(tree.tableLocation, "metadata")
@@ -1433,6 +1475,147 @@ object IcebergWriteBack {
       }.toMap
 
     publish(spark, tree, Seq(dataRec), "replace", None, replacements)
+  }
+
+  /** Consolidate the CURRENT snapshot's small DATA manifests — Iceberg's
+    * `rewrite_manifests`. Every append adds a manifest, so a
+    * frequently-committed table (the streaming-sink shape) accretes a
+    * manifest list whose LENGTH, not its data, becomes the planning
+    * bottleneck: at 100 TB a scan opens thousands of manifest files
+    * before reading a byte. This merges small data manifests into one
+    * per group and publishes a `replace` snapshot with added/deleted
+    * row counts of ZERO — no data, delete, or prior-snapshot byte is
+    * touched, and time travel to older snapshots still walks their own
+    * untouched lists.
+    *
+    * Grouping is by (spec-id × exact entry writer schema × the
+    * manifest's own partition-spec/schema-id stamps): entries are
+    * concatenated VERBATIM under their original Avro schema, so no
+    * stats field a foreign writer recorded (column_sizes, value_counts,
+    * nan_counts, ...) can be silently dropped in transcoding — a
+    * mixed-writer tree consolidates within each writer family and
+    * leaves singletons alone. Inherited fields become explicit exactly
+    * as in compaction's manifest rewrite (sequence numbers and
+    * snapshot ids from each source manifest's list entry; v3
+    * first_row_id assigned by the original manifest's base and entry
+    * order), DELETED markers drop (they are history, not live state —
+    * prior snapshots keep them), and EXISTING status is stamped on
+    * everything else. Empty data manifests drop outright. Returns the
+    * new snapshot id (current id when nothing qualified). */
+  def rewriteManifests(spark: SparkSession, tableLocation: String,
+      smallManifestBytes: Long = 8L << 20,
+      minInputManifests: Int = 2): Long = {
+    implicit val fmts: Formats = DefaultFormats
+    val tree = loadTree(spark, tableLocation)
+    val v3 = tree.formatVersion >= 3
+    val listRecs = IcebergImport.readAvro(tree.fs, tree.oldListUri)
+    case class MF(path: String, len: Long, listSeq: Long,
+        addedSnap: Long, specId: Int, content: Int,
+        firstRowId: Option[Long])
+    val mfs = listRecs.map { r =>
+      def gL(n: String, d: Long) = Option(r.getSchema.getField(n))
+        .flatMap(_ => Option(r.get(n)))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(d)
+      MF(String.valueOf(r.get("manifest_path")),
+        gL("manifest_length", Long.MaxValue),
+        gL("sequence_number", 0L), gL("added_snapshot_id", tree.curId),
+        Option(r.get("partition_spec_id")).map(_.asInstanceOf[Number]
+          .intValue).getOrElse(0),
+        Option(r.getSchema.getField("content")).flatMap(_ =>
+          Option(r.get("content"))).map(_.asInstanceOf[Number].intValue)
+          .getOrElse(0),
+        Option(r.getSchema.getField("first_row_id")).flatMap(_ =>
+          Option(r.get("first_row_id")))
+          .map(_.asInstanceOf[Number].longValue))
+    }
+    val candidates = mfs.filter(m =>
+      m.content == 0 && m.len < smallManifestBytes)
+    if (candidates.size < minInputManifests) return tree.curId
+    case class Loaded(m: MF, entries: Seq[GenericRecord],
+        meta: Map[String, String])
+    val loaded = candidates.map { m =>
+      val (es, fm) = IcebergImport.readAvroWithMeta(tree.fs, m.path)
+      Loaded(m, es, fm)
+    }
+    val (empties, nonEmpty) = loaded.partition(_.entries.isEmpty)
+    val groups = nonEmpty.groupBy(l => (l.m.specId,
+      l.entries.head.getSchema.toString,
+      l.meta.getOrElse("partition-spec", ""),
+      l.meta.getOrElse("schema-id", "")))
+    val metaDir = new Path(tree.tableLocation, "metadata")
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val newRecs = groups.toSeq.sortBy(_._2.head.m.path).flatMap {
+      case (_, ls) =>
+        if (ls.size < minInputManifests) None
+        else {
+          val schema = ls.head.entries.head.getSchema
+          val out = ls.flatMap { l =>
+            // v3: the consolidated manifest is a NEW inheritance
+            // context — first_row_id becomes explicit per entry,
+            // assigned by the ORIGINAL manifest's base and entry order
+            // (the read-side inheritance rule, as in compaction)
+            var rowIdCursor = l.m.firstRowId
+            l.entries.flatMap { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              val rc = Option(df.get("record_count"))
+                .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+              if (v3 && df.getSchema.getField("first_row_id") != null &&
+                  Option(df.get("first_row_id")).isEmpty) {
+                rowIdCursor.foreach { c =>
+                  df.put("first_row_id", c)
+                  rowIdCursor = Some(c + rc)
+                }
+              }
+              if (e.get("status").asInstanceOf[Int] == 2) None
+              else {
+                def explicit(n: String, v: Long): Unit =
+                  if (e.getSchema.getField(n) != null &&
+                      e.get(n) == null) e.put(n, v)
+                explicit("sequence_number", l.m.listSeq)
+                explicit("file_sequence_number", l.m.listSeq)
+                explicit("snapshot_id", l.m.addedSnap)
+                e.put("status", 0) // EXISTING
+                Some(e)
+              }
+            }
+          }
+          dropped ++= ls.map(_.m.path)
+          if (out.isEmpty) None // every entry was a DELETED marker
+          else {
+            val name = s"${UUID.randomUUID()}-m0.avro"
+            val len = IcebergExport.writeAvro(
+              new File(IcebergExport.localPath(tree.fs, metaDir), name),
+              schema, out, ls.head.meta)
+            def seqOf(e: GenericRecord): Long =
+              e.get("sequence_number").asInstanceOf[Number].longValue
+            def rowsOf(e: GenericRecord): Long =
+              Option(e.get("data_file").asInstanceOf[GenericRecord]
+                .get("record_count"))
+                .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+            val rec = new GenericData.Record(mlSchema(tree))
+            rec.put("manifest_path",
+              s"${tree.tableUri}/metadata/$name")
+            rec.put("manifest_length", len)
+            rec.put("partition_spec_id", ls.head.m.specId)
+            rec.put("content", 0)
+            rec.put("sequence_number", tree.newSeq)
+            rec.put("min_sequence_number", out.map(seqOf).min)
+            rec.put("added_snapshot_id", tree.newId)
+            rec.put("added_data_files_count", 0)
+            rec.put("existing_data_files_count", out.size)
+            rec.put("deleted_data_files_count", 0)
+            rec.put("added_rows_count", 0L)
+            rec.put("existing_rows_count", out.map(rowsOf).sum)
+            rec.put("deleted_rows_count", 0L)
+            // entries are all explicit: nothing inherits (null value)
+            Some(rec: GenericRecord)
+          }
+        }
+    }
+    dropped ++= empties.map(_.m.path)
+    if (dropped.isEmpty) return tree.curId
+    publish(spark, tree, newRecs, "replace", None,
+      dropManifests = dropped.toSet)
   }
 
   /** MAINTENANCE write-back — expire old foreign snapshots as one

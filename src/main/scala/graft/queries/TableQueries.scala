@@ -911,6 +911,47 @@ object TableQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Foreign `rewrite_manifests` (`CALL
+    * graft.rewrite_manifests_iceberg`): four separate appends accrete
+    * four data manifests — the manifest-LIST growth every
+    * frequently-committed Iceberg table suffers (a 100 TB streaming
+    * sink accretes thousands; planning opens every one before reading
+    * a byte). The rewrite consolidates them into ONE manifest per
+    * writer-schema group as a metadata-only `replace` commit; the
+    * in-flight requires pin the manifest-count collapse and that the
+    * delete manifest is carried untouched, and the oracle pins that
+    * the LIVE ANSWER is byte-identical (explicit sequence numbers keep
+    * the position delete applying to consolidated entries). */
+  val qIcebergRewriteManifests: Q = (s, dir) => {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val t = GraftTable(s, scratch("icerwman"))
+    t.append(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 4 === 0))
+    graft.iceberg.IcebergExport.export(s, t, history = 2)
+    (1 to 3).foreach(k =>
+      graft.iceberg.IcebergWriteBack.appendTo(s, t.location,
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 === k)))
+    graft.iceberg.IcebergWriteBack.deleteWhere(s, t.location,
+      col("o_orderkey") % 11 === 0)
+    def dataManifests(): Long = graft.iceberg.IcebergImport
+      .manifests(s, t.location).filter(col("content") === 0).count()
+    val pre = dataManifests()
+    require(pre >= 4, s"fixture must accrete manifests, got $pre")
+    s.sql(s"CALL graft.rewrite_manifests_iceberg('${t.location}')")
+    val post = dataManifests()
+    require(post == 1L,
+      s"rewrite_manifests must consolidate to ONE data manifest " +
+        s"(pre=$pre, post=$post)")
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergRewriteManifestsSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 11 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
     * `IcebergImport.diffPerCommit` walks the commit range and tags every
     * row with its `_change_ordinal` — append delta at ordinal 0 read
@@ -2551,6 +2592,8 @@ object TableQueries {
       Some(qIcebergCountMetaSql)),
     ("q_iceberg_spec_evolve", qIcebergSpecEvolve,
       Some(qIcebergSpecEvolveSql)),
+    ("q_iceberg_rewrite_manifests", qIcebergRewriteManifests,
+      Some(qIcebergRewriteManifestsSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

@@ -257,6 +257,15 @@ case class GraftCallCommand(proc: String, location: String,
           location, longArg("to").getOrElse(
             throw new IllegalArgumentException(
               s"graft.$proc needs to => 2|3")).toInt).toLong
+      case "rewrite_manifests_iceberg" =>
+        // foreign-tree maintenance: consolidate small DATA manifests
+        // into one per (spec × writer-schema) group — metadata-only,
+        // the manifest-list growth fix for frequently-committed trees
+        graft.iceberg.IcebergWriteBack.rewriteManifests(spark, location,
+          smallManifestBytes = longArg("small_manifest_bytes")
+            .getOrElse(8L << 20),
+          minInputManifests = longArg("min_input_manifests")
+            .getOrElse(2L).toInt)
       case "compact_iceberg" =>
         // foreign-tree maintenance: small-file binpack as one replace
         // commit (deletes consumed into the rewrite)
@@ -330,8 +339,8 @@ case class GraftCallCommand(proc: String, location: String,
           "drop_tag, branch, drop_branch, fast_forward, import_iceberg, " +
           "import_iceberg_changes, append_iceberg, delete_iceberg, " +
           "delete_iceberg_keys, merge_iceberg, evolve_iceberg, " +
-          "compact_iceberg, expire_iceberg, register_iceberg, " +
-          "upgrade_iceberg")
+          "compact_iceberg, rewrite_manifests_iceberg, expire_iceberg, " +
+          "register_iceberg, upgrade_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -405,6 +414,11 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //     target_file_bytes => N, min_input_files => N])
     "compact_iceberg" -> (Seq.empty[String],
       Set("small_file_bytes", "target_file_bytes", "min_input_files")),
+    //   graft.rewrite_manifests_iceberg('/path'
+    //     [, small_manifest_bytes => N, min_input_manifests => N])
+    //     — consolidate small data manifests, metadata-only
+    "rewrite_manifests_iceberg" -> (Seq.empty[String],
+      Set("small_manifest_bytes", "min_input_manifests")),
     //   graft.expire_iceberg('/path', keep_last => N)
     "expire_iceberg" -> (Seq("keep_last"), Set.empty[String]),
     //   graft.upgrade_iceberg('/path', to => 3) — one-way ladder
@@ -466,6 +480,7 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
           proc == "append_iceberg" || proc == "delete_iceberg" ||
           proc == "delete_iceberg_keys" || proc == "merge_iceberg" ||
           proc == "evolve_iceberg" || proc == "compact_iceberg" ||
+          proc == "rewrite_manifests_iceberg" ||
           proc == "expire_iceberg" || proc == "register_iceberg" ||
           proc == "upgrade_iceberg") &&
           (name.contains("/") ||

@@ -199,7 +199,13 @@ class IcebergWriteBackSpec extends SparkSpec {
     val frame = (1L to 400L).map(i =>
       (i, day(if (i % 2 == 0) "2024-03-05" else "2024-03-06")))
       .toDF("id", "d").repartition(16)
-    val sid = IcebergWriteBack.appendTo(spark, loc, frame)
+    // force the size gate open: the production threshold (64 MB) is a
+    // perf valve for small commits, not a correctness feature — this
+    // spec pins the DISTRIBUTION plan shape itself
+    spark.conf.set("graft.iceberg.write.rebalanceMinBytes", "0")
+    val sid =
+      try IcebergWriteBack.appendTo(spark, loc, frame)
+      finally spark.conf.unset("graft.iceberg.write.rebalanceMinBytes")
     val (fs, meta, _) = IcebergImport.parseMeta(spark, loc)
     val snapJ = (meta \ "snapshots").children.find(s =>
       (s \ "snapshot-id").extract[Long] == sid).get
@@ -842,6 +848,104 @@ class IcebergWriteBackSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IcebergWriteBack.addPartitionField(spark, t.location,
         "nope", "bucket[4]"))
+  }
+
+  test("rewriteManifests: small data manifests consolidate to one per " +
+      "group — metadata-only, live rows + deletes + old snapshots " +
+      "untouched, a second run is a no-op, external reader agrees") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val t = GraftTable(spark, tmpDir("wb-rwman") + "/t")
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 3)
+    (1 to 4).foreach(k => IcebergWriteBack.appendTo(spark, t.location,
+      Seq((10L + k, s"w$k")).toDF("id", "v")))
+    IcebergWriteBack.deleteWhere(spark, t.location, col("id") === 3L)
+    val preSnap = IcebergImport.currentSnapshotId(spark, t.location).get
+
+    def manifests(sid: Long): Seq[(Int, String)] = {
+      val (fs, meta, _) = IcebergImport.parseMeta(spark, t.location)
+      val snapJ = (meta \ "snapshots").children.find(s =>
+        (s \ "snapshot-id").extract[Long] == sid).get
+      IcebergImport.readAvro(fs, (snapJ \ "manifest-list")
+        .extract[String]).map { r =>
+          (Option(r.getSchema.getField("content")).flatMap(_ =>
+            Option(r.get("content")))
+            .map(_.asInstanceOf[Number].intValue).getOrElse(0),
+            String.valueOf(r.get("manifest_path")))
+        }
+    }
+    val pre = manifests(preSnap)
+    assert(pre.count(_._1 == 0) >= 5)
+    val preDeletes = pre.filter(_._1 == 1).map(_._2)
+
+    val sid = IcebergWriteBack.rewriteManifests(spark, t.location)
+    assert(sid !== preSnap)
+    val post = manifests(sid)
+    assert(post.count(_._1 == 0) === 1,
+      s"expected ONE consolidated data manifest, got $post")
+    // delete manifests carried verbatim
+    assert(post.filter(_._1 == 1).map(_._2) === preDeletes)
+    // live state identical (the delete still applies to the
+    // consolidated entries — explicit sequence numbers preserved)
+    val want = ((1L to 14L).toSet - 3L).toSeq.sorted
+    assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+      .collect().sorted === want.toArray)
+    // time travel: the pre-rewrite snapshot walks its own OLD list
+    assert(IcebergImport.read(spark, t.location,
+      Some(preSnap.toString)).count() === want.size)
+    // external hand-walker
+    val path = new java.net.URI("file://" + t.location).getPath
+    val out = scala.sys.process.Process(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t")).!!
+    assert(out.trim.split("\n").last === want.size.toString)
+    // idempotent: one data manifest left is below min_input — no-op
+    assert(IcebergWriteBack.rewriteManifests(spark, t.location) === sid)
+  }
+
+  test("rewriteManifests on a v3 tree: consolidated entries carry " +
+      "EXPLICIT row lineage (pre-upgrade files stay null), and " +
+      "next-row-id does not move") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val t = GraftTable(spark, tmpDir("wb-rwman3") + "/t")
+    t.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 3)
+    IcebergWriteBack.upgradeFormatVersion(spark, t.location, 3)
+    IcebergWriteBack.appendTo(spark, t.location,
+      (6L to 8L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    IcebergWriteBack.appendTo(spark, t.location,
+      (9L to 10L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    val (_, metaPre, _) = IcebergImport.parseMeta(spark, t.location)
+    val nextBefore = (metaPre \ "next-row-id").extract[Long]
+    assert(nextBefore === 5L) // 3 + 2 assigned post-upgrade
+
+    val sid = IcebergWriteBack.rewriteManifests(spark, t.location)
+    val (fs, meta, _) = IcebergImport.parseMeta(spark, t.location)
+    assert((meta \ "next-row-id").extract[Long] === nextBefore)
+    val snapJ = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == sid).get
+    val dataMls = IcebergImport.readAvro(fs,
+      (snapJ \ "manifest-list").extract[String])
+      .filter(r => Option(r.getSchema.getField("content")).flatMap(_ =>
+        Option(r.get("content")))
+        .forall(_.asInstanceOf[Number].intValue == 0))
+    // post-upgrade manifests share a writer schema and consolidate;
+    // the pre-upgrade export manifest has its own schema generation
+    val consolidated = dataMls.filter(r =>
+      r.get("added_snapshot_id").asInstanceOf[Long] == sid)
+    assert(consolidated.nonEmpty)
+    // nothing inherits from a consolidated manifest (entries explicit)
+    consolidated.foreach(r => assert(r.get("first_row_id") == null))
+    val ids = consolidated.flatMap(m => IcebergImport.readAvro(fs,
+      m.get("manifest_path").toString)).map { e =>
+      Option(e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("first_row_id")).map(_.asInstanceOf[Number].longValue)
+    }
+    // the two post-upgrade files keep their ORIGINAL assigned bases
+    assert(ids.flatten.sorted === Seq(0L, 3L))
+    // and the lineage-aware read still works end to end
+    assert(IcebergImport.read(spark, t.location).count() === 10)
   }
 
   test("expireSnapshots: metadata-only expiry keeps the retention chain " +
