@@ -1477,16 +1477,17 @@ object IcebergWriteBack {
     publish(spark, tree, Seq(dataRec), "replace", None, replacements)
   }
 
-  /** Consolidate the CURRENT snapshot's small DATA manifests — Iceberg's
-    * `rewrite_manifests`. Every append adds a manifest, so a
-    * frequently-committed table (the streaming-sink shape) accretes a
-    * manifest list whose LENGTH, not its data, becomes the planning
-    * bottleneck: at 100 TB a scan opens thousands of manifest files
-    * before reading a byte. This merges small data manifests into one
-    * per group and publishes a `replace` snapshot with added/deleted
-    * row counts of ZERO — no data, delete, or prior-snapshot byte is
-    * touched, and time travel to older snapshots still walks their own
-    * untouched lists.
+  /** Consolidate the CURRENT snapshot's small manifests — Iceberg's
+    * `rewrite_manifests`, covering DATA and DELETE manifests alike.
+    * Every append adds a manifest and every row-level delete commit
+    * adds a delete manifest, so a frequently-committed table (the
+    * streaming-CDC shape) accretes a manifest list whose LENGTH, not
+    * its data, becomes the planning bottleneck: at 100 TB a scan opens
+    * thousands of manifest files before reading a byte. This merges
+    * small manifests into one per group and publishes a `replace`
+    * snapshot with added/deleted row counts of ZERO — no data, delete,
+    * or prior-snapshot byte is touched, and time travel to older
+    * snapshots still walks their own untouched lists.
     *
     * Grouping is by (spec-id × exact entry writer schema × the
     * manifest's own partition-spec/schema-id stamps): entries are
@@ -1528,8 +1529,12 @@ object IcebergWriteBack {
           Option(r.get("first_row_id")))
           .map(_.asInstanceOf[Number].longValue))
     }
+    // DELETE manifests consolidate too — a streaming-CDC tree accretes
+    // one per micro-batch delete commit, and readers must open every
+    // one at plan time; same verbatim-schema rule, with `content`
+    // itself in the group key so data and delete manifests never mix
     val candidates = mfs.filter(m =>
-      m.content == 0 && m.len < smallManifestBytes)
+      (m.content == 0 || m.content == 1) && m.len < smallManifestBytes)
     if (candidates.size < minInputManifests) return tree.curId
     case class Loaded(m: MF, entries: Seq[GenericRecord],
         meta: Map[String, String])
@@ -1538,7 +1543,7 @@ object IcebergWriteBack {
       Loaded(m, es, fm)
     }
     val (empties, nonEmpty) = loaded.partition(_.entries.isEmpty)
-    val groups = nonEmpty.groupBy(l => (l.m.specId,
+    val groups = nonEmpty.groupBy(l => (l.m.specId, l.m.content,
       l.entries.head.getSchema.toString,
       l.meta.getOrElse("partition-spec", ""),
       l.meta.getOrElse("schema-id", "")))
@@ -1597,7 +1602,7 @@ object IcebergWriteBack {
               s"${tree.tableUri}/metadata/$name")
             rec.put("manifest_length", len)
             rec.put("partition_spec_id", ls.head.m.specId)
-            rec.put("content", 0)
+            rec.put("content", ls.head.m.content)
             rec.put("sequence_number", tree.newSeq)
             rec.put("min_sequence_number", out.map(seqOf).min)
             rec.put("added_snapshot_id", tree.newId)

@@ -9,7 +9,8 @@ import graft.table.GraftTable
 /** Randomized lifecycle fuzz of the FOREIGN write-back surface: a
   * seeded op sequence (append / position delete / equality delete /
   * position merge / equality merge / compact / expire / time-travel
-  * readback / orphan-listing invariant / SQL register) drives one
+  * readback / orphan-listing invariant / SQL register / manifest
+  * consolidation) drives one
   * foreign Iceberg v2 tree, with a driver-side bag model as the
   * reference semantics. After EVERY op the importer's read must
   * bag-equal the model — so a wrong sequence-number rule, a tombstone
@@ -91,7 +92,7 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
     check("init")
 
     (1 to nOps).foreach { i =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 => // append (may duplicate keys — bag semantics)
           val rows = keys(1 + rnd.nextInt(3)).map(k => (k, freshVal(k)))
           IcebergWriteBack.appendTo(spark, loc, rows.toDF("id", "v"))
@@ -149,6 +150,11 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
           assert(live.intersect(listed).isEmpty,
             s"seed=$seed op$i orphanFiles listed live files: " +
               live.intersect(listed))
+        case 10 => // maintenance: manifest consolidation — metadata
+          // only, the answer must be BYTE-identical afterwards (every
+          // tombstone keeps applying at its explicit sequence number)
+          IcebergWriteBack.rewriteManifests(spark, loc)
+          check(s"op$i rewriteManifests")
         case 9 => // SQL register: the view pins the CURRENT state
           spark.sql(s"CALL graft.register_iceberg('${loc}', " +
             s"name => 'ffuzz_reg_$seed')")

@@ -901,6 +901,25 @@ class IcebergWriteBackSpec extends SparkSpec {
     assert(out.trim.split("\n").last === want.size.toString)
     // idempotent: one data manifest left is below min_input — no-op
     assert(IcebergWriteBack.rewriteManifests(spark, t.location) === sid)
+
+    // DELETE manifests consolidate too (the streaming-CDC accretion
+    // shape): two more delete commits -> three delete manifests ->
+    // one, with the MOR answer unchanged (explicit sequence numbers
+    // keep every tombstone applying at its original ordering)
+    IcebergWriteBack.deleteWhere(spark, t.location, col("id") === 7L)
+    IcebergWriteBack.deleteWhere(spark, t.location, col("id") === 11L)
+    val preSnap2 = IcebergImport.currentSnapshotId(spark, t.location).get
+    assert(manifests(preSnap2).count(_._1 == 1) === 3)
+    val sid2 = IcebergWriteBack.rewriteManifests(spark, t.location)
+    assert(manifests(sid2).count(_._1 == 1) === 1)
+    assert(manifests(sid2).count(_._1 == 0) === 1) // data side intact
+    val want2 = (want.toSet -- Set(7L, 11L)).toSeq.sorted
+    assert(IcebergImport.read(spark, t.location).select("id").as[Long]
+      .collect().sorted === want2.toArray)
+    val out2 = scala.sys.process.Process(Seq("python3",
+      "tools/read_iceberg_duckdb.py", path,
+      "SELECT COUNT(*) AS n FROM t")).!!
+    assert(out2.trim.split("\n").last === want2.size.toString)
   }
 
   test("rewriteManifests on a v3 tree: consolidated entries carry " +
