@@ -129,6 +129,16 @@ class RestCatalogSpec extends SparkSpec {
       spark.sql(s"CALL graft.import_iceberg('$dest', " +
         s"source => 'lake.tip', catalog_uri => '$base')")
       assert(GraftTable(spark, dest).read().count() === 15L)
+
+      // catalog_uri composes with at => : time travel WITHIN the
+      // catalog-resolved metadata (the v2 handle knows both snapshots)
+      val oldSnap = IcebergImport.snapshots(spark, t.location)
+        .orderBy("sequence_number").limit(1)
+        .select("snapshot_id").as[Long].collect()(0)
+      spark.sql("CALL graft.register_iceberg('lake.tip', " +
+        s"name => 'cat_tt', catalog_uri => '$base', at => '$oldSnap')")
+      assert(spark.table("cat_tt").count() === 10L)
+      spark.catalog.dropTempView("cat_tt")
     }
   }
 }
