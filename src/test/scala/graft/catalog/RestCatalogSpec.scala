@@ -131,10 +131,14 @@ class RestCatalogSpec extends SparkSpec {
       assert(GraftTable(spark, dest).read().count() === 15L)
 
       // catalog_uri composes with at => : time travel WITHIN the
-      // catalog-resolved metadata (the v2 handle knows both snapshots)
+      // catalog-resolved metadata (the v2 handle knows both snapshots).
+      // One step back from the tip = the 10-row pre-write-back state —
+      // the export also carries the table's initial EMPTY snapshot, so
+      // "lowest sequence number" would pick 0 rows
+      val tip = IcebergImport.currentSnapshotId(spark, t.location).get
       val oldSnap = IcebergImport.snapshots(spark, t.location)
-        .orderBy("sequence_number").limit(1)
-        .select("snapshot_id").as[Long].collect()(0)
+        .filter(col("snapshot_id") === tip)
+        .select("parent_id").as[Long].collect()(0)
       spark.sql("CALL graft.register_iceberg('lake.tip', " +
         s"name => 'cat_tt', catalog_uri => '$base', at => '$oldSnap')")
       assert(spark.table("cat_tt").count() === 10L)
