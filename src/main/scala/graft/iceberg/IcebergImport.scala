@@ -257,9 +257,16 @@ object IcebergImport {
         new java.sql.Timestamp((s \ "timestamp-ms").extract[Long]),
         (s \ "summary" \ "operation").extractOpt[String]
           .getOrElse("unknown"),
-        (s \ "sequence-number").extractOpt[Long].getOrElse(0L))
+        (s \ "sequence-number").extractOpt[Long].getOrElse(0L),
+        // the full summary property bag — operation plus whatever
+        // metrics/txn stamps the committing engine recorded
+        (s \ "summary") match {
+          case JObject(fs0) => fs0.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        })
     }.toDF("snapshot_id", "parent_id", "committed_at", "operation",
-      "sequence_number")
+      "sequence_number", "summary")
   }
 
   /** Iceberg `.manifests`-shaped metadata view: one row per manifest of

@@ -7,8 +7,8 @@ import java.util.UUID
 import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, encode, hex, lit, max, min}
-import org.apache.spark.sql.types.{LongType, Metadata => SqlMetadata}
+import org.apache.spark.sql.functions.{broadcast, col, concat, count, encode, hex, lit, max, min}
+import org.apache.spark.sql.types.{LongType, StringType, Metadata => SqlMetadata}
 
 /** Iceberg v2 WRITE-BACK: commit changes into a FOREIGN Iceberg tree —
   * the write direction of the multi-engine loop whose read direction is
@@ -100,9 +100,14 @@ object IcebergWriteBack {
       defaultSpecId: Int, defSpecFields: Seq[JValue],
       specTriples: Seq[(String, String, Int)], // (name, transform, srcId)
       newSeq: Long, newId: Long,
-      formatVersion: Int, nextRowId: Long)
+      formatVersion: Int, nextRowId: Long,
+      // the ref this commit advances: None = main (current-snapshot-id
+      // moves with it); Some(b) = branch b only (main untouched — the
+      // write-audit-publish staging shape)
+      branch: Option[String] = None)
 
-  private def loadTree(spark: SparkSession, tableLocation: String): Tree = {
+  private def loadTree(spark: SparkSession, tableLocation: String,
+      branch: Option[String] = None): Tree = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
 
@@ -129,10 +134,28 @@ object IcebergWriteBack {
         throw new IllegalStateException(
           s"v3 tree lacks required next-row-id ($metaFile) — refusing " +
             "to commit: assigned row ids would collide"))
-    val curId = (meta \ "current-snapshot-id").extractOpt[Long]
-      .filter(_ != -1L).getOrElse(throw new IllegalStateException(
-      s"$metaFile has no current snapshot — write-back commits to " +
-        "established tables only"))
+    val curId = branch match {
+      case None => (meta \ "current-snapshot-id").extractOpt[Long]
+        .filter(_ != -1L).getOrElse(throw new IllegalStateException(
+        s"$metaFile has no current snapshot — write-back commits to " +
+          "established tables only"))
+      case Some(b) =>
+        // a branch commit chains on the REF's head, not main's: the ref
+        // must pre-exist (create it with createRef / branch_iceberg) and
+        // must be a branch — tags are immutable by the spec
+        require(b != "main",
+          "commit to main by omitting branch, not branch => 'main'")
+        (meta \ "refs" \ b) match {
+          case JNothing => throw new IllegalArgumentException(
+            s"no ref '$b' in $metaFile — create the branch first " +
+              "(IcebergWriteBack.createRef / CALL graft.branch_iceberg)")
+          case ref =>
+            require((ref \ "type").extractOpt[String].contains("branch"),
+              s"ref '$b' is a tag — tags are immutable; commits need " +
+                "a branch")
+            (ref \ "snapshot-id").extract[Long]
+        }
+    }
     val snapsJ = (meta \ "snapshots").children
     val curSnap = snapsJ.find(s =>
       (s \ "snapshot-id").extract[Long] == curId).getOrElse(
@@ -182,7 +205,7 @@ object IcebergWriteBack {
     Tree(fs, meta, metaFile, tableUri, tableLocation, curId, snapsJ,
       oldListUri, curSchemaId, schemaJ, fields, defaultSpecId,
       defSpecFields, specTriples, lastSeq + 1, newId,
-      formatVersion, nextRowId)
+      formatVersion, nextRowId, branch)
   }
 
   /** The manifest-list record schema for this tree's format version. */
@@ -643,10 +666,17 @@ object IcebergWriteBack {
     *     replacements);
     *   - prior v2 position-delete FILES stay live untouched (they may
     *     reference other files; their rows for the re-vectored files
-    *     are a subset of the new DV, and readers union monotonically).
+    *     are a subset of the new DV, and readers union monotonically) —
+    *     unless the caller passes `alsoSupersede`, which flips matching
+    *     live entries to DELETED in the same rewrite pass
+    *     ([[rewritePositionDeletes]]'s conversion: the new DVs fully
+    *     cover the parquet tombstones, so those files leave the read
+    *     path in the same commit).
     * Returns None when `coords` is empty (nothing to commit). */
   private def newDvManifest(spark: SparkSession, tree: Tree,
-      coords: DataFrame): Option[(GenericRecord, Option[Int],
+      coords: DataFrame,
+      alsoSupersede: GenericRecord => Boolean = _ => false)
+      : Option[(GenericRecord, Option[Int],
         Map[String, GenericRecord])] = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
@@ -808,7 +838,10 @@ object IcebergWriteBack {
             .flatMap(_ => Option(df.get("referenced_data_file")))
             .exists(ref => affected(ref.toString))
       }
-      if (!es.exists(isSupersededDv)) None
+      def dead(e: GenericRecord): Boolean =
+        e.get("status").asInstanceOf[Int] != 2 &&
+          (isSupersededDv(e) || alsoSupersede(e))
+      if (!es.exists(dead)) None
       else {
         var (kept, removed, keptRows, removedRows) = (0, 0, 0L, 0L)
         var minSeq = Long.MaxValue
@@ -822,7 +855,7 @@ object IcebergWriteBack {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val rc = Option(df.get("record_count"))
             .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-          if (isSupersededDv(e)) {
+          if (dead(e)) {
             e.put("status", 2) // DELETED by this commit
             e.put("snapshot_id", tree.newId)
             removed += 1; removedRows += rc
@@ -944,13 +977,47 @@ object IcebergWriteBack {
       mls, listRecords, Map(fmtAttr(tree)))
 
     // ---- next metadata.json version ----
+    // truthful snapshot-summary metrics, computed from the very list
+    // records this commit publishes — the spec's standard keys external
+    // engines surface in their history views (Athena/Trino/Spark
+    // .snapshots). "total-*" describe the NEW snapshot's live state
+    // (live entries of a manifest = added + existing; DELETED entries
+    // are dead), "added/deleted-*" this commit's delta (deletions live
+    // in the rewritten replacement manifests).
+    def metric(recs: Iterable[GenericRecord], content: Int,
+        field: String): Long =
+      recs.filter(_.get("content").asInstanceOf[Number].intValue
+        == content).map(r => Option(r.get(field))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)).sum
+    val repl = replaceManifests.values
+    val metrics: Map[String, String] = Map(
+      "added-data-files" -> metric(newRecords, 0,
+        "added_data_files_count"),
+      "added-records" -> metric(newRecords, 0, "added_rows_count"),
+      "added-delete-files" -> metric(newRecords, 1,
+        "added_data_files_count"),
+      "deleted-data-files" -> metric(repl, 0,
+        "deleted_data_files_count"),
+      "deleted-records" -> metric(repl, 0, "deleted_rows_count"),
+      "removed-delete-files" -> metric(repl, 1,
+        "deleted_data_files_count"),
+      "total-data-files" ->
+        (metric(listRecords, 0, "added_data_files_count") +
+          metric(listRecords, 0, "existing_data_files_count")),
+      "total-delete-files" ->
+        (metric(listRecords, 1, "added_data_files_count") +
+          metric(listRecords, 1, "existing_data_files_count")),
+      "total-records" -> (metric(listRecords, 0, "added_rows_count") +
+        metric(listRecords, 0, "existing_rows_count"))
+    ).map { case (k, v) => k -> v.toString }
     val entryBase: JObject =
       ("sequence-number" -> tree.newSeq) ~
         ("snapshot-id" -> tree.newId) ~
         ("parent-snapshot-id" -> tree.curId) ~
         ("timestamp-ms" -> now) ~
         ("summary" -> JObject(("operation" -> org.json4s.JString(
-          operation)) :: summaryProps.toList.sortBy(_._1).map {
+          operation)) :: (metrics ++ summaryProps).toList
+          .sortBy(_._1).map {
           case (k, v) => k -> (org.json4s.JString(v): JValue) })) ~
         ("manifest-list" -> s"${tree.tableUri}/metadata/$listName") ~
         ("schema-id" -> tree.curSchemaId)
@@ -962,8 +1029,14 @@ object IcebergWriteBack {
       case JObject(fs0) => fs0
       case _ => Nil
     }
-    val newRefs = JObject(oldRefs.filterNot(_._1 == "main") :+
-      ("main" -> (("snapshot-id" -> tree.newId) ~
+    // the commit advances exactly one ref: main (the default path —
+    // current-snapshot-id and the snapshot-log move with it) or the
+    // named branch (main and the log stay put: the spec's snapshot-log
+    // records MAIN lineage only, and a staged branch commit must be
+    // invisible to main readers until fast-forward)
+    val advanceRef = tree.branch.getOrElse("main")
+    val newRefs = JObject(oldRefs.filterNot(_._1 == advanceRef) :+
+      (advanceRef -> (("snapshot-id" -> tree.newId) ~
         ("type" -> "branch"): JObject)))
     val oldLog = (tree.meta \ "snapshot-log").children
     val newLog = JArray(oldLog :+
@@ -981,7 +1054,9 @@ object IcebergWriteBack {
         ("fields" -> JArray(Nil))): JValue))
     }
     val replaced = Set("last-updated-ms", "last-sequence-number",
-      "current-snapshot-id", "snapshots", "snapshot-log", "refs") ++
+      "snapshots", "refs") ++
+      (if (tree.branch.isEmpty)
+        Set("current-snapshot-id", "snapshot-log") else Set.empty) ++
       (if (newSpecsJ.isDefined) Set("partition-specs") else Set.empty) ++
       (if (tree.formatVersion >= 3) Set("next-row-id") else Set.empty)
     val kept = tree.meta.asInstanceOf[JObject].obj
@@ -989,10 +1064,11 @@ object IcebergWriteBack {
     val updated = JObject(kept ++ List[JField](
       "last-updated-ms" -> JLong(now),
       "last-sequence-number" -> JLong(tree.newSeq),
-      "current-snapshot-id" -> JLong(tree.newId),
       "snapshots" -> JArray(tree.snapsJ :+ (entryJ: JValue)),
-      "snapshot-log" -> newLog,
       "refs" -> newRefs) ++
+      (if (tree.branch.isEmpty) List[JField](
+        "current-snapshot-id" -> JLong(tree.newId),
+        "snapshot-log" -> newLog) else Nil) ++
       newSpecsJ.map(s => "partition-specs" -> s).toList ++
       (if (tree.formatVersion >= 3)
         List[JField]("next-row-id" -> JLong(rowIdHwm)) else Nil))
@@ -1009,12 +1085,37 @@ object IcebergWriteBack {
     * could both pass the check and the loser would clobber the winner).
     * A concurrent foreign commit fails loud, never a lost update. */
   private[iceberg] def writeVersion(tree: Tree, updated: JValue): Unit =
-    publishVersion(tree.fs, tree.tableLocation, tree.metaFile, updated)
+    publishVersion(tree.fs, tree.tableLocation, tree.metaFile, updated,
+      prevMeta = tree.meta)
+
+  /** Max `metadata-log` entries carried forward — Iceberg's
+    * `write.metadata.previous-versions-max` default. */
+  private val MetadataLogMax = 100
 
   private def publishVersion(fs: FileSystem, tableLocation: String,
-      metaFile: Path, updated: JValue): Unit = {
+      metaFile: Path, updated: JValue,
+      prevMeta: JValue = org.json4s.JNothing): Unit = {
     import org.json4s.jackson.JsonMethods.{compact, render}
+    implicit val fmts: Formats = DefaultFormats
     val metaDir = new Path(tableLocation, "metadata")
+    // maintain the spec's metadata-log: the file being superseded joins
+    // the tail (stamped with ITS last-updated-ms — the moment that
+    // version was current), capped like Iceberg's
+    // write.metadata.previous-versions-max so a frequently-committed
+    // tree's metadata.json does not grow without bound
+    val withLog: JValue = {
+      import org.json4s.JsonDSL._
+      val prevTs = (prevMeta \ "last-updated-ms").extractOpt[Long]
+        .getOrElse(System.currentTimeMillis())
+      val prevUri = fs.makeQualified(metaFile).toUri.toString
+      val oldLog = (updated \ "metadata-log").children
+      val entry: JValue = ("timestamp-ms" -> prevTs) ~
+        ("metadata-file" -> prevUri)
+      val kept = updated.asInstanceOf[JObject].obj
+        .filterNot(_._1 == "metadata-log")
+      JObject(kept :+ ("metadata-log" ->
+        (JArray((oldLog :+ entry).takeRight(MetadataLogMax)): JValue)))
+    }
     val oldName = metaFile.getName
     val newMetaName =
       if (oldName.matches("v\\d+\\.metadata\\.json")) {
@@ -1029,7 +1130,7 @@ object IcebergWriteBack {
     val target = new Path(metaDir, newMetaName)
     val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}.metadata.json")
     val out = fs.create(tmp, false)
-    try out.write(compact(render(updated))
+    try out.write(compact(render(withLog))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!graft.table.GraftTable.commitLock.publish(fs, tmp, target)) {
@@ -1088,10 +1189,14 @@ object IcebergWriteBack {
     * batch id at or below the stamped high-water mark is a no-op —
     * exactly-once for streaming sinks. */
   def appendTo(spark: SparkSession, tableLocation: String,
-      df: DataFrame, txn: Option[(String, Long)] = None): Long = {
+      df: DataFrame, txn: Option[(String, Long)] = None,
+      branch: Option[String] = None): Long = {
     if (alreadyCommitted(spark, tableLocation, txn))
       return IcebergImport.currentSnapshotId(spark, tableLocation).get
-    val tree = loadTree(spark, tableLocation)
+    // branch => the commit chains on (and advances) that ref only —
+    // Iceberg's write-audit-publish staging: main readers see nothing
+    // until fastForward lands the branch
+    val tree = loadTree(spark, tableLocation, branch)
     val hasIds = treeHasIds(spark, tree)
     val rec = newDataManifest(spark, tree, df, hasIds)
     publish(spark, tree, Seq(rec), "append", None,
@@ -1623,6 +1728,169 @@ object IcebergWriteBack {
       dropManifests = dropped.toSet)
   }
 
+  /** Rewrite every live DELETE manifest holding entries matching
+    * `supersede`: matching entries flip to DELETED with this commit's
+    * snapshot id, everything else carries EXISTING with explicit
+    * sequence numbers — the same attribution rule as compaction's
+    * manifest rewrite. Returns publish-ready replacements keyed by
+    * original manifest path (empty when nothing matches). */
+  private def supersedeDeleteEntries(tree: Tree,
+      supersede: GenericRecord => Boolean): Map[String, GenericRecord] = {
+    val mls = mlSchema(tree)
+    val metaDir = new Path(tree.tableLocation, "metadata")
+    val listRecs = IcebergImport.readAvro(tree.fs, tree.oldListUri)
+    listRecs.filter(r =>
+      Option(r.getSchema.getField("content")).flatMap(_ =>
+        Option(r.get("content"))).exists(
+        _.asInstanceOf[Number].intValue == 1)).flatMap { r =>
+      val mPath = String.valueOf(r.get("manifest_path"))
+      def gL(n: String, d: Long) = Option(r.getSchema.getField(n))
+        .flatMap(_ => Option(r.get(n)))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(d)
+      val listSeq = gL("sequence_number", 0L)
+      val addedSnap = gL("added_snapshot_id", tree.curId)
+      val (es, fileMeta) = IcebergImport.readAvroWithMeta(tree.fs, mPath)
+      def dead(e: GenericRecord): Boolean =
+        e.get("status").asInstanceOf[Int] != 2 && supersede(e)
+      if (!es.exists(dead)) None
+      else {
+        var (kept, removed, keptRows, removedRows) = (0, 0, 0L, 0L)
+        var minSeq = Long.MaxValue
+        es.foreach { e =>
+          def explicit(n: String, v: Long): Unit =
+            if (e.getSchema.getField(n) != null && e.get(n) == null)
+              e.put(n, v)
+          explicit("sequence_number", listSeq)
+          explicit("file_sequence_number", listSeq)
+          explicit("snapshot_id", addedSnap)
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val rc = Option(df.get("record_count"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          if (dead(e)) {
+            e.put("status", 2) // DELETED by this commit
+            e.put("snapshot_id", tree.newId)
+            removed += 1; removedRows += rc
+          } else if (e.get("status").asInstanceOf[Int] != 2) {
+            e.put("status", 0) // EXISTING
+            kept += 1; keptRows += rc
+            minSeq = math.min(minSeq,
+              e.get("sequence_number").asInstanceOf[Number].longValue)
+          }
+        }
+        val name = s"${UUID.randomUUID()}-m1.avro"
+        val len = IcebergExport.writeAvro(
+          new File(IcebergExport.localPath(tree.fs, metaDir), name),
+          es.head.getSchema, es, fileMeta)
+        val nr = new GenericData.Record(mls)
+        nr.put("manifest_path", s"${tree.tableUri}/metadata/$name")
+        nr.put("manifest_length", len)
+        nr.put("partition_spec_id",
+          Option(r.get("partition_spec_id"))
+            .map(_.asInstanceOf[Number].intValue).getOrElse(0))
+        nr.put("content", 1)
+        nr.put("sequence_number", listSeq)
+        nr.put("min_sequence_number",
+          if (kept == 0) listSeq else minSeq)
+        nr.put("added_snapshot_id", tree.newId)
+        nr.put("added_data_files_count", 0)
+        nr.put("existing_data_files_count", kept)
+        nr.put("deleted_data_files_count", removed)
+        nr.put("added_rows_count", 0L)
+        nr.put("existing_rows_count", keptRows)
+        nr.put("deleted_rows_count", removedRows)
+        Some(mPath -> (nr: GenericRecord))
+      }
+    }.toMap
+  }
+
+  /** MAINTENANCE write-back — Iceberg's `rewrite_position_delete_files`:
+    * consolidate the tree's accreted POSITION tombstones. A CDC-heavy
+    * tree adds a small position-delete file per commit; every read then
+    * opens all of them and unions their rows, so at 100 TB the delete
+    * SCAN (thousands of KB-sized files) outweighs the deletes
+    * themselves. One `replace` snapshot:
+    *   - v2: all live parquet position-delete rows consolidate into one
+    *     globally-sorted set of delete files ((file_path, pos) — the
+    *     spec's required order; range-disjoint files, so file count
+    *     scales with delete VOLUME, not commit count), minus DANGLING
+    *     rows (positions naming data files no longer live — compacted
+    *     or rewritten away) and duplicates;
+    *   - v3: the live parquet position deletes CONVERT to deletion
+    *     vectors ([[newDvManifest]] merges any existing DV of the same
+    *     data file — the one-DV-per-file invariant holds), completing
+    *     the v2→v3 ladder for trees upgraded with legacy delete files;
+    *   - either way the old parquet entries flip to DELETED in
+    *     rewritten delete manifests, so readers stop opening them, and
+    *     older snapshots keep their untouched originals (time travel
+    *     unaffected; the files themselves stay on disk for pinned
+    *     readers — orphan cleanup stays a deliberate manual step).
+    * Equality deletes are untouched (their sequence-scoped semantics
+    * forbid re-sequencing; [[compactSmallFiles]] is the op that retires
+    * them). No-op (current id, no commit) when there is nothing to
+    * consolidate: fewer than `minInputFiles` position-delete files AND
+    * no dangling/duplicate rows. Returns the snapshot id. */
+  def rewritePositionDeletes(spark: SparkSession, tableLocation: String,
+      minInputFiles: Int = 2): Long = {
+    val sp = spark
+    import sp.implicits._
+    val tree = loadTree(spark, tableLocation)
+    val p = IcebergImport.plan(spark, tableLocation)
+    val posRefs = p.deletes.filter(_.equalityCols.isEmpty)
+    if (posRefs.isEmpty) return tree.curId
+    val posUris = posRefs.map(_.uri).toSet
+    // live data-file URIs are metadata-scale (one string per file) —
+    // broadcast them against the delete rows
+    val liveDf = broadcast(
+      spark.createDataset(p.files.map(_.uri)).toDF("file_path"))
+    val raw = spark.read.parquet(posRefs.map(_.uri): _*)
+      .select(col("file_path").cast(StringType).as("file_path"),
+        col("pos").cast(LongType).as("pos"))
+    val consolidated = raw.join(liveDf, Seq("file_path"), "left_semi")
+      .distinct()
+    if (posRefs.size < minInputFiles &&
+        consolidated.count() == raw.count())
+      return tree.curId // single tight file — nothing to gain
+    val hasIds = treeHasIds(spark, tree)
+    val shaped =
+      if (hasIds) consolidated.select(
+        col("file_path").as("file_path", idMeta(2147483546L)),
+        col("pos").as("pos", idMeta(2147483545L)))
+      else consolidated
+    // the old parquet tombstones leave the read path in this commit:
+    // every live non-puffin position entry naming a consolidated file
+    val supersedeParquetPos: GenericRecord => Boolean = e => {
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val fmt = Option(df.get("file_format")).map(_.toString)
+        .getOrElse("PARQUET")
+      val content = Option(df.get("content"))
+        .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+      content == 1 && !fmt.equalsIgnoreCase("puffin") &&
+        posUris.contains(String.valueOf(df.get("file_path")))
+    }
+    if (tree.formatVersion >= 3)
+      newDvManifest(spark, tree, shaped,
+          alsoSupersede = supersedeParquetPos) match {
+        case Some((rec, addSpec, repl)) =>
+          publish(spark, tree, Seq(rec), "replace", addSpec,
+            replaceManifests = repl)
+        case None =>
+          // every position was dangling: nothing to vector, but the
+          // dead tombstone files still leave the read path
+          val repl = supersedeDeleteEntries(tree, supersedeParquetPos)
+          if (repl.isEmpty) tree.curId
+          else publish(spark, tree, Nil, "replace", None,
+            replaceManifests = repl)
+      }
+    else {
+      val recOpt = newDeleteManifest(spark, tree, shaped,
+        Seq("file_path", "pos"), content = 1, equalityIds = Seq.empty)
+      val repl = supersedeDeleteEntries(tree, supersedeParquetPos)
+      if (recOpt.isEmpty && repl.isEmpty) tree.curId
+      else publish(spark, tree, recOpt.map(_._1).toSeq, "replace",
+        recOpt.flatMap(_._2), replaceManifests = repl)
+    }
+  }
+
   /** MAINTENANCE write-back — expire old foreign snapshots as one
     * metadata-only version: the newest `keepLast` snapshots of the main
     * ancestor chain survive, plus every snapshot a ref (tag/branch)
@@ -1667,7 +1935,7 @@ object IcebergWriteBack {
       ++ (if (to >= 3) List[JField]("next-row-id" -> JLong(
         (meta \ "next-row-id").extractOpt[Long].getOrElse(0L)))
        else Nil))
-    publishVersion(fs, tableLocation, metaFile, updated)
+    publishVersion(fs, tableLocation, metaFile, updated, prevMeta = meta)
     to
   }
 
@@ -1705,6 +1973,214 @@ object IcebergWriteBack {
       "snapshots" -> JArray(keptSnaps),
       "snapshot-log" -> JArray(keptLog))))
     dropped.size
+  }
+
+  // --------------------------------------------------------------------
+  // Snapshot refs (tags + branches) and history surgery — metadata-only
+  // versions that publish through the same single-winner rename as a
+  // data commit but create NO snapshot: exactly Iceberg's
+  // ALTER TABLE ... CREATE TAG / CREATE BRANCH / DROP TAG|BRANCH and the
+  // system.rollback_to_snapshot / system.fast_forward procedures. The
+  // read side already resolves any ref name via `at` (IcebergImport.plan)
+  // and expire keeps every ref's target alive, so a tag is a durable
+  // time-travel handle and a branch is a mutable staging line
+  // ([[appendTo]]'s `branch` parameter commits onto it).
+  // --------------------------------------------------------------------
+
+  /** These are WRITES: a catalog-resolved `.metadata.json` handle is a
+    * read-only pin — the catalog owns the current-version pointer. */
+  private def refuseCatalogHandle(tableLocation: String): Unit =
+    require(!tableLocation.endsWith(".metadata.json"),
+      "ref management needs the table root directory, not a metadata " +
+        s"file (got $tableLocation) — catalog-resolved locations are " +
+        "read-only here")
+
+  private def refsOf(meta: JValue): List[JField] = (meta \ "refs") match {
+    case JObject(fs0) => fs0
+    case _ => Nil
+  }
+
+  private def snapshotIds(meta: JValue): Set[Long] = {
+    implicit val fmts: Formats = DefaultFormats
+    (meta \ "snapshots").children
+      .map(s => (s \ "snapshot-id").extract[Long]).toSet
+  }
+
+  /** Walk parent-snapshot-id links from `from` (inclusive), newest
+    * first — the ancestor chain a rollback / fast-forward validates
+    * against. Bounded by the snapshot count (cycles impossible in a
+    * well-formed tree, but the visited-set guard keeps a corrupt one
+    * from looping). */
+  private def ancestorChain(meta: JValue, from: Long): List[Long] = {
+    implicit val fmts: Formats = DefaultFormats
+    val byId = (meta \ "snapshots").children.map(s =>
+      (s \ "snapshot-id").extract[Long] -> s).toMap
+    val out = scala.collection.mutable.ListBuffer.empty[Long]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var cur = Option(from)
+    while (cur.exists(id => byId.contains(id) && seen.add(id))) {
+      out += cur.get
+      cur = byId.get(cur.get).flatMap(s =>
+        (s \ "parent-snapshot-id").extractOpt[Long])
+    }
+    out.toList
+  }
+
+  /** Create a tag (immutable label) or branch (mutable commit line) at
+    * `snapshotId` (default: the current main head). Metadata-only; the
+    * name must be fresh — replacing a ref is [[dropRef]] + create, and
+    * `main` is managed by commits alone. Returns the target id. */
+  def createRef(spark: SparkSession, tableLocation: String,
+      name: String, refType: String,
+      snapshotId: Option[Long] = None): Long = {
+    import org.json4s.JsonDSL._
+    implicit val fmts: Formats = DefaultFormats
+    refuseCatalogHandle(tableLocation)
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be tag|branch, got $refType")
+    require(name.nonEmpty, "ref name must be non-empty")
+    require(name != "main",
+      "'main' is managed by commits (and rollback/fast-forward) — " +
+        "pick another name")
+    val (fs, meta, metaFile) = IcebergImport.parseMeta(spark,
+      tableLocation)
+    require(!refsOf(meta).exists(_._1 == name),
+      s"ref '$name' already exists in $metaFile — drop it first " +
+        "(refs are replaced explicitly, never silently)")
+    val target = snapshotId.getOrElse(
+      (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+        .getOrElse(throw new IllegalStateException(
+          s"$metaFile has no current snapshot to tag")))
+    require(snapshotIds(meta).contains(target),
+      s"snapshot $target not in $metaFile — a ref must point at a " +
+        "live snapshot")
+    val newRefs = JObject(refsOf(meta) :+
+      (name -> (("snapshot-id" -> target) ~
+        ("type" -> refType): JObject)))
+    publishMetaOnly(fs, tableLocation, metaFile, meta,
+      List[JField]("refs" -> newRefs))
+    target
+  }
+
+  /** Drop a tag or branch by name. The snapshots it pointed at stay in
+    * the tree (expire decides their fate later). Returns the dropped
+    * ref's target id. */
+  def dropRef(spark: SparkSession, tableLocation: String,
+      name: String): Long = {
+    implicit val fmts: Formats = DefaultFormats
+    refuseCatalogHandle(tableLocation)
+    require(name != "main", "refusing to drop 'main'")
+    val (fs, meta, metaFile) = IcebergImport.parseMeta(spark,
+      tableLocation)
+    val target = refsOf(meta).collectFirst {
+      case (n, v) if n == name => (v \ "snapshot-id").extract[Long]
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no ref '$name' in $metaFile"))
+    publishMetaOnly(fs, tableLocation, metaFile, meta,
+      List[JField]("refs" -> JObject(refsOf(meta)
+        .filterNot(_._1 == name))))
+    target
+  }
+
+  /** Iceberg's `rollback_to_snapshot`: set main back to an ANCESTOR of
+    * the current head. Metadata-only — no snapshot is created or
+    * dropped (the rolled-past commits stay time-travelable and
+    * re-reachable via fast-forward until expire removes them); the
+    * snapshot-log records the change of current, exactly like Iceberg's
+    * SetSnapshotOperation. Returns `snapshotId`. */
+  def rollbackTo(spark: SparkSession, tableLocation: String,
+      snapshotId: Long): Long = {
+    import org.json4s.JsonDSL._
+    implicit val fmts: Formats = DefaultFormats
+    refuseCatalogHandle(tableLocation)
+    val (fs, meta, metaFile) = IcebergImport.parseMeta(spark,
+      tableLocation)
+    val curId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw new IllegalStateException(
+        s"$metaFile has no current snapshot to roll back"))
+    if (snapshotId == curId) return curId
+    require(snapshotIds(meta).contains(snapshotId),
+      s"snapshot $snapshotId not in $metaFile (expired or never " +
+        "existed)")
+    require(ancestorChain(meta, curId).contains(snapshotId),
+      s"snapshot $snapshotId is not an ancestor of the current head " +
+        s"$curId — rollback follows main's own history only")
+    val now = System.currentTimeMillis()
+    val newRefs = JObject(refsOf(meta).filterNot(_._1 == "main") :+
+      ("main" -> (("snapshot-id" -> snapshotId) ~
+        ("type" -> "branch"): JObject)))
+    val newLog = JArray((meta \ "snapshot-log").children :+
+      ((("timestamp-ms" -> now) ~
+        ("snapshot-id" -> snapshotId)): JValue))
+    publishMetaOnly(fs, tableLocation, metaFile, meta,
+      List[JField](
+        "current-snapshot-id" -> JLong(snapshotId),
+        "refs" -> newRefs,
+        "snapshot-log" -> newLog))
+    snapshotId
+  }
+
+  /** Iceberg's `fast_forward(branch, to)`: advance ref `branch` to ref
+    * `to`'s head, valid only when the move is a pure fast-forward
+    * (branch's head is an ancestor of to's head — no history is ever
+    * rewritten). `branch = "main"` is the write-audit-publish landing
+    * step: staged commits become the table's current state atomically.
+    * Returns the new head id. */
+  def fastForward(spark: SparkSession, tableLocation: String,
+      branch: String, to: String): Long = {
+    import org.json4s.JsonDSL._
+    implicit val fmts: Formats = DefaultFormats
+    refuseCatalogHandle(tableLocation)
+    val (fs, meta, metaFile) = IcebergImport.parseMeta(spark,
+      tableLocation)
+    val refs = refsOf(meta)
+    def headOf(r: String): Long = refs.collectFirst {
+      case (n, v) if n == r =>
+        require((v \ "type").extractOpt[String].contains("branch"),
+          s"ref '$r' is a tag — fast-forward moves branches")
+        (v \ "snapshot-id").extract[Long]
+    }.getOrElse {
+      if (r == "main")
+        (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+          .getOrElse(throw new IllegalStateException(
+            s"$metaFile has no current snapshot"))
+      else throw new IllegalArgumentException(s"no ref '$r' in $metaFile")
+    }
+    val fromId = headOf(branch)
+    val toId = headOf(to)
+    if (fromId == toId) return toId
+    require(ancestorChain(meta, toId).contains(fromId),
+      s"'$branch' (head $fromId) is not an ancestor of '$to' (head " +
+        s"$toId) — the branches diverged; fast-forward never rewrites " +
+        "history")
+    val now = System.currentTimeMillis()
+    val newRefs = JObject(refs.filterNot(_._1 == branch) :+
+      (branch -> (("snapshot-id" -> toId) ~
+        ("type" -> "branch"): JObject)))
+    val fields = List[JField]("refs" -> newRefs) ++
+      (if (branch == "main") List[JField](
+        "current-snapshot-id" -> JLong(toId),
+        "snapshot-log" -> JArray((meta \ "snapshot-log").children :+
+          ((("timestamp-ms" -> now) ~
+            ("snapshot-id" -> toId)): JValue)))
+       else Nil)
+    publishMetaOnly(fs, tableLocation, metaFile, meta, fields)
+    toId
+  }
+
+  /** Publish a metadata-only version: `meta` with `updatedFields`
+    * replacing their old values (plus a fresh last-updated-ms), through
+    * the same single-winner rename every commit takes. */
+  private def publishMetaOnly(fs: FileSystem, tableLocation: String,
+      metaFile: Path, meta: JValue,
+      updatedFields: List[JField]): Unit = {
+    val replaced = updatedFields.map(_._1).toSet + "last-updated-ms"
+    val kept = meta.asInstanceOf[JObject].obj
+      .filterNot(f => replaced.contains(f._1))
+    publishVersion(fs, tableLocation, metaFile, JObject(kept ++
+      List[JField]("last-updated-ms" ->
+        JLong(System.currentTimeMillis())) ++ updatedFields),
+      prevMeta = meta)
   }
 
   // --------------------------------------------------------------------

@@ -561,6 +561,53 @@ object TableQueries {
       |   OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Write-audit-publish AGAINST A FOREIGN TREE — the full ref
+    * lifecycle Iceberg ships as CREATE TAG / CREATE BRANCH /
+    * `fast_forward`, run end-to-end through graft's SQL procedures:
+    * tag the release, stage the next batch on branch `audit` (asserted
+    * in-flight: main's COUNT and the tag's pinned read are byte-stable
+    * while the staged rows are readable at the ref), then fast-forward
+    * main. The oracle is both batches — correct only if the landing
+    * actually advanced main — and the tag assertion pins that the
+    * pre-WAP handle still answers from the old snapshot afterwards. */
+  val qIcebergWap: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icewap"))
+    val orders = Tables.load(s, dir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 2 === 0),
+      parts = Seq("o_orderstatus"))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    s.sql(s"CALL graft.tag_iceberg('${t.location}', name => 'rel')")
+    s.sql(s"CALL graft.branch_iceberg('${t.location}', name => 'audit')")
+    orders.filter(col("o_orderkey") % 2 === 1 &&
+        col("o_orderkey") % 3 === 0)
+      .createOrReplaceTempView("wap_staged")
+    s.sql(s"CALL graft.append_iceberg('${t.location}', " +
+      "source => 'wap_staged', branch => 'audit')")
+    val mainRows = graft.iceberg.IcebergImport.read(s, t.location).count()
+    val stagedRows = graft.iceberg.IcebergImport
+      .read(s, t.location, Some("audit")).count()
+    require(stagedRows > mainRows,
+      "staged branch commit not readable at the ref")
+    require(graft.iceberg.IcebergImport
+      .read(s, t.location, Some("rel")).count() == mainRows,
+      "tag must pin the pre-WAP snapshot")
+    s.sql(s"CALL graft.fast_forward_iceberg('${t.location}', " +
+      "branch => 'main', to => 'audit')")
+    require(graft.iceberg.IcebergImport.read(s, t.location).count()
+      == stagedRows, "fast-forward did not land the staged commit")
+    require(graft.iceberg.IcebergImport
+      .read(s, t.location, Some("rel")).count() == mainRows,
+      "tag must survive the publish unchanged")
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergWapSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0
+      |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Row-level DELETE write-back: `IcebergWriteBack.deleteWhere` reads
     * the foreign tree's current state WITH per-row lineage (data file
     * URI + ordinal), and commits the matching rows as v2 POSITION delete
@@ -950,6 +997,46 @@ object TableQueries {
       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
       |FROM orders
       |WHERE o_orderkey % 11 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Foreign `rewrite_position_delete_files` (`CALL
+    * graft.rewrite_position_deletes_iceberg`): three row-level DELETE
+    * commits accrete three position-delete files — the CDC shape where
+    * at 100 TB every read opens thousands of KB-sized tombstone files
+    * whose SCAN outweighs the deletes themselves. The rewrite
+    * consolidates them (distinct, (file_path, pos)-sorted) as one
+    * `replace` commit and the old files leave the read path; the
+    * in-flight requires pin the file-count collapse and that every
+    * surviving tombstone file is NEW, and the oracle pins the answer
+    * byte-identical (the complement of all three predicates). */
+  val qIcebergRewriteDeletes: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icerwdel"))
+    t.append(Tables.load(s, dir, "orders"))
+    graft.iceberg.IcebergExport.export(s, t, history = 2)
+    Seq("o_orderkey % 5 = 0", "o_orderkey % 7 = 1", "o_orderkey % 11 = 2")
+      .foreach(p => s.sql(
+        s"CALL graft.delete_iceberg('${t.location}', where => '$p')"))
+    def posFiles(): Seq[String] = graft.iceberg.IcebergImport
+      .plan(s, t.location).deletes
+      .filter(_.equalityCols.isEmpty).map(_.uri)
+    val pre = posFiles()
+    require(pre.size == 3, s"fixture must accrete tombstones, got $pre")
+    s.sql(
+      s"CALL graft.rewrite_position_deletes_iceberg('${t.location}')")
+    val post = posFiles()
+    require(post.nonEmpty && post.size < 3 &&
+      post.forall(u => !pre.contains(u)),
+      s"consolidation must retire all ${pre.size} input tombstone " +
+        s"files, got ${post.size} (${post.count(pre.contains)} carried)")
+    project(graft.iceberg.IcebergImport.read(s, t.location))
+  }
+  val qIcebergRewriteDeletesSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 5 <> 0
+      |  AND o_orderkey % 7 <> 1
+      |  AND o_orderkey % 11 <> 2
       |ORDER BY o_orderkey""".stripMargin
 
   /** Per-COMMIT foreign changelog (`create_changelog_view` shape):
@@ -2564,6 +2651,7 @@ object TableQueries {
       Some(qIcebergImportPrunedSql)),
     ("q_iceberg_diff", qIcebergDiff, Some(qIcebergDiffSql)),
     ("q_iceberg_writeback", qIcebergWriteback, Some(qIcebergWritebackSql)),
+    ("q_iceberg_wap", qIcebergWap, Some(qIcebergWapSql)),
     ("q_iceberg_writeback_delete", qIcebergWritebackDelete,
       Some(qIcebergWritebackDeleteSql)),
     ("q_iceberg_writeback_delete_keys", qIcebergWritebackDeleteKeys,
@@ -2594,6 +2682,8 @@ object TableQueries {
       Some(qIcebergSpecEvolveSql)),
     ("q_iceberg_rewrite_manifests", qIcebergRewriteManifests,
       Some(qIcebergRewriteManifestsSql)),
+    ("q_iceberg_rewrite_deletes", qIcebergRewriteDeletes,
+      Some(qIcebergRewriteDeletesSql)),
     ("q_iceberg_diff_log", qIcebergDiffLog, Some(qIcebergDiffLogSql)),
     ("q_stream_iceberg", qStreamIceberg, Some(qStreamIcebergSql)),
     ("q_stream_iceberg_cdc", qStreamIcebergCdc, Some(qStreamIcebergCdcSql)),

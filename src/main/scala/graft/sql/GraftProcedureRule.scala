@@ -190,8 +190,10 @@ case class GraftCallCommand(proc: String, location: String,
         // Iceberg tree at the target path as one v2 append snapshot
         val source = args.getOrElse("source",
           throw new IllegalArgumentException(s"graft.$proc needs source"))
+        // branch => stage the commit on that ref (write-audit-publish);
+        // main readers see nothing until fast_forward_iceberg lands it
         graft.iceberg.IcebergWriteBack.appendTo(spark, location,
-          spark.table(source))
+          spark.table(source), branch = args.get("branch"))
       case "delete_iceberg" =>
         // row-level WRITE-BACK: tombstone the foreign rows matching the
         // predicate as one v2 position-delete snapshot
@@ -250,6 +252,34 @@ case class GraftCallCommand(proc: String, location: String,
         // file deletion — other engines may be reading pinned snapshots)
         graft.iceberg.IcebergWriteBack.expireSnapshots(spark, location,
           longArg("keep_last").getOrElse(1L).toInt).toLong
+      case "tag_iceberg" | "branch_iceberg" =>
+        // snapshot refs on a FOREIGN tree: a tag is a durable
+        // time-travel label, a branch a mutable staging line
+        // (append_iceberg branch => commits onto it); metadata-only
+        graft.iceberg.IcebergWriteBack.createRef(spark, location,
+          args.getOrElse("name", throw new IllegalArgumentException(
+            s"graft.$proc needs name")),
+          if (proc == "tag_iceberg") "tag" else "branch",
+          longArg("snapshot_id"))
+      case "drop_ref_iceberg" =>
+        graft.iceberg.IcebergWriteBack.dropRef(spark, location,
+          args.getOrElse("name", throw new IllegalArgumentException(
+            s"graft.$proc needs name")))
+      case "rollback_iceberg" =>
+        // history surgery: set main back to an ancestor snapshot —
+        // metadata-only, rolled-past commits stay time-travelable
+        graft.iceberg.IcebergWriteBack.rollbackTo(spark, location,
+          longArg("snapshot_id").getOrElse(
+            throw new IllegalArgumentException(
+              s"graft.$proc needs snapshot_id")))
+      case "fast_forward_iceberg" =>
+        // the write-audit-publish landing step: advance `branch`
+        // (usually 'main') to `to`'s head iff it's a pure fast-forward
+        graft.iceberg.IcebergWriteBack.fastForward(spark, location,
+          args.getOrElse("branch", throw new IllegalArgumentException(
+            s"graft.$proc needs branch")),
+          args.getOrElse("to", throw new IllegalArgumentException(
+            s"graft.$proc needs to")))
       case "upgrade_iceberg" =>
         // metadata-only format-version upgrade (v1→2 enables write-back
         // sequence semantics; v2→3 enables row lineage + DVs)
@@ -265,6 +295,14 @@ case class GraftCallCommand(proc: String, location: String,
           smallManifestBytes = longArg("small_manifest_bytes")
             .getOrElse(8L << 20),
           minInputManifests = longArg("min_input_manifests")
+            .getOrElse(2L).toInt)
+      case "rewrite_position_deletes_iceberg" =>
+        // foreign-tree maintenance: consolidate accreted position
+        // tombstones (v2: one sorted set of delete files, dangling
+        // positions dropped; v3: legacy parquet deletes convert to
+        // deletion vectors) — one replace commit
+        graft.iceberg.IcebergWriteBack.rewritePositionDeletes(spark,
+          location, minInputFiles = longArg("min_input_files")
             .getOrElse(2L).toInt)
       case "compact_iceberg" =>
         // foreign-tree maintenance: small-file binpack as one replace
@@ -340,7 +378,9 @@ case class GraftCallCommand(proc: String, location: String,
           "import_iceberg_changes, append_iceberg, delete_iceberg, " +
           "delete_iceberg_keys, merge_iceberg, evolve_iceberg, " +
           "compact_iceberg, rewrite_manifests_iceberg, expire_iceberg, " +
-          "register_iceberg, upgrade_iceberg")
+          "register_iceberg, upgrade_iceberg, tag_iceberg, " +
+          "branch_iceberg, drop_ref_iceberg, rollback_iceberg, " +
+          "fast_forward_iceberg, rewrite_position_deletes_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -389,8 +429,9 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Set("at", "catalog_uri")),
     // WRITE-BACK: append a Spark table/view into a FOREIGN Iceberg v2
     // tree (iceberg.IcebergWriteBack) as one snapshot commit: CALL
-    //   graft.append_iceberg('/path/to/iceberg', source => 'view_name')
-    "append_iceberg" -> (Seq("source"), Set.empty[String]),
+    //   graft.append_iceberg('/path/to/iceberg', source => 'view_name'
+    //     [, branch => 'audit' — stage on a ref, WAP-style])
+    "append_iceberg" -> (Seq("source"), Set("branch")),
     // row-level write-back into a FOREIGN tree: CALL
     //   graft.delete_iceberg('/path/to/iceberg', where => 'id % 3 = 0')
     //   graft.merge_iceberg('/path/to/iceberg', source => 'view',
@@ -419,8 +460,27 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //     — consolidate small data manifests, metadata-only
     "rewrite_manifests_iceberg" -> (Seq.empty[String],
       Set("small_manifest_bytes", "min_input_manifests")),
+    //   graft.rewrite_position_deletes_iceberg('/path'
+    //     [, min_input_files => N]) — consolidate position tombstones
+    //     (v3: convert legacy parquet deletes to deletion vectors)
+    "rewrite_position_deletes_iceberg" -> (Seq.empty[String],
+      Set("min_input_files")),
     //   graft.expire_iceberg('/path', keep_last => N)
     "expire_iceberg" -> (Seq("keep_last"), Set.empty[String]),
+    // snapshot refs on a FOREIGN tree (metadata-only commits):
+    //   graft.tag_iceberg('/path', name => 'v1' [, snapshot_id => N])
+    //   graft.branch_iceberg('/path', name => 'audit'
+    //     [, snapshot_id => N])
+    //   graft.drop_ref_iceberg('/path', name => 'v1')
+    //   graft.rollback_iceberg('/path', snapshot_id => N) — main back
+    //     to an ancestor; rolled-past commits stay time-travelable
+    //   graft.fast_forward_iceberg('/path', branch => 'main',
+    //     to => 'audit') — the WAP landing step
+    "tag_iceberg" -> (Seq("name"), Set("snapshot_id")),
+    "branch_iceberg" -> (Seq("name"), Set("snapshot_id")),
+    "drop_ref_iceberg" -> (Seq("name"), Set.empty[String]),
+    "rollback_iceberg" -> (Seq("snapshot_id"), Set.empty[String]),
+    "fast_forward_iceberg" -> (Seq("branch", "to"), Set.empty[String]),
     //   graft.upgrade_iceberg('/path', to => 3) — one-way ladder
     "upgrade_iceberg" -> (Seq("to"), Set.empty[String]),
     //   graft.register_iceberg('/path', name => 'view' [, at => ref])
@@ -481,8 +541,12 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
           proc == "delete_iceberg_keys" || proc == "merge_iceberg" ||
           proc == "evolve_iceberg" || proc == "compact_iceberg" ||
           proc == "rewrite_manifests_iceberg" ||
+          proc == "rewrite_position_deletes_iceberg" ||
           proc == "expire_iceberg" || proc == "register_iceberg" ||
-          proc == "upgrade_iceberg") &&
+          proc == "upgrade_iceberg" || proc == "tag_iceberg" ||
+          proc == "branch_iceberg" || proc == "drop_ref_iceberg" ||
+          proc == "rollback_iceberg" ||
+          proc == "fast_forward_iceberg") &&
           (name.contains("/") ||
             // with catalog_uri the name is a namespace.table identifier
             // the REST catalog resolves — never a session-catalog table

@@ -92,7 +92,7 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
     check("init")
 
     (1 to nOps).foreach { i =>
-      rnd.nextInt(11) match {
+      rnd.nextInt(12) match {
         case 0 => // append (may duplicate keys — bag semantics)
           val rows = keys(1 + rnd.nextInt(3)).map(k => (k, freshVal(k)))
           IcebergWriteBack.appendTo(spark, loc, rows.toDF("id", "v"))
@@ -155,6 +155,14 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
           // tombstone keeps applying at its explicit sequence number)
           IcebergWriteBack.rewriteManifests(spark, loc)
           check(s"op$i rewriteManifests")
+        case 11 => // maintenance: position-tombstone consolidation —
+          // v2 merges the accreted delete files (dangling positions
+          // drop), v3 converts any legacy parquet tombstones to DVs;
+          // either way the answer must be BYTE-identical (and check's
+          // standing v3 invariants keep holding)
+          IcebergWriteBack.rewritePositionDeletes(spark, loc,
+            minInputFiles = 1)
+          check(s"op$i rewritePositionDeletes")
         case 9 => // SQL register: the view pins the CURRENT state
           spark.sql(s"CALL graft.register_iceberg('${loc}', " +
             s"name => 'ffuzz_reg_$seed')")
