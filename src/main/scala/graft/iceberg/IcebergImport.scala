@@ -310,6 +310,27 @@ object IcebergImport {
       "added_rows_count", "existing_rows_count")
   }
 
+  /** Iceberg `.refs`-shaped metadata view: one row per named ref (tags
+    * and branches, `main` included) — the inspection surface for the
+    * write-audit-publish lifecycle
+    * ([[graft.iceberg.IcebergWriteBack.createRef]] /
+    * `appendTo(branch =>)` / `fastForward`). One metadata.json parse,
+    * no manifest walk. */
+  def refs(spark: SparkSession, tableLocation: String): DataFrame = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    import spark.implicits._
+    val (_, meta, _) = parseMeta(spark, tableLocation)
+    val rows = (meta \ "refs") match {
+      case JObject(fs0) => fs0.map { case (name, v) =>
+        (name, (v \ "type").extractOpt[String].getOrElse("branch"),
+          (v \ "snapshot-id").extract[Long])
+      }
+      case _ => Nil
+    }
+    rows.toDF("name", "type", "snapshot_id")
+  }
+
   /** Iceberg `.files`-shaped metadata view over a FOREIGN tree: one row
     * per live data file of the resolved snapshot, with its data sequence
     * number and identity-partition tuple (JSON string — tuples are

@@ -104,21 +104,30 @@ object IcebergWriteBack {
       // the ref this commit advances: None = main (current-snapshot-id
       // moves with it); Some(b) = branch b only (main untouched — the
       // write-audit-publish staging shape)
-      branch: Option[String] = None)
+      branch: Option[String] = None,
+      // Some((catalog uri, namespace.table)) = the commit publishes
+      // through the REST catalog protocol (CommitTableRequest) instead
+      // of writing metadata.json — the catalog owns the pointer swap
+      catalog: Option[(String, String)] = None)
 
   private def loadTree(spark: SparkSession, tableLocation: String,
-      branch: Option[String] = None): Tree = {
+      branch: Option[String] = None,
+      catalog: Option[(String, String)] = None): Tree = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
 
-    // a catalog-resolved metadata-location is a READ handle: committing
-    // through it would bypass the catalog's pointer swap (the catalog,
-    // not the filesystem, owns the current-version decision there)
-    require(!tableLocation.endsWith(".metadata.json"),
+    // a catalog-resolved metadata-location is a READ handle for
+    // filesystem commits: writing metadata.json past it would bypass
+    // the catalog's pointer swap. With `catalog` the handle is exactly
+    // right — the commit goes back THROUGH the catalog
+    // (CommitTableRequest), which owns the current-version decision.
+    require(catalog.isDefined ||
+      !tableLocation.endsWith(".metadata.json"),
       "write-back needs the table root directory, not a metadata file " +
         s"(got $tableLocation) — catalog-resolved locations are " +
         "read-only here")
-    val (fs, meta, metaFile) = IcebergImport.parseMeta(spark, tableLocation)
+    val (fs, meta, metaFile) =
+      IcebergImport.parseMeta(spark, tableLocation)
     val formatVersion = (meta \ "format-version").extractOpt[Int]
       .getOrElse(1)
     require(formatVersion == 2 || formatVersion == 3,
@@ -200,12 +209,22 @@ object IcebergWriteBack {
       .getOrElse(0L)
     val newId = snapsJ.map(s => (s \ "snapshot-id").extract[Long])
       .foldLeft(0L)(math.max) + 1
-    val tableUri = fs.makeQualified(new Path(tableLocation))
+    // with a catalog handle the caller passed a metadata FILE — new
+    // data/manifest files land under the table's declared location
+    // (the spec's `location` field), exactly where a native client
+    // writes before asking the catalog to swap the pointer
+    val tableLoc =
+      if (catalog.isEmpty) tableLocation
+      else (meta \ "location").extractOpt[String].getOrElse(
+        throw new IllegalStateException(
+          s"$metaFile declares no table location — catalog-committed " +
+            "write-back cannot place data files"))
+    val tableUri = fs.makeQualified(new Path(tableLoc))
       .toUri.toString.stripSuffix("/")
-    Tree(fs, meta, metaFile, tableUri, tableLocation, curId, snapsJ,
+    Tree(fs, meta, metaFile, tableUri, tableLoc, curId, snapsJ,
       oldListUri, curSchemaId, schemaJ, fields, defaultSpecId,
       defSpecFields, specTriples, lastSeq + 1, newId,
-      formatVersion, nextRowId, branch)
+      formatVersion, nextRowId, branch, catalog)
   }
 
   /** The manifest-list record schema for this tree's format version. */
@@ -1025,6 +1044,34 @@ object IcebergWriteBack {
       if (tree.formatVersion >= 3)
         entryBase ~ ("first-row-id" -> tree.nextRowId)
       else entryBase
+
+    // catalog-owned table: the commit goes back THROUGH the catalog as
+    // protocol updates (add-snapshot + set-snapshot-ref) — the client
+    // wrote data/manifests/list above, the catalog writes metadata.json
+    // and enforces `assert-ref-snapshot-id` in place of the filesystem
+    // rename's single-winner guarantee (409 → the same loud retry
+    // contract). Snapshot shapes that rewrite or register metadata the
+    // protocol updates here don't express refuse up front.
+    if (tree.catalog.isDefined) {
+      val (catalogUri, ident) = tree.catalog.get
+      require(addUnpartSpec.isEmpty && replaceManifests.isEmpty &&
+        dropManifests.isEmpty,
+        "catalog-committed write-back supports plain append snapshots " +
+          "only (spec registration / manifest rewrites stay " +
+          "filesystem-side for now)")
+      val advRef = tree.branch.getOrElse("main")
+      graft.catalog.RestCatalog.commitTable(catalogUri, ident,
+        requirements = Seq(
+          ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> advRef) ~
+            ("snapshot-id" -> tree.curId): JValue),
+        updates = Seq(
+          (("action" -> "add-snapshot") ~
+            ("snapshot" -> (entryJ: JValue))): JValue,
+          (("action" -> "set-snapshot-ref") ~ ("ref-name" -> advRef) ~
+            ("type" -> "branch") ~
+            ("snapshot-id" -> tree.newId)): JValue))
+      return tree.newId
+    }
     val oldRefs: List[JField] = (tree.meta \ "refs") match {
       case JObject(fs0) => fs0
       case _ => Nil
@@ -1197,6 +1244,31 @@ object IcebergWriteBack {
     // Iceberg's write-audit-publish staging: main readers see nothing
     // until fastForward lands the branch
     val tree = loadTree(spark, tableLocation, branch)
+    val hasIds = treeHasIds(spark, tree)
+    val rec = newDataManifest(spark, tree, df, hasIds)
+    publish(spark, tree, Seq(rec), "append", None,
+      summaryProps = txnProps(txn))
+  }
+
+  /** [[appendTo]] against a CATALOG-OWNED table: `identifier`
+    * (`namespace.table`) resolves through the REST catalog, data and
+    * manifests are written under the table's declared location, and
+    * the commit goes back THROUGH the catalog as a
+    * `CommitTableRequest` (add-snapshot + set-snapshot-ref, guarded by
+    * `assert-ref-snapshot-id`) — the full client contract of the open
+    * protocol, where the catalog owns the metadata.json pointer swap.
+    * `branch` stages on a ref exactly like the filesystem path.
+    * Returns the new snapshot id. */
+  def appendToCatalog(spark: SparkSession, catalogUri: String,
+      identifier: String, df: DataFrame,
+      txn: Option[(String, Long)] = None,
+      branch: Option[String] = None): Long = {
+    val handle = graft.catalog.RestCatalog
+      .loadTableMetadataLocation(catalogUri, identifier)
+    if (alreadyCommitted(spark, handle, txn))
+      return IcebergImport.currentSnapshotId(spark, handle).get
+    val tree = loadTree(spark, handle, branch,
+      catalog = Some((catalogUri, identifier)))
     val hasIds = treeHasIds(spark, tree)
     val rec = newDataManifest(spark, tree, df, hasIds)
     publish(spark, tree, Seq(rec), "append", None,

@@ -191,9 +191,17 @@ case class GraftCallCommand(proc: String, location: String,
         val source = args.getOrElse("source",
           throw new IllegalArgumentException(s"graft.$proc needs source"))
         // branch => stage the commit on that ref (write-audit-publish);
-        // main readers see nothing until fast_forward_iceberg lands it
-        graft.iceberg.IcebergWriteBack.appendTo(spark, location,
-          spark.table(source), branch = args.get("branch"))
+        // main readers see nothing until fast_forward_iceberg lands it.
+        // catalog_uri => the location is a namespace.table identifier
+        // and the commit publishes THROUGH the REST catalog
+        args.get("catalog_uri") match {
+          case Some(uri) =>
+            graft.iceberg.IcebergWriteBack.appendToCatalog(spark, uri,
+              location, spark.table(source), branch = args.get("branch"))
+          case None =>
+            graft.iceberg.IcebergWriteBack.appendTo(spark, location,
+              spark.table(source), branch = args.get("branch"))
+        }
       case "delete_iceberg" =>
         // row-level WRITE-BACK: tombstone the foreign rows matching the
         // predicate as one v2 position-delete snapshot
@@ -431,7 +439,10 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // tree (iceberg.IcebergWriteBack) as one snapshot commit: CALL
     //   graft.append_iceberg('/path/to/iceberg', source => 'view_name'
     //     [, branch => 'audit' — stage on a ref, WAP-style])
-    "append_iceberg" -> (Seq("source"), Set("branch")),
+    //   graft.append_iceberg('ns.table', source => 'view',
+    //     catalog_uri => 'http://...') — resolve AND commit through
+    //     the REST catalog (CommitTableRequest; catalog owns the swap)
+    "append_iceberg" -> (Seq("source"), Set("branch", "catalog_uri")),
     // row-level write-back into a FOREIGN tree: CALL
     //   graft.delete_iceberg('/path/to/iceberg', where => 'id % 3 = 0')
     //   graft.merge_iceberg('/path/to/iceberg', source => 'view',
@@ -550,7 +561,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (name.contains("/") ||
             // with catalog_uri the name is a namespace.table identifier
             // the REST catalog resolves — never a session-catalog table
-            (proc == "register_iceberg" && kvs.contains("catalog_uri"))))
+            ((proc == "register_iceberg" || proc == "append_iceberg") &&
+              kvs.contains("catalog_uri"))))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution

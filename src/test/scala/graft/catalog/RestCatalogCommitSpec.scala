@@ -1,0 +1,267 @@
+package graft.catalog
+
+import java.io.File
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods.{compact, parse, render}
+
+import graft.SparkSpec
+import graft.iceberg.{IcebergExport, IcebergImport, IcebergWriteBack}
+import graft.table.GraftTable
+
+/** REST catalog COMMITS against an in-process loopback catalog — the
+  * write half of the protocol seam ([[RestCatalog.commitTable]] /
+  * [[IcebergWriteBack.appendToCatalog]]): the client writes data,
+  * manifests and the manifest list under the table location, then
+  * POSTs `CommitTableRequest` (add-snapshot + set-snapshot-ref guarded
+  * by assert-ref-snapshot-id) and the CATALOG writes the next
+  * metadata.json and swaps its pointer. The loopback server implements
+  * exactly that server-side contract (apply updates, enforce
+  * requirements with 409, persist a new metadata file), so the
+  * round-trip — commit through the catalog, read back through the
+  * catalog — runs with zero egress. */
+class RestCatalogCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  /** A loopback catalog owning ONE table: resolves loadTable from its
+    * own pointer and applies CommitTableRequest updates exactly like a
+    * real catalog (requirements checked against ITS current metadata,
+    * new metadata file persisted next to the old ones). */
+  private final class LoopbackCatalog(ident: String,
+      @volatile private var currentLoc: String) {
+    private val Array(ns, tbl) = ident.split('.')
+    def location: String = currentLoc
+
+    private def readMeta(): JValue = parse(new String(
+      Files.readAllBytes(new File(currentLoc).toPath),
+      StandardCharsets.UTF_8))
+
+    /** (status, body) for a CommitTableRequest payload. */
+    def commit(body: String): (Int, String) = synchronized {
+      val req = parse(body)
+      val meta = readMeta()
+      val refs = (meta \ "refs") match {
+        case JObject(fs0) => fs0.toMap
+        case _ => Map.empty[String, JValue]
+      }
+      // requirements: assert-ref-snapshot-id against CURRENT state
+      val conflict = (req \ "requirements").children.exists { r =>
+        (r \ "type").extractOpt[String].contains(
+          "assert-ref-snapshot-id") && {
+          val ref = (r \ "ref").extract[String]
+          val want = (r \ "snapshot-id").extract[Long]
+          val have = refs.get(ref)
+            .flatMap(v => (v \ "snapshot-id").extractOpt[Long])
+            .orElse(if (ref == "main")
+              (meta \ "current-snapshot-id").extractOpt[Long] else None)
+          !have.contains(want)
+        }
+      }
+      if (conflict)
+        return (409, """{"error":{"message":"Requirement failed: """ +
+          """branch was updated concurrently","type":""" +
+          """"CommitFailedException","code":409}}""")
+      // apply updates in order
+      var out = meta
+      (req \ "updates").children.foreach { u =>
+        (u \ "action").extract[String] match {
+          case "add-snapshot" =>
+            val snap = u \ "snapshot"
+            val seq = (snap \ "sequence-number").extract[Long]
+            val snaps = JArray((out \ "snapshots").children :+ snap)
+            val lastSeq = math.max(
+              (out \ "last-sequence-number").extractOpt[Long]
+                .getOrElse(0L), seq)
+            out = replaceFields(out, List(
+              "snapshots" -> snaps,
+              "last-sequence-number" -> JLong(lastSeq),
+              "last-updated-ms" ->
+                JLong(System.currentTimeMillis())))
+          case "set-snapshot-ref" =>
+            val name = (u \ "ref-name").extract[String]
+            val id = (u \ "snapshot-id").extract[Long]
+            val refd: JValue = ("snapshot-id" -> id) ~
+              ("type" -> (u \ "type").extractOpt[String]
+                .getOrElse("branch"))
+            val newRefs = JObject(((out \ "refs") match {
+              case JObject(fs0) => fs0.filterNot(_._1 == name)
+              case _ => Nil
+            }) :+ (name -> refd))
+            val mainFields =
+              if (name != "main") Nil
+              else List[JField](
+                "current-snapshot-id" -> JLong(id),
+                "snapshot-log" -> JArray(
+                  (out \ "snapshot-log").children :+
+                    ((("timestamp-ms" ->
+                      System.currentTimeMillis()) ~
+                      ("snapshot-id" -> id)): JValue)))
+            out = replaceFields(out,
+              List[JField]("refs" -> newRefs) ++ mainFields)
+          case other =>
+            return (400, s"""{"error":{"message":"unsupported update
+              |$other","type":"BadRequest","code":400}}""".stripMargin)
+        }
+      }
+      val dir = new File(currentLoc).getParentFile
+      val next = new File(dir,
+        f"${System.nanoTime()}%020d-rest.metadata.json")
+      Files.write(next.toPath,
+        compact(render(out)).getBytes(StandardCharsets.UTF_8))
+      currentLoc = next.getAbsolutePath
+      (200, compact(render(
+        ("metadata-location" -> currentLoc) ~
+          ("metadata" -> out))))
+    }
+
+    private def replaceFields(meta: JValue,
+        fields: List[JField]): JValue = {
+      val names = fields.map(_._1).toSet
+      JObject(meta.asInstanceOf[JObject].obj
+        .filterNot(f => names(f._1)) ++ fields)
+    }
+
+    def route(ex: HttpExchange): Unit = {
+      val path = ex.getRequestURI.getPath
+      val (code, body) =
+        if (path == "/v1/config")
+          (200, """{"defaults":{},"overrides":{}}""")
+        else if (path == s"/v1/namespaces/$ns/tables/$tbl") {
+          if (ex.getRequestMethod == "POST")
+            commit(new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8))
+          else (200, compact(render(
+            ("metadata-location" -> currentLoc) ~
+              ("metadata" -> readMeta()))))
+        } else (404, """{"error":{"message":"NoSuchTable",
+          |"type":"NoSuchTableException","code":404}}""".stripMargin)
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+  }
+
+  private def withCatalog(ident: String, metadataLoc: String)
+      (body: (String, LoopbackCatalog) => Unit): Unit = {
+    val cat = new LoopbackCatalog(ident, metadataLoc)
+    val server = HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => cat.route(ex))
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}", cat)
+    finally server.stop(0)
+  }
+
+  private def freshTree(prefix: String): GraftTable = {
+    val t = GraftTable(spark, tmpDir(prefix) + "/t")
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 4)
+    t
+  }
+
+  private def latestMeta(t: GraftTable): String =
+    new File(t.location, "metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json"))
+      .map(_.getAbsolutePath).sorted.last
+
+  test("catalog-committed append: client writes data+manifests, the " +
+      "catalog applies add-snapshot/set-snapshot-ref and swaps its " +
+      "pointer; chained commits build on catalog state; reads through " +
+      "the catalog see each step") {
+    val t = freshTree("ccommit")
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      val s1 = IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        (11L to 15L).map(i => (i, s"v$i")).toDF("id", "v"))
+      // the catalog moved its pointer to a file IT wrote
+      assert(cat.location.endsWith("-rest.metadata.json"))
+      def catRead(at: Option[String] = None): Array[Long] =
+        IcebergImport.read(spark,
+          RestCatalog.loadTableMetadataLocation(base, "lake.t"), at)
+          .select("id").as[Long].collect().sorted
+      assert(catRead() === (1L to 15L).toArray)
+      // the committed snapshot carries the truthful summary metrics
+      val meta = parse(new String(Files.readAllBytes(
+        new File(cat.location).toPath), StandardCharsets.UTF_8))
+      val snap = (meta \ "snapshots").children.find(s =>
+        (s \ "snapshot-id").extract[Long] == s1).get
+      assert((snap \ "summary" \ "added-records")
+        .extract[String] === "5")
+      assert((snap \ "summary" \ "total-records")
+        .extract[String] === "15")
+      // chained: the next catalog commit parents on s1
+      val s2 = IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        Seq((16L, "v16")).toDF("id", "v"))
+      val meta2 = parse(new String(Files.readAllBytes(
+        new File(cat.location).toPath), StandardCharsets.UTF_8))
+      val snap2 = (meta2 \ "snapshots").children.find(s =>
+        (s \ "snapshot-id").extract[Long] == s2).get
+      assert((snap2 \ "parent-snapshot-id").extract[Long] === s1)
+      assert(catRead() === (1L to 16L).toArray)
+      // SQL surface: identifier + catalog_uri commits the same way
+      (17L to 18L).map(i => (i, s"v$i")).toDF("id", "v")
+        .createOrReplaceTempView("ccommit_batch")
+      spark.sql("CALL graft.append_iceberg('lake.t', " +
+        s"source => 'ccommit_batch', catalog_uri => '$base')")
+      assert(catRead() === (1L to 18L).toArray)
+    }
+  }
+
+  test("a stale assert-ref-snapshot-id is refused with the protocol's " +
+      "409 and surfaces as the same loud retry contract as a lost " +
+      "filesystem rename") {
+    val t = freshTree("ccommit-409")
+    withCatalog("lake.t", latestMeta(t)) { (base, _) =>
+      val head = IcebergImport.currentSnapshotId(spark,
+        RestCatalog.loadTableMetadataLocation(base, "lake.t")).get
+      // advance the catalog once, then replay the OLD head as the
+      // requirement — the concurrent-committer shape
+      IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        Seq((11L, "x")).toDF("id", "v"))
+      val e = intercept[IllegalStateException] {
+        RestCatalog.commitTable(base, "lake.t",
+          requirements = Seq(
+            ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> "main") ~
+              ("snapshot-id" -> head): JValue),
+          updates = Seq.empty)
+      }
+      assert(e.getMessage.contains("409") &&
+        e.getMessage.contains("retry"))
+    }
+  }
+
+  test("WAP through the catalog: a branch commit advances only its " +
+      "ref in catalog-owned metadata; main stays pinned until the ref " +
+      "is landed") {
+    val t = freshTree("ccommit-wap")
+    // the branch ref must exist in the metadata the catalog serves:
+    // create it filesystem-side BEFORE handing the pointer over
+    IcebergWriteBack.createRef(spark, t.location, "audit", "branch")
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        (11L to 13L).map(i => (i, s"v$i")).toDF("id", "v"),
+        branch = Some("audit"))
+      def loc = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      assert(IcebergImport.read(spark, loc).count() === 10L)
+      assert(IcebergImport.read(spark, loc, Some("audit"))
+        .count() === 13L)
+      val meta = parse(new String(Files.readAllBytes(
+        new File(cat.location).toPath), StandardCharsets.UTF_8))
+      assert((meta \ "snapshot-log").children.isEmpty ||
+        (meta \ "snapshot-log").children.forall(e =>
+          (e \ "snapshot-id").extract[Long] !=
+            (meta \ "refs" \ "audit" \ "snapshot-id").extract[Long]),
+        "a staged branch commit must not enter main's snapshot-log")
+    }
+  }
+}

@@ -264,6 +264,30 @@ class IcebergRefsSpec extends SparkSpec {
     assert(rids === Array(ridBefore, ridBefore + 1, ridBefore + 2))
   }
 
+  test(".refs metadata view: one row per named ref, main included, " +
+      "tracking creates/advances/drops") {
+    val t = freshTree("refs-view")
+    val head = IcebergImport.currentSnapshotId(spark, t.location).get
+    IcebergWriteBack.createRef(spark, t.location, "rel", "tag")
+    IcebergWriteBack.createRef(spark, t.location, "audit", "branch")
+    def view(): Map[String, (String, Long)] =
+      IcebergImport.refs(spark, t.location)
+        .as[(String, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val v0 = view()
+    assert(v0 === Map("main" -> (("branch", head)),
+      "rel" -> (("tag", head)), "audit" -> (("branch", head))))
+    val staged = IcebergWriteBack.appendTo(spark, t.location,
+      Seq((11L, "x")).toDF("id", "v"), branch = Some("audit"))
+    val v1 = view()
+    assert(v1("audit") === (("branch", staged)) &&
+      v1("main") === (("branch", head)) && v1("rel") === (("tag", head)))
+    IcebergWriteBack.fastForward(spark, t.location, "main", "audit")
+    assert(view()("main") === (("branch", staged)))
+    IcebergWriteBack.dropRef(spark, t.location, "rel")
+    assert(!view().contains("rel"))
+  }
+
   test("SQL surface: tag/branch/append(branch)/fast_forward/rollback/" +
       "drop_ref procedures run the same lifecycle end-to-end") {
     val t = freshTree("refs-sql")
