@@ -696,12 +696,20 @@ object IcebergExport {
       }
       val parentJson = s.parentId
         .map(p => s"""\n    "parent-snapshot-id": $p,""").getOrElse("")
+      // truthful total-* summary metrics (what external history views
+      // surface). added-* keys are deliberately OMITTED: the export
+      // synthesizes each snapshot's FULL live state as one manifest, so
+      // per-commit deltas are not represented here — totals are exact,
+      // a fabricated delta would not be
       val entryJson =
         s"""{
            |    "sequence-number": $lastSeq,
            |    "snapshot-id": $sid,$parentJson
            |    "timestamp-ms": ${s.timestampMs},
-           |    "summary": {"operation": "$iceOp"},
+           |    "summary": {"operation": "$iceOp",
+           |      "total-data-files": "${live.size}",
+           |      "total-delete-files": "${deletes.size}",
+           |      "total-records": "$totalRows"},
            |    "manifest-list": ${jsonStr(s"$tableUri/metadata/$listName")},
            |    "schema-id": 0
            |  }""".stripMargin

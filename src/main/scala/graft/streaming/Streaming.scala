@@ -308,6 +308,26 @@ object Streaming {
         ()
     }
 
+  /** [[icebergSink]] against a CATALOG-OWNED table: each micro-batch
+    * resolves `identifier` through the REST catalog and commits back
+    * THROUGH it ([[graft.iceberg.IcebergWriteBack.appendToCatalog]] —
+    * add-snapshot + set-snapshot-ref guarded by
+    * assert-ref-snapshot-id), so the stream lands exactly-once in a
+    * table whose current-version pointer the catalog owns: the
+    * production streaming shape (a 409 fails the batch loud and the
+    * retry re-resolves; a replayed batch finds its (appId, batchId)
+    * stamp in the snapshot summaries and no-ops). */
+  def icebergCatalogSink(stream: DataFrame, catalogUri: String,
+      identifier: String, txnAppId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.iceberg.IcebergWriteBack.appendToCatalog(
+          batch.sparkSession, catalogUri, identifier, batch.toDF(),
+          txn = Some((txnAppId, batchId)))
+        ()
+    }
+
   /** Streaming CDC UPSERT into a FOREIGN Iceberg tree: per micro-batch,
     * keep-latest window dedup on `keys` by `orderCol`, then
     * [[graft.iceberg.IcebergWriteBack.mergeInto]] — by default with

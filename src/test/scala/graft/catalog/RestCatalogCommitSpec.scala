@@ -217,6 +217,43 @@ class RestCatalogCommitSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink through the catalog: micro-batches land " +
+      "exactly-once via catalog commits (txn stamps in summaries); a " +
+      "replayed batch no-ops against catalog-resolved state") {
+    val t = freshTree("ccommit-stream")
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      val raw = tmpDir("ccommit-raw")
+      (11L to 14L).map(i => (i, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(raw)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(raw).schema)
+        .option("maxFilesPerTrigger", 1).parquet(raw)
+      val ckpt = tmpDir("ccommit-ckpt")
+      val q = graft.streaming.Streaming.icebergCatalogSink(stream,
+        base, "lake.t", "ccommit-app")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      def loc = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      assert(IcebergImport.read(spark, loc).select("id").as[Long]
+        .collect().sorted === (1L to 14L).toArray)
+      assert(IcebergWriteBack.lastCommittedBatch(spark, loc,
+        "ccommit-app").exists(_ >= 0))
+      // replay: a LOST checkpoint re-delivers every batch from 0 —
+      // the (appId, batchId) stamps in the snapshot summaries no-op
+      // each one, so the catalog pointer must not move
+      val before = cat.location
+      val q2 = graft.streaming.Streaming.icebergCatalogSink(
+        spark.readStream.schema(spark.read.parquet(raw).schema)
+          .option("maxFilesPerTrigger", 1).parquet(raw),
+        base, "lake.t", "ccommit-app")
+        .option("checkpointLocation", tmpDir("ccommit-ckpt2")).start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(cat.location === before,
+        "a replayed stream must not publish new catalog versions")
+      assert(IcebergImport.read(spark, loc).count() === 14L)
+    }
+  }
+
   test("a stale assert-ref-snapshot-id is refused with the protocol's " +
       "409 and surfaces as the same loud retry contract as a lost " +
       "filesystem rename") {

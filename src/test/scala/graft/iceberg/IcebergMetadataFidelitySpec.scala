@@ -113,6 +113,28 @@ class IcebergMetadataFidelitySpec extends SparkSpec {
     assert(s("total-records") === "13")
   }
 
+  test("export stamps truthful total-* metrics on every exported " +
+      "snapshot (added-* omitted: the export synthesizes full state)") {
+    val t = GraftTable(spark, tmpDir("fid-exp") + "/t")
+    t.append((1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.append((31L to 45L).map(i => (i, s"v$i")).toDF("id", "v"))
+    IcebergExport.export(spark, t, history = 2)
+    val (_, meta, _) = IcebergImport.parseMeta(spark, t.location)
+    val cur = (meta \ "current-snapshot-id").extract[Long]
+    val snap = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] == cur).get
+    assert((snap \ "summary" \ "total-records")
+      .extract[String] === "45")
+    assert((snap \ "summary" \ "total-data-files").extract[String]
+      .toLong === IcebergImport.plan(spark, t.location).files.size)
+    assert((snap \ "summary" \ "added-records") === JNothing)
+    // every exported snapshot carries its OWN state's totals
+    val prev = (meta \ "snapshots").children.find(s =>
+      (s \ "snapshot-id").extract[Long] != cur).get
+    assert((prev \ "summary" \ "total-records")
+      .extract[String] === "30")
+  }
+
   test("metadata-log: every commit appends the file it superseded, " +
       "stamped with THAT version's last-updated-ms; ref ops and " +
       "upgrades maintain it too; the cap bounds growth") {
