@@ -1054,17 +1054,31 @@ object IcebergWriteBack {
     // protocol updates here don't express refuse up front.
     if (tree.catalog.isDefined) {
       val (catalogUri, ident) = tree.catalog.get
-      require(addUnpartSpec.isEmpty && replaceManifests.isEmpty &&
-        dropManifests.isEmpty,
-        "catalog-committed write-back supports plain append snapshots " +
-          "only (spec registration / manifest rewrites stay " +
-          "filesystem-side for now)")
+      // v3 row lineage: next-row-id is CATALOG-maintained metadata this
+      // client cannot advance through add-snapshot alone — a stale
+      // next-row-id would hand the next committer already-assigned row
+      // ids (silent lineage corruption), so refuse loud. Filesystem
+      // write-back fully supports v3.
+      require(tree.formatVersion < 3,
+        "catalog-committed write-back supports v2 trees only: v3 " +
+          "next-row-id is catalog-maintained state the protocol " +
+          "updates here cannot advance — commit v3 trees " +
+          "filesystem-side")
+      // replaced/dropped manifests need NO protocol support: they are
+      // baked into the manifest LIST this client already wrote — the
+      // catalog only stores the snapshot entry pointing at it. A fresh
+      // unpartitioned spec (delete manifests) rides the protocol's
+      // add-spec update.
       val advRef = tree.branch.getOrElse("main")
+      val specUpdate: Seq[JValue] = addUnpartSpec.toSeq.map(sid =>
+        (("action" -> "add-spec") ~ ("spec" ->
+          (("spec-id" -> sid) ~
+            ("fields" -> org.json4s.JArray(Nil)): JValue))): JValue)
       graft.catalog.RestCatalog.commitTable(catalogUri, ident,
         requirements = Seq(
           ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> advRef) ~
             ("snapshot-id" -> tree.curId): JValue),
-        updates = Seq(
+        updates = specUpdate ++ Seq(
           (("action" -> "add-snapshot") ~
             ("snapshot" -> (entryJ: JValue))): JValue,
           (("action" -> "set-snapshot-ref") ~ ("ref-name" -> advRef) ~
@@ -1275,14 +1289,43 @@ object IcebergWriteBack {
       summaryProps = txnProps(txn))
   }
 
+  /** [[deleteWhere]] / [[deleteKeys]] / [[mergeInto]] against a
+    * CATALOG-OWNED table: the identifier resolves to a read handle,
+    * reads (current state, lineage, pruned scans) go through it, and
+    * the commit publishes back THROUGH the catalog exactly like
+    * [[appendToCatalog]] — including the protocol's `add-spec` update
+    * when a delete manifest needs a fresh unpartitioned spec. v2 trees
+    * only (v3 next-row-id is catalog-maintained; the publish path
+    * refuses loud). */
+  def deleteWhereCatalog(spark: SparkSession, catalogUri: String,
+      identifier: String, predicate: Column): Long =
+    deleteWhere(spark, graft.catalog.RestCatalog
+      .loadTableMetadataLocation(catalogUri, identifier), predicate,
+      catalog = Some((catalogUri, identifier)))
+
+  def deleteKeysCatalog(spark: SparkSession, catalogUri: String,
+      identifier: String, keys: DataFrame): Long =
+    deleteKeys(spark, graft.catalog.RestCatalog
+      .loadTableMetadataLocation(catalogUri, identifier), keys,
+      catalog = Some((catalogUri, identifier)))
+
+  def mergeIntoCatalog(spark: SparkSession, catalogUri: String,
+      identifier: String, source: DataFrame, keys: Seq[String],
+      equalityDeletes: Boolean = false,
+      txn: Option[(String, Long)] = None): Long =
+    mergeInto(spark, graft.catalog.RestCatalog
+      .loadTableMetadataLocation(catalogUri, identifier), source, keys,
+      equalityDeletes, txn, catalog = Some((catalogUri, identifier)))
+
   /** Row-level DELETE against the foreign tree: the current-state rows
     * matching `predicate` become v2 position tombstones in one `delete`
     * snapshot — no data byte rewritten, any partition spec accepted.
     * Returns the new snapshot id, or the CURRENT id when nothing matched
     * (no empty commit is published). */
   def deleteWhere(spark: SparkSession, tableLocation: String,
-      predicate: Column): Long = {
-    val tree = loadTree(spark, tableLocation)
+      predicate: Column,
+      catalog: Option[(String, String)] = None): Long = {
+    val tree = loadTree(spark, tableLocation, catalog = catalog)
     if (tree.formatVersion >= 3) {
       // v3 forbids new position-delete FILES: the tombstones are
       // written as DELETION VECTORS instead ([[newDvManifest]])
@@ -1330,8 +1373,9 @@ object IcebergWriteBack {
     * loud refusal. Returns the new snapshot id, or the current id when
     * `keys` is empty. */
   def deleteKeys(spark: SparkSession, tableLocation: String,
-      keys: DataFrame): Long = {
-    val tree = loadTree(spark, tableLocation)
+      keys: DataFrame,
+      catalog: Option[(String, String)] = None): Long = {
+    val tree = loadTree(spark, tableLocation, catalog = catalog)
     val hasIds = treeHasIds(spark, tree)
     val (aligned, cols, ids) = alignedKeyTuples(tree, keys,
       keys.columns.toSeq, hasIds)
@@ -1379,10 +1423,11 @@ object IcebergWriteBack {
   def mergeInto(spark: SparkSession, tableLocation: String,
       source: DataFrame, keys: Seq[String],
       equalityDeletes: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      catalog: Option[(String, String)] = None): Long = {
     if (alreadyCommitted(spark, tableLocation, txn))
       return IcebergImport.currentSnapshotId(spark, tableLocation).get
-    val tree = loadTree(spark, tableLocation)
+    val tree = loadTree(spark, tableLocation, catalog = catalog)
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val schemaCols = tree.fields.map(_._1).toSet
     val badKeys = keys.filterNot(schemaCols)

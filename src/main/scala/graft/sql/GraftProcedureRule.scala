@@ -204,18 +204,29 @@ case class GraftCallCommand(proc: String, location: String,
         }
       case "delete_iceberg" =>
         // row-level WRITE-BACK: tombstone the foreign rows matching the
-        // predicate as one v2 position-delete snapshot
+        // predicate as one v2 position-delete snapshot; catalog_uri =>
+        // the location is an identifier and the commit goes back
+        // through the REST catalog
         val where = args.getOrElse("where",
           throw new IllegalArgumentException(s"graft.$proc needs where"))
-        graft.iceberg.IcebergWriteBack.deleteWhere(spark, location,
-          org.apache.spark.sql.functions.expr(where))
+        args.get("catalog_uri") match {
+          case Some(uri) => graft.iceberg.IcebergWriteBack
+            .deleteWhereCatalog(spark, uri, location,
+              org.apache.spark.sql.functions.expr(where))
+          case None => graft.iceberg.IcebergWriteBack.deleteWhere(spark,
+            location, org.apache.spark.sql.functions.expr(where))
+        }
       case "delete_iceberg_keys" =>
         // key-based WRITE-BACK: v2 equality-delete snapshot, O(keys)
         // with no table scan — the view's columns ARE the key columns
         val source = args.getOrElse("source",
           throw new IllegalArgumentException(s"graft.$proc needs source"))
-        graft.iceberg.IcebergWriteBack.deleteKeys(spark, location,
-          spark.table(source))
+        args.get("catalog_uri") match {
+          case Some(uri) => graft.iceberg.IcebergWriteBack
+            .deleteKeysCatalog(spark, uri, location, spark.table(source))
+          case None => graft.iceberg.IcebergWriteBack.deleteKeys(spark,
+            location, spark.table(source))
+        }
       case "merge_iceberg" =>
         // row-level WRITE-BACK: keyed upsert of a Spark table/view into
         // the foreign tree as one overwrite snapshot (position deletes
@@ -231,8 +242,13 @@ case class GraftCallCommand(proc: String, location: String,
           case Some(other) => throw new IllegalArgumentException(
             s"graft.$proc deletes must be position|equality, got $other")
         }
-        graft.iceberg.IcebergWriteBack.mergeInto(spark, location,
-          spark.table(source), keys, equalityDeletes = eq)
+        args.get("catalog_uri") match {
+          case Some(uri) => graft.iceberg.IcebergWriteBack
+            .mergeIntoCatalog(spark, uri, location, spark.table(source),
+              keys, equalityDeletes = eq)
+          case None => graft.iceberg.IcebergWriteBack.mergeInto(spark,
+            location, spark.table(source), keys, equalityDeletes = eq)
+        }
       case "register_iceberg" =>
         // SQL over a FOREIGN tree without import: a temp view over the
         // composed MOR read (scan + delete anti-joins). The view pins
@@ -447,13 +463,17 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //   graft.delete_iceberg('/path/to/iceberg', where => 'id % 3 = 0')
     //   graft.merge_iceberg('/path/to/iceberg', source => 'view',
     //     keys => 'id')   — keys is a comma-separated column list
-    "delete_iceberg" -> (Seq("where"), Set.empty[String]),
+    //   each row-level proc also takes catalog_uri => (the location is
+    //   then a namespace.table identifier; the commit publishes back
+    //   THROUGH the REST catalog — v2 trees only)
+    "delete_iceberg" -> (Seq("where"), Set("catalog_uri")),
     //   graft.delete_iceberg_keys('/path', source => 'keys_view')
     //     — equality deletes; the view's columns are the key columns
-    "delete_iceberg_keys" -> (Seq("source"), Set.empty[String]),
+    "delete_iceberg_keys" -> (Seq("source"), Set("catalog_uri")),
     //   graft.merge_iceberg(..., deletes => 'equality') upserts with
     //     equality tombstones (no target scan — the streaming shape)
-    "merge_iceberg" -> (Seq("source", "keys"), Set("deletes")),
+    "merge_iceberg" -> (Seq("source", "keys"),
+      Set("deletes", "catalog_uri")),
     //   graft.evolve_iceberg('/path',
     //     op => 'add|rename|widen|add_partition_field',
     //     col => 'c' [, type => 'long'] [, to => 'newname']
@@ -561,8 +581,10 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (name.contains("/") ||
             // with catalog_uri the name is a namespace.table identifier
             // the REST catalog resolves — never a session-catalog table
-            ((proc == "register_iceberg" || proc == "append_iceberg") &&
-              kvs.contains("catalog_uri"))))
+            ((proc == "register_iceberg" || proc == "append_iceberg" ||
+              proc == "delete_iceberg" ||
+              proc == "delete_iceberg_keys" ||
+              proc == "merge_iceberg") && kvs.contains("catalog_uri"))))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution

@@ -328,6 +328,36 @@ object Streaming {
         ()
     }
 
+  /** [[icebergMergeSink]] against a CATALOG-OWNED table: per
+    * micro-batch keep-latest dedup, then
+    * [[graft.iceberg.IcebergWriteBack.mergeIntoCatalog]] — the
+    * streaming CDC upsert landing THROUGH the REST catalog with the
+    * same exactly-once txn stamp (v2 trees; equality deletes by
+    * default, so no target scan per batch). */
+  def icebergCatalogMergeSink(stream: DataFrame, catalogUri: String,
+      identifier: String, txnAppId: String, keys: Seq[String],
+      orderCol: String, equalityDeletes: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val latest = batch.toDF()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val handle = graft.catalog.RestCatalog
+          .loadTableMetadataLocation(catalogUri, identifier)
+        val schemaCols = graft.iceberg.IcebergImport
+          .plan(batch.sparkSession, handle).schema.fieldNames
+        graft.iceberg.IcebergWriteBack.mergeIntoCatalog(
+          batch.sparkSession, catalogUri, identifier,
+          latest.select(schemaCols.map(col).toIndexedSeq: _*), keys,
+          equalityDeletes = equalityDeletes,
+          txn = Some((txnAppId, batchId)))
+        ()
+    }
+
   /** Streaming CDC UPSERT into a FOREIGN Iceberg tree: per micro-batch,
     * keep-latest window dedup on `keys` by `orderCol`, then
     * [[graft.iceberg.IcebergWriteBack.mergeInto]] — by default with

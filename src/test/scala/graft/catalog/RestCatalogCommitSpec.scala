@@ -86,6 +86,11 @@ class RestCatalogCommitSpec extends SparkSpec {
               "last-sequence-number" -> JLong(lastSeq),
               "last-updated-ms" ->
                 JLong(System.currentTimeMillis())))
+          case "add-spec" =>
+            val spec = u \ "spec"
+            out = replaceFields(out, List(
+              "partition-specs" -> JArray(
+                (out \ "partition-specs").children :+ spec)))
           case "set-snapshot-ref" =>
             val name = (u \ "ref-name").extract[String]
             val id = (u \ "snapshot-id").extract[Long]
@@ -274,6 +279,97 @@ class RestCatalogCommitSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("409") &&
         e.getMessage.contains("retry"))
+    }
+  }
+
+  test("row-level ops through the catalog: merge (equality + " +
+      "position), deleteWhere, deleteKeys — and the add-spec update " +
+      "when a partitioned tree's delete manifest needs a fresh " +
+      "unpartitioned spec") {
+    val t = GraftTable(spark, tmpDir("ccommit-row") + "/t")
+    t.append((1L to 20L).map(i => (i, s"g${i % 3}"))
+      .toDF("id", "grp"), parts = Seq("grp"))
+    IcebergExport.export(spark, t, history = 4)
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      def loc = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      def state(): Map[Long, String] =
+        IcebergImport.read(spark, loc).as[(Long, String)]
+          .collect().toMap
+      // equality-delete MERGE (the streaming upsert shape)
+      IcebergWriteBack.mergeIntoCatalog(spark, base, "lake.t",
+        Seq((5L, "UP"), (21L, "NEW")).toDF("id", "grp"),
+        keys = Seq("id"), equalityDeletes = true)
+      val s1 = state()
+      assert(s1(5L) === "UP" && s1(21L) === "NEW" && s1.size === 21)
+      // position delete: the identity-partitioned tree has no
+      // unpartitioned spec — the delete manifest needs one, and it
+      // must arrive via the protocol's add-spec update
+      IcebergWriteBack.deleteWhereCatalog(spark, base, "lake.t",
+        expr("id % 4 = 0"))
+      val s2 = state()
+      assert(s2.size === 21 - (1L to 20L).count(_ % 4 == 0) &&
+        s2.keys.forall(_ % 4 != 0))
+      val meta = parse(new String(Files.readAllBytes(
+        new File(cat.location).toPath), StandardCharsets.UTF_8))
+      assert((meta \ "partition-specs").children.exists(s =>
+        (s \ "fields").children.isEmpty),
+        "the unpartitioned delete spec must register via add-spec")
+      // keyed equality delete
+      IcebergWriteBack.deleteKeysCatalog(spark, base, "lake.t",
+        Seq(21L).toDF("id"))
+      assert(!state().contains(21L))
+      // SQL surface: identifier + catalog_uri route the same way
+      Seq((2L, "SQLUP")).toDF("id", "grp")
+        .createOrReplaceTempView("ccommit_row_src")
+      spark.sql("CALL graft.merge_iceberg('lake.t', " +
+        "source => 'ccommit_row_src', keys => 'id', " +
+        s"deletes => 'equality', catalog_uri => '$base')")
+      assert(state()(2L) === "SQLUP")
+      // external engine reads the final catalog state THROUGH the
+      // catalog's metadata-location handle (directory resolution would
+      // see the stale pre-catalog version-hint — exactly why real
+      // engines take the location from the catalog)
+      val out = scala.sys.process.Process(Seq("python3",
+        "tools/read_iceberg_duckdb.py", cat.location,
+        "SELECT COUNT(*) AS n FROM t")).!!
+      assert(out.trim.split("\n").last === state().size.toString)
+    }
+  }
+
+  test("v3 trees refuse catalog commits loudly (next-row-id is " +
+      "catalog-maintained state add-snapshot cannot advance)") {
+    val t = freshTree("ccommit-v3")
+    IcebergWriteBack.upgradeFormatVersion(spark, t.location, 3)
+    withCatalog("lake.t", latestMeta(t)) { (base, _) =>
+      val e = intercept[IllegalArgumentException] {
+        IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+          Seq((99L, "x")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("v2 trees only"))
+    }
+  }
+
+  test("streaming CDC merge sink through the catalog: keep-latest " +
+      "dedup per batch, equality-delete upsert, exactly-once stamps") {
+    val t = freshTree("ccommit-cdc")
+    withCatalog("lake.t", latestMeta(t)) { (base, _) =>
+      val raw = tmpDir("ccommit-cdc-raw")
+      Seq((5L, "old", 1L), (5L, "new", 2L), (11L, "ins", 1L))
+        .toDF("id", "v", "ts")
+        .coalesce(1).write.mode("append").parquet(raw)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(raw).schema).parquet(raw)
+      val q = graft.streaming.Streaming.icebergCatalogMergeSink(stream,
+        base, "lake.t", "ccommit-cdc", keys = Seq("id"),
+        orderCol = "ts")
+        .option("checkpointLocation", tmpDir("ccommit-cdc-ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      def loc = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      val got = IcebergImport.read(spark, loc).as[(Long, String)]
+        .collect().toMap
+      assert(got(5L) === "new" && got(11L) === "ins" &&
+        got.size === 11)
     }
   }
 

@@ -259,7 +259,11 @@ def iceberg_scan_plan(location, at=None):
        (file_path, pos)) apply at data sequence <= the delete's."""
     meta_dir = os.path.join(location, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
-    if os.path.exists(hint):
+    if location.endswith(".metadata.json"):
+        # an exact metadata-file handle — the shape a CATALOG hands an
+        # external engine (honored verbatim, no directory resolution)
+        meta_file = location
+    elif os.path.exists(hint):
         with open(hint) as fh:
             version = int(fh.read().strip())
         meta_file = os.path.join(meta_dir, f"v{version}.metadata.json")
