@@ -2149,10 +2149,11 @@ object IcebergWriteBack {
     * `main` is managed by commits alone. Returns the target id. */
   def createRef(spark: SparkSession, tableLocation: String,
       name: String, refType: String,
-      snapshotId: Option[Long] = None): Long = {
+      snapshotId: Option[Long] = None,
+      catalog: Option[(String, String)] = None): Long = {
     import org.json4s.JsonDSL._
     implicit val fmts: Formats = DefaultFormats
-    refuseCatalogHandle(tableLocation)
+    if (catalog.isEmpty) refuseCatalogHandle(tableLocation)
     require(refType == "tag" || refType == "branch",
       s"ref type must be tag|branch, got $refType")
     require(name.nonEmpty, "ref name must be non-empty")
@@ -2171,11 +2172,23 @@ object IcebergWriteBack {
     require(snapshotIds(meta).contains(target),
       s"snapshot $target not in $metaFile — a ref must point at a " +
         "live snapshot")
-    val newRefs = JObject(refsOf(meta) :+
-      (name -> (("snapshot-id" -> target) ~
-        ("type" -> refType): JObject)))
-    publishMetaOnly(fs, tableLocation, metaFile, meta,
-      List[JField]("refs" -> newRefs))
+    catalog match {
+      case Some((uri, ident)) =>
+        // the protocol's create-ref guard: a NULL assert-ref asserts
+        // the ref does not exist yet
+        graft.catalog.RestCatalog.commitTable(uri, ident,
+          requirements = Seq((("type" -> "assert-ref-snapshot-id") ~
+            ("ref" -> name) ~ ("snapshot-id" -> JNull)): JValue),
+          updates = Seq((("action" -> "set-snapshot-ref") ~
+            ("ref-name" -> name) ~ ("type" -> refType) ~
+            ("snapshot-id" -> target)): JValue))
+      case None =>
+        val newRefs = JObject(refsOf(meta) :+
+          (name -> (("snapshot-id" -> target) ~
+            ("type" -> refType): JObject)))
+        publishMetaOnly(fs, tableLocation, metaFile, meta,
+          List[JField]("refs" -> newRefs))
+    }
     target
   }
 
@@ -2183,9 +2196,10 @@ object IcebergWriteBack {
     * the tree (expire decides their fate later). Returns the dropped
     * ref's target id. */
   def dropRef(spark: SparkSession, tableLocation: String,
-      name: String): Long = {
+      name: String, catalog: Option[(String, String)] = None): Long = {
+    import org.json4s.JsonDSL._
     implicit val fmts: Formats = DefaultFormats
-    refuseCatalogHandle(tableLocation)
+    if (catalog.isEmpty) refuseCatalogHandle(tableLocation)
     require(name != "main", "refusing to drop 'main'")
     val (fs, meta, metaFile) = IcebergImport.parseMeta(spark,
       tableLocation)
@@ -2193,9 +2207,18 @@ object IcebergWriteBack {
       case (n, v) if n == name => (v \ "snapshot-id").extract[Long]
     }.getOrElse(throw new IllegalArgumentException(
       s"no ref '$name' in $metaFile"))
-    publishMetaOnly(fs, tableLocation, metaFile, meta,
-      List[JField]("refs" -> JObject(refsOf(meta)
-        .filterNot(_._1 == name))))
+    catalog match {
+      case Some((uri, ident)) =>
+        graft.catalog.RestCatalog.commitTable(uri, ident,
+          requirements = Seq((("type" -> "assert-ref-snapshot-id") ~
+            ("ref" -> name) ~ ("snapshot-id" -> target)): JValue),
+          updates = Seq((("action" -> "remove-snapshot-ref") ~
+            ("ref-name" -> name)): JValue))
+      case None =>
+        publishMetaOnly(fs, tableLocation, metaFile, meta,
+          List[JField]("refs" -> JObject(refsOf(meta)
+            .filterNot(_._1 == name))))
+    }
     target
   }
 
@@ -2206,10 +2229,11 @@ object IcebergWriteBack {
     * snapshot-log records the change of current, exactly like Iceberg's
     * SetSnapshotOperation. Returns `snapshotId`. */
   def rollbackTo(spark: SparkSession, tableLocation: String,
-      snapshotId: Long): Long = {
+      snapshotId: Long,
+      catalog: Option[(String, String)] = None): Long = {
     import org.json4s.JsonDSL._
     implicit val fmts: Formats = DefaultFormats
-    refuseCatalogHandle(tableLocation)
+    if (catalog.isEmpty) refuseCatalogHandle(tableLocation)
     val (fs, meta, metaFile) = IcebergImport.parseMeta(spark,
       tableLocation)
     val curId = (meta \ "current-snapshot-id").extractOpt[Long]
@@ -2222,18 +2246,28 @@ object IcebergWriteBack {
     require(ancestorChain(meta, curId).contains(snapshotId),
       s"snapshot $snapshotId is not an ancestor of the current head " +
         s"$curId — rollback follows main's own history only")
-    val now = System.currentTimeMillis()
-    val newRefs = JObject(refsOf(meta).filterNot(_._1 == "main") :+
-      ("main" -> (("snapshot-id" -> snapshotId) ~
-        ("type" -> "branch"): JObject)))
-    val newLog = JArray((meta \ "snapshot-log").children :+
-      ((("timestamp-ms" -> now) ~
-        ("snapshot-id" -> snapshotId)): JValue))
-    publishMetaOnly(fs, tableLocation, metaFile, meta,
-      List[JField](
-        "current-snapshot-id" -> JLong(snapshotId),
-        "refs" -> newRefs,
-        "snapshot-log" -> newLog))
+    catalog match {
+      case Some((uri, ident)) =>
+        graft.catalog.RestCatalog.commitTable(uri, ident,
+          requirements = Seq((("type" -> "assert-ref-snapshot-id") ~
+            ("ref" -> "main") ~ ("snapshot-id" -> curId)): JValue),
+          updates = Seq((("action" -> "set-snapshot-ref") ~
+            ("ref-name" -> "main") ~ ("type" -> "branch") ~
+            ("snapshot-id" -> snapshotId)): JValue))
+      case None =>
+        val now = System.currentTimeMillis()
+        val newRefs = JObject(refsOf(meta).filterNot(_._1 == "main") :+
+          ("main" -> (("snapshot-id" -> snapshotId) ~
+            ("type" -> "branch"): JObject)))
+        val newLog = JArray((meta \ "snapshot-log").children :+
+          ((("timestamp-ms" -> now) ~
+            ("snapshot-id" -> snapshotId)): JValue))
+        publishMetaOnly(fs, tableLocation, metaFile, meta,
+          List[JField](
+            "current-snapshot-id" -> JLong(snapshotId),
+            "refs" -> newRefs,
+            "snapshot-log" -> newLog))
+    }
     snapshotId
   }
 
@@ -2244,10 +2278,11 @@ object IcebergWriteBack {
     * step: staged commits become the table's current state atomically.
     * Returns the new head id. */
   def fastForward(spark: SparkSession, tableLocation: String,
-      branch: String, to: String): Long = {
+      branch: String, to: String,
+      catalog: Option[(String, String)] = None): Long = {
     import org.json4s.JsonDSL._
     implicit val fmts: Formats = DefaultFormats
-    refuseCatalogHandle(tableLocation)
+    if (catalog.isEmpty) refuseCatalogHandle(tableLocation)
     val (fs, meta, metaFile) = IcebergImport.parseMeta(spark,
       tableLocation)
     val refs = refsOf(meta)
@@ -2270,18 +2305,28 @@ object IcebergWriteBack {
       s"'$branch' (head $fromId) is not an ancestor of '$to' (head " +
         s"$toId) — the branches diverged; fast-forward never rewrites " +
         "history")
-    val now = System.currentTimeMillis()
-    val newRefs = JObject(refs.filterNot(_._1 == branch) :+
-      (branch -> (("snapshot-id" -> toId) ~
-        ("type" -> "branch"): JObject)))
-    val fields = List[JField]("refs" -> newRefs) ++
-      (if (branch == "main") List[JField](
-        "current-snapshot-id" -> JLong(toId),
-        "snapshot-log" -> JArray((meta \ "snapshot-log").children :+
-          ((("timestamp-ms" -> now) ~
-            ("snapshot-id" -> toId)): JValue)))
-       else Nil)
-    publishMetaOnly(fs, tableLocation, metaFile, meta, fields)
+    catalog match {
+      case Some((uri, ident)) =>
+        graft.catalog.RestCatalog.commitTable(uri, ident,
+          requirements = Seq((("type" -> "assert-ref-snapshot-id") ~
+            ("ref" -> branch) ~ ("snapshot-id" -> fromId)): JValue),
+          updates = Seq((("action" -> "set-snapshot-ref") ~
+            ("ref-name" -> branch) ~ ("type" -> "branch") ~
+            ("snapshot-id" -> toId)): JValue))
+      case None =>
+        val now = System.currentTimeMillis()
+        val newRefs = JObject(refs.filterNot(_._1 == branch) :+
+          (branch -> (("snapshot-id" -> toId) ~
+            ("type" -> "branch"): JObject)))
+        val fields = List[JField]("refs" -> newRefs) ++
+          (if (branch == "main") List[JField](
+            "current-snapshot-id" -> JLong(toId),
+            "snapshot-log" -> JArray((meta \ "snapshot-log").children :+
+              ((("timestamp-ms" -> now) ~
+                ("snapshot-id" -> toId)): JValue)))
+           else Nil)
+        publishMetaOnly(fs, tableLocation, metaFile, meta, fields)
+    }
     toId
   }
 

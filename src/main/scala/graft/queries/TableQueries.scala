@@ -608,6 +608,76 @@ object TableQueries {
       |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The CATALOG-OWNED table lifecycle end-to-end — resolution AND
+    * commits through the Iceberg REST catalog protocol against an
+    * in-process loopback catalog (zero egress): tag the release via
+    * set-snapshot-ref, stage a batch on branch `audit` with
+    * `append_iceberg(catalog_uri =>, branch =>)` (main + tag pinned
+    * in-flight while the catalog's metadata advances only the ref),
+    * land it with `fast_forward_iceberg(catalog_uri =>)`, then a keyed
+    * equality MERGE through the catalog. Every read resolves the
+    * catalog's metadata-location handle — the directory's version-hint
+    * is STALE by construction (the catalog owns the pointer), which is
+    * exactly the production contract. The oracle is the composed final
+    * state. */
+  val qIcebergCatalog: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("icecat"))
+    val orders = Tables.load(s, dir, "orders")
+    t.append(orders.filter(col("o_orderkey") % 2 === 0),
+      parts = Seq("o_orderstatus"))
+    graft.iceberg.IcebergExport.export(s, t, history = 4)
+    val metaDir = new java.io.File(t.location, "metadata")
+    val handle0 = metaDir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json"))
+      .map(_.getAbsolutePath).sorted.last
+    val cat = new graft.tools.LoopbackIcebergCatalog("lake.orders",
+      handle0)
+    val base = cat.start()
+    try {
+      def catRead(at: Option[String] = None) =
+        graft.iceberg.IcebergImport.read(s, graft.catalog.RestCatalog
+          .loadTableMetadataLocation(base, "lake.orders"), at)
+      s.sql("CALL graft.tag_iceberg('lake.orders', name => 'rel', " +
+        s"catalog_uri => '$base')")
+      s.sql("CALL graft.branch_iceberg('lake.orders', " +
+        s"name => 'audit', catalog_uri => '$base')")
+      val mainRows = catRead().count()
+      orders.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 3 === 0)
+        .createOrReplaceTempView("icecat_staged")
+      s.sql("CALL graft.append_iceberg('lake.orders', " +
+        "source => 'icecat_staged', branch => 'audit', " +
+        s"catalog_uri => '$base')")
+      require(catRead().count() == mainRows,
+        "staged branch commit leaked into catalog main")
+      require(catRead(Some("rel")).count() == mainRows,
+        "catalog tag must pin the pre-WAP snapshot")
+      require(catRead(Some("audit")).count() > mainRows,
+        "staged rows must read at the catalog branch ref")
+      s.sql("CALL graft.fast_forward_iceberg('lake.orders', " +
+        s"branch => 'main', to => 'audit', catalog_uri => '$base')")
+      require(catRead().count() > mainRows,
+        "catalog fast-forward did not land the staged commit")
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("D"))
+        .createOrReplaceTempView("icecat_merge")
+      s.sql("CALL graft.merge_iceberg('lake.orders', " +
+        "source => 'icecat_merge', keys => 'o_orderkey', " +
+        s"deletes => 'equality', catalog_uri => '$base')")
+      project(catRead()).localCheckpoint(true)
+    } finally cat.stop()
+  }
+  val qIcebergCatalogSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE o_orderstatus END
+      |    AS o_orderstatus,
+      |  o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0
+      |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+      |   OR o_orderkey % 5 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Row-level DELETE write-back: `IcebergWriteBack.deleteWhere` reads
     * the foreign tree's current state WITH per-row lineage (data file
     * URI + ordinal), and commits the matching rows as v2 POSITION delete
@@ -2652,6 +2722,7 @@ object TableQueries {
     ("q_iceberg_diff", qIcebergDiff, Some(qIcebergDiffSql)),
     ("q_iceberg_writeback", qIcebergWriteback, Some(qIcebergWritebackSql)),
     ("q_iceberg_wap", qIcebergWap, Some(qIcebergWapSql)),
+    ("q_iceberg_catalog", qIcebergCatalog, Some(qIcebergCatalogSql)),
     ("q_iceberg_writeback_delete", qIcebergWritebackDelete,
       Some(qIcebergWritebackDeleteSql)),
     ("q_iceberg_writeback_delete_keys", qIcebergWritebackDeleteKeys,

@@ -276,34 +276,44 @@ case class GraftCallCommand(proc: String, location: String,
         // file deletion — other engines may be reading pinned snapshots)
         graft.iceberg.IcebergWriteBack.expireSnapshots(spark, location,
           longArg("keep_last").getOrElse(1L).toInt).toLong
-      case "tag_iceberg" | "branch_iceberg" =>
+      case "tag_iceberg" | "branch_iceberg" | "drop_ref_iceberg" |
+          "rollback_iceberg" | "fast_forward_iceberg" =>
         // snapshot refs on a FOREIGN tree: a tag is a durable
         // time-travel label, a branch a mutable staging line
-        // (append_iceberg branch => commits onto it); metadata-only
-        graft.iceberg.IcebergWriteBack.createRef(spark, location,
-          args.getOrElse("name", throw new IllegalArgumentException(
-            s"graft.$proc needs name")),
-          if (proc == "tag_iceberg") "tag" else "branch",
-          longArg("snapshot_id"))
-      case "drop_ref_iceberg" =>
-        graft.iceberg.IcebergWriteBack.dropRef(spark, location,
-          args.getOrElse("name", throw new IllegalArgumentException(
-            s"graft.$proc needs name")))
-      case "rollback_iceberg" =>
-        // history surgery: set main back to an ancestor snapshot —
-        // metadata-only, rolled-past commits stay time-travelable
-        graft.iceberg.IcebergWriteBack.rollbackTo(spark, location,
-          longArg("snapshot_id").getOrElse(
-            throw new IllegalArgumentException(
-              s"graft.$proc needs snapshot_id")))
-      case "fast_forward_iceberg" =>
-        // the write-audit-publish landing step: advance `branch`
-        // (usually 'main') to `to`'s head iff it's a pure fast-forward
-        graft.iceberg.IcebergWriteBack.fastForward(spark, location,
-          args.getOrElse("branch", throw new IllegalArgumentException(
-            s"graft.$proc needs branch")),
-          args.getOrElse("to", throw new IllegalArgumentException(
-            s"graft.$proc needs to")))
+        // (append_iceberg branch => commits onto it); metadata-only.
+        // With catalog_uri the location is a namespace.table identifier
+        // and the ref change publishes THROUGH the catalog
+        // (set/remove-snapshot-ref updates)
+        val cat = args.get("catalog_uri").map(uri => (uri, location))
+        val loc = cat.map { case (uri, id) => graft.catalog.RestCatalog
+          .loadTableMetadataLocation(uri, id) }.getOrElse(location)
+        def named = args.getOrElse("name",
+          throw new IllegalArgumentException(s"graft.$proc needs name"))
+        proc match {
+          case "tag_iceberg" | "branch_iceberg" =>
+            graft.iceberg.IcebergWriteBack.createRef(spark, loc, named,
+              if (proc == "tag_iceberg") "tag" else "branch",
+              longArg("snapshot_id"), catalog = cat)
+          case "drop_ref_iceberg" =>
+            graft.iceberg.IcebergWriteBack.dropRef(spark, loc, named,
+              catalog = cat)
+          case "rollback_iceberg" =>
+            // history surgery: set main back to an ancestor snapshot —
+            // rolled-past commits stay time-travelable
+            graft.iceberg.IcebergWriteBack.rollbackTo(spark, loc,
+              longArg("snapshot_id").getOrElse(
+                throw new IllegalArgumentException(
+                  s"graft.$proc needs snapshot_id")), catalog = cat)
+          case _ =>
+            // the write-audit-publish landing step: advance `branch`
+            // (usually 'main') to `to`'s head iff pure fast-forward
+            graft.iceberg.IcebergWriteBack.fastForward(spark, loc,
+              args.getOrElse("branch",
+                throw new IllegalArgumentException(
+                  s"graft.$proc needs branch")),
+              args.getOrElse("to", throw new IllegalArgumentException(
+                s"graft.$proc needs to")), catalog = cat)
+        }
       case "upgrade_iceberg" =>
         // metadata-only format-version upgrade (v1→2 enables write-back
         // sequence semantics; v2→3 enables row lineage + DVs)
@@ -507,11 +517,15 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //     to an ancestor; rolled-past commits stay time-travelable
     //   graft.fast_forward_iceberg('/path', branch => 'main',
     //     to => 'audit') — the WAP landing step
-    "tag_iceberg" -> (Seq("name"), Set("snapshot_id")),
-    "branch_iceberg" -> (Seq("name"), Set("snapshot_id")),
-    "drop_ref_iceberg" -> (Seq("name"), Set.empty[String]),
-    "rollback_iceberg" -> (Seq("snapshot_id"), Set.empty[String]),
-    "fast_forward_iceberg" -> (Seq("branch", "to"), Set.empty[String]),
+    //   each ref proc also takes catalog_uri => (identifier location;
+    //   the ref change publishes through set/remove-snapshot-ref)
+    "tag_iceberg" -> (Seq("name"), Set("snapshot_id", "catalog_uri")),
+    "branch_iceberg" -> (Seq("name"),
+      Set("snapshot_id", "catalog_uri")),
+    "drop_ref_iceberg" -> (Seq("name"), Set("catalog_uri")),
+    "rollback_iceberg" -> (Seq("snapshot_id"), Set("catalog_uri")),
+    "fast_forward_iceberg" -> (Seq("branch", "to"),
+      Set("catalog_uri")),
     //   graft.upgrade_iceberg('/path', to => 3) — one-way ladder
     "upgrade_iceberg" -> (Seq("to"), Set.empty[String]),
     //   graft.register_iceberg('/path', name => 'view' [, at => ref])
@@ -584,7 +598,11 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
             ((proc == "register_iceberg" || proc == "append_iceberg" ||
               proc == "delete_iceberg" ||
               proc == "delete_iceberg_keys" ||
-              proc == "merge_iceberg") && kvs.contains("catalog_uri"))))
+              proc == "merge_iceberg" || proc == "tag_iceberg" ||
+              proc == "branch_iceberg" || proc == "drop_ref_iceberg" ||
+              proc == "rollback_iceberg" ||
+              proc == "fast_forward_iceberg") &&
+              kvs.contains("catalog_uri"))))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {
         // accept db-qualified names, matching the ALTER rule's resolution

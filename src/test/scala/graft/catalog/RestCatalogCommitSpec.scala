@@ -32,140 +32,12 @@ class RestCatalogCommitSpec extends SparkSpec {
 
   private implicit val fmts: Formats = DefaultFormats
 
-  /** A loopback catalog owning ONE table: resolves loadTable from its
-    * own pointer and applies CommitTableRequest updates exactly like a
-    * real catalog (requirements checked against ITS current metadata,
-    * new metadata file persisted next to the old ones). */
-  private final class LoopbackCatalog(ident: String,
-      @volatile private var currentLoc: String) {
-    private val Array(ns, tbl) = ident.split('.')
-    def location: String = currentLoc
-
-    private def readMeta(): JValue = parse(new String(
-      Files.readAllBytes(new File(currentLoc).toPath),
-      StandardCharsets.UTF_8))
-
-    /** (status, body) for a CommitTableRequest payload. */
-    def commit(body: String): (Int, String) = synchronized {
-      val req = parse(body)
-      val meta = readMeta()
-      val refs = (meta \ "refs") match {
-        case JObject(fs0) => fs0.toMap
-        case _ => Map.empty[String, JValue]
-      }
-      // requirements: assert-ref-snapshot-id against CURRENT state
-      val conflict = (req \ "requirements").children.exists { r =>
-        (r \ "type").extractOpt[String].contains(
-          "assert-ref-snapshot-id") && {
-          val ref = (r \ "ref").extract[String]
-          val want = (r \ "snapshot-id").extract[Long]
-          val have = refs.get(ref)
-            .flatMap(v => (v \ "snapshot-id").extractOpt[Long])
-            .orElse(if (ref == "main")
-              (meta \ "current-snapshot-id").extractOpt[Long] else None)
-          !have.contains(want)
-        }
-      }
-      if (conflict)
-        return (409, """{"error":{"message":"Requirement failed: """ +
-          """branch was updated concurrently","type":""" +
-          """"CommitFailedException","code":409}}""")
-      // apply updates in order
-      var out = meta
-      (req \ "updates").children.foreach { u =>
-        (u \ "action").extract[String] match {
-          case "add-snapshot" =>
-            val snap = u \ "snapshot"
-            val seq = (snap \ "sequence-number").extract[Long]
-            val snaps = JArray((out \ "snapshots").children :+ snap)
-            val lastSeq = math.max(
-              (out \ "last-sequence-number").extractOpt[Long]
-                .getOrElse(0L), seq)
-            out = replaceFields(out, List(
-              "snapshots" -> snaps,
-              "last-sequence-number" -> JLong(lastSeq),
-              "last-updated-ms" ->
-                JLong(System.currentTimeMillis())))
-          case "add-spec" =>
-            val spec = u \ "spec"
-            out = replaceFields(out, List(
-              "partition-specs" -> JArray(
-                (out \ "partition-specs").children :+ spec)))
-          case "set-snapshot-ref" =>
-            val name = (u \ "ref-name").extract[String]
-            val id = (u \ "snapshot-id").extract[Long]
-            val refd: JValue = ("snapshot-id" -> id) ~
-              ("type" -> (u \ "type").extractOpt[String]
-                .getOrElse("branch"))
-            val newRefs = JObject(((out \ "refs") match {
-              case JObject(fs0) => fs0.filterNot(_._1 == name)
-              case _ => Nil
-            }) :+ (name -> refd))
-            val mainFields =
-              if (name != "main") Nil
-              else List[JField](
-                "current-snapshot-id" -> JLong(id),
-                "snapshot-log" -> JArray(
-                  (out \ "snapshot-log").children :+
-                    ((("timestamp-ms" ->
-                      System.currentTimeMillis()) ~
-                      ("snapshot-id" -> id)): JValue)))
-            out = replaceFields(out,
-              List[JField]("refs" -> newRefs) ++ mainFields)
-          case other =>
-            return (400, s"""{"error":{"message":"unsupported update
-              |$other","type":"BadRequest","code":400}}""".stripMargin)
-        }
-      }
-      val dir = new File(currentLoc).getParentFile
-      val next = new File(dir,
-        f"${System.nanoTime()}%020d-rest.metadata.json")
-      Files.write(next.toPath,
-        compact(render(out)).getBytes(StandardCharsets.UTF_8))
-      currentLoc = next.getAbsolutePath
-      (200, compact(render(
-        ("metadata-location" -> currentLoc) ~
-          ("metadata" -> out))))
-    }
-
-    private def replaceFields(meta: JValue,
-        fields: List[JField]): JValue = {
-      val names = fields.map(_._1).toSet
-      JObject(meta.asInstanceOf[JObject].obj
-        .filterNot(f => names(f._1)) ++ fields)
-    }
-
-    def route(ex: HttpExchange): Unit = {
-      val path = ex.getRequestURI.getPath
-      val (code, body) =
-        if (path == "/v1/config")
-          (200, """{"defaults":{},"overrides":{}}""")
-        else if (path == s"/v1/namespaces/$ns/tables/$tbl") {
-          if (ex.getRequestMethod == "POST")
-            commit(new String(ex.getRequestBody.readAllBytes(),
-              StandardCharsets.UTF_8))
-          else (200, compact(render(
-            ("metadata-location" -> currentLoc) ~
-              ("metadata" -> readMeta()))))
-        } else (404, """{"error":{"message":"NoSuchTable",
-          |"type":"NoSuchTableException","code":404}}""".stripMargin)
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    }
-  }
-
   private def withCatalog(ident: String, metadataLoc: String)
-      (body: (String, LoopbackCatalog) => Unit): Unit = {
-    val cat = new LoopbackCatalog(ident, metadataLoc)
-    val server = HttpServer.create(
-      new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", (ex: HttpExchange) => cat.route(ex))
-    server.start()
-    try body(s"http://127.0.0.1:${server.getAddress.getPort}", cat)
-    finally server.stop(0)
+      (body: (String, graft.tools.LoopbackIcebergCatalog) => Unit)
+      : Unit = {
+    val cat = new graft.tools.LoopbackIcebergCatalog(ident, metadataLoc)
+    val base = cat.start()
+    try body(base, cat) finally cat.stop()
   }
 
   private def freshTree(prefix: String): GraftTable = {
@@ -333,6 +205,55 @@ class RestCatalogCommitSpec extends SparkSpec {
         "tools/read_iceberg_duckdb.py", cat.location,
         "SELECT COUNT(*) AS n FROM t")).!!
       assert(out.trim.split("\n").last === state().size.toString)
+    }
+  }
+
+  test("ref management through the catalog: create (tag + branch) via " +
+      "set-snapshot-ref with the null-assert create guard, drop via " +
+      "remove-snapshot-ref, rollback and fast-forward moving main — " +
+      "all in catalog-owned metadata") {
+    val t = freshTree("ccommit-refs")
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      def loc = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      def refs(): Map[String, (String, Long)] =
+        IcebergImport.refs(spark, loc).as[(String, String, Long)]
+          .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val head = IcebergImport.currentSnapshotId(spark, loc).get
+      IcebergWriteBack.createRef(spark, loc, "rel", "tag",
+        catalog = Some((base, "lake.t")))
+      IcebergWriteBack.createRef(spark, loc, "audit", "branch",
+        catalog = Some((base, "lake.t")))
+      assert(refs()("rel") === (("tag", head)) &&
+        refs()("audit") === (("branch", head)))
+      // duplicate create: the client refuses first, and the protocol's
+      // NULL-assert guard 409s a racing creator server-side
+      assert(intercept[IllegalArgumentException] {
+        IcebergWriteBack.createRef(spark, loc, "rel", "tag",
+          catalog = Some((base, "lake.t")))
+      }.getMessage.contains("already exists"))
+      assert(intercept[IllegalStateException] {
+        RestCatalog.commitTable(base, "lake.t",
+          requirements = Seq((("type" -> "assert-ref-snapshot-id") ~
+            ("ref" -> "audit") ~ ("snapshot-id" -> JNull)): JValue),
+          updates = Seq.empty)
+      }.getMessage.contains("409"))
+      // stage on the branch, fast-forward main through the catalog
+      IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        Seq((11L, "x")).toDF("id", "v"), branch = Some("audit"))
+      val staged = refs()("audit")._2
+      IcebergWriteBack.fastForward(spark, loc, "main", "audit",
+        catalog = Some((base, "lake.t")))
+      assert(IcebergImport.currentSnapshotId(spark, loc).get === staged)
+      // rollback main to the tagged ancestor through the catalog
+      spark.sql("CALL graft.rollback_iceberg('lake.t', " +
+        s"snapshot_id => $head, catalog_uri => '$base')")
+      assert(IcebergImport.currentSnapshotId(spark, loc).get === head)
+      assert(IcebergImport.read(spark, loc).count() === 10L)
+      // drop through the catalog (SQL route)
+      spark.sql("CALL graft.drop_ref_iceberg('lake.t', " +
+        s"name => 'rel', catalog_uri => '$base')")
+      assert(!refs().contains("rel"))
+      assert(cat.location.endsWith("-rest.metadata.json"))
     }
   }
 
