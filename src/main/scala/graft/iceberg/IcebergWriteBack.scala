@@ -2057,10 +2057,11 @@ object IcebergWriteBack {
   }
 
   def expireSnapshots(spark: SparkSession, tableLocation: String,
-      keepLast: Int): Int = {
+      keepLast: Int,
+      catalog: Option[(String, String)] = None): Int = {
     implicit val fmts: Formats = DefaultFormats
     require(keepLast >= 1, "keepLast must be >= 1")
-    val tree = loadTree(spark, tableLocation)
+    val tree = loadTree(spark, tableLocation, catalog = catalog)
     val byId = tree.snapsJ.map(s =>
       (s \ "snapshot-id").extract[Long] -> s).toMap
     // main ancestor chain, newest first
@@ -2081,14 +2082,30 @@ object IcebergWriteBack {
       keep((s \ "snapshot-id").extract[Long]))
     val keptLog = (tree.meta \ "snapshot-log").children.filter(e =>
       keep((e \ "snapshot-id").extract[Long]))
-    val now = System.currentTimeMillis()
-    val replaced = Set("last-updated-ms", "snapshots", "snapshot-log")
-    val kept = tree.meta.asInstanceOf[JObject].obj
-      .filterNot(f => replaced.contains(f._1))
-    writeVersion(tree, JObject(kept ++ List[JField](
-      "last-updated-ms" -> JLong(now),
-      "snapshots" -> JArray(keptSnaps),
-      "snapshot-log" -> JArray(keptLog))))
+    catalog match {
+      case Some((uri, ident)) =>
+        // the protocol's remove-snapshots update — the catalog trims
+        // its snapshot list (and log) itself; the assert pins that no
+        // concurrent commit added history we did not consider
+        import org.json4s.JsonDSL._
+        graft.catalog.RestCatalog.commitTable(uri, ident,
+          requirements = Seq((("type" -> "assert-ref-snapshot-id") ~
+            ("ref" -> "main") ~ ("snapshot-id" -> tree.curId)): JValue),
+          updates = Seq((("action" -> "remove-snapshots") ~
+            ("snapshot-ids" -> org.json4s.JArray(dropped.map(s =>
+              org.json4s.JLong((s \ "snapshot-id").extract[Long])
+                : JValue).toList))): JValue))
+      case None =>
+        val now = System.currentTimeMillis()
+        val replaced = Set("last-updated-ms", "snapshots",
+          "snapshot-log")
+        val kept = tree.meta.asInstanceOf[JObject].obj
+          .filterNot(f => replaced.contains(f._1))
+        writeVersion(tree, JObject(kept ++ List[JField](
+          "last-updated-ms" -> JLong(now),
+          "snapshots" -> JArray(keptSnaps),
+          "snapshot-log" -> JArray(keptLog))))
+    }
     dropped.size
   }
 

@@ -273,9 +273,15 @@ case class GraftCallCommand(proc: String, location: String,
         pinned
       case "expire_iceberg" =>
         // foreign-tree maintenance: metadata-only snapshot expiry (no
-        // file deletion — other engines may be reading pinned snapshots)
-        graft.iceberg.IcebergWriteBack.expireSnapshots(spark, location,
-          longArg("keep_last").getOrElse(1L).toInt).toLong
+        // file deletion — other engines may be reading pinned
+        // snapshots); catalog_uri => the expiry publishes as the
+        // protocol's remove-snapshots update
+        val cat = args.get("catalog_uri").map(uri => (uri, location))
+        val loc = cat.map { case (uri, id) => graft.catalog.RestCatalog
+          .loadTableMetadataLocation(uri, id) }.getOrElse(location)
+        graft.iceberg.IcebergWriteBack.expireSnapshots(spark, loc,
+          longArg("keep_last").getOrElse(1L).toInt,
+          catalog = cat).toLong
       case "tag_iceberg" | "branch_iceberg" | "drop_ref_iceberg" |
           "rollback_iceberg" | "fast_forward_iceberg" =>
         // snapshot refs on a FOREIGN tree: a tag is a durable
@@ -506,8 +512,9 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //     (v3: convert legacy parquet deletes to deletion vectors)
     "rewrite_position_deletes_iceberg" -> (Seq.empty[String],
       Set("min_input_files")),
-    //   graft.expire_iceberg('/path', keep_last => N)
-    "expire_iceberg" -> (Seq("keep_last"), Set.empty[String]),
+    //   graft.expire_iceberg('/path', keep_last => N
+    //     [, catalog_uri => ... — remove-snapshots via the protocol])
+    "expire_iceberg" -> (Seq("keep_last"), Set("catalog_uri")),
     // snapshot refs on a FOREIGN tree (metadata-only commits):
     //   graft.tag_iceberg('/path', name => 'v1' [, snapshot_id => N])
     //   graft.branch_iceberg('/path', name => 'audit'
@@ -601,7 +608,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
               proc == "merge_iceberg" || proc == "tag_iceberg" ||
               proc == "branch_iceberg" || proc == "drop_ref_iceberg" ||
               proc == "rollback_iceberg" ||
-              proc == "fast_forward_iceberg") &&
+              proc == "fast_forward_iceberg" ||
+              proc == "expire_iceberg") &&
               kvs.contains("catalog_uri"))))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {

@@ -98,6 +98,16 @@ final class LoopbackIcebergCatalog(ident: String,
           out = replaceFields(out, List(
             "partition-specs" -> JArray(
               (out \ "partition-specs").children :+ (u \ "spec"))))
+        case "remove-snapshots" =>
+          val ids = (u \ "snapshot-ids").children
+            .map(_.extract[Long]).toSet
+          out = replaceFields(out, List(
+            "snapshots" -> JArray((out \ "snapshots").children
+              .filterNot(s =>
+                ids((s \ "snapshot-id").extract[Long]))),
+            "snapshot-log" -> JArray((out \ "snapshot-log").children
+              .filterNot(e =>
+                ids((e \ "snapshot-id").extract[Long])))))
         case "remove-snapshot-ref" =>
           val name = (u \ "ref-name").extract[String]
           out = replaceFields(out, List("refs" -> JObject(

@@ -257,6 +257,39 @@ class RestCatalogCommitSpec extends SparkSpec {
     }
   }
 
+  test("expire through the catalog: the protocol's remove-snapshots " +
+      "update trims catalog-owned history while refs and the head " +
+      "survive; expired ids stop resolving") {
+    val t = freshTree("ccommit-exp")
+    withCatalog("lake.t", latestMeta(t)) { (base, _) =>
+      def loc = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      val s1 = IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        Seq((11L, "x")).toDF("id", "v"))
+      IcebergWriteBack.createRef(spark, loc, "pin", "tag",
+        snapshotId = Some(s1), catalog = Some((base, "lake.t")))
+      IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        Seq((12L, "y")).toDF("id", "v"))
+      val preCount = IcebergImport.snapshots(spark, loc).count()
+      val dropped = spark.sql("CALL graft.expire_iceberg('lake.t', " +
+        s"keep_last => 1, catalog_uri => '$base')")
+        .collect()(0).getLong(0)
+      assert(dropped >= 1)
+      assert(IcebergImport.snapshots(spark, loc).count() ===
+        preCount - dropped)
+      // the tagged snapshot survives and still reads; the head reads
+      assert(IcebergImport.read(spark, loc, Some("pin"))
+        .count() === 11L)
+      assert(IcebergImport.read(spark, loc).count() === 12L)
+      // an expired id fails loud, exactly like the filesystem path
+      val exportEra = IcebergImport.snapshots(spark, loc)
+        .select("snapshot_id").as[Long].collect().toSet
+      intercept[Exception] {
+        IcebergImport.read(spark, loc,
+          Some((exportEra.max + 999999L).toString)).collect()
+      }
+    }
+  }
+
   test("v3 trees refuse catalog commits loudly (next-row-id is " +
       "catalog-maintained state add-snapshot cannot advance)") {
     val t = freshTree("ccommit-v3")
