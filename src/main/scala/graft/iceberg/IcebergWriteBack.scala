@@ -134,6 +134,13 @@ object IcebergWriteBack {
       s"iceberg write-back commits v2 and v3 trees only (got " +
         s"format-version $formatVersion): $metaFile — v1 lacks " +
         "sequence numbers; versions beyond 3 are unknown")
+    // refuse v3 CATALOG commits here, before any data/manifest write
+    // burns work that publish would refuse anyway: next-row-id is
+    // catalog-maintained state the protocol updates cannot advance
+    require(catalog.isEmpty || formatVersion < 3,
+      "catalog-committed write-back supports v2 trees only: v3 " +
+        "next-row-id is catalog-maintained state the protocol " +
+        "updates here cannot advance — commit v3 trees filesystem-side")
     // v3 row lineage: every commit assigns row ids from the table's
     // next-row-id — a v3 tree without it cannot be committed to without
     // corrupting lineage for native readers, so fail loud
@@ -694,14 +701,20 @@ object IcebergWriteBack {
     * Returns None when `coords` is empty (nothing to commit). */
   private def newDvManifest(spark: SparkSession, tree: Tree,
       coords: DataFrame,
-      alsoSupersede: GenericRecord => Boolean = _ => false)
+      alsoSupersede: GenericRecord => Boolean = _ => false,
+      // callers that already hold the plan / already merged every
+      // prior v2 position-delete row into `coords` (the consolidation
+      // path) skip the second metadata walk and tombstone re-read
+      plan0: Option[IcebergImport.TablePlan] = None,
+      priorPosMerged: Boolean = false)
       : Option[(GenericRecord, Option[Int],
         Map[String, GenericRecord])] = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
     val sp = spark
     import sp.implicits._
-    val p = IcebergImport.plan(spark, tree.tableLocation)
+    val p = plan0.getOrElse(
+      IcebergImport.plan(spark, tree.tableLocation))
     val norm = coords.select(col("file_path").as("__dv_f"),
       col("pos").cast(LongType).as("__dv_p"))
     val affected = norm.select("__dv_f").distinct()
@@ -711,7 +724,9 @@ object IcebergWriteBack {
     // prior tombstones of the affected files — all merged into the new
     // DV so it completely replaces them for its file
     val oldDvs = p.dvs.filter(d => affected(d.dataFileUri))
-    val posFiles = p.deletes.filter(_.equalityCols.isEmpty)
+    val posFiles =
+      if (priorPosMerged) Nil
+      else p.deletes.filter(_.equalityCols.isEmpty)
     val affectedDf = spark.createDataset(affected.toSeq).toDF("__dv_f")
     val priorPosRows = Option.when(posFiles.nonEmpty)(
       spark.read.parquet(posFiles.map(_.uri): _*)
@@ -834,81 +849,21 @@ object IcebergWriteBack {
 
     // supersede: rewrite delete manifests whose live DV entries
     // reference a re-vectored file — flipped to DELETED with this
-    // commit's snapshot id (same attribution rule as compaction)
-    val listRecs = IcebergImport.readAvro(tree.fs, tree.oldListUri)
-    val replacements = listRecs.filter(r =>
-      Option(r.getSchema.getField("content")).flatMap(_ =>
-        Option(r.get("content"))).exists(
-        _.asInstanceOf[Number].intValue == 1)).flatMap { r =>
-      val mPath = String.valueOf(r.get("manifest_path"))
-      def gL(n: String, d: Long) = Option(r.getSchema.getField(n))
-        .flatMap(_ => Option(r.get(n)))
-        .map(_.asInstanceOf[Number].longValue).getOrElse(d)
-      val listSeq = gL("sequence_number", 0L)
-      val addedSnap = gL("added_snapshot_id", tree.curId)
-      val (es, fileMeta) = IcebergImport.readAvroWithMeta(tree.fs, mPath)
-      def isSupersededDv(e: GenericRecord): Boolean = {
-        if (e.get("status").asInstanceOf[Int] == 2) return false
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        val fmt = Option(df.get("file_format")).map(_.toString)
-          .getOrElse("PARQUET")
-        fmt.equalsIgnoreCase("puffin") &&
-          Option(df.getSchema.getField("referenced_data_file"))
-            .flatMap(_ => Option(df.get("referenced_data_file")))
-            .exists(ref => affected(ref.toString))
-      }
-      def dead(e: GenericRecord): Boolean =
-        e.get("status").asInstanceOf[Int] != 2 &&
-          (isSupersededDv(e) || alsoSupersede(e))
-      if (!es.exists(dead)) None
-      else {
-        var (kept, removed, keptRows, removedRows) = (0, 0, 0L, 0L)
-        var minSeq = Long.MaxValue
-        es.foreach { e =>
-          def explicit(n: String, v: Long): Unit =
-            if (e.getSchema.getField(n) != null && e.get(n) == null)
-              e.put(n, v)
-          explicit("sequence_number", listSeq)
-          explicit("file_sequence_number", listSeq)
-          explicit("snapshot_id", addedSnap)
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val rc = Option(df.get("record_count"))
-            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-          if (dead(e)) {
-            e.put("status", 2) // DELETED by this commit
-            e.put("snapshot_id", tree.newId)
-            removed += 1; removedRows += rc
-          } else if (e.get("status").asInstanceOf[Int] != 2) {
-            e.put("status", 0) // EXISTING
-            kept += 1; keptRows += rc
-            minSeq = math.min(minSeq,
-              e.get("sequence_number").asInstanceOf[Number].longValue)
-          }
-        }
-        val name = s"${UUID.randomUUID()}-m1.avro"
-        val len = IcebergExport.writeAvro(
-          new File(IcebergExport.localPath(tree.fs, metaDir), name),
-          es.head.getSchema, es, fileMeta)
-        val nr = new GenericData.Record(mls)
-        nr.put("manifest_path", s"${tree.tableUri}/metadata/$name")
-        nr.put("manifest_length", len)
-        nr.put("partition_spec_id",
-          Option(r.get("partition_spec_id"))
-            .map(_.asInstanceOf[Number].intValue).getOrElse(specId))
-        nr.put("content", 1)
-        nr.put("sequence_number", listSeq)
-        nr.put("min_sequence_number",
-          if (kept == 0) listSeq else minSeq)
-        nr.put("added_snapshot_id", tree.newId)
-        nr.put("added_data_files_count", 0)
-        nr.put("existing_data_files_count", kept)
-        nr.put("deleted_data_files_count", removed)
-        nr.put("added_rows_count", 0L)
-        nr.put("existing_rows_count", keptRows)
-        nr.put("deleted_rows_count", removedRows)
-        Some(mPath -> (nr: GenericRecord))
-      }
-    }.toMap
+    // commit's snapshot id (same attribution rule as compaction) —
+    // plus whatever the caller marks dead via alsoSupersede (the
+    // consolidation path retiring parquet tombstones). One shared
+    // rewrite implementation: [[supersedeDeleteEntries]].
+    def isSupersededDv(e: GenericRecord): Boolean = {
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val fmt = Option(df.get("file_format")).map(_.toString)
+        .getOrElse("PARQUET")
+      fmt.equalsIgnoreCase("puffin") &&
+        Option(df.getSchema.getField("referenced_data_file"))
+          .flatMap(_ => Option(df.get("referenced_data_file")))
+          .exists(ref => affected(ref.toString))
+    }
+    val replacements = supersedeDeleteEntries(tree,
+      e => isSupersededDv(e) || alsoSupersede(e))
     Some((rec, addSpec, replacements))
   }
 
@@ -1232,6 +1187,33 @@ object IcebergWriteBack {
     if (batches.isEmpty) None else Some(batches.max)
   }
 
+  /** The snapshot id that carries `(appId, batchId)`'s stamp — what a
+    * REPLAYED batch should report as "its" commit (the main head would
+    * be wrong when the original landed on a branch, or when later
+    * commits advanced the table). None when that snapshot was expired
+    * — the caller falls back to the current head. */
+  private def committedSnapshotId(meta: JValue,
+      txn: (String, Long)): Option[Long] = {
+    implicit val fmts: Formats = DefaultFormats
+    val (appId, batchId) = txn
+    (meta \ "snapshots").children.flatMap { s =>
+      val sm = s \ "summary"
+      if ((sm \ TxnAppKey).extractOpt[String].contains(appId) &&
+          (sm \ TxnBatchKey).extractOpt[String]
+            .contains(batchId.toString))
+        Some((s \ "snapshot-id").extract[Long])
+      else None
+    }.maxOption
+  }
+
+  /** Replay short-circuit result: the stamped snapshot's own id. */
+  private def replayId(spark: SparkSession, tableLocation: String,
+      txn: Option[(String, Long)]): Long = {
+    val (_, meta, _) = IcebergImport.parseMeta(spark, tableLocation)
+    txn.flatMap(t => committedSnapshotId(meta, t)).getOrElse(
+      IcebergImport.currentSnapshotId(spark, tableLocation).get)
+  }
+
   private def txnProps(txn: Option[(String, Long)]): Map[String, String] =
     txn.map { case (app, batch) =>
       Map(TxnAppKey -> app, TxnBatchKey -> batch.toString)
@@ -1253,7 +1235,7 @@ object IcebergWriteBack {
       df: DataFrame, txn: Option[(String, Long)] = None,
       branch: Option[String] = None): Long = {
     if (alreadyCommitted(spark, tableLocation, txn))
-      return IcebergImport.currentSnapshotId(spark, tableLocation).get
+      return replayId(spark, tableLocation, txn)
     // branch => the commit chains on (and advances) that ref only —
     // Iceberg's write-audit-publish staging: main readers see nothing
     // until fastForward lands the branch
@@ -1280,7 +1262,7 @@ object IcebergWriteBack {
     val handle = graft.catalog.RestCatalog
       .loadTableMetadataLocation(catalogUri, identifier)
     if (alreadyCommitted(spark, handle, txn))
-      return IcebergImport.currentSnapshotId(spark, handle).get
+      return replayId(spark, handle, txn)
     val tree = loadTree(spark, handle, branch,
       catalog = Some((catalogUri, identifier)))
     val hasIds = treeHasIds(spark, tree)
@@ -1426,7 +1408,7 @@ object IcebergWriteBack {
       txn: Option[(String, Long)] = None,
       catalog: Option[(String, String)] = None): Long = {
     if (alreadyCommitted(spark, tableLocation, txn))
-      return IcebergImport.currentSnapshotId(spark, tableLocation).get
+      return replayId(spark, tableLocation, txn)
     val tree = loadTree(spark, tableLocation, catalog = catalog)
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val schemaCols = tree.fields.map(_._1).toSet
@@ -1986,7 +1968,8 @@ object IcebergWriteBack {
     }
     if (tree.formatVersion >= 3)
       newDvManifest(spark, tree, shaped,
-          alsoSupersede = supersedeParquetPos) match {
+          alsoSupersede = supersedeParquetPos,
+          plan0 = Some(p), priorPosMerged = true) match {
         case Some((rec, addSpec, repl)) =>
           publish(spark, tree, Seq(rec), "replace", addSpec,
             replaceManifests = repl)
@@ -2074,7 +2057,28 @@ object IcebergWriteBack {
         (v \ "snapshot-id").extractOpt[Long] }.toSet
       case _ => Set.empty[Long]
     }
-    val keep = chain.take(keepLast).toSet ++ refTargets + tree.curId
+    val mainKeep = chain.take(keepLast).toSet + tree.curId
+    // a staged BRANCH needs its intermediate ancestors too, not just
+    // its head: fastForward validates by walking parent links, so
+    // expiring the middle of a linear staged segment would permanently
+    // refuse the WAP publish step. Keep each non-main branch's segment
+    // down to the first snapshot already kept (its fork point on a
+    // retained chain); tags stay head-only labels.
+    val branchKeep = scala.collection.mutable.Set.empty[Long]
+    (tree.meta \ "refs") match {
+      case JObject(fs0) => fs0.foreach { case (name, v) =>
+        if (name != "main" &&
+            (v \ "type").extractOpt[String].contains("branch")) {
+          var cur = (v \ "snapshot-id").extractOpt[Long]
+          while (cur.exists(id => byId.contains(id) &&
+              !mainKeep(id) && branchKeep.add(id)))
+            cur = byId.get(cur.get).flatMap(s =>
+              (s \ "parent-snapshot-id").extractOpt[Long])
+        }
+      }
+      case _ =>
+    }
+    val keep = mainKeep ++ refTargets ++ branchKeep
     val dropped = tree.snapsJ.filterNot(s =>
       keep((s \ "snapshot-id").extract[Long]))
     if (dropped.isEmpty) return 0

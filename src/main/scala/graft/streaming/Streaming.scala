@@ -346,15 +346,19 @@ object Streaming {
         val latest = batch.toDF()
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
+        // resolve ONCE per batch: the projection schema and the merged
+        // tree must come from the same metadata version (two
+        // resolutions would race a concurrent schema evolve)
         val handle = graft.catalog.RestCatalog
           .loadTableMetadataLocation(catalogUri, identifier)
         val schemaCols = graft.iceberg.IcebergImport
           .plan(batch.sparkSession, handle).schema.fieldNames
-        graft.iceberg.IcebergWriteBack.mergeIntoCatalog(
-          batch.sparkSession, catalogUri, identifier,
+        graft.iceberg.IcebergWriteBack.mergeInto(
+          batch.sparkSession, handle,
           latest.select(schemaCols.map(col).toIndexedSeq: _*), keys,
           equalityDeletes = equalityDeletes,
-          txn = Some((txnAppId, batchId)))
+          txn = Some((txnAppId, batchId)),
+          catalog = Some((catalogUri, identifier)))
         ()
     }
 

@@ -264,6 +264,32 @@ class IcebergRefsSpec extends SparkSpec {
     assert(rids === Array(ridBefore, ridBefore + 1, ridBefore + 2))
   }
 
+  test("expire keeps a staged branch's FULL segment (not just its " +
+      "head), so fast-forward still lands after maintenance; tags " +
+      "stay head-only labels") {
+    val t = freshTree("refs-expire-seg")
+    // some expirable main history first
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((11L, "a")).toDF("id", "v"))
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((12L, "b")).toDF("id", "v"))
+    IcebergWriteBack.createRef(spark, t.location, "audit", "branch")
+    // a LINEAR two-commit staged segment on the branch
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((13L, "c")).toDF("id", "v"), branch = Some("audit"))
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((14L, "d")).toDF("id", "v"), branch = Some("audit"))
+    // maintenance mid-WAP: keepLast=1 may drop old main history but
+    // must NOT drop the staged segment's intermediate commit
+    IcebergWriteBack.expireSnapshots(spark, t.location, keepLast = 1)
+    assert(ids(t.location, Some("audit")) === (1L to 14L).toArray)
+    val landed = IcebergWriteBack.fastForward(spark, t.location,
+      "main", "audit")
+    assert(ids(t.location) === (1L to 14L).toArray)
+    assert(IcebergImport.currentSnapshotId(spark, t.location)
+      .contains(landed))
+  }
+
   test(".refs metadata view: one row per named ref, main included, " +
       "tracking creates/advances/drops") {
     val t = freshTree("refs-view")
