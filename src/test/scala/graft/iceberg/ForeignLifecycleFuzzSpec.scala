@@ -92,7 +92,7 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
     check("init")
 
     (1 to nOps).foreach { i =>
-      rnd.nextInt(12) match {
+      rnd.nextInt(13) match {
         case 0 => // append (may duplicate keys — bag semantics)
           val rows = keys(1 + rnd.nextInt(3)).map(k => (k, freshVal(k)))
           IcebergWriteBack.appendTo(spark, loc, rows.toDF("id", "v"))
@@ -163,6 +163,29 @@ class ForeignLifecycleFuzzSpec extends SparkSpec {
           IcebergWriteBack.rewritePositionDeletes(spark, loc,
             minInputFiles = 1)
           check(s"op$i rewritePositionDeletes")
+        case 12 => // write-audit-publish: stage rows on a branch
+          // (invisible to main — asserted), land via fast-forward,
+          // drop the branch; the model gains the staged rows exactly
+          // at the landing. Sequence numbers and v3 row-id space are
+          // GLOBAL, so the staged commit must not disturb any other
+          // invariant check runs later.
+          val bname = s"wap$i"
+          IcebergWriteBack.createRef(spark, loc, bname, "branch")
+          val rows = keys(1 + rnd.nextInt(2)).map(k =>
+            (k, freshVal(k)))
+          IcebergWriteBack.appendTo(spark, loc,
+            rows.toDF("id", "v"), branch = Some(bname))
+          val mainNow = IcebergImport.read(spark, loc)
+            .as[(Long, String)].collect().sortBy(r => (r._1, r._2))
+          assert(mainNow.toSeq === model.sortBy(r => (r._1, r._2)).toSeq,
+            s"seed=$seed op$i staged rows leaked into main")
+          assert(IcebergImport.read(spark, loc, Some(bname)).count()
+            == model.size + rows.size,
+            s"seed=$seed op$i staged rows not readable at the ref")
+          IcebergWriteBack.fastForward(spark, loc, "main", bname)
+          IcebergWriteBack.dropRef(spark, loc, bname)
+          model ++= rows
+          check(s"op$i wap $rows")
         case 9 => // SQL register: the view pins the CURRENT state
           spark.sql(s"CALL graft.register_iceberg('${loc}', " +
             s"name => 'ffuzz_reg_$seed')")
