@@ -3,7 +3,7 @@ package graft.catalog
 import java.net.{HttpURLConnection, URI, URLEncoder}
 import java.nio.charset.StandardCharsets
 
-import org.json4s.{DefaultFormats, Formats, JValue}
+import org.json4s.{DefaultFormats, Formats, JArray, JNothing, JObject, JString, JValue}
 import org.json4s.jackson.JsonMethods.parse
 
 /** Minimal client for the Apache Iceberg REST catalog protocol
@@ -30,21 +30,59 @@ object RestCatalog {
 
   private implicit val fmts: Formats = DefaultFormats
 
+  /** Response body for a finished exchange. On error codes where the
+    * server sent no body `getErrorStream` is null — fall back to an
+    * EMPTY body, never `getInputStream`: that call throws a raw
+    * IOException for >=400 responses and would mask the HTTP status
+    * the caller's require() message reports. */
+  private def responseBody(conn: HttpURLConnection, code: Int): String = {
+    val stream = if (code < 400) Option(conn.getInputStream)
+      else Option(conn.getErrorStream)
+    stream.map(s => new String(s.readAllBytes(), StandardCharsets.UTF_8))
+      .getOrElse("")
+  }
+
   private def httpGet(uri: String): String = {
     val conn = new URI(uri).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(30000)
     conn.setRequestProperty("Accept", "application/json")
+    bearer(uri).foreach(t =>
+      conn.setRequestProperty("Authorization", s"Bearer $t"))
     try {
       val code = conn.getResponseCode
-      val stream = if (code < 400) conn.getInputStream
-        else Option(conn.getErrorStream).getOrElse(conn.getInputStream)
-      val body = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      val body = responseBody(conn, code)
       require(code == 200,
         s"REST catalog GET $uri failed: HTTP $code — ${body.take(500)}")
       body
     } finally conn.disconnect()
+  }
+
+  // ---- bearer-token seam (production catalogs authenticate; the open
+  // protocol's simplest scheme is a static `Authorization: Bearer`
+  // header). One registration per catalog base URI — header-only, no
+  // token ever logged; tests exercise it against the loopback server
+  // with zero egress. ----
+  private val tokens =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register (or clear, with None) the bearer token sent with every
+    * request to `catalogUri`. */
+  def setBearerToken(catalogUri: String, token: Option[String]): Unit = {
+    val key = catalogUri.stripSuffix("/")
+    token match {
+      case Some(t) => tokens.put(key, t)
+      case None => tokens.remove(key)
+    }
+  }
+
+  /** The registered token for the catalog that owns `uri`, if any —
+    * longest registered base-URI prefix wins. */
+  private def bearer(uri: String): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    tokens.asScala.filter { case (base, _) => uri.startsWith(base) }
+      .toSeq.sortBy(-_._1.length).headOption.map(_._2)
   }
 
   /** The catalog's advertised route prefix, if any (`overrides` beats
@@ -84,6 +122,115 @@ object RestCatalog {
           s"(staged-create entries cannot be read)"))
   }
 
+  /** POST a JSON body; returns (status, response body). Shared by the
+    * commit/create routes — 409 handling stays caller-specific. */
+  private def httpPost(uri: String, body: String): (Int, String) = {
+    val conn = new URI(uri).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.setRequestProperty("Accept", "application/json")
+    bearer(uri).foreach(t =>
+      conn.setRequestProperty("Authorization", s"Bearer $t"))
+    try {
+      val out = conn.getOutputStream
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val code = conn.getResponseCode
+      (code, responseBody(conn, code))
+    } finally conn.disconnect()
+  }
+
+  private def nsRoute(catalogUri: String): String = {
+    val base = catalogUri.stripSuffix("/")
+    val pfx = prefix(base).map(p => s"/$p").getOrElse("")
+    s"$base/v1$pfx/namespaces"
+  }
+
+  /** Create a namespace (`POST /v1/{prefix}/namespaces`) — the
+    * multi-level form joins on '.'. `ifNotExists` turns the spec's 409
+    * AlreadyExists into a no-op. Returns true when created. */
+  def createNamespace(catalogUri: String, namespace: String,
+      ifNotExists: Boolean = false): Boolean = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    require(namespace.nonEmpty, "namespace must be non-empty")
+    val body = compact(render(
+      ("namespace" -> namespace.split('.').toList) ~
+        ("properties" -> JObject(Nil))))
+    val (code, resp) = httpPost(nsRoute(catalogUri), body)
+    if (code == 409 && ifNotExists) return false
+    require(code == 200, s"REST catalog createNamespace $namespace " +
+      s"failed: HTTP $code — ${resp.take(500)}")
+    true
+  }
+
+  /** List namespaces (`GET /v1/{prefix}/namespaces`) as dotted names. */
+  def listNamespaces(catalogUri: String): Seq[String] = {
+    val res = parse(httpGet(nsRoute(catalogUri)))
+    (res \ "namespaces").children.map(_.children
+      .map(_.extract[String]).mkString("."))
+  }
+
+  /** List a namespace's tables
+    * (`GET /v1/{prefix}/namespaces/{ns}/tables`) as dotted
+    * namespace.table identifiers. */
+  def listTables(catalogUri: String, namespace: String): Seq[String] = {
+    val ns = URLEncoder.encode(
+      namespace.split('.').mkString("\u001f"), "UTF-8")
+    val res = parse(httpGet(s"${nsRoute(catalogUri)}/$ns/tables"))
+    (res \ "identifiers").children.map { id =>
+      ((id \ "namespace").children.map(_.extract[String]) :+
+        (id \ "name").extract[String]).mkString(".")
+    }
+  }
+
+  /** Create a table catalog-first (`POST
+    * /v1/{prefix}/namespaces/{ns}/tables`, the spec's
+    * CreateTableRequest): the CATALOG creates and owns the initial
+    * metadata (no snapshot — the first append commits against the
+    * null-form main assert). `schemaJson`/`specJson` are the Iceberg
+    * schema/partition-spec JSON objects; `location` is where the
+    * catalog should root the table (omitted = server's warehouse
+    * default). `ifNotExists` turns 409 AlreadyExists into a no-op
+    * returning the EXISTING table's metadata-location. Returns the
+    * metadata-location. */
+  def createTable(catalogUri: String, identifier: String,
+      schemaJson: JValue, specJson: Option[JValue] = None,
+      location: Option[String] = None,
+      formatVersion: Int = 2,
+      ifNotExists: Boolean = false): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val parts = identifier.split('.')
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"catalog table identifier must be namespace.table, " +
+        s"got '$identifier'")
+    val ns = URLEncoder.encode(parts.init.mkString("\u001f"), "UTF-8")
+    val body = compact(render(
+      ("name" -> parts.last) ~
+        ("schema" -> schemaJson) ~
+        ("partition-spec" -> specJson.getOrElse(
+          (("spec-id" -> 0) ~ ("fields" -> JArray(Nil))): JValue)) ~
+        ("location" -> location.map(JString(_): JValue)
+          .getOrElse(JNothing: JValue)) ~
+        ("properties" -> JObject(List(
+          "format-version" -> JString(formatVersion.toString)))) ~
+        ("stage-create" -> false)))
+    val (code, resp) = httpPost(
+      s"${nsRoute(catalogUri)}/$ns/tables", body)
+    if (code == 409 && ifNotExists)
+      return loadTableMetadataLocation(catalogUri, identifier)
+    require(code == 200, s"REST catalog createTable $identifier " +
+      s"failed: HTTP $code — ${resp.take(500)}")
+    (parse(resp) \ "metadata-location").extractOpt[String].getOrElse(
+      throw new IllegalStateException(
+        s"createTable $identifier returned no metadata-location"))
+  }
+
   /** Commit to a catalog-owned table — the spec's `CommitTableRequest`
     * (`POST .../tables/{table}` with `requirements` + `updates`): the
     * CLIENT writes data files, manifests and the manifest list, the
@@ -109,15 +256,14 @@ object RestCatalog {
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", "application/json")
     conn.setRequestProperty("Accept", "application/json")
+    bearer(uri).foreach(t =>
+      conn.setRequestProperty("Authorization", s"Bearer $t"))
     try {
       val out = conn.getOutputStream
       try out.write(body.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       val code = conn.getResponseCode
-      val stream = if (code < 400) conn.getInputStream
-        else Option(conn.getErrorStream).getOrElse(conn.getInputStream)
-      val resp = new String(stream.readAllBytes(),
-        StandardCharsets.UTF_8)
+      val resp = responseBody(conn, code)
       if (code == 409) throw new IllegalStateException(
         s"REST catalog commit to $identifier conflicted (HTTP 409) — " +
           "a concurrent commit won; re-read the table and retry: " +

@@ -346,6 +346,51 @@ object IcebergExport {
     * honest cut — an older schema would need its own, and external
     * readers would resolve columns against the wrong ids).
     * Returns the metadata.json path. */
+  /** CREATE a table catalog-first: build the spec's CreateTableRequest
+    * (Iceberg schema JSON from the declared Spark schema; identity or
+    * hidden-partition transform fields via the standard
+    * `transform(col)` syntax) and POST it through
+    * [[graft.catalog.RestCatalog.createTable]] — the CATALOG writes and
+    * owns the initial metadata (no snapshot; the first
+    * [[IcebergWriteBack.appendToCatalog]] commits against the
+    * null-form main assert). The reference's create-if-not-exists
+    * bronze path (`/root/reference/raw-bronze.py:178-183`) is exactly
+    * `ifNotExists = true` followed by the append. Returns the
+    * metadata-location. */
+  def createTableCatalog(spark: SparkSession, catalogUri: String,
+      identifier: String, schema: StructType,
+      partitionBy: Seq[String] = Nil, location: Option[String] = None,
+      formatVersion: Int = 2, ifNotExists: Boolean = false): String = {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    require(formatVersion == 2 || formatVersion == 3,
+      s"format-version must be 2 or 3, got $formatVersion")
+    val schemaJ = org.json4s.jackson.JsonMethods.parse(
+      schemaJson(schema))
+    val fields = partitionBy.map(graft.table.PartitionTransforms.parse)
+    fields.foreach { f =>
+      require(schema.fieldNames.contains(f.source),
+        s"partition source column '${f.source}' not in schema " +
+          schema.fieldNames.mkString("(", ", ", ")"))
+      graft.table.PartitionTransforms.validateSourceType(f,
+        schema(f.source).dataType)
+    }
+    val specJ: Option[JValue] =
+      if (fields.isEmpty) None
+      else Some(("spec-id" -> 0) ~ ("fields" ->
+        JArray(fields.zipWithIndex.map { case (f, i) =>
+          (("name" -> f.physName) ~
+            ("transform" -> icebergTransform(f.transform).getOrElse(
+              throw new IllegalArgumentException(
+                s"transform ${f.transform} has no iceberg form"))) ~
+            ("source-id" -> fieldId(schema,
+              schema.fieldIndex(f.source))) ~
+            ("field-id" -> (1000 + i))): JValue
+        }.toList)))
+    graft.catalog.RestCatalog.createTable(catalogUri, identifier,
+      schemaJ, specJ, location, formatVersion, ifNotExists)
+  }
+
   def export(spark: SparkSession, table: GraftTable,
       history: Int = 1): String = {
     val snap = table.latestSnapshot.getOrElse(

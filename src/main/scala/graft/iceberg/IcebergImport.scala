@@ -1300,6 +1300,33 @@ object IcebergImport {
     * scale argument). */
   def read(spark: SparkSession, tableLocation: String,
       at: Option[String] = None): DataFrame = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    if (at.isEmpty) {
+      // a created-but-never-written table (current-snapshot-id -1, the
+      // catalog-first CREATE shape) reads as ZERO rows of its declared
+      // schema — exactly what `SELECT *` right after CREATE returns on
+      // a native engine; explicit time travel on it still fails loud
+      val (_, meta, metaFile) = parseMeta(spark, tableLocation)
+      if ((meta \ "current-snapshot-id").extractOpt[Long]
+          .forall(_ == -1L)) {
+        val curSchemaId = (meta \ "current-schema-id").extractOpt[Int]
+          .getOrElse(0)
+        val schemaJ = (meta \ "schemas").children.find(s =>
+          (s \ "schema-id").extractOpt[Int].contains(curSchemaId))
+          .orElse((meta \ "schema").toOption).getOrElse(
+            throw new IllegalStateException(s"no schema in $metaFile"))
+        val st = org.apache.spark.sql.types.StructType(
+          (schemaJ \ "fields").children.map { f =>
+            org.apache.spark.sql.types.StructField(
+              (f \ "name").extract[String],
+              sparkType((f \ "type").extract[String]),
+              !(f \ "required").extractOpt[Boolean].getOrElse(false))
+          })
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      }
+    }
     val p = plan(spark, tableLocation, at)
     readPlan(spark, p)
   }
@@ -1321,7 +1348,7 @@ object IcebergImport {
     * when it has one, else first_row_id inheritance + ordinal / the
     * file's data sequence), ready to be re-materialized into the
     * rewrite's output files. */
-  private[iceberg] def readFileSubsetRowLineage(spark: SparkSession,
+  private[graft] def readFileSubsetRowLineage(spark: SparkSession,
       tableLocation: String, keep: Set[String]): DataFrame = {
     val p = plan(spark, tableLocation)
     readPlan(spark, p.copy(files = p.files.filter(f => keep(f.uri))),

@@ -94,7 +94,10 @@ object IcebergWriteBack {
     * commit will take. */
   private case class Tree(fs: FileSystem, meta: JValue, metaFile: Path,
       tableUri: String, tableLocation: String,
-      curId: Long, snapsJ: List[JValue], oldListUri: String,
+      // curId == -1 <=> the table has NO current snapshot yet (a
+      // catalog-created empty table awaiting its first append); then
+      // oldListUri is None and the commit publishes with no parent
+      curId: Long, snapsJ: List[JValue], oldListUri: Option[String],
       curSchemaId: Int, schemaJ: JValue,
       fields: Seq[(String, Int, String)], // (name, field id, iceberg type)
       defaultSpecId: Int, defSpecFields: Seq[JValue],
@@ -112,7 +115,8 @@ object IcebergWriteBack {
 
   private def loadTree(spark: SparkSession, tableLocation: String,
       branch: Option[String] = None,
-      catalog: Option[(String, String)] = None): Tree = {
+      catalog: Option[(String, String)] = None,
+      allowEmpty: Boolean = false): Tree = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
 
@@ -134,13 +138,6 @@ object IcebergWriteBack {
       s"iceberg write-back commits v2 and v3 trees only (got " +
         s"format-version $formatVersion): $metaFile — v1 lacks " +
         "sequence numbers; versions beyond 3 are unknown")
-    // refuse v3 CATALOG commits here, before any data/manifest write
-    // burns work that publish would refuse anyway: next-row-id is
-    // catalog-maintained state the protocol updates cannot advance
-    require(catalog.isEmpty || formatVersion < 3,
-      "catalog-committed write-back supports v2 trees only: v3 " +
-        "next-row-id is catalog-maintained state the protocol " +
-        "updates here cannot advance — commit v3 trees filesystem-side")
     // v3 row lineage: every commit assigns row ids from the table's
     // next-row-id — a v3 tree without it cannot be committed to without
     // corrupting lineage for native readers, so fail loud
@@ -152,9 +149,15 @@ object IcebergWriteBack {
             "to commit: assigned row ids would collide"))
     val curId = branch match {
       case None => (meta \ "current-snapshot-id").extractOpt[Long]
-        .filter(_ != -1L).getOrElse(throw new IllegalStateException(
-        s"$metaFile has no current snapshot — write-back commits to " +
-          "established tables only"))
+        .filter(_ != -1L).getOrElse {
+          // -1 = a created-but-never-written table: the FIRST append is
+          // a legal commit (no parent, empty base list) — every other
+          // shape needs established state and keeps failing loud
+          if (allowEmpty) -1L
+          else throw new IllegalStateException(
+            s"$metaFile has no current snapshot — this write-back " +
+              "shape commits to established tables only")
+        }
       case Some(b) =>
         // a branch commit chains on the REF's head, not main's: the ref
         // must pre-exist (create it with createRef / branch_iceberg) and
@@ -173,14 +176,18 @@ object IcebergWriteBack {
         }
     }
     val snapsJ = (meta \ "snapshots").children
-    val curSnap = snapsJ.find(s =>
-      (s \ "snapshot-id").extract[Long] == curId).getOrElse(
-      throw new IllegalStateException(
-        s"current snapshot $curId missing from $metaFile"))
-    val oldListUri = (curSnap \ "manifest-list").extractOpt[String]
-      .getOrElse(throw new IllegalArgumentException(
-        "current snapshot carries a v1-style inline manifests array — " +
-          "no manifest list to extend, write-back refuses"))
+    val oldListUri: Option[String] =
+      if (curId == -1L) None
+      else {
+        val curSnap = snapsJ.find(s =>
+          (s \ "snapshot-id").extract[Long] == curId).getOrElse(
+          throw new IllegalStateException(
+            s"current snapshot $curId missing from $metaFile"))
+        Some((curSnap \ "manifest-list").extractOpt[String]
+          .getOrElse(throw new IllegalArgumentException(
+            "current snapshot carries a v1-style inline manifests " +
+              "array — no manifest list to extend, write-back refuses")))
+      }
 
     // ---- current schema (names, iceberg field ids, types) ----
     val curSchemaId = (meta \ "current-schema-id").extractOpt[Int]
@@ -314,6 +321,7 @@ object IcebergWriteBack {
     * gets ids, where the old first-file sniff defaulted to id-less and
     * strict id-resolving external readers couldn't see the columns. */
   private def treeHasIds(spark: SparkSession, tree: Tree): Boolean = {
+    if (tree.curId == -1L) return true // empty: write id-ful files
     val files = IcebergImport.plan(spark, tree.tableLocation).files
     if (files.isEmpty) true
     else {
@@ -938,7 +946,8 @@ object IcebergWriteBack {
       ml
     }
     val listRecords: Seq[GenericRecord] =
-      IcebergImport.readAvro(tree.fs, tree.oldListUri)
+      tree.oldListUri.toSeq.flatMap(u =>
+        IcebergImport.readAvro(tree.fs, u))
         .filterNot(r =>
           dropManifests(String.valueOf(r.get("manifest_path"))))
         .map(r => replaceManifests.getOrElse(
@@ -987,7 +996,9 @@ object IcebergWriteBack {
     val entryBase: JObject =
       ("sequence-number" -> tree.newSeq) ~
         ("snapshot-id" -> tree.newId) ~
-        ("parent-snapshot-id" -> tree.curId) ~
+        ("parent-snapshot-id" ->
+          (if (tree.curId == -1L) JNothing: JValue
+           else JLong(tree.curId): JValue)) ~
         ("timestamp-ms" -> now) ~
         ("summary" -> JObject(("operation" -> org.json4s.JString(
           operation)) :: (metrics ++ summaryProps).toList
@@ -997,7 +1008,13 @@ object IcebergWriteBack {
         ("schema-id" -> tree.curSchemaId)
     val entryJ: JObject =
       if (tree.formatVersion >= 3)
-        entryBase ~ ("first-row-id" -> tree.nextRowId)
+        // v3 snapshot JSON carries BOTH row-lineage fields: first-row-id
+        // (assigned from the table's next-row-id) and added-rows (the
+        // row-id space this snapshot consumed — the spec's contract for
+        // advancing next-row-id, and exactly what a REST catalog uses
+        // server-side: next-row-id' = first-row-id + added-rows)
+        entryBase ~ ("first-row-id" -> tree.nextRowId) ~
+          ("added-rows" -> (rowIdHwm - tree.nextRowId))
       else entryBase
 
     // catalog-owned table: the commit goes back THROUGH the catalog as
@@ -1009,16 +1026,15 @@ object IcebergWriteBack {
     // protocol updates here don't express refuse up front.
     if (tree.catalog.isDefined) {
       val (catalogUri, ident) = tree.catalog.get
-      // v3 row lineage: next-row-id is CATALOG-maintained metadata this
-      // client cannot advance through add-snapshot alone — a stale
-      // next-row-id would hand the next committer already-assigned row
-      // ids (silent lineage corruption), so refuse loud. Filesystem
-      // write-back fully supports v3.
-      require(tree.formatVersion < 3,
-        "catalog-committed write-back supports v2 trees only: v3 " +
-          "next-row-id is catalog-maintained state the protocol " +
-          "updates here cannot advance — commit v3 trees " +
-          "filesystem-side")
+      // v3 row lineage through the catalog: next-row-id is
+      // CATALOG-maintained state, and the snapshot's own first-row-id +
+      // added-rows fields (above) are the spec's contract for advancing
+      // it — the SERVER validates first-row-id against its current
+      // next-row-id (a stale value means a concurrent commit consumed
+      // row-id space after this client loaded; that MUST reject, or two
+      // snapshots would assign overlapping row ids) and advances
+      // next-row-id to first-row-id + added-rows. A rejection surfaces
+      // as the same 409 retry contract as a stale ref assert.
       // replaced/dropped manifests need NO protocol support: they are
       // baked into the manifest LIST this client already wrote — the
       // catalog only stores the snapshot entry pointing at it. A fresh
@@ -1031,8 +1047,12 @@ object IcebergWriteBack {
             ("fields" -> org.json4s.JArray(Nil)): JValue))): JValue)
       graft.catalog.RestCatalog.commitTable(catalogUri, ident,
         requirements = Seq(
+          // first commit to an empty table: the NULL form asserts the
+          // ref's ABSENCE (a racing first-committer 409s)
           ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> advRef) ~
-            ("snapshot-id" -> tree.curId): JValue),
+            ("snapshot-id" ->
+              (if (tree.curId == -1L) JNull: JValue
+               else JLong(tree.curId): JValue)): JValue),
         updates = specUpdate ++ Seq(
           (("action" -> "add-snapshot") ~
             ("snapshot" -> (entryJ: JValue))): JValue,
@@ -1178,13 +1198,30 @@ object IcebergWriteBack {
       appId: String): Option[Long] = {
     implicit val fmts: Formats = DefaultFormats
     val (_, meta, _) = IcebergImport.parseMeta(spark, tableLocation)
+    val live = liveStampIds(meta)
     val batches = (meta \ "snapshots").children.flatMap { s =>
       val sm = s \ "summary"
-      if ((sm \ TxnAppKey).extractOpt[String].contains(appId))
+      if (live((s \ "snapshot-id").extract[Long]) &&
+          (sm \ TxnAppKey).extractOpt[String].contains(appId))
         (sm \ TxnBatchKey).extractOpt[String].map(_.toLong)
       else None
     }
     if (batches.isEmpty) None else Some(batches.max)
+  }
+
+  /** Snapshot ids whose txn stamps COUNT for the exactly-once replay
+    * check: everything reachable (by parent links) from main's head or
+    * from any live ref. A batch staged onto a branch that was later
+    * ABANDONED (dropRef without fast-forward) left its stamp on
+    * snapshots no ref can reach — honoring it would make the replay of
+    * that batch a silent no-op and its rows would never land. */
+  private def liveStampIds(meta: JValue): Long => Boolean = {
+    implicit val fmts: Formats = DefaultFormats
+    val heads = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).toList ++
+      refsOf(meta).flatMap { case (_, v) =>
+        (v \ "snapshot-id").extractOpt[Long] }
+    heads.distinct.flatMap(h => ancestorChain(meta, h)).toSet
   }
 
   /** The snapshot id that carries `(appId, batchId)`'s stamp — what a
@@ -1196,9 +1233,11 @@ object IcebergWriteBack {
       txn: (String, Long)): Option[Long] = {
     implicit val fmts: Formats = DefaultFormats
     val (appId, batchId) = txn
+    val live = liveStampIds(meta)
     (meta \ "snapshots").children.flatMap { s =>
       val sm = s \ "summary"
-      if ((sm \ TxnAppKey).extractOpt[String].contains(appId) &&
+      if (live((s \ "snapshot-id").extract[Long]) &&
+          (sm \ TxnAppKey).extractOpt[String].contains(appId) &&
           (sm \ TxnBatchKey).extractOpt[String]
             .contains(batchId.toString))
         Some((s \ "snapshot-id").extract[Long])
@@ -1239,7 +1278,8 @@ object IcebergWriteBack {
     // branch => the commit chains on (and advances) that ref only —
     // Iceberg's write-audit-publish staging: main readers see nothing
     // until fastForward lands the branch
-    val tree = loadTree(spark, tableLocation, branch)
+    val tree = loadTree(spark, tableLocation, branch,
+      allowEmpty = true)
     val hasIds = treeHasIds(spark, tree)
     val rec = newDataManifest(spark, tree, df, hasIds)
     publish(spark, tree, Seq(rec), "append", None,
@@ -1264,7 +1304,7 @@ object IcebergWriteBack {
     if (alreadyCommitted(spark, handle, txn))
       return replayId(spark, handle, txn)
     val tree = loadTree(spark, handle, branch,
-      catalog = Some((catalogUri, identifier)))
+      catalog = Some((catalogUri, identifier)), allowEmpty = true)
     val hasIds = treeHasIds(spark, tree)
     val rec = newDataManifest(spark, tree, df, hasIds)
     publish(spark, tree, Seq(rec), "append", None,
@@ -1276,9 +1316,9 @@ object IcebergWriteBack {
     * reads (current state, lineage, pruned scans) go through it, and
     * the commit publishes back THROUGH the catalog exactly like
     * [[appendToCatalog]] — including the protocol's `add-spec` update
-    * when a delete manifest needs a fresh unpartitioned spec. v2 trees
-    * only (v3 next-row-id is catalog-maintained; the publish path
-    * refuses loud). */
+    * when a delete manifest needs a fresh unpartitioned spec. v3
+    * lineage advances via the snapshot's first-row-id/added-rows —
+    * the catalog validates and owns next-row-id. */
   def deleteWhereCatalog(spark: SparkSession, catalogUri: String,
       identifier: String, predicate: Column): Long =
     deleteWhere(spark, graft.catalog.RestCatalog
@@ -1529,16 +1569,18 @@ object IcebergWriteBack {
   def compactSmallFiles(spark: SparkSession, tableLocation: String,
       smallFileBytes: Long = 32L << 20,
       targetFileBytes: Long = 128L << 20,
-      minInputFiles: Int = 2): Long = {
+      minInputFiles: Int = 2,
+      catalog: Option[(String, String)] = None): Long = {
     implicit val fmts: Formats = DefaultFormats
-    val tree = loadTree(spark, tableLocation)
+    val tree = loadTree(spark, tableLocation, catalog = catalog)
     specPartition(tree) // refuse non-evaluable default specs up front
     val hasIds = treeHasIds(spark, tree)
     val v3 = tree.formatVersion >= 3
 
     // walk the manifest list once; candidates = live data files under
     // the default spec smaller than the threshold
-    val listRecs = IcebergImport.readAvro(tree.fs, tree.oldListUri)
+    val listRecs = tree.oldListUri.toSeq.flatMap(u =>
+      IcebergImport.readAvro(tree.fs, u))
     case class MF(path: String, listSeq: Long, addedSnap: Long,
         specId: Int, content: Int, firstRowId: Option[Long])
     val mfs = listRecs.map { r =>
@@ -1709,11 +1751,13 @@ object IcebergWriteBack {
     * new snapshot id (current id when nothing qualified). */
   def rewriteManifests(spark: SparkSession, tableLocation: String,
       smallManifestBytes: Long = 8L << 20,
-      minInputManifests: Int = 2): Long = {
+      minInputManifests: Int = 2,
+      catalog: Option[(String, String)] = None): Long = {
     implicit val fmts: Formats = DefaultFormats
-    val tree = loadTree(spark, tableLocation)
+    val tree = loadTree(spark, tableLocation, catalog = catalog)
     val v3 = tree.formatVersion >= 3
-    val listRecs = IcebergImport.readAvro(tree.fs, tree.oldListUri)
+    val listRecs = tree.oldListUri.toSeq.flatMap(u =>
+      IcebergImport.readAvro(tree.fs, u))
     case class MF(path: String, len: Long, listSeq: Long,
         addedSnap: Long, specId: Int, content: Int,
         firstRowId: Option[Long])
@@ -1837,7 +1881,8 @@ object IcebergWriteBack {
       supersede: GenericRecord => Boolean): Map[String, GenericRecord] = {
     val mls = mlSchema(tree)
     val metaDir = new Path(tree.tableLocation, "metadata")
-    val listRecs = IcebergImport.readAvro(tree.fs, tree.oldListUri)
+    val listRecs = tree.oldListUri.toSeq.flatMap(u =>
+      IcebergImport.readAvro(tree.fs, u))
     listRecs.filter(r =>
       Option(r.getSchema.getField("content")).flatMap(_ =>
         Option(r.get("content"))).exists(
@@ -1929,10 +1974,11 @@ object IcebergWriteBack {
     * consolidate: fewer than `minInputFiles` position-delete files AND
     * no dangling/duplicate rows. Returns the snapshot id. */
   def rewritePositionDeletes(spark: SparkSession, tableLocation: String,
-      minInputFiles: Int = 2): Long = {
+      minInputFiles: Int = 2,
+      catalog: Option[(String, String)] = None): Long = {
     val sp = spark
     import sp.implicits._
-    val tree = loadTree(spark, tableLocation)
+    val tree = loadTree(spark, tableLocation, catalog = catalog)
     val p = IcebergImport.plan(spark, tableLocation)
     val posRefs = p.deletes.filter(_.equalityCols.isEmpty)
     if (posRefs.isEmpty) return tree.curId
@@ -2089,12 +2135,26 @@ object IcebergWriteBack {
     catalog match {
       case Some((uri, ident)) =>
         // the protocol's remove-snapshots update — the catalog trims
-        // its snapshot list (and log) itself; the assert pins that no
-        // concurrent commit added history we did not consider
+        // its snapshot list (and log) itself. The dropped set was
+        // computed from the refs READ AT LOAD, so every one of them is
+        // pinned, not just main: a concurrent set-snapshot-ref (tag or
+        // branch create/advance) targeting a to-be-dropped snapshot
+        // must 409 this expiry, or the catalog ends up with a ref
+        // pointing at a removed snapshot
         import org.json4s.JsonDSL._
+        val refAsserts: Seq[JValue] = (tree.meta \ "refs") match {
+          case JObject(fs0) => fs0.collect {
+            case (name, v) if name != "main" =>
+              (("type" -> "assert-ref-snapshot-id") ~ ("ref" -> name) ~
+                ("snapshot-id" ->
+                  (v \ "snapshot-id").extract[Long])): JValue
+          }
+          case _ => Nil
+        }
         graft.catalog.RestCatalog.commitTable(uri, ident,
-          requirements = Seq((("type" -> "assert-ref-snapshot-id") ~
-            ("ref" -> "main") ~ ("snapshot-id" -> tree.curId)): JValue),
+          requirements = ((("type" -> "assert-ref-snapshot-id") ~
+            ("ref" -> "main") ~
+            ("snapshot-id" -> tree.curId)): JValue) +: refAsserts,
           updates = Seq((("action" -> "remove-snapshots") ~
             ("snapshot-ids" -> org.json4s.JArray(dropped.map(s =>
               org.json4s.JLong((s \ "snapshot-id").extract[Long])

@@ -327,33 +327,44 @@ case class GraftCallCommand(proc: String, location: String,
           location, longArg("to").getOrElse(
             throw new IllegalArgumentException(
               s"graft.$proc needs to => 2|3")).toInt).toLong
-      case "rewrite_manifests_iceberg" =>
-        // foreign-tree maintenance: consolidate small DATA manifests
-        // into one per (spec × writer-schema) group — metadata-only,
-        // the manifest-list growth fix for frequently-committed trees
-        graft.iceberg.IcebergWriteBack.rewriteManifests(spark, location,
-          smallManifestBytes = longArg("small_manifest_bytes")
-            .getOrElse(8L << 20),
-          minInputManifests = longArg("min_input_manifests")
-            .getOrElse(2L).toInt)
-      case "rewrite_position_deletes_iceberg" =>
-        // foreign-tree maintenance: consolidate accreted position
-        // tombstones (v2: one sorted set of delete files, dangling
-        // positions dropped; v3: legacy parquet deletes convert to
-        // deletion vectors) — one replace commit
-        graft.iceberg.IcebergWriteBack.rewritePositionDeletes(spark,
-          location, minInputFiles = longArg("min_input_files")
-            .getOrElse(2L).toInt)
-      case "compact_iceberg" =>
-        // foreign-tree maintenance: small-file binpack as one replace
-        // commit (deletes consumed into the rewrite)
-        graft.iceberg.IcebergWriteBack.compactSmallFiles(spark, location,
-          smallFileBytes = longArg("small_file_bytes")
-            .getOrElse(32L << 20),
-          targetFileBytes = longArg("target_file_bytes")
-            .getOrElse(128L << 20),
-          minInputFiles = longArg("min_input_files")
-            .getOrElse(2L).toInt)
+      case "rewrite_manifests_iceberg" | "compact_iceberg" |
+          "rewrite_position_deletes_iceberg" =>
+        // foreign-tree MAINTENANCE — rewrite_manifests consolidates
+        // small data/delete manifests (metadata-only; the manifest-list
+        // growth fix), compact binpacks small data files (deletes
+        // consumed into the rewrite), rewrite_position_deletes
+        // consolidates accreted position tombstones (v2: one sorted
+        // set, dangling positions dropped; v3: legacy parquet deletes
+        // convert to deletion vectors). Each is ONE replace commit.
+        // With catalog_uri the location is a namespace.table identifier
+        // and the replace snapshot commits THROUGH the catalog —
+        // replaced manifests are baked into the client-written manifest
+        // list, so the protocol needs only add-snapshot + set-ref; the
+        // production streaming-sink table (catalog-owned, one commit
+        // per micro-batch) is exactly the table that accretes fastest.
+        val cat = args.get("catalog_uri").map(uri => (uri, location))
+        val loc = cat.map { case (uri, id) => graft.catalog.RestCatalog
+          .loadTableMetadataLocation(uri, id) }.getOrElse(location)
+        proc match {
+          case "rewrite_manifests_iceberg" =>
+            graft.iceberg.IcebergWriteBack.rewriteManifests(spark, loc,
+              smallManifestBytes = longArg("small_manifest_bytes")
+                .getOrElse(8L << 20),
+              minInputManifests = longArg("min_input_manifests")
+                .getOrElse(2L).toInt, catalog = cat)
+          case "rewrite_position_deletes_iceberg" =>
+            graft.iceberg.IcebergWriteBack.rewritePositionDeletes(spark,
+              loc, minInputFiles = longArg("min_input_files")
+                .getOrElse(2L).toInt, catalog = cat)
+          case _ =>
+            graft.iceberg.IcebergWriteBack.compactSmallFiles(spark, loc,
+              smallFileBytes = longArg("small_file_bytes")
+                .getOrElse(32L << 20),
+              targetFileBytes = longArg("target_file_bytes")
+                .getOrElse(128L << 20),
+              minInputFiles = longArg("min_input_files")
+                .getOrElse(2L).toInt, catalog = cat)
+        }
       case "evolve_iceberg" =>
         // metadata-only schema evolution on a FOREIGN tree: op is one of
         // add (col + type), rename (col + to), widen (col + type)
@@ -398,6 +409,28 @@ case class GraftCallCommand(proc: String, location: String,
             s"graft.$proc op must be add|rename|widen|" +
               s"add_partition_field, got $other")
         }).toLong
+      case "create_iceberg" =>
+        // catalog-first CREATE TABLE (the reference's
+        // create-if-not-exists bronze shape): the CATALOG builds and
+        // owns the initial metadata from the declared schema; the
+        // first append_iceberg(catalog_uri =>) then commits against
+        // the null-form main assert. Returns 1.
+        val uri = args.getOrElse("catalog_uri",
+          throw new IllegalArgumentException(
+            s"graft.$proc is catalog-first: it needs catalog_uri => " +
+              "(filesystem trees are created by export_iceberg)"))
+        val ddl = args.getOrElse("schema",
+          throw new IllegalArgumentException(
+            s"graft.$proc needs schema => 'col type, ...'"))
+        graft.iceberg.IcebergExport.createTableCatalog(spark, uri,
+          location, org.apache.spark.sql.types.StructType.fromDDL(ddl),
+          partitionBy = specArg("partition_by"),
+          location = args.get("location"),
+          formatVersion = longArg("format_version")
+            .getOrElse(2L).toInt,
+          ifNotExists = args.get("if_not_exists")
+            .exists(_.toBoolean))
+        1L
       case "import_iceberg_changes" =>
         // incremental FOLLOW: append only the foreign (since, target]
         // append-delta into this table (IcebergImport.readChanges rules:
@@ -420,7 +453,8 @@ case class GraftCallCommand(proc: String, location: String,
           "compact_iceberg, rewrite_manifests_iceberg, expire_iceberg, " +
           "register_iceberg, upgrade_iceberg, tag_iceberg, " +
           "branch_iceberg, drop_ref_iceberg, rollback_iceberg, " +
-          "fast_forward_iceberg, rewrite_position_deletes_iceberg")
+          "fast_forward_iceberg, rewrite_position_deletes_iceberg, " +
+          "create_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -481,7 +515,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //     keys => 'id')   — keys is a comma-separated column list
     //   each row-level proc also takes catalog_uri => (the location is
     //   then a namespace.table identifier; the commit publishes back
-    //   THROUGH the REST catalog — v2 trees only)
+    //   THROUGH the REST catalog; v3 row lineage advances via the
+    //   snapshot's first-row-id/added-rows fields)
     "delete_iceberg" -> (Seq("where"), Set("catalog_uri")),
     //   graft.delete_iceberg_keys('/path', source => 'keys_view')
     //     — equality deletes; the view's columns are the key columns
@@ -501,17 +536,19 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //   graft.compact_iceberg('/path' [, small_file_bytes => N,
     //     target_file_bytes => N, min_input_files => N])
     "compact_iceberg" -> (Seq.empty[String],
-      Set("small_file_bytes", "target_file_bytes", "min_input_files")),
+      Set("small_file_bytes", "target_file_bytes", "min_input_files",
+        "catalog_uri")),
     //   graft.rewrite_manifests_iceberg('/path'
     //     [, small_manifest_bytes => N, min_input_manifests => N])
     //     — consolidate small data manifests, metadata-only
     "rewrite_manifests_iceberg" -> (Seq.empty[String],
-      Set("small_manifest_bytes", "min_input_manifests")),
+      Set("small_manifest_bytes", "min_input_manifests",
+        "catalog_uri")),
     //   graft.rewrite_position_deletes_iceberg('/path'
     //     [, min_input_files => N]) — consolidate position tombstones
     //     (v3: convert legacy parquet deletes to deletion vectors)
     "rewrite_position_deletes_iceberg" -> (Seq.empty[String],
-      Set("min_input_files")),
+      Set("min_input_files", "catalog_uri")),
     //   graft.expire_iceberg('/path', keep_last => N
     //     [, catalog_uri => ... — remove-snapshots via the protocol])
     "expire_iceberg" -> (Seq("keep_last"), Set("catalog_uri")),
@@ -540,7 +577,16 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //   graft.register_iceberg('ns.table', name => 'view',
     //     catalog_uri => 'http://...') resolves the identifier through
     //     an Iceberg REST catalog first (catalog.RestCatalog)
-    "register_iceberg" -> (Seq("name"), Set("at", "catalog_uri")))
+    "register_iceberg" -> (Seq("name"), Set("at", "catalog_uri")),
+    //   graft.create_iceberg('ns.table', schema => 'id long, v string',
+    //     catalog_uri => 'http://...' [, location => '/path']
+    //     [, partition_by => 'days(ts), region']
+    //     [, if_not_exists => 'true'] [, format_version => 3]) —
+    //     catalog-first CREATE (the catalog writes the initial
+    //     metadata; no snapshot until the first append)
+    "create_iceberg" -> (Seq("schema"),
+      Set("catalog_uri", "location", "partition_by", "if_not_exists",
+        "format_version")))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -589,6 +635,7 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // import_iceberg may target a PATH (the destination table often
       // does not exist yet — importInto creates it)
       if ((proc == "import_iceberg" || proc == "import_iceberg_changes" ||
+          proc == "create_iceberg" ||
           proc == "append_iceberg" || proc == "delete_iceberg" ||
           proc == "delete_iceberg_keys" || proc == "merge_iceberg" ||
           proc == "evolve_iceberg" || proc == "compact_iceberg" ||
@@ -609,7 +656,10 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
               proc == "branch_iceberg" || proc == "drop_ref_iceberg" ||
               proc == "rollback_iceberg" ||
               proc == "fast_forward_iceberg" ||
-              proc == "expire_iceberg") &&
+              proc == "expire_iceberg" || proc == "compact_iceberg" ||
+              proc == "rewrite_manifests_iceberg" ||
+              proc == "rewrite_position_deletes_iceberg" ||
+              proc == "create_iceberg") &&
               kvs.contains("catalog_uri"))))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {

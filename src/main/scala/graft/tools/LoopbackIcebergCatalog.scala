@@ -11,8 +11,8 @@ import org.json4s._
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods.{compact, parse, render}
 
-/** DEV/TEST utility: an in-process loopback Iceberg REST catalog
-  * owning ONE table — the server half of the open protocol that
+/** DEV/TEST utility: an in-process loopback Iceberg REST catalog —
+  * the server half of the open protocol that
   * [[graft.catalog.RestCatalog]] speaks, implemented far enough to
   * exercise the whole client contract with zero egress:
   *
@@ -21,22 +21,58 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   *   - `POST .../tables/{t}` = `CommitTableRequest`: requirements
   *     checked against ITS current metadata (`assert-ref-snapshot-id`,
   *     including the null form asserting a ref's ABSENCE → 409 on
-  *     failure), updates applied in order (`add-snapshot`,
+  *     failure), updates applied in order (`add-snapshot` — with the
+  *     v3 row-lineage contract: first-row-id validated against
+  *     next-row-id, which then advances by added-rows —
   *     `set-snapshot-ref` — main moves current-snapshot-id and the
-  *     snapshot-log, tags don't — `remove-snapshot-ref`, `add-spec`),
-  *     and the next metadata.json PERSISTED next to the old ones (the
-  *     catalog owns the pointer swap, exactly like a real service).
+  *     snapshot-log, tags don't — `remove-snapshot-ref` — refused when
+  *     a current ref targets a removed snapshot — `add-spec`), and the
+  *     next metadata.json PERSISTED next to the old ones (the catalog
+  *     owns the pointer swap, exactly like a real service);
+  *   - namespace + table CREATION (`POST /v1/namespaces`,
+  *     `POST .../namespaces/{ns}/tables` = CreateTableRequest — the
+  *     CATALOG writes the initial metadata, no snapshot, 409 on
+  *     duplicates) and listing (`GET` on both routes);
+  *   - optional bearer-token auth ([[requiredToken]]) — 401 without
+  *     the exact `Authorization: Bearer` header.
   *
   * Used by the REST catalog specs and by the catalog-lifecycle oracle
   * query (the driver's Verify runs it in-process). NOT a production
-  * server: single table, no auth, no namespaces listing. */
-final class LoopbackIcebergCatalog(ident: String,
-    @volatile private var currentLoc: String) {
+  * server: in-memory namespace registry, single process. */
+final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
+    warehouse: Option[String] = None) {
   private implicit val fmts: Formats = DefaultFormats
-  private val Array(ns, tbl) = ident.split('.')
+
+  /** The LAST dot splits table from namespace (multi-level namespaces
+    * join with the protocol's 0x1F unit separator in the URL path,
+    * matching the client's encoding — URI.getPath hands it back
+    * decoded). */
+  private def split(id: String): (String, String) = {
+    val i = id.lastIndexOf('.')
+    require(i > 0 && i < id.length - 1,
+      s"catalog table identifier must be namespace.table, got '$id'")
+    (id.substring(0, i).replace(".", "\u001f"), id.substring(i + 1))
+  }
+  private val primary = split(ident)
+
+  // every table this catalog owns: (ns, table) -> current metadata loc
+  private val tabs =
+    scala.collection.concurrent.TrieMap[(String, String), String](
+      primary -> initialLoc)
+  private val nss =
+    scala.collection.concurrent.TrieMap[String, Unit](primary._1 -> ())
+
   private var server: HttpServer = _
 
-  def location: String = currentLoc
+  /** When set, every request must carry `Authorization: Bearer <t>` —
+    * the simplest production auth scheme; 401 otherwise. */
+  @volatile var requiredToken: Option[String] = None
+
+  /** The PRIMARY table's current metadata location. */
+  def location: String = tabs(primary)
+
+  /** Any table's current metadata location (dotted identifier). */
+  def locationOf(id: String): Option[String] = tabs.get(split(id))
 
   /** Start serving on an ephemeral loopback port; returns base URI. */
   def start(): String = {
@@ -48,21 +84,25 @@ final class LoopbackIcebergCatalog(ident: String,
 
   def stop(): Unit = if (server != null) server.stop(0)
 
-  private def readMeta(): JValue = parse(new String(
-    Files.readAllBytes(new File(currentLoc).toPath),
-    StandardCharsets.UTF_8))
+  private def readMeta(loc: String): JValue = parse(new String(
+    Files.readAllBytes(new File(loc).toPath), StandardCharsets.UTF_8))
 
-  /** (status, body) for a CommitTableRequest payload. */
-  def commit(body: String): (Int, String) = synchronized {
+  /** (status, body) for a CommitTableRequest against the PRIMARY
+    * table — kept for the specs that drive commits directly. */
+  def commit(body: String): (Int, String) = commitAt(primary, body)
+
+  private def commitAt(key: (String, String), body: String)
+      : (Int, String) = synchronized {
+    val curLoc = tabs(key)
     val req = parse(body)
-    val meta = readMeta()
+    val meta = readMeta(curLoc)
     val refs = (meta \ "refs") match {
       case JObject(fs0) => fs0.toMap
       case _ => Map.empty[String, JValue]
     }
     // requirements: assert-ref-snapshot-id against CURRENT state; a
     // null snapshot-id asserts the ref does NOT exist (the create-ref
-    // guard), a value asserts it points exactly there
+    // and first-commit guards), a value asserts it points exactly there
     val conflict = (req \ "requirements").children.exists { r =>
       (r \ "type").extractOpt[String].contains(
         "assert-ref-snapshot-id") && {
@@ -70,7 +110,10 @@ final class LoopbackIcebergCatalog(ident: String,
         val have = refs.get(ref)
           .flatMap(v => (v \ "snapshot-id").extractOpt[Long])
           .orElse(if (ref == "main")
-            (meta \ "current-snapshot-id").extractOpt[Long] else None)
+            // -1 = created-but-never-written: main does not exist yet,
+            // so the null-form assert (first-commit guard) passes
+            (meta \ "current-snapshot-id").extractOpt[Long]
+              .filter(_ != -1L) else None)
         (r \ "snapshot-id") match {
           case JNull | JNothing => have.isDefined
           case v => !have.contains(v.extract[Long])
@@ -87,13 +130,37 @@ final class LoopbackIcebergCatalog(ident: String,
         case "add-snapshot" =>
           val snap = u \ "snapshot"
           val seq = (snap \ "sequence-number").extract[Long]
+          // v3 row lineage is CATALOG-maintained state: the snapshot's
+          // first-row-id must not fall below the table's next-row-id (a
+          // stale value means a concurrent commit consumed row-id space
+          // after the client loaded — accepting it would assign
+          // overlapping row ids), and on success next-row-id advances
+          // to first-row-id + added-rows
+          val rowIdFields: List[JField] =
+            (out \ "next-row-id").extractOpt[Long] match {
+              case Some(nextRowId) =>
+                val first = (snap \ "first-row-id").extractOpt[Long]
+                val added = (snap \ "added-rows").extractOpt[Long]
+                if (first.isEmpty || added.isEmpty)
+                  return (400, """{"error":{"message":"v3 snapshot """ +
+                    """needs first-row-id and added-rows","type":""" +
+                    """"BadRequest","code":400}}""")
+                if (first.get < nextRowId)
+                  return (409, """{"error":{"message":"Requirement """ +
+                    """failed: snapshot first-row-id is below the """ +
+                    """table's next-row-id (concurrent commit consumed""" +
+                    """ row-id space)","type":"CommitFailedException",""" +
+                    """"code":409}}""")
+                List("next-row-id" -> JLong(first.get + added.get))
+              case None => Nil
+            }
           out = replaceFields(out, List(
             "snapshots" -> JArray((out \ "snapshots").children :+ snap),
             "last-sequence-number" -> JLong(math.max(
               (out \ "last-sequence-number").extractOpt[Long]
                 .getOrElse(0L), seq)),
             "last-updated-ms" ->
-              JLong(System.currentTimeMillis())))
+              JLong(System.currentTimeMillis())) ++ rowIdFields)
         case "add-spec" =>
           out = replaceFields(out, List(
             "partition-specs" -> JArray(
@@ -101,6 +168,22 @@ final class LoopbackIcebergCatalog(ident: String,
         case "remove-snapshots" =>
           val ids = (u \ "snapshot-ids").children
             .map(_.extract[Long]).toSet
+          // server-side ref validation (what a managed catalog does):
+          // a removal that would leave ANY current ref — main's head
+          // included — pointing at a dropped snapshot is a commit
+          // conflict, not a metadata update. This closes the race the
+          // client's load-time ref asserts cannot see: a ref CREATED
+          // after the expiry loaded its state.
+          val refTargets = ((out \ "refs") match {
+            case JObject(fs0) => fs0.flatMap { case (_, v) =>
+              (v \ "snapshot-id").extractOpt[Long] }
+            case _ => Nil
+          }) ++ (out \ "current-snapshot-id").extractOpt[Long]
+            .filter(_ != -1L).toList
+          if (refTargets.exists(ids))
+            return (409, """{"error":{"message":"Requirement failed: """ +
+              """a ref targets a snapshot being removed","type":""" +
+              """"CommitFailedException","code":409}}""")
           out = replaceFields(out, List(
             "snapshots" -> JArray((out \ "snapshots").children
               .filterNot(s =>
@@ -140,15 +223,94 @@ final class LoopbackIcebergCatalog(ident: String,
             |$other","type":"BadRequest","code":400}}""".stripMargin)
       }
     }
-    val dir = new File(currentLoc).getParentFile
+    val dir = new File(curLoc).getParentFile
     val next = new File(dir,
       f"${System.nanoTime()}%020d-rest.metadata.json")
     Files.write(next.toPath,
       compact(render(out)).getBytes(StandardCharsets.UTF_8))
-    currentLoc = next.getAbsolutePath
+    tabs(key) = next.getAbsolutePath
     (200, compact(render(
-      ("metadata-location" -> currentLoc) ~ ("metadata" -> out))))
+      ("metadata-location" -> next.getAbsolutePath) ~
+        ("metadata" -> out))))
   }
+
+  /** (status, body) for a CreateTableRequest in namespace `ns`: the
+    * CATALOG builds and persists the initial metadata.json — declared
+    * schema and spec, NO snapshot (current-snapshot-id -1; the first
+    * append commits against the null-form main assert), v3 tables
+    * initialized with next-row-id 0. 409 on duplicates. */
+  private def createTable(ns: String, body: String): (Int, String) =
+    synchronized {
+      if (!nss.contains(ns))
+        return (404, """{"error":{"message":"NoSuchNamespace","type":""" +
+          """"NoSuchNamespaceException","code":404}}""")
+      val req = parse(body)
+      val name = (req \ "name").extract[String]
+      if (tabs.contains((ns, name)))
+        return (409, """{"error":{"message":"Table already exists",""" +
+          """"type":"AlreadyExistsException","code":409}}""")
+      val fmtVersion = (req \ "properties" \ "format-version")
+        .extractOpt[String].map(_.toInt).getOrElse(2)
+      val loc = (req \ "location").extractOpt[String]
+        .orElse(warehouse.map(w =>
+          s"${w.stripSuffix("/")}/${ns.replace("\u001f", "/")}/$name"))
+        .getOrElse(return (400,
+          """{"error":{"message":"no location in request and no """ +
+            """warehouse default","type":"BadRequest","code":400}}"""))
+      val schemaJ = (req \ "schema") match {
+        case JNothing => return (400,
+          """{"error":{"message":"CreateTableRequest needs a schema",""" +
+            """"type":"BadRequest","code":400}}""")
+        case sch => replaceFields(sch, List(
+          "schema-id" -> JInt(0), "type" -> JString("struct")))
+      }
+      val lastColId = (schemaJ \ "fields").children
+        .flatMap(f => (f \ "id").extractOpt[Int]).foldLeft(0)(math.max)
+      val specJ = (req \ "partition-spec") match {
+        case JNothing =>
+          (("spec-id" -> 0) ~ ("fields" -> JArray(Nil))): JValue
+        case sp => replaceFields(sp, List("spec-id" -> JInt(0)))
+      }
+      val lastPartId = (specJ \ "fields").children
+        .flatMap(f => (f \ "field-id").extractOpt[Int])
+        .foldLeft(999)(math.max)
+      val meta: JValue =
+        ("format-version" -> fmtVersion) ~
+          ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(
+            s"$ns.$name".getBytes(StandardCharsets.UTF_8)).toString) ~
+          ("location" -> loc) ~
+          ("last-sequence-number" -> 0L) ~
+          ("last-updated-ms" -> System.currentTimeMillis()) ~
+          ("last-column-id" -> lastColId) ~
+          ("current-schema-id" -> 0) ~
+          ("schemas" -> JArray(List(schemaJ))) ~
+          ("default-spec-id" -> 0) ~
+          ("partition-specs" -> JArray(List(specJ))) ~
+          ("last-partition-id" -> lastPartId) ~
+          ("default-sort-order-id" -> 0) ~
+          ("sort-orders" -> JArray(List(
+            (("order-id" -> 0) ~ ("fields" -> JArray(Nil))): JValue))) ~
+          ("properties" -> JObject(Nil)) ~
+          ("current-snapshot-id" -> -1L) ~
+          ("refs" -> JObject(Nil)) ~
+          ("snapshots" -> JArray(Nil)) ~
+          ("snapshot-log" -> JArray(Nil)) ~
+          ("metadata-log" -> JArray(Nil))
+      val withRowId: JValue =
+        if (fmtVersion >= 3)
+          replaceFields(meta, List("next-row-id" -> JLong(0L)))
+        else meta
+      val metaDir = new File(loc, "metadata")
+      metaDir.mkdirs()
+      val f = new File(metaDir,
+        f"${System.nanoTime()}%020d-rest.metadata.json")
+      Files.write(f.toPath,
+        compact(render(withRowId)).getBytes(StandardCharsets.UTF_8))
+      tabs((ns, name)) = f.getAbsolutePath
+      (200, compact(render(
+        ("metadata-location" -> f.getAbsolutePath) ~
+          ("metadata" -> withRowId))))
+    }
 
   private def replaceFields(meta: JValue,
       fields: List[JField]): JValue = {
@@ -159,18 +321,54 @@ final class LoopbackIcebergCatalog(ident: String,
 
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
+    val post = ex.getRequestMethod == "POST"
+    def reqBody: String = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    val authorized = requiredToken.forall(t =>
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .contains(s"Bearer $t"))
+    val TablesRe = "/v1/namespaces/([^/]+)/tables".r
+    val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
     val (code, body) =
-      if (path == "/v1/config")
+      if (!authorized)
+        (401, """{"error":{"message":"Not authorized","type":""" +
+          """"NotAuthorizedException","code":401}}""")
+      else if (path == "/v1/config")
         (200, """{"defaults":{},"overrides":{}}""")
-      else if (path == s"/v1/namespaces/$ns/tables/$tbl") {
-        if (ex.getRequestMethod == "POST")
-          commit(new String(ex.getRequestBody.readAllBytes(),
-            StandardCharsets.UTF_8))
+      else if (path == "/v1/namespaces" && post) {
+        val nsName = (parse(reqBody) \ "namespace").children
+          .map(_.extract[String]).mkString("\u001f")
+        if (nsName.isEmpty)
+          (400, """{"error":{"message":"empty namespace","type":""" +
+            """"BadRequest","code":400}}""")
+        else if (nss.putIfAbsent(nsName, ()).isDefined)
+          (409, """{"error":{"message":"Namespace already exists",""" +
+            """"type":"AlreadyExistsException","code":409}}""")
         else (200, compact(render(
-          ("metadata-location" -> currentLoc) ~
-            ("metadata" -> readMeta()))))
-      } else (404, """{"error":{"message":"NoSuchTable",
-        |"type":"NoSuchTableException","code":404}}""".stripMargin)
+          ("namespace" -> nsName.split('\u001f').toList) ~
+            ("properties" -> JObject(Nil)))))
+      } else if (path == "/v1/namespaces")
+        (200, compact(render("namespaces" -> JArray(
+          nss.keys.toList.sorted.map(n =>
+            JArray(n.split('\u001f').map(JString(_): JValue).toList)
+              : JValue)))))
+      else path match {
+        case TableRe(ns, tbl) if tabs.contains((ns, tbl)) =>
+          if (post) commitAt((ns, tbl), reqBody)
+          else (200, compact(render(
+            ("metadata-location" -> tabs((ns, tbl))) ~
+              ("metadata" -> readMeta(tabs((ns, tbl)))))))
+        case TablesRe(ns) if post => createTable(ns, reqBody)
+        case TablesRe(ns) if nss.contains(ns) =>
+          (200, compact(render("identifiers" -> JArray(
+            tabs.keys.filter(_._1 == ns).map(_._2).toList.sorted.map(t =>
+              ((("namespace" -> JArray(ns.split('\u001f')
+                .map(JString(_): JValue).toList)) ~
+                ("name" -> t)): JValue))))))
+        case _ =>
+          (404, """{"error":{"message":"NoSuchTable",
+            |"type":"NoSuchTableException","code":404}}""".stripMargin)
+      }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)

@@ -48,9 +48,12 @@ class RestCatalogCommitSpec extends SparkSpec {
   }
 
   private def latestMeta(t: GraftTable): String =
+    // numeric version order — a lexical sort misorders v10+ vs v2
     new File(t.location, "metadata").listFiles()
-      .filter(_.getName.endsWith(".metadata.json"))
-      .map(_.getAbsolutePath).sorted.last
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong)
+      .getAbsolutePath
 
   test("catalog-committed append: client writes data+manifests, the " +
       "catalog applies add-snapshot/set-snapshot-ref and swaps its " +
@@ -290,16 +293,347 @@ class RestCatalogCommitSpec extends SparkSpec {
     }
   }
 
-  test("v3 trees refuse catalog commits loudly (next-row-id is " +
-      "catalog-maintained state add-snapshot cannot advance)") {
+  test("catalog-first CREATE TABLE: namespace + table created through " +
+      "the protocol, the catalog owns the initial metadata (no " +
+      "snapshot — reads as zero rows of the declared schema), the " +
+      "first append commits against the null-form main assert, " +
+      "duplicate creates 409 / if-not-exists no-op — the reference's " +
+      "E1 create-if-not-exists bronze shape end-to-end") {
+    import org.apache.spark.sql.types.StructType
+    val wh = tmpDir("ccommit-create-wh")
+    val t = freshTree("ccommit-create")
+    val cat = new graft.tools.LoopbackIcebergCatalog("lake.t",
+      latestMeta(t), warehouse = Some(wh))
+    val base = cat.start()
+    try {
+      // namespace lifecycle: create, duplicate 409, if-not-exists
+      // no-op, listing
+      assert(RestCatalog.createNamespace(base, "bronze"))
+      val eDup = intercept[IllegalArgumentException](
+        RestCatalog.createNamespace(base, "bronze"))
+      assert(eDup.getMessage.contains("HTTP 409"), eDup.getMessage)
+      assert(!RestCatalog.createNamespace(base, "bronze",
+        ifNotExists = true))
+      assert(RestCatalog.listNamespaces(base).contains("bronze"))
+
+      // catalog-first create — no location: the server's warehouse
+      // default places the table
+      val loc0 = IcebergExport.createTableCatalog(spark, base,
+        "bronze.events", StructType.fromDDL("id bigint, v string"))
+      assert(loc0.endsWith("-rest.metadata.json"))
+      // a created-but-never-written table reads as ZERO rows of its
+      // declared schema through the catalog handle
+      val df0 = IcebergImport.read(spark,
+        RestCatalog.loadTableMetadataLocation(base, "bronze.events"))
+      assert(df0.count() === 0L)
+      assert(df0.columns === Array("id", "v"))
+      // duplicate create 409s; if-not-exists returns the EXISTING
+      // handle instead
+      val eTab = intercept[IllegalArgumentException](
+        IcebergExport.createTableCatalog(spark, base, "bronze.events",
+          StructType.fromDDL("id bigint, v string")))
+      assert(eTab.getMessage.contains("HTTP 409"), eTab.getMessage)
+      assert(IcebergExport.createTableCatalog(spark, base,
+        "bronze.events", StructType.fromDDL("id bigint, v string"),
+        ifNotExists = true) === loc0)
+      assert(RestCatalog.listTables(base, "bronze") ===
+        Seq("bronze.events"))
+
+      // FIRST append: no parent, null-form main assert; chained second
+      val s1 = IcebergWriteBack.appendToCatalog(spark, base,
+        "bronze.events", (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"))
+      assert(s1 > 0)
+      IcebergWriteBack.appendToCatalog(spark, base, "bronze.events",
+        Seq((6L, "v6")).toDF("id", "v"))
+      def readIds: Array[Long] = IcebergImport.read(spark, RestCatalog
+        .loadTableMetadataLocation(base, "bronze.events"))
+        .select("id").as[Long].collect().sorted
+      assert(readIds === (1L to 6L).toArray)
+      // the first snapshot has NO parent-snapshot-id (spec shape)
+      val meta = parse(new String(Files.readAllBytes(new File(
+        RestCatalog.loadTableMetadataLocation(base, "bronze.events"))
+        .toPath), StandardCharsets.UTF_8))
+      val firstSnap = (meta \ "snapshots").children.find(s =>
+        (s \ "snapshot-id").extract[Long] == s1).get
+      assert((firstSnap \ "parent-snapshot-id") === JNothing)
+
+      // the whole E1 shape on the SQL surface: create-if-not-exists
+      // (no-op here) + append through the catalog
+      spark.sql("CALL graft.create_iceberg('bronze.events', " +
+        "schema => 'id bigint, v string', " +
+        s"catalog_uri => '$base', if_not_exists => 'true')")
+      Seq((7L, "v7")).toDF("id", "v").createOrReplaceTempView("e1_src")
+      spark.sql("CALL graft.append_iceberg('bronze.events', " +
+        s"source => 'e1_src', catalog_uri => '$base')")
+      assert(readIds === (1L to 7L).toArray)
+      spark.catalog.dropTempView("e1_src")
+
+      // external evidence: the DuckDB hand-walker reads the
+      // catalog-created table through its exact handle
+      val handle = RestCatalog
+        .loadTableMetadataLocation(base, "bronze.events")
+      val out = scala.sys.process.Process(Seq("python3",
+        "tools/read_iceberg_duckdb.py", handle,
+        "SELECT COUNT(*) AS n FROM t")).!!
+      assert(out.trim.split("\n").last === "7")
+    } finally cat.stop()
+  }
+
+  test("catalog-first CREATE with hidden partitioning: the declared " +
+      "transform spec rides the CreateTableRequest, and the first " +
+      "append lays files out under it (partition pruning works on a " +
+      "table that never existed filesystem-first)") {
+    import org.apache.spark.sql.types.StructType
+    val wh = tmpDir("ccommit-createp-wh")
+    val t = freshTree("ccommit-createp")
+    val cat = new graft.tools.LoopbackIcebergCatalog("lake.t",
+      latestMeta(t), warehouse = Some(wh))
+    val base = cat.start()
+    try {
+      RestCatalog.createNamespace(base, "silver")
+      IcebergExport.createTableCatalog(spark, base, "silver.b",
+        StructType.fromDDL("id bigint, v string"),
+        partitionBy = Seq("bucket(4, id)"))
+      IcebergWriteBack.appendToCatalog(spark, base, "silver.b",
+        (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+      def handle: String = RestCatalog
+        .loadTableMetadataLocation(base, "silver.b")
+      assert(IcebergImport.read(spark, handle).count() === 40L)
+      // the layout IS partitioned: one file per populated bucket
+      val files = IcebergImport.plan(spark, handle).files
+      assert(files.size >= 2,
+        s"expected a partitioned layout, got ${files.size} file(s)")
+      // the declared spec landed in catalog-owned metadata
+      val meta = parse(new String(Files.readAllBytes(
+        new File(handle).toPath), StandardCharsets.UTF_8))
+      val spec = (meta \ "partition-specs").children.head
+      assert(((spec \ "fields").children.head \ "transform")
+        .extract[String] === "bucket[4]")
+    } finally cat.stop()
+  }
+
+  test("catalog-owned maintenance: rewrite_manifests, rewrite_position_" +
+      "deletes and compact commit their replace snapshots THROUGH the " +
+      "catalog (SQL surface); content is byte-identical before/after; " +
+      "manifest/file/tombstone counts actually shrink") {
+    val t = freshTree("ccommit-maint")
+    withCatalog("lake.t", latestMeta(t)) { (base, _) =>
+      // accrete exactly what a per-micro-batch catalog sink accretes:
+      // one small file + manifest per append, one delete manifest per
+      // delete commit
+      for (i <- 0 until 3)
+        IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+          Seq((100L + i, s"x$i")).toDF("id", "v"))
+      IcebergWriteBack.deleteWhereCatalog(spark, base, "lake.t",
+        col("id") === 101L)
+      IcebergWriteBack.deleteWhereCatalog(spark, base, "lake.t",
+        col("id") === 102L)
+      def loc = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      def rows = IcebergImport.read(spark, loc)
+        .select("id").as[Long].collect().sorted
+      val before = rows
+      assert(before === ((1L to 10L) :+ 100L).toArray)
+
+      val mCountBefore = IcebergImport.manifests(spark, loc).count()
+      spark.sql("CALL graft.rewrite_manifests_iceberg('lake.t', " +
+        s"catalog_uri => '$base', min_input_manifests => 2)")
+      assert(rows === before)
+      assert(IcebergImport.manifests(spark, loc).count() < mCountBefore)
+
+      val delFilesBefore = IcebergImport.plan(spark, loc).deletes.size
+      assert(delFilesBefore >= 2)
+      spark.sql("CALL graft.rewrite_position_deletes_iceberg(" +
+        s"'lake.t', catalog_uri => '$base')")
+      assert(rows === before)
+      assert(IcebergImport.plan(spark, loc).deletes.size <
+        delFilesBefore)
+
+      val dataFilesBefore = IcebergImport.plan(spark, loc).files.size
+      spark.sql("CALL graft.compact_iceberg('lake.t', " +
+        s"catalog_uri => '$base', min_input_files => 2)")
+      assert(rows === before)
+      assert(IcebergImport.plan(spark, loc).files.size < dataFilesBefore)
+      // time travel to the pre-maintenance snapshots still works — the
+      // replace commits created history, never rewrote it
+      assert(IcebergImport.snapshots(spark, loc).count() >= 8)
+    }
+  }
+
+  test("catalog-owned maintenance hits the same stale-assert 409 wall " +
+      "as any commit: a compaction planned against a superseded " +
+      "metadata handle is refused, never applied") {
+    val t = freshTree("ccommit-maint409")
+    withCatalog("lake.t", latestMeta(t)) { (base, _) =>
+      for (i <- 0 until 2)
+        IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+          Seq((200L + i, s"y$i")).toDF("id", "v"))
+      // resolve a handle, then move the head through the catalog
+      val staleHandle = RestCatalog
+        .loadTableMetadataLocation(base, "lake.t")
+      IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        Seq((299L, "z")).toDF("id", "v"))
+      val e = intercept[IllegalStateException] {
+        IcebergWriteBack.compactSmallFiles(spark, staleHandle,
+          minInputFiles = 2, catalog = Some((base, "lake.t")))
+      }
+      assert(e.getMessage.contains("409"), e.getMessage)
+      // nothing landed; a fresh-handle retry succeeds
+      val fresh = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      val n = IcebergImport.plan(spark, fresh).files.size
+      IcebergWriteBack.compactSmallFiles(spark, fresh,
+        minInputFiles = 2, catalog = Some((base, "lake.t")))
+      assert(IcebergImport.plan(spark, RestCatalog
+        .loadTableMetadataLocation(base, "lake.t")).files.size < n)
+    }
+  }
+
+  test("expire race: a ref created AFTER the expiry loaded its state, " +
+      "targeting a to-be-dropped snapshot, 409s the remove-snapshots " +
+      "— the catalog never ends up with a ref at a removed snapshot") {
+    val t = freshTree("ccommit-exprace")
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      val s1 = IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        Seq((11L, "x")).toDF("id", "v"))
+      IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        Seq((12L, "y")).toDF("id", "v"))
+      // interposing proxy: GETs pass through; the FIRST POST (the
+      // expiry's remove-snapshots) is preceded by a concurrent tag
+      // create at s1 — exactly the race the load-time ref asserts
+      // cannot see, caught by the catalog's server-side validation
+      val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val proxy = HttpServer.create(
+        new InetSocketAddress("127.0.0.1", 0), 0)
+      proxy.createContext("/", (ex: HttpExchange) => {
+        val (code, body) =
+          if (ex.getRequestMethod == "POST") {
+            if (injected.compareAndSet(false, true)) {
+              val (c, _) = cat.commit(compact(render(
+                ("requirements" -> JArray(Nil)) ~
+                  ("updates" -> JArray(List(
+                    (("action" -> "set-snapshot-ref") ~
+                      ("ref-name" -> "late-pin") ~ ("type" -> "tag") ~
+                      ("snapshot-id" -> s1)): JValue))))))
+              assert(c === 200)
+            }
+            cat.commit(new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8))
+          } else if (ex.getRequestURI.getPath == "/v1/config")
+            (200, """{"defaults":{},"overrides":{}}""")
+          else (200, compact(render(
+            ("metadata-location" -> cat.location): JObject)))
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+      proxy.start()
+      val pBase = s"http://127.0.0.1:${proxy.getAddress.getPort}"
+      try {
+        val e = intercept[IllegalStateException] {
+          IcebergWriteBack.expireSnapshots(spark,
+            RestCatalog.loadTableMetadataLocation(pBase, "lake.t"),
+            keepLast = 1, catalog = Some((pBase, "lake.t")))
+        }
+        assert(e.getMessage.contains("409"), e.getMessage)
+      } finally proxy.stop(0)
+      // nothing was removed: the late tag resolves and reads
+      assert(IcebergImport.read(spark,
+        RestCatalog.loadTableMetadataLocation(base, "lake.t"),
+        Some("late-pin")).count() === 11L)
+      // a RETRY that loads the post-race state keeps the tag's target
+      // and succeeds
+      val dropped = IcebergWriteBack.expireSnapshots(spark,
+        RestCatalog.loadTableMetadataLocation(base, "lake.t"),
+        keepLast = 1, catalog = Some((base, "lake.t")))
+      assert(dropped >= 1)
+      assert(IcebergImport.read(spark,
+        RestCatalog.loadTableMetadataLocation(base, "lake.t"),
+        Some("late-pin")).count() === 11L)
+    }
+  }
+
+  test("bearer-token seam: a token-protected catalog 401s anonymous " +
+      "clients; a registered token authorizes resolution and commits " +
+      "(header-only, zero egress)") {
+    val t = freshTree("ccommit-auth")
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      cat.requiredToken = Some("sekret")
+      val e = intercept[IllegalArgumentException](
+        RestCatalog.loadTableMetadataLocation(base, "lake.t"))
+      assert(e.getMessage.contains("HTTP 401"), e.getMessage)
+      RestCatalog.setBearerToken(base, Some("sekret"))
+      try {
+        val s = IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+          Seq((42L, "z")).toDF("id", "v"))
+        assert(s > 0)
+        assert(IcebergImport.read(spark,
+          RestCatalog.loadTableMetadataLocation(base, "lake.t"))
+          .count() === 11L)
+      } finally RestCatalog.setBearerToken(base, None)
+      // token cleared → anonymous again → 401
+      val e2 = intercept[IllegalArgumentException](
+        RestCatalog.loadTableMetadataLocation(base, "lake.t"))
+      assert(e2.getMessage.contains("HTTP 401"), e2.getMessage)
+    }
+  }
+
+  test("v3 catalog commits: the snapshot's first-row-id/added-rows " +
+      "advance the CATALOG's next-row-id (the spec's row-lineage " +
+      "contract); lineage is continuous across catalog commits; a DV " +
+      "delete consumes no row-id space; a STALE first-row-id 409s") {
     val t = freshTree("ccommit-v3")
     IcebergWriteBack.upgradeFormatVersion(spark, t.location, 3)
-    withCatalog("lake.t", latestMeta(t)) { (base, _) =>
-      val e = intercept[IllegalArgumentException] {
-        IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
-          Seq((99L, "x")).toDF("id", "v"))
+    // establish lineage filesystem-side (next-row-id becomes > 0)
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((11L, "a")).toDF("id", "v"))
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      def catMeta: JValue = parse(new String(Files.readAllBytes(
+        new File(cat.location).toPath), StandardCharsets.UTF_8))
+      def nextRowId: Long = (catMeta \ "next-row-id").extract[Long]
+      val rid0 = nextRowId
+      IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        (12L to 14L).map(i => (i, s"v$i")).toDF("id", "v"))
+      assert(nextRowId === rid0 + 3)
+      // the committed snapshot entry carries both lineage fields
+      val snap = (catMeta \ "snapshots").children.last
+      assert((snap \ "first-row-id").extract[Long] === rid0)
+      assert((snap \ "added-rows").extract[Long] === 3L)
+      // a second commit chains on catalog-advanced lineage state
+      IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+        Seq((15L, "e")).toDF("id", "v"))
+      assert(nextRowId === rid0 + 4)
+      // landed rows read back with CONTINUOUS row ids through the
+      // catalog's metadata handle
+      val loc = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      val allFiles = IcebergImport.plan(spark, loc).files.map(_.uri).toSet
+      val rids = IcebergImport
+        .readFileSubsetRowLineage(spark, loc, allFiles)
+        .filter(col("id").between(12L, 15L))
+        .select("_row_id").as[Long].collect().sorted
+      assert(rids === Array(rid0, rid0 + 1, rid0 + 2, rid0 + 3))
+      // a v3 DV delete through the catalog: rows leave, but no row-id
+      // space is consumed (existing rows keep their ids)
+      IcebergWriteBack.deleteWhereCatalog(spark, base, "lake.t",
+        col("id") === 13L)
+      assert(IcebergImport.read(spark, RestCatalog
+        .loadTableMetadataLocation(base, "lake.t")).count() === 14L)
+      assert(nextRowId === rid0 + 4)
+      // STALE first-row-id (a concurrent commit consumed row-id space
+      // after this client loaded): the catalog MUST reject — accepting
+      // would assign overlapping row ids
+      val curHead = (catMeta \ "current-snapshot-id").extract[Long]
+      val e = intercept[IllegalStateException] {
+        RestCatalog.commitTable(base, "lake.t",
+          requirements = Seq((("type" -> "assert-ref-snapshot-id") ~
+            ("ref" -> "main") ~ ("snapshot-id" -> curHead)): JValue),
+          updates = Seq((("action" -> "add-snapshot") ~
+            ("snapshot" -> ((("snapshot-id" -> 424242L) ~
+              ("sequence-number" -> 999L) ~
+              ("timestamp-ms" -> 1L) ~
+              ("first-row-id" -> (rid0 - 1)) ~
+              ("added-rows" -> 1L)): JValue))): JValue))
       }
-      assert(e.getMessage.contains("v2 trees only"))
+      assert(e.getMessage.contains("409"), e.getMessage)
     }
   }
 

@@ -30,8 +30,14 @@ class RestCatalogSpec extends SparkSpec {
           |"NoSuchTableException","code":404}}""".stripMargin))
       val bytes = json.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length)
-      ex.getResponseBody.write(bytes)
+      // empty body → no body at all (Content-Length absent): the JDK
+      // client's getErrorStream is then null — the shape the client
+      // must survive without masking the status code
+      if (bytes.isEmpty) ex.sendResponseHeaders(code, -1)
+      else {
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+      }
       ex.close()
     })
     server.start()
@@ -71,6 +77,18 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("an error response with NO body (null error stream) still " +
+      "surfaces its HTTP status instead of a masking IOException") {
+    withServer(Map(
+      "/v1/config" -> ((200, config(None))),
+      "/v1/namespaces/bronze/tables/bodyless" -> ((404, ""))
+    )) { base =>
+      val e = intercept[IllegalArgumentException](
+        RestCatalog.loadTableMetadataLocation(base, "bronze.bodyless"))
+      assert(e.getMessage.contains("HTTP 404"), e.getMessage)
+    }
+  }
+
   test("register_iceberg(catalog_uri =>): the catalog-resolved view " +
       "reads green through the import path, COUNT(*) stays " +
       "metadata-only, the catalog's PINNED metadata version is " +
@@ -82,8 +100,11 @@ class RestCatalogSpec extends SparkSpec {
     t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
     IcebergExport.export(spark, t, history = 2)
     val metaDir = new java.io.File(t.location, "metadata")
+    // numeric version order — a lexical sort misorders v10+ vs v2
     def metaFiles = metaDir.listFiles
-      .filter(_.getName.endsWith(".metadata.json")).map(_.getPath).sorted
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .sortBy(_.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong).map(_.getPath)
     val v1Meta = metaFiles.last
     IcebergWriteBack.appendTo(spark, t.location,
       (11L to 15L).map(i => (i, s"v$i")).toDF("id", "v"))

@@ -151,6 +151,34 @@ class IcebergRefsSpec extends SparkSpec {
     assert(IcebergImport.parseMeta(spark, t.location)._3 === mfBefore)
   }
 
+  test("txn replay honors only REACHABLE stamps: a batch staged on a " +
+      "branch that is later abandoned (dropRef, no fast-forward) does " +
+      "NOT satisfy the exactly-once check — the replay lands on main") {
+    val t = freshTree("refs-txn-abandon")
+    val batch = (11L to 15L).map(i => (i, s"v$i")).toDF("id", "v")
+    IcebergWriteBack.createRef(spark, t.location, "audit", "branch")
+    IcebergWriteBack.appendTo(spark, t.location, batch,
+      txn = Some(("cdc-app", 7L)), branch = Some("audit"))
+    // while the branch is LIVE the stamp counts: a replay onto main
+    // no-ops (the staged rows will land via fast-forward, not twice)
+    IcebergWriteBack.appendTo(spark, t.location, batch,
+      txn = Some(("cdc-app", 7L)))
+    assert(ids(t.location) === (1L to 10L).toArray)
+    // abandon the staged line — its snapshots become unreachable
+    IcebergWriteBack.dropRef(spark, t.location, "audit")
+    assert(IcebergWriteBack.lastCommittedBatch(spark, t.location,
+      "cdc-app").isEmpty)
+    // the replay must now COMMIT (the rows never landed anywhere a
+    // reader can reach) — silently no-oping here loses the batch
+    IcebergWriteBack.appendTo(spark, t.location, batch,
+      txn = Some(("cdc-app", 7L)))
+    assert(ids(t.location) === (1L to 15L).toArray)
+    // and the landed stamp is reachable, so a SECOND replay no-ops
+    IcebergWriteBack.appendTo(spark, t.location, batch,
+      txn = Some(("cdc-app", 7L)))
+    assert(ids(t.location) === (1L to 15L).toArray)
+  }
+
   test("branch-commit refusals: missing ref, tag ref, branch => 'main'") {
     val t = freshTree("refs-bc-refuse")
     val df = Seq((99L, "x")).toDF("id", "v")

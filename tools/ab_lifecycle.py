@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Interleaved A/B of lifecycle queries: current HEAD vs a prior commit.
+
+The bench artifact's lifecycle_comparable total has moved round-over-round
+twice (r13->r14) with PLANS-only A/B evidence; the judge asked for the A/B
+INSIDE the artifact (VERDICT r14 "Next round" #1c). This tool produces that
+evidence file: it builds the PRIOR commit in a disposable git worktree, then
+runs the chosen queries ALTERNATING prev/cur builds in the same minutes
+(A,B,A,B,...), so host weather hits both builds equally. graft.Bench embeds
+the resulting AB_LIFECYCLE.json (with both SHAs) into BENCH artifacts.
+
+Usage:
+  python3 tools/ab_lifecycle.py --prev <sha> \
+      [--queries q_rollup_minmax,q_rollup_histogram,q_stream_pipeline,q_iceberg_diff] \
+      [--sf /root/testdata/sf0.1] [--rounds 3] [--out AB_LIFECYCLE.json]
+
+Both builds are driven through graft.tools.TimeQueries via a bare `java -cp
+<build classes>:/opt/spark/jars/*` (no sbt at measure time — sbt compiles
+each build once, up front)."""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_JARS = "/opt/spark/jars/*"
+TIME_RE = re.compile(r"\[time\] (\S+) median=([0-9.]+) s runs=([0-9.,]+)")
+
+
+def run(cmd, cwd=REPO, check=True):
+    p = subprocess.run(cmd, cwd=cwd, capture_output=True, text=True)
+    if check and p.returncode != 0:
+        sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+        raise SystemExit(f"command failed: {' '.join(cmd)}")
+    return p
+
+
+def ensure_build(sha, workdir):
+    """Worktree + compile `sha`; returns its classes dir."""
+    if not os.path.isdir(workdir):
+        run(["git", "worktree", "add", "--detach", workdir, sha])
+    classes = os.path.join(workdir, "target", "scala-2.13", "classes")
+    if not os.path.isdir(os.path.join(classes, "graft")):
+        sys.stderr.write(f"[ab] compiling {sha[:9]} in {workdir}\n")
+        run(["sbt", "-batch", "compile"], cwd=workdir)
+    return classes
+
+
+def time_queries(classes, queries, sf, runs_per_pass=1):
+    """One pass of TimeQueries over `queries`; returns {q: [secs...]}."""
+    cmd = ["java", "-Xmx96g", "-cp", f"{classes}:{SPARK_JARS}",
+           "graft.tools.TimeQueries", sf, ",".join(queries),
+           str(runs_per_pass)]
+    p = run(cmd, check=False)
+    out = {}
+    for m in TIME_RE.finditer(p.stdout + p.stderr):
+        out[m.group(1)] = [float(x) for x in m.group(3).split(",")]
+    missing = [q for q in queries if q not in out]
+    if missing:
+        sys.stderr.write(p.stdout[-3000:] + p.stderr[-3000:])
+        raise SystemExit(f"[ab] no timing for {missing}")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prev", required=True, help="prior commit sha")
+    ap.add_argument("--queries", default=",".join([
+        "q_rollup_minmax", "q_rollup_histogram", "q_stream_pipeline",
+        "q_iceberg_diff"]))
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "AB_LIFECYCLE.json"))
+    args = ap.parse_args()
+    queries = [q.strip() for q in args.queries.split(",") if q.strip()]
+
+    cur_sha = run(["git", "rev-parse", "HEAD"]).stdout.strip()
+    prev_sha = run(["git", "rev-parse", args.prev]).stdout.strip()
+    prev_dir = f"/tmp/graft-ab-{prev_sha[:9]}"
+    prev_classes = ensure_build(prev_sha, prev_dir)
+    cur_classes = os.path.join(REPO, "target", "scala-2.13", "classes")
+    if not os.path.isdir(os.path.join(cur_classes, "graft")):
+        run(["sbt", "-batch", "compile"])
+
+    samples = {q: {"prev": [], "cur": []} for q in queries}
+    for r in range(args.rounds):
+        # alternate which build goes first each round, so warm-cache
+        # order effects cancel too
+        order = [("prev", prev_classes), ("cur", cur_classes)]
+        if r % 2 == 1:
+            order.reverse()
+        for label, classes in order:
+            sys.stderr.write(f"[ab] round {r + 1}/{args.rounds} {label}\n")
+            got = time_queries(classes, queries, args.sf)
+            for q, secs in got.items():
+                samples[q][label].extend(secs)
+
+    def med(xs):
+        s = sorted(xs)
+        n = len(s)
+        return -1.0 if n == 0 else (
+            s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0)
+
+    result = {
+        "prev_sha": prev_sha, "cur_sha": cur_sha, "sf": args.sf,
+        "rounds": args.rounds, "generated_unix": int(time.time()),
+        "queries": {}}
+    for q in queries:
+        pm, cm = med(samples[q]["prev"]), med(samples[q]["cur"])
+        result["queries"][q] = {
+            "prev_runs": samples[q]["prev"], "cur_runs": samples[q]["cur"],
+            "prev_median": round(pm, 3), "cur_median": round(cm, 3),
+            "cur_vs_prev": round(cm / pm, 3) if pm > 0 else -1.0}
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({q: v["cur_vs_prev"]
+                      for q, v in result["queries"].items()}))
+    print(f"[ab] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
