@@ -213,6 +213,7 @@ object Bench {
       scaleRatios: Seq[(String, Double)],
       topMedians: Seq[(String, Double)],
       sentinelJson: String, sentRatio: Double, contended: Boolean,
+      ioRatio: Double, ioContended: Boolean,
       mins: Map[String, Double])
 
   def main(args: Array[String]): Unit = {
@@ -290,6 +291,10 @@ object Bench {
 
       val loadavgStart = graft.util.BenchSentinel.loadavg
       val sentinelStart = graft.util.BenchSentinel.measure(spark, cpus.toInt)
+      // IO-sensitive probe (r14 verdict #1b): the CPU sentinel is blind
+      // to page-cache/storage/memory-bandwidth weather, which is what
+      // the commit-heavy lifecycle queries pay — probe it explicitly
+      val ioStart = graft.util.BenchSentinel.ioMeasure()
 
       def timeQuery(name: String, dir: String, runsN: Int): (Double, Double) = {
         val fn = queries(name)
@@ -424,8 +429,16 @@ object Bench {
       // sentinel (end): contention arriving mid-session is caught here
       val loadavgEnd = graft.util.BenchSentinel.loadavg
       val sentinelEnd = graft.util.BenchSentinel.measure(spark, cpus.toInt)
+      val ioEnd = graft.util.BenchSentinel.ioMeasure()
       val sentExp = graft.util.BenchSentinel.expected
       val sentRatio = math.max(sentinelStart, sentinelEnd) / sentExp
+      val ioExp = graft.util.BenchSentinel.ioExpected
+      val ioRatio = math.max(ioStart, ioEnd) / ioExp
+      val ioContended = ioRatio > graft.util.BenchSentinel.IoContendedRatio
+      if (ioContended) System.err.println(
+        f"[bench] IO-CONTENDED: io sentinel ${math.max(ioStart, ioEnd)}%.3f s" +
+          f" vs expected $ioExp%.3f s (ratio $ioRatio%.2f) — storage/" +
+          "page-cache weather the CPU probe cannot see")
       val contended = sentRatio > graft.util.BenchSentinel.ContendedRatio
       if (contended) System.err.println(
         f"[bench] CONTENDED: sentinel ${math.max(sentinelStart, sentinelEnd)}%.3f s" +
@@ -435,6 +448,10 @@ object Bench {
         ",\"end_sec\":" + fmt(sentinelEnd) +
         ",\"expected_sec\":" + fmt(sentExp) +
         ",\"ratio\":" + f"$sentRatio%.2f" +
+        ",\"io_start_sec\":" + fmt(ioStart) +
+        ",\"io_end_sec\":" + fmt(ioEnd) +
+        ",\"io_expected_sec\":" + fmt(ioExp) +
+        ",\"io_ratio\":" + f"$ioRatio%.2f" +
         ",\"loadavg_start\":\"" + loadavgStart +
         "\",\"loadavg_end\":\"" + loadavgEnd + "\"}"
 
@@ -445,7 +462,7 @@ object Bench {
         coreCmpSec, lifeCmpSec, foreignCmpSec,
         unstable.map(_._1).toSeq, unstableJson, unstableRunsJson,
         ledgerJson, cdcJson, scaleJson, scaleRatios, topMedians,
-        sentinelJson, sentRatio, contended,
+        sentinelJson, sentRatio, contended, ioRatio, ioContended,
         results.map { case (k, (mn, _)) => k -> mn }.toMap)
     }
 
@@ -577,20 +594,33 @@ object Bench {
 
     def moved(cur: Double, prev: Option[Double]): Boolean =
       cur > 0 && prev.exists(p => p > 0 && math.abs(cur / p - 1) > 0.30)
+    def movement(cur: Double, prev: Option[Double]): Double =
+      prev.filter(_ > 0).map(p => math.abs(math.log(cur / p)))
+        .getOrElse(0.0)
+    // median movers: biggest movers first, capped at 6 (r14 raised
+    // from 4 — the cap spent itself on healthy entries while real
+    // movers escaped)
     val medMovers = best.topMedians
       .filter { case (n, md) => moved(md, prevMedians.get(n)) }
-      .take(4)
-    val scaleMovers = best.scaleRatios
-      .filter { case (n, r) => r > 0 &&
-        (r > 2.0 || moved(r, prevScaleRatios.get(n))) }
-      .take(3)
+      .sortBy { case (n, md) => -movement(md, prevMedians.get(n)) }
+      .take(6)
+    // scale-ratio rechecks: a ratio ABOVE THE 2.0 BAND is never
+    // dropped (r14 verdict #1a — chunk_dedup 2.48 and writeback_merge
+    // 2.48 escaped the old 3-slot cap while three healthy entries
+    // consumed it); sub-band movers fill up to 3 additional slots,
+    // biggest movement first
+    val scaleFlagged = best.scaleRatios.filter { case (n, r) =>
+      r > 0 && (r > 2.0 || moved(r, prevScaleRatios.get(n))) }
+    val scaleMovers = scaleFlagged.filter(_._2 > 2.0) ++
+      scaleFlagged.filter(_._2 <= 2.0)
+        .sortBy { case (n, r) => -movement(r, prevScaleRatios.get(n)) }
+        .take(3)
     val recheckDropped = (best.topMedians.count { case (n, md) =>
       moved(md, prevMedians.get(n)) } - medMovers.size) +
-      (best.scaleRatios.count { case (n, r) => r > 0 &&
-        (r > 2.0 || moved(r, prevScaleRatios.get(n))) } - scaleMovers.size)
+      (scaleFlagged.size - scaleMovers.size)
     if (recheckDropped > 0) System.err.println(
-      s"[bench] idle_recheck: $recheckDropped mover(s) beyond the " +
-        "4-median + 3-ratio cap were NOT re-measured")
+      s"[bench] idle_recheck: $recheckDropped sub-band mover(s) beyond " +
+        "the 6-median + 3-extra-ratio caps were NOT re-measured")
 
     def idleRuns(n: String, dir: String): (Double, Double) = {
       onceNamed(n, dir) // warm-up, untimed
@@ -639,6 +669,29 @@ object Bench {
       .map { case (n, _, v) => "\"" + n + "\":" + fmt(v) }
       .mkString("{", ",", "}")
 
+    // ---- interleaved lifecycle A/B vs the prior round's HEAD (r14
+    // verdict #1c): tools/ab_lifecycle.py alternates prev/cur builds in
+    // the same minutes and writes AB_LIFECYCLE.json (both SHAs inside);
+    // embedding it makes the round-over-round lifecycle question
+    // answerable from the artifact of record alone ----
+    val abFile = new java.io.File("AB_LIFECYCLE.json")
+    val abJson: String =
+      if (!abFile.exists()) "null"
+      else new String(java.nio.file.Files.readAllBytes(abFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .replaceAll("\\s+", " ").trim
+    val abShort: String =
+      if (abJson == "null") "null"
+      else {
+        val sha = "\"prev_sha\": ?\"([0-9a-f]+)\"".r
+          .findFirstMatchIn(abJson).map(_.group(1).take(9)).getOrElse("?")
+        val pair =
+          "\"(q[0-9a-z_]+)\": ?\\{[^}]*\"cur_vs_prev\": ?([0-9.-]+)".r
+        val ratios = pair.findAllMatchIn(abJson).map(m =>
+          "\"" + m.group(1) + "\":" + m.group(2)).mkString(",")
+        s"""{"prev_sha":"$sha","cur_vs_prev":{$ratios}}"""
+      }
+
     // stop BEFORE the artifact lines: nothing may write to stdout after
     // the final JSON line (build.sbt's StdoutOutput hands us the raw fd,
     // so these lines reach the driver unframed and unbuffered by sbt)
@@ -646,7 +699,7 @@ object Bench {
 
     // full artifact line (everything): prints FIRST so the compact
     // summary below is what a bounded tail capture retains
-    println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf1":$sf1Json,"assert_mode":$assertJson,"idle_recheck":$idleRecheckJson,"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel":${best.sentinelJson}}""")
+    println(s"""{"metric":"total","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"queries":${best.qs},"queries_median":${best.qsMed},"unstable":${best.unstableJson},"unstable_runs":${best.unstableRunsJson},"ledger":${best.ledgerJson},"cdc_read":${best.cdcJson},"scale10x":${best.scaleJson},"sf1":$sf1Json,"assert_mode":$assertJson,"idle_recheck":$idleRecheckJson,"recheck_dropped":$recheckDropped,"lifecycle_ab":$abJson,"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"io_contended":${best.ioContended},"sentinel":${best.sentinelJson}}""")
 
     // round-over-round regression gate: the newest committed
     // BENCH_r{N}.json (driver artifact in the repo root) supplies the
@@ -710,7 +763,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"total_sec":$t,"worst_ratio":$worst}"""
       }
-    println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"prev_round_ratio":$prevJson,"scale10x_ratio":$scaleRatioJson,"sf1":$sf1Short,"idle_recheck":$idleRecheckShort,"top10_median":$topJson,"unstable":$unstableShort}""")
+    println(s"""{"metric":"summary","value":${fmt(best.total)},"unit":"sec","core30_sec":${fmt(best.coreSec)},"lifecycle_sec":${fmt(best.lifeSec)},"core_comparable_sec":${fmt(best.coreCmpSec)},"lifecycle_comparable_sec":${fmt(best.lifeCmpSec)},"foreign_comparable_sec":${fmt(best.foreignCmpSec)},"sf":"$sfDir","attempt":${best.attempt},"attempt_ratios":$attemptsJson,"gate_ratios":$gateJson,"contended":${best.contended},"sentinel_ratio":${f"${best.sentRatio}%.2f"},"io_contended":${best.ioContended},"io_ratio":${f"${best.ioRatio}%.2f"},"prev_round_ratio":$prevJson,"scale10x_ratio":$scaleRatioJson,"sf1":$sf1Short,"idle_recheck":$idleRecheckShort,"recheck_dropped":$recheckDropped,"lifecycle_ab":$abShort,"top10_median":$topJson,"unstable":$unstableShort}""")
     System.out.flush()
   }
 }

@@ -345,6 +345,57 @@ object IcebergImport {
     }.toDF("file_path", "sequence_number", "partition")
   }
 
+  /** Iceberg `.partitions`-shaped metadata view: one row per live
+    * partition tuple of the resolved snapshot with record/file counts,
+    * total data bytes, and the delete-side footprint — the layout
+    * introspection an Iceberg user reaches for to diagnose skew and
+    * pick compaction targets. Tuples render as sorted JSON (identity
+    * fields by name; hidden-transform fields as `transform(col)`), the
+    * same encoding as [[files]]; delete FILES attribute under their own
+    * spec's tuple (a globally-scoped delete lands under `{}`), and v3
+    * deletion vectors attribute to their target data file's partition.
+    * Metadata-scale: manifest walks only, no data bytes — record_count
+    * is the manifests' live record_count sum (pre-MOR, like Iceberg's
+    * own partitions table). */
+  def partitions(spark: SparkSession, tableLocation: String,
+      at: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val p = plan(spark, tableLocation, at)
+    def tupleJson(identity: Map[String, Any],
+        tScope: Seq[(String, String, Any)]): String = {
+      val kvs = identity.toSeq.map { case (k, v) =>
+        k -> String.valueOf(v) } ++
+        tScope.map { case (c, tf, v) => s"$tf($c)" -> String.valueOf(v) }
+      kvs.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }
+        .mkString("{", ",", "}")
+    }
+    val filePart: Map[String, String] = p.files.map(f =>
+      f.uri -> tupleJson(f.identity, f.tScope)).toMap
+    val data = p.files.groupBy(f => filePart(f.uri)).map {
+      case (part, fs) => part -> ((fs.map(_.rows).sum,
+        fs.size.toLong, fs.map(_.bytes).sum))
+    }
+    val posDel = p.deletes.filter(_.equalityCols.isEmpty)
+      .groupBy(d => tupleJson(d.scope, d.transformScope))
+      .map { case (k, ds) => k -> ds.size.toLong }
+    val eqDel = p.deletes.filter(_.equalityCols.isDefined)
+      .groupBy(d => tupleJson(d.scope, d.transformScope))
+      .map { case (k, ds) => k -> ds.size.toLong }
+    val dvByPart = p.dvs.groupBy(dv =>
+        filePart.getOrElse(dv.dataFileUri, "{}"))
+      .map { case (k, ds) => k -> ds.size.toLong }
+    val parts = (data.keySet ++ posDel.keySet ++ eqDel.keySet ++
+      dvByPart.keySet).toSeq.sorted
+    parts.map { part =>
+      val (rows, fileCount, bytes) = data.getOrElse(part, (0L, 0L, 0L))
+      (part, rows, fileCount, bytes,
+        posDel.getOrElse(part, 0L), eqDel.getOrElse(part, 0L),
+        dvByPart.getOrElse(part, 0L))
+    }.toDF("partition", "record_count", "file_count",
+      "total_data_file_size_in_bytes", "position_delete_file_count",
+      "equality_delete_file_count", "dv_count")
+  }
+
   /** The foreign table's current snapshot id — a LIGHT metadata.json
     * parse (no manifest walk), cheap enough to poll per micro-batch. */
   def currentSnapshotId(spark: SparkSession,

@@ -664,6 +664,21 @@ object TableQueries {
       s.sql("CALL graft.merge_iceberg('lake.orders', " +
         "source => 'icecat_merge', keys => 'o_orderkey', " +
         s"deletes => 'equality', catalog_uri => '$base')")
+      // catalog-owned MAINTENANCE: the accreted per-commit manifests
+      // and small files compact THROUGH the catalog (replace snapshots
+      // via CommitTableRequest) — content must stay byte-identical,
+      // which the oracle below verifies externally
+      def freshHandle = graft.catalog.RestCatalog
+        .loadTableMetadataLocation(base, "lake.orders")
+      val mBefore = graft.iceberg.IcebergImport
+        .manifests(s, freshHandle).count()
+      s.sql("CALL graft.compact_iceberg('lake.orders', " +
+        s"catalog_uri => '$base')")
+      s.sql("CALL graft.rewrite_manifests_iceberg('lake.orders', " +
+        s"catalog_uri => '$base')")
+      require(graft.iceberg.IcebergImport.manifests(s, freshHandle)
+        .count() < mBefore,
+        "catalog maintenance did not shrink the manifest list")
       project(catRead()).localCheckpoint(true)
     } finally cat.stop()
   }
@@ -1676,6 +1691,40 @@ object TableQueries {
     * engine's VERSION AS OF. The query reads the PRE-append state back
     * through the exported metadata tree by tag name — correct only if
     * the historical manifest list reconstructs the old file set. */
+  /** Foreign `.partitions` metadata view — per-partition live record/
+    * file counts from the MANIFESTS (metadata-scale; the layout
+    * introspection used for skew diagnosis and compaction targeting).
+    * The fixture writes exactly one data file per o_orderstatus
+    * partition, so the DuckDB oracle is a plain GROUP BY over the same
+    * rows with file_count pinned at 1; delete-side attribution (which
+    * the oracle can't see) is spec-pinned in IcebergImportSpec. */
+  val qIcebergPartitions: Q = (s, dir) => {
+    import graft.iceberg.ForeignFixtures._
+    val loc = scratch("icepartview")
+    new java.io.File(loc).mkdirs()
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val statuses = orders.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).sorted
+    val entries = statuses.map { st =>
+      val slice = orders.filter(col("o_orderstatus") === st)
+      val f = writeParquet(s, loc, s"p$st", slice)
+      Data(f, slice.count(), 1L, Map("o_orderstatus" -> st))
+    }.toSeq
+    val schema = schemaJson(0, Seq((1, "o_orderkey", "long"),
+      (2, "o_orderstatus", "string"), (3, "o_totalprice", "double")))
+    writeTree(loc, Seq(schema), 0,
+      Seq(SpecField("o_orderstatus", "identity", 2, "string")),
+      Seq(Snap(100L, None, 1L, "append", entries)), lastColumnId = 3)
+    graft.iceberg.IcebergImport.partitions(s, loc)
+      .select("partition", "record_count", "file_count")
+      .orderBy("partition")
+  }
+  val qIcebergPartitionsSql: String =
+    """SELECT '{"o_orderstatus":"' || o_orderstatus || '"}' AS partition,
+      |  count(*) AS record_count, CAST(1 AS BIGINT) AS file_count
+      |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin
+
   val qIcebergHistory: Q = (s, dir) => {
     val t = GraftTable(s, scratch("icehist"))
     t.append(ordersSlice(s, dir, 0), parts = Seq("o_orderstatus"))
@@ -2723,6 +2772,8 @@ object TableQueries {
     ("q_iceberg_writeback", qIcebergWriteback, Some(qIcebergWritebackSql)),
     ("q_iceberg_wap", qIcebergWap, Some(qIcebergWapSql)),
     ("q_iceberg_catalog", qIcebergCatalog, Some(qIcebergCatalogSql)),
+    ("q_iceberg_partitions", qIcebergPartitions,
+      Some(qIcebergPartitionsSql)),
     ("q_iceberg_writeback_delete", qIcebergWritebackDelete,
       Some(qIcebergWritebackDeleteSql)),
     ("q_iceberg_writeback_delete_keys", qIcebergWritebackDeleteKeys,

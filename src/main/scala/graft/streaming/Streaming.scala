@@ -317,16 +317,57 @@ object Streaming {
     * production streaming shape (a 409 fails the batch loud and the
     * retry re-resolves; a replayed batch finds its (appId, batchId)
     * stamp in the snapshot summaries and no-ops). */
+  /** `maintainEvery = N` (0 = off) runs catalog-owned MAINTENANCE after
+    * every Nth batch's commit: rewrite_manifests + small-file compaction
+    * + position-tombstone consolidation, each its own replace commit
+    * THROUGH the catalog. A per-commit streaming table is exactly the
+    * table that accretes manifests/small files fastest, so the sink is
+    * self-maintaining: manifest-list length stays bounded instead of
+    * growing one entry per micro-batch. Maintenance composes with
+    * concurrent committers single-winner: a lost assert (409) is logged
+    * and SKIPPED — the data batch already landed, and the next trigger
+    * retries the cleanup against fresh state. */
   def icebergCatalogSink(stream: DataFrame, catalogUri: String,
-      identifier: String, txnAppId: String)
+      identifier: String, txnAppId: String, maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.iceberg.IcebergWriteBack.appendToCatalog(
           batch.sparkSession, catalogUri, identifier, batch.toDF(),
           txn = Some((txnAppId, batchId)))
+        maybeMaintain(batch.sparkSession, catalogUri, identifier,
+          batchId, maintainEvery)
         ()
     }
+
+  /** Every-N-commits catalog maintenance for the streaming sinks: one
+    * compaction + manifest consolidation + tombstone consolidation
+    * round, all committed THROUGH the catalog. 409s (a concurrent
+    * committer won the replace) are logged and skipped — single-winner
+    * by construction, never a failed batch. */
+  private def maybeMaintain(spark: SparkSession, catalogUri: String,
+      identifier: String, batchId: Long, maintainEvery: Int): Unit = {
+    if (maintainEvery <= 0 || batchId == 0 ||
+        batchId % maintainEvery != 0) return
+    val cat = Some((catalogUri, identifier))
+    def attempt(what: String)(op: String => Long): Unit =
+      try {
+        val handle = graft.catalog.RestCatalog
+          .loadTableMetadataLocation(catalogUri, identifier)
+        op(handle); ()
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("409") =>
+          System.err.println(s"graft: sink maintenance $what on " +
+            s"$identifier lost a concurrent commit (409) — skipped; " +
+            "the next trigger retries")
+      }
+    attempt("compact")(h => graft.iceberg.IcebergWriteBack
+      .compactSmallFiles(spark, h, catalog = cat))
+    attempt("rewrite_position_deletes")(h => graft.iceberg
+      .IcebergWriteBack.rewritePositionDeletes(spark, h, catalog = cat))
+    attempt("rewrite_manifests")(h => graft.iceberg.IcebergWriteBack
+      .rewriteManifests(spark, h, catalog = cat))
+  }
 
   /** [[icebergMergeSink]] against a CATALOG-OWNED table: per
     * micro-batch keep-latest dedup, then
@@ -336,7 +377,8 @@ object Streaming {
     * default, so no target scan per batch). */
   def icebergCatalogMergeSink(stream: DataFrame, catalogUri: String,
       identifier: String, txnAppId: String, keys: Seq[String],
-      orderCol: String, equalityDeletes: Boolean = true)
+      orderCol: String, equalityDeletes: Boolean = true,
+      maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -359,6 +401,8 @@ object Streaming {
           equalityDeletes = equalityDeletes,
           txn = Some((txnAppId, batchId)),
           catalog = Some((catalogUri, identifier)))
+        maybeMaintain(batch.sparkSession, catalogUri, identifier,
+          batchId, maintainEvery)
         ()
     }
 

@@ -18,6 +18,10 @@ object SentinelCalibrate {
     println(f"[sentinel] loadavg=${graft.util.BenchSentinel.loadavg} " +
       f"min-of-3 runs: ${runs.map(r => f"$r%.3f").mkString(", ")} " +
       f"-> commit ExpectedSec = ${runs.min}%.3f")
+    val io = Seq.fill(3)(graft.util.BenchSentinel.ioMeasure())
+    println(f"[sentinel] io min-of-3 runs: " +
+      f"${io.map(r => f"$r%.3f").mkString(", ")} " +
+      f"-> commit IoExpectedSec = ${io.min}%.3f")
     spark.stop()
   }
 }

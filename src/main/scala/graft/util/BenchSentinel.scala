@@ -67,4 +67,67 @@ object BenchSentinel {
   def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     catch { case _: Throwable => "unavailable" }
+
+  // ---- IO-sensitive sentinel (r14 verdict #1b) ----
+  // The CPU probe read 0.85 ("fast host") in the same session whose
+  // commit/IO-heavy lifecycle queries drifted 30-100% vs the prior
+  // round — an IO-blind probe cannot see page-cache, storage, or
+  // memory-bandwidth weather. This probe writes IoBytes in 8 MiB
+  // fsync'd chunks to the SAME filesystem the lifecycle scratch
+  // fixtures live on (Scratch.baseDir — tmpfs when available, so the
+  // probe tracks memory bandwidth/pressure there, which is exactly the
+  // resource those fixtures pay), reads them back, and deletes.
+
+  /** Bytes written+read per IO probe pass. */
+  val IoBytes: Long = 256L << 20
+
+  /** Expected idle min-of-3 seconds for one IO pass on the build
+    * machine, calibrated by `graft.tools.SentinelCalibrate` (same
+    * discipline as [[ExpectedSec]]). 2026-08-16: two idle sessions
+    * gave mins 0.208 / 0.215 → 0.21. Override with
+    * SPARK_GRAFT_IO_SENTINEL_SEC after hardware changes. */
+  val IoExpectedSec: Double = 0.21
+
+  /** IO ratio above this ⇒ `io_contended` in the artifact. Looser than
+    * the CPU gate (2.0 vs 1.5): page-cache state makes IO noisier. */
+  val IoContendedRatio: Double = 2.0
+
+  def ioExpected: Double = sys.env.get("SPARK_GRAFT_IO_SENTINEL_SEC")
+    .map(_.toDouble).getOrElse(IoExpectedSec)
+
+  private def ioOnce(): Double = {
+    val dir = new java.io.File(
+      s"${graft.queries.Scratch.baseDir}/graft-io-sentinel")
+    dir.mkdirs()
+    val f = new java.io.File(dir,
+      s"probe-${java.util.UUID.randomUUID()}")
+    val chunk = new Array[Byte](8 << 20)
+    java.util.Arrays.fill(chunk, 0x5a.toByte)
+    val t0 = System.nanoTime()
+    val out = new java.io.FileOutputStream(f)
+    try {
+      var written = 0L
+      while (written < IoBytes) {
+        out.write(chunk); written += chunk.length
+      }
+      out.getFD.sync()
+    } finally out.close()
+    val in = new java.io.FileInputStream(f)
+    try {
+      var total = 0L
+      var n = in.read(chunk)
+      while (n > 0) { total += n; n = in.read(chunk) }
+      require(total >= IoBytes, s"io probe short read: $total")
+    } finally in.close()
+    val sec = (System.nanoTime() - t0) / 1e9
+    f.delete()
+    sec
+  }
+
+  /** Min of three passes after one untimed warm-up — same discipline
+    * as [[measure]]. */
+  def ioMeasure(): Double = {
+    ioOnce()
+    Seq.fill(3)(ioOnce()).min
+  }
 }

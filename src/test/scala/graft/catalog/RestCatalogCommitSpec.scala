@@ -134,6 +134,46 @@ class RestCatalogCommitSpec extends SparkSpec {
     }
   }
 
+  test("self-maintaining catalog sink: maintainEvery triggers compact " +
+      "+ manifest/tombstone consolidation THROUGH the catalog, so the " +
+      "manifest list stays BOUNDED instead of one entry per " +
+      "micro-batch; content and exactly-once stamps unaffected") {
+    val t = freshTree("ccommit-selfmaint")
+    withCatalog("lake.t", latestMeta(t)) { (base, _) =>
+      val raw = tmpDir("ccommit-selfmaint-raw")
+      (11L to 22L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartition(12).write.mode("append").parquet(raw)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(raw).schema)
+        .option("maxFilesPerTrigger", 1).parquet(raw)
+      val q = graft.streaming.Streaming.icebergCatalogSink(stream,
+        base, "lake.t", "selfmaint-app", maintainEvery = 4)
+        .option("checkpointLocation", tmpDir("ccommit-selfmaint-ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      def loc = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      // all rows landed exactly once
+      assert(IcebergImport.read(spark, loc).select("id").as[Long]
+        .collect().sorted === (1L to 22L).toArray)
+      // ~12 appends happened, but maintenance consolidated: the live
+      // manifest list is well under one entry per commit, and the live
+      // data-file count is bounded too (compaction binpacked)
+      val mCount = IcebergImport.manifests(spark, loc).count()
+      assert(mCount <= 6,
+        s"manifest list not bounded by sink maintenance: $mCount")
+      val fCount = IcebergImport.plan(spark, loc).files.size
+      assert(fCount <= 6,
+        s"data files not bounded by sink maintenance: $fCount")
+      // maintenance actually COMMITTED (replace snapshots in history —
+      // it creates history, never rewrites it)
+      val ops = IcebergImport.snapshots(spark, loc)
+        .select("operation").as[String].collect()
+      assert(ops.count(_ == "replace") >= 2,
+        s"expected maintenance replace commits, ops=${ops.toSeq}")
+      assert(ops.count(_ == "append") >= 10)
+    }
+  }
+
   test("a stale assert-ref-snapshot-id is refused with the protocol's " +
       "409 and surfaces as the same loud retry contract as a lost " +
       "filesystem rename") {

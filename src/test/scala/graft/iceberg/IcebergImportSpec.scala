@@ -965,6 +965,67 @@ class IcebergImportSpec extends SparkSpec {
     assert(files.forall(r => r.getString(2).contains("\"cat\":")))
   }
 
+  test(".partitions metadata view: per-partition record/file counts " +
+      "and byte totals from the manifests; delete files attribute " +
+      "under their own spec's tuple (globally-scoped deletes under " +
+      "{}); v3 deletion vectors attribute to their target file's " +
+      "partition") {
+    import graft.iceberg.ForeignFixtures._
+    val loc = tmpDir("imp-partview") + "/t"
+    new File(loc).mkdirs()
+    val fX1 = ForeignFixtures.writeParquet(spark, loc, "x1",
+      Seq((1L, "x"), (2L, "x")).toDF("id", "cat"))
+    val fX2 = ForeignFixtures.writeParquet(spark, loc, "x2",
+      Seq((3L, "x")).toDF("id", "cat"))
+    val fY = ForeignFixtures.writeParquet(spark, loc, "y",
+      Seq((4L, "y"), (5L, "y"), (6L, "y")).toDF("id", "cat"))
+    val fEq = ForeignFixtures.writeParquet(spark, loc, "d",
+      Seq(2L).toDF("id"))
+    val fPos = ForeignFixtures.writeParquet(spark, loc, "p",
+      Seq((fX1, 0L)).toDF("file_path", "pos"))
+    val datas = Seq(Data(fX1, 2, 1L, Map("cat" -> "x")),
+      Data(fX2, 1, 1L, Map("cat" -> "x")),
+      Data(fY, 3, 1L, Map("cat" -> "y")))
+    ForeignFixtures.writeTree(loc, Seq(ForeignFixtures.schemaJson(0,
+      Seq((1, "id", "long"), (2, "cat", "string")))), 0,
+      Seq(SpecField("cat", "identity", 2, "string")),
+      Seq(Snap(100L, None, 1L, "append", datas),
+        Snap(101L, Some(100L), 2L, "delete", datas ++ Seq(
+          EqDel(fEq, 1, 2L, Seq(1), Map("cat" -> "x")),
+          PosDel(fPos, 1, 2L)))), lastColumnId = 2)
+    val rows = IcebergImport.partitions(spark, loc).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = rows("""{"cat":"x"}""")
+    assert(x.getLong(1) === 3L && x.getLong(2) === 2L) // records, files
+    assert(x.getLong(3) > 0L) // bytes
+    assert(x.getLong(4) === 0L && x.getLong(5) === 1L) // pos=0, eq=1
+    val y = rows("""{"cat":"y"}""")
+    assert(y.getLong(1) === 3L && y.getLong(2) === 1L)
+    assert(y.getLong(5) === 0L)
+    // the GLOBAL position delete attributes under the empty tuple
+    val g = rows("{}")
+    assert(g.getLong(2) === 0L && g.getLong(4) === 1L)
+    // time travel: the pre-delete snapshot shows no delete footprint
+    val pre = IcebergImport.partitions(spark, loc, Some("100"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!pre.contains("{}"))
+    assert(pre("""{"cat":"x"}""").getLong(5) === 0L)
+
+    // v3 DVs: a deleteWhere on an upgraded partitioned export writes a
+    // deletion vector; it must attribute to the TARGET file's partition
+    val t = GraftTable(spark, tmpDir("imp-partview3") + "/t")
+    t.append(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "cat", "v"), parts = Seq("cat"))
+    IcebergExport.export(spark, t)
+    IcebergWriteBack.upgradeFormatVersion(spark, t.location, 3)
+    IcebergWriteBack.deleteWhere(spark, t.location,
+      org.apache.spark.sql.functions.col("id") === 1L)
+    val v3rows = IcebergImport.partitions(spark, t.location).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(v3rows("""{"cat":"a"}""").getLong(6) === 1L) // dv_count
+    assert(v3rows("""{"cat":"b"}""").getLong(6) === 0L)
+  }
+
   test("incremental follow with skipRewrites: a replace (compaction) in " +
       "range is skipped — appends attributed per snapshot, original " +
       "files read — while data-changing ops still refuse") {

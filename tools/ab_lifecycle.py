@@ -49,15 +49,17 @@ def ensure_build(sha, workdir):
     return classes
 
 
-def time_queries(classes, queries, sf, runs_per_pass=1):
-    """One pass of TimeQueries over `queries`; returns {q: [secs...]}."""
+def time_queries(classes, queries, sf, runs_per_pass=2):
+    """One pass of TimeQueries over `queries`; returns {q: [secs...]}.
+    Each pass is a fresh JVM, so run 1 carries JIT/codegen warm-up —
+    only the LAST (warm) run of each pass is kept as a sample."""
     cmd = ["java", "-Xmx96g", "-cp", f"{classes}:{SPARK_JARS}",
            "graft.tools.TimeQueries", sf, ",".join(queries),
            str(runs_per_pass)]
     p = run(cmd, check=False)
     out = {}
     for m in TIME_RE.finditer(p.stdout + p.stderr):
-        out[m.group(1)] = [float(x) for x in m.group(3).split(",")]
+        out[m.group(1)] = [float(m.group(3).split(",")[-1])]
     missing = [q for q in queries if q not in out]
     if missing:
         sys.stderr.write(p.stdout[-3000:] + p.stderr[-3000:])
