@@ -113,10 +113,16 @@ def main():
         "queries": {}}
     for q in queries:
         pm, cm = med(samples[q]["prev"]), med(samples[q]["cur"])
+        # min-of-N is the bench's own steady-state discipline — under
+        # spiky host contention it is far more robust than a few-sample
+        # median (one 38 s outlier lands in whichever build was up)
+        pn, cn = min(samples[q]["prev"]), min(samples[q]["cur"])
         result["queries"][q] = {
             "prev_runs": samples[q]["prev"], "cur_runs": samples[q]["cur"],
             "prev_median": round(pm, 3), "cur_median": round(cm, 3),
-            "cur_vs_prev": round(cm / pm, 3) if pm > 0 else -1.0}
+            "cur_vs_prev": round(cm / pm, 3) if pm > 0 else -1.0,
+            "prev_min": round(pn, 3), "cur_min": round(cn, 3),
+            "cur_vs_prev_min": round(cn / pn, 3) if pn > 0 else -1.0}
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({q: v["cur_vs_prev"]
