@@ -686,7 +686,7 @@ object Bench {
         val sha = "\"prev_sha\": ?\"([0-9a-f]+)\"".r
           .findFirstMatchIn(abJson).map(_.group(1).take(9)).getOrElse("?")
         val pair =
-          "\"(q[0-9a-z_]+)\": ?\\{[^}]*\"cur_vs_prev\": ?([0-9.-]+)".r
+          "\"(q_[0-9a-z_]+)\": ?\\{[^}]*?\"cur_vs_prev\": ?([0-9.-]+)".r
         val ratios = pair.findAllMatchIn(abJson).map(m =>
           "\"" + m.group(1) + "\":" + m.group(2)).mkString(",")
         s"""{"prev_sha":"$sha","cur_vs_prev":{$ratios}}"""
