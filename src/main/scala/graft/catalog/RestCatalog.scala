@@ -231,6 +231,84 @@ object RestCatalog {
         s"createTable $identifier returned no metadata-location"))
   }
 
+  /** HTTP DELETE; returns (status, body). */
+  private def httpDelete(uri: String): (Int, String) = {
+    val conn = new URI(uri).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
+    conn.setRequestMethod("DELETE")
+    conn.setRequestProperty("Accept", "application/json")
+    bearer(uri).foreach(t =>
+      conn.setRequestProperty("Authorization", s"Bearer $t"))
+    try {
+      val code = conn.getResponseCode
+      (code, responseBody(conn, code))
+    } finally conn.disconnect()
+  }
+
+  /** Drop a table from the catalog
+    * (`DELETE /v1/{prefix}/namespaces/{ns}/tables/{t}`). The catalog
+    * forgets the table; data/metadata files are NOT purged here —
+    * deliberate on a shared tree (other engines may hold pinned
+    * snapshots; orphan cleanup is a separate manual concern, exactly
+    * like expire's contract). `ifExists` turns 404 into a no-op.
+    * Returns true when dropped. */
+  def dropTable(catalogUri: String, identifier: String,
+      ifExists: Boolean = false): Boolean = {
+    val (code, resp) = httpDelete(tableRoute(catalogUri, identifier))
+    if (code == 404 && ifExists) return false
+    require(code == 200 || code == 204,
+      s"REST catalog dropTable $identifier failed: HTTP $code — " +
+        resp.take(500))
+    true
+  }
+
+  /** Rename a table (`POST /v1/{prefix}/tables/rename` with the spec's
+    * source/destination identifier pair). The table's metadata,
+    * history and data are untouched — only the catalog's name → table
+    * binding changes. Destination collisions 409 loud. */
+  def renameTable(catalogUri: String, from: String, to: String): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    def identJson(id: String): JValue = {
+      val parts = id.split('.')
+      require(parts.length >= 2 && parts.forall(_.nonEmpty),
+        s"catalog table identifier must be namespace.table, got '$id'")
+      ("namespace" -> parts.init.toList) ~ ("name" -> parts.last)
+    }
+    val base = catalogUri.stripSuffix("/")
+    val pfx = prefix(base).map(p => s"/$p").getOrElse("")
+    val (code, resp) = httpPost(s"$base/v1$pfx/tables/rename",
+      compact(render(("source" -> identJson(from)) ~
+        ("destination" -> identJson(to)))))
+    if (code == 409) throw new IllegalStateException(
+      s"REST catalog rename $from -> $to conflicted (HTTP 409) — " +
+        s"the destination already exists: ${resp.take(300)}")
+    require(code == 200 || code == 204,
+      s"REST catalog rename $from -> $to failed: HTTP $code — " +
+        resp.take(500))
+  }
+
+  /** Drop an EMPTY namespace
+    * (`DELETE /v1/{prefix}/namespaces/{ns}`); a namespace that still
+    * holds tables 409s. Returns true when dropped ( false = 404 with
+    * `ifExists`). */
+  def dropNamespace(catalogUri: String, namespace: String,
+      ifExists: Boolean = false): Boolean = {
+    val ns = URLEncoder.encode(
+      namespace.split('.').mkString("\u001f"), "UTF-8")
+    val (code, resp) = httpDelete(s"${nsRoute(catalogUri)}/$ns")
+    if (code == 404 && ifExists) return false
+    if (code == 409) throw new IllegalStateException(
+      s"REST catalog dropNamespace $namespace refused (HTTP 409) — " +
+        s"namespace not empty: ${resp.take(300)}")
+    require(code == 200 || code == 204,
+      s"REST catalog dropNamespace $namespace failed: HTTP $code — " +
+        resp.take(500))
+    true
+  }
+
   /** Commit to a catalog-owned table — the spec's `CommitTableRequest`
     * (`POST .../tables/{table}` with `requirements` + `updates`): the
     * CLIENT writes data files, manifests and the manifest list, the

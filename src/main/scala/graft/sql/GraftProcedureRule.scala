@@ -431,6 +431,27 @@ case class GraftCallCommand(proc: String, location: String,
           ifNotExists = args.get("if_not_exists")
             .exists(_.toBoolean))
         1L
+      case "drop_iceberg" =>
+        // catalog-first DROP: the catalog forgets the binding; no
+        // file is purged (shared-tree contract, same as expire's —
+        // other engines may hold pinned snapshots). Returns 1 when
+        // dropped, 0 when if_exists absorbed a 404.
+        val uri = args.getOrElse("catalog_uri",
+          throw new IllegalArgumentException(
+            s"graft.$proc is catalog-first: it needs catalog_uri =>"))
+        if (graft.catalog.RestCatalog.dropTable(uri, location,
+          ifExists = args.get("if_exists").exists(_.toBoolean))) 1L
+        else 0L
+      case "rename_iceberg" =>
+        // catalog-first RENAME: only the name -> table binding moves;
+        // metadata, history and data are untouched
+        val uri = args.getOrElse("catalog_uri",
+          throw new IllegalArgumentException(
+            s"graft.$proc is catalog-first: it needs catalog_uri =>"))
+        graft.catalog.RestCatalog.renameTable(uri, location,
+          args.getOrElse("to", throw new IllegalArgumentException(
+            s"graft.$proc needs to => 'ns.newname'")))
+        1L
       case "import_iceberg_changes" =>
         // incremental FOLLOW: append only the foreign (since, target]
         // append-delta into this table (IcebergImport.readChanges rules:
@@ -454,7 +475,7 @@ case class GraftCallCommand(proc: String, location: String,
           "register_iceberg, upgrade_iceberg, tag_iceberg, " +
           "branch_iceberg, drop_ref_iceberg, rollback_iceberg, " +
           "fast_forward_iceberg, rewrite_position_deletes_iceberg, " +
-          "create_iceberg")
+          "create_iceberg, drop_iceberg, rename_iceberg")
     }
     refreshIdent.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(result))
@@ -586,7 +607,15 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //     metadata; no snapshot until the first append)
     "create_iceberg" -> (Seq("schema"),
       Set("catalog_uri", "location", "partition_by", "if_not_exists",
-        "format_version")))
+        "format_version")),
+    //   graft.drop_iceberg('ns.table', catalog_uri => 'http://...'
+    //     [, if_exists => 'true']) — the catalog forgets the binding;
+    //     files are not purged (shared-tree contract)
+    "drop_iceberg" -> (Seq.empty[String],
+      Set("catalog_uri", "if_exists")),
+    //   graft.rename_iceberg('ns.old', to => 'ns.new',
+    //     catalog_uri => 'http://...') — binding-only move
+    "rename_iceberg" -> (Seq("to"), Set("catalog_uri")))
 
   private def procName(parts: Seq[String]): Option[String] =
     parts.map(_.toLowerCase(Locale.ROOT)) match {
@@ -635,7 +664,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // import_iceberg may target a PATH (the destination table often
       // does not exist yet — importInto creates it)
       if ((proc == "import_iceberg" || proc == "import_iceberg_changes" ||
-          proc == "create_iceberg" ||
+          proc == "create_iceberg" || proc == "drop_iceberg" ||
+          proc == "rename_iceberg" ||
           proc == "append_iceberg" || proc == "delete_iceberg" ||
           proc == "delete_iceberg_keys" || proc == "merge_iceberg" ||
           proc == "evolve_iceberg" || proc == "compact_iceberg" ||
@@ -659,7 +689,8 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
               proc == "expire_iceberg" || proc == "compact_iceberg" ||
               proc == "rewrite_manifests_iceberg" ||
               proc == "rewrite_position_deletes_iceberg" ||
-              proc == "create_iceberg") &&
+              proc == "create_iceberg" || proc == "drop_iceberg" ||
+              proc == "rename_iceberg") &&
               kvs.contains("catalog_uri"))))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {

@@ -327,8 +327,10 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
     val authorized = requiredToken.forall(t =>
       Option(ex.getRequestHeaders.getFirst("Authorization"))
         .contains(s"Bearer $t"))
+    val delete = ex.getRequestMethod == "DELETE"
     val TablesRe = "/v1/namespaces/([^/]+)/tables".r
     val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
+    val NsRe = "/v1/namespaces/([^/]+)".r
     val (code, body) =
       if (!authorized)
         (401, """{"error":{"message":"Not authorized","type":""" +
@@ -352,7 +354,44 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
           nss.keys.toList.sorted.map(n =>
             JArray(n.split('\u001f').map(JString(_): JValue).toList)
               : JValue)))))
+      else if (path == "/v1/tables/rename" && post) synchronized {
+        // the spec's rename route: only the catalog's name -> table
+        // binding moves; metadata/history/data untouched
+        val req = parse(reqBody)
+        def key(j: JValue): (String, String) =
+          ((j \ "namespace").children.map(_.extract[String])
+            .mkString("\u001f"), (j \ "name").extract[String])
+        val src = key(req \ "source")
+        val dst = key(req \ "destination")
+        if (!tabs.contains(src))
+          (404, """{"error":{"message":"NoSuchTable","type":""" +
+            """"NoSuchTableException","code":404}}""")
+        else if (!nss.contains(dst._1))
+          (404, """{"error":{"message":"NoSuchNamespace","type":""" +
+            """"NoSuchNamespaceException","code":404}}""")
+        else if (tabs.contains(dst))
+          (409, """{"error":{"message":"Table already exists",""" +
+            """"type":"AlreadyExistsException","code":409}}""")
+        else {
+          tabs(dst) = tabs.remove(src).get
+          (200, "{}")
+        }
+      }
       else path match {
+        case TableRe(ns, tbl) if delete =>
+          // drop: the catalog forgets the binding; no file is purged
+          // (shared-tree contract — same as expire's)
+          if (tabs.remove((ns, tbl)).isDefined) (204, "")
+          else (404, """{"error":{"message":"NoSuchTable","type":""" +
+            """"NoSuchTableException","code":404}}""")
+        case NsRe(ns) if delete =>
+          if (!nss.contains(ns))
+            (404, """{"error":{"message":"NoSuchNamespace","type":""" +
+              """"NoSuchNamespaceException","code":404}}""")
+          else if (tabs.keys.exists(_._1 == ns))
+            (409, """{"error":{"message":"Namespace is not empty",""" +
+              """"type":"NamespaceNotEmptyException","code":409}}""")
+          else { nss.remove(ns); (204, "") }
         case TableRe(ns, tbl) if tabs.contains((ns, tbl)) =>
           if (post) commitAt((ns, tbl), reqBody)
           else (200, compact(render(
@@ -371,8 +410,11 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
       }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length)
-    ex.getResponseBody.write(bytes)
+    if (bytes.isEmpty) ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    }
     ex.close()
   }
 }

@@ -452,6 +452,72 @@ class RestCatalogCommitSpec extends SparkSpec {
     } finally cat.stop()
   }
 
+  test("catalog CRUD completion: rename moves only the name binding " +
+      "(history + data intact, old name 404s, destination collisions " +
+      "409); drop forgets the binding without purging files; an " +
+      "empty namespace drops, a non-empty one 409s") {
+    import org.apache.spark.sql.types.StructType
+    val wh = tmpDir("ccommit-crud-wh")
+    val t = freshTree("ccommit-crud")
+    val cat = new graft.tools.LoopbackIcebergCatalog("lake.t",
+      latestMeta(t), warehouse = Some(wh))
+    val base = cat.start()
+    try {
+      RestCatalog.createNamespace(base, "stage")
+      IcebergExport.createTableCatalog(spark, base, "stage.a",
+        StructType.fromDDL("id bigint, v string"))
+      IcebergWriteBack.appendToCatalog(spark, base, "stage.a",
+        (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"))
+      val handleBefore = RestCatalog
+        .loadTableMetadataLocation(base, "stage.a")
+
+      // destination collision 409s; missing source 404s
+      val eDup = intercept[IllegalStateException](
+        RestCatalog.renameTable(base, "stage.a", "lake.t"))
+      assert(eDup.getMessage.contains("409"), eDup.getMessage)
+      val eMiss = intercept[IllegalArgumentException](
+        RestCatalog.renameTable(base, "stage.ghost", "stage.b"))
+      assert(eMiss.getMessage.contains("404"), eMiss.getMessage)
+
+      // rename via SQL: binding moves, metadata handle identical
+      spark.sql("CALL graft.rename_iceberg('stage.a', " +
+        s"to => 'stage.b', catalog_uri => '$base')")
+      val e404 = intercept[IllegalArgumentException](
+        RestCatalog.loadTableMetadataLocation(base, "stage.a"))
+      assert(e404.getMessage.contains("HTTP 404"))
+      assert(RestCatalog.loadTableMetadataLocation(base, "stage.b")
+        === handleBefore)
+      assert(IcebergImport.read(spark, handleBefore).count() === 5L)
+      // commits keep working under the new name
+      IcebergWriteBack.appendToCatalog(spark, base, "stage.b",
+        Seq((6L, "v6")).toDF("id", "v"))
+      assert(IcebergImport.read(spark, RestCatalog
+        .loadTableMetadataLocation(base, "stage.b")).count() === 6L)
+
+      // namespace with a table refuses to drop
+      val eNs = intercept[IllegalStateException](
+        RestCatalog.dropNamespace(base, "stage"))
+      assert(eNs.getMessage.contains("409"), eNs.getMessage)
+
+      // drop: binding gone (404), files NOT purged (the dropped
+      // handle still reads — shared-tree contract)
+      val finalHandle = RestCatalog
+        .loadTableMetadataLocation(base, "stage.b")
+      assert(spark.sql("CALL graft.drop_iceberg('stage.b', " +
+        s"catalog_uri => '$base')").collect()(0).getLong(0) === 1L)
+      intercept[IllegalArgumentException](
+        RestCatalog.loadTableMetadataLocation(base, "stage.b"))
+      assert(IcebergImport.read(spark, finalHandle).count() === 6L)
+      // if_exists absorbs the 404
+      assert(spark.sql("CALL graft.drop_iceberg('stage.b', " +
+        s"catalog_uri => '$base', if_exists => 'true')")
+        .collect()(0).getLong(0) === 0L)
+      // now-empty namespace drops
+      assert(RestCatalog.dropNamespace(base, "stage"))
+      assert(!RestCatalog.listNamespaces(base).contains("stage"))
+    } finally cat.stop()
+  }
+
   test("catalog-owned maintenance: rewrite_manifests, rewrite_position_" +
       "deletes and compact commit their replace snapshots THROUGH the " +
       "catalog (SQL surface); content is byte-identical before/after; " +
