@@ -677,9 +677,23 @@ object Bench {
     val abFile = new java.io.File("AB_LIFECYCLE.json")
     val abJson: String =
       if (!abFile.exists()) "null"
-      else new String(java.nio.file.Files.readAllBytes(abFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .replaceAll("\\s+", " ").trim
+      else {
+        val raw = new String(
+          java.nio.file.Files.readAllBytes(abFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .replaceAll("\\s+", " ").trim
+        // a truncated/empty file (interrupted ab run) spliced verbatim
+        // would make the WHOLE artifact line unparseable — validate
+        // before embedding, drop to null on damage
+        scala.util.Try(
+          org.json4s.jackson.JsonMethods.parse(raw)) match {
+          case scala.util.Success(_) if raw.startsWith("{") => raw
+          case _ =>
+            System.err.println(
+              "[bench] AB_LIFECYCLE.json unparseable — not embedded")
+            "null"
+        }
+      }
     val abShort: String =
       if (abJson == "null") "null"
       else {

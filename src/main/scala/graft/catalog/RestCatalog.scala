@@ -78,10 +78,15 @@ object RestCatalog {
   }
 
   /** The registered token for the catalog that owns `uri`, if any —
-    * longest registered base-URI prefix wins. */
+    * longest registered base-URI prefix wins. A prefix only matches at
+    * a PATH boundary (uri == base, or base + '/...'): a raw
+    * startsWith would leak catalog A's credential to
+    * `http://host:8080` when A registered `http://host:80`, or to
+    * `/cat2` when A registered `/cat`. */
   private def bearer(uri: String): Option[String] = {
     import scala.jdk.CollectionConverters._
-    tokens.asScala.filter { case (base, _) => uri.startsWith(base) }
+    tokens.asScala.filter { case (base, _) =>
+      uri == base || uri.startsWith(base + "/") }
       .toSeq.sortBy(-_._1.length).headOption.map(_._2)
   }
 
@@ -319,36 +324,29 @@ object RestCatalog {
     * "re-read and retry" contract. Returns the new metadata-location
     * when the catalog advertises one. */
   def commitTable(catalogUri: String, identifier: String,
-      requirements: Seq[JValue], updates: Seq[JValue]): Option[String] = {
+      requirements: Seq[JValue], updates: Seq[JValue]): Option[String] =
+    (commitTableFull(catalogUri, identifier, requirements, updates)
+      \ "metadata-location").extractOpt[String]
+
+  /** [[commitTable]] returning the FULL parsed response (the spec's
+    * CommitTableResponse carries the new `metadata` object too) — used
+    * where the caller must inspect what the catalog actually applied,
+    * e.g. the v3 row-lineage contract check in write-back publish. */
+  def commitTableFull(catalogUri: String, identifier: String,
+      requirements: Seq[JValue], updates: Seq[JValue]): JValue = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods.{compact, render}
     val body = compact(render(
       ("requirements" -> org.json4s.JArray(requirements.toList)) ~
         ("updates" -> org.json4s.JArray(updates.toList))))
     val uri = tableRoute(catalogUri, identifier)
-    val conn = new URI(uri).toURL.openConnection()
-      .asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(60000)
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.setRequestProperty("Content-Type", "application/json")
-    conn.setRequestProperty("Accept", "application/json")
-    bearer(uri).foreach(t =>
-      conn.setRequestProperty("Authorization", s"Bearer $t"))
-    try {
-      val out = conn.getOutputStream
-      try out.write(body.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val code = conn.getResponseCode
-      val resp = responseBody(conn, code)
-      if (code == 409) throw new IllegalStateException(
-        s"REST catalog commit to $identifier conflicted (HTTP 409) — " +
-          "a concurrent commit won; re-read the table and retry: " +
-          resp.take(300))
-      require(code == 200, s"REST catalog commit POST $uri failed: " +
-        s"HTTP $code — ${resp.take(500)}")
-      (parse(resp) \ "metadata-location").extractOpt[String]
-    } finally conn.disconnect()
+    val (code, resp) = httpPost(uri, body)
+    if (code == 409) throw new IllegalStateException(
+      s"REST catalog commit to $identifier conflicted (HTTP 409) — " +
+        "a concurrent commit won; re-read the table and retry: " +
+        resp.take(300))
+    require(code == 200, s"REST catalog commit POST $uri failed: " +
+      s"HTTP $code — ${resp.take(500)}")
+    parse(resp)
   }
 }

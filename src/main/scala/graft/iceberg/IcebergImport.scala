@@ -1353,14 +1353,28 @@ object IcebergImport {
       at: Option[String] = None): DataFrame = {
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
-    if (at.isEmpty) {
-      // a created-but-never-written table (current-snapshot-id -1, the
-      // catalog-first CREATE shape) reads as ZERO rows of its declared
-      // schema — exactly what `SELECT *` right after CREATE returns on
-      // a native engine; explicit time travel on it still fails loud
-      val (_, meta, metaFile) = parseMeta(spark, tableLocation)
-      if ((meta \ "current-snapshot-id").extractOpt[Long]
-          .forall(_ == -1L)) {
+    // hot path first (ONE metadata parse); the empty-table shape is
+    // recognized from plan's own refusal, then re-checked strictly
+    try {
+      val p = plan(spark, tableLocation, at)
+      readPlan(spark, p)
+    } catch {
+      case e: IllegalStateException if at.isEmpty &&
+          e.getMessage != null &&
+          e.getMessage.contains("no current snapshot") =>
+        // a created-but-never-written table (the catalog-first CREATE
+        // shape) reads as ZERO rows of its declared schema — what
+        // `SELECT *` right after CREATE returns on a native engine.
+        // STRICT: only an EXPLICIT current-snapshot-id -1 with an
+        // empty snapshots list qualifies; metadata that merely OMITS
+        // the optional field while carrying snapshots is ill-formed
+        // for this engine and keeps failing loud (treating it as
+        // empty would be a silent zero-row wrong answer).
+        val (_, meta, metaFile) = parseMeta(spark, tableLocation)
+        val explicitEmpty = (meta \ "current-snapshot-id")
+          .extractOpt[Long].contains(-1L) &&
+          (meta \ "snapshots").children.isEmpty
+        if (!explicitEmpty) throw e
         val curSchemaId = (meta \ "current-schema-id").extractOpt[Int]
           .getOrElse(0)
         val schemaJ = (meta \ "schemas").children.find(s =>
@@ -1374,12 +1388,9 @@ object IcebergImport {
               sparkType((f \ "type").extract[String]),
               !(f \ "required").extractOpt[Boolean].getOrElse(false))
           })
-        return spark.createDataFrame(
+        spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-      }
     }
-    val p = plan(spark, tableLocation, at)
-    readPlan(spark, p)
   }
 
   /** MOR-applied read of a chosen SUBSET of the plan's data files (by

@@ -322,7 +322,11 @@ object IcebergWriteBack {
     * strict id-resolving external readers couldn't see the columns. */
   private def treeHasIds(spark: SparkSession, tree: Tree): Boolean = {
     if (tree.curId == -1L) return true // empty: write id-ful files
-    val files = IcebergImport.plan(spark, tree.tableLocation).files
+    // plan via the EXACT metadata file this tree was loaded from — the
+    // table root would re-resolve through version-hint.text, which on
+    // a catalog-adopted tree points at frozen pre-adoption state (the
+    // catalog writes *-rest.metadata.json and never updates the hint)
+    val files = IcebergImport.plan(spark, tree.metaFile.toString).files
     if (files.isEmpty) true
     else {
       val sample = (files.take(2) ++ files.takeRight(2)).map(_.uri)
@@ -1045,7 +1049,8 @@ object IcebergWriteBack {
         (("action" -> "add-spec") ~ ("spec" ->
           (("spec-id" -> sid) ~
             ("fields" -> org.json4s.JArray(Nil)): JValue))): JValue)
-      graft.catalog.RestCatalog.commitTable(catalogUri, ident,
+      val resp = graft.catalog.RestCatalog.commitTableFull(catalogUri,
+        ident,
         requirements = Seq(
           // first commit to an empty table: the NULL form asserts the
           // ref's ABSENCE (a racing first-committer 409s)
@@ -1059,6 +1064,22 @@ object IcebergWriteBack {
           (("action" -> "set-snapshot-ref") ~ ("ref-name" -> advRef) ~
             ("type" -> "branch") ~
             ("snapshot-id" -> tree.newId)): JValue))
+      // v3 contract check on the RESPONSE: the spec makes next-row-id
+      // catalog-maintained — a catalog that applied add-snapshot
+      // without advancing it does NOT implement the v3 row-lineage
+      // contract, and every further v3 commit through it would assign
+      // OVERLAPPING row ids. The commit above already landed; fail
+      // loud HERE so the overlap never happens (the caller must stop
+      // committing v3 through this catalog).
+      if (tree.formatVersion >= 3) {
+        val advanced = (resp \ "metadata" \ "next-row-id")
+          .extractOpt[Long]
+        require(advanced.exists(_ >= rowIdHwm),
+          s"catalog at $catalogUri did not advance next-row-id (got " +
+            s"${advanced.getOrElse("absent")}, need >= $rowIdHwm) — " +
+            "it does not implement the v3 row-lineage commit " +
+            "contract; do not commit v3 tables through it")
+      }
       return tree.newId
     }
     val oldRefs: List[JField] = (tree.meta \ "refs") match {

@@ -482,6 +482,34 @@ case class GraftCallCommand(proc: String, location: String,
   }
 }
 
+object GraftProcedureRule {
+  /** Procedures whose first argument may be a PATH (a foreign tree or a
+    * destination path) rather than a registered session-catalog table.
+    * ONE registration point — this set and [[catalogProcs]] used to be
+    * two parallel `proc == ...` chains edited in lockstep, a drift
+    * hazard (a procedure added to one but not the other routed
+    * 'ns.table' identifiers into the session-catalog lookup). */
+  val pathProcs: Set[String] = Set(
+    "import_iceberg", "import_iceberg_changes", "create_iceberg",
+    "drop_iceberg", "rename_iceberg", "append_iceberg",
+    "delete_iceberg", "delete_iceberg_keys", "merge_iceberg",
+    "evolve_iceberg", "compact_iceberg", "rewrite_manifests_iceberg",
+    "rewrite_position_deletes_iceberg", "expire_iceberg",
+    "register_iceberg", "upgrade_iceberg", "tag_iceberg",
+    "branch_iceberg", "drop_ref_iceberg", "rollback_iceberg",
+    "fast_forward_iceberg")
+
+  /** Procedures where `catalog_uri =>` makes the first argument a
+    * namespace.table identifier the REST catalog resolves. */
+  val catalogProcs: Set[String] = Set(
+    "register_iceberg", "append_iceberg", "delete_iceberg",
+    "delete_iceberg_keys", "merge_iceberg", "tag_iceberg",
+    "branch_iceberg", "drop_ref_iceberg", "rollback_iceberg",
+    "fast_forward_iceberg", "expire_iceberg", "compact_iceberg",
+    "rewrite_manifests_iceberg", "rewrite_position_deletes_iceberg",
+    "create_iceberg", "drop_iceberg", "rename_iceberg")
+}
+
 class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** ONE registration point per procedure: positional argument names
@@ -663,34 +691,11 @@ class GraftProcedureRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"graft.$proc needs a table name as its first argument"))
       // import_iceberg may target a PATH (the destination table often
       // does not exist yet — importInto creates it)
-      if ((proc == "import_iceberg" || proc == "import_iceberg_changes" ||
-          proc == "create_iceberg" || proc == "drop_iceberg" ||
-          proc == "rename_iceberg" ||
-          proc == "append_iceberg" || proc == "delete_iceberg" ||
-          proc == "delete_iceberg_keys" || proc == "merge_iceberg" ||
-          proc == "evolve_iceberg" || proc == "compact_iceberg" ||
-          proc == "rewrite_manifests_iceberg" ||
-          proc == "rewrite_position_deletes_iceberg" ||
-          proc == "expire_iceberg" || proc == "register_iceberg" ||
-          proc == "upgrade_iceberg" || proc == "tag_iceberg" ||
-          proc == "branch_iceberg" || proc == "drop_ref_iceberg" ||
-          proc == "rollback_iceberg" ||
-          proc == "fast_forward_iceberg") &&
+      if (GraftProcedureRule.pathProcs(proc) &&
           (name.contains("/") ||
             // with catalog_uri the name is a namespace.table identifier
             // the REST catalog resolves — never a session-catalog table
-            ((proc == "register_iceberg" || proc == "append_iceberg" ||
-              proc == "delete_iceberg" ||
-              proc == "delete_iceberg_keys" ||
-              proc == "merge_iceberg" || proc == "tag_iceberg" ||
-              proc == "branch_iceberg" || proc == "drop_ref_iceberg" ||
-              proc == "rollback_iceberg" ||
-              proc == "fast_forward_iceberg" ||
-              proc == "expire_iceberg" || proc == "compact_iceberg" ||
-              proc == "rewrite_manifests_iceberg" ||
-              proc == "rewrite_position_deletes_iceberg" ||
-              proc == "create_iceberg" || proc == "drop_iceberg" ||
-              proc == "rename_iceberg") &&
+            (GraftProcedureRule.catalogProcs(proc) &&
               kvs.contains("catalog_uri"))))
         GraftCallCommand(proc, name, kvs - "table", None)
       else {

@@ -356,9 +356,15 @@ object Streaming {
           .loadTableMetadataLocation(catalogUri, identifier)
         op(handle); ()
       } catch {
-        case e: IllegalStateException if e.getMessage.contains("409") =>
+        // maintenance is OPTIONAL cleanup and the data batch already
+        // committed — NO maintenance failure may fail the batch (it
+        // would crash-loop the query on an error the replayed batch
+        // re-hits every restart). 409 = lost a concurrent commit;
+        // anything else is logged the same way and retried next
+        // trigger.
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"graft: sink maintenance $what on " +
-            s"$identifier lost a concurrent commit (409) — skipped; " +
+            s"$identifier skipped (${e.getMessage}) — " +
             "the next trigger retries")
       }
     attempt("compact")(h => graft.iceberg.IcebergWriteBack

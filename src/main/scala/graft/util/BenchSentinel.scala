@@ -104,24 +104,25 @@ object BenchSentinel {
     val chunk = new Array[Byte](8 << 20)
     java.util.Arrays.fill(chunk, 0x5a.toByte)
     val t0 = System.nanoTime()
-    val out = new java.io.FileOutputStream(f)
     try {
-      var written = 0L
-      while (written < IoBytes) {
-        out.write(chunk); written += chunk.length
-      }
-      out.getFD.sync()
-    } finally out.close()
-    val in = new java.io.FileInputStream(f)
-    try {
-      var total = 0L
-      var n = in.read(chunk)
-      while (n > 0) { total += n; n = in.read(chunk) }
-      require(total >= IoBytes, s"io probe short read: $total")
-    } finally in.close()
-    val sec = (System.nanoTime() - t0) / 1e9
-    f.delete()
-    sec
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var written = 0L
+        while (written < IoBytes) {
+          out.write(chunk); written += chunk.length
+        }
+        out.getFD.sync()
+      } finally out.close()
+      val in = new java.io.FileInputStream(f)
+      try {
+        var total = 0L
+        var n = in.read(chunk)
+        while (n > 0) { total += n; n = in.read(chunk) }
+        require(total >= IoBytes, s"io probe short read: $total")
+      } finally in.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally f.delete() // also on failure: a leaked 256 MiB probe on
+    // tmpfs permanently eats RAM and amplifies the next failure
   }
 
   /** Min of three passes after one untimed warm-up — same discipline

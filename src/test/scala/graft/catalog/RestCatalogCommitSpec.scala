@@ -452,6 +452,65 @@ class RestCatalogCommitSpec extends SparkSpec {
     } finally cat.stop()
   }
 
+  test("v3 commits VERIFY the catalog honored the row-lineage " +
+      "contract: a server that applies add-snapshot without advancing " +
+      "next-row-id fails the commit loud instead of letting the next " +
+      "committer assign overlapping row ids") {
+    val t = freshTree("ccommit-v3contract")
+    IcebergWriteBack.upgradeFormatVersion(spark, t.location, 3)
+    IcebergWriteBack.appendTo(spark, t.location,
+      Seq((11L, "a")).toDF("id", "v"))
+    val handle = latestMeta(t)
+    // a NON-COMPLIANT catalog: accepts every commit but echoes the
+    // ORIGINAL metadata back (next-row-id never advances)
+    val server = HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val meta = parse(new String(Files.readAllBytes(
+        new File(handle).toPath), StandardCharsets.UTF_8))
+      val body =
+        if (ex.getRequestURI.getPath == "/v1/config")
+          """{"defaults":{},"overrides":{}}"""
+        else compact(render(
+          ("metadata-location" -> handle) ~ ("metadata" -> meta)))
+      if (ex.getRequestMethod == "POST")
+        ex.getRequestBody.readAllBytes()
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+          Seq((12L, "b")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("did not advance next-row-id"),
+        e.getMessage)
+    } finally server.stop(0)
+  }
+
+  test("a metadata file that OMITS current-snapshot-id while carrying " +
+      "snapshots keeps failing loud on read — only an explicit -1 " +
+      "with an empty snapshot list reads as an empty table") {
+    val t = freshTree("ccommit-omitcur")
+    implicit val fmts: Formats = DefaultFormats
+    val metaPath = new File(latestMeta(t)).toPath
+    val meta = parse(new String(Files.readAllBytes(metaPath),
+      StandardCharsets.UTF_8))
+    val stripped = JObject(meta.asInstanceOf[JObject].obj
+      .filterNot(_._1 == "current-snapshot-id"))
+    val dir = tmpDir("ccommit-omitcur-meta")
+    val f = new File(dir, "v99.metadata.json")
+    Files.write(f.toPath, compact(render(stripped))
+      .getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException](
+      IcebergImport.read(spark, f.getAbsolutePath).count())
+    assert(e.getMessage.contains("no current snapshot"), e.getMessage)
+  }
+
   test("catalog CRUD completion: rename moves only the name binding " +
       "(history + data intact, old name 404s, destination collisions " +
       "409); drop forgets the binding without purging files; an " +
