@@ -43,20 +43,22 @@ object RestCatalog {
   }
 
   private def httpGet(uri: String): String = {
-    val conn = new URI(uri).toURL.openConnection()
-      .asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(30000)
-    conn.setRequestProperty("Accept", "application/json")
-    bearer(uri).foreach(t =>
-      conn.setRequestProperty("Authorization", s"Bearer $t"))
-    try {
-      val code = conn.getResponseCode
-      val body = responseBody(conn, code)
-      require(code == 200,
-        s"REST catalog GET $uri failed: HTTP $code — ${body.take(500)}")
-      body
-    } finally conn.disconnect()
+    val (code, body) = retry401(uri) {
+      val conn = new URI(uri).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("Accept", "application/json")
+      bearer(uri).foreach(t =>
+        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      try {
+        val code = conn.getResponseCode
+        (code, responseBody(conn, code))
+      } finally conn.disconnect()
+    }
+    require(code == 200,
+      s"REST catalog GET $uri failed: HTTP $code — ${body.take(500)}")
+    body
   }
 
   // ---- bearer-token seam (production catalogs authenticate; the open
@@ -82,12 +84,118 @@ object RestCatalog {
     * a PATH boundary (uri == base, or base + '/...'): a raw
     * startsWith would leak catalog A's credential to
     * `http://host:8080` when A registered `http://host:80`, or to
-    * `/cat2` when A registered `/cat`. */
-  private def bearer(uri: String): Option[String] = {
+    * `/cat2` when A registered `/cat`. A static token beats OAuth
+    * credentials registered for the same base (explicit wins). */
+  private def bearer(uri: String): Option[String] =
+    matchBase(tokens, uri).map(_._2)
+      .orElse(oauthTokenFor(uri))
+
+  private def matchBase[V](
+      m: java.util.concurrent.ConcurrentHashMap[String, V],
+      uri: String): Option[(String, V)] = {
     import scala.jdk.CollectionConverters._
-    tokens.asScala.filter { case (base, _) =>
+    m.asScala.filter { case (base, _) =>
       uri == base || uri.startsWith(base + "/") }
-      .toSeq.sortBy(-_._1.length).headOption.map(_._2)
+      .toSeq.sortBy(-_._1.length).headOption
+  }
+
+  // ---- OAuth2 client-credentials seam (the spec's token endpoint,
+  // `POST /v1/oauth/tokens` with grant_type=client_credentials) — what
+  // production REST catalogs actually speak. The token is cached per
+  // catalog base until shortly before its advertised expiry; any 401
+  // on a data route invalidates the cache and the request retries ONCE
+  // with a fresh token ([[retry401]]). Credentials are header-only and
+  // never logged. ----
+  private case class OAuthCreds(clientId: String, clientSecret: String,
+      scope: Option[String])
+  private val oauthCreds =
+    new java.util.concurrent.ConcurrentHashMap[String, OAuthCreds]()
+  // base -> (access token, expiry epoch millis; 0 = no expiry)
+  private val oauthTokens =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Register OAuth2 client credentials for `catalogUri`; every request
+    * to that base then carries a client-credentials bearer token,
+    * fetched lazily and refreshed on expiry or 401. */
+  def setOAuthCredentials(catalogUri: String, clientId: String,
+      clientSecret: String, scope: Option[String] = None): Unit =
+    oauthCreds.put(catalogUri.stripSuffix("/"),
+      OAuthCreds(clientId, clientSecret, scope))
+
+  /** Forget `catalogUri`'s OAuth credentials and any cached token. */
+  def clearOAuthCredentials(catalogUri: String): Unit = {
+    val key = catalogUri.stripSuffix("/")
+    oauthCreds.remove(key)
+    oauthTokens.remove(key)
+  }
+
+  private def oauthTokenFor(uri: String): Option[String] =
+    matchBase(oauthCreds, uri).map { case (base, creds) =>
+      Option(oauthTokens.get(base))
+        .filter { case (_, exp) =>
+          exp == 0L || System.currentTimeMillis() < exp }
+        .map(_._1)
+        .getOrElse(fetchOAuthToken(base, creds))
+    }
+
+  /** `POST {base}/v1/oauth/tokens` (form-encoded, per RFC 6749 §4.4 as
+    * published in the catalog OpenAPI spec); caches and returns the
+    * access token. 60 s of safety margin on the advertised expiry so a
+    * token never goes stale mid-request. */
+  private def fetchOAuthToken(base: String, creds: OAuthCreds): String = {
+    def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+    val form = Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> creds.clientId,
+      "client_secret" -> creds.clientSecret) ++
+      creds.scope.map("scope" -> _)
+    val body = form.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+      .mkString("&")
+    val conn = new URI(s"$base/v1/oauth/tokens").toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type",
+      "application/x-www-form-urlencoded")
+    conn.setRequestProperty("Accept", "application/json")
+    val (code, resp) = try {
+      val out = conn.getOutputStream
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val c = conn.getResponseCode
+      (c, responseBody(conn, c))
+    } finally conn.disconnect()
+    require(code == 200, s"OAuth token request to $base failed: " +
+      s"HTTP $code — ${resp.take(500)}")
+    val j = parse(resp)
+    val token = (j \ "access_token").extractOpt[String].getOrElse(
+      throw new IllegalStateException(
+        s"OAuth token response from $base carried no access_token"))
+    val expiry = (j \ "expires_in").extractOpt[Long]
+      .map(s => System.currentTimeMillis() + math.max(0L, s - 60) * 1000)
+      .getOrElse(0L)
+    oauthTokens.put(base, (token, expiry))
+    token
+  }
+
+  /** Run one HTTP attempt; on a 401 with OAuth credentials registered
+    * for this uri, drop the cached token and retry ONCE (the second
+    * attempt's [[bearer]] fetches fresh) — the client behavior the
+    * protocol expects when a token expires server-side before the
+    * client's own expiry margin fires. Static-token and unauthenticated
+    * setups return the 401 untouched. */
+  private def retry401(uri: String)(exchange: => (Int, String))
+      : (Int, String) = {
+    val first = exchange
+    if (first._1 != 401) first
+    else matchBase(oauthCreds, uri) match {
+      case None => first
+      case Some((base, _)) =>
+        oauthTokens.remove(base)
+        exchange
+    }
   }
 
   /** The catalog's advertised route prefix, if any (`overrides` beats
@@ -129,25 +237,26 @@ object RestCatalog {
 
   /** POST a JSON body; returns (status, response body). Shared by the
     * commit/create routes — 409 handling stays caller-specific. */
-  private def httpPost(uri: String, body: String): (Int, String) = {
-    val conn = new URI(uri).toURL.openConnection()
-      .asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(60000)
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.setRequestProperty("Content-Type", "application/json")
-    conn.setRequestProperty("Accept", "application/json")
-    bearer(uri).foreach(t =>
-      conn.setRequestProperty("Authorization", s"Bearer $t"))
-    try {
-      val out = conn.getOutputStream
-      try out.write(body.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val code = conn.getResponseCode
-      (code, responseBody(conn, code))
-    } finally conn.disconnect()
-  }
+  private def httpPost(uri: String, body: String): (Int, String) =
+    retry401(uri) {
+      val conn = new URI(uri).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(60000)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setRequestProperty("Accept", "application/json")
+      bearer(uri).foreach(t =>
+        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      try {
+        val out = conn.getOutputStream
+        try out.write(body.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        val code = conn.getResponseCode
+        (code, responseBody(conn, code))
+      } finally conn.disconnect()
+    }
 
   private def nsRoute(catalogUri: String): String = {
     val base = catalogUri.stripSuffix("/")
@@ -237,20 +346,21 @@ object RestCatalog {
   }
 
   /** HTTP DELETE; returns (status, body). */
-  private def httpDelete(uri: String): (Int, String) = {
-    val conn = new URI(uri).toURL.openConnection()
-      .asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(30000)
-    conn.setRequestMethod("DELETE")
-    conn.setRequestProperty("Accept", "application/json")
-    bearer(uri).foreach(t =>
-      conn.setRequestProperty("Authorization", s"Bearer $t"))
-    try {
-      val code = conn.getResponseCode
-      (code, responseBody(conn, code))
-    } finally conn.disconnect()
-  }
+  private def httpDelete(uri: String): (Int, String) =
+    retry401(uri) {
+      val conn = new URI(uri).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestMethod("DELETE")
+      conn.setRequestProperty("Accept", "application/json")
+      bearer(uri).foreach(t =>
+        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      try {
+        val code = conn.getResponseCode
+        (code, responseBody(conn, code))
+      } finally conn.disconnect()
+    }
 
   /** Drop a table from the catalog
     * (`DELETE /v1/{prefix}/namespaces/{ns}/tables/{t}`). The catalog

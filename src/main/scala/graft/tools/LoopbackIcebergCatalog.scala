@@ -68,6 +68,25 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
     * the simplest production auth scheme; 401 otherwise. */
   @volatile var requiredToken: Option[String] = None
 
+  /** When set to (client_id, client_secret), the spec's OAuth2
+    * client-credentials token endpoint (`POST /v1/oauth/tokens`) is
+    * live: it issues expiring bearer tokens against those credentials,
+    * and every OTHER route requires a live issued token (or the static
+    * [[requiredToken]]). 401 on wrong credentials, missing header, or
+    * an EXPIRED token — the refresh path the client must survive. */
+  @volatile var oauthClient: Option[(String, String)] = None
+  /** Advertised token lifetime (expires_in, seconds). */
+  @volatile var tokenTtlSeconds: Long = 3600L
+  // issued token -> expiry epoch millis
+  private val issued =
+    scala.collection.concurrent.TrieMap[String, Long]()
+  /** Force-expire every issued token — deterministic expiry for specs
+    * (no sleeping through real TTLs). */
+  def expireTokens(): Unit =
+    issued.keys.foreach(t => issued.update(t, 0L))
+  /** Number of tokens minted so far (spec observability). */
+  def tokensIssued: Int = issued.size
+
   /** The PRIMARY table's current metadata location. */
   def location: String = tabs(primary)
 
@@ -324,15 +343,48 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
     val post = ex.getRequestMethod == "POST"
     def reqBody: String = new String(ex.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8)
-    val authorized = requiredToken.forall(t =>
-      Option(ex.getRequestHeaders.getFirst("Authorization"))
-        .contains(s"Bearer $t"))
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    val staticOk = requiredToken.exists(t => header.contains(s"Bearer $t"))
+    val issuedOk = oauthClient.isDefined && header.exists { h =>
+      val t = h.stripPrefix("Bearer ")
+      issued.get(t).exists(_ > System.currentTimeMillis())
+    }
+    val authorized =
+      if (requiredToken.isEmpty && oauthClient.isEmpty) true
+      else staticOk || issuedOk
     val delete = ex.getRequestMethod == "DELETE"
     val TablesRe = "/v1/namespaces/([^/]+)/tables".r
     val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
     val NsRe = "/v1/namespaces/([^/]+)".r
     val (code, body) =
-      if (!authorized)
+      // the token endpoint itself is pre-auth by definition
+      if (path == "/v1/oauth/tokens" && post) {
+        oauthClient match {
+          case None =>
+            (404, """{"error":{"message":"token endpoint disabled",""" +
+              """"type":"NotFound","code":404}}""")
+          case Some((cid, secret)) =>
+            val form = reqBody.split('&').flatMap { kv =>
+              val i = kv.indexOf('=')
+              if (i < 0) None
+              else Some(java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+                java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+            }.toMap
+            if (form.get("grant_type") != Some("client_credentials"))
+              (400, """{"error":"unsupported_grant_type"}""")
+            else if (form.get("client_id") != Some(cid) ||
+                form.get("client_secret") != Some(secret))
+              (401, """{"error":"invalid_client"}""")
+            else {
+              val t = java.util.UUID.randomUUID().toString
+              issued(t) = System.currentTimeMillis() +
+                tokenTtlSeconds * 1000
+              (200, s"""{"access_token":"$t","token_type":"bearer",""" +
+                s""""expires_in":$tokenTtlSeconds}""")
+            }
+        }
+      }
+      else if (!authorized)
         (401, """{"error":{"message":"Not authorized","type":""" +
           """"NotAuthorizedException","code":401}}""")
       else if (path == "/v1/config")

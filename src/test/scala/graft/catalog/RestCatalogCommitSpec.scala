@@ -742,6 +742,52 @@ class RestCatalogCommitSpec extends SparkSpec {
     }
   }
 
+  test("OAuth2 client-credentials: tokens mint lazily from the spec's " +
+      "/v1/oauth/tokens endpoint, authorize resolution and commits, " +
+      "and a server-side EXPIRY mid-session refreshes transparently " +
+      "(one retry) — wrong credentials fail loud; zero egress") {
+    val t = freshTree("ccommit-oauth")
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      cat.oauthClient = Some(("svc-graft", "s3cr3t"))
+      // anonymous → 401 (no token, no credentials registered)
+      val e = intercept[IllegalArgumentException](
+        RestCatalog.loadTableMetadataLocation(base, "lake.t"))
+      assert(e.getMessage.contains("HTTP 401"), e.getMessage)
+      // wrong secret: the token ENDPOINT rejects — loud, names the base
+      RestCatalog.setOAuthCredentials(base, "svc-graft", "wrong")
+      val e2 = intercept[IllegalArgumentException](
+        RestCatalog.loadTableMetadataLocation(base, "lake.t"))
+      assert(e2.getMessage.contains("OAuth token request") &&
+        e2.getMessage.contains("401"), e2.getMessage)
+      RestCatalog.clearOAuthCredentials(base)
+      // right credentials: resolution AND a catalog commit work; the
+      // token minted ONCE and cached across requests
+      RestCatalog.setOAuthCredentials(base, "svc-graft", "s3cr3t",
+        scope = Some("catalog"))
+      try {
+        assert(RestCatalog.loadTableMetadataLocation(base, "lake.t")
+          .nonEmpty)
+        val s = IcebergWriteBack.appendToCatalog(spark, base, "lake.t",
+          Seq((42L, "z")).toDF("id", "v"))
+        assert(s > 0)
+        assert(cat.tokensIssued === 1,
+          "token must mint once and be cached, not per-request")
+        // server-side expiry: the next request 401s, the client drops
+        // its cache, refreshes ONCE and the request succeeds
+        cat.expireTokens()
+        assert(IcebergImport.read(spark,
+          RestCatalog.loadTableMetadataLocation(base, "lake.t"))
+          .count() === 11L)
+        assert(cat.tokensIssued === 2,
+          "the 401 must trigger exactly one refresh")
+      } finally RestCatalog.clearOAuthCredentials(base)
+      // credentials cleared → anonymous again → 401
+      val e3 = intercept[IllegalArgumentException](
+        RestCatalog.loadTableMetadataLocation(base, "lake.t"))
+      assert(e3.getMessage.contains("HTTP 401"), e3.getMessage)
+    }
+  }
+
   test("v3 catalog commits: the snapshot's first-row-id/added-rows " +
       "advance the CATALOG's next-row-id (the spec's row-lineage " +
       "contract); lineage is continuous across catalog commits; a DV " +
