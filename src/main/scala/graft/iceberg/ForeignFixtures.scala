@@ -31,10 +31,13 @@ private[graft] object ForeignFixtures {
     * fixture can model multi-manifest snapshots — e.g. adopted legacy
     * manifests next to native ones). */
   case class Data(uri: String, rows: Long, seq: Long,
-      tuple: Map[String, Any] = Map.empty, group: Int = 0) extends Entry
-  /** v2 equality-delete file (parquet of the key columns). */
+      tuple: Map[String, Any] = Map.empty, group: Int = 0,
+      format: String = "PARQUET") extends Entry
+  /** v2 equality-delete file (parquet of the key columns; `format`
+    * overridable to model foreign trees with non-parquet deletes). */
   case class EqDel(uri: String, rows: Long, seq: Long, eqIds: Seq[Int],
-      tuple: Map[String, Any] = Map.empty) extends Entry
+      tuple: Map[String, Any] = Map.empty,
+      format: String = "PARQUET") extends Entry
   /** v2 position-delete file (parquet of file_path, pos). */
   case class PosDel(uri: String, rows: Long, seq: Long) extends Entry
   /** v3 deletion vector: a puffin blob slice holding the deleted
@@ -56,6 +59,20 @@ private[graft] object ForeignFixtures {
     df.coalesce(1).write.parquet(tmp.getAbsolutePath)
     val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
     val dest = new File(dataDir, s"$name.parquet")
+    require(part.renameTo(dest), s"stage move failed for $name")
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    s"file://${dest.getAbsolutePath}"
+  }
+
+  /** [[writeParquet]] in ORC — foreign trees fronted by ORC data files
+    * (Hive-lineage Iceberg deployments). */
+  def writeOrc(spark: SparkSession, location: String, name: String,
+      df: DataFrame): String = {
+    val dataDir = new File(location, "data"); dataDir.mkdirs()
+    val tmp = new File(new File(location), s"stage-$name")
+    df.coalesce(1).write.orc(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".orc")).get
+    val dest = new File(dataDir, s"$name.orc")
     require(part.renameTo(dest), s"stage move failed for $name")
     tmp.listFiles().foreach(_.delete()); tmp.delete()
     s"file://${dest.getAbsolutePath}"
@@ -134,14 +151,14 @@ private[graft] object ForeignFixtures {
       case d: Data =>
         df.put("content", 0)
         df.put("file_path", d.uri)
-        df.put("file_format", "PARQUET")
+        df.put("file_format", d.format)
         df.put("record_count", d.rows)
         df.put("file_size_in_bytes", fileLen(d.uri))
         tuple(d.tuple)
       case q: EqDel =>
         df.put("content", 2)
         df.put("file_path", q.uri)
-        df.put("file_format", "PARQUET")
+        df.put("file_format", q.format)
         df.put("record_count", q.rows)
         df.put("file_size_in_bytes", fileLen(q.uri))
         df.put("equality_ids", q.eqIds.map(Int.box).asJava)
@@ -267,5 +284,23 @@ private[graft] object ForeignFixtures {
     s"""{"type":"struct","schema-id":$schemaId,"fields":[""" +
       fields.map { case (id, n, t) =>
         s"""{"id":$id,"name":"$n","required":false,"type":"$t"}"""
+      }.mkString(",") + "]}"
+
+  /** [[schemaJson]] with RAW JSON types: each field's type is either a
+    * quoted scalar (`"\"long\""`) or a nested type object built by
+    * [[structType]] — the shape a nested-schema foreign writer leaves. */
+  def schemaJsonTyped(schemaId: Int,
+      fields: Seq[(Int, String, String)]): String =
+    s"""{"type":"struct","schema-id":$schemaId,"fields":[""" +
+      fields.map { case (id, n, t) =>
+        s"""{"id":$id,"name":"$n","required":false,"type":$t}"""
+      }.mkString(",") + "]}"
+
+  /** Raw JSON of an Iceberg struct type whose fields are (id, name,
+    * rawJsonType) — compose with [[schemaJsonTyped]]; nest freely. */
+  def structType(fields: Seq[(Int, String, String)]): String =
+    s"""{"type":"struct","fields":[""" +
+      fields.map { case (id, n, t) =>
+        s"""{"id":$id,"name":"$n","required":false,"type":$t}"""
       }.mkString(",") + "]}"
 }

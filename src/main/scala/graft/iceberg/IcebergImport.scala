@@ -104,7 +104,12 @@ object IcebergImport {
       nullCounts: Map[String, Long] = Map.empty,
       manifest: String = "",
       firstRowId: Option[Long] = None,
-      tScope: Seq[(String, String, Any)] = Seq.empty)
+      tScope: Seq[(String, String, Any)] = Seq.empty,
+      // manifest-recorded file_format, lowercased ("parquet" / "orc");
+      // ORC data files read by NAME (Spark's ORC reader has no
+      // field-id mode — a renamed column against pre-rename ORC files
+      // resolves via name mapping like any id-less file)
+      format: String = "parquet")
   /** One live v2 delete file: `equalityCols` = Some(key column names)
     * for equality deletes, None for position deletes. `scope` is the
     * delete file's own identity-partition tuple — per the v2 spec a
@@ -167,6 +172,69 @@ object IcebergImport {
     case other => throw new IllegalArgumentException(
       s"iceberg import does not support type '$other' " +
         "(flat scalar columns only)")
+  }
+
+  /** Iceberg schema TYPE JSON → Spark type: a JSON string is a scalar
+    * ([[sparkType]]); a `{"type":"struct",...}` object recurses, each
+    * nested field carrying its Iceberg field id as parquet.field.id
+    * metadata so ID-based resolution (and so nested-leaf rename /
+    * drop+re-add evolution) works at every depth. Lists and maps refuse
+    * LOUD naming the field path — their element/key id resolution and
+    * delete/bounds interactions are not audited yet, and a silently
+    * mis-read nested collection is worse than a refusal (spec
+    * §Schemas and Data Types). */
+  private[iceberg] def sparkTypeJ(j: org.json4s.JValue,
+      fieldPath: String): DataType = {
+    import org.json4s._
+    j match {
+      case JString(s) => sparkType(s)
+      case obj: JObject if (obj \ "type") == JString("struct") =>
+        StructType((obj \ "fields").children.map { f =>
+          val name = (f \ "name") match {
+            case JString(n) => n
+            case other => throw new IllegalStateException(
+              s"struct field under '$fieldPath' lacks a name: $other")
+          }
+          val id = (f \ "id") match {
+            case JInt(i) => i.toLong
+            case other => throw new IllegalStateException(
+              s"struct field '$fieldPath.$name' lacks a field id: " +
+                other)
+          }
+          StructField(name, sparkTypeJ(f \ "type", s"$fieldPath.$name"),
+            nullable = true,
+            new MetadataBuilder().putLong(FieldIdKey, id).build())
+        })
+      case obj: JObject =>
+        val kind = (obj \ "type") match {
+          case JString(k) => k
+          case _ => "?"
+        }
+        throw new IllegalArgumentException(
+          s"iceberg import supports scalar and struct columns only — " +
+            s"field '$fieldPath' has unsupported $kind type " +
+            org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(obj)))
+      case other => throw new IllegalArgumentException(
+        s"unparseable type for field '$fieldPath': $other")
+    }
+  }
+
+  /** Every field id inside a nested type, mapped to its dotted path —
+    * for precise refusals when tree metadata (a partition spec's
+    * source-id, an equality delete's key ids) targets a nested leaf,
+    * which the import's pruning/delete machinery does not support. */
+  private def nestedIds(schema: StructType): Map[Int, String] = {
+    def walk(dt: DataType, path: String): Seq[(Int, String)] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap { f =>
+        val p = s"$path.${f.name}"
+        (if (f.metadata.contains(FieldIdKey))
+          Seq(f.metadata.getLong(FieldIdKey).toInt -> p)
+         else Seq.empty) ++ walk(f.dataType, p)
+      }
+      case _ => Seq.empty
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.dataType, f.name)).toMap
   }
 
   /** Resolve the current metadata file: version-hint when present (and
@@ -480,21 +548,16 @@ object IcebergImport {
     }
     val fieldsJ = (schemaJ \ "fields").children
     // each field carries its Iceberg field id as parquet.field.id
-    // metadata: when the tree's data files embed ids (any Iceberg-native
-    // writer does), readPlan switches Spark's parquet reader to ID-based
-    // column resolution — the spec's rule — so renames and drop+re-add
-    // evolution resolve correctly against pre-evolve files
+    // metadata AT EVERY NESTING LEVEL: when the tree's data files embed
+    // ids (any Iceberg-native writer does), readPlan switches Spark's
+    // parquet reader to ID-based column resolution — the spec's rule —
+    // so renames and drop+re-add evolution resolve correctly against
+    // pre-evolve files, for top-level scalars and nested struct leaves
+    // alike (Spark's clipParquetSchema matches ids recursively). Lists
+    // and maps still refuse loud ([[sparkTypeJ]]).
     val schema = StructType(fieldsJ.map { f =>
-      val typeStr = (f \ "type") match {
-        case JString(s) => s
-        case nested => throw new IllegalArgumentException(
-          "iceberg import supports flat scalar columns only — field '" +
-            (f \ "name").extract[String] + "' has nested type " +
-            org.json4s.jackson.JsonMethods.compact(
-              org.json4s.jackson.JsonMethods.render(nested)))
-      }
-      StructField((f \ "name").extract[String],
-        sparkType(typeStr), nullable = true,
+      val name = (f \ "name").extract[String]
+      StructField(name, sparkTypeJ(f \ "type", name), nullable = true,
         new MetadataBuilder().putLong(FieldIdKey,
           (f \ "id").extract[Int].toLong).build())
     })
@@ -507,7 +570,13 @@ object IcebergImport {
         case JNothing | JNull => None
         case d =>
           val name = (f \ "name").extract[String]
-          val t = (f \ "type").extract[String]
+          val t = (f \ "type") match {
+            case JString(s) => s
+            case _ => throw new IllegalArgumentException(
+              s"v3 initial-default on non-scalar field '$name' is " +
+                "not supported — a silently dropped default mis-reads " +
+                "every pre-evolution row")
+          }
           Some(DefaultField(name, (f \ "id").extract[Int],
             defaultValue(d, t, name), sparkType(t)))
       }
@@ -529,6 +598,18 @@ object IcebergImport {
             (f \ "source-id").extract[Int]))).toMap
     }
     val defaultSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    // nested-leaf guards: identity reconstruction and transform pruning
+    // resolve source-ids through top-level names — a spec field sourced
+    // from a struct LEAF (legal per the spec) would silently mis-bind,
+    // so it refuses loud with the dotted path instead
+    val nestedById: Map[Int, String] = nestedIds(schema)
+    specsById.values.flatten.foreach { case (n, tr, srcId) =>
+      nestedById.get(srcId).foreach(path =>
+        throw new IllegalArgumentException(
+          s"partition spec field $tr($n) is sourced from NESTED field " +
+            s"'$path' (id $srcId) — partitioning by struct leaves is " +
+            "not supported by the import surface yet"))
+    }
 
     // manifest list (v2/v1) or the v1 inline `manifests` array;
     // v3 list records additionally carry the data manifest's
@@ -611,8 +692,17 @@ object IcebergImport {
               need("content_size_in_bytes").asInstanceOf[Number]
                 .longValue)
           } else {
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"iceberg import reads parquet data files only, got $fmt ($uri)")
+          // data files: parquet (id- or name-resolved) and ORC
+          // (name-resolved). DELETE files stay parquet-only: an
+          // ORC-encoded delete file refuses loud below.
+          require(fmt.equalsIgnoreCase("parquet") ||
+            (!isDelete && fmt.equalsIgnoreCase("orc")),
+            if (isDelete)
+              s"iceberg import reads parquet DELETE files only, got " +
+                s"$fmt ($uri) — compact/rewrite the table's deletes first"
+            else
+              s"iceberg import reads parquet/orc data files only, " +
+                s"got $fmt ($uri)")
           if (isDelete) content match {
             case 2 =>
               val ids = df.get("equality_ids")
@@ -654,7 +744,11 @@ object IcebergImport {
               deletes += DeleteRef(uri, seq,
                 Some(ids.map(i => nameById.getOrElse(i.toInt,
                   throw new IllegalStateException(
-                    s"equality_ids field $i not in schema ($uri)")))),
+                    nestedById.get(i.toInt).map(path =>
+                      s"equality delete keyed on NESTED field '$path' " +
+                        s"(id $i) is not supported ($uri)")
+                      .getOrElse(
+                        s"equality_ids field $i not in schema ($uri)"))))),
                 scope, fileBytes, tScope)
             case 1 => deletes += DeleteRef(uri, seq, None,
               bytes = fileBytes)
@@ -736,7 +830,8 @@ object IcebergImport {
               Option(df.get("record_count"))
                 .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
               longMapOf("null_value_counts"), manifest = mPath,
-              firstRowId = frid, tScope = dataTScope)
+              firstRowId = frid, tScope = dataTScope,
+              format = fmt.toLowerCase)
           }
           } // end parquet entries (data + v2 delete files)
         }
@@ -1176,7 +1271,17 @@ object IcebergImport {
   private val FieldIdReadConf = "spark.sql.parquet.fieldId.read.enabled"
 
   private def stripIds(s: StructType): StructType =
-    StructType(s.map(f => f.copy(metadata = Metadata.empty)))
+    StructType(s.map(f => f.copy(metadata = Metadata.empty,
+      dataType = stripIdsType(f.dataType))))
+
+  /** Strip parquet.field.id metadata at every nesting depth — an
+    * id-carrying requested schema aimed at an ID-LESS file errors under
+    * fieldId.read.enabled (ignoreMissing defaults false), and downstream
+    * consumers of the read's output must see a plain schema. */
+  private def stripIdsType(dt: DataType): DataType = dt match {
+    case st: StructType => stripIds(st)
+    case other => other
+  }
 
   /** One parquet footer's resolution-relevant facts: does it embed field
     * ids, which ids, and what are its top-level column names. */
@@ -1199,6 +1304,29 @@ object IcebergImport {
 
   private[iceberg] def footerInfo(spark: SparkSession, uri: String): FooterInfo =
     readFooterInfo(spark.sessionState.newHadoopConf(), uri)
+
+  /** ORC twin of [[readFooterInfo]]: top-level column names from the
+    * file's own TypeDescription, plus Iceberg field ids when the writer
+    * stamped them as `iceberg.id` attributes. `hasIds` is always false —
+    * Spark's ORC reader has no field-id resolution mode, so ORC files
+    * are ALWAYS name-resolved; the ids only serve footer-presence
+    * checks (v3 defaults). */
+  private[iceberg] def orcFooterInfo(
+      conf: org.apache.hadoop.conf.Configuration,
+      uri: String): FooterInfo = {
+    import org.apache.orc.OrcFile
+    val r = OrcFile.createReader(new Path(new java.net.URI(uri)),
+      OrcFile.readerOptions(conf))
+    try {
+      val s = r.getSchema
+      val names = s.getFieldNames.asScala.toSeq
+      val ids = (0 until names.size).flatMap { i =>
+        Option(s.getChildren.get(i).getAttributeValue("iceberg.id"))
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+      }
+      FooterInfo(hasIds = false, names.toSet, ids.toSet)
+    } finally r.close()
+  }
 
   /** Sniff EVERY given footer in one batched pass — a driver loop while
     * the count is metadata-small, a distributed map beyond — replacing
@@ -1545,9 +1673,10 @@ object IcebergImport {
     // The session conf is one-way enabled; it only changes behavior for
     // requested schemas that CARRY parquet.field.id metadata, so every
     // other read in the session is untouched.
-    val classes = classifyFiles(spark, p.files)
-    val idFiles = p.files.filter(f => classes(f.uri))
-    val plainFiles = p.files.filterNot(f => classes(f.uri))
+    val (orcFiles, pqFiles) = p.files.partition(_.format == "orc")
+    val classes = classifyFiles(spark, pqFiles)
+    val idFiles = pqFiles.filter(f => classes(f.uri))
+    val plainFiles = pqFiles.filterNot(f => classes(f.uri))
     if (idFiles.nonEmpty) spark.conf.set(FieldIdReadConf, "true")
     val schema = stripIds(p.schema)
     val fs = new Path(p.files.head.uri)
@@ -1573,7 +1702,11 @@ object IcebergImport {
     // files (the same footers the scan opens anyway).
     val defFooters: Map[String, FooterInfo] =
       if (p.defaults.isEmpty) Map.empty
-      else sniffFooters(spark, p.files.map(_.uri).distinct)
+      else sniffFooters(spark, pqFiles.map(_.uri).distinct) ++ {
+        val conf = spark.sessionState.newHadoopConf()
+        orcFiles.map(_.uri).distinct.map(u =>
+          u -> orcFooterInfo(conf, u)).toMap
+      }
     def lacksColumn(f: DataFileRef, d: DefaultField): Boolean = {
       val fi = defFooters(f.uri)
       !(fi.ids.contains(d.fieldId) ||
@@ -1641,14 +1774,52 @@ object IcebergImport {
       .map { case (_, fs) =>
         val resolution = plainResolution(p.copy(schema = scanSchema),
           footerInfo(spark, fs.head.uri).cols)
+        // id-LESS files read by name at every depth — nested field-id
+        // metadata must not reach this request (fieldId.read.enabled
+        // errors on an id-carrying schema over an id-less footer)
         val readSchema = StructType(resolution.map { case (n, f) =>
-          StructField(n, f.dataType, nullable = true) }.toArray)
+          StructField(n, stripIdsType(f.dataType), nullable = true) }
+          .toArray)
         spark.read.schema(readSchema)
           .parquet(fs.map(_.uri): _*)
           .select(resolution.map { case (n, f) =>
             col(n).as(f.name) } ++ metaSel: _*)
       }
-    val base = (idScan.toSeq ++ plainScans)
+    // ORC data files: Spark reads ORC natively; resolution is by NAME
+    // (no field-id mode exists for ORC), so they follow the id-less
+    // path — per-manifest footer-driven name resolution, schema-
+    // evolution NULLs for absent columns. Manifest bounds/null-count
+    // pruning upstream is format-agnostic (it reads Avro metadata),
+    // and EQUALITY deletes compose (value anti-joins need no row
+    // ordinals). The pinned blocker for the rest: Spark's ORC source
+    // exposes only file-constant _metadata fields (file_path, name,
+    // size, block start/length, modification time) — NO row_index
+    // (verified empirically on this build; parquet-only per
+    // FileFormat.ROW_INDEX wiring) — so POSITION deletes, deletion
+    // vectors and (row-)lineage reads cannot be served over ORC rows
+    // and refuse loud here instead of mis-reading.
+    if (orcFiles.nonEmpty && needPos)
+      throw new UnsupportedOperationException(
+        "this tree carries ORC data files and the read needs per-row " +
+          "positions (position deletes / deletion vectors / lineage) — " +
+          "Spark's ORC source exposes no _metadata.row_index, so " +
+          "ordinals cannot be reconstructed; compact the table's " +
+          "deletes or rewrite its data files to parquet first " +
+          s"(${orcFiles.size} ORC file(s), e.g. ${orcFiles.head.uri})")
+    val orcScans = orcFiles.groupBy(_.manifest).toSeq.sortBy(_._1)
+      .map { case (_, fs0) =>
+        val resolution = plainResolution(p.copy(schema = scanSchema),
+          orcFooterInfo(spark.sessionState.newHadoopConf(),
+            fs0.head.uri).cols)
+        val readSchema = StructType(resolution.map { case (n, f) =>
+          StructField(n, stripIdsType(f.dataType), nullable = true) }
+          .toArray)
+        spark.read.schema(readSchema)
+          .orc(fs0.map(_.uri): _*)
+          .select(resolution.map { case (n, f) =>
+            col(n).as(f.name) } ++ metaSel: _*)
+      }
+    val base = (idScan.toSeq ++ plainScans ++ orcScans)
       .reduce(_ unionByName _)
       .join(info, FileCol)
     // identity columns: the file's own bytes when the writer stored them
@@ -1711,7 +1882,8 @@ object IcebergImport {
                     p.copy(schema = StructType(
                       cols.map(c => p.schema(c)).toArray)), fi.cols)
                   (StructType(res.map { case (n, f) =>
-                    StructField(n, f.dataType, nullable = true) }
+                    StructField(n, stripIdsType(f.dataType),
+                      nullable = true) }
                       .toArray),
                     res.map(_._1))
                 }
@@ -1789,10 +1961,19 @@ object IcebergImport {
           coalesce(col(LastUpdSeqCol), col(SeqCol)))
     // explicit empty-metadata aliases drop the field-id markers from the
     // result columns so downstream consumers (graft create/append schema
-    // storage) see a plain schema
+    // storage) see a plain schema; struct columns additionally cast to
+    // their stripped twin — the alias clears only TOP-level metadata,
+    // nested ids live inside the dataType itself
+    def plainCol(c: String): Column = {
+      val cleaned = schema.find(_.name == c).map(_.dataType) match {
+        case Some(st: StructType) => col(c).cast(st)
+        case _ => col(c)
+      }
+      cleaned.as(c, Metadata.empty)
+    }
     withRowLineage.select((schema.fieldNames.toIndexedSeq ++
       rowLineageFields.map(_.name))
-      .map(c => col(c).as(c, Metadata.empty)) ++
+      .map(plainCol) ++
       (if (lineage) Seq(col(ManifestUriCol).as(LineageFileCol),
         col(PosCol).cast(LongType).as(LineagePosCol)) else Nil): _*)
   }

@@ -326,7 +326,10 @@ object IcebergWriteBack {
     // table root would re-resolve through version-hint.text, which on
     // a catalog-adopted tree points at frozen pre-adoption state (the
     // catalog writes *-rest.metadata.json and never updates the hint)
+    // ORC files never carry parquet ids and don't vote — new parquet
+    // files from this writer default id-ful on an ORC-only tree
     val files = IcebergImport.plan(spark, tree.metaFile.toString).files
+      .filter(_.format == "parquet")
     if (files.isEmpty) true
     else {
       val sample = (files.take(2) ++ files.takeRight(2)).map(_.uri)
@@ -2642,14 +2645,17 @@ object IcebergWriteBack {
   def renameColumn(spark: SparkSession, tableLocation: String,
       from: String, to: String): Int = {
     implicit val fmts: Formats = DefaultFormats
-    val files = IcebergImport.plan(spark, tableLocation).files
+    val allFiles = IcebergImport.plan(spark, tableLocation).files
+    val files = allFiles.filter(_.format == "parquet")
     val sample = (files.take(2) ++ files.takeRight(2)).map(_.uri).distinct
     // publish the mapping unless the sampled files are UNIFORMLY
     // id-ful: on a MIXED adopted-then-native tree the id-less files
     // need it, and the mapping is harmless for id-resolved files (id
-    // resolution wins first), so erring toward publishing is safe
-    val idful = files.isEmpty ||
-      sample.forall(u => IcebergImport.footerInfo(spark, u).hasIds)
+    // resolution wins first), so erring toward publishing is safe.
+    // ORC files are always name-resolved — their presence forces the
+    // mapping regardless of the parquet sample.
+    val idful = allFiles.size == files.size && (files.isEmpty ||
+      sample.forall(u => IcebergImport.footerInfo(spark, u).hasIds))
     val updateProps: (Tree, List[JValue]) => Option[JValue] =
       if (idful) (_, _) => None
       else (tree, fields) => {

@@ -127,26 +127,289 @@ class IcebergImportSpec extends SparkSpec {
       // first thing plan() does — no file is ever opened)
       intercept[IllegalArgumentException](IcebergImport.read(spark, loc))
     }
-    // nested struct type (a JSON object where flat readers expect a
-    // string) — same loud refusal, not a null-filled column
-    val loc = tmpDir("imp-exotic-nested") + "/ft"
+    // LIST and MAP columns (structs now read — see the nested-struct
+    // tests below) — loud refusal naming the field path, not a
+    // null-filled column
+    Seq(
+      """{"type":"list","element-id":3,"element":"double",
+        |"element-required":false}""".stripMargin -> "list",
+      """{"type":"map","key-id":3,"key":"string","value-id":4,
+        |"value":"double","value-required":false}""".stripMargin -> "map"
+    ).foreach { case (typeJson, kind) =>
+      val loc = tmpDir(s"imp-exotic-$kind") + "/ft"
+      new java.io.File(loc).mkdirs()
+      val f = ForeignFixtures.writeParquet(spark, loc, "A",
+        Seq(Tuple1(1L)).toDF("id"))
+      val nestedSchema = ForeignFixtures.schemaJsonTyped(0, Seq(
+        (1, "id", "\"long\""), (2, "pt", typeJson.replaceAll("\\s+", ""))))
+      ForeignFixtures.writeTree(loc, Seq(nestedSchema), 0, Seq.empty,
+        Seq(Snap(100L, None, 1L, "append", Seq(Data(f, 1, 1L)))),
+        formatVersion = 2, lastColumnId = 4)
+      val e = intercept[IllegalArgumentException](
+        IcebergImport.plan(spark, loc))
+      assert(e.getMessage.contains(kind) && e.getMessage.contains("pt"),
+        s"refusal for $kind must name kind and field: ${e.getMessage}")
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // NESTED STRUCT columns (r15 verdict #3): id-resolved at every depth //
+  // ------------------------------------------------------------------ //
+
+  /** A frame of (id, cust{nid, status}, v) rows with parquet field ids
+    * stamped at EVERY level, so the written files embed them. */
+  private def nestedFrame(rows: Seq[(Long, Long, String, Double)])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    def meta(id: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1)),
+      StructField("cust", StructType(Seq(
+        StructField("nid", LongType, nullable = true, meta(4)),
+        StructField("status", StringType, nullable = true, meta(5)))),
+        nullable = true, meta(2)),
+      StructField("v", DoubleType, nullable = true, meta(3))))
+    spark.createDataFrame(
+      rows.map { case (i, n, st, v) =>
+        org.apache.spark.sql.Row(i, org.apache.spark.sql.Row(n, st), v)
+      }.asJava, schema)
+  }
+
+  private def nestedSchemaJson(statusName: String = "status",
+      extraLeaf: Boolean = false): String =
+    ForeignFixtures.schemaJsonTyped(0, Seq(
+      (1, "id", "\"long\""),
+      (2, "cust", ForeignFixtures.structType(
+        Seq((4, "nid", "\"long\""), (5, statusName, "\"string\"")) ++
+          (if (extraLeaf) Seq((6, "extra", "\"long\"")) else Seq.empty))),
+      (3, "v", "\"double\"")))
+
+  test("nested struct: id-resolved read under MOR deletes (position " +
+      "delete + flat-keyed equality delete on a nested-carrying tree)") {
+    import ForeignFixtures.{Data, EqDel, PosDel, Snap}
+    val loc = tmpDir("imp-nested-mor") + "/ft"
     new java.io.File(loc).mkdirs()
-    val f = ForeignFixtures.writeParquet(spark, loc, "A",
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A", nestedFrame(
+      (1L to 6L).map(i => (i, i * 10, s"s$i", i * 1.0))))
+    // position delete kills row 0 of A (id=1); equality delete on the
+    // TOP-LEVEL id column kills id=4 — both over a struct-carrying tree
+    val fPos = ForeignFixtures.writeParquet(spark, loc, "posdel",
+      Seq((fA, 0L)).toDF("file_path", "pos"))
+    val fEq = ForeignFixtures.writeParquet(spark, loc, "eqdel",
+      Seq(Tuple1(4L)).toDF("id"))
+    ForeignFixtures.writeTree(loc, Seq(nestedSchemaJson()), 0, Seq.empty,
+      Seq(Snap(100L, None, 2L, "overwrite", Seq(
+        Data(fA, 6, 1L),
+        PosDel(fPos, 1, 2L),
+        EqDel(fEq, 1, 2L, Seq(1))))),
+      lastColumnId = 5)
+    val back = IcebergImport.read(spark, loc)
+    // output schema is plain at every depth (no field-id metadata)
+    import org.apache.spark.sql.types._
+    val custT = back.schema("cust").dataType.asInstanceOf[StructType]
+    assert(custT.fields.forall(_.metadata == Metadata.empty),
+      "nested field-id metadata must not leak into the output schema")
+    val got = back.select($"id", $"cust.nid", $"cust.status", $"v")
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(2L, 3L, 5L, 6L).map(i =>
+      (i, i * 10, s"s$i", i * 1.0)))
+  }
+
+  test("nested struct: leaf RENAME + later-added leaf resolve by field " +
+      "id against pre-evolve files") {
+    import ForeignFixtures.{Data, Snap}
+    val loc = tmpDir("imp-nested-evolve") + "/ft"
+    new java.io.File(loc).mkdirs()
+    // file written under schema 0 (leaf named `status`, id 5)
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A", nestedFrame(
+      Seq((1L, 10L, "old", 1.0), (2L, 20L, "older", 2.0))))
+    // current schema 1 renames the nested leaf to `seg` (same id 5) and
+    // adds a NEW nested leaf `extra` (id 6) no file carries yet
+    val schema0 = nestedSchemaJson()
+    val schema1 = ForeignFixtures.schemaJsonTyped(1, Seq(
+      (1, "id", "\"long\""),
+      (2, "cust", ForeignFixtures.structType(Seq(
+        (4, "nid", "\"long\""), (5, "seg", "\"string\""),
+        (6, "extra", "\"long\"")))),
+      (3, "v", "\"double\"")))
+    ForeignFixtures.writeTree(loc, Seq(schema0, schema1), 1, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 2, 1L)))),
+      lastColumnId = 6)
+    val back = IcebergImport.read(spark, loc)
+    val custT = back.schema("cust").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(custT.fieldNames.toSeq === Seq("nid", "seg", "extra"),
+      "current schema names win (nested rename is metadata-only)")
+    val got = back.select($"id", $"cust.seg", $"cust.extra")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // seg carries the PRE-RENAME bytes (id 5); extra reads NULL
+    assert(got.toSeq === Seq((1L, "old", -1L), (2L, "older", -1L)))
+  }
+
+  test("nested struct: unsupported interactions refuse LOUD with the " +
+      "dotted path (spec-sourced partition, nested-keyed equality " +
+      "delete, struct initial-default)") {
+    import ForeignFixtures.{Data, EqDel, Snap, SpecField}
+    // 1) partition spec sourced from a nested leaf
+    locally {
+      val loc = tmpDir("imp-nested-spec") + "/ft"
+      new java.io.File(loc).mkdirs()
+      val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+        nestedFrame(Seq((1L, 10L, "x", 1.0))))
+      ForeignFixtures.writeTree(loc, Seq(nestedSchemaJson()), 0,
+        Seq(SpecField("status_p", "identity", 5, "string")),
+        Seq(Snap(100L, None, 1L, "append",
+          Seq(Data(fA, 1, 1L, Map("status_p" -> "x"))))),
+        lastColumnId = 5)
+      val e = intercept[IllegalArgumentException](
+        IcebergImport.plan(spark, loc))
+      assert(e.getMessage.contains("cust.status"), e.getMessage)
+    }
+    // 2) equality delete keyed on a nested leaf id
+    locally {
+      val loc = tmpDir("imp-nested-eq") + "/ft"
+      new java.io.File(loc).mkdirs()
+      val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+        nestedFrame(Seq((1L, 10L, "x", 1.0))))
+      val fEq = ForeignFixtures.writeParquet(spark, loc, "eqdel",
+        Seq(Tuple1("x")).toDF("status"))
+      ForeignFixtures.writeTree(loc, Seq(nestedSchemaJson()), 0,
+        Seq.empty,
+        Seq(Snap(100L, None, 2L, "overwrite", Seq(
+          Data(fA, 1, 1L), EqDel(fEq, 1, 2L, Seq(5))))),
+        lastColumnId = 5)
+      val e = intercept[IllegalStateException](
+        IcebergImport.plan(spark, loc))
+      assert(e.getMessage.contains("cust.status"), e.getMessage)
+    }
+    // 3) v3 initial-default on a struct field
+    locally {
+      val loc = tmpDir("imp-nested-def") + "/ft"
+      new java.io.File(loc).mkdirs()
+      val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+        nestedFrame(Seq((1L, 10L, "x", 1.0))))
+      val schema =
+        """{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"id","required":false,"type":"long"},
+          |{"id":2,"name":"cust","required":false,
+          |"initial-default":{"nid":0},"type":{"type":"struct","fields":[
+          |{"id":4,"name":"nid","required":false,"type":"long"}]}}
+          |]}""".stripMargin.replaceAll("\n", "")
+      ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+        Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 1, 1L)))),
+        formatVersion = 3, lastColumnId = 4)
+      val e = intercept[IllegalArgumentException](
+        IcebergImport.plan(spark, loc))
+      assert(e.getMessage.contains("non-scalar") &&
+        e.getMessage.contains("cust"), e.getMessage)
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // ORC data files (r15 verdict #7): Spark reads ORC natively; the     //
+  // import resolves ORC by NAME and serves MOR deletes over them via   //
+  // _metadata.row_index exactly like parquet.                          //
+  // ------------------------------------------------------------------ //
+
+  test("ORC data files: a mixed parquet+ORC tree reads unioned with " +
+      "schema-evolution NULLs, EQUALITY deletes apply over ORC rows, " +
+      "and position deletes / lineage refuse LOUD (no ORC row_index)") {
+    import ForeignFixtures.{Data, EqDel, PosDel, Snap}
+    val loc = tmpDir("imp-orc") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val fOrc = ForeignFixtures.writeOrc(spark, loc, "A",
+      (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartition(1).sortWithinPartitions("id"))
+    val fPq = ForeignFixtures.writeParquet(spark, loc, "B",
+      (6L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // equality delete kills id=2 (an ORC row) and id=7 (a parquet row)
+    val fEq = ForeignFixtures.writeParquet(spark, loc, "eqdel",
+      Seq(2L, 7L).map(Tuple1(_)).toDF("id"))
+    // current schema has an evolved EXTRA column no file carries
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "id", "long"), (2, "v", "string"), (3, "extra", "double")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 2L, "overwrite", Seq(
+        Data(fOrc, 5, 1L, format = "ORC"),
+        Data(fPq, 3, 1L),
+        EqDel(fEq, 2, 2L, Seq(1))))),
+      lastColumnId = 3)
+    val back = IcebergImport.read(spark, loc)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "v", "extra"))
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2)))
+    assert(got.toSeq === Seq(1L, 3L, 4L, 5L, 6L, 8L).map(i =>
+      (i, s"v$i", true)))
+
+    // a POSITION delete over the same tree: loud refusal naming the
+    // blocker (Spark ORC exposes no _metadata.row_index), not a
+    // silent mis-read; lineage reads refuse identically
+    val loc2 = tmpDir("imp-orc-pos") + "/ft"
+    new java.io.File(loc2).mkdirs()
+    val fOrc2 = ForeignFixtures.writeOrc(spark, loc2, "A",
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    val fPos = ForeignFixtures.writeParquet(spark, loc2, "posdel",
+      Seq((fOrc2, 1L)).toDF("file_path", "pos"))
+    val schema2 = ForeignFixtures.schemaJson(0, Seq(
+      (1, "id", "long"), (2, "v", "string")))
+    ForeignFixtures.writeTree(loc2, Seq(schema2), 0, Seq.empty,
+      Seq(Snap(100L, None, 2L, "overwrite", Seq(
+        Data(fOrc2, 2, 1L, format = "ORC"),
+        PosDel(fPos, 1, 2L)))),
+      lastColumnId = 2)
+    val e = intercept[UnsupportedOperationException](
+      IcebergImport.read(spark, loc2).collect())
+    assert(e.getMessage.contains("row_index") &&
+      e.getMessage.contains("ORC"), e.getMessage)
+    val e2 = intercept[UnsupportedOperationException](
+      IcebergImport.readLineage(spark, loc).collect())
+    assert(e2.getMessage.contains("row_index"), e2.getMessage)
+  }
+
+  test("ORC data files: post-rename reads resolve pre-rename ORC " +
+      "columns through name mapping; an ORC DELETE file refuses loud") {
+    import ForeignFixtures.{Data, EqDel, Snap}
+    // name-mapping resolution: file written with column `v`, current
+    // schema names it `val` (id 2), mapping published for id 2
+    val loc = tmpDir("imp-orc-rename") + "/ft"
+    new java.io.File(loc).mkdirs()
+    val fOrc = ForeignFixtures.writeOrc(spark, loc, "A",
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    val schema = ForeignFixtures.schemaJson(0, Seq(
+      (1, "id", "long"), (2, "val", "string")))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append",
+        Seq(Data(fOrc, 2, 1L, format = "ORC")))),
+      properties = Map("schema.name-mapping.default" ->
+        """[{\"field-id\": 2, \"names\": [\"val\", \"v\"]}]"""),
+      lastColumnId = 2)
+    val back = IcebergImport.read(spark, loc)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "val"))
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "x"), (2L, "y")))
+
+    // ORC-encoded DELETE file: loud refusal naming format and fix
+    val loc2 = tmpDir("imp-orc-del") + "/ft"
+    new java.io.File(loc2).mkdirs()
+    val fA = ForeignFixtures.writeParquet(spark, loc2, "A",
+      Seq((1L, "x")).toDF("id", "v"))
+    val fEq = ForeignFixtures.writeOrc(spark, loc2, "eqdel",
       Seq(Tuple1(1L)).toDF("id"))
-    val nestedSchema =
-      """{"type":"struct","schema-id":0,"fields":[
-        |{"id":1,"name":"id","required":false,"type":"long"},
-        |{"id":2,"name":"pt","required":false,"type":
-        |  {"type":"struct","fields":[
-        |    {"id":3,"name":"x","required":false,"type":"double"}]}}
-        |]}""".stripMargin
-    ForeignFixtures.writeTree(loc, Seq(nestedSchema), 0, Seq.empty,
-      Seq(Snap(100L, None, 1L, "append", Seq(Data(f, 1, 1L)))),
-      formatVersion = 2, lastColumnId = 3)
+    val schema2 = ForeignFixtures.schemaJson(0, Seq(
+      (1, "id", "long"), (2, "v", "string")))
+    ForeignFixtures.writeTree(loc2, Seq(schema2), 0, Seq.empty,
+      Seq(Snap(100L, None, 2L, "overwrite", Seq(
+        Data(fA, 1, 1L),
+        EqDel(fEq, 1, 2L, Seq(1), format = "ORC")))),
+      lastColumnId = 2)
     val e = intercept[IllegalArgumentException](
-      IcebergImport.plan(spark, loc))
-    assert(e.getMessage.contains("nested type") &&
-      e.getMessage.contains("pt"))
+      IcebergImport.plan(spark, loc2))
+    assert(e.getMessage.contains("DELETE") &&
+      e.getMessage.toLowerCase.contains("orc"), e.getMessage)
   }
 
   // ---------------------------------------------------------------- //
