@@ -392,7 +392,12 @@ object IcebergExport {
   }
 
   def export(spark: SparkSession, table: GraftTable,
-      history: Int = 1): String = {
+      history: Int = 1): String =
+    graft.util.Phase.timed("ice.export")(
+      exportImpl(spark, table, history))
+
+  private def exportImpl(spark: SparkSession, table: GraftTable,
+      history: Int): String = {
     val snap = table.latestSnapshot.getOrElse(
       throw new IllegalStateException(
         s"table does not exist: ${table.location}"))

@@ -496,7 +496,11 @@ object IcebergImport {
   }
 
   def plan(spark: SparkSession, tableLocation: String,
-      at: Option[String] = None): TablePlan = {
+      at: Option[String] = None): TablePlan =
+    graft.util.Phase.timed("ice.plan")(planImpl(spark, tableLocation, at))
+
+  private def planImpl(spark: SparkSession, tableLocation: String,
+      at: Option[String]): TablePlan = {
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
     val (fs, meta, metaFile) = parseMeta(spark, tableLocation)

@@ -1473,32 +1473,40 @@ object IcebergWriteBack {
       catalog: Option[(String, String)] = None): Long = {
     if (alreadyCommitted(spark, tableLocation, txn))
       return replayId(spark, tableLocation, txn)
-    val tree = loadTree(spark, tableLocation, catalog = catalog)
+    val tree = graft.util.Phase.timed("ice.merge.loadTree")(
+      loadTree(spark, tableLocation, catalog = catalog))
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val schemaCols = tree.fields.map(_._1).toSet
     val badKeys = keys.filterNot(schemaCols)
     require(badKeys.isEmpty,
       s"merge keys not in table schema: ${badKeys.mkString(",")}")
-    val hasIds = treeHasIds(spark, tree)
+    val hasIds = graft.util.Phase.timed("ice.merge.sniff")(
+      treeHasIds(spark, tree))
     // the batch is the SMALL side of a merge: persist it so the stats
     // pass, the key semi-join and the data write materialize its
     // lineage once, not once per consumer (micro-batch sources are
     // expensive to recompute)
     val src = source.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the DISTINCT key tuples serve three masters with ONE shuffle:
+    // the duplicate-key guard (|distinct| == |source| — SQL DISTINCT
+    // groups NULLs like GROUP BY, so null-keyed rows count correctly),
+    // the position-mode semi-join probe side, and nothing else touches
+    // a keyed shuffle — the former groupBy(keys).count pass is gone
+    // (bounds reduce map-side as a scalar aggregate)
+    val distinctKeys = src.select(keys.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ONE pass over the source yields BOTH the duplicate-key guard
-      // and the per-key-column min/max bounds (the target file pruner)
-      val keyAgg = src.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__cnt"))
-      val statAggs = max(col("__cnt")).as("__maxc") +:
+      val statAggs = count(lit(1)).as("__n") +:
         keys.flatMap(k => Seq(min(col(k)).as(s"__lo_$k"),
           max(col(k)).as(s"__hi_$k")))
-      val stats = keyAgg.agg(statAggs.head, statAggs.tail: _*).head()
-      val maxc = Option(stats.getAs[Any]("__maxc"))
-        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-      if (maxc > 1L) {
-        val dup = keyAgg.filter(col("__cnt") > 1).limit(1).collect()
+      val stats = graft.util.Phase.timed("ice.merge.stats")(
+        src.agg(statAggs.head, statAggs.tail: _*).head())
+      val srcCount = stats.getAs[Long]("__n")
+      if (distinctKeys.count() != srcCount) {
+        val dup = src.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > 1).limit(1).collect()
         throw new IllegalArgumentException(
           s"source has multiple rows for key ${dup.headOption
             .map(_.toString).getOrElse("")} — dedup the source " +
@@ -1506,6 +1514,7 @@ object IcebergWriteBack {
       }
       val delRec: Option[(GenericRecord, Option[Int],
           Map[String, GenericRecord])] =
+        graft.util.Phase.timed("ice.merge.tombstones")(
         if (equalityDeletes) {
           // Flink-style upsert: tombstone the source KEYS as equality
           // deletes — NO target scan at all; unmatched keys tombstone
@@ -1538,8 +1547,7 @@ object IcebergWriteBack {
             case None => IcebergImport.readLineage(spark, tableLocation)
           }
           val matched = posCoords(
-            lineage.join(src.select(keys.map(col): _*).distinct(),
-              keys, "left_semi"), hasIds)
+            lineage.join(distinctKeys, keys, "left_semi"), hasIds)
           // v3: matched-row tombstones become DELETION VECTORS (v3
           // forbids new position-delete files); v2 keeps its parquet
           // position-delete encoding
@@ -1550,17 +1558,18 @@ object IcebergWriteBack {
               Seq("file_path", "pos"), content = 1, equalityIds = Nil)
               .map { case (r, a) =>
                 (r, a, Map.empty[String, GenericRecord]) }
-        }
-      val dataRec = newDataManifest(spark, tree, src, hasIds)
-      delRec match {
+        })
+      val dataRec = graft.util.Phase.timed("ice.merge.write")(
+        newDataManifest(spark, tree, src, hasIds))
+      graft.util.Phase.timed("ice.merge.publish")(delRec match {
         case None => // pure insert — an honest append commit
           publish(spark, tree, Seq(dataRec), "append", None,
             summaryProps = txnProps(txn))
         case Some((rec, addSpec, repl)) =>
           publish(spark, tree, Seq(rec, dataRec), "overwrite", addSpec,
             repl, summaryProps = txnProps(txn))
-      }
-    } finally src.unpersist()
+      })
+    } finally { distinctKeys.unpersist(); src.unpersist() }
   }
 
   /** MAINTENANCE write-back — compact the foreign tree's small files as
