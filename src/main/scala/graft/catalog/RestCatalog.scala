@@ -282,12 +282,38 @@ object RestCatalog {
     true
   }
 
-  /** List namespaces (`GET /v1/{prefix}/namespaces`) as dotted names. */
-  def listNamespaces(catalogUri: String): Seq[String] = {
-    val res = parse(httpGet(nsRoute(catalogUri)))
-    (res \ "namespaces").children.map(_.children
-      .map(_.extract[String]).mkString("."))
+  /** Drain a paginated list route: follow `next-page-token` until the
+    * server stops sending one (the spec's opaque-token contract — the
+    * client never interprets the token, only echoes it back). Production
+    * catalogs paginate thousand-table namespaces; a client that reads
+    * one page silently UNDERCOUNTS. */
+  private def pagedList(uriBase: String, key: String): Seq[JValue] = {
+    val out = Seq.newBuilder[JValue]
+    var token: Option[String] = None
+    var pages = 0
+    var done = false
+    while (!done) {
+      val uri = token.map(t => uriBase +
+        (if (uriBase.contains('?')) "&" else "?") +
+        s"pageToken=${URLEncoder.encode(t, "UTF-8")}").getOrElse(uriBase)
+      val res = parse(httpGet(uri))
+      out ++= (res \ key).children
+      token = (res \ "next-page-token").extractOpt[String]
+        .filter(_.nonEmpty)
+      done = token.isEmpty
+      pages += 1
+      require(pages <= 100000,
+        s"runaway pagination on $uriBase (server keeps sending " +
+          "next-page-token)")
+    }
+    out.result()
   }
+
+  /** List namespaces (`GET /v1/{prefix}/namespaces`) as dotted names —
+    * every page followed per the spec's pagination contract. */
+  def listNamespaces(catalogUri: String): Seq[String] =
+    pagedList(nsRoute(catalogUri), "namespaces").map(_.children
+      .map(_.extract[String]).mkString("."))
 
   /** List a namespace's tables
     * (`GET /v1/{prefix}/namespaces/{ns}/tables`) as dotted
@@ -295,11 +321,11 @@ object RestCatalog {
   def listTables(catalogUri: String, namespace: String): Seq[String] = {
     val ns = URLEncoder.encode(
       namespace.split('.').mkString("\u001f"), "UTF-8")
-    val res = parse(httpGet(s"${nsRoute(catalogUri)}/$ns/tables"))
-    (res \ "identifiers").children.map { id =>
-      ((id \ "namespace").children.map(_.extract[String]) :+
-        (id \ "name").extract[String]).mkString(".")
-    }
+    pagedList(s"${nsRoute(catalogUri)}/$ns/tables", "identifiers")
+      .map { id =>
+        ((id \ "namespace").children.map(_.extract[String]) :+
+          (id \ "name").extract[String]).mkString(".")
+      }
   }
 
   /** Create a table catalog-first (`POST

@@ -87,6 +87,30 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
   /** Number of tokens minted so far (spec observability). */
   def tokensIssued: Int = issued.size
 
+  /** When set, LIST routes return at most N entries per response plus
+    * the spec's `next-page-token` (opaque to the client; here an
+    * offset) — pins the client's page-draining loop. */
+  @volatile var pageSize: Option[Int] = None
+
+  private def pageOffset(ex: HttpExchange): Int =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split('&')
+      .flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) None
+        else Some(kv.take(i) ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+      }.toMap.get("pageToken")
+      .flatMap(t => scala.util.Try(t.toInt).toOption).getOrElse(0)
+
+  private def paginate[T](items: List[T], offset: Int)
+      : (List[T], Option[String]) = pageSize match {
+    case None => (items, None)
+    case Some(n) =>
+      (items.slice(offset, offset + n),
+        if (offset + n < items.size) Some((offset + n).toString)
+        else None)
+  }
+
   /** The PRIMARY table's current metadata location. */
   def location: String = tabs(primary)
 
@@ -401,11 +425,16 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
         else (200, compact(render(
           ("namespace" -> nsName.split('\u001f').toList) ~
             ("properties" -> JObject(Nil)))))
-      } else if (path == "/v1/namespaces")
-        (200, compact(render("namespaces" -> JArray(
-          nss.keys.toList.sorted.map(n =>
-            JArray(n.split('\u001f').map(JString(_): JValue).toList)
-              : JValue)))))
+      } else if (path == "/v1/namespaces") {
+        val (page, next) = paginate(nss.keys.toList.sorted,
+          pageOffset(ex))
+        val body0: JValue = ("namespaces" -> JArray(page.map(n =>
+          JArray(n.split('\u001f').map(JString(_): JValue).toList)
+            : JValue)))
+        (200, compact(render(next.map(t =>
+          body0 merge (("next-page-token" -> t): JValue))
+          .getOrElse(body0))))
+      }
       else if (path == "/v1/tables/rename" && post) synchronized {
         // the spec's rename route: only the catalog's name -> table
         // binding moves; metadata/history/data untouched
@@ -451,11 +480,16 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
               ("metadata" -> readMeta(tabs((ns, tbl)))))))
         case TablesRe(ns) if post => createTable(ns, reqBody)
         case TablesRe(ns) if nss.contains(ns) =>
-          (200, compact(render("identifiers" -> JArray(
-            tabs.keys.filter(_._1 == ns).map(_._2).toList.sorted.map(t =>
-              ((("namespace" -> JArray(ns.split('\u001f')
-                .map(JString(_): JValue).toList)) ~
-                ("name" -> t)): JValue))))))
+          val (page, next) = paginate(
+            tabs.keys.filter(_._1 == ns).map(_._2).toList.sorted,
+            pageOffset(ex))
+          val body0: JValue = ("identifiers" -> JArray(page.map(t =>
+            ((("namespace" -> JArray(ns.split('\u001f')
+              .map(JString(_): JValue).toList)) ~
+              ("name" -> t)): JValue))))
+          (200, compact(render(next.map(tok =>
+            body0 merge (("next-page-token" -> tok): JValue))
+            .getOrElse(body0))))
         case _ =>
           (404, """{"error":{"message":"NoSuchTable",
             |"type":"NoSuchTableException","code":404}}""".stripMargin)

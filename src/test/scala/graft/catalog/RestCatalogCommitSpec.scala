@@ -788,6 +788,28 @@ class RestCatalogCommitSpec extends SparkSpec {
     }
   }
 
+  test("pagination: list routes drain every page via next-page-token " +
+      "(a one-page client silently undercounts a paginated catalog)") {
+    val t = freshTree("ccommit-page")
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      (1 to 5).foreach(i =>
+        RestCatalog.createNamespace(base, s"ns$i"))
+      (1 to 5).foreach(i =>
+        RestCatalog.createTable(base, s"ns1.t$i",
+          org.json4s.jackson.JsonMethods.parse(
+            """{"type":"struct","schema-id":0,"fields":[
+              |{"id":1,"name":"id","required":false,"type":"long"}]}"""
+              .stripMargin),
+          location = Some(tmpDir(s"ccommit-page-t$i"))))
+      cat.pageSize = Some(2) // 6 namespaces / 5 tables → 3 pages each
+      assert(RestCatalog.listNamespaces(base).toSet ===
+        (Set("lake") ++ (1 to 5).map(i => s"ns$i")))
+      assert(RestCatalog.listTables(base, "ns1").sorted ===
+        (1 to 5).map(i => s"ns1.t$i"))
+      cat.pageSize = None
+    }
+  }
+
   test("v3 catalog commits: the snapshot's first-row-id/added-rows " +
       "advance the CATALOG's next-row-id (the spec's row-lineage " +
       "contract); lineage is continuous across catalog commits; a DV " +

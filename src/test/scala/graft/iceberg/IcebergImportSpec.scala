@@ -250,6 +250,59 @@ class IcebergImportSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "old", -1L), (2L, "older", -1L)))
   }
 
+  test("nested struct: TWO levels deep (struct-in-struct) round-trips " +
+      "with ids at every depth and a list INSIDE a struct refuses " +
+      "loud with the full dotted path") {
+    import ForeignFixtures.{Data, Snap}
+    import org.apache.spark.sql.types._
+    val loc = tmpDir("imp-nested-deep") + "/ft"
+    new java.io.File(loc).mkdirs()
+    def meta(id: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val deep = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1)),
+      StructField("a", StructType(Seq(
+        StructField("b", StructType(Seq(
+          StructField("x", LongType, nullable = true, meta(4)))),
+          nullable = true, meta(3)))),
+        nullable = true, meta(2))))
+    val df = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L,
+        org.apache.spark.sql.Row(org.apache.spark.sql.Row(7L))),
+        org.apache.spark.sql.Row(2L,
+          org.apache.spark.sql.Row(org.apache.spark.sql.Row(9L))))
+        .asJava, deep)
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A", df)
+    val schema = ForeignFixtures.schemaJsonTyped(0, Seq(
+      (1, "id", "\"long\""),
+      (2, "a", ForeignFixtures.structType(Seq(
+        (3, "b", ForeignFixtures.structType(Seq((4, "x", "\"long\"")))))))))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 2, 1L)))),
+      lastColumnId = 4)
+    val got = IcebergImport.read(spark, loc)
+      .select($"id", $"a.b.x").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 7L), (2L, 9L)))
+
+    // a list nested INSIDE a struct refuses with the dotted path
+    val loc2 = tmpDir("imp-nested-deep-list") + "/ft"
+    new java.io.File(loc2).mkdirs()
+    val fB = ForeignFixtures.writeParquet(spark, loc2, "A",
+      Seq(Tuple1(1L)).toDF("id"))
+    val schema2 = ForeignFixtures.schemaJsonTyped(0, Seq(
+      (1, "id", "\"long\""),
+      (2, "a", ForeignFixtures.structType(Seq(
+        (3, "xs", """{"type":"list","element-id":4,"element":"long","element-required":false}"""))))))
+    ForeignFixtures.writeTree(loc2, Seq(schema2), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fB, 1, 1L)))),
+      lastColumnId = 4)
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.plan(spark, loc2))
+    assert(e.getMessage.contains("a.xs") &&
+      e.getMessage.contains("list"), e.getMessage)
+  }
+
   test("nested struct: unsupported interactions refuse LOUD with the " +
       "dotted path (spec-sourced partition, nested-keyed equality " +
       "delete, struct initial-default)") {
