@@ -43,12 +43,7 @@ object SimilaritySearch {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineQ(col("q_q"), col("q_c")))
-    scored.groupBy("query_id")
-      .agg(graft.functions.AggExpressions
-        .topk_by(col("neighbor_id"), col("cos"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"), col("col.cos"))
+    rankTopK(scored, k)
   }
 
   /** Candidate pairs from multi-table hyperplane LSH with single-bit
@@ -196,16 +191,35 @@ object SimilaritySearch {
     val queryProbes = exactProbes.unionByName(annProbes)
       .dropDuplicates("query_id", "list_id")
 
-    val cand = corpusLists.join(queryProbes, Seq("list_id"))
+    // probe side BROADCAST (same contract as bruteForceTopK's query
+    // broadcast: the query batch is the small side of an ANN search by
+    // construction) — without it the planner equi-joins on list_id,
+    // shuffling the WHOLE corpus onto a key with only nLists distinct
+    // values: at 32 cores and 16 lists half the cluster idles, and the
+    // skew worsens linearly with corpus scale. No dedup needed: each
+    // corpus row is assigned exactly ONE list (deterministic
+    // expression) and queryProbes is unique per (query, list), so the
+    // join emits each (query, neighbor) pair at most once — the old
+    // dropDuplicates was a full candidates-wide shuffle for nothing.
+    val cand = corpusLists.join(broadcast(queryProbes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosineQ(col("q_query_id"), col("q_neighbor_id")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    rankTopK(cand, k)
   }
+
+  /** Candidates → per-query top-k via the bounded-heap
+    * [[graft.functions.AggExpressions.TopKAgg]] — partial aggregation
+    * reduces every map task to ≤ k pairs per query BEFORE the exchange
+    * (the row_number window this replaces shuffled every scored
+    * candidate just to rank it). Ties break by neighbor_id, matching
+    * the window's (cos DESC, neighbor_id) order. */
+  private[operators] def rankTopK(cand: DataFrame, k: Int): DataFrame =
+    cand.groupBy("query_id")
+      .agg(graft.functions.AggExpressions
+        .topk_by(col("neighbor_id"), col("cos"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.cos"))
 
   /** Driver-side integer-exact Rademacher signature of a quantized
     * vector — bit-identical to [[graft.functions.VectorExpressions
@@ -236,10 +250,6 @@ object SimilaritySearch {
     val cand = lshCandidates(corpus, queries, idCol, vecCol, nTables,
       planesPerTable)
       .withColumn("cos", cosineQ(col("q_query_id"), col("q_neighbor_id")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    rankTopK(cand, k)
   }
 }

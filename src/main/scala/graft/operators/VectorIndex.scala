@@ -252,18 +252,21 @@ object VectorIndex {
     // bounded driver pull: O(queries × nProbe) list ids
     val probedLists = probes.select("list_id").distinct()
       .as[Int].collect().map(_.toString).toSet
+    // probes broadcast (small by construction: queries × nProbe rows,
+    // already checkpointed) — the equi-join key list_id has only nLists
+    // distinct values, so shuffling the index side on it would idle
+    // most of the cluster. No dedup: each indexed vector lives in ONE
+    // list and probes are unique per (query, list), so the join emits
+    // each pair at most once. Ranking via the bounded-heap TopKAgg —
+    // map tasks reduce to ≤ k pairs per query before the exchange.
     val cand = idx.assignments
       .readPruned(Map("list_id" -> probedLists))
       .select(col("vec_id").as("neighbor_id"), col("list_id"),
         col("qv").as("q_neighbor_id"))
-      .join(probes, Seq("list_id"))
+      .join(org.apache.spark.sql.functions.broadcast(probes),
+        Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosineQ(col("q_query_id"), col("q_neighbor_id")))
-    val rw = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    SimilaritySearch.rankTopK(cand, k)
   }
 }
