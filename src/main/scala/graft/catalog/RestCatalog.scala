@@ -464,6 +464,42 @@ object RestCatalog {
     (commitTableFull(catalogUri, identifier, requirements, updates)
       \ "metadata-location").extractOpt[String]
 
+  /** ATOMIC multi-table commit — the spec's
+    * `POST /v1/{prefix}/transactions/commit` (CommitTransactionRequest:
+    * a list of per-table changes, each with its own identifier,
+    * requirements and updates). ALL tables commit or NONE does: a
+    * requirement failure on any member 409s the whole transaction and
+    * no table moves — the cross-table atomicity a single-table commit
+    * loop cannot provide (a crash between loop iterations leaves
+    * half-moved state). Returns nothing on success; the caller re-reads
+    * each table through the catalog for the new handles. */
+  def commitTransaction(catalogUri: String,
+      changes: Seq[(String, Seq[JValue], Seq[JValue])]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    require(changes.nonEmpty, "commitTransaction needs at least one table")
+    val tableChanges = changes.map { case (identifier, reqs, ups) =>
+      val parts = identifier.split('.')
+      require(parts.length >= 2 && parts.forall(_.nonEmpty),
+        s"catalog table identifier must be namespace.table, " +
+          s"got '$identifier'")
+      (("identifier" -> (("namespace" -> parts.init.toList) ~
+        ("name" -> parts.last))) ~
+        ("requirements" -> JArray(reqs.toList)) ~
+        ("updates" -> JArray(ups.toList))): JValue
+    }
+    val base = catalogUri.stripSuffix("/")
+    val pfx = prefix(base).map(p => s"/$p").getOrElse("")
+    val (code, resp) = httpPost(s"$base/v1$pfx/transactions/commit",
+      compact(render("table-changes" -> JArray(tableChanges.toList))))
+    if (code == 409) throw new IllegalStateException(
+      s"REST catalog transaction conflicted (HTTP 409) — a concurrent " +
+        s"commit won on one of the member tables; NO table moved. " +
+        s"Re-read and retry: ${resp.take(300)}")
+    require(code == 200 || code == 204,
+      s"REST catalog transaction failed: HTTP $code — ${resp.take(500)}")
+  }
+
   /** [[commitTable]] returning the FULL parsed response (the spec's
     * CommitTableResponse carries the new `metadata` object too) — used
     * where the caller must inspect what the catalog actually applied,

@@ -890,12 +890,21 @@ object IcebergWriteBack {
     * supersede their originals in the new snapshot only (older
     * snapshots keep referencing the untouched originals). Returns the
     * new snapshot id. */
+  /** One deferred catalog commit: (identifier, requirements, updates,
+    * v3 row-id high-water mark — -1 on v1/v2). Collected by
+    * [[publish]] when `txnCollector` is set, posted together by
+    * [[appendToCatalogAtomic]] as ONE CommitTransactionRequest. */
+  private type TxnMember =
+    (String, Seq[org.json4s.JValue], Seq[org.json4s.JValue], Long)
+
   private def publish(spark: SparkSession, tree: Tree,
       newRecords: Seq[GenericRecord], operation: String,
       addUnpartSpec: Option[Int],
       replaceManifests: Map[String, GenericRecord] = Map.empty,
       summaryProps: Map[String, String] = Map.empty,
-      dropManifests: Set[String] = Set.empty): Long = {
+      dropManifests: Set[String] = Set.empty,
+      txnCollector: Option[scala.collection.mutable.Buffer[TxnMember]] =
+        None): Long = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
@@ -1052,21 +1061,32 @@ object IcebergWriteBack {
         (("action" -> "add-spec") ~ ("spec" ->
           (("spec-id" -> sid) ~
             ("fields" -> org.json4s.JArray(Nil)): JValue))): JValue)
+      val reqs: Seq[JValue] = Seq(
+        // first commit to an empty table: the NULL form asserts the
+        // ref's ABSENCE (a racing first-committer 409s)
+        ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> advRef) ~
+          ("snapshot-id" ->
+            (if (tree.curId == -1L) JNull: JValue
+             else JLong(tree.curId): JValue)): JValue)
+      val ups: Seq[JValue] = specUpdate ++ Seq(
+        (("action" -> "add-snapshot") ~
+          ("snapshot" -> (entryJ: JValue))): JValue,
+        (("action" -> "set-snapshot-ref") ~ ("ref-name" -> advRef) ~
+          ("type" -> "branch") ~
+          ("snapshot-id" -> tree.newId)): JValue)
+      // deferred mode: the member's payload joins a transaction the
+      // CALLER posts atomically; the manifest list above is already on
+      // disk (unreferenced until the transaction lands — an aborted
+      // transaction leaves only orphan files, never a moved table)
+      txnCollector match {
+        case Some(buf) =>
+          buf += ((ident, reqs, ups,
+            if (tree.formatVersion >= 3) rowIdHwm else -1L))
+          return tree.newId
+        case None =>
+      }
       val resp = graft.catalog.RestCatalog.commitTableFull(catalogUri,
-        ident,
-        requirements = Seq(
-          // first commit to an empty table: the NULL form asserts the
-          // ref's ABSENCE (a racing first-committer 409s)
-          ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> advRef) ~
-            ("snapshot-id" ->
-              (if (tree.curId == -1L) JNull: JValue
-               else JLong(tree.curId): JValue)): JValue),
-        updates = specUpdate ++ Seq(
-          (("action" -> "add-snapshot") ~
-            ("snapshot" -> (entryJ: JValue))): JValue,
-          (("action" -> "set-snapshot-ref") ~ ("ref-name" -> advRef) ~
-            ("type" -> "branch") ~
-            ("snapshot-id" -> tree.newId)): JValue))
+        ident, requirements = reqs, updates = ups)
       // v3 contract check on the RESPONSE: the spec makes next-row-id
       // catalog-maintained — a catalog that applied add-snapshot
       // without advancing it does NOT implement the v3 row-lineage
@@ -1333,6 +1353,62 @@ object IcebergWriteBack {
     val rec = newDataManifest(spark, tree, df, hasIds)
     publish(spark, tree, Seq(rec), "append", None,
       summaryProps = txnProps(txn))
+  }
+
+  /** ATOMIC multi-table append through the REST catalog — the spec's
+    * `POST /v1/{prefix}/transactions/commit`: every batch's data files
+    * and manifest list are written first (unreferenced staging), then
+    * ALL tables commit in ONE CommitTransactionRequest. Either every
+    * table moves or none does — the cross-table consistency a commit
+    * loop cannot give (a crash or 409 between iterations leaves
+    * half-moved state; here an aborted transaction leaves only orphan
+    * staging files). A 409 on ANY member aborts the whole transaction
+    * with the standard re-read-and-retry contract. v3 members get the
+    * same row-lineage response check as single-table commits, via a
+    * post-commit metadata read per member (the transaction response
+    * carries no per-table metadata). Returns the new snapshot ids in
+    * batch order. */
+  def appendToCatalogAtomic(spark: SparkSession, catalogUri: String,
+      batches: Seq[(String, DataFrame)]): Seq[Long] = {
+    require(batches.nonEmpty, "atomic append needs at least one table")
+    require(batches.map(_._1).distinct.size == batches.size,
+      "atomic append: one batch per table (duplicate identifiers)")
+    val members =
+      scala.collection.mutable.Buffer.empty[TxnMember]
+    val ids = batches.map { case (identifier, df) =>
+      val handle = graft.catalog.RestCatalog
+        .loadTableMetadataLocation(catalogUri, identifier)
+      val tree = loadTree(spark, handle,
+        catalog = Some((catalogUri, identifier)), allowEmpty = true)
+      val hasIds = treeHasIds(spark, tree)
+      val rec = newDataManifest(spark, tree, df, hasIds)
+      publish(spark, tree, Seq(rec), "append", None,
+        txnCollector = Some(members))
+    }
+    graft.catalog.RestCatalog.commitTransaction(catalogUri,
+      members.toSeq.map(m => (m._1, m._2, m._3)))
+    // v3 contract check per member (same rationale as the single-table
+    // response check: a catalog that applied add-snapshot without
+    // advancing next-row-id hands the next committer overlapping ids)
+    members.filter(_._4 >= 0L).foreach { case (ident, _, _, hwm) =>
+      val loc = graft.catalog.RestCatalog
+        .loadTableMetadataLocation(catalogUri, ident)
+      val p = new Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      val metaTxt = try new String(org.apache.commons.io.IOUtils
+        .toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+      implicit val fmts: Formats = DefaultFormats
+      val advanced = (org.json4s.jackson.JsonMethods.parse(metaTxt) \
+        "next-row-id").extractOpt[Long]
+      require(advanced.exists(_ >= hwm),
+        s"catalog at $catalogUri did not advance next-row-id for " +
+          s"$ident in the transaction (got " +
+          s"${advanced.getOrElse("absent")}, need >= $hwm) — it does " +
+          "not implement the v3 row-lineage commit contract")
+    }
+    ids
   }
 
   /** [[deleteWhere]] / [[deleteKeys]] / [[mergeInto]] against a

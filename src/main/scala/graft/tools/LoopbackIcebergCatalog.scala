@@ -134,19 +134,17 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
     * table — kept for the specs that drive commits directly. */
   def commit(body: String): (Int, String) = commitAt(primary, body)
 
-  private def commitAt(key: (String, String), body: String)
-      : (Int, String) = synchronized {
-    val curLoc = tabs(key)
-    val req = parse(body)
-    val meta = readMeta(curLoc)
+  /** The spec's assert-ref-snapshot-id check against CURRENT metadata;
+    * a null snapshot-id asserts the ref does NOT exist (the create-ref
+    * and first-commit guards), a value asserts it points exactly
+    * there. Shared by single-table commits and transactions (which
+    * must check EVERY member before applying ANY). */
+  private def reqConflict(meta: JValue, req: JValue): Boolean = {
     val refs = (meta \ "refs") match {
       case JObject(fs0) => fs0.toMap
       case _ => Map.empty[String, JValue]
     }
-    // requirements: assert-ref-snapshot-id against CURRENT state; a
-    // null snapshot-id asserts the ref does NOT exist (the create-ref
-    // and first-commit guards), a value asserts it points exactly there
-    val conflict = (req \ "requirements").children.exists { r =>
+    (req \ "requirements").children.exists { r =>
       (r \ "type").extractOpt[String].contains(
         "assert-ref-snapshot-id") && {
         val ref = (r \ "ref").extract[String]
@@ -163,7 +161,14 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
         }
       }
     }
-    if (conflict)
+  }
+
+  private def commitAt(key: (String, String), body: String)
+      : (Int, String) = synchronized {
+    val curLoc = tabs(key)
+    val req = parse(body)
+    val meta = readMeta(curLoc)
+    if (reqConflict(meta, req))
       return (409, """{"error":{"message":"Requirement failed: """ +
         """branch was updated concurrently","type":""" +
         """"CommitFailedException","code":409}}""")
@@ -434,6 +439,39 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
         (200, compact(render(next.map(t =>
           body0 merge (("next-page-token" -> t): JValue))
           .getOrElse(body0))))
+      }
+      else if (path == "/v1/transactions/commit" && post) synchronized {
+        // CommitTransactionRequest: ALL members' requirements checked
+        // against current state FIRST; only when every check passes are
+        // the members applied (each through the single-table path,
+        // reentrant under this lock) — a failure applies NOTHING
+        val req = parse(reqBody)
+        val members = (req \ "table-changes").children.map { tc =>
+          val id = tc \ "identifier"
+          val key = ((id \ "namespace").children
+            .map(_.extract[String]).mkString(""),
+            (id \ "name").extract[String])
+          (key, tc)
+        }
+        if (members.isEmpty)
+          (400, """{"error":{"message":"empty transaction","type":""" +
+            """"BadRequest","code":400}}""")
+        else if (members.exists(m => !tabs.contains(m._1)))
+          (404, """{"error":{"message":"NoSuchTable","type":""" +
+            """"NoSuchTableException","code":404}}""")
+        else if (members.exists { case (key, tc) =>
+          reqConflict(readMeta(tabs(key)), tc) })
+          (409, """{"error":{"message":"Requirement failed on a """ +
+            """transaction member: no table moved","type":""" +
+            """"CommitFailedException","code":409}}""")
+        else {
+          members.foreach { case (key, tc) =>
+            val (c, b) = commitAt(key, compact(render(tc)))
+            require(c == 200,
+              s"transaction member $key failed post-check: $c $b")
+          }
+          (200, "{}")
+        }
       }
       else if (path == "/v1/tables/rename" && post) synchronized {
         // the spec's rename route: only the catalog's name -> table

@@ -788,6 +788,78 @@ class RestCatalogCommitSpec extends SparkSpec {
     }
   }
 
+  test("commitTransaction: ATOMIC multi-table commits — both tables " +
+      "move together; a stale requirement on ONE member 409s the " +
+      "whole transaction and NO table moves") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    val t = freshTree("ccommit-txn")
+    withCatalog("lake.t", latestMeta(t)) { (base, cat) =>
+      // second catalog-owned table, created catalog-first + seeded
+      RestCatalog.createTable(base, "lake.u",
+        org.json4s.jackson.JsonMethods.parse(
+          """{"type":"struct","schema-id":0,"fields":[
+            |{"id":1,"name":"id","required":false,"type":"long"},
+            |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+            .stripMargin),
+        location = Some(tmpDir("ccommit-txn-u")))
+      IcebergWriteBack.appendToCatalog(spark, base, "lake.u",
+        Seq((100L, "u0")).toDF("id", "v"))
+      val countT = IcebergImport.read(spark,
+        RestCatalog.loadTableMetadataLocation(base, "lake.t")).count()
+
+      // happy path: one transaction appends to BOTH tables
+      val ids = IcebergWriteBack.appendToCatalogAtomic(spark, base, Seq(
+        "lake.t" -> Seq((500L, "tx")).toDF("id", "v"),
+        "lake.u" -> Seq((501L, "ux")).toDF("id", "v")))
+      assert(ids.size === 2 && ids.forall(_ > 0))
+      assert(IcebergImport.read(spark,
+        RestCatalog.loadTableMetadataLocation(base, "lake.t"))
+        .count() === countT + 1)
+      assert(IcebergImport.read(spark,
+        RestCatalog.loadTableMetadataLocation(base, "lake.u"))
+        .count() === 2L)
+
+      // rollback: member A's requirement is CURRENT, member B's is
+      // STALE — the transaction must 409 and A must NOT move
+      implicit val fmts: Formats = DefaultFormats
+      def curId(ident: String): Long = {
+        val loc = RestCatalog.loadTableMetadataLocation(base, ident)
+        (org.json4s.jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(
+            new java.io.File(loc).toPath),
+          java.nio.charset.StandardCharsets.UTF_8)) \
+          "current-snapshot-id").extract[Long]
+      }
+      def assertRef(id: Long): JValue =
+        ("type" -> "assert-ref-snapshot-id") ~ ("ref" -> "main") ~
+          ("snapshot-id" -> id)
+      def setRef(id: Long): JValue =
+        ("action" -> "set-snapshot-ref") ~ ("ref-name" -> "main") ~
+          ("type" -> "branch") ~ ("snapshot-id" -> id)
+      val locT0 = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      val locU0 = RestCatalog.loadTableMetadataLocation(base, "lake.u")
+      val e = intercept[IllegalStateException](
+        RestCatalog.commitTransaction(base, Seq(
+          ("lake.t", Seq(assertRef(curId("lake.t"))),
+            Seq(setRef(curId("lake.t")))),
+          ("lake.u", Seq(assertRef(-999L)),
+            Seq(setRef(curId("lake.u")))))))
+      assert(e.getMessage.contains("409") &&
+        e.getMessage.contains("NO table moved"), e.getMessage)
+      assert(RestCatalog.loadTableMetadataLocation(base, "lake.t")
+        === locT0, "member A moved despite the aborted transaction")
+      assert(RestCatalog.loadTableMetadataLocation(base, "lake.u")
+        === locU0)
+
+      // unknown member: loud, nothing moves
+      val e2 = intercept[IllegalArgumentException](
+        RestCatalog.commitTransaction(base, Seq(
+          ("lake.nope", Seq(assertRef(1L)), Seq(setRef(1L))))))
+      assert(e2.getMessage.contains("404"), e2.getMessage)
+    }
+  }
+
   test("pagination: list routes drain every page via next-page-token " +
       "(a one-page client silently undercounts a paginated catalog)") {
     val t = freshTree("ccommit-page")
