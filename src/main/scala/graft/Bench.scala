@@ -114,7 +114,8 @@ object Bench {
     "q_iceberg_evolve_writeback", "q_iceberg_compact_writeback",
     "q_stream_iceberg_sink", "q_iceberg_register",
     "q_iceberg_import_eq_bucket", "q_iceberg_import_v3",
-    "q_iceberg_import_nested", "q_iceberg_import_orc")
+    "q_iceberg_import_nested", "q_iceberg_import_collections",
+    "q_iceberg_import_orc")
 
   /** FROZEN round-over-round comparison set: the round-8 headline,
     * never to grow again — the headline total became incomparable across
@@ -170,7 +171,8 @@ object Bench {
     "q_iceberg_evolve_writeback", "q_iceberg_compact_writeback",
     "q_stream_iceberg_sink", "q_iceberg_register",
     "q_iceberg_import_eq_bucket", "q_iceberg_import_v3",
-    "q_iceberg_import_nested", "q_iceberg_import_orc")
+    "q_iceberg_import_nested", "q_iceberg_import_collections",
+    "q_iceberg_import_orc")
 
   /** THIRD frozen comparison set (round 12): the 18 round-11 foreign
     * Iceberg queries — the interop surface the round-12 changes touch

@@ -303,4 +303,16 @@ private[graft] object ForeignFixtures {
       fields.map { case (id, n, t) =>
         s"""{"id":$id,"name":"$n","required":false,"type":$t}"""
       }.mkString(",") + "]}"
+
+  /** Raw JSON of an Iceberg list type (element is a raw JSON type —
+    * quoted scalar or a nested [[structType]]/[[listType]]/[[mapType]]). */
+  def listType(elementId: Int, element: String): String =
+    s"""{"type":"list","element-id":$elementId,""" +
+      s""""element":$element,"element-required":false}"""
+
+  /** Raw JSON of an Iceberg map type (key/value are raw JSON types). */
+  def mapType(keyId: Int, key: String, valueId: Int,
+      value: String): String =
+    s"""{"type":"map","key-id":$keyId,"key":$key,""" +
+      s""""value-id":$valueId,"value":$value,"value-required":false}"""
 }

@@ -178,11 +178,16 @@ object IcebergImport {
     * ([[sparkType]]); a `{"type":"struct",...}` object recurses, each
     * nested field carrying its Iceberg field id as parquet.field.id
     * metadata so ID-based resolution (and so nested-leaf rename /
-    * drop+re-add evolution) works at every depth. Lists and maps refuse
-    * LOUD naming the field path — their element/key id resolution and
-    * delete/bounds interactions are not audited yet, and a silently
-    * mis-read nested collection is worse than a refusal (spec
-    * §Schemas and Data Types). */
+    * drop+re-add evolution) works at every depth; `list` and `map`
+    * objects map to ArrayType/MapType (spec §Schemas and Data Types).
+    * Collection ELEMENT/KEY/VALUE ids have no StructField to ride on —
+    * Spark's parquet clipping resolves inside a matched list/map
+    * structurally (a list group holds exactly one element, a map
+    * exactly one key and one value, so there is nothing to disambiguate
+    * by id) — but struct fields nested INSIDE collections do carry
+    * their ids, so leaf rename/evolution keeps resolving at any depth.
+    * Tree metadata that targets a collection's inner ids (partition
+    * spec source, equality-delete key) refuses via [[nestedIdsJ]]. */
   private[iceberg] def sparkTypeJ(j: org.json4s.JValue,
       fieldPath: String): DataType = {
     import org.json4s._
@@ -205,14 +210,25 @@ object IcebergImport {
             nullable = true,
             new MetadataBuilder().putLong(FieldIdKey, id).build())
         })
+      case obj: JObject if (obj \ "type") == JString("list") =>
+        // element-required=true still parses as containsNull=true on
+        // the Spark side: nullability is a constraint, not a shape —
+        // relaxing it can never mis-read a value
+        ArrayType(sparkTypeJ(obj \ "element", s"$fieldPath.element"),
+          containsNull = true)
+      case obj: JObject if (obj \ "type") == JString("map") =>
+        MapType(sparkTypeJ(obj \ "key", s"$fieldPath.key"),
+          sparkTypeJ(obj \ "value", s"$fieldPath.value"),
+          valueContainsNull = true)
       case obj: JObject =>
         val kind = (obj \ "type") match {
           case JString(k) => k
           case _ => "?"
         }
         throw new IllegalArgumentException(
-          s"iceberg import supports scalar and struct columns only — " +
-            s"field '$fieldPath' has unsupported $kind type " +
+          s"iceberg import supports scalar, struct, list and map " +
+            s"columns only — field '$fieldPath' has unsupported $kind " +
+            "type " +
             org.json4s.jackson.JsonMethods.compact(
               org.json4s.jackson.JsonMethods.render(obj)))
       case other => throw new IllegalArgumentException(
@@ -220,21 +236,48 @@ object IcebergImport {
     }
   }
 
-  /** Every field id inside a nested type, mapped to its dotted path —
+  /** Every field id NESTED inside a top-level column, mapped to its
+    * dotted path — struct leaves at any depth plus collection
+    * element/key/value ids (which have no Spark-side home at all) —
     * for precise refusals when tree metadata (a partition spec's
-    * source-id, an equality delete's key ids) targets a nested leaf,
-    * which the import's pruning/delete machinery does not support. */
-  private def nestedIds(schema: StructType): Map[Int, String] = {
-    def walk(dt: DataType, path: String): Seq[(Int, String)] = dt match {
-      case st: StructType => st.fields.toSeq.flatMap { f =>
-        val p = s"$path.${f.name}"
-        (if (f.metadata.contains(FieldIdKey))
-          Seq(f.metadata.getLong(FieldIdKey).toInt -> p)
-         else Seq.empty) ++ walk(f.dataType, p)
-      }
+    * source-id, an equality delete's key ids) targets a nested field,
+    * which the import's pruning/delete machinery does not support.
+    * Walks the schema JSON, not the parsed StructType, because
+    * list/map inner ids never reach the Spark schema. */
+  private[iceberg] def nestedIdsJ(
+      fieldsJ: Seq[org.json4s.JValue]): Map[Int, String] = {
+    import org.json4s._
+    def idOf(j: JValue): Option[Int] = j match {
+      case JInt(i) => Some(i.toInt)
+      case _ => None
+    }
+    def walk(t: JValue, path: String): Seq[(Int, String)] = t match {
+      case obj: JObject if (obj \ "type") == JString("struct") =>
+        (obj \ "fields").children.flatMap { f =>
+          val n = (f \ "name") match {
+            case JString(s) => s
+            case _ => "?"
+          }
+          val p = s"$path.$n"
+          idOf(f \ "id").map(_ -> p).toSeq ++ walk(f \ "type", p)
+        }
+      case obj: JObject if (obj \ "type") == JString("list") =>
+        idOf(obj \ "element-id").map(_ -> s"$path.element").toSeq ++
+          walk(obj \ "element", s"$path.element")
+      case obj: JObject if (obj \ "type") == JString("map") =>
+        idOf(obj \ "key-id").map(_ -> s"$path.key").toSeq ++
+          idOf(obj \ "value-id").map(_ -> s"$path.value").toSeq ++
+          walk(obj \ "key", s"$path.key") ++
+          walk(obj \ "value", s"$path.value")
       case _ => Seq.empty
     }
-    schema.fields.toSeq.flatMap(f => walk(f.dataType, f.name)).toMap
+    fieldsJ.flatMap { f =>
+      val n = (f \ "name") match {
+        case JString(s) => s
+        case _ => "?"
+      }
+      walk(f \ "type", n)
+    }.toMap
   }
 
   /** Resolve the current metadata file: version-hint when present (and
@@ -557,8 +600,10 @@ object IcebergImport {
     // parquet reader to ID-based column resolution — the spec's rule —
     // so renames and drop+re-add evolution resolve correctly against
     // pre-evolve files, for top-level scalars and nested struct leaves
-    // alike (Spark's clipParquetSchema matches ids recursively). Lists
-    // and maps still refuse loud ([[sparkTypeJ]]).
+    // alike (Spark's clipParquetSchema matches ids recursively).
+    // Lists/maps parse to ArrayType/MapType; struct leaves INSIDE them
+    // keep their ids, the anonymous element/key/value resolve
+    // structurally ([[sparkTypeJ]]).
     val schema = StructType(fieldsJ.map { f =>
       val name = (f \ "name").extract[String]
       StructField(name, sparkTypeJ(f \ "type", name), nullable = true,
@@ -606,7 +651,7 @@ object IcebergImport {
     // resolve source-ids through top-level names — a spec field sourced
     // from a struct LEAF (legal per the spec) would silently mis-bind,
     // so it refuses loud with the dotted path instead
-    val nestedById: Map[Int, String] = nestedIds(schema)
+    val nestedById: Map[Int, String] = nestedIdsJ(fieldsJ)
     specsById.values.flatten.foreach { case (n, tr, srcId) =>
       nestedById.get(srcId).foreach(path =>
         throw new IllegalArgumentException(
@@ -1284,6 +1329,9 @@ object IcebergImport {
     * consumers of the read's output must see a plain schema. */
   private def stripIdsType(dt: DataType): DataType = dt match {
     case st: StructType => stripIds(st)
+    case ArrayType(et, n) => ArrayType(stripIdsType(et), n)
+    case MapType(kt, vt, n) =>
+      MapType(stripIdsType(kt), stripIdsType(vt), n)
     case other => other
   }
 
@@ -1965,12 +2013,20 @@ object IcebergImport {
           coalesce(col(LastUpdSeqCol), col(SeqCol)))
     // explicit empty-metadata aliases drop the field-id markers from the
     // result columns so downstream consumers (graft create/append schema
-    // storage) see a plain schema; struct columns additionally cast to
-    // their stripped twin — the alias clears only TOP-level metadata,
-    // nested ids live inside the dataType itself
+    // storage) see a plain schema; nested types (structs, and structs
+    // inside lists/maps) additionally cast to their stripped twin — the
+    // alias clears only TOP-level metadata, nested ids live inside the
+    // dataType itself (`schema` here is already stripped, so the cast
+    // target is plain; the SCAN's column still carries the ids)
+    def hasStruct(t: DataType): Boolean = t match {
+      case _: StructType => true
+      case ArrayType(e, _) => hasStruct(e)
+      case MapType(k, v, _) => hasStruct(k) || hasStruct(v)
+      case _ => false
+    }
     def plainCol(c: String): Column = {
       val cleaned = schema.find(_.name == c).map(_.dataType) match {
-        case Some(st: StructType) => col(c).cast(st)
+        case Some(dt) if hasStruct(dt) => col(c).cast(dt)
         case _ => col(c)
       }
       cleaned.as(c, Metadata.empty)

@@ -1473,6 +1473,72 @@ object TableQueries {
       |WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 5 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** FOREIGN tree with LIST and MAP columns under a position delete —
+    * the collection half of the nested-type surface (structs:
+    * [[qIcebergImportNested]]). Orders fold derived values into
+    * `vals` (list<long>, element-id 5) and `m` (map<string,long>,
+    * key/value ids 6/7); data files embed field ids at the stamped
+    * levels (collection element/key/value resolve structurally — a
+    * list group holds exactly one element), a v2 position delete
+    * tombstones `o_orderkey % 5 = 0` inside the even-keys file, and
+    * the read projects the collection members back out flat for the
+    * oracle. */
+  val qIcebergImportCollections: Q = (s, dir) => {
+    import graft.iceberg.ForeignFixtures
+    import graft.iceberg.ForeignFixtures.{Data, PosDel, Snap}
+    import org.apache.spark.sql.types._
+    val loc = scratch("icecoll")
+    new java.io.File(loc).mkdirs()
+    def meta(id: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val collSchema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = true, meta(1)),
+      StructField("vals", ArrayType(LongType), nullable = true, meta(2)),
+      StructField("m", MapType(StringType, LongType),
+        nullable = true, meta(3))))
+    val base = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      array(col("o_custkey").cast("long"),
+        (col("o_orderkey") % 3).cast("long")).as("vals"),
+      map(lit("ck"), col("o_custkey").cast("long"),
+        lit("ok7"), (col("o_orderkey") % 7).cast("long")).as("m"))
+    val stamped = s.createDataFrame(base.rdd, collSchema)
+    def slice(mod: Int) = stamped.filter(col("o_orderkey") % 2 === mod)
+      .repartition(1).sortWithinPartitions("o_orderkey")
+    val fEven = ForeignFixtures.writeParquet(s, loc, "even", slice(0))
+    val fOdd = ForeignFixtures.writeParquet(s, loc, "odd", slice(1))
+    import s.implicits._
+    val evenKeys = slice(0).select("o_orderkey").collect()
+      .map(_.getLong(0))
+    val delPositions = evenKeys.zipWithIndex.collect {
+      case (k, i) if k % 5 == 0 => (fEven, i.toLong) }.toSeq
+    val fPos = ForeignFixtures.writeParquet(s, loc, "posdel",
+      delPositions.toDF("file_path", "pos"))
+    val schema = ForeignFixtures.schemaJsonTyped(0, Seq(
+      (1, "o_orderkey", "\"long\""),
+      (2, "vals", ForeignFixtures.listType(5, "\"long\"")),
+      (3, "m", ForeignFixtures.mapType(6, "\"string\"", 7, "\"long\""))))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 2L, "overwrite", Seq(
+        Data(fEven, evenKeys.length.toLong, 1L),
+        Data(fOdd, slice(1).count(), 1L),
+        PosDel(fPos, delPositions.size.toLong, 2L)))),
+      lastColumnId = 7)
+    graft.iceberg.IcebergImport.read(s, loc)
+      .select(col("o_orderkey"),
+        element_at(col("vals"), 1).as("v1"),
+        element_at(col("vals"), 2).as("v2"),
+        element_at(col("m"), "ck").as("m_ck"),
+        element_at(col("m"), "ok7").as("m_ok7"))
+      .orderBy("o_orderkey")
+  }
+  val qIcebergImportCollectionsSql: String =
+    """SELECT o_orderkey, o_custkey AS v1, o_orderkey % 3 AS v2,
+      |  o_custkey AS m_ck, o_orderkey % 7 AS m_ok7
+      |FROM orders
+      |WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 5 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** FOREIGN tree fronted by ORC data files (Hive-lineage Iceberg
     * deployments) MIXED with parquet, under an equality delete — the
     * ORC read surface the import supports: name-resolved ORC scans
@@ -2875,6 +2941,8 @@ object TableQueries {
       Some(qIcebergImportV3Sql)),
     ("q_iceberg_import_nested", qIcebergImportNested,
       Some(qIcebergImportNestedSql)),
+    ("q_iceberg_import_collections", qIcebergImportCollections,
+      Some(qIcebergImportCollectionsSql)),
     ("q_iceberg_import_orc", qIcebergImportOrc,
       Some(qIcebergImportOrcSql)),
     ("q_iceberg_import_incremental", qIcebergImportIncremental,

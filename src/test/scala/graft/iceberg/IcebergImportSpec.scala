@@ -105,8 +105,8 @@ class IcebergImportSpec extends SparkSpec {
   }
 
   test("v3 exotic column types (variant / geometry / geography / " +
-      "timestamp_ns / unknown) and nested types refuse LOUDLY on " +
-      "import, naming the type — never a silent mis-map") {
+      "timestamp_ns / unknown) refuse LOUDLY on import, naming the " +
+      "type — never a silent mis-map") {
     import graft.iceberg.ForeignFixtures
     import graft.iceberg.ForeignFixtures.{Data, Snap}
     Seq("variant", "geometry", "geography", "timestamp_ns",
@@ -127,28 +127,135 @@ class IcebergImportSpec extends SparkSpec {
       // first thing plan() does — no file is ever opened)
       intercept[IllegalArgumentException](IcebergImport.read(spark, loc))
     }
-    // LIST and MAP columns (structs now read — see the nested-struct
-    // tests below) — loud refusal naming the field path, not a
-    // null-filled column
-    Seq(
-      """{"type":"list","element-id":3,"element":"double",
-        |"element-required":false}""".stripMargin -> "list",
-      """{"type":"map","key-id":3,"key":"string","value-id":4,
-        |"value":"double","value-required":false}""".stripMargin -> "map"
-    ).foreach { case (typeJson, kind) =>
-      val loc = tmpDir(s"imp-exotic-$kind") + "/ft"
+  }
+
+  // ------------------------------------------------------------------ //
+  // LIST and MAP columns: parse, read, MOR, evolution, refusal shapes  //
+  // ------------------------------------------------------------------ //
+
+  test("list and map columns: id-resolved round trip under a position " +
+      "delete, output schema plain at every depth") {
+    import ForeignFixtures.{Data, PosDel, Snap}
+    import org.apache.spark.sql.types._
+    val loc = tmpDir("imp-coll") + "/ft"
+    new java.io.File(loc).mkdirs()
+    def meta(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val collSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1)),
+      StructField("xs", ArrayType(LongType), nullable = true, meta(2)),
+      StructField("m", MapType(StringType, LongType),
+        nullable = true, meta(3))))
+    val rows = (1L to 6L).map(i => org.apache.spark.sql.Row(
+      i, Seq(i, i * 10), Map("a" -> i, "b" -> (i * 100))))
+    val df = spark.createDataFrame(rows.asJava, collSchema)
+      .repartition(1).sortWithinPartitions("id")
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A", df)
+    val fPos = ForeignFixtures.writeParquet(spark, loc, "posdel",
+      Seq((fA, 2L)).toDF("file_path", "pos")) // tombstone id=3
+    val schema = ForeignFixtures.schemaJsonTyped(0, Seq(
+      (1, "id", "\"long\""),
+      (2, "xs", ForeignFixtures.listType(4, "\"long\"")),
+      (3, "m", ForeignFixtures.mapType(5, "\"string\"", 6, "\"long\""))))
+    ForeignFixtures.writeTree(loc, Seq(schema), 0, Seq.empty,
+      Seq(Snap(100L, None, 2L, "overwrite", Seq(
+        Data(fA, 6L, 1L), PosDel(fPos, 1L, 2L)))),
+      lastColumnId = 6)
+    val back = IcebergImport.read(spark, loc)
+    // no field-id metadata anywhere in the output schema
+    assert(back.schema.forall(f => f.metadata == Metadata.empty))
+    val got = back.orderBy("id")
+      .select($"id", element_at($"xs", 2).as("x2"),
+        element_at($"m", "b").as("mb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq ===
+      Seq(1L, 2L, 4L, 5L, 6L).map(i => (i, i * 10, i * 100)))
+  }
+
+  test("list of STRUCTS: inner leaf RENAME resolves by field id " +
+      "against pre-evolve files (ids matched inside collections)") {
+    import ForeignFixtures.{Data, Snap}
+    import org.apache.spark.sql.types._
+    val loc = tmpDir("imp-coll-evolve") + "/ft"
+    new java.io.File(loc).mkdirs()
+    def meta(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    // file written under schema 0: points: list<struct<x(5), y(6)>>
+    val elem = StructType(Seq(
+      StructField("x", LongType, nullable = true, meta(5)),
+      StructField("y", LongType, nullable = true, meta(6))))
+    val fileSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1)),
+      StructField("points", ArrayType(elem), nullable = true, meta(2))))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, Seq(
+        org.apache.spark.sql.Row(10L, 11L))),
+      org.apache.spark.sql.Row(2L, Seq(
+        org.apache.spark.sql.Row(20L, 21L),
+        org.apache.spark.sql.Row(22L, 23L))))
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      spark.createDataFrame(rows.asJava, fileSchema))
+    def pointsSchema(xName: String) = ForeignFixtures.schemaJsonTyped(0,
+      Seq((1, "id", "\"long\""),
+        (2, "points", ForeignFixtures.listType(4,
+          ForeignFixtures.structType(Seq(
+            (5, xName, "\"long\""), (6, "y", "\"long\"")))))))
+    // current schema renames the inner leaf x -> lon (same id 5): the
+    // pre-rename file must keep serving its bytes under the new name
+    ForeignFixtures.writeTree(loc, Seq(pointsSchema("lon")), 0,
+      Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 2L, 1L)))),
+      lastColumnId = 6)
+    val back = IcebergImport.read(spark, loc)
+    val got = back.orderBy("id")
+      .select($"id", element_at($"points", 1).getField("lon").as("lon"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("collection inner ids refuse LOUD when targeted by tree " +
+      "metadata (partition spec source, equality-delete key)") {
+    import ForeignFixtures.{Data, EqDel, Snap, SpecField}
+    import org.apache.spark.sql.types._
+    def meta(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val collSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1)),
+      StructField("xs", ArrayType(LongType), nullable = true, meta(2))))
+    val rows = Seq(org.apache.spark.sql.Row(1L, Seq(7L)))
+    val schemaJ = ForeignFixtures.schemaJsonTyped(0, Seq(
+      (1, "id", "\"long\""),
+      (2, "xs", ForeignFixtures.listType(4, "\"long\""))))
+    // 1) partition spec sourced from the list's ELEMENT id
+    locally {
+      val loc = tmpDir("imp-coll-spec") + "/ft"
       new java.io.File(loc).mkdirs()
-      val f = ForeignFixtures.writeParquet(spark, loc, "A",
-        Seq(Tuple1(1L)).toDF("id"))
-      val nestedSchema = ForeignFixtures.schemaJsonTyped(0, Seq(
-        (1, "id", "\"long\""), (2, "pt", typeJson.replaceAll("\\s+", ""))))
-      ForeignFixtures.writeTree(loc, Seq(nestedSchema), 0, Seq.empty,
-        Seq(Snap(100L, None, 1L, "append", Seq(Data(f, 1, 1L)))),
-        formatVersion = 2, lastColumnId = 4)
+      val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+        spark.createDataFrame(rows.asJava, collSchema))
+      ForeignFixtures.writeTree(loc, Seq(schemaJ), 0,
+        Seq(SpecField("e_p", "identity", 4, "long")),
+        Seq(Snap(100L, None, 1L, "append",
+          Seq(Data(fA, 1L, 1L, Map("e_p" -> 7L))))),
+        lastColumnId = 4)
       val e = intercept[IllegalArgumentException](
         IcebergImport.plan(spark, loc))
-      assert(e.getMessage.contains(kind) && e.getMessage.contains("pt"),
-        s"refusal for $kind must name kind and field: ${e.getMessage}")
+      assert(e.getMessage.contains("xs.element"), e.getMessage)
+    }
+    // 2) equality delete keyed on the element id
+    locally {
+      val loc = tmpDir("imp-coll-eq") + "/ft"
+      new java.io.File(loc).mkdirs()
+      val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+        spark.createDataFrame(rows.asJava, collSchema))
+      val fEq = ForeignFixtures.writeParquet(spark, loc, "eqdel",
+        Seq(Tuple1(7L)).toDF("e"))
+      ForeignFixtures.writeTree(loc, Seq(schemaJ), 0, Seq.empty,
+        Seq(Snap(100L, None, 2L, "overwrite", Seq(
+          Data(fA, 1L, 1L), EqDel(fEq, 1L, 2L, Seq(4))))),
+        lastColumnId = 4)
+      val e = intercept[IllegalStateException](
+        IcebergImport.plan(spark, loc))
+      assert(e.getMessage.contains("xs.element"), e.getMessage)
     }
   }
 
@@ -251,8 +358,8 @@ class IcebergImportSpec extends SparkSpec {
   }
 
   test("nested struct: TWO levels deep (struct-in-struct) round-trips " +
-      "with ids at every depth and a list INSIDE a struct refuses " +
-      "loud with the full dotted path") {
+      "with ids at every depth and a list INSIDE a struct reads " +
+      "(collections nest under structs)") {
     import ForeignFixtures.{Data, Snap}
     import org.apache.spark.sql.types._
     val loc = tmpDir("imp-nested-deep") + "/ft"
@@ -285,22 +392,30 @@ class IcebergImportSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 7L), (2L, 9L)))
 
-    // a list nested INSIDE a struct refuses with the dotted path
+    // a list nested INSIDE a struct reads (id on the struct and the
+    // list field, element resolved structurally)
     val loc2 = tmpDir("imp-nested-deep-list") + "/ft"
     new java.io.File(loc2).mkdirs()
-    val fB = ForeignFixtures.writeParquet(spark, loc2, "A",
-      Seq(Tuple1(1L)).toDF("id"))
+    val inner = StructType(Seq(
+      StructField("xs", ArrayType(LongType), nullable = true, meta(3))))
+    val outer = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1)),
+      StructField("a", inner, nullable = true, meta(2))))
+    val fB = ForeignFixtures.writeParquet(spark, loc2,
+      "A", spark.createDataFrame(Seq(
+        org.apache.spark.sql.Row(1L,
+          org.apache.spark.sql.Row(Seq(5L, 6L)))).asJava, outer))
     val schema2 = ForeignFixtures.schemaJsonTyped(0, Seq(
       (1, "id", "\"long\""),
       (2, "a", ForeignFixtures.structType(Seq(
-        (3, "xs", """{"type":"list","element-id":4,"element":"long","element-required":false}"""))))))
+        (3, "xs", ForeignFixtures.listType(4, "\"long\"")))))))
     ForeignFixtures.writeTree(loc2, Seq(schema2), 0, Seq.empty,
       Seq(Snap(100L, None, 1L, "append", Seq(Data(fB, 1, 1L)))),
       lastColumnId = 4)
-    val e = intercept[IllegalArgumentException](
-      IcebergImport.plan(spark, loc2))
-    assert(e.getMessage.contains("a.xs") &&
-      e.getMessage.contains("list"), e.getMessage)
+    val got2 = IcebergImport.read(spark, loc2)
+      .select($"id", element_at($"a.xs", 2).as("x2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSeq === Seq((1L, 6L)))
   }
 
   test("nested struct: unsupported interactions refuse LOUD with the " +
