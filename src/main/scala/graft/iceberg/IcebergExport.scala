@@ -77,8 +77,8 @@ import graft.table.GraftTable
   */
 object IcebergExport {
 
-  /** Iceberg type string for a Spark type (flat scalar schemas — the
-    * engine's table surface; nested types would need element/key ids). */
+  /** Iceberg type string for a Spark SCALAR type (nested types build
+    * their JSON objects in [[schemaJsonWithLast]]). */
   private def icebergType(dt: DataType): String = dt match {
     case BooleanType => "boolean"
     case IntegerType | ShortType | ByteType => "int"
@@ -93,7 +93,7 @@ object IcebergExport {
     case TimestampNTZType => "timestamp"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(
-      s"iceberg export does not support nested/complex type $other")
+      s"iceberg export does not support type $other")
   }
 
   private[iceberg] def jsonStr(s: String): String =
@@ -109,11 +109,96 @@ object IcebergExport {
     graft.table.FieldIds.idOf(schema.fields(i)).getOrElse(i + 1L)
 
   /** The Iceberg schema JSON (struct with the table's field ids). */
-  private def schemaJson(schema: StructType): String = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id": ${fieldId(schema, i)}, "name": ${jsonStr(f.name)}, "required": false, "type": ${jsonStr(icebergType(f.dataType))}}"""
+  private def schemaJson(schema: StructType): String =
+    schemaJsonWithLast(schema)._1
+
+  /** The Iceberg schema JSON plus its `last-column-id` (the max field
+    * id at ANY depth — nested fields and collection element/key/value
+    * slots count; spec §Table Metadata).
+    *
+    * Nested-type ids come from the table itself: named struct fields at
+    * any depth carry [[graft.table.FieldIds]] ids (the same ids the
+    * parquet writer stamps into footers, so id-aware external readers
+    * resolve nested leaves too), and a list's element / a map's
+    * key+value — which have no StructField — use the slot ids persisted
+    * at assign time ([[graft.table.FieldIds.CollectionIdsKey]]). Fully
+    * ID-LESS schemas (legacy name-mapped tables, declared catalog
+    * schemas) allocate ordinal+1 for the top level then depth-first for
+    * nested parts — deterministic, and their files carry no ids so
+    * readers resolve by name exactly as before. A top-level-id'd table
+    * whose NESTED parts are un-stamped (created before nested stamping)
+    * refuses loud: inventing nested ids the footers don't carry would
+    * break every id-aware reader, graft's own import included —
+    * [[GraftTable.retrofitFieldIds]] rewrites such tables. */
+  private[iceberg] def schemaJsonWithLast(
+      schema: StructType): (String, Long) = {
+    import graft.table.FieldIds
+    val idless = schema.fields.forall(f => FieldIds.idOf(f).isEmpty)
+    // top level first (ordinal+1 when id-less — the historical
+    // numbering equality_ids and partition source-ids rely on), THEN
+    // nested parts depth-first, mirroring FieldIds.assign
+    val topIds = schema.fields.indices.map(fieldId(schema, _))
+    var next: Long = math.max(
+      schema.fields.flatMap(deepPersistedIds).foldLeft(0L)(math.max),
+      topIds.max)
+    var last: Long = 0L
+    def note(id: Long): Long = { last = math.max(last, id); id }
+    def alloc(): Long = { next += 1; next }
+    def refuse(path: String): Nothing =
+      throw new IllegalArgumentException(
+        s"iceberg export: nested field/slot '$path' has no persisted " +
+          "field id but the table's top-level columns carry ids — " +
+          "nested ids invented at export time would not match the " +
+          "parquet footers and id-aware readers would fail; run " +
+          "retrofitFieldIds (rewrites files with fully-stamped " +
+          "footers) or recreate the table")
+    // `owner` = nearest enclosing StructField (holds the slot-id map);
+    // `spath` = slot path relative to owner; `fpath` = dotted field path
+    def typeOf(owner: StructField, dt: DataType, spath: String,
+        fpath: String): String = dt match {
+      case st: StructType =>
+        val inner = st.fields.map { c =>
+          val cid = note(FieldIds.idOf(c).getOrElse(
+            if (idless) alloc() else refuse(s"$fpath.${c.name}")))
+          s"""{"id": $cid, "name": ${jsonStr(c.name)}, "required": false, "type": ${typeOf(c, c.dataType, "", s"$fpath.${c.name}")}}"""
+        }
+        s"""{"type": "struct", "fields": [${inner.mkString(", ")}]}"""
+      case ArrayType(et, _) =>
+        val p = if (spath.isEmpty) "element" else s"$spath.element"
+        val eid = note(FieldIds.collectionIdsOf(owner).getOrElse(p,
+          if (idless) alloc() else refuse(s"$fpath ($p)")))
+        s"""{"type": "list", "element-id": $eid, "element": ${typeOf(owner, et, p, fpath)}, "element-required": false}"""
+      case MapType(kt, vt, _) =>
+        val pk = if (spath.isEmpty) "key" else s"$spath.key"
+        val pv = if (spath.isEmpty) "value" else s"$spath.value"
+        val kid = note(FieldIds.collectionIdsOf(owner).getOrElse(pk,
+          if (idless) alloc() else refuse(s"$fpath ($pk)")))
+        val kJson = typeOf(owner, kt, pk, fpath)
+        val vid = note(FieldIds.collectionIdsOf(owner).getOrElse(pv,
+          if (idless) alloc() else refuse(s"$fpath ($pv)")))
+        s"""{"type": "map", "key-id": $kid, "key": $kJson, "value-id": $vid, "value": ${typeOf(owner, vt, pv, fpath)}, "value-required": false}"""
+      case scalar => jsonStr(icebergType(scalar))
     }
-    s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}"""
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      note(topIds(i))
+      s"""{"id": ${topIds(i)}, "name": ${jsonStr(f.name)}, "required": false, "type": ${typeOf(f, f.dataType, "", f.name)}}"""
+    }
+    (s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}""",
+      last)
+  }
+
+  /** Every PERSISTED id in a field's subtree (for starting the legacy
+    * allocation counter above anything already present). */
+  private def deepPersistedIds(f: StructField): Seq[Long] = {
+    import graft.table.FieldIds
+    def typeIds(dt: DataType): Seq[Long] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(deepPersistedIds)
+      case ArrayType(et, _) => typeIds(et)
+      case MapType(kt, vt, _) => typeIds(kt) ++ typeIds(vt)
+      case _ => Seq.empty
+    }
+    FieldIds.idOf(f).toSeq ++ FieldIds.collectionIdsOf(f).values.toSeq ++
+      typeIds(f.dataType)
   }
 
   /** Avro schema for the v2 manifest-list entry (spec field ids 500+). */
@@ -503,7 +588,7 @@ object IcebergExport {
     val entrySchema = manifestEntrySchema(avroPartFields)
     val stats = unionOver((t, fl) => t.statsFor(fl))
     val glue = org.apache.spark.sql.graftglue.GraftSqlGlue
-    val sJson = schemaJson(schema)
+    val (sJson, lastColId) = schemaJsonWithLast(schema)
     val specFieldsJson = specFields.zipWithIndex.map { case (f, i) =>
       s"""{"name": ${jsonStr(f.physName)}, "transform": "${icebergTransform(f.transform).get}", "source-id": ${fieldId(schema, schema.fieldIndex(f.source))}, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
@@ -839,7 +924,7 @@ object IcebergExport {
          |  "location": ${jsonStr(tableUri)},
          |  "last-sequence-number": $lastSeq,
          |  "last-updated-ms": $now,
-         |  "last-column-id": ${schema.fields.indices.map(fieldId(schema, _)).max},
+         |  "last-column-id": $lastColId,
          |  "current-schema-id": 0,
          |  "schemas": [$sJson],
          |  "default-spec-id": 0,

@@ -339,6 +339,36 @@ object TableQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** NESTED types through the EXPORT direction: a graft table with
+    * struct, list and map columns (ids persisted at every depth by
+    * FieldIds — the footers carry the same nested ids) exports its v2
+    * metadata tree, and the FOREIGN importer reads it back id-resolved.
+    * Two appends prove multi-file unions; the projection flattens the
+    * collection members for the oracle. */
+  val qIcebergExportNested: Q = (s, dir) => {
+    val t = GraftTable(s, scratch("iceexpnest"))
+    val base = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      struct(col("o_custkey").cast("long").as("ck"),
+        col("o_orderstatus").as("st")).as("cust"),
+      array((col("o_orderkey") % 3).cast("long"),
+        (col("o_orderkey") % 7).cast("long")).as("vals"),
+      map(lit("tp"), floor(col("o_totalprice")).cast("long")).as("m"))
+    t.append(base.filter(col("o_orderkey") % 2 === 0))
+    t.append(base.filter(col("o_orderkey") % 2 === 1))
+    graft.iceberg.IcebergExport.export(s, t)
+    graft.iceberg.IcebergImport.read(s, t.location)
+      .select(col("o_orderkey"), col("cust.ck").as("ck"),
+        col("cust.st").as("st"), element_at(col("vals"), 2).as("v7"),
+        element_at(col("m"), "tp").as("tp"))
+      .orderBy("o_orderkey")
+  }
+  val qIcebergExportNestedSql: String =
+    """SELECT o_orderkey, o_custkey AS ck, o_orderstatus AS st,
+      |  o_orderkey % 7 AS v7, CAST(floor(o_totalprice) AS BIGINT) AS tp
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** The COMPLETE ANSI MERGE clause matrix in ONE statement — every
     * residual shape the r10 engine refused, exercised together with
     * first-match-wins ordering: a conditional MATCHED DELETE (general
@@ -2933,6 +2963,8 @@ object TableQueries {
     ("q_table_merge", qTableMerge, Some(qTableMergeSql)),
     ("q_table_merge_mor", qTableMergeMor, Some(qTableMergeMorSql)),
     ("q_iceberg_export", qIcebergExport, Some(qIcebergExportSql)),
+    ("q_iceberg_export_nested", qIcebergExportNested,
+      Some(qIcebergExportNestedSql)),
     ("q_iceberg_import", qIcebergImport, Some(qIcebergImportSql)),
     ("q_iceberg_import_mor", qIcebergImportMor, Some(qIcebergImportMorSql)),
     ("q_iceberg_import_eq_bucket", qIcebergImportEqBucket,

@@ -2318,7 +2318,10 @@ class GraftTable(spark: SparkSession, val location: String,
     require(branchName.isEmpty, "retrofit must run on the main table")
     val parentAtRead = latestSnapshotId
     val cur = schema
-    if (FieldIds.hasIds(cur)) return parentAtRead.get
+    // fullyStamped, not hasIds: a top-level-id'd table whose NESTED
+    // parts predate nested stamping still needs the rewrite (its
+    // footers lack the nested ids an id-aware reader would request)
+    if (FieldIds.fullyStamped(cur)) return parentAtRead.get
     val withIds = FieldIds.assign(cur)
     val removed = liveFiles()
     val staged =

@@ -26,6 +26,98 @@ class IcebergExportSpec extends SparkSpec {
     t
   }
 
+  test("NESTED types export: struct + list + map columns round-trip " +
+      "through the foreign importer, ids persisted at every depth and " +
+      "STABLE across re-exports") {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val t = GraftTable(spark, tmpDir("ice-nested-exp") + "/t")
+    def frame(lo: Long, hi: Long) = (lo to hi).map(i => (i,
+        (i * 2, s"s$i"), Seq(i, i * 10),
+        Map("a" -> i, "b" -> i * 100)))
+      .toDF("id", "st", "xs", "m")
+    t.append(frame(1L, 20L))
+    val metaPath = IcebergExport.export(spark, t)
+    val meta = org.json4s.jackson.JsonMethods.parse(new String(
+      Files.readAllBytes(Paths.get(metaPath.stripPrefix("file:")))))
+    val fields = (meta \ "schemas").children.head \ "fields"
+    def field(n: String): JValue =
+      fields.children.find(f => (f \ "name").extract[String] == n).get
+    // struct leaves carry ids; list has element-id; map key-id/value-id
+    val stInner = (field("st") \ "type" \ "fields").children
+    assert(stInner.size === 2 &&
+      stInner.forall(f => (f \ "id").extractOpt[Long].isDefined))
+    val elemId = (field("xs") \ "type" \ "element-id").extract[Long]
+    val keyId = (field("m") \ "type" \ "key-id").extract[Long]
+    val valId = (field("m") \ "type" \ "value-id").extract[Long]
+    // every id distinct, last-column-id covers them all
+    val allIds = fields.children.map(f => (f \ "id").extract[Long]) ++
+      stInner.map(f => (f \ "id").extract[Long]) ++
+      Seq(elemId, keyId, valId)
+    assert(allIds.distinct.size === allIds.size, s"dup ids: $allIds")
+    assert((meta \ "last-column-id").extract[Long] === allIds.max)
+    // the foreign importer reads it back EXACTLY (footers carry the
+    // same nested ids, so this is the id-resolved path)
+    val back = IcebergImport.read(spark, t.location)
+    assert(back.orderBy("id").collect() ===
+      t.read().orderBy("id").select("id", "st", "xs", "m").collect())
+    // ids are STABLE across a re-export after more commits (an
+    // external incremental reader must never see an id change)
+    t.append(frame(21L, 30L))
+    val meta2 = org.json4s.jackson.JsonMethods.parse(new String(
+      Files.readAllBytes(Paths.get(
+        IcebergExport.export(spark, t).stripPrefix("file:")))))
+    val f2 = (meta2 \ "schemas").children.head \ "fields"
+    def field2(n: String): JValue =
+      f2.children.find(f => (f \ "name").extract[String] == n).get
+    assert((field2("xs") \ "type" \ "element-id").extract[Long] === elemId)
+    assert((field2("m") \ "type" \ "key-id").extract[Long] === keyId)
+    assert((field2("m") \ "type" \ "value-id").extract[Long] === valId)
+    val back2 = IcebergImport.read(spark, t.location)
+    assert(back2.count() === 30L)
+  }
+
+  test("nested export refusals: a top-level-id'd schema with un-stamped " +
+      "nested parts refuses loud (footers would not match); fully " +
+      "id-less schemas allocate deterministic DFS ids") {
+    import org.apache.spark.sql.types._
+    import graft.table.FieldIds
+    def meta(id: Long) = new MetadataBuilder()
+      .putLong(FieldIds.GraftKey, id)
+      .putLong(FieldIds.ParquetKey, id).build()
+    // top-level ids present, nested struct leaf un-id'd → refuse
+    val mixed = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1)),
+      StructField("st", StructType(Seq(
+        StructField("x", LongType))), nullable = true, meta(2))))
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.schemaJsonWithLast(mixed))
+    assert(e.getMessage.contains("st.x") &&
+      e.getMessage.contains("retrofitFieldIds"), e.getMessage)
+    assert(!FieldIds.fullyStamped(mixed))
+    // a top-level-id'd LIST without a persisted element id → refuse
+    val mixedList = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1)),
+      StructField("xs", ArrayType(LongType), nullable = true, meta(2))))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergExport.schemaJsonWithLast(mixedList))
+    assert(e2.getMessage.contains("xs") &&
+      e2.getMessage.contains("element"), e2.getMessage)
+    // fully id-less: ordinal+1 top level, nested DFS after — and the
+    // allocation is deterministic (same schema → same JSON)
+    val legacy = StructType(Seq(
+      StructField("id", LongType),
+      StructField("xs", ArrayType(LongType)),
+      StructField("m", MapType(StringType, LongType))))
+    val (j1, last1) = IcebergExport.schemaJsonWithLast(legacy)
+    val (j2, last2) = IcebergExport.schemaJsonWithLast(legacy)
+    assert(j1 === j2 && last1 === last2)
+    assert(last1 === 6L) // 3 top-level + element + key + value
+    // assign completes nested stamping and fullyStamped flips true
+    assert(FieldIds.fullyStamped(FieldIds.assign(mixed)))
+    assert(FieldIds.fullyStamped(FieldIds.assign(legacy)))
+  }
+
   test("export writes the v2 metadata tree and scan() reads it back") {
     val t = mkTable("ice-rt")
     val metaPath = IcebergExport.export(spark, t)
