@@ -32,7 +32,9 @@ private[graft] object ForeignFixtures {
     * manifests next to native ones). */
   case class Data(uri: String, rows: Long, seq: Long,
       tuple: Map[String, Any] = Map.empty, group: Int = 0,
-      format: String = "PARQUET") extends Entry
+      format: String = "PARQUET",
+      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty)
+    extends Entry
   /** v2 equality-delete file (parquet of the key columns; `format`
     * overridable to model foreign trees with non-parquet deletes). */
   case class EqDel(uri: String, rows: Long, seq: Long, eqIds: Seq[Int],
@@ -123,7 +125,9 @@ private[graft] object ForeignFixtures {
         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
         |  {"name":"referenced_data_file","type":["null","string"],"default":null},
         |  {"name":"content_offset","type":["null","long"],"default":null},
-        |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}
+        |  {"name":"content_size_in_bytes","type":["null","long"],"default":null},
+        |  {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k125","fields":[{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
+        |  {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k128","fields":[{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null}
         |]}}]}""".stripMargin)
   }
 
@@ -155,6 +159,21 @@ private[graft] object ForeignFixtures {
         df.put("record_count", d.rows)
         df.put("file_size_in_bytes", fileLen(d.uri))
         tuple(d.tuple)
+        if (d.bounds.nonEmpty) {
+          def kvList(which: String, pick: ((Array[Byte], Array[Byte]))
+              => Array[Byte]): java.util.List[GenericRecord] = {
+            val item = df.getSchema.getField(which).schema()
+              .getTypes.get(1).getElementType
+            d.bounds.toSeq.sortBy(_._1).map { case (fid, b) =>
+              val r = new GenericData.Record(item)
+              r.put("key", fid)
+              r.put("value", java.nio.ByteBuffer.wrap(pick(b)))
+              r: GenericRecord
+            }.asJava
+          }
+          df.put("lower_bounds", kvList("lower_bounds", _._1))
+          df.put("upper_bounds", kvList("upper_bounds", _._2))
+        }
       case q: EqDel =>
         df.put("content", 2)
         df.put("file_path", q.uri)

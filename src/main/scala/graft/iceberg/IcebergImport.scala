@@ -244,7 +244,7 @@ object IcebergImport {
     * which the import's pruning/delete machinery does not support.
     * Walks the schema JSON, not the parsed StructType, because
     * list/map inner ids never reach the Spark schema. */
-  private[iceberg] def nestedIdsJ(
+  private[graft] def nestedIdsJ(
       fieldsJ: Seq[org.json4s.JValue]): Map[Int, String] = {
     import org.json4s._
     def idOf(j: JValue): Option[Int] = j match {
@@ -832,23 +832,31 @@ object IcebergImport {
             // int-keyed map as an array of key/value records (or a real
             // map from some writers); unknown field ids / unparseable
             // types are simply absent → no pruning on that column
+            // id → name resolution covers NESTED struct leaves too
+            // (Iceberg stats are per leaf field id; the map keys by the
+            // dotted path, which [[boundPreds]] produces for nested
+            // predicates) — collection slots resolve to no leaf type
+            // and stay absent
+            def statName(fid: Int): Option[(String, DataType)] =
+              nameById.get(fid).orElse(nestedById.get(fid))
+                .flatMap(n => leafType(schema, n).map(n -> _))
             def boundsOf(fieldName: String): Map[String, Any] = {
               if (df.getSchema.getField(fieldName) == null) Map.empty
               else Option(df.get(fieldName)).map {
                 case l: java.util.List[_] => l.asScala.flatMap { r0 =>
                   val r = r0.asInstanceOf[GenericRecord]
                   val fid = r.get("key").asInstanceOf[Int]
-                  nameById.get(fid).flatMap { name =>
+                  statName(fid).flatMap { case (name, dt) =>
                     boundValue(str(r.get("value")).asInstanceOf[Array[Byte]],
-                      schema(name).dataType).map(name -> _)
+                      dt).map(name -> _)
                   }
                 }.toMap
                 case m: java.util.Map[_, _] => m.asScala.flatMap {
                   case (k, v) =>
                     scala.util.Try(str(k).toString.toInt).toOption
-                      .flatMap(nameById.get).flatMap { name =>
+                      .flatMap(statName).flatMap { case (name, dt) =>
                         boundValue(str(v).asInstanceOf[Array[Byte]],
-                          schema(name).dataType).map(name -> _)
+                          dt).map(name -> _)
                       }
                 }.toMap
                 case _ => Map.empty[String, Any]
@@ -861,14 +869,14 @@ object IcebergImport {
               else Option(df.get(fieldName)).map {
                 case l: java.util.List[_] => l.asScala.flatMap { r0 =>
                   val r = r0.asInstanceOf[GenericRecord]
-                  nameById.get(r.get("key").asInstanceOf[Int]).map(
-                    _ -> r.get("value").asInstanceOf[Number].longValue)
+                  statName(r.get("key").asInstanceOf[Int]).map(
+                    _._1 -> r.get("value").asInstanceOf[Number].longValue)
                 }.toMap
                 case m: java.util.Map[_, _] => m.asScala.flatMap {
                   case (k, v) =>
                     scala.util.Try(str(k).toString.toInt).toOption
-                      .flatMap(nameById.get).map(
-                        _ -> v.asInstanceOf[Number].longValue)
+                      .flatMap(statName).map(
+                        _._1 -> v.asInstanceOf[Number].longValue)
                 }.toMap
                 case _ => Map.empty[String, Long]
               }.getOrElse(Map.empty)
@@ -1073,18 +1081,41 @@ object IcebergImport {
     * of `column (=|<|<=|>|>=) literal` (either side). Everything else is
     * ignored for pruning — the full predicate is still applied to the
     * scan, so pruning is only ever an optimization. */
+  /** The Spark type at a (possibly dotted) STRUCT-LEAF path — walks
+    * struct fields only, so a collection slot ("xs.element") or a
+    * missing name is None. The dotted form is how nested-leaf bounds
+    * and predicates key into the pruning maps. */
+  private def leafType(schema: StructType, path: String)
+      : Option[DataType] = {
+    def walk(dt: DataType, rest: List[String]): Option[DataType] =
+      (dt, rest) match {
+        case (t, Nil) => Some(t)
+        case (st: StructType, h :: tail) =>
+          st.fields.find(_.name == h).flatMap(f => walk(f.dataType, tail))
+        case _ => None
+      }
+    walk(schema, path.split('.').toList)
+  }
+
   private def boundPreds(e: org.apache.spark.sql.catalyst.expressions
       .Expression, schema: StructType): Seq[BoundPred] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // nested struct leaves prune too (Iceberg stats are per LEAF field
+    // id): a dotted attribute or a GetStructField chain names the leaf
+    // by its dotted path, matching the manifest-bounds keys
     def colName(x: Expression): Option[String] = x match {
-      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-        Some(a.nameParts.head).filter(n =>
-          schema.fieldNames.contains(n))
+      case a: UnresolvedAttribute =>
+        Some(a.nameParts.mkString("."))
+          .filter(n => leafType(schema, n).isDefined)
       case a: AttributeReference
           if schema.fieldNames.contains(a.name) => Some(a.name)
+      case g: GetStructField =>
+        colName(g.child).map(p => s"$p.${g.extractFieldName}")
+          .filter(n => leafType(schema, n).isDefined)
       case _ => None
     }
+    def typeOf(n: String): DataType = leafType(schema, n).get
     // Column-built predicates arrive as UNRESOLVED function applications
     // ('and, '>, '=, ...), not typed comparisons — match both forms
     def flip(op: String): String = op match {
@@ -1103,7 +1134,7 @@ object IcebergImport {
     // matched only that value) — conservative, never under-keeps.
     def mkIn(a: Expression, raw: Seq[Any]): Seq[BoundPred] =
       colName(a).toSeq.flatMap { n =>
-        val normed = raw.map(normLit(_, schema(n).dataType))
+        val normed = raw.map(normLit(_, typeOf(n)))
         if (normed.exists(_.isEmpty)) Seq.empty
         else Seq(BoundPred(n, "in", normed.flatten))
       }
@@ -1146,7 +1177,7 @@ object IcebergImport {
     }
     def mk(a: Expression, op: String, v: Any): Seq[BoundPred] =
       colName(a).flatMap(n =>
-        normLit(v, schema(n).dataType).map(BoundPred(n, op, _))).toSeq
+        normLit(v, typeOf(n)).map(BoundPred(n, op, _))).toSeq
     one(e)
   }
 
@@ -1212,7 +1243,7 @@ object IcebergImport {
     if (f.tScope.isEmpty) return true
     def admit(v: Any): Boolean = f.tScope.forall { case (src, tr, tuple) =>
       src != p.col || {
-        scalarTransform(tr, v, schema(p.col).dataType) match {
+        leafType(schema, p.col).flatMap(scalarTransform(tr, v, _)) match {
           case None => true
           case Some(tv) =>
             tuple != null && String.valueOf(tv) == String.valueOf(tuple)
@@ -1327,7 +1358,7 @@ object IcebergImport {
     * id-carrying requested schema aimed at an ID-LESS file errors under
     * fieldId.read.enabled (ignoreMissing defaults false), and downstream
     * consumers of the read's output must see a plain schema. */
-  private def stripIdsType(dt: DataType): DataType = dt match {
+  private[iceberg] def stripIdsType(dt: DataType): DataType = dt match {
     case st: StructType => stripIds(st)
     case ArrayType(et, n) => ArrayType(stripIdsType(et), n)
     case MapType(kt, vt, n) =>

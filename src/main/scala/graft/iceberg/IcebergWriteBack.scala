@@ -197,12 +197,16 @@ object IcebergWriteBack {
       .orElse((meta \ "schema").toOption)
       .getOrElse(throw new IllegalStateException(
         s"schema $curSchemaId not found in $metaFile"))
+    // nested types (struct/list/map) keep their RAW JSON as the type
+    // string — [[sparkTypeOf]] materializes either form, and the
+    // schema-evolution ops edit the raw JSON so nesting round-trips
     val fields: Seq[(String, Int, String)] =
       (schemaJ \ "fields").children.map { f =>
         val t = (f \ "type") match {
           case JString(s) => s
+          case obj: JObject => compact(render(obj))
           case other => throw new IllegalArgumentException(
-            "write-back supports flat scalar columns only, got " +
+            s"unparseable column type in $metaFile: " +
               compact(render(other)))
         }
         ((f \ "name").extract[String], (f \ "id").extract[Int], t)
@@ -283,6 +287,9 @@ object IcebergWriteBack {
       val (srcName, srcT) = byId.getOrElse(srcId,
         throw new IllegalStateException(
           s"spec field $phys references unknown source-id $srcId"))
+      require(isScalar(srcT),
+        s"spec field $phys is sourced from nested-typed column " +
+          s"$srcName — partition sources must be primitive")
       val srcType = IcebergImport.sparkType(srcT)
       tr match {
         case "identity" => SpecWrite(phys, srcName, None, srcType)
@@ -341,6 +348,24 @@ object IcebergWriteBack {
   private def idMeta(id: Long): SqlMetadata =
     SqlMetadata.fromJson(s"""{"parquet.field.id": $id}""")
 
+  /** A Tree field's type is a scalar name ("long") or — for nested
+    * columns — the raw Iceberg type JSON ("{"type":"list",...}"). */
+  private def isScalar(t: String): Boolean = !t.startsWith("{")
+
+  /** Spark type of a Tree field's raw type. Nested types materialize
+    * through the import's parser, which stamps nested struct ids as
+    * parquet.field.id metadata — right for id-ful writes (footers carry
+    * the ids at every depth, matching the tree's other files); id-LESS
+    * writes strip with [[IcebergImport.stripIdsType]]. */
+  private def sparkTypeOf(t: String, name: String,
+      withIds: Boolean): org.apache.spark.sql.types.DataType = {
+    val dt =
+      if (isScalar(t)) IcebergImport.sparkType(t)
+      else IcebergImport.sparkTypeJ(
+        org.json4s.jackson.JsonMethods.parse(t), name)
+    if (withIds) dt else IcebergImport.stripIdsType(dt)
+  }
+
   /** List the parquet files a write just produced under `dataRel`,
     * returning (table-relative path, hive partition tuple, rows, bytes). */
   private def listWritten(spark: SparkSession, tree: Tree, dataRel: String,
@@ -396,7 +421,10 @@ object IcebergWriteBack {
         s"missing=${(want -- have).mkString(",")} " +
         s"extra=${(have -- want).mkString(",")}")
     val aligned0 = df.select(tree.fields.map { case (n, id, t) =>
-      val c = col(n).cast(IcebergImport.sparkType(t))
+      // nested types: the cast target carries inner struct ids iff the
+      // write is id-ful (sparkTypeOf strips otherwise), so footers
+      // identify nested leaves exactly like the tree's other files
+      val c = col(n).cast(sparkTypeOf(t, n, withIds = hasIds))
       if (hasIds) c.as(n, idMeta(id.toLong)) else c.as(n)
     } ++ extraCols.map { case (n, id) =>
       val c = col(n).cast(LongType)
@@ -467,7 +495,10 @@ object IcebergWriteBack {
     if (partCols.nonEmpty) w.partitionBy(partCols: _*)
       .parquet(outDir.toString)
     else w.parquet(outDir.toString)
-    val statFields = tree.fields.map { case (n, _, t) =>
+    // stats only exist for scalar columns (footer min/max/null-counts
+    // are per leaf; nested columns simply carry no pruning metadata —
+    // the same conservative rule the importer applies on read)
+    val statFields = tree.fields.collect { case (n, _, t) if isScalar(t) =>
       org.apache.spark.sql.types.StructField(n,
         IcebergImport.sparkType(t), nullable = true) }
     val files = listWritten(spark, tree, dataRel, statFields)
@@ -515,7 +546,8 @@ object IcebergWriteBack {
         val itemSchema = dfr.getSchema.getField(fieldName).schema()
           .getTypes.get(1).getElementType
         val recs = tree.fields.flatMap { case (n, id, t) =>
-          stats.get(n).flatMap(s => pick(t, s)).map { v =>
+          stats.get(n).filter(_ => isScalar(t))
+            .flatMap(s => pick(t, s)).map { v =>
             val r = new GenericData.Record(itemSchema)
             r.put("key", id)
             r.put("value", v)
@@ -1523,6 +1555,9 @@ object IcebergWriteBack {
       s"key columns not in table schema: ${bad.mkString(",")}")
     val aligned = df.select(cols.map { c =>
       val (_, id, t) = byName(c)
+      require(isScalar(t), s"equality-delete key column $c has nested " +
+        s"type $t — keys must be primitive (spec: equality delete " +
+        "rows compare by value)")
       val cast = col(c).cast(IcebergImport.sparkType(t))
       if (hasIds) cast.as(c, idMeta(id.toLong)) else cast.as(c)
     }: _*).distinct()
@@ -2565,6 +2600,9 @@ object IcebergWriteBack {
     val (_, srcId, srcT) = tree.fields.find(_._1 == sourceCol)
       .getOrElse(throw new IllegalArgumentException(
         s"partition source column $sourceCol not in schema"))
+    require(isScalar(srcT),
+      s"partition source column $sourceCol has nested type $srcT — " +
+        "partition sources must be primitive")
     val srcType = IcebergImport.sparkType(srcT)
     require(transform == "identity" ||
       IcebergImport.SupportedTransform.matches(transform),
@@ -2636,8 +2674,15 @@ object IcebergWriteBack {
     implicit val fmts: Formats = DefaultFormats
     val tree = loadTree(spark, tableLocation)
     val curFields = (tree.schemaJ \ "fields").children
+    // fallback max must see NESTED ids too (a new column allocated at
+    // a nested leaf's id would collide in every id-aware reader)
     val lastColId = (tree.meta \ "last-column-id").extractOpt[Int]
-      .getOrElse(if (tree.fields.isEmpty) 0 else tree.fields.map(_._2).max)
+      .getOrElse {
+        val top = if (tree.fields.isEmpty) 0 else tree.fields.map(_._2).max
+        val nested = IcebergImport.nestedIdsJ(curFields).keys
+          .foldLeft(0)(math.max)
+        math.max(top, nested)
+      }
     val (newFields, newLastCol) = edit(curFields, lastColId)
     val newProps = updateProps(tree, curFields)
     // existing schemas list (synthesized from the v1 top-level `schema`

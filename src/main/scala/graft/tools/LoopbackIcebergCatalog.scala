@@ -312,8 +312,16 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
         case sch => replaceFields(sch, List(
           "schema-id" -> JInt(0), "type" -> JString("struct")))
       }
-      val lastColId = (schemaJ \ "fields").children
-        .flatMap(f => (f \ "id").extractOpt[Int]).foldLeft(0)(math.max)
+      // max over EVERY id the schema carries — nested struct leaves and
+      // collection element/key/value slots included, like a real
+      // catalog (a top-level-only max would hand later column adds an
+      // id a nested leaf already owns)
+      val lastColId = math.max(
+        (schemaJ \ "fields").children
+          .flatMap(f => (f \ "id").extractOpt[Int]).foldLeft(0)(math.max),
+        graft.iceberg.IcebergImport
+          .nestedIdsJ((schemaJ \ "fields").children)
+          .keys.foldLeft(0)(math.max))
       val specJ = (req \ "partition-spec") match {
         case JNothing =>
           (("spec-id" -> 0) ~ ("fields" -> JArray(Nil))): JValue

@@ -990,4 +990,56 @@ class RestCatalogCommitSpec extends SparkSpec {
         "a staged branch commit must not enter main's snapshot-log")
     }
   }
+
+  test("catalog-first create with a NESTED schema: last-column-id " +
+      "covers nested/slot ids; catalog appends round-trip collections") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val wh = tmpDir("ccommit-nested-wh")
+    val t = freshTree("ccommit-nested")
+    val cat = new graft.tools.LoopbackIcebergCatalog("lake.t",
+      latestMeta(t), warehouse = Some(wh))
+    val base = cat.start()
+    try {
+      RestCatalog.createNamespace(base, "bronze")
+      val schema = StructType.fromDDL(
+        "id bigint, xs array<bigint>, st struct<a: bigint, b: string>")
+      IcebergExport.createTableCatalog(spark, base, "bronze.nested",
+        schema)
+      val metaLoc = RestCatalog.loadTableMetadataLocation(base,
+        "bronze.nested")
+      val meta = parse(new String(Files.readAllBytes(
+        new File(metaLoc).toPath), StandardCharsets.UTF_8))
+      // 3 top-level + list element + 2 struct leaves = 6 ids, all
+      // covered by last-column-id (a real catalog computes the same)
+      assert((meta \ "last-column-id").extract[Int] === 6)
+      val fields = ((meta \ "schemas").children.head \ "fields").children
+      val xsT = fields.find(f =>
+        (f \ "name").extract[String] == "xs").get \ "type"
+      assert((xsT \ "element-id").extractOpt[Int].nonEmpty)
+      val stLeaves = (fields.find(f =>
+        (f \ "name").extract[String] == "st").get \ "type" \ "fields")
+        .children
+      assert(stLeaves.size === 2 &&
+        stLeaves.forall(f => (f \ "id").extractOpt[Int].nonEmpty))
+      // append nested rows through the catalog and read them back
+      val df = spark.createDataFrame(Seq(
+        org.apache.spark.sql.Row(1L, Seq(1L, 2L),
+          org.apache.spark.sql.Row(10L, "x")),
+        org.apache.spark.sql.Row(2L, Seq(3L, 4L),
+          org.apache.spark.sql.Row(20L, "y"))).asJava,
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("xs", ArrayType(LongType)),
+          StructField("st", StructType(Seq(
+            StructField("a", LongType), StructField("b", StringType)))))))
+      IcebergWriteBack.appendToCatalog(spark, base, "bronze.nested", df)
+      val got = IcebergImport.read(spark,
+        RestCatalog.loadTableMetadataLocation(base, "bronze.nested"))
+        .select(col("id"), element_at(col("xs"), 2).as("x2"),
+          col("st.b").as("b"))
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      assert(got.toSeq === Seq((1L, 2L, "x"), (2L, 4L, "y")))
+    } finally cat.stop()
+  }
 }

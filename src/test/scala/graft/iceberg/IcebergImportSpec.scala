@@ -213,6 +213,46 @@ class IcebergImportSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("NESTED-LEAF bounds pruning: readWhere on a struct-leaf " +
+      "predicate skips files whose manifest bounds (keyed by the LEAF " +
+      "field id) exclude it, byte-identical to read().filter") {
+    import ForeignFixtures.{Data, Snap}
+    val loc = tmpDir("imp-nested-prune") + "/ft"
+    new java.io.File(loc).mkdirs()
+    def le(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    // two files with DISJOINT cust.nid (leaf fid 4) ranges, bounds
+    // recorded per the spec's leaf-id keying
+    val fLo = ForeignFixtures.writeParquet(spark, loc, "lo", nestedFrame(
+      (1L to 10L).map(i => (i, i, s"s$i", i * 1.0))))
+    val fHi = ForeignFixtures.writeParquet(spark, loc, "hi", nestedFrame(
+      (11L to 20L).map(i => (i, i + 100L, s"s$i", i * 1.0))))
+    ForeignFixtures.writeTree(loc, Seq(nestedSchemaJson()), 0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(
+        Data(fLo, 10L, 1L, bounds = Map(4 -> (le(1L), le(10L)))),
+        Data(fHi, 10L, 1L, bounds = Map(4 -> (le(111L), le(120L))))))),
+      lastColumnId = 5)
+    val p = IcebergImport.plan(spark, loc)
+    assert(p.files.forall(f => f.lower.contains("cust.nid") &&
+      f.upper.contains("cust.nid")),
+      s"nested-leaf bounds must resolve to the dotted path: " +
+        p.files.map(_.lower.keys).mkString(","))
+    val pruned = IcebergImport.readWhere(spark, loc,
+      col("cust.nid") > 110L)
+    assert(pruned.inputFiles.length === 1,
+      "struct-leaf range predicate must skip the low file")
+    assert(pruned.select("id").as[Long].collect().sorted ===
+      (11L to 20L).toArray)
+    // identical to the unpruned filter
+    assert(pruned.orderBy("id").collect() ===
+      IcebergImport.read(spark, loc).filter(col("cust.nid") > 110L)
+        .orderBy("id").collect())
+    // equality on the leaf prunes to one file too
+    val eq = IcebergImport.readWhere(spark, loc,
+      col("cust.nid") === 3L)
+    assert(eq.inputFiles.length === 1 && eq.count() === 1L)
+  }
+
   test("collection inner ids refuse LOUD when targeted by tree " +
       "metadata (partition spec source, equality-delete key)") {
     import ForeignFixtures.{Data, EqDel, Snap, SpecField}

@@ -1719,4 +1719,59 @@ class IcebergWriteBackSpec extends SparkSpec {
       "SELECT COUNT(*) AS n FROM t")).!!
     assert(out.trim.split("\n").last === "8")
   }
+
+  test("COLLECTION-carrying foreign tree: appendTo and keyed mergeInto " +
+      "work (list column values update through the position-tombstone " +
+      "path); a nested-typed equality-delete key refuses loud") {
+    import ForeignFixtures.{Data, Snap}
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val loc = tmpDir("wb-coll") + "/ft"
+    new java.io.File(loc).mkdirs()
+    def meta(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val collSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1)),
+      StructField("xs", ArrayType(LongType), nullable = true, meta(2))))
+    def frame(rows: Seq[(Long, Seq[Long])]) = spark.createDataFrame(
+      rows.map { case (i, xs) => org.apache.spark.sql.Row(i, xs) }
+        .asJava, collSchema)
+    val fA = ForeignFixtures.writeParquet(spark, loc, "A",
+      frame((1L to 6L).map(i => i -> Seq(i, i * 10))))
+    ForeignFixtures.writeTree(loc, Seq(ForeignFixtures.schemaJsonTyped(0,
+      Seq((1, "id", "\"long\""),
+        (2, "xs", ForeignFixtures.listType(4, "\"long\""))))),
+      0, Seq.empty,
+      Seq(Snap(100L, None, 1L, "append", Seq(Data(fA, 6L, 1L)))),
+      lastColumnId = 4)
+    // append rows WITH list values
+    IcebergWriteBack.appendTo(spark, loc,
+      frame(Seq(7L -> Seq(7L, 70L), 8L -> Seq(8L, 80L))))
+    val afterAppend = IcebergImport.read(spark, loc)
+      .select($"id", element_at($"xs", 2).as("x2"))
+      .as[(Long, Long)].collect().toMap
+    assert(afterAppend === (1L to 8L).map(i => i -> i * 10).toMap)
+    // keyed merge: update 2's list, insert 9 — the position-tombstone
+    // path must work over the collection-carrying files
+    IcebergWriteBack.mergeInto(spark, loc,
+      frame(Seq(2L -> Seq(2L, 999L), 9L -> Seq(9L, 90L))),
+      keys = Seq("id"))
+    val merged = IcebergImport.read(spark, loc)
+      .select($"id", element_at($"xs", 2).as("x2"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged.size === 9 && merged(2L) === 999L &&
+      merged(9L) === 90L && merged(3L) === 30L)
+    // the appended/merged footers keep the tree id-ful (top-level and
+    // inner-struct ids; anonymous list elements resolve structurally)
+    val newFiles = IcebergImport.plan(spark, loc).files
+      .filter(_.uri.contains("graft-append-"))
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      IcebergImport.footerInfo(spark, f.uri).hasIds))
+    // equality-delete keys must be primitive — a list-typed key refuses
+    val e = intercept[IllegalArgumentException](
+      IcebergWriteBack.deleteKeys(spark, loc,
+        frame(Seq(1L -> Seq(1L, 10L))).select("xs")))
+    assert(e.getMessage.contains("xs") &&
+      e.getMessage.contains("primitive"), e.getMessage)
+  }
 }
