@@ -671,24 +671,49 @@ object IcebergExport {
         df.put("file_size_in_bytes", bytes.getOrElse(rel,
           fileLen(new Path(table.location, rel))))
         // per-file column bounds from the snapshot log's footer stats —
-        // the min/max pruning metadata external scan planners read
+        // the min/max pruning metadata external scan planners read.
+        // STAT LEAVES: top-level scalars under their own field ids plus
+        // struct leaves (the snapshot log keys them by dotted path)
+        // under their persisted NESTED ids — the spec keys stats by
+        // leaf id, so a struct-heavy export prunes externally exactly
+        // like a flat one; nested-unstamped legacy schemas simply skip
+        // nested emission
         val fileStats = stats.getOrElse(rel, Map.empty)
+        def statLeaves: Seq[(String, Int, DataType)] = {
+          def walk(st: StructType, path: String)
+              : Seq[(String, Int, DataType)] =
+            st.fields.toSeq.flatMap { c =>
+              graft.table.FieldIds.idOf(c) match {
+                case None => Seq.empty
+                case Some(id) => c.dataType match {
+                  case inner: StructType => walk(inner, s"$path.${c.name}")
+                  case t => Seq((s"$path.${c.name}", id.toInt, t))
+                }
+              }
+            }
+          schema.fields.zipWithIndex.toSeq.flatMap { case (f, i) =>
+            f.dataType match {
+              case st: StructType => walk(st, f.name)
+              case t => Seq((f.name, fieldId(schema, i).toInt, t))
+            }
+          }
+        }
         def boundsRecords(fieldName: String,
             pick: graft.table.ColStat => Option[String])
             : Option[java.util.List[GenericRecord]] = {
           val itemSchema = entrySchema.getField("data_file").schema()
             .getField(fieldName).schema().getTypes.get(1).getElementType
-          val recs = schema.fields.zipWithIndex.flatMap { case (f, i) =>
-            fileStats.get(f.name).flatMap(pick).flatMap { s =>
-              boundBytes(glue.castFromString(s, f.dataType), f.dataType)
+          val recs = statLeaves.flatMap { case (name, id, dt) =>
+            fileStats.get(name).flatMap(pick).flatMap { s =>
+              boundBytes(glue.castFromString(s, dt), dt)
             }.map { bs =>
               val r = new GenericData.Record(itemSchema)
-              r.put("key", fieldId(schema, i).toInt)
+              r.put("key", id)
               r.put("value", java.nio.ByteBuffer.wrap(bs))
               r: GenericRecord
             }
           }
-          if (recs.isEmpty) None else Some(recs.toSeq.asJava)
+          if (recs.isEmpty) None else Some(recs.asJava)
         }
         boundsRecords("lower_bounds", _.min)
           .foreach(df.put("lower_bounds", _))
@@ -700,16 +725,16 @@ object IcebergExport {
           val itemSchema = entrySchema.getField("data_file").schema()
             .getField("null_value_counts").schema().getTypes.get(1)
             .getElementType
-          val recs = schema.fields.zipWithIndex.flatMap { case (f, i) =>
-            fileStats.get(f.name).flatMap(_.nulls).map { n =>
+          val recs = statLeaves.flatMap { case (name, id, _) =>
+            fileStats.get(name).flatMap(_.nulls).map { n =>
               val r = new GenericData.Record(itemSchema)
-              r.put("key", fieldId(schema, i).toInt)
+              r.put("key", id)
               r.put("value", n)
               r: GenericRecord
             }
           }
           if (recs.nonEmpty)
-            df.put("null_value_counts", recs.toSeq.asJava)
+            df.put("null_value_counts", recs.asJava)
         }
         e.put("data_file", df)
         e

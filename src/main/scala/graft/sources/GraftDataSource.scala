@@ -260,26 +260,36 @@ class GraftFileIndex(spark: SparkSession, val table: GraftTable,
 
   /** Evaluate the prunable conjunct shapes (attr-vs-literal comparisons
     * and IN) against a per-file `check(attr, cmp, value)` probe; anything
-    * else conservatively keeps the file. */
+    * else conservatively keeps the file. Attributes are top-level
+    * columns OR struct-leaf accesses (GetStructField chains), named by
+    * their dotted path — the key [[graft.table.FileStats.leafStatFields]]
+    * records nested bounds under. */
   private def filtersMayMatch(dataFilters: Seq[Expression],
       check: (String, String, Any) => Boolean): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
+    object Attr {
+      def unapply(e: Expression): Option[String] = e match {
+        case a: AttributeReference => Some(a.name)
+        case g: GetStructField =>
+          unapply(g.child).map(p => s"$p.${g.extractFieldName}")
+        case _ => None
+      }
+    }
     dataFilters.forall {
-      case EqualTo(a: AttributeReference, Literal(v, _)) => check(a.name, "=", v)
-      case EqualTo(Literal(v, _), a: AttributeReference) => check(a.name, "=", v)
-      case LessThan(a: AttributeReference, Literal(v, _)) => check(a.name, "<", v)
-      case LessThan(Literal(v, _), a: AttributeReference) => check(a.name, ">", v)
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => check(a.name, "<=", v)
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => check(a.name, ">=", v)
-      case GreaterThan(a: AttributeReference, Literal(v, _)) => check(a.name, ">", v)
-      case GreaterThan(Literal(v, _), a: AttributeReference) => check(a.name, "<", v)
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => check(a.name, ">=", v)
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => check(a.name, "<=", v)
-      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(l => check(a.name, "=", l.asInstanceOf[Literal].value))
-      case IsNull(a: AttributeReference) => check(a.name, "isnull", null)
-      case IsNotNull(a: AttributeReference) =>
-        check(a.name, "notnull", null)
+      case EqualTo(Attr(n), Literal(v, _)) => check(n, "=", v)
+      case EqualTo(Literal(v, _), Attr(n)) => check(n, "=", v)
+      case LessThan(Attr(n), Literal(v, _)) => check(n, "<", v)
+      case LessThan(Literal(v, _), Attr(n)) => check(n, ">", v)
+      case LessThanOrEqual(Attr(n), Literal(v, _)) => check(n, "<=", v)
+      case LessThanOrEqual(Literal(v, _), Attr(n)) => check(n, ">=", v)
+      case GreaterThan(Attr(n), Literal(v, _)) => check(n, ">", v)
+      case GreaterThan(Literal(v, _), Attr(n)) => check(n, "<", v)
+      case GreaterThanOrEqual(Attr(n), Literal(v, _)) => check(n, ">=", v)
+      case GreaterThanOrEqual(Literal(v, _), Attr(n)) => check(n, "<=", v)
+      case In(Attr(n), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(l => check(n, "=", l.asInstanceOf[Literal].value))
+      case IsNull(Attr(n)) => check(n, "isnull", null)
+      case IsNotNull(Attr(n)) => check(n, "notnull", null)
       case _ => true
     }
   }
@@ -300,10 +310,12 @@ class GraftFileIndex(spark: SparkSession, val table: GraftTable,
         case Some(cs) if cmp == "notnull" =>
           rows.get(rel).filter(_ > 0L)
             .forall(n => cs.nulls.forall(_ < n))
-        case Some(cs) => table.schema.find(_.name == name) match {
-          case Some(f) => graft.table.FileStats.mayMatch(f.dataType, cs, cmp, value)
-          case None => true
-        }
+        case Some(cs) =>
+          graft.table.FileStats.leafType(table.schema, name) match {
+            case Some(dt) =>
+              graft.table.FileStats.mayMatch(dt, cs, cmp, value)
+            case None => true
+          }
         case None => true
       })
   }

@@ -14,11 +14,48 @@ import org.apache.spark.sql.types._
 object FileStats {
 
   /** Column types stats are collected for. Binary/arrays/structs are
-    * excluded (not meaningfully range-comparable here). */
+    * excluded (not meaningfully range-comparable here) — but a STRUCT's
+    * scalar LEAVES are stat-typed under their dotted path
+    * ([[leafStatFields]]). */
   def isStatType(dt: DataType): Boolean = dt match {
     case _: NumericType => true
     case StringType | BooleanType | DateType | TimestampType => true
     case _ => false
+  }
+
+  /** The stat-typed LEAF fields of a schema: top-level scalars under
+    * their plain names, struct leaves at any depth under their DOTTED
+    * path — exactly the name parquet footers use for the column chunk
+    * (`ColumnPath.toDotString`), so [[FooterStats.read]] picks nested
+    * bounds up with no further mapping. Collections are skipped (their
+    * parquet paths insert list/element segments and element bounds say
+    * nothing row-wise). `exclude` drops top-level names (identity
+    * partition sources, which leave the data files). */
+  def leafStatFields(schema: StructType,
+      exclude: Set[String] = Set.empty): Seq[StructField] = {
+    def walk(dt: DataType, path: String): Seq[StructField] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(c =>
+        walk(c.dataType, s"$path.${c.name}"))
+      case t if isStatType(t) =>
+        Seq(StructField(path, t, nullable = true))
+      case _ => Seq.empty
+    }
+    schema.fields.toSeq.filterNot(f => exclude.contains(f.name))
+      .flatMap(f => walk(f.dataType, f.name))
+  }
+
+  /** The Spark type at a (possibly dotted) struct-leaf path — the
+    * pruning-time resolver for [[leafStatFields]] keys. None for
+    * collection slots or missing names. */
+  def leafType(schema: StructType, path: String): Option[DataType] = {
+    def walk(dt: DataType, rest: List[String]): Option[DataType] =
+      (dt, rest) match {
+        case (t, Nil) => Some(t)
+        case (st: StructType, h :: tail) =>
+          st.fields.find(_.name == h).flatMap(f => walk(f.dataType, tail))
+        case _ => None
+      }
+    walk(schema, path.split('.').toList)
   }
 
   /** Strings longer than this are not recorded as bounds — a truncated

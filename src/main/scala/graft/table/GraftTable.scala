@@ -1119,10 +1119,11 @@ class GraftTable(spark: SparkSession, val location: String,
     // only IDENTITY partition sources leave the data files; transform
     // sources stay in them and their stats drive file pruning
     val absent = partitionFields.filter(_.isIdentity).map(_.source)
-    val statFields = schema.fields
-      .filterNot(f => absent.contains(f.name))
-      .filter(f => FileStats.isStatType(f.dataType))
-      .toSeq
+    // stat-typed LEAVES: top-level scalars plus struct leaves under
+    // their dotted path (the parquet column-chunk name, so the footer
+    // pass needs no mapping) — nested-leaf bounds prune scans and
+    // export as Iceberg leaf-id stats
+    val statFields = FileStats.leafStatFields(schema, absent.toSet)
 
     // footer pass: driver-side, metadata-only; parallel across files
     // because a commit can carry hundreds and each read is a small
@@ -1283,7 +1284,17 @@ class GraftTable(spark: SparkSession, val location: String,
                   nulls = v0.nulls) // null counts are not
                 case None => v0
               }
-              rn.getOrElse(k, k) -> v
+              // dotted (struct-leaf) keys remap their TOP segment: a
+              // rename of the struct column carries its leaves' stats
+              // (graft renames are top-level-only, so the tail is
+              // stable)
+              val mapped = {
+                val i = k.indexOf('.')
+                if (i < 0) rn.getOrElse(k, k)
+                else rn.get(k.take(i)).map(_ + k.substring(i))
+                  .getOrElse(k)
+              }
+              mapped -> v
             }
         }
     })

@@ -182,6 +182,40 @@ class FileStatsSpec extends SparkSpec {
       Array("b1050"))
   }
 
+  test("NESTED-LEAF stats: struct leaves record dotted bounds, the " +
+      "scan prunes on struct-leaf predicates, and the Iceberg export " +
+      "carries them under the leaves' field ids for foreign pruning") {
+    val dir = tmpDir("fs-nested-stats") + "/t"
+    val t = GraftTable(spark, dir)
+    def frame(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, (i * 10, s"s$i"), i * 1.0))
+      .toDF("id", "cust", "v")
+      .withColumn("cust", struct($"cust._1".as("nid"), $"cust._2".as("st")))
+    t.append(frame(1L, 100L).coalesce(1))
+    t.append(frame(1000L, 1100L).coalesce(1))
+    // the snapshot log records the struct leaf under its dotted path
+    val stats = t.statsFor(t.liveFiles())
+    assert(stats.nonEmpty && stats.values.forall(_.contains("cust.nid")),
+      s"dotted leaf stats missing: ${stats.values.map(_.keys)}")
+    // scan pruning on a struct-leaf predicate
+    val all = spark.read.format("graft").load(dir)
+    assert(all.inputFiles.length === 2)
+    assert(scannedFiles(all.filter($"cust.nid" > 9000L)) === 1)
+    assert(all.filter($"cust.nid" > 9000L).count() === 101L)
+    // string leaf too
+    assert(scannedFiles(all.filter($"cust.st" === "s50")) === 1)
+    // export: manifests key the leaf bounds by the NESTED field ids,
+    // so the foreign importer's readWhere prunes the same way
+    graft.iceberg.IcebergExport.export(spark, t)
+    val p = graft.iceberg.IcebergImport.plan(spark, dir)
+    assert(p.files.size === 2 &&
+      p.files.forall(f => f.lower.contains("cust.nid")),
+      s"exported nested bounds missing: ${p.files.map(_.lower.keys)}")
+    val fr = graft.iceberg.IcebergImport.readWhere(spark, dir,
+      $"cust.nid" > 9000L)
+    assert(fr.inputFiles.length === 1 && fr.count() === 101L)
+  }
+
   test("files without recorded stats are conservatively kept") {
     // simulate a pre-stats snapshot by stripping fileStats from the log
     val dir = tmpDir("fs-nostats") + "/t"
