@@ -139,7 +139,8 @@ object IcebergExport {
     // nested parts depth-first, mirroring FieldIds.assign
     val topIds = schema.fields.indices.map(fieldId(schema, _))
     var next: Long = math.max(
-      schema.fields.flatMap(deepPersistedIds).foldLeft(0L)(math.max),
+      schema.fields.flatMap(graft.table.FieldIds.deepIds)
+        .foldLeft(0L)(math.max),
       topIds.max)
     var last: Long = 0L
     def note(id: Long): Long = { last = math.max(last, id); id }
@@ -187,19 +188,6 @@ object IcebergExport {
       last)
   }
 
-  /** Every PERSISTED id in a field's subtree (for starting the legacy
-    * allocation counter above anything already present). */
-  private def deepPersistedIds(f: StructField): Seq[Long] = {
-    import graft.table.FieldIds
-    def typeIds(dt: DataType): Seq[Long] = dt match {
-      case st: StructType => st.fields.toSeq.flatMap(deepPersistedIds)
-      case ArrayType(et, _) => typeIds(et)
-      case MapType(kt, vt, _) => typeIds(kt) ++ typeIds(vt)
-      case _ => Seq.empty
-    }
-    FieldIds.idOf(f).toSeq ++ FieldIds.collectionIdsOf(f).values.toSeq ++
-      typeIds(f.dataType)
-  }
 
   /** Avro schema for the v2 manifest-list entry (spec field ids 500+). */
   private[iceberg] val manifestListSchema: Schema = new Schema.Parser().parse(
@@ -643,6 +631,36 @@ object IcebergExport {
       def dataSeq(rel: String): Long = addSeqs.getOrElse(rel, sid)
 
       // ---- data manifest ----
+      // STAT LEAVES (schema-only, computed once per snapshot):
+      // top-level scalars under their own field ids plus struct leaves
+      // (the snapshot log keys them by dotted path) under their
+      // persisted NESTED ids — the spec keys stats by leaf id, so a
+      // struct-heavy export prunes externally exactly like a flat one;
+      // nested-unstamped legacy schemas simply skip nested emission. A
+      // dotted leaf path colliding with a LITERAL top-level column name
+      // is dropped (the string-keyed stats map can't tell them apart —
+      // no stats beats possibly-wrong stats).
+      val statLeaves: Seq[(String, Int, DataType)] = {
+        def walk(st: StructType, path: String)
+            : Seq[(String, Int, DataType)] =
+          st.fields.toSeq.flatMap { c =>
+            graft.table.FieldIds.idOf(c) match {
+              case None => Seq.empty
+              case Some(id) => c.dataType match {
+                case inner: StructType => walk(inner, s"$path.${c.name}")
+                case t => Seq((s"$path.${c.name}", id.toInt, t))
+              }
+            }
+          }
+        val top = schema.fieldNames.toSet
+        schema.fields.zipWithIndex.toSeq.flatMap { case (f, i) =>
+          f.dataType match {
+            case st: StructType =>
+              walk(st, f.name).filterNot(l => top.contains(l._1))
+            case t => Seq((f.name, fieldId(schema, i).toInt, t))
+          }
+        }
+      }
       val entries = live.map { rel =>
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
@@ -671,33 +689,9 @@ object IcebergExport {
         df.put("file_size_in_bytes", bytes.getOrElse(rel,
           fileLen(new Path(table.location, rel))))
         // per-file column bounds from the snapshot log's footer stats —
-        // the min/max pruning metadata external scan planners read.
-        // STAT LEAVES: top-level scalars under their own field ids plus
-        // struct leaves (the snapshot log keys them by dotted path)
-        // under their persisted NESTED ids — the spec keys stats by
-        // leaf id, so a struct-heavy export prunes externally exactly
-        // like a flat one; nested-unstamped legacy schemas simply skip
-        // nested emission
+        // the min/max pruning metadata external scan planners read,
+        // emitted per stat leaf (see statLeaves above)
         val fileStats = stats.getOrElse(rel, Map.empty)
-        def statLeaves: Seq[(String, Int, DataType)] = {
-          def walk(st: StructType, path: String)
-              : Seq[(String, Int, DataType)] =
-            st.fields.toSeq.flatMap { c =>
-              graft.table.FieldIds.idOf(c) match {
-                case None => Seq.empty
-                case Some(id) => c.dataType match {
-                  case inner: StructType => walk(inner, s"$path.${c.name}")
-                  case t => Seq((s"$path.${c.name}", id.toInt, t))
-                }
-              }
-            }
-          schema.fields.zipWithIndex.toSeq.flatMap { case (f, i) =>
-            f.dataType match {
-              case st: StructType => walk(st, f.name)
-              case t => Seq((f.name, fieldId(schema, i).toInt, t))
-            }
-          }
-        }
         def boundsRecords(fieldName: String,
             pick: graft.table.ColStat => Option[String])
             : Option[java.util.List[GenericRecord]] = {

@@ -632,6 +632,7 @@ object IcebergImport {
     }
     val nameById: Map[Int, String] = fieldsJ.map(f =>
       (f \ "id").extract[Int] -> (f \ "name").extract[String]).toMap
+    val topNames: Set[String] = nameById.values.toSet
 
     // partition specs by id; v1 fallback: top-level `partition-spec`
     val specsById: Map[Int, Seq[(String, String, Int)]] = {
@@ -836,9 +837,12 @@ object IcebergImport {
             // (Iceberg stats are per leaf field id; the map keys by the
             // dotted path, which [[boundPreds]] produces for nested
             // predicates) — collection slots resolve to no leaf type
-            // and stay absent
+            // and stay absent; a leaf path colliding with a LITERAL
+            // top-level column name is dropped (the string-keyed map
+            // can't tell them apart — no stats beats wrong stats)
             def statName(fid: Int): Option[(String, DataType)] =
-              nameById.get(fid).orElse(nestedById.get(fid))
+              nameById.get(fid)
+                .orElse(nestedById.get(fid).filterNot(topNames.contains))
                 .flatMap(n => leafType(schema, n).map(n -> _))
             def boundsOf(fieldName: String): Map[String, Any] = {
               if (df.getSchema.getField(fieldName) == null) Map.empty
@@ -1081,21 +1085,13 @@ object IcebergImport {
     * of `column (=|<|<=|>|>=) literal` (either side). Everything else is
     * ignored for pruning — the full predicate is still applied to the
     * scan, so pruning is only ever an optimization. */
-  /** The Spark type at a (possibly dotted) STRUCT-LEAF path — walks
-    * struct fields only, so a collection slot ("xs.element") or a
-    * missing name is None. The dotted form is how nested-leaf bounds
-    * and predicates key into the pruning maps. */
+  /** The Spark type at a (possibly dotted) path — exact top-level
+    * first, then the struct-leaf walk; the dotted form is how
+    * nested-leaf bounds and predicates key into the pruning maps
+    * (shared resolver: [[graft.table.FileStats.leafType]]). */
   private def leafType(schema: StructType, path: String)
-      : Option[DataType] = {
-    def walk(dt: DataType, rest: List[String]): Option[DataType] =
-      (dt, rest) match {
-        case (t, Nil) => Some(t)
-        case (st: StructType, h :: tail) =>
-          st.fields.find(_.name == h).flatMap(f => walk(f.dataType, tail))
-        case _ => None
-      }
-    walk(schema, path.split('.').toList)
-  }
+      : Option[DataType] =
+    graft.table.FileStats.leafType(schema, path)
 
   private def boundPreds(e: org.apache.spark.sql.catalyst.expressions
       .Expression, schema: StructType): Seq[BoundPred] = {
@@ -1103,19 +1099,55 @@ object IcebergImport {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     // nested struct leaves prune too (Iceberg stats are per LEAF field
     // id): a dotted attribute or a GetStructField chain names the leaf
-    // by its dotted path, matching the manifest-bounds keys
-    def colName(x: Expression): Option[String] = x match {
-      case a: UnresolvedAttribute =>
-        Some(a.nameParts.mkString("."))
-          .filter(n => leafType(schema, n).isDefined)
-      case a: AttributeReference
-          if schema.fieldNames.contains(a.name) => Some(a.name)
-      case g: GetStructField =>
-        colName(g.child).map(p => s"$p.${g.extractFieldName}")
-          .filter(n => leafType(schema, n).isDefined)
-      case _ => None
+    // by its dotted path, matching the manifest-bounds keys. Each
+    // branch resolves the column's TYPE itself — an AttributeReference
+    // is always a top-level column (even one literally named "a.b"), a
+    // multi-part attribute walks struct fields, a GetStructField steps
+    // one level. A name BOTH a literal column and a leaf path could
+    // claim is ambiguous in the string-keyed stats map → no pruning.
+    val ambiguous: Set[String] = {
+      val top = schema.fieldNames.toSet
+      def leaves(dt: DataType, path: String): Seq[String] = dt match {
+        case st: StructType => st.fields.toSeq.flatMap(c =>
+          leaves(c.dataType, s"$path.${c.name}"))
+        case _ => Seq(path)
+      }
+      schema.fields.toSeq.collect { case f if f.dataType.isInstanceOf[StructType] =>
+        leaves(f.dataType, f.name)
+      }.flatten.filter(top.contains).toSet
     }
-    def typeOf(n: String): DataType = leafType(schema, n).get
+    def colInfo(x: Expression): Option[(String, DataType)] = (x match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        schema.fields.find(_.name == a.nameParts.head)
+          .map(f => f.name -> f.dataType)
+      case a: UnresolvedAttribute =>
+        def walk(dt: DataType, rest: List[String]): Option[DataType] =
+          (dt, rest) match {
+            case (t, Nil) => Some(t)
+            case (st: StructType, h :: tail) => st.fields
+              .find(_.name == h).flatMap(f => walk(f.dataType, tail))
+            case _ => None
+          }
+        schema.fields.find(_.name == a.nameParts.head)
+          .flatMap(f => walk(f.dataType, a.nameParts.tail.toList))
+          .map(t => a.nameParts.mkString(".") -> t)
+      case a: AttributeReference =>
+        schema.fields.find(_.name == a.name).map(f => f.name -> f.dataType)
+      case g: GetStructField =>
+        colInfo(g.child).flatMap {
+          case (p, st: StructType) =>
+            st.fields.find(_.name == g.extractFieldName)
+              .map(f => s"$p.${g.extractFieldName}" -> f.dataType)
+          case _ => None
+        }
+      case _ => None
+    }).filterNot { case (n, _) => ambiguous.contains(n) }
+    val typeByName: scala.collection.mutable.Map[String, DataType] =
+      scala.collection.mutable.Map.empty
+    def colName(x: Expression): Option[String] = colInfo(x).map {
+      case (n, t) => typeByName(n) = t; n
+    }
+    def typeOf(n: String): DataType = typeByName(n)
     // Column-built predicates arrive as UNRESOLVED function applications
     // ('and, '>, '=, ...), not typed comparisons — match both forms
     def flip(op: String): String = op match {

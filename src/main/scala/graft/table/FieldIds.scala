@@ -114,7 +114,7 @@ object FieldIds {
 
   /** Every id anywhere in a field's subtree: its own, its collection
     * slots', and (recursively) its nested struct fields'. */
-  private def deepIds(f: StructField): Seq[Long] = {
+  private[graft] def deepIds(f: StructField): Seq[Long] = {
     def typeIds(dt: DataType): Seq[Long] = dt match {
       case st: StructType => st.fields.toSeq.flatMap(deepIds)
       case ArrayType(et, _) => typeIds(et)
@@ -155,13 +155,16 @@ object FieldIds {
     * because keeping some while allocating ordinals for the rest can
     * collide (two columns sharing one id breaks the parquet reader's
     * id-mapping mode). */
-  def assign(s: StructType): StructType = {
+  def assign(s: StructType, floor: Long = 0L): StructType = {
     val topDone = if (hasIds(s)) s
       else StructType(s.fields.map(stripDeep).zipWithIndex.map {
         case (f, i) => withId(f, i + 1L)
       })
-    var next = math.max(topDone.fields.flatMap(deepIds)
-      .foldLeft(0L)(math.max), topDone.fields.length.toLong)
+    // `floor` lets a caller keep fresh allocations above ids HISTORY
+    // ever used (retrofit of a top-level-id'd table: a dropped
+    // column's id must not resurrect as a nested leaf's)
+    var next = math.max(floor, math.max(topDone.fields.flatMap(deepIds)
+      .foldLeft(0L)(math.max), topDone.fields.length.toLong))
     def alloc(): Long = { next += 1; next }
     StructType(topDone.fields.map(f => stampDeep(f, () => alloc())))
   }

@@ -40,13 +40,24 @@ object FileStats {
         Seq(StructField(path, t, nullable = true))
       case _ => Seq.empty
     }
+    val top = schema.fieldNames.toSet
     schema.fields.toSeq.filterNot(f => exclude.contains(f.name))
-      .flatMap(f => walk(f.dataType, f.name))
+      .flatMap { f =>
+        // a dotted leaf path that collides with a LITERAL top-level
+        // column name is dropped — the string-keyed stats map can't
+        // tell them apart, and wrong-type bounds could wrongly prune
+        val ls = walk(f.dataType, f.name)
+        if (f.dataType.isInstanceOf[StructType])
+          ls.filterNot(l => top.contains(l.name))
+        else ls
+      }
   }
 
-  /** The Spark type at a (possibly dotted) struct-leaf path — the
-    * pruning-time resolver for [[leafStatFields]] keys. None for
-    * collection slots or missing names. */
+  /** The Spark type at a (possibly dotted) path: an EXACT top-level
+    * column name first (a column may literally contain a dot), then
+    * the struct-leaf walk — the pruning-time resolver for
+    * [[leafStatFields]] keys. None for collection slots or missing
+    * names. */
   def leafType(schema: StructType, path: String): Option[DataType] = {
     def walk(dt: DataType, rest: List[String]): Option[DataType] =
       (dt, rest) match {
@@ -55,7 +66,8 @@ object FileStats {
           st.fields.find(_.name == h).flatMap(f => walk(f.dataType, tail))
         case _ => None
       }
-    walk(schema, path.split('.').toList)
+    schema.fields.find(_.name == path).map(_.dataType)
+      .orElse(walk(schema, path.split('.').toList))
   }
 
   /** Strings longer than this are not recorded as bounds — a truncated

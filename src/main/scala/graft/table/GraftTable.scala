@@ -2331,9 +2331,15 @@ class GraftTable(spark: SparkSession, val location: String,
     val cur = schema
     // fullyStamped, not hasIds: a top-level-id'd table whose NESTED
     // parts predate nested stamping still needs the rewrite (its
-    // footers lack the nested ids an id-aware reader would request)
+    // footers lack the nested ids an id-aware reader would request).
+    // New ids allocate ABOVE anything any historical schema ever used
+    // — a dropped column's id must never resurrect as a nested leaf's
+    // (external id-aware readers of earlier exports would silently
+    // rebind it)
     if (FieldIds.fullyStamped(cur)) return parentAtRead.get
-    val withIds = FieldIds.assign(cur)
+    val withIds = FieldIds.assign(cur,
+      floor = FieldIds.maxId(snapshots.map(s =>
+        DataType.fromJson(s.schemaJson).asInstanceOf[StructType])))
     val removed = liveFiles()
     val staged =
       if (removed.isEmpty) Seq.empty

@@ -472,13 +472,33 @@ final class LoopbackIcebergCatalog(ident: String, initialLoc: String,
           (409, """{"error":{"message":"Requirement failed on a """ +
             """transaction member: no table moved","type":""" +
             """"CommitFailedException","code":409}}""")
+        else if (members.map(_._1).distinct.size != members.size)
+          // two members naming the SAME table cannot both pass their
+          // asserts against one pre-state — refuse up front instead of
+          // half-applying
+          (400, """{"error":{"message":"duplicate table in """ +
+            """transaction members","type":"BadRequest","code":400}}""")
         else {
-          members.foreach { case (key, tc) =>
-            val (c, b) = commitAt(key, compact(render(tc)))
-            require(c == 200,
-              s"transaction member $key failed post-check: $c $b")
+          // apply with pointer rollback: if any member still fails in
+          // commitAt, restore EVERY member's metadata pointer — the
+          // observable catalog state stays all-or-nothing (files a
+          // half-applied member wrote become orphans, exactly like an
+          // aborted single-table commit)
+          val saved = members.map(m => m._1 -> tabs(m._1))
+          try {
+            members.foreach { case (key, tc) =>
+              val (c, b) = commitAt(key, compact(render(tc)))
+              require(c == 200,
+                s"transaction member $key failed post-check: $c $b")
+            }
+            (200, "{}")
+          } catch {
+            case e: Throwable =>
+              saved.foreach { case (k, v) => tabs(k) = v }
+              (409, """{"error":{"message":"transaction aborted, no """ +
+                """table moved","type":"CommitFailedException",""" +
+                """"code":409}}""")
           }
-          (200, "{}")
         }
       }
       else if (path == "/v1/tables/rename" && post) synchronized {

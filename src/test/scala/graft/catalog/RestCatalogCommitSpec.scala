@@ -857,6 +857,19 @@ class RestCatalogCommitSpec extends SparkSpec {
         RestCatalog.commitTransaction(base, Seq(
           ("lake.nope", Seq(assertRef(1L)), Seq(setRef(1L))))))
       assert(e2.getMessage.contains("404"), e2.getMessage)
+
+      // DUPLICATE member (same table twice): both could pass the
+      // pre-check against one pre-state but the second would fail
+      // mid-apply — the server refuses up front, nothing moves
+      val locT1 = RestCatalog.loadTableMetadataLocation(base, "lake.t")
+      val idT = curId("lake.t")
+      val e3 = intercept[Exception](
+        RestCatalog.commitTransaction(base, Seq(
+          ("lake.t", Seq(assertRef(idT)), Seq(setRef(idT))),
+          ("lake.t", Seq(assertRef(idT)), Seq(setRef(idT))))))
+      assert(e3.getMessage.contains("duplicate"), e3.getMessage)
+      assert(RestCatalog.loadTableMetadataLocation(base, "lake.t")
+        === locT1, "table moved despite the refused duplicate txn")
     }
   }
 

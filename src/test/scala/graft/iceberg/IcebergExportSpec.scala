@@ -116,6 +116,14 @@ class IcebergExportSpec extends SparkSpec {
     // assign completes nested stamping and fullyStamped flips true
     assert(FieldIds.fullyStamped(FieldIds.assign(mixed)))
     assert(FieldIds.fullyStamped(FieldIds.assign(legacy)))
+    // assign's floor keeps fresh nested ids ABOVE history: a dropped
+    // column's id (here 7) must never resurrect as a nested leaf's —
+    // the retrofit path passes maxId over every historical schema
+    val completed = FieldIds.assign(mixed, floor = 7L)
+    val leafIds = completed.fields.flatMap(FieldIds.deepIds)
+    assert(leafIds.forall(id => id <= 2L || id > 7L),
+      s"an id in (2, 7] resurrects a dropped column's: $leafIds")
+    assert(FieldIds.fullyStamped(completed))
   }
 
   test("export writes the v2 metadata tree and scan() reads it back") {
