@@ -61,6 +61,16 @@ class IcebergExportSpec extends SparkSpec {
     val back = IcebergImport.read(spark, t.location)
     assert(back.orderBy("id").collect() ===
       t.read().orderBy("id").select("id", "st", "xs", "m").collect())
+    // EXTERNAL engine: the DuckDB hand-walk decodes the nested export
+    // too — struct leaf predicate and list element aggregate (the
+    // multi-engine loop closed for nested types)
+    val extPath = new java.net.URI("file://" + t.location).getPath
+    val extCnt = Seq("python3", "tools/read_iceberg_duckdb.py", extPath,
+      "SELECT COUNT(*) AS n FROM t WHERE st._1 > 20").!!
+    assert(extCnt.trim.split("\n").last === "10", extCnt)
+    val extSum = Seq("python3", "tools/read_iceberg_duckdb.py", extPath,
+      "SELECT CAST(SUM(xs[2]) AS BIGINT) AS s FROM t").!!
+    assert(extSum.trim.split("\n").last === "2100", extSum)
     // ids are STABLE across a re-export after more commits (an
     // external incremental reader must never see an id change)
     t.append(frame(21L, 30L))
