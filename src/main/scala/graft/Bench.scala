@@ -235,6 +235,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // micros (not int96), exactly as Verify's session: the staged-write
+      // path skips its pin-conf session clone when the session already
+      // carries it, so the bench times the same plan Verify checks
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       // bound status-store growth across the ~50-query session so late
       // queries aren't taxed by state accumulated from earlier ones

@@ -156,31 +156,31 @@ object IncrementalRollup {
     // group's dst row would never update or retract and duplicates
     // would silently accumulate. The delta is aggregate-sized, so this
     // guard costs one pass over one row per changed group.
-    val nullKeyed = delta
-      .filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
-    require(nullKeyed == 0L,
-      s"rollup group keys (${keys.mkString(",")}) contain NULLs; " +
-        "filter or coalesce them upstream — null-keyed groups cannot be " +
-        "maintained through SQL key equality")
-
-    // overflow guard (same one-pass-over-the-tiny-delta cost as the null
-    // check): null delta sum + non-null inputs ⇔ the aggregate overflowed
-    // its DECIMAL precision — the state would corrupt silently through
-    // coalesce(...,0), so refuse the round and tell the caller to widen
+    // overflow guard: null delta sum + non-null inputs ⇔ the aggregate
+    // overflowed its DECIMAL precision — the state would corrupt silently
+    // through coalesce(...,0), so refuse the round and tell the caller to
+    // widen. Both guards fold into ONE aggregate job over the
+    // checkpointed delta (one flag each) instead of two counts.
     val overflowConds =
       sumCols.map(c => col(s"__delta_${c}_sum").isNull &&
         col(s"__delta_${c}_anynn") > 0) ++
       sumSqCols.map(c => col(s"__delta_${c}_sumsq").isNull &&
         col(s"__delta_${c}_anynn") > 0)
-    if (overflowConds.nonEmpty) {
-      val overflowed = delta.filter(overflowConds.reduce(_ || _))
-        .limit(1).count()
-      require(overflowed == 0L,
-        s"a delta SUM/SUMSQ aggregate overflowed its DECIMAL precision " +
-          s"(null result over non-null inputs) for ${dst.location} — " +
-          "widen the source column's precision (sum-of-squares needs " +
-          "~2x the digits) or maintain over a bounded-precision cast")
-    }
+    def flag(c: org.apache.spark.sql.Column) =
+      max(when(c, lit(1)).otherwise(lit(0)))
+    val guards = delta.select(
+      flag(keys.map(col(_).isNull).reduce(_ || _)).as("__nullk"),
+      flag(overflowConds.foldLeft(lit(false))(_ || _)).as("__overflow"))
+      .collect()(0)
+    require(guards.isNullAt(0) || guards.getInt(0) == 0,
+      s"rollup group keys (${keys.mkString(",")}) contain NULLs; " +
+        "filter or coalesce them upstream — null-keyed groups cannot be " +
+        "maintained through SQL key equality")
+    require(guards.isNullAt(1) || guards.getInt(1) == 0,
+      s"a delta SUM/SUMSQ aggregate overflowed its DECIMAL precision " +
+        s"(null result over non-null inputs) for ${dst.location} — " +
+        "widen the source column's precision (sum-of-squares needs " +
+        "~2x the digits) or maintain over a bounded-precision cast")
 
     if (!dst.exists) {
       val aggFields = keys.map(k => srcSchema(k)) ++

@@ -1044,39 +1044,84 @@ class GraftTable(spark: SparkSession, val location: String,
     // pin MICROS timestamps for the staged write: INT96 (the legacy
     // default some sessions carry) records no usable footer statistics,
     // which would silently disable timestamp stats and their pruning.
-    // The pin lives on a CLONED session (shared context/cache, private
-    // conf) so concurrent commits in the caller's session can never
-    // interleave with a set/restore of shared conf.
-    val writeSpark = graft.util.Phase.timed("table.stage.cloneSession")(
-      org.apache.spark.sql.graftglue.GraftSqlGlue.cloneSession(spark))
-    writeSpark.conf.set("spark.sql.parquet.outputTimestampType",
-      "TIMESTAMP_MICROS")
-    val bound = org.apache.spark.sql.graftglue.GraftSqlGlue
-      .ofRows(writeSpark, distributed.queryExecution.logical)
+    // When the caller's session already pins MICROS (the harness mains
+    // do), the frame is written as-is — no session clone, no re-analysis
+    // of the staged plan. Otherwise the pin lives on a CLONED session
+    // (shared context/cache, private conf) so concurrent commits in the
+    // caller's session can never interleave with a set/restore of shared
+    // conf.
+    val bound =
+      if (spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+          == "TIMESTAMP_MICROS") distributed
+      else {
+        val writeSpark = graft.util.Phase.timed("table.stage.cloneSession")(
+          org.apache.spark.sql.graftglue.GraftSqlGlue.cloneSession(spark))
+        writeSpark.conf.set("spark.sql.parquet.outputTimestampType",
+          "TIMESTAMP_MICROS")
+        org.apache.spark.sql.graftglue.GraftSqlGlue
+          .ofRows(writeSpark, distributed.queryExecution.logical)
+      }
     val writer = bound.write.mode("overwrite")
       .option("compression", "snappy")
+      // the stage dir is private to this writer and the real commit is
+      // the snapshot-json publish AFTER the move below, so v1's two-phase
+      // job-commit (driver-side rename ladder over every task dir) buys
+      // no atomicity here — v2 renames task output once at task commit.
+      // _SUCCESS markers are likewise never consulted by the move walk.
+      // (guide §6: per-file fixed costs dominate small commits)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     graft.util.Phase.timed("table.stage.write") {
       (if (physNames.nonEmpty) writer.partitionBy(physNames: _*) else writer)
         .parquet(stage.toString)
     }
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     graft.util.Phase.timed("table.stage.move") {
-      val it = fs.listFiles(stage, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val name = f.getPath.getName
-        if (name.endsWith(".parquet")) {
-          val rel = stripPrefix(f.getPath.toString, stage.toString)
-          val dest = new Path(tablePath, rel)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(f.getPath, dest))
-            throw new IllegalStateException(s"failed to move $rel into $location")
-          files += ((rel, f.getLen))
+      if (fs.getScheme == "file") {
+        // local fs: walk and rename through java.nio — Hadoop's
+        // LocalFileSystem pays checksum/LocatedFileStatus bookkeeping per
+        // file (~10ms each, measured) that a staged move does not need
+        import scala.jdk.CollectionConverters._
+        val stageDir = java.nio.file.Paths.get(stage.toUri.getPath)
+        val tableDir = java.nio.file.Paths.get(tablePath.toUri.getPath)
+        val walk = java.nio.file.Files.walk(stageDir)
+        try walk.iterator().asScala.foreach { p =>
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val rel = stageDir.relativize(p).toString
+            val dest = tableDir.resolve(rel)
+            java.nio.file.Files.createDirectories(dest.getParent)
+            // same-volume move = atomic rename; a pre-existing dest
+            // throws FileAlreadyExistsException, matching the rename
+            // guard below
+            java.nio.file.Files.move(p, dest)
+            files += ((rel, java.nio.file.Files.size(dest)))
+          }
+        } finally walk.close()
+        deleteLocalRecursively(stageDir.toFile)
+      } else {
+        val it = fs.listFiles(stage, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (name.endsWith(".parquet")) {
+            val rel = stripPrefix(f.getPath.toString, stage.toString)
+            val dest = new Path(tablePath, rel)
+            fs.mkdirs(dest.getParent)
+            if (!fs.rename(f.getPath, dest))
+              throw new IllegalStateException(s"failed to move $rel into $location")
+            files += ((rel, f.getLen))
+          }
         }
+        fs.delete(stage, true)
       }
-      fs.delete(stage, true)
     }
     files.toSeq
+  }
+
+  private def deleteLocalRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteLocalRecursively))
+    f.delete()
   }
 
   private def stripPrefix(full: String, prefix: String): String = {
@@ -1994,7 +2039,7 @@ class GraftTable(spark: SparkSession, val location: String,
     * is small — the same manifest pruning the COW merge planner uses
     * ([[MergeInto.mayContainKeys]]). Files without recorded stats are
     * always kept (pruning must never drop a file it cannot clear). Costs
-    * two tiny driver jobs over the tombstone key files — O(batch), repaid
+    * one tiny driver job over the tombstone key files — O(batch), repaid
     * by not scanning the full parent state per changelog commit. */
   private[table] def morPreImageFiles(parent: Long, cols: Seq[String],
       keys: DataFrame): Seq[String] = {
@@ -2005,8 +2050,7 @@ class GraftTable(spark: SparkSession, val location: String,
     if (cols.exists(c => !parentSchema.fieldNames.contains(c) ||
         !schema.fieldNames.contains(c))) return live
     val stats = statsFor(live, Some(parent))
-    val keyRange = MergeInto.sourceKeyRange(keys, cols)
-    val keyValues = MergeInto.smallBatchKeyValues(keys, cols, parentSchema)
+    val (keyRange, keyValues) = MergeInto.keyProbe(keys, cols, parentSchema)
     live.filter(f =>
       MergeInto.mayContainKeys(this, f, stats, cols, keyRange, keyValues))
   }
@@ -2034,8 +2078,9 @@ class GraftTable(spark: SparkSession, val location: String,
     * pruning the COW merge planner uses ([[MergeInto.mayContainKeys]]).
     * This is FILE-level skipping resolved driver-side; the caller still
     * applies the exact row filter (e.g. a semi-join on `probe`), which
-    * now scans O(matching files), not the whole table. Costs two tiny
-    * driver jobs over `probe` (key range + distinct values under cap) —
+    * now scans O(matching files), not the whole table. Costs one tiny
+    * driver job over `probe` (key rows under cap; range + distinct values
+    * both derive from it) —
     * checkpoint `probe` first if it is derived from an expensive frame.
     * Files without recorded stats are always kept (never mis-prunes). */
   def readForKeys(probe: DataFrame, cols: Seq[String],
@@ -2909,21 +2954,44 @@ class GraftTable(spark: SparkSession, val location: String,
         / GraftTable.MorDeleteFileRows).toInt
     val shaped =
       if (nFiles == 1) keys.coalesce(1) else keys.repartition(nFiles)
-    shaped.write.parquet(stage.toString)
+    shaped.write
+      // same committer rationale as stageAndMove: private stage dir,
+      // real commit is the snapshot publish
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(stage.toString)
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    val it = fs.listFiles(stage, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val rel = s"_deletes/del-${UUID.randomUUID()}.parquet"
-        val dest = new Path(tablePath, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(f.getPath, dest))
-          throw new IllegalStateException(s"failed to move $rel into $location")
-        files += ((rel, f.getLen))
+    if (fs.getScheme == "file") {
+      import scala.jdk.CollectionConverters._
+      val stageDir = java.nio.file.Paths.get(stage.toUri.getPath)
+      val delDir = java.nio.file.Paths.get(tablePath.toUri.getPath)
+        .resolve("_deletes")
+      java.nio.file.Files.createDirectories(delDir)
+      val walk = java.nio.file.Files.walk(stageDir)
+      try walk.iterator().asScala.foreach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val rel = s"_deletes/del-${UUID.randomUUID()}.parquet"
+          val dest = delDir.resolve(rel.stripPrefix("_deletes/"))
+          java.nio.file.Files.move(p, dest)
+          files += ((rel, java.nio.file.Files.size(dest)))
+        }
+      } finally walk.close()
+      deleteLocalRecursively(stageDir.toFile)
+    } else {
+      val it = fs.listFiles(stage, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val rel = s"_deletes/del-${UUID.randomUUID()}.parquet"
+          val dest = new Path(tablePath, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(f.getPath, dest))
+            throw new IllegalStateException(s"failed to move $rel into $location")
+          files += ((rel, f.getLen))
+        }
       }
+      fs.delete(stage, true)
     }
-    fs.delete(stage, true)
     files.toSeq
   }
 

@@ -90,19 +90,56 @@ object MergeInto {
     * shuffle ever runs — and a batch bigger than the cap returns None
     * (range-only pruning). */
   val MaxKeyProbeValues = 1024
-  private[table] def smallBatchKeyValues(deduped: DataFrame, keys: Seq[String],
+
+  /** BOTH manifest-pruning probe inputs from ONE driver job: collect the
+    * batch's key rows under the cap; when they fit, the per-value probe
+    * set AND the key bounds derive from the same collect (bounds via the
+    * interpreted ordering + the same UTC Cast rendering
+    * [[sourceKeyRange]] uses — SQL min/max over ≤1k driver rows). A batch
+    * over the cap, or a key type without an interpreted ordering, falls
+    * back to the distributed range aggregate with values = None. This
+    * halves the planning jobs of every small-batch merge (guide §1.2:
+    * remove passes before tuning what's inside them). */
+  private[table] def keyProbe(deduped: DataFrame, keys: Seq[String],
       schema: org.apache.spark.sql.types.StructType)
-      : Option[Map[String, Seq[Any]]] = {
+      : (Map[String, (Option[String], Option[String])],
+         Option[Map[String, Seq[Any]]]) = {
+    val glue = org.apache.spark.sql.graftglue.GraftSqlGlue
     // cast to the TABLE's key types: file stats are typed by the table
     // schema, and a source batch may carry narrower types (Int vs Long)
-    val rows = deduped
+    val rows = Phase.timed("merge.keyValues")(deduped
       .select(keys.map(k => col(k).cast(schema(k).dataType).as(k)): _*)
-      .limit(MaxKeyProbeValues + 1).collect()
-    if (rows.length > MaxKeyProbeValues) None
-    else Some(keys.zipWithIndex.map { case (k, i) =>
-      k -> rows.map(r => org.apache.spark.sql.graftglue.GraftSqlGlue
-        .toCatalyst(r.get(i))).distinct.toSeq
-    }.toMap)
+      .limit(MaxKeyProbeValues + 1).collect())
+    if (rows.length > MaxKeyProbeValues)
+      return (Phase.timed("merge.keyRange")(sourceKeyRange(deduped, keys)),
+        None)
+    val values = keys.zipWithIndex.map { case (k, i) =>
+      k -> rows.toSeq.map(r => glue.toCatalyst(r.get(i))).distinct
+    }.toMap
+    val range: Option[Map[String, (Option[String], Option[String])]] =
+      try Some(keys.zipWithIndex.map { case (k, i) =>
+        val dt = schema(k).dataType
+        val ord = glue.interpretedOrdering(dt)
+        // SQL min/max ignore NULLs; an all-null (or empty) key column
+        // yields (None, None) exactly like the aggregate would
+        val ext = rows.flatMap(r => Option(r.get(i)))
+        if (ext.isEmpty) k -> (None, None)
+        else {
+          val cat = ext.map(glue.toCatalyst)
+          var mnI = 0; var mxI = 0; var j = 1
+          while (j < cat.length) {
+            if (ord.compare(cat(j), cat(mnI)) < 0) mnI = j
+            if (ord.compare(cat(j), cat(mxI)) > 0) mxI = j
+            j += 1
+          }
+          k -> (Option(glue.castToStringUtc(ext(mnI), dt)),
+            Option(glue.castToStringUtc(ext(mxI), dt)))
+        }
+      }.toMap)
+      catch { case scala.util.control.NonFatal(_) => None }
+    (range.getOrElse(
+      Phase.timed("merge.keyRange")(sourceKeyRange(deduped, keys))),
+      Some(values))
   }
 
   /** File-level manifest pruning: a live file whose recorded key range
@@ -251,7 +288,20 @@ object MergeInto {
     val parentAtRead = target.latestSnapshotId
     val schema = target.schema
     val cols = schema.fieldNames.toIndexedSeq
-    val dedupedAll = dedupLatest(source, dedupKey, orderCol).cache()
+    // Does this merge need the matched-rows JOIN (target values read)?
+    // Matched deletes need target rows; restricted inserts need the
+    // matched-key distinction (the join-free full-row path cannot tell
+    // an update from an insert). Decided up front because it also
+    // decides whether dedupedAll is worth caching at all.
+    val needsJoin = updateSet.isDefined || updateCond.isDefined ||
+      extras.deleteCond.isDefined || extras.insertCond.isDefined ||
+      extras.insertSet.isDefined
+    val dedupedAll = dedupLatest(source, dedupKey, orderCol)
+    // only the join/insert-clause paths re-read the un-projected frame;
+    // a plain full-row merge touches it exactly once (through `deduped`
+    // below), so caching it would just materialize a second in-memory
+    // copy of the batch
+    if (needsJoin) dedupedAll.cache()
     // keys of every source row (updates, inserts AND deletes) drop out of
     // the target via the anti-join; only non-delete rows are re-inserted.
     val deduped = dedupedAll
@@ -290,14 +340,6 @@ object MergeInto {
               .cast(schema(c).dataType).as(c)): _*)
         }
       }
-
-    // Does this merge need the matched-rows JOIN (target values read)?
-    // Matched deletes need target rows; restricted inserts need the
-    // matched-key distinction (the join-free full-row path cannot tell
-    // an update from an insert).
-    val needsJoin = updateSet.isDefined || updateCond.isDefined ||
-      extras.deleteCond.isDefined || extras.insertCond.isDefined ||
-      extras.insertSet.isDefined
 
     // rows this merge WRITES for the batch's keys: the full source row
     // (full-row replace / plain insert), or — with updateSet/updateCond
@@ -412,10 +454,9 @@ object MergeInto {
     // whose unassigned columns force a bounded read of overlapping files)
     lazy val live = target.liveFiles()
     lazy val stats = Phase.timed("merge.statsFor")(target.statsFor(live))
-    lazy val keyRange = Phase.timed("merge.keyRange")(
-      sourceKeyRange(deduped, keys))
-    lazy val keyValues = Phase.timed("merge.keyValues")(
-      smallBatchKeyValues(deduped, keys, schema))
+    lazy val probe = keyProbe(deduped, keys, schema)
+    lazy val keyRange = probe._1
+    lazy val keyValues = probe._2
     def overlapping(files: Seq[String]): Seq[String] =
       files.filter(f =>
         mayContainKeys(target, f, stats, keys, keyRange, keyValues))
@@ -490,18 +531,26 @@ object MergeInto {
         .columnFor(f, col(f.source).cast(schema(f.source).dataType),
           schema(f.source).dataType)
         .cast("string").as(f.physName))
-      def partTuples(df: DataFrame): Array[Seq[String]] =
-        df.select(partStrs: _*).distinct()
+      // takes a frame ALREADY projected to partStrs (so callers can union
+      // several sources into the one distinct+collect)
+      def partTuples(projected: DataFrame): Array[Seq[String]] =
+        projected.distinct()
           .collect().map(r => fields.map(f =>
             Option(r.getAs[String](f.physName))
               .getOrElse("__HIVE_DEFAULT_PARTITION__")))
-      val srcParts = Phase.timed("merge.probeSrcParts")(partTuples(deduped))
-      // the probe reads only files whose key range can overlap the batch
-      // (file-level manifest pruning), not the full target
-      val matchedParts = Phase.timed("merge.probeMatched")(
-        partTuples(target.readFilesOf(overlapping(live))
-          .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_semi")))
-      val affected: Set[Seq[String]] = (srcParts ++ matchedParts).map(_.toSeq).toSet
+      // ONE probe job for both affected-partition sources: tuples of
+      // incoming source rows UNION tuples of matched target rows (the
+      // second set catches updates that move a row across partitions).
+      // The target side reads only files whose key range can overlap the
+      // batch (file-level manifest pruning), never the full target; the
+      // semi-join needs no pre-distinct (semi-join semantics already
+      // dedup the probe side), so the union costs one exchange total
+      // instead of the former two probe jobs + a distinct shuffle.
+      val affected: Set[Seq[String]] = Phase.timed("merge.probeParts")(
+        partTuples(deduped.select(partStrs: _*).unionByName(
+          target.readFilesOf(overlapping(live))
+            .join(deduped.select(keys.map(col): _*), keys, "left_semi")
+            .select(partStrs: _*))).map(_.toSeq).toSet)
 
       val affectedFiles = overlapping(live.filter { f =>
         val kv = target.partitionValues(f)
