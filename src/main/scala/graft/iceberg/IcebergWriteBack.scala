@@ -373,32 +373,63 @@ object IcebergWriteBack {
       : Seq[(String, Map[String, String], Long, Long,
         Map[String, graft.table.ColStat])] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val it = tree.fs.listFiles(new Path(tree.tableLocation, dataRel), true)
-    val out = Seq.newBuilder[(String, Map[String, String], Long, Long,
-      Map[String, graft.table.ColStat])]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet")) {
-        val full = st.getPath.toString
-        val tail = full.substring(full.indexOf(dataRel))
-        // hive dirs between dataRel and the file name carry the tuple
-        val tuple = tail.stripPrefix(dataRel).stripPrefix("/")
-          .split("/").dropRight(1).filter(_.contains("="))
-          .map { kv =>
-            val i = kv.indexOf('=')
-            kv.take(i) -> java.net.URLDecoder.decode(kv.drop(i + 1),
-              "UTF-8")
-          }.toMap
-        // the SAME footer open yields rows AND per-column stats — the
-        // truthful lower/upper/null-count metadata external planners
-        // prune by, for free (no second data scan)
-        val (stats, rows) = graft.table.FooterStats.read(hadoopConf,
-          st.getPath, statFields)
-        out += ((tail, tuple, rows, st.getLen, stats))
+    // listing: java.nio on local filesystems (Hadoop's LocalFileSystem
+    // pays checksum/LocatedFileStatus bookkeeping per file), Hadoop
+    // otherwise; (path, len) pairs either way
+    val listed: Seq[(Path, Long)] =
+      if (tree.fs.getScheme == "file") {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(
+          new Path(tree.tableLocation, dataRel).toUri.getPath)
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.collect {
+          case p if p.getFileName.toString.endsWith(".parquet") &&
+              java.nio.file.Files.isRegularFile(p) =>
+            (new Path(p.toUri), java.nio.file.Files.size(p))
+        }.toSeq
+        finally walk.close()
+      } else {
+        val it = tree.fs.listFiles(new Path(tree.tableLocation, dataRel),
+          true)
+        val b = Seq.newBuilder[(Path, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            b += ((st.getPath, st.getLen))
+        }
+        b.result()
       }
-    }
-    out.result()
+    // footer reads are independent small IOs — run them on a bounded
+    // pool like GraftTable.collectStats does, not serially
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, listed.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = listed.map { case (p, len) =>
+        new java.util.concurrent.Callable[(String, Map[String, String],
+            Long, Long, Map[String, graft.table.ColStat])] {
+          def call() = {
+            val full = p.toString
+            val tail = full.substring(full.indexOf(dataRel))
+            // hive dirs between dataRel and the file name carry the tuple
+            val tuple = tail.stripPrefix(dataRel).stripPrefix("/")
+              .split("/").dropRight(1).filter(_.contains("="))
+              .map { kv =>
+                val i = kv.indexOf('=')
+                kv.take(i) -> java.net.URLDecoder.decode(kv.drop(i + 1),
+                  "UTF-8")
+              }.toMap
+            // the SAME footer open yields rows AND per-column stats — the
+            // truthful lower/upper/null-count metadata external planners
+            // prune by, for free (no second data scan)
+            val (stats, rows) = graft.table.FooterStats.read(hadoopConf,
+              p, statFields)
+            (tail, tuple, rows, len, stats)
+          }
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
   }
 
   /** Write `df` as new data files under the tree's default (identity)
@@ -492,6 +523,10 @@ object IcebergWriteBack {
     val dataRel = s"data/graft-append-${UUID.randomUUID()}"
     val outDir = new Path(tree.tableLocation, dataRel)
     val w = bound.write.mode("errorifexists")
+      // the UUID-fresh dir is invisible until the metadata publish, so
+      // v1's two-phase job commit buys nothing; _SUCCESS is never read
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     if (partCols.nonEmpty) w.partitionBy(partCols: _*)
       .parquet(outDir.toString)
     else w.parquet(outDir.toString)
@@ -654,7 +689,11 @@ object IcebergWriteBack {
     val out = rows.sort(sortCols.map(col): _*)
     val dataRel = s"data/graft-delete-${UUID.randomUUID()}"
     val outDir = new Path(tree.tableLocation, dataRel)
-    out.write.mode("errorifexists").parquet(outDir.toString)
+    out.write.mode("errorifexists")
+      // same committer rationale as the data write above
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(outDir.toString)
     val files = listWritten(spark, tree, dataRel).filter(_._3 > 0)
     if (files.isEmpty) { // no matches: leave no trace, commit nothing
       tree.fs.delete(outDir, true)

@@ -2000,7 +2000,12 @@ class GraftTable(spark: SparkSession, val location: String,
     if (parts.isEmpty) return
     val out = parts.reduce(_ unionByName _)
     val tmp = new Path(tablePath, s"_changes/.tmp-${UUID.randomUUID()}")
-    out.write.mode("overwrite").parquet(tmp.toString)
+    out.write.mode("overwrite")
+      // private tmp dir published by the rename below — same committer
+      // rationale as stageAndMove
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(tmp.toString)
     val dst = changesPath(snap.snapshotId)
     fs.mkdirs(dst.getParent)
     // a concurrent materializer of the same commit produced identical
