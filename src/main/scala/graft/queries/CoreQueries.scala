@@ -1009,27 +1009,43 @@ object CoreQueries {
     Tables.load(s, dir, "supplier").createOrReplaceTempView("q2_supplier")
     Tables.load(s, dir, "nation").createOrReplaceTempView("q2_nation")
     Tables.load(s, dir, "region").createOrReplaceTempView("q2_region")
+    // Window formulation of the classic correlated-min subquery: Spark
+    // INLINES the `ps` CTE at every reference, so the textbook form
+    // aggregated lineitem THREE times (outer ps + the decorrelated
+    // subquery's two — see plans/r16/q2_min_cost_supplier_before.txt,
+    // HashAggregate pairs 7/9, 17/19, 36/38). The subquery's min is
+    // correlated only on p_partkey and ranges over exactly the ASIA rows
+    // the outer join already produces, so MIN(...) OVER (PARTITION BY
+    // ps_partkey) on that one join computes the identical bound in ONE
+    // lineitem aggregation + one window shuffle: same rows (ties all
+    // kept, NULL costs excluded by the equality either way), same
+    // multiplicity (ps is grouped by (partkey, suppkey), so (s_name,
+    // p_partkey) is unique and the LIMIT is deterministic). The DuckDB
+    // oracle still runs the correlated original — hash-checked equal.
+    // The part join sits BELOW the window: p_partkey is unique in part
+    // and the filters touch only part columns, so joining first prunes
+    // whole window partitions without changing any surviving partition's
+    // row set — the window then sorts ~1% of the keys.
     s.sql(
       """WITH ps AS (
         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
         |         MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
         |           AS ps_supplycost
-        |  FROM q2_lineitem GROUP BY 1, 2)
+        |  FROM q2_lineitem GROUP BY 1, 2),
+        |asia AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |         ps_supplycost,
+        |         MIN(ps_supplycost) OVER (PARTITION BY ps_partkey)
+        |           AS min_cost
+        |  FROM ps, q2_supplier, q2_nation, q2_region, q2_part
+        |  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    AND p_partkey = ps_partkey
+        |    AND p_size IN (5, 15, 25) AND p_type = 'LARGE')
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
         |  CAST(ps_supplycost AS DOUBLE) AS supplycost
-        |FROM q2_part, ps, q2_supplier, q2_nation, q2_region
-        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-        |  AND p_size IN (5, 15, 25) AND p_type = 'LARGE'
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA'
-        |  AND ps_supplycost = (
-        |    SELECT MIN(ps2.ps_supplycost)
-        |    FROM ps ps2, q2_supplier s2, q2_nation n2, q2_region r2
-        |    WHERE ps2.ps_partkey = p_partkey
-        |      AND s2.s_suppkey = ps2.ps_suppkey
-        |      AND s2.s_nationkey = n2.n_nationkey
-        |      AND n2.n_regionkey = r2.r_regionkey
-        |      AND r2.r_name = 'ASIA')
+        |FROM asia
+        |WHERE ps_supplycost = min_cost
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin)
   }

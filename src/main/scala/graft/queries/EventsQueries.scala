@@ -349,19 +349,37 @@ object EventsQueries {
     * three keyed aggregates + two broadcast-able user-level joins; no
     * window over the raw event stream. */
   val qFunnel: Q = (s, dir) => {
+    // Cascaded-window form of the three-stage funnel: the per-stage
+    // aggregate + join chain inlined each stage at every reference and
+    // scanned events SIX times through ~17 exchanges
+    // (plans/r16/q_funnel_before.txt). Each stage's bound is a per-user
+    // min over rows the previous bound qualifies, so three stacked
+    // full-partition window MINs over ONE user_id exchange compute the
+    // identical cascade: v_ts = min view ts; c_ts = min click ts AFTER
+    // v_ts (NULL v_ts nulls the comparison — exactly the inner join's
+    // absence); p_ts likewise over c_ts. The final counts ignore NULLs,
+    // matching the LEFT-JOIN counts (c ⊆ v and p ⊆ c by construction).
+    // The DuckDB oracle still runs the join form — hash-checked equal.
+    import org.apache.spark.sql.expressions.Window
     val events = Tables.load(s, dir, "events")
-    val v = events.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-    val c = events.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-    val p = events.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("c_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-      .agg(count(col("v_ts")).as("n_view"),
-        count(col("c_ts")).as("n_click"),
-        count(col("p_ts")).as("n_purchase"))
+    val w = Window.partitionBy("user_id")
+    val funnel = events.select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
+          col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+          col("ts"))).over(w))
+      // window values are constant per user; max() just picks them while
+      // reusing the window's partitioning (no extra exchange)
+      .groupBy(col("user_id"))
+      .agg(max(col("v_ts")).as("v_ts"), max(col("c_ts")).as("c_ts"),
+        max(col("p_ts")).as("p_ts"))
+    funnel.agg(count(col("v_ts")).as("n_view"),
+      count(col("c_ts")).as("n_click"),
+      count(col("p_ts")).as("n_purchase"))
   }
   val qFunnelSql: String =
     """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events

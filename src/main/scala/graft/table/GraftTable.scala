@@ -2001,10 +2001,11 @@ class GraftTable(spark: SparkSession, val location: String,
     val out = parts.reduce(_ unionByName _)
     val tmp = new Path(tablePath, s"_changes/.tmp-${UUID.randomUUID()}")
     out.write.mode("overwrite")
-      // private tmp dir published by the rename below — same committer
-      // rationale as stageAndMove
+      // committer v2 as in stageAndMove (private tmp dir published by
+      // the rename below) — but _SUCCESS stays: the materialized-read
+      // path DISTRUSTS a dir without it (ChangelogSpec pins that a
+      // truncated/foreign dir falls back to reconstruction)
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(tmp.toString)
     val dst = changesPath(snap.snapshotId)
     fs.mkdirs(dst.getParent)
