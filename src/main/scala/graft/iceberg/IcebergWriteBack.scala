@@ -682,11 +682,24 @@ object IcebergWriteBack {
     * sorted on `sortCols` per the spec's recommendation. */
   private def newDeleteManifest(spark: SparkSession, tree: Tree,
       rows: DataFrame, sortCols: Seq[String], content: Int,
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int],
+      // consolidation (rewritePositionDeletes) wants the GLOBAL sort: it
+      // both orders across files and range-collapses the scattered input
+      // partitions into a tight file set. Merge/stream tombstone writes
+      // don't — PER-FILE ordering is what readers rely on (position
+      // deletes sorted by (file_path, pos) within each delete file), so
+      // they pay a REBALANCE (plain hash exchange, AQE-coalesced /
+      // skew-split) + sort-within instead of the global sort's extra
+      // range-boundary SAMPLING job per CDC batch: same tight file set,
+      // one less pass over the batch.
+      globalSort: Boolean = false)
       : Option[(GenericRecord, Option[Int])] = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     implicit val fmts: Formats = DefaultFormats
-    val out = rows.sort(sortCols.map(col): _*)
+    val out =
+      if (globalSort) rows.sort(sortCols.map(col): _*)
+      else rows.hint("rebalance", sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
     val dataRel = s"data/graft-delete-${UUID.randomUUID()}"
     val outDir = new Path(tree.tableLocation, dataRel)
     out.write.mode("errorifexists")
@@ -2212,7 +2225,8 @@ object IcebergWriteBack {
       }
     else {
       val recOpt = newDeleteManifest(spark, tree, shaped,
-        Seq("file_path", "pos"), content = 1, equalityIds = Seq.empty)
+        Seq("file_path", "pos"), content = 1, equalityIds = Seq.empty,
+        globalSort = true)
       val repl = supersedeDeleteEntries(tree, supersedeParquetPos)
       if (recOpt.isEmpty && repl.isEmpty) tree.curId
       else publish(spark, tree, recOpt.map(_._1).toSeq, "replace",

@@ -83,6 +83,39 @@ class GraftTable(spark: SparkSession, val location: String,
 
   private def snapshotsMatching(regex: String): Seq[Snapshot] = {
     if (!exists) return Seq.empty
+    // local fs: list + stat + read through java.nio — the chain is
+    // resolved MANY times per query (schema, live files, stats, deletes,
+    // txn replay) and Hadoop's LocalFileSystem charges checksum
+    // bookkeeping per list/open; the listing is equally fresh either way
+    // (same visibility point), and the parse cache keys stay
+    // (absolute path, mtime, length)
+    if (fs.getScheme == "file") {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(metaPath.toUri.getPath)
+      val stream = java.nio.file.Files.newDirectoryStream(dir)
+      val names =
+        try stream.iterator().asScala
+          .map(_.getFileName.toString).filter(_.matches(regex)).toSeq.sorted
+        finally stream.close()
+      // a file vanishing between list and read (concurrent expire)
+      // throws here exactly like the Hadoop path's fs.open would
+      return names.map { n =>
+        val p = dir.resolve(n)
+        val attrs = java.nio.file.Files.readAttributes(
+          p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        val key = (p.toString, attrs.lastModifiedTime.toMillis, attrs.size)
+        val cached = GraftTable.snapCache.get(key)
+        if (cached != null) cached
+        else {
+          val snap = Snapshot.fromJson(new String(
+            java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          if (GraftTable.snapCache.size > GraftTable.SnapCacheMax)
+            GraftTable.snapCache.clear()
+          GraftTable.snapCache.put(key, snap)
+          snap
+        }
+      }
+    }
     val st = fs.listStatus(metaPath)
       .filter(s => s.getPath.getName.matches(regex))
       .sortBy(_.getPath.getName)
@@ -112,6 +145,23 @@ class GraftTable(spark: SparkSession, val location: String,
 
   private def readManifest(rel: String): Manifest = {
     val p = new Path(tablePath, rel)
+    // local fs: stat + read via java.nio (same rationale and cache keys
+    // as snapshotsMatching)
+    if (fs.getScheme == "file") {
+      val np = java.nio.file.Paths.get(tablePath.toUri.getPath, rel)
+      val attrs = java.nio.file.Files.readAttributes(
+        np, classOf[java.nio.file.attribute.BasicFileAttributes])
+      val key = (np.toString, attrs.lastModifiedTime.toMillis, attrs.size)
+      val cached = GraftTable.manifestCache.get(key)
+      if (cached != null) return cached
+      GraftTable.manifestParses.incrementAndGet()
+      val m = Manifest.fromJson(new String(
+        java.nio.file.Files.readAllBytes(np), "UTF-8"))
+      if (GraftTable.manifestCache.size > GraftTable.SnapCacheMax)
+        GraftTable.manifestCache.clear()
+      GraftTable.manifestCache.put(key, m)
+      return m
+    }
     val st = fs.getFileStatus(p)
     val key = (p.toString, st.getModificationTime, st.getLen)
     val cached = GraftTable.manifestCache.get(key)
